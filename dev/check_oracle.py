@@ -1,0 +1,51 @@
+#!/usr/bin/env python3
+"""Dev-only self-check approximating the driver's correctness gate:
+run Verify's parquet dumps against the DuckDB oracle SQL on the same
+scale-factor directory, compare row sets with columns sorted by name
+and doubles rounded. Usage: check_oracle.py <sfDir> <verifyOutDir>"""
+import json, sys, math
+import duckdb
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 6)
+                if v == -0.0: v = 0.0
+            vals.append(repr(v))
+        out.append("|".join(vals))
+    return sorted(out)
+
+fails = 0
+for name, sql in sorted(oracles.items()):
+    try:
+        got_rel = con.execute(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+        got_cols = [d[0] for d in got_rel.description]
+        got = norm(got_rel.fetchall(), got_cols)
+        exp_rel = con.execute(sql)
+        exp_cols = [d[0] for d in exp_rel.description]
+        exp = norm(exp_rel.fetchall(), exp_cols)
+        if sorted(got_cols) != sorted(exp_cols):
+            print(f"FAIL {name}: columns {sorted(got_cols)} vs {sorted(exp_cols)}"); fails += 1
+        elif got != exp:
+            diff_g = [x for x in got if x not in set(exp)][:3]
+            diff_e = [x for x in exp if x not in set(got)][:3]
+            print(f"FAIL {name}: {len(got)} vs {len(exp)} rows; got-only {diff_g}; exp-only {diff_e}")
+            fails += 1
+        else:
+            print(f"OK   {name} ({len(got)} rows)")
+    except Exception as e:
+        print(f"ERR  {name}: {e}"); fails += 1
+sys.exit(1 if fails else 0)
