@@ -1,0 +1,90 @@
+package graft.core
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.format._
+
+/** Distributed append (reference `LocalAppendOp`/`RayAppendOp`,
+  * `/root/reference/python/src/space/core/ops/append.py:69-298` and
+  * `/root/reference/python/src/space/ray/ops/append.py:32-120`).
+  *
+  * Spark-first shape: the input DataFrame is written by executors with a
+  * plain `df.write.parquet` (one file per task — Spark tasks play the
+  * reference's writer-actor role), then the DRIVER harvests only the
+  * footers for row counts + PK min/max stats, moves the files into
+  * `data/`, and emits one manifest + a Patch. No row ever passes through
+  * the driver; footer IO is O(files), not O(rows).
+  *
+  * The reference caps index files at 1 MiB uncompressed
+  * (options.py:66-67) — pathological at 100 TB; we instead inherit
+  * Spark's task partitioning (≈128 MB splits) and expose an optional
+  * `targetFileRows` repartition knob (SURVEY.md §7.3 "small-file
+  * defaults").
+  */
+object AppendOp {
+
+  final case class AppendResult(patch: Patch, files: Seq[IndexFileMeta])
+
+  /** Write `df` as new data files + one index manifest; returns the Patch
+    * to commit. `df` must carry the table's index schema (record-field
+    * columns already replaced by addresses when record fields exist). */
+  def writeFiles(
+      spark: SparkSession,
+      storage: Storage,
+      df: DataFrame,
+      targetFileRows: Option[Long] = None): Patch =
+    writeFilesWithMeta(spark, storage, df, targetFileRows).patch
+
+  def writeFilesWithMeta(
+      spark: SparkSession,
+      storage: Storage,
+      df: DataFrame,
+      targetFileRows: Option[Long] = None): AppendResult = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmpRel = s"${StoragePaths.DataDir}/tmp_append_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val tmpAbs = storage.absolute(tmpRel)
+
+    val toWrite = targetFileRows match {
+      case Some(n) if n > 0 =>
+        val total = df.count()
+        val parts = math.max(1, math.ceil(total.toDouble / n).toInt)
+        df.repartition(parts)
+      case _ => df
+    }
+    // align to schema order + re-attach field-id metadata so Spark embeds
+    // `parquet.field.id` in the written footers (schema-evolution-by-id)
+    val idSchema = ReadOp.physicalSchemaWithIds(storage.schema, storage.recordFields)
+    val aligned = toWrite.select(idSchema.fields.map(f =>
+      org.apache.spark.sql.functions.col(f.name).as(f.name, f.metadata)).toIndexedSeq: _*)
+    aligned.write.mode("overwrite").parquet(tmpAbs)
+
+    val fs = new Path(tmpAbs).getFileSystem(conf)
+    val parts = fs.listStatus(new Path(tmpAbs)).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+
+    val metas = parts.map { p =>
+      val rel = StoragePaths.newIndexDataFile()
+      val meta = ManifestIO.harvestFooter(p.toString, rel, conf, storage.primaryKeys)
+      if (!fs.rename(p, new Path(storage.absolute(rel))))
+        throw new java.io.IOException(s"rename $p failed")
+      meta
+    }.filter(_.numRows > 0).toSeq
+    fs.delete(new Path(tmpAbs), true)
+
+    if (metas.isEmpty) return AppendResult(Patch(), Nil)
+
+    val manifest = ManifestIO.writeIndexManifest(spark, storage, metas)
+    val stats = StorageStatistics(
+      numRows = metas.map(_.numRows).sum,
+      indexCompressedBytes = metas.map(_.compressedBytes).sum,
+      indexUncompressedBytes = metas.map(_.uncompressedBytes).sum)
+    // changelog: every row of every new file is an ADD (append.py:240-241)
+    val changeLog = ChangeLog(addedRows =
+      metas.map(m => RowBitmap(m.file, allRows = true, numRows = m.numRows)).toList)
+    AppendResult(Patch(
+      addedIndexManifests = List(manifest),
+      statsDelta = stats,
+      changeLog = Some(changeLog)), metas)
+  }
+}

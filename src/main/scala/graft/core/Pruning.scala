@@ -1,0 +1,181 @@
+package graft.core
+
+import scala.util.Try
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.Filter
+import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+import org.apache.spark.sql.types._
+
+import graft.format.FieldIds
+
+/** Manifest-level file pruning via falsifiable filters (reference
+  * `/root/reference/python/src/space/core/manifests/falsifiable_filters.py:39-308`,
+  * after Edara & Pasumansky's BigQuery paper): negate the user predicate
+  * into a condition on the per-file `_STATS_f<id>._MIN/_MAX` columns that
+  * PROVES a file cannot contain matching rows; files where the condition
+  * holds are skipped without opening them.
+  *
+  * The user predicate is first resolved through Spark's analyzer against
+  * an empty relation of the table schema, so type coercion (literal
+  * casts, attribute widening) is Spark's own, then converted:
+  *
+  *  - `f = v`  falsifiable ⇔ `min > v OR max < v`
+  *  - `f < v`  falsifiable ⇔ `min >= v`      (`<=` ⇒ `min > v`)
+  *  - `f > v`  falsifiable ⇔ `max <= v`      (`>=` ⇒ `max < v`)
+  *  - `f IN (…)` ⇔ AND over the equalities
+  *  - `NOT e`  — pushed down first (De Morgan + comparison negation)
+  *  - `a AND b` falsifiable if EITHER side is; an unconvertible side
+  *    contributes nothing (None-propagation, falsifiable_filters.py:149-165)
+  *  - `a OR b` falsifiable only if BOTH sides are
+  *
+  * Any unsupported node degrades to "scan" — never to a wrong answer
+  * (falsifiable_filters.py:64-75). Non-PK fields are not convertible
+  * (stats exist for PKs only, :298-308).
+  *
+  * Runs on the driver BEFORE `spark.read`, over the manifest DataFrame —
+  * Catalyst prunes row groups from footers, but only this layer can prune
+  * whole files from our own file index (SURVEY.md §4.1).
+  */
+object Pruning {
+
+  /** Column over the index-manifest schema that is true when the file may
+    * contain matching rows (i.e. NOT provably falsifiable). None when the
+    * predicate has no convertible part (⇒ scan everything). */
+  def keepCondition(
+      spark: SparkSession,
+      tableSchema: StructType,
+      primaryKeys: Seq[String],
+      predicate: Column): Option[Column] =
+    Try {
+      val resolved = resolve(spark, tableSchema, predicate)
+      resolved.flatMap(falsifiable(tableSchema, primaryKeys, _))
+    }.toOption.flatten.map(f => not(coalesce(f, lit(false))))
+
+  /** Run the analyzer over `empty(schema).filter(pred)` and pull out the
+    * resolved, type-coerced condition. */
+  private def resolve(spark: SparkSession, schema: StructType, predicate: Column): Option[Expression] = {
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[Row](),
+      FieldIds.strip(ReadOp.physicalSchema(schema, Nil)))
+    empty.filter(predicate).queryExecution.analyzed.collectFirst {
+      case f: Filter => f.condition
+    }
+  }
+
+  private def statsCol(tableSchema: StructType, name: String): Column =
+    col(ManifestIO.statsColName(FieldIds.fieldId(tableSchema(name))))
+
+  private def falsifiable(schema: StructType, pks: Seq[String], root: Expression): Option[Column] = {
+
+    def f(e: Expression): Option[Column] = e match {
+      case And(l, r) =>
+        (f(l), f(r)) match {
+          case (Some(a), Some(b)) => Some(a || b)
+          case (a, b) => a.orElse(b) // one convertible side suffices
+        }
+      case Or(l, r) =>
+        for { a <- f(l); b <- f(r) } yield a && b
+      case Not(child) => negate(child).flatMap(f)
+      case cmp: BinaryComparison => leaf(cmp)
+      case In(attr, values) =>
+        val eqs = values.map(v => leaf(EqualTo(attr, v)))
+        if (eqs.exists(_.isEmpty)) None else Some(eqs.flatten.reduce(_ && _))
+      case InSet(attr, values) =>
+        // analyzer may compact IN lists; values are internal representations
+        val dt = attr.dataType
+        val eqs = values.toSeq.map(v => leaf(EqualTo(attr, Literal(v, dt))))
+        if (eqs.exists(_.isEmpty)) None else Some(eqs.flatten.reduce(_ && _))
+      case IsNotNull(_) => None // stats carry no null info: contributes nothing
+      case _ => None
+    }
+
+    def leaf(cmp: BinaryComparison): Option[Column] = {
+      val converted: Option[(String, Any, String)] = (cmp.left, cmp.right) match {
+        case (a, LiteralValue(v)) => attrName(a).map(n => (n, v, op(cmp)))
+        case (LiteralValue(v), a) => attrName(a).map(n => (n, v, swap(op(cmp))))
+        case _ => None // field-vs-field / literal-vs-literal: give up here
+      }
+      converted.flatMap { case (name, value, o) =>
+        if (value == null || !pks.contains(name) ||
+          !ManifestIO.statsEligible(schema(name).dataType)) None
+        else {
+          val s = statsCol(schema, name)
+          val v = lit(value)
+          o match {
+            case "=" => Some(s("_MIN") > v || s("_MAX") < v)
+            case "<" => Some(s("_MIN") >= v)
+            case "<=" => Some(s("_MIN") > v)
+            case ">" => Some(s("_MAX") <= v)
+            case ">=" => Some(s("_MAX") < v)
+            case _ => None
+          }
+        }
+      }
+    }
+
+    f(root)
+  }
+
+  /** Literal or foldable literal-only expression (e.g. the casts type
+    * coercion inserts around literals) → external Scala value. */
+  private object LiteralValue {
+    def unapply(e: Expression): Option[Any] = e match {
+      case Literal(v, dt) => Some(CatalystTypeConverters.convertToScala(v, dt))
+      case c: Cast if c.foldable =>
+        Try(CatalystTypeConverters.convertToScala(c.eval(null), c.dataType)).toOption
+      case _ => None
+    }
+  }
+
+  private def op(cmp: BinaryComparison): String = cmp match {
+    case _: EqualTo => "="
+    case _: LessThan => "<"
+    case _: LessThanOrEqual => "<="
+    case _: GreaterThan => ">"
+    case _: GreaterThanOrEqual => ">="
+    case _ => "?"
+  }
+
+  /** `v OP f` ≡ `f swap(OP) v` (operand swap, falsifiable_filters.py:257-289). */
+  private def swap(o: String): String = o match {
+    case "<" => ">"
+    case "<=" => ">="
+    case ">" => "<"
+    case ">=" => "<="
+    case other => other
+  }
+
+  /** Push NOT through one level (comparisons invert; De Morgan for bool
+    * ops); None for nodes with no known negation (⇒ give up on this
+    * subtree, falsifiable_filters.py:133-139). */
+  private def negate(e: Expression): Option[Expression] = e match {
+    case EqualTo(l, r) => Some(Or(LessThan(l, r), GreaterThan(l, r)))
+    case LessThan(l, r) => Some(GreaterThanOrEqual(l, r))
+    case LessThanOrEqual(l, r) => Some(GreaterThan(l, r))
+    case GreaterThan(l, r) => Some(LessThanOrEqual(l, r))
+    case GreaterThanOrEqual(l, r) => Some(LessThan(l, r))
+    case And(l, r) => Some(Or(Not(l), Not(r)))
+    case Or(l, r) => Some(And(Not(l), Not(r)))
+    case Not(x) => Some(x)
+    case _ => None
+  }
+
+  /** Attribute name, unwrapping numeric-widening casts the analyzer adds
+    * (monotonic, so min/max comparisons stay sound). */
+  private def attrName(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case c: Cast if numericWidening(c) => attrName(c.child)
+    case _ => None
+  }
+
+  private def numericWidening(c: Cast): Boolean = (c.child.dataType, c.dataType) match {
+    case (_: IntegerType, _: LongType) => true
+    case (_: IntegerType, _: DoubleType) => true
+    case (_: LongType, _: DoubleType) => true
+    case (_: FloatType, _: DoubleType) => true
+    case _ => false
+  }
+}

@@ -1,0 +1,132 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+import graft.format._
+
+/** User-facing table handle: storage location + Spark session, with the
+  * full DML/read/versioning surface of the reference's `Dataset`
+  * (`/root/reference/python/src/space/core/datasets.py:32-138`) and its
+  * local/Ray runners (`runners.py:207-315`) — on Spark there is one
+  * runner: the cluster.
+  *
+  * All mutations run inside an optimistic transaction
+  * (storage.py:545-596): pin branch head → build patch (distributed) →
+  * abort if head moved → commit.
+  */
+final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
+
+  def schema: StructType = storage.schema
+  def primaryKeys: Seq[String] = storage.primaryKeys
+  def location: String = storage.location
+
+  // ------------------------------------------------------------- reads
+
+  /** Read the table (optionally: a version = tag/branch/snapshot-id, a
+    * filter, a field projection). Record fields are stitched back from
+    * record files unless `referenceRead` asks for raw addresses
+    * (read.py:112-114). */
+  def read(
+      filter: Option[Column] = None,
+      fields: Option[Seq[String]] = None,
+      version: Option[String] = None,
+      referenceRead: Boolean = false): DataFrame = {
+    val sid = version.map(storage.versionToSnapshotId)
+      .getOrElse(storage.metadata.currentSnapshotId)
+    val physical = ReadOp.scanPhysical(spark, storage, sid, filter)
+    val projected = fields match {
+      case Some(fs) => physical.select(fs.map(col): _*)
+      case None => physical
+    }
+    if (referenceRead || storage.recordFields.isEmpty) projected
+    else RecordIO.stitch(spark, storage, projected, fields)
+  }
+
+  def readAll(): DataFrame = read()
+
+  /** Scan plan for a predicate — exposes pruning decisions (files kept vs
+    * total) for tests/bench. */
+  def plan(filter: Option[Column] = None, version: Option[String] = None): ReadOp.ScanPlan = {
+    val sid = version.map(storage.versionToSnapshotId)
+      .getOrElse(storage.metadata.currentSnapshotId)
+    ReadOp.plan(spark, storage, sid, filter)
+  }
+
+  // --------------------------------------------------------- mutations
+
+  def append(df: DataFrame, branch: String = SnapshotRef.MainBranch): Long =
+    storage.transaction(branch) { _ =>
+      val patch = RecordIO.writeWithRecords(spark, storage, df)
+      (Some(patch), storage.metadata.maxSnapshotId + 1)
+    }
+
+  def delete(cond: Column, branch: String = SnapshotRef.MainBranch): Long =
+    storage.transaction(branch) { pinned =>
+      (DmlOps.delete(spark, storage, pinned, cond), storage.metadata.maxSnapshotId + 1)
+    }
+
+  def insert(df: DataFrame, branch: String = SnapshotRef.MainBranch): Long =
+    storage.transaction(branch) { pinned =>
+      (Some(DmlOps.insert(spark, storage, pinned, df)), storage.metadata.maxSnapshotId + 1)
+    }
+
+  def upsert(df: DataFrame, branch: String = SnapshotRef.MainBranch): Long =
+    storage.transaction(branch) { pinned =>
+      (Some(DmlOps.upsert(spark, storage, pinned, df)), storage.metadata.maxSnapshotId + 1)
+    }
+
+  // -------------------------------------------------------------- CDC
+
+  def diff(startVersion: String, endVersion: String): Seq[ChangeBatch] =
+    ChangeData.diff(spark, storage,
+      storage.versionToSnapshotId(startVersion),
+      storage.versionToSnapshotId(endVersion))
+
+  // -------------------------------------------------------- versioning
+
+  def addTag(name: String, version: Option[String] = None): Unit =
+    storage.addTag(name, version.map(storage.versionToSnapshotId))
+
+  def addBranch(name: String, version: Option[String] = None): Unit =
+    storage.addBranch(name, version.map(storage.versionToSnapshotId))
+
+  def removeRef(name: String): Unit = storage.removeRef(name)
+
+  /** versions() table (storage.py:410-443): snapshot × refs, newest first. */
+  def versions(): DataFrame = {
+    import spark.implicits._
+    storage.versions
+      .map { case (id, parent, ts, refs) => (id, parent, new java.sql.Timestamp(ts), refs) }
+      .toDF("snapshot_id", "parent_snapshot_id", "create_time", "refs")
+  }
+
+  /** Current snapshot's index files (datasets.py:99-104). */
+  def indexFiles(filter: Option[Column] = None): Seq[String] = plan(filter).files
+
+  /** Filterable index-manifest table (storage.py:459-480). */
+  def indexManifest(): DataFrame = {
+    val ms = storage.metadata.currentSnapshot.manifestFiles.indexManifestFiles
+    if (ms.isEmpty)
+      ReadOp.emptyDF(spark, ManifestIO.manifestSchema(storage.schema, storage.primaryKeys))
+    else ManifestIO.readIndexManifests(spark, storage, ms)
+  }
+
+  def refresh(): Unit = storage.reload()
+}
+
+object SpaceDataset {
+
+  def create(
+      spark: SparkSession,
+      location: String,
+      schema: StructType,
+      primaryKeys: Seq[String],
+      recordFields: Seq[String] = Nil): SpaceDataset =
+    new SpaceDataset(spark, Storage.create(location, schema, primaryKeys, recordFields,
+      conf = spark.sparkContext.hadoopConfiguration))
+
+  def load(spark: SparkSession, location: String): SpaceDataset =
+    new SpaceDataset(spark, Storage.load(location, spark.sparkContext.hadoopConfiguration))
+}

@@ -1,0 +1,256 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.format._
+
+class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
+
+/** The metadata engine of a graft table: loads/commits metadata, resolves
+  * versions, manages tags/branches. Plain JVM (no Spark dependency) —
+  * mirrors the reference's `Storage`
+  * (`/root/reference/python/src/space/core/storage.py:60-510`).
+  *
+  * Concurrency model is the reference's: optimistic single-writer — a
+  * transaction pins the branch head at start, re-reads it before commit,
+  * and aborts if the head moved (storage.py:545-596). Atomicity relies on
+  * write-temp-then-rename of the entrypoint file, atomic on local
+  * filesystems and HDFS within a directory; the same documented
+  * limitation as the reference (fs/arrow.py:46-49).
+  */
+final class Storage(val location: String, val conf: Configuration) {
+
+  private val rootPath = new Path(location)
+  private val fs: FileSystem = rootPath.getFileSystem(conf)
+
+  private var meta: StorageMetadata = _
+  private var metaFilePath: String = _
+
+  reload()
+
+  def metadata: StorageMetadata = meta
+  def schema: StructType = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+  def primaryKeys: Seq[String] = meta.primaryKeys
+  def recordFields: Seq[String] = meta.recordFields
+
+  def absolute(rel: String): String = new Path(rootPath, rel).toString
+
+  // ---------------------------------------------------------------- IO
+
+  def readString(rel: String): String = {
+    val in = fs.open(new Path(rootPath, rel))
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+  }
+
+  /** Write-temp-then-rename; rename replaces an existing destination via
+    * delete-then-rename on Hadoop FS (non-atomic window documented, same
+    * as reference fs/arrow.py:46-49). */
+  def writeStringAtomic(rel: String, content: String): Unit = {
+    val dst = new Path(rootPath, rel)
+    val tmp = new Path(rootPath, rel + ".tmp-" + java.util.UUID.randomUUID())
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"rename $tmp -> $dst failed")
+  }
+
+  // ------------------------------------------------------------ loading
+
+  def reload(): Unit = {
+    val ep = MetadataJson.readEntryPoint(readString(StoragePaths.EntryPointFile))
+    metaFilePath = ep.metadataFile
+    meta = MetadataJson.readMetadata(readString(ep.metadataFile))
+  }
+
+  // ----------------------------------------------------------- versions
+
+  def branchHead(branch: String): Long =
+    if (branch == SnapshotRef.MainBranch) meta.currentSnapshotId
+    else meta.refs.get(branch) match {
+      case Some(r) if r.refType == SnapshotRef.Branch => r.snapshotId
+      case _ => throw new IllegalArgumentException(s"branch $branch not found")
+    }
+
+  /** tag/branch name or numeric string → snapshot id (storage.py:224-236). */
+  def versionToSnapshotId(version: String): Long =
+    meta.refs.get(version).map(_.snapshotId).getOrElse {
+      if (version == SnapshotRef.MainBranch) meta.currentSnapshotId
+      else try version.toLong catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"version $version not found")
+      }
+    }
+
+  def snapshotOrFail(id: Long): Snapshot = meta.snapshot(id).getOrElse(
+    throw new IllegalArgumentException(s"snapshot $id not found"))
+
+  /** (snapshotId, parent, createTimeMs, tagOrBranchNames) rows, newest
+    * first — the versions() table (storage.py:410-443). */
+  def versions: Seq[(Long, Option[Long], Long, Seq[String])] = {
+    val refsBySnapshot = meta.refs.values.toSeq.groupBy(_.snapshotId)
+    meta.snapshots.values.toSeq.sortBy(-_.createTimeMs).map { s =>
+      (s.snapshotId, s.parentSnapshotId, s.createTimeMs,
+        refsBySnapshot.getOrElse(s.snapshotId, Nil).map(_.name).sorted)
+    }
+  }
+
+  // --------------------------------------------------------------- refs
+
+  private def persist(newMeta: StorageMetadata): Unit = {
+    val newFile = StoragePaths.newMetadataFile()
+    writeStringAtomic(newFile, MetadataJson.write(newMeta))
+    writeStringAtomic(StoragePaths.EntryPointFile, MetadataJson.write(EntryPoint(newFile)))
+    meta = newMeta
+    metaFilePath = newFile
+  }
+
+  def addTag(name: String, snapshotId: Option[Long] = None): Unit =
+    addRef(name, SnapshotRef.Tag, snapshotId)
+
+  def addBranch(name: String, snapshotId: Option[Long] = None): Unit =
+    addRef(name, SnapshotRef.Branch, snapshotId)
+
+  private def addRef(name: String, refType: String, snapshotId: Option[Long]): Unit = {
+    require(name != SnapshotRef.MainBranch, s"ref name $name is reserved")
+    require(!meta.refs.contains(name), s"ref $name already exists")
+    val id = snapshotId.getOrElse(meta.currentSnapshotId)
+    snapshotOrFail(id)
+    persist(meta.copy(
+      refs = meta.refs + (name -> SnapshotRef(name, refType, id)),
+      lastUpdateTimeMs = System.currentTimeMillis()))
+  }
+
+  def removeRef(name: String): Unit = {
+    require(meta.refs.contains(name), s"ref $name not found")
+    persist(meta.copy(refs = meta.refs - name,
+      lastUpdateTimeMs = System.currentTimeMillis()))
+  }
+
+  // ------------------------------------------------------------- commit
+
+  /** Apply a patch as a new snapshot on `branch` (storage.py:315-367).
+    * Returns the new snapshot id. Not concurrency-checked by itself —
+    * use [[transaction]] for the optimistic check. */
+  def commit(patch: Patch, branch: String = SnapshotRef.MainBranch): Long = {
+    val baseId = branchHead(branch)
+    val base = snapshotOrFail(baseId)
+    val newId = meta.maxSnapshotId + 1
+
+    // _patch_manifests (storage.py:513-535): removals must exist exactly once.
+    def patched(current: List[String], added: List[String], removed: List[String]): List[String] = {
+      val cur = current.toSet
+      removed.foreach(r => require(cur.contains(r), s"manifest to remove not present: $r"))
+      (current.filterNot(removed.toSet) ++ added).distinct
+    }
+    val manifests = ManifestFiles(
+      patched(base.manifestFiles.indexManifestFiles, patch.addedIndexManifests, patch.removedIndexManifests),
+      patched(base.manifestFiles.recordManifestFiles, patch.addedRecordManifests, patch.removedRecordManifests))
+
+    val changeLogFile = patch.changeLog.map { cl =>
+      val f = StoragePaths.newChangeLogFile()
+      writeStringAtomic(f, MetadataJson.write(cl))
+      f
+    }
+
+    val now = System.currentTimeMillis()
+    val snap = Snapshot(newId, Some(baseId), now, manifests,
+      base.storageStatistics + patch.statsDelta, changeLogFile)
+
+    val withSnap = meta.copy(
+      snapshots = meta.snapshots + (newId.toString -> snap),
+      maxSnapshotId = newId,
+      lastUpdateTimeMs = now)
+    val newMeta =
+      if (branch == SnapshotRef.MainBranch) withSnap.copy(currentSnapshotId = newId)
+      else withSnap.copy(refs = withSnap.refs +
+        (branch -> SnapshotRef(branch, SnapshotRef.Branch, newId)))
+    persist(newMeta)
+    newId
+  }
+
+  /** Optimistic transaction (storage.py:545-596): pin the branch head,
+    * run the op, abort if the head moved, else commit its patch. */
+  def transaction[T](branch: String = SnapshotRef.MainBranch)(
+      op: Long => (Option[Patch], T)): T = {
+    reload()
+    val pinned = branchHead(branch)
+    val (patch, result) = op(pinned)
+    reload()
+    if (branchHead(branch) != pinned)
+      throw new ConcurrentCommitException(
+        s"abort commit: branch $branch moved from snapshot $pinned to ${branchHead(branch)}")
+    patch.foreach(commit(_, branch))
+    result
+  }
+
+  def changeLog(snapshotId: Long): Option[ChangeLog] =
+    snapshotOrFail(snapshotId).changeLogFile.map(f => MetadataJson.readChangeLog(readString(f)))
+
+  /** Walk parent pointers from end back to start, exclusive of start
+    * (change_data.py:59-84): returns (start, end] in increasing order. */
+  def orderedSnapshotIds(startId: Long, endId: Long): Seq[Long] = {
+    if (startId == endId) return Nil
+    var ids = List.empty[Long]
+    var cur = endId
+    while (cur != startId) {
+      val s = snapshotOrFail(cur)
+      ids = cur :: ids
+      cur = s.parentSnapshotId.getOrElse(
+        throw new IllegalArgumentException(s"snapshot $startId is not an ancestor of $endId"))
+    }
+    ids
+  }
+}
+
+object Storage {
+
+  def create(
+      location: String,
+      schema: StructType,
+      primaryKeys: Seq[String],
+      recordFields: Seq[String] = Nil,
+      tableType: String = TableType.Dataset,
+      logicalPlan: Option[String] = None,
+      conf: Configuration = new Configuration()): Storage = {
+    SchemaValidation.validate(schema, primaryKeys, recordFields)
+    val withIds = FieldIds.assign(schema)
+    val root = new Path(location)
+    val fs = root.getFileSystem(conf)
+    require(!fs.exists(new Path(root, StoragePaths.EntryPointFile)),
+      s"table already exists at $location")
+    fs.mkdirs(new Path(root, StoragePaths.ChangesDir))
+    fs.mkdirs(new Path(root, StoragePaths.RecordDataDir))
+
+    val now = System.currentTimeMillis()
+    val initial = Snapshot(0L, None, now, ManifestFiles(), StorageStatistics(), None)
+    val meta = StorageMetadata(
+      createTimeMs = now, lastUpdateTimeMs = now, tableType = tableType,
+      schemaJson = withIds.json,
+      primaryKeys = primaryKeys.toList, recordFields = recordFields.toList,
+      currentSnapshotId = 0L, maxSnapshotId = 0L,
+      snapshots = Map("0" -> initial), logicalPlan = logicalPlan)
+
+    val metaFile = StoragePaths.newMetadataFile()
+    writeTo(fs, root, metaFile, MetadataJson.write(meta))
+    writeTo(fs, root, StoragePaths.EntryPointFile, MetadataJson.write(EntryPoint(metaFile)))
+    new Storage(location, conf)
+  }
+
+  def load(location: String, conf: Configuration = new Configuration()): Storage =
+    new Storage(location, conf)
+
+  def exists(location: String, conf: Configuration = new Configuration()): Boolean = {
+    val root = new Path(location)
+    root.getFileSystem(conf).exists(new Path(root, StoragePaths.EntryPointFile))
+  }
+
+  private def writeTo(fs: FileSystem, root: Path, rel: String, content: String): Unit = {
+    val out = fs.create(new Path(root, rel), true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+}

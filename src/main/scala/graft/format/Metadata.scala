@@ -1,0 +1,145 @@
+package graft.format
+
+import org.json4s.{DefaultFormats, Formats}
+import org.json4s.jackson.Serialization
+
+/** Persisted metadata model of the graft table format.
+  *
+  * Mirrors the reference's open-table-format metadata
+  * (`/root/reference/python/src/space/core/proto/metadata.proto:39-191`):
+  * an entrypoint file points at the current immutable metadata file; each
+  * commit writes a new metadata file embedding the full snapshot history,
+  * named refs (tags/branches), and per-snapshot manifest-file lists.
+  * Persistence is JSON instead of text-protobuf — a faithful swap with no
+  * proto toolchain requirement (SURVEY.md §1.4).
+  *
+  * All paths are RELATIVE to the table root so a table directory can be
+  * moved/copied wholesale (reference docs/design.md:25-27).
+  */
+final case class StorageStatistics(
+    numRows: Long = 0L,
+    indexCompressedBytes: Long = 0L,
+    indexUncompressedBytes: Long = 0L,
+    recordUncompressedBytes: Long = 0L) {
+  def +(o: StorageStatistics): StorageStatistics = StorageStatistics(
+    numRows + o.numRows,
+    indexCompressedBytes + o.indexCompressedBytes,
+    indexUncompressedBytes + o.indexUncompressedBytes,
+    recordUncompressedBytes + o.recordUncompressedBytes)
+}
+
+/** Manifest-file lists of one snapshot. The snapshot embeds the FULL list
+  * (no Iceberg-style manifest-list indirection), as in metadata.proto:135-141. */
+final case class ManifestFiles(
+    indexManifestFiles: List[String] = Nil,
+    recordManifestFiles: List[String] = Nil)
+
+final case class Snapshot(
+    snapshotId: Long,
+    parentSnapshotId: Option[Long],
+    createTimeMs: Long,
+    manifestFiles: ManifestFiles,
+    storageStatistics: StorageStatistics,
+    /** Relative path of this snapshot's change log (metadata.proto:108-111). */
+    changeLogFile: Option[String])
+
+object SnapshotRef {
+  val Tag = "TAG"
+  val Branch = "BRANCH"
+  /** The implicit main branch: commits move `currentSnapshotId`. */
+  val MainBranch = "main"
+}
+
+final case class SnapshotRef(name: String, refType: String, snapshotId: Long)
+
+object TableType {
+  val Dataset = "DATASET"
+  val MaterializedView = "MATERIALIZED_VIEW"
+}
+
+final case class StorageMetadata(
+    createTimeMs: Long,
+    lastUpdateTimeMs: Long,
+    tableType: String,
+    /** Spark StructType JSON (logical schema, record fields at their user types). */
+    schemaJson: String,
+    primaryKeys: List[String],
+    recordFields: List[String],
+    currentSnapshotId: Long,
+    /** High-water mark for snapshot id allocation (ids are monotonic,
+      * storage.py:495-497). */
+    maxSnapshotId: Long,
+    /** Keyed by snapshotId.toString (JSON object keys must be strings). */
+    snapshots: Map[String, Snapshot],
+    refs: Map[String, SnapshotRef] = Map.empty,
+    /** Serialized view plan, present for MATERIALIZED_VIEW tables. */
+    logicalPlan: Option[String] = None) {
+
+  def snapshot(id: Long): Option[Snapshot] = snapshots.get(id.toString)
+
+  def currentSnapshot: Snapshot = snapshot(currentSnapshotId).getOrElse(
+    throw new IllegalStateException(s"current snapshot $currentSnapshotId missing"))
+}
+
+/** `metadata/entrypoint.json` — the single mutable pointer of a table. */
+final case class EntryPoint(metadataFile: String)
+
+/** Per-file row set in a change log. `bitmapB64` is a serialized
+  * RoaringBitmap of row positions within the file; `allRows=true` means
+  * every row of the file (metadata.proto:177-191). */
+final case class RowBitmap(
+    file: String,
+    allRows: Boolean,
+    numRows: Long,
+    bitmapB64: Option[String] = None)
+
+/** Change log of one snapshot: row sets deleted from / added to the table
+  * (metadata.proto:162-171). On read, DELETE changes are emitted BEFORE
+  * ADD changes (change_data.py:122-132 ordering invariant). */
+final case class ChangeLog(
+    addedRows: List[RowBitmap] = Nil,
+    deletedRows: List[RowBitmap] = Nil)
+
+/** Result of a storage mutation, merged and applied atomically at commit:
+  * manifest additions/removals relative to the parent snapshot, a stats
+  * delta, and the change log (runtime.proto:71-83; `_patch_manifests`
+  * storage.py:513-535). */
+final case class Patch(
+    addedIndexManifests: List[String] = Nil,
+    removedIndexManifests: List[String] = Nil,
+    addedRecordManifests: List[String] = Nil,
+    removedRecordManifests: List[String] = Nil,
+    statsDelta: StorageStatistics = StorageStatistics(),
+    changeLog: Option[ChangeLog] = None)
+
+object Patch {
+  /** merge_patches analog (ops/utils.py:94-118): manifest lists concat,
+    * stats add, change logs concat preserving add/delete grouping. */
+  def merge(patches: Seq[Patch]): Option[Patch] = {
+    val ps = patches.filter(_ != null)
+    if (ps.isEmpty) None
+    else Some(ps.reduce { (a, b) =>
+      Patch(
+        a.addedIndexManifests ++ b.addedIndexManifests,
+        a.removedIndexManifests ++ b.removedIndexManifests,
+        a.addedRecordManifests ++ b.addedRecordManifests,
+        a.removedRecordManifests ++ b.removedRecordManifests,
+        a.statsDelta + b.statsDelta,
+        (a.changeLog, b.changeLog) match {
+          case (Some(x), Some(y)) =>
+            Some(ChangeLog(x.addedRows ++ y.addedRows, x.deletedRows ++ y.deletedRows))
+          case (x, y) => x.orElse(y)
+        })
+    })
+  }
+}
+
+object MetadataJson {
+  implicit val formats: Formats = DefaultFormats
+
+  def write[A <: AnyRef](a: A): String = Serialization.writePretty(a)
+
+  def readMetadata(s: String): StorageMetadata = Serialization.read[StorageMetadata](s)
+  def readEntryPoint(s: String): EntryPoint = Serialization.read[EntryPoint](s)
+  def readChangeLog(s: String): ChangeLog = Serialization.read[ChangeLog](s)
+}

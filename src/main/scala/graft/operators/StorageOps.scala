@@ -1,0 +1,168 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.core._
+
+/** Storage/DML/CDC operator coverage: every query builds a REAL graft
+  * table under a fresh temp location from the scale-factor inputs, runs
+  * the storage operation(s), and returns a result the DuckDB oracle can
+  * recompute from the source parquet alone. This is how the engine's
+  * copy-on-write semantics (append/delete/insert/upsert), manifest
+  * pruning, time travel, branches and the change-data feed are verified
+  * end-to-end against an independent engine.
+  */
+object StorageOps {
+
+  private def fresh(prefix: String): String =
+    Files.createTempDirectory(s"graft_$prefix").toString + "/tbl"
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.read(s, d, n)
+
+  private def ordersTable(s: SparkSession, d: String, prefix: String): SpaceDataset = {
+    val o = t(s, d, "orders")
+    val ds = SpaceDataset.create(s, fresh(prefix), o.schema, Seq("o_orderkey"))
+    // range partitioning by PK gives files disjoint key ranges → pruning
+    ds.append(o.repartitionByRange(8, col("o_orderkey")))
+    ds
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // append → commit → full scan roundtrip (B1/B2 shape)
+    "s_append_read" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val ds = SpaceDataset.create(s, fresh("append"), li.schema,
+        Seq("l_orderkey", "l_linenumber"))
+      ds.append(li)
+      ds.readAll()
+    }),
+
+    // PK-range read: manifest pruning skips files whose min/max can't match
+    "s_filter_prune" -> ((s, d) => {
+      val ds = ordersTable(s, d, "prune")
+      ds.read(filter = Some(col("o_orderkey") < 1000L))
+    }),
+
+    // column projection pushed to the scan
+    "s_project" -> ((s, d) => {
+      val ds = ordersTable(s, d, "proj")
+      ds.read(fields = Some(Seq("o_orderkey", "o_totalprice")))
+    }),
+
+    // CoW delete: only affected files rewritten, survivors carried over
+    "s_delete" -> ((s, d) => {
+      val ds = ordersTable(s, d, "del")
+      ds.delete(col("o_totalprice") > 300000.0)
+      ds.readAll()
+    }),
+
+    // PK-checked insert of the missing slice reconstitutes the table
+    "s_insert" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val ds = SpaceDataset.create(s, fresh("ins"), o.schema, Seq("o_orderkey"))
+      ds.append(o.filter(col("o_orderkey") % 10 =!= 0))
+      ds.insert(o.filter(col("o_orderkey") % 10 === 0))
+      ds.readAll()
+    }),
+
+    // upsert = CoW delete of matching PKs + append, one snapshot
+    "s_upsert" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val ds = SpaceDataset.create(s, fresh("ups"), o.schema, Seq("o_orderkey"))
+      ds.append(o)
+      ds.upsert(o.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      ds.readAll()
+    }),
+
+    // tag → time-travel read of the tagged snapshot after later commits
+    "s_timetravel" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val ds = SpaceDataset.create(s, fresh("tt"), o.schema, Seq("o_orderkey"))
+      ds.append(o.filter(col("o_orderkey") <= 1000L))
+      ds.addTag("v1")
+      ds.append(o.filter(col("o_orderkey") > 1000L))
+      ds.read(version = Some("v1"))
+    }),
+
+    // branch from the tag, mutate the branch, main untouched
+    "s_branch" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val ds = SpaceDataset.create(s, fresh("br"), o.schema, Seq("o_orderkey"))
+      ds.append(o.filter(col("o_orderkey") <= 1000L))
+      ds.addBranch("exp")
+      ds.append(o.filter(col("o_orderkey") > 1000L)) // main moves on
+      ds.delete(col("o_orderkey") <= 500L, branch = "exp")
+      ds.read(version = Some("exp"))
+    }),
+
+    // change-data feed over append → delete → upsert; DELETE before ADD,
+    // UPDATE = DELETE+ADD of the same PK in one snapshot
+    "s_cdc_diff" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val ds = SpaceDataset.create(s, fresh("cdc"), o.schema, Seq("o_orderkey"))
+      ds.append(o.filter(col("o_orderkey") <= 1000L)) // s1
+      ds.delete(col("o_orderkey") <= 500L) // s2
+      ds.upsert(o.filter(col("o_orderkey") > 600L && col("o_orderkey") <= 700L)
+        .withColumn("o_totalprice", lit(1.0))) // s3
+      val batches = ds.diff("0", ds.storage.metadata.currentSnapshotId.toString)
+      batches.map { b =>
+        b.data.select(col("o_orderkey"))
+          .withColumn("snapshot_id", lit(b.snapshotId))
+          .withColumn("change_type", lit(b.changeType))
+      }.reduce(_.unionByName(_))
+    }),
+
+    // hybrid row/columnar: text stored as a record-field payload in
+    // record parquet files, addresses in index files, stitched on read
+    "s_record_roundtrip" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("text", encode(col("text"), "UTF-8"))
+      val ds = SpaceDataset.create(s, fresh("rec"), docs.schema, Seq("doc_id"),
+        recordFields = Seq("text"))
+      ds.append(docs)
+      ds.readAll().withColumn("text", decode(col("text"), "UTF-8"))
+    }),
+
+    // snapshot × refs introspection (rows-only check: engine-specific)
+    "s_versions" -> ((s, d) => {
+      val o = t(s, d, "orders").limit(100)
+      val ds = SpaceDataset.create(s, fresh("ver"), o.schema, Seq("o_orderkey"))
+      ds.append(o)
+      ds.addTag("v1")
+      ds.append(o.withColumn("o_orderkey", col("o_orderkey") + 1000000L))
+      ds.versions().select(col("snapshot_id"), col("parent_snapshot_id"),
+        explode_outer(col("refs")).as("ref"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "s_append_read" -> "SELECT * FROM lineitem",
+    "s_filter_prune" -> "SELECT * FROM orders WHERE o_orderkey < 1000",
+    "s_project" -> "SELECT o_orderkey, o_totalprice FROM orders",
+    "s_delete" -> "SELECT * FROM orders WHERE NOT (o_totalprice > 300000.0)",
+    "s_insert" -> "SELECT * FROM orders",
+    "s_upsert" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders""".stripMargin,
+    "s_timetravel" -> "SELECT * FROM orders WHERE o_orderkey <= 1000",
+    "s_branch" ->
+      "SELECT * FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 1000",
+    "s_cdc_diff" ->
+      """SELECT o_orderkey, 1 AS snapshot_id, 'ADD' AS change_type
+        |FROM orders WHERE o_orderkey <= 1000
+        |UNION ALL
+        |SELECT o_orderkey, 2, 'DELETE' FROM orders WHERE o_orderkey <= 500
+        |UNION ALL
+        |SELECT o_orderkey, 3, 'DELETE' FROM orders
+        |  WHERE o_orderkey > 600 AND o_orderkey <= 700
+        |UNION ALL
+        |SELECT o_orderkey, 3, 'ADD' FROM orders
+        |  WHERE o_orderkey > 600 AND o_orderkey <= 700""".stripMargin,
+    "s_record_roundtrip" -> "SELECT * FROM documents")
+}

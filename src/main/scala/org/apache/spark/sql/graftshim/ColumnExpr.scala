@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 removed the public `Column.expr`; the converter lives behind
+  * `private[sql]`. Standard extension-shim pattern: a tiny bridge inside
+  * the `org.apache.spark.sql` package tree exposing Column ↔ Expression
+  * for graft's predicate analysis (manifest pruning). */
+object ColumnExpr {
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+}

@@ -1,0 +1,185 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+
+class StorageSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def freshLoc(): String =
+    Files.createTempDirectory("graft_ds_").toString + "/tbl"
+
+  private def lineitem = Tables.read(spark, sfDir, "lineitem")
+  private def orders = Tables.read(spark, sfDir, "orders")
+
+  test("append + read_all roundtrips lineitem") {
+    val loc = freshLoc()
+    val ds = SpaceDataset.create(spark, loc, lineitem.schema,
+      primaryKeys = Seq("l_orderkey", "l_linenumber"))
+    ds.append(lineitem)
+    val back = ds.readAll()
+    assert(back.count() == lineitem.count())
+    assert(back.schema.fieldNames.toSeq == lineitem.schema.fieldNames.toSeq)
+    // spot-check content equality via anti-joins both ways
+    assert(back.exceptAll(lineitem).isEmpty)
+    assert(lineitem.exceptAll(back).isEmpty)
+  }
+
+  test("filtered read with manifest pruning skips files") {
+    val loc = freshLoc()
+    val ds = SpaceDataset.create(spark, loc, orders.schema, Seq("o_orderkey"))
+    // write ordered by PK so per-file min/max ranges are disjoint
+    ds.append(orders.repartitionByRange(8, col("o_orderkey")))
+    val pred = col("o_orderkey") < 1000L
+    val plan = ds.plan(Some(pred))
+    assert(plan.totalFiles == 8)
+    assert(plan.files.size < plan.totalFiles,
+      s"expected pruning, kept ${plan.files.size}/${plan.totalFiles}")
+    val got = ds.read(filter = Some(pred))
+    val exp = orders.filter(pred)
+    assert(got.count() == exp.count())
+    assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty)
+  }
+
+  test("pruning is conservative for OR / NOT / unsupported predicates") {
+    val loc = freshLoc()
+    val ds = SpaceDataset.create(spark, loc, orders.schema, Seq("o_orderkey"))
+    ds.append(orders.repartitionByRange(4, col("o_orderkey")))
+    for (pred <- Seq(
+        col("o_orderkey") < 100L || col("o_orderkey") > 5000L,
+        !(col("o_orderkey") >= 100L),
+        col("o_orderkey") < 100L && col("o_orderstatus") === "F", // non-PK side ignored
+        upper(col("o_orderstatus")) === "F")) { // unconvertible → scan all
+      val got = ds.read(filter = Some(pred)).count()
+      val exp = orders.filter(pred).count()
+      assert(got == exp, s"pred $pred: $got vs $exp")
+    }
+  }
+
+  test("CoW delete removes matching rows and records a changelog") {
+    val loc = freshLoc()
+    val ds = SpaceDataset.create(spark, loc, orders.schema, Seq("o_orderkey"))
+    ds.append(orders.repartitionByRange(4, col("o_orderkey")))
+    val cond = col("o_totalprice") > 300000.0
+    val nDeleted = orders.filter(cond).count()
+    assert(nDeleted > 0)
+    ds.delete(cond)
+    val back = ds.readAll()
+    assert(back.count() == orders.count() - nDeleted)
+    assert(back.filter(cond).isEmpty)
+    // survivors intact
+    val exp = orders.filter(!cond)
+    assert(back.exceptAll(exp).isEmpty && exp.exceptAll(back).isEmpty)
+    // changelog records the deleted row count
+    val cl = ds.storage.changeLog(ds.storage.metadata.currentSnapshotId).get
+    assert(cl.deletedRows.map(_.numRows).sum == nDeleted)
+    assert(cl.addedRows.isEmpty)
+  }
+
+  test("delete is a no-op when nothing matches") {
+    val loc = freshLoc()
+    val ds = SpaceDataset.create(spark, loc, orders.schema, Seq("o_orderkey"))
+    ds.append(orders)
+    val before = ds.storage.metadata.currentSnapshotId
+    ds.delete(col("o_totalprice") > 1e12)
+    assert(ds.storage.metadata.currentSnapshotId == before) // no commit
+  }
+
+  test("insert rejects duplicate PKs, upsert replaces them") {
+    val loc = freshLoc()
+    val ds = SpaceDataset.create(spark, loc, orders.schema, Seq("o_orderkey"))
+    val base = orders.filter(col("o_orderkey") % 10 =!= 0)
+    val rest = orders.filter(col("o_orderkey") % 10 === 0)
+    ds.append(base)
+
+    // inserting fresh keys works
+    ds.insert(rest)
+    assert(ds.readAll().count() == orders.count())
+    // re-inserting fails
+    intercept[IllegalArgumentException] { ds.insert(rest.limit(5)) }
+
+    // upsert: modify a slice, verify replacement not duplication
+    val modified = orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    ds.upsert(modified)
+    val back = ds.readAll()
+    assert(back.count() == orders.count())
+    val exp = orders.withColumn("o_totalprice",
+      when(col("o_orderkey") % 10 === 0, col("o_totalprice") * 2).otherwise(col("o_totalprice")))
+    assert(back.exceptAll(exp).isEmpty && exp.exceptAll(back).isEmpty)
+  }
+
+  test("time travel + tags + branches") {
+    val loc = freshLoc()
+    val ds = SpaceDataset.create(spark, loc, orders.schema, Seq("o_orderkey"))
+    val half = orders.filter(col("o_orderkey") <= 3000L)
+    ds.append(half) // snapshot 1
+    ds.addTag("v1")
+    ds.append(orders.filter(col("o_orderkey") > 3000L)) // snapshot 2
+
+    assert(ds.read(version = Some("v1")).count() == half.count())
+    assert(ds.read(version = Some("1")).count() == half.count())
+    assert(ds.readAll().count() == orders.count())
+
+    ds.addBranch("exp", version = Some("v1"))
+    ds.delete(col("o_orderkey") <= 1000L, branch = "exp")
+    // main unaffected, branch shrunk
+    assert(ds.readAll().count() == orders.count())
+    val expCount = half.filter(col("o_orderkey") > 1000L).count()
+    assert(ds.read(version = Some("exp")).count() == expCount)
+
+    val vs = ds.versions().collect()
+    assert(vs.length >= 4)
+  }
+
+  test("diff emits DELETE (pks only) before ADD, append/delete/upsert") {
+    val loc = freshLoc()
+    val ds = SpaceDataset.create(spark, loc, orders.schema, Seq("o_orderkey"))
+    val a = orders.filter(col("o_orderkey") <= 2000L)
+    ds.append(a) // s1: ADD a
+    ds.delete(col("o_orderkey") <= 1000L) // s2: DELETE
+    val up = orders.filter(col("o_orderkey") > 1200L && col("o_orderkey") <= 1300L)
+      .withColumn("o_totalprice", lit(1.0))
+    assert(up.count() > 0)
+    ds.upsert(up) // s3: DELETE old + ADD new
+
+    val batches = ds.diff("0", ds.storage.metadata.currentSnapshotId.toString)
+    val bySnap = batches.groupBy(_.snapshotId)
+
+    // s1: single ADD batch of a
+    val s1 = bySnap(1L)
+    assert(s1.map(_.changeType) == Seq(ChangeType.Add))
+    assert(s1.head.data.count() == a.count())
+
+    // s2: single DELETE batch, pk-only schema
+    val s2 = bySnap(2L)
+    assert(s2.map(_.changeType) == Seq(ChangeType.Delete))
+    assert(s2.head.data.columns.toSeq == Seq("o_orderkey"))
+    assert(s2.head.data.count() == a.filter(col("o_orderkey") <= 1000L).count())
+
+    // s3: DELETE before ADD within the snapshot
+    val s3 = bySnap(3L)
+    assert(s3.map(_.changeType) == Seq(ChangeType.Delete, ChangeType.Add))
+    assert(s3(0).data.count() == up.count())
+    assert(s3(1).data.count() == up.count())
+    // replaying ADDs of s3 yields the upserted values
+    assert(s3(1).data.agg(sum("o_totalprice")).collect()(0).getDouble(0) == up.count().toDouble)
+  }
+
+  test("concurrent transaction aborts cleanly") {
+    val loc = freshLoc()
+    val ds = SpaceDataset.create(spark, loc, orders.schema, Seq("o_orderkey"))
+    ds.append(orders.limit(100))
+    val ds2 = SpaceDataset.load(spark, loc)
+    intercept[ConcurrentCommitException] {
+      ds.storage.transaction() { _ =>
+        ds2.append(orders.limit(10).withColumn("o_orderkey", col("o_orderkey") + 1000000))
+        (Some(graft.format.Patch()), ())
+      }
+    }
+  }
+}
