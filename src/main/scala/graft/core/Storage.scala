@@ -164,7 +164,8 @@ final class Storage(val location: String, val conf: Configuration) {
     val withSnap = meta.copy(
       snapshots = meta.snapshots + (newId.toString -> snap),
       maxSnapshotId = newId,
-      lastUpdateTimeMs = now)
+      lastUpdateTimeMs = now,
+      mvSourceSnapshotId = patch.sourceSnapshotId.orElse(meta.mvSourceSnapshotId))
     val newMeta =
       if (branch == SnapshotRef.MainBranch) withSnap.copy(currentSnapshotId = newId)
       else withSnap.copy(refs = withSnap.refs +

@@ -73,7 +73,9 @@ final case class StorageMetadata(
     snapshots: Map[String, Snapshot],
     refs: Map[String, SnapshotRef] = Map.empty,
     /** Serialized view plan, present for MATERIALIZED_VIEW tables. */
-    logicalPlan: Option[String] = None) {
+    logicalPlan: Option[String] = None,
+    /** For MVs: the SOURCE snapshot id this MV is refreshed up to. */
+    mvSourceSnapshotId: Option[Long] = None) {
 
   def snapshot(id: Long): Option[Snapshot] = snapshots.get(id.toString)
 
@@ -110,7 +112,10 @@ final case class Patch(
     addedRecordManifests: List[String] = Nil,
     removedRecordManifests: List[String] = Nil,
     statsDelta: StorageStatistics = StorageStatistics(),
-    changeLog: Option[ChangeLog] = None)
+    changeLog: Option[ChangeLog] = None,
+    /** For MV refresh commits: the source snapshot this patch advances
+      * the MV to (one MV commit per source snapshot, runners.py:204-215). */
+    sourceSnapshotId: Option[Long] = None)
 
 object Patch {
   /** merge_patches analog (ops/utils.py:94-118): manifest lists concat,
@@ -129,7 +134,8 @@ object Patch {
           case (Some(x), Some(y)) =>
             Some(ChangeLog(x.addedRows ++ y.addedRows, x.deletedRows ++ y.deletedRows))
           case (x, y) => x.orElse(y)
-        })
+        },
+        a.sourceSnapshotId.orElse(b.sourceSnapshotId))
     })
   }
 }

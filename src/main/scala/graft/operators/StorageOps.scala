@@ -127,6 +127,25 @@ object StorageOps {
       ds.readAll().withColumn("text", decode(col("text"), "UTF-8"))
     }),
 
+    // materialized view with incremental refresh: CDC batches from the
+    // source flow through the view's filter+map pipeline, one MV commit
+    // per source snapshot; result must equal a full recompute — which is
+    // exactly what the DuckDB oracle computes from the final source state
+    "s_mv_refresh" -> ((s, d) => {
+      import graft.views._
+      val o = t(s, d, "orders")
+      val src = SpaceDataset.create(s, fresh("mvsrc"), o.schema, Seq("o_orderkey"))
+      src.append(o.filter(col("o_orderkey") <= 1000L))
+      val v = View.ofDataset(src)
+        .filterExpr("o_totalprice > 100000")
+        .selectExprs("o_orderkey", "o_custkey", "round(o_totalprice * 0.1, 2) AS fee")
+      val mv = v.materialize(s, fresh("mv"), Seq("o_orderkey"))
+      src.delete(col("o_orderkey") <= 200L)
+      src.append(o.filter(col("o_orderkey") > 1000L && col("o_orderkey") <= 1200L))
+      mv.refresh()
+      mv.dataset.readAll()
+    }),
+
     // snapshot × refs introspection (rows-only check: engine-specific)
     "s_versions" -> ((s, d) => {
       val o = t(s, d, "orders").limit(100)
@@ -164,5 +183,10 @@ object StorageOps {
         |UNION ALL
         |SELECT o_orderkey, 3, 'ADD' FROM orders
         |  WHERE o_orderkey > 600 AND o_orderkey <= 700""".stripMargin,
-    "s_record_roundtrip" -> "SELECT * FROM documents")
+    "s_record_roundtrip" -> "SELECT * FROM documents",
+    "s_mv_refresh" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice * 0.1, 2) AS fee
+        |FROM orders
+        |WHERE o_orderkey > 200 AND o_orderkey <= 1200
+        |  AND o_totalprice > 100000""".stripMargin)
 }

@@ -1,0 +1,95 @@
+package graft.views
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core._
+import graft.format.{Patch, TableType}
+
+/** Materialized view = a graft table + a persisted logical plan +
+  * incremental snapshot-batch refresh (reference `MaterializedView`
+  * views.py:247-323; refresh loop
+  * `/root/reference/python/src/space/ray/runners.py:174-236`).
+  *
+  * Refresh walks the SOURCE table's snapshots from the MV's refreshed-to
+  * snapshot to the target, and per source snapshot:
+  *   1. DELETE batch (PKs only) → CoW delete on the MV by key semi-join
+  *      (runners.py:238-251),
+  *   2. ADD batch → view transform pipeline → append (runners.py:253-256),
+  *   3. ONE MV commit per source snapshot, stopping early on failure so
+  *      the MV always sits at a consistent source version
+  *      (runners.py:204-215).
+  *
+  * Known caveat carried over from the reference (views.py:166-169): a
+  * filter transform is NOT applied to the DELETE stream (PKs only) — a
+  * delete of a row the filter would have dropped becomes a no-op delete
+  * on the MV, which is correctness-neutral.
+  */
+final class MaterializedView(val spark: SparkSession, val dataset: SpaceDataset) {
+
+  val plan: ViewPlan = ViewPlan.fromJson(
+    dataset.storage.metadata.logicalPlan.getOrElse(
+      throw new IllegalArgumentException(s"${dataset.location} is not a materialized view")))
+
+  def view: View = new View(plan)
+
+  /** Source snapshot id the MV is currently refreshed to. */
+  def refreshedTo: Option[Long] = dataset.storage.metadata.mvSourceSnapshotId
+
+  /** Incrementally refresh to the source's `targetVersion` (default:
+    * current head). Returns the number of MV commits made. */
+  def refresh(targetVersion: Option[String] = None): Int = {
+    val source = SpaceDataset.load(spark, plan.sourceLocation)
+    val target = targetVersion.map(source.storage.versionToSnapshotId)
+      .getOrElse(source.storage.metadata.currentSnapshotId)
+    val start = refreshedTo.getOrElse(0L)
+    val sids = source.storage.orderedSnapshotIds(start, target)
+
+    var commits = 0
+    for (sid <- sids) {
+      // snapshot ids are monotonic but not necessarily contiguous
+      // (branch commits also consume ids): diff from the actual parent
+      val parent = source.storage.snapshotOrFail(sid).parentSnapshotId.getOrElse(0L)
+      val batches = ChangeData.diff(spark, source.storage, parent, sid)
+      dataset.storage.transaction() { pinned =>
+        val patches = batches.flatMap { b =>
+          b.changeType match {
+            case ChangeType.Delete =>
+              // delete by PK on the MV (PKs survive the transform pipeline)
+              DmlOps.deleteByKeys(spark, dataset.storage, pinned, b.data)
+            case ChangeType.Add =>
+              val transformed = plan.processSource(spark, b.data)
+              Some(RecordIO.writeWithRecords(spark, dataset.storage, transformed))
+          }
+        }
+        val merged = Patch.merge(patches)
+          .getOrElse(Patch()) // empty source snapshot still advances the MV
+          .copy(sourceSnapshotId = Some(sid))
+        (Some(merged), ())
+      }
+      commits += 1
+    }
+    commits
+  }
+}
+
+object MaterializedView {
+
+  /** Create the MV table (schema inferred from the view's output over the
+    * current source — storage.py:149-196 analog). */
+  def create(
+      spark: SparkSession,
+      location: String,
+      view: View,
+      primaryKeys: Seq[String],
+      recordFields: Seq[String] = Nil): MaterializedView = {
+    val schema = view.plan.toDF(spark).schema
+    val storage = Storage.create(location, schema, primaryKeys, recordFields,
+      tableType = TableType.MaterializedView,
+      logicalPlan = Some(view.plan.json),
+      conf = spark.sparkContext.hadoopConfiguration)
+    new MaterializedView(spark, new SpaceDataset(spark, storage))
+  }
+
+  def load(spark: SparkSession, location: String): MaterializedView =
+    new MaterializedView(spark, SpaceDataset.load(spark, location))
+}

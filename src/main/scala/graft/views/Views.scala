@@ -1,0 +1,171 @@
+package graft.views
+
+import scala.collection.concurrent.TrieMap
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+
+import graft.core.SpaceDataset
+
+/** Lazy transform DAG over datasets (reference `View`
+  * `/root/reference/python/src/space/core/views.py:42-244`): map / filter
+  * / one-key join nodes compiling to DataFrame lineage.
+  *
+  * Plan persistence: the reference cloudpickles Python UDFs
+  * (transform/plans.py:55-66); Scala closures cannot be persisted, so a
+  * transform is either (a) one of the built-in expression transforms
+  * (`select_exprs`, `filter_expr` — arbitrary Spark SQL expressions,
+  * fully serializable) or (b) a named class registered in
+  * [[TransformRegistry]] / loadable by FQCN. This is the documented
+  * semantic deviation of SURVEY.md §7.3 "UDF persistence".
+  *
+  * The plan serializes to a compact JSON tree (read/map/filter/join
+  * nodes) instead of Substrait — plan round-trip fidelity is what the
+  * reference's tests pin down, not the wire format (SURVEY.md §2.6).
+  */
+sealed trait ViewPlan {
+  /** Compile to a DataFrame reading CURRENT source state. */
+  def toDF(spark: SparkSession): DataFrame = this match {
+    case ReadTable(location) => SpaceDataset.load(spark, location).readAll()
+    case MapNode(name, params, input) =>
+      TransformRegistry.resolve(name).apply(input.toDF(spark), params)
+    case FilterNode(name, params, input) =>
+      TransformRegistry.resolve(name).apply(input.toDF(spark), params)
+    case JoinNode(left, right, key) =>
+      left.toDF(spark).join(right.toDF(spark), Seq(key), "inner")
+  }
+
+  /** Apply only the TRANSFORM pipeline of this view to a change batch
+    * coming from the (single) source table — `process_source`
+    * (udfs.py:102-104). Join views cannot process changes
+    * (transform/join.py:108-109: reference raises the same). */
+  def processSource(spark: SparkSession, batch: DataFrame): DataFrame = this match {
+    case ReadTable(_) => batch
+    case MapNode(name, params, input) =>
+      TransformRegistry.resolve(name).apply(input.processSource(spark, batch), params)
+    case FilterNode(name, params, input) =>
+      TransformRegistry.resolve(name).apply(input.processSource(spark, batch), params)
+    case JoinNode(_, _, _) =>
+      throw new UnsupportedOperationException("join views do not support incremental refresh")
+  }
+
+  /** The single source table location (for refresh); fails on joins. */
+  def sourceLocation: String = this match {
+    case ReadTable(l) => l
+    case MapNode(_, _, i) => i.sourceLocation
+    case FilterNode(_, _, i) => i.sourceLocation
+    case JoinNode(_, _, _) =>
+      throw new UnsupportedOperationException("join views have no single source")
+  }
+
+  def json: String = JsonMethods.compact(JsonMethods.render(ViewPlan.toJValue(this)))
+}
+
+final case class ReadTable(location: String) extends ViewPlan
+final case class MapNode(transform: String, params: Map[String, String], input: ViewPlan) extends ViewPlan
+final case class FilterNode(transform: String, params: Map[String, String], input: ViewPlan) extends ViewPlan
+final case class JoinNode(left: ViewPlan, right: ViewPlan, key: String) extends ViewPlan
+
+object ViewPlan {
+
+  def toJValue(p: ViewPlan): JValue = p match {
+    case ReadTable(l) => JObject("type" -> JString("read"), "location" -> JString(l))
+    case MapNode(n, ps, i) => JObject("type" -> JString("map"), "name" -> JString(n),
+      "params" -> JObject(ps.toList.map { case (k, v) => k -> (JString(v): JValue) }),
+      "input" -> toJValue(i))
+    case FilterNode(n, ps, i) => JObject("type" -> JString("filter"), "name" -> JString(n),
+      "params" -> JObject(ps.toList.map { case (k, v) => k -> (JString(v): JValue) }),
+      "input" -> toJValue(i))
+    case JoinNode(l, r, k) => JObject("type" -> JString("join"),
+      "left" -> toJValue(l), "right" -> toJValue(r), "key" -> JString(k))
+  }
+
+  /** `load_view` analog (udfs.py:249-266): unknown node type → error. */
+  def fromJson(s: String): ViewPlan = fromJValue(JsonMethods.parse(s))
+
+  private def fromJValue(j: JValue): ViewPlan = {
+    def str(f: String): String = (j \ f) match {
+      case JString(v) => v
+      case other => throw new IllegalArgumentException(s"bad plan field $f: $other")
+    }
+    def params: Map[String, String] = (j \ "params") match {
+      case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
+      case _ => Map.empty
+    }
+    str("type") match {
+      case "read" => ReadTable(str("location"))
+      case "map" => MapNode(str("name"), params, fromJValue(j \ "input"))
+      case "filter" => FilterNode(str("name"), params, fromJValue(j \ "input"))
+      case "join" => JoinNode(fromJValue(j \ "left"), fromJValue(j \ "right"), str("key"))
+      case other => throw new IllegalArgumentException(s"unknown plan node: $other")
+    }
+  }
+}
+
+/** A named, persistable DataFrame transform. Implementations must be
+  * stateless; params carry all configuration. */
+trait Transform extends Serializable {
+  def apply(df: DataFrame, params: Map[String, String]): DataFrame
+}
+
+/** Registry of persistable transforms (the Scala answer to the
+  * reference's pickled-UDF registry, metadata.proto:195-202). Names with
+  * dots resolve as FQCNs of [[Transform]] classes. */
+object TransformRegistry {
+  private val registry = TrieMap.empty[String, Transform]
+
+  register("select_exprs", (df, params) =>
+    df.selectExpr(params("exprs").split(";;").toIndexedSeq: _*))
+  register("filter_expr", (df, params) => df.filter(expr(params("expr"))))
+
+  def register(name: String, t: (DataFrame, Map[String, String]) => DataFrame): Unit =
+    registry.put(name, new Transform {
+      def apply(df: DataFrame, params: Map[String, String]): DataFrame = t(df, params)
+    })
+
+  def resolve(name: String): Transform =
+    registry.get(name).orElse(loadClass(name)).getOrElse(
+      throw new IllegalArgumentException(s"transform $name not registered"))
+
+  private def loadClass(name: String): Option[Transform] =
+    if (!name.contains(".")) None
+    else scala.util.Try(
+      Class.forName(name).getDeclaredConstructor().newInstance().asInstanceOf[Transform]
+    ).toOption
+}
+
+/** Builder-style user API over plans (views.py:126-224). */
+final class View(val plan: ViewPlan) {
+  def mapTransform(name: String, params: Map[String, String]): View =
+    new View(MapNode(name, params, plan))
+  def selectExprs(exprs: String*): View =
+    mapTransform("select_exprs", Map("exprs" -> exprs.mkString(";;")))
+  def filterTransform(name: String, params: Map[String, String]): View =
+    new View(FilterNode(name, params, plan))
+  def filterExpr(e: String): View =
+    filterTransform("filter_expr", Map("expr" -> e))
+  def join(other: View, key: String): View =
+    new View(JoinNode(plan, other.plan, key))
+
+  def toDF(spark: SparkSession): DataFrame = plan.toDF(spark)
+
+  /** Create the MV table at `location` and run the initial full
+    * computation (views.py:113-123 + first refresh). */
+  def materialize(
+      spark: SparkSession,
+      location: String,
+      primaryKeys: Seq[String],
+      recordFields: Seq[String] = Nil): MaterializedView = {
+    val mv = MaterializedView.create(spark, location, this, primaryKeys, recordFields)
+    mv.refresh()
+    mv
+  }
+}
+
+object View {
+  def ofTable(location: String): View = new View(ReadTable(location))
+  def ofDataset(ds: SpaceDataset): View = ofTable(ds.location)
+}
