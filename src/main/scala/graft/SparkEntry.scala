@@ -16,10 +16,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.queries ++ operators.StorageOps.queries
+    operators.Relational.queries ++ operators.StorageOps.queries ++
+      operators.Pipeline.queries ++ operators.Multimodal.queries ++
+      streaming.EventsStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.Relational.oracleSql ++ operators.StorageOps.oracleSql
+    operators.Relational.oracleSql ++ operators.StorageOps.oracleSql ++
+      operators.Pipeline.oracleSql ++ operators.Multimodal.oracleSql ++
+      streaming.EventsStream.oracleSql
 }

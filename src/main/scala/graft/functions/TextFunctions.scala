@@ -1,0 +1,147 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines, all
+  * as pure `Column` expressions (higher-order functions, codegen'd — no
+  * UDF in the hot path). Designed to run inside a single projection over
+  * a 100 TB documents table: no shuffle, no explode unless a query
+  * explicitly asks for token-level output.
+  *
+  * Note on ANSI mode (Spark 4 default ON): rolling-hash accumulators use
+  * `xxhash64` chaining rather than multiply-accumulate so no integral
+  * overflow can throw.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens with empties removed (split of a trailing-space
+    * string yields a tail ""). */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= lit(""))
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  def distinctTokenRatio(c: Column): Column = {
+    val n = tokenCount(c)
+    when(n === 0, lit(0.0))
+      .otherwise(size(array_distinct(tokens(c))).cast("double") / n)
+  }
+
+  /** English stopwords (small, embedded list — heuristic quality cue). */
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "at", "by", "be", "this", "are", "was",
+    "from", "but", "not", "they", "his", "her", "she", "he", "you", "we")
+
+  def stopwordRatio(c: Column): Column = {
+    val n = tokenCount(c)
+    val stops = filter(tokens(lower(c)), t => array_contains(lit(Stopwords.toArray), t))
+    when(n === 0, lit(0.0)).otherwise(size(stops).cast("double") / n)
+  }
+
+  def punctRatio(c: Column): Column = {
+    val len = length(c)
+    when(len === 0, lit(0.0)).otherwise(
+      (len - length(regexp_replace(c, "[\\p{Punct}]", ""))).cast("double") / len)
+  }
+
+  def digitRatio(c: Column): Column = {
+    val len = length(c)
+    when(len === 0, lit(0.0)).otherwise(
+      (len - length(regexp_replace(c, "[0-9]", ""))).cast("double") / len)
+  }
+
+  /** Mean token length. */
+  def avgTokenLen(c: Column): Column = {
+    val n = tokenCount(c)
+    val total = aggregate(transform(tokens(c), t => length(t)), lit(0),
+      (acc, x) => acc + x)
+    when(n === 0, lit(0.0)).otherwise(total.cast("double") / n)
+  }
+
+  /** Composite quality score in [0,1] — the standard cheap heuristics
+    * (length saturation, lexical diversity, low punctuation/digit noise,
+    * sane token lengths) combined multiplicatively. */
+  def qualityScore(c: Column): Column = {
+    val lengthScore = least(lit(1.0), tokenCount(c).cast("double") / 50.0)
+    val diversity = distinctTokenRatio(c)
+    val noise = greatest(lit(0.0), lit(1.0) - punctRatio(c) * 5 - digitRatio(c) * 5)
+    val wordShape = when(avgTokenLen(c).between(2.0, 12.0), lit(1.0)).otherwise(lit(0.5))
+    round(lengthScore * (lit(0.5) + diversity * 0.5) * noise * wordShape, 4)
+  }
+
+  /** BPE-ish sub-token count: whitespace tokens plus extra units for long
+    * words (a cheap stand-in for a real tokenizer's token count: every
+    * started run of 4 chars beyond the first 4 costs one more token). */
+  def approxBpeTokenCount(c: Column): Column =
+    aggregate(transform(tokens(c), t => greatest(lit(1),
+      ceil(length(t).cast("double") / 4.0).cast("int"))), lit(0), (acc, x) => acc + x)
+
+  /** Order-sensitive rolling document fingerprint: xxhash64-chained over
+    * tokens (overflow-free under ANSI mode). */
+  def fingerprint(c: Column): Column =
+    aggregate(tokens(c), lit(0L), (acc, x) => xxhash64(acc, x))
+
+  /** Word n-gram shingles: ["a b c","b c d",...]; documents shorter than
+    * `n` tokens yield their full token join as the single shingle. */
+  def wordShingles(c: Column, n: Int): Column = {
+    val ts = tokens(c)
+    val k = size(ts)
+    when(k <= n, array(concat_ws(" ", ts)))
+      .otherwise(transform(sequence(lit(1), k - (n - 1)),
+        i => concat_ws(" ", slice(ts, i, lit(n)))))
+  }
+
+  /** MinHash signature: `numHashes` independent 32-bit murmur3 seeds, min
+    * over the shingle set per seed. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(1), lit(numHashes)),
+      s => array_min(transform(shingles, sh => hash(sh, s))))
+
+  /** Jaccard similarity of the DISTINCT-element sets of two arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    val uni = size(array_union(a, b))
+    when(uni === 0, lit(0.0)).otherwise(inter.cast("double") / uni)
+  }
+
+  /** 64-bit SimHash over the token multiset. Per-row imperative loop over
+    * 64 bit-counters — a UDF is the right tool here (single pass, no
+    * shuffle); the per-token hash is xxhash64 for speed. */
+  def simhash64(tokensCol: Column): Column = SimHash.udfImpl(tokensCol)
+
+  def hammingDistance64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}
+
+object SimHash {
+  import org.apache.spark.sql.functions.udf
+  import net.jpountz.xxhash.XXHashFactory
+
+  private lazy val factory = XXHashFactory.fastestInstance()
+
+  def hash64(s: String): Long = {
+    val bytes = s.getBytes("UTF-8")
+    factory.hash64().hash(bytes, 0, bytes.length, 0L)
+  }
+
+  val udfImpl = udf { ts: Seq[String] =>
+    val counters = new Array[Int](64)
+    ts.foreach { t =>
+      val h = hash64(t)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) counters(i) += 1 else counters(i) -= 1
+        i += 1
+      }
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) {
+      if (counters(i) > 0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+}

@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector primitives over `array<float|double>` embedding columns as pure
+  * Column expressions (`zip_with`/`aggregate` are codegen'd; no UDF), so
+  * similarity search composes with pushdown/pruning like any projection. */
+object VectorFunctions {
+
+  /** Σ aᵢ·bᵢ in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in double precision; 0 for zero vectors. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /** Sign-bit sketch against `planes` (array of array<double>): bit i set
+    * iff dot(v, planes[i]) >= 0. Random-hyperplane LSH: P(bits equal) =
+    * 1 - θ/π, so near-duplicate vectors collide with high probability. */
+  def hyperplaneSketch(v: Column, planes: Seq[Seq[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      when(dot(v, lit(p.toArray)) >= 0.0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Deterministic pseudo-random unit-free hyperplanes (seeded LCG —
+    * stable across runs/JVMs so sketches are reproducible). */
+  def randomPlanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    var state = seed
+    def next(): Double = {
+      // LCG (Numerical Recipes constants), mapped to [-1, 1)
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (state >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    Seq.fill(numPlanes)(Seq.fill(dim)(next()))
+  }
+}

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+
+/** Deduplication family for training-data pipelines. Every variant is a
+  * candidate-generation + verify pipeline built so the candidate join is
+  * the ONLY shuffle and its key cardinality stays bounded at 100 TB:
+  *
+  *  - exact:      hash-groupBy on the content column (1 shuffle)
+  *  - MinHash:    shingle → signature → banded bucket join → exact
+  *                Jaccard verify on candidates only
+  *  - SimHash:    64-bit sketch → 4×16-bit chunk pigeonhole join →
+  *                Hamming verify (catches Hamming ≤ 3 with certainty ≥
+  *                one chunk equal)
+  *  - n-gram Jaccard: exact pairwise, for use under a blocking key
+  *  - embedding:  random-hyperplane sketch bucket join → cosine verify
+  */
+object Dedup {
+
+  /** Exact dedup: keep the minimum-id row per distinct content value.
+    * Map-side partial agg keeps the shuffle small even when most rows
+    * are unique. */
+  def exactKeepMinId(df: DataFrame, contentCol: String, idCol: String): DataFrame =
+    df.groupBy(col(contentCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup returning the surviving full rows. */
+  def exactSurvivors(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(contentCol)).orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** MinHash + LSH near-duplicate PAIRS.
+    *
+    * numHashes signatures split into `bands`; docs sharing any band's
+    * sub-signature become candidates (standard S-curve: with b bands of
+    * r rows, P(candidate) = 1-(1-s^r)^b). Candidates are verified with
+    * exact Jaccard over distinct word shingles; pairs ≥ threshold
+    * survive. */
+  def minhashPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingleSize: Int = 3,
+      threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+
+    val withSig = df.select(
+      col(idCol).as("id"),
+      TF.wordShingles(col(textCol), shingleSize).as("shingles"))
+      .withColumn("sig", TF.minhashSignature(col("shingles"), numHashes))
+
+    // band index + that band's sub-signature as the bucket key
+    val banded = withSig.select(col("id"), col("shingles"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => slice(col("sig"), b * rows + 1, lit(rows)))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_sig")
+
+    val l = banded.select(col("band"), col("band_sig"),
+      col("id").as("id_a"), col("shingles").as("sh_a"))
+    val r = banded.select(col("band"), col("band_sig"),
+      col("id").as("id_b"), col("shingles").as("sh_b"))
+
+    val candidates = l.join(r, Seq("band", "band_sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b") // collapses multi-band hits
+
+    candidates
+      .withColumn("__j", TF.jaccard(
+        array_distinct(col("sh_a")), array_distinct(col("sh_b"))))
+      .filter(col("__j") >= threshold) // threshold on the RAW value
+      .select(col("id_a"), col("id_b"), round(col("__j"), 4).as("jaccard"))
+  }
+
+  /** SimHash near-duplicate pairs with Hamming distance ≤ maxHamming.
+    * Pigeonhole banding: split the 64-bit sketch into 4 16-bit chunks;
+    * any pair within Hamming ≤ 3 shares at least one exact chunk. */
+  def simhashPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sketched = df.select(col(idCol).as("id"),
+      TF.simhash64(TF.tokens(col(textCol))).as("sim"))
+
+    val chunked = sketched.select(col("id"), col("sim"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "chunk_val")
+
+    val l = chunked.select(col("chunk"), col("chunk_val"),
+      col("id").as("id_a"), col("sim").as("sim_a"))
+    val r = chunked.select(col("chunk"), col("chunk_val"),
+      col("id").as("id_b"), col("sim").as("sim_b"))
+
+    l.join(r, Seq("chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", TF.hammingDistance64(col("sim_a"), col("sim_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Exact n-gram Jaccard pairs within a blocking key (all-pairs inside
+    * each block only — at scale the block is a cheap partition key like
+    * source/length-bucket; full cross-join is never materialized). */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      blockCol: String,
+      n: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    val grams = df.select(col(blockCol).as("block"), col(idCol).as("id"),
+      array_distinct(TF.wordShingles(col(textCol), n)).as("grams"))
+    val l = grams.select(col("block"), col("id").as("id_a"), col("grams").as("g_a"))
+    val r = grams.select(col("block"), col("id").as("id_b"), col("grams").as("g_b"))
+    l.join(r, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("__j", TF.jaccard(col("g_a"), col("g_b")))
+      .filter(col("__j") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__j"), 4).as("jaccard"))
+  }
+
+  /** Embedding near-duplicate pairs: hyperplane-sketch bands as the
+    * bucket join, exact cosine verify on candidates. With `bands` bands
+    * of `bitsPerBand` planes, a pair at angle θ collides in one band
+    * w.p. (1-θ/π)^bits; for near-dup thresholds (≥0.95 cosine) recall is
+    * effectively 1 while random pairs almost never collide. */
+  def embeddingCosinePairs(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      dim: Int,
+      threshold: Double = 0.99,
+      bands: Int = 4,
+      bitsPerBand: Int = 8): DataFrame = {
+    val planes = VF.randomPlanes(bands * bitsPerBand, dim)
+    val sketched = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("sketch", VF.hyperplaneSketch(col("v"), planes))
+    val banded = sketched.select(col("id"), col("v"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sketch"), b * bitsPerBand)
+          .bitwiseAND(lit((1L << bitsPerBand) - 1))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_val")
+
+    val l = banded.select(col("band"), col("band_val"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = banded.select(col("band"), col("band_val"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("band", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("__c", VF.cosine(col("v_a"), col("v_b")))
+      .filter(col("__c") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__c"), 4).as("cosine"))
+  }
+}

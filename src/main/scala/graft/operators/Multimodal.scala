@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Multimodal-column plumbing: image/audio/video payloads ride as opaque
+  * `binary` columns (record fields in graft tables) with typed metadata
+  * extracted by batch decode stages.
+  *
+  * The decode itself is STUBBED deterministically (this container has no
+  * image/audio codecs): `fakeDecode` derives metadata purely from the
+  * payload bytes, so the Spark-side plumbing — physical batching via
+  * `mapPartitions` with a declared output schema (the JVM analog of
+  * `mapInPandas`: Iterator-of-batches in, Iterator-of-batches out),
+  * partition preservation, binary-column handling — is real and
+  * oracle-checkable, and a real codec drops into [[decodeBatch]] without
+  * touching the pipeline. */
+object Multimodal {
+
+  val MediaMetaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)))
+
+  /** STUB decode: metadata from payload length (deterministic, reproducible
+    * by the oracle from the source text length). A real implementation
+    * would parse the codec header here — signature unchanged. */
+  private def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[Row] =
+    batch.map { case (id, payload) =>
+      val n = payload.length
+      Row(id, n, 64 + n % 512, 64 + (n * 7) % 512)
+    }
+
+  /** Batched decode over (id, payload) rows: batches of `batchSize` per
+    * partition, preserving partitioning (no shuffle). */
+  def decodeMeta(df: DataFrame, idCol: String, payloadCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val pair = df.select(col(idCol).cast(LongType), col(payloadCol))
+    pair.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { rows =>
+        decodeBatch(rows.map(r => (r.getLong(0), r.getAs[Array[Byte]](1))))
+      }
+    }(Encoders.row(MediaMetaSchema))
+  }
+
+  /** Video-style frame sampling: payload is treated as `1 + n_bytes/1000`
+    * frames; emit every `step`-th frame index. Explode stays proportional
+    * to SAMPLED frames only. */
+  def sampleFrames(df: DataFrame, idCol: String, payloadCol: String,
+      step: Int = 5): DataFrame =
+    df.select(col(idCol), octet_length(col(payloadCol)).as("n_bytes"))
+      .withColumn("n_frames", (col("n_bytes") / 1000).cast(IntegerType) + 1)
+      .select(col(idCol), explode(
+        sequence(lit(0), col("n_frames") - 1, lit(step))).as("frame_idx"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // binary payload → batched stub decode → typed metadata
+    "m_media_meta" -> ((s, d) => {
+      val media = Tables.read(s, d, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      decodeMeta(media, "doc_id", "payload")
+    }),
+    // frame sampling over fake video payloads
+    "m_frame_sample" -> ((s, d) => {
+      val media = Tables.read(s, d, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      sampleFrames(media, "doc_id", "payload", step = 5)
+    }))
+
+  // The stub arithmetic is reproducible from length(text) (ASCII corpus:
+  // chars == bytes — asserted in MultimodalSpec).
+  val oracleSql: Map[String, String] = Map(
+    "m_media_meta" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INT) AS n_bytes,
+        |  CAST(64 + length(text) % 512 AS INT) AS width,
+        |  CAST(64 + (length(text) * 7) % 512 AS INT) AS height
+        |FROM documents""".stripMargin,
+    "m_frame_sample" ->
+      """SELECT doc_id,
+        |  CAST(unnest(range(0, CAST(length(text) // 1000 AS INT) + 1, 5)) AS INT)
+        |    AS frame_idx
+        |FROM documents""".stripMargin)
+}

@@ -1,0 +1,228 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{LangId, TextFunctions => TF}
+
+/** Training-data-pipeline operators over the documents/embeddings
+  * tables: dedup family, similarity search, text analysis. Where DuckDB
+  * can recompute the semantics exactly (list/lambda SQL), the query gets
+  * an oracle; probabilistic candidate generation (LSH banding) is
+  * deterministic given the fixed seeds, and the exact-verify step makes
+  * the LSH queries oracle-comparable too (the oracle computes the exact
+  * pair set; the LSH pipeline finds it with recall ~1 at these
+  * thresholds — validated across scale factors).
+  */
+object Pipeline {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.read(s, d, n)
+
+  /** documents ∪ perturbed copies of doc_id < 100 (near-dups with a
+    * 3-token tail) ∪ exact copies — the planted-duplicate corpus used by
+    * the dedup queries, reproducible in SQL. */
+  private def dedupCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    docs
+      .unionByName(docs.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" graft dedup tail")).as("text")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup: min-id survivor per distinct text over a corpus with
+    // planted exact copies
+    "d_dedup_exact" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(
+        docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.exactKeepMinId(corpus, "text", "doc_id")
+        .select(col("doc_id"), col("n_copies"))
+    }),
+
+    // MinHash+LSH near-dup pairs, exact-Jaccard verified. 16 bands × 2
+    // rows puts the S-curve knee near 0.25: recall at the 0.6 threshold
+    // is ≥ 0.999 while word-shingle collisions of unrelated docs are
+    // rare enough that verify stays cheap.
+    "d_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashPairs(dedupCorpus(s, d), "text", "doc_id",
+        numHashes = 32, bands = 16, shingleSize = 3, threshold = 0.6)),
+
+    // SimHash near-dup pairs (Hamming ≤ 3 over 64-bit sketches);
+    // sketch values are engine-specific → rows-only check
+    "d_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(dedupCorpus(s, d), "text", "doc_id", maxHamming = 3)),
+
+    // exact n-gram Jaccard pairs under a blocking key
+    "d_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
+        blockCol = "source", n = 2, threshold = 0.55)),
+
+    // embedding near-dup: hyperplane-LSH candidates + exact cosine verify
+    // over a corpus with planted exact copies
+    "d_dedup_embedding" -> ((s, d) => {
+      val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val corpus = e.unionByName(
+        e.filter(col("vec_id") < 100)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      Dedup.embeddingCosinePairs(corpus, "embedding", "vec_id",
+        dim = 64, threshold = 0.999)
+    }),
+
+    // exact brute-force ANN top-10 for 5 query vectors (the baseline the
+    // IVF path is measured against)
+    "v_ann_brute" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5),
+        "embedding", "vec_id", k = 10)
+    }),
+
+    // IVF/multi-probe ANN (scale path; probabilistic → rows-only check,
+    // recall vs brute force asserted in PipelineSpec). These embeddings
+    // are uniform-random (no cluster structure), the hardest case for
+    // LSH cells: 4 sketch bits + Hamming-2 multiprobe trades scan
+    // fraction (~11/16 of cells) for recall; clustered real embeddings
+    // support more bits at the same recall.
+    "v_ann_ivf" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.ivfTopK(s, e, e.filter(col("vec_id") < 5),
+        "embedding", "vec_id", dim = 64, k = 10,
+        sketchBits = 4, probeHamming = 2)
+    }),
+
+    // text statistics: portable token/diversity/BPE-ish counts
+    "d_text_stats" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TF.tokenCount(col("text")).as("n_tokens"),
+        size(array_distinct(TF.tokens(col("text")))).as("n_distinct"),
+        round(TF.distinctTokenRatio(col("text")), 4).as("distinct_ratio"),
+        TF.approxBpeTokenCount(col("text")).as("bpe_tokens"),
+        round(TF.avgTokenLen(col("text")), 4).as("avg_token_len"))),
+
+    // composite quality score (formula replicated in the oracle)
+    "d_quality" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"), TF.qualityScore(col("text")).as("quality"))),
+
+    // heuristic language id (profile argmax; engine-specific → rows-only)
+    "d_lang_id" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"), col("lang"), LangId.langId(col("text")).as("lang_pred"))),
+
+    // rolling-hash document fingerprint (engine-specific → rows-only)
+    "d_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"), TF.fingerprint(col("text")).as("fp"))))
+
+  // DuckDB lambda/list SQL mirroring the Spark semantics exactly.
+  private val tokensSql = "list_filter(string_split_regex(text, '\\s+'), x -> x != '')"
+
+  private def shinglesSql(n: Int): String = {
+    val sliceEnd = s"i + ${n - 1}"
+    s"""CASE WHEN len(ts) <= $n THEN [array_to_string(ts, ' ')]
+       |     ELSE list_transform(range(1, len(ts) - ${n - 2}),
+       |            i -> array_to_string(ts[i:$sliceEnd], ' ')) END""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "d_dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
+        |SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM corpus GROUP BY text""".stripMargin,
+    "d_dedup_minhash" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' graft dedup tail'
+         |  FROM documents WHERE doc_id < 100),
+         |toks AS (SELECT doc_id, $tokensSql AS ts FROM corpus),
+         |sh AS (SELECT doc_id, ${shinglesSql(3)} AS g FROM toks),
+         |d AS (SELECT doc_id, list_distinct(g) AS g FROM sh),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(a.g, b.g))) AS j
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, round(j, 4) AS jaccard
+         |FROM pairs WHERE j >= 0.6""".stripMargin,
+    "d_ngram_jaccard" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, $tokensSql AS ts FROM documents),
+         |sh AS (SELECT doc_id, source, ${shinglesSql(2)} AS g FROM toks),
+         |d AS (SELECT doc_id, source, list_distinct(g) AS g FROM sh),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(a.g, b.g))) AS j
+         |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, round(j, 4) AS jaccard
+         |FROM pairs WHERE j >= 0.55""".stripMargin,
+    "d_dedup_embedding" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 100),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[])) AS c
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(c, 4) AS cosine
+        |FROM pairs WHERE c >= 0.999""".stripMargin,
+    "v_ann_brute" ->
+      """SELECT q_id, vec_id, round(s, 4) AS score, rank FROM (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                           CAST(q.embedding AS DOUBLE[])) AS s,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                 CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id ASC) AS rank
+        |  FROM embeddings e
+        |  JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+        |    ON e.vec_id != q.vec_id
+        |) WHERE rank <= 10""".stripMargin,
+    "d_text_stats" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ts FROM documents)
+         |SELECT doc_id,
+         |  len(ts) AS n_tokens,
+         |  len(list_distinct(ts)) AS n_distinct,
+         |  round(CASE WHEN len(ts) = 0 THEN 0.0
+         |    ELSE CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) END, 4)
+         |    AS distinct_ratio,
+         |  CAST(coalesce(list_sum(list_transform(ts,
+         |    t -> greatest(1, CAST(ceil(length(t) / 4.0) AS INT)))), 0) AS INT)
+         |    AS bpe_tokens,
+         |  round(CASE WHEN len(ts) = 0 THEN 0.0
+         |    ELSE CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE)
+         |      / len(ts) END, 4) AS avg_token_len
+         |FROM toks""".stripMargin,
+    "d_quality" ->
+      s"""WITH toks AS (SELECT doc_id, text, $tokensSql AS ts FROM documents),
+         |m AS (SELECT doc_id, text,
+         |  len(ts) AS n,
+         |  CASE WHEN len(ts) = 0 THEN 0.0
+         |    ELSE CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) END AS diversity,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |    ELSE CAST(length(text) -
+         |      length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+         |      / length(text) END AS punct,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |    ELSE CAST(length(text) -
+         |      length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+         |      / length(text) END AS digit,
+         |  CASE WHEN len(ts) = 0 THEN 0.0
+         |    ELSE CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE)
+         |      / len(ts) END AS avg_len
+         |  FROM toks)
+         |SELECT doc_id,
+         |  round(least(1.0, n / 50.0)
+         |    * (0.5 + diversity * 0.5)
+         |    * greatest(0.0, 1.0 - punct * 5 - digit * 5)
+         |    * (CASE WHEN avg_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END),
+         |    4) AS quality
+         |FROM m""".stripMargin)
+}

@@ -136,9 +136,11 @@ object StorageOps {
       val o = t(s, d, "orders")
       val src = SpaceDataset.create(s, fresh("mvsrc"), o.schema, Seq("o_orderkey"))
       src.append(o.filter(col("o_orderkey") <= 1000L))
+      // fee = price*2 is EXACT in binary fp (×0.1 + round(…,2) lands on
+      // decimal-rounding boundaries where engines legitimately disagree)
       val v = View.ofDataset(src)
         .filterExpr("o_totalprice > 100000")
-        .selectExprs("o_orderkey", "o_custkey", "round(o_totalprice * 0.1, 2) AS fee")
+        .selectExprs("o_orderkey", "o_custkey", "o_totalprice * 2 AS fee")
       val mv = v.materialize(s, fresh("mv"), Seq("o_orderkey"))
       src.delete(col("o_orderkey") <= 200L)
       src.append(o.filter(col("o_orderkey") > 1000L && col("o_orderkey") <= 1200L))
@@ -185,7 +187,7 @@ object StorageOps {
         |  WHERE o_orderkey > 600 AND o_orderkey <= 700""".stripMargin,
     "s_record_roundtrip" -> "SELECT * FROM documents",
     "s_mv_refresh" ->
-      """SELECT o_orderkey, o_custkey, round(o_totalprice * 0.1, 2) AS fee
+      """SELECT o_orderkey, o_custkey, o_totalprice * 2 AS fee
         |FROM orders
         |WHERE o_orderkey > 200 AND o_orderkey <= 1200
         |  AND o_totalprice > 100000""".stripMargin)

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.operators.{Dedup, Similarity}
+
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def docs = Tables.read(spark, sfDir, "documents")
+  private def embeddings = Tables.read(spark, sfDir, "embeddings")
+
+  test("exact dedup keeps one survivor per duplicated text") {
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.select((col("doc_id") + 1000L).as("doc_id"), col("text")))
+    val survivors = Dedup.exactSurvivors(corpus, "text", "doc_id")
+    assert(survivors.count() == docs.count())
+    // every survivor is the min id (original)
+    assert(survivors.filter(col("doc_id") >= 1000L).count() == 0)
+  }
+
+  test("minhash LSH finds all planted near-dups with no false positives below threshold") {
+    val base = docs.select(col("doc_id"), col("text")).limit(200)
+    val planted = base.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 5000L).as("doc_id"),
+        concat(col("text"), lit(" tail tok")).as("text"))
+    val corpus = base.unionByName(planted)
+    val pairs = Dedup.minhashPairs(corpus, "text", "doc_id",
+      numHashes = 32, bands = 16, threshold = 0.6).collect()
+    val plantedFound = pairs.count(r => r.getLong(1) == r.getLong(0) + 5000L)
+    assert(plantedFound >= 48, s"found $plantedFound/50 planted pairs") // recall ≥ 96%
+    // verify step guarantees no pair below threshold survives
+    assert(pairs.forall(_.getDouble(2) >= 0.6))
+  }
+
+  test("simhash finds exact copies at hamming 0") {
+    val base = docs.select(col("doc_id"), col("text")).limit(100)
+    val copies = base.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 5000L).as("doc_id"), col("text"))
+    val pairs = Dedup.simhashPairs(base.unionByName(copies), "text", "doc_id")
+      .collect()
+    val exact = pairs.filter(r => r.getLong(1) == r.getLong(0) + 5000L)
+    assert(exact.length == 20)
+    assert(exact.forall(_.getInt(2) == 0)) // identical text → hamming 0
+  }
+
+  test("embedding LSH pairs: planted copies found at cosine ~1") {
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val copies = e.filter(col("vec_id") < 30)
+      .select((col("vec_id") + 50000L).as("vec_id"), col("embedding"))
+    val pairs = Dedup.embeddingCosinePairs(e.unionByName(copies),
+      "embedding", "vec_id", dim = 64, threshold = 0.999).collect()
+    val planted = pairs.filter(r => r.getLong(1) == r.getLong(0) + 50000L)
+    assert(planted.length == 30, s"${planted.length}/30 planted pairs")
+  }
+
+  test("IVF ANN reaches >= 70% recall of brute force at probeHamming=2") {
+    val queries = embeddings.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(embeddings, queries, "embedding", "vec_id", 10)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(spark, embeddings, queries, "embedding", "vec_id",
+      dim = 64, k = 10, sketchBits = 4, probeHamming = 2)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"IVF recall $recall")
+  }
+
+  test("text functions: token counts, quality in range, fingerprint order-sensitive") {
+    val stats = docs.select(
+      TF.tokenCount(col("text")).as("n"),
+      TF.qualityScore(col("text")).as("q"),
+      TF.fingerprint(col("text")).as("fp"))
+    val rows = stats.collect()
+    assert(rows.forall(r => r.getInt(0) > 0))
+    assert(rows.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+
+    import spark.implicits._
+    val fp = Seq("a b c", "c b a").toDF("text")
+      .select(TF.fingerprint(col("text"))).collect()
+    assert(fp(0).getLong(0) != fp(1).getLong(0), "fingerprint must be order-sensitive")
+
+    val sh = Seq("t1 t2 t3 t4 t5").toDF("text")
+      .select(TF.wordShingles(col("text"), 3)).collect()(0).getSeq[String](0)
+    assert(sh == Seq("t1 t2 t3", "t2 t3 t4", "t3 t4 t5"))
+  }
+
+  test("cosine matches hand computation") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)), (Seq(1.0f, 1.0f), Seq(1.0f, 1.0f)))
+      .toDF("a", "b")
+    val got = df.select(VF.cosine(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(math.abs(got(0)) < 1e-12)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+  }
+}
