@@ -93,11 +93,28 @@ object TextFunctions {
         i => concat_ws(" ", slice(ts, i, lit(n)))))
   }
 
-  /** MinHash signature: `numHashes` independent 32-bit murmur3 seeds, min
-    * over the shingle set per seed. */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
+  /** Distinct 64-bit hashes of the word shingles — the set the MinHash /
+    * Jaccard pipeline actually operates on. Hashing each shingle string
+    * ONCE up front makes every downstream op (per-seed min-hash mixing,
+    * set intersection, shuffle) long-typed: ~10× cheaper than re-hashing
+    * strings, exact w.h.p. (64-bit collisions ~1e-12 at corpus scale). */
+  def wordShingleHashes(c: Column, n: Int): Column =
+    array_distinct(transform(wordShingles(c, n), sh => xxhash64(sh)))
+
+  /** MinHash signature over pre-hashed shingles: `numHashes` independent
+    * murmur3 seed mixes, min per seed. */
+  def minhashSignature(shingleHashes: Column, numHashes: Int): Column =
     transform(sequence(lit(1), lit(numHashes)),
-      s => array_min(transform(shingles, sh => hash(sh, s))))
+      s => array_min(transform(shingleHashes, h => hash(h, s))))
+
+  /** Evaluate `input` ONCE and pass it as a bound lambda variable into
+    * `f`. Catalyst's project collapsing happily inlines a projected
+    * expression into every lambda that references it — nesting an O(n)
+    * pipeline inside an O(k) transform then costs O(n·k) PER ROW (the
+    * minhash signature went 98s → 3s at sf0.1 from this alone). The
+    * single-element `transform` forces one evaluation. */
+  def bound(input: Column)(f: Column => Column): Column =
+    element_at(transform(array(input), f), 1)
 
   /** Jaccard similarity of the DISTINCT-element sets of two arrays. */
   def jaccard(a: Column, b: Column): Column = {

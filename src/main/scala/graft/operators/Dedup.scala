@@ -52,31 +52,35 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
 
+    // TF.bound: without it the optimizer inlines the shingle pipeline
+    // into the 32-seed lambda → O(shingles × seeds) work per row
+    val shingleExpr = TF.wordShingleHashes(col(textCol), shingleSize)
     val withSig = df.select(
       col(idCol).as("id"),
-      TF.wordShingles(col(textCol), shingleSize).as("shingles"))
-      .withColumn("sig", TF.minhashSignature(col("shingles"), numHashes))
+      shingleExpr.as("shingles"),
+      TF.bound(shingleExpr)(sh => TF.minhashSignature(sh, numHashes)).as("sig"))
 
-    // band index + that band's sub-signature as the bucket key
-    val banded = withSig.select(col("id"), col("shingles"),
+    // LIGHT band rows: (id, band, 64-bit key of the band's sub-signature)
+    // — the self-join shuffles 16 bytes per row, never the shingle arrays
+    val bandKeys = withSig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => slice(col("sig"), b * rows + 1, lit(rows)))))
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
       .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_sig")
+      .withColumnRenamed("col", "band_key")
 
-    val l = banded.select(col("band"), col("band_sig"),
-      col("id").as("id_a"), col("shingles").as("sh_a"))
-    val r = banded.select(col("band"), col("band_sig"),
-      col("id").as("id_b"), col("shingles").as("sh_b"))
-
-    val candidates = l.join(r, Seq("band", "band_sig"))
+    val candidates = bandKeys.select(col("band"), col("band_key"), col("id").as("id_a"))
+      .join(bandKeys.select(col("band"), col("band_key"), col("id").as("id_b")),
+        Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
-      .dropDuplicates("id_a", "id_b") // collapses multi-band hits
+      .select(col("id_a"), col("id_b"))
+      .distinct() // collapses multi-band hits
 
+    // re-attach shingle sets only for the (few) candidates, then verify
+    val sets = withSig.select(col("id"), col("shingles"))
     candidates
-      .withColumn("__j", TF.jaccard(
-        array_distinct(col("sh_a")), array_distinct(col("sh_b"))))
+      .join(sets.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+      .withColumn("__j", TF.jaccard(col("sh_a"), col("sh_b"))) // already distinct
       .filter(col("__j") >= threshold) // threshold on the RAW value
       .select(col("id_a"), col("id_b"), round(col("__j"), 4).as("jaccard"))
   }
@@ -122,11 +126,26 @@ object Dedup {
       n: Int = 2,
       threshold: Double = 0.5): DataFrame = {
     val grams = df.select(col(blockCol).as("block"), col(idCol).as("id"),
-      array_distinct(TF.wordShingles(col(textCol), n)).as("grams"))
-    val l = grams.select(col("block"), col("id").as("id_a"), col("grams").as("g_a"))
-    val r = grams.select(col("block"), col("id").as("id_b"), col("grams").as("g_b"))
-    l.join(r, Seq("block"))
-      .filter(col("id_a") < col("id_b"))
+      TF.wordShingleHashes(col(textCol), n).as("grams"))
+      .withColumn("sz", size(col("grams")))
+
+    // LIGHT pair generation: ids + sizes only through the block self-join;
+    // size-ratio prefilter (J ≤ min|·|/max|·| can't reach the threshold
+    // for mismatched sizes) kills most pairs with integer math
+    val light = grams.select(col("block"), col("id"), col("sz"))
+    val pairs = light.select(col("block"), col("id").as("id_a"), col("sz").as("sz_a"))
+      .join(light.select(col("block"), col("id").as("id_b"), col("sz").as("sz_b")),
+        Seq("block"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("sz_a"), col("sz_b")).cast("double") >=
+          greatest(col("sz_a"), col("sz_b")) * threshold)
+      .select(col("id_a"), col("id_b"))
+
+    // attach gram sets only to surviving pairs, then exact verify
+    val sets = grams.select(col("id"), col("grams"))
+    pairs
+      .join(sets.select(col("id").as("id_a"), col("grams").as("g_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("grams").as("g_b")), Seq("id_b"))
       .withColumn("__j", TF.jaccard(col("g_a"), col("g_b")))
       .filter(col("__j") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("__j"), 4).as("jaccard"))
@@ -148,18 +167,25 @@ object Dedup {
     val planes = VF.randomPlanes(bands * bitsPerBand, dim)
     val sketched = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("sketch", VF.hyperplaneSketch(col("v"), planes))
-    val banded = sketched.select(col("id"), col("v"),
+    // light band join (ids only), vectors re-attached to candidates
+    val banded = sketched.select(col("id"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("sketch"), b * bitsPerBand)
           .bitwiseAND(lit((1L << bitsPerBand) - 1))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_val")
 
-    val l = banded.select(col("band"), col("band_val"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = banded.select(col("band"), col("band_val"), col("id").as("id_b"), col("v").as("v_b"))
-    l.join(r, Seq("band", "band_val"))
+    val candidates = banded.select(col("band"), col("band_val"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("band_val"), col("id").as("id_b")),
+        Seq("band", "band_val"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+
+    val vecs = sketched.select(col("id"), col("v"))
+    candidates
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("__c", VF.cosine(col("v_a"), col("v_b")))
       .filter(col("__c") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("__c"), 4).as("cosine"))
