@@ -1,0 +1,66 @@
+package graft.core
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.StructType
+
+import graft.format.StoragePaths
+import graft.views.{MaterializedView, View}
+
+/** Directory catalog: dataset name → `<root>/<name>` location; a dataset
+  * exists iff its entrypoint file does (reference `DirCatalog`,
+  * `/root/reference/python/src/space/catalogs/directory.py:30-77`,
+  * `BaseCatalog` surface catalogs/base.py:29-85). */
+final class DirCatalog(val spark: SparkSession, val root: String) {
+
+  private val rootPath = new Path(root)
+  private def fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def location(name: String): String = new Path(rootPath, name).toString
+
+  def createDataset(
+      name: String,
+      schema: StructType,
+      primaryKeys: Seq[String],
+      recordFields: Seq[String] = Nil): SpaceDataset = {
+    require(!exists(name), s"dataset $name already exists")
+    SpaceDataset.create(spark, location(name), schema, primaryKeys, recordFields)
+  }
+
+  def createMaterializedView(
+      name: String,
+      view: View,
+      primaryKeys: Seq[String],
+      recordFields: Seq[String] = Nil): MaterializedView = {
+    require(!exists(name), s"dataset $name already exists")
+    MaterializedView.create(spark, location(name), view, primaryKeys, recordFields)
+  }
+
+  def dataset(name: String): SpaceDataset = {
+    require(exists(name), s"dataset $name not found")
+    SpaceDataset.load(spark, location(name))
+  }
+
+  def materializedView(name: String): MaterializedView = {
+    require(exists(name), s"dataset $name not found")
+    MaterializedView.load(spark, location(name))
+  }
+
+  def exists(name: String): Boolean =
+    Storage.exists(location(name), spark.sparkContext.hadoopConfiguration)
+
+  def deleteDataset(name: String): Unit = {
+    require(exists(name), s"dataset $name not found")
+    fs.delete(new Path(rootPath, name), true)
+  }
+
+  /** Names of all datasets under the root (presence of the entrypoint
+    * file is the marker, directory.py:66-77). */
+  def datasets(): Seq[String] =
+    if (!fs.exists(rootPath)) Nil
+    else fs.listStatus(rootPath).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(exists)
+      .sorted
+}

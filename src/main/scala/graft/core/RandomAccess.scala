@@ -1,0 +1,106 @@
+package graft.core
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+
+/** Driver-side random access over a record field (reference
+  * `RandomAccessDataSource`,
+  * `/root/reference/python/src/space/core/random_access.py:37-287`):
+  * `length`/`get(i)`/`getBatch(is)` for training loops that index into
+  * the dataset without Spark jobs.
+  *
+  * Implemented OFF Spark (SURVEY.md §7.3 "Random access"): ordinals map
+  * onto the snapshot's index files via cumulative manifest row counts;
+  * batched fetches group ordinals per index file, read the address
+  * column in one sequential pass per file, then group addresses per
+  * record file and read payloads in one pass each — the reference's
+  * file-instruction batching (random_access.py:244-279). */
+final class RandomAccessReader(ds: SpaceDataset, field: String) {
+  require(ds.storage.recordFields.contains(field), s"$field is not a record field")
+
+  private val conf: Configuration = ds.spark.sparkContext.hadoopConfiguration
+
+  /** (absolute index file path, rows) in manifest order + running total. */
+  private val files: Seq[(String, Long)] = {
+    import org.apache.spark.sql.functions.col
+    val ms = ds.storage.metadata.currentSnapshot.manifestFiles.indexManifestFiles
+    if (ms.isEmpty) Nil
+    else ManifestIO.readIndexManifests(ds.spark, ds.storage, ms)
+      .select(col(ManifestIO.FileCol), col(ManifestIO.NumRowsCol))
+      .collect().toSeq
+      .map(r => (ds.storage.absolute(r.getString(0)), r.getLong(1)))
+  }
+  private val cumulative: Array[Long] = files.scanLeft(0L)(_ + _._2).toArray
+
+  def length: Long = cumulative.last
+
+  def get(i: Long): Array[Byte] = getBatch(Seq(i)).head
+
+  /** Fetch payloads for `ordinals`, preserving input order. */
+  def getBatch(ordinals: Seq[Long]): Seq[Array[Byte]] = {
+    ordinals.foreach(i => require(i >= 0 && i < length, s"index $i out of [0, $length)"))
+
+    // ordinal → (fileIdx, rowInFile); group by index file
+    val byFile = ordinals.zipWithIndex.map { case (ord, pos) =>
+      val fi = {
+        var lo = 0; var hi = files.size - 1
+        while (lo < hi) {
+          val mid = (lo + hi + 1) / 2
+          if (cumulative(mid) <= ord) lo = mid else hi = mid - 1
+        }
+        lo
+      }
+      (fi, ord - cumulative(fi), pos)
+    }.groupBy(_._1)
+
+    // pass 1: addresses from index files (one sequential scan per file)
+    val addresses = new Array[(String, Int)](ordinals.size)
+    byFile.foreach { case (fi, rows) =>
+      val wanted = rows.map(r => r._2 -> r._3).sortBy(_._1)
+      val reader = ParquetReader.builder(new GroupReadSupport(), new Path(files(fi)._1))
+        .withConf(conf).build()
+      try {
+        var rowIdx = 0L
+        var remaining = wanted.toList
+        var g: Group = reader.read()
+        while (g != null && remaining.nonEmpty) {
+          if (rowIdx == remaining.head._1) {
+            val addr = g.getGroup(field, 0)
+            addresses(remaining.head._2) =
+              (addr.getString("_FILE", 0), addr.getInteger("_ROW_ID", 0))
+            remaining = remaining.tail
+          }
+          rowIdx += 1
+          g = if (remaining.nonEmpty) reader.read() else null
+        }
+      } finally reader.close()
+    }
+
+    // pass 2: payloads from record files (one sequential scan per file)
+    val result = new Array[Array[Byte]](ordinals.size)
+    addresses.zipWithIndex.groupBy(_._1._1).foreach { case (recFile, entries) =>
+      val wanted = entries.map { case ((_, rowId), pos) => rowId -> pos }.sortBy(_._1)
+      val reader = ParquetReader.builder(new GroupReadSupport(),
+        new Path(ds.storage.absolute(recFile))).withConf(conf).build()
+      try {
+        var rowIdx = 0
+        var remaining = wanted.toList
+        var g: Group = reader.read()
+        while (g != null && remaining.nonEmpty) {
+          while (remaining.nonEmpty && rowIdx == remaining.head._1) {
+            result(remaining.head._2) = g.getBinary("value", 0).getBytes
+            remaining = remaining.tail
+          }
+          rowIdx += 1
+          g = if (remaining.nonEmpty) reader.read() else null
+        }
+      } finally reader.close()
+    }
+    result.toSeq
+  }
+}

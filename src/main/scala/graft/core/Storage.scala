@@ -37,7 +37,13 @@ final class Storage(val location: String, val conf: Configuration) {
   def primaryKeys: Seq[String] = meta.primaryKeys
   def recordFields: Seq[String] = meta.recordFields
 
-  def absolute(rel: String): String = new Path(rootPath, rel).toString
+  /** Resolve a manifest path: table-root-relative normally; absolute
+    * paths pass through (zero-copy-ingested EXTERNAL files live outside
+    * the table root, loaders/parquet.py:30-74 semantics). */
+  def absolute(rel: String): String = {
+    val p = new Path(rel)
+    if (p.isAbsolute || rel.contains("://")) rel else new Path(rootPath, rel).toString
+  }
 
   // ---------------------------------------------------------------- IO
 
