@@ -113,6 +113,18 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
     else ManifestIO.readIndexManifests(spark, storage, ms)
   }
 
+  /** Filterable record-manifest table (`_FILE,_FIELD_ID,_NUM_ROWS,
+    * _UNCOMPRESSED_BYTES`; record.py:27-32, storage.py:459-480). */
+  def recordManifest(): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ms = storage.metadata.currentSnapshot.manifestFiles.recordManifestFiles
+    if (ms.isEmpty)
+      ReadOp.emptyDF(spark, StructType(Seq(
+        StructField("_FILE", StringType), StructField("_FIELD_ID", IntegerType),
+        StructField("_NUM_ROWS", LongType), StructField("_UNCOMPRESSED_BYTES", LongType))))
+    else spark.read.parquet(ms.map(storage.absolute): _*)
+  }
+
   def refresh(): Unit = storage.reload()
 }
 
