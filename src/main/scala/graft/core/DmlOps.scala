@@ -104,15 +104,19 @@ object DmlOps {
       .select(col("__mfile")).distinct().collect().map(_.getString(0)).toSeq
     val removedManifests = affectedManifestNames.map(manifestRelByName)
 
+    // manifest rows fit on the driver (the planner collects the file
+    // list from them anyway) → write the carryover without a Spark job
     val carryover = mdf
       .filter(col("__mfile").isin(affectedManifestNames: _*) &&
         !col(ManifestIO.FileCol).isin(affectedRel.toSeq: _*))
       .drop("__mfile")
+    val carryoverRows = carryover.collect().toSeq
     val carryoverManifest =
-      if (carryover.isEmpty) Nil
+      if (carryoverRows.isEmpty) Nil
       else {
         val rel = StoragePaths.newIndexManifestFile()
-        ManifestIO.writeSingleParquet(spark, storage, carryover, rel)
+        DriverParquet.write(spark.sparkContext.hadoopConfiguration,
+          storage.absolute(rel), carryover.schema, carryoverRows)
         List(rel)
       }
 

@@ -138,9 +138,9 @@ object ManifestIO {
       }
       Row.fromSeq(Seq(m.file, m.numRows, m.compressedBytes, m.uncompressedBytes) ++ statsVals)
     }
-    val df = spark.createDataFrame(rows.asJava, schema)
     val rel = StoragePaths.newIndexManifestFile()
-    writeSingleParquet(spark, storage, df, rel)
+    DriverParquet.write(spark.sparkContext.hadoopConfiguration,
+      storage.absolute(rel), schema, rows)
     rel
   }
 

@@ -112,9 +112,8 @@ object RecordIO {
       StructField("_NUM_ROWS", LongType, nullable = false),
       StructField("_UNCOMPRESSED_BYTES", LongType, nullable = false)))
     val rows = recordMetas.map(m => Row(m._1, m._2, m._3, m._4))
-    val mdf = spark.createDataFrame(rows.asJava, manifestSchema)
     val rel = StoragePaths.newRecordManifestFile()
-    ManifestIO.writeSingleParquet(spark, storage, mdf, rel)
+    DriverParquet.write(conf, storage.absolute(rel), manifestSchema, rows)
 
     Patch.merge(Seq(result.patch, Patch(
       addedRecordManifests = List(rel),

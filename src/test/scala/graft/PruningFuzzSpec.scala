@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.util.Random
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+
+/** Soundness fuzz for falsifiable-filter pruning (SURVEY.md §5: the one
+  * place property-based testing pays off): for ANY predicate, a pruned
+  * scan must return exactly the rows a full scan+filter returns —
+  * pruning may only skip files that PROVABLY contain no matches.
+  * Deterministic seed; mixes convertible and unconvertible nodes. */
+class PruningFuzzSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val orders = Tables.read(spark, sfDir, "orders")
+  private lazy val ds: SpaceDataset = {
+    val loc = Files.createTempDirectory("graft_fuzz_").toString + "/tbl"
+    val d = SpaceDataset.create(spark, loc, orders.schema, Seq("o_orderkey"))
+    d.append(orders.repartitionByRange(8, col("o_orderkey")))
+    d
+  }
+
+  private def randomPredicate(rnd: Random, depth: Int): Column = {
+    def leaf(): Column = rnd.nextInt(7) match {
+      case 0 => col("o_orderkey") < lit(rnd.nextLong(2000))
+      case 1 => col("o_orderkey") >= lit(rnd.nextLong(2000))
+      case 2 => col("o_orderkey") === lit(rnd.nextLong(2000))
+      case 3 => col("o_totalprice") > lit(rnd.nextDouble() * 500000) // non-PK
+      case 4 => col("o_orderkey").isin(Seq.fill(3)(rnd.nextLong(2000)): _*)
+      case 5 => col("o_orderstatus") === lit(Seq("F", "O", "P")(rnd.nextInt(3)))
+      case 6 => lit(rnd.nextLong(2000)) > col("o_orderkey") // literal-first
+    }
+    if (depth == 0) leaf()
+    else rnd.nextInt(4) match {
+      case 0 => randomPredicate(rnd, depth - 1) && randomPredicate(rnd, depth - 1)
+      case 1 => randomPredicate(rnd, depth - 1) || randomPredicate(rnd, depth - 1)
+      case 2 => !randomPredicate(rnd, depth - 1)
+      case _ => leaf()
+    }
+  }
+
+  test("pruned scans equal full filters for 60 random predicates") {
+    val rnd = new Random(20260812L)
+    var prunedAtLeastOnce = false
+    for (i <- 1 to 60) {
+      val pred = randomPredicate(rnd, rnd.nextInt(3))
+      val plan = ds.plan(Some(pred))
+      if (plan.prunedFiles > 0) prunedAtLeastOnce = true
+      val got = ds.read(filter = Some(pred)).count()
+      val exp = orders.filter(pred).count()
+      assert(got == exp,
+        s"iteration $i: pruned plan gave $got rows, expected $exp for $pred " +
+          s"(kept ${plan.files.size}/${plan.totalFiles})")
+    }
+    assert(prunedAtLeastOnce, "fuzz never exercised an actual pruning decision")
+  }
+}
