@@ -123,35 +123,43 @@ object TextFunctions {
     when(uni === 0, lit(0.0)).otherwise(inter.cast("double") / uni)
   }
 
-  /** 64-bit SimHash over the token multiset. Per-row imperative loop over
-    * 64 bit-counters — a UDF is the right tool here (single pass, no
-    * shuffle); the per-token hash is xxhash64 for speed. */
-  def simhash64(tokensCol: Column): Column = SimHash.udfImpl(tokensCol)
+  /** 64-bit SimHash over the token multiset — a native Catalyst
+    * expression (`SimHash64Expr`): stays inside whole-stage codegen,
+    * no per-row Scala conversion. */
+  def simhash64(tokensCol: Column): Column =
+    org.apache.spark.sql.graftshim.SimHash64Expr(tokensCol)
 
   def hammingDistance64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 }
 
 object SimHash {
-  import org.apache.spark.sql.functions.udf
   import net.jpountz.xxhash.XXHashFactory
 
   private lazy val factory = XXHashFactory.fastestInstance()
 
-  def hash64(s: String): Long = {
-    val bytes = s.getBytes("UTF-8")
+  def hash64(bytes: Array[Byte]): Long =
     factory.hash64().hash(bytes, 0, bytes.length, 0L)
-  }
 
-  val udfImpl = udf { ts: Seq[String] =>
+  def hash64(s: String): Long = hash64(s.getBytes("UTF-8"))
+
+  /** Static entry point used by [[SimHash64Expr]]'s generated code —
+    * operates directly on Catalyst's ArrayData/UTF8String (no
+    * conversions). */
+  def hashArrayData(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
     val counters = new Array[Int](64)
-    ts.foreach { t =>
-      val h = hash64(t)
-      var i = 0
-      while (i < 64) {
-        if (((h >>> i) & 1L) == 1L) counters(i) += 1 else counters(i) -= 1
-        i += 1
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val h = hash64(arr.getUTF8String(j).getBytes)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) counters(i) += 1 else counters(i) -= 1
+          i += 1
+        }
       }
+      j += 1
     }
     var sig = 0L
     var i = 0
