@@ -93,13 +93,23 @@ object TextFunctions {
         i => concat_ws(" ", slice(ts, i, lit(n)))))
   }
 
-  /** Distinct 64-bit hashes of the word shingles — the set the MinHash /
-    * Jaccard pipeline actually operates on. Hashing each shingle string
-    * ONCE up front makes every downstream op (per-seed min-hash mixing,
-    * set intersection, shuffle) long-typed: ~10× cheaper than re-hashing
-    * strings, exact w.h.p. (64-bit collisions ~1e-12 at corpus scale). */
+  /** SORTED distinct 64-bit hashes of the word shingles — the set the
+    * MinHash / Jaccard pipeline actually operates on. Hashing each
+    * shingle string ONCE up front makes every downstream op (per-seed
+    * min-hash mixing, set intersection, shuffle) long-typed: ~10×
+    * cheaper than re-hashing strings, exact w.h.p. (64-bit collisions
+    * ~1e-12 at corpus scale). Sorted so the verify stage can use the
+    * allocation-free merge intersection ([[jaccardSorted]]). */
   def wordShingleHashes(c: Column, n: Int): Column =
-    array_distinct(transform(wordShingles(c, n), sh => xxhash64(sh)))
+    array_sort(array_distinct(transform(wordShingles(c, n), sh => xxhash64(sh))))
+
+  /** Jaccard over pre-SORTED distinct long arrays: |∩| by linear merge
+    * (native expression), |∪| = |A|+|B|-|∩|. */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    val inter = org.apache.spark.sql.graftshim.SortedIntersectCount(a, b)
+    val uni = size(a) + size(b) - inter
+    when(uni === 0, lit(0.0)).otherwise(inter.cast("double") / uni)
+  }
 
   /** MinHash signature over pre-hashed shingles: `numHashes` independent
     * murmur3 seed mixes, min per seed. */

@@ -53,12 +53,16 @@ object Dedup {
     val rows = numHashes / bands
 
     // TF.bound: without it the optimizer inlines the shingle pipeline
-    // into the 32-seed lambda → O(shingles × seeds) work per row
+    // into the 32-seed lambda → O(shingles × seeds) work per row.
+    // persist: this frame feeds band-key generation AND both candidate
+    // re-attach joins — without it the shingle+signature pipeline runs
+    // three times (LRU-evicted when memory is needed).
     val shingleExpr = TF.wordShingleHashes(col(textCol), shingleSize)
     val withSig = df.select(
       col(idCol).as("id"),
       shingleExpr.as("shingles"),
       TF.bound(shingleExpr)(sh => TF.minhashSignature(sh, numHashes)).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // LIGHT band rows: (id, band, 64-bit key of the band's sub-signature)
     // — the self-join shuffles 16 bytes per row, never the shingle arrays
@@ -80,7 +84,7 @@ object Dedup {
     candidates
       .join(sets.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
-      .withColumn("__j", TF.jaccard(col("sh_a"), col("sh_b"))) // already distinct
+      .withColumn("__j", TF.jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("__j") >= threshold) // threshold on the RAW value
       .select(col("id_a"), col("id_b"), round(col("__j"), 4).as("jaccard"))
   }
@@ -146,7 +150,7 @@ object Dedup {
     pairs
       .join(sets.select(col("id").as("id_a"), col("grams").as("g_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("grams").as("g_b")), Seq("id_b"))
-      .withColumn("__j", TF.jaccard(col("g_a"), col("g_b")))
+      .withColumn("__j", TF.jaccardSorted(col("g_a"), col("g_b")))
       .filter(col("__j") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("__j"), 4).as("jaccard"))
   }
