@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+
+/** Physical-plan audits: the storage layer must COMPOSE with Catalyst's
+  * pushdown, not defeat it — filters/projections reach the parquet scan
+  * of graft data files, scans stay columnar/batched, small sides
+  * broadcast. */
+class PlanQualitySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val ds: SpaceDataset = {
+    val orders = Tables.read(spark, sfDir, "orders")
+    val loc = Files.createTempDirectory("graft_plan_").toString + "/tbl"
+    val d = SpaceDataset.create(spark, loc, orders.schema, Seq("o_orderkey"))
+    d.append(orders.repartitionByRange(4, col("o_orderkey")))
+    d
+  }
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec =
+    df.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: FileSourceScanExec => f }.get
+
+  test("filters push into the graft data-file scan") {
+    val df = ds.read(filter = Some(col("o_totalprice") > 1000.0 && col("o_orderkey") < 500L))
+    val scan = scanOf(df)
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThan(o_totalprice,1000.0)"), pushed)
+    assert(pushed.contains("LessThan(o_orderkey,500)"), pushed)
+    assert(scan.supportsColumnar || scan.metadata("Batched") == "true")
+  }
+
+  test("projection prunes the read schema of the graft scan") {
+    val df = ds.read(fields = Some(Seq("o_orderkey", "o_totalprice")))
+    val scan = scanOf(df)
+    assert(scan.requiredSchema.fieldNames.toSeq == Seq("o_orderkey", "o_totalprice"),
+      scan.requiredSchema.treeString)
+  }
+
+  test("record stitch pushes index-side filter and joins on (file,row)") {
+    val docs = Tables.read(spark, sfDir, "documents")
+      .withColumn("text", encode(col("text"), "UTF-8"))
+    val loc = Files.createTempDirectory("graft_plan_rec_").toString + "/tbl"
+    val rds = SpaceDataset.create(spark, loc, docs.schema, Seq("doc_id"), Seq("text"))
+    rds.append(docs)
+    val df = rds.read(filter = Some(col("doc_id") < 100L))
+    // the join plan is AQE-wrapped (collectLeaves sees only the
+    // AdaptiveSparkPlan node) → assert on the rendered plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Join"), plan.take(2000))
+    assert(plan.contains("LessThan(doc_id,100)"), plan.take(3000))
+    // payload side broadcasts (small record files), index side streams
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+}
