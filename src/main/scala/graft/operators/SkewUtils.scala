@@ -1,0 +1,28 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for joins whose key distribution is heavy-tailed
+  * (user_id-style keys at 100 TB). AQE's skew-join handles most cases at
+  * runtime; explicit salting is for when one side can be replicated:
+  * the BIG side gets a random salt in [0, salts), the SMALL side is
+  * exploded `salts`× so every (key, salt) bucket finds its match — the
+  * hot key's rows spread over `salts` tasks instead of one straggler. */
+object SkewUtils {
+
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      salts: Int = 8,
+      joinType: String = "inner"): DataFrame = {
+    require(salts > 0)
+    // pmod of a stable per-row hash: deterministic, no RNG in the plan
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)), lit(salts)).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+}

@@ -70,6 +70,21 @@ final class MaterializedView(val spark: SparkSession, val dataset: SpaceDataset)
     }
     commits
   }
+
+  /** Poll-and-refresh loop (the reference's incrementality is committed-
+    * snapshot granularity, not event streams — SURVEY.md §2.5; this is
+    * the long-running form of that contract). Stops after `maxPolls`
+    * polls; returns total MV commits. */
+  def refreshContinuously(pollIntervalMs: Long, maxPolls: Int): Int = {
+    var total = 0
+    var i = 0
+    while (i < maxPolls) {
+      total += refresh()
+      i += 1
+      if (i < maxPolls) Thread.sleep(pollIntervalMs)
+    }
+    total
+  }
 }
 
 object MaterializedView {

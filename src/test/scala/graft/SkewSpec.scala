@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SkewUtils
+
+class SkewSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("salted join equals plain join on skewed keys") {
+    val li = Tables.read(spark, sfDir, "lineitem") // l_orderkey is skew-free,
+    val o = Tables.read(spark, sfDir, "orders")    // but equality must hold regardless
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val plain = li.join(o, Seq("l_orderkey"))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("q"))
+    val salted = SkewUtils.saltedJoin(li, o, "l_orderkey", salts = 4)
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("q"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("left join keeps unmatched big-side rows under salting") {
+    import spark.implicits._
+    val big = Seq((1L, "a"), (1L, "b"), (2L, "c"), (9L, "z")).toDF("k", "v")
+    val small = Seq((1L, "x"), (2L, "y")).toDF("k", "w")
+    val got = SkewUtils.saltedJoin(big, small, "k", salts = 3, joinType = "left")
+    assert(got.count() == 4)
+    assert(got.filter(col("k") === 9L && col("w").isNull).count() == 1)
+  }
+}
