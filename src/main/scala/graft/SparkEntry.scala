@@ -18,12 +18,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.StorageOps.queries ++
       operators.Pipeline.queries ++ operators.Multimodal.queries ++
-      operators.ExtrasOps.queries ++ streaming.EventsStream.queries
+      operators.ExtrasOps.queries ++ operators.Scalars.queries ++
+      streaming.EventsStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracleSql ++ operators.StorageOps.oracleSql ++
       operators.Pipeline.oracleSql ++ operators.Multimodal.oracleSql ++
-      operators.ExtrasOps.oracleSql ++ streaming.EventsStream.oracleSql
+      operators.ExtrasOps.oracleSql ++ operators.Scalars.oracleSql ++
+      streaming.EventsStream.oracleSql
 }
