@@ -25,7 +25,15 @@ class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 final class Storage(val location: String, val conf: Configuration) {
 
   private val rootPath = new Path(location)
-  private val fs: FileSystem = rootPath.getFileSystem(conf)
+  private val fs: FileSystem = {
+    val f = rootPath.getFileSystem(conf)
+    // metadata files are tiny and atomically replaced; the local
+    // ChecksumFileSystem's .crc sidecars break replace-by-rename under
+    // concurrent readers (stale checksum window) — disable them
+    f.setWriteChecksum(false)
+    f.setVerifyChecksum(false)
+    f
+  }
 
   private var meta: StorageMetadata = _
   private var metaFilePath: String = _
@@ -52,17 +60,27 @@ final class Storage(val location: String, val conf: Configuration) {
     try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
   }
 
-  /** Write-temp-then-rename; rename replaces an existing destination via
-    * delete-then-rename on Hadoop FS (non-atomic window documented, same
-    * as reference fs/arrow.py:46-49). */
+  /** Write-temp-then-rename. On local filesystems the rename is a true
+    * POSIX atomic replace (no visibility window); on Hadoop FSes it
+    * degrades to delete-then-rename with the same documented small
+    * window as the reference (fs/arrow.py:46-49). */
   def writeStringAtomic(rel: String, content: String): Unit = {
     val dst = new Path(rootPath, rel)
     val tmp = new Path(rootPath, rel + ".tmp-" + java.util.UUID.randomUUID())
     val out = fs.create(tmp, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    if (fs.exists(dst)) fs.delete(dst, false)
-    if (!fs.rename(tmp, dst))
-      throw new java.io.IOException(s"rename $tmp -> $dst failed")
+    val scheme = Option(dst.toUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      if (fs.exists(dst)) fs.delete(dst, false)
+      if (!fs.rename(tmp, dst))
+        throw new java.io.IOException(s"rename $tmp -> $dst failed")
+    }
   }
 
   // ------------------------------------------------------------ loading
@@ -180,19 +198,61 @@ final class Storage(val location: String, val conf: Configuration) {
     newId
   }
 
-  /** Optimistic transaction (storage.py:545-596): pin the branch head,
-    * run the op, abort if the head moved, else commit its patch. */
+  /** Optimistic transaction: pin the branch head, run the (distributed,
+    * lock-free) op, then under a short commit lock re-check the head and
+    * commit (storage.py:545-596 semantics, hardened: the reference's
+    * check-then-flip is racy between writers — storage.py:317-319 admits
+    * single-writer; the exclusive-create lock file makes the final
+    * check+flip mutually exclusive, so concurrent writers serialize
+    * instead of silently losing commits). */
   def transaction[T](branch: String = SnapshotRef.MainBranch)(
       op: Long => (Option[Patch], T)): T = {
     reload()
     val pinned = branchHead(branch)
     val (patch, result) = op(pinned)
-    reload()
-    if (branchHead(branch) != pinned)
-      throw new ConcurrentCommitException(
-        s"abort commit: branch $branch moved from snapshot $pinned to ${branchHead(branch)}")
-    patch.foreach(commit(_, branch))
+    withCommitLock {
+      reload()
+      if (branchHead(branch) != pinned)
+        throw new ConcurrentCommitException(
+          s"abort commit: branch $branch moved from snapshot $pinned to ${branchHead(branch)}")
+      patch.foreach(commit(_, branch))
+    }
     result
+  }
+
+  private val lockPath = new Path(rootPath, s"${StoragePaths.MetadataDir}/commit.lock")
+
+  /** Exclusive-create lock file. Local scheme uses nio `createFile`
+    * (true O_EXCL — Hadoop's LocalFileSystem `create(overwrite=false)`
+    * is check-then-create and NOT atomic); HDFS-like schemes use
+    * create-no-overwrite, atomic at the namenode. Stale locks (crashed
+    * writer) are stolen after 60s; acquisition times out after 30s. */
+  private def withCommitLock[A](body: => A): A = {
+    val isLocal = Option(lockPath.toUri.getScheme).forall(_ == "file")
+    val deadline = System.currentTimeMillis() + 30000L
+    var acquired = false
+    while (!acquired) {
+      try {
+        if (isLocal) {
+          java.nio.file.Files.createFile(java.nio.file.Paths.get(lockPath.toUri.getPath))
+        } else {
+          val out = fs.create(lockPath, false)
+          out.write(System.currentTimeMillis().toString.getBytes(StandardCharsets.UTF_8))
+          out.close()
+        }
+        acquired = true
+      } catch {
+        case _: java.io.IOException => // includes FileAlreadyExistsException
+          try {
+            val age = System.currentTimeMillis() - fs.getFileStatus(lockPath).getModificationTime
+            if (age > 60000L) fs.delete(lockPath, false) // steal stale lock
+          } catch { case _: java.io.IOException => /* lock vanished: retry */ }
+          if (System.currentTimeMillis() > deadline)
+            throw new ConcurrentCommitException(s"commit lock timeout at $lockPath")
+          Thread.sleep(20L)
+      }
+    }
+    try body finally fs.delete(lockPath, false)
   }
 
   def changeLog(snapshotId: Long): Option[ChangeLog] =
@@ -228,6 +288,8 @@ object Storage {
     val withIds = FieldIds.assign(schema)
     val root = new Path(location)
     val fs = root.getFileSystem(conf)
+    fs.setWriteChecksum(false)
+    fs.setVerifyChecksum(false)
     require(!fs.exists(new Path(root, StoragePaths.EntryPointFile)),
       s"table already exists at $location")
     fs.mkdirs(new Path(root, StoragePaths.ChangesDir))

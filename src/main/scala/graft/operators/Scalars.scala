@@ -82,6 +82,16 @@ object Scalars {
         round(sum(col("o_totalprice")).over(w.rowsBetween(-2, 0)), 2).as("sum3"))
     }),
 
+    // INTERSECT (q9 covers EXCEPT) + scalar subquery in one query:
+    // orders above the global average price that have lineitems
+    "q20_intersect_subquery" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val li = t(s, d, "lineitem")
+      val avgPrice = o.agg(avg(col("o_totalprice"))).collect()(0).getDouble(0)
+      o.filter(col("o_totalprice") > avgPrice).select(col("o_orderkey").as("k"))
+        .intersect(li.select(col("l_orderkey").as("k")))
+    }),
+
     // CUBE grouping sets (rollup already covered by q10)
     "q19_cube" -> ((s, d) =>
       t(s, d, "orders")
@@ -143,6 +153,11 @@ object Scalars {
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS sum3
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin,
+    "q20_intersect_subquery" ->
+      """SELECT o_orderkey AS k FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |INTERSECT
+        |SELECT l_orderkey AS k FROM lineitem""".stripMargin,
     "q19_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS st,
         |  coalesce(o_orderpriority, 'ALL') AS pri,
