@@ -148,6 +148,28 @@ object StorageOps {
       mv.dataset.readAll()
     }),
 
+    // the flagship composition: a "cleaned corpus" materialized view —
+    // text-quality filter + token-stats projection (expression
+    // transforms, so the plan persists) over a documents table,
+    // incrementally refreshed through append + delete of the source
+    "s_mv_pipeline" -> ((s, d) => {
+      import graft.views._
+      val docs = t(s, d, "documents")
+      val src = SpaceDataset.create(s, fresh("mvpsrc"), docs.schema, Seq("doc_id"))
+      src.append(docs.filter(col("doc_id") % 2 === 0))
+      val v = View.ofDataset(src)
+        .filterExpr("n_chars >= 200")
+        .selectExprs(
+          "doc_id", "lang",
+          "size(filter(split(text, '\\\\s+'), x -> x != '')) AS n_tokens",
+          "size(array_distinct(filter(split(text, '\\\\s+'), x -> x != ''))) AS n_distinct")
+      val mv = v.materialize(s, fresh("mvp"), Seq("doc_id"))
+      src.append(docs.filter(col("doc_id") % 2 === 1)) // new docs arrive
+      src.delete(col("doc_id") % 10 === 3) // some are retracted
+      mv.refresh()
+      mv.dataset.readAll()
+    }),
+
     // snapshot × refs introspection (rows-only check: engine-specific)
     "s_versions" -> ((s, d) => {
       val o = t(s, d, "orders").limit(100)
@@ -190,5 +212,13 @@ object StorageOps {
       """SELECT o_orderkey, o_custkey, o_totalprice * 2 AS fee
         |FROM orders
         |WHERE o_orderkey > 200 AND o_orderkey <= 1200
-        |  AND o_totalprice > 100000""".stripMargin)
+        |  AND o_totalprice > 100000""".stripMargin,
+    "s_mv_pipeline" ->
+      """SELECT doc_id, lang,
+        |  len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))
+        |    AS n_tokens,
+        |  len(list_distinct(list_filter(string_split_regex(text, '\s+'),
+        |    x -> x != ''))) AS n_distinct
+        |FROM documents
+        |WHERE n_chars >= 200 AND doc_id % 10 != 3""".stripMargin)
 }
