@@ -22,6 +22,17 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
   def primaryKeys: Seq[String] = storage.primaryKeys
   def location: String = storage.location
 
+  /** Branch that reads and mutations target by default
+    * (`set_current_branch`, reference storage.py:238-313 surface). */
+  @volatile private var currentBranch: String = SnapshotRef.MainBranch
+
+  def setCurrentBranch(name: String): Unit = {
+    storage.branchHead(name) // validates existence
+    currentBranch = name
+  }
+
+  def getCurrentBranch: String = currentBranch
+
   // ------------------------------------------------------------- reads
 
   /** Read the table (optionally: a version = tag/branch/snapshot-id, a
@@ -34,7 +45,7 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
       version: Option[String] = None,
       referenceRead: Boolean = false): DataFrame = {
     val sid = version.map(storage.versionToSnapshotId)
-      .getOrElse(storage.metadata.currentSnapshotId)
+      .getOrElse(storage.branchHead(currentBranch))
     val physical = ReadOp.scanPhysical(spark, storage, sid, filter)
     val projected = fields match {
       case Some(fs) => physical.select(fs.map(col): _*)
@@ -50,29 +61,29 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
     * total) for tests/bench. */
   def plan(filter: Option[Column] = None, version: Option[String] = None): ReadOp.ScanPlan = {
     val sid = version.map(storage.versionToSnapshotId)
-      .getOrElse(storage.metadata.currentSnapshotId)
+      .getOrElse(storage.branchHead(currentBranch))
     ReadOp.plan(spark, storage, sid, filter)
   }
 
   // --------------------------------------------------------- mutations
 
-  def append(df: DataFrame, branch: String = SnapshotRef.MainBranch): Long =
+  def append(df: DataFrame, branch: String = currentBranch): Long =
     storage.transaction(branch) { _ =>
       val patch = RecordIO.writeWithRecords(spark, storage, df)
       (Some(patch), storage.metadata.maxSnapshotId + 1)
     }
 
-  def delete(cond: Column, branch: String = SnapshotRef.MainBranch): Long =
+  def delete(cond: Column, branch: String = currentBranch): Long =
     storage.transaction(branch) { pinned =>
       (DmlOps.delete(spark, storage, pinned, cond), storage.metadata.maxSnapshotId + 1)
     }
 
-  def insert(df: DataFrame, branch: String = SnapshotRef.MainBranch): Long =
+  def insert(df: DataFrame, branch: String = currentBranch): Long =
     storage.transaction(branch) { pinned =>
       (Some(DmlOps.insert(spark, storage, pinned, df)), storage.metadata.maxSnapshotId + 1)
     }
 
-  def upsert(df: DataFrame, branch: String = SnapshotRef.MainBranch): Long =
+  def upsert(df: DataFrame, branch: String = currentBranch): Long =
     storage.transaction(branch) { pinned =>
       (Some(DmlOps.upsert(spark, storage, pinned, df)), storage.metadata.maxSnapshotId + 1)
     }

@@ -183,3 +183,22 @@ class StorageSpec extends AnyFunSuite {
     }
   }
 }
+
+class CurrentBranchSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("set_current_branch redirects default reads and writes") {
+    val orders = Tables.read(spark, sfDir, "orders")
+    val loc = java.nio.file.Files.createTempDirectory("graft_cb_").toString + "/tbl"
+    val ds = core.SpaceDataset.create(spark, loc, orders.schema, Seq("o_orderkey"))
+    ds.append(orders.limit(100))
+    ds.addBranch("exp")
+    ds.setCurrentBranch("exp")
+    ds.append(orders.limit(200).withColumn("o_orderkey", col("o_orderkey") + 1000000L))
+    assert(ds.readAll().count() == 300) // exp sees both
+    ds.setCurrentBranch("main")
+    assert(ds.readAll().count() == 100) // main untouched
+    intercept[IllegalArgumentException](ds.setCurrentBranch("nope"))
+  }
+}
