@@ -61,30 +61,60 @@ object ChangeData {
     val maskedDF =
       if (maskedFiles.isEmpty) None
       else {
-        // file NAME (uuid-unique) → serialized bitmap
-        val byName = maskedFiles.map(r =>
-          new org.apache.hadoop.fs.Path(r.file).getName -> r.bitmapB64.get).toMap
-        val bc = spark.sparkContext.broadcast(byName)
+        // FULL normalized path → serialized bitmap (basenames collide for
+        // zero-copy-ingested external files)
+        val conf = spark.sparkContext.hadoopConfiguration
+        val byKey = maskedFiles.map { r =>
+          val abs = new org.apache.hadoop.fs.Path(storage.absolute(r.file))
+          DmlOps.pathKey(abs.getFileSystem(conf).makeQualified(abs).toString) -> r.bitmapB64.get
+        }.toMap
+        val bc = spark.sparkContext.broadcast(byKey)
         val inBitmap = udf { (file: String, row: Long) =>
-          BitmapCache.get(file, bc.value(file)).contains(row.toInt)
+          val k = BitmapCache.normKey(file)
+          BitmapCache.get(k, bc.value(k)).contains(row.toInt)
         }
         Some(spark.read.schema(physical)
           .parquet(maskedFiles.map(r => storage.absolute(r.file)): _*)
-          .withColumn("__file", element_at(split(col("_metadata.file_path"), "/"), -1))
-          .withColumn("__row", col("_metadata.row_index"))
-          .filter(inBitmap(col("__file"), col("__row")))
-          .drop("__file", "__row"))
+          .filter(inBitmap(col("_metadata.file_path"), col("_metadata.row_index"))))
       }
 
     val all = (fullDF.toSeq ++ maskedDF.toSeq).reduceOption(_.unionByName(_))
-    all.map(df => if (pksOnly) df.select(pkCols: _*) else df)
+    all.map { df =>
+      if (pksOnly) df.select(pkCols: _*)
+      // ADD batches carry the LOGICAL schema: stitch record payloads back
+      // (reference change-data reads return logical batches; without this
+      // an MV over a record-field source sees address structs)
+      else RecordIO.stitch(spark, storage, df, None)
+    }
   }
 }
 
-/** Per-executor deserialized-bitmap cache keyed by (uuid-unique) file name
-  * — the bitmap-contains filter runs per row; deserialization must not. */
+/** Per-executor deserialized-bitmap cache — the bitmap-contains filter
+  * runs per row; deserialization (and path normalization) must not.
+  * Keyed by the FULL normalized file path (unique across tables) and
+  * bounded LRU, so long-lived executors don't accumulate bitmaps. */
 object BitmapCache {
-  private val cache = TrieMap.empty[String, org.roaringbitmap.RoaringBitmap]
-  def get(file: String, b64: String): org.roaringbitmap.RoaringBitmap =
-    cache.getOrElseUpdate(file, DmlOps.deserializeBitmap(b64))
+  private val MaxBitmaps = 1024
+  private val norm = TrieMap.empty[String, String]
+  private val cache = new java.util.LinkedHashMap[String, org.roaringbitmap.RoaringBitmap](64, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String, org.roaringbitmap.RoaringBitmap]): Boolean =
+      size() > MaxBitmaps
+  }
+
+  /** Memoized raw-path → canonical-key normalization. */
+  def normKey(raw: String): String = {
+    if (norm.size > 65536) norm.clear()
+    norm.getOrElseUpdate(raw, DmlOps.pathKey(raw))
+  }
+
+  def get(key: String, b64: => String): org.roaringbitmap.RoaringBitmap = cache.synchronized {
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else {
+      val bm = DmlOps.deserializeBitmap(b64)
+      cache.put(key, bm)
+      bm
+    }
+  }
 }

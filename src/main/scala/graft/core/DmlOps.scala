@@ -4,7 +4,8 @@ import java.util.Base64
 
 import org.apache.hadoop.fs.Path
 import org.roaringbitmap.RoaringBitmap
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 import graft.format._
@@ -19,14 +20,21 @@ import graft.format._
   * rows, carry over untouched manifest rows, and record the deleted row
   * positions as RoaringBitmaps in the change log.
   *
+  * The deletion bitmaps are built IN THE EXECUTORS by a typed
+  * [[Aggregator]] (the reference builds per-file bitmaps inside each
+  * remote `FileSetDeleteOp`, ray/ops/delete.py:32-70, bitmap at
+  * core/ops/delete.py:215-228): the shuffle carries only `(file, row)`
+  * pairs and the driver receives one `(file, serializedBitmap)` row per
+  * affected FILE — O(files), never O(deleted rows).
+  *
   * Insert/upsert replace the reference's OR-of-ANDs `primary_key_filter`
   * (flagged inefficient at ops/utils.py:77-78) with left-semi / left-anti
   * joins — the distributed-native formulation.
   */
 object DmlOps {
 
-  private val FileCol = "__graft_file"
-  private val RowCol = "__graft_row"
+  private[graft] val FileCol = "__graft_file"
+  private[graft] val RowCol = "__graft_row"
 
   /** CoW delete of rows matching `cond`. None = no-op (nothing matched). */
   def delete(spark: SparkSession, storage: Storage, snapshotId: Long, cond: Column): Option[Patch] =
@@ -45,7 +53,7 @@ object DmlOps {
       keepSurvivors = df => df.join(k, pks, "left_anti"))
   }
 
-  /** Stats-driven pre-filter for key deletes: `pk BETWEEN min AND max` of
+  /** Stats-driven pre-filter for key lookups: `pk BETWEEN min AND max` of
     * the incoming keys (the useful half of the reference's range
     * partitioning, ray/ops/join.py:148-176) lets manifest pruning skip
     * files entirely outside the key range. */
@@ -57,6 +65,31 @@ object DmlOps {
     else Some(col(pk) >= lit(row.get(0)) && col(pk) <= lit(row.get(1)))
   }
 
+  /** Canonical identity of a data file for executor↔driver matching:
+    * scheme + authority + path. `_metadata.file_path` renders a qualified
+    * URI (`file:///…`) while manifest paths are table-root-relative (or
+    * arbitrary absolute paths for zero-copy-ingested EXTERNAL files), so
+    * comparing by anything less than the full normalized path can
+    * collide — two external files legitimately share a basename. */
+  private[graft] def pathKey(s: String): String = {
+    val u = new Path(s).toUri
+    val scheme = Option(u.getScheme).getOrElse("file")
+    val auth = Option(u.getAuthority).getOrElse("")
+    s"$scheme://$auth${u.getPath}"
+  }
+
+  /** Per-file deletion bitmaps, built executor-side: group the matched
+    * `(file, row)` pairs by file and fold row positions into a
+    * RoaringBitmap inside the aggregation buffer. Exposed for the plan
+    * spec: the physical plan must contain this aggregate and NO
+    * `collect_list` of row positions. */
+  private[graft] def matchedBitmaps(matched: DataFrame): DataFrame = {
+    val agg = udaf(new RowBitmapAgg, Encoders.scalaLong)
+    matched
+      .groupBy(col(FileCol))
+      .agg(agg(col(RowCol)).as("bitmap"))
+  }
+
   private def deleteCore(
       spark: SparkSession,
       storage: Storage,
@@ -66,23 +99,27 @@ object DmlOps {
       keepSurvivors: DataFrame => DataFrame): Option[Patch] = {
     if (candidates.isEmpty) return None
     val physical = ReadOp.physicalSchema(storage.schema, storage.recordFields)
-    // data file names are uuid-unique: key executor-side rows by name
-    val relByName = candidates.map(c => new Path(c).getName -> c).toMap
+    val conf = spark.sparkContext.hadoopConfiguration
+    // full normalized path → manifest path (basenames are NOT unique for
+    // zero-copy-ingested external files)
+    val relByKey = candidates.map { c =>
+      val abs = new Path(storage.absolute(c))
+      pathKey(abs.getFileSystem(conf).makeQualified(abs).toString) -> c
+    }.toMap
 
     val withPos = spark.read.schema(physical)
       .parquet(candidates.map(storage.absolute): _*)
-      .withColumn(FileCol, element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn(FileCol, col("_metadata.file_path"))
       .withColumn(RowCol, col("_metadata.row_index"))
 
-    // (file, deleted row positions) — bitmap per affected file
-    val matchedRows = markMatched(withPos)
-      .groupBy(col(FileCol))
-      .agg(collect_list(col(RowCol)).as("rows"))
-      .collect()
+    // one (file, serializedBitmap) row per affected file — bitmaps are
+    // built in executors; the driver never sees row positions
+    val matchedRows = matchedBitmaps(markMatched(withPos)).collect()
     if (matchedRows.isEmpty) return None
 
-    val deletedByFile: Map[String, Seq[Long]] = matchedRows.map { r =>
-      relByName(r.getString(0)) -> r.getSeq[Long](1)
+    val deletedByFile: Map[String, RoaringBitmap] = matchedRows.map { r =>
+      val bm = deserializeBitmapBytes(r.getAs[Array[Byte]](1))
+      relByKey(pathKey(r.getString(0))) -> bm
     }.toMap
     val affectedRel = deletedByFile.keySet
 
@@ -137,10 +174,11 @@ object DmlOps {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
     val deleteLog = ChangeLog(deletedRows = deletedByFile.toList.sortBy(_._1).map {
-      case (file, rows) =>
-        val all = fileRows.get(file).contains(rows.size.toLong)
-        RowBitmap(file, allRows = all, numRows = rows.size.toLong,
-          bitmapB64 = if (all) None else Some(serializeBitmap(rows)))
+      case (file, bm) =>
+        val n = bm.getLongCardinality
+        val all = fileRows.get(file).contains(n)
+        RowBitmap(file, allRows = all, numRows = n,
+          bitmapB64 = if (all) None else Some(bitmapToB64(bm)))
     })
 
     Some(Patch(
@@ -152,13 +190,18 @@ object DmlOps {
 
   /** Append with duplicate-primary-key rejection against the current
     * snapshot AND within the input (insert.py:60-104, filter_matched
-    * :119-134 — as a distributed semi-join instead of OR-chains). */
+    * :119-134 — as a distributed semi-join instead of OR-chains). The
+    * dup-check scan is pre-pruned to files overlapping the input's key
+    * range (the same stats prefilter deleteByKeys uses), so inserting a
+    * narrow key range never scans the whole table. */
   def insert(spark: SparkSession, storage: Storage, snapshotId: Long, df: DataFrame): Patch = {
     val pks = storage.primaryKeys
     failOnInternalDupes(df, pks)
-    val existing = ReadOp.scanPhysical(spark, storage, snapshotId)
+    val keys = df.select(pks.map(col): _*)
+    val rangePred = keyRangePredicate(spark, keys, storage)
+    val existing = ReadOp.scanPhysical(spark, storage, snapshotId, rangePred)
       .select(pks.map(col): _*)
-    val dupes = existing.join(df.select(pks.map(col): _*), pks, "left_semi").limit(1).count()
+    val dupes = existing.join(keys, pks, "left_semi").limit(1).count()
     require(dupes == 0, s"insert: input contains existing primary keys")
     RecordIO.writeWithRecords(spark, storage, df)
   }
@@ -180,14 +223,39 @@ object DmlOps {
   def serializeBitmap(rows: Seq[Long]): String = {
     val bm = new RoaringBitmap()
     rows.foreach(r => bm.add(r.toInt))
-    val buf = java.nio.ByteBuffer.allocate(bm.serializedSizeInBytes())
-    bm.serialize(buf)
-    Base64.getEncoder.encodeToString(buf.array())
+    bitmapToB64(bm)
   }
 
-  def deserializeBitmap(b64: String): RoaringBitmap = {
+  def bitmapToB64(bm: RoaringBitmap): String =
+    Base64.getEncoder.encodeToString(bitmapBytes(bm))
+
+  def bitmapBytes(bm: RoaringBitmap): Array[Byte] = {
+    bm.runOptimize()
+    val buf = java.nio.ByteBuffer.allocate(bm.serializedSizeInBytes())
+    bm.serialize(buf)
+    buf.array()
+  }
+
+  def deserializeBitmapBytes(bytes: Array[Byte]): RoaringBitmap = {
     val bm = new RoaringBitmap()
-    bm.deserialize(java.nio.ByteBuffer.wrap(Base64.getDecoder.decode(b64)))
+    bm.deserialize(java.nio.ByteBuffer.wrap(bytes))
     bm
   }
+
+  def deserializeBitmap(b64: String): RoaringBitmap =
+    deserializeBitmapBytes(Base64.getDecoder.decode(b64))
+}
+
+/** Folds per-file row positions into a RoaringBitmap executor-side
+  * (delete.py:215-228's bitmap, built where the rows are). The buffer
+  * rides shuffles via Java serialization (RoaringBitmap is
+  * Externalizable); partial aggregation means each map task ships at most
+  * one small bitmap per file, not its row ids. */
+private[graft] class RowBitmapAgg extends Aggregator[Long, RoaringBitmap, Array[Byte]] {
+  override def zero: RoaringBitmap = new RoaringBitmap()
+  override def reduce(b: RoaringBitmap, row: Long): RoaringBitmap = { b.add(row.toInt); b }
+  override def merge(a: RoaringBitmap, b: RoaringBitmap): RoaringBitmap = { a.or(b); a }
+  override def finish(b: RoaringBitmap): Array[Byte] = DmlOps.bitmapBytes(b)
+  override def bufferEncoder: Encoder[RoaringBitmap] = Encoders.javaSerialization[RoaringBitmap]
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }

@@ -69,7 +69,8 @@ final class RandomAccessReader(ds: SpaceDataset, field: String) {
         var remaining = wanted.toList
         var g: Group = reader.read()
         while (g != null && remaining.nonEmpty) {
-          if (rowIdx == remaining.head._1) {
+          // a while, not an if: the same ordinal may be requested twice
+          while (remaining.nonEmpty && rowIdx == remaining.head._1) {
             val addr = g.getGroup(field, 0)
             addresses(remaining.head._2) =
               (addr.getString("_FILE", 0), addr.getInteger("_ROW_ID", 0))

@@ -222,22 +222,44 @@ final class Storage(val location: String, val conf: Configuration) {
 
   private val lockPath = new Path(rootPath, s"${StoragePaths.MetadataDir}/commit.lock")
 
-  /** Exclusive-create lock file. Local scheme uses nio `createFile`
-    * (true O_EXCL — Hadoop's LocalFileSystem `create(overwrite=false)`
-    * is check-then-create and NOT atomic); HDFS-like schemes use
-    * create-no-overwrite, atomic at the namenode. Stale locks (crashed
-    * writer) are stolen after 60s; acquisition times out after 30s. */
+  /** Steal a lock only after it has sat untouched this long. The locked
+    * critical section is metadata-only IO (reload + commit, milliseconds)
+    * — the threshold is orders of magnitude above worst case, so a steal
+    * means the holder died, not that it is slow. */
+  private val LockStaleMs = 300000L
+
+  private def readLockToken(): Option[String] =
+    try {
+      val in = fs.open(lockPath)
+      try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8)) finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  /** Exclusive-create lock file carrying an OWNERSHIP TOKEN. Local scheme
+    * uses nio `createFile` (true O_EXCL — Hadoop's LocalFileSystem
+    * `create(overwrite=false)` is check-then-create and NOT atomic);
+    * HDFS-like schemes use create-no-overwrite, atomic at the namenode.
+    *
+    * Stale locks (crashed writer) are stolen after [[LockStaleMs]] via
+    * RENAME — only one concurrent stealer's rename succeeds, so two
+    * stealers never both proceed. Release deletes the lock only while it
+    * still holds our token: a holder that somehow outlived the stale
+    * window cannot delete the stealer's lock out from under it. */
   private def withCommitLock[A](body: => A): A = {
     val isLocal = Option(lockPath.toUri.getScheme).forall(_ == "file")
+    val token = java.util.UUID.randomUUID().toString
     val deadline = System.currentTimeMillis() + 30000L
     var acquired = false
     while (!acquired) {
       try {
         if (isLocal) {
-          java.nio.file.Files.createFile(java.nio.file.Paths.get(lockPath.toUri.getPath))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(lockPath.toUri.getPath),
+            token.getBytes(StandardCharsets.UTF_8),
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
         } else {
           val out = fs.create(lockPath, false)
-          out.write(System.currentTimeMillis().toString.getBytes(StandardCharsets.UTF_8))
+          out.write(token.getBytes(StandardCharsets.UTF_8))
           out.close()
         }
         acquired = true
@@ -245,14 +267,24 @@ final class Storage(val location: String, val conf: Configuration) {
         case _: java.io.IOException => // includes FileAlreadyExistsException
           try {
             val age = System.currentTimeMillis() - fs.getFileStatus(lockPath).getModificationTime
-            if (age > 60000L) fs.delete(lockPath, false) // steal stale lock
+            if (age > LockStaleMs) {
+              // rename-to-steal: at most one stealer wins the rename; a
+              // holder releasing concurrently just makes the rename fail
+              val stale = new Path(lockPath.getParent,
+                lockPath.getName + ".stale-" + java.util.UUID.randomUUID())
+              if (fs.rename(lockPath, stale)) fs.delete(stale, false)
+            }
           } catch { case _: java.io.IOException => /* lock vanished: retry */ }
           if (System.currentTimeMillis() > deadline)
             throw new ConcurrentCommitException(s"commit lock timeout at $lockPath")
           Thread.sleep(20L)
       }
     }
-    try body finally fs.delete(lockPath, false)
+    try body finally {
+      // ownership check: delete only OUR lock (ADVICE r1 — without it a
+      // slow holder whose lock was stolen would delete the stealer's)
+      if (readLockToken().contains(token)) fs.delete(lockPath, false)
+    }
   }
 
   def changeLog(snapshotId: Long): Option[ChangeLog] =

@@ -57,7 +57,9 @@ object Scalars {
         size(split(col("text"), " ")).as("raw_parts"),
         element_at(split(col("text"), " "), 1).as("first_tok"),
         array_max(transform(split(col("text"), " "), x => length(x))).as("max_tok_len"),
-        sort_array(slice(split(col("text"), " "), 1, 5)).as("first5_sorted"))),
+        // canonicalized to a string: the driver's pandas hash can't
+        // factorize list columns (round-1 q16 oracle-harness crash)
+        array_join(sort_array(slice(split(col("text"), " "), 1, 5)), " ").as("first5_sorted"))),
 
     // JSON extraction from the events props column
     "q17_json_funcs" -> ((s, d) => {
@@ -138,7 +140,7 @@ object Scalars {
         |  string_split(text, ' ')[1] AS first_tok,
         |  list_max(list_transform(string_split(text, ' '), x -> length(x)))
         |    AS max_tok_len,
-        |  list_sort(string_split(text, ' ')[1:5]) AS first5_sorted
+        |  array_to_string(list_sort(string_split(text, ' ')[1:5]), ' ') AS first5_sorted
         |FROM documents""".stripMargin,
     "q17_json_funcs" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,

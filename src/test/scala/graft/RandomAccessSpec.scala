@@ -34,6 +34,13 @@ class RandomAccessSpec extends AnyFunSuite {
     val batch = reader.getBatch(idx)
     assert(batch.map(new String(_, "UTF-8")) == idx.map(i => new String(all(i.toInt), "UTF-8")))
 
+    // duplicate ordinals each get their payload (ADVICE r1: pass 1 used
+    // to skip the second request for the same row)
+    val dup = Seq(5L, 5L, 0L, n - 1, n - 1, 5L)
+    val dupBatch = reader.getBatch(dup)
+    assert(dupBatch.map(new String(_, "UTF-8")) ==
+      dup.map(i => new String(all(i.toInt), "UTF-8")))
+
     // single get + bounds
     assert(new String(reader.get(0), "UTF-8") == new String(all(0), "UTF-8"))
     intercept[IllegalArgumentException](reader.get(n))
