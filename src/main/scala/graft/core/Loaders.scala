@@ -1,9 +1,11 @@
 package graft.core
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.{col, struct, udf}
+import org.apache.spark.sql.types.IntegerType
 
-import graft.format.{ChangeLog, Patch, RowBitmap, StorageStatistics}
+import graft.format.{ChangeLog, FieldIds, Patch, RowBitmap, StorageStatistics}
 
 /** Zero-copy ingest of EXTERNAL parquet files (reference
   * `LocalParquetLoadOp` `/root/reference/python/src/space/core/loaders/
@@ -35,6 +37,79 @@ object ParquetLoader {
           changeLog = Some(ChangeLog(addedRows = metas.map(m =>
             RowBitmap(m.file, allRows = true, numRows = m.numRows)).toList)))
         (Some(patch), ds.storage.metadata.maxSnapshotId + 1)
+      }
+    }
+  }
+}
+
+/** Zero-copy ingest of EXTERNAL record files (reference
+  * `LocalArrayRecordLoadOp` `/root/reference/python/src/space/core/
+  * loaders/array_record.py:36-109`, mapped to record-Parquet per
+  * SURVEY.md §2.1): existing record files — parquet with a single binary
+  * `value` column — are indexed IN PLACE. Index columns are derived from
+  * each payload by user expressions (`index_fn` analog; arbitrary logic
+  * via `udf(...)` columns), the address column points at the external
+  * file + row position, and the record manifest is built from the
+  * external files' footers. Payload bytes are never copied.
+  *
+  * Spark-first: the reference loads every record file into driver memory
+  * (array_record.py:95 TODO) — here the index derivation is one
+  * distributed scan of the external files, and only the derived index
+  * rows are written.
+  */
+object RecordLoader {
+
+  /** Index `files` into `ds` without copying payloads.
+    *
+    * @param field the table's (single) record field the payloads belong
+    *   to — the reference supports exactly one (array_record.py:66)
+    * @param indexExprs one Column per non-record field, evaluated over
+    *   the payload bytes column `value`
+    * @return the new snapshot id */
+  def loadRecordParquet(
+      spark: SparkSession,
+      ds: SpaceDataset,
+      field: String,
+      files: Seq[String],
+      indexExprs: Map[String, Column]): Long = {
+    val st = ds.storage
+    require(st.recordFields == Seq(field),
+      s"record loader supports exactly one record field, got ${st.recordFields}")
+    val indexFields = st.schema.fieldNames.filterNot(_ == field)
+    require(indexExprs.keySet == indexFields.toSet,
+      s"indexExprs must cover exactly the index fields ${indexFields.mkString(", ")}")
+    val conf = spark.sparkContext.hadoopConfiguration
+
+    st.transaction() { _ =>
+      // address _FILE uses the caller's path spelling; map the scanner's
+      // qualified URIs back to it (full-path keys — basenames collide)
+      val relByKey = files.map { f =>
+        val p = new Path(f)
+        DmlOps.pathKey(p.getFileSystem(conf).makeQualified(p).toString) -> f
+      }.toMap
+      val bc = spark.sparkContext.broadcast(relByKey)
+      val toGivenPath = udf((p: String) => bc.value(BitmapCache.normKey(p)))
+
+      val physical = ReadOp.physicalSchema(st.schema, st.recordFields)
+      val raw = spark.read.parquet(files: _*).select(
+        col("value"),
+        toGivenPath(col("_metadata.file_path")).as("__file"),
+        col("_metadata.row_index").cast(IntegerType).as("__row"))
+      val indexDF = raw.select(physical.fields.map { f =>
+        if (f.name == field)
+          struct(col("__file").as("_FILE"), col("__row").as("_ROW_ID")).as(field)
+        else indexExprs(f.name).cast(f.dataType).as(f.name)
+      }.toIndexedSeq: _*)
+
+      val result = AppendOp.writeFilesWithMeta(spark, st, indexDF)
+      if (result.files.isEmpty) (None, st.metadata.currentSnapshotId)
+      else {
+        val fid = FieldIds.fieldId(st.schema(field))
+        val recordMetas = RecordIO.harvestRecordFooters(
+          spark, st, files.map(_ -> fid))
+        val patch = Patch.merge(
+          Seq(result.patch) ++ RecordIO.recordManifestPatch(spark, st, recordMetas)).get
+        (Some(patch), st.metadata.maxSnapshotId + 1)
       }
     }
   }

@@ -107,7 +107,7 @@ object ManifestIO {
     case other => (other.genericGetMin, other.genericGetMax)
   }
 
-  private def minAny(a: Any, b: Any): Any = (a, b) match {
+  private[graft] def minAny(a: Any, b: Any): Any = (a, b) match {
     case (x: Long, y: Long) => if (x <= y) x else y
     case (x: Int, y: Int) => if (x <= y) x else y
     case (x: Double, y: Double) => if (x <= y) x else y
@@ -115,13 +115,34 @@ object ManifestIO {
     case (x: String, y: String) => if (x <= y) x else y
     case _ => a
   }
-  private def maxAny(a: Any, b: Any): Any = (a, b) match {
+  private[graft] def maxAny(a: Any, b: Any): Any = (a, b) match {
     case (x: Long, y: Long) => if (x >= y) x else y
     case (x: Int, y: Int) => if (x >= y) x else y
     case (x: Double, y: Double) => if (x >= y) x else y
     case (x: Float, y: Float) => if (x >= y) x else y
     case (x: String, y: String) => if (x >= y) x else y
     case _ => a
+  }
+
+  /** Global (min, max) of a primary-key field across the current
+    * snapshot's manifest stats — the input-range half of the reference's
+    * stats-driven join partitioning (ray/ops/join.py:148-176). None when
+    * the field has no stats column or any file lacks stats (conservative:
+    * an unknown file could extend the range). */
+  def keyRange(spark: SparkSession, storage: Storage, field: String): Option[(Any, Any)] = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    val f = storage.schema(field)
+    if (!statsEligible(f.dataType)) return None
+    val ms = storage.metadata.currentSnapshot.manifestFiles.indexManifestFiles
+    if (ms.isEmpty) return None
+    val cname = statsColName(FieldIds.fieldId(f))
+    val mdf = readIndexManifests(spark, storage, ms)
+    if (!mdf.columns.contains(cname)) return None
+    val r = mdf.agg(
+      min(col(s"$cname._MIN")), max(col(s"$cname._MAX")),
+      count(lit(1)), count(col(s"$cname._MIN"))).collect()(0)
+    if (r.isNullAt(0) || r.getLong(2) != r.getLong(3)) None
+    else Some((r.get(0), r.get(1)))
   }
 
   /** Write an index manifest parquet file at a fresh metadata path;

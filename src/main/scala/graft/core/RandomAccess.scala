@@ -24,6 +24,9 @@ final class RandomAccessReader(ds: SpaceDataset, field: String) {
   require(ds.storage.recordFields.contains(field), s"$field is not a record field")
 
   private val conf: Configuration = ds.spark.sparkContext.hadoopConfiguration
+  // inverse payload codec, same hook as the stitch path (the reference
+  // deserializes TFDS records on random access, random_access.py:176-183)
+  private val serializer = graft.format.SerializerRegistry.resolve(ds.storage.schema(field))
 
   /** (absolute index file path, rows) in manifest order + running total. */
   private val files: Seq[(String, Long)] = {
@@ -94,7 +97,7 @@ final class RandomAccessReader(ds: SpaceDataset, field: String) {
         var g: Group = reader.read()
         while (g != null && remaining.nonEmpty) {
           while (remaining.nonEmpty && rowIdx == remaining.head._1) {
-            result(remaining.head._2) = g.getBinary("value", 0).getBytes
+            result(remaining.head._2) = serializer.deserialize(g.getBinary("value", 0).getBytes)
             remaining = remaining.tail
           }
           rowIdx += 1

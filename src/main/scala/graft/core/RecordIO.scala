@@ -55,6 +55,9 @@ object RecordIO {
     val recordIdx = recordFields.map(rf => schema.fieldIndex(rf)).toArray
     val location = storage.location
     val fieldNames = recordFields.toArray
+    // per-field payload codec (serializers/base.py:30-108; FieldSerializer
+    // is Serializable, so instances ride the task closure)
+    val serializers = recordIdx.map(i => i -> SerializerRegistry.resolve(schema(i))).toMap
 
     val indexDF = aligned.mapPartitions { it =>
       val conf = new Configuration()
@@ -74,7 +77,7 @@ object RecordIO {
             vals(i) =
               if (bytes == null) null
               else {
-                val (file, rowId) = writerByIdx(i).write(bytes)
+                val (file, rowId) = writerByIdx(i).write(serializers(i).serialize(bytes))
                 Row(file, rowId)
               }
           }
@@ -90,35 +93,61 @@ object RecordIO {
     // files, footer-harvested (record.py:27-32)
     val newIndexAbs = result.files.map(f => storage.absolute(f.file))
     val idxDF = spark.read.parquet(newIndexAbs: _*)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val recordMetas = recordFields.flatMap { rf =>
+    val toHarvest = recordFields.flatMap { rf =>
       val fid = FieldIds.fieldId(schema(rf))
-      val files = idxDF.select(col(s"$rf._FILE")).na.drop().distinct()
-        .collect().map(_.getString(0)).toSeq
-      files.map { relFile =>
-        val reader = ParquetFileReader.open(
-          HadoopInputFile.fromPath(new Path(storage.absolute(relFile)), conf))
-        try {
-          val blocks = reader.getFooter.getBlocks.asScala
-          (relFile, fid, blocks.map(_.getRowCount).sum, blocks.map(_.getTotalByteSize).sum)
-        } finally reader.close()
-      }
+      idxDF.select(col(s"$rf._FILE")).na.drop().distinct()
+        .collect().map(_.getString(0) -> fid).toSeq
+    }
+    val recordMetas = harvestRecordFooters(spark, storage, toHarvest)
+    recordManifestPatch(spark, storage, recordMetas) match {
+      case None => result.patch
+      case Some(p) => Patch.merge(Seq(result.patch, p)).get
+    }
+  }
+
+  /** One (file, fieldId, numRows, uncompressedBytes) row per record file,
+    * footer-harvested by a Spark job — one small task per batch of files,
+    * not a serial driver loop (the harvest is O(record files)). */
+  private[core] def harvestRecordFooters(
+      spark: SparkSession,
+      storage: Storage,
+      files: Seq[(String, Int)]): Seq[(String, Int, Long, Long)] =
+    if (files.isEmpty) Nil
+    else {
+      val withAbs = files.map { case (rel, fid) => (rel, fid, storage.absolute(rel)) }
+      spark.sparkContext
+        .parallelize(withAbs, math.max(1, math.min(withAbs.size, 32)))
+        .map { case (rel, fid, abs) =>
+          val reader = ParquetFileReader.open(
+            HadoopInputFile.fromPath(new Path(abs), new Configuration()))
+          try {
+            val blocks = reader.getFooter.getBlocks.asScala
+            (rel, fid, blocks.map(_.getRowCount).sum, blocks.map(_.getTotalByteSize).sum)
+          } finally reader.close()
+        }
+        .collect().toSeq.sortBy(r => (r._2, r._1))
     }
 
-    if (recordMetas.isEmpty) return result.patch
+  /** Write a record manifest for `metas`; None when there is nothing to
+    * record. The stats delta counts record payload bytes. */
+  private[core] def recordManifestPatch(
+      spark: SparkSession,
+      storage: Storage,
+      metas: Seq[(String, Int, Long, Long)]): Option[Patch] = {
+    if (metas.isEmpty) return None
     val manifestSchema = StructType(Seq(
       StructField("_FILE", StringType, nullable = false),
       StructField("_FIELD_ID", IntegerType, nullable = false),
       StructField("_NUM_ROWS", LongType, nullable = false),
       StructField("_UNCOMPRESSED_BYTES", LongType, nullable = false)))
-    val rows = recordMetas.map(m => Row(m._1, m._2, m._3, m._4))
+    val rows = metas.map(m => Row(m._1, m._2, m._3, m._4))
     val rel = StoragePaths.newRecordManifestFile()
-    DriverParquet.write(conf, storage.absolute(rel), manifestSchema, rows)
-
-    Patch.merge(Seq(result.patch, Patch(
+    DriverParquet.write(spark.sparkContext.hadoopConfiguration,
+      storage.absolute(rel), manifestSchema, rows)
+    Some(Patch(
       addedRecordManifests = List(rel),
       statsDelta = StorageStatistics(
-        recordUncompressedBytes = recordMetas.map(_._4).sum)))).get
+        recordUncompressedBytes = metas.map(_._4).sum)))
   }
 
   /** Stitch record values back into a physical-schema DataFrame
@@ -144,16 +173,33 @@ object RecordIO {
     if (files.isEmpty)
       return df.withColumn(rf, lit(null).cast(BinaryType))
 
+    // map each scanned file back to the exact path spelling the address
+    // column uses, via FULL normalized paths (basenames collide for
+    // externally-ingested record files)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val relByKey: Map[String, String] = files.map { rel =>
+      val abs = new Path(storage.absolute(rel))
+      DmlOps.pathKey(abs.getFileSystem(conf).makeQualified(abs).toString) -> rel
+    }.toMap
+    val bc = spark.sparkContext.broadcast(relByKey)
+    val toAddressPath = udf((p: String) => bc.value(BitmapCache.normKey(p)))
+
     val fileKey = s"__${rf}_file"
     val rowKey = s"__${rf}_row"
+    // inverse payload codec (base.py:30-108: serializers apply in the
+    // record read path)
+    val ser = SerializerRegistry.resolve(storage.schema(rf))
+    val valueCol =
+      if (SerializerRegistry.isPassthrough(ser)) col("value")
+      else udf((b: Array[Byte]) => if (b == null) null else ser.deserialize(b)).apply(col("value"))
     val records = spark.read.parquet(files.map(storage.absolute): _*)
       .select(
-        col("value").as(s"__${rf}_value"),
-        element_at(split(col("_metadata.file_path"), "/"), -1).as(fileKey),
+        valueCol.as(s"__${rf}_value"),
+        toAddressPath(col("_metadata.file_path")).as(fileKey),
         col("_metadata.row_index").cast(IntegerType).as(rowKey))
 
     df
-      .withColumn(fileKey, element_at(split(col(s"$rf._FILE"), "/"), -1))
+      .withColumn(fileKey, col(s"$rf._FILE"))
       .withColumn(rowKey, col(s"$rf._ROW_ID"))
       .join(records, Seq(fileKey, rowKey), "left")
       .withColumn(rf, col(s"__${rf}_value"))

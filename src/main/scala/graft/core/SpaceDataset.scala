@@ -73,6 +73,18 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
       (Some(patch), storage.metadata.maxSnapshotId + 1)
     }
 
+  /** Append from N sources in ONE snapshot (`append_from`, reference
+    * runners.py:149-157 / ray/runners.py:282-318: parallel writers, one
+    * merged patch, one commit). Each source function returns a DataFrame
+    * — the Spark analog of the reference's iterator factories; each
+    * source's write is its own distributed job, patches merge into a
+    * single atomic commit whose changelog covers all sources. */
+  def appendFrom(sources: Seq[() => DataFrame], branch: String = currentBranch): Long =
+    storage.transaction(branch) { _ =>
+      val patches = sources.map(fn => RecordIO.writeWithRecords(spark, storage, fn()))
+      (Patch.merge(patches), storage.metadata.maxSnapshotId + 1)
+    }
+
   def delete(cond: Column, branch: String = currentBranch): Long =
     storage.transaction(branch) { pinned =>
       (DmlOps.delete(spark, storage, pinned, cond), storage.metadata.maxSnapshotId + 1)

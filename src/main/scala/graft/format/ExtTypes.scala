@@ -19,10 +19,22 @@ object ExtTypes {
   val TfFeaturesType = "tf_features"
   val FileTypeName = "file"
   val DirectoryKey = "graft.ext.directory"
+  /** Name of the [[FieldSerializer]] applied to this record field's
+    * payloads (resolved via [[SerializerRegistry]]). */
+  val SerializerKey = "graft.ext.serializer"
 
   def tfFeaturesField(name: String): StructField =
     StructField(name, BinaryType, nullable = true,
       new MetadataBuilder().putString(TypeKey, TfFeaturesType).build())
+
+  /** A binary record field whose payloads pass through the named
+    * serializer on write and its inverse on read/stitch/random-access. */
+  def serializedField(name: String, serializer: String): StructField =
+    StructField(name, BinaryType, nullable = true,
+      new MetadataBuilder().putString(SerializerKey, serializer).build())
+
+  def serializerName(f: StructField): Option[String] =
+    if (f.metadata.contains(SerializerKey)) Some(f.metadata.getString(SerializerKey)) else None
 
   def fileField(name: String, directory: String): StructField =
     StructField(name, StringType, nullable = true,
@@ -41,14 +53,52 @@ object ExtTypes {
 }
 
 /** Per-field record-payload serializer hook (reference `FieldSerializer`
-  * serializers/base.py:30-108). Default is bytes pass-through; a TFDS
-  * FeaturesDict codec would plug in here. */
+  * serializers/base.py:30-108, applied in the record read/write paths).
+  * Spark deviation (documented): the in-memory representation of a
+  * record field is its logical binary value, so a serializer is a BYTE
+  * CODEC — `serialize` maps the logical payload to its on-disk form on
+  * append, `deserialize` inverts it on stitch and random access. The
+  * reference's TFDS FeaturesDict codec (tf_features.py:29-64) is exactly
+  * such a codec (structured example ↔ serialized proto bytes); the TF
+  * stack is not available in this environment, so `tf_features` resolves
+  * to pass-through unless a real codec is registered under that name. */
 trait FieldSerializer extends Serializable {
-  def serialize(value: Any): Array[Byte]
-  def deserialize(bytes: Array[Byte]): Any
+  def serialize(value: Array[Byte]): Array[Byte]
+  def deserialize(bytes: Array[Byte]): Array[Byte]
 }
 
 object BytesPassthroughSerializer extends FieldSerializer {
-  def serialize(value: Any): Array[Byte] = value.asInstanceOf[Array[Byte]]
-  def deserialize(bytes: Array[Byte]): Any = bytes
+  def serialize(value: Array[Byte]): Array[Byte] = value
+  def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+}
+
+/** Registry of named serializers (the schema persists only the NAME —
+  * same persistability rule as transforms: registered instance or FQCN
+  * of a no-arg [[FieldSerializer]] class). */
+object SerializerRegistry {
+  private val registry = scala.collection.concurrent.TrieMap.empty[String, FieldSerializer]
+
+  def register(name: String, s: FieldSerializer): Unit = registry.put(name, s)
+
+  /** Serializer for a record field: explicit marker first, then the
+    * TfFeatures default, else pass-through. */
+  def resolve(f: StructField): FieldSerializer =
+    ExtTypes.serializerName(f) match {
+      case Some(n) =>
+        registry.get(n).orElse(loadClass(n)).getOrElse {
+          if (n == ExtTypes.TfFeaturesType) BytesPassthroughSerializer
+          else throw new IllegalArgumentException(s"serializer $n not registered")
+        }
+      case None if ExtTypes.isTfFeatures(f) =>
+        registry.getOrElse(ExtTypes.TfFeaturesType, BytesPassthroughSerializer)
+      case None => BytesPassthroughSerializer
+    }
+
+  def isPassthrough(s: FieldSerializer): Boolean = s eq BytesPassthroughSerializer
+
+  private def loadClass(name: String): Option[FieldSerializer] =
+    if (!name.contains(".")) None
+    else scala.util.Try(
+      Class.forName(name).getDeclaredConstructor().newInstance().asInstanceOf[FieldSerializer]
+    ).toOption
 }

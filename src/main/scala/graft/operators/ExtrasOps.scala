@@ -36,6 +36,38 @@ object ExtrasOps {
       ds.read(filter = Some(col("l_orderkey") <= 100L))
     }),
 
+    // zero-copy ingest of EXTERNAL record files: payload parquet stays
+    // where it is; index columns derived from the payloads by expression
+    // (array_record.py:36-109 analog), addresses point at the external
+    // files, manifests footer-only
+    "s_load_records" -> ((s, d) => {
+      val docs = Tables.read(s, d, "documents")
+      // fabricate the pre-existing record files: plain parquet with one
+      // binary `value` column holding the full serialized record
+      val extDir = fresh("extrec")
+      docs.select(encode(concat_ws("\u0001",
+          col("doc_id"), col("source"), col("text")), "UTF-8").as("value"))
+        .repartition(4).write.mode("overwrite").parquet(extDir)
+      val extFiles = new java.io.File(extDir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath).sorted.toSeq
+
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType)))
+      val ds = SpaceDataset.create(s, fresh("ldrec") + "/tbl", schema,
+        Seq("doc_id"), Seq("payload"))
+      RecordLoader.loadRecordParquet(s, ds, "payload", extFiles, Map(
+        "doc_id" -> expr("CAST(split(decode(value, 'UTF-8'), '\u0001', 3)[0] AS BIGINT)"),
+        "source" -> expr("split(decode(value, 'UTF-8'), '\u0001', 3)[1]")))
+      ds.readAll().select(col("doc_id"), col("source"),
+        expr("split(decode(payload, 'UTF-8'), '\u0001', 3)[2]").as("text"))
+    }),
+
     // SQL over graft tables: read() registers as temp views, the whole
     // Spark SQL surface applies (SURVEY.md §2.9 obligation (b))
     "s_sql" -> ((s, d) => {
@@ -56,6 +88,7 @@ object ExtrasOps {
   val oracleSql: Map[String, String] = Map(
     "s_catalog" -> "SELECT * FROM region",
     "s_load_parquet" -> "SELECT * FROM lineitem WHERE l_orderkey <= 100",
+    "s_load_records" -> "SELECT doc_id, source, text FROM documents",
     "s_sql" ->
       """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey

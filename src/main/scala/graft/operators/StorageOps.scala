@@ -170,6 +170,27 @@ object StorageOps {
       mv.dataset.readAll()
     }),
 
+    // join view over two record-field tables: per-side field selection,
+    // addresses (not payloads) cross the key join, payloads stitched
+    // back after (views.py:183-224 + ray/ops/join.py:120-135 semantics)
+    "s_join_views" -> ((s, d) => {
+      import graft.views._
+      val docs = t(s, d, "documents")
+      val lRows = docs.selectExpr("doc_id", "source", "encode(text, 'UTF-8') AS body")
+      val lds = SpaceDataset.create(s, fresh("jvl"), lRows.schema, Seq("doc_id"), Seq("body"))
+      lds.append(lRows)
+      val rRows = docs.filter(col("doc_id") % 3 === 0)
+        .selectExpr("doc_id", "length(text) AS text_len",
+          "encode(substring(text, 1, 40), 'UTF-8') AS head")
+      val rds = SpaceDataset.create(s, fresh("jvr"), rRows.schema, Seq("doc_id"), Seq("head"))
+      rds.append(rRows)
+      View.ofDataset(lds).join(View.ofDataset(rds), "doc_id",
+        leftFields = Some(Seq("source", "body")))
+        .toDF(s)
+        .selectExpr("doc_id", "source", "decode(body, 'UTF-8') AS body_text",
+          "text_len", "decode(head, 'UTF-8') AS head_text")
+    }),
+
     // snapshot × refs introspection (rows-only check: engine-specific)
     "s_versions" -> ((s, d) => {
       val o = t(s, d, "orders").limit(100)
@@ -208,6 +229,11 @@ object StorageOps {
         |SELECT o_orderkey, 3, 'ADD' FROM orders
         |  WHERE o_orderkey > 600 AND o_orderkey <= 700""".stripMargin,
     "s_record_roundtrip" -> "SELECT * FROM documents",
+    "s_join_views" ->
+      """SELECT doc_id, source, text AS body_text,
+        |  length(text) AS text_len,
+        |  substring(text, 1, 40) AS head_text
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
     "s_mv_refresh" ->
       """SELECT o_orderkey, o_custkey, o_totalprice * 2 AS fee
         |FROM orders

@@ -97,6 +97,8 @@ object MaterializedView {
       view: View,
       primaryKeys: Seq[String],
       recordFields: Seq[String] = Nil): MaterializedView = {
+    // the reference raises on materializing joins (transform/join.py:128-129)
+    require(!view.plan.containsJoin, "materialized view of a join is not supported")
     val schema = view.plan.toDF(spark).schema
     val storage = Storage.create(location, schema, primaryKeys, recordFields,
       tableType = TableType.MaterializedView,

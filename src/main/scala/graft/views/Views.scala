@@ -34,8 +34,7 @@ sealed trait ViewPlan {
       TransformRegistry.resolve(name).apply(input.toDF(spark), params)
     case FilterNode(name, params, input) =>
       TransformRegistry.resolve(name).apply(input.toDF(spark), params)
-    case JoinNode(left, right, key) =>
-      left.toDF(spark).join(right.toDF(spark), Seq(key), "inner")
+    case j: JoinNode => JoinExec.run(spark, j)
   }
 
   /** Apply only the TRANSFORM pipeline of this view to a change batch
@@ -48,7 +47,7 @@ sealed trait ViewPlan {
       TransformRegistry.resolve(name).apply(input.processSource(spark, batch), params)
     case FilterNode(name, params, input) =>
       TransformRegistry.resolve(name).apply(input.processSource(spark, batch), params)
-    case JoinNode(_, _, _) =>
+    case _: JoinNode =>
       throw new UnsupportedOperationException("join views do not support incremental refresh")
   }
 
@@ -57,8 +56,15 @@ sealed trait ViewPlan {
     case ReadTable(l) => l
     case MapNode(_, _, i) => i.sourceLocation
     case FilterNode(_, _, i) => i.sourceLocation
-    case JoinNode(_, _, _) =>
+    case _: JoinNode =>
       throw new UnsupportedOperationException("join views have no single source")
+  }
+
+  def containsJoin: Boolean = this match {
+    case ReadTable(_) => false
+    case MapNode(_, _, i) => i.containsJoin
+    case FilterNode(_, _, i) => i.containsJoin
+    case _: JoinNode => true
   }
 
   def json: String = JsonMethods.compact(JsonMethods.render(ViewPlan.toJValue(this)))
@@ -67,7 +73,19 @@ sealed trait ViewPlan {
 final case class ReadTable(location: String) extends ViewPlan
 final case class MapNode(transform: String, params: Map[String, String], input: ViewPlan) extends ViewPlan
 final case class FilterNode(transform: String, params: Map[String, String], input: ViewPlan) extends ViewPlan
-final case class JoinNode(left: ViewPlan, right: ViewPlan, key: String) extends ViewPlan
+
+/** One-key join with per-side field selection and `reference_read`
+  * (views.py:183-224): a side with referenceRead=true keeps record-field
+  * ADDRESS structs in the output instead of payloads. `None` fields =
+  * all fields of that side. */
+final case class JoinNode(
+    left: ViewPlan,
+    right: ViewPlan,
+    key: String,
+    leftFields: Option[List[String]] = None,
+    rightFields: Option[List[String]] = None,
+    leftReferenceRead: Boolean = false,
+    rightReferenceRead: Boolean = false) extends ViewPlan
 
 object ViewPlan {
 
@@ -79,8 +97,13 @@ object ViewPlan {
     case FilterNode(n, ps, i) => JObject("type" -> JString("filter"), "name" -> JString(n),
       "params" -> JObject(ps.toList.map { case (k, v) => k -> (JString(v): JValue) }),
       "input" -> toJValue(i))
-    case JoinNode(l, r, k) => JObject("type" -> JString("join"),
-      "left" -> toJValue(l), "right" -> toJValue(r), "key" -> JString(k))
+    case JoinNode(l, r, k, lf, rf, lref, rref) => JObject(List(
+      "type" -> (JString("join"): JValue),
+      "left" -> toJValue(l), "right" -> toJValue(r), "key" -> JString(k)) ++
+      lf.map(f => "left_fields" -> (JArray(f.map(JString(_))): JValue)).toList ++
+      rf.map(f => "right_fields" -> (JArray(f.map(JString(_))): JValue)).toList ++
+      (if (lref) List("left_reference_read" -> (JBool(true): JValue)) else Nil) ++
+      (if (rref) List("right_reference_read" -> (JBool(true): JValue)) else Nil))
   }
 
   /** `load_view` analog (udfs.py:249-266): unknown node type → error. */
@@ -99,7 +122,18 @@ object ViewPlan {
       case "read" => ReadTable(str("location"))
       case "map" => MapNode(str("name"), params, fromJValue(j \ "input"))
       case "filter" => FilterNode(str("name"), params, fromJValue(j \ "input"))
-      case "join" => JoinNode(fromJValue(j \ "left"), fromJValue(j \ "right"), str("key"))
+      case "join" =>
+        def fieldList(name: String): Option[List[String]] = (j \ name) match {
+          case JArray(vs) => Some(vs.collect { case JString(v) => v })
+          case _ => None
+        }
+        def bool(name: String): Boolean = (j \ name) match {
+          case JBool(v) => v
+          case _ => false
+        }
+        JoinNode(fromJValue(j \ "left"), fromJValue(j \ "right"), str("key"),
+          fieldList("left_fields"), fieldList("right_fields"),
+          bool("left_reference_read"), bool("right_reference_read"))
       case other => throw new IllegalArgumentException(s"unknown plan node: $other")
     }
   }
@@ -147,8 +181,20 @@ final class View(val plan: ViewPlan) {
     new View(FilterNode(name, params, plan))
   def filterExpr(e: String): View =
     filterTransform("filter_expr", Map("expr" -> e))
-  def join(other: View, key: String): View =
-    new View(JoinNode(plan, other.plan, key))
+  /** One-key inner join (views.py:183-224). Each side may project fields
+    * (`None` = all; the key is auto-added; at least one non-key field is
+    * required) and may ask for `referenceRead`: record fields of that
+    * side stay ADDRESS structs in the output instead of payloads. */
+  def join(
+      other: View,
+      key: String,
+      leftFields: Option[Seq[String]] = None,
+      rightFields: Option[Seq[String]] = None,
+      leftReferenceRead: Boolean = false,
+      rightReferenceRead: Boolean = false): View =
+    new View(JoinNode(plan, other.plan, key,
+      leftFields.map(_.toList), rightFields.map(_.toList),
+      leftReferenceRead, rightReferenceRead))
 
   def toDF(spark: SparkSession): DataFrame = plan.toDF(spark)
 

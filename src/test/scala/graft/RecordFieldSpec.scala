@@ -70,6 +70,80 @@ class RecordFieldSpec extends AnyFunSuite {
     assert(back.exceptAll(exp).isEmpty && exp.exceptAll(back).isEmpty)
   }
 
+  test("zero-copy record ingest: external payload files indexed in place") {
+    val docs = Tables.read(spark, sfDir, "documents")
+    val extDir = Files.createTempDirectory("graft_ext_").toString
+    docs.select(encode(concat_ws("\u0001", col("doc_id"), col("text")), "UTF-8").as("value"))
+      .repartition(3).write.mode("overwrite").parquet(extDir)
+    val extFiles = new java.io.File(extDir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath).sorted.toSeq
+    assert(extFiles.size == 3)
+
+    val loc = freshLoc()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("body", org.apache.spark.sql.types.BinaryType)))
+    val ds = SpaceDataset.create(spark, loc, schema, Seq("doc_id"), Seq("body"))
+    RecordLoader.loadRecordParquet(spark, ds, "body", extFiles, Map(
+      "doc_id" -> expr("CAST(split(decode(value, 'UTF-8'), '\u0001', 2)[0] AS BIGINT)")))
+
+    // payloads were NOT copied: no record data files under the table,
+    // record manifest points at the external paths
+    val recDir = new java.io.File(loc, "data/records")
+    val copied = Option(recDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+    assert(copied.isEmpty, s"payloads copied: ${copied.map(_.getName).toSeq}")
+    val manifestFiles = ds.recordManifest().select("_FILE")
+      .collect().map(_.getString(0)).toSet
+    assert(manifestFiles == extFiles.toSet)
+
+    // roundtrip: stitched payloads decode to the original text
+    val back = ds.readAll()
+      .select(col("doc_id"), expr("split(decode(body, 'UTF-8'), '\u0001', 2)[1]").as("text"))
+    val exp = docs.select(col("doc_id"), col("text"))
+    assert(back.count() == exp.count())
+    assert(back.exceptAll(exp).isEmpty && exp.exceptAll(back).isEmpty)
+
+    // random access works over external record files too
+    val ra = new RandomAccessReader(ds, "body")
+    assert(ra.length == docs.count())
+    val one = new String(ra.get(0), "UTF-8")
+    assert(one.contains("\u0001"))
+  }
+
+  test("field serializer: payloads encoded on write, decoded on read and random access") {
+    graft.format.SerializerRegistry.register("xor-test", new XorSerializer)
+    val docs = docsBinary.filter(col("doc_id") < 100L)
+    val loc = freshLoc()
+    // schema carries the serializer marker on the record field
+    val schema = org.apache.spark.sql.types.StructType(
+      docs.schema.fields.map { f =>
+        if (f.name == "text") graft.format.ExtTypes.serializedField("text", "xor-test")
+        else f
+      })
+    val ds = SpaceDataset.create(spark, loc, schema, Seq("doc_id"), Seq("text"))
+    ds.append(docs)
+
+    // logical read round-trips through the codec
+    val back = ds.readAll().withColumn("text", decode(col("text"), "UTF-8"))
+    val exp = Tables.read(spark, sfDir, "documents").filter(col("doc_id") < 100L)
+    assert(back.exceptAll(exp).isEmpty && exp.exceptAll(back).isEmpty)
+
+    // on-disk record bytes are the ENCODED form, not the raw payload
+    val recDir = new java.io.File(s"$loc/data/records")
+    val rawOnDisk = spark.read.parquet(recDir.listFiles().map(_.getAbsolutePath).toIndexedSeq: _*)
+      .select("value").limit(1).collect()(0).getAs[Array[Byte]](0)
+    val plainTexts = exp.select("text").collect().map(_.getString(0)).toSet
+    assert(!plainTexts.contains(new String(rawOnDisk, "UTF-8")),
+      "record file stores raw payloads; serializer was not applied on write")
+    assert(plainTexts.contains(new String(new XorSerializer().deserialize(rawOnDisk), "UTF-8")))
+
+    // random access decodes too
+    val ra = new RandomAccessReader(ds, "text")
+    assert(plainTexts.contains(new String(ra.get(0), "UTF-8")))
+  }
+
   test("upsert replaces record payloads") {
     val docs = docsBinary
     val loc = freshLoc()
@@ -83,4 +157,11 @@ class RecordFieldSpec extends AnyFunSuite {
       up.count())
     assert(back.count() == docs.count())
   }
+}
+
+/** Trivially invertible codec for the serializer-wiring spec. */
+class XorSerializer extends graft.format.FieldSerializer {
+  private def xor(b: Array[Byte]): Array[Byte] = b.map(x => (x ^ 0x5a).toByte)
+  def serialize(value: Array[Byte]): Array[Byte] = xor(value)
+  def deserialize(bytes: Array[Byte]): Array[Byte] = xor(bytes)
 }

@@ -60,6 +60,25 @@ class StorageSpec extends AnyFunSuite {
     }
   }
 
+  test("append_from: four sources land in one snapshot with one changelog") {
+    val loc = freshLoc()
+    val ds = SpaceDataset.create(spark, loc, orders.schema, Seq("o_orderkey"))
+    val before = ds.storage.metadata.currentSnapshotId
+    val sources = (0 until 4).map { i =>
+      () => orders.filter(col("o_orderkey") % 4 === i)
+    }
+    ds.appendFrom(sources)
+    // exactly ONE commit for all four sources
+    assert(ds.storage.metadata.currentSnapshotId == before + 1)
+    val back = ds.readAll()
+    assert(back.count() == orders.count())
+    assert(back.exceptAll(orders).isEmpty && orders.exceptAll(back).isEmpty)
+    // the single changelog covers every appended row
+    val cl = ds.storage.changeLog(ds.storage.metadata.currentSnapshotId).get
+    assert(cl.addedRows.map(_.numRows).sum == orders.count())
+    assert(cl.deletedRows.isEmpty)
+  }
+
   test("CoW delete removes matching rows and records a changelog") {
     val loc = freshLoc()
     val ds = SpaceDataset.create(spark, loc, orders.schema, Seq("o_orderkey"))

@@ -56,6 +56,71 @@ class ViewSpec extends AnyFunSuite {
     intercept[UnsupportedOperationException](v.plan.sourceLocation)
   }
 
+  test("join view: per-side fields, reference_read, payloads stay out of the shuffle") {
+    val docs = Tables.read(spark, sfDir, "documents")
+    // two record-field tables sharing the doc_id key
+    val lLoc = freshLoc("jl")
+    val lds = SpaceDataset.create(spark, lLoc,
+      docs.selectExpr("doc_id", "source", "encode(text, 'UTF-8') AS body").schema,
+      Seq("doc_id"), Seq("body"))
+    lds.append(docs.selectExpr("doc_id", "source", "encode(text, 'UTF-8') AS body"))
+
+    val rLoc = freshLoc("jr")
+    val rRows = docs.filter(col("doc_id") % 3 === 0)
+      .selectExpr("doc_id", "length(text) AS text_len", "encode(substring(text, 1, 40), 'UTF-8') AS head")
+    val rds = SpaceDataset.create(spark, rLoc, rRows.schema, Seq("doc_id"), Seq("head"))
+    rds.append(rRows)
+
+    val v = View.ofDataset(lds).join(View.ofDataset(rds), "doc_id",
+      leftFields = Some(Seq("source", "body")))
+    val got = v.toDF(spark)
+    assert(got.columns.toSeq == Seq("doc_id", "source", "body", "text_len", "head"))
+
+    // scale shape: no binary payload column feeds the key join — only
+    // address structs cross that shuffle; payloads join in afterwards
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.types.BinaryType
+    val joins = got.queryExecution.optimizedPlan.collect { case jn: Join => jn }
+    val keyJoin = joins.find(_.condition.exists(_.toString.contains("doc_id"))).get
+    val binIn = (keyJoin.left.output ++ keyJoin.right.output).filter(_.dataType == BinaryType)
+    assert(binIn.isEmpty, s"payload bytes cross the key join: ${binIn.map(_.name)}")
+
+    // content correct after the post-join stitch
+    val exp = docs.filter(col("doc_id") % 3 === 0)
+      .selectExpr("doc_id", "source", "text AS body_s", "length(text) AS text_len",
+        "substring(text, 1, 40) AS head_s")
+    val gotS = got.selectExpr("doc_id", "source", "decode(body, 'UTF-8') AS body_s",
+      "text_len", "decode(head, 'UTF-8') AS head_s")
+    assert(gotS.count() == exp.count())
+    assert(gotS.exceptAll(exp).isEmpty && exp.exceptAll(gotS).isEmpty)
+
+    // reference_read=true keeps the address struct in the output
+    val vRef = View.ofDataset(lds).join(View.ofDataset(rds), "doc_id",
+      leftFields = Some(Seq("source", "body")), leftReferenceRead = true)
+    val refDF = vRef.toDF(spark)
+    assert(refDF.schema("body").dataType == ReadOp.AddressType)
+
+    // plan JSON roundtrips the join options
+    assert(ViewPlan.fromJson(vRef.plan.json) == vRef.plan)
+
+    // name collisions between sides are rejected
+    val rColl = freshLoc("jc")
+    val cds = SpaceDataset.create(spark, rColl,
+      docs.selectExpr("doc_id", "source").schema, Seq("doc_id"))
+    cds.append(docs.selectExpr("doc_id", "source"))
+    intercept[IllegalArgumentException](
+      View.ofDataset(lds).join(View.ofDataset(cds), "doc_id").toDF(spark))
+
+    // projecting only the key is rejected (views.py:202-210)
+    intercept[IllegalArgumentException](
+      View.ofDataset(lds).join(View.ofDataset(rds), "doc_id",
+        leftFields = Some(Seq("doc_id"))).toDF(spark))
+
+    // MVs of joins are rejected (transform/join.py:128-129)
+    intercept[IllegalArgumentException](
+      MaterializedView.create(spark, freshLoc("jmv"), v, Seq("doc_id")))
+  }
+
   test("MV incremental refresh == full recompute across append/delete/upsert") {
     val src = sourceTable() // s1: keys <= 1000
     val v = View.ofDataset(src)
