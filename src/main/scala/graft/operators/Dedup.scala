@@ -121,14 +121,21 @@ object Dedup {
 
   /** Exact n-gram Jaccard pairs within a blocking key (all-pairs inside
     * each block only — at scale the block is a cheap partition key like
-    * source/length-bucket; full cross-join is never materialized). */
+    * source/length-bucket; full cross-join is never materialized).
+    *
+    * The block self-join is SALTED (SkewUtils.saltedJoin): one hot block
+    * would otherwise concentrate its O(n²) pair generation in a single
+    * task; with salting the block's pairs spread over `salts` tasks (the
+    * b-side partitions by a per-row hash salt, the a-side replicates —
+    * only (id, size) rows, 16 bytes each, ever replicate or shuffle). */
   def ngramJaccardPairs(
       df: DataFrame,
       textCol: String,
       idCol: String,
       blockCol: String,
       n: Int = 2,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      salts: Int = 8): DataFrame = {
     val grams = df.select(col(blockCol).as("block"), col(idCol).as("id"),
       TF.wordShingleHashes(col(textCol), n).as("grams"))
       .withColumn("sz", size(col("grams")))
@@ -137,9 +144,11 @@ object Dedup {
     // size-ratio prefilter (J ≤ min|·|/max|·| can't reach the threshold
     // for mismatched sizes) kills most pairs with integer math
     val light = grams.select(col("block"), col("id"), col("sz"))
-    val pairs = light.select(col("block"), col("id").as("id_a"), col("sz").as("sz_a"))
-      .join(light.select(col("block"), col("id").as("id_b"), col("sz").as("sz_b")),
-        Seq("block"))
+    val pairs = SkewUtils.saltedJoin(
+        big = light.select(col("block"), col("id").as("id_b"), col("sz").as("sz_b")),
+        small = light.select(col("block"), col("id").as("id_a"), col("sz").as("sz_a")),
+        key = "block",
+        salts = salts)
       .filter(col("id_a") < col("id_b") &&
         least(col("sz_a"), col("sz_b")).cast("double") >=
           greatest(col("sz_a"), col("sz_b")) * threshold)

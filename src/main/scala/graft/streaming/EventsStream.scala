@@ -1,18 +1,19 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.core.SpaceDataset
 
 /** Stream-shaped processing over the events table.
   *
   * The reference has NO event-stream layer (its incrementality is
   * snapshot-diff CDC, SURVEY.md §2.5); these operators are the
   * Spark-native extension: Structured Streaming for windowed
-  * aggregation, and typed `groupByKey` sessionization for custom state
-  * logic (the batch shape of `flatMapGroupsWithState`).
+  * aggregation, and sorted-run sessionization for custom state logic
+  * (the batch shape of `flatMapGroupsWithState`).
   */
 object EventsStream {
 
@@ -23,12 +24,25 @@ object EventsStream {
     (s.read.parquet(path).schema, path)
   }
 
-  /** Tumbling-window aggregation executed by the REAL streaming engine:
-    * file-source stream → watermark → window agg → memory sink, driven
-    * to completion synchronously. Returns the final result table. */
+  /** Tumbling-window aggregation executed by the REAL streaming engine,
+    * with a SCALE-SAFE sink: file-source stream → watermark → window agg
+    * in `update` output mode → `foreachBatch` upserting each batch's
+    * changed windows into a graft table keyed by (window, event_type).
+    * State stays bounded by the watermark and only UPDATED windows move
+    * per micro-batch — nothing accumulates on the driver (the r1 version
+    * used complete+memory sink, re-collecting the whole result every
+    * batch). Returns the final graft table contents. */
   def windowedAgg(s: SparkSession, d: String, windowSec: Int = 600): DataFrame = {
-    val (schema, path) = eventsRaw(s, d)
-    val name = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val (schema, _) = eventsRaw(s, d)
+    val loc = java.nio.file.Files.createTempDirectory("graft_stream_").toString
+    val outSchema = StructType(Seq(
+      StructField("w_start", LongType, nullable = false),
+      StructField("event_type", StringType, nullable = false),
+      StructField("n_events", LongType),
+      StructField("sum_value", DoubleType)))
+    val sink = SpaceDataset.create(s, s"$loc/tbl", outSchema,
+      primaryKeys = Seq("w_start", "event_type"))
+
     // the streaming file source requires a DIRECTORY; select just the
     // events file out of the scale-factor dir via pathGlobFilter
     val stream = s.readStream.schema(schema)
@@ -37,41 +51,61 @@ object EventsStream {
       .withWatermark("event_time", "1 hour")
       .groupBy(window(col("event_time"), s"$windowSec seconds"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    s.table(name)
       .select(unix_timestamp(col("window.start")).as("w_start"),
         col("event_type"), col("n_events"), col("sum_value"))
+    val q = stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", s"$loc/ckpt")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) sink.upsert(batch)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    sink.readAll()
   }
 
-  /** Gap-based sessionization via the typed API: per-user event streams
-    * folded into sessions when gaps exceed `gapSec`. The imperative
-    * per-group walk is what `flatMapGroupsWithState` runs in streaming;
-    * here it runs over a bounded group iterator (sorted in memory — at
-    * 100 TB swap in a secondary sort / sortWithinPartitions first). */
+  /** Gap-based sessionization as a SECONDARY SORT: hash-partition by
+    * user, sort each partition by (user, t), walk the sorted runs with a
+    * constant-memory fold — no per-group in-memory sort, so one heavy
+    * user cannot blow a task (the r1 version collected each group into
+    * an array; its own comment flagged this swap). The imperative walk
+    * is what `flatMapGroupsWithState` runs in streaming. */
   def sessionize(s: SparkSession, d: String, gapSec: Long = 1800): DataFrame = {
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = Tables.read(s, d, "events")
+    val sorted = Tables.read(s, d, "events")
       .select(col("user_id"), expr("ts div 1000000000").as("t"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("t"))
       .as[(Long, Long)]
-    events.groupByKey(_._1).mapGroups { (uid, it) =>
-      val ts = it.map(_._2).toArray.sorted
-      var nSessions = 0
-      var maxLen = 0
-      var curLen = 0
-      var prev = Long.MinValue
-      ts.foreach { t =>
-        if (prev == Long.MinValue || t - prev > gapSec) { nSessions += 1; curLen = 0 }
-        curLen += 1
-        if (curLen > maxLen) maxLen = curLen
-        prev = t
+    sorted.mapPartitions { it =>
+      new Iterator[(Long, Int, Int)] {
+        private var cur: (Long, Long) = _
+        private var has = it.hasNext
+        if (has) cur = it.next()
+        def hasNext: Boolean = has
+        def next(): (Long, Int, Int) = {
+          val uid = cur._1
+          var nSessions = 0
+          var maxLen = 0
+          var curLen = 0
+          var prev = Long.MinValue
+          var more = true
+          while (more) {
+            val t = cur._2
+            if (prev == Long.MinValue || t - prev > gapSec) { nSessions += 1; curLen = 0 }
+            curLen += 1
+            if (curLen > maxLen) maxLen = curLen
+            prev = t
+            if (it.hasNext) {
+              cur = it.next()
+              if (cur._1 != uid) more = false
+            } else { has = false; more = false }
+          }
+          (uid, nSessions, maxLen)
+        }
       }
-      (uid, nSessions, maxLen)
     }.toDF("user_id", "n_sessions", "max_session_events")
   }
 

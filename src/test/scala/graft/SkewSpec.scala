@@ -19,6 +19,20 @@ class SkewSpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("ngram-jaccard block join is salted and matches the unsalted result") {
+    val docs = Tables.read(spark, sfDir, "documents")
+    val salted = graft.operators.Dedup.ngramJaccardPairs(
+      docs, "text", "doc_id", "source", n = 2, threshold = 0.5, salts = 8)
+    // plan shape: the block self-join carries the salt key (the hot-block
+    // O(n²) work spreads over `salts` tasks instead of one straggler)
+    assert(salted.queryExecution.optimizedPlan.toString.contains("__salt"),
+      "block self-join is not salted")
+    // same pairs as a 1-salt (unsalted) run
+    val plain = graft.operators.Dedup.ngramJaccardPairs(
+      docs, "text", "doc_id", "source", n = 2, threshold = 0.5, salts = 1)
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
   test("left join keeps unmatched big-side rows under salting") {
     import spark.implicits._
     val big = Seq((1L, "a"), (1L, "b"), (2L, "c"), (9L, "z")).toDF("k", "v")
