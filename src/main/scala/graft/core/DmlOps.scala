@@ -45,6 +45,9 @@ object DmlOps {
 
   /** CoW delete of rows whose primary key appears in `keys`. */
   def deleteByKeys(spark: SparkSession, storage: Storage, snapshotId: Long, keys: DataFrame): Option[Patch] = {
+    // an empty table can't match any key: skip the key-range job entirely
+    // (first upsert into a fresh table — e.g. a streaming sink's batch 0)
+    if (storage.snapshotOrFail(snapshotId).manifestFiles.indexManifestFiles.isEmpty) return None
     val pks = storage.primaryKeys
     val k = keys.select(pks.map(col): _*).distinct()
     deleteCore(spark, storage, snapshotId,

@@ -57,7 +57,11 @@ object EventsStream {
       .outputMode("update")
       .option("checkpointLocation", s"$loc/ckpt")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        if (!batch.isEmpty) sink.upsert(batch)
+        // upsert runs several actions (dup check, delete keys, write);
+        // persist so the micro-batch's stateful plan executes ONCE
+        val b = batch.persist()
+        try { if (!b.isEmpty) { sink.upsert(b); () } }
+        finally b.unpersist()
         ()
       }
       .start()
