@@ -69,13 +69,12 @@ object ChangeData {
           DmlOps.pathKey(abs.getFileSystem(conf).makeQualified(abs).toString) -> r.bitmapB64.get
         }.toMap
         val bc = spark.sparkContext.broadcast(byKey)
-        val inBitmap = udf { (file: String, row: Long) =>
-          val k = BitmapCache.normKey(file)
-          BitmapCache.get(k, bc.value(k)).contains(row.toInt)
-        }
+        // native codegen'd membership test (no UDF boundary in the scan)
+        val inBitmap = org.apache.spark.sql.graftshim.BitmapContains(
+          col("_metadata.file_path"), col("_metadata.row_index"), bc)
         Some(spark.read.schema(physical)
           .parquet(maskedFiles.map(r => storage.absolute(r.file)): _*)
-          .filter(inBitmap(col("_metadata.file_path"), col("_metadata.row_index"))))
+          .filter(inBitmap))
       }
 
     val all = (fullDF.toSeq ++ maskedDF.toSeq).reduceOption(_.unionByName(_))

@@ -64,4 +64,34 @@ class ConcurrencySpec extends AnyFunSuite {
     val parents = ds.storage.metadata.snapshots.values.flatMap(_.parentSnapshotId).toSeq
     assert(parents.distinct.size == parents.size, s"non-linear history: $parents")
   }
+
+  test("stale commit locks are stolen; release only deletes the owner's lock") {
+    val orders = Tables.read(spark, sfDir, "orders").limit(20)
+    val loc = Files.createTempDirectory("graft_lock_").toString + "/tbl"
+    val ds = SpaceDataset.create(spark, loc, orders.schema, Seq("o_orderkey"))
+
+    // a crashed writer left a lock: foreign token, mtime far in the past
+    val lock = java.nio.file.Paths.get(loc, "metadata/commit.lock")
+    java.nio.file.Files.write(lock, "dead-writer-token".getBytes)
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600000L))
+
+    // a live writer steals the stale lock and commits normally
+    ds.append(orders)
+    assert(ds.readAll().count() == orders.count())
+    // the winner released ITS lock on the way out
+    assert(!java.nio.file.Files.exists(lock))
+
+    // a FRESH foreign lock is NOT stolen: acquisition times out instead
+    // of clobbering a live writer's lock (ADVICE r1)
+    java.nio.file.Files.write(lock, "live-writer-token".getBytes)
+    val t0 = System.currentTimeMillis()
+    intercept[ConcurrentCommitException] {
+      ds.append(orders.withColumn("o_orderkey", col("o_orderkey") + 500000L))
+    }
+    assert(System.currentTimeMillis() - t0 >= 29000L, "gave up before the acquisition timeout")
+    // the live writer's lock survived the loser's exit
+    assert(new String(java.nio.file.Files.readAllBytes(lock)) == "live-writer-token")
+    java.nio.file.Files.delete(lock)
+  }
 }

@@ -30,6 +30,20 @@ class SimHashExprSpec extends AnyFunSuite {
     assert(got(0) == reference(Seq("spark", "table", "scan", "join")))
   }
 
+  test("bitmap-contains expression stays inside whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    import graft.core.DmlOps
+    val bm = DmlOps.serializeBitmap(Seq(1L, 3L, 5L))
+    val bc = spark.sparkContext.broadcast(Map("file:///t/a.parquet" -> bm))
+    val df = spark.range(0, 8)
+      .select(lit("/t/a.parquet").as("f"), col("id").as("r"))
+      .filter(org.apache.spark.sql.graftshim.BitmapContains(col("f"), col("r"), bc))
+    assert(df.collect().map(_.getLong(1)).sorted.toSeq == Seq(1L, 3L, 5L))
+    // the filter participates in codegen: `*(n) Filter` prefix, no UDF
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Filter .*graft_bitmap_contains.*"), plan)
+  }
+
   test("registered SQL function and codegen path work") {
     SimHash64Expr.register(spark)
     val viaSql = spark.sql(
