@@ -63,13 +63,42 @@ object AppendOp {
     val parts = fs.listStatus(new Path(tmpAbs)).map(_.getPath)
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
 
-    val metas = parts.map { p =>
+    // footer harvest + move into data/ — one small task per batch of
+    // files for large appends (the driver loop is O(new files) and
+    // becomes the append bottleneck at thousands of task outputs);
+    // driver-side below a small threshold to avoid job overhead
+    val assignments = parts.map { p =>
       val rel = StoragePaths.newIndexDataFile()
-      val meta = ManifestIO.harvestFooter(p.toString, rel, conf, storage.primaryKeys)
-      if (!fs.rename(p, new Path(storage.absolute(rel))))
-        throw new java.io.IOException(s"rename $p failed")
-      meta
-    }.filter(_.numRows > 0).toSeq
+      (p.toString, rel, storage.absolute(rel))
+    }.toSeq
+    val pks = storage.primaryKeys
+    val metas = (if (assignments.size <= 8) {
+      assignments.map { case (src, rel, dstAbs) =>
+        val meta = ManifestIO.harvestFooter(src, rel, conf, pks)
+        if (!fs.rename(new Path(src), new Path(dstAbs)))
+          throw new java.io.IOException(s"rename $src failed")
+        meta
+      }
+    } else {
+      spark.sparkContext
+        .parallelize(assignments, math.min(assignments.size, 32))
+        .map { case (src, rel, dstAbs) =>
+          val c = new org.apache.hadoop.conf.Configuration()
+          val srcPath = new Path(src)
+          val dst = new Path(dstAbs)
+          val tfs = dst.getFileSystem(c)
+          if (tfs.exists(srcPath)) {
+            val meta = ManifestIO.harvestFooter(src, rel, c, pks)
+            if (!tfs.rename(srcPath, dst))
+              throw new java.io.IOException(s"rename $src -> $dstAbs failed")
+            meta
+          } else if (tfs.exists(dst)) {
+            // task retry after a completed rename: harvest the moved file
+            ManifestIO.harvestFooter(dstAbs, rel, c, pks)
+          } else throw new java.io.IOException(s"missing $src and $dstAbs")
+        }
+        .collect().toSeq
+    }).filter(_.numRows > 0).sortBy(_.file)
     fs.delete(new Path(tmpAbs), true)
 
     if (metas.isEmpty) return AppendResult(Patch(), Nil)

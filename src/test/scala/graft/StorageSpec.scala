@@ -60,6 +60,21 @@ class StorageSpec extends AnyFunSuite {
     }
   }
 
+  test("many-file append uses the distributed footer harvest") {
+    val loc = freshLoc()
+    val ds = SpaceDataset.create(spark, loc, orders.schema, Seq("o_orderkey"))
+    // 16 part files > the driver-loop threshold → harvest+rename runs as
+    // a Spark job (the scale path for thousands-of-files appends)
+    ds.append(orders.repartitionByRange(16, col("o_orderkey")))
+    assert(ds.indexManifest().count() == 16)
+    val back = ds.readAll()
+    assert(back.count() == orders.count())
+    assert(back.exceptAll(orders).isEmpty && orders.exceptAll(back).isEmpty)
+    // stats survived the distributed harvest: pruning still works
+    val plan = ds.plan(Some(col("o_orderkey") < 500L))
+    assert(plan.files.size < plan.totalFiles)
+  }
+
   test("append_from: four sources land in one snapshot with one changelog") {
     val loc = freshLoc()
     val ds = SpaceDataset.create(spark, loc, orders.schema, Seq("o_orderkey"))
