@@ -119,6 +119,54 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Collapse near-duplicate PAIRS into connected components and elect
+    * the min-id survivor per component — the step between pair
+    * generation and corpus filtering in a full dedup pipeline (a chain
+    * a~b~c must keep ONE doc, even though (a,c) was never a pair).
+    *
+    * Iterative min-label propagation: every round each node takes the
+    * smallest label among itself and its neighbors — one join + one
+    * partial-aggregated groupBy per round, rounds = O(component
+    * diameter). Near-dup components are near-cliques, so 2-3 rounds in
+    * practice; no driver-side graph state, labels only ever shrink. At
+    * extreme diameters swap in large-star/small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") — same primitive.
+    *
+    * Returns (idCol, cluster_id, survivor): every id of `universe`
+    * labeled with its component's min id; singletons label themselves. */
+  def dedupClusters(
+      pairs: DataFrame,
+      universe: DataFrame,
+      idCol: String,
+      idA: String = "id_a",
+      idB: String = "id_b"): DataFrame = {
+    val half = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    val edges = half
+      .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    var labels = universe.select(col(idCol).as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    try {
+      var changed = 1L
+      while (changed > 0) {
+        val prop = edges.join(labels, edges("src") === labels("id"))
+          .groupBy(col("dst")).agg(min(col("label")).as("nl"))
+        val next = labels
+          .join(prop, labels("id") === prop("dst"), "left")
+          .select(labels("id"),
+            least(labels("label"), coalesce(col("nl"), labels("label"))).as("label"))
+          .persist()
+        changed = next.as("n")
+          .join(labels.select(col("id"), col("label").as("prev")).as("p"), "id")
+          .filter(col("n.label") =!= col("prev")).count()
+        labels.unpersist()
+        labels = next
+      }
+      labels.select(col("id").as(idCol), col("label").as("cluster_id"),
+        (col("id") === col("label")).as("survivor"))
+    } finally edges.unpersist()
+  }
+
   /** Exact n-gram Jaccard pairs within a blocking key (all-pairs inside
     * each block only — at scale the block is a cheap partition key like
     * source/length-bucket; full cross-join is never materialized).

@@ -49,6 +49,16 @@ object Pipeline {
       Dedup.minhashPairs(dedupCorpus(s, d), "text", "doc_id",
         numHashes = 32, bands = 16, shingleSize = 3, threshold = 0.6)),
 
+    // full dedup pipeline: minhash pairs → connected components →
+    // min-id survivor per cluster (chains a~b~c collapse to one doc)
+    "d_dedup_clusters" -> ((s, d) => {
+      val corpus = dedupCorpus(s, d)
+      val pairs = Dedup.minhashPairs(corpus, "text", "doc_id",
+        numHashes = 32, bands = 16, shingleSize = 3, threshold = 0.6)
+        .select(col("id_a"), col("id_b"))
+      Dedup.dedupClusters(pairs, corpus, "doc_id")
+    }),
+
     // SimHash near-dup pairs (Hamming ≤ 3 over 64-bit sketches);
     // sketch values are engine-specific → rows-only check
     "d_dedup_simhash" -> ((s, d) =>
@@ -149,6 +159,30 @@ object Pipeline {
          |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
          |SELECT id_a, id_b, round(j, 4) AS jaccard
          |FROM pairs WHERE j >= 0.6""".stripMargin,
+    "d_dedup_clusters" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' graft dedup tail'
+         |  FROM documents WHERE doc_id < 100),
+         |toks AS (SELECT doc_id, $tokensSql AS ts FROM corpus),
+         |sh AS (SELECT doc_id, ${shinglesSql(3)} AS g FROM toks),
+         |d AS (SELECT doc_id, list_distinct(g) AS g FROM sh),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+         |    len(list_distinct(list_concat(a.g, b.g))) >= 0.6),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM corpus
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+         |SELECT a AS doc_id, min(b) AS cluster_id,
+         |  (a = min(b)) AS survivor
+         |FROM reach GROUP BY a""".stripMargin,
     "d_ngram_jaccard" ->
       s"""WITH toks AS (
          |  SELECT doc_id, source, $tokensSql AS ts FROM documents),

@@ -86,6 +86,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(sh == Seq("t1 t2 t3", "t2 t3 t4", "t3 t4 t5"))
   }
 
+  test("dedupClusters collapses chains and labels singletons as their own survivor") {
+    import spark.implicits._
+    // chain 1~2~3 (no 1~3 pair) plus disjoint pair 10~11 and singletons 20, 21
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val universe = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("doc_id")
+    val got = Dedup.dedupClusters(pairs, universe, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false),
+      (20L, 20L, true), (21L, 21L, true)))
+  }
+
   test("cosine matches hand computation") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)), (Seq(1.0f, 1.0f), Seq(1.0f, 1.0f)))
