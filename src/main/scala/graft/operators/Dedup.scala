@@ -124,12 +124,17 @@ object Dedup {
     * generation and corpus filtering in a full dedup pipeline (a chain
     * a~b~c must keep ONE doc, even though (a,c) was never a pair).
     *
-    * Iterative min-label propagation: every round each node takes the
-    * smallest label among itself and its neighbors — one join + one
-    * partial-aggregated groupBy per round, rounds = O(component
-    * diameter). Near-dup components are near-cliques, so 2-3 rounds in
-    * practice; no driver-side graph state, labels only ever shrink. At
-    * extreme diameters swap in large-star/small-star (Kiveris et al.,
+    * Iterative min-label propagation over the PAIR GRAPH ONLY: the loop
+    * touches just the nodes that occur in some pair (bounded by
+    * 2·|pairs|, tiny next to the corpus — at 100 TB the corpus never
+    * enters the loop; it joins in exactly once at the end to pick up
+    * singletons). Every round each node takes the smallest label among
+    * itself and its neighbors — one join + one partial-aggregated
+    * groupBy per round, rounds = O(component diameter); convergence is
+    * read off the propagation frame itself (no extra join). Near-dup
+    * components are near-cliques, so 2-3 rounds in practice; no
+    * driver-side graph state, labels only ever shrink. At extreme
+    * diameters swap in large-star/small-star (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond") — same primitive.
     *
     * Returns (idCol, cluster_id, survivor): every id of `universe`
@@ -144,7 +149,7 @@ object Dedup {
     val edges = half
       .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
-    var labels = universe.select(col(idCol).as("id")).distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).persist()
     try {
       var changed = 1L
@@ -153,17 +158,20 @@ object Dedup {
           .groupBy(col("dst")).agg(min(col("label")).as("nl"))
         val next = labels
           .join(prop, labels("id") === prop("dst"), "left")
-          .select(labels("id"),
+          .select(labels("id"), labels("label").as("prev"),
             least(labels("label"), coalesce(col("nl"), labels("label"))).as("label"))
           .persist()
-        changed = next.as("n")
-          .join(labels.select(col("id"), col("label").as("prev")).as("p"), "id")
-          .filter(col("n.label") =!= col("prev")).count()
+        changed = next.filter(col("label") =!= col("prev")).count()
         labels.unpersist()
-        labels = next
+        labels = next.select(col("id"), col("label"))
       }
-      labels.select(col("id").as(idCol), col("label").as("cluster_id"),
-        (col("id") === col("label")).as("survivor"))
+      // paired nodes carry their component min; everything else is a
+      // singleton — one broadcast-able left join against the corpus
+      val u = universe.select(col(idCol)).distinct()
+      u.join(labels, u(idCol) === labels("id"), "left")
+        .select(u(idCol),
+          coalesce(col("label"), u(idCol)).as("cluster_id"),
+          (coalesce(col("label"), u(idCol)) === u(idCol)).as("survivor"))
     } finally edges.unpersist()
   }
 
