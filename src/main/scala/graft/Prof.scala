@@ -19,7 +19,20 @@ object Prof {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     for (n <- names; i <- 1 to 2) {
       val t0 = System.nanoTime()
-      SparkEntry.queries(n)(spark, sfDir).count()
+      n match {
+        case "x_grams" =>
+          import org.apache.spark.sql.functions._
+          graft.Tables.read(spark, sfDir, "documents")
+            .select(col("source"), col("doc_id"),
+              graft.functions.TextFunctions.wordShingleHashes(col("text"), 2).as("g"))
+            .select(sum(size(col("g")))).collect()
+        case "x_ngram_salt1" =>
+          graft.operators.Dedup.ngramJaccardPairs(
+            graft.Tables.read(spark, sfDir, "documents"),
+            "text", "doc_id", "source", n = 2, threshold = 0.55, salts = 1).count()
+        case _ =>
+          SparkEntry.queries(n)(spark, sfDir).count()
+      }
       println(s"[prof] $n run$i ${(System.nanoTime() - t0) / 1e9}s")
     }
     spark.stop()

@@ -84,14 +84,18 @@ object TextFunctions {
     aggregate(tokens(c), lit(0L), (acc, x) => xxhash64(acc, x))
 
   /** Word n-gram shingles: ["a b c","b c d",...]; documents shorter than
-    * `n` tokens yield their full token join as the single shingle. */
-  def wordShingles(c: Column, n: Int): Column = {
-    val ts = tokens(c)
-    val k = size(ts)
-    when(k <= n, array(concat_ws(" ", ts)))
-      .otherwise(transform(sequence(lit(1), k - (n - 1)),
-        i => concat_ws(" ", slice(ts, i, lit(n)))))
-  }
+    * `n` tokens yield their full token join as the single shingle.
+    * `tokens(c)` MUST go through [[bound]]: the per-shingle lambda
+    * references the token array, and project collapsing would otherwise
+    * re-inline the whole regexp tokenization into every lambda call —
+    * O(words²) regexp work per document. */
+  def wordShingles(c: Column, n: Int): Column =
+    bound(tokens(c)) { ts =>
+      val k = size(ts)
+      when(k <= n, array(concat_ws(" ", ts)))
+        .otherwise(transform(sequence(lit(1), k - (n - 1)),
+          i => concat_ws(" ", slice(ts, i, lit(n)))))
+    }
 
   /** SORTED distinct 64-bit hashes of the word shingles — the set the
     * MinHash / Jaccard pipeline actually operates on. Hashing each

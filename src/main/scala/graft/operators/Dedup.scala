@@ -196,27 +196,30 @@ object Dedup {
       TF.wordShingleHashes(col(textCol), n).as("grams"))
       .withColumn("sz", size(col("grams")))
 
-    // LIGHT pair generation: ids + sizes only through the block self-join;
+    // Gram arrays ride THROUGH the block self-join — each array crosses
+    // the shuffle once per doc (× salt replicas), never once per pair.
+    // Candidates here are ALL block pairs (unlike LSH there is no band
+    // prefilter), so the whole pair predicate — id ordering, the integer
     // size-ratio prefilter (J ≤ min|·|/max|·| can't reach the threshold
-    // for mismatched sizes) kills most pairs with integer math
-    val light = grams.select(col("block"), col("id"), col("sz"))
+    // for mismatched sizes), and the exact sorted-merge verify — runs as
+    // the JOIN CONDITION: it short-circuits left-to-right against the
+    // two input rows, and a joined output row (with both wide arrays
+    // copied in) is only ever built for pairs that pass. Jaccard is
+    // recomputed in the projection for the few survivors.
     val pairs = SkewUtils.saltedJoin(
-        big = light.select(col("block"), col("id").as("id_b"), col("sz").as("sz_b")),
-        small = light.select(col("block"), col("id").as("id_a"), col("sz").as("sz_a")),
+        big = grams.select(col("block"), col("id").as("id_b"),
+          col("sz").as("sz_b"), col("grams").as("g_b")),
+        small = grams.select(col("block"), col("id").as("id_a"),
+          col("sz").as("sz_a"), col("grams").as("g_a")),
         key = "block",
-        salts = salts)
-      .filter(col("id_a") < col("id_b") &&
-        least(col("sz_a"), col("sz_b")).cast("double") >=
-          greatest(col("sz_a"), col("sz_b")) * threshold)
-      .select(col("id_a"), col("id_b"))
-
-    // attach gram sets only to surviving pairs, then exact verify
-    val sets = grams.select(col("id"), col("grams"))
+        salts = salts,
+        extraCond = (b, a) =>
+          a("id_a") < b("id_b") &&
+            least(a("sz_a"), b("sz_b")).cast("double") >=
+              greatest(a("sz_a"), b("sz_b")) * threshold &&
+            TF.jaccardSorted(a("g_a"), b("g_b")) >= threshold)
     pairs
-      .join(sets.select(col("id").as("id_a"), col("grams").as("g_a")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("grams").as("g_b")), Seq("id_b"))
       .withColumn("__j", TF.jaccardSorted(col("g_a"), col("g_b")))
-      .filter(col("__j") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("__j"), 4).as("jaccard"))
   }
 

@@ -16,13 +16,26 @@ object SkewUtils {
       small: DataFrame,
       key: String,
       salts: Int = 8,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner",
+      extraCond: (DataFrame, DataFrame) => Column = null): DataFrame = {
     require(salts > 0)
     // pmod of a stable per-row hash: deterministic, no RNG in the plan
     val salted = big.withColumn("__salt",
       pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)), lit(salts)).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
-    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+    // extraCond is evaluated INSIDE the join (on the two input rows,
+    // before a joined output row is built) — for self-joins with wide
+    // payload columns this skips materializing the payload into every
+    // candidate pair row, which dominates when most pairs fail the
+    // condition
+    val cond0 = salted(key) === replicated(key) &&
+      salted("__salt") === replicated("__salt")
+    val cond = if (extraCond == null) cond0
+      else cond0 && extraCond(salted, replicated)
+    // keep the BIG side's key (NULL-safe for outer joins) and drop the
+    // replica's copy so the output matches the USING-join shape
+    salted.join(replicated, cond, joinType)
+      .drop(replicated(key)).drop(salted("__salt")).drop(replicated("__salt"))
   }
 }

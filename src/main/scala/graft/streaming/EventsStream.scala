@@ -43,6 +43,15 @@ object EventsStream {
     val sink = SpaceDataset.create(s, s"$loc/tbl", outSchema,
       primaryKeys = Seq("w_start", "event_type"))
 
+    // Stateful streaming disables AQE, so the windowed agg would run at
+    // the full shuffle-partition count — on this single-box harness that
+    // means one state-store checkpoint dir per partition per micro-batch
+    // of pure overhead. Pin the stream's state partitioning low (it is
+    // fixed at first checkpoint anyway); on a real cluster size it to
+    // the executor count instead.
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+
     // the streaming file source requires a DIRECTORY; select just the
     // events file out of the scale-factor dir via pathGlobFilter
     val stream = s.readStream.schema(schema)
@@ -65,7 +74,10 @@ object EventsStream {
         ()
       }
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally {
+      q.stop()
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     sink.readAll()
   }
 
