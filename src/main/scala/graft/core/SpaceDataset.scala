@@ -117,6 +117,15 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
 
   def removeRef(name: String): Unit = storage.removeRef(name)
 
+  def removeTag(name: String): Unit = storage.removeTag(name)
+
+  /** Cannot remove the branch this dataset is currently on
+    * (storage.py:291-296). */
+  def removeBranch(name: String): Unit = {
+    require(name != currentBranch, "cannot remove the current branch")
+    storage.removeBranch(name)
+  }
+
   /** versions() table (storage.py:410-443): snapshot × refs, newest first. */
   def versions(): DataFrame = {
     import spark.implicits._

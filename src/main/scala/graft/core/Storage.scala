@@ -155,6 +155,27 @@ final class Storage(val location: String, val conf: Configuration) {
       lastUpdateTimeMs = System.currentTimeMillis()))
   }
 
+  /** Remove a tag; fails if `name` is missing or is a branch
+    * (storage.py:287-289, 298-307). */
+  def removeTag(name: String): Unit = removeTypedRef(name, SnapshotRef.Tag)
+
+  /** Remove a branch; fails if `name` is missing, is a tag, or is the
+    * main branch (storage.py:291-296). The caller (SpaceDataset) also
+    * guards against removing its current read/write branch. */
+  def removeBranch(name: String): Unit = {
+    require(name != SnapshotRef.MainBranch, "cannot remove the main branch")
+    removeTypedRef(name, SnapshotRef.Branch)
+  }
+
+  private def removeTypedRef(name: String, refType: String): Unit = {
+    val ref = meta.refs.getOrElse(name,
+      throw new IllegalArgumentException(s"ref $name not found"))
+    require(ref.refType == refType,
+      s"ref $name is a ${ref.refType}, not a $refType")
+    persist(meta.copy(refs = meta.refs - name,
+      lastUpdateTimeMs = System.currentTimeMillis()))
+  }
+
   // ------------------------------------------------------------- commit
 
   /** Apply a patch as a new snapshot on `branch` (storage.py:315-367).

@@ -153,7 +153,10 @@ object Dedup {
       .withColumn("label", col("id")).persist()
     try {
       var changed = 1L
+      var iters = 0
       while (changed > 0) {
+        iters += 1
+        val itT0 = System.nanoTime()
         val prop = edges.join(labels, edges("src") === labels("id"))
           .groupBy(col("dst")).agg(min(col("label")).as("nl"))
         val next = labels
@@ -164,6 +167,8 @@ object Dedup {
         changed = next.filter(col("label") =!= col("prev")).count()
         labels.unpersist()
         labels = next.select(col("id"), col("label"))
+        if (sys.env.contains("GRAFT_PROF"))
+          println(s"[cc] iter $iters changed=$changed ${(System.nanoTime() - itT0) / 1e9}s")
       }
       // paired nodes carry their component min; everything else is a
       // singleton — one broadcast-able left join against the corpus

@@ -125,6 +125,27 @@ class FormatSpec extends AnyFunSuite {
     assert(vs.map(_._1).toSet == Set(0L, 1L, 2L, 3L))
   }
 
+  test("typed ref removal checks type, existence, and main-branch guard") {
+    val loc = tmpTable()
+    val st = Storage.create(loc, schema, Seq("id"))
+    st.commit(Patch(addedIndexManifests = List("m1")))
+    st.addTag("v1")
+    st.addBranch("dev")
+
+    // wrong-type removals fail and leave the refs intact (storage.py:298-307)
+    intercept[IllegalArgumentException](st.removeBranch("v1"))
+    intercept[IllegalArgumentException](st.removeTag("dev"))
+    intercept[IllegalArgumentException](st.removeTag("nope"))
+    intercept[IllegalArgumentException](st.removeBranch("main"))
+    assert(st.versionToSnapshotId("v1") == 1L)
+    assert(st.branchHead("dev") == 1L)
+
+    st.removeTag("v1")
+    st.removeBranch("dev")
+    intercept[IllegalArgumentException](st.versionToSnapshotId("v1"))
+    intercept[IllegalArgumentException](st.versionToSnapshotId("dev"))
+  }
+
   test("transaction aborts when the branch head moves") {
     val loc = tmpTable()
     val st = Storage.create(loc, schema, Seq("id"))

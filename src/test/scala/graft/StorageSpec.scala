@@ -261,5 +261,12 @@ class CurrentBranchSpec extends org.scalatest.funsuite.AnyFunSuite {
     ds.setCurrentBranch("main")
     assert(ds.readAll().count() == 100) // main untouched
     intercept[IllegalArgumentException](ds.setCurrentBranch("nope"))
+
+    // the current branch cannot be removed out from under the reader
+    ds.setCurrentBranch("exp")
+    intercept[IllegalArgumentException](ds.removeBranch("exp"))
+    ds.setCurrentBranch("main")
+    ds.removeBranch("exp")
+    intercept[IllegalArgumentException](ds.setCurrentBranch("exp"))
   }
 }
