@@ -72,7 +72,7 @@ object AppendOp {
       (p.toString, rel, storage.absolute(rel))
     }.toSeq
     val pks = storage.primaryKeys
-    val metas = (if (assignments.size <= 8) {
+    val harvested = (if (assignments.size <= 8) {
       assignments.map { case (src, rel, dstAbs) =>
         val meta = ManifestIO.harvestFooter(src, rel, conf, pks)
         if (!fs.rename(new Path(src), new Path(dstAbs)))
@@ -98,7 +98,12 @@ object AppendOp {
           } else throw new java.io.IOException(s"missing $src and $dstAbs")
         }
         .collect().toSeq
-    }).filter(_.numRows > 0).sortBy(_.file)
+    })
+    // a task whose partition lost every row still writes a 0-row parquet;
+    // it never enters the manifest, so remove it rather than orphan it
+    val (kept, empties) = harvested.partition(_.numRows > 0)
+    empties.foreach(m => fs.delete(new Path(storage.absolute(m.file)), false))
+    val metas = kept.sortBy(_.file)
     fs.delete(new Path(tmpAbs), true)
 
     if (metas.isEmpty) return AppendResult(Patch(), Nil)

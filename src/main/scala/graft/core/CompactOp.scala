@@ -1,0 +1,79 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+import graft.format._
+
+/** Small-file compaction (bin-packing) — the third standard maintenance
+  * op next to snapshot expiry and GC in [[GcOps]].
+  *
+  * The reference caps index files at 1 MiB uncompressed
+  * (`options.py:66-67`), so every append of a trickle batch mints tiny
+  * files; its docs flag per-file overheads on cloud storage but ship no
+  * rewrite op. At 100 TB a streaming-upsert sink produces millions of
+  * sub-target files whose per-file open/seek overhead dominates scans —
+  * compaction is what keeps scan throughput flat over time.
+  *
+  * Shape: pick the current snapshot's index files below
+  * `smallFraction × targetFileRows`, rewrite their rows into
+  * right-sized files with one distributed job, and commit
+  * [added manifest + carryover, removed manifests] as ONE snapshot.
+  *
+  *  - Record-field addresses are physical columns of the index files and
+  *    ride through the rewrite untouched — payload files (the heavy
+  *    bytes) are never read or moved, same guarantee as CoW delete.
+  *  - NO change log is emitted: compaction is physically-reorganizing,
+  *    logically-idempotent — `diff()` across a compaction snapshot
+  *    reports no row changes and an MV refresh skips over it.
+  *  - The replaced files stay on disk for time travel to older
+  *    snapshots; [[GcOps.garbageCollect]] reclaims them once those
+  *    snapshots expire.
+  */
+object CompactOp {
+
+  final case class CompactResult(rewrittenFiles: Int, outputFiles: Int, rows: Long)
+
+  /** Build the compaction patch, or None when fewer than `minInputFiles`
+    * files are below the small threshold. */
+  def compact(
+      spark: SparkSession,
+      storage: Storage,
+      snapshotId: Long,
+      targetFileRows: Long,
+      smallFraction: Double = 0.5,
+      minInputFiles: Int = 2): Option[(Patch, CompactResult)] = {
+    require(targetFileRows > 0 && smallFraction > 0)
+    val snap = storage.snapshotOrFail(snapshotId)
+    if (snap.manifestFiles.indexManifestFiles.isEmpty) return None
+
+    val threshold = math.max(1L, (targetFileRows * smallFraction).toLong)
+    val mdf = ManifestIO.readIndexManifests(
+      spark, storage, snap.manifestFiles.indexManifestFiles)
+    import org.apache.spark.sql.functions.col
+    val small = mdf
+      .filter(col(ManifestIO.NumRowsCol) < threshold)
+      .select(col(ManifestIO.FileCol))
+      .collect().map(_.getString(0)).toSeq
+    if (small.size < minInputFiles) return None
+
+    // one distributed rewrite of the small files' rows, sized to target;
+    // physical schema keeps record addresses opaque (never stitched)
+    val physical = ReadOp.physicalSchema(storage.schema, storage.recordFields)
+    val rows = spark.read.schema(physical)
+      .parquet(small.map(storage.absolute): _*)
+    val written = AppendOp.writeFilesWithMeta(spark, storage, rows,
+      targetFileRows = Some(targetFileRows))
+    val appendPatch = written.patch
+
+    val co = DmlOps.manifestCarryover(spark, storage, snapshotId, small.toSet)
+    val outRows = appendPatch.statsDelta.numRows
+    require(outRows == -co.removedStats.numRows,
+      s"compaction row-count drift: wrote $outRows, removed ${-co.removedStats.numRows}")
+    val patch = Patch(
+      addedIndexManifests = appendPatch.addedIndexManifests ++ co.carryoverManifests,
+      removedIndexManifests = co.removedManifests,
+      statsDelta = appendPatch.statsDelta + co.removedStats,
+      changeLog = None)
+    Some((patch, CompactResult(small.size, written.files.size, outRows)))
+  }
+}

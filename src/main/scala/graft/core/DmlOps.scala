@@ -133,8 +133,43 @@ object DmlOps {
     val survivors = keepSurvivors(affectedDF)
     val appendPatch = AppendOp.writeFiles(spark, storage, survivors)
 
-    // manifest carryover: drop affected manifests, re-emit their untouched
-    // rows as one combined manifest (delete.py:144-150)
+    val co = manifestCarryover(spark, storage, snapshotId, affectedRel)
+    val removedManifests = co.removedManifests
+    val carryoverManifest = co.carryoverManifests
+    val removed = co.removedStats
+    val fileRows = co.affectedFileRows
+
+    val deleteLog = ChangeLog(deletedRows = deletedByFile.toList.sortBy(_._1).map {
+      case (file, bm) =>
+        val n = bm.getLongCardinality
+        val all = fileRows.get(file).contains(n)
+        RowBitmap(file, allRows = all, numRows = n,
+          bitmapB64 = if (all) None else Some(bitmapToB64(bm)))
+    })
+
+    Some(Patch(
+      addedIndexManifests = appendPatch.addedIndexManifests ++ carryoverManifest,
+      removedIndexManifests = removedManifests.toList,
+      statsDelta = appendPatch.statsDelta + removed,
+      changeLog = Some(deleteLog)))
+  }
+
+  final case class CarryoverResult(
+      removedManifests: List[String],
+      carryoverManifests: List[String],
+      removedStats: StorageStatistics,
+      affectedFileRows: Map[String, Long])
+
+  /** Manifest carryover for a CoW rewrite of `affectedRel` files: drop
+    * the manifests that list them and re-emit their UNTOUCHED rows as
+    * one combined manifest (delete.py:144-150). Also returns the
+    * negative stats delta of the affected files and their per-file row
+    * counts. Shared by delete and compaction. */
+  private[core] def manifestCarryover(
+      spark: SparkSession,
+      storage: Storage,
+      snapshotId: Long,
+      affectedRel: Set[String]): CarryoverResult = {
     val manifests = storage.snapshotOrFail(snapshotId).manifestFiles.indexManifestFiles
     val mdf = ManifestIO.readIndexManifests(spark, storage, manifests)
       .withColumn("__mfile", element_at(split(col("_metadata.file_path"), "/"), -1))
@@ -142,7 +177,7 @@ object DmlOps {
     val affectedManifestNames = mdf
       .filter(col(ManifestIO.FileCol).isin(affectedRel.toSeq: _*))
       .select(col("__mfile")).distinct().collect().map(_.getString(0)).toSeq
-    val removedManifests = affectedManifestNames.map(manifestRelByName)
+    val removedManifests = affectedManifestNames.map(manifestRelByName).toList
 
     // manifest rows fit on the driver (the planner collects the file
     // list from them anyway) → write the carryover without a Spark job
@@ -176,19 +211,7 @@ object DmlOps {
       .select(col(ManifestIO.FileCol), col(ManifestIO.NumRowsCol))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
-    val deleteLog = ChangeLog(deletedRows = deletedByFile.toList.sortBy(_._1).map {
-      case (file, bm) =>
-        val n = bm.getLongCardinality
-        val all = fileRows.get(file).contains(n)
-        RowBitmap(file, allRows = all, numRows = n,
-          bitmapB64 = if (all) None else Some(bitmapToB64(bm)))
-    })
-
-    Some(Patch(
-      addedIndexManifests = appendPatch.addedIndexManifests ++ carryoverManifest,
-      removedIndexManifests = removedManifests.toList,
-      statsDelta = appendPatch.statsDelta + removed,
-      changeLog = Some(deleteLog)))
+    CarryoverResult(removedManifests, carryoverManifest, removed, fileRows)
   }
 
   /** Append with duplicate-primary-key rejection against the current

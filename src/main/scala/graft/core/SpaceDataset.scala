@@ -126,6 +126,31 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
     storage.removeBranch(name)
   }
 
+  // ------------------------------------------------------- maintenance
+
+  /** Expire old unreferenced snapshots (metadata-only; see GcOps). */
+  def expireSnapshots(olderThanMs: Long, keepLast: Int = 1): Seq[Long] =
+    GcOps.expireSnapshots(storage, olderThanMs, keepLast)
+
+  /** Delete files no live snapshot reaches (see GcOps). `minAgeMs`
+    * protects files staged by in-flight writers. */
+  def garbageCollect(minAgeMs: Long = 3600000L): GcOps.GcStats =
+    GcOps.garbageCollect(spark, storage, minAgeMs)
+
+  /** Bin-pack small index files into ~`targetFileRows`-row files (one
+    * snapshot, no logical change — see CompactOp). Returns stats, or
+    * None when there was nothing worth compacting. */
+  def compact(
+      targetFileRows: Long,
+      smallFraction: Double = 0.5,
+      branch: String = currentBranch): Option[CompactOp.CompactResult] =
+    storage.transaction(branch) { pinned =>
+      CompactOp.compact(spark, storage, pinned, targetFileRows, smallFraction) match {
+        case Some((patch, res)) => (Some(patch), Some(res))
+        case None => (None, None)
+      }
+    }
+
   /** versions() table (storage.py:410-443): snapshot × refs, newest first. */
   def versions(): DataFrame = {
     import spark.implicits._

@@ -41,6 +41,8 @@ final class Storage(val location: String, val conf: Configuration) {
   reload()
 
   def metadata: StorageMetadata = meta
+  /** Root-relative path of the current metadata json. */
+  def metadataFile: String = metaFilePath
   def schema: StructType = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
   def primaryKeys: Seq[String] = meta.primaryKeys
   def recordFields: Seq[String] = meta.recordFields
@@ -124,6 +126,8 @@ final class Storage(val location: String, val conf: Configuration) {
   }
 
   // --------------------------------------------------------------- refs
+
+  private[core] def persistMetadata(newMeta: StorageMetadata): Unit = persist(newMeta)
 
   private def persist(newMeta: StorageMetadata): Unit = {
     val newFile = StoragePaths.newMetadataFile()
@@ -265,7 +269,7 @@ final class Storage(val location: String, val conf: Configuration) {
     * stealers never both proceed. Release deletes the lock only while it
     * still holds our token: a holder that somehow outlived the stale
     * window cannot delete the stealer's lock out from under it. */
-  private def withCommitLock[A](body: => A): A = {
+  private[core] def withCommitLock[A](body: => A): A = {
     val isLocal = Option(lockPath.toUri.getScheme).forall(_ == "file")
     val token = java.util.UUID.randomUUID().toString
     val deadline = System.currentTimeMillis() + 30000L

@@ -60,6 +60,20 @@ object StorageOps {
       ds.readAll()
     }),
 
+    // full maintenance cycle: trickle appends → CoW delete → bin-pack
+    // compaction → snapshot expiry → GC; content must equal the plain
+    // filtered table afterwards (compaction/GC are logically invisible)
+    "s_compact" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val ds = SpaceDataset.create(s, fresh("compact"), o.schema, Seq("o_orderkey"))
+      (0 until 4).foreach(i => ds.append(o.filter(col("o_orderkey") % 4 === i)))
+      ds.delete(col("o_totalprice") > 400000.0)
+      ds.compact(targetFileRows = 100000L)
+      ds.expireSnapshots(olderThanMs = -1L, keepLast = 1)
+      ds.garbageCollect(minAgeMs = 0L)
+      ds.readAll()
+    }),
+
     // PK-checked insert of the missing slice reconstitutes the table
     "s_insert" -> ((s, d) => {
       val o = t(s, d, "orders")
@@ -207,6 +221,7 @@ object StorageOps {
     "s_filter_prune" -> "SELECT * FROM orders WHERE o_orderkey < 1000",
     "s_project" -> "SELECT o_orderkey, o_totalprice FROM orders",
     "s_delete" -> "SELECT * FROM orders WHERE NOT (o_totalprice > 300000.0)",
+    "s_compact" -> "SELECT * FROM orders WHERE NOT (o_totalprice > 400000.0)",
     "s_insert" -> "SELECT * FROM orders",
     "s_upsert" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
