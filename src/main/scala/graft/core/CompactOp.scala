@@ -52,20 +52,25 @@ object CompactOp {
     import org.apache.spark.sql.functions.col
     val small = mdf
       .filter(col(ManifestIO.NumRowsCol) < threshold)
-      .select(col(ManifestIO.FileCol))
-      .collect().map(_.getString(0)).toSeq
+      .select(col(ManifestIO.FileCol), col(ManifestIO.NumRowsCol))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     if (small.size < minInputFiles) return None
 
-    // one distributed rewrite of the small files' rows, sized to target;
-    // physical schema keeps record addresses opaque (never stitched)
+    // one distributed, SHUFFLE-FREE rewrite: the manifest already gives
+    // exact row counts, so size the output with coalesce (merges scan
+    // partitions in place) instead of a repartition that would exchange
+    // every compacted byte across the cluster. Physical schema keeps
+    // record addresses opaque (never stitched).
     val physical = ReadOp.physicalSchema(storage.schema, storage.recordFields)
+    val totalRows = small.map(_._2).sum
+    val parts = math.max(1, math.ceil(totalRows.toDouble / targetFileRows).toInt)
     val rows = spark.read.schema(physical)
-      .parquet(small.map(storage.absolute): _*)
-    val written = AppendOp.writeFilesWithMeta(spark, storage, rows,
-      targetFileRows = Some(targetFileRows))
+      .parquet(small.map(f => storage.absolute(f._1)): _*)
+      .coalesce(parts)
+    val written = AppendOp.writeFilesWithMeta(spark, storage, rows)
     val appendPatch = written.patch
 
-    val co = DmlOps.manifestCarryover(spark, storage, snapshotId, small.toSet)
+    val co = DmlOps.manifestCarryover(spark, storage, snapshotId, small.map(_._1).toSet)
     val outRows = appendPatch.statsDelta.numRows
     require(outRows == -co.removedStats.numRows,
       s"compaction row-count drift: wrote $outRows, removed ${-co.removedStats.numRows}")
