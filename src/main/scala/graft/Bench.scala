@@ -26,8 +26,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: session + codegen + parquet reader paths
+    // warmup: session + codegen + parquet reader paths; also one dedup
+    // query so the first timed dedup query doesn't absorb the one-time
+    // janino compilation of the shingle/minhash expression pipeline
+    // (steady-state is what the per-query numbers claim to measure)
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    try SparkEntry.queries("d_dedup_minhash")(spark, sfDir).count() catch { case _: Throwable => }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftshim.{ColumnExpr, SimHash64Expr, SortedIntersectCount}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.{LangId, TextFunctions => TF, VectorFunctions => VF}
+
+/** SQL surface of the graft function library, packaged as a standard
+  * `SparkSessionExtensions` injector:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  *   ...
+  * spark.sql("SELECT graft_quality_score(text) FROM docs")
+  * }}}
+  *
+  * Two kinds of entries:
+  *  - native Catalyst expressions (`graft_simhash64`,
+  *    `graft_sorted_intersect_count`) inject directly;
+  *  - `Column`-composition functions (tokens/quality/fingerprint/…)
+  *    inject through the Column↔Expression bridge — the SQL function is
+  *    exactly the DataFrame-API function, one implementation, and the
+  *    whole pipeline stays codegen'd (these compose built-in HOFs; no
+  *    UDF boundary anywhere).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach { case (name, arity, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        (exprs: Seq[Expression]) => {
+          require(exprs.size == arity, s"$name expects $arity argument(s)")
+          builder(exprs)
+        }))
+    }
+}
+
+object GraftExtensions {
+
+  /** Register the same function set on an ALREADY-RUNNING session (the
+    * extensions config only applies at session construction). */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    all.foreach { case (name, arity, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name,
+        exprs => {
+          require(exprs.size == arity, s"$name expects $arity argument(s)")
+          builder(exprs)
+        },
+        "scala_udf")
+    }
+
+  private def col(e: Expression): Column = ColumnExpr.column(e)
+  private def expr(c: Column): Expression = ColumnExpr.catalystExpression(c)
+
+  /** A literal-int argument (e.g. an n-gram width): SQL callers pass a
+    * constant; anything non-foldable is a user error. */
+  private def litInt(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => other.eval(null) match {
+      case i: Int => i
+      case _ => throw new IllegalArgumentException(s"$name must be a literal int")
+    }
+  }
+
+  /** (name, arity, builder). */
+  private[graft] val all: Seq[(String, Int, Seq[Expression] => Expression)] = Seq(
+    ("graft_simhash64", 1, es => SimHash64Expr(es.head)),
+    ("graft_sorted_intersect_count", 2, es => SortedIntersectCount(es(0), es(1))),
+    ("graft_tokens", 1, es => expr(TF.tokens(col(es.head)))),
+    ("graft_token_count", 1, es => expr(TF.tokenCount(col(es.head)))),
+    ("graft_bpe_token_count", 1, es => expr(TF.approxBpeTokenCount(col(es.head)))),
+    ("graft_quality_score", 1, es => expr(TF.qualityScore(col(es.head)))),
+    ("graft_stopword_ratio", 1, es => expr(TF.stopwordRatio(col(es.head)))),
+    ("graft_fingerprint", 1, es => expr(TF.fingerprint(col(es.head)))),
+    ("graft_lang_id", 1, es => expr(LangId.langId(col(es.head)))),
+    ("graft_word_shingle_hashes", 2,
+      es => expr(TF.wordShingleHashes(col(es.head), litInt(es(1), "n")))),
+    ("graft_minhash", 2,
+      es => expr(TF.minhashSignature(col(es.head), litInt(es(1), "numHashes")))),
+    ("graft_jaccard_sorted", 2, es => expr(TF.jaccardSorted(col(es(0)), col(es(1))))),
+    ("graft_hamming64", 2, es => expr(TF.hammingDistance64(col(es(0)), col(es(1))))),
+    ("graft_cosine", 2, es => expr(VF.cosine(col(es(0)), col(es(1))))))
+}

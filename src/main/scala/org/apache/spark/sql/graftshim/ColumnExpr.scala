@@ -11,4 +11,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnExpr {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** EAGER Column → catalyst Expression conversion. `expression` wraps
+    * the column node lazily (`ColumnNodeExpression`), which only the
+    * DataFrame API entry points unwrap — an expression returned from a
+    * FunctionRegistry builder (SQL path) would reach codegen still
+    * wrapped and fail as Unevaluable. This runs the classic converter
+    * up front, yielding a plain analyzable tree. */
+  def catalystExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL surface: every graft function must be callable from plain
+  * SQL with results identical to the DataFrame API. The suite registers
+  * via [[GraftExtensions.registerAll]] — the `spark.sql.extensions`
+  * builder path runs the SAME (name, arity, builder) list, but a static
+  * conf only applies at SparkContext construction, which a shared test
+  * JVM cannot redo. */
+class ExtensionsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  GraftExtensions.registerAll(spark)
+
+  private def docs() = {
+    val df = Tables.read(spark, sfDir, "documents")
+    df.createOrReplaceTempView("docs_ext")
+    df
+  }
+
+  test("text functions are callable from SQL and match the DataFrame API") {
+    import org.apache.spark.sql.functions._
+    val df = docs()
+    val sql = spark.sql(
+      """SELECT doc_id,
+        |  graft_token_count(text) AS tc,
+        |  graft_quality_score(text) AS q,
+        |  graft_fingerprint(text) AS fp,
+        |  graft_lang_id(text) AS lang,
+        |  graft_simhash64(graft_tokens(text)) AS sh
+        |FROM docs_ext""".stripMargin)
+    val api = df.select(col("doc_id"),
+      functions.TextFunctions.tokenCount(col("text")).as("tc"),
+      functions.TextFunctions.qualityScore(col("text")).as("q"),
+      functions.TextFunctions.fingerprint(col("text")).as("fp"),
+      functions.LangId.langId(col("text")).as("lang"),
+      functions.TextFunctions.simhash64(
+        functions.TextFunctions.tokens(col("text"))).as("sh"))
+    assert(sql.exceptAll(api).isEmpty && api.exceptAll(sql).isEmpty)
+  }
+
+  test("shingle/minhash/jaccard pipeline runs end-to-end in SQL") {
+    docs()
+    val r = spark.sql(
+      """SELECT avg(graft_jaccard_sorted(g, g)) AS self_j,
+        |       count(DISTINCT graft_minhash(g, 16)) AS sigs
+        |FROM (SELECT graft_word_shingle_hashes(text, 2) AS g FROM docs_ext)
+        |""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 1.0) // self-Jaccard is exactly 1
+    assert(r.getLong(1) > 1)
+  }
+
+  test("vector cosine and hamming agree with the DataFrame API") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.read(spark, sfDir, "embeddings")
+    emb.createOrReplaceTempView("emb_ext")
+    val sql = spark.sql(
+      "SELECT round(avg(graft_cosine(embedding, embedding)), 6) AS c FROM emb_ext")
+      .collect()(0).getDouble(0)
+    assert(sql == 1.0)
+  }
+
+  test("literal-arg validation and arity errors are user-readable") {
+    docs()
+    val e = intercept[Exception](
+      spark.sql("SELECT graft_token_count(text, 2) FROM docs_ext").collect())
+    assert(e.getMessage.contains("1 argument"))
+  }
+}
