@@ -143,6 +143,47 @@ object Relational {
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
     }),
 
+    // Point-in-time AS-OF join (AsofJoin operator): each click event
+    // matched to the same user's most recent purchase at-or-before it.
+    // One shuffle by user + one sort — no O(n·m) range-join blowup.
+    "q21_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"), col("value"))
+      AsofJoin.asofJoinFlat(clicks, purchases, Seq("user_id"), "ts", "pts",
+          fields = Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000000000").as("click_s"),
+          expr("asof_time div 1000000000").as("purchase_s"),
+          round(col("asof_value"), 2).as("purchase_value"))
+    }),
+
+    // pivot: per-user event-type value matrix (conditional aggregation
+    // in the oracle; Spark's pivot with explicit values — no extra pass
+    // to discover the domain, and the agg stays map-side partial)
+    "q22_pivot" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "purchase", "view", "signup", "error"))
+        .agg(round(sum(col("value")), 2))
+    }),
+
+    // correlated scalar subquery, expressed as the decorrelated
+    // agg+join Catalyst rewrites it to: orders 1.5x above their
+    // customer's average order value
+    "q23_above_cust_avg" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val avgByCust = o.groupBy(col("o_custkey").as("k"))
+        .agg(avg(col("o_totalprice")).as("cust_avg"))
+      o.join(avgByCust, o("o_custkey") === avgByCust("k"))
+        .filter(col("o_totalprice") > col("cust_avg") * 1.5)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(max(col("o_totalprice")), 2).as("max_price"))
+    }),
+
     // Multi-way star join with broadcast dims: region→nation→customer→
     // orders revenue rollup. nation/region are tiny: explicit broadcast.
     "q12_star_join" -> ((s, d) => {
@@ -230,6 +271,29 @@ object Relational {
         |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
+    "q21_asof_join" ->
+      """SELECT a.event_id, a.user_id,
+        |  CAST(floor(epoch(a.ts)) AS BIGINT) AS click_s,
+        |  CAST(floor(epoch(b.ts)) AS BIGINT) AS purchase_s,
+        |  round(b.value, 2) AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') a
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+        |  ON a.user_id = b.user_id AND b.ts <= a.ts""".stripMargin,
+    "q22_pivot" ->
+      """SELECT user_id,
+        |  round(sum(value) FILTER (event_type = 'click'), 2) AS click,
+        |  round(sum(value) FILTER (event_type = 'purchase'), 2) AS purchase,
+        |  round(sum(value) FILTER (event_type = 'view'), 2) AS view,
+        |  round(sum(value) FILTER (event_type = 'signup'), 2) AS signup,
+        |  round(sum(value) FILTER (event_type = 'error'), 2) AS error
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q23_above_cust_avg" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(max(o_totalprice), 2) AS max_price
+        |FROM orders o
+        |WHERE o_totalprice > 1.5 * (SELECT avg(o2.o_totalprice)
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY o_orderpriority""".stripMargin,
     "q12_star_join" ->
       """SELECT r_name, round(sum(o_totalprice), 2) AS revenue,
         |  count(*) AS n_orders
