@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels behind the native shingle/minhash expressions
+  * ([[org.apache.spark.sql.graftshim.WordShingleHashesExpr]] /
+  * [[org.apache.spark.sql.graftshim.MinHashSigExpr]]). Called directly
+  * from generated code, so the whole-stage-codegen output is one static
+  * call instead of a deeply nested HOF tree (which janino compiles
+  * slowly and Catalyst re-evaluates per lambda).
+  *
+  * Semantics contract (what the DuckDB oracle can observe): the HASH
+  * values are engine-internal, but the induced shingle SET must be
+  * isomorphic to the string-shingle set — tokenization on `\s+` runs
+  * (Java regex `\s` = ASCII 9-13 and space), shingles = `n` consecutive
+  * tokens joined by a single space, docs with ≤ n tokens yield one
+  * shingle of all tokens. Any injective hash preserves Jaccard; xxhash64
+  * collisions (~1e-12 at corpus scale) are the standard exactness
+  * caveat (same as the prior `xxhash64(shingle_string)` pipeline).
+  */
+object ShingleOps {
+
+  private def isSpace(b: Byte): Boolean = b == 32 || (b >= 9 && b <= 13)
+
+  /** Sorted distinct 64-bit hashes of the word `n`-gram shingles of
+    * `text`. Token boundaries are byte ranges (safe in UTF-8: ASCII
+    * whitespace bytes never occur inside multi-byte sequences); tokens
+    * are copied once into a normalized single-space buffer and each
+    * shingle hashes a contiguous slice of it — zero string allocation. */
+  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+
+    // pass 1: token [start,end) offsets in the raw bytes
+    var nTokens = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && isSpace(bytes(i))) i += 1
+      if (i < len) { nTokens += 1; while (i < len && !isSpace(bytes(i))) i += 1 }
+    }
+    if (nTokens == 0) return ArrayData.toArrayData(Array.emptyLongArray)
+
+    // pass 2: normalized buffer (tokens joined by single spaces) +
+    // per-token start offsets within it
+    val norm = new Array[Byte](len)
+    val tokStart = new Array[Int](nTokens + 1)
+    var w = 0
+    var t = 0
+    i = 0
+    while (i < len) {
+      while (i < len && isSpace(bytes(i))) i += 1
+      if (i < len) {
+        if (t > 0) { norm(w) = ' '; w += 1 }
+        tokStart(t) = w
+        while (i < len && !isSpace(bytes(i))) { norm(w) = bytes(i); w += 1; i += 1 }
+        t += 1
+      }
+    }
+    tokStart(nTokens) = w + 1 // sentinel: start of one-past-last token
+
+    val nShingles = if (nTokens <= n) 1 else nTokens - n + 1
+    val hashes = new Array[Long](nShingles)
+    val h64 = SimHash.factory.hash64()
+    var s = 0
+    while (s < nShingles) {
+      val start = tokStart(s)
+      val endTok = math.min(s + n, nTokens)
+      val end = tokStart(endTok) - 1 // strip the joining space / sentinel
+      hashes(s) = h64.hash(norm, start, end - start, 0L)
+      s += 1
+    }
+
+    java.util.Arrays.sort(hashes)
+    var uniq = 0
+    i = 0
+    while (i < nShingles) {
+      if (i == 0 || hashes(i) != hashes(i - 1)) { hashes(uniq) = hashes(i); uniq += 1 }
+      i += 1
+    }
+    ArrayData.toArrayData(
+      if (uniq == nShingles) hashes else java.util.Arrays.copyOf(hashes, uniq))
+  }
+
+  /** splitmix64 finalizer (public-domain constants) — the per-seed mix
+    * for minhash signatures. */
+  private def mix(h: Long, seed: Long): Long = {
+    var z = h + seed * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signature: for each of `numHashes` seeds, the minimum of the
+    * seed-mixed shingle hashes. Empty input → all Long.MaxValue (the
+    * empty-set signature; two empty docs still collide in every band,
+    * matching the prior HOF pipeline's array_min-of-empty semantics via
+    * the verify stage treating them as Jaccard 0/0). */
+  def minhashSig(shingles: ArrayData, numHashes: Int): ArrayData = {
+    val k = shingles.numElements()
+    val sig = new Array[Long](numHashes)
+    var s = 0
+    while (s < numHashes) {
+      var mn = Long.MaxValue
+      var i = 0
+      while (i < k) {
+        val m = mix(shingles.getLong(i), s + 1)
+        if (m < mn) mn = m
+        i += 1
+      }
+      sig(s) = mn
+      s += 1
+    }
+    ArrayData.toArrayData(sig)
+  }
+}

@@ -99,13 +99,16 @@ object TextFunctions {
 
   /** SORTED distinct 64-bit hashes of the word shingles — the set the
     * MinHash / Jaccard pipeline actually operates on. Hashing each
-    * shingle string ONCE up front makes every downstream op (per-seed
-    * min-hash mixing, set intersection, shuffle) long-typed: ~10×
-    * cheaper than re-hashing strings, exact w.h.p. (64-bit collisions
-    * ~1e-12 at corpus scale). Sorted so the verify stage can use the
-    * allocation-free merge intersection ([[jaccardSorted]]). */
+    * shingle ONCE up front makes every downstream op (per-seed min-hash
+    * mixing, set intersection, shuffle) long-typed: ~10× cheaper than
+    * re-hashing strings, exact w.h.p. (64-bit collisions ~1e-12 at
+    * corpus scale). Sorted so the verify stage can use the
+    * allocation-free merge intersection ([[jaccardSorted]]). Native
+    * expression ([[ShingleOps.shingleHashes]] kernel): same shingle-set
+    * semantics as the string pipeline ([[wordShingles]] + xxhash64),
+    * but one static call in codegen. */
   def wordShingleHashes(c: Column, n: Int): Column =
-    array_sort(array_distinct(transform(wordShingles(c, n), sh => xxhash64(sh))))
+    org.apache.spark.sql.graftshim.WordShingleHashesExpr(c, n)
 
   /** Jaccard over pre-SORTED distinct long arrays: |∩| by linear merge
     * (native expression), |∪| = |A|+|B|-|∩|. */
@@ -116,10 +119,9 @@ object TextFunctions {
   }
 
   /** MinHash signature over pre-hashed shingles: `numHashes` independent
-    * murmur3 seed mixes, min per seed. */
+    * splitmix64 seed mixes, min per seed (native expression). */
   def minhashSignature(shingleHashes: Column, numHashes: Int): Column =
-    transform(sequence(lit(1), lit(numHashes)),
-      s => array_min(transform(shingleHashes, h => hash(h, s))))
+    org.apache.spark.sql.graftshim.MinHashSigExpr(shingleHashes, numHashes)
 
   /** Evaluate `input` ONCE and pass it as a bound lambda variable into
     * `f`. Catalyst's project collapsing happily inlines a projected
@@ -150,7 +152,7 @@ object TextFunctions {
 object SimHash {
   import net.jpountz.xxhash.XXHashFactory
 
-  private lazy val factory = XXHashFactory.fastestInstance()
+  private[functions] lazy val factory = XXHashFactory.fastestInstance()
 
   def hash64(bytes: Array[Byte]): Long =
     factory.hash64().hash(bytes, 0, bytes.length, 0L)

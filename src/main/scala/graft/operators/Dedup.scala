@@ -52,16 +52,16 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
 
-    // TF.bound: without it the optimizer inlines the shingle pipeline
-    // into the 32-seed lambda → O(shingles × seeds) work per row.
-    // persist: this frame feeds band-key generation AND both candidate
-    // re-attach joins — without it the shingle+signature pipeline runs
-    // three times (LRU-evicted when memory is needed).
+    // Native shingle/minhash expressions: one static-call kernel each —
+    // no HOF re-inlining hazard, tiny generated code. persist: this
+    // frame feeds band-key generation AND both candidate re-attach
+    // joins — without it the shingle+signature pipeline runs three
+    // times (LRU-evicted when memory is needed).
     val shingleExpr = TF.wordShingleHashes(col(textCol), shingleSize)
     val withSig = df.select(
       col(idCol).as("id"),
       shingleExpr.as("shingles"),
-      TF.bound(shingleExpr)(sh => TF.minhashSignature(sh, numHashes)).as("sig"))
+      TF.minhashSignature(shingleExpr, numHashes).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // LIGHT band rows: (id, band, 64-bit key of the band's sub-signature)
@@ -146,11 +146,16 @@ object Dedup {
       idA: String = "id_a",
       idB: String = "id_b"): DataFrame = {
     val half = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    // localCheckpoint (not persist): truncating lineage each round keeps
+    // the per-round physical plan IDENTICAL across iterations — one
+    // codegen compile total instead of one per round — and is the
+    // standard guard against lineage blowup in iterative algorithms
+    // (at 100 TB a 10-round loop would otherwise replay 10 joins deep).
     val edges = half
       .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
-      .persist()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
+      .withColumn("label", col("id")).localCheckpoint()
     try {
       var changed = 1L
       var iters = 0
@@ -163,7 +168,7 @@ object Dedup {
           .join(prop, labels("id") === prop("dst"), "left")
           .select(labels("id"), labels("label").as("prev"),
             least(labels("label"), coalesce(col("nl"), labels("label"))).as("label"))
-          .persist()
+          .localCheckpoint()
         changed = next.filter(col("label") =!= col("prev")).count()
         labels.unpersist()
         labels = next.select(col("id"), col("label"))
