@@ -17,7 +17,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.StorageOps.queries ++
-      operators.Pipeline.queries ++ operators.Multimodal.queries ++
+      operators.Pipeline.queries ++ operators.Curation.queries ++
+      operators.Multimodal.queries ++
       operators.ExtrasOps.queries ++ operators.Scalars.queries ++
       streaming.EventsStream.queries
 
@@ -25,7 +26,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracleSql ++ operators.StorageOps.oracleSql ++
-      operators.Pipeline.oracleSql ++ operators.Multimodal.oracleSql ++
+      operators.Pipeline.oracleSql ++ operators.Curation.oracleSql ++
+      operators.Multimodal.oracleSql ++
       operators.ExtrasOps.oracleSql ++ operators.Scalars.oracleSql ++
       streaming.EventsStream.oracleSql
 }

@@ -1,0 +1,233 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{TextFunctions => TF}
+
+/** Corpus-curation operators — the steps between "raw crawl" and
+  * "training mix" that a large-scale LLM data pipeline runs after dedup
+  * (the reference stops at storage + transforms; these are the
+  * Spark-native extension alongside [[Dedup]]/[[Similarity]]):
+  *
+  *  - test-set decontamination (shared-shingle flagging)
+  *  - repetition analysis (duplicate / most-frequent n-gram fractions,
+  *    the Gopher-style quality signals)
+  *  - deterministic hash split (train/valid/test without a coin flip)
+  *  - weighted source mixing (domain up/down-sampling)
+  *  - concat-and-chunk sequence packing (context-window layout)
+  *  - PII scrubbing (regex redaction with counts)
+  *
+  * Everything is a pure Column pipeline (codegen'd, no UDF) except where
+  * a groupBy is the semantics. Every query has a DuckDB oracle: the
+  * deterministic mixing hash is plain 64-bit arithmetic expressible in
+  * ANSI SQL, so even the sampling ops are hash-verified.
+  */
+object Curation {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.read(s, d, "documents")
+
+  /** Portable multiplicative mix → bucket in [0, buckets): Knuth
+    * multiplicative hashing with an xorshift finalizer, kept inside
+    * non-overflowing int64 arithmetic (ANSI-safe, and reproducible in
+    * any SQL engine — unlike xxhash64, which only Spark has). Production
+    * splits on arbitrary keys would use `xxhash64(key, salt)`; the
+    * arithmetic here is the same idea with a portable kernel. */
+  private[operators] def mixBucket(id: Column, buckets: Int): Column = {
+    val b = pmod(id * lit(2654435761L), lit(4294967296L))
+    pmod(b.bitwiseXOR(shiftright(b, 16)), lit(buckets.toLong))
+  }
+
+  private def mixBucketSql(idExpr: String, buckets: Int): String =
+    s"xor((($idExpr) * 2654435761) % 4294967296, " +
+      s"((($idExpr) * 2654435761) % 4294967296) >> 16) % $buckets"
+
+  // deterministic per-source keep-rates (permille) for the mixing demo:
+  // named sources are up/down-weighted, the long tail keeps 12.5%
+  private val MixRates: Seq[(String, Long)] =
+    Seq("src0" -> 1000L, "src1" -> 500L, "src2" -> 250L)
+  private val MixDefaultRate = 125L
+  // decorrelate the mixing decision from the split decision
+  private val MixSalt = 1000003L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // test-set decontamination: flag training docs sharing any 3-token
+    // shingle with the benchmark set (doc_id % 97 == 0 plays the held-out
+    // benchmark). The benchmark's distinct shingle hashes are TINY next
+    // to the corpus → broadcast hash semi-join; the corpus-side explode
+    // never shuffles (the only shuffle is the per-doc count of matches,
+    // bounded by contaminated docs). The 13-gram decontamination of real
+    // pipelines is this exact plan with n=13.
+    "d_decontaminate" -> ((s, d) => {
+      val grams = docs(s, d).select(col("doc_id"),
+        TF.wordShingleHashes(col("text"), 3).as("g"))
+      val bench = grams.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(explode(col("g")).as("gram")).distinct()
+      val train = grams.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      val shared = train.select(col("doc_id"), explode(col("g")).as("gram"))
+        .join(broadcast(bench), Seq("gram"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      train.select(col("doc_id")).join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+    }),
+
+    // repetition analysis (Gopher-style quality signals): per doc, the
+    // duplicate-2-gram fraction and the most-frequent-2-gram fraction.
+    // Shape: explode 2-gram HASHES (8 bytes each, never the strings) →
+    // per-(doc, gram) count → per-doc aggregate — the word-count plan,
+    // fully map-side-combined.
+    "d_repetition" -> ((s, d) => {
+      val g = docs(s, d).select(col("doc_id"),
+        explode(transform(TF.wordShingles(col("text"), 2), t => xxhash64(t))).as("gram"))
+      g.groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(
+          sum(col("c")).as("total"), max(col("c")).as("maxc"),
+          count(lit(1)).as("nd"))
+        .select(col("doc_id"),
+          col("total").as("n_2grams"),
+          col("nd").as("n_distinct_2grams"),
+          round(lit(1.0) - col("nd").cast("double") / col("total"), 4).as("dup_2gram_frac"),
+          round(col("maxc").cast("double") / col("total"), 4).as("top_2gram_frac"))
+    }),
+
+    // deterministic train/valid/test split: bucket = mix(doc_id) ∈
+    // [0,1000); 80/10/10. Pure projection — zero shuffle at any scale,
+    // and stable across runs/engines (re-running the pipeline never
+    // migrates a doc between splits).
+    "d_hash_split" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        mixBucket(col("doc_id"), 1000).as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 800, "train")
+            .when(col("bucket") < 900, "valid")
+            .otherwise("test"))),
+
+    // weighted source mixing: per-source keep-rates applied by
+    // deterministic hash — domain up/down-sampling without sampling
+    // noise. Projection + filter only: no shuffle, no RNG state.
+    "d_source_mix" -> ((s, d) => {
+      val rate = MixRates.foldLeft(lit(MixDefaultRate)) { case (acc, (src, r)) =>
+        when(col("source") === src, lit(r)).otherwise(acc)
+      }
+      docs(s, d)
+        .filter(mixBucket(col("doc_id") + MixSalt, 1000) < rate)
+        .select(col("doc_id"), col("source"))
+    }),
+
+    // concat-and-chunk sequence packing: per source, documents in doc_id
+    // order are concatenated token-wise and cut into 2048-token context
+    // windows; each doc reports its token offset and the chunk range it
+    // spans. One shuffle (by source) + a running-sum window — the
+    // pipeline's layout step before tensorization. At 100 TB the window
+    // per source is the scale risk: sub-bucket hot sources (the split is
+    // deterministic, so chunk ids stay stable) or pack per partition.
+    "d_pack_chunks" -> ((s, d) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs(s, d)
+        .select(col("doc_id"), col("source"),
+          TF.approxBpeTokenCount(col("text")).cast("long").as("n_tok"))
+        .withColumn("tok_start", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("start_chunk", floor(col("tok_start") / 2048.0).cast("long"))
+        .withColumn("end_chunk",
+          when(col("n_tok") <= 0, col("start_chunk"))
+            .otherwise(floor((col("tok_start") + col("n_tok") - 1) / 2048.0))
+            .cast("long"))
+    }),
+
+    // PII scrub: regex redaction of emails/phones with per-doc counts.
+    // The corpus plants synthetic PII on doc_id % 10 == 0 (the testdata
+    // text has none) so the scrubber provably fires. Pure projection —
+    // regexes stay inside whole-stage codegen.
+    "d_pii_scrub" -> ((s, d) => {
+      val planted = when(pmod(col("doc_id"), lit(10)) === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or call 555-123-4567 now")))
+        .otherwise(col("text"))
+      docs(s, d).select(col("doc_id"), planted.as("t"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(EmailRe), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("t"), lit(PhoneRe), lit(0))).as("n_phones"),
+          regexp_replace(
+            regexp_replace(col("t"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>").as("scrubbed"))
+    }))
+
+  // shared by Spark + DuckDB sides (Java regex and RE2 agree on these)
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  val oracleSql: Map[String, String] = Map(
+    "d_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, ${Pipeline.tokensSql} AS ts FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(${Pipeline.shinglesSql(3)}) AS g FROM toks),
+         |bench AS (SELECT DISTINCT unnest(g) AS gram FROM sh WHERE doc_id % 97 = 0),
+         |tr AS (SELECT doc_id, g FROM sh WHERE doc_id % 97 != 0),
+         |cnt AS (
+         |  SELECT doc_id, count(*) AS n_shared
+         |  FROM (SELECT doc_id, unnest(g) AS gram FROM tr) u
+         |  JOIN bench USING (gram) GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  CAST(coalesce(c.n_shared, 0) AS BIGINT) AS n_shared,
+         |  coalesce(c.n_shared, 0) > 0 AS contaminated
+         |FROM tr t LEFT JOIN cnt c USING (doc_id)""".stripMargin,
+    "d_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, ${Pipeline.tokensSql} AS ts FROM documents),
+         |sh AS (SELECT doc_id, ${Pipeline.shinglesSql(2)} AS g FROM toks),
+         |u AS (SELECT doc_id, unnest(g) AS gram FROM sh),
+         |c AS (SELECT doc_id, gram, count(*) AS c FROM u GROUP BY 1, 2),
+         |a AS (SELECT doc_id, sum(c) AS total, max(c) AS maxc, count(*) AS nd
+         |      FROM c GROUP BY doc_id)
+         |SELECT doc_id,
+         |  CAST(total AS BIGINT) AS n_2grams,
+         |  CAST(nd AS BIGINT) AS n_distinct_2grams,
+         |  round(1.0 - CAST(nd AS DOUBLE) / total, 4) AS dup_2gram_frac,
+         |  round(CAST(maxc AS DOUBLE) / total, 4) AS top_2gram_frac
+         |FROM a""".stripMargin,
+    "d_hash_split" ->
+      s"""SELECT doc_id, ${mixBucketSql("doc_id", 1000)} AS bucket,
+         |  CASE WHEN ${mixBucketSql("doc_id", 1000)} < 800 THEN 'train'
+         |       WHEN ${mixBucketSql("doc_id", 1000)} < 900 THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin,
+    "d_source_mix" ->
+      s"""SELECT doc_id, source FROM documents
+         |WHERE ${mixBucketSql(s"doc_id + $MixSalt", 1000)} <
+         |  CASE ${MixRates.map { case (k, v) => s"WHEN source = '$k' THEN $v" }
+            .mkString(" ")} ELSE $MixDefaultRate END""".stripMargin,
+    "d_pack_chunks" ->
+      s"""WITH toks AS (SELECT doc_id, source, ${Pipeline.tokensSql} AS ts FROM documents),
+         |n AS (SELECT doc_id, source,
+         |  CAST(coalesce(list_sum(list_transform(ts,
+         |    t -> greatest(1, CAST(ceil(length(t) / 4.0) AS INT)))), 0) AS BIGINT)
+         |    AS n_tok FROM toks),
+         |w AS (SELECT doc_id, source, n_tok,
+         |  CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS tok_start FROM n)
+         |SELECT doc_id, source, n_tok, tok_start,
+         |  CAST(floor(tok_start / 2048.0) AS BIGINT) AS start_chunk,
+         |  CAST(CASE WHEN n_tok <= 0 THEN floor(tok_start / 2048.0)
+         |       ELSE floor((tok_start + n_tok - 1) / 2048.0) END AS BIGINT)
+         |    AS end_chunk
+         |FROM w""".stripMargin,
+    "d_pii_scrub" ->
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 10 = 0
+         |      THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |        || '@example.com or call 555-123-4567 now'
+         |      ELSE text END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(t, '$EmailRe')) AS n_emails,
+         |  len(regexp_extract_all(t, '$PhoneRe')) AS n_phones,
+         |  regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
+         |    '$PhoneRe', '<PHONE>', 'g') AS scrubbed
+         |FROM c""".stripMargin)
+}

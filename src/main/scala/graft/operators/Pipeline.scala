@@ -127,9 +127,9 @@ object Pipeline {
         col("doc_id"), TF.fingerprint(col("text")).as("fp"))))
 
   // DuckDB lambda/list SQL mirroring the Spark semantics exactly.
-  private val tokensSql = "list_filter(string_split_regex(text, '\\s+'), x -> x != '')"
+  private[operators] val tokensSql = "list_filter(string_split_regex(text, '\\s+'), x -> x != '')"
 
-  private def shinglesSql(n: Int): String = {
+  private[operators] def shinglesSql(n: Int): String = {
     val sliceEnd = s"i + ${n - 1}"
     s"""CASE WHEN len(ts) <= $n THEN [array_to_string(ts, ' ')]
        |     ELSE list_transform(range(1, len(ts) - ${n - 2}),

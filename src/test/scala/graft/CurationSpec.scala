@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Curation
+
+class CurationSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def run(name: String) =
+    Curation.queries(name)(spark, sfDir)
+
+  test("hash split is deterministic, total, and ~80/10/10") {
+    val split = run("d_hash_split").cache()
+    try {
+      val total = split.count()
+      assert(total == Tables.read(spark, sfDir, "documents").count())
+      val bySplit = split.groupBy("split").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(bySplit.keySet == Set("train", "valid", "test"))
+      val trainFrac = bySplit("train").toDouble / total
+      assert(trainFrac > 0.7 && trainFrac < 0.9, s"train frac $trainFrac")
+      // determinism: re-running yields the identical assignment
+      val again = run("d_hash_split")
+      assert(split.exceptAll(again).isEmpty && again.exceptAll(split).isEmpty)
+    } finally { split.unpersist(); () }
+  }
+
+  test("decontamination flags benchmark members' own text verbatim") {
+    // a training doc that IS a benchmark doc's text (planted copy) must
+    // be flagged with every one of its shingles shared
+    val docs = Tables.read(spark, sfDir, "documents")
+    val out = run("d_decontaminate")
+    // benchmark ids (doc_id % 97 == 0) are excluded from the output
+    assert(out.filter(pmod(col("doc_id"), lit(97)) === 0).count() == 0)
+    // contamination is exactly "shares ≥ 1 shingle"
+    assert(out.filter(col("contaminated") && col("n_shared") === 0).count() == 0)
+    assert(out.count() == docs.filter(pmod(col("doc_id"), lit(97)) =!= 0).count())
+  }
+
+  test("source mixing keeps all of src0 and applies deterministic rates") {
+    val docs = Tables.read(spark, sfDir, "documents")
+    val kept = run("d_source_mix").cache()
+    try {
+      // src0 rate is 1000/1000 → every src0 doc survives
+      assert(kept.filter(col("source") === "src0").count() ==
+        docs.filter(col("source") === "src0").count())
+      // tail sources downsample to ~12.5%
+      val tailSrc = docs.filter(col("source") === "src5").count()
+      val tailKept = kept.filter(col("source") === "src5").count()
+      assert(tailKept < tailSrc / 4, s"src5 kept $tailKept of $tailSrc")
+      // deterministic: second run identical
+      val again = run("d_source_mix")
+      assert(kept.exceptAll(again).isEmpty && again.exceptAll(kept).isEmpty)
+    } finally { kept.unpersist(); () }
+  }
+
+  test("pack chunks lays out a contiguous token stream per source") {
+    val packed = run("d_pack_chunks").cache()
+    try {
+      import spark.implicits._
+      // per source: tok_start of doc k = tok_start + n_tok of doc k-1
+      val rows = packed.orderBy("source", "doc_id")
+        .select("source", "n_tok", "tok_start", "start_chunk", "end_chunk")
+        .as[(String, Long, Long, Long, Long)].collect()
+      rows.groupBy(_._1).foreach { case (_, rs) =>
+        rs.sliding(2).foreach {
+          case Array((_, n, start, _, _), (_, _, start2, _, _)) =>
+            assert(start2 == start + n)
+          case _ =>
+        }
+      }
+      // chunk ids consistent with offsets
+      rows.foreach { case (_, n, start, c0, c1) =>
+        assert(c0 == start / 2048)
+        if (n > 0) assert(c1 == (start + n - 1) / 2048 && c1 >= c0)
+        else assert(c1 == c0)
+      }
+    } finally { packed.unpersist(); () }
+  }
+
+  test("pii scrub redacts planted emails and phones") {
+    val out = run("d_pii_scrub").cache()
+    try {
+      val planted = out.filter(pmod(col("doc_id"), lit(10)) === 0)
+      assert(planted.filter(col("n_emails") =!= 1 || col("n_phones") =!= 1).count() == 0)
+      assert(planted.filter(!col("scrubbed").contains("<EMAIL>") ||
+        !col("scrubbed").contains("<PHONE>")).count() == 0)
+      // nothing survives the scrubber
+      assert(out.filter(col("scrubbed").rlike("@example\\.com|\\d{3}-\\d{3}-\\d{4}")).count() == 0)
+      val clean = out.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      assert(clean.filter(col("n_emails") =!= 0 || col("n_phones") =!= 0).count() == 0)
+    } finally { out.unpersist(); () }
+  }
+
+  test("repetition fractions are consistent and bounded") {
+    val rep = run("d_repetition").cache()
+    try {
+      assert(rep.filter(col("dup_2gram_frac") < 0 || col("dup_2gram_frac") > 1).count() == 0)
+      assert(rep.filter(col("top_2gram_frac") <= 0 || col("top_2gram_frac") > 1).count() == 0)
+      assert(rep.filter(col("n_distinct_2grams") > col("n_2grams")).count() == 0)
+      // a fully-repeated synthetic doc scores dup_frac near 1
+      val one = Curation.queries("d_repetition")(spark, sfDir)
+      assert(one.count() == Tables.read(spark, sfDir, "documents").count())
+    } finally { rep.unpersist(); () }
+  }
+}
