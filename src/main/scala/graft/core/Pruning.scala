@@ -54,6 +54,18 @@ object Pruning {
       resolved.flatMap(falsifiable(tableSchema, primaryKeys, _))
     }.toOption.flatten.map(f => not(coalesce(f, lit(false))))
 
+  /** [[keepCondition]] over ALREADY-RESOLVED Catalyst expressions (the
+    * `dataFilters` Catalyst hands a FileIndex): a file is skippable when
+    * ANY filter is provably falsifiable for it, so the keep condition is
+    * `NOT (OR of falsifiable conditions)`. None ⇒ scan everything. */
+  def keepConditionForFilters(
+      tableSchema: StructType,
+      primaryKeys: Seq[String],
+      filters: Seq[Expression]): Option[Column] =
+    Try {
+      filters.flatMap(f => falsifiable(tableSchema, primaryKeys, f)).reduceOption(_ || _)
+    }.toOption.flatten.map(f => not(coalesce(f, lit(false))))
+
   /** Run the analyzer over `empty(schema).filter(pred)` and pull out the
     * resolved, type-coerced condition. */
   private def resolve(spark: SparkSession, schema: StructType, predicate: Column): Option[Expression] = {

@@ -62,17 +62,18 @@ object ReadOp {
   }
 
   /** Read a snapshot as a DataFrame of the PHYSICAL schema (record fields
-    * as address structs; stitching is RecordIO's job). */
+    * as address structs; stitching is RecordIO's job).
+    *
+    * Built over [[GraftRelation]]/[[GraftFileIndex]], so manifest pruning
+    * runs INSIDE Catalyst planning from the query's own data filters —
+    * the predicate here, a later `.filter`, or a SQL WHERE over a
+    * registered view all prune identically and lazily. */
   def scanPhysical(
       spark: SparkSession,
       storage: Storage,
       snapshotId: Long,
       predicate: Option[Column] = None): DataFrame = {
-    val physical = physicalSchema(storage.schema, storage.recordFields)
-    val p = plan(spark, storage, snapshotId, predicate)
-    val df =
-      if (p.files.isEmpty) emptyDF(spark, physical)
-      else spark.read.schema(physical).parquet(p.files.map(storage.absolute): _*)
+    val df = GraftRelation.dataFrame(spark, storage, snapshotId)
     predicate.fold(df)(df.filter)
   }
 

@@ -57,6 +57,13 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
 
   def readAll(): DataFrame = read()
 
+  /** Register this table (at `version`, default current) as a temp view.
+    * The view is relation-backed ([[GraftFileIndex]]), so a SQL `WHERE`
+    * over it prunes manifest files inside Catalyst planning — full
+    * `spark.sql` surface with storage-aware scans. */
+  def createOrReplaceTempView(name: String, version: Option[String] = None): Unit =
+    read(version = version).createOrReplaceTempView(name)
+
   /** Scan plan for a predicate — exposes pruning decisions (files kept vs
     * total) for tests/bench. */
   def plan(filter: Option[Column] = None, version: Option[String] = None): ReadOp.ScanPlan = {

@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+
+/** The Catalyst-integrated scan: GraftFileIndex must prune manifest
+  * files from the query's OWN data filters — SQL WHERE clauses included
+  * — and report true file sizes to the planner. */
+class FileIndexSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val ds: SpaceDataset = {
+    val orders = Tables.read(spark, sfDir, "orders")
+    val loc = Files.createTempDirectory("graft_fidx_").toString + "/tbl"
+    val d = SpaceDataset.create(spark, loc, orders.schema, Seq("o_orderkey"))
+    // 8 files with disjoint key ranges → pruning has something to skip
+    d.append(orders.repartitionByRange(8, col("o_orderkey")))
+    d
+  }
+
+  private def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect() // execute first: AQE finalizes the plan lazily
+    // recurse through AQE wrappers: QueryStageExec subtrees are not
+    // children of the adaptive plan node
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case f: FileSourceScanExec => Seq(f)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(s.plan)
+        case other => other.children.flatMap(scans)
+      }
+    scans(df.queryExecution.executedPlan).head.metrics("numFiles").value
+  }
+
+  test("SQL WHERE over a registered view prunes files via the index") {
+    ds.createOrReplaceTempView("fidx_orders")
+    val total = ds.plan().files.size
+    assert(total == 8, s"expected 8 files, got $total")
+
+    val lo = spark.sql("SELECT count(*) AS n FROM fidx_orders WHERE o_orderkey < 100")
+    assert(filesRead(lo) < total)
+    // correctness: same count as an unpruned filter
+    val expect = Tables.read(spark, sfDir, "orders").filter(col("o_orderkey") < 100).count()
+    assert(lo.collect()(0).getLong(0) == expect)
+  }
+
+  test("deferred DataFrame filters prune like explicit read(filter)") {
+    val lazyFiltered = ds.readAll().filter(col("o_orderkey") between (200L, 300L))
+    val n = filesRead(lazyFiltered)
+    assert(n < 8, s"read $n files")
+    val eager = ds.read(filter = Some(col("o_orderkey") between (200L, 300L)))
+    assert(lazyFiltered.count() == eager.count())
+  }
+
+  test("non-PK filters scan everything (stats are PK-only)") {
+    val df = ds.readAll().filter(col("o_totalprice") > 0.0)
+    assert(filesRead(df) == 8)
+  }
+
+  test("time-travel view prunes against the pinned snapshot") {
+    val v0Files = ds.plan(version = Some("1")).files.size
+    val df = ds.read(version = Some("1")).filter(col("o_orderkey") < 100)
+    assert(filesRead(df) < v0Files)
+  }
+
+  test("the index reports true on-disk sizes for planning") {
+    val idx = new GraftFileIndex(spark, ds.storage, ds.storage.metadata.currentSnapshotId)
+    val fromFs = idx.inputFiles.map(p =>
+      new java.io.File(new java.net.URI(
+        if (p.startsWith("file:")) p else "file://" + p).getPath).length).sum
+    assert(idx.sizeInBytes == fromFs)
+    assert(idx.inputFiles.length == 8)
+  }
+}
