@@ -214,6 +214,35 @@ object DmlOps {
     CarryoverResult(removedManifests, carryoverManifest, removed, fileRows)
   }
 
+  /** Atomic whole-table overwrite (SQL `INSERT OVERWRITE` = truncate +
+    * append in ONE snapshot): drop every index/record manifest of the
+    * pinned snapshot, negate its statistics, log every current row as
+    * deleted (`allRows` per file — no bitmap bytes), and append the new
+    * data. Single commit, so readers never observe an empty table and
+    * CDC sees one DELETE(all)+ADD(new) snapshot (the reference's
+    * DELETE+ADD encoding, change_data.py:42-44, at whole-table scope).
+    * Old files stay on disk for time travel until GC, like any CoW
+    * rewrite. */
+  def overwriteAll(spark: SparkSession, storage: Storage, snapshotId: Long, df: DataFrame): Patch = {
+    val snap = storage.snapshotOrFail(snapshotId)
+    val appendPatch = RecordIO.writeWithRecords(spark, storage, df)
+    val manifests = snap.manifestFiles.indexManifestFiles
+    if (manifests.isEmpty) return appendPatch
+    val fileRows = ManifestIO.readIndexManifests(spark, storage, manifests)
+      .select(col(ManifestIO.FileCol), col(ManifestIO.NumRowsCol))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val s = snap.storageStatistics
+    val removePatch = Patch(
+      removedIndexManifests = manifests,
+      removedRecordManifests = snap.manifestFiles.recordManifestFiles,
+      statsDelta = StorageStatistics(-s.numRows, -s.indexCompressedBytes,
+        -s.indexUncompressedBytes, -s.recordUncompressedBytes),
+      changeLog = Some(ChangeLog(deletedRows = fileRows.toList.map {
+        case (f, n) => RowBitmap(f, allRows = true, numRows = n)
+      })))
+    Patch.merge(Seq(removePatch, appendPatch)).get
+  }
+
   /** Append with duplicate-primary-key rejection against the current
     * snapshot AND within the input (insert.py:60-104, filter_matched
     * :119-134 — as a distributed semi-join instead of OR-chains). The

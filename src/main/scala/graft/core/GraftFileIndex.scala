@@ -1,23 +1,28 @@
 package graft.core
 
+import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, NoopCache, PartitionDirectory, PartitioningAwareFileIndex, PartitionSpec}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types.StructType
 
-/** Catalyst-integrated scan: a [[FileIndex]] whose `listFiles` applies
-  * the falsifiable-filter manifest pruning ([[Pruning]]) to the DATA
-  * FILTERS Catalyst resolved for the query — so `spark.sql("… WHERE pk <
-  * 100")` over a registered graft table prunes files exactly like an
-  * explicit `read(filter = …)`, with no eager planning step (the
-  * "deeper-integration alternative" of SURVEY.md §4.1; same division of
-  * labor as the reference's `Storage.data_files`, storage.py:369-403,
-  * now driven BY the optimizer instead of before it).
+/** Catalyst-integrated scan: a [[PartitioningAwareFileIndex]] whose
+  * `listFiles` applies the falsifiable-filter manifest pruning
+  * ([[Pruning]]) to the DATA FILTERS Catalyst resolved for the query —
+  * so `spark.sql("… WHERE pk < 100")` over a registered graft table
+  * prunes files exactly like an explicit `read(filter = …)`, with no
+  * eager planning step (the "deeper-integration alternative" of
+  * SURVEY.md §4.1; same division of labor as the reference's
+  * `Storage.data_files`, storage.py:369-403, now driven BY the
+  * optimizer instead of before it). Extending the partitioning-aware
+  * base lets the SAME index back both the V1 `HadoopFsRelation` path
+  * ([[GraftRelation.dataFrame]]) and the DSv2 `ParquetScanBuilder` path
+  * (the `graft` TableCatalog).
   *
   * The index is pinned to one snapshot (graft snapshots are immutable):
   * manifest rows and file statuses load once at construction —
@@ -28,7 +33,8 @@ import org.apache.spark.sql.types.StructType
 final class GraftFileIndex(
     spark: SparkSession,
     storage: Storage,
-    snapshotId: Long) extends FileIndex {
+    snapshotId: Long)
+  extends PartitioningAwareFileIndex(spark, Map.empty, None, NoopCache) {
 
   private val conf = spark.sparkContext.hadoopConfiguration
 
@@ -64,7 +70,14 @@ final class GraftFileIndex(
 
   override def rootPaths: Seq[Path] = Seq(new Path(storage.location))
 
-  override def partitionSchema: StructType = new StructType()
+  override def partitionSpec(): PartitionSpec = PartitionSpec.emptySpec
+
+  override protected def leafFiles: mutable.LinkedHashMap[Path, FileStatus] =
+    mutable.LinkedHashMap(statusByRel.values.toSeq.map(s => s.getPath -> s): _*)
+
+  override protected def leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
+    statusByRel.values.toSeq.groupBy(_.getPath.getParent)
+      .map { case (dir, ss) => dir -> ss.toArray }
 
   override def sizeInBytes: Long = statusByRel.values.map(_.getLen).sum
 

@@ -92,6 +92,13 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
       (Patch.merge(patches), storage.metadata.maxSnapshotId + 1)
     }
 
+  /** Atomic truncate-and-append: ONE snapshot replacing the whole table
+    * content (backs SQL `INSERT OVERWRITE` through the graft catalog). */
+  def overwrite(df: DataFrame, branch: String = currentBranch): Long =
+    storage.transaction(branch) { pinned =>
+      (Some(DmlOps.overwriteAll(spark, storage, pinned, df)), storage.metadata.maxSnapshotId + 1)
+    }
+
   def delete(cond: Column, branch: String = currentBranch): Long =
     storage.transaction(branch) { pinned =>
       (DmlOps.delete(spark, storage, pinned, cond), storage.metadata.maxSnapshotId + 1)

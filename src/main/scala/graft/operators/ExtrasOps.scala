@@ -83,6 +83,26 @@ object ExtrasOps {
         """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total
           |FROM graft_orders JOIN graft_customer ON o_custkey = c_custkey
           |GROUP BY c_mktsegment""".stripMargin)
+    }),
+
+    // DSv2 TableCatalog: CREATE/INSERT/SELECT through `spark.sql` on
+    // `graft_cat.<table>` — catalog resolution, transactional write, and
+    // manifest-pruned DSv2 scan all inside Spark's own SQL planner
+    "s_sql_catalog" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[org.apache.spark.sql.graftshim.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_cat.location", "/tmp/graft_cat_oracle")
+      val orders = Tables.read(s, d, "orders")
+      s.sql("DROP TABLE IF EXISTS graft_cat.orders_sql")
+      s.sql("CREATE TABLE graft_cat.orders_sql (" +
+        orders.schema.fields.map(f => s"${f.name} ${f.dataType.sql}").mkString(", ") +
+        ") TBLPROPERTIES ('primary_keys'='o_orderkey')")
+      orders.createOrReplaceTempView("graft_cat_src_orders")
+      s.sql("INSERT INTO graft_cat.orders_sql SELECT * FROM graft_cat_src_orders")
+      s.sql(
+        """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+          |FROM graft_cat.orders_sql WHERE o_orderkey <= 30000
+          |GROUP BY o_orderstatus""".stripMargin)
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -92,5 +112,9 @@ object ExtrasOps {
     "s_sql" ->
       """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment""".stripMargin)
+        |GROUP BY c_mktsegment""".stripMargin,
+    "s_sql_catalog" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderkey <= 30000
+        |GROUP BY o_orderstatus""".stripMargin)
 }

@@ -1,0 +1,261 @@
+package org.apache.spark.sql.graftshim
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core.{DirCatalog, ReadOp, SpaceDataset, GraftFileIndex}
+
+/** Spark DSv2 [[TableCatalog]] over a graft [[DirCatalog]] root — the
+  * full `spark.sql` catalog surface on graft tables, no temp views
+  * needed:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.graft.location", "/data/graft")
+  *   spark.sql("CREATE TABLE graft.t (id BIGINT, v STRING) TBLPROPERTIES ('primary_keys'='id')")
+  *   spark.sql("INSERT INTO graft.t VALUES (1, 'a')")
+  *   spark.sql("SELECT * FROM graft.t WHERE id < 100")          // manifest-pruned scan
+  *   spark.sql("SELECT * FROM graft.t VERSION AS OF 1")         // time travel (id or tag)
+  *   spark.sql("DELETE FROM graft.t WHERE id = 1")              // CoW delete
+  *   spark.sql("INSERT OVERWRITE graft.t SELECT ...")           // atomic truncate+append
+  * }}}
+  *
+  * Reads plan through Spark's own DSv2 `ParquetScanBuilder` backed by a
+  * snapshot-pinned [[GraftFileIndex]], so Catalyst column pruning +
+  * parquet filter pushdown AND graft's falsifiable-filter manifest
+  * pruning all apply to SQL queries. Writes go through the optimistic
+  * transaction path ([[SpaceDataset.append]]/[[SpaceDataset.overwrite]]).
+  * The catalog maps the reference's directory catalog
+  * (`/root/reference/python/src/space/catalogs/directory.py:30-77`) into
+  * Spark's catalog plugin API — name resolution, listing, create/drop —
+  * which the reference has no analog for (its README points SQL users at
+  * an external engine; here the SQL engine is native).
+  *
+  * Namespace model: flat (a single root namespace), like the reference's
+  * directory catalog.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  private def spark: SparkSession = SparkSession.active
+  private def dir: DirCatalog = new DirCatalog(spark, root)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("location")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires option spark.sql.catalog.$name.location"))
+  }
+
+  override def name(): String = catalogName
+
+  override def defaultNamespace(): Array[String] = Array.empty
+
+  private def tableName(ident: Identifier): String = {
+    if (ident.namespace.nonEmpty) throw new NoSuchTableException(ident)
+    ident.name
+  }
+
+  private def loadDataset(ident: Identifier): SpaceDataset = {
+    val n = tableName(ident)
+    if (!dir.exists(n)) throw new NoSuchTableException(ident)
+    dir.dataset(n)
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
+    dir.datasets().map(Identifier.of(Array.empty[String], _)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace.isEmpty && dir.exists(ident.name)
+
+  override def loadTable(ident: Identifier): Table =
+    new GraftTable(spark, loadDataset(ident), s"$catalogName.${ident.name}", None)
+
+  /** `VERSION AS OF <snapshot-id | tag | branch>` time travel. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val ds = loadDataset(ident)
+    new GraftTable(spark, ds, s"$catalogName.${ident.name}",
+      Some(ds.storage.versionToSnapshotId(version)))
+  }
+
+  /** `TIMESTAMP AS OF` time travel; Spark hands micros since epoch —
+    * resolve to the latest snapshot at or before that instant. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val ds = loadDataset(ident)
+    val cutoffMs = Math.floorDiv(timestampMicros, 1000L)
+    val eligible = ds.storage.versions.filter(_._3 <= cutoffMs)
+    require(eligible.nonEmpty,
+      s"no snapshot of ${ident.name} exists at or before timestamp $cutoffMs ms")
+    new GraftTable(spark, ds, s"$catalogName.${ident.name}",
+      Some(eligible.maxBy(v => (v._3, v._1))._1))
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft tables are not hive-partitioned; file pruning comes from manifest stats")
+    val props = properties.asScala
+    val pks = props.getOrElse("primary_keys",
+      throw new IllegalArgumentException(
+        "CREATE TABLE requires TBLPROPERTIES ('primary_keys'='col1,col2')"))
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val recordFields = props.get("record_fields")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val ds = dir.createDataset(tableName(ident), schema, pks, recordFields)
+    new GraftTable(spark, ds, s"$catalogName.${ident.name}", None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("ALTER TABLE is not supported for graft tables")
+
+  override def dropTable(ident: Identifier): Boolean =
+    ident.namespace.isEmpty && dir.exists(ident.name) && {
+      dir.deleteDataset(ident.name); true
+    }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("RENAME TABLE is not supported for graft tables")
+
+  // ------------------------------------------- flat namespace surface
+
+  override def listNamespaces(): Array[Array[String]] = Array(Array.empty[String])
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
+    Array.empty
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean = namespace.isEmpty
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
+    Map("location" -> root).asJava
+  }
+
+  override def createNamespace(namespace: Array[String], metadata: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException("graft catalog has a single flat namespace")
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft catalog has a single flat namespace")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException("graft catalog has a single flat namespace")
+}
+
+/** One graft table in the DSv2 API. `pinned` carries a time-travel
+  * snapshot id; mutations are rejected on pinned tables.
+  *
+  * Tables with record fields surface their PHYSICAL schema (address
+  * structs) in SQL — payload stitching is the API read path's job
+  * ([[SpaceDataset.read]]); SQL writes to such tables are rejected.
+  */
+final class GraftTable(
+    spark: SparkSession,
+    ds: SpaceDataset,
+    ident: String,
+    pinned: Option[Long])
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  private def storage = ds.storage
+  private val snapshotId: Long = pinned.getOrElse(storage.branchHead(ds.getCurrentBranch))
+  private val physical: StructType = ReadOp.physicalSchema(storage.schema, storage.recordFields)
+
+  override def name(): String = ident
+
+  override def schema(): StructType = physical
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def properties(): util.Map[String, String] = Map(
+    "location" -> storage.location,
+    "primary_keys" -> storage.primaryKeys.mkString(","),
+    "record_fields" -> storage.recordFields.mkString(","),
+    "provider" -> "graft",
+    "snapshot_id" -> snapshotId.toString).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    ParquetScanBuilder(spark, new GraftFileIndex(spark, storage, snapshotId),
+      physical, physical, options)
+
+  private def requireMutable(op: String): Unit = {
+    require(pinned.isEmpty, s"$op: cannot mutate a time-travel (pinned) table")
+    require(storage.recordFields.isEmpty,
+      s"$op: tables with record fields take writes through the SpaceDataset API " +
+        "(SQL would need payload stitching)")
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var replace = false
+
+      override def truncate(): WriteBuilder = { replace = true; this }
+
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          (data, _) => {
+            requireMutable(if (replace) "INSERT OVERWRITE" else "INSERT")
+            if (replace) ds.overwrite(data) else ds.append(data)
+          }
+      }
+    }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => GraftTable.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    requireMutable("DELETE")
+    val cond = filters.flatMap(GraftTable.filterToColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    ds.delete(cond)
+  }
+}
+
+object GraftTable {
+
+  /** V1 `Filter` → `Column` for the CoW delete path (the inverse of
+    * Catalyst's pushdown translation; only translatable filters are
+    * accepted by `canDeleteWhere`, so Spark keeps DELETEs it can't
+    * express here as analysis errors instead of silent misdeletes). */
+  private[graftshim] def filterToColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) => for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+    case Or(l, r) => for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+    case Not(c) => filterToColumn(c).map(!_)
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
+}

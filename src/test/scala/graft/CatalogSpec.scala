@@ -1,0 +1,148 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+
+/** The DSv2 graft catalog: spark.sql over `graft_test.<table>` with
+  * CREATE/INSERT/SELECT/DELETE/OVERWRITE/time-travel, manifest pruning
+  * included in SQL planning. */
+class CatalogSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val root: String = {
+    val r = Files.createTempDirectory("graft_cat_").toString
+    spark.conf.set("spark.sql.catalog.graft_test",
+      classOf[org.apache.spark.sql.graftshim.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_test.location", r)
+    r
+  }
+
+  private def orders = Tables.read(spark, sfDir, "orders")
+
+  /** Files actually read by the final (AQE-finalized) DSv2 scan. */
+  private def filesRead(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect()
+    def scans(p: SparkPlan): Seq[BatchScanExec] = p match {
+      case b: BatchScanExec => Seq(b)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(s.plan)
+      case other => other.children.flatMap(scans)
+    }
+    scans(df.queryExecution.executedPlan).head.inputPartitions.map {
+      case f: FilePartition => f.files.length
+      case _ => 0
+    }.sum
+  }
+
+  test("CREATE TABLE + INSERT + SELECT round-trip") {
+    root // force catalog registration
+    spark.sql(
+      "CREATE TABLE graft_test.kv (id BIGINT, v STRING) TBLPROPERTIES ('primary_keys'='id')")
+    spark.sql("INSERT INTO graft_test.kv VALUES (1, 'a'), (2, 'b')")
+    val rows = spark.sql("SELECT * FROM graft_test.kv ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a"), (2L, "b")))
+    assert(spark.sql("SHOW TABLES IN graft_test").collect().map(_.getString(1)).contains("kv"))
+  }
+
+  test("CREATE TABLE requires primary_keys and rejects partitioning") {
+    root
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft_test.nopk (id BIGINT)")
+    }
+    intercept[Exception] {
+      spark.sql(
+        "CREATE TABLE graft_test.part (id BIGINT, v STRING) PARTITIONED BY (v) " +
+          "TBLPROPERTIES ('primary_keys'='id')")
+    }
+  }
+
+  test("SQL WHERE on the PK prunes manifest files in the DSv2 scan") {
+    root
+    spark.sql(
+      "CREATE TABLE graft_test.ord (" +
+        orders.schema.fields.map(f => s"${f.name} ${f.dataType.sql}").mkString(", ") +
+        ") TBLPROPERTIES ('primary_keys'='o_orderkey')")
+    val ds = new DirCatalog(spark, root).dataset("ord")
+    ds.append(orders.repartitionByRange(8, col("o_orderkey")))
+
+    val total = filesRead(spark.sql("SELECT * FROM graft_test.ord"))
+    assert(total == 8, s"expected 8 files, read $total")
+    val pruned = filesRead(
+      spark.sql("SELECT count(*) AS n FROM graft_test.ord WHERE o_orderkey < 100"))
+    assert(pruned < total, s"read $pruned of $total files")
+    // correctness vs the plain parquet table
+    assert(
+      spark.sql("SELECT count(*) AS n FROM graft_test.ord WHERE o_orderkey < 100")
+        .collect()(0).getLong(0) ==
+        orders.filter(col("o_orderkey") < 100).count())
+  }
+
+  test("DELETE FROM runs a CoW delete through the catalog") {
+    root
+    spark.sql(
+      "CREATE TABLE graft_test.del (id BIGINT, v STRING) TBLPROPERTIES ('primary_keys'='id')")
+    spark.sql("INSERT INTO graft_test.del VALUES (1,'a'), (2,'b'), (3,'c')")
+    spark.sql("DELETE FROM graft_test.del WHERE id >= 2")
+    assert(spark.sql("SELECT * FROM graft_test.del").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // the delete is a snapshot with a deletedRows changelog
+    val ds = new DirCatalog(spark, root).dataset("del")
+    val sid = ds.storage.metadata.currentSnapshotId
+    assert(ds.storage.changeLog(sid).exists(_.deletedRows.nonEmpty))
+  }
+
+  test("INSERT OVERWRITE replaces content atomically in one snapshot") {
+    root
+    spark.sql(
+      "CREATE TABLE graft_test.ow (id BIGINT, v STRING) TBLPROPERTIES ('primary_keys'='id')")
+    spark.sql("INSERT INTO graft_test.ow VALUES (1,'a'), (2,'b')")
+    val ds = new DirCatalog(spark, root).dataset("ow")
+    val before = ds.storage.metadata.currentSnapshotId
+    spark.sql("INSERT OVERWRITE graft_test.ow VALUES (9,'z')")
+    val rows = spark.sql("SELECT * FROM graft_test.ow").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(9L))
+    ds.storage.reload()
+    val after = ds.storage.metadata.currentSnapshotId
+    assert(after == before + 1, "overwrite must be ONE snapshot")
+    // changelog: everything deleted (allRows), new rows added
+    val log = ds.storage.changeLog(after).get
+    assert(log.deletedRows.nonEmpty && log.deletedRows.forall(_.allRows))
+    assert(log.addedRows.nonEmpty)
+  }
+
+  test("VERSION AS OF and TIMESTAMP AS OF time travel") {
+    root
+    spark.sql(
+      "CREATE TABLE graft_test.tt (id BIGINT, v STRING) TBLPROPERTIES ('primary_keys'='id')")
+    spark.sql("INSERT INTO graft_test.tt VALUES (1,'a')")
+    val ds = new DirCatalog(spark, root).dataset("tt")
+    ds.addTag("v1")
+    spark.sql("INSERT INTO graft_test.tt VALUES (2,'b')")
+
+    assert(spark.sql("SELECT * FROM graft_test.tt").count() == 2)
+    assert(spark.sql("SELECT * FROM graft_test.tt VERSION AS OF 1").count() == 1)
+    assert(spark.sql("SELECT * FROM graft_test.tt VERSION AS OF 'v1'").count() == 1)
+    // far-future timestamp resolves to the latest snapshot
+    assert(spark.sql("SELECT * FROM graft_test.tt TIMESTAMP AS OF '2999-01-01'").count() == 2)
+    // a time-travel table refuses writes
+    intercept[Exception] {
+      spark.sql("DELETE FROM graft_test.tt VERSION AS OF 1 WHERE id = 1")
+    }
+  }
+
+  test("DROP TABLE removes the dataset") {
+    root
+    spark.sql(
+      "CREATE TABLE graft_test.gone (id BIGINT) TBLPROPERTIES ('primary_keys'='id')")
+    assert(new DirCatalog(spark, root).exists("gone"))
+    spark.sql("DROP TABLE graft_test.gone")
+    assert(!new DirCatalog(spark, root).exists("gone"))
+  }
+}
