@@ -125,11 +125,61 @@ object EventsStream {
     }.toDF("user_id", "n_sessions", "max_session_events")
   }
 
+  /** Change-data feed consumed BY the streaming engine: build a graft
+    * table through two appends and a delete, then stream its CDC with
+    * `format("graft-cdc")` into a second graft table via foreachBatch.
+    * Offsets are snapshot ids, so the three commits arrive exactly once;
+    * DELETE rows carry primary keys only. The result is the full change
+    * history — deterministic snapshot ids (1, 2, 3) included. */
+  def cdcStream(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.read(s, d, "orders")
+    val loc = java.nio.file.Files.createTempDirectory("graft_cdcstream_").toString
+    val src = SpaceDataset.create(s, s"$loc/tbl", orders.schema, Seq("o_orderkey"))
+    src.append(orders.filter(col("o_orderkey") <= 2000))                              // snap 1
+    src.append(orders.filter(col("o_orderkey") > 2000 && col("o_orderkey") <= 4000))  // snap 2
+    src.delete(col("o_orderkey") % 10 === 0)                                          // snap 3
+
+    val outSchema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_totalprice", DoubleType),
+      StructField("change_type", StringType),
+      StructField("commit_snapshot_id", LongType)))
+    val sink = SpaceDataset.create(s, s"$loc/sink", outSchema,
+      primaryKeys = Seq("o_orderkey", "change_type"))
+
+    val q = s.readStream.format("graft-cdc").option("location", s"$loc/tbl").load()
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        col("_change_type").as("change_type"),
+        col("_commit_snapshot_id").as("commit_snapshot_id"))
+      .writeStream
+      .option("checkpointLocation", s"$loc/ckpt")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) { sink.append(batch); () }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    sink.readAll()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_stream_window" -> ((s, d) => windowedAgg(s, d)),
-    "e_sessionize" -> ((s, d) => sessionize(s, d)))
+    "e_sessionize" -> ((s, d) => sessionize(s, d)),
+    "e_cdc_stream" -> ((s, d) => cdcStream(s, d)))
 
   val oracleSql: Map[String, String] = Map(
+    "e_cdc_stream" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  'ADD' AS change_type,
+        |  CAST(CASE WHEN o_orderkey <= 2000 THEN 1 ELSE 2 END AS BIGINT)
+        |    AS commit_snapshot_id
+        |FROM orders WHERE o_orderkey <= 4000
+        |UNION ALL
+        |SELECT o_orderkey, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+        |  'DELETE', CAST(3 AS BIGINT)
+        |FROM orders WHERE o_orderkey <= 4000 AND o_orderkey % 10 = 0""".stripMargin,
     "e_stream_window" ->
       """SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS w_start,
         |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value

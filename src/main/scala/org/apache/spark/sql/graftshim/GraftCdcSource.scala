@@ -1,0 +1,232 @@
+package org.apache.spark.sql.graftshim
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal, UnsafeProjection}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.{ChangeType, DmlOps, ReadOp, Storage}
+
+/** Structured Streaming source over a graft table's change-data feed —
+  * the streaming face of `read_change_data` (reference
+  * `/root/reference/python/src/space/core/ops/change_data.py:87-161`,
+  * whose incrementality is committed-snapshot granularity):
+  *
+  * {{{
+  *   spark.readStream.format("graft-cdc")
+  *     .option("location", "/data/graft/events")
+  *     .load()                  // schema: table columns + _change_type + _commit_snapshot_id
+  * }}}
+  *
+  * Offsets are snapshot ids (an offset means "processed through this
+  * snapshot"), so checkpoint recovery replays exactly the uncommitted
+  * snapshots — the engine's own exactly-once contract rides the table's
+  * immutable snapshot lineage, no extra bookkeeping. Each micro-batch
+  * covers the snapshots committed since the last trigger; one input
+  * partition per changed file, read executor-side through Spark's own
+  * parquet reader function (the same closure `FileSourceScanExec`
+  * ships), with deletion bitmaps applied by file row position.
+  *
+  * DELETE rows carry PRIMARY KEYS ONLY (non-key columns null), matching
+  * change_data.py:111-112; ADD and DELETE rows of one snapshot share its
+  * `_commit_snapshot_id`, and UPDATE is the DELETE+ADD encoding
+  * (change_data.py:42-44). Consumers needing the DELETE-before-ADD
+  * ordering group by `_change_type` per micro-batch (rows of one batch
+  * are unordered, as in any Spark DataFrame).
+  *
+  * Options: `location` (required), `branch` (default main),
+  * `startingSnapshotId` (first snapshot whose changes stream; default 1
+  *  = full history — set it past GC-expired snapshots).
+  */
+class GraftCdcProvider extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-cdc"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftCdc.cdcSchema(GraftCdc.loadStorage(options))
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GraftCdcTable(new CaseInsensitiveStringMap(properties))
+}
+
+object GraftCdc {
+  val ChangeTypeCol = "_change_type"
+  val SnapshotCol = "_commit_snapshot_id"
+
+  private[graftshim] def location(options: CaseInsensitiveStringMap): String =
+    Option(options.get("location")).orElse(Option(options.get("path"))).getOrElse(
+      throw new IllegalArgumentException("graft-cdc requires option 'location'"))
+
+  private[graftshim] def loadStorage(options: CaseInsensitiveStringMap): Storage =
+    Storage.load(location(options), SparkSession.active.sparkContext.hadoopConfiguration)
+
+  /** Physical table columns (all nullable: DELETEs null non-keys) plus
+    * the change-type and snapshot-id metadata columns. */
+  def cdcSchema(storage: Storage): StructType = {
+    val physical = ReadOp.physicalSchema(storage.schema, storage.recordFields)
+    StructType(physical.fields.map(_.copy(nullable = true)) ++ Seq(
+      StructField(ChangeTypeCol, StringType, nullable = false),
+      StructField(SnapshotCol, LongType, nullable = false)))
+  }
+}
+
+final class GraftCdcTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+
+  private val loc = GraftCdc.location(options)
+
+  override def name(): String = s"graft-cdc.`$loc`"
+
+  override def schema(): StructType = GraftCdc.cdcSchema(GraftCdc.loadStorage(options))
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = schema()
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new GraftCdcMicroBatchStream(SparkSession.active, options)
+      }
+    }
+}
+
+/** Offset = id of the last snapshot whose changes have been emitted. */
+final case class GraftCdcOffset(snapshotId: Long) extends Offset {
+  override def json(): String = s"""{"snapshotId":$snapshotId}"""
+}
+
+object GraftCdcOffset {
+  def fromJson(json: String): GraftCdcOffset =
+    GraftCdcOffset("""-?\d+""".r.findFirstIn(json).getOrElse(
+      throw new IllegalArgumentException(s"bad graft-cdc offset: $json")).toLong)
+}
+
+/** One changed file of one snapshot: read it, mask to the change's row
+  * bitmap, stamp change type + snapshot id. */
+final case class GraftCdcPartition(
+    absPath: String,
+    fileLen: Long,
+    bitmapB64: Option[String],
+    changeType: String,
+    snapshotId: Long) extends InputPartition
+
+final class GraftCdcMicroBatchStream(
+    spark: SparkSession,
+    options: CaseInsensitiveStringMap) extends MicroBatchStream {
+
+  private val storage = GraftCdc.loadStorage(options)
+  private val branch = Option(options.get("branch")).getOrElse("main")
+
+  override def initialOffset(): Offset =
+    GraftCdcOffset(Option(options.get("startingSnapshotId")).map(_.toLong - 1).getOrElse(0L))
+
+  override def latestOffset(): Offset = {
+    storage.reload()
+    GraftCdcOffset(storage.branchHead(branch))
+  }
+
+  override def deserializeOffset(json: String): Offset = GraftCdcOffset.fromJson(json)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftCdcOffset].snapshotId
+    val e = end.asInstanceOf[GraftCdcOffset].snapshotId
+    val conf = spark.sparkContext.hadoopConfiguration
+    storage.orderedSnapshotIds(s, e).flatMap { sid =>
+      storage.changeLog(sid).toSeq.flatMap { cl =>
+        (cl.deletedRows.map(_ -> ChangeType.Delete) ++
+          cl.addedRows.map(_ -> ChangeType.Add)).map { case (rb, ct) =>
+          val p = new Path(storage.absolute(rb.file))
+          val st = p.getFileSystem(conf).getFileStatus(p)
+          GraftCdcPartition(st.getPath.toString, st.getLen,
+            if (rb.allRows) None else rb.bitmapB64, ct, sid)
+        }
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val physical = ReadOp.physicalSchema(storage.schema, storage.recordFields)
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    // Spark's own shippable parquet-read closure; returning_batch=false
+    // keeps the iterator row-based (vectorized decode still applies
+    // underneath). No filters pushed, so rows arrive in file order and a
+    // running counter IS the file row position for the bitmap mask
+    val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
+      spark, physical, new StructType(), physical, Nil,
+      Map(org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> "false"),
+      classic.sessionState.newHadoopConf())
+    GraftCdcReaderFactory(readFunc, physical, storage.primaryKeys.toSet)
+  }
+}
+
+final case class GraftCdcReaderFactory(
+    readFunc: PartitionedFile => Iterator[InternalRow],
+    physical: StructType,
+    primaryKeys: Set[String]) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftCdcPartition]
+    val base = readFunc(PartitionedFile(
+      InternalRow.empty, SparkPath.fromUrlString(p.absPath), 0, p.fileLen))
+    // the reader contract smuggles ColumnarBatch through Iterator[InternalRow]
+    val rows: Iterator[InternalRow] = base.asInstanceOf[Iterator[Any]].flatMap {
+      case b: ColumnarBatch => b.rowIterator().asScala
+      case r => Iterator.single(r.asInstanceOf[InternalRow])
+    }
+    val bitmap = p.bitmapB64.map(DmlOps.deserializeBitmap)
+    val isDelete = p.changeType == ChangeType.Delete
+    val exprs = physical.fields.zipWithIndex.map { case (f, i) =>
+      // DELETE rows carry primary keys only (change_data.py:111-112)
+      if (isDelete && !primaryKeys(f.name)) Literal.create(null, f.dataType)
+      else BoundReference(i, f.dataType, nullable = true)
+    }.toSeq ++ Seq(
+      Literal(UTF8String.fromString(p.changeType), StringType),
+      Literal(p.snapshotId))
+    val proj = UnsafeProjection.create(exprs)
+
+    new PartitionReader[InternalRow] {
+      private var rowIdx = -1L
+      private var current: InternalRow = _
+
+      override def next(): Boolean = {
+        while (rows.hasNext) {
+          val r = rows.next()
+          rowIdx += 1
+          if (bitmap.forall(_.contains(rowIdx.toInt))) {
+            current = proj(r)
+            return true
+          }
+        }
+        false
+      }
+
+      override def get(): InternalRow = current
+
+      override def close(): Unit = ()
+    }
+  }
+}

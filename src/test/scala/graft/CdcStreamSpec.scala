@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+
+/** The graft-cdc Structured Streaming source: snapshot-id offsets,
+  * DELETE-carries-PKs-only, upsert = DELETE+ADD in one snapshot, and
+  * exactly-once delivery across a checkpointed restart. */
+class CdcStreamSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val kvSchema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("v", StringType)))
+
+  private def kv(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("id", "v")
+  }
+
+  /** Drain the CDC stream into a buffer via foreachBatch; returns the
+    * collected rows as (id, v, changeType, snapshotId). */
+  private def drain(loc: String, ckpt: String): Seq[(Long, Option[String], String, Long)] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[String], String, Long)]
+    val q = spark.readStream.format("graft-cdc").option("location", loc).load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        buf.synchronized {
+          buf ++= batch.collect().map(r => (
+            r.getLong(r.fieldIndex("id")),
+            Option(r.getAs[String]("v")),
+            r.getAs[String]("_change_type"),
+            r.getLong(r.fieldIndex("_commit_snapshot_id"))))
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    buf.toSeq
+  }
+
+  test("appends, delete, and upsert stream as snapshot-stamped changes") {
+    val root = Files.createTempDirectory("graft_cdcspec_").toString
+    val ds = SpaceDataset.create(spark, s"$root/tbl", kvSchema, Seq("id"))
+    ds.append(kv(1L -> "a", 2L -> "b"))          // snap 1: ADD x2
+    ds.delete(col("id") === 1L)                  // snap 2: DELETE 1
+    ds.upsert(kv(2L -> "b2", 3L -> "c"))         // snap 3: DELETE 2 + ADD (2,b2),(3,c)
+
+    val got = drain(s"$root/tbl", s"$root/ckpt")
+    assert(got.toSet == Set(
+      (1L, Some("a"), "ADD", 1L),
+      (2L, Some("b"), "ADD", 1L),
+      (1L, None, "DELETE", 2L),        // DELETE carries PKs only
+      (2L, None, "DELETE", 3L),
+      (2L, Some("b2"), "ADD", 3L),
+      (3L, Some("c"), "ADD", 3L)))
+  }
+
+  test("checkpointed restart delivers only snapshots committed since") {
+    val root = Files.createTempDirectory("graft_cdcspec2_").toString
+    val ds = SpaceDataset.create(spark, s"$root/tbl", kvSchema, Seq("id"))
+    ds.append(kv(1L -> "a"))
+    val first = drain(s"$root/tbl", s"$root/ckpt")
+    assert(first.map(t => (t._1, t._3)) == Seq((1L, "ADD")))
+
+    ds.append(kv(2L -> "b"))
+    ds.delete(col("id") === 1L)
+    val second = drain(s"$root/tbl", s"$root/ckpt") // SAME checkpoint
+    assert(second.toSet == Set(
+      (2L, Some("b"), "ADD", 2L),
+      (1L, None, "DELETE", 3L)),
+      s"restart must deliver exactly the new snapshots, got $second")
+  }
+
+  test("startingSnapshotId skips history before it") {
+    val root = Files.createTempDirectory("graft_cdcspec3_").toString
+    val ds = SpaceDataset.create(spark, s"$root/tbl", kvSchema, Seq("id"))
+    ds.append(kv(1L -> "a"))
+    ds.append(kv(2L -> "b"))
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft-cdc")
+      .option("location", s"$root/tbl")
+      .option("startingSnapshotId", "2")
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        buf.synchronized { buf ++= batch.collect().map(_.getLong(0)) }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(buf.toSeq == Seq(2L))
+  }
+}
