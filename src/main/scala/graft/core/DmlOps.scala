@@ -270,6 +270,61 @@ object DmlOps {
     Patch.merge(deletePatch.toSeq :+ appendPatch).get
   }
 
+  /** MERGE semantics on a PK-keyed table, ONE snapshot (the general form
+    * of upsert; the reference ships upsert only, insert.py:93-99 — merge
+    * composes the same CoW delete + append machinery):
+    *
+    *   - matched source rows (PK exists in target) satisfying
+    *     `matchedDeleteCond` delete the target row;
+    *   - other matched rows, when `matchedUpdate`, REPLACE the target row
+    *     (the DELETE+ADD encoding, change_data.py:42-44) — when
+    *     `matchedUpdate` is false they leave the target untouched;
+    *   - unmatched source rows, when `insertNew`, append.
+    *
+    * The target-side match scan is pre-pruned to the source's key range
+    * (same stats prefilter as insert/deleteByKeys), so merging a narrow
+    * key range never scans the whole table; matching is one distributed
+    * semi/anti join pair. */
+  def merge(
+      spark: SparkSession,
+      storage: Storage,
+      snapshotId: Long,
+      source: DataFrame,
+      matchedUpdate: Boolean,
+      matchedDeleteCond: Option[Column],
+      insertNew: Boolean): Option[Patch] = {
+    val pks = storage.primaryKeys
+    failOnInternalDupes(source, pks)
+    val src = source.persist()
+    try {
+      val keys = src.select(pks.map(col): _*)
+      val rangePred = keyRangePredicate(spark, keys, storage)
+      val targetKeys = ReadOp.scanPhysical(spark, storage, snapshotId, rangePred)
+        .select(pks.map(col): _*)
+      val matched = src.join(targetKeys, pks, "left_semi")
+      val delCond = matchedDeleteCond.getOrElse(lit(false))
+      val toDelete = (matchedDeleteCond, matchedUpdate) match {
+        case (None, false) => None // no matched clause: matched rows untouched
+        case (None, true) => Some(matched)
+        case (Some(_), false) => Some(matched.filter(delCond))
+        case (Some(_), true) => Some(matched) // updates also delete-then-add
+      }
+      val toAppend =
+        (if (matchedUpdate) Seq(matched.filter(!coalesce(delCond, lit(false)))) else Nil) ++
+          (if (insertNew) Seq(src.join(targetKeys, pks, "left_anti")) else Nil)
+
+      val deletePatch = toDelete.flatMap(d =>
+        deleteByKeys(spark, storage, snapshotId, d.select(pks.map(col): _*)))
+      val appendPatch = toAppend.reduceOption(_.unionByName(_))
+        .filter(!_.isEmpty)
+        .map(RecordIO.writeWithRecords(spark, storage, _))
+      Patch.merge(deletePatch.toSeq ++ appendPatch.toSeq)
+    } finally {
+      src.unpersist()
+      ()
+    }
+  }
+
   private def failOnInternalDupes(df: DataFrame, pks: Seq[String]): Unit = {
     val d = df.groupBy(pks.map(col): _*).count().filter(col("count") > 1).limit(1).count()
     require(d == 0, "input contains duplicate primary keys")

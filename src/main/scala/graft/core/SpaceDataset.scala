@@ -114,6 +114,16 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
       (Some(DmlOps.upsert(spark, storage, pinned, df)), storage.metadata.maxSnapshotId + 1)
     }
 
+  /** MERGE builder (general form of upsert; one snapshot):
+    * {{{
+    *   ds.merge(source)
+    *     .whenMatchedDelete(col("op") === "D")  // optional, cond on source row
+    *     .whenMatchedUpdate()                   // replace matched target rows
+    *     .whenNotMatchedInsert()                // append unmatched source rows
+    *     .execute()
+    * }}} */
+  def merge(source: DataFrame): MergeBuilder = new MergeBuilder(this, source)
+
   // -------------------------------------------------------------- CDC
 
   def diff(startVersion: String, endVersion: String): Seq[ChangeBatch] =
@@ -197,6 +207,36 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
   }
 
   def refresh(): Unit = storage.reload()
+}
+
+/** Accumulates MERGE clauses; `execute` runs them in ONE optimistic
+  * transaction (one snapshot, one changelog). At least one clause is
+  * required. The delete condition is evaluated against the SOURCE row. */
+final class MergeBuilder private[core] (ds: SpaceDataset, source: DataFrame) {
+  private var matchedUpdate = false
+  private var matchedDeleteCond: Option[Column] = None
+  private var insertNew = false
+
+  def whenMatchedUpdate(): MergeBuilder = { matchedUpdate = true; this }
+
+  def whenMatchedDelete(cond: Column = org.apache.spark.sql.functions.lit(true)): MergeBuilder = {
+    matchedDeleteCond = Some(cond); this
+  }
+
+  def whenNotMatchedInsert(): MergeBuilder = { insertNew = true; this }
+
+  /** Returns the id the new snapshot committed as (a no-op merge —
+    * nothing matched any enabled clause — commits nothing, same
+    * convention as [[SpaceDataset.delete]]). */
+  def execute(branch: String = ds.getCurrentBranch): Long = {
+    require(matchedUpdate || matchedDeleteCond.isDefined || insertNew,
+      "merge requires at least one WHEN clause")
+    ds.storage.transaction(branch) { pinned =>
+      (DmlOps.merge(ds.spark, ds.storage, pinned, source,
+        matchedUpdate, matchedDeleteCond, insertNew),
+        ds.storage.metadata.maxSnapshotId + 1)
+    }
+  }
 }
 
 object SpaceDataset {

@@ -93,6 +93,22 @@ object StorageOps {
       ds.readAll()
     }),
 
+    // MERGE: matched-and-'F' rows delete, other matched rows update
+    // (price doubled), unmatched source rows insert — ONE snapshot
+    "s_merge" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val ds = SpaceDataset.create(s, fresh("mrg"), o.schema, Seq("o_orderkey"))
+      ds.append(o.filter(col("o_orderkey") <= 3000L))
+      val source = o.filter(col("o_orderkey") > 2000L && col("o_orderkey") <= 5000L)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      ds.merge(source)
+        .whenMatchedDelete(col("o_orderstatus") === "F")
+        .whenMatchedUpdate()
+        .whenNotMatchedInsert()
+        .execute()
+      ds.readAll()
+    }),
+
     // tag → time-travel read of the tagged snapshot after later commits
     "s_timetravel" -> ((s, d) => {
       val o = t(s, d, "orders")
@@ -229,6 +245,17 @@ object StorageOps {
         |       ELSE o_totalprice END AS o_totalprice,
         |  o_orderdate, o_orderpriority
         |FROM orders""".stripMargin,
+    "s_merge" ->
+      """SELECT * FROM orders WHERE o_orderkey <= 2000
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders
+        |WHERE o_orderkey > 2000 AND o_orderkey <= 3000 AND o_orderstatus <> 'F'
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey > 3000 AND o_orderkey <= 5000""".stripMargin,
     "s_timetravel" -> "SELECT * FROM orders WHERE o_orderkey <= 1000",
     "s_branch" ->
       "SELECT * FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 1000",

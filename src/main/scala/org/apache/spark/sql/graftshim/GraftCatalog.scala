@@ -8,7 +8,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.functions.{col, lit}
@@ -185,8 +185,8 @@ final class GraftTable(
   override def schema(): StructType = physical
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def properties(): util.Map[String, String] = Map(
     "location" -> storage.location,
@@ -195,9 +195,18 @@ final class GraftTable(
     "provider" -> "graft",
     "snapshot_id" -> snapshotId.toString).asJava
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    ParquetScanBuilder(spark, new GraftFileIndex(spark, storage, snapshotId),
+  /** Batch reads delegate every pushdown to Spark's ParquetScanBuilder
+    * (over the pruning file index); the built Scan additionally answers
+    * `toMicroBatchStream`, so `spark.readStream.table("graft.t")` gives
+    * an append-only stream of committed snapshots (ADD rowsets in the
+    * table schema; deletes fail the stream unless option
+    * `ignoreDeletes=true` — stream `format("graft-cdc")` for the full
+    * DELETE+ADD feed). */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val delegate = ParquetScanBuilder(spark, new GraftFileIndex(spark, storage, snapshotId),
       physical, physical, options)
+    new GraftScanBuilder(spark, storage, delegate, options)
+  }
 
   private def requireMutable(op: String): Unit = {
     require(pinned.isEmpty, s"$op: cannot mutate a time-travel (pinned) table")
@@ -230,6 +239,64 @@ final class GraftTable(
       .reduceOption(_ && _).getOrElse(lit(true))
     ds.delete(cond)
   }
+}
+
+/** Forwards batch pushdown (column pruning, catalyst filters,
+  * aggregate pushdown) to the wrapped ParquetScanBuilder; the built
+  * scan keeps the parquet Batch/statistics behavior and adds the
+  * streaming entry point. */
+final class GraftScanBuilder(
+    spark: SparkSession,
+    storage: graft.core.Storage,
+    delegate: ParquetScanBuilder,
+    options: CaseInsensitiveStringMap)
+  extends ScanBuilder
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    delegate.pruneColumns(requiredSchema)
+
+  override def pushFilters(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    delegate.pushFilters(filters)
+
+  override def pushedFilters(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    delegate.pushedFilters
+
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    delegate.pushAggregation(aggregation)
+
+  override def supportCompletePushDown(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    delegate.supportCompletePushDown(aggregation)
+
+  override def build(): Scan = new GraftDelegatingScan(spark, storage, delegate.build(), options)
+}
+
+/** The parquet scan plus `toMicroBatchStream`. */
+final class GraftDelegatingScan(
+    spark: SparkSession,
+    storage: graft.core.Storage,
+    delegate: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
+    options: CaseInsensitiveStringMap)
+  extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  override def readSchema(): StructType = delegate.readSchema()
+
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = delegate.toBatch
+
+  override def description(): String = delegate.description()
+
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    delegate.estimateStatistics()
+
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftCdcMicroBatchStream(spark, storage, options, appendOnly = true)
 }
 
 object GraftTable {

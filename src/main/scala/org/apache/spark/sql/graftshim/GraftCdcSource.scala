@@ -105,7 +105,8 @@ final class GraftCdcTable(options: CaseInsensitiveStringMap) extends Table with 
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = schema()
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new GraftCdcMicroBatchStream(SparkSession.active, options)
+          new GraftCdcMicroBatchStream(SparkSession.active,
+            GraftCdc.loadStorage(options), options, appendOnly = false)
       }
     }
 }
@@ -130,12 +131,21 @@ final case class GraftCdcPartition(
     changeType: String,
     snapshotId: Long) extends InputPartition
 
+/** The change-feed micro-batch stream. `appendOnly = false` is the
+  * `graft-cdc` format: DELETE+ADD rowsets with `_change_type` /
+  * `_commit_snapshot_id` columns. `appendOnly = true` backs
+  * `spark.readStream.table("graft.t")`: ADD rowsets only in the plain
+  * table schema; a snapshot that deleted rows fails the stream unless
+  * option `ignoreDeletes` is set (the append-only contract would
+  * silently miss them otherwise). */
 final class GraftCdcMicroBatchStream(
     spark: SparkSession,
-    options: CaseInsensitiveStringMap) extends MicroBatchStream {
+    storage: Storage,
+    options: CaseInsensitiveStringMap,
+    appendOnly: Boolean) extends MicroBatchStream {
 
-  private val storage = GraftCdc.loadStorage(options)
   private val branch = Option(options.get("branch")).getOrElse("main")
+  private val ignoreDeletes = Option(options.get("ignoreDeletes")).exists(_.toBoolean)
 
   override def initialOffset(): Offset =
     GraftCdcOffset(Option(options.get("startingSnapshotId")).map(_.toLong - 1).getOrElse(0L))
@@ -157,8 +167,16 @@ final class GraftCdcMicroBatchStream(
     val conf = spark.sparkContext.hadoopConfiguration
     storage.orderedSnapshotIds(s, e).flatMap { sid =>
       storage.changeLog(sid).toSeq.flatMap { cl =>
-        (cl.deletedRows.map(_ -> ChangeType.Delete) ++
-          cl.addedRows.map(_ -> ChangeType.Add)).map { case (rb, ct) =>
+        if (appendOnly && cl.deletedRows.nonEmpty && !ignoreDeletes)
+          throw new IllegalStateException(
+            s"snapshot $sid of ${storage.location} deleted rows; an append-only " +
+              "table stream would miss them — set option ignoreDeletes=true to " +
+              "skip deletes, or stream the full feed with format 'graft-cdc'")
+        val changes =
+          if (appendOnly) cl.addedRows.map(_ -> ChangeType.Add)
+          else cl.deletedRows.map(_ -> ChangeType.Delete) ++
+            cl.addedRows.map(_ -> ChangeType.Add)
+        changes.map { case (rb, ct) =>
           val p = new Path(storage.absolute(rb.file))
           val st = p.getFileSystem(conf).getFileStatus(p)
           GraftCdcPartition(st.getPath.toString, st.getLen,
@@ -179,14 +197,16 @@ final class GraftCdcMicroBatchStream(
       spark, physical, new StructType(), physical, Nil,
       Map(org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> "false"),
       classic.sessionState.newHadoopConf())
-    GraftCdcReaderFactory(readFunc, physical, storage.primaryKeys.toSet)
+    GraftCdcReaderFactory(readFunc, physical, storage.primaryKeys.toSet,
+      emitChangeCols = !appendOnly)
   }
 }
 
 final case class GraftCdcReaderFactory(
     readFunc: PartitionedFile => Iterator[InternalRow],
     physical: StructType,
-    primaryKeys: Set[String]) extends PartitionReaderFactory {
+    primaryKeys: Set[String],
+    emitChangeCols: Boolean) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftCdcPartition]
@@ -199,13 +219,16 @@ final case class GraftCdcReaderFactory(
     }
     val bitmap = p.bitmapB64.map(DmlOps.deserializeBitmap)
     val isDelete = p.changeType == ChangeType.Delete
-    val exprs = physical.fields.zipWithIndex.map { case (f, i) =>
+    val cols = physical.fields.zipWithIndex.map { case (f, i) =>
       // DELETE rows carry primary keys only (change_data.py:111-112)
       if (isDelete && !primaryKeys(f.name)) Literal.create(null, f.dataType)
       else BoundReference(i, f.dataType, nullable = true)
-    }.toSeq ++ Seq(
-      Literal(UTF8String.fromString(p.changeType), StringType),
-      Literal(p.snapshotId))
+    }.toSeq
+    val exprs =
+      if (!emitChangeCols) cols
+      else cols ++ Seq(
+        Literal(UTF8String.fromString(p.changeType), StringType),
+        Literal(p.snapshotId))
     val proj = UnsafeProjection.create(exprs)
 
     new PartitionReader[InternalRow] {

@@ -137,6 +137,43 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("readStream.table streams appends; deletes fail unless ignored") {
+    root
+    spark.sql(
+      "CREATE TABLE graft_test.st (id BIGINT, v STRING) TBLPROPERTIES ('primary_keys'='id')")
+    spark.sql("INSERT INTO graft_test.st VALUES (1,'a'), (2,'b')")
+    val ds = new DirCatalog(spark, root).dataset("st")
+    val ckroot = Files.createTempDirectory("graft_cat_stream_").toString
+
+    def drain(ckpt: String, ignoreDeletes: Boolean = false): Seq[Long] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var reader = spark.readStream
+      if (ignoreDeletes) reader = reader.option("ignoreDeletes", "true")
+      val q = reader.table("graft_test.st")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          buf.synchronized { buf ++= b.collect().map(_.getLong(0)) }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      buf.toSeq.sorted
+    }
+
+    assert(drain(s"$ckroot/c1") == Seq(1L, 2L))
+    // restart from the same checkpoint: only the NEW append arrives
+    spark.sql("INSERT INTO graft_test.st VALUES (3,'c')")
+    assert(drain(s"$ckroot/c1") == Seq(3L))
+    // a delete breaks the append-only contract...
+    spark.sql("DELETE FROM graft_test.st WHERE id = 1")
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(s"$ckroot/c1")
+    }
+    // ...unless explicitly ignored (fresh checkpoint replays adds only)
+    assert(drain(s"$ckroot/c2", ignoreDeletes = true) == Seq(1L, 2L, 3L))
+  }
+
   test("DROP TABLE removes the dataset") {
     root
     spark.sql(
