@@ -150,6 +150,11 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
     storage.removeBranch(name)
   }
 
+  /** Schema evolution: append a nullable non-key column (metadata-only;
+    * existing files null-fill on read). */
+  def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType): Unit =
+    storage.addColumn(org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
+
   // ------------------------------------------------------- maintenance
 
   /** Expire old unreferenced snapshots (metadata-only; see GcOps). */

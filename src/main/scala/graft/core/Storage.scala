@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 import graft.format._
 
@@ -135,6 +135,26 @@ final class Storage(val location: String, val conf: Configuration) {
     writeStringAtomic(StoragePaths.EntryPointFile, MetadataJson.write(EntryPoint(newFile)))
     meta = newMeta
     metaFilePath = newFile
+  }
+
+  /** Metadata-only schema evolution: append a NULLABLE non-key column.
+    * Existing data files are untouched — reads null-fill the column
+    * (schema-on-read; field ids are never reused, [[FieldIds.assign]]
+    * continues from the consumed-id watermark). Stats/pruning are
+    * unaffected (stats exist for primary keys only, which cannot be
+    * added after creation). The whole table — every snapshot, time
+    * travel included — reads with the evolved schema. */
+  def addColumn(field: StructField): Unit = {
+    require(field.nullable, s"added column ${field.name} must be nullable " +
+      "(existing files null-fill it)")
+    withCommitLock {
+      reload()
+      require(!schema.fieldNames.contains(field.name),
+        s"column ${field.name} already exists")
+      val assigned = FieldIds.assign(StructType(Seq(field)), FieldIds.consumedIds(schema))
+      persist(meta.copy(schemaJson = StructType(schema.fields ++ assigned.fields).json,
+        lastUpdateTimeMs = System.currentTimeMillis()))
+    }
   }
 
   def addTag(name: String, snapshotId: Option[Long] = None): Unit =

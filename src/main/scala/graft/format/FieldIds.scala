@@ -36,6 +36,18 @@ object FieldIds {
     StructType(schema.fields.map(assignField))
   }
 
+  /** Number of ids [[assign]] consumes for `schema` — the start id for
+    * fields appended by schema evolution (ids are never reused). */
+  def consumedIds(schema: StructType): Int = {
+    def countType(dt: DataType): Int = dt match {
+      case s: StructType => s.fields.map(countField).sum
+      case a: ArrayType => 1 + countType(a.elementType)
+      case _ => 0
+    }
+    def countField(f: StructField): Int = 1 + countType(f.dataType)
+    schema.fields.map(countField).sum
+  }
+
   def fieldId(f: StructField): Int =
     if (f.metadata.contains(ParquetFieldId)) f.metadata.getLong(ParquetFieldId).toInt
     else NullFieldId

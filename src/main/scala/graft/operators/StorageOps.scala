@@ -109,6 +109,19 @@ object StorageOps {
       ds.readAll()
     }),
 
+    // schema evolution: add a nullable column (metadata-only), old files
+    // null-fill it, later appends populate it
+    "s_evolve" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val ds = SpaceDataset.create(s, fresh("evo"), o.schema, Seq("o_orderkey"))
+      ds.append(o.filter(col("o_orderkey") <= 3000L))
+      ds.addColumn("o_band", org.apache.spark.sql.types.StringType)
+      ds.append(o.filter(col("o_orderkey") > 3000L)
+        .withColumn("o_band",
+          when(col("o_totalprice") > 150000.0, "hi").otherwise("lo")))
+      ds.readAll()
+    }),
+
     // tag → time-travel read of the tagged snapshot after later commits
     "s_timetravel" -> ((s, d) => {
       val o = t(s, d, "orders")
@@ -245,6 +258,13 @@ object StorageOps {
         |       ELSE o_totalprice END AS o_totalprice,
         |  o_orderdate, o_orderpriority
         |FROM orders""".stripMargin,
+    "s_evolve" ->
+      """SELECT *, CAST(NULL AS VARCHAR) AS o_band
+        |FROM orders WHERE o_orderkey <= 3000
+        |UNION ALL
+        |SELECT *, CASE WHEN o_totalprice > 150000.0 THEN 'hi' ELSE 'lo' END
+        |  AS o_band
+        |FROM orders WHERE o_orderkey > 3000""".stripMargin,
     "s_merge" ->
       """SELECT * FROM orders WHERE o_orderkey <= 2000
         |UNION ALL

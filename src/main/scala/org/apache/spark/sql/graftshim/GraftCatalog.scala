@@ -125,8 +125,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftTable(spark, ds, s"$catalogName.${ident.name}", None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE is not supported for graft tables")
+  /** `ALTER TABLE graft.t ADD COLUMN x <type>` — metadata-only schema
+    * evolution (nullable, non-key; existing files null-fill). Other
+    * alterations are unsupported. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val ds = loadDataset(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          s"nested column adds are unsupported: ${add.fieldNames.mkString(".")}")
+        ds.storage.addColumn(org.apache.spark.sql.types.StructField(
+          add.fieldNames()(0), add.dataType, nullable = true))
+      case other =>
+        throw new UnsupportedOperationException(s"unsupported ALTER TABLE change: $other")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     ident.namespace.isEmpty && dir.exists(ident.name) && {
