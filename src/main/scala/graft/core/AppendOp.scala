@@ -71,7 +71,7 @@ object AppendOp {
       val rel = StoragePaths.newIndexDataFile()
       (p.toString, rel, storage.absolute(rel))
     }.toSeq
-    val pks = storage.primaryKeys
+    val pks = storage.statsColumns
     val harvested = (if (assignments.size <= 8) {
       assignments.map { case (src, rel, dstAbs) =>
         val meta = ManifestIO.harvestFooter(src, rel, conf, pks)

@@ -22,9 +22,10 @@ final class DirCatalog(val spark: SparkSession, val root: String) {
       name: String,
       schema: StructType,
       primaryKeys: Seq[String],
-      recordFields: Seq[String] = Nil): SpaceDataset = {
+      recordFields: Seq[String] = Nil,
+      statsFields: Seq[String] = Nil): SpaceDataset = {
     require(!exists(name), s"dataset $name already exists")
-    SpaceDataset.create(spark, location(name), schema, primaryKeys, recordFields)
+    SpaceDataset.create(spark, location(name), schema, primaryKeys, recordFields, statsFields)
   }
 
   def createMaterializedView(

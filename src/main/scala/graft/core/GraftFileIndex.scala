@@ -41,7 +41,7 @@ final class GraftFileIndex(
   private val (manifestRows: Seq[Row], manifestSchema: StructType) = {
     val ms = storage.snapshotOrFail(snapshotId).manifestFiles.indexManifestFiles
     if (ms.isEmpty)
-      (Nil, ManifestIO.manifestSchema(storage.schema, storage.primaryKeys))
+      (Nil, ManifestIO.manifestSchema(storage.schema, storage.statsColumns))
     else {
       val df = ManifestIO.readIndexManifests(spark, storage, ms)
       (df.collect().toSeq, df.schema)
@@ -90,7 +90,7 @@ final class GraftFileIndex(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val kept: Seq[String] =
-      Pruning.keepConditionForFilters(storage.schema, storage.primaryKeys, dataFilters) match {
+      Pruning.keepConditionForFilters(storage.schema, storage.statsColumns, dataFilters) match {
         case None => manifestRows.map(_.getString(fileIdx))
         case Some(keep) =>
           spark.createDataFrame(manifestRows.asJava, manifestSchema)

@@ -23,7 +23,7 @@ object ParquetLoader {
     ds.storage.transaction() { _ =>
       val metas = files.map { f =>
         val abs = new Path(f)
-        ManifestIO.harvestFooter(abs.toString, abs.toString, conf, ds.storage.primaryKeys)
+        ManifestIO.harvestFooter(abs.toString, abs.toString, conf, ds.storage.statsColumns)
       }.filter(_.numRows > 0)
       if (metas.isEmpty) (None, ds.storage.metadata.currentSnapshotId)
       else {

@@ -151,8 +151,8 @@ object ManifestIO {
       spark: SparkSession,
       storage: Storage,
       files: Seq[IndexFileMeta]): String = {
-    val schema = manifestSchema(storage.schema, storage.primaryKeys)
-    val statsFields = storage.primaryKeys.filter(pk => statsEligible(storage.schema(pk).dataType))
+    val schema = manifestSchema(storage.schema, storage.statsColumns)
+    val statsFields = storage.statsColumns.filter(c => statsEligible(storage.schema(c).dataType))
     val rows = files.map { m =>
       val statsVals = statsFields.map { pk =>
         m.pkStats.get(pk).map(s => Row(s.min, s.max)).orNull

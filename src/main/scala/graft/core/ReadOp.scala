@@ -54,7 +54,7 @@ object ReadOp {
     if (manifests.isEmpty) return ScanPlan(Nil, 0)
     val mdf = ManifestIO.readIndexManifests(spark, storage, manifests)
     val keep = predicate.flatMap(p =>
-      Pruning.keepCondition(spark, storage.schema, storage.primaryKeys, p))
+      Pruning.keepCondition(spark, storage.schema, storage.statsColumns, p))
     val kept = keep.fold(mdf)(mdf.filter)
     val files = kept.select(col(ManifestIO.FileCol)).collect().map(_.getString(0)).toSeq
     val total = mdf.count().toInt

@@ -195,7 +195,7 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
   def indexManifest(): DataFrame = {
     val ms = storage.metadata.currentSnapshot.manifestFiles.indexManifestFiles
     if (ms.isEmpty)
-      ReadOp.emptyDF(spark, ManifestIO.manifestSchema(storage.schema, storage.primaryKeys))
+      ReadOp.emptyDF(spark, ManifestIO.manifestSchema(storage.schema, storage.statsColumns))
     else ManifestIO.readIndexManifests(spark, storage, ms)
   }
 
@@ -251,8 +251,10 @@ object SpaceDataset {
       location: String,
       schema: StructType,
       primaryKeys: Seq[String],
-      recordFields: Seq[String] = Nil): SpaceDataset =
+      recordFields: Seq[String] = Nil,
+      statsFields: Seq[String] = Nil): SpaceDataset =
     new SpaceDataset(spark, Storage.create(location, schema, primaryKeys, recordFields,
+      statsFields = statsFields,
       conf = spark.sparkContext.hadoopConfiguration))
 
   def load(spark: SparkSession, location: String): SpaceDataset =

@@ -45,6 +45,9 @@ final class Storage(val location: String, val conf: Configuration) {
   def metadataFile: String = metaFilePath
   def schema: StructType = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
   def primaryKeys: Seq[String] = meta.primaryKeys
+  /** Columns with per-file min/max manifest stats: primary keys (the
+    * reference's rule) plus any declared extra stats fields. */
+  def statsColumns: Seq[String] = (meta.primaryKeys ++ meta.statsFields).distinct
   def recordFields: Seq[String] = meta.recordFields
 
   /** Resolve a manifest path: table-root-relative normally; absolute
@@ -360,8 +363,16 @@ object Storage {
       recordFields: Seq[String] = Nil,
       tableType: String = TableType.Dataset,
       logicalPlan: Option[String] = None,
+      statsFields: Seq[String] = Nil,
       conf: Configuration = new Configuration()): Storage = {
     SchemaValidation.validate(schema, primaryKeys, recordFields)
+    statsFields.foreach { f =>
+      val fld = schema.fields.find(_.name == f).getOrElse(
+        throw new IllegalArgumentException(s"stats field $f not in schema"))
+      require(ManifestIO.statsEligible(fld.dataType),
+        s"stats field $f has non-stats-eligible type ${fld.dataType}")
+      require(!recordFields.contains(f), s"record field $f cannot carry stats")
+    }
     val withIds = FieldIds.assign(schema)
     val root = new Path(location)
     val fs = root.getFileSystem(conf)
@@ -378,6 +389,7 @@ object Storage {
       createTimeMs = now, lastUpdateTimeMs = now, tableType = tableType,
       schemaJson = withIds.json,
       primaryKeys = primaryKeys.toList, recordFields = recordFields.toList,
+      statsFields = statsFields.toList,
       currentSnapshotId = 0L, maxSnapshotId = 0L,
       snapshots = Map("0" -> initial), logicalPlan = logicalPlan)
 

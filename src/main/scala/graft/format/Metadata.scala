@@ -65,6 +65,12 @@ final case class StorageMetadata(
     schemaJson: String,
     primaryKeys: List[String],
     recordFields: List[String],
+    /** Extra non-key columns carrying per-file min/max manifest stats
+      * (beyond the reference, which keeps stats for PKs only): lets
+      * manifest pruning falsify filters on e.g. dates or categories —
+      * the difference between scanning 100 TB and one partition's worth
+      * when the workload filters on a non-key column. */
+    statsFields: List[String] = Nil,
     currentSnapshotId: Long,
     /** High-water mark for snapshot id allocation (ids are monotonic,
       * storage.py:495-497). */

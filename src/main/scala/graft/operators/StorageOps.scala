@@ -109,6 +109,20 @@ object StorageOps {
       ds.readAll()
     }),
 
+    // declared non-key stats fields: manifest pruning falsifies a filter
+    // on a NON-key column (files range-partitioned by it); the require
+    // asserts pruning actually fired
+    "s_stats_fields" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val ds = SpaceDataset.create(s, fresh("sfld"), o.schema, Seq("o_orderkey"),
+        statsFields = Seq("o_totalprice"))
+      ds.append(o.repartitionByRange(8, col("o_totalprice")))
+      val plan = ds.plan(Some(col("o_totalprice") > 400000.0))
+      require(plan.prunedFiles > 0,
+        s"stats-field filter kept all ${plan.totalFiles} files")
+      ds.read(filter = Some(col("o_totalprice") > 400000.0))
+    }),
+
     // schema evolution: add a nullable column (metadata-only), old files
     // null-fill it, later appends populate it
     "s_evolve" -> ((s, d) => {
@@ -258,6 +272,7 @@ object StorageOps {
         |       ELSE o_totalprice END AS o_totalprice,
         |  o_orderdate, o_orderpriority
         |FROM orders""".stripMargin,
+    "s_stats_fields" -> "SELECT * FROM orders WHERE o_totalprice > 400000.0",
     "s_evolve" ->
       """SELECT *, CAST(NULL AS VARCHAR) AS o_band
         |FROM orders WHERE o_orderkey <= 3000

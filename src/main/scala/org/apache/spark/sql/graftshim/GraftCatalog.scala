@@ -121,7 +121,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val recordFields = props.get("record_fields")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    val ds = dir.createDataset(tableName(ident), schema, pks, recordFields)
+    val statsFields = props.get("stats_fields")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val ds = dir.createDataset(tableName(ident), schema, pks, recordFields, statsFields)
     new GraftTable(spark, ds, s"$catalogName.${ident.name}", None)
   }
 

@@ -60,4 +60,33 @@ class PruningFuzzSpec extends AnyFunSuite {
     }
     assert(prunedAtLeastOnce, "fuzz never exercised an actual pruning decision")
   }
+
+  /** Same soundness property when NON-KEY columns carry declared stats
+    * (statsFields): predicates on them become falsifiable, results must
+    * not change, and pruning must actually fire on a non-key filter. */
+  test("declared non-key stats fields prune soundly (40 random predicates)") {
+    val loc = Files.createTempDirectory("graft_fuzz_sf_").toString + "/tbl"
+    val d = SpaceDataset.create(spark, loc, orders.schema, Seq("o_orderkey"),
+      statsFields = Seq("o_totalprice", "o_orderstatus"))
+    // range-partition by the NON-KEY column so its per-file ranges are
+    // disjoint and stats-pruning has something to skip
+    d.append(orders.repartitionByRange(8, col("o_totalprice")))
+
+    val rnd = new Random(42L)
+    var prunedOnNonKey = false
+    for (i <- 1 to 40) {
+      val pred = randomPredicate(rnd, rnd.nextInt(3))
+      val plan = d.plan(Some(pred))
+      val got = d.read(filter = Some(pred)).count()
+      val exp = orders.filter(pred).count()
+      assert(got == exp,
+        s"iteration $i: $got rows vs $exp for $pred (kept ${plan.files.size}/${plan.totalFiles})")
+    }
+    // a pure non-key range filter must prune files now
+    val nonKey = d.plan(Some(col("o_totalprice") > 400000.0))
+    prunedOnNonKey = nonKey.prunedFiles > 0
+    assert(prunedOnNonKey, s"non-key stats filter kept all ${nonKey.totalFiles} files")
+    assert(d.read(filter = Some(col("o_totalprice") > 400000.0)).count() ==
+      orders.filter(col("o_totalprice") > 400000.0).count())
+  }
 }
