@@ -180,6 +180,20 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
       }
     }
 
+  /** Rewrite all index files range-partitioned + sorted by `sortCols`
+    * so min/max stats become disjoint ranges and pruning on those
+    * columns bites (one snapshot, CDC-silent — see ClusterOp). */
+  def clusterBy(
+      sortCols: Seq[String],
+      targetFileRows: Long,
+      branch: String = currentBranch): Option[ClusterOp.ClusterResult] =
+    storage.transaction(branch) { pinned =>
+      ClusterOp.cluster(spark, storage, pinned, sortCols, targetFileRows) match {
+        case Some((patch, res)) => (Some(patch), Some(res))
+        case None => (None, None)
+      }
+    }
+
   /** versions() table (storage.py:410-443): snapshot × refs, newest first. */
   def versions(): DataFrame = {
     import spark.implicits._

@@ -123,6 +123,21 @@ object StorageOps {
       ds.read(filter = Some(col("o_totalprice") > 400000.0))
     }),
 
+    // CLUSTER BY rewrite: hash-scattered files (no pruning possible) →
+    // range-sorted files whose stats prune the same filter
+    "s_cluster" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val ds = SpaceDataset.create(s, fresh("clus"), o.schema, Seq("o_orderkey"),
+        statsFields = Seq("o_totalprice"))
+      ds.append(o.repartition(8)) // every file spans ~the full price range
+      val before = ds.plan(Some(col("o_totalprice") > 400000.0))
+      ds.clusterBy(Seq("o_totalprice"), targetFileRows = math.max(1L, o.count() / 8))
+      val after = ds.plan(Some(col("o_totalprice") > 400000.0))
+      require(after.prunedFiles > before.prunedFiles,
+        s"clustering must improve pruning: ${before.prunedFiles} -> ${after.prunedFiles}")
+      ds.read(filter = Some(col("o_totalprice") > 400000.0))
+    }),
+
     // schema evolution: add a nullable column (metadata-only), old files
     // null-fill it, later appends populate it
     "s_evolve" -> ((s, d) => {
@@ -273,6 +288,7 @@ object StorageOps {
         |  o_orderdate, o_orderpriority
         |FROM orders""".stripMargin,
     "s_stats_fields" -> "SELECT * FROM orders WHERE o_totalprice > 400000.0",
+    "s_cluster" -> "SELECT * FROM orders WHERE o_totalprice > 400000.0",
     "s_evolve" ->
       """SELECT *, CAST(NULL AS VARCHAR) AS o_band
         |FROM orders WHERE o_orderkey <= 3000
