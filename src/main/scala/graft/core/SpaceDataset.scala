@@ -92,6 +92,26 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
       (Patch.merge(patches), storage.metadata.maxSnapshotId + 1)
     }
 
+  /** Idempotent append for exactly-once sinks (the foreachBatch /
+    * streaming-restart pattern): the commit records `appId → version`,
+    * so a redelivered batch (same appId, version ≤ recorded) is skipped
+    * — checked cheaply up front AND enforced under the commit lock, so
+    * a duplicate can never double-commit. Returns the snapshot id, or
+    * None when the batch was already committed. */
+  def appendOnce(
+      df: DataFrame,
+      appId: String,
+      version: Long,
+      branch: String = currentBranch): Option[Long] = {
+    storage.reload()
+    if (storage.metadata.txnVersions.get(appId).exists(_ >= version)) return None
+    Some(storage.transaction(branch) { _ =>
+      val patch = RecordIO.writeWithRecords(spark, storage, df)
+      (Some(patch.copy(txn = Some(TxnTag(appId, version)))),
+        storage.metadata.maxSnapshotId + 1)
+    })
+  }
+
   /** Atomic truncate-and-append: ONE snapshot replacing the whole table
     * content (backs SQL `INSERT OVERWRITE` through the graft catalog). */
   def overwrite(df: DataFrame, branch: String = currentBranch): Long =

@@ -233,10 +233,19 @@ final class Storage(val location: String, val conf: Configuration) {
     val snap = Snapshot(newId, Some(baseId), now, manifests,
       base.storageStatistics + patch.statsDelta, changeLogFile)
 
+    // exactly-once writer guard: runs under the commit lock after a
+    // fresh reload, so a duplicate delivery can NEVER double-commit
+    patch.txn.foreach { t =>
+      require(meta.txnVersions.getOrElse(t.appId, Long.MinValue) < t.version,
+        s"duplicate transaction: appId=${t.appId} version=${t.version} already committed")
+    }
+
     val withSnap = meta.copy(
       snapshots = meta.snapshots + (newId.toString -> snap),
       maxSnapshotId = newId,
       lastUpdateTimeMs = now,
+      txnVersions = patch.txn.fold(meta.txnVersions)(t =>
+        meta.txnVersions + (t.appId -> t.version)),
       mvSourceSnapshotId = patch.sourceSnapshotId.orElse(meta.mvSourceSnapshotId))
     val newMeta =
       if (branch == SnapshotRef.MainBranch) withSnap.copy(currentSnapshotId = newId)

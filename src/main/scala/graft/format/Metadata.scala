@@ -71,6 +71,9 @@ final case class StorageMetadata(
       * the difference between scanning 100 TB and one partition's worth
       * when the workload filters on a non-key column. */
     statsFields: List[String] = Nil,
+    /** Highest committed version per writer appId (exactly-once sinks;
+      * see [[TxnTag]]). */
+    txnVersions: Map[String, Long] = Map.empty,
     currentSnapshotId: Long,
     /** High-water mark for snapshot id allocation (ids are monotonic,
       * storage.py:495-497). */
@@ -112,6 +115,11 @@ final case class ChangeLog(
   * manifest additions/removals relative to the parent snapshot, a stats
   * delta, and the change log (runtime.proto:71-83; `_patch_manifests`
   * storage.py:513-535). */
+/** Idempotence tag for writer applications (streaming sinks): commit
+  * records `appId → version`; a commit whose version is not greater
+  * than the recorded one is a duplicate delivery and must not apply. */
+final case class TxnTag(appId: String, version: Long)
+
 final case class Patch(
     addedIndexManifests: List[String] = Nil,
     removedIndexManifests: List[String] = Nil,
@@ -121,7 +129,9 @@ final case class Patch(
     changeLog: Option[ChangeLog] = None,
     /** For MV refresh commits: the source snapshot this patch advances
       * the MV to (one MV commit per source snapshot, runners.py:204-215). */
-    sourceSnapshotId: Option[Long] = None)
+    sourceSnapshotId: Option[Long] = None,
+    /** Exactly-once writer tag; see [[TxnTag]]. */
+    txn: Option[TxnTag] = None)
 
 object Patch {
   /** merge_patches analog (ops/utils.py:94-118): manifest lists concat,
@@ -141,7 +151,8 @@ object Patch {
             Some(ChangeLog(x.addedRows ++ y.addedRows, x.deletedRows ++ y.deletedRows))
           case (x, y) => x.orElse(y)
         },
-        a.sourceSnapshotId.orElse(b.sourceSnapshotId))
+        a.sourceSnapshotId.orElse(b.sourceSnapshotId),
+        a.txn.orElse(b.txn))
     })
   }
 }

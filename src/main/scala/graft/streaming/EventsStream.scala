@@ -65,14 +65,9 @@ object EventsStream {
     val q = stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", s"$loc/ckpt")
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        // upsert runs several actions (dup check, delete keys, write);
-        // persist so the micro-batch's stateful plan executes ONCE
-        val b = batch.persist()
-        try { if (!b.isEmpty) { sink.upsert(b); () } }
-        finally b.unpersist()
-        ()
-      }
+      // upsert sink: persisted per batch so the stateful plan executes
+      // once; replays are key-idempotent (GraftSink)
+      .foreachBatch(GraftSink.upsert(sink))
       .start()
     try q.processAllAvailable() finally {
       q.stop()
@@ -155,10 +150,7 @@ object EventsStream {
         col("_commit_snapshot_id").as("commit_snapshot_id"))
       .writeStream
       .option("checkpointLocation", s"$loc/ckpt")
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        if (!batch.isEmpty) { sink.append(batch); () }
-        ()
-      }
+      .foreachBatch(GraftSink.append(sink, appId = "e_cdc_stream"))
       .start()
     try q.processAllAvailable() finally q.stop()
     sink.readAll()
