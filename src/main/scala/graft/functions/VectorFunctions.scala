@@ -23,13 +23,11 @@ object VectorFunctions {
 
   /** Sign-bit sketch against `planes` (array of array<double>): bit i set
     * iff dot(v, planes[i]) >= 0. Random-hyperplane LSH: P(bits equal) =
-    * 1 - θ/π, so near-duplicate vectors collide with high probability. */
-  def hyperplaneSketch(v: Column, planes: Seq[Seq[Double]]): Column = {
-    val bits = planes.zipWithIndex.map { case (p, i) =>
-      when(dot(v, lit(p.toArray)) >= 0.0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
+    * 1 - θ/π, so near-duplicate vectors collide with high probability.
+    * Native single-pass expression — the per-plane HOF formulation spends
+    * seconds in analysis/codegen on a 64-plane sketch. */
+  def hyperplaneSketch(v: Column, planes: Seq[Seq[Double]]): Column =
+    org.apache.spark.sql.graftshim.HyperplaneSketchExpr(v, planes)
 
   /** Deterministic pseudo-random unit-free hyperplanes (seeded LCG —
     * stable across runs/JVMs so sketches are reproducible). */

@@ -144,8 +144,64 @@ object Dedup {
       universe: DataFrame,
       idCol: String,
       idA: String = "id_a",
-      idB: String = "id_b"): DataFrame = {
-    val half = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      idB: String = "id_b",
+      maxDriverEdges: Long = 1000000L): DataFrame = {
+    val half0 = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+
+    // ADAPTIVE CUTOVER. The pair graph is bounded by the candidate pairs
+    // — orders of magnitude smaller than the corpus (the corpus never
+    // enters either path's loop). When it fits comfortably on the driver
+    // (≤ maxDriverEdges, integral ids) a local union-find replaces the
+    // whole iterative join loop with one collect: O(E α(E)) and zero
+    // extra Spark jobs. Above the threshold — or for non-integral ids —
+    // fall through to the distributed min-label loop, which scales to
+    // arbitrarily large pair graphs.
+    val idType = half0.schema.head.dataType
+    val integral = idType match {
+      case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val half = half0.localCheckpoint() // materialize the pair pipeline once
+    val nEdges = half.count()
+    if (integral && nEdges <= maxDriverEdges) {
+      val es = half.select(col("src").cast("long"), col("dst").cast("long")).collect()
+      // union toward the smaller root: the root of each component is by
+      // construction its min id, so no relabel pass is needed
+      val parent = new java.util.HashMap[Long, Long](es.length * 2)
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.get(x)
+        while (p != x) { // path halving
+          val gp = parent.get(p)
+          parent.put(x, gp); x = gp; p = parent.get(x)
+        }
+        x
+      }
+      es.foreach { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+      }
+      val spark = universe.sparkSession
+      import scala.jdk.CollectionConverters._
+      val labelRows = parent.keySet().asScala.iterator
+        .map(k => org.apache.spark.sql.Row(k, find(k))).toSeq
+      val labelSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.LongType)))
+      val labels = spark.createDataFrame(
+          spark.sparkContext.parallelize(labelRows, 1), labelSchema)
+        .select(col("id").cast(idType).as("id"), col("label").cast(idType).as("label"))
+      val u = universe.select(col(idCol)).distinct()
+      return u.join(broadcast(labels), u(idCol) === labels("id"), "left")
+        .select(u(idCol),
+          coalesce(col("label"), u(idCol)).as("cluster_id"),
+          (coalesce(col("label"), u(idCol)) === u(idCol)).as("survivor"))
+    }
+
     // localCheckpoint (not persist): truncating lineage each round keeps
     // the per-round physical plan IDENTICAL across iterations — one
     // codegen compile total instead of one per round — and is the

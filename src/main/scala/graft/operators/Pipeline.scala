@@ -70,14 +70,19 @@ object Pipeline {
         blockCol = "source", n = 2, threshold = 0.55)),
 
     // embedding near-dup: hyperplane-LSH candidates + exact cosine verify
-    // over a corpus with planted exact copies
+    // over a corpus with planted exact copies. 4 bands × 16 bits: at the
+    // 0.999 threshold a true pair's per-band collision probability is
+    // (1-θ/π)^16 ≥ 0.79 (θ ≤ 2.6°), so 4-band recall ≥ 0.998 — while a
+    // 16-bit band key spreads a random corpus over 65k buckets, keeping
+    // candidate generation ~|corpus| instead of the ~|corpus|²/buckets
+    // blowup an 8-bit key produces on unclustered vectors.
     "d_dedup_embedding" -> ((s, d) => {
       val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val corpus = e.unionByName(
         e.filter(col("vec_id") < 100)
           .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
       Dedup.embeddingCosinePairs(corpus, "embedding", "vec_id",
-        dim = 64, threshold = 0.999)
+        dim = 64, threshold = 0.999, bands = 4, bitsPerBand = 16)
     }),
 
     // exact brute-force ANN top-10 for 5 query vectors (the baseline the

@@ -91,12 +91,18 @@ class PipelineSpec extends AnyFunSuite {
     // chain 1~2~3 (no 1~3 pair) plus disjoint pair 10~11 and singletons 20, 21
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val universe = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("doc_id")
-    val got = Dedup.dedupClusters(pairs, universe, "doc_id")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
-    assert(got == Set(
+    val expected = Set(
       (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
       (10L, 10L, true), (11L, 10L, false),
-      (20L, 20L, true), (21L, 21L, true)))
+      (20L, 20L, true), (21L, 21L, true))
+    // driver union-find path (pair graph under the threshold)…
+    val got = Dedup.dedupClusters(pairs, universe, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == expected)
+    // …and the distributed min-label loop must agree (threshold forced to 0)
+    val gotDist = Dedup.dedupClusters(pairs, universe, "doc_id", maxDriverEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(gotDist == expected)
   }
 
   test("cosine matches hand computation") {
