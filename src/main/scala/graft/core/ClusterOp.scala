@@ -1,7 +1,7 @@
 package graft.core
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.format._
 
@@ -35,18 +35,35 @@ object ClusterOp {
 
   final case class ClusterResult(rewrittenFiles: Int, outputFiles: Int, rows: Long)
 
-  /** Build the clustering patch, or None for an empty table. */
+  /** Build the clustering patch, or None for an empty table.
+    *
+    * `zorder = false`: lexicographic range-sort — optimal pruning on the
+    * FIRST column, nothing for the rest. `zorder = true`: sort by a
+    * Morton (bit-interleaved) key over ALL `sortCols`, so each file
+    * covers a small tile of the multi-dimensional value space and
+    * min/max stats prune filters on EVERY clustered column (the
+    * Delta/Iceberg OPTIMIZE ZORDER BY tradeoff: slightly looser
+    * per-column ranges in exchange for pruning on all dimensions). */
   def cluster(
       spark: SparkSession,
       storage: Storage,
       snapshotId: Long,
       sortCols: Seq[String],
-      targetFileRows: Long): Option[(Patch, ClusterResult)] = {
+      targetFileRows: Long,
+      zorder: Boolean = false): Option[(Patch, ClusterResult)] = {
     require(sortCols.nonEmpty, "clusterBy requires at least one column")
     require(targetFileRows > 0)
+    require(!zorder || (sortCols.size >= 2 && sortCols.size <= 4),
+      "zorder needs 2-4 columns (16 bits per dimension in a 64-bit key)")
     sortCols.foreach { c =>
       require(storage.schema.fieldNames.contains(c), s"unknown cluster column $c")
       require(!storage.recordFields.contains(c), s"record field $c cannot cluster")
+      if (zorder) storage.schema(c).dataType match {
+        case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType => ()
+        case dt => throw new IllegalArgumentException(
+          s"zorder column $c must be numeric, got $dt")
+      }
     }
     val snap = storage.snapshotOrFail(snapshotId)
     if (snap.manifestFiles.indexManifestFiles.isEmpty) return None
@@ -61,10 +78,20 @@ object ClusterOp {
     val physical = ReadOp.physicalSchema(storage.schema, storage.recordFields)
     val totalRows = files.map(_._2).sum
     val parts = math.max(1, math.ceil(totalRows.toDouble / targetFileRows).toInt)
-    val rows = spark.read.schema(physical)
+    val scan = spark.read.schema(physical)
       .parquet(files.map(f => storage.absolute(f._1)): _*)
-      .repartitionByRange(parts, sortCols.map(col): _*)
-      .sortWithinPartitions(sortCols.map(col): _*)
+    val rows =
+      if (!zorder)
+        scan.repartitionByRange(parts, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else {
+        val zk = zorderKey(scan, sortCols)
+        // the interleaved key drives BOTH the range partitioning and the
+        // in-partition sort; AppendOp's schema-align select drops it
+        scan.withColumn("__zkey", zk)
+          .repartitionByRange(parts, col("__zkey"))
+          .sortWithinPartitions(col("__zkey"))
+      }
     val written = AppendOp.writeFilesWithMeta(spark, storage, rows)
     val appendPatch = written.patch
 
@@ -78,5 +105,31 @@ object ClusterOp {
       statsDelta = appendPatch.statsDelta + co.removedStats,
       changeLog = None)
     Some((patch, ClusterResult(files.size, written.files.size, outRows)))
+  }
+
+  private val ZBits = 16 // per-dimension resolution: 65k tiles per axis
+
+  /** Morton key over numeric columns: each value is linearly normalized
+    * into [0, 2^16) via the column's global min/max (one tiny agg job —
+    * at 100 TB the executors compute partial min/max map-side and ship
+    * one row), then the per-column 16-bit ranks are bit-interleaved.
+    * Nulls sort first (rank 0). Static expression tree, codegen'd. */
+  private[core] def zorderKey(df: DataFrame, cols: Seq[String]): Column = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c).cast("double")).as(s"mn_$c"), max(col(c).cast("double")).as(s"mx_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val maxRank = (1L << ZBits) - 1
+    val ranks = cols.zipWithIndex.map { case (c, i) =>
+      val mn = if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i)
+      val mx = if (row.isNullAt(2 * i + 1)) 0.0 else row.getDouble(2 * i + 1)
+      val span = if (mx > mn) mx - mn else 1.0
+      least(lit(maxRank), greatest(lit(0L),
+        ((col(c).cast("double") - lit(mn)) / lit(span) * lit(maxRank.toDouble)).cast("long")))
+        .cast("long")
+    }
+    val n = ranks.size
+    val terms = for { i <- 0 until n; j <- 0 until ZBits } yield
+      shiftleft(shiftright(ranks(i), j).bitwiseAND(lit(1L)), j * n + i)
+    coalesce(terms.reduce(_.bitwiseOR(_)), lit(0L))
   }
 }

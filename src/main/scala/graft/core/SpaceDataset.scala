@@ -18,9 +18,32 @@ import graft.format._
   */
 final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
 
-  def schema: StructType = storage.schema
-  def primaryKeys: Seq[String] = storage.primaryKeys
+  def schema: StructType = storage.logicalSchema
+  def primaryKeys: Seq[String] = storage.primaryKeys.map(storage.logicalNameOf)
   def location: String = storage.location
+
+  // Column-mapping boundary (RENAME COLUMN, metadata-only): everything
+  // below SpaceDataset — files, manifests, DML, CDC — speaks PHYSICAL
+  // names; the public surface speaks logical. These four translators are
+  // the entire rename implementation on the data path.
+  private def renames: Map[String, String] = storage.metadata.renames
+
+  private[core] def toLogical(df: DataFrame): DataFrame =
+    if (renames.isEmpty) df
+    else df.select(df.columns.map(c => col(c).as(storage.logicalNameOf(c))).toIndexedSeq: _*)
+
+  private[core] def toPhysicalDf(df: DataFrame): DataFrame =
+    if (renames.isEmpty) df
+    else {
+      val inv = renames.map(_.swap)
+      df.select(df.columns.map(c => col(c).as(inv.getOrElse(c, c))).toIndexedSeq: _*)
+    }
+
+  private[core] def toPhysicalCol(c: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnExpr.mapAttributes(c, renames.map(_.swap))
+
+  private def toPhysicalNames(names: Seq[String]): Seq[String] =
+    names.map(storage.physicalNameOf)
 
   /** Branch that reads and mutations target by default
     * (`set_current_branch`, reference storage.py:238-313 surface). */
@@ -46,13 +69,15 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
       referenceRead: Boolean = false): DataFrame = {
     val sid = version.map(storage.versionToSnapshotId)
       .getOrElse(storage.branchHead(currentBranch))
-    val physical = ReadOp.scanPhysical(spark, storage, sid, filter)
-    val projected = fields match {
+    val physFields = fields.map(toPhysicalNames)
+    val physical = ReadOp.scanPhysical(spark, storage, sid, filter.map(toPhysicalCol))
+    val projected = physFields match {
       case Some(fs) => physical.select(fs.map(col): _*)
       case None => physical
     }
-    if (referenceRead || storage.recordFields.isEmpty) projected
-    else RecordIO.stitch(spark, storage, projected, fields)
+    toLogical(
+      if (referenceRead || storage.recordFields.isEmpty) projected
+      else RecordIO.stitch(spark, storage, projected, physFields))
   }
 
   def readAll(): DataFrame = read()
@@ -69,14 +94,14 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
   def plan(filter: Option[Column] = None, version: Option[String] = None): ReadOp.ScanPlan = {
     val sid = version.map(storage.versionToSnapshotId)
       .getOrElse(storage.branchHead(currentBranch))
-    ReadOp.plan(spark, storage, sid, filter)
+    ReadOp.plan(spark, storage, sid, filter.map(toPhysicalCol))
   }
 
   // --------------------------------------------------------- mutations
 
   def append(df: DataFrame, branch: String = currentBranch): Long =
     storage.transaction(branch) { _ =>
-      val patch = RecordIO.writeWithRecords(spark, storage, df)
+      val patch = RecordIO.writeWithRecords(spark, storage, toPhysicalDf(df))
       (Some(patch), storage.metadata.maxSnapshotId + 1)
     }
 
@@ -88,7 +113,7 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
     * single atomic commit whose changelog covers all sources. */
   def appendFrom(sources: Seq[() => DataFrame], branch: String = currentBranch): Long =
     storage.transaction(branch) { _ =>
-      val patches = sources.map(fn => RecordIO.writeWithRecords(spark, storage, fn()))
+      val patches = sources.map(fn => RecordIO.writeWithRecords(spark, storage, toPhysicalDf(fn())))
       (Patch.merge(patches), storage.metadata.maxSnapshotId + 1)
     }
 
@@ -106,7 +131,7 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
     storage.reload()
     if (storage.metadata.txnVersions.get(appId).exists(_ >= version)) return None
     Some(storage.transaction(branch) { _ =>
-      val patch = RecordIO.writeWithRecords(spark, storage, df)
+      val patch = RecordIO.writeWithRecords(spark, storage, toPhysicalDf(df))
       (Some(patch.copy(txn = Some(TxnTag(appId, version)))),
         storage.metadata.maxSnapshotId + 1)
     })
@@ -116,22 +141,22 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
     * content (backs SQL `INSERT OVERWRITE` through the graft catalog). */
   def overwrite(df: DataFrame, branch: String = currentBranch): Long =
     storage.transaction(branch) { pinned =>
-      (Some(DmlOps.overwriteAll(spark, storage, pinned, df)), storage.metadata.maxSnapshotId + 1)
+      (Some(DmlOps.overwriteAll(spark, storage, pinned, toPhysicalDf(df))), storage.metadata.maxSnapshotId + 1)
     }
 
   def delete(cond: Column, branch: String = currentBranch): Long =
     storage.transaction(branch) { pinned =>
-      (DmlOps.delete(spark, storage, pinned, cond), storage.metadata.maxSnapshotId + 1)
+      (DmlOps.delete(spark, storage, pinned, toPhysicalCol(cond)), storage.metadata.maxSnapshotId + 1)
     }
 
   def insert(df: DataFrame, branch: String = currentBranch): Long =
     storage.transaction(branch) { pinned =>
-      (Some(DmlOps.insert(spark, storage, pinned, df)), storage.metadata.maxSnapshotId + 1)
+      (Some(DmlOps.insert(spark, storage, pinned, toPhysicalDf(df))), storage.metadata.maxSnapshotId + 1)
     }
 
   def upsert(df: DataFrame, branch: String = currentBranch): Long =
     storage.transaction(branch) { pinned =>
-      (Some(DmlOps.upsert(spark, storage, pinned, df)), storage.metadata.maxSnapshotId + 1)
+      (Some(DmlOps.upsert(spark, storage, pinned, toPhysicalDf(df))), storage.metadata.maxSnapshotId + 1)
     }
 
   /** MERGE builder (general form of upsert; one snapshot):
@@ -142,7 +167,40 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
     *     .whenNotMatchedInsert()                // append unmatched source rows
     *     .execute()
     * }}} */
-  def merge(source: DataFrame): MergeBuilder = new MergeBuilder(this, source)
+  def merge(source: DataFrame): MergeBuilder = new MergeBuilder(this, toPhysicalDf(source))
+
+  /** Row-level UPDATE: rewrite rows matching `cond` with `assignments`
+    * applied (CoW; ONE snapshot). CDC encodes it as DELETE+ADD of the
+    * same primary keys — the reference's UPDATE semantics
+    * (change_data.py:42-44). Primary keys cannot be assigned (that's a
+    * delete+insert, spell it as one). Returns the new snapshot id, or
+    * the current head when nothing matched (no-op, like delete). */
+  def update(
+      cond: Column,
+      assignments: Map[String, Column],
+      branch: String = currentBranch): Long = {
+    require(assignments.nonEmpty, "update requires at least one assignment")
+    val pkSet = primaryKeys.toSet
+    assignments.keys.foreach { k =>
+      require(schema.fieldNames.contains(k), s"unknown column $k")
+      require(!pkSet.contains(k), s"cannot update primary key $k")
+    }
+    storage.transaction(branch) { pinned =>
+      val physCond = toPhysicalCol(cond)
+      DmlOps.delete(spark, storage, pinned, physCond) match {
+        case None => (None, storage.metadata.maxSnapshotId + 1) // nothing matched
+        case Some(delPatch) =>
+          // updated rows, built from the same pinned snapshot (CoW: the
+          // delete rewrites files, it never mutates the pinned inputs)
+          val matched = read(filter = Some(cond), version = Some(pinned.toString))
+          val updated = assignments.foldLeft(matched) { case (df, (k, v)) =>
+            df.withColumn(k, v)
+          }
+          val addPatch = RecordIO.writeWithRecords(spark, storage, toPhysicalDf(updated))
+          (Patch.merge(Seq(delPatch, addPatch)), storage.metadata.maxSnapshotId + 1)
+      }
+    }
+  }
 
   // -------------------------------------------------------------- CDC
 
@@ -150,6 +208,7 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
     ChangeData.diff(spark, storage,
       storage.versionToSnapshotId(startVersion),
       storage.versionToSnapshotId(endVersion))
+      .map(b => b.copy(data = toLogical(b.data)))
 
   // -------------------------------------------------------- versioning
 
@@ -174,6 +233,16 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
     * existing files null-fill on read). */
   def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType): Unit =
     storage.addColumn(org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
+
+  /** Schema evolution: RENAME COLUMN, metadata-only (see
+    * [[Storage.renameColumn]]). Time travel and CDC read every snapshot
+    * under the CURRENT logical names. */
+  def renameColumn(from: String, to: String): Unit = storage.renameColumn(from, to)
+
+  /** Schema evolution: DROP COLUMN, metadata-only (see
+    * [[Storage.dropColumn]]); the bytes are shed by the next
+    * compact/cluster rewrite or GC'd with the file. */
+  def dropColumn(name: String): Unit = storage.dropColumn(name)
 
   // ------------------------------------------------------- maintenance
 
@@ -208,7 +277,23 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
       targetFileRows: Long,
       branch: String = currentBranch): Option[ClusterOp.ClusterResult] =
     storage.transaction(branch) { pinned =>
-      ClusterOp.cluster(spark, storage, pinned, sortCols, targetFileRows) match {
+      ClusterOp.cluster(spark, storage, pinned, toPhysicalNames(sortCols), targetFileRows) match {
+        case Some((patch, res)) => (Some(patch), Some(res))
+        case None => (None, None)
+      }
+    }
+
+  /** Z-ORDER rewrite: like [[clusterBy]], but files tile the
+    * multi-dimensional space of `cols` (Morton key), so manifest stats
+    * prune filters on EVERY listed column, not just the first (see
+    * [[ClusterOp.cluster]] with zorder=true). */
+  def zorderBy(
+      cols: Seq[String],
+      targetFileRows: Long,
+      branch: String = currentBranch): Option[ClusterOp.ClusterResult] =
+    storage.transaction(branch) { pinned =>
+      ClusterOp.cluster(spark, storage, pinned, toPhysicalNames(cols), targetFileRows,
+        zorder = true) match {
         case Some((patch, res)) => (Some(patch), Some(res))
         case None => (None, None)
       }
@@ -272,7 +357,7 @@ final class MergeBuilder private[core] (ds: SpaceDataset, source: DataFrame) {
       "merge requires at least one WHEN clause")
     ds.storage.transaction(branch) { pinned =>
       (DmlOps.merge(ds.spark, ds.storage, pinned, source,
-        matchedUpdate, matchedDeleteCond, insertNew),
+        matchedUpdate, matchedDeleteCond.map(ds.toPhysicalCol), insertNew),
         ds.storage.metadata.maxSnapshotId + 1)
     }
   }

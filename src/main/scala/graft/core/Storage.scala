@@ -44,6 +44,19 @@ final class Storage(val location: String, val conf: Configuration) {
   /** Root-relative path of the current metadata json. */
   def metadataFile: String = metaFilePath
   def schema: StructType = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+
+  /** User-visible schema: physical schema with column renames applied
+    * (top-level; see [[StorageMetadata.renames]]). */
+  def logicalSchema: StructType =
+    if (meta.renames.isEmpty) schema
+    else StructType(schema.fields.map(f => f.copy(name = logicalNameOf(f.name))))
+
+  def logicalNameOf(physical: String): String = meta.renames.getOrElse(physical, physical)
+
+  /** Inverse rename lookup; identity for never-renamed columns. */
+  def physicalNameOf(logical: String): String =
+    meta.renames.collectFirst { case (p, l) if l == logical => p }.getOrElse(logical)
+
   def primaryKeys: Seq[String] = meta.primaryKeys
   /** Columns with per-file min/max manifest stats: primary keys (the
     * reference's rule) plus any declared extra stats fields. */
@@ -152,12 +165,71 @@ final class Storage(val location: String, val conf: Configuration) {
       "(existing files null-fill it)")
     withCommitLock {
       reload()
-      require(!schema.fieldNames.contains(field.name),
+      require(!schema.fieldNames.contains(field.name) &&
+          !logicalSchema.fieldNames.contains(field.name),
         s"column ${field.name} already exists")
-      val assigned = FieldIds.assign(StructType(Seq(field)), FieldIds.consumedIds(schema))
+      val start = nextFieldId
+      // a name that was EVER dropped gets a generated physical name + a
+      // rename entry: old files still hold the dropped column under the
+      // original name, and name-based parquet reads must never
+      // resurrect those bytes into the new field
+      val reused = meta.droppedColumns.contains(field.name)
+      val physName = if (reused) s"${field.name}_f$start" else field.name
+      val assigned = FieldIds.assign(StructType(Seq(field.copy(name = physName))), start)
       persist(meta.copy(schemaJson = StructType(schema.fields ++ assigned.fields).json,
+        renames = if (reused) meta.renames + (physName -> field.name) else meta.renames,
+        maxFieldId = FieldIds.maxAssignedId(assigned) max start,
         lastUpdateTimeMs = System.currentTimeMillis()))
     }
+  }
+
+  /** First field id not yet handed out: past both the live schema's ids
+    * and the high-water mark left by dropped columns (never reuse). */
+  private def nextFieldId: Int =
+    math.max(meta.maxFieldId, FieldIds.maxAssignedId(schema)) + 1
+
+  /** Metadata-only RENAME COLUMN (column-mapping "name mode"): data
+    * files keep the physical name forever; only the boundary mapping in
+    * [[StorageMetadata.renames]] changes. Pruning is untouched because
+    * manifest stats are keyed by FIELD ID, not name. `from` is the
+    * current logical name. */
+  def renameColumn(from: String, to: String): Unit = withCommitLock {
+    reload()
+    val phys = physicalNameOf(from)
+    require(schema.fieldNames.contains(phys), s"column $from not found")
+    require(from != to, "rename to the same name")
+    val logicalNames = logicalSchema.fieldNames.toSet
+    require(!logicalNames.contains(to), s"column $to already exists")
+    // a new logical name may not shadow a DIFFERENT column's physical
+    // name either — appends resolve logical→physical by name
+    require(to == phys || !schema.fieldNames.contains(to),
+      s"$to collides with an existing physical column name")
+    val next =
+      if (to == phys) meta.renames - phys // renamed back to the original
+      else meta.renames - phys + (phys -> to)
+    persist(meta.copy(renames = next, lastUpdateTimeMs = System.currentTimeMillis()))
+  }
+
+  /** Metadata-only DROP COLUMN: the field leaves the schema (reads stop
+    * requesting it; compaction/clustering rewrites shed the bytes), its
+    * id is retired forever via [[StorageMetadata.maxFieldId]], and its
+    * stats/rename entries are cleaned up. Primary keys and record fields
+    * cannot be dropped. `name` is the current logical name. */
+  def dropColumn(name: String): Unit = withCommitLock {
+    reload()
+    val phys = physicalNameOf(name)
+    require(schema.fieldNames.contains(phys), s"column $name not found")
+    require(!meta.primaryKeys.contains(phys), s"cannot drop primary key $name")
+    require(!meta.recordFields.contains(phys), s"cannot drop record field $name")
+    require(schema.fields.length > 1, "cannot drop the last column")
+    val highWater = math.max(meta.maxFieldId, FieldIds.maxAssignedId(schema))
+    persist(meta.copy(
+      schemaJson = StructType(schema.fields.filterNot(_.name == phys)).json,
+      statsFields = meta.statsFields.filterNot(_ == phys),
+      renames = meta.renames - phys,
+      maxFieldId = highWater,
+      droppedColumns = (meta.droppedColumns :+ phys).distinct,
+      lastUpdateTimeMs = System.currentTimeMillis()))
   }
 
   def addTag(name: String, snapshotId: Option[Long] = None): Unit =

@@ -48,6 +48,21 @@ object FieldIds {
     schema.fields.map(countField).sum
   }
 
+  /** Highest id [[assign]] has handed out for `schema` — ids of a field
+    * with id k and a type consuming c ids span k..k+c-1. Unlike
+    * [[consumedIds]] this stays correct after DROP COLUMN leaves holes
+    * in the id space. */
+  def maxAssignedId(schema: StructType): Int = {
+    def countType(dt: DataType): Int = dt match {
+      case s: StructType => s.fields.map(countField).sum
+      case a: ArrayType => 1 + countType(a.elementType)
+      case _ => 0
+    }
+    def countField(f: StructField): Int = 1 + countType(f.dataType)
+    if (schema.fields.isEmpty) -1
+    else schema.fields.map(f => fieldId(f) + countField(f) - 1).max
+  }
+
   def fieldId(f: StructField): Int =
     if (f.metadata.contains(ParquetFieldId)) f.metadata.getLong(ParquetFieldId).toInt
     else NullFieldId

@@ -74,6 +74,22 @@ final case class StorageMetadata(
     /** Highest committed version per writer appId (exactly-once sinks;
       * see [[TxnTag]]). */
     txnVersions: Map[String, Long] = Map.empty,
+    /** Logical column renames: PHYSICAL (as-written) name → current
+      * logical name (column-mapping "name mode"). Data files, manifests,
+      * and every internal op keep physical names forever; renames apply
+      * only at the user-facing SpaceDataset/SQL boundary, so RENAME
+      * COLUMN is metadata-only and never rewrites a byte of data. */
+    renames: Map[String, String] = Map.empty,
+    /** High-water mark of assigned field ids. Ids are NEVER reused, even
+      * after DROP COLUMN — a recycled id would alias the dropped
+      * column's manifest stats (`_STATS_f<id>`) and file data onto the
+      * new field. -1 = legacy metadata; derive from the schema. */
+    maxFieldId: Int = -1,
+    /** Physical names ever dropped. A column later ADDed under such a
+      * name gets a GENERATED physical name (`name_f<id>`) + a rename
+      * entry, so name-based parquet reads can never resurrect the
+      * dropped column's bytes from old files. */
+    droppedColumns: List[String] = Nil,
     currentSnapshotId: Long,
     /** High-water mark for snapshot id allocation (ids are monotonic,
       * storage.py:495-497). */

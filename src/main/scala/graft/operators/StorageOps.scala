@@ -138,6 +138,49 @@ object StorageOps {
       ds.read(filter = Some(col("o_totalprice") > 400000.0))
     }),
 
+    // Z-ORDER rewrite: scattered files → Morton-tiled files; pruning
+    // must fire on BOTH clustered columns (requires assert it)
+    "s_zorder" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val ds = SpaceDataset.create(s, fresh("zord"), o.schema, Seq("o_orderkey"),
+        statsFields = Seq("o_custkey", "o_totalprice"))
+      ds.append(o.repartition(8))
+      ds.zorderBy(Seq("o_custkey", "o_totalprice"),
+        targetFileRows = math.max(1L, o.count() / 8))
+      // scale-relative probes: bottom eighth of one axis, top tenth of
+      // the other — selective on any scale factor
+      val maxCust = o.agg(max(col("o_custkey"))).collect()(0).getLong(0)
+      val pCust = ds.plan(Some(col("o_custkey") < lit(maxCust / 8)))
+      val pPrice = ds.plan(Some(col("o_totalprice") > 450000.0))
+      require(pCust.prunedFiles > 0 && pPrice.prunedFiles > 0,
+        s"zorder must prune on both dims: ${pCust.prunedFiles}/${pPrice.prunedFiles}")
+      ds.read(filter = Some(col("o_totalprice") > 400000.0))
+    }),
+
+    // row-level UPDATE: CoW rewrite of matched rows, one snapshot,
+    // DELETE+ADD change encoding
+    "s_update" -> ((s, d) => {
+      val ds = ordersTable(s, d, "upd")
+      ds.update(col("o_orderkey") % 7 === 0,
+        Map("o_totalprice" -> col("o_totalprice") * 2,
+          "o_orderpriority" -> lit("9-UPDATED")))
+      ds.readAll()
+    }),
+
+    // metadata-only RENAME + DROP COLUMN (column mapping): data written
+    // before AND after the rename reads under the new logical name; the
+    // dropped column vanishes without any file rewrite
+    "s_rename_drop" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val ds = SpaceDataset.create(s, fresh("rendrop"), o.schema, Seq("o_orderkey"))
+      ds.append(o.filter(col("o_orderkey") <= 3000L))
+      ds.renameColumn("o_totalprice", "price")
+      ds.dropColumn("o_orderstatus")
+      ds.append(o.filter(col("o_orderkey") > 3000L)
+        .withColumnRenamed("o_totalprice", "price").drop("o_orderstatus"))
+      ds.read(filter = Some(col("price") > 100000.0))
+    }),
+
     // schema evolution: add a nullable column (metadata-only), old files
     // null-fill it, later appends populate it
     "s_evolve" -> ((s, d) => {
@@ -289,6 +332,19 @@ object StorageOps {
         |FROM orders""".stripMargin,
     "s_stats_fields" -> "SELECT * FROM orders WHERE o_totalprice > 400000.0",
     "s_cluster" -> "SELECT * FROM orders WHERE o_totalprice > 400000.0",
+    "s_zorder" -> "SELECT * FROM orders WHERE o_totalprice > 400000.0",
+    "s_update" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN '9-UPDATED'
+        |       ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders""".stripMargin,
+    "s_rename_drop" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice AS price,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE o_totalprice > 100000.0""".stripMargin,
     "s_evolve" ->
       """SELECT *, CAST(NULL AS VARCHAR) AS o_band
         |FROM orders WHERE o_orderkey <= 3000

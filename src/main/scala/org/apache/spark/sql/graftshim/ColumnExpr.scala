@@ -12,6 +12,22 @@ object ColumnExpr {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   def column(e: Expression): Column = ExpressionUtils.column(e)
 
+  /** Rewrite UNRESOLVED attribute references through a name map — the
+    * logical→physical translation for renamed columns (column-mapping
+    * name mode). Conditions built with `col("name")` are unresolved
+    * attribute trees at this point; anything already resolved against a
+    * logical frame never reaches the physical scan directly. */
+  def mapAttributes(c: Column, nameMap: Map[String, String]): Column = {
+    if (nameMap.isEmpty) return c
+    val rewritten = catalystExpression(c).transform {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if a.nameParts.length == 1 && nameMap.contains(a.nameParts.head) =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+          Seq(nameMap(a.nameParts.head)))
+    }
+    column(rewritten)
+  }
+
   /** EAGER Column → catalyst Expression conversion. `expression` wraps
     * the column node lazily (`ColumnNodeExpression`), which only the
     * DataFrame API entry points unwrap — an expression returned from a

@@ -127,9 +127,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftTable(spark, ds, s"$catalogName.${ident.name}", None)
   }
 
-  /** `ALTER TABLE graft.t ADD COLUMN x <type>` — metadata-only schema
-    * evolution (nullable, non-key; existing files null-fill). Other
-    * alterations are unsupported. */
+  /** `ALTER TABLE graft.t ADD|RENAME|DROP COLUMN` — all metadata-only
+    * schema evolution (see [[graft.core.Storage]]: null-fill adds,
+    * column-mapping renames, id-retiring drops). Other alterations are
+    * unsupported. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val ds = loadDataset(ident)
     changes.foreach {
@@ -138,6 +139,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           s"nested column adds are unsupported: ${add.fieldNames.mkString(".")}")
         ds.storage.addColumn(org.apache.spark.sql.types.StructField(
           add.fieldNames()(0), add.dataType, nullable = true))
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames.length == 1,
+          s"nested column renames are unsupported: ${ren.fieldNames.mkString(".")}")
+        ds.renameColumn(ren.fieldNames()(0), ren.newName)
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          s"nested column drops are unsupported: ${del.fieldNames.mkString(".")}")
+        ds.dropColumn(del.fieldNames()(0))
       case other =>
         throw new UnsupportedOperationException(s"unsupported ALTER TABLE change: $other")
     }
@@ -195,10 +204,14 @@ final class GraftTable(
   private def storage = ds.storage
   private val snapshotId: Long = pinned.getOrElse(storage.branchHead(ds.getCurrentBranch))
   private val physical: StructType = ReadOp.physicalSchema(storage.schema, storage.recordFields)
+  // SQL surface speaks LOGICAL names (renames applied); the parquet
+  // delegate underneath speaks physical — GraftScanBuilder translates.
+  private val logicalOut: StructType =
+    StructType(physical.fields.map(f => f.copy(name = storage.logicalNameOf(f.name))))
 
   override def name(): String = ident
 
-  override def schema(): StructType = physical
+  override def schema(): StructType = logicalOut
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
@@ -206,7 +219,7 @@ final class GraftTable(
 
   override def properties(): util.Map[String, String] = Map(
     "location" -> storage.location,
-    "primary_keys" -> storage.primaryKeys.mkString(","),
+    "primary_keys" -> storage.primaryKeys.map(storage.logicalNameOf).mkString(","),
     "record_fields" -> storage.recordFields.mkString(","),
     "provider" -> "graft",
     "snapshot_id" -> snapshotId.toString).asJava
@@ -271,24 +284,40 @@ final class GraftScanBuilder(
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
+  // Catalyst addresses this table by LOGICAL names; the parquet
+  // delegate must see PHYSICAL ones (and residual filters must go back
+  // logical, bound to the ORIGINAL attribute ids).
+  private val toPhys: Map[String, String] = storage.metadata.renames.map(_.swap)
+  private val toLog: Map[String, String] = storage.metadata.renames
+
+  private def renameExpr(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      m: Map[String, String]): org.apache.spark.sql.catalyst.expressions.Expression =
+    if (m.isEmpty) e
+    else e.transform {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+          if m.contains(a.name) => a.withName(m(a.name))
+    }
+
   override def pruneColumns(requiredSchema: StructType): Unit =
-    delegate.pruneColumns(requiredSchema)
+    delegate.pruneColumns(StructType(requiredSchema.fields.map(f =>
+      f.copy(name = toPhys.getOrElse(f.name, f.name)))))
 
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
-    delegate.pushFilters(filters)
+    delegate.pushFilters(filters.map(renameExpr(_, toPhys))).map(renameExpr(_, toLog))
 
   override def pushedFilters(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     delegate.pushedFilters
 
   override def pushAggregation(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    delegate.pushAggregation(aggregation)
+    toPhys.isEmpty && delegate.pushAggregation(aggregation)
 
   override def supportCompletePushDown(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    delegate.supportCompletePushDown(aggregation)
+    toPhys.isEmpty && delegate.supportCompletePushDown(aggregation)
 
   override def build(): Scan = new GraftDelegatingScan(spark, storage, delegate.build(), options)
 }
@@ -301,7 +330,13 @@ final class GraftDelegatingScan(
     options: CaseInsensitiveStringMap)
   extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
-  override def readSchema(): StructType = delegate.readSchema()
+  /** Reported back in LOGICAL names: Spark rebuilds the scan relation's
+    * output attributes from this schema and resolves the post-scan
+    * projection against them BY NAME; the parquet reader keeps its own
+    * (physical) readDataSchema, and row binding is positional. */
+  override def readSchema(): StructType =
+    StructType(delegate.readSchema().fields.map(f =>
+      f.copy(name = storage.logicalNameOf(f.name))))
 
   override def toBatch: org.apache.spark.sql.connector.read.Batch = delegate.toBatch
 

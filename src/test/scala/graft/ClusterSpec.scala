@@ -41,6 +41,54 @@ class ClusterSpec extends AnyFunSuite {
     assert(ds.read(version = Some(preSnapshot.toString)).collect().toSet == before)
   }
 
+  test("zorderBy prunes on BOTH clustered columns; plain clusterBy only on the first") {
+    val orders = Tables.read(spark, sfDir, "orders")
+    val n = orders.count()
+    def freshTable(tag: String) = {
+      val loc = Files.createTempDirectory(s"graft_z${tag}_").toString + "/tbl"
+      val ds = SpaceDataset.create(spark, loc, orders.schema, Seq("o_orderkey"),
+        statsFields = Seq("o_custkey", "o_totalprice"))
+      ds.append(orders.repartition(8)) // scattered: nothing prunes
+      ds
+    }
+    // scale-relative: bottom eighth of the custkey range / top tenth of
+    // the price range (z-tiles split each axis in halves/quarters — a
+    // filter spanning most of an axis is never falsifiable)
+    val maxCust = orders.agg(max(col("o_custkey"))).collect()(0).getLong(0)
+    val fCust = col("o_custkey") < lit(maxCust / 8)
+    val fPrice = col("o_totalprice") > 450000.0
+
+    val lex = freshTable("lex")
+    lex.clusterBy(Seq("o_custkey", "o_totalprice"), targetFileRows = n / 8)
+    val lexCust = lex.plan(Some(fCust)).prunedFiles
+    val lexPrice = lex.plan(Some(fPrice)).prunedFiles
+
+    val zed = freshTable("zed")
+    val before = zed.readAll().collect().toSet
+    val res = zed.zorderBy(Seq("o_custkey", "o_totalprice"), targetFileRows = n / 8).get
+    assert(res.rows == n)
+    val zCust = zed.plan(Some(fCust)).prunedFiles
+    val zPrice = zed.plan(Some(fPrice)).prunedFiles
+
+    // lexicographic: first column prunes, second doesn't
+    assert(lexCust > 0)
+    // z-order: BOTH dimensions prune
+    assert(zCust > 0, s"zorder must prune on o_custkey")
+    assert(zPrice > 0, s"zorder must prune on o_totalprice (lex pruned $lexPrice)")
+    // content identical, CDC silent
+    assert(zed.readAll().collect().toSet == before)
+    zed.storage.reload()
+    val cur = zed.storage.metadata.currentSnapshotId
+    assert(zed.diff((cur - 1).toString, cur.toString).isEmpty)
+
+    intercept[IllegalArgumentException] {
+      zed.zorderBy(Seq("o_custkey"), 100L) // needs >= 2 columns
+    }
+    intercept[IllegalArgumentException] {
+      zed.zorderBy(Seq("o_custkey", "o_orderstatus"), 100L) // non-numeric
+    }
+  }
+
   test("clusterBy validates columns and no-ops on an empty table") {
     val orders = Tables.read(spark, sfDir, "orders")
     val loc = Files.createTempDirectory("graft_clus2_").toString + "/tbl"

@@ -82,8 +82,115 @@ class EvolutionSpec extends AnyFunSuite {
     val rows = spark.sql("SELECT id, tag FROM graft_evo.t ORDER BY id").collect()
     assert(rows.map(r => (r.getLong(0), Option(r.getString(1)))).toSeq ==
       Seq((1L, None), (2L, Some("new"))))
-    intercept[Exception] {
-      spark.sql("ALTER TABLE graft_evo.t RENAME COLUMN v TO w")
-    }
+  }
+
+  test("renameColumn is metadata-only: old files read under the new name") {
+    val loc = Files.createTempDirectory("graft_ren_").toString + "/tbl"
+    val ds = SpaceDataset.create(spark, loc, kvSchema, Seq("id"))
+    ds.append(kv(1L -> "a", 2L -> "b"))
+    ds.renameColumn("v", "label")
+
+    assert(ds.schema.fieldNames.toSeq == Seq("id", "label"))
+    // appends arrive under the NEW logical name; files keep physical "v"
+    import spark.implicits._
+    ds.append(Seq((3L, "c")).toDF("id", "label"))
+    val got = ds.readAll().collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // filters on the logical name work (and PK pruning still plans)
+    assert(ds.readAll().filter(col("label") === "c").count() == 1)
+    assert(ds.read(filter = Some(col("id") === 2L)).count() == 1)
+    // DML through the logical name
+    ds.delete(col("label") === "a")
+    assert(ds.readAll().count() == 2)
+    // CDC reads under the current logical names
+    val batches = ds.diff("0", ds.storage.metadata.currentSnapshotId.toString)
+    assert(batches.forall(b => b.data.schema.fieldNames.forall(Seq("id", "label").contains)))
+    // rename back to the physical name empties the mapping
+    ds.renameColumn("label", "v")
+    assert(ds.storage.metadata.renames.isEmpty)
+    // collisions rejected
+    intercept[IllegalArgumentException] { ds.renameColumn("v", "id") }
+    intercept[IllegalArgumentException] { ds.renameColumn("nope", "x") }
+  }
+
+  test("dropColumn retires the field id; re-added name gets a fresh id") {
+    val loc = Files.createTempDirectory("graft_drop_").toString + "/tbl"
+    val ds = SpaceDataset.create(spark, loc, kvSchema, Seq("id"))
+    ds.append(kv(1L -> "a", 2L -> "b"))
+    val droppedId = graft.format.FieldIds.fieldId(ds.schema("v"))
+
+    ds.dropColumn("v")
+    assert(ds.schema.fieldNames.toSeq == Seq("id"))
+    assert(ds.readAll().columns.toSeq == Seq("id"))
+
+    // re-adding the same NAME must NOT reuse the retired id (a recycled
+    // id would alias old manifest stats/file data onto the new column)
+    ds.addColumn("v", StringType)
+    val newId = graft.format.FieldIds.fieldId(ds.schema("v"))
+    assert(newId != droppedId, s"field id $droppedId was recycled")
+    // old files' physical "v" data must NOT leak into the new "v"
+    assert(ds.readAll().collect().forall(_.isNullAt(1)))
+
+    intercept[IllegalArgumentException] { ds.dropColumn("id") } // PK
+  }
+
+  test("update rewrites matching rows CoW and CDC encodes DELETE+ADD") {
+    val loc = Files.createTempDirectory("graft_upd_").toString + "/tbl"
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", StringType),
+      StructField("score", DoubleType)))
+    import spark.implicits._
+    val ds = SpaceDataset.create(spark, loc, schema, Seq("id"))
+    ds.append(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).toDF("id", "v", "score"))
+
+    val snap = ds.update(col("score") >= 2.0,
+      Map("v" -> concat(col("v"), lit("!")), "score" -> (col("score") * 10)))
+    assert(snap == 2L)
+    val got = ds.readAll().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, "a", 1.0), (2L, "b!", 20.0), (3L, "c!", 30.0)))
+
+    // one snapshot; DELETE carries the old PKs, ADD the new rows
+    val batches = ds.diff("1", "2")
+    assert(batches.map(_.changeType) == Seq("DELETE", "ADD"))
+    assert(batches.head.data.select("id").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+
+    // PK assignment and unknown columns rejected; no-op returns head
+    intercept[IllegalArgumentException] { ds.update(lit(true), Map("id" -> lit(9L))) }
+    intercept[IllegalArgumentException] { ds.update(lit(true), Map("zz" -> lit(1))) }
+    val head = ds.storage.metadata.currentSnapshotId
+    ds.update(col("id") > 100L, Map("score" -> lit(0.0)))
+    ds.storage.reload()
+    assert(ds.storage.metadata.currentSnapshotId == head)
+  }
+
+  test("SQL ALTER TABLE RENAME/DROP COLUMN and UPDATE-shaped reads") {
+    val root = Files.createTempDirectory("graft_evo_cat2_").toString
+    spark.conf.set("spark.sql.catalog.graft_evo2",
+      classOf[org.apache.spark.sql.graftshim.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_evo2.location", root)
+    spark.sql(
+      "CREATE TABLE graft_evo2.t (id BIGINT, v STRING, n BIGINT) " +
+        "TBLPROPERTIES ('primary_keys'='id')")
+    spark.sql("INSERT INTO graft_evo2.t VALUES (1, 'a', 10), (2, 'b', 20)")
+
+    spark.sql("ALTER TABLE graft_evo2.t RENAME COLUMN v TO label")
+    // logical name visible; old data readable; filters/pruning fine
+    val rows = spark.sql(
+      "SELECT id, label FROM graft_evo2.t WHERE label = 'b'").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((2L, "b")))
+    // inserts under the new name land in the physical column
+    spark.sql("INSERT INTO graft_evo2.t VALUES (3, 'c', 30)")
+    assert(spark.sql("SELECT label FROM graft_evo2.t ORDER BY id").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    // aggregates over the renamed column
+    assert(spark.sql("SELECT count(label) AS c FROM graft_evo2.t").collect()(0).getLong(0) == 3L)
+
+    spark.sql("ALTER TABLE graft_evo2.t DROP COLUMN n")
+    assert(spark.sql("SELECT * FROM graft_evo2.t").columns.toSeq == Seq("id", "label"))
+    // DELETE through the renamed name
+    spark.sql("DELETE FROM graft_evo2.t WHERE label = 'a'")
+    assert(spark.sql("SELECT count(*) AS c FROM graft_evo2.t").collect()(0).getLong(0) == 2L)
   }
 }
