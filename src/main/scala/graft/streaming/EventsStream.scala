@@ -50,7 +50,7 @@ object EventsStream {
     // fixed at first checkpoint anyway); on a real cluster size it to
     // the executor count instead.
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
 
     // the streaming file source requires a DIRECTORY; select just the
     // events file out of the scale-factor dir via pathGlobFilter
@@ -62,6 +62,7 @@ object EventsStream {
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
       .select(unix_timestamp(col("window.start")).as("w_start"),
         col("event_type"), col("n_events"), col("sum_value"))
+    val t0 = System.nanoTime()
     val q = stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", s"$loc/ckpt")
@@ -73,6 +74,8 @@ object EventsStream {
       q.stop()
       s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
+    if (sys.env.contains("GRAFT_PROF"))
+      println(s"[stream] drain ${(System.nanoTime() - t0) / 1e9}s")
     sink.readAll()
   }
 
