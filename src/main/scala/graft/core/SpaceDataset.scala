@@ -100,7 +100,7 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
   // --------------------------------------------------------- mutations
 
   def append(df: DataFrame, branch: String = currentBranch): Long =
-    storage.transaction(branch) { _ =>
+    storage.transaction(branch, ConflictPolicy.Append) { _ =>
       val patch = RecordIO.writeWithRecords(spark, storage, toPhysicalDf(df))
       (Some(patch), storage.metadata.maxSnapshotId + 1)
     }
@@ -112,7 +112,7 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
     * source's write is its own distributed job, patches merge into a
     * single atomic commit whose changelog covers all sources. */
   def appendFrom(sources: Seq[() => DataFrame], branch: String = currentBranch): Long =
-    storage.transaction(branch) { _ =>
+    storage.transaction(branch, ConflictPolicy.Append) { _ =>
       val patches = sources.map(fn => RecordIO.writeWithRecords(spark, storage, toPhysicalDf(fn())))
       (Patch.merge(patches), storage.metadata.maxSnapshotId + 1)
     }
@@ -130,7 +130,7 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
       branch: String = currentBranch): Option[Long] = {
     storage.reload()
     if (storage.metadata.txnVersions.get(appId).exists(_ >= version)) return None
-    Some(storage.transaction(branch) { _ =>
+    Some(storage.transaction(branch, ConflictPolicy.Append) { _ =>
       val patch = RecordIO.writeWithRecords(spark, storage, toPhysicalDf(df))
       (Some(patch.copy(txn = Some(TxnTag(appId, version)))),
         storage.metadata.maxSnapshotId + 1)
@@ -145,7 +145,7 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
     }
 
   def delete(cond: Column, branch: String = currentBranch): Long =
-    storage.transaction(branch) { pinned =>
+    storage.transaction(branch, ConflictPolicy.Rewrite) { pinned =>
       (DmlOps.delete(spark, storage, pinned, toPhysicalCol(cond)), storage.metadata.maxSnapshotId + 1)
     }
 
@@ -185,7 +185,7 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
       require(schema.fieldNames.contains(k), s"unknown column $k")
       require(!pkSet.contains(k), s"cannot update primary key $k")
     }
-    storage.transaction(branch) { pinned =>
+    storage.transaction(branch, ConflictPolicy.Rewrite) { pinned =>
       val physCond = toPhysicalCol(cond)
       DmlOps.delete(spark, storage, pinned, physCond) match {
         case None => (None, storage.metadata.maxSnapshotId + 1) // nothing matched
@@ -262,7 +262,7 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
       targetFileRows: Long,
       smallFraction: Double = 0.5,
       branch: String = currentBranch): Option[CompactOp.CompactResult] =
-    storage.transaction(branch) { pinned =>
+    storage.transaction(branch, ConflictPolicy.Rewrite) { pinned =>
       CompactOp.compact(spark, storage, pinned, targetFileRows, smallFraction) match {
         case Some((patch, res)) => (Some(patch), Some(res))
         case None => (None, None)
@@ -276,7 +276,7 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
       sortCols: Seq[String],
       targetFileRows: Long,
       branch: String = currentBranch): Option[ClusterOp.ClusterResult] =
-    storage.transaction(branch) { pinned =>
+    storage.transaction(branch, ConflictPolicy.Rewrite) { pinned =>
       ClusterOp.cluster(spark, storage, pinned, toPhysicalNames(sortCols), targetFileRows) match {
         case Some((patch, res)) => (Some(patch), Some(res))
         case None => (None, None)
@@ -291,7 +291,7 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
       cols: Seq[String],
       targetFileRows: Long,
       branch: String = currentBranch): Option[ClusterOp.ClusterResult] =
-    storage.transaction(branch) { pinned =>
+    storage.transaction(branch, ConflictPolicy.Rewrite) { pinned =>
       ClusterOp.cluster(spark, storage, pinned, toPhysicalNames(cols), targetFileRows,
         zorder = true) match {
         case Some((patch, res)) => (Some(patch), Some(res))

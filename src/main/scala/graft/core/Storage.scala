@@ -10,6 +10,15 @@ import graft.format._
 
 class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 
+/** How a transaction's patch relates to concurrent commits — see
+  * [[Storage.transaction]]. */
+sealed trait ConflictPolicy
+object ConflictPolicy {
+  case object Append extends ConflictPolicy
+  case object Rewrite extends ConflictPolicy
+  case object Strict extends ConflictPolicy
+}
+
 /** The metadata engine of a graft table: loads/commits metadata, resolves
   * versions, manages tags/branches. Plain JVM (no Spark dependency) —
   * mirrors the reference's `Storage`
@@ -334,19 +343,62 @@ final class Storage(val location: String, val conf: Configuration) {
     * single-writer; the exclusive-create lock file makes the final
     * check+flip mutually exclusive, so concurrent writers serialize
     * instead of silently losing commits). */
-  def transaction[T](branch: String = SnapshotRef.MainBranch)(
+  /** Optimistic transaction with Iceberg-style conflict policies
+    * (beyond the reference's single-winner-per-head, storage.py:545-596):
+    *
+    *  - [[ConflictPolicy.Append]]: the patch only ADDS manifests — valid
+    *    against any head; concurrent appends serialize under the lock
+    *    and never abort.
+    *  - [[ConflictPolicy.Rewrite]]: CoW rewrites of specific files
+    *    (delete/update/compact/cluster) — valid iff every manifest the
+    *    patch removes still exists in the CURRENT head
+    *    (first-committer-wins on overlapping files; disjoint rewrites
+    *    and concurrent appends commit side by side). Snapshot-isolation
+    *    caveat: rows appended concurrently are not seen by the rewrite —
+    *    the outcome equals the serial order rewrite-then-append.
+    *  - [[ConflictPolicy.Strict]]: patch validity depends on the whole
+    *    table state read at pin time (PK dup checks, key matching,
+    *    whole-table overwrite) — any head movement invalidates it.
+    *
+    * An invalid patch aborts the attempt and `op` RE-RUNS from the new
+    * head, up to `maxRetries` times (data files written by a failed
+    * attempt are unreferenced and reaped by [[GcOps.garbageCollect]]);
+    * retries exhausted → [[ConcurrentCommitException]]. */
+  def transaction[T](
+      branch: String = SnapshotRef.MainBranch,
+      policy: ConflictPolicy = ConflictPolicy.Strict,
+      maxRetries: Int = 3)(
       op: Long => (Option[Patch], T)): T = {
-    reload()
-    val pinned = branchHead(branch)
-    val (patch, result) = op(pinned)
-    withCommitLock {
+    var attempt = 0
+    while (true) {
       reload()
-      if (branchHead(branch) != pinned)
-        throw new ConcurrentCommitException(
-          s"abort commit: branch $branch moved from snapshot $pinned to ${branchHead(branch)}")
-      patch.foreach(commit(_, branch))
+      val pinned = branchHead(branch)
+      val (patch, result) = op(pinned)
+      try {
+        withCommitLock {
+          reload()
+          val head = branchHead(branch)
+          val valid = head == pinned || (policy match {
+            case ConflictPolicy.Append => true
+            case ConflictPolicy.Rewrite =>
+              val mf = snapshotOrFail(head).manifestFiles
+              patch.forall(p =>
+                p.removedIndexManifests.forall(mf.indexManifestFiles.contains) &&
+                  p.removedRecordManifests.forall(mf.recordManifestFiles.contains))
+            case ConflictPolicy.Strict => false
+          })
+          if (!valid)
+            throw new ConcurrentCommitException(
+              s"abort commit: branch $branch moved from snapshot $pinned to $head " +
+                s"and the $policy patch no longer applies")
+          patch.foreach(commit(_, branch))
+        }
+        return result
+      } catch {
+        case _: ConcurrentCommitException if attempt < maxRetries => attempt += 1
+      }
     }
-    result
+    throw new IllegalStateException("unreachable")
   }
 
   private val lockPath = new Path(rootPath, s"${StoragePaths.MetadataDir}/commit.lock")

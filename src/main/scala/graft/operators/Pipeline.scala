@@ -129,7 +129,22 @@ object Pipeline {
     // rolling-hash document fingerprint (engine-specific → rows-only)
     "d_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(
-        col("doc_id"), TF.fingerprint(col("text")).as("fp"))))
+        col("doc_id"), TF.fingerprint(col("text")).as("fp"))),
+
+    // vocabulary building: top-100 tokens by corpus frequency. The only
+    // shuffle is the token groupBy with map-side partial counts —
+    // at 100 TB the shuffle carries one row per DISTINCT token per
+    // partition, not per occurrence; the top-k is a tiny sort after.
+    "d_token_freq" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = t(s, d, "documents")
+        .select(explode(TF.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      val w = Window.orderBy(col("freq").desc, col("token").asc)
+      counts.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 100)
+        .select(col("token"), col("freq"), col("rank"))
+    }))
 
   // DuckDB lambda/list SQL mirroring the Spark semantics exactly.
   private[operators] val tokensSql = "list_filter(string_split_regex(text, '\\s+'), x -> x != '')"
@@ -142,6 +157,14 @@ object Pipeline {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "d_token_freq" ->
+      s"""WITH toks AS (SELECT $tokensSql AS ts FROM documents),
+         |c AS (SELECT token, count(*) AS freq
+         |      FROM (SELECT unnest(ts) AS token FROM toks) GROUP BY 1),
+         |r AS (SELECT token, freq,
+         |        row_number() OVER (ORDER BY freq DESC, token ASC) AS rank
+         |      FROM c)
+         |SELECT token, freq, rank FROM r WHERE rank <= 100""".stripMargin,
     "d_dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

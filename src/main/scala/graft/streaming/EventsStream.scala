@@ -159,12 +159,57 @@ object EventsStream {
     sink.readAll()
   }
 
+  /** Streaming DEDUPLICATION: a doubled event stream (every event
+    * arrives twice — the at-least-once delivery shape) is deduped by
+    * `dropDuplicatesWithinWatermark` on the event id, so state stays
+    * bounded by the watermark instead of growing with the stream; the
+    * deduped events land in a graft table via the exactly-once append
+    * sink, and the result is a per-type aggregate over the sink — equal
+    * to the same aggregate over the ORIGINAL events iff dedup removed
+    * every duplicate. */
+  def streamDedup(s: SparkSession, d: String): DataFrame = {
+    val (schema, _) = eventsRaw(s, d)
+    val loc = java.nio.file.Files.createTempDirectory("graft_sdedup_").toString
+    val outSchema = StructType(Seq(
+      StructField("event_id", LongType, nullable = false),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val sink = SpaceDataset.create(s, s"$loc/tbl", outSchema, Seq("event_id"))
+
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("event_time", timestamp_seconds(expr("ts div 1000000000")))
+      // deliver every event twice (at-least-once replay shape)
+      .withColumn("__copy", explode(array(lit(1), lit(2))))
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .writeStream
+      .option("checkpointLocation", s"$loc/ckpt")
+      .foreachBatch(GraftSink.append(sink, appId = "e_stream_dedup"))
+      .start()
+    try q.processAllAvailable() finally {
+      q.stop()
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+    sink.readAll()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_stream_window" -> ((s, d) => windowedAgg(s, d)),
+    "e_stream_dedup" -> ((s, d) => streamDedup(s, d)),
     "e_sessionize" -> ((s, d) => sessionize(s, d)),
     "e_cdc_stream" -> ((s, d) => cdcStream(s, d)))
 
   val oracleSql: Map[String, String] = Map(
+    "e_stream_dedup" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
     "e_cdc_stream" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
         |  'ADD' AS change_type,

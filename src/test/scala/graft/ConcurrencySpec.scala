@@ -65,6 +65,55 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(parents.distinct.size == parents.size, s"non-linear history: $parents")
   }
 
+  test("Rewrite policy: a concurrent append does not abort a CoW delete") {
+    val orders = Tables.read(spark, sfDir, "orders").limit(100)
+    val loc = Files.createTempDirectory("graft_rwpol_").toString + "/tbl"
+    val ds = SpaceDataset.create(spark, loc, orders.schema, Seq("o_orderkey"))
+    ds.append(orders)
+
+    val extra = orders.limit(10).withColumn("o_orderkey", col("o_orderkey") + 900000L)
+    var opRuns = 0
+    // build the delete patch from the pinned head, then move the head
+    // with an append BEFORE the commit — the Rewrite validation must see
+    // the removed manifests still present and commit anyway
+    ds.storage.transaction(policy = ConflictPolicy.Rewrite) { pinned =>
+      opRuns += 1
+      val patch = DmlOps.delete(spark, ds.storage, pinned, col("o_orderkey") % 2 === 0)
+      SpaceDataset.load(spark, loc).append(extra) // head moves
+      (patch, ())
+    }
+    assert(opRuns == 1, "delete must commit on the first attempt")
+    ds.storage.reload()
+    val got = ds.readAll().select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val expected = orders.collect().map(_.getLong(0)).filter(_ % 2 != 0).toSet ++
+      extra.collect().map(_.getLong(0))
+    assert(got == expected, "both the delete and the concurrent append must survive")
+  }
+
+  test("Rewrite policy: overlapping rewrites re-run the loser from the new head") {
+    val orders = Tables.read(spark, sfDir, "orders").limit(100)
+    val loc = Files.createTempDirectory("graft_rwconf_").toString + "/tbl"
+    val ds = SpaceDataset.create(spark, loc, orders.schema, Seq("o_orderkey"))
+    ds.append(orders)
+
+    var opRuns = 0
+    ds.storage.transaction(policy = ConflictPolicy.Rewrite) { pinned =>
+      opRuns += 1
+      val patch = DmlOps.delete(spark, ds.storage, pinned, col("o_orderkey") % 2 === 0)
+      if (opRuns == 1) {
+        // a racing delete rewrites (and removes) the same manifests first
+        SpaceDataset.load(spark, loc).delete(col("o_orderkey") % 10 === 0)
+      }
+      (patch, ())
+    }
+    assert(opRuns == 2, s"stale rewrite must re-run, ran $opRuns")
+    ds.storage.reload()
+    val got = ds.readAll().select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val expected = orders.collect().map(_.getLong(0))
+      .filter(k => k % 2 != 0 && k % 10 != 0).toSet
+    assert(got == expected)
+  }
+
   test("stale commit locks are stolen; release only deletes the owner's lock") {
     val orders = Tables.read(spark, sfDir, "orders").limit(20)
     val loc = Files.createTempDirectory("graft_lock_").toString + "/tbl"
