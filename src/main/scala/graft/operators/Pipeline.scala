@@ -106,6 +106,18 @@ object Pipeline {
         sketchBits = 4, probeHamming = 2)
     }),
 
+    // TRUE IVF: k-means-trained coarse quantizer, nProbe nearest cells
+    // probed per query (probabilistic → rows-only; recall vs brute force
+    // asserted in PipelineSpec). Uniform-random embeddings are again the
+    // hard case — trained centroids tile the sphere, half the cells
+    // probed buys high recall; clustered real embeddings need far fewer.
+    "v_ann_ivf_kmeans" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.ivfKmeansTopK(e, e.filter(col("vec_id") < 5),
+        "embedding", "vec_id", dim = 64, k = 10,
+        numCentroids = 16, nProbe = 8)
+    }),
+
     // text statistics: portable token/diversity/BPE-ish counts
     "d_text_stats" -> ((s, d) =>
       t(s, d, "documents").select(

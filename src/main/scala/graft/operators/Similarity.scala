@@ -85,4 +85,88 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id"), round(col("__s"), 4).as("score"), col("rank"))
   }
+
+  /** K-means coarse quantizer: Lloyd's iterations as DataFrame jobs over
+    * a bounded sample. Deterministic: init = the `numCentroids` rows with
+    * the smallest id-hash (a seeded pseudo-random pick that never
+    * collects more than `sampleSize` vectors); each iteration is one
+    * assignment scan + a per-(cell, dimension) mean via posexplode —
+    * the shuffle carries `numCentroids × dim` partial sums, not vectors.
+    * Empty cells keep their previous centroid. */
+  def trainCentroids(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      dim: Int,
+      numCentroids: Int,
+      numIters: Int = 3,
+      sampleSize: Int = 100000,
+      seed: Long = 42L): Seq[Seq[Double]] = {
+    val sample = df
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .orderBy(xxhash64(col("id"), lit(seed)))
+      .limit(sampleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids: Seq[Seq[Double]] = sample.limit(numCentroids)
+        .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+      var iter = 0
+      while (iter < numIters) {
+        val assigned = sample.withColumn("cell",
+          org.apache.spark.sql.graftshim.NearestCentroidsExpr(col("v"), centroids, 1)(0))
+        val means = assigned
+          .select(col("cell"), posexplode(col("v")))
+          .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+          .collect()
+        val byCell = means.groupBy(_.getInt(0))
+        centroids = centroids.zipWithIndex.map { case (prev, ci) =>
+          byCell.get(ci) match {
+            case Some(rows) =>
+              val m = prev.toArray.clone()
+              rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
+              m.toIndexedSeq
+            case None => prev // empty cell: keep the old centroid
+          }
+        }
+        iter += 1
+      }
+      centroids
+    } finally { sample.unpersist(); () }
+  }
+
+  /** TRUE IVF ANN: k-means-trained coarse quantizer (vs [[ivfTopK]]'s
+    * training-free hyperplane cells). Corpus rows are assigned their
+    * nearest centroid in the same scan that computes the sketch-free
+    * cell id; each query probes its `nProbe` nearest centroids and ranks
+    * exactly within the probed subset. On clustered real-world
+    * embeddings the trained cells align with the data manifold, so the
+    * same probe budget buys far more recall than data-blind cells. */
+  def ivfKmeansTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      dim: Int,
+      k: Int,
+      numCentroids: Int = 16,
+      nProbe: Int = 4,
+      numIters: Int = 3): DataFrame = {
+    val centroids = trainCentroids(corpus, vecCol, idCol, dim, numCentroids, numIters)
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .withColumn("cell",
+        org.apache.spark.sql.graftshim.NearestCentroidsExpr(
+          col("v").cast("array<double>"), centroids, 1)(0))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+      .withColumn("cell", explode(
+        org.apache.spark.sql.graftshim.NearestCentroidsExpr(
+          col("qv").cast("array<double>"), centroids, nProbe)))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("__s", VF.cosine(col("v"), col("qv")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("__s").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), round(col("__s"), 4).as("score"), col("rank"))
+  }
 }

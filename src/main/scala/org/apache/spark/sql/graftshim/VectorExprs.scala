@@ -37,6 +37,73 @@ case class HyperplaneSketchExpr(child: Expression, planesFlat: Array[Double], di
     copy(child = newChild)
 }
 
+/** Indices of the `n` nearest centroids (squared-L2, ties by index) for
+  * an embedding vector — the IVF assignment/probe kernel. The centroid
+  * matrix rides along as one reference object (`numCentroids × dim`
+  * row-major doubles); one static call in generated code. */
+case class NearestCentroidsExpr(child: Expression, centroidsFlat: Array[Double], dim: Int, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(centroidsFlat.length % dim == 0, "centroidsFlat must be numCentroids*dim")
+  require(n >= 1 && n <= centroidsFlat.length / dim)
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "graft_nearest_centroids"
+
+  override def nullSafeEval(v: Any): Any =
+    NearestCentroidsExpr.nearest(v.asInstanceOf[ArrayData], centroidsFlat, dim, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidsFlat", centroidsFlat, "double[]")
+    defineCodeGen(ctx, ev, v =>
+      s"org.apache.spark.sql.graftshim.NearestCentroidsExpr.nearest($v, $ref, $dim, $n)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NearestCentroidsExpr {
+
+  def nearest(v: ArrayData, flat: Array[Double], dim: Int, n: Int): ArrayData = {
+    val numC = flat.length / dim
+    val len = math.min(dim, v.numElements())
+    val bestIdx = new Array[Int](n)
+    val bestDist = new Array[Double](n)
+    java.util.Arrays.fill(bestDist, Double.MaxValue)
+    var c = 0
+    while (c < numC) {
+      val base = c * dim
+      var dist = 0.0
+      var i = 0
+      while (i < len) {
+        val diff = flat(base + i) - v.getDouble(i)
+        dist += diff * diff
+        i += 1
+      }
+      // insertion into the running top-n (n is tiny: the probe count)
+      if (dist < bestDist(n - 1)) {
+        var j = n - 1
+        while (j > 0 && bestDist(j - 1) > dist) {
+          bestDist(j) = bestDist(j - 1); bestIdx(j) = bestIdx(j - 1); j -= 1
+        }
+        bestDist(j) = dist; bestIdx(j) = c
+      }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(bestIdx.take(
+      math.min(n, numC)))
+  }
+
+  def apply(v: Column, centroids: Seq[Seq[Double]], n: Int): Column = {
+    val dim = centroids.head.length
+    ColumnExpr.column(NearestCentroidsExpr(
+      ColumnExpr.expression(v), centroids.flatten.toArray, dim, n))
+  }
+}
+
 object HyperplaneSketchExpr {
 
   def sketch(v: ArrayData, flat: Array[Double], dim: Int): Long = {

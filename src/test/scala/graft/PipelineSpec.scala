@@ -67,6 +67,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"IVF recall $recall")
   }
 
+  test("k-means IVF reaches >= 70% recall of brute force at nProbe=8/16") {
+    val queries = embeddings.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(embeddings, queries, "embedding", "vec_id", 10)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfKmeansTopK(embeddings, queries, "embedding", "vec_id",
+      dim = 64, k = 10, numCentroids = 16, nProbe = 8)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"k-means IVF recall $recall")
+    // training is deterministic: same seed, same centroids
+    val c1 = Similarity.trainCentroids(embeddings, "embedding", "vec_id", 64, 8, numIters = 2)
+    val c2 = Similarity.trainCentroids(embeddings, "embedding", "vec_id", 64, 8, numIters = 2)
+    assert(c1 == c2)
+  }
+
   test("text functions: token counts, quality in range, fingerprint order-sensitive") {
     val stats = docs.select(
       TF.tokenCount(col("text")).as("n"),
