@@ -184,6 +184,33 @@ object Relational {
           round(max(col("o_totalprice")), 2).as("max_price"))
     }),
 
+    // Native SESSION WINDOWS: Spark's session_window gap-merge aggregate
+    // (the batch shape of the streaming session operator) — per (user,
+    // session) event counts and value sums with a 30-minute gap. One
+    // shuffle on user + the window merge; oracle replicates the gap
+    // semantics with the lag/cumsum trick.
+    "q24_session_window" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      t(s, d, "events")
+        .withColumn("event_time", expr("timestamp_seconds(ts div 1000000000)"))
+        .groupBy(session_window(col("event_time"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("user_id"),
+          unix_timestamp(col("session_window.start")).as("s_start"),
+          col("n_events"), col("sum_value"))
+    }),
+
+    // LATERAL expansion: one row per (document, token position) for the
+    // first 5 tokens — the explode/flatten shape of tokenization
+    // pipelines (posexplode keeps the ordinal; codegen'd generator,
+    // no UDF).
+    "q25_lateral_tokens" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(slice(graft.functions.TextFunctions.tokens(col("text")), 1, 5)))
+        .select(col("doc_id"), col("pos").as("token_pos"), col("col").as("token"))
+    }),
+
     // Multi-way star join with broadcast dims: region→nation→customer→
     // orders revenue rollup. nation/region are tiny: explicit broadcast.
     "q12_star_join" -> ((s, d) => {
@@ -294,6 +321,29 @@ object Relational {
         |WHERE o_totalprice > 1.5 * (SELECT avg(o2.o_totalprice)
         |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
         |GROUP BY o_orderpriority""".stripMargin,
+    "q24_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+        |  FROM events),
+        |flags AS (
+        |  SELECT user_id, t, value,
+        |    CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w >= 1800
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |g AS (
+        |  SELECT user_id, t, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flags)
+        |SELECT user_id, CAST(min(t) AS BIGINT) AS s_start,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM g GROUP BY user_id, sid""".stripMargin,
+    "q25_lateral_tokens" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${graft.operators.Pipeline.tokensSql} AS ts FROM documents),
+         |s AS (SELECT doc_id, ts[1:5] AS f FROM toks)
+         |SELECT doc_id, CAST(i - 1 AS INT) AS token_pos, f[i] AS token
+         |FROM s CROSS JOIN LATERAL (SELECT unnest(range(1, len(f) + 1)) AS i)""".stripMargin,
     "q12_star_join" ->
       """SELECT r_name, round(sum(o_totalprice), 2) AS revenue,
         |  count(*) AS n_orders
