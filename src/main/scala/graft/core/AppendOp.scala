@@ -45,13 +45,23 @@ object AppendOp {
     val tmpRel = s"${StoragePaths.DataDir}/tmp_append_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val tmpAbs = storage.absolute(tmpRel)
 
-    val toWrite = targetFileRows match {
-      case Some(n) if n > 0 =>
-        val total = df.count()
-        val parts = math.max(1, math.ceil(total.toDouble / n).toInt)
-        df.repartition(parts)
-      case _ => df
-    }
+    // Bucketed tables: EVERY write shuffles rows to
+    // pmod(murmur3(bucketColumns), numBuckets) — partition index IS the
+    // bucket id (HashPartitioning semantics), and the output file name
+    // encodes it. CoW rewrites flow through here too, so the invariant
+    // survives delete/update/upsert.
+    val numBuckets = storage.metadata.numBuckets
+    val toWrite =
+      if (numBuckets > 0)
+        df.repartition(numBuckets,
+          storage.metadata.bucketColumns.map(org.apache.spark.sql.functions.col): _*)
+      else targetFileRows match {
+        case Some(n) if n > 0 =>
+          val total = df.count()
+          val parts = math.max(1, math.ceil(total.toDouble / n).toInt)
+          df.repartition(parts)
+        case _ => df
+      }
     // align to schema order + re-attach field-id metadata so Spark embeds
     // `parquet.field.id` in the written footers (schema-evolution-by-id)
     val idSchema = ReadOp.physicalSchemaWithIds(storage.schema, storage.recordFields)
@@ -67,8 +77,16 @@ object AppendOp {
     // files for large appends (the driver loop is O(new files) and
     // becomes the append bottleneck at thousands of task outputs);
     // driver-side below a small threshold to avoid job overhead
+    // part-NNNNN task numbering = partition index = bucket id (an
+    // explicit df.repartition(n, expr) is never AQE-coalesced)
+    val partIdxRe = "part-(\\d+)-.*".r
     val assignments = parts.map { p =>
-      val rel = StoragePaths.newIndexDataFile()
+      val rel =
+        if (numBuckets > 0) p.getName match {
+          case partIdxRe(idx) => StoragePaths.newIndexDataFile(bucket = idx.toInt)
+          case other => throw new IllegalStateException(s"unparseable part file $other")
+        }
+        else StoragePaths.newIndexDataFile()
       (p.toString, rel, storage.absolute(rel))
     }.toSeq
     val pks = storage.statsColumns

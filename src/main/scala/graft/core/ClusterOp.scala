@@ -52,6 +52,8 @@ object ClusterOp {
       targetFileRows: Long,
       zorder: Boolean = false): Option[(Patch, ClusterResult)] = {
     require(sortCols.nonEmpty, "clusterBy requires at least one column")
+    require(storage.metadata.numBuckets == 0,
+      "clustering would destroy the hash-bucket layout of a bucketed table")
     require(targetFileRows > 0)
     require(!zorder || (sortCols.size >= 2 && sortCols.size <= 4),
       "zorder needs 2-4 columns (16 bits per dimension in a 64-bit key)")

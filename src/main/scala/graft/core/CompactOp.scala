@@ -42,6 +42,9 @@ object CompactOp {
       targetFileRows: Long,
       smallFraction: Double = 0.5,
       minInputFiles: Int = 2): Option[(Patch, CompactResult)] = {
+    require(storage.metadata.numBuckets == 0,
+      "compaction would merge buckets; bucketed tables are compacted per " +
+        "bucket by re-appending (bucket-aware compaction is future work)")
     require(targetFileRows > 0 && smallFraction > 0)
     val snap = storage.snapshotOrFail(snapshotId)
     if (snap.manifestFiles.indexManifestFiles.isEmpty) return None

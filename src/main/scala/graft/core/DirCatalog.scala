@@ -23,9 +23,12 @@ final class DirCatalog(val spark: SparkSession, val root: String) {
       schema: StructType,
       primaryKeys: Seq[String],
       recordFields: Seq[String] = Nil,
-      statsFields: Seq[String] = Nil): SpaceDataset = {
+      statsFields: Seq[String] = Nil,
+      bucketColumns: Seq[String] = Nil,
+      numBuckets: Int = 0): SpaceDataset = {
     require(!exists(name), s"dataset $name already exists")
-    SpaceDataset.create(spark, location(name), schema, primaryKeys, recordFields, statsFields)
+    SpaceDataset.create(spark, location(name), schema, primaryKeys, recordFields, statsFields,
+      bucketColumns, numBuckets)
   }
 
   def createMaterializedView(

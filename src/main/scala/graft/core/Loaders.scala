@@ -19,6 +19,9 @@ object ParquetLoader {
   /** Append the given external parquet files to `ds` by footer harvest
     * only. Returns the new snapshot id. */
   def loadParquet(spark: SparkSession, ds: SpaceDataset, files: Seq[String]): Long = {
+    require(ds.storage.metadata.numBuckets == 0,
+      "zero-copy ingest into a BUCKETED table is not supported: external " +
+        "files carry no bucket assignment (rewrite through append instead)")
     val conf = spark.sparkContext.hadoopConfiguration
     ds.storage.transaction() { _ =>
       val metas = files.map { f =>

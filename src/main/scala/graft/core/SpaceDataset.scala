@@ -371,9 +371,12 @@ object SpaceDataset {
       schema: StructType,
       primaryKeys: Seq[String],
       recordFields: Seq[String] = Nil,
-      statsFields: Seq[String] = Nil): SpaceDataset =
+      statsFields: Seq[String] = Nil,
+      bucketColumns: Seq[String] = Nil,
+      numBuckets: Int = 0): SpaceDataset =
     new SpaceDataset(spark, Storage.create(location, schema, primaryKeys, recordFields,
       statsFields = statsFields,
+      bucketColumns = bucketColumns, numBuckets = numBuckets,
       conf = spark.sparkContext.hadoopConfiguration))
 
   def load(spark: SparkSession, location: String): SpaceDataset =

@@ -497,8 +497,17 @@ object Storage {
       tableType: String = TableType.Dataset,
       logicalPlan: Option[String] = None,
       statsFields: Seq[String] = Nil,
+      bucketColumns: Seq[String] = Nil,
+      numBuckets: Int = 0,
       conf: Configuration = new Configuration()): Storage = {
     SchemaValidation.validate(schema, primaryKeys, recordFields)
+    require(bucketColumns.isEmpty == (numBuckets == 0),
+      "bucketColumns and numBuckets must be set together")
+    require(numBuckets >= 0 && numBuckets <= 100000, s"bad numBuckets $numBuckets")
+    bucketColumns.foreach { c =>
+      require(schema.fieldNames.contains(c), s"bucket column $c not in schema")
+      require(!recordFields.contains(c), s"record field $c cannot be a bucket column")
+    }
     statsFields.foreach { f =>
       val fld = schema.fields.find(_.name == f).getOrElse(
         throw new IllegalArgumentException(s"stats field $f not in schema"))
@@ -523,6 +532,7 @@ object Storage {
       schemaJson = withIds.json,
       primaryKeys = primaryKeys.toList, recordFields = recordFields.toList,
       statsFields = statsFields.toList,
+      bucketColumns = bucketColumns.toList, numBuckets = numBuckets,
       currentSnapshotId = 0L, maxSnapshotId = 0L,
       snapshots = Map("0" -> initial), logicalPlan = logicalPlan)
 

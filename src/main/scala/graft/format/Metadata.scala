@@ -90,6 +90,15 @@ final case class StorageMetadata(
       * entry, so name-based parquet reads can never resurrect the
       * dropped column's bytes from old files. */
     droppedColumns: List[String] = Nil,
+    /** Hash-bucket layout (empty = unbucketed). Every write shuffles
+      * rows to `pmod(murmur3(bucketColumns), numBuckets)` and encodes
+      * the bucket in the FILE NAME (`index_b<k>_<uuid>.parquet`, the
+      * Hive/Spark-bucketing convention), so two tables bucketed the same
+      * way join bucket-to-bucket with ZERO shuffle (storage-partitioned
+      * join through the SQL catalog) and point lookups touch one
+      * bucket's files. */
+    bucketColumns: List[String] = Nil,
+    numBuckets: Int = 0,
     currentSnapshotId: Long,
     /** High-water mark for snapshot id allocation (ids are monotonic,
       * storage.py:495-497). */

@@ -32,5 +32,15 @@ object StoragePaths {
   def newRecordManifestFile(): String = s"$MetadataDir/record_manifest_${uuid()}.parquet"
   def newChangeLogFile(): String = s"$ChangesDir/change_${uuid()}.json"
   def newIndexDataFile(): String = s"$DataDir/index_${uuid()}.parquet"
+  /** Bucketed index file: the bucket id is encoded in the NAME (the
+    * Hive/Spark-bucketing convention) so no manifest change is needed
+    * to group a snapshot's files by bucket. */
+  def newIndexDataFile(bucket: Int): String = s"$DataDir/index_b${bucket}_${uuid()}.parquet"
+
+  private val BucketRe = ".*/index_b(\\d+)_[0-9a-f]+\\.parquet$".r
+  def bucketOf(path: String): Option[Int] = path match {
+    case BucketRe(b) => Some(b.toInt)
+    case _ => None
+  }
   def newRecordDataFile(field: String): String = s"$RecordDataDir/${field}_${uuid()}.parquet"
 }

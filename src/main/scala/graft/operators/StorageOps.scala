@@ -138,6 +138,58 @@ object StorageOps {
       ds.read(filter = Some(col("o_totalprice") > 400000.0))
     }),
 
+    // STORAGE-PARTITIONED JOIN: two tables hash-bucketed on the join
+    // key (every write shuffles to pmod(murmur3(key), n); bucket id in
+    // the file name) join through the SQL catalog with ZERO exchange —
+    // the scans report KeyGroupedPartitioning(bucket(n, key)) and
+    // Catalyst aligns the buckets. The require walks the executed plan
+    // and fails if ANY shuffle sits under the join. At 100 TB this is
+    // the difference between re-shuffling both fact tables per join and
+    // reading them join-ready.
+    "s_bucket_join" -> ((s, d) => {
+      val cat = "gbj" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      val root = Files.createTempDirectory("graft_bjoin").toString
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[org.apache.spark.sql.graftshim.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.location", root)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.sql(s"CREATE TABLE $cat.o (o_orderkey BIGINT, o_custkey BIGINT, " +
+        "o_totalprice DOUBLE) TBLPROPERTIES ('primary_keys'='o_orderkey', " +
+        "'bucket_columns'='o_custkey', 'num_buckets'='8')")
+      s.sql(s"CREATE TABLE $cat.c (c_custkey BIGINT, c_name STRING) " +
+        "TBLPROPERTIES ('primary_keys'='c_custkey', " +
+        "'bucket_columns'='c_custkey', 'num_buckets'='8')")
+      t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("append").insertInto(s"$cat.o")
+      t(s, d, "customer").select("c_custkey", "c_name")
+        .write.mode("append").insertInto(s"$cat.c")
+      val prevBroadcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = s.sql(s"SELECT o_orderkey, c_name, round(o_totalprice, 2) AS price " +
+          s"FROM $cat.o JOIN $cat.c ON o_custkey = c_custkey")
+        j.count() // materialize so AQE finalizes the plan
+        def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            p +: flatten(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => p +: flatten(q.plan)
+          case _ => p +: p.children.flatMap(flatten)
+        }
+        val all = flatten(j.queryExecution.executedPlan)
+        val joinIdx = all.indexWhere {
+          case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => true
+          case _: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => true
+          case _ => false
+        }
+        require(joinIdx >= 0, "no shuffle-family join in the plan")
+        require(!flatten(all(joinIdx)).exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+          "storage-partitioned join still shuffled")
+        j
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    }),
+
     // Z-ORDER rewrite: scattered files → Morton-tiled files; pruning
     // must fire on BOTH clustered columns (requires assert it)
     "s_zorder" -> ((s, d) => {
@@ -332,6 +384,9 @@ object StorageOps {
         |FROM orders""".stripMargin,
     "s_stats_fields" -> "SELECT * FROM orders WHERE o_totalprice > 400000.0",
     "s_cluster" -> "SELECT * FROM orders WHERE o_totalprice > 400000.0",
+    "s_bucket_join" ->
+      """SELECT o_orderkey, c_name, round(o_totalprice, 2) AS price
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "s_zorder" -> "SELECT * FROM orders WHERE o_totalprice > 400000.0",
     "s_update" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -1,0 +1,100 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, Murmur3HashFunction}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
+
+import graft.format.StoragePaths
+
+/** Storage-partitioned-join support for BUCKETED graft tables.
+  *
+  * A bucketed table shuffles every write to
+  * `pmod(murmur3(bucketColumns), numBuckets)` (AppendOp) and encodes the
+  * bucket id in the file name. The SQL scan below regroups the parquet
+  * planner's splits into ONE input partition per bucket, each reporting
+  * its bucket id as the partition key; the scan reports
+  * `KeyGroupedPartitioning(bucket(n, cols))`. With
+  * `spark.sql.sources.v2.bucketing.enabled=true`, two graft tables
+  * bucketed the same way then JOIN WITH ZERO SHUFFLE — Catalyst aligns
+  * the bucket partitions side by side (Spark's storage-partitioned join,
+  * the DSv2 successor of Hive bucketing; same design as Iceberg's).
+  */
+object GraftBucketing {
+
+  /** One input partition per bucket: the parquet splits of that bucket's
+    * files, keyed by the bucket id. */
+  final class BucketFilePartition(
+      index: Int,
+      files: Array[PartitionedFile],
+      bucketId: Int)
+    extends FilePartition(index, files) with HasPartitionKey {
+    override def partitionKey(): InternalRow =
+      new GenericInternalRow(Array[Any](bucketId))
+  }
+
+  /** Batch that REGROUPS the delegate parquet batch's splits by bucket.
+    * Reuses the parquet reader factory unchanged — only the grouping
+    * (and therefore the reported partitioning) differs. */
+  final class BucketedBatch(delegate: ParquetScan) extends Batch {
+    private lazy val inner = delegate.toBatch
+
+    lazy val partitions: Array[InputPartition] = {
+      val files = inner.planInputPartitions().flatMap {
+        case fp: FilePartition => fp.files
+        case other => throw new IllegalStateException(s"unexpected partition $other")
+      }
+      val byBucket = files.groupBy(pf => StoragePaths.bucketOf(pf.filePath.toString))
+      require(!byBucket.contains(None),
+        "bucketed table contains files without a bucket id")
+      byBucket.toSeq
+        .map { case (b, fs) => (b.get, fs) }
+        .sortBy(_._1)
+        .zipWithIndex
+        .map { case ((b, fs), idx) =>
+          new BucketFilePartition(idx, fs, b): InputPartition
+        }
+        .toArray
+    }
+
+    override def planInputPartitions(): Array[InputPartition] = partitions
+
+    override def createReaderFactory(): PartitionReaderFactory = inner.createReaderFactory()
+  }
+
+  /** The `bucket(numBuckets, value)` V2 function (resolved through
+    * [[GraftCatalog]]'s FunctionCatalog surface) — the SAME hash the
+    * write path uses: `pmod(murmur3_32(value, seed 42), n)`, i.e.
+    * Spark's own HashPartitioning id. Catalyst uses it to prove the two
+    * join sides' partitionings compatible (and to hash one side when
+    * only one table is bucketed and v2 bucketing-shuffle is enabled). */
+  object BucketUnbound extends UnboundFunction {
+    override def name(): String = "bucket"
+    override def description(): String =
+      "bucket(numBuckets, col): pmod(murmur3(col, seed 42), numBuckets)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2,
+        s"bucket expects (numBuckets, value), got $inputType")
+      require(inputType.fields(0).dataType == IntegerType,
+        "bucket: numBuckets must be int")
+      new BucketBound(inputType.fields(1).dataType)
+    }
+  }
+
+  final class BucketBound(valueType: DataType) extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, valueType)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String = s"graft.bucket(${valueType.simpleString})"
+    override def isResultNullable: Boolean = false
+    override def produceResult(input: InternalRow): Integer = {
+      val n = input.getInt(0)
+      val v = input.get(1, valueType)
+      val h = Murmur3HashFunction.hash(v, valueType, 42L).toInt
+      ((h % n) + n) % n
+    }
+  }
+}

@@ -47,7 +47,23 @@ import graft.core.{DirCatalog, ReadOp, SpaceDataset, GraftFileIndex}
   * Namespace model: flat (a single root namespace), like the reference's
   * directory catalog.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
+
+  // ------------------------------------------- function catalog surface
+  // One function: bucket(numBuckets, col). Catalyst resolves it while
+  // proving two bucketed scans' KeyGroupedPartitionings compatible
+  // (storage-partitioned joins).
+  override def listFunctions(namespace: Array[String]): Array[Identifier] = {
+    if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
+    Array(Identifier.of(Array.empty, "bucket"))
+  }
+
+  override def loadFunction(
+      ident: Identifier): org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
+    if (ident.namespace.isEmpty && ident.name == "bucket") GraftBucketing.BucketUnbound
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+  }
+
 
   private var catalogName: String = _
   private var root: String = _
@@ -123,7 +139,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     val statsFields = props.get("stats_fields")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    val ds = dir.createDataset(tableName(ident), schema, pks, recordFields, statsFields)
+    val bucketCols = props.get("bucket_columns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val numBuckets = props.get("num_buckets").map(_.trim.toInt).getOrElse(0)
+    val ds = dir.createDataset(tableName(ident), schema, pks, recordFields, statsFields,
+      bucketCols, numBuckets)
     new GraftTable(spark, ds, s"$catalogName.${ident.name}", None)
   }
 
@@ -328,7 +348,9 @@ final class GraftDelegatingScan(
     storage: graft.core.Storage,
     delegate: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
     options: CaseInsensitiveStringMap)
-  extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  extends Scan
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   /** Reported back in LOGICAL names: Spark rebuilds the scan relation's
     * output attributes from this schema and resolves the post-scan
@@ -338,7 +360,26 @@ final class GraftDelegatingScan(
     StructType(delegate.readSchema().fields.map(f =>
       f.copy(name = storage.logicalNameOf(f.name))))
 
-  override def toBatch: org.apache.spark.sql.connector.read.Batch = delegate.toBatch
+  private def numBuckets: Int = storage.metadata.numBuckets
+
+  private lazy val bucketedBatch = new GraftBucketing.BucketedBatch(delegate)
+
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    if (numBuckets > 0) bucketedBatch else delegate.toBatch
+
+  /** Bucketed tables report `KeyGroupedPartitioning(bucket(n, cols))` —
+    * with `spark.sql.sources.v2.bucketing.enabled=true`, joins between
+    * co-bucketed graft tables on the bucket columns need NO exchange
+    * (storage-partitioned join). */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (numBuckets > 0 && bucketedBatch.partitions.nonEmpty)
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
+          numBuckets,
+          storage.metadata.bucketColumns.map(storage.logicalNameOf): _*)),
+        bucketedBatch.partitions.length)
+    else new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
 
   override def description(): String = delegate.description()
 

@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+
+/** Hash-bucketed tables: write-path co-location invariant, the
+  * storage-partitioned join (zero shuffle between co-bucketed tables),
+  * and the maintenance guards that protect the layout. */
+class BucketSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("bucketed writes co-locate rows; CoW delete preserves the layout") {
+    val orders = Tables.read(spark, sfDir, "orders")
+    val loc = Files.createTempDirectory("graft_bk_").toString + "/tbl"
+    val ds = SpaceDataset.create(spark, loc, orders.schema, Seq("o_orderkey"),
+      bucketColumns = Seq("o_custkey"), numBuckets = 4)
+    ds.append(orders.filter(col("o_orderkey") % 2 === 0))
+    ds.append(orders.filter(col("o_orderkey") % 2 =!= 0))
+
+    def checkLayout(): Unit = ds.indexFiles().foreach { f =>
+      val b = graft.format.StoragePaths.bucketOf(f)
+      assert(b.isDefined, s"unbucketed file $f")
+      val hashed = spark.read.parquet(ds.storage.absolute(f))
+        .select(pmod(hash(col("o_custkey")), lit(4))).distinct()
+        .collect().map(_.getInt(0)).toSet
+      assert(hashed.subsetOf(Set(b.get)), s"rows of $f not in bucket $b: $hashed")
+    }
+    checkLayout()
+    assert(ds.readAll().count() == orders.count())
+
+    // the CoW rewrite flows through AppendOp → re-bucketed output
+    ds.delete(col("o_totalprice") > 300000.0)
+    checkLayout()
+
+    // maintenance that would break the layout is refused
+    intercept[IllegalArgumentException] { ds.compact(100000L) }
+    intercept[IllegalArgumentException] { ds.clusterBy(Seq("o_totalprice"), 1000L) }
+  }
+
+  test("co-bucketed tables join with ZERO shuffle (storage-partitioned join)") {
+    val orders = Tables.read(spark, sfDir, "orders")
+    val customer = Tables.read(spark, sfDir, "customer")
+    val root = Files.createTempDirectory("graft_spj_").toString
+    spark.conf.set("spark.sql.catalog.gspjt",
+      classOf[org.apache.spark.sql.graftshim.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gspjt.location", root)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+
+    spark.sql("CREATE TABLE gspjt.o (o_orderkey BIGINT, o_custkey BIGINT, " +
+      "o_totalprice DOUBLE) TBLPROPERTIES ('primary_keys'='o_orderkey', " +
+      "'bucket_columns'='o_custkey', 'num_buckets'='8')")
+    spark.sql("CREATE TABLE gspjt.c (c_custkey BIGINT, c_name STRING) " +
+      "TBLPROPERTIES ('primary_keys'='c_custkey', " +
+      "'bucket_columns'='c_custkey', 'num_buckets'='8')")
+    orders.select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("append").insertInto("gspjt.o")
+    customer.select("c_custkey", "c_name").write.mode("append").insertInto("gspjt.c")
+
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.sql(
+        "SELECT o_orderkey, c_name, o_totalprice FROM gspjt.o " +
+          "JOIN gspjt.c ON o_custkey = c_custkey")
+      val rows = j.collect()
+      // correctness vs a plain DataFrame join
+      val expected = orders.join(customer, orders("o_custkey") === customer("c_custkey"))
+        .select("o_orderkey", "c_name", "o_totalprice").collect()
+      assert(rows.map(_.toString).sorted.toSeq == expected.map(_.toString).sorted.toSeq)
+
+      // the join subtree must be exchange-free (flatten through AQE
+      // query-stage wrappers, which are leaves to TreeNode.collect)
+      def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => p +: flatten(q.plan)
+        case _ => p +: p.children.flatMap(flatten)
+      }
+      val all = flatten(j.queryExecution.executedPlan)
+      val joinIdx = all.indexWhere {
+        case _: SortMergeJoinExec | _: ShuffledHashJoinExec => true
+        case _ => false
+      }
+      assert(joinIdx >= 0, s"no shuffle-family join found:\n${all.head.treeString}")
+      val underJoin = flatten(all(joinIdx))
+      assert(!underJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"storage-partitioned join still shuffled:\n${all.head.treeString}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    }
+  }
+
+  test("bucketed tables refuse zero-copy ingest; bucket column must exist") {
+    val orders = Tables.read(spark, sfDir, "orders")
+    intercept[IllegalArgumentException] {
+      SpaceDataset.create(spark,
+        Files.createTempDirectory("graft_bk2_").toString + "/tbl",
+        orders.schema, Seq("o_orderkey"),
+        bucketColumns = Seq("nope"), numBuckets = 4)
+    }
+    val ds = SpaceDataset.create(spark,
+      Files.createTempDirectory("graft_bk3_").toString + "/tbl",
+      orders.schema, Seq("o_orderkey"),
+      bucketColumns = Seq("o_custkey"), numBuckets = 4)
+    intercept[IllegalArgumentException] {
+      core.ParquetLoader.loadParquet(spark, ds, Seq("/tmp/nope.parquet"))
+    }
+  }
+}
