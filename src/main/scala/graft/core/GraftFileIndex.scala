@@ -98,7 +98,10 @@ final class GraftFileIndex(
             .select(ManifestIO.FileCol)
             .collect().map(_.getString(0)).toSeq
       }
-    Seq(PartitionDirectory(InternalRow.empty, kept.map(statusByRel).toArray))
+    // bucket pruning: a filter pinning the bucket column reaches only
+    // the buckets its literals hash to — stats-free O(1/n) point lookups
+    val bucketKept = BucketPruning.pruneFiles(storage, dataFilters, kept)
+    Seq(PartitionDirectory(InternalRow.empty, bucketKept.map(statusByRel).toArray))
   }
 }
 

@@ -56,7 +56,12 @@ object ReadOp {
     val keep = predicate.flatMap(p =>
       Pruning.keepCondition(spark, storage.schema, storage.statsColumns, p))
     val kept = keep.fold(mdf)(mdf.filter)
-    val files = kept.select(col(ManifestIO.FileCol)).collect().map(_.getString(0)).toSeq
+    val files0 = kept.select(col(ManifestIO.FileCol)).collect().map(_.getString(0)).toSeq
+    val files = predicate match {
+      case Some(p) => BucketPruning.pruneFiles(storage,
+        Seq(org.apache.spark.sql.graftshim.ColumnExpr.catalystExpression(p)), files0)
+      case None => files0
+    }
     val total = mdf.count().toInt
     ScanPlan(files, total)
   }
