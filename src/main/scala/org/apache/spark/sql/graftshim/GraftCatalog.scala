@@ -241,6 +241,8 @@ final class GraftTable(
     "location" -> storage.location,
     "primary_keys" -> storage.primaryKeys.map(storage.logicalNameOf).mkString(","),
     "record_fields" -> storage.recordFields.mkString(","),
+    "bucket_columns" -> storage.metadata.bucketColumns.map(storage.logicalNameOf).mkString(","),
+    "num_buckets" -> storage.metadata.numBuckets.toString,
     "provider" -> "graft",
     "snapshot_id" -> snapshotId.toString).asJava
 

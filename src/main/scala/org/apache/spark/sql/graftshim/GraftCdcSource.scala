@@ -142,15 +142,40 @@ final class GraftCdcMicroBatchStream(
     spark: SparkSession,
     storage: Storage,
     options: CaseInsensitiveStringMap,
-    appendOnly: Boolean) extends MicroBatchStream {
+    appendOnly: Boolean)
+  extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
   private val branch = Option(options.get("branch")).getOrElse("main")
   private val ignoreDeletes = Option(options.get("ignoreDeletes")).exists(_.toBoolean)
+  /** Rate limit: at most this many snapshots per micro-batch (a backlog
+    * of commits then drains in bounded batches instead of one giant
+    * catch-up batch). Default unbounded. */
+  private val maxSnapshotsPerBatch =
+    Option(options.get("maxSnapshotsPerBatch")).map(_.toLong)
 
   override def initialOffset(): Offset =
     GraftCdcOffset(Option(options.get("startingSnapshotId")).map(_.toLong - 1).getOrElse(0L))
 
   override def latestOffset(): Offset = {
+    storage.reload()
+    GraftCdcOffset(storage.branchHead(branch))
+  }
+
+  override def latestOffset(
+      start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    storage.reload()
+    val head = storage.branchHead(branch)
+    maxSnapshotsPerBatch match {
+      case Some(m) =>
+        val s = start.asInstanceOf[GraftCdcOffset].snapshotId
+        GraftCdcOffset(math.min(head, s + m))
+      case None => GraftCdcOffset(head)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = {
     storage.reload()
     GraftCdcOffset(storage.branchHead(branch))
   }

@@ -99,4 +99,28 @@ class CdcStreamSpec extends AnyFunSuite {
     try q.processAllAvailable() finally q.stop()
     assert(buf.toSeq == Seq(2L))
   }
+
+  test("maxSnapshotsPerBatch drains a commit backlog in bounded batches") {
+    val root = Files.createTempDirectory("graft_cdcspec4_").toString
+    val ds = SpaceDataset.create(spark, s"$root/tbl", kvSchema, Seq("id"))
+    ds.append(kv(1L -> "a")) // snap 1
+    ds.append(kv(2L -> "b")) // snap 2
+    ds.append(kv(3L -> "c")) // snap 3
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    val q = spark.readStream.format("graft-cdc")
+      .option("location", s"$root/tbl")
+      .option("maxSnapshotsPerBatch", "1")
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val rows = batch.collect().map(_.getLong(0)).toSeq
+        batches.synchronized { if (rows.nonEmpty) batches += rows }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // one snapshot per micro-batch, order preserved, nothing lost
+    assert(batches.toSeq == Seq(Seq(1L), Seq(2L), Seq(3L)))
+  }
 }

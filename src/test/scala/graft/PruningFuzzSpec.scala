@@ -89,4 +89,46 @@ class PruningFuzzSpec extends AnyFunSuite {
     assert(d.read(filter = Some(col("o_totalprice") > 400000.0)).count() ==
       orders.filter(col("o_totalprice") > 400000.0).count())
   }
+
+  /** Same soundness property for BUCKET pruning: stats pruning + bucket
+    * pruning compose, and neither may drop a matching row. The random
+    * predicates mix bucket-column equalities/INs with everything else
+    * (ORs, NOTs, non-bucket columns, literal-first shapes). */
+  test("bucket pruning is sound for 40 random predicates") {
+    val loc = Files.createTempDirectory("graft_fuzz_bk_").toString + "/tbl"
+    val d = SpaceDataset.create(spark, loc, orders.schema, Seq("o_orderkey"),
+      bucketColumns = Seq("o_custkey"), numBuckets = 8)
+    d.append(orders)
+
+    val custs = orders.select("o_custkey").distinct().limit(16)
+      .collect().map(_.getLong(0)).toIndexedSeq
+    val rnd = new Random(20260813L)
+    def pred(depth: Int): Column = {
+      def leaf(): Column = rnd.nextInt(5) match {
+        case 0 => col("o_custkey") === lit(custs(rnd.nextInt(custs.size)))
+        case 1 => col("o_custkey").isin(Seq.fill(3)(custs(rnd.nextInt(custs.size))): _*)
+        case 2 => lit(custs(rnd.nextInt(custs.size))) === col("o_custkey")
+        case 3 => col("o_totalprice") > lit(rnd.nextDouble() * 500000)
+        case 4 => col("o_orderkey") < lit(rnd.nextLong(2000))
+      }
+      if (depth == 0) leaf()
+      else rnd.nextInt(4) match {
+        case 0 => pred(depth - 1) && pred(depth - 1)
+        case 1 => pred(depth - 1) || pred(depth - 1)
+        case 2 => !pred(depth - 1)
+        case _ => leaf()
+      }
+    }
+    var prunedAtLeastOnce = false
+    for (i <- 1 to 40) {
+      val p = pred(rnd.nextInt(3))
+      val plan = d.plan(Some(p))
+      if (plan.prunedFiles > 0) prunedAtLeastOnce = true
+      val got = d.read(filter = Some(p)).count()
+      val exp = orders.filter(p).count()
+      assert(got == exp,
+        s"iteration $i: $got rows vs $exp for $p (kept ${plan.files.size}/${plan.totalFiles})")
+    }
+    assert(prunedAtLeastOnce, "bucket fuzz never pruned anything")
+  }
 }
