@@ -230,6 +230,7 @@ final class Storage(val location: String, val conf: Configuration) {
     require(schema.fieldNames.contains(phys), s"column $name not found")
     require(!meta.primaryKeys.contains(phys), s"cannot drop primary key $name")
     require(!meta.recordFields.contains(phys), s"cannot drop record field $name")
+    require(!meta.bucketColumns.contains(phys), s"cannot drop bucket column $name")
     require(schema.fields.length > 1, "cannot drop the last column")
     val highWater = math.max(meta.maxFieldId, FieldIds.maxAssignedId(schema))
     persist(meta.copy(

@@ -138,6 +138,23 @@ object StorageOps {
       ds.read(filter = Some(col("o_totalprice") > 400000.0))
     }),
 
+    // BUCKET-PRUNED POINT LOOKUP: arrival-ordered bucketed table (every
+    // file spans the full key range — min/max stats useless), equality
+    // on the bucket column reads ONE bucket's files (require asserts
+    // pruning fired)
+    "s_bucket_lookup" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val ds = SpaceDataset.create(s, fresh("blook"), o.schema, Seq("o_orderkey"),
+        bucketColumns = Seq("o_custkey"), numBuckets = 8)
+      ds.append(o.filter(col("o_orderkey") % 2 === 0))
+      ds.append(o.filter(col("o_orderkey") % 2 =!= 0))
+      val minCust = o.agg(min(col("o_custkey"))).collect()(0).getLong(0)
+      val p = ds.plan(Some(col("o_custkey") === lit(minCust)))
+      require(p.prunedFiles > 0,
+        s"bucket lookup kept all ${p.totalFiles} files")
+      ds.read(filter = Some(col("o_custkey") === lit(minCust)))
+    }),
+
     // STORAGE-PARTITIONED JOIN: two tables hash-bucketed on the join
     // key (every write shuffles to pmod(murmur3(key), n); bucket id in
     // the file name) join through the SQL catalog with ZERO exchange —
@@ -387,6 +404,8 @@ object StorageOps {
     "s_bucket_join" ->
       """SELECT o_orderkey, c_name, round(o_totalprice, 2) AS price
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "s_bucket_lookup" ->
+      "SELECT * FROM orders WHERE o_custkey = (SELECT min(o_custkey) FROM orders)",
     "s_zorder" -> "SELECT * FROM orders WHERE o_totalprice > 400000.0",
     "s_update" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,

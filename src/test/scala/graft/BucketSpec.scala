@@ -162,5 +162,11 @@ class BucketSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       core.ParquetLoader.loadParquet(spark, ds, Seq("/tmp/nope.parquet"))
     }
+    // dropping the bucket column would break every subsequent write
+    intercept[IllegalArgumentException] { ds.dropColumn("o_custkey") }
+    // renaming it is fine: bucketColumns stay physical; writes unchanged
+    ds.renameColumn("o_custkey", "customer")
+    ds.append(orders.limit(10).withColumnRenamed("o_custkey", "customer"))
+    assert(ds.readAll().count() == 10)
   }
 }
