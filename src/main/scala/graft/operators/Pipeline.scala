@@ -133,7 +133,9 @@ object Pipeline {
       t(s, d, "documents").select(
         col("doc_id"), TF.qualityScore(col("text")).as("quality"))),
 
-    // heuristic language id (profile argmax; engine-specific → rows-only)
+    // heuristic language id: marker-profile argmax + CJK ratio — the
+    // whole heuristic replicates in DuckDB lambda SQL, so it gets a
+    // full oracle (string output, no float-compare hazard)
     "d_lang_id" -> ((s, d) =>
       t(s, d, "documents").select(
         col("doc_id"), col("lang"), LangId.langId(col("text")).as("lang_pred"))),
@@ -168,7 +170,45 @@ object Pipeline {
        |            i -> array_to_string(ts[i:$sliceEnd], ' ')) END""".stripMargin
   }
 
+  /** DuckDB list literal of a language's marker tokens. */
+  private def profileList(lang: String): String =
+    graft.functions.LangId.Profiles(lang).map(t => s"'$t'").mkString("[", ", ", "]")
+
   val oracleSql: Map[String, String] = Map(
+    "d_lang_id" -> {
+      // mirror LangId.langId exactly: tokens of lower(text); per-language
+      // hit ratio; fold-argmax over sorted languages (strict >, earliest
+      // wins ties); CJK-ratio override; 'unknown' when nothing fires
+      val langs = graft.functions.LangId.Profiles.keys.toSeq.sorted
+      val scoreCols = langs.map(l =>
+        s"""CASE WHEN len(ts) = 0 THEN 0.0
+           |  ELSE CAST(len(list_filter(ts, t -> list_contains(${profileList(l)}, t)))
+           |    AS DOUBLE) / len(ts) END AS s_$l""".stripMargin).mkString(",\n")
+      val folded = langs.tail.zipWithIndex.foldLeft(
+        (s"'${langs.head}'", s"s_${langs.head}")) { case ((bl, bs), (l, _)) =>
+        (s"CASE WHEN s_$l > $bs THEN '$l' ELSE $bl END",
+          s"CASE WHEN s_$l > $bs THEN s_$l ELSE $bs END")
+      }
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, text,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS ts
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, lang, text,
+         |$scoreCols
+         |  FROM toks),
+         |cjk AS (
+         |  SELECT *, CASE WHEN length(text) = 0 THEN 0.0
+         |    ELSE CAST(length(text) -
+         |      length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g'))
+         |      AS DOUBLE) / length(text) END AS cjk_ratio
+         |  FROM scored)
+         |SELECT doc_id, lang,
+         |  CASE WHEN cjk_ratio > 0.3 THEN 'zh'
+         |       WHEN ${folded._2} > 0.0 THEN ${folded._1}
+         |       ELSE 'unknown' END AS lang_pred
+         |FROM cjk""".stripMargin
+    },
     "d_token_freq" ->
       s"""WITH toks AS (SELECT $tokensSql AS ts FROM documents),
          |c AS (SELECT token, count(*) AS freq
