@@ -48,8 +48,8 @@ object AppendOp {
     // Bucketed tables: EVERY write shuffles rows to
     // pmod(murmur3(bucketColumns), numBuckets) — partition index IS the
     // bucket id (HashPartitioning semantics), and the output file name
-    // encodes it. CoW rewrites flow through here too, so the invariant
-    // survives delete/update/upsert.
+    // encodes it. CoW rewrites and compaction flow through here too, so
+    // the invariant survives delete/update/upsert/compact.
     val numBuckets = storage.metadata.numBuckets
     val toWrite =
       if (numBuckets > 0)

@@ -42,9 +42,6 @@ object CompactOp {
       targetFileRows: Long,
       smallFraction: Double = 0.5,
       minInputFiles: Int = 2): Option[(Patch, CompactResult)] = {
-    require(storage.metadata.numBuckets == 0,
-      "compaction would merge buckets; bucketed tables are compacted per " +
-        "bucket by re-appending (bucket-aware compaction is future work)")
     require(targetFileRows > 0 && smallFraction > 0)
     val snap = storage.snapshotOrFail(snapshotId)
     if (snap.manifestFiles.indexManifestFiles.isEmpty) return None
@@ -53,10 +50,23 @@ object CompactOp {
     val mdf = ManifestIO.readIndexManifests(
       spark, storage, snap.manifestFiles.indexManifestFiles)
     import org.apache.spark.sql.functions.col
-    val small = mdf
+    val small0 = mdf
       .filter(col(ManifestIO.NumRowsCol) < threshold)
       .select(col(ManifestIO.FileCol), col(ManifestIO.NumRowsCol))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+    // Bucketed tables compact WITHIN buckets (each append mints one file
+    // per bucket, so buckets accumulate small files linearly): only
+    // buckets holding ≥2 small files participate — merging across
+    // buckets would break the layout, and a lone small file gains
+    // nothing from being rewritten alone.
+    val bucketed = storage.metadata.numBuckets > 0
+    val small =
+      if (!bucketed) small0
+      else small0
+        .groupBy(f => StoragePaths.bucketOf(f._1))
+        .collect { case (Some(_), fs) if fs.size >= 2 => fs }
+        .flatten.toSeq
     if (small.size < minInputFiles) return None
 
     // one distributed, SHUFFLE-FREE rewrite: the manifest already gives
@@ -65,12 +75,21 @@ object CompactOp {
     // every compacted byte across the cluster. Physical schema keeps
     // record addresses opaque (never stitched).
     val physical = ReadOp.physicalSchema(storage.schema, storage.recordFields)
-    val totalRows = small.map(_._2).sum
-    val parts = math.max(1, math.ceil(totalRows.toDouble / targetFileRows).toInt)
-    val rows = spark.read.schema(physical)
+    val scan = spark.read.schema(physical)
       .parquet(small.map(f => storage.absolute(f._1)): _*)
-      .coalesce(parts)
-    val written = AppendOp.writeFilesWithMeta(spark, storage, rows)
+    val written =
+      if (!bucketed) {
+        val totalRows = small.map(_._2).sum
+        val parts = math.max(1, math.ceil(totalRows.toDouble / targetFileRows).toInt)
+        AppendOp.writeFilesWithMeta(spark, storage, scan.coalesce(parts))
+      } else {
+        // bucketed: the standard bucketed write re-hashes the selected
+        // small files into one file per bucket. This pays ONE shuffle of
+        // just the selected small-file bytes (bounded by construction) —
+        // the price of keeping the bucket invariant through the same
+        // single code path every other write uses.
+        AppendOp.writeFilesWithMeta(spark, storage, scan)
+      }
     val appendPatch = written.patch
 
     val co = DmlOps.manifestCarryover(spark, storage, snapshotId, small.map(_._1).toSet)

@@ -35,12 +35,22 @@ class BucketSpec extends AnyFunSuite {
     checkLayout()
     assert(ds.readAll().count() == orders.count())
 
+    // per-bucket compaction: the two appends left 2 small files per
+    // bucket; they merge WITHIN the bucket — layout and content
+    // invariants hold, one file per bucket remains
+    val before = ds.readAll().collect().toSet
+    assert(ds.indexFiles().size == 8)
+    val res = ds.compact(targetFileRows = 1000000L)
+    assert(res.isDefined, "bucketed compaction must fire on small files")
+    checkLayout()
+    assert(ds.indexFiles().size == 4, s"expected one file per bucket, got ${ds.indexFiles()}")
+    assert(ds.readAll().collect().toSet == before)
+
     // the CoW rewrite flows through AppendOp → re-bucketed output
     ds.delete(col("o_totalprice") > 300000.0)
     checkLayout()
 
-    // maintenance that would break the layout is refused
-    intercept[IllegalArgumentException] { ds.compact(100000L) }
+    // clustering still refuses: a global sort would break the layout
     intercept[IllegalArgumentException] { ds.clusterBy(Seq("o_totalprice"), 1000L) }
   }
 
