@@ -56,4 +56,42 @@ class EdgeCaseSpec extends AnyFunSuite {
     ds.append(orders.limit(10))
     assert(ds.diff("1", "1").isEmpty)
   }
+
+  test("update through a renamed column; evolution ops compose") {
+    val ds = SpaceDataset.create(spark, fresh(), orders.schema, Seq("o_orderkey"))
+    ds.append(orders.limit(100))
+    ds.renameColumn("o_totalprice", "price")
+    // update matches and assigns via the LOGICAL name
+    ds.update(col("price") > 0.0, Map("price" -> col("price") * 2))
+    val doubled = ds.readAll().agg(sum(col("price"))).collect()(0).getDouble(0)
+    val base = orders.limit(100).agg(sum(col("o_totalprice"))).collect()(0).getDouble(0)
+    assert(math.abs(doubled - base * 2) < 1e-6)
+    // add → rename the ADDED column → drop it again, all metadata-only
+    ds.addColumn("note", org.apache.spark.sql.types.StringType)
+    ds.renameColumn("note", "comment")
+    assert(ds.schema.fieldNames.contains("comment"))
+    ds.dropColumn("comment")
+    assert(!ds.schema.fieldNames.contains("comment"))
+    // the table still reads and mutates fine afterwards
+    ds.delete(col("price") < 100.0)
+    assert(ds.readAll().columns.toSeq ==
+      orders.columns.toSeq.map(c => if (c == "o_totalprice") "price" else c))
+  }
+
+  test("update on a bucketed table preserves the bucket layout") {
+    val ds = SpaceDataset.create(spark, fresh(), orders.schema, Seq("o_orderkey"),
+      bucketColumns = Seq("o_custkey"), numBuckets = 4)
+    ds.append(orders.limit(200))
+    ds.update(col("o_orderkey") % 3 === 0, Map("o_totalprice" -> lit(1.0)))
+    ds.indexFiles().foreach { f =>
+      val b = graft.format.StoragePaths.bucketOf(f)
+      assert(b.isDefined, s"unbucketed file $f after update")
+      val hashed = spark.read.parquet(ds.storage.absolute(f))
+        .select(pmod(hash(col("o_custkey")), lit(4))).distinct()
+        .collect().map(_.getInt(0)).toSet
+      assert(hashed.subsetOf(Set(b.get)))
+    }
+    assert(ds.readAll().filter(col("o_totalprice") === 1.0).count() ==
+      orders.limit(200).filter(col("o_orderkey") % 3 === 0).count())
+  }
 }
