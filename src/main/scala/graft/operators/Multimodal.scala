@@ -57,6 +57,20 @@ object Multimodal {
       .select(col(idCol), explode(
         sequence(lit(0), col("n_frames") - 1, lit(step))).as("frame_idx"))
 
+  /** Fixed-size binary chunking with ordinals (audio/window shape):
+    * one output row per chunk, sliced with codegen'd `substring` on the
+    * binary column — explode cost is proportional to CHUNKS, and the
+    * payload bytes are sliced, never copied whole per chunk row. */
+  def chunkPayload(df: DataFrame, idCol: String, payloadCol: String,
+      chunkBytes: Int): DataFrame =
+    df.select(col(idCol), col(payloadCol).as("__p"),
+        octet_length(col(payloadCol)).as("__n"))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0), ((col("__n") - 1) / chunkBytes).cast(IntegerType))))
+      .select(col(idCol), col("chunk_idx"),
+        expr(s"substring(__p, chunk_idx * $chunkBytes + 1, $chunkBytes)").as("chunk"))
+      .withColumn("chunk_len", octet_length(col("chunk")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // binary payload → batched stub decode → typed metadata
     "m_media_meta" -> ((s, d) => {
@@ -69,6 +83,15 @@ object Multimodal {
       val media = Tables.read(s, d, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       sampleFrames(media, "doc_id", "payload", step = 5)
+    }),
+    // audio-style chunking: payloads split into fixed-size binary chunks
+    // with ordinals — the batch shape fed to chunked inference
+    "m_chunk_bytes" -> ((s, d) => {
+      val media = Tables.read(s, d, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      chunkPayload(media, "doc_id", "payload", chunkBytes = 256)
+        .withColumn("chunk_text", decode(col("chunk"), "UTF-8"))
+        .drop("chunk")
     }))
 
   // The stub arithmetic is reproducible from length(text) (ASCII corpus:
@@ -84,5 +107,16 @@ object Multimodal {
       """SELECT doc_id,
         |  CAST(unnest(range(0, CAST(length(text) // 1000 AS INT) + 1, 5)) AS INT)
         |    AS frame_idx
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "m_chunk_bytes" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    CAST(unnest(range(0, CAST((length(text) - 1) // 256 AS INT) + 1))
+        |      AS INT) AS chunk_idx
+        |  FROM documents)
+        |SELECT doc_id, chunk_idx,
+        |  substring(text, chunk_idx * 256 + 1, 256) AS chunk_text,
+        |  CAST(length(substring(text, chunk_idx * 256 + 1, 256)) AS INT)
+        |    AS chunk_len
+        |FROM c""".stripMargin)
 }
