@@ -23,23 +23,22 @@ object ParquetLoader {
       "zero-copy ingest into a BUCKETED table is not supported: external " +
         "files carry no bucket assignment (rewrite through append instead)")
     val conf = spark.sparkContext.hadoopConfiguration
-    ds.storage.transaction() { _ =>
+    ds.storage.commitTransaction() { _ =>
       val metas = files.map { f =>
         val abs = new Path(f)
         ManifestIO.harvestFooter(abs.toString, abs.toString, conf, ds.storage.statsColumns)
       }.filter(_.numRows > 0)
-      if (metas.isEmpty) (None, ds.storage.metadata.currentSnapshotId)
+      if (metas.isEmpty) None
       else {
         val manifest = ManifestIO.writeIndexManifest(spark, ds.storage, metas)
-        val patch = Patch(
+        Some(Patch(
           addedIndexManifests = List(manifest),
           statsDelta = StorageStatistics(
             numRows = metas.map(_.numRows).sum,
             indexCompressedBytes = metas.map(_.compressedBytes).sum,
             indexUncompressedBytes = metas.map(_.uncompressedBytes).sum),
           changeLog = Some(ChangeLog(addedRows = metas.map(m =>
-            RowBitmap(m.file, allRows = true, numRows = m.numRows)).toList)))
-        (Some(patch), ds.storage.metadata.maxSnapshotId + 1)
+            RowBitmap(m.file, allRows = true, numRows = m.numRows)).toList))))
       }
     }
   }
@@ -83,7 +82,7 @@ object RecordLoader {
       s"indexExprs must cover exactly the index fields ${indexFields.mkString(", ")}")
     val conf = spark.sparkContext.hadoopConfiguration
 
-    st.transaction() { _ =>
+    st.commitTransaction() { _ =>
       // address _FILE uses the caller's path spelling; map the scanner's
       // qualified URIs back to it (full-path keys — basenames collide)
       val relByKey = files.map { f =>
@@ -105,14 +104,13 @@ object RecordLoader {
       }.toIndexedSeq: _*)
 
       val result = AppendOp.writeFilesWithMeta(spark, st, indexDF)
-      if (result.files.isEmpty) (None, st.metadata.currentSnapshotId)
+      if (result.files.isEmpty) None
       else {
         val fid = FieldIds.fieldId(st.schema(field))
         val recordMetas = RecordIO.harvestRecordFooters(
           spark, st, files.map(_ -> fid))
-        val patch = Patch.merge(
-          Seq(result.patch) ++ RecordIO.recordManifestPatch(spark, st, recordMetas)).get
-        (Some(patch), st.metadata.maxSnapshotId + 1)
+        Patch.merge(
+          Seq(result.patch) ++ RecordIO.recordManifestPatch(spark, st, recordMetas))
       }
     }
   }

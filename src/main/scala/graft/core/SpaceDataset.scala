@@ -100,9 +100,8 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
   // --------------------------------------------------------- mutations
 
   def append(df: DataFrame, branch: String = currentBranch): Long =
-    storage.transaction(branch, ConflictPolicy.Append) { _ =>
-      val patch = RecordIO.writeWithRecords(spark, storage, toPhysicalDf(df))
-      (Some(patch), storage.metadata.maxSnapshotId + 1)
+    storage.commitTransaction(branch, ConflictPolicy.Append) { _ =>
+      Some(RecordIO.writeWithRecords(spark, storage, toPhysicalDf(df)))
     }
 
   /** Append from N sources in ONE snapshot (`append_from`, reference
@@ -112,9 +111,9 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
     * source's write is its own distributed job, patches merge into a
     * single atomic commit whose changelog covers all sources. */
   def appendFrom(sources: Seq[() => DataFrame], branch: String = currentBranch): Long =
-    storage.transaction(branch, ConflictPolicy.Append) { _ =>
-      val patches = sources.map(fn => RecordIO.writeWithRecords(spark, storage, toPhysicalDf(fn())))
-      (Patch.merge(patches), storage.metadata.maxSnapshotId + 1)
+    storage.commitTransaction(branch, ConflictPolicy.Append) { _ =>
+      Patch.merge(sources.map(fn =>
+        RecordIO.writeWithRecords(spark, storage, toPhysicalDf(fn()))))
     }
 
   /** Idempotent append for exactly-once sinks (the foreachBatch /
@@ -130,33 +129,32 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
       branch: String = currentBranch): Option[Long] = {
     storage.reload()
     if (storage.metadata.txnVersions.get(appId).exists(_ >= version)) return None
-    Some(storage.transaction(branch, ConflictPolicy.Append) { _ =>
+    Some(storage.commitTransaction(branch, ConflictPolicy.Append) { _ =>
       val patch = RecordIO.writeWithRecords(spark, storage, toPhysicalDf(df))
-      (Some(patch.copy(txn = Some(TxnTag(appId, version)))),
-        storage.metadata.maxSnapshotId + 1)
+      Some(patch.copy(txn = Some(TxnTag(appId, version))))
     })
   }
 
   /** Atomic truncate-and-append: ONE snapshot replacing the whole table
     * content (backs SQL `INSERT OVERWRITE` through the graft catalog). */
   def overwrite(df: DataFrame, branch: String = currentBranch): Long =
-    storage.transaction(branch) { pinned =>
-      (Some(DmlOps.overwriteAll(spark, storage, pinned, toPhysicalDf(df))), storage.metadata.maxSnapshotId + 1)
+    storage.commitTransaction(branch) { pinned =>
+      Some(DmlOps.overwriteAll(spark, storage, pinned, toPhysicalDf(df)))
     }
 
   def delete(cond: Column, branch: String = currentBranch): Long =
-    storage.transaction(branch, ConflictPolicy.Rewrite) { pinned =>
-      (DmlOps.delete(spark, storage, pinned, toPhysicalCol(cond)), storage.metadata.maxSnapshotId + 1)
+    storage.commitTransaction(branch, ConflictPolicy.Rewrite) { pinned =>
+      DmlOps.delete(spark, storage, pinned, toPhysicalCol(cond))
     }
 
   def insert(df: DataFrame, branch: String = currentBranch): Long =
-    storage.transaction(branch) { pinned =>
-      (Some(DmlOps.insert(spark, storage, pinned, toPhysicalDf(df))), storage.metadata.maxSnapshotId + 1)
+    storage.commitTransaction(branch) { pinned =>
+      Some(DmlOps.insert(spark, storage, pinned, toPhysicalDf(df)))
     }
 
   def upsert(df: DataFrame, branch: String = currentBranch): Long =
-    storage.transaction(branch) { pinned =>
-      (Some(DmlOps.upsert(spark, storage, pinned, toPhysicalDf(df))), storage.metadata.maxSnapshotId + 1)
+    storage.commitTransaction(branch) { pinned =>
+      Some(DmlOps.upsert(spark, storage, pinned, toPhysicalDf(df)))
     }
 
   /** MERGE builder (general form of upsert; one snapshot):
@@ -185,10 +183,10 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
       require(schema.fieldNames.contains(k), s"unknown column $k")
       require(!pkSet.contains(k), s"cannot update primary key $k")
     }
-    storage.transaction(branch, ConflictPolicy.Rewrite) { pinned =>
+    storage.commitTransaction(branch, ConflictPolicy.Rewrite) { pinned =>
       val physCond = toPhysicalCol(cond)
       DmlOps.delete(spark, storage, pinned, physCond) match {
-        case None => (None, storage.metadata.maxSnapshotId + 1) // nothing matched
+        case None => None // nothing matched: no-op, returns the current head
         case Some(delPatch) =>
           // updated rows, built from the same pinned snapshot (CoW: the
           // delete rewrites files, it never mutates the pinned inputs)
@@ -197,7 +195,7 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
             df.withColumn(k, v)
           }
           val addPatch = RecordIO.writeWithRecords(spark, storage, toPhysicalDf(updated))
-          (Patch.merge(Seq(delPatch, addPatch)), storage.metadata.maxSnapshotId + 1)
+          Patch.merge(Seq(delPatch, addPatch))
       }
     }
   }
@@ -355,10 +353,9 @@ final class MergeBuilder private[core] (ds: SpaceDataset, source: DataFrame) {
   def execute(branch: String = ds.getCurrentBranch): Long = {
     require(matchedUpdate || matchedDeleteCond.isDefined || insertNew,
       "merge requires at least one WHEN clause")
-    ds.storage.transaction(branch) { pinned =>
-      (DmlOps.merge(ds.spark, ds.storage, pinned, source,
-        matchedUpdate, matchedDeleteCond.map(ds.toPhysicalCol), insertNew),
-        ds.storage.metadata.maxSnapshotId + 1)
+    ds.storage.commitTransaction(branch) { pinned =>
+      DmlOps.merge(ds.spark, ds.storage, pinned, source,
+        matchedUpdate, matchedDeleteCond.map(ds.toPhysicalCol), insertNew)
     }
   }
 }

@@ -369,13 +369,41 @@ final class Storage(val location: String, val conf: Configuration) {
       branch: String = SnapshotRef.MainBranch,
       policy: ConflictPolicy = ConflictPolicy.Strict,
       maxRetries: Int = 3)(
-      op: Long => (Option[Patch], T)): T = {
+      op: Long => (Option[Patch], T)): T =
+    transactionWithCommittedId(branch, policy, maxRetries) { pinned =>
+      val (patch, t) = op(pinned)
+      (patch, (_: Long) => t)
+    }
+
+  /** Transaction whose RESULT is the snapshot id the commit actually
+    * produced (under the lock), or the branch head at lock time when the
+    * op yields no patch (no-op mutation). Callers must use this — never
+    * precompute `maxSnapshotId + 1` inside op: under the Append/Rewrite
+    * policies a racing writer can take that id first, and the precomputed
+    * value would name the OTHER writer's snapshot. */
+  def commitTransaction(
+      branch: String = SnapshotRef.MainBranch,
+      policy: ConflictPolicy = ConflictPolicy.Strict,
+      maxRetries: Int = 3)(
+      op: Long => Option[Patch]): Long =
+    transactionWithCommittedId(branch, policy, maxRetries)(p => (op(p), identity[Long]))
+
+  /** General form: `op(pinnedHead)` returns the patch plus a result
+    * builder that receives the COMMITTED snapshot id (head at lock time
+    * if the patch is None) — the only value of the new id that is correct
+    * under concurrency. */
+  def transactionWithCommittedId[T](
+      branch: String = SnapshotRef.MainBranch,
+      policy: ConflictPolicy = ConflictPolicy.Strict,
+      maxRetries: Int = 3)(
+      op: Long => (Option[Patch], Long => T)): T = {
     var attempt = 0
     while (true) {
       reload()
       val pinned = branchHead(branch)
-      val (patch, result) = op(pinned)
+      val (patch, mkResult) = op(pinned)
       try {
+        var committedId = pinned
         withCommitLock {
           reload()
           val head = branchHead(branch)
@@ -392,9 +420,9 @@ final class Storage(val location: String, val conf: Configuration) {
             throw new ConcurrentCommitException(
               s"abort commit: branch $branch moved from snapshot $pinned to $head " +
                 s"and the $policy patch no longer applies")
-          patch.foreach(commit(_, branch))
+          committedId = patch.map(commit(_, branch)).getOrElse(head)
         }
-        return result
+        return mkResult(committedId)
       } catch {
         case _: ConcurrentCommitException if attempt < maxRetries => attempt += 1
       }

@@ -60,13 +60,18 @@ object Multimodal {
   /** Fixed-size binary chunking with ordinals (audio/window shape):
     * one output row per chunk, sliced with codegen'd `substring` on the
     * binary column — explode cost is proportional to CHUNKS, and the
-    * payload bytes are sliced, never copied whole per chunk row. */
+    * payload bytes are sliced, never copied whole per chunk row.
+    * Empty payloads emit exactly one empty chunk (`greatest(n-1, 0)`
+    * keeps the chunk count at 1 instead of integer-dividing -1, which
+    * truncates toward zero on this side but floors to -1 in engines
+    * with floor division — the oracle mirrors the same clamp). */
   def chunkPayload(df: DataFrame, idCol: String, payloadCol: String,
       chunkBytes: Int): DataFrame =
     df.select(col(idCol), col(payloadCol).as("__p"),
         octet_length(col(payloadCol)).as("__n"))
       .withColumn("chunk_idx",
-        explode(sequence(lit(0), ((col("__n") - 1) / chunkBytes).cast(IntegerType))))
+        explode(sequence(lit(0),
+          (greatest(col("__n") - 1, lit(0)) / chunkBytes).cast(IntegerType))))
       .select(col(idCol), col("chunk_idx"),
         expr(s"substring(__p, chunk_idx * $chunkBytes + 1, $chunkBytes)").as("chunk"))
       .withColumn("chunk_len", octet_length(col("chunk")))
@@ -111,7 +116,7 @@ object Multimodal {
     "m_chunk_bytes" ->
       """WITH c AS (
         |  SELECT doc_id, text,
-        |    CAST(unnest(range(0, CAST((length(text) - 1) // 256 AS INT) + 1))
+        |    CAST(unnest(range(0, CAST(greatest(length(text) - 1, 0) // 256 AS INT) + 1))
         |      AS INT) AS chunk_idx
         |  FROM documents)
         |SELECT doc_id, chunk_idx,

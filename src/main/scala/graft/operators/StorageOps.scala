@@ -169,6 +169,8 @@ object StorageOps {
       s.conf.set(s"spark.sql.catalog.$cat",
         classOf[org.apache.spark.sql.graftshim.GraftCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.location", root)
+      val prevV2Bucketing =
+        s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
       s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       s.sql(s"CREATE TABLE $cat.o (o_orderkey BIGINT, o_custkey BIGINT, " +
         "o_totalprice DOUBLE) TBLPROPERTIES ('primary_keys'='o_orderkey', " +
@@ -203,8 +205,21 @@ object StorageOps {
         require(!flatten(all(joinIdx)).exists(
           _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
           "storage-partitioned join still shuffled")
+        // materialize before the finally restores session state the scan needs
+        j.persist()
+        j.count()
         j
-      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+        prevV2Bucketing match {
+          case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+          case None => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        }
+        // drop the throwaway catalog registration (the UUID name would
+        // otherwise accumulate in session conf across benchmarked queries)
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.location")
+      }
     }),
 
     // Z-ORDER rewrite: scattered files → Morton-tiled files; pruning

@@ -117,9 +117,10 @@ final case class GraftCdcOffset(snapshotId: Long) extends Offset {
 }
 
 object GraftCdcOffset {
+  private val OffsetRe = """"snapshotId"\s*:\s*(-?\d+)""".r
   def fromJson(json: String): GraftCdcOffset =
-    GraftCdcOffset("""-?\d+""".r.findFirstIn(json).getOrElse(
-      throw new IllegalArgumentException(s"bad graft-cdc offset: $json")).toLong)
+    OffsetRe.findFirstMatchIn(json).map(m => GraftCdcOffset(m.group(1).toLong))
+      .getOrElse(throw new IllegalArgumentException(s"bad graft-cdc offset: $json"))
 }
 
 /** One changed file of one snapshot: read it, mask to the change's row
@@ -167,11 +168,16 @@ final class GraftCdcMicroBatchStream(
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     storage.reload()
     val head = storage.branchHead(branch)
+    val s = start.asInstanceOf[GraftCdcOffset].snapshotId
     maxSnapshotsPerBatch match {
-      case Some(m) =>
-        val s = start.asInstanceOf[GraftCdcOffset].snapshotId
-        GraftCdcOffset(math.min(head, s + m))
-      case None => GraftCdcOffset(head)
+      case Some(m) if head != s =>
+        // Snapshot ids are allocated GLOBALLY (across branches), so
+        // `start + m` arithmetic could land on another branch's snapshot.
+        // Walk THIS branch's parent chain instead and cap by ancestor
+        // count: the id m steps above start on the chain.
+        val chain = storage.orderedSnapshotIds(s, head) // (s, head], increasing
+        GraftCdcOffset(chain.take(math.min(m, Int.MaxValue).toInt).lastOption.getOrElse(s))
+      case _ => GraftCdcOffset(head)
     }
   }
 

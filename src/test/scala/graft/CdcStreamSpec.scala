@@ -123,4 +123,38 @@ class CdcStreamSpec extends AnyFunSuite {
     // one snapshot per micro-batch, order preserved, nothing lost
     assert(batches.toSeq == Seq(Seq(1L), Seq(2L), Seq(3L)))
   }
+
+  test("rate limit follows the branch chain across interleaved branch commits") {
+    // snapshot ids are GLOBAL: main's chain here is 1 → 3 → 5, with exp's
+    // snapshots 2 and 4 interleaved. `start + m` offset arithmetic would
+    // cap the first catch-up batch at snapshot 2 — a snapshot on exp —
+    // and either kill the stream or leak exp's changes into main's feed.
+    val root = Files.createTempDirectory("graft_cdcspec5_").toString
+    val ds = SpaceDataset.create(spark, s"$root/tbl", kvSchema, Seq("id"))
+    ds.append(kv(1L -> "a"))                    // snap 1 (main)
+    ds.addBranch("exp")
+    ds.append(kv(10L -> "x"), branch = "exp")   // snap 2 (exp)
+    ds.append(kv(2L -> "b"))                    // snap 3 (main)
+    ds.append(kv(11L -> "y"), branch = "exp")   // snap 4 (exp)
+    ds.append(kv(3L -> "c"))                    // snap 5 (main)
+
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Long)]]
+    val q = spark.readStream.format("graft-cdc")
+      .option("location", s"$root/tbl")
+      .option("maxSnapshotsPerBatch", "1")
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val rows = batch.collect().map(r =>
+          (r.getLong(0), r.getLong(r.fieldIndex("_commit_snapshot_id")))).toSeq
+        batches.synchronized { if (rows.nonEmpty) batches += rows }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches.toSeq == Seq(
+      Seq((1L, 1L)), Seq((2L, 3L)), Seq((3L, 5L))),
+      s"main's feed must be exactly its own chain, got $batches")
+  }
 }

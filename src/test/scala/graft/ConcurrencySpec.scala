@@ -114,6 +114,32 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("committed snapshot id is the commit's own, not a precomputed guess") {
+    val orders = Tables.read(spark, sfDir, "orders").limit(20)
+    val loc = Files.createTempDirectory("graft_cid_").toString + "/tbl"
+    val ds = SpaceDataset.create(spark, loc, orders.schema, Seq("o_orderkey"))
+    ds.append(orders) // snapshot 1
+
+    // a racing append takes the next id WHILE this transaction is open:
+    // under the Append policy both commit; the id returned to THIS caller
+    // must be the one its own commit produced (3), not pinned+1 (2)
+    val extra = orders.limit(5).withColumn("o_orderkey", col("o_orderkey") + 700000L)
+    val racing = orders.limit(5).withColumn("o_orderkey", col("o_orderkey") + 800000L)
+    val id = ds.storage.commitTransaction(policy = ConflictPolicy.Append) { _ =>
+      val patch = RecordIO.writeWithRecords(spark, ds.storage, extra)
+      SpaceDataset.load(spark, loc).append(racing) // takes snapshot 2
+      Some(patch)
+    }
+    assert(id == 3L, s"expected the racer to take id 2 and us id 3, got $id")
+    ds.storage.reload()
+    assert(ds.storage.metadata.currentSnapshotId == 3L)
+    assert(ds.readAll().count() == orders.count() + 10)
+
+    // a no-op mutation returns the branch head, as documented
+    val head = ds.storage.metadata.currentSnapshotId
+    assert(ds.delete(col("o_orderkey") === -1L) == head)
+  }
+
   test("stale commit locks are stolen; release only deletes the owner's lock") {
     val orders = Tables.read(spark, sfDir, "orders").limit(20)
     val loc = Files.createTempDirectory("graft_lock_").toString + "/tbl"
