@@ -6,49 +6,62 @@ import org.apache.spark.sql.types.DataType
 
 import graft.format.StoragePaths
 
-/** File pruning from the BUCKET layout alone: a filter that pins the
+/** File pruning from the BUCKET layout alone: a filter that pins EVERY
   * bucket column to literals can only match rows in the buckets those
-  * literals hash to, so every other bucket's files are skipped without
+  * tuples hash to, so every other bucket's files are skipped without
   * any stats — the O(1/numBuckets) point-lookup path of a bucketed
   * table (works even when the table was never clustered, where min/max
   * stats are useless).
   *
-  * Conservative by construction: anything not a literal equality/IN on
-  * the single bucket column — including type-mismatched literals, whose
-  * murmur3 differs from the column type's — keeps ALL buckets. AND
-  * intersects, OR unions (and widens to "all" if either side does).
-  * Multi-column bucket specs are not analyzed (always "all buckets"). */
+  * Conservative by construction: anything that does not reduce to a
+  * bounded set of full bucket-column assignments — non-literal
+  * comparisons, type-mismatched literals (whose murmur3 differs from the
+  * column type's), a disjunct that leaves a bucket column unpinned —
+  * keeps ALL buckets. AND merges assignments (conflicting pins make the
+  * conjunct unsatisfiable and drop out), OR unions disjuncts. */
 object BucketPruning {
 
-  /** Write-side bucket id of a literal: pmod(murmur3_32(v, seed 42), n)
-    * — HashPartitioning's partition id, the same function AppendOp's
-    * repartition and the catalog's `bucket` V2 function use. */
-  def bucketId(value: Any, dt: DataType, numBuckets: Int): Int = {
-    val h = Murmur3HashFunction.hash(value, dt, 42L).toInt
+  /** Write-side bucket id of a fully-pinned bucket-column tuple:
+    * murmur3_32 CHAINED across the columns in spec order from seed 42,
+    * then pmod — `HashPartitioning(cols, n)`'s partition id, exactly
+    * what AppendOp's `repartition(n, cols…)` and the catalog's `bucket`
+    * V2 function compute. */
+  def bucketId(values: Seq[(Any, DataType)], numBuckets: Int): Int = {
+    val h = values.foldLeft(42L) { case (seed, (v, dt)) =>
+      Murmur3HashFunction.hash(v, dt, seed)
+    }.toInt
     ((h % numBuckets) + numBuckets) % numBuckets
   }
 
-  /** Buckets `filters` (implicitly ANDed) can reach; None = all. */
+  def bucketId(value: Any, dt: DataType, numBuckets: Int): Int =
+    bucketId(Seq(value -> dt), numBuckets)
+
+  /** IN-lists cross-multiply under AND; beyond this many candidate
+    * assignments give up (keep all buckets) rather than enumerate. */
+  private val MaxAssignments = 256
+
+  /** Buckets `filters` (implicitly ANDed) can reach; None = all.
+    * `colTypes` must cover every bucket column. */
   def reachableBuckets(
       bucketCols: Seq[String],
-      colType: DataType,
+      colTypes: Map[String, DataType],
       numBuckets: Int,
       filters: Seq[Expression]): Option[Set[Int]] = {
-    if (bucketCols.size != 1 || numBuckets <= 0 || filters.isEmpty) return None
-    val bucketCol = bucketCols.head
+    if (bucketCols.isEmpty || numBuckets <= 0 || filters.isEmpty) return None
+    val bucketSet = bucketCols.toSet
 
     def attrName(e: Expression): Option[String] = e match {
       case a: AttributeReference => Some(a.name)
       case u: UnresolvedAttribute if u.nameParts.length == 1 => Some(u.nameParts.head)
       case _ => None
     }
-    def litOf(e: Expression): Option[(Any, DataType)] = e match {
+    def bucketAttr(e: Expression): Option[String] = attrName(e).filter(bucketSet.contains)
+    def litOf(e: Expression, col: String): Option[Any] = e match {
       // a literal of a DIFFERENT type than the column hashes differently
       // than the write path did — never prune on it
-      case Literal(v, dt) if v != null && dt == colType => Some((v, dt))
+      case Literal(v, dt) if v != null && dt == colTypes(col) => Some(v)
       case _ => None
     }
-    def isBucketAttr(e: Expression): Boolean = attrName(e).contains(bucketCol)
 
     // Column → expression conversion yields UnresolvedFunction nodes
     // ('`=`', '`and`', '`or`', '`in`') before analysis; normalize them to
@@ -67,32 +80,54 @@ object BucketPruning {
       case _ => e.mapChildren(norm)
     }
 
-    def walk(e0: Expression): Option[Set[Int]] = norm(e0) match {
+    // walk returns e's DISJUNCTS as partial bucket-column assignments:
+    // Some(set) = "e can only hold under one of these assignments" (each
+    // pinning a subset of the bucket columns); None = no information.
+    // An empty set means e is unsatisfiable over the bucket columns.
+    type Assign = Map[String, Any]
+    def pin(col: String, v: Any): Option[Set[Assign]] = Some(Set(Map(col -> v)))
+    def capped(s: Set[Assign]): Option[Set[Assign]] =
+      if (s.size > MaxAssignments) None else Some(s)
+
+    def walk(e0: Expression): Option[Set[Assign]] = norm(e0) match {
       case And(l, r) =>
         (walk(l), walk(r)) match {
-          case (Some(a), Some(b)) => Some(a intersect b)
-          case (a, b) => a.orElse(b)
+          case (Some(a), Some(b)) =>
+            // cross-merge; combos pinning the same column to different
+            // values are unsatisfiable and drop out
+            capped(for {
+              ma <- a; mb <- b
+              if ma.keySet.intersect(mb.keySet).forall(k => ma(k) == mb(k))
+            } yield ma ++ mb)
+          case (a, b) => a.orElse(b) // AND with an unknown side only narrows
         }
       case Or(l, r) =>
-        for (a <- walk(l); b <- walk(r)) yield a union b
-      case EqualTo(a, v) if isBucketAttr(a) =>
-        litOf(v).map { case (value, dt) => Set(bucketId(value, dt, numBuckets)) }
-      case EqualTo(v, a) if isBucketAttr(a) =>
-        litOf(v).map { case (value, dt) => Set(bucketId(value, dt, numBuckets)) }
-      case In(a, vs) if isBucketAttr(a) =>
-        val lits = vs.map(litOf)
-        if (lits.forall(_.isDefined))
-          Some(lits.flatten.map { case (value, dt) => bucketId(value, dt, numBuckets) }.toSet)
+        for (a <- walk(l); b <- walk(r); s <- capped(a union b)) yield s
+      case EqualTo(a, v) if bucketAttr(a).isDefined =>
+        val c = bucketAttr(a).get
+        litOf(v, c).flatMap(pin(c, _))
+      case EqualTo(v, a) if bucketAttr(a).isDefined =>
+        val c = bucketAttr(a).get
+        litOf(v, c).flatMap(pin(c, _))
+      case In(a, vs) if bucketAttr(a).isDefined =>
+        val c = bucketAttr(a).get
+        val lits = vs.map(litOf(_, c))
+        if (lits.forall(_.isDefined)) capped(lits.flatten.map(v => Map(c -> v): Assign).toSet)
         else None
-      case InSet(a, vs) if isBucketAttr(a) =>
-        Some(vs.filter(_ != null).map(v => bucketId(v, colType, numBuckets)).toSet)
+      case InSet(a, vs) if bucketAttr(a).isDefined =>
+        val c = bucketAttr(a).get
+        capped(vs.filter(_ != null).map(v => Map(c -> v): Assign).toSet)
       case _ => None
     }
 
-    // top-level filters AND together: intersect whatever is known
-    filters.flatMap(walk) match {
-      case Seq() => None
-      case sets => Some(sets.reduce(_ intersect _))
+    walk(filters.reduce(And)).flatMap { assignments =>
+      // every disjunct must pin EVERY bucket column; one partial
+      // disjunct can reach any bucket. An empty disjunct set means the
+      // filter is unsatisfiable — zero buckets reachable is sound.
+      if (assignments.forall(_.keySet == bucketSet))
+        Some(assignments.map(m =>
+          bucketId(bucketCols.map(c => m(c) -> colTypes(c)), numBuckets)))
+      else None
     }
   }
 
@@ -104,8 +139,8 @@ object BucketPruning {
       files: Seq[String]): Seq[String] = {
     val meta = storage.metadata
     if (meta.numBuckets == 0) return files
-    val colType = storage.schema(meta.bucketColumns.head).dataType
-    reachableBuckets(meta.bucketColumns, colType, meta.numBuckets, filters) match {
+    val colTypes = meta.bucketColumns.map(c => c -> storage.schema(c).dataType).toMap
+    reachableBuckets(meta.bucketColumns, colTypes, meta.numBuckets, filters) match {
       case None => files
       case Some(reach) =>
         files.filter(f => StoragePaths.bucketOf(f).forall(reach.contains))

@@ -65,35 +65,39 @@ object GraftBucketing {
     override def createReaderFactory(): PartitionReaderFactory = inner.createReaderFactory()
   }
 
-  /** The `bucket(numBuckets, value)` V2 function (resolved through
-    * [[GraftCatalog]]'s FunctionCatalog surface) — the SAME hash the
-    * write path uses: `pmod(murmur3_32(value, seed 42), n)`, i.e.
-    * Spark's own HashPartitioning id. Catalyst uses it to prove the two
-    * join sides' partitionings compatible (and to hash one side when
+  /** The `bucket(numBuckets, col1[, col2…])` V2 function (resolved
+    * through [[GraftCatalog]]'s FunctionCatalog surface) — the SAME hash
+    * the write path uses: murmur3_32 CHAINED over the bucket columns in
+    * spec order starting from seed 42, then pmod — i.e. Spark's own
+    * `HashPartitioning(cols, n)` partition id (what
+    * `df.repartition(n, cols…)` computes). Catalyst uses it to prove the
+    * two join sides' partitionings compatible (and to hash one side when
     * only one table is bucketed and v2 bucketing-shuffle is enabled). */
   object BucketUnbound extends UnboundFunction {
     override def name(): String = "bucket"
     override def description(): String =
-      "bucket(numBuckets, col): pmod(murmur3(col, seed 42), numBuckets)"
+      "bucket(numBuckets, cols…): pmod(murmur3(cols…, seed 42), numBuckets)"
     override def bind(inputType: StructType): BoundFunction = {
-      require(inputType.fields.length == 2,
-        s"bucket expects (numBuckets, value), got $inputType")
+      require(inputType.fields.length >= 2,
+        s"bucket expects (numBuckets, col1[, col2…]), got $inputType")
       require(inputType.fields(0).dataType == IntegerType,
         "bucket: numBuckets must be int")
-      new BucketBound(inputType.fields(1).dataType)
+      new BucketBound(inputType.fields.drop(1).map(_.dataType).toSeq)
     }
   }
 
-  final class BucketBound(valueType: DataType) extends ScalarFunction[Integer] {
-    override def inputTypes(): Array[DataType] = Array(IntegerType, valueType)
+  final class BucketBound(valueTypes: Seq[DataType]) extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = (IntegerType +: valueTypes).toArray
     override def resultType(): DataType = IntegerType
     override def name(): String = "bucket"
-    override def canonicalName(): String = s"graft.bucket(${valueType.simpleString})"
+    override def canonicalName(): String =
+      s"graft.bucket(${valueTypes.map(_.simpleString).mkString(",")})"
     override def isResultNullable: Boolean = false
     override def produceResult(input: InternalRow): Integer = {
       val n = input.getInt(0)
-      val v = input.get(1, valueType)
-      val h = Murmur3HashFunction.hash(v, valueType, 42L).toInt
+      val h = valueTypes.zipWithIndex.foldLeft(42L) { case (seed, (dt, i)) =>
+        Murmur3HashFunction.hash(input.get(i + 1, dt), dt, seed)
+      }.toInt
       ((h % n) + n) % n
     }
   }

@@ -372,7 +372,13 @@ final class GraftDelegatingScan(
   /** Bucketed tables report `KeyGroupedPartitioning(bucket(n, cols))` —
     * with `spark.sql.sources.v2.bucketing.enabled=true`, joins between
     * co-bucketed graft tables on the bucket columns need NO exchange
-    * (storage-partitioned join). */
+    * (storage-partitioned join). The zero-exchange join requires a
+    * SINGLE-column bucket spec: Spark's KeyGroupedPartitioning only
+    * matches single-leaf transforms against join keys (V2ExpressionUtils
+    * folds the numBuckets literal away for one-column bucket transforms
+    * only), so a chained multi-column transform can report here but never
+    * satisfy the join's distribution — those tables still get correct
+    * joins (with exchange) and fully-pinned bucket pruning. */
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     if (numBuckets > 0 && bucketedBatch.partitions.nonEmpty)

@@ -157,6 +157,99 @@ class BucketSpec extends AnyFunSuite {
     assert(viaSql == expected)
   }
 
+  test("multi-column buckets: SQL scans plan, joins stay correct, fully-pinned lookups prune") {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val orders = Tables.read(spark, sfDir, "orders")
+
+    // --- API path: pruning fires only when EVERY bucket column is pinned
+    val loc = Files.createTempDirectory("graft_mbk_").toString + "/tbl"
+    val ds = SpaceDataset.create(spark, loc, orders.schema, Seq("o_orderkey"),
+      bucketColumns = Seq("o_custkey", "o_orderstatus"), numBuckets = 8)
+    ds.append(orders.filter(col("o_orderkey") % 2 === 0))
+    ds.append(orders.filter(col("o_orderkey") % 2 =!= 0))
+
+    val row = orders.select("o_custkey", "o_orderstatus").first()
+    val (k, st) = (row.getLong(0), row.getString(1))
+    val both = col("o_custkey") === lit(k) && col("o_orderstatus") === lit(st)
+    val p = ds.plan(Some(both))
+    val expectedBucket = core.BucketPruning.bucketId(
+      Seq((k, LongType), (UTF8String.fromString(st), StringType)), 8)
+    assert(p.prunedFiles > 0, "fully-pinned 2-col lookup must prune")
+    assert(p.files.nonEmpty && p.files.forall(f =>
+      graft.format.StoragePaths.bucketOf(f).contains(expectedBucket)),
+      s"kept files outside bucket $expectedBucket: ${p.files}")
+    // soundness: pruned read returns exactly the filter's rows
+    val got = ds.read(filter = Some(both)).count()
+    val expected = orders.filter(both).count()
+    assert(got == expected && got > 0)
+
+    // one pinned column of two is NOT enough (any bucket reachable)
+    assert(ds.plan(Some(col("o_custkey") === lit(k))).prunedFiles == 0)
+    // contradictory pins are unsatisfiable: every file pruned, zero rows
+    val conflict = col("o_custkey") === lit(k) && col("o_custkey") === lit(k + 1) &&
+      col("o_orderstatus") === lit(st)
+    val pc = ds.plan(Some(conflict))
+    assert(pc.files.isEmpty)
+    assert(ds.read(filter = Some(conflict)).count() == 0)
+
+    // soundness fuzz across key tuples: pruned count == plain filter count
+    orders.select("o_custkey", "o_orderstatus").distinct().limit(12).collect()
+      .foreach { r =>
+        val c = col("o_custkey") === lit(r.getLong(0)) &&
+          col("o_orderstatus") === lit(r.getString(1))
+        assert(ds.read(filter = Some(c)).count() == orders.filter(c).count())
+      }
+
+    // --- SQL path: a multi-column-bucketed scan must PLAN (the bucket()
+    // function binds N columns — it used to die in bind()), and joins
+    // stay CORRECT. Zero-exchange SPJ is single-column-only: Spark's
+    // KeyGroupedPartitioning.satisfies only accepts single-leaf
+    // transforms (V2ExpressionUtils folds the numBuckets literal away
+    // for 1-column bucket transforms only), so one chained transform
+    // spanning two join keys can never match the join's distribution.
+    val root = Files.createTempDirectory("graft_mspj_").toString
+    spark.conf.set("spark.sql.catalog.gmbk",
+      classOf[org.apache.spark.sql.graftshim.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmbk.location", root)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.sql("CREATE TABLE gmbk.a (o_orderkey BIGINT, o_custkey BIGINT, " +
+      "o_orderstatus STRING, o_totalprice DOUBLE) TBLPROPERTIES " +
+      "('primary_keys'='o_orderkey', 'bucket_columns'='o_custkey,o_orderstatus', " +
+      "'num_buckets'='8')")
+    spark.sql("CREATE TABLE gmbk.b (o_orderkey BIGINT, o_custkey BIGINT, " +
+      "o_orderstatus STRING) TBLPROPERTIES " +
+      "('primary_keys'='o_orderkey', 'bucket_columns'='o_custkey,o_orderstatus', " +
+      "'num_buckets'='8')")
+    orders.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .write.mode("append").insertInto("gmbk.a")
+    orders.select("o_orderkey", "o_custkey", "o_orderstatus")
+      .write.mode("append").insertInto("gmbk.b")
+
+    // plain scan of a multi-col bucketed table must not die at plan time
+    assert(spark.sql("SELECT count(*) AS n FROM gmbk.a").collect()(0).getLong(0)
+      == orders.count())
+
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.sql(
+        "SELECT a.o_orderkey, a.o_totalprice FROM gmbk.a a JOIN gmbk.b b " +
+          "ON a.o_custkey = b.o_custkey AND a.o_orderstatus = b.o_orderstatus")
+      val plain = orders.as("x").join(orders.as("y"),
+        Seq("o_custkey", "o_orderstatus")).count()
+      assert(j.count() == plain, "2-col bucketed join lost rows")
+      // SQL equality on both bucket columns prunes through Catalyst too
+      val one = spark.sql("SELECT count(*) AS n FROM gmbk.a WHERE " +
+        s"o_custkey = $k AND o_orderstatus = '$st'").collect()(0).getLong(0)
+      assert(one == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.unset("spark.sql.catalog.gmbk")
+      spark.conf.unset("spark.sql.catalog.gmbk.location")
+    }
+  }
+
   test("bucketed tables refuse zero-copy ingest; bucket column must exist") {
     val orders = Tables.read(spark, sfDir, "orders")
     intercept[IllegalArgumentException] {
