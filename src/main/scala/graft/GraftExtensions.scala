@@ -29,7 +29,7 @@ import graft.functions.{LangId, TextFunctions => TF, VectorFunctions => VF}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach { case (name, arity, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
@@ -39,6 +39,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           builder(exprs)
         }))
     }
+    // SQL row-level parity: UPDATE / MERGE INTO on graft catalog tables
+    // resolve to the SpaceDataset CoW machinery (DELETE already works
+    // through DSv2 SupportsDelete without any rule)
+    ext.injectResolutionRule(org.apache.spark.sql.graftshim.GraftRowLevelSqlRule)
+  }
 }
 
 object GraftExtensions {

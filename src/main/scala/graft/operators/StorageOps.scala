@@ -251,6 +251,56 @@ object StorageOps {
       ds.readAll()
     }),
 
+    // SQL UPDATE through the catalog (same CoW semantics as s_update —
+    // the resolution rule delegates to SpaceDataset.update)
+    "s_sql_update" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val dir = Files.createTempDirectory("graft_sqlupd").toString
+      val ds = SpaceDataset.create(s, dir + "/tbl", o.schema, Seq("o_orderkey"))
+      ds.append(o.repartitionByRange(8, col("o_orderkey")))
+      val cat = "gsu" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[org.apache.spark.sql.graftshim.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.location", dir)
+      try {
+        s.sql(s"UPDATE $cat.tbl SET o_totalprice = o_totalprice * 2, " +
+          "o_orderpriority = '9-UPDATED' WHERE o_orderkey % 7 = 0")
+        s.sql(s"SELECT * FROM $cat.tbl")
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.location")
+      }
+    }),
+
+    // SQL MERGE INTO through the catalog: conditional DELETE +
+    // UPDATE SET * + INSERT * in ONE snapshot (mirrors s_merge)
+    "s_sql_merge" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val dir = Files.createTempDirectory("graft_sqlmrg").toString
+      val ds = SpaceDataset.create(s, dir + "/tbl", o.schema, Seq("o_orderkey"))
+      ds.append(o.filter(col("o_orderkey") <= 3000L))
+      val src = "sql_merge_src_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      o.filter(col("o_orderkey") > 2000L && col("o_orderkey") <= 5000L)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .createOrReplaceTempView(src)
+      val cat = "gsm" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[org.apache.spark.sql.graftshim.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.location", dir)
+      try {
+        s.sql(s"""MERGE INTO $cat.tbl t USING $src s ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED AND s.o_orderstatus = 'F' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        s.sql(s"SELECT * FROM $cat.tbl")
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.location")
+        s.catalog.dropTempView(src)
+      }
+    }),
+
     // metadata-only RENAME + DROP COLUMN (column mapping): data written
     // before AND after the rename reads under the new logical name; the
     // dropped column vanishes without any file rewrite
@@ -422,6 +472,25 @@ object StorageOps {
     "s_bucket_lookup" ->
       "SELECT * FROM orders WHERE o_custkey = (SELECT min(o_custkey) FROM orders)",
     "s_zorder" -> "SELECT * FROM orders WHERE o_totalprice > 400000.0",
+    "s_sql_update" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN '9-UPDATED'
+        |       ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders""".stripMargin,
+    "s_sql_merge" ->
+      """SELECT * FROM orders WHERE o_orderkey <= 2000
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders
+        |WHERE o_orderkey > 2000 AND o_orderkey <= 3000 AND o_orderstatus <> 'F'
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey > 3000 AND o_orderkey <= 5000""".stripMargin,
     "s_update" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2

@@ -222,6 +222,8 @@ final class GraftTable(
   extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   private def storage = ds.storage
+  private[graftshim] def dataset: SpaceDataset = ds
+  private[graftshim] def isPinned: Boolean = pinned.isDefined
   private val snapshotId: Long = pinned.getOrElse(storage.branchHead(ds.getCurrentBranch))
   private val physical: StructType = ReadOp.physicalSchema(storage.schema, storage.recordFields)
   // SQL surface speaks LOGICAL names (renames applied); the parquet

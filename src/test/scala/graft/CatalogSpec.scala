@@ -174,6 +174,75 @@ class CatalogSpec extends AnyFunSuite {
     assert(drain(s"$ckroot/c2", ignoreDeletes = true) == Seq(1L, 2L, 3L))
   }
 
+  test("UPDATE through SQL runs the CoW row-level update") {
+    root
+    spark.sql("CREATE TABLE graft_test.upd (id BIGINT, price DOUBLE, tag STRING) " +
+      "TBLPROPERTIES ('primary_keys'='id')")
+    spark.sql("INSERT INTO graft_test.upd VALUES (1, 10.0, 'a'), (2, 20.0, 'b'), " +
+      "(3, 30.0, 'a')")
+    spark.sql("UPDATE graft_test.upd SET price = price * 2, tag = 'x' WHERE id % 2 = 1")
+    val rows = spark.sql("SELECT * FROM graft_test.upd ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(rows == Seq((1L, 20.0, "x"), (2L, 20.0, "b"), (3L, 60.0, "x")))
+
+    // unconditional UPDATE hits every row
+    spark.sql("UPDATE graft_test.upd SET tag = 'all'")
+    assert(spark.sql("SELECT count(*) AS n FROM graft_test.upd WHERE tag = 'all'")
+      .collect()(0).getLong(0) == 3)
+
+    // ONE snapshot per UPDATE, encoded as DELETE+ADD in the change feed
+    val ds = SpaceDataset.load(spark, s"$root/upd")
+    val head = ds.storage.metadata.currentSnapshotId
+    val batches = ds.diff((head - 1).toString, head.toString)
+    assert(batches.map(_.changeType).sorted == Seq("ADD", "DELETE"))
+
+    // assigning a primary key is refused (delete+insert, spell it as one)
+    intercept[Exception] {
+      spark.sql("UPDATE graft_test.upd SET id = id + 1 WHERE id = 1")
+    }
+    // time-travel tables are immutable
+    intercept[Exception] {
+      spark.sql(s"UPDATE graft_test.upd VERSION AS OF 1 SET tag = 'nope'")
+    }
+  }
+
+  test("MERGE INTO through SQL: delete, update-star, insert-star in one snapshot") {
+    root
+    spark.sql("CREATE TABLE graft_test.mt (id BIGINT, price DOUBLE, st STRING) " +
+      "TBLPROPERTIES ('primary_keys'='id')")
+    spark.sql("INSERT INTO graft_test.mt VALUES (1, 10.0, 'F'), (2, 20.0, 'O'), " +
+      "(3, 30.0, 'F')")
+    import spark.implicits._
+    Seq((2L, 200.0, "O"), (3L, 300.0, "F"), (4L, 400.0, "O"))
+      .toDF("id", "price", "st").createOrReplaceTempView("mt_src")
+
+    val before = SpaceDataset.load(spark, s"$root/mt").storage.metadata.currentSnapshotId
+    spark.sql("""MERGE INTO graft_test.mt t USING mt_src s ON t.id = s.id
+      |WHEN MATCHED AND s.st = 'F' THEN DELETE
+      |WHEN MATCHED THEN UPDATE SET *
+      |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = spark.sql("SELECT * FROM graft_test.mt ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    // 1 untouched, 2 updated, 3 deleted (matched + F), 4 inserted
+    assert(rows == Seq((1L, 10.0, "F"), (2L, 200.0, "O"), (4L, 400.0, "O")))
+    val ds = SpaceDataset.load(spark, s"$root/mt")
+    assert(ds.storage.metadata.currentSnapshotId == before + 1, "MERGE must be ONE snapshot")
+
+    // unsupported shapes fail loudly instead of changing semantics
+    intercept[Exception] { // ON must equate the primary keys
+      spark.sql("MERGE INTO graft_test.mt t USING mt_src s ON t.price = s.price " +
+        "WHEN MATCHED THEN DELETE")
+    }
+    intercept[Exception] { // general assignments need the API
+      spark.sql("MERGE INTO graft_test.mt t USING mt_src s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET price = s.price + 1")
+    }
+    intercept[Exception] { // NOT MATCHED BY SOURCE is not supported
+      spark.sql("MERGE INTO graft_test.mt t USING mt_src s ON t.id = s.id " +
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    }
+  }
+
   test("DROP TABLE removes the dataset") {
     root
     spark.sql(
