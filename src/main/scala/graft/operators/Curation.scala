@@ -122,23 +122,13 @@ object Curation {
     // concat-and-chunk sequence packing: per source, documents in doc_id
     // order are concatenated token-wise and cut into 2048-token context
     // windows; each doc reports its token offset and the chunk range it
-    // spans. One shuffle (by source) + a running-sum window — the
-    // pipeline's layout step before tensorization. At 100 TB the window
-    // per source is the scale risk: sub-bucket hot sources (the split is
-    // deterministic, so chunk ids stay stable) or pack per partition.
-    "d_pack_chunks" -> ((s, d) => {
-      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      docs(s, d)
+    // spans — the pipeline's layout step before tensorization. TWO-LEVEL
+    // prefix sum (a per-source unbounded window would make one dominant
+    // source ONE task at 100 TB): see [[packChunks]].
+    "d_pack_chunks" -> ((s, d) =>
+      packChunks(docs(s, d)
         .select(col("doc_id"), col("source"),
-          TF.approxBpeTokenCount(col("text")).cast("long").as("n_tok"))
-        .withColumn("tok_start", coalesce(sum(col("n_tok")).over(w), lit(0L)))
-        .withColumn("start_chunk", floor(col("tok_start") / 2048.0).cast("long"))
-        .withColumn("end_chunk",
-          when(col("n_tok") <= 0, col("start_chunk"))
-            .otherwise(floor((col("tok_start") + col("n_tok") - 1) / 2048.0))
-            .cast("long"))
-    }),
+          TF.approxBpeTokenCount(col("text")).cast("long").as("n_tok")))),
 
     // PII scrub: regex redaction of emails/phones with per-doc counts.
     // The corpus plants synthetic PII on doc_id % 10 == 0 (the testdata
@@ -161,6 +151,65 @@ object Curation {
   // shared by Spark + DuckDB sides (Java regex and RE2 agree on these)
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** Sequence packing as a TWO-LEVEL prefix sum. The naive plan —
+    * `sum(n_tok) over (partition by source order by doc_id)` — serializes
+    * each source into one task: a dominant source at 100 TB is one
+    * straggler doing the whole running sum. Instead:
+    *
+    *   1. slice each source into `subBuckets` ORDER-PRESERVING ranges of
+    *      `doc_id` (monotonic in doc_id, so per-source packing order —
+    *      and therefore every chunk id — is byte-identical to the naive
+    *      plan's);
+    *   2. aggregate per-bucket token sums (map-side combined; the frame
+    *      is sources × subBuckets rows) and turn them into cumulative
+    *      bucket offsets with a window over that TINY frame;
+    *   3. broadcast the offsets back and run the running-sum window
+    *      WITHIN each (source, bucket) — parallelism is
+    *      sources × subBuckets instead of sources.
+    *
+    * The broadcasts assume sources × subBuckets ≪ corpus (thousands of
+    * sources, not billions); with an unbounded source column the hints
+    * come off and the joins degrade to shuffles, still avoiding the
+    * single-task window. `base` must carry `doc_id`, `source`, `n_tok`. */
+  private[graft] def packChunks(base: DataFrame, subBuckets: Int = 64): DataFrame = {
+    val bucketed = withRangeBuckets(base, subBuckets)
+    val wOff = Window.partitionBy(col("source")).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("source"), col("__bkt"))
+      .agg(sum(col("n_tok")).as("__bsum"))
+      .withColumn("__off", coalesce(sum(col("__bsum")).over(wOff), lit(0L)))
+      .select(col("source"), col("__bkt"), col("__off"))
+    val wIn = Window.partitionBy(col("source"), col("__bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(offsets), Seq("source", "__bkt"))
+      .withColumn("tok_start",
+        col("__off") + coalesce(sum(col("n_tok")).over(wIn), lit(0L)))
+      .withColumn("start_chunk", floor(col("tok_start") / 2048.0).cast("long"))
+      .withColumn("end_chunk",
+        when(col("n_tok") <= 0, col("start_chunk"))
+          .otherwise(floor((col("tok_start") + col("n_tok") - 1) / 2048.0))
+          .cast("long"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("tok_start"),
+        col("start_chunk"), col("end_chunk"))
+  }
+
+  /** Deterministic ORDER-PRESERVING sub-buckets: bucket of a row is its
+    * doc_id's position in the source's [min, max] id range scaled to `k`
+    * slices — monotonically non-decreasing in doc_id (double multiply /
+    * divide by positive constants are monotone), so concatenation order
+    * survives. Balanced for roughly uniform ids; a production pipeline
+    * with adversarial id distributions would plug approxQuantile
+    * boundaries into the same shape. */
+  private[graft] def withRangeBuckets(base: DataFrame, k: Int): DataFrame = {
+    val bounds = base.groupBy(col("source"))
+      .agg(min(col("doc_id")).as("__min"), max(col("doc_id")).as("__max"))
+    base.join(broadcast(bounds), Seq("source"))
+      .withColumn("__bkt", least(lit(k - 1), floor(
+        (col("doc_id") - col("__min")).cast("double") * k /
+          (col("__max") - col("__min") + 1).cast("double")).cast("int")))
+      .drop("__min", "__max")
+  }
 
   val oracleSql: Map[String, String] = Map(
     "d_decontaminate" ->

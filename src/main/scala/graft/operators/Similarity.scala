@@ -87,12 +87,18 @@ object Similarity {
   }
 
   /** K-means coarse quantizer: Lloyd's iterations as DataFrame jobs over
-    * a bounded sample. Deterministic: init = the `numCentroids` rows with
-    * the smallest id-hash (a seeded pseudo-random pick that never
-    * collects more than `sampleSize` vectors); each iteration is one
-    * assignment scan + a per-(cell, dimension) mean via posexplode —
-    * the shuffle carries `numCentroids × dim` partial sums, not vectors.
-    * Empty cells keep their previous centroid. */
+    * a bounded sample. Deterministic: the sample is a PER-PARTITION HASH
+    * THRESHOLD — keep rows whose seeded id-hash falls under a
+    * count-calibrated cutoff. (`orderBy(hash).limit(n)` would compile to
+    * TakeOrderedAndProject, whose driver merge is O(partitions × n) —
+    * the wrong shape at extreme partition counts; the threshold filter
+    * ships nothing to the driver and needs no sort.) Init = the
+    * `numCentroids` smallest-hash rows OF THE BOUNDED SAMPLE (a top-16
+    * over ≤~1.1 × sampleSize rows — same pick as before, so results are
+    * unchanged); each iteration is one assignment scan + a per-(cell,
+    * dimension) mean via posexplode — the shuffle carries
+    * `numCentroids × dim` partial sums, not vectors. Empty cells keep
+    * their previous centroid. */
   def trainCentroids(
       df: DataFrame,
       vecCol: String,
@@ -102,13 +108,10 @@ object Similarity {
       numIters: Int = 3,
       sampleSize: Int = 100000,
       seed: Long = 42L): Seq[Seq[Double]] = {
-    val sample = df
-      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .orderBy(xxhash64(col("id"), lit(seed)))
-      .limit(sampleSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sample = thresholdSample(df, vecCol, idCol, sampleSize, numCentroids, seed)
     try {
-      var centroids: Seq[Seq[Double]] = sample.limit(numCentroids)
+      var centroids: Seq[Seq[Double]] = sample
+        .orderBy(col("__h")).limit(numCentroids)
         .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
       var iter = 0
       while (iter < numIters) {
@@ -132,6 +135,41 @@ object Similarity {
       }
       centroids
     } finally { sample.unpersist(); () }
+  }
+
+  /** Deterministic bounded sample without a global sort: keep rows whose
+    * seeded id-hash falls under a count-calibrated cutoff (expected hits
+    * ≈ 1.1 × sampleSize), widening the cutoff (still deterministically)
+    * if the hash under-delivers. The plan is scan + filter — nothing
+    * rides to the driver, unlike TakeOrderedAndProject's
+    * O(partitions × sampleSize) merge. Returned frame is persisted;
+    * caller unpersists. Columns: id, v, __h. */
+  private[graft] def thresholdSample(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      sampleSize: Int,
+      minRows: Int,
+      seed: Long): DataFrame = {
+    val HashMod = 1L << 32
+    val keyed = df
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("__h", pmod(xxhash64(col("id"), lit(seed)), lit(HashMod)))
+    val total = keyed.count()
+    def sampleAt(cutoff: Long) = keyed.filter(col("__h") < cutoff)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cutoff =
+      if (total <= sampleSize) HashMod
+      else math.min(HashMod,
+        math.max(1L, (HashMod.toDouble * sampleSize * 1.1 / total).toLong))
+    var sample = sampleAt(cutoff)
+    val needed = math.max(minRows.toLong, math.min(total, sampleSize.toLong) / 2)
+    while (sample.count() < needed && cutoff < HashMod) {
+      sample.unpersist()
+      cutoff = math.min(HashMod, cutoff * 2)
+      sample = sampleAt(cutoff)
+    }
+    sample
   }
 
   /** TRUE IVF ANN: k-means-trained coarse quantizer (vs [[ivfTopK]]'s

@@ -94,6 +94,41 @@ class CurationSpec extends AnyFunSuite {
     } finally { out.unpersist(); () }
   }
 
+  test("pack chunks: two-level prefix sum matches the naive window on a skewed source") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // one dominant source (90% of rows) + a tail source: the naive plan
+    // runs the hot source as ONE task; the two-level plan must split it
+    // across many sub-buckets while producing the identical layout
+    val rows = (0L until 3000L).map(i =>
+      (i, if (i % 10 == 0) "tail" else "hot", 1L + (i * 37) % 500)) ++
+      Seq((9000001L, "solo", 7L)) // single-doc source: min == max edge
+    val base = rows.toDF("doc_id", "source", "n_tok")
+
+    val got = Curation.packChunks(base, subBuckets = 16)
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naive = base
+      .withColumn("tok_start", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("start_chunk", floor(col("tok_start") / 2048.0).cast("long"))
+      .withColumn("end_chunk",
+        when(col("n_tok") <= 0, col("start_chunk"))
+          .otherwise(floor((col("tok_start") + col("n_tok") - 1) / 2048.0)).cast("long"))
+    assert(got.count() == naive.count())
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty,
+      "two-level packing must be byte-identical to the naive per-source window")
+
+    // the hot source really is split: its window runs over many
+    // (source, bucket) groups, not one per-source task
+    val bucketsUsed = Curation.withRangeBuckets(base, 16)
+      .filter(col("source") === "hot")
+      .select("__bkt").distinct().count()
+    assert(bucketsUsed > 8, s"skewed source must spread over sub-buckets, got $bucketsUsed")
+    // a single-doc source degenerates to one bucket, not a crash
+    assert(Curation.withRangeBuckets(base, 16).filter(col("source") === "solo")
+      .select("__bkt").distinct().count() == 1)
+  }
+
   test("repetition fractions are consistent and bounded") {
     val rep = run("d_repetition").cache()
     try {

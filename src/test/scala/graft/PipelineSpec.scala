@@ -80,6 +80,18 @@ class PipelineSpec extends AnyFunSuite {
     val c1 = Similarity.trainCentroids(embeddings, "embedding", "vec_id", 64, 8, numIters = 2)
     val c2 = Similarity.trainCentroids(embeddings, "embedding", "vec_id", 64, 8, numIters = 2)
     assert(c1 == c2)
+
+    // the training sample is a hash-threshold FILTER, not a global sort:
+    // no TakeOrderedAndProject anywhere in its plan, and the cutoff
+    // delivers a bounded-but-sufficient sample
+    val sample = Similarity.thresholdSample(embeddings, "embedding", "vec_id",
+      sampleSize = 100, minRows = 8, seed = 42L)
+    try {
+      val plan = sample.queryExecution.executedPlan.toString
+      assert(!plan.contains("TakeOrdered"), s"sampling plan sorts globally:\n$plan")
+      val n = sample.count()
+      assert(n >= 50 && n <= 300, s"cutoff calibration off: $n rows for target 100")
+    } finally { sample.unpersist(); () }
   }
 
   test("text functions: token counts, quality in range, fingerprint order-sensitive") {
