@@ -160,16 +160,26 @@ object DmlOps {
       removedStats: StorageStatistics,
       affectedFileRows: Map[String, Long])
 
+  /** Above this many surviving rows the carryover manifest is written by
+    * a distributed job instead of a driver collect (the same cutover
+    * shape as AppendOp's footer harvest): collecting is fine at
+    * thousands of files but is the first thing to break past ~10⁶. */
+  private[core] val CarryoverDriverMaxRows = 50000
+
   /** Manifest carryover for a CoW rewrite of `affectedRel` files: drop
     * the manifests that list them and re-emit their UNTOUCHED rows as
-    * one combined manifest (delete.py:144-150). Also returns the
+    * carryover manifest(s) (delete.py:144-150). Also returns the
     * negative stats delta of the affected files and their per-file row
-    * counts. Shared by delete and compaction. */
+    * counts. Shared by delete and compaction. Small carryovers (≤
+    * `driverMaxRows`, the overwhelmingly common case) write driver-side
+    * without a Spark job; larger ones write distributed, one manifest
+    * per task output. */
   private[core] def manifestCarryover(
       spark: SparkSession,
       storage: Storage,
       snapshotId: Long,
-      affectedRel: Set[String]): CarryoverResult = {
+      affectedRel: Set[String],
+      driverMaxRows: Int = CarryoverDriverMaxRows): CarryoverResult = {
     val manifests = storage.snapshotOrFail(snapshotId).manifestFiles.indexManifestFiles
     val mdf = ManifestIO.readIndexManifests(spark, storage, manifests)
       .withColumn("__mfile", element_at(split(col("_metadata.file_path"), "/"), -1))
@@ -179,21 +189,21 @@ object DmlOps {
       .select(col("__mfile")).distinct().collect().map(_.getString(0)).toSeq
     val removedManifests = affectedManifestNames.map(manifestRelByName).toList
 
-    // manifest rows fit on the driver (the planner collects the file
-    // list from them anyway) → write the carryover without a Spark job
     val carryover = mdf
       .filter(col("__mfile").isin(affectedManifestNames: _*) &&
         !col(ManifestIO.FileCol).isin(affectedRel.toSeq: _*))
       .drop("__mfile")
-    val carryoverRows = carryover.collect().toSeq
+    // probe one past the cutover: a short collect decides the path
+    // without a separate count job
+    val head = carryover.limit(driverMaxRows + 1).collect().toSeq
     val carryoverManifest =
-      if (carryoverRows.isEmpty) Nil
-      else {
+      if (head.isEmpty) Nil
+      else if (head.size <= driverMaxRows) {
         val rel = StoragePaths.newIndexManifestFile()
         DriverParquet.write(spark.sparkContext.hadoopConfiguration,
-          storage.absolute(rel), carryover.schema, carryoverRows)
+          storage.absolute(rel), carryover.schema, head)
         List(rel)
-      }
+      } else writeCarryoverDistributed(spark, storage, carryover)
 
     // negative stats of the removed files (delete.py's stats delta)
     val removedStats = mdf
@@ -212,6 +222,36 @@ object DmlOps {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
     CarryoverResult(removedManifests, carryoverManifest, removed, fileRows)
+  }
+
+  /** Distributed carryover write: executors write the surviving manifest
+    * rows as parquet; the driver renames each non-empty part file into a
+    * manifest name. Driver work is O(part files), never O(rows). */
+  private def writeCarryoverDistributed(
+      spark: SparkSession,
+      storage: Storage,
+      carryover: DataFrame): List[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmpRel = s"${StoragePaths.MetadataDir}/tmp_carry_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val tmpAbs = storage.absolute(tmpRel)
+    carryover.write.mode("overwrite").parquet(tmpAbs)
+    val fs = new Path(tmpAbs).getFileSystem(conf)
+    val parts = fs.listStatus(new Path(tmpAbs)).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val rels = parts.toList.flatMap { p =>
+      // a task whose partition lost every row still writes a 0-row part;
+      // it never becomes a manifest
+      if (ManifestIO.harvestFooter(p.toString, p.toString, conf, Nil).numRows == 0L) None
+      else {
+        val rel = StoragePaths.newIndexManifestFile()
+        if (!fs.rename(p, new Path(storage.absolute(rel))))
+          throw new java.io.IOException(s"rename $p failed")
+        Some(rel)
+      }
+    }
+    fs.delete(new Path(tmpAbs), true)
+    rels
   }
 
   /** Atomic whole-table overwrite (SQL `INSERT OVERWRITE` = truncate +

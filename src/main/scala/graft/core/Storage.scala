@@ -127,15 +127,34 @@ final class Storage(val location: String, val conf: Configuration) {
       case _ => throw new IllegalArgumentException(s"branch $branch not found")
     }
 
-  /** tag/branch name or numeric string → snapshot id (storage.py:224-236). */
+  /** tag/branch name, numeric snapshot id, or ISO-8601 timestamp
+    * (`2026-08-13T01:00:00Z` → latest snapshot at or before it) →
+    * snapshot id (storage.py:224-236, plus TIMESTAMP-AS-OF parity with
+    * the SQL path). */
   def versionToSnapshotId(version: String): Long =
     meta.refs.get(version).map(_.snapshotId).getOrElse {
       if (version == SnapshotRef.MainBranch) meta.currentSnapshotId
       else try version.toLong catch {
         case _: NumberFormatException =>
-          throw new IllegalArgumentException(s"version $version not found")
+          try snapshotIdAtTimestamp(java.time.Instant.parse(version).toEpochMilli)
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              throw new IllegalArgumentException(
+                s"version $version is not a tag, branch, snapshot id, " +
+                  "or ISO-8601 timestamp")
+          }
       }
     }
+
+  /** Latest snapshot created at or before `cutoffMs` — the
+    * `TIMESTAMP AS OF` rule, shared by the SQL catalog and the API read
+    * path. Ties on createTimeMs resolve to the higher snapshot id. */
+  def snapshotIdAtTimestamp(cutoffMs: Long): Long = {
+    val eligible = meta.snapshots.values.filter(_.createTimeMs <= cutoffMs)
+    require(eligible.nonEmpty,
+      s"no snapshot of $location exists at or before timestamp $cutoffMs ms")
+    eligible.maxBy(s => (s.createTimeMs, s.snapshotId)).snapshotId
+  }
 
   def snapshotOrFail(id: Long): Snapshot = meta.snapshot(id).getOrElse(
     throw new IllegalArgumentException(s"snapshot $id not found"))

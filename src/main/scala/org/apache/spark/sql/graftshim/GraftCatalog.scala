@@ -112,15 +112,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   }
 
   /** `TIMESTAMP AS OF` time travel; Spark hands micros since epoch —
-    * resolve to the latest snapshot at or before that instant. */
+    * resolve to the latest snapshot at or before that instant (the same
+    * rule [[graft.core.Storage.snapshotIdAtTimestamp]] gives API reads). */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val ds = loadDataset(ident)
-    val cutoffMs = Math.floorDiv(timestampMicros, 1000L)
-    val eligible = ds.storage.versions.filter(_._3 <= cutoffMs)
-    require(eligible.nonEmpty,
-      s"no snapshot of ${ident.name} exists at or before timestamp $cutoffMs ms")
     new GraftTable(spark, ds, s"$catalogName.${ident.name}",
-      Some(eligible.maxBy(v => (v._3, v._1))._1))
+      Some(ds.storage.snapshotIdAtTimestamp(Math.floorDiv(timestampMicros, 1000L))))
   }
 
   override def createTable(

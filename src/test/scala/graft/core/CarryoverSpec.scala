@@ -1,0 +1,55 @@
+package graft.core
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+/** Manifest carryover: the driver-collect path and the distributed
+  * cutover ([[DmlOps.manifestCarryover]]) must emit the same surviving
+  * manifest content. In graft.core for access to the private op. */
+class CarryoverSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("distributed carryover writes the same surviving rows as the driver path") {
+    val orders = Tables.read(spark, sfDir, "orders")
+    val dir = Files.createTempDirectory("graft_carry_").toString
+    val ds = SpaceDataset.create(spark, dir + "/tbl", orders.schema, Seq("o_orderkey"))
+    // 16 files in one manifest → rewriting 2 carries over 14 rows
+    ds.append(orders.repartition(16))
+    val snap = ds.storage.metadata.currentSnapshotId
+    val files = ds.indexFiles().sorted
+    assert(files.size == 16)
+    val affected = files.take(2).toSet
+
+    def readManifests(rels: Seq[String]) =
+      spark.read.parquet(rels.map(ds.storage.absolute): _*)
+        .collect().map(_.toString).sorted.toSeq
+
+    val viaDriver = DmlOps.manifestCarryover(spark, ds.storage, snap, affected)
+    val viaJob = DmlOps.manifestCarryover(spark, ds.storage, snap, affected,
+      driverMaxRows = 5)
+    assert(viaDriver.carryoverManifests.size == 1)
+    assert(viaJob.carryoverManifests.nonEmpty)
+    assert(readManifests(viaDriver.carryoverManifests) ==
+      readManifests(viaJob.carryoverManifests),
+      "both paths must carry over identical manifest rows")
+    assert(readManifests(viaJob.carryoverManifests).size == 14)
+    assert(viaDriver.removedManifests == viaJob.removedManifests)
+    assert(viaDriver.removedStats == viaJob.removedStats)
+    assert(viaDriver.affectedFileRows == viaJob.affectedFileRows)
+
+    // end-to-end: a delete that crosses the cutover stays correct
+    // (tiny threshold forces the distributed branch inside deleteCore)
+    val before = ds.readAll().count()
+    val ds2 = {
+      // exercise the real path at default threshold for regression too
+      ds.delete(col("o_orderkey") % 5 === 0)
+      ds
+    }
+    assert(ds2.readAll().count() ==
+      before - orders.filter(col("o_orderkey") % 5 === 0).count())
+  }
+}
