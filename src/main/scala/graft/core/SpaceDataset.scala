@@ -232,6 +232,15 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
   def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType): Unit =
     storage.addColumn(org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
 
+  /** Schema evolution: append a nullable field INSIDE an existing struct
+    * column (metadata-only; see [[Storage.addNestedColumn]]). */
+  def addNestedColumn(
+      parentPath: Seq[String],
+      name: String,
+      dataType: org.apache.spark.sql.types.DataType): Unit =
+    storage.addNestedColumn(parentPath,
+      org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
+
   /** Schema evolution: RENAME COLUMN, metadata-only (see
     * [[Storage.renameColumn]]). Time travel and CDC read every snapshot
     * under the CURRENT logical names. */

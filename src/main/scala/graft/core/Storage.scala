@@ -211,6 +211,54 @@ final class Storage(val location: String, val conf: Configuration) {
     }
   }
 
+  /** Metadata-only NESTED schema evolution: append a nullable field to
+    * an existing struct column (`parentPath` walks structs depth-first;
+    * its first step is a logical top-level name). Old files null-fill
+    * the field on read — Spark's parquet reader clips nested requested
+    * schemas by name — and ids come from the same never-reused watermark
+    * as top-level adds ([[FieldIds.assign]] is depth-first ready).
+    * Nested RENAME/DROP stay unsupported (column mapping is top-level). */
+  def addNestedColumn(parentPath: Seq[String], field: StructField): Unit = {
+    require(parentPath.nonEmpty, "addNestedColumn requires a parent path")
+    require(field.nullable, s"added column ${field.name} must be nullable " +
+      "(existing files null-fill it)")
+    withCommitLock {
+      reload()
+      val start = nextFieldId
+      val assignedTree = FieldIds.assign(StructType(Seq(field)), start)
+      val assigned = assignedTree.fields.head
+
+      def insert(st: StructType, path: Seq[String], walked: String): StructType =
+        path match {
+          case Seq() =>
+            require(!st.fieldNames.contains(field.name),
+              s"column $walked.${field.name} already exists")
+            StructType(st.fields :+ assigned)
+          case p +: rest =>
+            // the first step addresses a top-level column: map logical →
+            // physical through the rename boundary; nested names have no
+            // mapping (renames are top-level only)
+            val physName = if (walked.isEmpty) physicalNameOf(p) else p
+            val idx = st.fields.indexWhere(_.name == physName)
+            require(idx >= 0,
+              s"struct ${if (walked.isEmpty) p else s"$walked.$p"} not found")
+            val f = st.fields(idx)
+            f.dataType match {
+              case s: StructType =>
+                StructType(st.fields.updated(idx, f.copy(dataType =
+                  insert(s, rest, if (walked.isEmpty) p else s"$walked.$p"))))
+              case other => throw new IllegalArgumentException(
+                s"$p is not a struct (${other.simpleString})")
+            }
+        }
+
+      val newSchema = insert(schema, parentPath, "")
+      persist(meta.copy(schemaJson = newSchema.json,
+        maxFieldId = FieldIds.maxAssignedId(assignedTree) max start,
+        lastUpdateTimeMs = System.currentTimeMillis()))
+    }
+  }
+
   /** First field id not yet handed out: past both the live schema's ids
     * and the high-water mark left by dropped columns (never reuse). */
   private def nextFieldId: Int =

@@ -328,6 +328,23 @@ object StorageOps {
       ds.readAll()
     }),
 
+    // NESTED schema evolution: add a field inside a struct column
+    // (metadata-only); old files null-fill it, later appends populate it
+    "s_evolve_nested" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val nested = o.select(col("o_orderkey"), struct(
+        col("o_orderstatus").as("status"), col("o_totalprice").as("price")).as("meta"))
+      val ds = SpaceDataset.create(s, fresh("evon"), nested.schema, Seq("o_orderkey"))
+      ds.append(nested.filter(col("o_orderkey") <= 3000L))
+      ds.addNestedColumn(Seq("meta"), "band", org.apache.spark.sql.types.StringType)
+      ds.append(nested.filter(col("o_orderkey") > 3000L)
+        .withColumn("meta", struct(col("meta.status").as("status"),
+          col("meta.price").as("price"),
+          when(col("meta.price") > 150000.0, "hi").otherwise("lo").as("band"))))
+      ds.readAll().select(col("o_orderkey"), col("meta.status").as("status"),
+        col("meta.price").as("price"), col("meta.band").as("band"))
+    }),
+
     // tag → time-travel read of the tagged snapshot after later commits
     "s_timetravel" -> ((s, d) => {
       val o = t(s, d, "orders")
@@ -521,6 +538,14 @@ object StorageOps {
         |SELECT o_orderkey, o_custkey, o_orderstatus,
         |  o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey > 3000 AND o_orderkey <= 5000""".stripMargin,
+    "s_evolve_nested" ->
+      """SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS price,
+        |  CAST(NULL AS VARCHAR) AS band
+        |FROM orders WHERE o_orderkey <= 3000
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  CASE WHEN o_totalprice > 150000.0 THEN 'hi' ELSE 'lo' END
+        |FROM orders WHERE o_orderkey > 3000""".stripMargin,
     "s_timetravel" -> "SELECT * FROM orders WHERE o_orderkey <= 1000",
     "s_branch" ->
       "SELECT * FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 1000",

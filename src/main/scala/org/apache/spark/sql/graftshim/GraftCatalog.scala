@@ -152,10 +152,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val ds = loadDataset(ident)
     changes.foreach {
       case add: TableChange.AddColumn =>
-        require(add.fieldNames.length == 1,
-          s"nested column adds are unsupported: ${add.fieldNames.mkString(".")}")
-        ds.storage.addColumn(org.apache.spark.sql.types.StructField(
-          add.fieldNames()(0), add.dataType, nullable = true))
+        val field = org.apache.spark.sql.types.StructField(
+          add.fieldNames.last, add.dataType, nullable = true)
+        if (add.fieldNames.length == 1) ds.storage.addColumn(field)
+        else ds.storage.addNestedColumn(add.fieldNames.init.toSeq, field)
       case ren: TableChange.RenameColumn =>
         require(ren.fieldNames.length == 1,
           s"nested column renames are unsupported: ${ren.fieldNames.mkString(".")}")

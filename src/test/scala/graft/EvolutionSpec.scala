@@ -84,6 +84,56 @@ class EvolutionSpec extends AnyFunSuite {
       Seq((1L, None), (2L, Some("new"))))
   }
 
+  test("nested ADD COLUMN: old files null-fill the struct field; SQL path agrees") {
+    val orders = Tables.read(spark, sfDir, "orders").limit(200)
+    val nested = orders.select(col("o_orderkey"),
+      struct(col("o_orderstatus").as("status"), col("o_totalprice").as("price")).as("meta"))
+    val dir = Files.createTempDirectory("graft_nestadd_").toString
+    val ds = SpaceDataset.create(spark, dir + "/tbl", nested.schema, Seq("o_orderkey"))
+    ds.append(nested.filter(col("o_orderkey") <= 1000L))
+
+    val beforeMax = ds.storage.metadata.maxFieldId max
+      graft.format.FieldIds.maxAssignedId(ds.storage.schema)
+    ds.addNestedColumn(Seq("meta"), "band", StringType)
+    // the nested field got a FRESH id past the watermark
+    val metaField = ds.storage.schema("meta").dataType.asInstanceOf[StructType]("band")
+    assert(graft.format.FieldIds.fieldId(metaField) > beforeMax)
+
+    ds.append(nested.filter(col("o_orderkey") > 1000L)
+      .withColumn("meta", struct(col("meta.status").as("status"),
+        col("meta.price").as("price"),
+        when(col("meta.price") > 150000.0, "hi").otherwise("lo").as("band"))))
+
+    val out = ds.readAll()
+      .select(col("o_orderkey"), col("meta.status"), col("meta.price"), col("meta.band"))
+    assert(out.count() == nested.count())
+    // old rows null-fill band; new rows populate it
+    assert(out.filter(col("o_orderkey") <= 1000L && col("band").isNotNull).count() == 0)
+    assert(out.filter(col("o_orderkey") > 1000L && col("band").isNull).count() == 0)
+
+    // duplicate / missing-parent / non-struct-parent all fail loudly
+    intercept[IllegalArgumentException] { ds.addNestedColumn(Seq("meta"), "band", StringType) }
+    intercept[IllegalArgumentException] { ds.addNestedColumn(Seq("nope"), "x", StringType) }
+    intercept[IllegalArgumentException] { ds.addNestedColumn(Seq("o_orderkey"), "x", StringType) }
+
+    // SQL: ALTER TABLE ADD COLUMNS (meta.src STRING) through the catalog
+    val cat = "gnest" + java.util.UUID.randomUUID().toString.replace("-", "").take(6)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[org.apache.spark.sql.graftshim.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.location", dir)
+    try {
+      spark.sql(s"ALTER TABLE $cat.tbl ADD COLUMNS (meta.src STRING)")
+      val viaSql = spark.sql(s"SELECT meta.src AS src FROM $cat.tbl")
+      assert(viaSql.filter(col("src").isNotNull).count() == 0) // all null-filled
+      ds.refresh()
+      assert(ds.storage.schema("meta").dataType.asInstanceOf[StructType]
+        .fieldNames.toSeq == Seq("status", "price", "band", "src"))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.location")
+    }
+  }
+
   test("renameColumn is metadata-only: old files read under the new name") {
     val loc = Files.createTempDirectory("graft_ren_").toString + "/tbl"
     val ds = SpaceDataset.create(spark, loc, kvSchema, Seq("id"))
