@@ -58,15 +58,21 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
 
   // ------------------------------------------------------------- reads
 
-  /** Read the table (optionally: a version = tag/branch/snapshot-id, a
-    * filter, a field projection). Record fields are stitched back from
-    * record files unless `referenceRead` asks for raw addresses
-    * (read.py:112-114). */
+  /** Read the table (optionally: a version = tag/branch/snapshot-id/ISO
+    * timestamp, a filter, a field projection). Record fields are
+    * stitched back from record files unless `referenceRead` asks for raw
+    * addresses (read.py:112-114). `resolveFilePaths` resolves File-typed
+    * columns ([[graft.format.ExtTypes.fileField]]) from their stored
+    * RELATIVE paths to full paths against the column's directory prefix
+    * — the reference File extension type's `full_path`
+    * (schema/types/files.py:29-64); absolute values pass through, like
+    * `os.path.join`. */
   def read(
       filter: Option[Column] = None,
       fields: Option[Seq[String]] = None,
       version: Option[String] = None,
-      referenceRead: Boolean = false): DataFrame = {
+      referenceRead: Boolean = false,
+      resolveFilePaths: Boolean = false): DataFrame = {
     val sid = version.map(storage.versionToSnapshotId)
       .getOrElse(storage.branchHead(currentBranch))
     val physFields = fields.map(toPhysicalNames)
@@ -75,9 +81,33 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
       case Some(fs) => physical.select(fs.map(col): _*)
       case None => physical
     }
-    toLogical(
+    val out = toLogical(
       if (referenceRead || storage.recordFields.isEmpty) projected
       else RecordIO.stitch(spark, storage, projected, physFields))
+    if (!resolveFilePaths) out else resolveFileColumns(out)
+  }
+
+  /** Codegen'd projection: File-typed columns resolve `dir/<value>`
+    * (nulls stay null, absolute paths pass through, empty prefix is
+    * identity). */
+  private def resolveFileColumns(df: DataFrame): DataFrame = {
+    import graft.format.ExtTypes
+    val byName = storage.logicalSchema.fields.map(f => f.name -> f).toMap
+    val anyFile = df.columns.exists(c => byName.get(c).exists(f =>
+      ExtTypes.isFile(f) && ExtTypes.fileDirectory(f).exists(_.nonEmpty)))
+    if (!anyFile) df
+    else df.select(df.columns.map { c =>
+      byName.get(c) match {
+        case Some(f) if ExtTypes.isFile(f) &&
+            ExtTypes.fileDirectory(f).exists(_.nonEmpty) =>
+          val dir = ExtTypes.fileDirectory(f).get.stripSuffix("/")
+          org.apache.spark.sql.functions.when(col(c).startsWith("/"), col(c))
+            .otherwise(org.apache.spark.sql.functions.concat(
+              org.apache.spark.sql.functions.lit(dir + "/"), col(c)))
+            .as(c, f.metadata)
+        case _ => col(c)
+      }
+    }.toIndexedSeq: _*)
   }
 
   def readAll(): DataFrame = read()

@@ -44,6 +44,9 @@ object ExtTypes {
   def isTfFeatures(f: StructField): Boolean =
     f.metadata.contains(TypeKey) && f.metadata.getString(TypeKey) == TfFeaturesType
 
+  def isFile(f: StructField): Boolean =
+    f.metadata.contains(TypeKey) && f.metadata.getString(TypeKey) == FileTypeName
+
   def fileDirectory(f: StructField): Option[String] =
     if (f.metadata.contains(DirectoryKey)) Some(f.metadata.getString(DirectoryKey)) else None
 

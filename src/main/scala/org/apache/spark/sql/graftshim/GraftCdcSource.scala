@@ -111,16 +111,26 @@ final class GraftCdcTable(options: CaseInsensitiveStringMap) extends Table with 
     }
 }
 
-/** Offset = id of the last snapshot whose changes have been emitted. */
-final case class GraftCdcOffset(snapshotId: Long) extends Offset {
-  override def json(): String = s"""{"snapshotId":$snapshotId}"""
+/** Offset = progress through the branch's snapshot chain. `filesDone = 0`
+  * means snapshot `snapshotId` is fully emitted; `filesDone = k > 0`
+  * means only its first k change rowsets are (byte/file admission
+  * control splits one snapshot across triggers). Old checkpoints
+  * (snapshot-only JSON) deserialize with filesDone 0. */
+final case class GraftCdcOffset(snapshotId: Long, filesDone: Int = 0) extends Offset {
+  override def json(): String =
+    if (filesDone == 0) s"""{"snapshotId":$snapshotId}"""
+    else s"""{"snapshotId":$snapshotId,"filesDone":$filesDone}"""
 }
 
 object GraftCdcOffset {
-  private val OffsetRe = """"snapshotId"\s*:\s*(-?\d+)""".r
-  def fromJson(json: String): GraftCdcOffset =
-    OffsetRe.findFirstMatchIn(json).map(m => GraftCdcOffset(m.group(1).toLong))
+  private val SnapRe = """"snapshotId"\s*:\s*(-?\d+)""".r
+  private val FilesRe = """"filesDone"\s*:\s*(\d+)""".r
+  def fromJson(json: String): GraftCdcOffset = {
+    val sid = SnapRe.findFirstMatchIn(json).map(_.group(1).toLong)
       .getOrElse(throw new IllegalArgumentException(s"bad graft-cdc offset: $json"))
+    GraftCdcOffset(sid,
+      FilesRe.findFirstMatchIn(json).map(_.group(1).toInt).getOrElse(0))
+  }
 }
 
 /** One changed file of one snapshot: read it, mask to the change's row
@@ -149,11 +159,44 @@ final class GraftCdcMicroBatchStream(
 
   private val branch = Option(options.get("branch")).getOrElse("main")
   private val ignoreDeletes = Option(options.get("ignoreDeletes")).exists(_.toBoolean)
-  /** Rate limit: at most this many snapshots per micro-batch (a backlog
-    * of commits then drains in bounded batches instead of one giant
-    * catch-up batch). Default unbounded. */
+  /** Admission control (all optional, combinable): at most this many
+    * FULLY-COMPLETED snapshots / change rowsets (files) / bytes per
+    * micro-batch. Files/bytes split one fat snapshot across triggers —
+    * DELETE rowsets of a snapshot are ordered before its ADD rowsets, so
+    * the delete-before-add contract holds across the split. A batch
+    * always admits at least one rowset (progress guarantee). */
   private val maxSnapshotsPerBatch =
     Option(options.get("maxSnapshotsPerBatch")).map(_.toLong)
+  private val maxFilesPerBatch =
+    Option(options.get("maxFilesPerBatch")).map(_.toInt)
+  private val maxBytesPerBatch =
+    Option(options.get("maxBytesPerBatch")).map(_.toLong)
+  private def unlimited: Boolean =
+    maxSnapshotsPerBatch.isEmpty && maxFilesPerBatch.isEmpty && maxBytesPerBatch.isEmpty
+
+  /** One snapshot's change rowsets in emission order: DELETEs first,
+    * then ADDs (change_data.py's delete-before-add, preserved under any
+    * file-boundary split). */
+  private def changeRowsets(sid: Long): Seq[(graft.format.RowBitmap, String)] =
+    storage.changeLog(sid).toSeq.flatMap { cl =>
+      if (appendOnly && cl.deletedRows.nonEmpty && !ignoreDeletes)
+        throw new IllegalStateException(
+          s"snapshot $sid of ${storage.location} deleted rows; an append-only " +
+            "table stream would miss them — set option ignoreDeletes=true to " +
+            "skip deletes, or stream the full feed with format 'graft-cdc'")
+      if (appendOnly) cl.addedRows.map(_ -> ChangeType.Add)
+      else cl.deletedRows.map(_ -> ChangeType.Delete) ++
+        cl.addedRows.map(_ -> ChangeType.Add)
+    }
+
+  /** Snapshots with pending rowsets after `from`, oldest first — the
+    * partially-emitted snapshot (if any) then the branch chain to head.
+    * (Walks THIS branch's parent chain: snapshot ids are allocated
+    * globally, so id arithmetic could land on another branch.) */
+  private def pendingChain(from: GraftCdcOffset, head: Long): Seq[Long] =
+    (if (from.filesDone > 0) Seq(from.snapshotId) else Nil) ++
+      (if (head == from.snapshotId) Nil
+       else storage.orderedSnapshotIds(from.snapshotId, head))
 
   override def initialOffset(): Offset =
     GraftCdcOffset(Option(options.get("startingSnapshotId")).map(_.toLong - 1).getOrElse(0L))
@@ -168,17 +211,42 @@ final class GraftCdcMicroBatchStream(
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     storage.reload()
     val head = storage.branchHead(branch)
-    val s = start.asInstanceOf[GraftCdcOffset].snapshotId
-    maxSnapshotsPerBatch match {
-      case Some(m) if head != s =>
-        // Snapshot ids are allocated GLOBALLY (across branches), so
-        // `start + m` arithmetic could land on another branch's snapshot.
-        // Walk THIS branch's parent chain instead and cap by ancestor
-        // count: the id m steps above start on the chain.
-        val chain = storage.orderedSnapshotIds(s, head) // (s, head], increasing
-        GraftCdcOffset(chain.take(math.min(m, Int.MaxValue).toInt).lastOption.getOrElse(s))
-      case _ => GraftCdcOffset(head)
+    val s = start.asInstanceOf[GraftCdcOffset]
+    if (unlimited) return GraftCdcOffset(head)
+
+    val fileLen: String => Long =
+      if (maxBytesPerBatch.isEmpty) _ => 0L
+      else {
+        val conf = spark.sparkContext.hadoopConfiguration
+        rel => {
+          val p = new Path(storage.absolute(rel))
+          p.getFileSystem(conf).getFileStatus(p).getLen
+        }
+      }
+    var files = 0
+    var bytes = 0L
+    var fullSnaps = 0L
+    var end = s
+    for (sid <- pendingChain(s, head)) {
+      val sets = changeRowsets(sid)
+      val from = if (sid == s.snapshotId) s.filesDone else 0
+      var k = from
+      var stopped = false
+      while (k < sets.size && !stopped) {
+        val len = fileLen(sets(k)._1.file)
+        val admit = files == 0 || // always make progress
+          (maxFilesPerBatch.forall(files + 1 <= _) &&
+            maxBytesPerBatch.forall(bytes + len <= _))
+        if (admit) { files += 1; bytes += len; k += 1 } else stopped = true
+      }
+      if (k < sets.size) return GraftCdcOffset(sid, k) // split mid-snapshot
+      end = GraftCdcOffset(sid)
+      fullSnaps += 1
+      if (maxSnapshotsPerBatch.exists(fullSnaps >= _)) return end
+      if (maxFilesPerBatch.exists(files >= _) || maxBytesPerBatch.exists(bytes >= _))
+        return end
     }
+    end
   }
 
   override def reportLatestOffset(): Offset = {
@@ -193,26 +261,19 @@ final class GraftCdcMicroBatchStream(
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[GraftCdcOffset].snapshotId
-    val e = end.asInstanceOf[GraftCdcOffset].snapshotId
+    val s = start.asInstanceOf[GraftCdcOffset]
+    val e = end.asInstanceOf[GraftCdcOffset]
+    if (s == e) return Array.empty
     val conf = spark.sparkContext.hadoopConfiguration
-    storage.orderedSnapshotIds(s, e).flatMap { sid =>
-      storage.changeLog(sid).toSeq.flatMap { cl =>
-        if (appendOnly && cl.deletedRows.nonEmpty && !ignoreDeletes)
-          throw new IllegalStateException(
-            s"snapshot $sid of ${storage.location} deleted rows; an append-only " +
-              "table stream would miss them — set option ignoreDeletes=true to " +
-              "skip deletes, or stream the full feed with format 'graft-cdc'")
-        val changes =
-          if (appendOnly) cl.addedRows.map(_ -> ChangeType.Add)
-          else cl.deletedRows.map(_ -> ChangeType.Delete) ++
-            cl.addedRows.map(_ -> ChangeType.Add)
-        changes.map { case (rb, ct) =>
-          val p = new Path(storage.absolute(rb.file))
-          val st = p.getFileSystem(conf).getFileStatus(p)
-          GraftCdcPartition(st.getPath.toString, st.getLen,
-            if (rb.allRows) None else rb.bitmapB64, ct, sid)
-        }
+    pendingChain(s, e.snapshotId).flatMap { sid =>
+      val sets = changeRowsets(sid)
+      val from = if (sid == s.snapshotId) s.filesDone else 0
+      val to = if (sid == e.snapshotId && e.filesDone > 0) e.filesDone else sets.size
+      sets.slice(from, to).map { case (rb, ct) =>
+        val p = new Path(storage.absolute(rb.file))
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        GraftCdcPartition(st.getPath.toString, st.getLen,
+          if (rb.allRows) None else rb.bitmapB64, ct, sid)
       }
     }.toArray
   }

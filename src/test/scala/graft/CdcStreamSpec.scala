@@ -124,6 +124,71 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(batches.toSeq == Seq(Seq(1L), Seq(2L), Seq(3L)))
   }
 
+  test("maxFilesPerBatch splits one fat snapshot across triggers, DELETE still before ADD") {
+    val root = Files.createTempDirectory("graft_cdcspec6_").toString
+    val ds = SpaceDataset.create(spark, s"$root/tbl", kvSchema, Seq("id"))
+    // snapshot 1: one append landing as 4 files
+    ds.append(kv((1L to 40L).map(i => i -> s"v$i"): _*).repartition(4))
+    // snapshot 2: upsert = DELETE rowsets + ADD rowsets in ONE snapshot
+    ds.upsert(kv((1L to 8L).map(i => i -> s"u$i"): _*))
+
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, String, Long)]]
+    val q = spark.readStream.format("graft-cdc")
+      .option("location", s"$root/tbl")
+      .option("maxFilesPerBatch", "1")
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val rows = batch.collect().map(r => (r.getLong(0),
+          r.getAs[String]("_change_type"),
+          r.getLong(r.fieldIndex("_commit_snapshot_id")))).toSeq
+        batches.synchronized { if (rows.nonEmpty) batches += rows }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    // snapshot 1 drained in >= 2 batches (4 files, 1 per trigger)
+    val snap1Batches = batches.count(_.exists(_._3 == 1L))
+    assert(snap1Batches >= 4, s"fat snapshot must split, got $snap1Batches batches")
+    // each batch carries at most one rowset's change type
+    assert(batches.forall(b => b.map(r => (r._2, r._3)).distinct.size == 1))
+    // within snapshot 2, every DELETE batch precedes every ADD batch
+    val s2 = batches.zipWithIndex.filter(_._1.exists(_._3 == 2L))
+    val delIdx = s2.filter(_._1.head._2 == "DELETE").map(_._2)
+    val addIdx = s2.filter(_._1.head._2 == "ADD").map(_._2)
+    assert(delIdx.nonEmpty && addIdx.nonEmpty && delIdx.max < addIdx.min,
+      s"DELETE must drain before ADD within the split snapshot: $batches")
+    // exactly-once: every change delivered exactly one time
+    val all = batches.flatten
+    assert(all.size == all.distinct.size, "duplicate deliveries")
+    assert(all.count(r => r._3 == 1L && r._2 == "ADD") == 40)
+    assert(all.count(r => r._3 == 2L && r._2 == "DELETE") == 8)
+    assert(all.count(r => r._3 == 2L && r._2 == "ADD") == 8)
+
+    // byte budget splits too (tiny budget -> one file per batch), and a
+    // restart from the checkpoint delivers only what's new
+    ds.append(kv(100L -> "x", 101L -> "y")
+      .repartitionByRange(2, org.apache.spark.sql.functions.col("id")))
+    val batches2 = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    val q2 = spark.readStream.format("graft-cdc")
+      .option("location", s"$root/tbl")
+      .option("maxBytesPerBatch", "1")
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val rows = batch.collect().map(_.getLong(0)).toSeq
+        batches2.synchronized { if (rows.nonEmpty) batches2 += rows }
+        ()
+      }
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(batches2.size == 2, s"byte budget must split the 2-file snapshot: $batches2")
+    assert(batches2.flatten.sorted == Seq(100L, 101L))
+  }
+
   test("rate limit follows the branch chain across interleaved branch commits") {
     // snapshot ids are GLOBAL: main's chain here is 1 → 3 → 5, with exp's
     // snapshots 2 and 4 interleaved. `start + m` offset arithmetic would

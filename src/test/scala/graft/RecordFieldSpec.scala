@@ -144,6 +144,40 @@ class RecordFieldSpec extends AnyFunSuite {
     assert(plainTexts.contains(new String(ra.get(0), "UTF-8")))
   }
 
+  test("File-typed column resolves relative paths against the directory prefix on read") {
+    import org.apache.spark.sql.types._
+    import graft.format.ExtTypes
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      ExtTypes.fileField("img", "/data/images"),
+      StructField("plain", StringType)))
+    val loc = freshLoc()
+    val ds = SpaceDataset.create(spark, loc, schema, Seq("id"))
+    ds.append(spark.createDataFrame(
+      Seq((1L, "a/x.png", "a"), (2L, "/abs/y.png", "b"), (3L, null, "c"))
+        .toDF("id", "img", "plain").rdd, schema))
+
+    // default read: stored (relative) values untouched
+    val raw = ds.readAll().orderBy("id").select("img").collect().map(_.getString(0))
+    assert(raw.toSeq == Seq("a/x.png", "/abs/y.png", null))
+
+    // resolveFilePaths: relative → directory-prefixed, absolute passes
+    // through (os.path.join semantics, files.py:62-64), null stays null,
+    // non-File columns untouched
+    val resolved = ds.read(resolveFilePaths = true).orderBy("id")
+      .select("img", "plain").collect()
+    assert(resolved.map(_.getString(0)).toSeq ==
+      Seq("/data/images/a/x.png", "/abs/y.png", null))
+    assert(resolved.map(_.getString(1)).toSeq == Seq("a", "b", "c"))
+
+    // the marker survives the table's schema round-trip
+    val reloaded = SpaceDataset.load(spark, loc)
+    assert(ExtTypes.isFile(reloaded.schema("img")))
+    assert(ExtTypes.fileDirectory(reloaded.schema("img")).contains("/data/images"))
+    assert(ExtTypes.fullPath(reloaded.schema("img"), "z.png") == "/data/images/z.png")
+  }
+
   test("upsert replaces record payloads") {
     val docs = docsBinary
     val loc = freshLoc()
