@@ -137,6 +137,7 @@ object AppendOp {
     AppendResult(Patch(
       addedIndexManifests = List(manifest),
       statsDelta = stats,
-      changeLog = Some(changeLog)), metas)
+      changeLog = Some(changeLog),
+      manifestSummaries = Map(manifest -> ManifestIO.summarize(storage, metas))), metas)
   }
 }

@@ -105,7 +105,8 @@ object ClusterOp {
       addedIndexManifests = appendPatch.addedIndexManifests ++ co.carryoverManifests,
       removedIndexManifests = co.removedManifests,
       statsDelta = appendPatch.statsDelta + co.removedStats,
-      changeLog = None)
+      changeLog = None,
+      manifestSummaries = appendPatch.manifestSummaries ++ co.summaries)
     Some((patch, ClusterResult(files.size, written.files.size, outRows)))
   }
 

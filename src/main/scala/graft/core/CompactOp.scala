@@ -100,7 +100,8 @@ object CompactOp {
       addedIndexManifests = appendPatch.addedIndexManifests ++ co.carryoverManifests,
       removedIndexManifests = co.removedManifests,
       statsDelta = appendPatch.statsDelta + co.removedStats,
-      changeLog = None)
+      changeLog = None,
+      manifestSummaries = appendPatch.manifestSummaries ++ co.summaries)
     Some((patch, CompactResult(small.size, written.files.size, outRows)))
   }
 }

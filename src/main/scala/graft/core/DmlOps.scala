@@ -151,14 +151,16 @@ object DmlOps {
       addedIndexManifests = appendPatch.addedIndexManifests ++ carryoverManifest,
       removedIndexManifests = removedManifests.toList,
       statsDelta = appendPatch.statsDelta + removed,
-      changeLog = Some(deleteLog)))
+      changeLog = Some(deleteLog),
+      manifestSummaries = appendPatch.manifestSummaries ++ co.summaries))
   }
 
   final case class CarryoverResult(
       removedManifests: List[String],
       carryoverManifests: List[String],
       removedStats: StorageStatistics,
-      affectedFileRows: Map[String, Long])
+      affectedFileRows: Map[String, Long],
+      summaries: Map[String, ManifestSummary] = Map.empty)
 
   /** Above this many surviving rows the carryover manifest is written by
     * a distributed job instead of a driver collect (the same cutover
@@ -196,14 +198,19 @@ object DmlOps {
     // probe one past the cutover: a short collect decides the path
     // without a separate count job
     val head = carryover.limit(driverMaxRows + 1).collect().toSeq
-    val carryoverManifest =
-      if (head.isEmpty) Nil
+    val conf = spark.sparkContext.hadoopConfiguration
+    val (carryoverManifest, summaries) =
+      if (head.isEmpty) (Nil, Map.empty[String, ManifestSummary])
       else if (head.size <= driverMaxRows) {
         val rel = StoragePaths.newIndexManifestFile()
-        DriverParquet.write(spark.sparkContext.hadoopConfiguration,
-          storage.absolute(rel), carryover.schema, head)
-        List(rel)
-      } else writeCarryoverDistributed(spark, storage, carryover)
+        DriverParquet.write(conf, storage.absolute(rel), carryover.schema, head)
+        (List(rel),
+          Map(rel -> ManifestIO.summarizeRows(storage, carryover.schema, head)))
+      } else {
+        val rels = writeCarryoverDistributed(spark, storage, carryover)
+        (rels, rels.map(r =>
+          r -> ManifestIO.summarizeManifestFile(storage, storage.absolute(r), conf)).toMap)
+      }
 
     // negative stats of the removed files (delete.py's stats delta)
     val removedStats = mdf
@@ -221,7 +228,7 @@ object DmlOps {
       .select(col(ManifestIO.FileCol), col(ManifestIO.NumRowsCol))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
-    CarryoverResult(removedManifests, carryoverManifest, removed, fileRows)
+    CarryoverResult(removedManifests, carryoverManifest, removed, fileRows, summaries)
   }
 
   /** Distributed carryover write: executors write the surviving manifest

@@ -80,8 +80,15 @@ object GcOps {
             p = meta.snapshot(p.get).flatMap(_.parentSnapshotId)
           k -> s.copy(parentSnapshotId = p)
       }
+      // manifest-list hygiene: drop summaries of manifests no live
+      // snapshot references (their files are GC candidates now)
+      val liveManifests = remaining.values.flatMap(
+        _.manifestFiles.indexManifestFiles).toSet
       storage.persistMetadata(meta.copy(
         snapshots = remaining,
+        manifestSummaries = meta.manifestSummaries.filter {
+          case (m, _) => liveManifests.contains(m)
+        },
         lastUpdateTimeMs = System.currentTimeMillis()))
     }
     expired.sorted

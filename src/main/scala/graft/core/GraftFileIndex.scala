@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, NoopCache, PartitionDirectory, PartitioningAwareFileIndex, PartitionSpec}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.functions.{col, element_at, split}
 import org.apache.spark.sql.types.StructType
 
 /** Catalyst-integrated scan: a [[PartitioningAwareFileIndex]] whose
@@ -24,11 +25,14 @@ import org.apache.spark.sql.types.StructType
   * ([[GraftRelation.dataFrame]]) and the DSv2 `ParquetScanBuilder` path
   * (the `graft` TableCatalog).
   *
-  * The index is pinned to one snapshot (graft snapshots are immutable):
-  * manifest rows and file statuses load once at construction —
-  * `listFiles` is pure driver-side evaluation, one filesystem `listStatus`
-  * per data directory up front, no Spark job at plan time (the local
-  * manifest filter collapses via `ConvertToLocalRelation`).
+  * The index is pinned to one snapshot (graft snapshots are immutable)
+  * and is LAZY along the manifest-list level: construction touches only
+  * metadata; `listFiles` first prunes WHOLE manifests from the
+  * per-manifest summaries in snapshot metadata, then loads (and caches)
+  * only the surviving manifests' rows and resolves only the surviving
+  * files' statuses (per-directory `listStatus`, memoized). A selective
+  * query plans in O(manifests + surviving files) driver work; a full
+  * scan degenerates to the old O(files) — it needs every status anyway.
   */
 final class GraftFileIndex(
     spark: SparkSession,
@@ -38,70 +42,113 @@ final class GraftFileIndex(
 
   private val conf = spark.sparkContext.hadoopConfiguration
 
-  private val (manifestRows: Seq[Row], manifestSchema: StructType) = {
-    val ms = storage.snapshotOrFail(snapshotId).manifestFiles.indexManifestFiles
-    if (ms.isEmpty)
-      (Nil, ManifestIO.manifestSchema(storage.schema, storage.statsColumns))
-    else {
-      val df = ManifestIO.readIndexManifests(spark, storage, ms)
-      (df.collect().toSeq, df.schema)
-    }
-  }
-  private val fileIdx = manifestSchema.fieldIndex(ManifestIO.FileCol)
+  private val manifests: Seq[String] =
+    storage.snapshotOrFail(snapshotId).manifestFiles.indexManifestFiles
+  private val summaries = storage.metadata.manifestSummaries
+  private val allSummarized = manifests.nonEmpty && manifests.forall(summaries.contains)
+  private val mSchema: StructType =
+    ManifestIO.manifestSchema(storage.schema, storage.statsColumns)
+  private val fileIdx = mSchema.fieldIndex(ManifestIO.FileCol)
 
-  /** manifest-relative path → status; one listStatus per distinct data
-    * directory (native files share `<root>/data/`), per-file lookup only
-    * for stragglers (external zero-copy files outside listed dirs). */
-  private val statusByRel: Map[String, FileStatus] = {
-    val rels = manifestRows.map(_.getString(fileIdx))
-    rels.groupBy(r => new Path(storage.absolute(r)).getParent).flatMap {
-      case (dir, dirRels) =>
-        val fs = dir.getFileSystem(conf)
-        val listed: Map[String, FileStatus] =
-          try fs.listStatus(dir).map(s => s.getPath.toString -> s).toMap
-          catch { case _: java.io.IOException => Map.empty }
-        dirRels.map { r =>
-          val p = new Path(storage.absolute(r))
-          val abs = fs.makeQualified(p).toString
-          r -> listed.getOrElse(abs, fs.getFileStatus(p))
-        }
+  // ------------------------------------------ lazy manifest-row loading
+
+  private val rowCache = scala.collection.concurrent.TrieMap.empty[String, Array[Row]]
+
+  /** Rows of `ms`, loading (once) any manifest not yet cached. The read
+    * uses the CURRENT manifest schema explicitly, so manifests written
+    * before a stats-field drop normalize instead of leaking extra
+    * columns. */
+  private def rowsOf(ms: Seq[String]): Seq[Row] = {
+    val missing = ms.filterNot(rowCache.contains)
+    if (missing.nonEmpty) {
+      val byName = spark.read.schema(mSchema)
+        .parquet(missing.map(storage.absolute): _*)
+        .withColumn("__mfile", element_at(split(col("_metadata.file_path"), "/"), -1))
+        .collect()
+        .groupBy(_.getAs[String]("__mfile"))
+        .map { case (k, rs) => k -> rs.map(r => Row.fromSeq(r.toSeq.dropRight(1))) }
+      missing.foreach { m =>
+        rowCache(m) = byName.getOrElse(new Path(m).getName, Array.empty[Row])
+      }
     }
+    ms.flatMap(rowCache(_))
   }
+
+  // --------------------------------------------- lazy status resolution
+
+  private val dirListCache =
+    scala.collection.concurrent.TrieMap.empty[Path, Map[String, FileStatus]]
+
+  /** One `listStatus` per distinct data directory (native files share
+    * `<root>/data/`), per-file lookup only for stragglers (external
+    * zero-copy files outside listed dirs). */
+  private def statusOf(rel: String): FileStatus = {
+    val p = new Path(storage.absolute(rel))
+    val dir = p.getParent
+    val fs = dir.getFileSystem(conf)
+    val listed = dirListCache.getOrElseUpdate(dir,
+      try fs.listStatus(dir).map(s => s.getPath.toString -> s).toMap
+      catch { case _: java.io.IOException => Map.empty })
+    listed.getOrElse(fs.makeQualified(p).toString, fs.getFileStatus(p))
+  }
+
+  private lazy val allStatuses: Seq[FileStatus] =
+    rowsOf(manifests).map(r => statusOf(r.getString(fileIdx)))
+
+  // ------------------------------------------------- FileIndex surface
 
   override def rootPaths: Seq[Path] = Seq(new Path(storage.location))
 
   override def partitionSpec(): PartitionSpec = PartitionSpec.emptySpec
 
   override protected def leafFiles: mutable.LinkedHashMap[Path, FileStatus] =
-    mutable.LinkedHashMap(statusByRel.values.toSeq.map(s => s.getPath -> s): _*)
+    mutable.LinkedHashMap(allStatuses.map(s => s.getPath -> s): _*)
 
   override protected def leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
-    statusByRel.values.toSeq.groupBy(_.getPath.getParent)
-      .map { case (dir, ss) => dir -> ss.toArray }
+    allStatuses.groupBy(_.getPath.getParent).map { case (dir, ss) => dir -> ss.toArray }
 
-  override def sizeInBytes: Long = statusByRel.values.map(_.getLen).sum
+  /** Size estimate from snapshot statistics (maintained by every patch)
+    * — no file statuses needed at relation-construction time. */
+  override def sizeInBytes: Long = {
+    val s = storage.snapshotOrFail(snapshotId).storageStatistics.indexCompressedBytes
+    if (s > 0) s else allStatuses.map(_.getLen).sum
+  }
 
   override def inputFiles: Array[String] =
-    manifestRows.map(r => storage.absolute(r.getString(fileIdx))).toArray
+    rowsOf(manifests).map(r => storage.absolute(r.getString(fileIdx))).toArray
 
   override def refresh(): Unit = () // snapshot-pinned: nothing to refresh
 
   override def listFiles(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val kept: Seq[String] =
-      Pruning.keepConditionForFilters(storage.schema, storage.statsColumns, dataFilters) match {
-        case None => manifestRows.map(_.getString(fileIdx))
-        case Some(keep) =>
-          spark.createDataFrame(manifestRows.asJava, manifestSchema)
-            .filter(keep)
-            .select(ManifestIO.FileCol)
-            .collect().map(_.getString(0)).toSeq
-      }
-    // bucket pruning: a filter pinning the bucket column reaches only
+    val keepOpt =
+      Pruning.keepConditionForFilters(storage.schema, storage.statsColumns, dataFilters)
+
+    // manifest-LIST level: falsify whole manifests from their summaries
+    // before reading any manifest rows
+    val surviving: Seq[String] = keepOpt match {
+      case Some(k) if allSummarized =>
+        val (rows, schema) = ManifestIO.summaryRows(storage, manifests)
+        spark.createDataFrame(rows.asJava, schema).filter(k)
+          .select(ManifestIO.FileCol).collect().map(_.getString(0)).toSeq
+      case _ => manifests
+    }
+
+    val rows = rowsOf(surviving)
+    val kept: Seq[String] = keepOpt match {
+      case None => rows.map(_.getString(fileIdx))
+      case Some(keep) =>
+        if (rows.isEmpty) Nil
+        else spark.createDataFrame(rows.asJava, mSchema)
+          .filter(keep)
+          .select(ManifestIO.FileCol)
+          .collect().map(_.getString(0)).toSeq
+    }
+    // bucket pruning: a filter pinning the bucket columns reaches only
     // the buckets its literals hash to — stats-free O(1/n) point lookups
     val bucketKept = BucketPruning.pruneFiles(storage, dataFilters, kept)
-    Seq(PartitionDirectory(InternalRow.empty, bucketKept.map(statusByRel).toArray))
+    Seq(PartitionDirectory(InternalRow.empty, bucketKept.map(statusOf).toArray))
   }
 }
 

@@ -38,7 +38,8 @@ object ParquetLoader {
             indexCompressedBytes = metas.map(_.compressedBytes).sum,
             indexUncompressedBytes = metas.map(_.uncompressedBytes).sum),
           changeLog = Some(ChangeLog(addedRows = metas.map(m =>
-            RowBitmap(m.file, allRows = true, numRows = m.numRows)).toList))))
+            RowBitmap(m.file, allRows = true, numRows = m.numRows)).toList)),
+          manifestSummaries = Map(manifest -> ManifestIO.summarize(ds.storage, metas))))
       }
     }
   }

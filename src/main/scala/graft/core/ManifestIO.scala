@@ -145,6 +145,123 @@ object ManifestIO {
     else Some((r.get(0), r.get(1)))
   }
 
+  // ------------------------------------------- manifest-list summaries
+
+  /** Stats columns eligible for summaries, with their types. */
+  private def summaryCols(storage: Storage): Seq[(String, DataType)] =
+    storage.statsColumns.flatMap { c =>
+      val dt = storage.schema(c).dataType
+      if (statsEligible(dt)) Some(c -> dt) else None
+    }
+
+  private[core] def encodeStat(v: Any): String = v.toString
+
+  private[core] def decodeStat(s: String, dt: DataType): Any = dt match {
+    case LongType => s.toLong
+    case IntegerType => s.toInt
+    case DoubleType => s.toDouble
+    case FloatType => s.toFloat
+    case _ => s
+  }
+
+  /** Manifest-list entry from in-memory file metas (the driver write
+    * path): a column summarizes only when EVERY file carries its stats. */
+  def summarize(storage: Storage, metas: Seq[IndexFileMeta]): graft.format.ManifestSummary = {
+    val stats = summaryCols(storage).flatMap { case (c, _) =>
+      val per = metas.map(_.pkStats.get(c))
+      if (metas.isEmpty || per.exists(_.isEmpty)) None
+      else {
+        val mn = per.flatten.map(_.min).reduce(minAny)
+        val mx = per.flatten.map(_.max).reduce(maxAny)
+        Some(c -> graft.format.SummaryStats(encodeStat(mn), encodeStat(mx)))
+      }
+    }.toMap
+    graft.format.ManifestSummary(metas.size.toLong, stats)
+  }
+
+  /** Manifest-list entry from already-materialized manifest ROWS (the
+    * carryover driver path). `schema` is the rows' manifest schema. */
+  def summarizeRows(
+      storage: Storage,
+      schema: StructType,
+      rows: Seq[Row]): graft.format.ManifestSummary = {
+    val stats = summaryCols(storage).flatMap { case (c, _) =>
+      val cname = statsColName(FieldIds.fieldId(storage.schema(c)))
+      val idx = schema.fieldNames.indexOf(cname)
+      if (idx < 0) None
+      else {
+        val structs = rows.map(r => if (r.isNullAt(idx)) null else r.getStruct(idx))
+        if (rows.isEmpty || structs.exists(s => s == null || s.isNullAt(0) || s.isNullAt(1))) None
+        else {
+          val mn = structs.map(_.get(0)).reduce(minAny)
+          val mx = structs.map(_.get(1)).reduce(maxAny)
+          Some(c -> graft.format.SummaryStats(encodeStat(mn), encodeStat(mx)))
+        }
+      }
+    }.toMap
+    graft.format.ManifestSummary(rows.size.toLong, stats)
+  }
+
+  /** Manifest-list entry from a manifest FILE's own parquet footer (the
+    * distributed carryover path): the `_STATS_f<id>._MIN/_MAX` column
+    * chunks' statistics ARE the per-manifest range. A column with ANY
+    * null (a file without stats) is skipped — its range would not cover
+    * that file. */
+  def summarizeManifestFile(
+      storage: Storage,
+      absPath: String,
+      conf: Configuration): graft.format.ManifestSummary = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(absPath), conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val numFiles = blocks.map(_.getRowCount).sum
+      def footerRange(path: String, wantMin: Boolean): Option[Any] = {
+        val per = blocks.flatMap { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == path).map(_.getStatistics)
+        }
+        // getNumNulls == -1 means UNKNOWN — as unsafe as a real null
+        if (per.size < blocks.size ||
+            per.exists(s => s == null || !s.hasNonNullValue || s.getNumNulls != 0)) None
+        else {
+          val vals = per.map(s => if (wantMin) statsValues(s)._1 else statsValues(s)._2)
+          Some(vals.reduce(if (wantMin) minAny else maxAny))
+        }
+      }
+      val stats = summaryCols(storage).flatMap { case (c, _) =>
+        val cname = statsColName(FieldIds.fieldId(storage.schema(c)))
+        for {
+          mn <- footerRange(s"$cname._MIN", wantMin = true)
+          mx <- footerRange(s"$cname._MAX", wantMin = false)
+        } yield c -> graft.format.SummaryStats(encodeStat(mn), encodeStat(mx))
+      }.toMap
+      graft.format.ManifestSummary(numFiles, stats)
+    } finally reader.close()
+  }
+
+  /** Summaries as rows of the MANIFEST schema (`_FILE` = manifest path,
+    * stats structs = the manifest's whole range): lets [[Pruning]]'s
+    * falsifiable keep-condition evaluate UNCHANGED one level up — a
+    * manifest is skippable exactly when a file with its combined range
+    * would be. Manifests without a summary yield all-null stats (never
+    * pruned). */
+  def summaryRows(
+      storage: Storage,
+      manifests: Seq[String]): (Seq[Row], StructType) = {
+    val schema = manifestSchema(storage.schema, storage.statsColumns)
+    val cols = summaryCols(storage)
+    val summaries = storage.metadata.manifestSummaries
+    val rows = manifests.map { m =>
+      val s = summaries.get(m)
+      val statsVals = cols.map { case (c, dt) =>
+        s.flatMap(_.stats.get(c))
+          .map(ss => Row(decodeStat(ss.min, dt), decodeStat(ss.max, dt)))
+          .orNull
+      }
+      Row.fromSeq(Seq(m, s.map(_.numFiles).getOrElse(0L), 0L, 0L) ++ statsVals)
+    }
+    (rows, schema)
+  }
+
   /** Write an index manifest parquet file at a fresh metadata path;
     * returns the relative path. */
   def writeIndexManifest(

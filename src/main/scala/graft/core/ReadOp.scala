@@ -40,21 +40,50 @@ object ReadOp {
       else f
     })
 
-  final case class ScanPlan(files: Seq[String], totalFiles: Int) {
+  final case class ScanPlan(
+      files: Seq[String],
+      totalFiles: Int,
+      totalManifests: Int = 0,
+      prunedManifests: Int = 0) {
     def prunedFiles: Int = totalFiles - files.size
   }
 
-  /** Snapshot → pruned list of table-root-relative index files. */
+  /** Snapshot → pruned list of table-root-relative index files.
+    *
+    * Two-level (manifest-list design): the per-manifest summaries in
+    * snapshot metadata are consulted FIRST — a manifest whose combined
+    * min/max range is falsified by the predicate is never opened — then
+    * file-level stats prune within the surviving manifests. Driver work
+    * for a selective query is O(manifests + surviving files), not
+    * O(all files). Tables whose manifests predate summaries fall back to
+    * reading everything (conservative). */
   def plan(
       spark: SparkSession,
       storage: Storage,
       snapshotId: Long,
       predicate: Option[Column]): ScanPlan = {
+    import scala.jdk.CollectionConverters._
     val manifests = storage.snapshotOrFail(snapshotId).manifestFiles.indexManifestFiles
     if (manifests.isEmpty) return ScanPlan(Nil, 0)
-    val mdf = ManifestIO.readIndexManifests(spark, storage, manifests)
     val keep = predicate.flatMap(p =>
       Pruning.keepCondition(spark, storage.schema, storage.statsColumns, p))
+    val summaries = storage.metadata.manifestSummaries
+    val allSummarized = manifests.forall(summaries.contains)
+
+    val surviving: Seq[String] = keep match {
+      case Some(k) if allSummarized =>
+        val (rows, schema) = ManifestIO.summaryRows(storage, manifests)
+        spark.createDataFrame(rows.asJava, schema).filter(k)
+          .select(col(ManifestIO.FileCol)).collect().map(_.getString(0)).toSeq
+      case _ => manifests
+    }
+    val total: Int =
+      if (allSummarized) manifests.map(summaries(_).numFiles).sum.toInt else -1
+    val prunedM = manifests.size - surviving.size
+
+    if (surviving.isEmpty)
+      return ScanPlan(Nil, math.max(total, 0), manifests.size, prunedM)
+    val mdf = ManifestIO.readIndexManifests(spark, storage, surviving)
     val kept = keep.fold(mdf)(mdf.filter)
     val files0 = kept.select(col(ManifestIO.FileCol)).collect().map(_.getString(0)).toSeq
     val files = predicate match {
@@ -62,8 +91,9 @@ object ReadOp {
         Seq(org.apache.spark.sql.graftshim.ColumnExpr.catalystExpression(p)), files0)
       case None => files0
     }
-    val total = mdf.count().toInt
-    ScanPlan(files, total)
+    // legacy (unsummarized) tables read every manifest, so mdf IS the total
+    val totalFinal = if (total >= 0) total else mdf.count().toInt
+    ScanPlan(files, totalFinal, manifests.size, prunedM)
   }
 
   /** Read a snapshot as a DataFrame of the PHYSICAL schema (record fields

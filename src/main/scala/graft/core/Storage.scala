@@ -392,6 +392,7 @@ final class Storage(val location: String, val conf: Configuration) {
     val withSnap = meta.copy(
       snapshots = meta.snapshots + (newId.toString -> snap),
       maxSnapshotId = newId,
+      manifestSummaries = meta.manifestSummaries ++ patch.manifestSummaries,
       lastUpdateTimeMs = now,
       txnVersions = patch.txn.fold(meta.txnVersions)(t =>
         meta.txnVersions + (t.appId -> t.version)),

@@ -29,10 +29,29 @@ final case class StorageStatistics(
 }
 
 /** Manifest-file lists of one snapshot. The snapshot embeds the FULL list
-  * (no Iceberg-style manifest-list indirection), as in metadata.proto:135-141. */
+  * (as in metadata.proto:135-141); the Iceberg-style manifest-LIST level
+  * lives in [[StorageMetadata.manifestSummaries]]: per-manifest min/max
+  * summaries that let planning prune whole manifests without opening
+  * them. */
 final case class ManifestFiles(
     indexManifestFiles: List[String] = Nil,
     recordManifestFiles: List[String] = Nil)
+
+/** Min/max of one stats column across EVERY file of one manifest,
+  * string-encoded with the column's external `toString` (Long/Int/
+  * Float/Double round-trip exactly; strings are identity) and decoded
+  * against the schema type at planning time — JSON-safe without typed
+  * unions. */
+final case class SummaryStats(min: String, max: String)
+
+/** The manifest-list entry of one index manifest: how many files it
+  * lists and, per stats column (PHYSICAL field name), the range covering
+  * all of them. A column appears ONLY when every file in the manifest
+  * carries its stats — a single unknown file makes the manifest
+  * unprunable on that column (soundness). */
+final case class ManifestSummary(
+    numFiles: Long,
+    stats: Map[String, SummaryStats] = Map.empty)
 
 final case class Snapshot(
     snapshotId: Long,
@@ -99,6 +118,15 @@ final case class StorageMetadata(
       * bucket's files. */
     bucketColumns: List[String] = Nil,
     numBuckets: Int = 0,
+    /** Manifest-list level (beyond the reference; Iceberg's design):
+      * index-manifest path → [[ManifestSummary]]. Planning consults the
+      * summaries FIRST and reads only manifests whose range can match —
+      * O(manifests) instead of O(files) driver work for selective
+      * queries. Keyed across snapshots (manifests are immutable and
+      * shared); entries drop when snapshot expiry strands the manifest.
+      * Manifests without an entry (legacy tables) are always read —
+      * conservative, never wrong. */
+    manifestSummaries: Map[String, ManifestSummary] = Map.empty,
     currentSnapshotId: Long,
     /** High-water mark for snapshot id allocation (ids are monotonic,
       * storage.py:495-497). */
@@ -156,7 +184,9 @@ final case class Patch(
       * the MV to (one MV commit per source snapshot, runners.py:204-215). */
     sourceSnapshotId: Option[Long] = None,
     /** Exactly-once writer tag; see [[TxnTag]]. */
-    txn: Option[TxnTag] = None)
+    txn: Option[TxnTag] = None,
+    /** Manifest-list entries for the added index manifests. */
+    manifestSummaries: Map[String, ManifestSummary] = Map.empty)
 
 object Patch {
   /** merge_patches analog (ops/utils.py:94-118): manifest lists concat,
@@ -177,7 +207,8 @@ object Patch {
           case (x, y) => x.orElse(y)
         },
         a.sourceSnapshotId.orElse(b.sourceSnapshotId),
-        a.txn.orElse(b.txn))
+        a.txn.orElse(b.txn),
+        a.manifestSummaries ++ b.manifestSummaries)
     })
   }
 }

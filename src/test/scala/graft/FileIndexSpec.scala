@@ -69,12 +69,17 @@ class FileIndexSpec extends AnyFunSuite {
     assert(filesRead(df) < v0Files)
   }
 
-  test("the index reports true on-disk sizes for planning") {
+  test("the index reports a sound size estimate without touching file statuses") {
     val idx = new GraftFileIndex(spark, ds.storage, ds.storage.metadata.currentSnapshotId)
+    // sizeInBytes now comes from snapshot statistics (compressed
+    // column-chunk bytes) so relation construction stays metadata-only;
+    // it slightly undershoots raw file lengths (headers/footers) but
+    // must stay the same order — it only feeds planner estimates
     val fromFs = idx.inputFiles.map(p =>
       new java.io.File(new java.net.URI(
         if (p.startsWith("file:")) p else "file://" + p).getPath).length).sum
-    assert(idx.sizeInBytes == fromFs)
+    assert(idx.sizeInBytes > 0 && idx.sizeInBytes <= fromFs)
+    assert(idx.sizeInBytes > fromFs / 2, s"estimate ${idx.sizeInBytes} vs fs $fromFs")
     assert(idx.inputFiles.length == 8)
   }
 }

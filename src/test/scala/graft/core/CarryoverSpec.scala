@@ -41,6 +41,19 @@ class CarryoverSpec extends AnyFunSuite {
     assert(viaDriver.removedStats == viaJob.removedStats)
     assert(viaDriver.affectedFileRows == viaJob.affectedFileRows)
 
+    // both paths emit manifest-list summaries covering the same files
+    // with the same combined key range (the distributed path derives
+    // them from the part files' own parquet footers)
+    assert(viaDriver.summaries.keySet == viaDriver.carryoverManifests.toSet)
+    assert(viaJob.summaries.keySet == viaJob.carryoverManifests.toSet)
+    assert(viaDriver.summaries.values.map(_.numFiles).sum ==
+      viaJob.summaries.values.map(_.numFiles).sum)
+    val dStats = viaDriver.summaries.values.head.stats("o_orderkey")
+    val jMins = viaJob.summaries.values.map(_.stats("o_orderkey").min.toLong)
+    val jMaxs = viaJob.summaries.values.map(_.stats("o_orderkey").max.toLong)
+    assert(jMins.min == dStats.min.toLong && jMaxs.max == dStats.max.toLong,
+      "distributed summaries must cover the same combined range")
+
     // end-to-end: a delete that crosses the cutover stays correct
     // (tiny threshold forces the distributed branch inside deleteCore)
     val before = ds.readAll().count()

@@ -1,0 +1,116 @@
+package graft.core
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+/** The manifest-list level: per-manifest summaries in snapshot metadata
+  * prune WHOLE manifests at plan time; file-level stats prune within the
+  * survivors. In graft.core for persistMetadata (legacy-table
+  * simulation). */
+class ManifestListSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** 4 range-disjoint appends → 4 manifests with disjoint key ranges,
+    * each holding several range-partitioned files. */
+  private def quartered(prefix: String): (SpaceDataset, org.apache.spark.sql.DataFrame) = {
+    val orders = Tables.read(spark, sfDir, "orders")
+    val loc = Files.createTempDirectory(s"graft_$prefix").toString + "/tbl"
+    val ds = SpaceDataset.create(spark, loc, orders.schema, Seq("o_orderkey"))
+    val maxKey = orders.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+    val q = maxKey / 4 + 1
+    (0 until 4).foreach { i =>
+      ds.append(orders
+        .filter(col("o_orderkey") >= i * q && col("o_orderkey") < (i + 1) * q)
+        .repartitionByRange(3, col("o_orderkey")))
+    }
+    (ds, orders)
+  }
+
+  test("summaries prune whole manifests; results match the plain filter") {
+    val (ds, orders) = quartered("mlist_")
+    val meta = ds.storage.metadata
+    assert(meta.currentSnapshot.manifestFiles.indexManifestFiles.size == 4)
+    // every manifest carries a summary with PK stats
+    meta.currentSnapshot.manifestFiles.indexManifestFiles.foreach { m =>
+      val s = meta.manifestSummaries(m)
+      assert(s.numFiles > 0 && s.stats.contains("o_orderkey"))
+    }
+
+    // a narrow PK filter falsifies 3 of the 4 manifests without opening them
+    val lo = orders.agg(min(col("o_orderkey"))).collect()(0).getLong(0)
+    val p = ds.plan(Some(col("o_orderkey") === lit(lo)))
+    assert(p.totalManifests == 4)
+    assert(p.prunedManifests >= 3, s"expected manifest-level pruning, got $p")
+    assert(p.prunedFiles > 0)
+    assert(ds.read(filter = Some(col("o_orderkey") === lit(lo))).count() ==
+      orders.filter(col("o_orderkey") === lit(lo)).count())
+
+    // an unfiltered plan keeps every manifest and file
+    val full = ds.plan(None)
+    assert(full.prunedManifests == 0 && full.prunedFiles == 0)
+    assert(full.totalFiles == 12)
+    assert(ds.readAll().count() == orders.count())
+
+    // soundness fuzz: random range predicates agree with the plain filter
+    val rnd = new scala.util.Random(7)
+    val maxKey = orders.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+    (1 to 15).foreach { _ =>
+      val a = math.abs(rnd.nextLong()) % maxKey
+      val b = math.abs(rnd.nextLong()) % maxKey
+      val (x, y) = (math.min(a, b), math.max(a, b))
+      val cond = col("o_orderkey") >= x && col("o_orderkey") <= y
+      assert(ds.read(filter = Some(cond)).count() == orders.filter(cond).count())
+    }
+
+    // the relation-backed (Catalyst) path agrees too
+    val sqlCount = ds.readAll().filter(col("o_orderkey") === lit(lo)).count()
+    assert(sqlCount == orders.filter(col("o_orderkey") === lit(lo)).count())
+  }
+
+  test("CoW delete and compaction keep every live manifest summarized") {
+    val (ds, orders) = quartered("mlistc_")
+    ds.delete(col("o_totalprice") > 300000.0)
+    val afterDelete = ds.storage.metadata
+    afterDelete.currentSnapshot.manifestFiles.indexManifestFiles.foreach { m =>
+      assert(afterDelete.manifestSummaries.contains(m), s"no summary for $m after delete")
+    }
+    ds.compact(targetFileRows = 1000000L)
+    val afterCompact = ds.storage.metadata
+    afterCompact.currentSnapshot.manifestFiles.indexManifestFiles.foreach { m =>
+      assert(afterCompact.manifestSummaries.contains(m), s"no summary for $m after compact")
+    }
+    // pruning still fires on the rewritten layout... on the PK, which
+    // survives both the delete and the bin-packing
+    val lo = orders.agg(min(col("o_orderkey"))).collect()(0).getLong(0)
+    assert(ds.read(filter = Some(col("o_orderkey") === lit(lo))).count() ==
+      orders.filter(col("o_orderkey") === lit(lo) && !(col("o_totalprice") > 300000.0)).count())
+  }
+
+  test("legacy tables without summaries fall back to reading every manifest") {
+    val (ds, orders) = quartered("mlistl_")
+    val st = ds.storage
+    st.persistMetadata(st.metadata.copy(manifestSummaries = Map.empty)) // simulate pre-summary table
+    val lo = orders.agg(min(col("o_orderkey"))).collect()(0).getLong(0)
+    val p = ds.plan(Some(col("o_orderkey") === lit(lo)))
+    assert(p.prunedManifests == 0, "no summaries -> no manifest-level pruning")
+    assert(p.prunedFiles > 0, "file-level stats still prune")
+    assert(ds.read(filter = Some(col("o_orderkey") === lit(lo))).count() ==
+      orders.filter(col("o_orderkey") === lit(lo)).count())
+  }
+
+  test("snapshot expiry drops summaries of stranded manifests") {
+    val (ds, _) = quartered("mliste_")
+    ds.delete(col("o_orderkey") % 2 === 0) // rewrites → old manifests stranded on old snapshots
+    val before = ds.storage.metadata.manifestSummaries.size
+    ds.expireSnapshots(olderThanMs = -1L, keepLast = 1)
+    val meta = ds.storage.metadata
+    val live = meta.snapshots.values.flatMap(_.manifestFiles.indexManifestFiles).toSet
+    assert(meta.manifestSummaries.keySet.subsetOf(live))
+    assert(meta.manifestSummaries.size < before, "expiry must shed dead summaries")
+    assert(live.forall(meta.manifestSummaries.contains))
+  }
+}
