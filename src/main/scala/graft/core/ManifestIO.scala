@@ -128,13 +128,27 @@ object ManifestIO {
     * snapshot's manifest stats — the input-range half of the reference's
     * stats-driven join partitioning (ray/ops/join.py:148-176). None when
     * the field has no stats column or any file lacks stats (conservative:
-    * an unknown file could extend the range). */
+    * an unknown file could extend the range).
+    *
+    * When every manifest carries a manifest-list summary, the range
+    * reduces over the summaries — a pure metadata lookup, NO manifest is
+    * opened and no job runs. */
   def keyRange(spark: SparkSession, storage: Storage, field: String): Option[(Any, Any)] = {
     import org.apache.spark.sql.functions.{col, count, lit, max, min}
     val f = storage.schema(field)
     if (!statsEligible(f.dataType)) return None
     val ms = storage.metadata.currentSnapshot.manifestFiles.indexManifestFiles
     if (ms.isEmpty) return None
+
+    val summaries = storage.metadata.manifestSummaries
+    if (ms.forall(m => summaries.get(m).exists(_.stats.contains(field)))) {
+      val dt = f.dataType
+      val ranges = ms.map(summaries(_).stats(field))
+      return Some((
+        ranges.map(s => decodeStat(s.min, dt)).reduce(minAny),
+        ranges.map(s => decodeStat(s.max, dt)).reduce(maxAny)))
+    }
+
     val cname = statsColName(FieldIds.fieldId(f))
     val mdf = readIndexManifests(spark, storage, ms)
     if (!mdf.columns.contains(cname)) return None
