@@ -235,9 +235,13 @@ final class Storage(val location: String, val conf: Configuration) {
               s"column $walked.${field.name} already exists")
             StructType(st.fields :+ assigned)
           case p +: rest =>
-            // the first step addresses a top-level column: map logical →
-            // physical through the rename boundary; nested names have no
-            // mapping (renames are top-level only)
+            // the first step addresses a top-level column: it must be the
+            // LOGICAL name (a renamed column's stale physical name would
+            // silently resolve otherwise), mapped through the rename
+            // boundary; nested names have no mapping (renames are
+            // top-level only)
+            if (walked.isEmpty)
+              require(logicalSchema.fieldNames.contains(p), s"struct $p not found")
             val physName = if (walked.isEmpty) physicalNameOf(p) else p
             val idx = st.fields.indexWhere(_.name == physName)
             require(idx >= 0,

@@ -78,6 +78,60 @@ class EdgeCaseSpec extends AnyFunSuite {
       orders.columns.toSeq.map(c => if (c == "o_totalprice") "price" else c))
   }
 
+  test("nested add under a RENAMED struct column; old files null-fill") {
+    import org.apache.spark.sql.types._
+    val docs = Tables.read(spark, sfDir, "documents").limit(100)
+    val nested = docs.select(col("doc_id"),
+      struct(col("source").as("src")).as("meta"))
+    val ds = SpaceDataset.create(spark, fresh(), nested.schema, Seq("doc_id"))
+    ds.append(nested.filter(col("doc_id") % 2 === 0))
+    // rename the STRUCT column, then add a nested field under the NEW name
+    ds.renameColumn("meta", "info")
+    ds.addNestedColumn(Seq("info"), "lang", StringType)
+    ds.append(nested.filter(col("doc_id") % 2 =!= 0)
+      .select(col("doc_id"),
+        struct(col("meta.src").as("src"), lit("en").as("lang")).as("info")))
+    val out = ds.readAll().select(col("doc_id"), col("info.src"), col("info.lang"))
+    assert(out.count() == nested.count())
+    assert(out.filter(col("doc_id") % 2 === 0 && col("lang").isNotNull).count() == 0)
+    assert(out.filter(col("doc_id") % 2 =!= 0 && col("lang") =!= "en").count() == 0)
+    // the old logical name is gone
+    intercept[IllegalArgumentException] { ds.addNestedColumn(Seq("meta"), "x", StringType) }
+  }
+
+  test("SQL UPDATE and MERGE work through renamed columns") {
+    val root = Files.createTempDirectory("graft_edgesql_").toString
+    val ds = SpaceDataset.create(spark, root + "/t",
+      orders.select("o_orderkey", "o_totalprice").schema, Seq("o_orderkey"))
+    ds.append(orders.select("o_orderkey", "o_totalprice").limit(100))
+    ds.renameColumn("o_totalprice", "price")
+    val cat = "gedge" + java.util.UUID.randomUUID().toString.replace("-", "").take(6)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[org.apache.spark.sql.graftshim.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.location", root)
+    try {
+      // UPDATE addresses the renamed column by its LOGICAL name
+      spark.sql(s"UPDATE $cat.t SET price = 0.0 WHERE o_orderkey % 2 = 0")
+      assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t WHERE price = 0.0")
+        .collect()(0).getLong(0) ==
+        orders.limit(100).filter(col("o_orderkey") % 2 === 0).count())
+      // MERGE sources speak logical names too
+      spark.sql(s"SELECT o_orderkey, price * 10 AS price FROM $cat.t WHERE price = 0.0")
+        .createOrReplaceTempView("edge_merge_src")
+      spark.sql(s"MERGE INTO $cat.t t USING edge_merge_src s " +
+        "ON t.o_orderkey = s.o_orderkey WHEN MATCHED THEN UPDATE SET *")
+      assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t WHERE price = 0.0")
+        .collect()(0).getLong(0) ==
+        orders.limit(100).filter(col("o_orderkey") % 2 === 0).count(),
+        "0 * 10 stays 0: merge must have replaced rows, not duplicated them")
+      assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t").collect()(0).getLong(0) == 100)
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.location")
+      spark.catalog.dropTempView("edge_merge_src")
+    }
+  }
+
   test("update on a bucketed table preserves the bucket layout") {
     val ds = SpaceDataset.create(spark, fresh(), orders.schema, Seq("o_orderkey"),
       bucketColumns = Seq("o_custkey"), numBuckets = 4)
