@@ -207,9 +207,8 @@ object DmlOps {
         (List(rel),
           Map(rel -> ManifestIO.summarizeRows(storage, carryover.schema, head)))
       } else {
-        val rels = writeCarryoverDistributed(spark, storage, carryover)
-        (rels, rels.map(r =>
-          r -> ManifestIO.summarizeManifestFile(storage, storage.absolute(r), conf)).toMap)
+        val pairs = writeCarryoverDistributed(spark, storage, carryover)
+        (pairs.map(_._1), pairs.toMap)
       }
 
     // negative stats of the removed files (delete.py's stats delta)
@@ -233,11 +232,14 @@ object DmlOps {
 
   /** Distributed carryover write: executors write the surviving manifest
     * rows as parquet; the driver renames each non-empty part file into a
-    * manifest name. Driver work is O(part files), never O(rows). */
+    * manifest name and returns it WITH its manifest-list summary.
+    * Driver work is O(part files), never O(rows) — and one footer read
+    * per part: the summary's `numFiles` IS the part's row count, so the
+    * 0-row skip and the summary share the same open. */
   private def writeCarryoverDistributed(
       spark: SparkSession,
       storage: Storage,
-      carryover: DataFrame): List[String] = {
+      carryover: DataFrame): List[(String, ManifestSummary)] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val tmpRel = s"${StoragePaths.MetadataDir}/tmp_carry_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
@@ -249,12 +251,13 @@ object DmlOps {
     val rels = parts.toList.flatMap { p =>
       // a task whose partition lost every row still writes a 0-row part;
       // it never becomes a manifest
-      if (ManifestIO.harvestFooter(p.toString, p.toString, conf, Nil).numRows == 0L) None
+      val summary = ManifestIO.summarizeManifestFile(storage, p.toString, conf)
+      if (summary.numFiles == 0L) None
       else {
         val rel = StoragePaths.newIndexManifestFile()
         if (!fs.rename(p, new Path(storage.absolute(rel))))
           throw new java.io.IOException(s"rename $p failed")
-        Some(rel)
+        Some(rel -> summary)
       }
     }
     fs.delete(new Path(tmpAbs), true)

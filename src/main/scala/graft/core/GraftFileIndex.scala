@@ -44,8 +44,6 @@ final class GraftFileIndex(
 
   private val manifests: Seq[String] =
     storage.snapshotOrFail(snapshotId).manifestFiles.indexManifestFiles
-  private val summaries = storage.metadata.manifestSummaries
-  private val allSummarized = manifests.nonEmpty && manifests.forall(summaries.contains)
   private val mSchema: StructType =
     ManifestIO.manifestSchema(storage.schema, storage.statsColumns)
   private val fileIdx = mSchema.fieldIndex(ManifestIO.FileCol)
@@ -127,13 +125,8 @@ final class GraftFileIndex(
 
     // manifest-LIST level: falsify whole manifests from their summaries
     // before reading any manifest rows
-    val surviving: Seq[String] = keepOpt match {
-      case Some(k) if allSummarized =>
-        val (rows, schema) = ManifestIO.summaryRows(storage, manifests)
-        spark.createDataFrame(rows.asJava, schema).filter(k)
-          .select(ManifestIO.FileCol).collect().map(_.getString(0)).toSeq
-      case _ => manifests
-    }
+    val surviving: Seq[String] =
+      ManifestIO.pruneManifestsBySummary(spark, storage, manifests, keepOpt)
 
     val rows = rowsOf(surviving)
     val kept: Seq[String] = keepOpt match {

@@ -276,6 +276,29 @@ object ManifestIO {
     (rows, schema)
   }
 
+  /** Manifest-LIST pruning: falsify whole manifests from the
+    * per-manifest summaries in snapshot metadata before reading any
+    * manifest rows. Conservative — returns `manifests` unchanged when
+    * there is no keep-condition or any manifest lacks a summary. The
+    * ONE implementation shared by the Catalyst scan path
+    * ([[GraftFileIndex]].listFiles) and the API read path
+    * ([[ReadOp]].plan), so SQL and API prune identically. */
+  def pruneManifestsBySummary(
+      spark: SparkSession,
+      storage: Storage,
+      manifests: Seq[String],
+      keep: Option[org.apache.spark.sql.Column]): Seq[String] = {
+    val summaries = storage.metadata.manifestSummaries
+    keep match {
+      case Some(k) if manifests.nonEmpty && manifests.forall(summaries.contains) =>
+        val (rows, schema) = summaryRows(storage, manifests)
+        spark.createDataFrame(rows.asJava, schema).filter(k)
+          .select(org.apache.spark.sql.functions.col(FileCol))
+          .collect().map(_.getString(0)).toSeq
+      case _ => manifests
+    }
+  }
+
   /** Write an index manifest parquet file at a fresh metadata path;
     * returns the relative path. */
   def writeIndexManifest(

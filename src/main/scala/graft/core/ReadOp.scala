@@ -70,13 +70,8 @@ object ReadOp {
     val summaries = storage.metadata.manifestSummaries
     val allSummarized = manifests.forall(summaries.contains)
 
-    val surviving: Seq[String] = keep match {
-      case Some(k) if allSummarized =>
-        val (rows, schema) = ManifestIO.summaryRows(storage, manifests)
-        spark.createDataFrame(rows.asJava, schema).filter(k)
-          .select(col(ManifestIO.FileCol)).collect().map(_.getString(0)).toSeq
-      case _ => manifests
-    }
+    val surviving: Seq[String] =
+      ManifestIO.pruneManifestsBySummary(spark, storage, manifests, keep)
     val total: Int =
       if (allSummarized) manifests.map(summaries(_).numFiles).sum.toInt else -1
     val prunedM = manifests.size - surviving.size

@@ -94,8 +94,10 @@ object Similarity {
     * the wrong shape at extreme partition counts; the threshold filter
     * ships nothing to the driver and needs no sort.) Init = the
     * `numCentroids` smallest-hash rows OF THE BOUNDED SAMPLE (a top-16
-    * over ≤~1.1 × sampleSize rows — same pick as before, so results are
-    * unchanged); each iteration is one assignment scan + a per-(cell,
+    * over ≤~1.1 × sampleSize rows; deterministic, but a DIFFERENT pick
+    * than a raw-signed-hash order — the sample hash is
+    * pmod(xxhash64, 2^32), so centroids are not comparable across the
+    * two implementations); each iteration is one assignment scan + a per-(cell,
     * dimension) mean via posexplode — the shuffle carries
     * `numCentroids × dim` partial sums, not vectors. Empty cells keep
     * their previous centroid. */

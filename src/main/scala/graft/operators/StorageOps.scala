@@ -205,10 +205,13 @@ object StorageOps {
         require(!flatten(all(joinIdx)).exists(
           _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
           "storage-partitioned join still shuffled")
-        // materialize before the finally restores session state the scan needs
-        j.persist()
-        j.count()
-        j
+        // decouple the result from session state the finally restores
+        // (the throwaway catalog backs the scan): executor-parallel
+        // parquet round-trip, not persist() — a cache here would pin
+        // the join output in executor memory for the rest of the session
+        val out = Files.createTempDirectory("graft_bjoin_out").toString
+        j.write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
       } finally {
         s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
         prevV2Bucketing match {

@@ -206,6 +206,18 @@ final class GraftCdcMicroBatchStream(
     GraftCdcOffset(storage.branchHead(branch))
   }
 
+  /** (qualified path, length) of a change file, cached for the stream's
+    * lifetime — data files are immutable, and both the byte-budget
+    * admission loop and planInputPartitions need the same status. */
+  private val fileMetaCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
+  private def fileMeta(rel: String): (String, Long) =
+    fileMetaCache.getOrElseUpdate(rel, {
+      val p = new Path(storage.absolute(rel))
+      val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p)
+      (st.getPath.toString, st.getLen)
+    })
+
   override def latestOffset(
       start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
@@ -215,14 +227,7 @@ final class GraftCdcMicroBatchStream(
     if (unlimited) return GraftCdcOffset(head)
 
     val fileLen: String => Long =
-      if (maxBytesPerBatch.isEmpty) _ => 0L
-      else {
-        val conf = spark.sparkContext.hadoopConfiguration
-        rel => {
-          val p = new Path(storage.absolute(rel))
-          p.getFileSystem(conf).getFileStatus(p).getLen
-        }
-      }
+      if (maxBytesPerBatch.isEmpty) _ => 0L else rel => fileMeta(rel)._2
     var files = 0
     var bytes = 0L
     var fullSnaps = 0L
@@ -239,7 +244,14 @@ final class GraftCdcMicroBatchStream(
             maxBytesPerBatch.forall(bytes + len <= _))
         if (admit) { files += 1; bytes += len; k += 1 } else stopped = true
       }
-      if (k < sets.size) return GraftCdcOffset(sid, k) // split mid-snapshot
+      if (k < sets.size) {
+        // budget exhausted inside this snapshot. If NOTHING of it fit
+        // (k == from), close the batch at the last COMPLETED offset —
+        // (sid, 0) would read as "sid fully emitted" and admit the whole
+        // snapshot. k > from is guaranteed for the first pending
+        // snapshot (files == 0 always admits), so `end` has advanced.
+        return if (k == from) end else GraftCdcOffset(sid, k)
+      }
       end = GraftCdcOffset(sid)
       fullSnaps += 1
       if (maxSnapshotsPerBatch.exists(fullSnaps >= _)) return end
@@ -264,15 +276,13 @@ final class GraftCdcMicroBatchStream(
     val s = start.asInstanceOf[GraftCdcOffset]
     val e = end.asInstanceOf[GraftCdcOffset]
     if (s == e) return Array.empty
-    val conf = spark.sparkContext.hadoopConfiguration
     pendingChain(s, e.snapshotId).flatMap { sid =>
       val sets = changeRowsets(sid)
       val from = if (sid == s.snapshotId) s.filesDone else 0
       val to = if (sid == e.snapshotId && e.filesDone > 0) e.filesDone else sets.size
       sets.slice(from, to).map { case (rb, ct) =>
-        val p = new Path(storage.absolute(rb.file))
-        val st = p.getFileSystem(conf).getFileStatus(p)
-        GraftCdcPartition(st.getPath.toString, st.getLen,
+        val (absPath, len) = fileMeta(rb.file)
+        GraftCdcPartition(absPath, len,
           if (rb.allRows) None else rb.bitmapB64, ct, sid)
       }
     }.toArray
