@@ -189,6 +189,49 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(batches2.flatten.sorted == Seq(100L, 101L))
   }
 
+  test("byte budget closes the batch at a snapshot boundary, never admitting an unfitting snapshot") {
+    // Regression: with the budget exhausted by snapshot 1, ZERO rowsets of
+    // snapshot 2 fit. The admission loop must close the batch at the last
+    // COMPLETED snapshot — returning (snap2, 0) would read as "snapshot 2
+    // fully emitted" and dump the whole oversized snapshot into the batch.
+    val root = Files.createTempDirectory("graft_cdcspec7_").toString
+    val ds = SpaceDataset.create(spark, s"$root/tbl", kvSchema, Seq("id"))
+    ds.append(kv(1L -> "a")) // snap 1: one small file
+    val dataDir = java.nio.file.Paths.get(root, "tbl", "data")
+    val snap1Bytes = {
+      val s = java.nio.file.Files.walk(dataDir)
+      try s.filter(p => p.toString.endsWith(".parquet"))
+        .mapToLong(p => java.nio.file.Files.size(p)).sum()
+      finally s.close()
+    }
+    // snap 2: 3 files, none of which fits on top of snapshot 1's bytes
+    ds.append(kv((10L to 39L).map(i => i -> s"v$i"): _*).repartition(3))
+
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Long)]]
+    val q = spark.readStream.format("graft-cdc")
+      .option("location", s"$root/tbl")
+      .option("maxBytesPerBatch", snap1Bytes.toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val rows = batch.collect()
+          .map(r => (r.getLong(0), r.getLong(r.fieldIndex("_commit_snapshot_id")))).toSeq
+        batches.synchronized { if (rows.nonEmpty) batches += rows }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    // batch 1 = snapshot 1 ALONE; snapshot 2 drains one file per batch
+    assert(batches.head.map(_._1) == Seq(1L),
+      s"first batch must stop at the snapshot boundary: ${batches.head}")
+    assert(batches.count(_.exists(_._2 == 2L)) == 3,
+      s"snapshot 2's three files must arrive one per batch: $batches")
+    val all = batches.flatten
+    assert(all.size == all.distinct.size && all.size == 31, "exactly-once violated")
+  }
+
   test("rate limit follows the branch chain across interleaved branch commits") {
     // snapshot ids are GLOBAL: main's chain here is 1 → 3 → 5, with exp's
     // snapshots 2 and 4 interleaved. `start + m` offset arithmetic would
