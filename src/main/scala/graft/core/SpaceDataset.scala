@@ -246,6 +246,12 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
   def addBranch(name: String, version: Option[String] = None): Unit =
     storage.addBranch(name, version.map(storage.versionToSnapshotId))
 
+  /** Roll the current branch back to an earlier snapshot on its own
+    * chain (metadata-only undo; see [[Storage.rollback]]). Accepts any
+    * version string a read does — snapshot id, tag, or branch name. */
+  def rollback(version: String): Unit =
+    storage.rollback(storage.versionToSnapshotId(version), currentBranch)
+
   def removeRef(name: String): Unit = storage.removeRef(name)
 
   def removeTag(name: String): Unit = storage.removeTag(name)

@@ -313,6 +313,37 @@ final class Storage(val location: String, val conf: Configuration) {
       lastUpdateTimeMs = System.currentTimeMillis()))
   }
 
+  /** Reset `branch`'s head to an ANCESTOR snapshot — a metadata-only
+    * undo (Iceberg's rollback semantics; the reference has no undo op).
+    * The abandoned descendant snapshots stay readable by id/tag until
+    * snapshot expiry + GC reclaim them, and snapshot ids are never
+    * reused (`maxSnapshotId` is a high-water mark), so the next commit
+    * continues from the restored head under a fresh id. Restricting the
+    * target to the branch's own parent chain keeps its history linear —
+    * jumping to an arbitrary snapshot would silently splice another
+    * branch's lineage into this one's CDC feed. */
+  def rollback(snapshotId: Long, branch: String = SnapshotRef.MainBranch): Unit =
+    withCommitLock {
+      reload()
+      val head = branchHead(branch)
+      require(snapshotId != head, s"branch $branch is already at snapshot $snapshotId")
+      @annotation.tailrec
+      def isAncestor(cur: Option[Long]): Boolean = cur match {
+        case None => false
+        case Some(id) =>
+          id == snapshotId || isAncestor(snapshotOrFail(id).parentSnapshotId)
+      }
+      require(isAncestor(Some(head)),
+        s"snapshot $snapshotId is not an ancestor of $branch head $head")
+      val now = System.currentTimeMillis()
+      persist(
+        if (branch == SnapshotRef.MainBranch)
+          meta.copy(currentSnapshotId = snapshotId, lastUpdateTimeMs = now)
+        else meta.copy(
+          refs = meta.refs + (branch -> SnapshotRef(branch, SnapshotRef.Branch, snapshotId)),
+          lastUpdateTimeMs = now))
+    }
+
   def addTag(name: String, snapshotId: Option[Long] = None): Unit =
     addRef(name, SnapshotRef.Tag, snapshotId)
 

@@ -369,6 +369,23 @@ object StorageOps {
       ds.read(version = Some("exp"))
     }),
 
+    // ROLLBACK: a bad commit is undone metadata-only (head reset to the
+    // tagged ancestor), history continues from there under fresh ids,
+    // and the abandoned snapshot stays time-travelable until expiry
+    "s_rollback" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val ds = SpaceDataset.create(s, fresh("rb"), o.schema, Seq("o_orderkey"))
+      ds.append(o.filter(col("o_orderkey") <= 1000L)) // snap 1: good
+      ds.addTag("good")
+      ds.append(o.filter(col("o_orderkey") > 1000L && col("o_orderkey") <= 2000L)) // snap 2: bad
+      ds.rollback("good")
+      ds.append(o.filter(col("o_orderkey") > 2000L && col("o_orderkey") <= 3000L)) // snap 3 ← parent 1
+      require(ds.read(version = Some("2")).count() >
+        ds.read(version = Some("1")).count(),
+        "abandoned snapshot must stay time-travelable after rollback")
+      ds.readAll()
+    }),
+
     // change-data feed over append → delete → upsert; DELETE before ADD,
     // UPDATE = DELETE+ADD of the same PK in one snapshot
     "s_cdc_diff" -> ((s, d) => {
@@ -552,6 +569,10 @@ object StorageOps {
     "s_timetravel" -> "SELECT * FROM orders WHERE o_orderkey <= 1000",
     "s_branch" ->
       "SELECT * FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 1000",
+    "s_rollback" ->
+      """SELECT * FROM orders
+        |WHERE o_orderkey <= 1000
+        |   OR (o_orderkey > 2000 AND o_orderkey <= 3000)""".stripMargin,
     "s_cdc_diff" ->
       """SELECT o_orderkey, 1 AS snapshot_id, 'ADD' AS change_type
         |FROM orders WHERE o_orderkey <= 1000

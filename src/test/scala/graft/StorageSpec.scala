@@ -245,6 +245,64 @@ class StorageSpec extends AnyFunSuite {
   }
 }
 
+class RollbackSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("rollback resets the head to an ancestor; history continues under fresh ids") {
+    val orders = Tables.read(spark, sfDir, "orders")
+    val loc = java.nio.file.Files.createTempDirectory("graft_rb_").toString + "/tbl"
+    val ds = core.SpaceDataset.create(spark, loc, orders.schema, Seq("o_orderkey"))
+    ds.append(orders.limit(100))                                      // snap 1
+    ds.append(orders.limit(150).withColumn("o_orderkey",
+      col("o_orderkey") + 1000000L))                                  // snap 2: bad
+    assert(ds.readAll().count() == 250)
+
+    intercept[IllegalArgumentException](ds.rollback("2"))             // already head
+    ds.rollback("1")
+    assert(ds.readAll().count() == 100)
+    // abandoned snapshot stays time-travelable until expiry
+    assert(ds.read(version = Some("2")).count() == 250)
+
+    // next commit: parent = restored head, id continues past the
+    // high-water mark (never reused)
+    val newId = ds.append(orders.limit(30).withColumn("o_orderkey",
+      col("o_orderkey") + 2000000L))
+    assert(newId == 3L)
+    assert(ds.storage.snapshotOrFail(3L).parentSnapshotId.contains(1L))
+    assert(ds.readAll().count() == 130)
+
+    // the abandoned snapshot is now expirable (not a ref, not current)
+    val expired = ds.expireSnapshots(olderThanMs = -1000L, keepLast = 1)
+    assert(expired.contains(2L))
+    intercept[IllegalArgumentException](ds.read(version = Some("2")).count())
+  }
+
+  test("rollback rejects non-ancestors and moves only the named branch") {
+    val orders = Tables.read(spark, sfDir, "orders")
+    val loc = java.nio.file.Files.createTempDirectory("graft_rb2_").toString + "/tbl"
+    val ds = core.SpaceDataset.create(spark, loc, orders.schema, Seq("o_orderkey"))
+    ds.append(orders.limit(100))                                      // snap 1 (main)
+    ds.addBranch("exp")
+    ds.setCurrentBranch("exp")
+    ds.append(orders.limit(50).withColumn("o_orderkey",
+      col("o_orderkey") + 1000000L))                                  // snap 2 (exp)
+    ds.setCurrentBranch("main")
+    ds.append(orders.limit(80).withColumn("o_orderkey",
+      col("o_orderkey") + 2000000L))                                  // snap 3 (main)
+
+    // exp's snapshot 2 is NOT on main's chain
+    intercept[IllegalArgumentException](ds.rollback("2"))
+
+    // rolling exp back must not move main
+    ds.setCurrentBranch("exp")
+    ds.rollback("1")
+    assert(ds.readAll().count() == 100)
+    ds.setCurrentBranch("main")
+    assert(ds.readAll().count() == 180)
+  }
+}
+
 class CurrentBranchSpec extends org.scalatest.funsuite.AnyFunSuite {
   import TestSpark._
   import org.apache.spark.sql.functions._
