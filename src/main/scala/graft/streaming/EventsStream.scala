@@ -199,9 +199,62 @@ object EventsStream {
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
   }
 
+  /** Watermarked STREAM-STREAM INNER JOIN: clicks and purchases arrive
+    * as two independent streams, joined per user under a time bound
+    * (purchase within `boundSec` after the click). Both sides carry
+    * watermarks and the join condition carries the time range, so the
+    * state store evicts rows as event time advances — bounded state at
+    * any stream volume, where an unbounded-condition join would buffer
+    * both streams forever. Inner joins emit matches eagerly (the
+    * watermark only governs state cleanup), so the drain yields every
+    * pair; results land in a graft table through the exactly-once
+    * append sink. */
+  def streamJoin(s: SparkSession, d: String, boundSec: Int = 7200): DataFrame = {
+    val (schema, _) = eventsRaw(s, d)
+    val loc = java.nio.file.Files.createTempDirectory("graft_sjoin_").toString
+    val outSchema = StructType(Seq(
+      StructField("click_id", LongType, nullable = false),
+      StructField("purchase_id", LongType, nullable = false),
+      StructField("user_id", LongType),
+      StructField("delay_sec", LongType),
+      StructField("purchase_value", DoubleType)))
+    val sink = SpaceDataset.create(s, s"$loc/tbl", outSchema,
+      primaryKeys = Seq("click_id", "purchase_id"))
+
+    def side(tpe: String, alias: String) = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .filter(col("event_type") === tpe)
+      .select(col("event_id").as(s"${alias}_id"), col("user_id").as(s"${alias}_user"),
+        timestamp_seconds(expr("ts div 1000000000")).as(s"${alias}_time"),
+        col("value").as(s"${alias}_value"))
+      .withWatermark(s"${alias}_time", "1 hour")
+
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = side("click", "click").join(side("purchase", "purchase"),
+        col("click_user") === col("purchase_user") &&
+          col("purchase_time") >= col("click_time") &&
+          col("purchase_time") <= col("click_time") + expr(s"INTERVAL $boundSec seconds"))
+      .select(col("click_id"), col("purchase_id"),
+        col("click_user").as("user_id"),
+        (unix_timestamp(col("purchase_time")) - unix_timestamp(col("click_time")))
+          .as("delay_sec"),
+        round(col("purchase_value"), 2).as("purchase_value"))
+      .writeStream
+      .option("checkpointLocation", s"$loc/ckpt")
+      .foreachBatch(GraftSink.append(sink, appId = "e_stream_join"))
+      .start()
+    try q.processAllAvailable() finally {
+      q.stop()
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+    sink.readAll()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_stream_window" -> ((s, d) => windowedAgg(s, d)),
     "e_stream_dedup" -> ((s, d) => streamDedup(s, d)),
+    "e_stream_join" -> ((s, d) => streamJoin(s, d)),
     "e_sessionize" -> ((s, d) => sessionize(s, d)),
     "e_cdc_stream" -> ((s, d) => cdcStream(s, d)))
 
@@ -210,6 +263,16 @@ object EventsStream {
       """SELECT event_type, count(*) AS n_events,
         |  round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
+    "e_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.user_id AS user_id,
+        |  CAST(floor(epoch(p.ts)) - floor(epoch(c.ts)) AS BIGINT) AS delay_sec,
+        |  round(p.value, 2) AS purchase_value
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND floor(epoch(p.ts)) >= floor(epoch(c.ts))
+        | AND floor(epoch(p.ts)) <= floor(epoch(c.ts)) + 7200""".stripMargin,
     "e_cdc_stream" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
         |  'ADD' AS change_type,
