@@ -196,7 +196,19 @@ final class GraftCdcMicroBatchStream(
   private def pendingChain(from: GraftCdcOffset, head: Long): Seq[Long] =
     (if (from.filesDone > 0) Seq(from.snapshotId) else Nil) ++
       (if (head == from.snapshotId) Nil
-       else storage.orderedSnapshotIds(from.snapshotId, head))
+       else try storage.orderedSnapshotIds(from.snapshotId, head)
+       catch {
+         case e: IllegalArgumentException =>
+           // the checkpointed offset sits on an ABANDONED chain (the
+           // table was rolled back past it): what this stream already
+           // emitted diverged from the branch's history, so failing is
+           // the only safe move — just say why
+           throw new IllegalStateException(
+             s"checkpointed offset ${from.snapshotId} is not on branch " +
+               s"'$branch' of ${storage.location} (head $head) — the table " +
+               "was rolled back past the stream's offset; restart the " +
+               "stream from a fresh checkpoint", e)
+       })
 
   override def initialOffset(): Offset =
     GraftCdcOffset(Option(options.get("startingSnapshotId")).map(_.toLong - 1).getOrElse(0L))

@@ -232,6 +232,26 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(all.size == all.distinct.size && all.size == 31, "exactly-once violated")
   }
 
+  test("a stream checkpointed past a rollback fails with a rollback-naming error") {
+    val root = Files.createTempDirectory("graft_cdcspec8_").toString
+    val ds = SpaceDataset.create(spark, s"$root/tbl", kvSchema, Seq("id"))
+    ds.append(kv(1L -> "a")) // snap 1
+    ds.append(kv(2L -> "b")) // snap 2
+    drain(s"$root/tbl", s"$root/ckpt") // checkpoint now at snapshot 2
+
+    ds.rollback("1")
+    ds.append(kv(3L -> "c")) // snap 3 ← parent 1; snapshot 2 abandoned
+
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(s"$root/tbl", s"$root/ckpt")
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c => c.isInstanceOf[IllegalStateException] &&
+      c.getMessage.contains("rolled back")),
+      s"expected a rollback-naming IllegalStateException, got: $ex")
+  }
+
   test("rate limit follows the branch chain across interleaved branch commits") {
     // snapshot ids are GLOBAL: main's chain here is 1 → 3 → 5, with exp's
     // snapshots 2 and 4 interleaved. `start + m` offset arithmetic would
