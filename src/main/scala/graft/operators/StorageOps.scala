@@ -155,6 +155,47 @@ object StorageOps {
       ds.read(filter = Some(col("o_custkey") === lit(minCust)))
     }),
 
+    // SQL MAINTENANCE surface: the full CALL-procedure lifecycle through
+    // the DSv2 ProcedureCatalog — trickle appends, compact via CALL, a
+    // bad commit rolled back via CALL, expire+gc via CALL, read back
+    "s_sql_maintenance" -> ((s, d) => {
+      val cat = "gmt" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      val root = Files.createTempDirectory("graft_maint").toString
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[org.apache.spark.sql.graftshim.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.location", root)
+      try {
+        s.sql(s"CREATE TABLE $cat.o (o_orderkey BIGINT, o_custkey BIGINT, " +
+          "o_totalprice DOUBLE) TBLPROPERTIES ('primary_keys'='o_orderkey')")
+        val src = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        (0 until 3).foreach { i =>                                   // snaps 1-3: trickle
+          src.filter(col("o_orderkey") <= 1500L && col("o_orderkey") % 3 === i)
+            .write.mode("append").insertInto(s"$cat.o")
+        }
+        val c = s.sql(s"CALL $cat.system.compact(table => 'o', " +
+          "target_file_rows => 1000000)").collect()                  // snap 4
+        require(c.length == 1 && c(0).getAs[Int]("rewritten_files") >= 3,
+          "compact procedure must rewrite the trickle files")
+        src.filter(col("o_orderkey") > 1500L && col("o_orderkey") <= 2500L)
+          .write.mode("append").insertInto(s"$cat.o")                // snap 5: bad commit
+        val rb = s.sql(s"CALL $cat.system.rollback(table => 'o', " +
+          "version => '4')").collect()
+        require(rb.length == 1 && rb(0).getAs[Long]("current_snapshot_id") == 4L,
+          "rollback procedure must reset the head")
+        s.sql(s"CALL $cat.system.expire_snapshots(table => 'o', " +
+          "older_than_ms => -1000, keep_last => 0)").collect()
+        s.sql(s"CALL $cat.system.gc(table => 'o', min_age_ms => 0)").collect()
+        // decouple from the throwaway catalog the finally unregisters
+        val out = Files.createTempDirectory("graft_maint_out").toString
+        s.sql(s"SELECT * FROM $cat.o").write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.location")
+      }
+    }),
+
     // STORAGE-PARTITIONED JOIN: two tables hash-bucketed on the join
     // key (every write shuffles to pmod(murmur3(key), n); bucket id in
     // the file name) join through the SQL catalog with ZERO exchange —
@@ -573,6 +614,9 @@ object StorageOps {
       """SELECT * FROM orders
         |WHERE o_orderkey <= 1000
         |   OR (o_orderkey > 2000 AND o_orderkey <= 3000)""".stripMargin,
+    "s_sql_maintenance" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderkey <= 1500""".stripMargin,
     "s_cdc_diff" ->
       """SELECT o_orderkey, 1 AS snapshot_id, 'ADD' AS change_type
         |FROM orders WHERE o_orderkey <= 1000

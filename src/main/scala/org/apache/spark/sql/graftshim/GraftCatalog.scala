@@ -47,7 +47,24 @@ import graft.core.{DirCatalog, ReadOp, SpaceDataset, GraftFileIndex}
   * Namespace model: flat (a single root namespace), like the reference's
   * directory catalog.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog
+  with ProcedureCatalog {
+
+  // ------------------------------------------ procedure catalog surface
+  // SQL maintenance parity: CALL <cat>.system.compact/cluster_by/zorder/
+  // expire_snapshots/gc/rollback — see [[GraftProcedures]].
+  override def loadProcedure(
+      ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(this, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.list(this, namespace)
+
+  private[graftshim] def datasetByName(name: String): SpaceDataset = {
+    if (!dir.exists(name))
+      throw new NoSuchTableException(Identifier.of(Array.empty, name))
+    dir.dataset(name)
+  }
 
   // ------------------------------------------- function catalog surface
   // One function: bucket(numBuckets, col). Catalyst resolves it while

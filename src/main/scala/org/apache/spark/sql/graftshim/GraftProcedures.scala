@@ -1,0 +1,169 @@
+package org.apache.spark.sql.graftshim
+
+import java.util.{Collections, Iterator => JIterator}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.SpaceDataset
+
+/** SQL surface for table MAINTENANCE — Spark 4's DSv2 procedure API
+  * (`ProcedureCatalog` + `CALL`, SPARK-44167), so every maintenance op
+  * a Scala caller has is reachable from pure SQL, the same parity bar
+  * as DML (the reference has no SQL surface at all; this mirrors the
+  * `CALL catalog.system.proc(...)` UX lakehouse users know):
+  *
+  * {{{
+  * CALL cat.system.compact(table => 't', target_file_rows => 100000)
+  * CALL cat.system.cluster_by(table => 't', columns => 'a,b', target_file_rows => 100000)
+  * CALL cat.system.zorder(table => 't', columns => 'a,b', target_file_rows => 100000)
+  * CALL cat.system.expire_snapshots(table => 't', older_than_ms => 0, keep_last => 1)
+  * CALL cat.system.gc(table => 't', min_age_ms => 0)
+  * CALL cat.system.rollback(table => 't', version => 'v1')
+  * }}}
+  *
+  * Each procedure returns a small summary relation (a [[LocalScan]] —
+  * driver-materialized rows, which is the right plane: these are
+  * metadata results; the heavy work inside compact/cluster/GC runs as
+  * distributed jobs through the same ops the Scala API uses).
+  */
+object GraftProcedures {
+
+  val Namespace: Array[String] = Array("system")
+
+  private final class RowsScan(schema: StructType, rs: Array[InternalRow])
+    extends LocalScan {
+    override def rows(): Array[InternalRow] = rs
+    override def readSchema(): StructType = schema
+  }
+
+  /** Self-binding procedure: fixed parameters, fixed output schema.
+    * Spark's analyzer normalizes named/positional args and fills
+    * declared defaults before `call`, so `run` reads positionally. */
+  private abstract class Proc(
+      procName: String,
+      procDescription: String,
+      params: => Array[ProcedureParameter],
+      outSchema: StructType) extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = procDescription
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+    protected def run(input: InternalRow): Seq[InternalRow]
+    override def call(input: InternalRow): JIterator[Scan] =
+      Collections.singletonList[Scan](
+        new RowsScan(outSchema, run(input).toArray)).iterator()
+  }
+
+  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  private def rewriteSchema = StructType(Seq(
+    StructField("rewritten_files", IntegerType, nullable = false),
+    StructField("output_files", IntegerType, nullable = false),
+    StructField("rows", LongType, nullable = false)))
+
+  private def procs(cat: GraftCatalog): Map[String, UnboundProcedure] = {
+    def ds(input: InternalRow): SpaceDataset =
+      cat.datasetByName(input.getUTF8String(0).toString)
+    def cols(input: InternalRow, i: Int): Seq[String] =
+      input.getUTF8String(i).toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+    val all = Seq[UnboundProcedure](
+      new Proc("compact",
+        "Bin-pack small index files into ~target_file_rows-row files",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("target_file_rows", LongType).build(),
+          ProcedureParameter.in("small_fraction", DoubleType)
+            .defaultValue("0.5").build()),
+        rewriteSchema) {
+        override def run(input: InternalRow): Seq[InternalRow] =
+          ds(input).compact(input.getLong(1), input.getDouble(2)).toSeq
+            .map(r => InternalRow(r.rewrittenFiles, r.outputFiles, r.rows))
+      },
+
+      new Proc("cluster_by",
+        "Rewrite index files range-sorted by `columns` so stats-based pruning bites",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("columns", StringType)
+            .comment("comma-separated column names").build(),
+          ProcedureParameter.in("target_file_rows", LongType).build()),
+        rewriteSchema) {
+        override def run(input: InternalRow): Seq[InternalRow] =
+          ds(input).clusterBy(cols(input, 1), input.getLong(2)).toSeq
+            .map(r => InternalRow(r.rewrittenFiles, r.outputFiles, r.rows))
+      },
+
+      new Proc("zorder",
+        "Rewrite index files Morton-tiled over `columns` so every listed column prunes",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("columns", StringType)
+            .comment("comma-separated column names").build(),
+          ProcedureParameter.in("target_file_rows", LongType).build()),
+        rewriteSchema) {
+        override def run(input: InternalRow): Seq[InternalRow] =
+          ds(input).zorderBy(cols(input, 1), input.getLong(2)).toSeq
+            .map(r => InternalRow(r.rewrittenFiles, r.outputFiles, r.rows))
+      },
+
+      new Proc("expire_snapshots",
+        "Drop unreferenced snapshots older than `older_than_ms`, keeping `keep_last` most recent",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("older_than_ms", LongType).build(),
+          ProcedureParameter.in("keep_last", IntegerType)
+            .defaultValue("1").build()),
+        StructType(Seq(StructField("expired_snapshot_id", LongType, nullable = false)))) {
+        override def run(input: InternalRow): Seq[InternalRow] =
+          ds(input).expireSnapshots(input.getLong(1), input.getInt(2))
+            .map(id => InternalRow(id))
+      },
+
+      new Proc("gc",
+        "Delete files no live snapshot reaches; `min_age_ms` protects in-flight writers",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("min_age_ms", LongType)
+            .defaultValue("3600000").build()),
+        StructType(Seq(
+          StructField("deleted_file", StringType, nullable = false)))) {
+        override def run(input: InternalRow): Seq[InternalRow] =
+          ds(input).garbageCollect(input.getLong(1)).deleted
+            .map(f => InternalRow(utf8(f)))
+      },
+
+      new Proc("rollback",
+        "Reset the main branch head to an ancestor snapshot (id, tag, or branch name)",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("version", StringType).build()),
+        StructType(Seq(StructField("current_snapshot_id", LongType, nullable = false)))) {
+        override def run(input: InternalRow): Seq[InternalRow] = {
+          val d = ds(input)
+          d.rollback(input.getUTF8String(1).toString)
+          Seq(InternalRow(d.storage.metadata.currentSnapshotId))
+        }
+      })
+    all.map(p => p.name() -> p).toMap
+  }
+
+  def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.isEmpty || ident.namespace.sameElements(Namespace),
+      s"unknown procedure namespace ${ident.namespace.mkString(".")}")
+    procs(cat).getOrElse(ident.name,
+      throw new IllegalArgumentException(
+        s"unknown procedure ${ident.name}; available: ${procs(cat).keys.toSeq.sorted.mkString(", ")}"))
+  }
+
+  def list(cat: GraftCatalog, namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Namespace))
+      procs(cat).keys.toSeq.sorted.map(Identifier.of(Namespace, _)).toArray
+    else Array.empty
+}

@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+
+/** The SQL maintenance surface: `CALL <cat>.system.<proc>(...)` through
+  * Spark 4's DSv2 ProcedureCatalog, covering every maintenance op the
+  * Scala API has (compact / cluster_by / zorder / expire_snapshots /
+  * gc / rollback), with named args and declared defaults. */
+class ProcedureSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val root: String = {
+    val r = Files.createTempDirectory("graft_proc_").toString
+    spark.conf.set("spark.sql.catalog.graft_proc",
+      classOf[org.apache.spark.sql.graftshim.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_proc.location", r)
+    r
+  }
+
+  private def orders = Tables.read(spark, sfDir, "orders")
+
+  test("compact procedure bin-packs small files and reports the rewrite") {
+    root
+    spark.sql("CREATE TABLE graft_proc.pc (o_orderkey BIGINT, o_totalprice DOUBLE) " +
+      "TBLPROPERTIES ('primary_keys'='o_orderkey')")
+    // four trickle appends -> four small files
+    (0 until 4).foreach { i =>
+      orders.filter(col("o_orderkey") % 4 === i)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("append").insertInto("graft_proc.pc")
+    }
+    val before = spark.sql("SELECT count(*) FROM graft_proc.pc").collect()(0).getLong(0)
+    val res = spark.sql(
+      "CALL graft_proc.system.compact(table => 'pc', target_file_rows => 1000000)")
+      .collect()
+    assert(res.length == 1)
+    assert(res(0).getAs[Int]("rewritten_files") >= 4)
+    assert(res(0).getAs[Int]("output_files") < res(0).getAs[Int]("rewritten_files"))
+    assert(spark.sql("SELECT count(*) FROM graft_proc.pc").collect()(0).getLong(0) == before)
+  }
+
+  test("cluster_by/zorder procedures rewrite; expire+gc reclaim; rollback resets") {
+    root
+    spark.sql("CREATE TABLE graft_proc.m (id BIGINT, a BIGINT, b BIGINT) " +
+      "TBLPROPERTIES ('primary_keys'='id', 'stats_fields'='a,b')")
+    spark.sql("INSERT INTO graft_proc.m SELECT id, id % 97, id % 89 " +
+      "FROM range(0, 20000)")                                             // snap 1
+    spark.sql("INSERT INTO graft_proc.m SELECT id, id % 97, id % 89 " +
+      "FROM range(20000, 40000)")                                         // snap 2
+
+    val cb = spark.sql("CALL graft_proc.system.cluster_by(table => 'm', " +
+      "columns => 'a', target_file_rows => 5000)").collect()
+    assert(cb.length == 1 && cb(0).getAs[Int]("output_files") >= 4)       // snap 3
+
+    val zo = spark.sql("CALL graft_proc.system.zorder(table => 'm', " +
+      "columns => 'a,b', target_file_rows => 5000)").collect()
+    assert(zo.length == 1 && zo(0).getAs[Long]("rows") == 40000L)         // snap 4
+
+    // rollback to before the zorder rewrite (procedure output = new head)
+    val rb = spark.sql(
+      "CALL graft_proc.system.rollback(table => 'm', version => '3')").collect()
+    assert(rb.length == 1 && rb(0).getAs[Long]("current_snapshot_id") == 3L)
+    assert(spark.sql("SELECT count(*) FROM graft_proc.m").collect()(0).getLong(0) == 40000L)
+
+    // expire everything but the head (keep_last 0: the abandoned zorder
+    // snapshot is the most RECENT by time, so the default keep_last=1
+    // would protect exactly it), then GC: the zorder output files and
+    // pre-cluster files become unreachable
+    val expired = spark.sql("CALL graft_proc.system.expire_snapshots(" +
+      "table => 'm', older_than_ms => -1000, keep_last => 0)").collect()
+    assert(expired.map(_.getAs[Long]("expired_snapshot_id")).toSet.contains(4L))
+    val gone = spark.sql(
+      "CALL graft_proc.system.gc(table => 'm', min_age_ms => 0)").collect()
+    assert(gone.nonEmpty, "gc must delete the abandoned rewrite's files")
+    assert(spark.sql("SELECT count(*) FROM graft_proc.m").collect()(0).getLong(0) == 40000L)
+  }
+
+  test("unknown procedure and bad table fail with clear errors") {
+    root
+    val e1 = intercept[Exception](spark.sql("CALL graft_proc.system.nope()").collect())
+    assert(e1.getMessage.contains("nope") || e1.getMessage.contains("PROCEDURE"))
+    val e2 = intercept[Exception](spark.sql(
+      "CALL graft_proc.system.compact(table => 'missing', target_file_rows => 10)").collect())
+    assert(e2.getMessage.toLowerCase.contains("missing") ||
+      e2.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"))
+  }
+}
