@@ -80,6 +80,17 @@ class ProcedureSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM graft_proc.m").collect()(0).getLong(0) == 40000L)
   }
 
+  test("SHOW PROCEDURES lists the system namespace; DESCRIBE names parameters") {
+    root
+    val shown = spark.sql("SHOW PROCEDURES IN graft_proc.system").collect()
+      .map(_.toSeq.mkString("|"))
+    assert(shown.exists(_.contains("compact")) && shown.length >= 6,
+      s"SHOW PROCEDURES must list all six: ${shown.mkString(", ")}")
+    val desc = spark.sql("DESCRIBE PROCEDURE graft_proc.system.expire_snapshots")
+      .collect().map(_.toSeq.mkString("|")).mkString("\n")
+    assert(desc.contains("expire_snapshots"))
+  }
+
   test("unknown procedure and bad table fail with clear errors") {
     root
     val e1 = intercept[Exception](spark.sql("CALL graft_proc.system.nope()").collect())
