@@ -98,6 +98,19 @@ class CatalogSpec extends AnyFunSuite {
     assert(ds.storage.changeLog(sid).exists(_.deletedRows.nonEmpty))
   }
 
+  test("TRUNCATE TABLE empties through the delete path, CDC-visible") {
+    root
+    spark.sql(
+      "CREATE TABLE graft_test.tr (id BIGINT, v STRING) TBLPROPERTIES ('primary_keys'='id')")
+    spark.sql("INSERT INTO graft_test.tr VALUES (1,'a'), (2,'b'), (3,'c')")
+    spark.sql("TRUNCATE TABLE graft_test.tr")
+    assert(spark.sql("SELECT * FROM graft_test.tr").collect().isEmpty)
+    val ds = new DirCatalog(spark, root).dataset("tr")
+    val sid = ds.storage.metadata.currentSnapshotId
+    assert(ds.storage.changeLog(sid).exists(_.deletedRows.nonEmpty),
+      "truncate must log the removed rows for CDC")
+  }
+
   test("INSERT OVERWRITE replaces content atomically in one snapshot") {
     root
     spark.sql(
