@@ -98,6 +98,17 @@ class CatalogSpec extends AnyFunSuite {
     assert(ds.storage.changeLog(sid).exists(_.deletedRows.nonEmpty))
   }
 
+  test("CTAS and REPLACE TABLE AS SELECT create-and-load in one statement") {
+    root
+    spark.sql("CREATE TABLE graft_test.ct TBLPROPERTIES ('primary_keys'='id') " +
+      "AS SELECT id, id * 2 AS v FROM range(0, 100)")
+    assert(spark.sql("SELECT count(*) FROM graft_test.ct").collect()(0).getLong(0) == 100L)
+    spark.sql("REPLACE TABLE graft_test.ct TBLPROPERTIES ('primary_keys'='id') " +
+      "AS SELECT id, id * 3 AS v FROM range(0, 50)")
+    assert(spark.sql("SELECT count(*) FROM graft_test.ct").collect()(0).getLong(0) == 50L)
+    assert(spark.sql("SELECT max(v) FROM graft_test.ct").collect()(0).getLong(0) == 147L)
+  }
+
   test("TRUNCATE TABLE empties through the delete path, CDC-visible") {
     root
     spark.sql(
