@@ -118,8 +118,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   override def tableExists(ident: Identifier): Boolean =
     ident.namespace.isEmpty && dir.exists(ident.name)
 
+  /** Metadata tables: `SELECT * FROM <cat>.<table>.<meta>` with meta ∈
+    * versions | files | record_files (the SQL face of `versions()` /
+    * `indexManifest()` / `recordManifest()`). `<cat>.<t>.versions`
+    * parses as namespace [t], name "versions" — resolved here before
+    * the flat-namespace table lookup. */
+  private def metadataTable(ident: Identifier): Option[Table] =
+    if (ident.namespace.length == 1 && dir.exists(ident.namespace.head)) {
+      val ds = dir.dataset(ident.namespace.head)
+      val full = s"$catalogName.${ident.namespace.head}.${ident.name}"
+      ident.name match {
+        case "versions" => Some(new GraftMetadataTable(full, () => ds.versions()))
+        case "files" => Some(new GraftMetadataTable(full, () => ds.indexManifest()))
+        case "record_files" => Some(new GraftMetadataTable(full, () => ds.recordManifest()))
+        case _ => None
+      }
+    } else None
+
   override def loadTable(ident: Identifier): Table =
-    new GraftTable(spark, loadDataset(ident), s"$catalogName.${ident.name}", None)
+    metadataTable(ident).getOrElse(
+      new GraftTable(spark, loadDataset(ident), s"$catalogName.${ident.name}", None))
 
   /** `VERSION AS OF <snapshot-id | tag | branch>` time travel. */
   override def loadTable(ident: Identifier, version: String): Table = {
@@ -228,6 +246,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   * structs) in SQL — payload stitching is the API read path's job
   * ([[SpaceDataset.read]]); SQL writes to such tables are rejected.
   */
+/** Read-only metadata table backed by a small introspection DataFrame.
+  * Rows materialize driver-side ([[org.apache.spark.sql.connector.read.LocalScan]])
+  * — this is the metadata plane, the same O(manifest rows) driver bound
+  * the planner itself has; the data plane never flows through here. */
+final class GraftMetadataTable(ident: String, frame: () => org.apache.spark.sql.DataFrame)
+  extends Table with SupportsRead {
+
+  private lazy val df = frame()
+
+  override def name(): String = ident
+
+  override def schema(): StructType = df.schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan =
+        new org.apache.spark.sql.connector.read.LocalScan {
+          override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+            df.queryExecution.executedPlan.executeCollect().map(_.copy())
+          override def readSchema(): StructType = df.schema
+        }
+    }
+}
+
 final class GraftTable(
     spark: SparkSession,
     ds: SpaceDataset,

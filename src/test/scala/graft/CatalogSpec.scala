@@ -98,6 +98,23 @@ class CatalogSpec extends AnyFunSuite {
     assert(ds.storage.changeLog(sid).exists(_.deletedRows.nonEmpty))
   }
 
+  test("metadata tables: versions, files, record_files through SQL") {
+    root
+    spark.sql(
+      "CREATE TABLE graft_test.meta (id BIGINT, v STRING) TBLPROPERTIES ('primary_keys'='id')")
+    spark.sql("INSERT INTO graft_test.meta VALUES (1,'a')")
+    spark.sql("INSERT INTO graft_test.meta VALUES (2,'b')")
+    val vers = spark.sql("SELECT snapshot_id FROM graft_test.meta.versions")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(vers == Seq(0L, 1L, 2L))
+    val files = spark.sql("SELECT `_FILE`, `_NUM_ROWS` FROM graft_test.meta.files").collect()
+    assert(files.length == 2 && files.map(_.getLong(1)).sum == 2L)
+    assert(spark.sql("SELECT * FROM graft_test.meta.record_files").collect().isEmpty)
+    // aggregations and filters compose like any table
+    assert(spark.sql("SELECT count(*) FROM graft_test.meta.versions WHERE snapshot_id > 0")
+      .collect()(0).getLong(0) == 2L)
+  }
+
   test("CTAS and REPLACE TABLE AS SELECT create-and-load in one statement") {
     root
     spark.sql("CREATE TABLE graft_test.ct TBLPROPERTIES ('primary_keys'='id') " +
