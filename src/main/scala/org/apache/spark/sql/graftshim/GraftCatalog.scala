@@ -297,7 +297,8 @@ final class GraftTable(
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def properties(): util.Map[String, String] = Map(
     "location" -> storage.location,
@@ -340,6 +341,16 @@ final class GraftTable(
             requireMutable(if (replace) "INSERT OVERWRITE" else "INSERT")
             if (replace) ds.overwrite(data) else ds.append(data)
           }
+
+        /** `df.writeStream.toTable("cat.t")` — exactly-once per-epoch
+          * appends, no foreachBatch needed (see [[GraftStreamingWrite]]). */
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          requireMutable("streaming write")
+          require(!replace,
+            "streaming writes support append output mode only (no truncate)")
+          new GraftStreamingWrite(spark, ds, info.queryId())
+        }
       }
     }
 

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+
+/** Native `writeStream.toTable` into graft catalog tables: per-epoch
+  * snapshots, exactly-once across checkpointed restarts, CDC-visible
+  * appends, and clear rejections for record-field/bucketed tables. */
+class StreamingWriteSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val root: String = {
+    val r = Files.createTempDirectory("graft_swrite_").toString
+    spark.conf.set("spark.sql.catalog.graft_sw",
+      classOf[org.apache.spark.sql.graftshim.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_sw.location", r)
+    r
+  }
+
+  test("writeStream.toTable appends per epoch, exactly-once across restart") {
+    root
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.sql("CREATE TABLE graft_sw.ev (event_id BIGINT, event_type STRING, " +
+      "value DOUBLE) TBLPROPERTIES ('primary_keys'='event_id')")
+
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val ckpt = Files.createTempDirectory("graft_swc_").toString
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sfDir)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .toTable("graft_sw.ev")
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val expected = spark.read.parquet(s"$sfDir/events.parquet").count()
+    assert(spark.sql("SELECT count(*) FROM graft_sw.ev").collect()(0).getLong(0) == expected)
+
+    // restart from the same checkpoint with no new input: nothing replays
+    run()
+    assert(spark.sql("SELECT count(*) FROM graft_sw.ev").collect()(0).getLong(0) == expected)
+
+    // the epoch snapshot carries an ADD changelog (CDC-visible) and a
+    // manifest-list summary (plan-time pruning stays intact)
+    val ds = new DirCatalog(spark, root).dataset("ev")
+    val sid = ds.storage.metadata.currentSnapshotId
+    val withRows = (1L to sid).flatMap(s => ds.storage.changeLog(s))
+      .filter(_.addedRows.nonEmpty)
+    assert(withRows.nonEmpty, "streamed epochs must log ADDs for CDC")
+    val manifests = ds.storage.metadata.currentSnapshot.manifestFiles.indexManifestFiles
+    assert(manifests.forall(ds.storage.metadata.manifestSummaries.contains),
+      "streamed manifests must carry manifest-list summaries")
+    // no orphan files: every parquet under data/ is in the manifest
+    val listed = ManifestIO.readIndexManifests(spark, ds.storage, manifests)
+      .select(ManifestIO.FileCol).collect().map(_.getString(0)).toSet
+    val onDisk = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(root, "ev", "data"))
+      try s.filter(p => p.toString.endsWith(".parquet"))
+        .map[String](p => "data/" + p.getFileName.toString).toArray.map(_.toString).toSet
+      finally s.close()
+    }
+    assert(onDisk == listed, s"orphans on disk: ${onDisk -- listed}")
+  }
+
+  test("record-field and bucketed tables reject streaming writes clearly") {
+    root
+    import org.apache.spark.sql.types._
+    val loc1 = Files.createTempDirectory("graft_swr_").toString
+    SpaceDataset.create(spark, s"$loc1/t", StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("payload", BinaryType))), Seq("id"), recordFields = Seq("payload"))
+    spark.sql("CREATE TABLE graft_sw.bk (id BIGINT, v STRING) TBLPROPERTIES " +
+      "('primary_keys'='id', 'bucket_columns'='id', 'num_buckets'='4')")
+    val srcDir = Files.createTempDirectory("graft_swsrc_").toString
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "v").write.mode("overwrite").parquet(srcDir)
+    val src = spark.readStream.schema(StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))))
+      .parquet(srcDir)
+    val e = intercept[Exception] {
+      val q = src.writeStream
+        .option("checkpointLocation", Files.createTempDirectory("graft_swck_").toString)
+        .toTable("graft_sw.bk")
+      try q.processAllAvailable() finally q.stop()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + messages(t.getCause)
+    assert(messages(e).contains("bucketed") || e.getMessage.contains("bucketed"))
+  }
+}
