@@ -251,7 +251,39 @@ object EventsStream {
     sink.readAll()
   }
 
+  /** Native streaming SINK: events stream into a graft catalog table
+    * through `writeStream.toTable` (DSv2 STREAMING_WRITE, one snapshot
+    * per epoch, exactly-once TxnTag watermarks — no foreachBatch); the
+    * result is the table read back through the same catalog. */
+  def streamToTable(s: SparkSession, d: String): DataFrame = {
+    val (schema, _) = eventsRaw(s, d)
+    val root = java.nio.file.Files.createTempDirectory("graft_stt_").toString
+    val cat = "gst" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[org.apache.spark.sql.graftshim.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.location", root)
+    try {
+      s.sql(s"CREATE TABLE $cat.ev (event_id BIGINT, event_type STRING, " +
+        "value DOUBLE) TBLPROPERTIES ('primary_keys'='event_id')")
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .select(col("event_id"), col("event_type"), round(col("value"), 2).as("value"))
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .toTable(s"$cat.ev")
+      try q.processAllAvailable() finally q.stop()
+      // decouple from the throwaway catalog before unregistering it
+      val out = java.nio.file.Files.createTempDirectory("graft_stt_out").toString
+      s.sql(s"SELECT * FROM $cat.ev").write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+    } finally {
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      s.conf.unset(s"spark.sql.catalog.$cat.location")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_stream_to_table" -> ((s, d) => streamToTable(s, d)),
     "e_stream_window" -> ((s, d) => windowedAgg(s, d)),
     "e_stream_dedup" -> ((s, d) => streamDedup(s, d)),
     "e_stream_join" -> ((s, d) => streamJoin(s, d)),
@@ -259,6 +291,9 @@ object EventsStream {
     "e_cdc_stream" -> ((s, d) => cdcStream(s, d)))
 
   val oracleSql: Map[String, String] = Map(
+    "e_stream_to_table" ->
+      """SELECT event_id, event_type, round(value, 2) AS value
+        |FROM events""".stripMargin,
     "e_stream_dedup" ->
       """SELECT event_type, count(*) AS n_events,
         |  round(sum(value), 2) AS sum_value
