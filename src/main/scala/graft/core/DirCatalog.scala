@@ -58,6 +58,17 @@ final class DirCatalog(val spark: SparkSession, val root: String) {
     fs.delete(new Path(rootPath, name), true)
   }
 
+  /** Rename a dataset directory. Safe because every internal file
+    * reference is table-root-RELATIVE ([[Storage.absolute]]); zero-copy
+    * EXTERNAL references are absolute and stay valid. Like delete, not
+    * atomic against concurrent writers on the old path. */
+  def renameDataset(from: String, to: String): Unit = {
+    require(exists(from), s"dataset $from not found")
+    require(!exists(to), s"dataset $to already exists")
+    if (!fs.rename(new Path(rootPath, from), new Path(rootPath, to)))
+      throw new java.io.IOException(s"rename $from -> $to failed")
+  }
+
   /** Names of all datasets under the root (presence of the entrypoint
     * file is the marker, directory.py:66-77). */
   def datasets(): Seq[String] =

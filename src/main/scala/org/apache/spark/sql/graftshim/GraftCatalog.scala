@@ -210,8 +210,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       dir.deleteDataset(ident.name); true
     }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("RENAME TABLE is not supported for graft tables")
+  /** `ALTER TABLE … RENAME TO …` — a directory rename: every internal
+    * file reference is table-root-relative, so snapshots, manifests,
+    * time travel, and CDC history all survive under the new name. */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (oldIdent.namespace.nonEmpty || !dir.exists(oldIdent.name))
+      throw new NoSuchTableException(oldIdent)
+    if (newIdent.namespace.nonEmpty)
+      throw new NoSuchNamespaceException(newIdent.namespace)
+    if (dir.exists(newIdent.name))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(newIdent)
+    dir.renameDataset(oldIdent.name, newIdent.name)
+  }
 
   // ------------------------------------------- flat namespace surface
 

@@ -284,6 +284,25 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("ALTER TABLE RENAME TO keeps history under the new name") {
+    root
+    spark.sql(
+      "CREATE TABLE graft_test.rn1 (id BIGINT, v STRING) TBLPROPERTIES ('primary_keys'='id')")
+    spark.sql("INSERT INTO graft_test.rn1 VALUES (1,'a')")
+    spark.sql("INSERT INTO graft_test.rn1 VALUES (2,'b')")
+    spark.sql("ALTER TABLE graft_test.rn1 RENAME TO rn2")
+    assert(!new DirCatalog(spark, root).exists("rn1"))
+    assert(spark.sql("SELECT count(*) FROM graft_test.rn2").collect()(0).getLong(0) == 2L)
+    // history survives the rename: time travel + CDC references intact
+    assert(spark.sql("SELECT count(*) FROM graft_test.rn2 VERSION AS OF 1")
+      .collect()(0).getLong(0) == 1L)
+    intercept[Exception](spark.sql("SELECT * FROM graft_test.rn1").collect())
+    // renaming onto an existing table is rejected
+    spark.sql(
+      "CREATE TABLE graft_test.rn3 (id BIGINT) TBLPROPERTIES ('primary_keys'='id')")
+    intercept[Exception](spark.sql("ALTER TABLE graft_test.rn2 RENAME TO rn3"))
+  }
+
   test("DROP TABLE removes the dataset") {
     root
     spark.sql(
