@@ -66,6 +66,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     dir.dataset(name)
   }
 
+  private[graftshim] def mvByName(name: String): graft.views.MaterializedView = {
+    if (!dir.exists(name))
+      throw new NoSuchTableException(Identifier.of(Array.empty, name))
+    dir.materializedView(name)
+  }
+
   // ------------------------------------------- function catalog surface
   // One function: bucket(numBuckets, col). Catalyst resolves it while
   // proving two bucketed scans' KeyGroupedPartitionings compatible

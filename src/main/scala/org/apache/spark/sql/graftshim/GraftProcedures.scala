@@ -139,6 +139,20 @@ object GraftProcedures {
             .map(f => InternalRow(utf8(f)))
       },
 
+      new Proc("refresh_mv",
+        "Incrementally refresh a materialized view from its source's CDC feed",
+        Array(ProcedureParameter.in("table", StringType).build()),
+        StructType(Seq(
+          StructField("commits", IntegerType, nullable = false),
+          StructField("source_snapshot_id", LongType)))) {
+        override def run(input: InternalRow): Seq[InternalRow] = {
+          val mv = cat.mvByName(input.getUTF8String(0).toString)
+          val commits = mv.refresh()
+          Seq(InternalRow(commits,
+            mv.refreshedTo.map(Long.box).getOrElse(null)))
+        }
+      },
+
       new Proc("rollback",
         "Reset the main branch head to an ancestor snapshot (id, tag, or branch name)",
         Array(

@@ -80,6 +80,25 @@ class ProcedureSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM graft_proc.m").collect()(0).getLong(0) == 40000L)
   }
 
+  test("refresh_mv procedure advances a materialized view over source commits") {
+    root
+    spark.sql("CREATE TABLE graft_proc.src (id BIGINT, x DOUBLE) " +
+      "TBLPROPERTIES ('primary_keys'='id')")
+    spark.sql("INSERT INTO graft_proc.src SELECT id, id * 1.0 FROM range(0, 100)")
+    val v = graft.views.View.ofTable(s"$root/src").filterExpr("x >= 50.0")
+    v.materialize(spark, s"$root/mv", Seq("id")) // initial refresh included
+    assert(spark.sql("SELECT count(*) FROM graft_proc.mv").collect()(0).getLong(0) == 50L)
+
+    spark.sql("INSERT INTO graft_proc.src SELECT id, id * 1.0 FROM range(100, 150)")
+    val r = spark.sql("CALL graft_proc.system.refresh_mv(table => 'mv')").collect()
+    assert(r.length == 1 && r(0).getAs[Int]("commits") == 1,
+      s"one source commit -> one MV commit, got ${r.mkString}")
+    assert(spark.sql("SELECT count(*) FROM graft_proc.mv").collect()(0).getLong(0) == 100L)
+    // idempotent when already current
+    val r2 = spark.sql("CALL graft_proc.system.refresh_mv(table => 'mv')").collect()
+    assert(r2(0).getAs[Int]("commits") == 0)
+  }
+
   test("SHOW PROCEDURES lists the system namespace; DESCRIBE names parameters") {
     root
     val shown = spark.sql("SHOW PROCEDURES IN graft_proc.system").collect()
