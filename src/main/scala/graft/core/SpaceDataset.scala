@@ -312,6 +312,22 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
       }
     }
 
+  /** Reclaim record-payload space: rewrite the index files whose record
+    * addresses point into mostly-dead record files (live fraction <=
+    * `maxLiveFraction`) and drop those files from the record manifests;
+    * snapshot expiry + GC then delete the payload bytes (see
+    * [[RecordRewriteOp]]). CDC-silent. Returns stats, or None when no
+    * record file is below the threshold. */
+  def rewriteRecords(
+      maxLiveFraction: Double = 0.5,
+      branch: String = currentBranch): Option[RecordRewriteOp.RewriteResult] =
+    storage.transaction(branch, ConflictPolicy.Rewrite) { pinned =>
+      RecordRewriteOp.rewriteRecords(spark, storage, pinned, maxLiveFraction) match {
+        case Some((patch, res)) => (Some(patch), Some(res))
+        case None => (None, None)
+      }
+    }
+
   /** Rewrite all index files range-partitioned + sorted by `sortCols`
     * so min/max stats become disjoint ranges and pruning on those
     * columns bites (one snapshot, CDC-silent — see ClusterOp). */

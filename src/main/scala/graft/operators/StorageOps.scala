@@ -155,6 +155,24 @@ object StorageOps {
       ds.read(filter = Some(col("o_custkey") === lit(minCust)))
     }),
 
+    // RECORD-PAYLOAD GC: delete most of a record-field corpus, rewrite
+    // the mostly-dead record files (live payloads re-co-located, old
+    // files dropped from the record manifests), expire + GC the bytes —
+    // then the stitched read must still equal the survivors
+    "s_record_gc" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("text", encode(col("text"), "UTF-8"))
+      val ds = SpaceDataset.create(s, fresh("rgc"), docs.schema, Seq("doc_id"),
+        recordFields = Seq("text"))
+      ds.append(docs)
+      ds.delete(col("doc_id") % 4 =!= 0) // 75% of payload rows go dead
+      val res = ds.rewriteRecords(maxLiveFraction = 0.5)
+      require(res.exists(_.pickedRecordFiles >= 1),
+        s"rewrite must pick the mostly-dead record files, got $res")
+      ds.expireSnapshots(olderThanMs = -1000L, keepLast = 0)
+      ds.garbageCollect(minAgeMs = 0L)
+      ds.readAll().withColumn("text", decode(col("text"), "UTF-8"))
+    }),
+
     // SQL MAINTENANCE surface: the full CALL-procedure lifecycle through
     // the DSv2 ProcedureCatalog — trickle appends, compact via CALL, a
     // bad commit rolled back via CALL, expire+gc via CALL, read back
@@ -617,6 +635,7 @@ object StorageOps {
     "s_sql_maintenance" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders WHERE o_orderkey <= 1500""".stripMargin,
+    "s_record_gc" -> "SELECT * FROM documents WHERE doc_id % 4 = 0",
     "s_cdc_diff" ->
       """SELECT o_orderkey, 1 AS snapshot_id, 'ADD' AS change_type
         |FROM orders WHERE o_orderkey <= 1000

@@ -139,6 +139,21 @@ object GraftProcedures {
             .map(f => InternalRow(utf8(f)))
       },
 
+      new Proc("rewrite_records",
+        "Reclaim record-payload space: rewrite index files referencing mostly-dead record files",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("max_live_fraction", DoubleType)
+            .defaultValue("0.5").build()),
+        StructType(Seq(
+          StructField("picked_record_files", IntegerType, nullable = false),
+          StructField("rewritten_index_files", IntegerType, nullable = false),
+          StructField("rows", LongType, nullable = false)))) {
+        override def run(input: InternalRow): Seq[InternalRow] =
+          ds(input).rewriteRecords(input.getDouble(1)).toSeq
+            .map(r => InternalRow(r.pickedRecordFiles, r.rewrittenIndexFiles, r.rewrittenRows))
+      },
+
       new Proc("refresh_mv",
         "Incrementally refresh a materialized view from its source's CDC feed",
         Array(ProcedureParameter.in("table", StringType).build()),
