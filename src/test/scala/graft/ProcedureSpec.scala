@@ -99,6 +99,24 @@ class ProcedureSpec extends AnyFunSuite {
     assert(r2(0).getAs[Int]("commits") == 0)
   }
 
+  test("rewrite_records procedure reclaims payload space through SQL") {
+    root
+    // record tables take DATA mutations through the API (SQL writes
+    // would need payload stitching); maintenance still runs via CALL
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val ds = SpaceDataset.create(spark, s"$root/rr", StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("body", BinaryType))), Seq("id"), recordFields = Seq("body"))
+    ds.append((0L until 200L).map(i => (i, s"b-$i".getBytes("UTF-8")))
+      .toDF("id", "body").coalesce(1))
+    ds.delete(col("id") % 5 =!= 0)
+    val r = spark.sql("CALL graft_proc.system.rewrite_records(table => 'rr')").collect()
+    assert(r.length == 1 && r(0).getAs[Int]("picked_record_files") >= 1 &&
+      r(0).getAs[Long]("rows") == 40L, s"unexpected ${r.mkString}")
+    assert(ds.readAll().count() == 40L)
+  }
+
   test("SHOW PROCEDURES lists the system namespace; DESCRIBE names parameters") {
     root
     val shown = spark.sql("SHOW PROCEDURES IN graft_proc.system").collect()
