@@ -26,6 +26,29 @@ class RecordRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("rewriteRecords preserves the bucket layout of a bucketed record table") {
+    val loc = Files.createTempDirectory("graft_rrwb_").toString + "/tbl"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", BinaryType)))
+    val ds = SpaceDataset.create(spark, loc, schema, Seq("doc_id"),
+      recordFields = Seq("text"), bucketColumns = Seq("doc_id"), numBuckets = 4)
+    import spark.implicits._
+    ds.append((0L until 400L).map(i => (i, s"p-$i".getBytes("UTF-8")))
+      .toDF("doc_id", "text"))
+    ds.delete(col("doc_id") % 8 =!= 0) // 87.5% of payloads dead
+    val res = ds.rewriteRecords(maxLiveFraction = 0.5)
+    assert(res.isDefined && res.get.rewrittenRows == 50L, s"got $res")
+    // every rewritten index file still carries its bucket id in the name
+    val files = ds.indexFiles()
+    assert(files.nonEmpty && files.forall(_.matches(".*index_b\\d+_.*\\.parquet")),
+      s"bucket naming lost: $files")
+    // point lookup still prunes to one bucket
+    val p = ds.plan(Some(col("doc_id") === 8L))
+    assert(p.prunedFiles > 0, s"bucket pruning broken after rewrite: $p")
+    assert(ds.readAll().count() == 50L)
+  }
+
   test("rewriteRecords reclaims mostly-dead record files end-to-end") {
     val loc = Files.createTempDirectory("graft_rrw_").toString + "/tbl"
     val schema = StructType(Seq(
