@@ -169,15 +169,19 @@ object GraftProcedures {
       },
 
       new Proc("rollback",
-        "Reset the main branch head to an ancestor snapshot (id, tag, or branch name)",
+        "Reset a branch head to an ancestor snapshot (id, tag, or branch name)",
         Array(
           ProcedureParameter.in("table", StringType).build(),
-          ProcedureParameter.in("version", StringType).build()),
+          ProcedureParameter.in("version", StringType).build(),
+          ProcedureParameter.in("branch", StringType)
+            .defaultValue("'main'").build()),
         StructType(Seq(StructField("current_snapshot_id", LongType, nullable = false)))) {
         override def run(input: InternalRow): Seq[InternalRow] = {
           val d = ds(input)
-          d.rollback(input.getUTF8String(1).toString)
-          Seq(InternalRow(d.storage.metadata.currentSnapshotId))
+          val branch = input.getUTF8String(2).toString
+          d.storage.rollback(
+            d.storage.versionToSnapshotId(input.getUTF8String(1).toString), branch)
+          Seq(InternalRow(d.storage.branchHead(branch)))
         }
       })
     all.map(p => p.name() -> p).toMap

@@ -61,7 +61,8 @@ class ProcedureSpec extends AnyFunSuite {
       "columns => 'a,b', target_file_rows => 5000)").collect()
     assert(zo.length == 1 && zo(0).getAs[Long]("rows") == 40000L)         // snap 4
 
-    // rollback to before the zorder rewrite (procedure output = new head)
+    // rollback to before the zorder rewrite (procedure output = new head;
+    // branch defaults to 'main' via the declared parameter default)
     val rb = spark.sql(
       "CALL graft_proc.system.rollback(table => 'm', version => '3')").collect()
     assert(rb.length == 1 && rb(0).getAs[Long]("current_snapshot_id") == 3L)
