@@ -74,18 +74,33 @@ final class GraftStreamingWrite(
       }
       return
     }
+    // footer harvest: driver-side for small epochs, one small task per
+    // batch of files above the same cutover the batch append uses — a
+    // catch-up epoch with hundreds of task outputs must not serialize
+    // hundreds of footer reads on the driver
     val pks = storage.statsColumns
-    val metas = rels.sorted
-      .map(rel => ManifestIO.harvestFooter(storage.absolute(rel), rel, conf, pks))
-      .filter { m =>
-        // a task that received no rows still opened a 0-row file
-        val keep = m.numRows > 0
-        if (!keep) {
-          val p = new Path(storage.absolute(m.file))
-          p.getFileSystem(conf).delete(p, false)
-        }
-        keep
+    val sortedRels = rels.sorted
+    val harvested =
+      if (sortedRels.size <= 8)
+        sortedRels.map(rel => ManifestIO.harvestFooter(storage.absolute(rel), rel, conf, pks))
+      else {
+        val withAbs = sortedRels.map(rel => (rel, storage.absolute(rel)))
+        spark.sparkContext
+          .parallelize(withAbs, math.min(withAbs.size, 32))
+          .map { case (rel, abs) =>
+            ManifestIO.harvestFooter(abs, rel, new org.apache.hadoop.conf.Configuration(), pks)
+          }
+          .collect().toSeq.sortBy(_.file)
       }
+    val metas = harvested.filter { m =>
+      // a task that received no rows still opened a 0-row file
+      val keep = m.numRows > 0
+      if (!keep) {
+        val p = new Path(storage.absolute(m.file))
+        p.getFileSystem(conf).delete(p, false)
+      }
+      keep
+    }
     storage.commitTransaction(ds.getCurrentBranch, ConflictPolicy.Append) { _ =>
       if (metas.isEmpty) {
         // commit an EMPTY snapshot anyway: the txn watermark must

@@ -70,6 +70,26 @@ class StreamingWriteSpec extends AnyFunSuite {
     assert(onDisk == listed, s"orphans on disk: ${onDisk -- listed}")
   }
 
+  test("a wide epoch (many task outputs) commits through the distributed harvest") {
+    root
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.sql("CREATE TABLE graft_sw.wide (event_id BIGINT, value DOUBLE) " +
+      "TBLPROPERTIES ('primary_keys'='event_id')")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val q = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .select(col("event_id"), col("value"))
+      .repartition(12) // > the 8-file driver-harvest cutover
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("graft_sww_").toString)
+      .toTable("graft_sw.wide")
+    try q.processAllAvailable() finally q.stop()
+    val expected = spark.read.parquet(s"$sfDir/events.parquet").count()
+    assert(spark.sql("SELECT count(*) FROM graft_sw.wide").collect()(0).getLong(0) == expected)
+    val ds = new DirCatalog(spark, root).dataset("wide")
+    assert(ds.indexFiles().size > 8, "epoch must have taken the distributed harvest path")
+  }
+
   test("record-field and bucketed tables reject streaming writes clearly") {
     root
     import org.apache.spark.sql.types._
