@@ -56,20 +56,29 @@ object RecordRewriteOp {
     val snap = storage.snapshotOrFail(snapshotId)
     val recMans = snap.manifestFiles.recordManifestFiles
     if (recMans.isEmpty) return None
+    // an empty index plane (the whole table was CoW-deleted) still needs
+    // the pass: the record manifests can pin all-dead payload files
     val idxFiles = ReadOp.plan(spark, storage, snapshotId, None).files
-    if (idxFiles.isEmpty) return None
 
     val conf = spark.sparkContext.hadoopConfiguration
     val physical = ReadOp.physicalSchema(storage.schema, recordFields)
-    val idx = spark.read.schema(physical)
-      .parquet(idxFiles.map(storage.absolute): _*)
-      .withColumn("__idx_file", col("_metadata.file_path"))
+    val idxOpt =
+      if (idxFiles.isEmpty) None
+      else Some(spark.read.schema(physical)
+        .parquet(idxFiles.map(storage.absolute): _*)
+        .withColumn("__idx_file", col("_metadata.file_path")))
 
     // live reference counts per record file (map-side combined count)
-    val liveDF = recordFields.map(rf =>
-        idx.select(col(s"$rf._FILE").as("__rfile")).na.drop())
-      .reduce(_.unionAll(_))
-      .groupBy(col("__rfile")).agg(count(lit(1)).as("__live"))
+    val liveDF = idxOpt match {
+      case Some(idx) => recordFields.map(rf =>
+          idx.select(col(s"$rf._FILE").as("__rfile")).na.drop())
+        .reduce(_.unionAll(_))
+        .groupBy(col("__rfile")).agg(count(lit(1)).as("__live"))
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("__rfile", StringType, nullable = false),
+          StructField("__live", LongType, nullable = false))))
+    }
 
     // totals per record file (record manifests; metadata plane)
     val manDF = spark.read.parquet(recMans.map(storage.absolute): _*)
@@ -90,10 +99,13 @@ object RecordRewriteOp {
     // index files holding >= 1 address into a picked record file
     // (semi-join per record field — `isin` would inline a huge literal)
     val pickedDF = spark.createDataset(picked)(Encoders.STRING).toDF("__rfile")
-    val affectedFull = recordFields.map { rf =>
-      idx.join(broadcast(pickedDF), idx(s"$rf._FILE") === pickedDF("__rfile"), "leftsemi")
-        .select(col("__idx_file"))
-    }.reduce(_.unionAll(_)).distinct().collect().map(_.getString(0)).toSeq
+    val affectedFull = idxOpt match {
+      case Some(idx) => recordFields.map { rf =>
+        idx.join(broadcast(pickedDF), idx(s"$rf._FILE") === pickedDF("__rfile"), "leftsemi")
+          .select(col("__idx_file"))
+      }.reduce(_.unionAll(_)).distinct().collect().map(_.getString(0)).toSeq
+      case None => Nil
+    }
 
     val relByKey = idxFiles.map { c =>
       val abs = new Path(storage.absolute(c))
@@ -111,7 +123,12 @@ object RecordRewriteOp {
         RecordIO.writeWithRecords(spark, storage,
           RecordIO.stitch(spark, storage, affectedDF, None))
       }
-    val co = DmlOps.manifestCarryover(spark, storage, snapshotId, affectedRel)
+    // all-dead picked files have no referencing index file left (their
+    // rows were CoW-deleted already) — nothing to carry over then
+    val co =
+      if (affectedRel.isEmpty)
+        DmlOps.CarryoverResult(Nil, Nil, StorageStatistics(), Map.empty)
+      else DmlOps.manifestCarryover(spark, storage, snapshotId, affectedRel)
 
     // record-manifest carryover: every row of an UNPICKED file survives;
     // picked rows are dropped (their bytes leave the statistics)

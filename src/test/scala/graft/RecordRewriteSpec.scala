@@ -26,6 +26,32 @@ class RecordRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("all-dead record files are dropped with no index rewrite at all") {
+    val loc = Files.createTempDirectory("graft_rrwd_").toString + "/tbl"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", BinaryType)))
+    val ds = SpaceDataset.create(spark, loc, schema, Seq("doc_id"),
+      recordFields = Seq("text"))
+    import spark.implicits._
+    ds.append((0L until 100L).map(i => (i, s"x-$i".getBytes("UTF-8")))
+      .toDF("doc_id", "text").coalesce(1))
+    ds.delete(lit(true)) // every payload row goes dead; CoW empties the index
+    val before = recordFilesOnDisk(loc)
+    assert(before.nonEmpty)
+
+    val res = ds.rewriteRecords(maxLiveFraction = 0.5)
+    assert(res.isDefined && res.get.pickedRecordFiles >= 1 &&
+      res.get.rewrittenIndexFiles == 0 && res.get.rewrittenRows == 0L, s"got $res")
+    assert(ds.storage.metadata.currentSnapshot.manifestFiles.recordManifestFiles.isEmpty,
+      "record manifests must be empty once every payload file is dropped")
+    assert(ds.readAll().count() == 0L)
+
+    ds.expireSnapshots(olderThanMs = -1000L, keepLast = 0)
+    ds.garbageCollect(minAgeMs = 0L)
+    assert(recordFilesOnDisk(loc).isEmpty, "dead payload files must be reclaimed")
+  }
+
   test("rewriteRecords preserves the bucket layout of a bucketed record table") {
     val loc = Files.createTempDirectory("graft_rrwb_").toString + "/tbl"
     val schema = StructType(Seq(
