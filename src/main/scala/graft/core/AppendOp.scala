@@ -98,10 +98,14 @@ object AppendOp {
         meta
       }
     } else {
+      // ship the SESSION's Hadoop conf: the table may sit on a
+      // filesystem configured via spark.hadoop.* (credentials, custom
+      // fs impl) that a default Configuration would not resolve
+      val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
       spark.sparkContext
         .parallelize(assignments, math.min(assignments.size, 32))
         .map { case (src, rel, dstAbs) =>
-          val c = new org.apache.hadoop.conf.Configuration()
+          val c = serConf.value
           val srcPath = new Path(src)
           val dst = new Path(dstAbs)
           val tfs = dst.getFileSystem(c)

@@ -199,15 +199,18 @@ final class GraftCdcMicroBatchStream(
        else try storage.orderedSnapshotIds(from.snapshotId, head)
        catch {
          case e: IllegalArgumentException =>
-           // the checkpointed offset sits on an ABANDONED chain (the
-           // table was rolled back past it): what this stream already
-           // emitted diverged from the branch's history, so failing is
-           // the only safe move — just say why
+           // the checkpointed offset's snapshot is no longer on the
+           // branch chain — either the table was ROLLED BACK past it, or
+           // the snapshot was EXPIRED while the stream lagged. Either
+           // way the stream's emitted history diverged from what the
+           // branch can still serve, so failing is the only safe move —
+           // name both causes instead of a bare 'not an ancestor'
            throw new IllegalStateException(
-             s"checkpointed offset ${from.snapshotId} is not on branch " +
-               s"'$branch' of ${storage.location} (head $head) — the table " +
-               "was rolled back past the stream's offset; restart the " +
-               "stream from a fresh checkpoint", e)
+             s"checkpointed offset ${from.snapshotId} is no longer on branch " +
+               s"'$branch' of ${storage.location} (head $head): the table was " +
+               "rolled back past the stream's offset, or the offset's snapshot " +
+               "was expired while the stream lagged; restart the stream from a " +
+               "fresh checkpoint", e)
        })
 
   override def initialOffset(): Offset =

@@ -85,10 +85,14 @@ final class GraftStreamingWrite(
         sortedRels.map(rel => ManifestIO.harvestFooter(storage.absolute(rel), rel, conf, pks))
       else {
         val withAbs = sortedRels.map(rel => (rel, storage.absolute(rel)))
+        // ship the SESSION's Hadoop conf: the table may sit on a
+        // filesystem configured via spark.hadoop.* (credentials, custom
+        // fs impl) that a default Configuration would not resolve
+        val serConf = new SerializableConfiguration(conf)
         spark.sparkContext
           .parallelize(withAbs, math.min(withAbs.size, 32))
           .map { case (rel, abs) =>
-            ManifestIO.harvestFooter(abs, rel, new org.apache.hadoop.conf.Configuration(), pks)
+            ManifestIO.harvestFooter(abs, rel, serConf.value, pks)
           }
           .collect().toSeq.sortBy(_.file)
       }
