@@ -81,6 +81,20 @@ object DmlOps {
     s"$scheme://$auth${u.getPath}"
   }
 
+  /** Full-normalized-path → manifest-path map for a set of manifest
+    * entries, keyed exactly like [[pathKey]] over `_metadata.file_path`.
+    * The one idiom every scanned-file↔manifest-row join must use —
+    * basenames are NOT unique once zero-copy-ingested external files
+    * exist. */
+  private[graft] def relByQualifiedKey(
+      storage: Storage,
+      conf: org.apache.hadoop.conf.Configuration,
+      rels: Seq[String]): Map[String, String] =
+    rels.map { rel =>
+      val abs = new Path(storage.absolute(rel))
+      pathKey(abs.getFileSystem(conf).makeQualified(abs).toString) -> rel
+    }.toMap
+
   /** Per-file deletion bitmaps, built executor-side: group the matched
     * `(file, row)` pairs by file and fold row positions into a
     * RoaringBitmap inside the aggregation buffer. Exposed for the plan
@@ -103,12 +117,7 @@ object DmlOps {
     if (candidates.isEmpty) return None
     val physical = ReadOp.physicalSchema(storage.schema, storage.recordFields)
     val conf = spark.sparkContext.hadoopConfiguration
-    // full normalized path → manifest path (basenames are NOT unique for
-    // zero-copy-ingested external files)
-    val relByKey = candidates.map { c =>
-      val abs = new Path(storage.absolute(c))
-      pathKey(abs.getFileSystem(conf).makeQualified(abs).toString) -> c
-    }.toMap
+    val relByKey = relByQualifiedKey(storage, conf, candidates)
 
     val withPos = spark.read.schema(physical)
       .parquet(candidates.map(storage.absolute): _*)

@@ -177,10 +177,7 @@ object RecordIO {
     // column uses, via FULL normalized paths (basenames collide for
     // externally-ingested record files)
     val conf = spark.sparkContext.hadoopConfiguration
-    val relByKey: Map[String, String] = files.map { rel =>
-      val abs = new Path(storage.absolute(rel))
-      DmlOps.pathKey(abs.getFileSystem(conf).makeQualified(abs).toString) -> rel
-    }.toMap
+    val relByKey = DmlOps.relByQualifiedKey(storage, conf, files)
     val bc = spark.sparkContext.broadcast(relByKey)
     val toAddressPath = udf((p: String) => bc.value(BitmapCache.normKey(p)))
 

@@ -107,10 +107,7 @@ object RecordRewriteOp {
       case None => Nil
     }
 
-    val relByKey = idxFiles.map { c =>
-      val abs = new Path(storage.absolute(c))
-      DmlOps.pathKey(abs.getFileSystem(conf).makeQualified(abs).toString) -> c
-    }.toMap
+    val relByKey = DmlOps.relByQualifiedKey(storage, conf, idxFiles)
     val affectedRel: Set[String] = affectedFull.map(f => relByKey(DmlOps.pathKey(f))).toSet
 
     // rewrite the affected index files: payloads stitched back in, then

@@ -177,12 +177,8 @@ object StorageOps {
     // the DSv2 ProcedureCatalog — trickle appends, compact via CALL, a
     // bad commit rolled back via CALL, expire+gc via CALL, read back
     "s_sql_maintenance" -> ((s, d) => {
-      val cat = "gmt" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
       val root = Files.createTempDirectory("graft_maint").toString
-      s.conf.set(s"spark.sql.catalog.$cat",
-        classOf[org.apache.spark.sql.graftshim.GraftCatalog].getName)
-      s.conf.set(s"spark.sql.catalog.$cat.location", root)
-      try {
+      TempCatalog.withTempCatalog(s, root, "gmt") { cat =>
         s.sql(s"CREATE TABLE $cat.o (o_orderkey BIGINT, o_custkey BIGINT, " +
           "o_totalprice DOUBLE) TBLPROPERTIES ('primary_keys'='o_orderkey')")
         val src = t(s, d, "orders")
@@ -204,13 +200,7 @@ object StorageOps {
         s.sql(s"CALL $cat.system.expire_snapshots(table => 'o', " +
           "older_than_ms => -1000, keep_last => 0)").collect()
         s.sql(s"CALL $cat.system.gc(table => 'o', min_age_ms => 0)").collect()
-        // decouple from the throwaway catalog the finally unregisters
-        val out = Files.createTempDirectory("graft_maint_out").toString
-        s.sql(s"SELECT * FROM $cat.o").write.mode("overwrite").parquet(out)
-        s.read.parquet(out)
-      } finally {
-        s.conf.unset(s"spark.sql.catalog.$cat")
-        s.conf.unset(s"spark.sql.catalog.$cat.location")
+        TempCatalog.decouple(s, s.sql(s"SELECT * FROM $cat.o"))
       }
     }),
 
@@ -223,27 +213,24 @@ object StorageOps {
     // the difference between re-shuffling both fact tables per join and
     // reading them join-ready.
     "s_bucket_join" -> ((s, d) => {
-      val cat = "gbj" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
       val root = Files.createTempDirectory("graft_bjoin").toString
-      s.conf.set(s"spark.sql.catalog.$cat",
-        classOf[org.apache.spark.sql.graftshim.GraftCatalog].getName)
-      s.conf.set(s"spark.sql.catalog.$cat.location", root)
+      TempCatalog.withTempCatalog(s, root, "gbj") { cat =>
       val prevV2Bucketing =
         s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      s.sql(s"CREATE TABLE $cat.o (o_orderkey BIGINT, o_custkey BIGINT, " +
-        "o_totalprice DOUBLE) TBLPROPERTIES ('primary_keys'='o_orderkey', " +
-        "'bucket_columns'='o_custkey', 'num_buckets'='8')")
-      s.sql(s"CREATE TABLE $cat.c (c_custkey BIGINT, c_name STRING) " +
-        "TBLPROPERTIES ('primary_keys'='c_custkey', " +
-        "'bucket_columns'='c_custkey', 'num_buckets'='8')")
-      t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
-        .write.mode("append").insertInto(s"$cat.o")
-      t(s, d, "customer").select("c_custkey", "c_name")
-        .write.mode("append").insertInto(s"$cat.c")
       val prevBroadcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try {
+        s.sql(s"CREATE TABLE $cat.o (o_orderkey BIGINT, o_custkey BIGINT, " +
+          "o_totalprice DOUBLE) TBLPROPERTIES ('primary_keys'='o_orderkey', " +
+          "'bucket_columns'='o_custkey', 'num_buckets'='8')")
+        s.sql(s"CREATE TABLE $cat.c (c_custkey BIGINT, c_name STRING) " +
+          "TBLPROPERTIES ('primary_keys'='c_custkey', " +
+          "'bucket_columns'='c_custkey', 'num_buckets'='8')")
+        t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+          .write.mode("append").insertInto(s"$cat.o")
+        t(s, d, "customer").select("c_custkey", "c_name")
+          .write.mode("append").insertInto(s"$cat.c")
         val j = s.sql(s"SELECT o_orderkey, c_name, round(o_totalprice, 2) AS price " +
           s"FROM $cat.o JOIN $cat.c ON o_custkey = c_custkey")
         j.count() // materialize so AQE finalizes the plan
@@ -264,23 +251,14 @@ object StorageOps {
         require(!flatten(all(joinIdx)).exists(
           _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
           "storage-partitioned join still shuffled")
-        // decouple the result from session state the finally restores
-        // (the throwaway catalog backs the scan): executor-parallel
-        // parquet round-trip, not persist() — a cache here would pin
-        // the join output in executor memory for the rest of the session
-        val out = Files.createTempDirectory("graft_bjoin_out").toString
-        j.write.mode("overwrite").parquet(out)
-        s.read.parquet(out)
+        TempCatalog.decouple(s, j)
       } finally {
         s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
         prevV2Bucketing match {
           case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
           case None => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
         }
-        // drop the throwaway catalog registration (the UUID name would
-        // otherwise accumulate in session conf across benchmarked queries)
-        s.conf.unset(s"spark.sql.catalog.$cat")
-        s.conf.unset(s"spark.sql.catalog.$cat.location")
+      }
       }
     }),
 
@@ -320,17 +298,12 @@ object StorageOps {
       val dir = Files.createTempDirectory("graft_sqlupd").toString
       val ds = SpaceDataset.create(s, dir + "/tbl", o.schema, Seq("o_orderkey"))
       ds.append(o.repartitionByRange(8, col("o_orderkey")))
-      val cat = "gsu" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-      s.conf.set(s"spark.sql.catalog.$cat",
-        classOf[org.apache.spark.sql.graftshim.GraftCatalog].getName)
-      s.conf.set(s"spark.sql.catalog.$cat.location", dir)
-      try {
+      // no decouple: eager s.sql analysis binds the DSv2 relation, so
+      // the result survives the catalog unregistration
+      TempCatalog.withTempCatalog(s, dir, "gsu") { cat =>
         s.sql(s"UPDATE $cat.tbl SET o_totalprice = o_totalprice * 2, " +
           "o_orderpriority = '9-UPDATED' WHERE o_orderkey % 7 = 0")
         s.sql(s"SELECT * FROM $cat.tbl")
-      } finally {
-        s.conf.unset(s"spark.sql.catalog.$cat")
-        s.conf.unset(s"spark.sql.catalog.$cat.location")
       }
     }),
 
@@ -346,21 +319,13 @@ object StorageOps {
       o.filter(col("o_orderkey") > 2000L && col("o_orderkey") <= 5000L)
         .withColumn("o_totalprice", col("o_totalprice") * 2)
         .createOrReplaceTempView(src)
-      val cat = "gsm" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-      s.conf.set(s"spark.sql.catalog.$cat",
-        classOf[org.apache.spark.sql.graftshim.GraftCatalog].getName)
-      s.conf.set(s"spark.sql.catalog.$cat.location", dir)
-      try {
+      try TempCatalog.withTempCatalog(s, dir, "gsm") { cat =>
         s.sql(s"""MERGE INTO $cat.tbl t USING $src s ON t.o_orderkey = s.o_orderkey
           |WHEN MATCHED AND s.o_orderstatus = 'F' THEN DELETE
           |WHEN MATCHED THEN UPDATE SET *
           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
         s.sql(s"SELECT * FROM $cat.tbl")
-      } finally {
-        s.conf.unset(s"spark.sql.catalog.$cat")
-        s.conf.unset(s"spark.sql.catalog.$cat.location")
-        s.catalog.dropTempView(src)
-      }
+      } finally s.catalog.dropTempView(src)
     }),
 
     // metadata-only RENAME + DROP COLUMN (column mapping): data written

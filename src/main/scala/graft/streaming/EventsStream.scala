@@ -258,11 +258,7 @@ object EventsStream {
   def streamToTable(s: SparkSession, d: String): DataFrame = {
     val (schema, _) = eventsRaw(s, d)
     val root = java.nio.file.Files.createTempDirectory("graft_stt_").toString
-    val cat = "gst" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-    s.conf.set(s"spark.sql.catalog.$cat",
-      classOf[org.apache.spark.sql.graftshim.GraftCatalog].getName)
-    s.conf.set(s"spark.sql.catalog.$cat.location", root)
-    try {
+    graft.core.TempCatalog.withTempCatalog(s, root, "gst") { cat =>
       s.sql(s"CREATE TABLE $cat.ev (event_id BIGINT, event_type STRING, " +
         "value DOUBLE) TBLPROPERTIES ('primary_keys'='event_id')")
       val q = s.readStream.schema(schema)
@@ -272,13 +268,7 @@ object EventsStream {
         .option("checkpointLocation", s"$root/ckpt")
         .toTable(s"$cat.ev")
       try q.processAllAvailable() finally q.stop()
-      // decouple from the throwaway catalog before unregistering it
-      val out = java.nio.file.Files.createTempDirectory("graft_stt_out").toString
-      s.sql(s"SELECT * FROM $cat.ev").write.mode("overwrite").parquet(out)
-      s.read.parquet(out)
-    } finally {
-      s.conf.unset(s"spark.sql.catalog.$cat")
-      s.conf.unset(s"spark.sql.catalog.$cat.location")
+      graft.core.TempCatalog.decouple(s, s.sql(s"SELECT * FROM $cat.ev"))
     }
   }
 

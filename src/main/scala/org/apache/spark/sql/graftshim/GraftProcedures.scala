@@ -190,9 +190,10 @@ object GraftProcedures {
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.isEmpty || ident.namespace.sameElements(Namespace),
       s"unknown procedure namespace ${ident.namespace.mkString(".")}")
-    procs(cat).getOrElse(ident.name,
+    val all = procs(cat)
+    all.getOrElse(ident.name,
       throw new IllegalArgumentException(
-        s"unknown procedure ${ident.name}; available: ${procs(cat).keys.toSeq.sorted.mkString(", ")}"))
+        s"unknown procedure ${ident.name}; available: ${all.keys.toSeq.sorted.mkString(", ")}"))
   }
 
   def list(cat: GraftCatalog, namespace: Array[String]): Array[Identifier] =
