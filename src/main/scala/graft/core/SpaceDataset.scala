@@ -27,20 +27,60 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
   // names; the public surface speaks logical. These four translators are
   // the entire rename implementation on the data path.
   private def renames: Map[String, String] = storage.metadata.renames
+  private def anyRenames: Boolean =
+    renames.nonEmpty || storage.metadata.nestedRenames.nonEmpty
 
+  /** Physical frame → logical names. Nested renames apply as a
+    * positional no-op cast: our scans emit struct members in canonical
+    * physical order, so only names change — never data. */
   private[core] def toLogical(df: DataFrame): DataFrame =
-    if (renames.isEmpty) df
-    else df.select(df.columns.map(c => col(c).as(storage.logicalNameOf(c))).toIndexedSeq: _*)
+    if (!anyRenames) df
+    else df.select(df.columns.map { c =>
+      val base =
+        if (storage.hasNestedRenamesUnder(c))
+          col(c).cast(storage.logicalizeType(df.schema(c).dataType, Seq(c)))
+        else col(c)
+      base.as(storage.logicalNameOf(c))
+    }.toIndexedSeq: _*)
 
+  /** User (logical) frame → physical names. Struct columns with nested
+    * renames are rebuilt member-BY-NAME in canonical order — a
+    * positional cast would silently mis-assign members if the caller's
+    * struct uses a different inner order. */
   private[core] def toPhysicalDf(df: DataFrame): DataFrame =
-    if (renames.isEmpty) df
+    if (!anyRenames) df
     else {
       val inv = renames.map(_.swap)
-      df.select(df.columns.map(c => col(c).as(inv.getOrElse(c, c))).toIndexedSeq: _*)
+      val physFields = storage.schema.fields.map(f => f.name -> f).toMap
+      df.select(df.columns.map { c =>
+        val phys = inv.getOrElse(c, c)
+        val base = physFields.get(phys) match {
+          case Some(f) if storage.hasNestedRenamesUnder(phys) =>
+            physStructExpr(col(c), f.dataType, Seq(phys))
+          case _ => col(c)
+        }
+        base.as(phys)
+      }.toIndexedSeq: _*)
     }
 
+  /** Rebuild `e` (a value of the LOGICAL shape of the physical type
+    * `dt` at `physPath`) with physical member names, accessing the
+    * caller's members by logical name; NULL structs stay NULL. */
+  private def physStructExpr(e: Column, dt: org.apache.spark.sql.types.DataType,
+      physPath: Seq[String]): Column = dt match {
+    case st: org.apache.spark.sql.types.StructType =>
+      val rebuilt = org.apache.spark.sql.functions.struct(st.fields.map { pf =>
+        val p = physPath :+ pf.name
+        physStructExpr(e.getField(storage.logicalLeafOf(p)), pf.dataType, p).as(pf.name)
+      }.toIndexedSeq: _*)
+      org.apache.spark.sql.functions.when(e.isNull,
+        org.apache.spark.sql.functions.lit(null).cast(st)).otherwise(rebuilt)
+    case _ => e
+  }
+
   private[core] def toPhysicalCol(c: Column): Column =
-    org.apache.spark.sql.graftshim.ColumnExpr.mapAttributes(c, renames.map(_.swap))
+    if (!anyRenames) c
+    else org.apache.spark.sql.graftshim.ColumnExpr.mapPaths(c, storage.physicalPathOf)
 
   private def toPhysicalNames(names: Seq[String]): Seq[String] =
     names.map(storage.physicalNameOf)
@@ -286,6 +326,16 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
     * [[Storage.dropColumn]]); the bytes are shed by the next
     * compact/cluster rewrite or GC'd with the file. */
   def dropColumn(name: String): Unit = storage.dropColumn(name)
+
+  /** Schema evolution: RENAME a struct member, metadata-only (see
+    * [[Storage.renameNestedColumn]]). `path` is the member's current
+    * LOGICAL dotted path, e.g. `Seq("meta", "band")`. */
+  def renameNestedColumn(path: Seq[String], to: String): Unit =
+    storage.renameNestedColumn(path, to)
+
+  /** Schema evolution: DROP a struct member (subtree), metadata-only
+    * (see [[Storage.dropNestedColumn]]). */
+  def dropNestedColumn(path: Seq[String]): Unit = storage.dropNestedColumn(path)
 
   // ------------------------------------------------------- maintenance
 

@@ -54,17 +54,82 @@ final class Storage(val location: String, val conf: Configuration) {
   def metadataFile: String = metaFilePath
   def schema: StructType = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
 
-  /** User-visible schema: physical schema with column renames applied
-    * (top-level; see [[StorageMetadata.renames]]). */
-  def logicalSchema: StructType =
-    if (meta.renames.isEmpty) schema
-    else StructType(schema.fields.map(f => f.copy(name = logicalNameOf(f.name))))
+  /** User-visible schema: physical schema with column renames applied —
+    * top-level ([[StorageMetadata.renames]]) and struct members
+    * ([[StorageMetadata.nestedRenames]]). */
+  def logicalSchema: StructType = logicalize(schema)
 
   def logicalNameOf(physical: String): String = meta.renames.getOrElse(physical, physical)
 
   /** Inverse rename lookup; identity for never-renamed columns. */
   def physicalNameOf(logical: String): String =
     meta.renames.collectFirst { case (p, l) if l == logical => p }.getOrElse(logical)
+
+  /** Logical leaf name of the field at a full PHYSICAL dotted path
+    * (length 1 = top-level). */
+  def logicalLeafOf(physPath: Seq[String]): String =
+    if (physPath.lengthCompare(1) == 0) logicalNameOf(physPath.head)
+    else meta.nestedRenames.getOrElse(physPath.mkString("."), physPath.last)
+
+  /** Physical leaf name of the member of `parentPhys` (a physical path;
+    * empty = top level) whose current logical name is `logical`. */
+  def physicalLeafOf(parentPhys: Seq[String], logical: String): String =
+    if (parentPhys.isEmpty) physicalNameOf(logical)
+    else {
+      val prefix = parentPhys.mkString(".") + "."
+      meta.nestedRenames.collectFirst {
+        case (p, l) if l == logical && p.startsWith(prefix) &&
+          !p.stripPrefix(prefix).contains(".") => p.stripPrefix(prefix)
+      }.getOrElse(logical)
+    }
+
+  /** Full physical path of a LOGICAL dotted path, each step resolved
+    * against the renames at its level. */
+  def physicalPathOf(logicalPath: Seq[String]): Seq[String] =
+    logicalPath.foldLeft(Vector.empty[String]) { (phys, step) =>
+      phys :+ physicalLeafOf(phys, step)
+    }
+
+  /** Rename fields physical→logical recursively. Subset-safe: walks the
+    * GIVEN struct (possibly a pruned read schema), mapping any member
+    * whose physical path has a rename. Descends struct spines only —
+    * renames inside array/map element structs are unsupported, matching
+    * [[addNestedColumn]]'s reach. */
+  def logicalize(st: StructType): StructType =
+    if (meta.renames.isEmpty && meta.nestedRenames.isEmpty) st
+    else logicalizeType(st, Nil).asInstanceOf[StructType]
+
+  /** [[logicalize]] for a type sitting at physical path `physPath`
+    * (Nil = a whole top-level schema). */
+  def logicalizeType(t: DataType, physPath: Seq[String]): DataType = t match {
+    case s: StructType => StructType(s.fields.map { f =>
+      val p = physPath :+ f.name
+      f.copy(name = logicalLeafOf(p), dataType = logicalizeType(f.dataType, p))
+    })
+    case other => other
+  }
+
+  /** Inverse of [[logicalize]]: rename fields logical→physical
+    * recursively; subset-safe. */
+  def physicalize(st: StructType): StructType =
+    if (meta.renames.isEmpty && meta.nestedRenames.isEmpty) st
+    else physicalizeType(st, Nil).asInstanceOf[StructType]
+
+  /** [[physicalize]] for a type whose PARENT physical path is
+    * `physPath` (Nil = a whole top-level schema). */
+  def physicalizeType(t: DataType, physPath: Seq[String]): DataType = t match {
+    case s: StructType => StructType(s.fields.map { f =>
+      val pl = physicalLeafOf(physPath, f.name)
+      f.copy(name = pl, dataType = physicalizeType(f.dataType, physPath :+ pl))
+    })
+    case other => other
+  }
+
+  /** Whether any struct member under top-level PHYSICAL column `phys`
+    * carries a nested rename (the read/write boundaries use this to
+    * leave untouched columns on the fast path). */
+  def hasNestedRenamesUnder(phys: String): Boolean =
+    meta.nestedRenames.keysIterator.exists(_.startsWith(phys + "."))
 
   def primaryKeys: Seq[String] = meta.primaryKeys
   /** Columns with per-file min/max manifest stats: primary keys (the
@@ -217,7 +282,10 @@ final class Storage(val location: String, val conf: Configuration) {
     * the field on read — Spark's parquet reader clips nested requested
     * schemas by name — and ids come from the same never-reused watermark
     * as top-level adds ([[FieldIds.assign]] is depth-first ready).
-    * Nested RENAME/DROP stay unsupported (column mapping is top-level). */
+    * Re-adding a name previously dropped from the same struct gets a
+    * generated physical name + a [[StorageMetadata.nestedRenames]]
+    * entry, exactly like top-level re-adds — old files' bytes for the
+    * dropped member must never resurrect into the new field. */
   def addNestedColumn(parentPath: Seq[String], field: StructField): Unit = {
     require(parentPath.nonEmpty, "addNestedColumn requires a parent path")
     require(field.nullable, s"added column ${field.name} must be nullable " +
@@ -225,42 +293,137 @@ final class Storage(val location: String, val conf: Configuration) {
     withCommitLock {
       reload()
       val start = nextFieldId
-      val assignedTree = FieldIds.assign(StructType(Seq(field)), start)
-      val assigned = assignedTree.fields.head
-
-      def insert(st: StructType, path: Seq[String], walked: String): StructType =
+      // every step of parentPath is a LOGICAL name (a stale physical
+      // name must not silently resolve), mapped to physical level by
+      // level as the walk descends
+      def insert(st: StructType, path: Seq[String], physWalked: Seq[String])
+          : (StructType, Option[(String, String)]) =
         path match {
           case Seq() =>
-            require(!st.fieldNames.contains(field.name),
-              s"column $walked.${field.name} already exists")
-            StructType(st.fields :+ assigned)
+            val logicalHere = st.fields.map(f => logicalLeafOf(physWalked :+ f.name))
+            require(!logicalHere.contains(field.name),
+              s"column ${physWalked.mkString(".")}.${field.name} already exists")
+            val droppedKey = (physWalked :+ field.name).mkString(".")
+            val reused = meta.droppedColumns.contains(droppedKey)
+            val physLeaf = if (reused) s"${field.name}_f$start" else field.name
+            require(!st.fieldNames.contains(physLeaf),
+              s"$physLeaf collides with an existing physical member of " +
+                physWalked.mkString("."))
+            val assigned = FieldIds.assign(
+              StructType(Seq(field.copy(name = physLeaf))), start).fields.head
+            (StructType(st.fields :+ assigned),
+              if (reused) Some((physWalked :+ physLeaf).mkString(".") -> field.name)
+              else None)
           case p +: rest =>
-            // the first step addresses a top-level column: it must be the
-            // LOGICAL name (a renamed column's stale physical name would
-            // silently resolve otherwise), mapped through the rename
-            // boundary; nested names have no mapping (renames are
-            // top-level only)
-            if (walked.isEmpty)
-              require(logicalSchema.fieldNames.contains(p), s"struct $p not found")
-            val physName = if (walked.isEmpty) physicalNameOf(p) else p
+            val physName = physicalLeafOf(physWalked, p)
             val idx = st.fields.indexWhere(_.name == physName)
-            require(idx >= 0,
-              s"struct ${if (walked.isEmpty) p else s"$walked.$p"} not found")
+            // the logical-name round-trip also rejects a renamed member's
+            // STALE physical name silently resolving
+            require(idx >= 0 && logicalLeafOf(physWalked :+ physName) == p,
+              s"struct ${(physWalked :+ p).mkString(".")} not found")
             val f = st.fields(idx)
             f.dataType match {
               case s: StructType =>
-                StructType(st.fields.updated(idx, f.copy(dataType =
-                  insert(s, rest, if (walked.isEmpty) p else s"$walked.$p"))))
+                val (inner, ren) = insert(s, rest, physWalked :+ physName)
+                (StructType(st.fields.updated(idx, f.copy(dataType = inner))), ren)
               case other => throw new IllegalArgumentException(
                 s"$p is not a struct (${other.simpleString})")
             }
         }
 
-      val newSchema = insert(schema, parentPath, "")
+      val (newSchema, renameEntry) = insert(schema, parentPath, Vector.empty)
+      // the added member consumes ids start..start+consumed-1 (the
+      // whole-schema maxAssignedId formula assumes contiguous subtree
+      // spans, which nested adds break)
+      val addedMax = start + FieldIds.consumedIds(StructType(Seq(field))) - 1
       persist(meta.copy(schemaJson = newSchema.json,
-        maxFieldId = FieldIds.maxAssignedId(assignedTree) max start,
+        nestedRenames = meta.nestedRenames ++ renameEntry,
+        maxFieldId = addedMax,
         lastUpdateTimeMs = System.currentTimeMillis()))
     }
+  }
+
+  /** Locate the parent struct of a LOGICAL dotted path; returns the
+    * resolved full physical path and the parent's StructType. */
+  private def resolveNested(path: Seq[String]): (Vector[String], StructType) = {
+    require(path.lengthCompare(2) >= 0, "nested path needs at least struct.member")
+    val physPath = physicalPathOf(path).toVector
+    // every step must round-trip back to its given LOGICAL name — a
+    // renamed member's stale physical name must not silently resolve
+    physPath.indices.foreach { i =>
+      require(logicalLeafOf(physPath.take(i + 1)) == path(i),
+        s"column ${path.take(i + 1).mkString(".")} not found")
+    }
+    var parent: StructType = schema
+    physPath.init.zip(path.init).foreach { case (phys, logical) =>
+      val idx = parent.fields.indexWhere(_.name == phys)
+      require(idx >= 0, s"struct $logical not found")
+      parent = parent.fields(idx).dataType match {
+        case s: StructType => s
+        case other => throw new IllegalArgumentException(
+          s"$logical is not a struct (${other.simpleString})")
+      }
+    }
+    require(parent.fieldNames.contains(physPath.last),
+      s"column ${path.mkString(".")} not found")
+    (physPath, parent)
+  }
+
+  /** Metadata-only NESTED RENAME: change a struct member's logical
+    * name. Same column-mapping contract as [[renameColumn]] — the
+    * physical name in data files never changes; only the boundary map
+    * ([[StorageMetadata.nestedRenames]], keyed by full physical path)
+    * does. `path` is the member's current LOGICAL dotted path. */
+  def renameNestedColumn(path: Seq[String], to: String): Unit = withCommitLock {
+    reload()
+    val (physPath, parent) = resolveNested(path)
+    require(path.last != to, "rename to the same name")
+    val parentPhys = physPath.init
+    val logicalSiblings = parent.fields.map(f => logicalLeafOf(parentPhys :+ f.name))
+    require(!logicalSiblings.contains(to),
+      s"column ${(path.init :+ to).mkString(".")} already exists")
+    // a new logical name may not shadow a DIFFERENT member's physical
+    // name either — the write boundary resolves logical→physical by name
+    require(to == physPath.last || !parent.fieldNames.contains(to),
+      s"$to collides with an existing physical member of ${path.init.mkString(".")}")
+    val key = physPath.mkString(".")
+    val next =
+      if (to == physPath.last) meta.nestedRenames - key // renamed back
+      else meta.nestedRenames - key + (key -> to)
+    persist(meta.copy(nestedRenames = next,
+      lastUpdateTimeMs = System.currentTimeMillis()))
+  }
+
+  /** Metadata-only NESTED DROP: remove a struct member (subtree) from
+    * the schema. Reads stop requesting it (name-based parquet clipping
+    * sheds the bytes), its ids are retired via the
+    * [[StorageMetadata.maxFieldId]] high-water mark, and its physical
+    * path joins [[StorageMetadata.droppedColumns]] so a later re-add of
+    * the same name can never resurrect old files' bytes. `path` is the
+    * member's current LOGICAL dotted path. */
+  def dropNestedColumn(path: Seq[String]): Unit = withCommitLock {
+    reload()
+    val (physPath, parent) = resolveNested(path)
+    require(parent.fields.length > 1,
+      s"cannot drop the last member of struct ${path.init.mkString(".")} " +
+        "(drop the struct column instead)")
+    val key = physPath.mkString(".")
+    def remove(st: StructType, steps: Seq[String]): StructType = steps match {
+      case Seq(leaf) => StructType(st.fields.filterNot(_.name == leaf))
+      case p +: rest =>
+        val idx = st.fields.indexWhere(_.name == p)
+        val f = st.fields(idx)
+        StructType(st.fields.updated(idx, f.copy(dataType =
+          remove(f.dataType.asInstanceOf[StructType], rest))))
+    }
+    val highWater = math.max(meta.maxFieldId, FieldIds.maxAssignedId(schema))
+    persist(meta.copy(
+      schemaJson = remove(schema, physPath).json,
+      nestedRenames = meta.nestedRenames.filterNot { case (p, _) =>
+        p == key || p.startsWith(key + ".") },
+      maxFieldId = highWater,
+      droppedColumns = (meta.droppedColumns :+ key).distinct,
+      lastUpdateTimeMs = System.currentTimeMillis()))
   }
 
   /** First field id not yet handed out: past both the live schema's ids
@@ -308,6 +471,7 @@ final class Storage(val location: String, val conf: Configuration) {
       schemaJson = StructType(schema.fields.filterNot(_.name == phys)).json,
       statsFields = meta.statsFields.filterNot(_ == phys),
       renames = meta.renames - phys,
+      nestedRenames = meta.nestedRenames.filterNot(_._1.startsWith(phys + ".")),
       maxFieldId = highWater,
       droppedColumns = (meta.droppedColumns :+ phys).distinct,
       lastUpdateTimeMs = System.currentTimeMillis()))

@@ -99,15 +99,22 @@ final case class StorageMetadata(
       * only at the user-facing SpaceDataset/SQL boundary, so RENAME
       * COLUMN is metadata-only and never rewrites a byte of data. */
     renames: Map[String, String] = Map.empty,
+    /** NESTED logical renames: full PHYSICAL dotted path of a struct
+      * member (every step an as-written name, e.g. `meta.band_f7`) →
+      * its current logical LEAF name. Keys are all-physical so they stay
+      * stable when an ancestor is renamed; the same boundary that
+      * applies [[renames]] applies these recursively. */
+    nestedRenames: Map[String, String] = Map.empty,
     /** High-water mark of assigned field ids. Ids are NEVER reused, even
       * after DROP COLUMN — a recycled id would alias the dropped
       * column's manifest stats (`_STATS_f<id>`) and file data onto the
       * new field. -1 = legacy metadata; derive from the schema. */
     maxFieldId: Int = -1,
-    /** Physical names ever dropped. A column later ADDed under such a
-      * name gets a GENERATED physical name (`name_f<id>`) + a rename
-      * entry, so name-based parquet reads can never resurrect the
-      * dropped column's bytes from old files. */
+    /** Physical names ever dropped: top-level names, plus full physical
+      * dotted paths for dropped STRUCT MEMBERS. A column later ADDed
+      * under such a name (or path) gets a GENERATED physical name
+      * (`name_f<id>`) + a rename entry, so name-based parquet reads can
+      * never resurrect the dropped column's bytes from old files. */
     droppedColumns: List[String] = Nil,
     /** Hash-bucket layout (empty = unbucketed). Every write shuffles
       * rows to `pmod(murmur3(bucketColumns), numBuckets)` and encodes

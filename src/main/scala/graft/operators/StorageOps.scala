@@ -372,6 +372,28 @@ object StorageOps {
         col("meta.price").as("price"), col("meta.band").as("band"))
     }),
 
+    // NESTED rename + drop + re-add (metadata-only column mapping inside
+    // structs): meta.price renamed, meta.status dropped then re-added —
+    // old files must read under the new names with the dropped member's
+    // bytes never resurrecting; filter runs on the renamed nested path
+    "s_evolve_nested_ren" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val nested = o.select(col("o_orderkey"), struct(
+        col("o_orderstatus").as("status"), col("o_totalprice").as("price")).as("meta"))
+      val ds = SpaceDataset.create(s, fresh("evren"), nested.schema, Seq("o_orderkey"))
+      ds.append(nested.filter(col("o_orderkey") <= 3000L))
+      ds.renameNestedColumn(Seq("meta", "price"), "amount")
+      ds.dropNestedColumn(Seq("meta", "status"))
+      ds.addNestedColumn(Seq("meta"), "status",
+        org.apache.spark.sql.types.StringType)
+      ds.append(nested.filter(col("o_orderkey") > 3000L)
+        .select(col("o_orderkey"), struct(
+          col("meta.price").as("amount"), col("meta.status").as("status")).as("meta")))
+      ds.readAll().filter(col("meta.amount") > 50000.0)
+        .select(col("o_orderkey"), col("meta.amount").as("amount"),
+          col("meta.status").as("status"))
+    }),
+
     // tag → time-travel read of the tagged snapshot after later commits
     "s_timetravel" -> ((s, d) => {
       val o = t(s, d, "orders")
@@ -590,6 +612,12 @@ object StorageOps {
         |SELECT o_orderkey, o_orderstatus, o_totalprice,
         |  CASE WHEN o_totalprice > 150000.0 THEN 'hi' ELSE 'lo' END
         |FROM orders WHERE o_orderkey > 3000""".stripMargin,
+    "s_evolve_nested_ren" ->
+      """SELECT o_orderkey, o_totalprice AS amount, CAST(NULL AS VARCHAR) AS status
+        |FROM orders WHERE o_orderkey <= 3000 AND o_totalprice > 50000.0
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderkey > 3000 AND o_totalprice > 50000.0""".stripMargin,
     "s_timetravel" -> "SELECT * FROM orders WHERE o_orderkey <= 1000",
     "s_branch" ->
       "SELECT * FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 1000",

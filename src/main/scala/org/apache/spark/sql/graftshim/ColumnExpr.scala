@@ -12,18 +12,40 @@ object ColumnExpr {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   def column(e: Expression): Column = ExpressionUtils.column(e)
 
-  /** Rewrite UNRESOLVED attribute references through a name map — the
-    * logical→physical translation for renamed columns (column-mapping
-    * name mode). Conditions built with `col("name")` are unresolved
-    * attribute trees at this point; anything already resolved against a
-    * logical frame never reaches the physical scan directly. */
-  def mapAttributes(c: Column, nameMap: Map[String, String]): Column = {
-    if (nameMap.isEmpty) return c
+  /** Rewrite UNRESOLVED attribute/extract-value chains through a PATH
+    * map — the logical→physical translation for renamed columns and
+    * struct members (column-mapping name mode). Conditions built with
+    * `col("name")` / `col("s.x")` / `col("s").getField("x")` are
+    * unresolved trees at this point; the mapper sees the full dotted
+    * path at once (each step's translation depends on its parent's).
+    * The mapper must be idempotent on already-mapped paths — rename
+    * validation guarantees a logical name never shadows a different
+    * member's physical name, so re-mapping a physical path is identity. */
+  def mapPaths(c: Column, pathMap: Seq[String] => Seq[String]): Column = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedExtractValue}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.StringType
+
+    def chain(e: Expression): Option[Seq[String]] = e match {
+      case a: UnresolvedAttribute => Some(a.nameParts)
+      case UnresolvedExtractValue(child, Literal(key, StringType)) if key != null =>
+        chain(child).map(_ :+ key.toString)
+      case _ => None
+    }
+    def extractDepth(e: Expression): Int = e match {
+      case UnresolvedExtractValue(child, _) => 1 + extractDepth(child)
+      case _ => 0
+    }
     val rewritten = catalystExpression(c).transform {
-      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-          if a.nameParts.length == 1 && nameMap.contains(a.nameParts.head) =>
-        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
-          Seq(nameMap(a.nameParts.head)))
+      case e @ (_: UnresolvedAttribute | _: UnresolvedExtractValue)
+          if chain(e).isDefined =>
+        val parts = chain(e).get
+        val mapped = pathMap(parts)
+        val rootLen = parts.length - extractDepth(e)
+        mapped.drop(rootLen).foldLeft[Expression](
+          UnresolvedAttribute(mapped.take(rootLen))) { (acc, step) =>
+          UnresolvedExtractValue(acc, Literal(step))
+        }
     }
     column(rewritten)
   }

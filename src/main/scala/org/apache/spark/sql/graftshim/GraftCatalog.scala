@@ -198,13 +198,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         if (add.fieldNames.length == 1) ds.storage.addColumn(field)
         else ds.storage.addNestedColumn(add.fieldNames.init.toSeq, field)
       case ren: TableChange.RenameColumn =>
-        require(ren.fieldNames.length == 1,
-          s"nested column renames are unsupported: ${ren.fieldNames.mkString(".")}")
-        ds.renameColumn(ren.fieldNames()(0), ren.newName)
+        if (ren.fieldNames.length == 1) ds.renameColumn(ren.fieldNames()(0), ren.newName)
+        else ds.renameNestedColumn(ren.fieldNames.toSeq, ren.newName)
       case del: TableChange.DeleteColumn =>
-        require(del.fieldNames.length == 1,
-          s"nested column drops are unsupported: ${del.fieldNames.mkString(".")}")
-        ds.dropColumn(del.fieldNames()(0))
+        if (del.fieldNames.length == 1) ds.dropColumn(del.fieldNames()(0))
+        else ds.dropNestedColumn(del.fieldNames.toSeq)
       case other =>
         throw new UnsupportedOperationException(s"unsupported ALTER TABLE change: $other")
     }
@@ -302,10 +300,10 @@ final class GraftTable(
   private[graftshim] def isPinned: Boolean = pinned.isDefined
   private val snapshotId: Long = pinned.getOrElse(storage.branchHead(ds.getCurrentBranch))
   private val physical: StructType = ReadOp.physicalSchema(storage.schema, storage.recordFields)
-  // SQL surface speaks LOGICAL names (renames applied); the parquet
-  // delegate underneath speaks physical — GraftScanBuilder translates.
-  private val logicalOut: StructType =
-    StructType(physical.fields.map(f => f.copy(name = storage.logicalNameOf(f.name))))
+  // SQL surface speaks LOGICAL names (renames applied, top-level and
+  // struct members); the parquet delegate underneath speaks physical —
+  // GraftScanBuilder translates.
+  private val logicalOut: StructType = storage.logicalize(physical)
 
   override def name(): String = ident
 
@@ -400,35 +398,50 @@ final class GraftScanBuilder(
   // logical, bound to the ORIGINAL attribute ids).
   private val toPhys: Map[String, String] = storage.metadata.renames.map(_.swap)
   private val toLog: Map[String, String] = storage.metadata.renames
+  private def anyRenames: Boolean =
+    toPhys.nonEmpty || storage.metadata.nestedRenames.nonEmpty
 
+  /** Rename an expression's attributes logical→physical (`phys=true`)
+    * or back. Attribute names AND struct dataTypes translate (nested
+    * renames live inside the type); transformUp so a GetStructField's
+    * name hint can be re-derived from its already-translated child —
+    * the parquet pushdown builds dotted V2 references from those. */
   private def renameExpr(
       e: org.apache.spark.sql.catalyst.expressions.Expression,
-      m: Map[String, String]): org.apache.spark.sql.catalyst.expressions.Expression =
-    if (m.isEmpty) e
-    else e.transform {
-      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
-          if m.contains(a.name) => a.withName(m(a.name))
+      phys: Boolean): org.apache.spark.sql.catalyst.expressions.Expression =
+    if (!anyRenames) e
+    else e.transformUp {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        val name = (if (phys) toPhys else toLog).getOrElse(a.name, a.name)
+        val dt =
+          if (phys) storage.physicalizeType(a.dataType, Seq(name))
+          else storage.logicalizeType(a.dataType, Seq(a.name))
+        if (name == a.name && dt == a.dataType) a
+        else org.apache.spark.sql.catalyst.expressions.AttributeReference(
+          name, dt, a.nullable, a.metadata)(a.exprId, a.qualifier)
+      case g: org.apache.spark.sql.catalyst.expressions.GetStructField =>
+        g.copy(name = Some(g.childSchema(g.ordinal).name))
     }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    delegate.pruneColumns(StructType(requiredSchema.fields.map(f =>
-      f.copy(name = toPhys.getOrElse(f.name, f.name)))))
+    delegate.pruneColumns(storage.physicalize(requiredSchema))
 
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
-    delegate.pushFilters(filters.map(renameExpr(_, toPhys))).map(renameExpr(_, toLog))
+    delegate.pushFilters(filters.map(renameExpr(_, phys = true)))
+      .map(renameExpr(_, phys = false))
 
   override def pushedFilters(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     delegate.pushedFilters
 
   override def pushAggregation(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    toPhys.isEmpty && delegate.pushAggregation(aggregation)
+    !anyRenames && delegate.pushAggregation(aggregation)
 
   override def supportCompletePushDown(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    toPhys.isEmpty && delegate.supportCompletePushDown(aggregation)
+    !anyRenames && delegate.supportCompletePushDown(aggregation)
 
   override def build(): Scan = new GraftDelegatingScan(spark, storage, delegate.build(), options)
 }
@@ -443,13 +456,13 @@ final class GraftDelegatingScan(
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
-  /** Reported back in LOGICAL names: Spark rebuilds the scan relation's
-    * output attributes from this schema and resolves the post-scan
-    * projection against them BY NAME; the parquet reader keeps its own
-    * (physical) readDataSchema, and row binding is positional. */
-  override def readSchema(): StructType =
-    StructType(delegate.readSchema().fields.map(f =>
-      f.copy(name = storage.logicalNameOf(f.name))))
+  /** Reported back in LOGICAL names (top-level and struct members):
+    * Spark rebuilds the scan relation's output attributes from this
+    * schema and resolves the post-scan projection against them BY NAME;
+    * the parquet reader keeps its own (physical) readDataSchema, and
+    * row binding is positional — renames are in-place, so ordinals
+    * never move. */
+  override def readSchema(): StructType = storage.logicalize(delegate.readSchema())
 
   private def numBuckets: Int = storage.metadata.numBuckets
 

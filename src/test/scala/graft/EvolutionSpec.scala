@@ -184,6 +184,127 @@ class EvolutionSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { ds.dropColumn("id") } // PK
   }
 
+  test("nested RENAME is metadata-only: reads, appends, DML and SQL speak the new name") {
+    val orders = Tables.read(spark, sfDir, "orders").limit(200)
+    val nested = orders.select(col("o_orderkey"),
+      struct(col("o_orderstatus").as("status"), col("o_totalprice").as("price")).as("meta"))
+    val dir = Files.createTempDirectory("graft_nren_").toString
+    val ds = SpaceDataset.create(spark, dir + "/tbl", nested.schema, Seq("o_orderkey"))
+    ds.append(nested.filter(col("o_orderkey") <= 1000L))
+
+    ds.renameNestedColumn(Seq("meta", "price"), "amount")
+    assert(ds.schema("meta").dataType.asInstanceOf[StructType].fieldNames.toSeq ==
+      Seq("status", "amount"))
+    // physical member name in files/metadata never changes
+    assert(ds.storage.schema("meta").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("status", "price"))
+
+    // appends speak the NEW name — and a DIFFERENT inner order must
+    // realign BY NAME, not silently positionally
+    ds.append(nested.filter(col("o_orderkey") > 1000L)
+      .select(col("o_orderkey"), struct(
+        col("meta.price").as("amount"), col("meta.status").as("status")).as("meta")))
+    val expect = nested.select(col("o_orderkey"),
+      col("meta.status").as("s"), col("meta.price").as("p"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val got = ds.readAll().select(col("o_orderkey"),
+      col("meta.status"), col("meta.amount"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == expect)
+
+    // filters and DML through the logical nested name
+    val hi = nested.filter(col("meta.price") > 150000.0).count()
+    assert(ds.readAll().filter(col("meta.amount") > 150000.0).count() == hi)
+    assert(ds.read(filter = Some(col("meta.amount") > 150000.0)).count() == hi)
+    ds.delete(col("meta.amount") > 150000.0)
+    assert(ds.readAll().count() == nested.count() - hi)
+
+    // stale physical name no longer resolves; collisions rejected
+    intercept[IllegalArgumentException] { ds.renameNestedColumn(Seq("meta", "price"), "x") }
+    intercept[IllegalArgumentException] { ds.renameNestedColumn(Seq("meta", "amount"), "status") }
+    intercept[IllegalArgumentException] { ds.addNestedColumn(Seq("meta"), "amount", StringType) }
+
+    // SQL surface: logical schema, nested WHERE/projection, ALTER RENAME
+    val cat = "gnren" + java.util.UUID.randomUUID().toString.replace("-", "").take(6)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[org.apache.spark.sql.graftshim.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.location", dir)
+    try {
+      val viaSql = spark.sql(
+        s"SELECT meta.amount AS amount FROM $cat.tbl WHERE meta.amount > 100000.0")
+      assert(viaSql.count() ==
+        ds.readAll().filter(col("meta.amount") > 100000.0).count())
+      // the filter reaches the parquet scan under the PHYSICAL member
+      // name (the logical->physical expression translation in
+      // GraftScanBuilder survives nested renames)
+      val plan = viaSql.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(plan.contains("meta.price"),
+        s"nested filter not pushed under the physical name:\n$plan")
+      spark.sql(s"ALTER TABLE $cat.tbl RENAME COLUMN meta.amount TO price")
+      ds.refresh()
+      // renamed back to the physical name -> mapping empties
+      assert(ds.storage.metadata.nestedRenames.isEmpty)
+      assert(spark.sql(s"SELECT meta.price FROM $cat.tbl").count() == ds.readAll().count())
+
+      // rename BOTH layers: the struct column and a member under it
+      spark.sql(s"ALTER TABLE $cat.tbl RENAME COLUMN meta TO info")
+      spark.sql(s"ALTER TABLE $cat.tbl RENAME COLUMN info.status TO state")
+      val both = spark.sql(
+        s"SELECT info.state AS state FROM $cat.tbl WHERE info.state IS NOT NULL")
+      assert(both.count() == ds.readAll().count())
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.location")
+    }
+  }
+
+  test("nested DROP retires the member; a re-added name never resurrects old bytes") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ndrop_").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("a", StringType), StructField("b", StringType))))))
+    val ds = SpaceDataset.create(spark, dir + "/tbl", schema, Seq("id"))
+    ds.append(Seq((1L, ("a1", "b1")), (2L, ("a2", "b2")))
+      .toDF("id", "meta").select(col("id"),
+        struct(col("meta._1").as("a"), col("meta._2").as("b")).as("meta")))
+
+    ds.dropNestedColumn(Seq("meta", "b"))
+    assert(ds.schema("meta").dataType.asInstanceOf[StructType].fieldNames.toSeq == Seq("a"))
+    assert(ds.readAll().select("meta.*").columns.toSeq == Seq("a"))
+
+    // re-add under the SAME name: old files' "b" bytes must NOT leak back
+    ds.addNestedColumn(Seq("meta"), "b", StringType)
+    assert(ds.readAll().filter(col("meta.b").isNotNull).count() == 0,
+      "dropped member's bytes resurrected")
+    // the re-added member lives under a GENERATED physical name + mapping
+    assert(ds.storage.metadata.nestedRenames.values.toSeq == Seq("b"))
+    // new appends populate it under the logical name
+    ds.append(Seq((3L, "a3", "b3")).toDF("id", "a", "b")
+      .select(col("id"), struct(col("a"), col("b")).as("meta")))
+    val got = ds.readAll().select(col("id"), col("meta.a"), col("meta.b"))
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(got == Set((1L, "a1", None), (2L, "a2", None), (3L, "a3", Some("b3"))))
+
+    // guards: last member, unknown member, drop through SQL
+    intercept[IllegalArgumentException] { ds.dropNestedColumn(Seq("meta", "nope")) }
+    val cat = "gndrop" + java.util.UUID.randomUUID().toString.replace("-", "").take(6)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[org.apache.spark.sql.graftshim.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.location", dir)
+    try {
+      spark.sql(s"ALTER TABLE $cat.tbl DROP COLUMN meta.b")
+      ds.refresh()
+      assert(ds.schema("meta").dataType.asInstanceOf[StructType].fieldNames.toSeq == Seq("a"))
+      intercept[Exception] { spark.sql(s"ALTER TABLE $cat.tbl DROP COLUMN meta.a") }
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.location")
+    }
+  }
+
   test("update rewrites matching rows CoW and CDC encodes DELETE+ADD") {
     val loc = Files.createTempDirectory("graft_upd_").toString + "/tbl"
     val schema = StructType(Seq(
