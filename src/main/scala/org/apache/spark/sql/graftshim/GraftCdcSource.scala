@@ -123,14 +123,14 @@ final case class GraftCdcOffset(snapshotId: Long, filesDone: Int = 0) extends Of
 }
 
 object GraftCdcOffset {
-  private val SnapRe = """"snapshotId"\s*:\s*(-?\d+)""".r
-  private val FilesRe = """"filesDone"\s*:\s*(\d+)""".r
-  def fromJson(json: String): GraftCdcOffset = {
-    val sid = SnapRe.findFirstMatchIn(json).map(_.group(1).toLong)
-      .getOrElse(throw new IllegalArgumentException(s"bad graft-cdc offset: $json"))
-    GraftCdcOffset(sid,
-      FilesRe.findFirstMatchIn(json).map(_.group(1).toInt).getOrElse(0))
-  }
+  def fromJson(json: String): GraftCdcOffset =
+    try {
+      implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
+      org.json4s.jackson.JsonMethods.parse(json).extract[GraftCdcOffset]
+    } catch {
+      case e: Exception =>
+        throw new IllegalArgumentException(s"bad graft-cdc offset: $json", e)
+    }
 }
 
 /** One changed file of one snapshot: read it, mask to the change's row
