@@ -258,19 +258,22 @@ final class Storage(val location: String, val conf: Configuration) {
       "(existing files null-fill it)")
     withCommitLock {
       reload()
-      require(!schema.fieldNames.contains(field.name) &&
-          !logicalSchema.fieldNames.contains(field.name),
+      require(!logicalSchema.fieldNames.contains(field.name),
         s"column ${field.name} already exists")
       val start = nextFieldId
-      // a name that was EVER dropped gets a generated physical name + a
-      // rename entry: old files still hold the dropped column under the
-      // original name, and name-based parquet reads must never
-      // resurrect those bytes into the new field
-      val reused = meta.droppedColumns.contains(field.name)
-      val physName = if (reused) s"${field.name}_f$start" else field.name
+      // a name that was EVER dropped — or that is still some renamed
+      // column's PHYSICAL name — gets a generated physical name + a
+      // rename entry: old files hold data under the original name, and
+      // name-based parquet reads must never resurrect or alias those
+      // bytes into the new field
+      val taken = meta.droppedColumns.contains(field.name) ||
+        schema.fieldNames.contains(field.name)
+      val physName = if (taken) s"${field.name}_f$start" else field.name
+      require(!schema.fieldNames.contains(physName),
+        s"$physName collides with an existing physical column")
       val assigned = FieldIds.assign(StructType(Seq(field.copy(name = physName))), start)
       persist(meta.copy(schemaJson = StructType(schema.fields ++ assigned.fields).json,
-        renames = if (reused) meta.renames + (physName -> field.name) else meta.renames,
+        renames = if (taken) meta.renames + (physName -> field.name) else meta.renames,
         maxFieldId = FieldIds.maxAssignedId(assigned) max start,
         lastUpdateTimeMs = System.currentTimeMillis()))
     }
@@ -304,15 +307,18 @@ final class Storage(val location: String, val conf: Configuration) {
             require(!logicalHere.contains(field.name),
               s"column ${physWalked.mkString(".")}.${field.name} already exists")
             val droppedKey = (physWalked :+ field.name).mkString(".")
-            val reused = meta.droppedColumns.contains(droppedKey)
-            val physLeaf = if (reused) s"${field.name}_f$start" else field.name
+            // dropped before, or still occupied by a renamed-away
+            // member's physical name → generated physical name
+            val taken = meta.droppedColumns.contains(droppedKey) ||
+              st.fieldNames.contains(field.name)
+            val physLeaf = if (taken) s"${field.name}_f$start" else field.name
             require(!st.fieldNames.contains(physLeaf),
               s"$physLeaf collides with an existing physical member of " +
                 physWalked.mkString("."))
             val assigned = FieldIds.assign(
               StructType(Seq(field.copy(name = physLeaf))), start).fields.head
             (StructType(st.fields :+ assigned),
-              if (reused) Some((physWalked :+ physLeaf).mkString(".") -> field.name)
+              if (taken) Some((physWalked :+ physLeaf).mkString(".") -> field.name)
               else None)
           case p +: rest =>
             val physName = physicalLeafOf(physWalked, p)
