@@ -18,9 +18,11 @@ object ColumnExpr {
     * `col("name")` / `col("s.x")` / `col("s").getField("x")` are
     * unresolved trees at this point; the mapper sees the full dotted
     * path at once (each step's translation depends on its parent's).
-    * The mapper must be idempotent on already-mapped paths — rename
-    * validation guarantees a logical name never shadows a different
-    * member's physical name, so re-mapping a physical path is identity. */
+    * Each chain is rewritten exactly ONCE — a `transform` would descend
+    * into the rewritten children and re-map the already-physical path,
+    * which is NOT identity when a re-added column's logical name
+    * shadows a renamed-away member's physical name (the schema
+    * evolution `taken` branch creates exactly that state). */
   def mapPaths(c: Column, pathMap: Seq[String] => Seq[String]): Column = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedExtractValue}
     import org.apache.spark.sql.catalyst.expressions.Literal
@@ -36,8 +38,8 @@ object ColumnExpr {
       case UnresolvedExtractValue(child, _) => 1 + extractDepth(child)
       case _ => 0
     }
-    val rewritten = catalystExpression(c).transform {
-      case e @ (_: UnresolvedAttribute | _: UnresolvedExtractValue)
+    def rewrite(e: Expression): Expression = e match {
+      case _: UnresolvedAttribute | _: UnresolvedExtractValue
           if chain(e).isDefined =>
         val parts = chain(e).get
         val mapped = pathMap(parts)
@@ -45,9 +47,10 @@ object ColumnExpr {
         mapped.drop(rootLen).foldLeft[Expression](
           UnresolvedAttribute(mapped.take(rootLen))) { (acc, step) =>
           UnresolvedExtractValue(acc, Literal(step))
-        }
+        } // no recursion into the rewritten chain
+      case other => other.mapChildren(rewrite)
     }
-    column(rewritten)
+    column(rewrite(catalystExpression(c)))
   }
 
   /** EAGER Column → catalyst Expression conversion. `expression` wraps

@@ -193,11 +193,16 @@ class EvolutionFuzzSpec extends AnyFunSuite {
               ds.delete(col("id").isin(ids: _*))
               val keep = m.rows.filterNot { case (rid, _) => ids.contains(rid) }
               m.rows.clear(); m.rows ++= keep
-            } else { // by a nested member's value
+            } else { // by a nested member's value — alternate between the
+              // dotted-path and getField spellings (both must map through
+              // renames, and must map each chain exactly once)
               val f = m.sFields(rnd.nextInt(m.sFields.size))
               val victim = m.rows(rnd.nextInt(m.rows.size))
               victim._2.get(f.id).foreach { value =>
-                ds.delete(col(s"${m.sName}.${f.logical}") === value)
+                val member =
+                  if (rnd.nextBoolean()) col(s"${m.sName}.${f.logical}")
+                  else col(m.sName).getField(f.logical)
+                ds.delete(member === value)
                 val keep = m.rows.filterNot { case (_, vals) =>
                   vals.get(f.id).contains(value) }
                 m.rows.clear(); m.rows ++= keep
@@ -212,7 +217,6 @@ class EvolutionFuzzSpec extends AnyFunSuite {
     verify(SpaceDataset.load(spark, loc), m, s"seed=$seed reloaded")
 
     // the DSv2 SQL surface must agree too (scan-builder translation)
-    val cat = "gfz" + math.abs(seed).toString.take(6)
     TempCatalog.withTempCatalog(spark, new java.io.File(loc).getParent, "gfz") { c =>
       val ls = m.leaves
       val viaSql = spark.sql(s"SELECT id, ${ls.map { case (p, id) => s"$p AS f$id" }
@@ -230,4 +234,35 @@ class EvolutionFuzzSpec extends AnyFunSuite {
 
   test("random evolution sequences match the model (seed 1)") { runFuzz(20260813L) }
   test("random evolution sequences match the model (seed 2)") { runFuzz(8130020L) }
+
+  test("getField chains map once even when a re-added name shadows a renamed-away physical") {
+    // rename s.t -> u, then re-add s.t: nestedRenames now holds BOTH
+    // {s.t -> u} and {s.t_fN -> t}. A naive transform-based rewriter
+    // re-maps the rewritten chain's physical prefix (s.t -> s.t_fN) and
+    // targets the re-added member instead of the renamed one.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_shadow_").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StructType(Seq(
+        StructField("t", StringType), StructField("k", StringType))))))
+    val ds = SpaceDataset.create(spark, dir + "/tbl", schema, Seq("id"))
+    ds.append(Seq((1L, "t1", "k1"), (2L, "t2", "k2")).toDF("id", "t", "k")
+      .select(col("id"), struct(col("t"), col("k")).as("s")))
+    ds.renameNestedColumn(Seq("s", "t"), "u")
+    ds.addNestedColumn(Seq("s"), "t", StringType)
+
+    // the renamed member still reads its old data; the re-added one is null
+    assert(ds.readAll().filter(col("s").getField("u") === "t1").count() == 1)
+    assert(ds.readAll().filter(col("s").getField("t").isNotNull).count() == 0)
+    // DML through the getField spelling hits the RENAMED member
+    ds.delete(col("s").getField("u") === "t1")
+    assert(ds.readAll().collect().map(_.getLong(0)).toSeq == Seq(2L))
+
+    // same shadow state at top level
+    ds.renameColumn("s", "s2")
+    ds.addColumn("s", StringType)
+    assert(ds.readAll().filter(col("s2").getField("u") === "t2").count() == 1)
+    assert(ds.readAll().filter(col("s").isNotNull).count() == 0)
+  }
 }
