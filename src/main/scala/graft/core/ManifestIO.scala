@@ -48,6 +48,22 @@ object ManifestIO {
     case _ => false
   }
 
+  /** Resolve a stats-column name to its StructField: plain names are
+    * top-level, DOTTED names walk struct members (`meta.price`) — stats
+    * fields may live inside structs, and parquet footers key column
+    * chunks by the same dotted physical path. */
+  def fieldAtPath(schema: StructType, name: String): Option[StructField] = {
+    def walk(st: StructType, steps: List[String]): Option[StructField] = steps match {
+      case leaf :: Nil => st.fields.find(_.name == leaf)
+      case p :: rest => st.fields.find(_.name == p).flatMap(_.dataType match {
+        case s: StructType => walk(s, rest)
+        case _ => None
+      })
+      case Nil => None
+    }
+    walk(schema, name.split('.').toList)
+  }
+
   def manifestSchema(tableSchema: StructType, primaryKeys: Seq[String]): StructType = {
     val base = Seq(
       StructField(FileCol, StringType, nullable = false),
@@ -55,12 +71,10 @@ object ManifestIO {
       StructField(CompressedCol, LongType, nullable = false),
       StructField(UncompressedCol, LongType, nullable = false))
     val statsCols = primaryKeys.flatMap { pk =>
-      val f = tableSchema(pk)
-      if (statsEligible(f.dataType))
-        Some(StructField(statsColName(FieldIds.fieldId(f)),
+      fieldAtPath(tableSchema, pk).filter(f => statsEligible(f.dataType)).map(f =>
+        StructField(statsColName(FieldIds.fieldId(f)),
           StructType(Seq(
             StructField("_MIN", f.dataType), StructField("_MAX", f.dataType)))))
-      else None
     }
     StructType(base ++ statsCols)
   }
@@ -135,8 +149,10 @@ object ManifestIO {
     * opened and no job runs. */
   def keyRange(spark: SparkSession, storage: Storage, field: String): Option[(Any, Any)] = {
     import org.apache.spark.sql.functions.{col, count, lit, max, min}
-    val f = storage.schema(field)
-    if (!statsEligible(f.dataType)) return None
+    val f = fieldAtPath(storage.schema, field) match {
+      case Some(fld) if statsEligible(fld.dataType) => fld
+      case _ => return None
+    }
     val ms = storage.metadata.currentSnapshot.manifestFiles.indexManifestFiles
     if (ms.isEmpty) return None
 
@@ -161,11 +177,11 @@ object ManifestIO {
 
   // ------------------------------------------- manifest-list summaries
 
-  /** Stats columns eligible for summaries, with their types. */
-  private def summaryCols(storage: Storage): Seq[(String, DataType)] =
+  /** Stats columns eligible for summaries, with their fields (dotted
+    * names resolve to struct members). */
+  private def summaryCols(storage: Storage): Seq[(String, StructField)] =
     storage.statsColumns.flatMap { c =>
-      val dt = storage.schema(c).dataType
-      if (statsEligible(dt)) Some(c -> dt) else None
+      fieldAtPath(storage.schema, c).filter(f => statsEligible(f.dataType)).map(c -> _)
     }
 
   private[core] def encodeStat(v: Any): String = v.toString
@@ -199,8 +215,8 @@ object ManifestIO {
       storage: Storage,
       schema: StructType,
       rows: Seq[Row]): graft.format.ManifestSummary = {
-    val stats = summaryCols(storage).flatMap { case (c, _) =>
-      val cname = statsColName(FieldIds.fieldId(storage.schema(c)))
+    val stats = summaryCols(storage).flatMap { case (c, f) =>
+      val cname = statsColName(FieldIds.fieldId(f))
       val idx = schema.fieldNames.indexOf(cname)
       if (idx < 0) None
       else {
@@ -241,8 +257,8 @@ object ManifestIO {
           Some(vals.reduce(if (wantMin) minAny else maxAny))
         }
       }
-      val stats = summaryCols(storage).flatMap { case (c, _) =>
-        val cname = statsColName(FieldIds.fieldId(storage.schema(c)))
+      val stats = summaryCols(storage).flatMap { case (c, f) =>
+        val cname = statsColName(FieldIds.fieldId(f))
         for {
           mn <- footerRange(s"$cname._MIN", wantMin = true)
           mx <- footerRange(s"$cname._MAX", wantMin = false)
@@ -266,9 +282,9 @@ object ManifestIO {
     val summaries = storage.metadata.manifestSummaries
     val rows = manifests.map { m =>
       val s = summaries.get(m)
-      val statsVals = cols.map { case (c, dt) =>
+      val statsVals = cols.map { case (c, f) =>
         s.flatMap(_.stats.get(c))
-          .map(ss => Row(decodeStat(ss.min, dt), decodeStat(ss.max, dt)))
+          .map(ss => Row(decodeStat(ss.min, f.dataType), decodeStat(ss.max, f.dataType)))
           .orNull
       }
       Row.fromSeq(Seq(m, s.map(_.numFiles).getOrElse(0L), 0L, 0L) ++ statsVals)
@@ -306,7 +322,8 @@ object ManifestIO {
       storage: Storage,
       files: Seq[IndexFileMeta]): String = {
     val schema = manifestSchema(storage.schema, storage.statsColumns)
-    val statsFields = storage.statsColumns.filter(c => statsEligible(storage.schema(c).dataType))
+    val statsFields = storage.statsColumns.filter(c =>
+      fieldAtPath(storage.schema, c).exists(f => statsEligible(f.dataType)))
     val rows = files.map { m =>
       val statsVals = statsFields.map { pk =>
         m.pkStats.get(pk).map(s => Row(s.min, s.max)).orNull

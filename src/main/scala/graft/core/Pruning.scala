@@ -78,7 +78,8 @@ object Pruning {
   }
 
   private def statsCol(tableSchema: StructType, name: String): Column =
-    col(ManifestIO.statsColName(FieldIds.fieldId(tableSchema(name))))
+    col(ManifestIO.statsColName(FieldIds.fieldId(
+      ManifestIO.fieldAtPath(tableSchema, name).get)))
 
   private def falsifiable(schema: StructType, pks: Seq[String], root: Expression): Option[Column] = {
 
@@ -112,7 +113,8 @@ object Pruning {
       }
       converted.flatMap { case (name, value, o) =>
         if (value == null || !pks.contains(name) ||
-          !ManifestIO.statsEligible(schema(name).dataType)) None
+          !ManifestIO.fieldAtPath(schema, name).exists(f =>
+            ManifestIO.statsEligible(f.dataType))) None
         else {
           val s = statsCol(schema, name)
           val v = lit(value)
@@ -176,9 +178,13 @@ object Pruning {
   }
 
   /** Attribute name, unwrapping numeric-widening casts the analyzer adds
-    * (monotonic, so min/max comparisons stay sound). */
+    * (monotonic, so min/max comparisons stay sound). Struct-member
+    * access yields the DOTTED physical path — stats fields may live
+    * inside structs, and the manifest keys them the same way. */
   private def attrName(e: Expression): Option[String] = e match {
     case a: AttributeReference => Some(a.name)
+    case g: org.apache.spark.sql.catalyst.expressions.GetStructField =>
+      attrName(g.child).map(p => s"$p.${g.childSchema(g.ordinal).name}")
     case c: Cast if numericWidening(c) => attrName(c.child)
     case _ => None
   }

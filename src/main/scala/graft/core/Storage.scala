@@ -425,6 +425,8 @@ final class Storage(val location: String, val conf: Configuration) {
     val highWater = math.max(meta.maxFieldId, FieldIds.maxAssignedId(schema))
     persist(meta.copy(
       schemaJson = remove(schema, physPath).json,
+      statsFields = meta.statsFields.filterNot(s =>
+        s == key || s.startsWith(key + ".")),
       nestedRenames = meta.nestedRenames.filterNot { case (p, _) =>
         p == key || p.startsWith(key + ".") },
       maxFieldId = highWater,
@@ -475,7 +477,8 @@ final class Storage(val location: String, val conf: Configuration) {
     val highWater = math.max(meta.maxFieldId, FieldIds.maxAssignedId(schema))
     persist(meta.copy(
       schemaJson = StructType(schema.fields.filterNot(_.name == phys)).json,
-      statsFields = meta.statsFields.filterNot(_ == phys),
+      statsFields = meta.statsFields.filterNot(s =>
+        s == phys || s.startsWith(phys + ".")),
       renames = meta.renames - phys,
       nestedRenames = meta.nestedRenames.filterNot(_._1.startsWith(phys + ".")),
       maxFieldId = highWater,
@@ -811,7 +814,9 @@ object Storage {
       require(!recordFields.contains(c), s"record field $c cannot be a bucket column")
     }
     statsFields.foreach { f =>
-      val fld = schema.fields.find(_.name == f).getOrElse(
+      // dotted names address struct members ("meta.price") — manifest
+      // stats and pruning key them by the same physical dotted path
+      val fld = ManifestIO.fieldAtPath(schema, f).getOrElse(
         throw new IllegalArgumentException(s"stats field $f not in schema"))
       require(ManifestIO.statsEligible(fld.dataType),
         s"stats field $f has non-stats-eligible type ${fld.dataType}")

@@ -123,6 +123,25 @@ object StorageOps {
       ds.read(filter = Some(col("o_totalprice") > 400000.0))
     }),
 
+    // stats field INSIDE a struct ("meta.price"): manifest min/max keyed
+    // by the dotted physical path prune files on nested filters — then
+    // the member is RENAMED and pruning must survive the mapping
+    "s_stats_nested" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val nested = o.select(col("o_orderkey"), struct(
+        col("o_orderstatus").as("status"), col("o_totalprice").as("price")).as("meta"))
+      val ds = SpaceDataset.create(s, fresh("sfnest"), nested.schema, Seq("o_orderkey"),
+        statsFields = Seq("meta.price"))
+      ds.append(nested.repartitionByRange(8, col("meta.price")))
+      ds.renameNestedColumn(Seq("meta", "price"), "amount")
+      val plan = ds.plan(Some(col("meta.amount") > 400000.0))
+      require(plan.prunedFiles > 0,
+        s"nested stats filter kept all ${plan.totalFiles} files")
+      ds.read(filter = Some(col("meta.amount") > 400000.0))
+        .select(col("o_orderkey"), col("meta.status").as("status"),
+          col("meta.amount").as("amount"))
+    }),
+
     // CLUSTER BY rewrite: hash-scattered files (no pruning possible) →
     // range-sorted files whose stats prune the same filter
     "s_cluster" -> ((s, d) => {
@@ -548,6 +567,9 @@ object StorageOps {
         |  o_orderdate, o_orderpriority
         |FROM orders""".stripMargin,
     "s_stats_fields" -> "SELECT * FROM orders WHERE o_totalprice > 400000.0",
+    "s_stats_nested" ->
+      """SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS amount
+        |FROM orders WHERE o_totalprice > 400000.0""".stripMargin,
     "s_cluster" -> "SELECT * FROM orders WHERE o_totalprice > 400000.0",
     "s_bucket_join" ->
       """SELECT o_orderkey, c_name, round(o_totalprice, 2) AS price

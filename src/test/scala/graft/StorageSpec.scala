@@ -75,6 +75,33 @@ class StorageSpec extends AnyFunSuite {
     assert(plan.files.size < plan.totalFiles)
   }
 
+  test("nested stats fields prune on struct-member filters (API and SQL paths)") {
+    val loc = freshLoc()
+    val nested = orders.select(col("o_orderkey"), struct(
+      col("o_orderstatus").as("status"), col("o_totalprice").as("price")).as("meta"))
+    val ds = SpaceDataset.create(spark, loc, nested.schema, Seq("o_orderkey"),
+      statsFields = Seq("meta.price"))
+    ds.append(nested.repartitionByRange(8, col("meta.price")))
+
+    val pred = col("meta.price") > 400000.0
+    val plan = ds.plan(Some(pred))
+    assert(plan.prunedFiles > 0 && plan.files.size < plan.totalFiles,
+      s"nested stats kept all ${plan.totalFiles} files")
+    // pruned read returns exactly the full-filter rows (soundness)
+    assert(ds.read(filter = Some(pred)).count() == nested.filter(pred).count())
+
+    // SQL path: the relation-backed view hands Catalyst dataFilters (a
+    // GetStructField tree) to GraftFileIndex — fewer files are READ
+    ds.createOrReplaceTempView("nested_stats_t")
+    val df = spark.sql(
+      "SELECT o_orderkey FROM nested_stats_t WHERE meta.price > 400000.0")
+    assert(df.count() == nested.filter(pred).count())
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.get
+    assert(scan.metrics("numFiles").value < 8,
+      s"SQL scan read ${scan.metrics("numFiles").value} of 8 files")
+  }
+
   test("append_from: four sources land in one snapshot with one changelog") {
     val loc = freshLoc()
     val ds = SpaceDataset.create(spark, loc, orders.schema, Seq("o_orderkey"))
