@@ -250,7 +250,10 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
     require(assignments.nonEmpty, "update requires at least one assignment")
     val pkSet = primaryKeys.toSet
     assignments.keys.foreach { k =>
-      require(schema.fieldNames.contains(k), s"unknown column $k")
+      // dotted keys assign struct members ("meta.price"); rows whose
+      // struct is NULL stay NULL (a member update cannot materialize
+      // its parent)
+      require(ManifestIO.fieldAtPath(schema, k).isDefined, s"unknown column $k")
       require(!pkSet.contains(k), s"cannot update primary key $k")
     }
     storage.commitTransaction(branch, ConflictPolicy.Rewrite) { pinned =>
@@ -262,7 +265,11 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
           // delete rewrites files, it never mutates the pinned inputs)
           val matched = read(filter = Some(cond), version = Some(pinned.toString))
           val updated = assignments.foldLeft(matched) { case (df, (k, v)) =>
-            df.withColumn(k, v)
+            k.split('.') match {
+              case Array(top) => df.withColumn(top, v)
+              case parts => df.withColumn(parts.head,
+                col(parts.head).withField(parts.tail.mkString("."), v))
+            }
           }
           val addPatch = RecordIO.writeWithRecords(spark, storage, toPhysicalDf(updated))
           Patch.merge(Seq(delPatch, addPatch))

@@ -391,6 +391,24 @@ object StorageOps {
         col("meta.price").as("price"), col("meta.band").as("band"))
     }),
 
+    // SQL UPDATE of a struct member (SET meta.price = …): the row-level
+    // rule flattens the member access to a dotted assignment, the CoW
+    // rewrite rebuilds the struct with withField
+    "s_sql_update_nested" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val nested = o.select(col("o_orderkey"), struct(
+        col("o_orderstatus").as("status"), col("o_totalprice").as("price")).as("meta"))
+      val dir = Files.createTempDirectory("graft_sqlnupd").toString
+      val ds = SpaceDataset.create(s, dir + "/tbl", nested.schema, Seq("o_orderkey"))
+      ds.append(nested.repartitionByRange(8, col("o_orderkey")))
+      TempCatalog.withTempCatalog(s, dir, "gsn") { cat =>
+        s.sql(s"UPDATE $cat.tbl SET meta.price = meta.price * 2 " +
+          "WHERE o_orderkey % 5 = 0")
+        s.sql(s"SELECT o_orderkey, meta.status AS status, " +
+          s"round(meta.price, 2) AS price FROM $cat.tbl")
+      }
+    }),
+
     // NESTED rename + drop + re-add (metadata-only column mapping inside
     // structs): meta.price renamed, meta.status dropped then re-added —
     // old files must read under the new names with the dropped member's
@@ -634,6 +652,11 @@ object StorageOps {
         |SELECT o_orderkey, o_orderstatus, o_totalprice,
         |  CASE WHEN o_totalprice > 150000.0 THEN 'hi' ELSE 'lo' END
         |FROM orders WHERE o_orderkey > 3000""".stripMargin,
+    "s_sql_update_nested" ->
+      """SELECT o_orderkey, o_orderstatus AS status,
+        |  round(CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+        |        ELSE o_totalprice END, 2) AS price
+        |FROM orders""".stripMargin,
     "s_evolve_nested_ren" ->
       """SELECT o_orderkey, o_totalprice AS amount, CAST(NULL AS VARCHAR) AS status
         |FROM orders WHERE o_orderkey <= 3000 AND o_totalprice > 50000.0

@@ -47,18 +47,24 @@ case class GraftRowLevelSqlRule(session: SparkSession) extends Rule[LogicalPlan]
       graftTableOf(target) match {
         case Some(t) =>
           requireMutable(t, "UPDATE")
+          // assignment keys are attributes or struct-member accesses
+          // (SET meta.b = …) — flatten the latter to the dotted logical
+          // path the API's update() takes
+          def keyPath(e: Expression): Option[String] = e match {
+            case ar: AttributeReference => Some(ar.name)
+            case g: org.apache.spark.sql.catalyst.expressions.GetStructField =>
+              keyPath(g.child).map(p => s"$p.${g.childSchema(g.ordinal).name}")
+            case _ => None
+          }
           val assigns = assignments.flatMap { a =>
-            val name = a.key match {
-              case ar: AttributeReference => ar.name
-              case other => fail(s"UPDATE of a nested field is not supported: $other")
-            }
+            val name = keyPath(a.key).getOrElse(
+              fail(s"unsupported UPDATE assignment target: ${a.key}"))
             // alignment may add identity assignments (col = col) for
             // unmentioned columns — including primary keys, which the
-            // API path rightly refuses to assign. Drop the no-ops.
-            a.value match {
-              case v: AttributeReference if v.name == name => None
-              case v => Some(name -> v)
-            }
+            // API path rightly refuses to assign. Drop the no-ops
+            // (top-level and member-level alike).
+            if (keyPath(a.value).contains(name)) None
+            else Some(name -> a.value)
           }
           GraftUpdateCommand(new GraftUpdateSpec(t.dataset,
             condition.map(asColumn), assigns.map { case (n, v) => n -> asColumn(v) }))

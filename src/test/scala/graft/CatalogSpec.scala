@@ -247,6 +247,42 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("UPDATE of a struct member through SQL and the API") {
+    root
+    import org.apache.spark.sql.functions.{col, struct}
+    import spark.implicits._
+    spark.sql("CREATE TABLE graft_test.nupd (id BIGINT, " +
+      "meta STRUCT<a: STRING, b: DOUBLE>) TBLPROPERTIES ('primary_keys'='id')")
+    Seq((1L, "x", 1.0), (2L, "y", 2.0)).toDF("id", "a", "b")
+      .select(col("id"), struct(col("a"), col("b")).as("meta"))
+      .writeTo("graft_test.nupd").append()
+    // a NULL struct row: a member update cannot materialize its parent
+    spark.sql("INSERT INTO graft_test.nupd VALUES (3, NULL)")
+
+    spark.sql("UPDATE graft_test.nupd SET meta.b = meta.b * 10 WHERE id <= 1")
+    val got = spark.sql("SELECT id, meta.a AS a, meta.b AS b, meta IS NULL AS n " +
+      "FROM graft_test.nupd ORDER BY id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)), r.getBoolean(3))).toSeq
+    assert(got == Seq((1L, Some("x"), Some(10.0), false),
+      (2L, Some("y"), Some(2.0), false), (3L, None, None, true)))
+
+    // unconditional member update keeps the NULL-struct row NULL
+    spark.sql("UPDATE graft_test.nupd SET meta.a = 'z'")
+    assert(spark.sql("SELECT count(*) AS n FROM graft_test.nupd WHERE meta.a = 'z'")
+      .collect()(0).getLong(0) == 2)
+    assert(spark.sql("SELECT count(*) AS n FROM graft_test.nupd WHERE meta IS NULL")
+      .collect()(0).getLong(0) == 1)
+
+    // API spelling with a dotted key — and it follows nested renames
+    val ds = SpaceDataset.load(spark, s"$root/nupd")
+    ds.renameNestedColumn(Seq("meta", "b"), "price")
+    ds.update(col("id") === 2L, Map("meta.price" -> (col("meta.price") + 0.5)))
+    assert(ds.readAll().filter(col("meta.price") === 2.5).count() == 1)
+    intercept[IllegalArgumentException] {
+      ds.update(col("id") === 2L, Map("meta.nope" -> col("id")))
+    }
+  }
+
   test("MERGE INTO through SQL: delete, update-star, insert-star in one snapshot") {
     root
     spark.sql("CREATE TABLE graft_test.mt (id BIGINT, price DOUBLE, st STRING) " +
