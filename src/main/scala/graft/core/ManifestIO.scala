@@ -51,7 +51,9 @@ object ManifestIO {
   /** Resolve a stats-column name to its StructField: plain names are
     * top-level, DOTTED names walk struct members (`meta.price`) — stats
     * fields may live inside structs, and parquet footers key column
-    * chunks by the same dotted physical path. */
+    * chunks by the same dotted physical path. A top-level column whose
+    * name literally contains a dot (legal in Spark) wins over the
+    * struct-member walk of the same spelling. */
   def fieldAtPath(schema: StructType, name: String): Option[StructField] = {
     def walk(st: StructType, steps: List[String]): Option[StructField] = steps match {
       case leaf :: Nil => st.fields.find(_.name == leaf)
@@ -61,7 +63,8 @@ object ManifestIO {
       })
       case Nil => None
     }
-    walk(schema, name.split('.').toList)
+    schema.fields.find(_.name == name)
+      .orElse(walk(schema, name.split('.').toList))
   }
 
   def manifestSchema(tableSchema: StructType, primaryKeys: Seq[String]): StructType = {

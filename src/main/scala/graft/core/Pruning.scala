@@ -77,9 +77,6 @@ object Pruning {
     }
   }
 
-  private def statsCol(tableSchema: StructType, name: String): Column =
-    col(ManifestIO.statsColName(FieldIds.fieldId(
-      ManifestIO.fieldAtPath(tableSchema, name).get)))
 
   private def falsifiable(schema: StructType, pks: Seq[String], root: Expression): Option[Column] = {
 
@@ -112,11 +109,12 @@ object Pruning {
         case _ => None // field-vs-field / literal-vs-literal: give up here
       }
       converted.flatMap { case (name, value, o) =>
-        if (value == null || !pks.contains(name) ||
-          !ManifestIO.fieldAtPath(schema, name).exists(f =>
-            ManifestIO.statsEligible(f.dataType))) None
-        else {
-          val s = statsCol(schema, name)
+        val fld =
+          if (value == null || !pks.contains(name)) None
+          else ManifestIO.fieldAtPath(schema, name)
+            .filter(f => ManifestIO.statsEligible(f.dataType))
+        fld.flatMap { f =>
+          val s = col(ManifestIO.statsColName(FieldIds.fieldId(f)))
           val v = lit(value)
           o match {
             case "=" => Some(s("_MIN") > v || s("_MAX") < v)
@@ -182,11 +180,8 @@ object Pruning {
     * access yields the DOTTED physical path — stats fields may live
     * inside structs, and the manifest keys them the same way. */
   private def attrName(e: Expression): Option[String] = e match {
-    case a: AttributeReference => Some(a.name)
-    case g: org.apache.spark.sql.catalyst.expressions.GetStructField =>
-      attrName(g.child).map(p => s"$p.${g.childSchema(g.ordinal).name}")
     case c: Cast if numericWidening(c) => attrName(c.child)
-    case _ => None
+    case other => org.apache.spark.sql.graftshim.ColumnExpr.dottedPath(other)
   }
 
   private def numericWidening(c: Cast): Boolean = (c.child.dataType, c.dataType) match {

@@ -249,6 +249,11 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
       branch: String = currentBranch): Long = {
     require(assignments.nonEmpty, "update requires at least one assignment")
     val pkSet = primaryKeys.toSet
+    // a key addresses the top-level column of that exact name if one
+    // exists (names may legally contain dots); otherwise dots walk
+    // struct members ("meta.price")
+    def assignPath(k: String): Seq[String] =
+      if (schema.fieldNames.contains(k)) Seq(k) else k.split('.').toSeq
     assignments.keys.foreach { k =>
       // dotted keys assign struct members ("meta.price"); rows whose
       // struct is NULL stay NULL (a member update cannot materialize
@@ -256,6 +261,10 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
       require(ManifestIO.fieldAtPath(schema, k).isDefined, s"unknown column $k")
       require(!pkSet.contains(k), s"cannot update primary key $k")
     }
+    val ordered = assignments.toSeq.sortBy(_._1)
+    for ((a, _) <- ordered; (b, _) <- ordered if a != b)
+      require(!assignPath(b).startsWith(assignPath(a)),
+        s"conflicting assignments: $b is a member of assigned column $a")
     storage.commitTransaction(branch, ConflictPolicy.Rewrite) { pinned =>
       val physCond = toPhysicalCol(cond)
       DmlOps.delete(spark, storage, pinned, physCond) match {
@@ -264,13 +273,24 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
           // updated rows, built from the same pinned snapshot (CoW: the
           // delete rewrites files, it never mutates the pinned inputs)
           val matched = read(filter = Some(cond), version = Some(pinned.toString))
-          val updated = assignments.foldLeft(matched) { case (df, (k, v)) =>
-            k.split('.') match {
-              case Array(top) => df.withColumn(top, v)
+          // SQL UPDATE semantics: every RHS sees the PRE-update row.
+          // Stage all RHS values as temp columns first, then apply —
+          // a sequential withColumn would let later assignments read
+          // earlier ones' results (SET a = b, b = a would not swap).
+          val tmp = ordered.zipWithIndex.map {
+            case ((k, v), i) => (k, v, s"__graft_set_$i")
+          }
+          val staged = tmp.foldLeft(matched) {
+            case (df, (_, v, t)) => df.withColumn(t, v)
+          }
+          val applied = tmp.foldLeft(staged) {
+            case (df, (k, _, t)) => assignPath(k) match {
+              case Seq(top) => df.withColumn(top, col(t))
               case parts => df.withColumn(parts.head,
-                col(parts.head).withField(parts.tail.mkString("."), v))
+                col(s"`${parts.head}`").withField(parts.tail.mkString("."), col(t)))
             }
           }
+          val updated = applied.drop(tmp.map(_._3): _*)
           val addPatch = RecordIO.writeWithRecords(spark, storage, toPhysicalDf(updated))
           Patch.merge(Seq(delPatch, addPatch))
       }

@@ -268,9 +268,17 @@ final class Storage(val location: String, val conf: Configuration) {
       // bytes into the new field
       val taken = meta.droppedColumns.contains(field.name) ||
         schema.fieldNames.contains(field.name)
-      val physName = if (taken) s"${field.name}_f$start" else field.name
-      require(!schema.fieldNames.contains(physName),
-        s"$physName collides with an existing physical column")
+      // the generated name must dodge live physical AND logical names
+      // and every ever-dropped name — a user column literally named
+      // "x_f7" that was dropped earlier would otherwise resurrect its
+      // bytes into the re-added field
+      val physName =
+        if (!taken) field.name
+        else Iterator.from(0)
+          .map(i => s"${field.name}_f$start" + (if (i == 0) "" else s"_$i"))
+          .find(c => !schema.fieldNames.contains(c) &&
+            !logicalSchema.fieldNames.contains(c) &&
+            !meta.droppedColumns.contains(c)).get
       val assigned = FieldIds.assign(StructType(Seq(field.copy(name = physName))), start)
       persist(meta.copy(schemaJson = StructType(schema.fields ++ assigned.fields).json,
         renames = if (taken) meta.renames + (physName -> field.name) else meta.renames,
@@ -311,10 +319,16 @@ final class Storage(val location: String, val conf: Configuration) {
             // member's physical name → generated physical name
             val taken = meta.droppedColumns.contains(droppedKey) ||
               st.fieldNames.contains(field.name)
-            val physLeaf = if (taken) s"${field.name}_f$start" else field.name
-            require(!st.fieldNames.contains(physLeaf),
-              s"$physLeaf collides with an existing physical member of " +
-                physWalked.mkString("."))
+            // dodge live physical and logical member names and every
+            // ever-dropped dotted key under this struct (same
+            // resurrection guard as the top-level re-add path)
+            val physLeaf =
+              if (!taken) field.name
+              else Iterator.from(0)
+                .map(i => s"${field.name}_f$start" + (if (i == 0) "" else s"_$i"))
+                .find(c => !st.fieldNames.contains(c) &&
+                  !logicalHere.contains(c) &&
+                  !meta.droppedColumns.contains((physWalked :+ c).mkString("."))).get
             val assigned = FieldIds.assign(
               StructType(Seq(field.copy(name = physLeaf))), start).fields.head
             (StructType(st.fields :+ assigned),

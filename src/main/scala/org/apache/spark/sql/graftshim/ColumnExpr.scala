@@ -12,6 +12,17 @@ object ColumnExpr {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   def column(e: Expression): Column = ExpressionUtils.column(e)
 
+  /** Flatten a RESOLVED attribute / GetStructField chain to its dotted
+    * path ("meta.price"). Shared by manifest pruning and the SQL
+    * row-level rule so member-access flattening has one definition. */
+  def dottedPath(e: Expression): Option[String] = e match {
+    case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+      Some(a.name)
+    case g: org.apache.spark.sql.catalyst.expressions.GetStructField =>
+      dottedPath(g.child).map(p => s"$p.${g.childSchema(g.ordinal).name}")
+    case _ => None
+  }
+
   /** Rewrite UNRESOLVED attribute/extract-value chains through a PATH
     * map — the logical→physical translation for renamed columns and
     * struct members (column-mapping name mode). Conditions built with

@@ -50,12 +50,7 @@ case class GraftRowLevelSqlRule(session: SparkSession) extends Rule[LogicalPlan]
           // assignment keys are attributes or struct-member accesses
           // (SET meta.b = …) — flatten the latter to the dotted logical
           // path the API's update() takes
-          def keyPath(e: Expression): Option[String] = e match {
-            case ar: AttributeReference => Some(ar.name)
-            case g: org.apache.spark.sql.catalyst.expressions.GetStructField =>
-              keyPath(g.child).map(p => s"$p.${g.childSchema(g.ordinal).name}")
-            case _ => None
-          }
+          def keyPath(e: Expression): Option[String] = ColumnExpr.dottedPath(e)
           val assigns = assignments.flatMap { a =>
             val name = keyPath(a.key).getOrElse(
               fail(s"unsupported UPDATE assignment target: ${a.key}"))
@@ -66,8 +61,21 @@ case class GraftRowLevelSqlRule(session: SparkSession) extends Rule[LogicalPlan]
             if (keyPath(a.value).contains(name)) None
             else Some(name -> a.value)
           }
+          // every SET was an identity no-op (e.g. SET x = x): still valid
+          // SQL — rewrite the matched rows unchanged (one snapshot,
+          // DELETE+ADD change encoding, like any other UPDATE) via an
+          // identity assignment on a non-key column
+          val effective =
+            if (assigns.nonEmpty) assigns.map { case (n, v) => n -> asColumn(v) }
+            else {
+              val pks = t.dataset.primaryKeys.toSet
+              val nonPk = t.dataset.schema.fieldNames.find(!pks.contains(_))
+                .getOrElse(fail("UPDATE with no effective assignment on an " +
+                  "all-primary-key table"))
+              Seq(nonPk -> ColumnExpr.column(UnresolvedAttribute.quoted(nonPk)))
+            }
           GraftUpdateCommand(new GraftUpdateSpec(t.dataset,
-            condition.map(asColumn), assigns.map { case (n, v) => n -> asColumn(v) }))
+            condition.map(asColumn), effective))
         case None => u
       }
 

@@ -283,6 +283,50 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("UPDATE evaluates every assignment against the pre-update row") {
+    root
+    spark.sql("CREATE TABLE graft_test.swp (id BIGINT, a DOUBLE, b DOUBLE, " +
+      "meta STRUCT<x: DOUBLE, y: DOUBLE>) TBLPROPERTIES ('primary_keys'='id')")
+    spark.sql("INSERT INTO graft_test.swp VALUES " +
+      "(1, 1.0, 2.0, named_struct('x', 10.0, 'y', 20.0))")
+    // SQL UPDATE semantics: SET a = b, b = a SWAPS (all RHS see the
+    // original row, not earlier assignments' results)
+    spark.sql("UPDATE graft_test.swp SET a = b, b = a")
+    val r1 = spark.sql("SELECT a, b FROM graft_test.swp").collect()(0)
+    assert((r1.getDouble(0), r1.getDouble(1)) == (2.0, 1.0))
+    // struct members swap the same way
+    spark.sql("UPDATE graft_test.swp SET meta.x = meta.y, meta.y = meta.x")
+    val r2 = spark.sql("SELECT meta.x, meta.y FROM graft_test.swp").collect()(0)
+    assert((r2.getDouble(0), r2.getDouble(1)) == (20.0, 10.0))
+    // API spelling swaps too (and swaps back)
+    val ds = SpaceDataset.load(spark, s"$root/swp")
+    ds.update(lit(true), Map("a" -> col("b"), "b" -> col("a")))
+    val r3 = spark.sql("SELECT a, b FROM graft_test.swp").collect()(0)
+    assert((r3.getDouble(0), r3.getDouble(1)) == (1.0, 2.0))
+    // assigning a column AND one of its members is ambiguous: refused
+    intercept[IllegalArgumentException] {
+      ds.update(lit(true), Map("meta" -> col("meta"), "meta.x" -> lit(0.0)))
+    }
+  }
+
+  test("identity-only UPDATE is a valid row rewrite, not an error") {
+    root
+    spark.sql("CREATE TABLE graft_test.noop (id BIGINT, v STRING, " +
+      "meta STRUCT<x: DOUBLE>) TBLPROPERTIES ('primary_keys'='id')")
+    spark.sql("INSERT INTO graft_test.noop VALUES (1, 'a', named_struct('x', 1.0)), " +
+      "(2, 'b', named_struct('x', 2.0))")
+    val before = SpaceDataset.load(spark, s"$root/noop").storage.metadata.currentSnapshotId
+    // every assignment is an identity no-op after alignment — still a
+    // legal UPDATE: matched rows rewrite unchanged in one snapshot
+    spark.sql("UPDATE graft_test.noop SET v = v")
+    spark.sql("UPDATE graft_test.noop SET meta.x = meta.x WHERE id = 1")
+    assert(spark.sql("SELECT id, v, meta.x FROM graft_test.noop ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    val after = SpaceDataset.load(spark, s"$root/noop").storage.metadata.currentSnapshotId
+    assert(after == before + 2, "each identity UPDATE commits one rewrite snapshot")
+  }
+
   test("MERGE INTO through SQL: delete, update-star, insert-star in one snapshot") {
     root
     spark.sql("CREATE TABLE graft_test.mt (id BIGINT, price DOUBLE, st STRING) " +

@@ -184,6 +184,34 @@ class EvolutionSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { ds.dropColumn("id") } // PK
   }
 
+  test("generated physical name dodges a dropped user column of that literal name") {
+    val loc = Files.createTempDirectory("graft_dodge_").toString + "/tbl"
+    val ds = SpaceDataset.create(spark, loc, kvSchema, Seq("id"))
+    ds.append(kv(1L -> "a"))
+    // a user column whose literal name matches the physical name the
+    // engine would generate when "v" is later re-added: decoy consumes
+    // the next field id d, so the re-add's start id is d+1
+    val decoy = "v_f" + (math.max(ds.storage.metadata.maxFieldId,
+      graft.format.FieldIds.maxAssignedId(ds.storage.schema)) + 2)
+    ds.addColumn(decoy, StringType)
+    import spark.implicits._
+    ds.append(Seq(("2", 2L, "b")).toDF(decoy, "id", "v").select("id", "v", decoy))
+    ds.dropColumn(decoy)
+    ds.dropColumn("v")
+
+    // re-add "v": its generated physical name must NOT collide with the
+    // dropped decoy, or the decoy's bytes would resurrect into "v"
+    ds.addColumn("v", StringType)
+    assert(ds.schema.fieldNames.toSeq == Seq("id", "v"))
+    val got = ds.readAll().collect()
+      .map(r => (r.getLong(r.fieldIndex("id")), Option(r.get(r.fieldIndex("v"))))).toSet
+    assert(got == Set((1L, None), (2L, None)),
+      "dropped bytes resurrected into the re-added column")
+    // and the physical schema holds no duplicate names
+    val phys = ds.storage.schema.fieldNames.toSeq
+    assert(phys.distinct == phys)
+  }
+
   test("nested RENAME is metadata-only: reads, appends, DML and SQL speak the new name") {
     val orders = Tables.read(spark, sfDir, "orders").limit(200)
     val nested = orders.select(col("o_orderkey"),
