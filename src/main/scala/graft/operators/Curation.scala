@@ -19,6 +19,8 @@ import graft.functions.{TextFunctions => TF}
   *  - weighted source mixing (domain up/down-sampling)
   *  - concat-and-chunk sequence packing (context-window layout)
   *  - PII scrubbing (regex redaction with counts)
+  *  - exact duplicate-segment removal (Lee et al. 2021 / CCNet style)
+  *  - temperature-based language rebalancing
   *
   * Everything is a pure Column pipeline (codegen'd, no UDF) except where
   * a groupBy is the semantics. Every query has a DuckDB oracle: the
@@ -52,6 +54,10 @@ object Curation {
   private val MixDefaultRate = 125L
   // decorrelate the mixing decision from the split decision
   private val MixSalt = 1000003L
+  // decorrelate the language-rebalance decision from both of the above
+  private val BalanceSalt = 2000003L
+  // duplicate-segment removal window (words per segment)
+  private val SegWords = 4
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // test-set decontamination: flag training docs sharing any 3-token
@@ -130,6 +136,35 @@ object Curation {
         .select(col("doc_id"), col("source"),
           TF.approxBpeTokenCount(col("text")).cast("long").as("n_tok")))),
 
+    // exact duplicate-segment removal (the segment/paragraph-level exact
+    // dedup of Lee et al. 2021 / CCNet, adapted to fixed word windows —
+    // the corpus has no newlines, so "paragraph" = 4-word segment): a
+    // segment occurring in >1 place survives only at its first occurrence
+    // (min (doc_id, seg_idx)); every doc reports its segment counts and
+    // the cleaned text. See [[segmentDedup]] for the scale shape.
+    "d_segment_dedup" -> ((s, d) => segmentDedup(docs(s, d), SegWords)),
+
+    // temperature-based language rebalancing (the multilingual mixing
+    // trick: keep-rate_l = (min_count / count_l)^(1/T), T=2): per-lang
+    // doc counts (a tiny agg) turn into deterministic hash keep-rates,
+    // so the rarest language keeps 100% and dominant ones downsample
+    // toward balance. No RNG, no shuffle on the corpus side: the corpus
+    // sees one broadcast join + a filter projection.
+    "d_lang_balance" -> ((s, d) => {
+      val counts = docs(s, d).groupBy(col("lang"))
+        .agg(count(lit(1)).as("__cnt"))
+      // global min over the per-lang frame (a handful of rows): an
+      // unpartitioned window is fine — the frame is |languages|, not rows
+      val rates = counts
+        .withColumn("__mn", min(col("__cnt")).over(Window.partitionBy()))
+        .withColumn("keep_permille",
+          floor(sqrt(col("__mn").cast("double") / col("__cnt")) * 1000).cast("long"))
+        .select(col("lang"), col("keep_permille"))
+      docs(s, d).join(broadcast(rates), Seq("lang"))
+        .filter(mixBucket(col("doc_id") + BalanceSalt, 1000) < col("keep_permille"))
+        .select(col("doc_id"), col("lang"), col("keep_permille"))
+    }),
+
     // PII scrub: regex redaction of emails/phones with per-doc counts.
     // The corpus plants synthetic PII on doc_id % 10 == 0 (the testdata
     // text has none) so the scrubber provably fires. Pure projection —
@@ -151,6 +186,43 @@ object Curation {
   // shared by Spark + DuckDB sides (Java regex and RE2 agree on these)
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** Exact duplicate-segment removal. Docs split into non-overlapping
+    * `w`-word segments; a segment string occurring more than once across
+    * the corpus is kept ONLY at its canonical first occurrence — the
+    * minimum `(doc_id, seg_idx)` — and removed everywhere else. Output
+    * per doc: segment count, kept count, and the cleaned text
+    * (surviving segments re-joined in order).
+    *
+    * Scale shape: explode → one groupBy on the segment key (map-side
+    * combined: dup groups collapse early) → shuffle join back → one
+    * groupBy(doc) rebuild. No window over an unbounded corpus-sized
+    * partition, no driver materialization. The group key here is the
+    * segment STRING so the DuckDB oracle can replay it verbatim; a
+    * production run groups on `xxhash64(seg)` (8-byte shuffle keys,
+    * identical plan shape, collisions ~1e-12 at corpus scale). */
+  private[graft] def segmentDedup(df: DataFrame, w: Int): DataFrame = {
+    val segsArr = TF.bound(TF.tokens(col("text"))) { ts =>
+      when(size(ts) === 0, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), ceil(size(ts).cast("double") / w).cast("int") - 1),
+          i => concat_ws(" ", slice(ts, i * w + 1, lit(w)))))
+    }
+    val segs = df.select(col("doc_id"), posexplode(segsArr).as(Seq("seg_idx", "seg")))
+    val canon = segs.groupBy(col("seg")).agg(
+      count(lit(1)).as("__c"),
+      min(struct(col("doc_id"), col("seg_idx"))).as("__first"))
+    val marked = segs.join(canon, Seq("seg"))
+      .withColumn("__keep", col("__c") === 1 ||
+        struct(col("doc_id"), col("seg_idx")) === col("__first"))
+    marked.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_segs"),
+      sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(when(col("__keep"),
+          struct(col("seg_idx"), col("seg"))))),
+        x => x.getField("seg"))).as("cleaned"))
+  }
 
   /** Sequence packing as a TWO-LEVEL prefix sum. The naive plan —
     * `sum(n_tok) over (partition by source order by doc_id)` — serializes
@@ -265,6 +337,33 @@ object Curation {
          |       ELSE floor((tok_start + n_tok - 1) / 2048.0) END AS BIGINT)
          |    AS end_chunk
          |FROM w""".stripMargin,
+    "d_segment_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, ${Pipeline.tokensSql} AS ts FROM documents),
+         |e AS (SELECT doc_id, ts,
+         |  CAST(unnest(range(0, CAST(ceil(len(ts) / $SegWords.0) AS INT))) AS INT)
+         |    AS seg_idx FROM toks),
+         |segs AS (SELECT doc_id, seg_idx,
+         |  array_to_string(list_slice(ts, seg_idx * $SegWords + 1,
+         |    seg_idx * $SegWords + $SegWords), ' ') AS seg FROM e),
+         |w AS (SELECT doc_id, seg_idx, seg,
+         |  count(*) OVER (PARTITION BY seg) AS c,
+         |  row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+         |  FROM segs)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_segs,
+         |  CAST(sum(CASE WHEN c = 1 OR rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  coalesce(string_agg(CASE WHEN c = 1 OR rn = 1 THEN seg END,
+         |    ' ' ORDER BY seg_idx), '') AS cleaned
+         |FROM w GROUP BY doc_id""".stripMargin,
+    "d_lang_balance" ->
+      s"""WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+         |r AS (SELECT lang, CAST(floor(sqrt(
+         |    (SELECT CAST(min(cnt) AS DOUBLE) FROM c) / cnt) * 1000) AS BIGINT)
+         |  AS keep_permille FROM c)
+         |SELECT d.doc_id, d.lang, r.keep_permille
+         |FROM documents d JOIN r USING (lang)
+         |WHERE ${mixBucketSql(s"doc_id + $BalanceSalt", 1000)} < r.keep_permille""".stripMargin,
     "d_pii_scrub" ->
       s"""WITH c AS (
          |  SELECT doc_id,

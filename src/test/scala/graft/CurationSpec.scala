@@ -140,4 +140,63 @@ class CurationSpec extends AnyFunSuite {
       assert(one.count() == Tables.read(spark, sfDir, "documents").count())
     } finally { rep.unpersist(); () }
   }
+
+  test("segment dedup keeps first occurrences only and rebuilds docs in order") {
+    import spark.implicits._
+    // doc 1 and doc 2 share a 4-word segment; doc 3 repeats its own
+    // segment twice; doc 4 is all-unique
+    val df = Seq(
+      (1L, "a b c d e f g h"),             // segs: "a b c d", "e f g h"
+      (2L, "a b c d x y z w"),             // "a b c d" duplicates doc 1's
+      (3L, "p q r s p q r s"),             // self-duplicate
+      (4L, "unique words only here")
+    ).toDF("doc_id", "text")
+    val out = Curation.segmentDedup(df, 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 2L, "a b c d e f g h")))     // canonical keeps all
+    assert(out(2L) == ((2L, 1L, "x y z w")))             // dup segment removed
+    assert(out(3L) == ((2L, 1L, "p q r s")))             // first of the pair kept
+    assert(out(4L) == ((1L, 1L, "unique words only here")))
+
+    // corpus run: totals consistent, cleaned never longer than input
+    val corpus = run("d_segment_dedup").cache()
+    try {
+      assert(corpus.count() ==
+        Tables.read(spark, sfDir, "documents").count())
+      assert(corpus.filter(col("n_kept") > col("n_segs")).count() == 0)
+      assert(corpus.filter(col("n_kept") < col("n_segs")).count() > 0,
+        "duplicate segments must actually fire on the corpus")
+      // idempotence of the keep rule: re-running on cleaned text can only
+      // remove cross-doc dups that re-form, never resurrect removed text
+      val again = run("d_segment_dedup")
+      assert(corpus.exceptAll(again).isEmpty)
+    } finally { corpus.unpersist(); () }
+  }
+
+  test("language rebalance keeps all of the rarest language and downsamples the rest") {
+    val docs = Tables.read(spark, sfDir, "documents")
+    val kept = run("d_lang_balance").cache()
+    try {
+      val counts = docs.groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val rarest = counts.minBy(_._2)._1
+      // rate for the rarest lang is exactly 1000 → everything survives
+      assert(kept.filter(col("lang") === rarest).count() == counts(rarest))
+      // dominant language is strictly downsampled
+      val dominant = counts.maxBy(_._2)._1
+      val domKept = kept.filter(col("lang") === dominant).count()
+      assert(domKept < counts(dominant), s"$dominant kept $domKept")
+      // keep-rates follow (min/cnt)^(1/2) within sampling noise: the
+      // kept fraction tracks keep_permille/1000 per language
+      val rates = kept.select("lang", "keep_permille").distinct().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      rates.foreach { case (l, pm) =>
+        val frac = kept.filter(col("lang") === l).count().toDouble / counts(l)
+        assert(math.abs(frac - pm / 1000.0) < 0.25, s"$l frac $frac vs $pm‰")
+      }
+      // deterministic
+      val again = run("d_lang_balance")
+      assert(kept.exceptAll(again).isEmpty && again.exceptAll(kept).isEmpty)
+    } finally { kept.unpersist(); () }
+  }
 }
