@@ -24,6 +24,9 @@ import graft.core.SpaceDataset
   * CALL cat.system.expire_snapshots(table => 't', older_than_ms => 0, keep_last => 1)
   * CALL cat.system.gc(table => 't', min_age_ms => 0)
   * CALL cat.system.rollback(table => 't', version => 'v1')
+  * CALL cat.system.create_tag(table => 't', name => 'v1')
+  * CALL cat.system.create_branch(table => 't', name => 'dev', version => '3')
+  * CALL cat.system.drop_ref(table => 't', name => 'dev')
   * }}}
   *
   * Each procedure returns a small summary relation (a [[LocalScan]] —
@@ -165,6 +168,63 @@ object GraftProcedures {
           val commits = mv.refresh()
           Seq(InternalRow(commits,
             mv.refreshedTo.map(Long.box).getOrElse(null)))
+        }
+      },
+
+      new Proc("create_tag",
+        "Tag a snapshot (default: current head) for SQL time travel via VERSION AS OF",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build(),
+          ProcedureParameter.in("version", StringType)
+            .defaultValue("NULL")
+            .comment("snapshot id, tag, or branch; default current head").build()),
+        StructType(Seq(StructField("snapshot_id", LongType, nullable = false)))) {
+        override def run(input: InternalRow): Seq[InternalRow] = {
+          val d = ds(input)
+          val name = input.getUTF8String(1).toString
+          val version =
+            if (input.isNullAt(2)) None else Some(input.getUTF8String(2).toString)
+          d.addTag(name, version)
+          Seq(InternalRow(d.storage.versionToSnapshotId(name)))
+        }
+      },
+
+      new Proc("create_branch",
+        "Create a branch (default: at current head); commits to it move only that head",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build(),
+          ProcedureParameter.in("version", StringType)
+            .defaultValue("NULL")
+            .comment("snapshot id, tag, or branch; default current head").build()),
+        StructType(Seq(StructField("snapshot_id", LongType, nullable = false)))) {
+        override def run(input: InternalRow): Seq[InternalRow] = {
+          val d = ds(input)
+          val name = input.getUTF8String(1).toString
+          val version =
+            if (input.isNullAt(2)) None else Some(input.getUTF8String(2).toString)
+          d.addBranch(name, version)
+          Seq(InternalRow(d.storage.branchHead(name)))
+        }
+      },
+
+      new Proc("drop_ref",
+        "Remove a tag or branch (the main branch and a dataset's current branch are protected)",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build()),
+        StructType(Seq(StructField("dropped", StringType, nullable = false)))) {
+        override def run(input: InternalRow): Seq[InternalRow] = {
+          val d = ds(input)
+          val name = input.getUTF8String(1).toString
+          // dispatch on the ref's actual type so the branch protections
+          // (main / current branch) apply
+          val ref = d.storage.metadata.refs.getOrElse(name,
+            throw new IllegalArgumentException(s"ref $name not found"))
+          if (ref.refType == graft.format.SnapshotRef.Tag) d.removeTag(name)
+          else d.removeBranch(name)
+          Seq(InternalRow(utf8(name)))
         }
       },
 

@@ -129,6 +129,48 @@ class ProcedureSpec extends AnyFunSuite {
     assert(desc.contains("expire_snapshots"))
   }
 
+  test("create_tag/create_branch/drop_ref manage refs from SQL; tags time-travel") {
+    root
+    spark.sql("CREATE TABLE graft_proc.refs (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('primary_keys'='id')")
+    import spark.implicits._
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+      .write.mode("append").insertInto("graft_proc.refs")
+    // tag the 2-row state, then append more
+    val tagged = spark.sql(
+      "CALL graft_proc.system.create_tag(table => 'refs', name => 'v2rows')")
+      .collect()(0).getLong(0)
+    assert(tagged > 0)
+    Seq((3L, 30L)).toDF("id", "v").write.mode("append").insertInto("graft_proc.refs")
+    assert(spark.sql("SELECT count(*) FROM graft_proc.refs").collect()(0).getLong(0) == 3)
+    // SQL time travel to the SQL-created tag
+    assert(spark.sql("SELECT count(*) FROM graft_proc.refs VERSION AS OF 'v2rows'")
+      .collect()(0).getLong(0) == 2)
+    // branch from the tag; head sits at the tagged snapshot
+    val bHead = spark.sql(
+      "CALL graft_proc.system.create_branch(table => 'refs', name => 'dev', " +
+        "version => 'v2rows')").collect()(0).getLong(0)
+    assert(bHead == tagged)
+    assert(spark.sql("SELECT count(*) FROM graft_proc.refs VERSION AS OF 'dev'")
+      .collect()(0).getLong(0) == 2)
+    // versions metadata table shows both refs
+    val refNames = spark.sql(
+      "SELECT explode(refs) AS r FROM graft_proc.refs.versions")
+      .collect().map(_.getString(0)).toSet
+    assert(refNames.exists(_.contains("v2rows")) && refNames.exists(_.contains("dev")),
+      s"got $refNames")
+    // drop both; protections still hold for main
+    spark.sql("CALL graft_proc.system.drop_ref(table => 'refs', name => 'dev')")
+    spark.sql("CALL graft_proc.system.drop_ref(table => 'refs', name => 'v2rows')")
+    val gone = intercept[Exception](spark.sql(
+      "SELECT count(*) FROM graft_proc.refs VERSION AS OF 'v2rows'").collect())
+    assert(gone.getMessage.contains("v2rows"))
+    val mainProtected = intercept[Exception](spark.sql(
+      "CALL graft_proc.system.drop_ref(table => 'refs', name => 'main')").collect())
+    assert(mainProtected.getMessage.toLowerCase.contains("main") ||
+      mainProtected.getMessage.contains("not found"))
+  }
+
   test("unknown procedure and bad table fail with clear errors") {
     root
     val e1 = intercept[Exception](spark.sql("CALL graft_proc.system.nope()").collect())
