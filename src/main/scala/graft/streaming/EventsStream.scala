@@ -272,7 +272,36 @@ object EventsStream {
     }
   }
 
+  /** CONTINUOUS materialized-view maintenance: the source table's CDC
+    * stream drives `MaterializedView.refreshStream`, so the MV follows
+    * source commits (append, CoW delete, late append) under streaming
+    * scheduling with restart-safe exactly-once (the MV's `refreshedTo`
+    * watermark makes replayed batches no-op). Same view + commit
+    * sequence as the batch `s_mv_refresh`, hence the same oracle — the
+    * streaming and batch refresh paths must land on the identical
+    * state. */
+  def mvStream(s: SparkSession, d: String): DataFrame = {
+    import graft.views._
+    val o = Tables.read(s, d, "orders")
+    val loc = java.nio.file.Files.createTempDirectory("graft_mvstream_").toString
+    val src = SpaceDataset.create(s, s"$loc/src", o.schema, Seq("o_orderkey"))
+    src.append(o.filter(col("o_orderkey") <= 1000L))                                 // snap 1
+    val v = View.ofDataset(src)
+      .filterExpr("o_totalprice > 100000")
+      .selectExprs("o_orderkey", "o_custkey", "o_totalprice * 2 AS fee")
+    val mv = v.materialize(s, s"$loc/mv", Seq("o_orderkey"))
+    val q = mv.refreshStream(s"$loc/ckpt")
+    try {
+      q.processAllAvailable() // catch up to snap 1
+      src.delete(col("o_orderkey") <= 200L)                                          // snap 2
+      src.append(o.filter(col("o_orderkey") > 1000L && col("o_orderkey") <= 1200L))  // snap 3
+      q.processAllAvailable()
+    } finally q.stop()
+    mv.dataset.readAll()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_mv_stream" -> ((s, d) => mvStream(s, d)),
     "e_stream_to_table" -> ((s, d) => streamToTable(s, d)),
     "e_stream_window" -> ((s, d) => windowedAgg(s, d)),
     "e_stream_dedup" -> ((s, d) => streamDedup(s, d)),
@@ -281,6 +310,13 @@ object EventsStream {
     "e_cdc_stream" -> ((s, d) => cdcStream(s, d)))
 
   val oracleSql: Map[String, String] = Map(
+    // identical to s_mv_refresh's oracle: streaming refresh must land on
+    // the same state as batch refresh over the same commit sequence
+    "e_mv_stream" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice * 2 AS fee
+        |FROM orders
+        |WHERE o_orderkey > 200 AND o_orderkey <= 1200
+        |  AND o_totalprice > 100000""".stripMargin,
     "e_stream_to_table" ->
       """SELECT event_id, event_type, round(value, 2) AS value
         |FROM events""".stripMargin,

@@ -71,6 +71,31 @@ final class MaterializedView(val spark: SparkSession, val dataset: SpaceDataset)
     commits
   }
 
+  /** CONTINUOUS MV maintenance through Structured Streaming: the
+    * source's CDC stream (`graft-cdc`, snapshot-id offsets) drives the
+    * refresh — each micro-batch triggers an incremental [[refresh]] to
+    * the source head, so the MV follows the source under any trigger
+    * (`ProcessingTime`, `AvailableNow`) with streaming's scheduling,
+    * checkpointing and restart story.
+    *
+    * The batch DataFrame is deliberately NOT consumed: change rows are
+    * applied by `refresh()` itself (one MV commit per source snapshot,
+    * the reference's contract), so the stream is pure trigger + offset
+    * bookkeeping and no change row flows twice. Exactly-once comes from
+    * the MV's own `refreshedTo` watermark, not the checkpoint: a
+    * replayed or overlapping batch finds the snapshots already applied
+    * and no-ops. */
+  def refreshStream(checkpointLocation: String): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("graft-cdc")
+      .option("location", plan.sourceLocation)
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        refresh(); ()
+      }
+      .start()
+
   /** Poll-and-refresh loop (the reference's incrementality is committed-
     * snapshot granularity, not event streams — SURVEY.md §2.5; this is
     * the long-running form of that contract). Stops after `maxPolls`

@@ -285,4 +285,44 @@ class CdcStreamSpec extends AnyFunSuite {
       Seq((1L, 1L)), Seq((2L, 3L)), Seq((3L, 5L))),
       s"main's feed must be exactly its own chain, got $batches")
   }
+
+  test("streaming MV refresh follows source commits and survives restart without re-applying") {
+    import graft.views._
+    val root = Files.createTempDirectory("graft_mvstream_spec_").toString
+    val src = SpaceDataset.create(spark, s"$root/src", kvSchema, Seq("id"))
+    src.append(kv(1L -> "a", 2L -> "b", 3L -> "c"))
+    val v = View.ofDataset(src).filterExpr("id != 2")
+      .selectExprs("id", "upper(v) AS v")
+    val mv = v.materialize(spark, s"$root/mv", Seq("id"))
+
+    val q1 = mv.refreshStream(s"$root/ckpt")
+    try {
+      q1.processAllAvailable()
+      src.append(kv(4L -> "d"))
+      src.delete(col("id") === 1L)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(mv.dataset.readAll().orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq == Seq(3L -> "C", 4L -> "D"))
+    val refreshedAfterFirst = mv.refreshedTo
+    val mvSnapshotsAfterFirst = mv.dataset.storage.versions.length
+
+    // restart from the same checkpoint with NO new source commits:
+    // replayed/empty batches must not create new MV commits
+    val q2 = mv.refreshStream(s"$root/ckpt")
+    try q2.processAllAvailable() finally q2.stop()
+    assert(mv.refreshedTo == refreshedAfterFirst)
+    assert(mv.dataset.storage.versions.length == mvSnapshotsAfterFirst,
+      "a restarted stream with no new source commits must not commit to the MV")
+
+    // new commit after restart is picked up
+    val q3 = mv.refreshStream(s"$root/ckpt")
+    try {
+      src.append(kv(5L -> "e"))
+      q3.processAllAvailable()
+    } finally q3.stop()
+    assert(mv.dataset.readAll().orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq ==
+      Seq(3L -> "C", 4L -> "D", 5L -> "E"))
+  }
 }
