@@ -34,18 +34,40 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     try SparkEntry.queries("d_dedup_minhash")(spark, sfDir).count() catch { case _: Throwable => }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // A failed query must NOT record a bogus fast time (round 4: seven
+    // broken queries benched as ~0s and nobody noticed) — it goes in an
+    // "errors" map instead and is excluded from per-query timings/total.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      try {
+        fn(spark, sfDir).count()
+        Some(name -> (System.nanoTime() - t0) / 1e9)
+      } catch {
         case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          errors(name) =
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
+          System.err.println(s"[bench] $name FAILED — ${errors(name)}")
+          None
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // 1-minute load average BEFORE this JVM's own work is long gone, but
+    // load at end-of-run still flags a contaminated box (r03+r04 both
+    // shipped driver bench artifacts skewed by concurrent machine load).
+    val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""errors":$errs,"load_avg_1m":$load,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

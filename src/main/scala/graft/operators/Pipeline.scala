@@ -60,7 +60,8 @@ object Pipeline {
     }),
 
     // SimHash near-dup pairs (Hamming ≤ 3 over 64-bit sketches);
-    // sketch values are engine-specific → rows-only check
+    // sketch values are engine-specific → golden-table oracle
+    // (GoldenOracles.simhashSql)
     "d_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(dedupCorpus(s, d), "text", "doc_id", maxHamming = 3)),
 
@@ -140,7 +141,8 @@ object Pipeline {
       t(s, d, "documents").select(
         col("doc_id"), col("lang"), LangId.langId(col("text")).as("lang_pred"))),
 
-    // rolling-hash document fingerprint (engine-specific → rows-only)
+    // rolling-hash document fingerprint (engine-specific values →
+    // golden-table oracle joined back to documents)
     "d_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(
         col("doc_id"), TF.fingerprint(col("text")).as("fp"))),
@@ -175,6 +177,8 @@ object Pipeline {
     graft.functions.LangId.Profiles(lang).map(t => s"'$t'").mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    "d_dedup_simhash" -> GoldenOracles.simhashSql,
+    "d_fingerprint" -> GoldenOracles.fingerprintSql,
     "d_lang_id" -> {
       // mirror LangId.langId exactly: tokens of lower(text); per-language
       // hit ratio; fold-argmax over sorted languages (strict >, earliest

@@ -132,13 +132,13 @@ object Relational {
 
     // Tumbling 5-minute window over the events table (batch shape of the
     // streaming agg; the streaming variant lives in graft.streaming).
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
-    // long (nanos) via the legacy conf; integer `div` avoids double
-    // rounding at 1e18 magnitudes. Window start = epoch seconds.
+    // Event time goes through EventTime.epochSeconds, which dispatches
+    // on the dtype the parquet reader actually produced (timestamp[us]
+    // vs legacy long-nanos). Window start = epoch seconds.
     "q11_events_window" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      t(s, d, "events")
-        .withColumn("w_start", expr("ts div 1000000000 div 300 * 300"))
+      val ev = t(s, d, "events")
+      ev.withColumn("__es", graft.functions.EventTime.epochSeconds(ev.schema, "ts"))
+        .withColumn("w_start", expr("__es div 300 * 300"))
         .groupBy(col("w_start"), col("event_type"))
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
     }),
@@ -152,11 +152,11 @@ object Relational {
         .select(col("user_id"), col("event_id"), col("ts"))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts").as("pts"), col("value"))
-      AsofJoin.asofJoinFlat(clicks, purchases, Seq("user_id"), "ts", "pts",
+      val joined = AsofJoin.asofJoinFlat(clicks, purchases, Seq("user_id"), "ts", "pts",
           fields = Seq("value"))
-        .select(col("event_id"), col("user_id"),
-          expr("ts div 1000000000").as("click_s"),
-          expr("asof_time div 1000000000").as("purchase_s"),
+      joined.select(col("event_id"), col("user_id"),
+          graft.functions.EventTime.epochSeconds(joined.schema, "ts").as("click_s"),
+          graft.functions.EventTime.epochSeconds(joined.schema, "asof_time").as("purchase_s"),
           round(col("asof_value"), 2).as("purchase_value"))
     }),
 
@@ -190,9 +190,9 @@ object Relational {
     // shuffle on user + the window merge; oracle replicates the gap
     // semantics with the lag/cumsum trick.
     "q24_session_window" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      t(s, d, "events")
-        .withColumn("event_time", expr("timestamp_seconds(ts div 1000000000)"))
+      val ev = t(s, d, "events")
+      ev.withColumn("event_time",
+          timestamp_seconds(graft.functions.EventTime.epochSeconds(ev.schema, "ts")))
         .groupBy(session_window(col("event_time"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
         .select(col("user_id"),

@@ -63,7 +63,6 @@ object Scalars {
 
     // JSON extraction from the events props column
     "q17_json_funcs" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       t(s, d, "events").select(
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))

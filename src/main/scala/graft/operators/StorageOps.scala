@@ -560,7 +560,8 @@ object StorageOps {
           "text_len", "decode(head, 'UTF-8') AS head_text")
     }),
 
-    // snapshot × refs introspection (rows-only check: engine-specific)
+    // snapshot × refs introspection (timestamps projected out so the
+    // deterministic lineage can be oracle-checked against a golden)
     "s_versions" -> ((s, d) => {
       val o = t(s, d, "orders").limit(100)
       val ds = SpaceDataset.create(s, fresh("ver"), o.schema, Seq("o_orderkey"))
@@ -572,6 +573,15 @@ object StorageOps {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // deterministic lineage golden: create=snap 0, append=1 (tagged v1),
+    // append=2; timestamps are projected out of the query for exactly
+    // this reason (VERDICT r4 item 5)
+    "s_versions" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)),
+        |  (CAST(1 AS BIGINT), CAST(0 AS BIGINT), 'v1'),
+        |  (CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(NULL AS VARCHAR))
+        |) AS t(snapshot_id, parent_snapshot_id, ref)""".stripMargin,
     "s_append_read" -> "SELECT * FROM lineitem",
     "s_filter_prune" -> "SELECT * FROM orders WHERE o_orderkey < 1000",
     "s_project" -> "SELECT o_orderkey, o_totalprice FROM orders",

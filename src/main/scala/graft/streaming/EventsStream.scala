@@ -17,9 +17,9 @@ import graft.core.SpaceDataset
   */
 object EventsStream {
 
-  /** events.ts is TIMESTAMP(NANOS) parquet → read as long nanos. */
+  /** Schema of events.parquet as the reader types it (timestamp[us] or
+    * legacy long-nanos — graft.functions.EventTime dispatches on it). */
   private def eventsRaw(s: SparkSession, d: String): (StructType, String) = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$d/events.parquet"
     (s.read.parquet(path).schema, path)
   }
@@ -56,7 +56,8 @@ object EventsStream {
     // events file out of the scale-factor dir via pathGlobFilter
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("event_time", timestamp_seconds(expr("ts div 1000000000")))
+      .withColumn("event_time",
+        timestamp_seconds(graft.functions.EventTime.epochSeconds(schema, "ts")))
       .withWatermark("event_time", "1 hour")
       .groupBy(window(col("event_time"), s"$windowSec seconds"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
@@ -87,9 +88,10 @@ object EventsStream {
     * is what `flatMapGroupsWithState` runs in streaming. */
   def sessionize(s: SparkSession, d: String, gapSec: Long = 1800): DataFrame = {
     import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val sorted = Tables.read(s, d, "events")
-      .select(col("user_id"), expr("ts div 1000000000").as("t"))
+    val ev = Tables.read(s, d, "events")
+    val sorted = ev
+      .select(col("user_id"),
+        graft.functions.EventTime.epochSeconds(ev.schema, "ts").as("t"))
       .repartition(col("user_id"))
       .sortWithinPartitions(col("user_id"), col("t"))
       .as[(Long, Long)]
@@ -180,7 +182,8 @@ object EventsStream {
     s.conf.set("spark.sql.shuffle.partitions", "4")
     val q = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("event_time", timestamp_seconds(expr("ts div 1000000000")))
+      .withColumn("event_time",
+        timestamp_seconds(graft.functions.EventTime.epochSeconds(schema, "ts")))
       // deliver every event twice (at-least-once replay shape)
       .withColumn("__copy", explode(array(lit(1), lit(2))))
       .withWatermark("event_time", "1 hour")
@@ -225,7 +228,8 @@ object EventsStream {
       .option("pathGlobFilter", "events.parquet").parquet(d)
       .filter(col("event_type") === tpe)
       .select(col("event_id").as(s"${alias}_id"), col("user_id").as(s"${alias}_user"),
-        timestamp_seconds(expr("ts div 1000000000")).as(s"${alias}_time"),
+        timestamp_seconds(graft.functions.EventTime.epochSeconds(schema, "ts"))
+          .as(s"${alias}_time"),
         col("value").as(s"${alias}_value"))
       .withWatermark(s"${alias}_time", "1 hour")
 

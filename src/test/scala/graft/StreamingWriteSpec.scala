@@ -23,7 +23,6 @@ class StreamingWriteSpec extends AnyFunSuite {
 
   test("writeStream.toTable appends per epoch, exactly-once across restart") {
     root
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.sql("CREATE TABLE graft_sw.ev (event_id BIGINT, event_type STRING, " +
       "value DOUBLE) TBLPROPERTIES ('primary_keys'='event_id')")
 
@@ -72,7 +71,6 @@ class StreamingWriteSpec extends AnyFunSuite {
 
   test("a wide epoch (many task outputs) commits through the distributed harvest") {
     root
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.sql("CREATE TABLE graft_sw.wide (event_id BIGINT, value DOUBLE) " +
       "TBLPROPERTIES ('primary_keys'='event_id')")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
