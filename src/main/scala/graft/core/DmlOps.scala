@@ -57,15 +57,24 @@ object DmlOps {
   }
 
   /** Stats-driven pre-filter for key lookups: `pk BETWEEN min AND max` of
-    * the incoming keys (the useful half of the reference's range
-    * partitioning, ray/ops/join.py:148-176) lets manifest pruning skip
-    * files entirely outside the key range. */
-  private def keyRangePredicate(spark: SparkSession, keys: DataFrame, storage: Storage): Option[Column] = {
-    val pk = storage.primaryKeys.head
-    if (!ManifestIO.statsEligible(storage.schema(pk).dataType)) return None
-    val row = keys.agg(min(col(pk)).as("lo"), max(col(pk)).as("hi")).collect()(0)
-    if (row.isNullAt(0)) None
-    else Some(col(pk) >= lit(row.get(0)) && col(pk) <= lit(row.get(1)))
+    * the incoming keys, per PK column, ANDed (the useful half of the
+    * reference's range partitioning, ray/ops/join.py:148-176) — lets
+    * manifest pruning skip files entirely outside the key box. With a
+    * composite PK each column contributes its own range, so an upsert
+    * keyed on (l_orderkey, l_linenumber) still prunes on BOTH; one tiny
+    * agg job computes every min/max at once. */
+  private[graft] def keyRangePredicate(spark: SparkSession, keys: DataFrame, storage: Storage): Option[Column] = {
+    val pks = storage.primaryKeys
+      .filter(pk => ManifestIO.statsEligible(storage.schema(pk).dataType))
+    if (pks.isEmpty) return None
+    val aggs = pks.flatMap(pk =>
+      Seq(min(col(pk)).as(s"__lo_$pk"), max(col(pk)).as(s"__hi_$pk")))
+    val row = keys.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val preds = pks.zipWithIndex.flatMap { case (pk, i) =>
+      if (row.isNullAt(2 * i)) None
+      else Some(col(pk) >= lit(row.get(2 * i)) && col(pk) <= lit(row.get(2 * i + 1)))
+    }
+    preds.reduceOption(_ && _)
   }
 
   /** Canonical identity of a data file for executor↔driver matching:
@@ -422,7 +431,16 @@ object DmlOps {
   * one small bitmap per file, not its row ids. */
 private[graft] class RowBitmapAgg extends Aggregator[Long, RoaringBitmap, Array[Byte]] {
   override def zero: RoaringBitmap = new RoaringBitmap()
-  override def reduce(b: RoaringBitmap, row: Long): RoaringBitmap = { b.add(row.toInt); b }
+  override def reduce(b: RoaringBitmap, row: Long): RoaringBitmap = {
+    // row positions are per-FILE indexes; the writer caps files far below
+    // 2^31 rows, but a future big-file config must fail loudly here — a
+    // silent toInt wrap would corrupt the delete bitmap (drop/hit the
+    // wrong rows) with no error anywhere downstream.
+    require(row >= 0 && row <= Int.MaxValue,
+      s"row position $row exceeds the 2^31-1 per-file bitmap range; " +
+        "split the file (writer batch-size options) before row-level ops")
+    b.add(row.toInt); b
+  }
   override def merge(a: RoaringBitmap, b: RoaringBitmap): RoaringBitmap = { a.or(b); a }
   override def finish(b: RoaringBitmap): Array[Byte] = DmlOps.bitmapBytes(b)
   override def bufferEncoder: Encoder[RoaringBitmap] = Encoders.javaSerialization[RoaringBitmap]

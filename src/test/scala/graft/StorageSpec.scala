@@ -177,6 +177,47 @@ class StorageSpec extends AnyFunSuite {
     assert(ds.storage.metadata.currentSnapshotId == before) // no commit
   }
 
+  test("composite-PK key-range pruning uses every PK column, not just the head") {
+    val loc = freshLoc()
+    // the synthetic lineitem is NOT unique on (l_orderkey, l_linenumber);
+    // dedup to a valid composite-PK corpus first
+    val li = lineitem.dropDuplicates("l_orderkey", "l_linenumber")
+    val ds = SpaceDataset.create(spark, loc, li.schema,
+      primaryKeys = Seq("l_orderkey", "l_linenumber"))
+    // layout disjoint in the SECOND key: a head-only (l_orderkey) range
+    // covers every file, so any pruning observed must come from the
+    // l_linenumber range (VERDICT r4 item 6)
+    ds.append(li.repartitionByRange(8, col("l_linenumber")))
+    val keys = li.filter(col("l_linenumber") === 1)
+      .select(col("l_orderkey"), col("l_linenumber"))
+    val pred = DmlOps.keyRangePredicate(spark, keys, ds.storage)
+    assert(pred.nonEmpty)
+    val p = ds.plan(pred)
+    assert(p.totalFiles >= 4)
+    assert(p.prunedFiles > 0,
+      s"composite key range kept all ${p.totalFiles} files — second-key pruning lost")
+    // end-to-end: the upsert that rides this pruning still replaces
+    // exactly the keyed rows
+    val modified = li.filter(col("l_linenumber") === 1)
+      .withColumn("l_quantity", col("l_quantity") + 1000.0)
+    ds.upsert(modified)
+    val back = ds.readAll()
+    assert(back.count() == li.count())
+    assert(back.filter(col("l_linenumber") === 1 && col("l_quantity") <= 1000.0).isEmpty)
+    assert(back.filter(col("l_linenumber") =!= 1 && col("l_quantity") > 1000.0).isEmpty)
+  }
+
+  test("RowBitmapAgg refuses row positions beyond 2^31-1 loudly") {
+    // a silent toInt wrap would corrupt delete bitmaps (VERDICT r4 item 7)
+    val agg = new RowBitmapAgg
+    val b = agg.zero
+    agg.reduce(b, 5L)
+    assert(b.contains(5))
+    val e = intercept[IllegalArgumentException](
+      agg.reduce(b, Int.MaxValue.toLong + 1))
+    assert(e.getMessage.contains("row position"))
+  }
+
   test("insert rejects duplicate PKs, upsert replaces them") {
     val loc = freshLoc()
     val ds = SpaceDataset.create(spark, loc, orders.schema, Seq("o_orderkey"))
