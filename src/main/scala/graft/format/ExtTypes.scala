@@ -62,9 +62,13 @@ object ExtTypes {
   * CODEC — `serialize` maps the logical payload to its on-disk form on
   * append, `deserialize` inverts it on stitch and random access. The
   * reference's TFDS FeaturesDict codec (tf_features.py:29-64) is exactly
-  * such a codec (structured example ↔ serialized proto bytes); the TF
-  * stack is not available in this environment, so `tf_features` resolves
-  * to pass-through unless a real codec is registered under that name. */
+  * such a codec (structured example ↔ serialized proto bytes);
+  * [[TfExampleSerializer]] provides it concretely — JSON feature docs ↔
+  * genuine `tf.train.Example` wire bytes, no TensorFlow needed. The
+  * `tf_features` name still resolves to pass-through by default (bytes
+  * ingested from a real TFDS dataset are ALREADY serialized Examples and
+  * must not be re-encoded); register [[TfExampleSerializer]] under that
+  * name when the logical payloads are JSON feature docs instead. */
 trait FieldSerializer extends Serializable {
   def serialize(value: Array[Byte]): Array[Byte]
   def deserialize(bytes: Array[Byte]): Array[Byte]

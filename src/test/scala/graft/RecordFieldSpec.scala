@@ -112,6 +112,52 @@ class RecordFieldSpec extends AnyFunSuite {
     assert(one.contains("\u0001"))
   }
 
+  test("migrates a pre-addressed payload layout (ArrayRecord export shape)") {
+    // Synthetic stand-in for an existing Space dataset (README
+    // "Migrating an existing Space dataset"): payloads live in external
+    // per-file stores where a record's identity is (file, row-position)
+    // — exactly the ArrayRecord address model — and the index rows carry
+    // the address struct, as a reference_read export would.
+    val docs = Tables.read(spark, sfDir, "documents").limit(200)
+    val store = Files.createTempDirectory("graft_ar_store_").toString
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("value"))
+      .repartition(4).write.mode("overwrite").parquet(store)
+
+    // the "exported" index: (doc_id, addr{_FILE,_ROW_ID}) derived from
+    // the store's physical layout — no payload bytes in it
+    val addressed = spark.read.parquet(store)
+      .select(col("doc_id"),
+        struct(col("_metadata.file_path").as("_FILE"),
+          col("_metadata.row_index").as("_ROW_ID")).as("addr"))
+
+    // migration step 2: one distributed join of addresses to payload
+    // bytes on (_FILE, _ROW_ID) — the bulk copy, O(payload bytes), no
+    // driver materialization
+    val bytesByPos = spark.read.parquet(store)
+      .select(col("_metadata.file_path").as("_FILE"),
+        col("_metadata.row_index").as("_ROW_ID"), col("value"))
+    val fetched = addressed
+      .join(bytesByPos, col("addr._FILE") === col("_FILE") &&
+        col("addr._ROW_ID") === col("_ROW_ID"))
+      .select(col("doc_id"), col("value").as("body"))
+
+    // migration step 3: append into a record-field table — the engine
+    // writes record-Parquet and fresh addresses itself
+    val loc = freshLoc()
+    val ds = SpaceDataset.create(spark, loc, fetched.schema, Seq("doc_id"),
+      recordFields = Seq("body"))
+    ds.append(fetched)
+
+    val back = ds.readAll().select(col("doc_id"),
+      decode(col("body"), "UTF-8").as("text"))
+    val exp = docs.select(col("doc_id"), col("text"))
+    assert(back.count() == exp.count())
+    assert(back.exceptAll(exp).isEmpty && exp.exceptAll(back).isEmpty)
+    // and the migrated table serves random access like any native one
+    val ra = new RandomAccessReader(ds, "body")
+    assert(ra.length == docs.count())
+  }
+
   test("field serializer: payloads encoded on write, decoded on read and random access") {
     graft.format.SerializerRegistry.register("xor-test", new XorSerializer)
     val docs = docsBinary.filter(col("doc_id") < 100L)

@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+import graft.format.{ExtTypes, SerializerRegistry, TfExampleSerializer}
+
+/** TFDS interop codec: JSON feature docs ↔ tf.train.Example proto bytes
+  * (reference serializers/tf_features.py:29-64, here as a direct wire-
+  * format codec — no TensorFlow). */
+class TfExampleSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def json(s: String): Array[Byte] = s.getBytes(StandardCharsets.UTF_8)
+
+  test("serializes to the exact tf.train.Example wire bytes") {
+    // {"a":[1]} — hand-assembled proto:
+    // Example{features=1: Features{feature=1: entry{key="a", value=
+    //   Feature{int64_list=3: Int64List{value=1 packed}}}}}
+    val expected = Array(
+      0x0A, 0x0C,             // Example.features, 12 bytes
+      0x0A, 0x0A,             // Features.feature map entry, 10 bytes
+      0x0A, 0x01, 0x61,       // key "a"
+      0x12, 0x05,             // value: Feature, 5 bytes
+      0x1A, 0x03,             // Feature.int64_list, 3 bytes
+      0x0A, 0x01, 0x01        // Int64List.value packed [1]
+    ).map(_.toByte)
+    assert(TfExampleSerializer.serialize(json("""{"a":[1]}""")).toSeq == expected.toSeq)
+  }
+
+  test("round-trips all three feature kinds through proto bytes") {
+    val doc = """{"label":[3,7],"score":[0.5],"text":["hi","there"]}"""
+    val bytes = TfExampleSerializer.serialize(json(doc))
+    val back = new String(TfExampleSerializer.deserialize(bytes), StandardCharsets.UTF_8)
+    assert(back == doc)
+    // proto-bytes fixpoint: deserialize∘serialize∘deserialize is stable
+    assert(TfExampleSerializer.serialize(TfExampleSerializer.deserialize(bytes)).toSeq
+      == bytes.toSeq)
+  }
+
+  test("canonicalizes scalars, key order and escapes") {
+    val messy = """{"z": 1, "a": "x\ny", "m": [2.5, 1]}"""
+    val canon = new String(
+      TfExampleSerializer.deserialize(TfExampleSerializer.serialize(json(messy))),
+      StandardCharsets.UTF_8)
+    // sorted keys, array-wrapped scalars, mixed int/float list → floats
+    assert(canon == """{"a":["x\ny"],"m":[2.5,1.0],"z":[1]}""")
+  }
+
+  test("tf_example-serialized record field round-trips through a table") {
+    SerializerRegistry.register(TfExampleSerializer.Name, TfExampleSerializer)
+    val docs = Tables.read(spark, sfDir, "documents").filter(col("doc_id") < 50L)
+      .select(col("doc_id"),
+        encode(to_json(struct(array(col("doc_id")).as("id"),
+          array(col("text")).as("text"))), "UTF-8").as("features"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      ExtTypes.serializedField("features", TfExampleSerializer.Name)))
+    val loc = java.nio.file.Files.createTempDirectory("graft_tfex_").toString + "/tbl"
+    val ds = SpaceDataset.create(spark, loc, schema, Seq("doc_id"), Seq("features"))
+    ds.append(docs)
+
+    // on-disk record payloads are genuine proto bytes (start with the
+    // Example.features LEN tag), not JSON
+    val recDir = new java.io.File(s"$loc/data/records")
+    val onDisk = spark.read.parquet(recDir.listFiles().map(_.getAbsolutePath).toIndexedSeq: _*)
+      .select("value").limit(1).collect()(0).getAs[Array[Byte]](0)
+    assert(onDisk(0) == 0x0A.toByte, "record file does not hold Example proto bytes")
+
+    // logical read returns the canonical JSON with both features intact
+    val back = ds.readAll()
+      .select(col("doc_id"), decode(col("features"), "UTF-8").as("f"))
+      .withColumn("id_back", expr("CAST(get_json_object(f, '$.id[0]') AS BIGINT)"))
+    assert(back.count() == 50)
+    assert(back.filter(col("id_back") =!= col("doc_id")).isEmpty)
+  }
+}
