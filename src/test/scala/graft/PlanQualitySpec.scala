@@ -58,4 +58,27 @@ class PlanQualitySpec extends AnyFunSuite {
     // payload side broadcasts (small record files), index side streams
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
+
+  test("event-time window agg is map-side partial with a single shuffle") {
+    val df = operators.Relational.queries("q11_events_window")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // partial aggregation before the exchange: the shuffle carries one
+    // row per (window, type) per partition, not per event — the property
+    // that keeps this op viable at 100 TB
+    assert(plan.contains("partial_count"), plan.take(3000))
+    val nShuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nShuffles == 1, s"expected exactly 1 shuffle:\n${plan.take(3000)}")
+  }
+
+  test("as-of join is one shuffle + one sort, never a range explosion") {
+    val df = operators.Relational.queries("q21_asof_join")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the union-window formulation: both sides shuffle ONCE on the key;
+    // a naive range join would show BroadcastNestedLoopJoin / Cartesian
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoop"), plan.take(3000))
+    assert(plan.contains("Window"), plan.take(3000))
+    val nShuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nShuffles == 1, s"expected exactly 1 shuffle:\n${plan.take(3000)}")
+  }
 }
