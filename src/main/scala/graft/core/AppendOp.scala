@@ -67,7 +67,26 @@ object AppendOp {
     val idSchema = ReadOp.physicalSchemaWithIds(storage.schema, storage.recordFields)
     val aligned = toWrite.select(idSchema.fields.map(f =>
       org.apache.spark.sql.functions.col(f.name).as(f.name, f.metadata)).toIndexedSeq: _*)
-    aligned.write.mode("overwrite").parquet(tmpAbs)
+    // Parquet BLOOM FILTERS on the primary-key columns: min/max stats
+    // prune files only when the layout correlates with the key; a bloom
+    // skips row groups on PK point lookups regardless of layout — the
+    // unbucketed-table complement to hash buckets at 100 TB. ADAPTIVE
+    // sizing (parquet 1.15+): the filter is right-sized to the row
+    // group's ACTUAL distinct count under a hard byte cap — a fixed
+    // expected-NDV would be oversized for this harness's small files
+    // and badly undersized (useless FPP) for 128 MB row groups holding
+    // ~1M distinct keys at production scale. Write tax measured ≤ noise
+    // (~0.1s on the 600k-row append); the reader consults the filters
+    // automatically for pushed equality predicates.
+    val bloomCols = storage.primaryKeys.filter(c =>
+      idSchema.fields.exists(f => f.name == c && ManifestIO.statsEligible(f.dataType)))
+    val writer = bloomCols.foldLeft(
+      aligned.write.mode("overwrite")
+        .option("parquet.bloom.filter.adaptive.enabled", "true")
+        .option("parquet.bloom.filter.max.bytes", (128 * 1024).toString)) {
+      (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }
+    writer.parquet(tmpAbs)
 
     val fs = new Path(tmpAbs).getFileSystem(conf)
     val parts = fs.listStatus(new Path(tmpAbs)).map(_.getPath)

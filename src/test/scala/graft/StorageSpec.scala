@@ -207,6 +207,33 @@ class StorageSpec extends AnyFunSuite {
     assert(back.filter(col("l_linenumber") =!= 1 && col("l_quantity") > 1000.0).isEmpty)
   }
 
+  test("written data files carry bloom filters on the primary key") {
+    import scala.jdk.CollectionConverters._
+    val loc = freshLoc()
+    val ds = SpaceDataset.create(spark, loc, orders.schema, Seq("o_orderkey"))
+    ds.append(orders.repartitionByRange(4, col("o_orderkey")))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val file = ds.indexFiles().head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(ds.storage.absolute(file)), conf))
+    try {
+      val rg = reader.getFooter.getBlocks.get(0)
+      val chunk = rg.getColumns.asScala
+        .find(_.getPath.toDotString == "o_orderkey").get
+      assert(chunk.getBloomFilterOffset > 0, "no bloom filter on the PK chunk")
+      assert(reader.getBloomFilterDataReader(rg).readBloomFilter(chunk) != null)
+      // non-PK columns don't pay for one
+      val other = rg.getColumns.asScala
+        .find(_.getPath.toDotString == "o_orderstatus").get
+      assert(other.getBloomFilterOffset <= 0)
+    } finally reader.close()
+    // point lookup through the bloom-equipped scan stays correct
+    val k = orders.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+    assert(ds.read(filter = Some(col("o_orderkey") === k)).count() ==
+      orders.filter(col("o_orderkey") === k).count())
+  }
+
   test("RowBitmapAgg refuses row positions beyond 2^31-1 loudly") {
     // a silent toInt wrap would corrupt delete bitmaps (VERDICT r4 item 7)
     val agg = new RowBitmapAgg
