@@ -15,6 +15,11 @@ import graft.core.SpaceDataset
   * aggregation, and sorted-run sessionization for custom state logic
   * (the batch shape of `flatMapGroupsWithState`).
   */
+/** Open-session accumulator for [[EventsStream.streamSessions]]'s
+  * `flatMapGroupsWithState` state store: one per ACTIVE (user, session),
+  * expired by event-time timeout. */
+final case class SessionAcc(start: Long, last: Long, n: Long, sum: Double)
+
 object EventsStream {
 
   /** Schema of events.parquet as the reader types it (timestamp[us] or
@@ -255,6 +260,112 @@ object EventsStream {
     sink.readAll()
   }
 
+  /** TRUE custom-state streaming sessionization:
+    * `flatMapGroupsWithState` with EVENT-TIME TIMEOUT — the operator
+    * [[sessionize]] is the batch shape of. Per-user open-session state
+    * (start, last, count, sum) lives in the state store and carries
+    * across micro-batches; every state change emits a session SNAPSHOT
+    * in update mode, upserted into a graft table keyed
+    * (user_id, s_start) — so the last snapshot per session wins and the
+    * final table equals the batch sessionization. A session idle past
+    * the gap is expired by the watermark timeout (state removed;
+    * its final snapshot is already in the sink), so state is bounded by
+    * ACTIVE sessions, not stream history — the property that keeps this
+    * operator viable on an unbounded stream.
+    *
+    * The single events file is pre-split into four time-ordered chunks
+    * delivered one per trigger (maxFilesPerTrigger=1): with one file the
+    * whole dataset would be a single batch and the state store would
+    * never carry anything across triggers. */
+  def streamSessions(s: SparkSession, d: String, gapSec: Long = 1800): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val loc = java.nio.file.Files.createTempDirectory("graft_ssess_").toString
+
+    val ev = Tables.read(s, d, "events")
+    val base = ev.select(col("user_id"),
+      graft.functions.EventTime.epochSeconds(ev.schema, "ts").as("t"),
+      col("value"))
+    val (lo, hi) = {
+      val r = base.agg(min(col("t")).as("lo"), max(col("t")).as("hi")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val cuts = Seq(Long.MinValue) ++ (1 to 3).map(i => lo + (hi - lo) * i / 4) :+ Long.MaxValue
+    val inDir = new java.io.File(loc, "in"); inDir.mkdirs()
+    cuts.sliding(2).zipWithIndex.foreach { case (Seq(a, b), i) =>
+      val tmp = s"$loc/tmp$i"
+      base.filter(col("t") >= a && col("t") < b).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(inDir, f"chunk-$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      // file-source delivery order follows (mtime, path): pin both
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+
+    val outSchema = StructType(Seq(
+      StructField("user_id", LongType, nullable = false),
+      StructField("s_start", LongType, nullable = false),
+      StructField("n_events", LongType),
+      StructField("sum_value", DoubleType)))
+    val sink = SpaceDataset.create(s, s"$loc/tbl", outSchema, Seq("user_id", "s_start"))
+
+    def fn(uid: Long, rows: Iterator[(Long, Long, Double, java.sql.Timestamp)],
+        state: GroupState[SessionAcc]): Iterator[(Long, Long, Long, Double)] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Double)]
+      var st = state.getOption
+      // sort the batch's slice of this user — O(events-per-user-per-batch),
+      // the same bound the state itself has
+      rows.toArray.sortBy(_._2).foreach { case (_, t, v, _) =>
+        st match {
+          case Some(a) if t - a.last <= gapSec =>
+            st = Some(SessionAcc(a.start, t, a.n + 1, a.sum + v))
+          case Some(a) => // gap exceeded: close, emit final, open new
+            out += ((uid, a.start, a.n, a.sum))
+            st = Some(SessionAcc(t, t, 1L, v))
+          case None => st = Some(SessionAcc(t, t, 1L, v))
+        }
+      }
+      st.foreach { a =>
+        out += ((uid, a.start, a.n, a.sum)) // snapshot of the open session
+        state.update(a)
+        state.setTimeoutTimestamp(
+          math.max(a.last * 1000L + gapSec * 1000L, state.getCurrentWatermarkMs + 1000L))
+      }
+      out.iterator
+    }
+
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val inSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("t", LongType),
+      StructField("value", DoubleType)))
+    val q = s.readStream.schema(inSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$loc/in")
+      .withColumn("event_time", timestamp_seconds(col("t")))
+      .withWatermark("event_time", "10 seconds")
+      // the watermarked column must flow INTO the stateful operator for
+      // event-time timeouts to resolve — carry it in the tuple
+      .select(col("user_id"), col("t"), col("value"), col("event_time"))
+      .as[(Long, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(fn)
+      .select(col("_1").as("user_id"), col("_2").as("s_start"),
+        col("_3").as("n_events"), col("_4").as("sum_value"))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", s"$loc/ckpt")
+      .foreachBatch(GraftSink.upsert(sink))
+      .start()
+    try q.processAllAvailable() finally {
+      q.stop()
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+    sink.readAll().select(col("user_id"), col("s_start"), col("n_events"),
+      round(col("sum_value"), 2).as("sum_value"))
+  }
+
   /** Native streaming SINK: events stream into a graft catalog table
     * through `writeStream.toTable` (DSv2 STREAMING_WRITE, one snapshot
     * per epoch, exactly-once TxnTag watermarks — no foreachBatch); the
@@ -305,6 +416,7 @@ object EventsStream {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_stream_sessions" -> ((s, d) => streamSessions(s, d)),
     "e_mv_stream" -> ((s, d) => mvStream(s, d)),
     "e_stream_to_table" -> ((s, d) => streamToTable(s, d)),
     "e_stream_window" -> ((s, d) => windowedAgg(s, d)),
@@ -314,6 +426,26 @@ object EventsStream {
     "e_cdc_stream" -> ((s, d) => cdcStream(s, d)))
 
   val oracleSql: Map[String, String] = Map(
+    // per-session rollup with the same gap semantics as e_sessionize
+    // (> gap starts a new session); the custom-state streaming operator
+    // must land on exactly the batch sessionization
+    "e_stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+        |  FROM events),
+        |flags AS (
+        |  SELECT user_id, t, value,
+        |    CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |g AS (
+        |  SELECT user_id, t, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flags)
+        |SELECT user_id, CAST(min(t) AS BIGINT) AS s_start,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM g GROUP BY user_id, sid""".stripMargin,
     // identical to s_mv_refresh's oracle: streaming refresh must land on
     // the same state as batch refresh over the same commit sequence
     "e_mv_stream" ->

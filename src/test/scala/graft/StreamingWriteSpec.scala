@@ -117,4 +117,26 @@ class StreamingWriteSpec extends AnyFunSuite {
     assert(streamInto("graft_sw.rf", src.select($"id", $"v".cast("binary").as("v")))
       .contains("record fields"))
   }
+
+  test("custom-state streaming sessionization equals batch sessionization") {
+    import org.apache.spark.sql.expressions.Window
+    val out = graft.streaming.EventsStream.streamSessions(spark, sfDir)
+    // independent batch formulation of the same gap semantics
+    val ev = Tables.read(spark, sfDir, "events")
+    val e = ev.select(col("user_id"),
+      graft.functions.EventTime.epochSeconds(ev.schema, "ts").as("t"), col("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"))
+    val exp = e
+      .withColumn("new_s",
+        when(lag(col("t"), 1).over(w).isNull ||
+          col("t") - lag(col("t"), 1).over(w) > 1800, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_s"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("t")).as("s_start"), count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .drop("sid")
+    assert(out.count() == exp.count())
+    assert(out.exceptAll(exp).isEmpty && exp.exceptAll(out).isEmpty)
+  }
 }
