@@ -264,14 +264,13 @@ object EventsStream {
     * `flatMapGroupsWithState` with EVENT-TIME TIMEOUT — the operator
     * [[sessionize]] is the batch shape of. Per-user open-session state
     * (start, last, count, sum) lives in the state store and carries
-    * across micro-batches; every state change emits a session SNAPSHOT
-    * in update mode, upserted into a graft table keyed
-    * (user_id, s_start) — so the last snapshot per session wins and the
-    * final table equals the batch sessionization. A session idle past
-    * the gap is expired by the watermark timeout (state removed;
-    * its final snapshot is already in the sink), so state is bounded by
-    * ACTIVE sessions, not stream history — the property that keeps this
-    * operator viable on an unbounded stream.
+    * across micro-batches. A session is emitted EXACTLY ONCE — when a
+    * later event exceeds the gap (close) or when the watermark passes
+    * last+gap (event-time timeout) — into the exactly-once APPEND sink;
+    * a watermark-advancing sentinel row after the real chunks flushes
+    * every still-open session through the same timeout path. State is
+    * bounded by ACTIVE sessions, not stream history, and every session
+    * row is written once — the shape that holds on an unbounded stream.
     *
     * The single events file is pre-split into four time-ordered chunks
     * delivered one per trigger (maxFilesPerTrigger=1): with one file the
@@ -281,27 +280,36 @@ object EventsStream {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val loc = java.nio.file.Files.createTempDirectory("graft_ssess_").toString
+    val SentinelUser = -1L
 
     val ev = Tables.read(s, d, "events")
     val base = ev.select(col("user_id"),
       graft.functions.EventTime.epochSeconds(ev.schema, "ts").as("t"),
       col("value"))
-    val (lo, hi) = {
-      val r = base.agg(min(col("t")).as("lo"), max(col("t")).as("hi")).collect()(0)
-      (r.getLong(0), r.getLong(1))
-    }
-    val cuts = Seq(Long.MinValue) ++ (1 to 3).map(i => lo + (hi - lo) * i / 4) :+ Long.MaxValue
+    // ONE range-shuffle pass: partition i holds the i-th time quartile,
+    // and part-file numbering follows partition order, so renaming in
+    // file order yields time-ordered chunks
     val inDir = new java.io.File(loc, "in"); inDir.mkdirs()
-    cuts.sliding(2).zipWithIndex.foreach { case (Seq(a, b), i) =>
-      val tmp = s"$loc/tmp$i"
-      base.filter(col("t") >= a && col("t") < b).coalesce(1).write.parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(inDir, f"chunk-$i%02d.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      // file-source delivery order follows (mtime, path): pin both
-      dst.setLastModified(1700000000000L + i * 60000L)
-    }
+    base.repartitionByRange(4, col("t")).write.parquet(s"$loc/tmpchunks")
+    new java.io.File(s"$loc/tmpchunks").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName).zipWithIndex.foreach { case (part, i) =>
+        val dst = new java.io.File(inDir, f"chunk-$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        // file-source delivery order follows (mtime, path): pin both
+        dst.setLastModified(1700000000000L + i * 60000L)
+      }
+    // end-of-stream flush: one sentinel event far enough past the last
+    // real timestamp that the final watermark clears every open
+    // session's last+gap timeout
+    val hi = base.agg(max(col("t"))).collect()(0).getLong(0)
+    Seq((SentinelUser, hi + gapSec + 60L, 0.0)).toDF("user_id", "t", "value")
+      .coalesce(1).write.parquet(s"$loc/sentinel")
+    val sentinelPart = new java.io.File(s"$loc/sentinel").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val sentinelDst = new java.io.File(inDir, "chunk-99.parquet")
+    java.nio.file.Files.move(sentinelPart.toPath, sentinelDst.toPath)
+    sentinelDst.setLastModified(1700000000000L + 99 * 60000L)
 
     val outSchema = StructType(Seq(
       StructField("user_id", LongType, nullable = false),
@@ -312,7 +320,12 @@ object EventsStream {
 
     def fn(uid: Long, rows: Iterator[(Long, Long, Double, java.sql.Timestamp)],
         state: GroupState[SessionAcc]): Iterator[(Long, Long, Long, Double)] = {
-      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      if (state.hasTimedOut) { // idle past the gap: emit final, clear
+        val a = state.get
+        state.remove()
+        return Iterator.single((uid, a.start, a.n, a.sum))
+      }
+      if (uid == SentinelUser) return Iterator.empty // advances the watermark only
       val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Double)]
       var st = state.getOption
       // sort the batch's slice of this user — O(events-per-user-per-batch),
@@ -321,14 +334,13 @@ object EventsStream {
         st match {
           case Some(a) if t - a.last <= gapSec =>
             st = Some(SessionAcc(a.start, t, a.n + 1, a.sum + v))
-          case Some(a) => // gap exceeded: close, emit final, open new
+          case Some(a) => // gap exceeded: close + emit, open new
             out += ((uid, a.start, a.n, a.sum))
             st = Some(SessionAcc(t, t, 1L, v))
           case None => st = Some(SessionAcc(t, t, 1L, v))
         }
       }
-      st.foreach { a =>
-        out += ((uid, a.start, a.n, a.sum)) // snapshot of the open session
+      st.foreach { a => // open session stays in state until close/timeout
         state.update(a)
         state.setTimeoutTimestamp(
           math.max(a.last * 1000L + gapSec * 1000L, state.getCurrentWatermarkMs + 1000L))
@@ -350,13 +362,13 @@ object EventsStream {
       .select(col("user_id"), col("t"), col("value"), col("event_time"))
       .as[(Long, Long, Double, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(fn)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
       .select(col("_1").as("user_id"), col("_2").as("s_start"),
         col("_3").as("n_events"), col("_4").as("sum_value"))
       .writeStream
-      .outputMode("update")
+      .outputMode("append")
       .option("checkpointLocation", s"$loc/ckpt")
-      .foreachBatch(GraftSink.upsert(sink))
+      .foreachBatch(GraftSink.append(sink, appId = "e_stream_sessions"))
       .start()
     try q.processAllAvailable() finally {
       q.stop()
