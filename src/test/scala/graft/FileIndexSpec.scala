@@ -73,13 +73,15 @@ class FileIndexSpec extends AnyFunSuite {
     val idx = new GraftFileIndex(spark, ds.storage, ds.storage.metadata.currentSnapshotId)
     // sizeInBytes now comes from snapshot statistics (compressed
     // column-chunk bytes) so relation construction stays metadata-only;
-    // it slightly undershoots raw file lengths (headers/footers) but
-    // must stay the same order — it only feeds planner estimates
+    // it undershoots raw file lengths (headers/footers, and the PK bloom
+    // filter — a fixed few KiB per file that dwarfs the DATA of these
+    // KiB-sized test files but is <0.1% of a production 128 MB file) —
+    // it must stay the same order; it only feeds planner estimates
     val fromFs = idx.inputFiles.map(p =>
       new java.io.File(new java.net.URI(
         if (p.startsWith("file:")) p else "file://" + p).getPath).length).sum
     assert(idx.sizeInBytes > 0 && idx.sizeInBytes <= fromFs)
-    assert(idx.sizeInBytes > fromFs / 2, s"estimate ${idx.sizeInBytes} vs fs $fromFs")
+    assert(idx.sizeInBytes > fromFs / 4, s"estimate ${idx.sizeInBytes} vs fs $fromFs")
     assert(idx.inputFiles.length == 8)
   }
 }
