@@ -78,8 +78,14 @@ object AppendOp {
     // ~1M distinct keys at production scale. Write tax measured ≤ noise
     // (~0.1s on the 600k-row append); the reader consults the filters
     // automatically for pushed equality predicates.
-    val bloomCols = storage.primaryKeys.filter(c =>
-      idSchema.fields.exists(f => f.name == c && ManifestIO.statsEligible(f.dataType)))
+    // `spark.graft.pkBloomFilters=false` opts a write-heavy pipeline out
+    // (e.g. bulk ingest that will be compacted/clustered anyway)
+    val bloomEnabled = spark.conf
+      .getOption("spark.graft.pkBloomFilters").forall(_.toBoolean)
+    val bloomCols =
+      if (!bloomEnabled) Nil
+      else storage.primaryKeys.filter(c =>
+        idSchema.fields.exists(f => f.name == c && ManifestIO.statsEligible(f.dataType)))
     val writer = bloomCols.foldLeft(
       aligned.write.mode("overwrite")
         .option("parquet.bloom.filter.adaptive.enabled", "true")
