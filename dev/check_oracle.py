@@ -3,7 +3,7 @@
 run Verify's parquet dumps against the DuckDB oracle SQL on the same
 scale-factor directory, compare row sets with columns sorted by name
 and doubles rounded. Usage: check_oracle.py <sfDir> <verifyOutDir>"""
-import json, sys, math
+import json, sys, math, os
 import duckdb
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -30,6 +30,11 @@ def norm(rows, cols):
 
 fails = 0
 for name, sql in sorted(oracles.items()):
+    # a restricted Verify run (trailing query names) dumps a subset;
+    # only grade what was dumped
+    if not os.path.isdir(f"{out_dir}/{name}"):
+        print(f"SKIP {name} (not dumped)")
+        continue
     try:
         got_rel = con.execute(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
         got_cols = [d[0] for d in got_rel.description]

@@ -400,7 +400,14 @@ object DmlOps {
 
   def serializeBitmap(rows: Seq[Long]): String = {
     val bm = new RoaringBitmap()
-    rows.foreach(r => bm.add(r.toInt))
+    rows.foreach { r =>
+      // same wrap hazard as RowBitmapAgg.reduce: a silent toInt past 2^31
+      // would mark the wrong rows deleted with no downstream error
+      require(r >= 0 && r <= Int.MaxValue,
+        s"row position $r exceeds the 2^31-1 per-file bitmap range; " +
+          "split the file (writer batch-size options) before row-level ops")
+      bm.add(r.toInt)
+    }
     bitmapToB64(bm)
   }
 

@@ -181,7 +181,21 @@ object Curation {
           regexp_replace(
             regexp_replace(col("t"), EmailRe, "<EMAIL>"),
             PhoneRe, "<PHONE>").as("scrubbed"))
-    }))
+    }),
+
+    // one-pass column profile of the corpus table (nulls / distincts /
+    // bounds / value widths) — the "know your data" step before any
+    // curation decision. Exact distincts here so DuckDB can replay the
+    // numbers; see [[profile]] for the approx scale path.
+    "d_profile" -> ((s, d) => profile(docs(s, d))),
+
+    // deterministic per-stratum sample: exactly min(k, |stratum|) docs
+    // per source, the ones with the smallest salted mix-hash — a stable
+    // "eyeball 20 docs per domain" sample that never changes between
+    // runs. See [[stratifiedSample]] for the skew-proof two-level top-k.
+    "d_stratified_sample" -> ((s, d) =>
+      stratifiedSample(docs(s, d).select(col("doc_id"), col("source")),
+        "source", "doc_id", SampleK)))
 
   // shared by Spark + DuckDB sides (Java regex and RE2 agree on these)
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -283,6 +297,75 @@ object Curation {
       .drop("__min", "__max")
   }
 
+  // stratified-sample knobs: docs per stratum, decorrelating salt, and
+  // the salt-cell fanout that bounds the first-level sort (see below)
+  private val SampleK = 20
+  private val SampleSalt = 3000017L
+  private val SampleCells = 64L
+
+  /** One-pass column profile: per column — row count, non-null count,
+    * distinct count, min/max (as strings, so one schema fits every
+    * column type), and mean rendered width. One aggregate job over the
+    * table, then a driver-free explode into per-column rows.
+    *
+    * Scale: `approx = false` uses exact `count(DISTINCT)` — Spark plans
+    * k distinct aggregates as an Expand (k× the input rows into the
+    * partial aggregate), which is fine for the oracle-checked sf but is
+    * the wrong trade at 100 TB. `approx = true` switches to
+    * `approx_count_distinct` (HyperLogLog++): single pass, no Expand,
+    * map-side partials only — the production profile of a petabyte
+    * table costs one scan. */
+  private[graft] def profile(df: DataFrame, approx: Boolean = false): DataFrame = {
+    val cols = df.columns.toSeq
+    def nd(c: String): Column =
+      if (approx) approx_count_distinct(col(c)) else countDistinct(col(c))
+    val aggs: Seq[Column] = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        nd(c).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"),
+        round(avg(length(col(c).cast("string"))), 4).as(s"__len_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val perCol = cols.map { c =>
+      struct(
+        lit(c).as("col_name"), col("__n").as("n_rows"),
+        col(s"__nn_$c").as("n_nonnull"), col(s"__nd_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_val"), col(s"__max_$c").as("max_val"),
+        col(s"__len_$c").as("avg_len"))
+    }
+    one.select(explode(array(perCol: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** Deterministic stratified sample: the min(k, |stratum|) rows of each
+    * stratum with the smallest `(saltedHash, id)` — reproducible across
+    * runs and engines, no RNG state, and membership never churns when
+    * other rows are added or removed (a doc's rank only moves if docs
+    * hashing below it appear in ITS stratum).
+    *
+    * Scale shape — two-level top-k instead of one stratum-wide window: a
+    * single `row_number() OVER (PARTITION BY stratum)` makes the biggest
+    * stratum ONE task (the classic 100 TB faceplant when one domain is
+    * half the corpus). Level 1 partitions by (stratum, id mod cells) —
+    * `cells` way parallelism per stratum — and keeps k per cell; level 2
+    * ranks the ≤ k·cells survivors per stratum. Any global top-k row is
+    * top-k within its cell, so the result is exactly the one-window
+    * answer. */
+  private[graft] def stratifiedSample(
+      df: DataFrame, stratum: String, id: String, k: Int): DataFrame = {
+    val withH = df
+      .withColumn("__h", mixBucket(col(id) + lit(SampleSalt), 1000000))
+      .withColumn("__cell", pmod(col(id), lit(SampleCells)))
+    val w1 = Window.partitionBy(col(stratum), col("__cell"))
+      .orderBy(col("__h"), col(id))
+    val w2 = Window.partitionBy(col(stratum)).orderBy(col("__h"), col(id))
+    withH
+      .withColumn("__r1", row_number().over(w1)).filter(col("__r1") <= k)
+      .withColumn("rn", row_number().over(w2)).filter(col("rn") <= k)
+      .select(col(id), col(stratum), col("rn"))
+  }
+
   val oracleSql: Map[String, String] = Map(
     "d_decontaminate" ->
       s"""WITH toks AS (SELECT doc_id, ${Pipeline.tokensSql} AS ts FROM documents),
@@ -377,5 +460,22 @@ object Curation {
          |  len(regexp_extract_all(t, '$PhoneRe')) AS n_phones,
          |  regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
          |    '$PhoneRe', '<PHONE>', 'g') AS scrubbed
-         |FROM c""".stripMargin)
+         |FROM c""".stripMargin,
+    "d_profile" ->
+      Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count($c) AS n_nonnull, count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_val,
+           |  CAST(max($c) AS VARCHAR) AS max_val,
+           |  round(avg(length(CAST($c AS VARCHAR))), 4) AS avg_len
+           |FROM documents""".stripMargin
+      }.mkString("\nUNION ALL\n"),
+    "d_stratified_sample" ->
+      s"""WITH h AS (SELECT doc_id, source,
+         |  ${mixBucketSql(s"doc_id + $SampleSalt", 1000000)} AS hh
+         |  FROM documents),
+         |r AS (SELECT doc_id, source,
+         |  row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn
+         |  FROM h)
+         |SELECT doc_id, source, rn FROM r WHERE rn <= $SampleK""".stripMargin)
 }

@@ -50,27 +50,8 @@ object Dedup {
       shingleSize: Int = 3,
       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-
-    // Native shingle/minhash expressions: one static-call kernel each —
-    // no HOF re-inlining hazard, tiny generated code. persist: this
-    // frame feeds band-key generation AND both candidate re-attach
-    // joins — without it the shingle+signature pipeline runs three
-    // times (LRU-evicted when memory is needed).
-    val shingleExpr = TF.wordShingleHashes(col(textCol), shingleSize)
-    val withSig = df.select(
-      col(idCol).as("id"),
-      shingleExpr.as("shingles"),
-      TF.minhashSignature(shingleExpr, numHashes).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // LIGHT band rows: (id, band, 64-bit key of the band's sub-signature)
-    // — the self-join shuffles 16 bytes per row, never the shingle arrays
-    val bandKeys = withSig.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_key")
+    val withSig = sigFrame(df, textCol, idCol, numHashes, shingleSize)
+    val bandKeys = bandKeyFrame(withSig, bands, numHashes / bands)
 
     val candidates = bandKeys.select(col("band"), col("band_key"), col("id").as("id_a"))
       .join(bandKeys.select(col("band"), col("band_key"), col("id").as("id_b")),
@@ -88,6 +69,77 @@ object Dedup {
       .filter(col("__j") >= threshold) // threshold on the RAW value
       .select(col("id_a"), col("id_b"), round(col("__j"), 4).as("jaccard"))
   }
+
+  /** Incremental near-dup check of a NEW batch against an existing
+    * corpus — the "dedup before ingest" gate of a continuously-fed
+    * training pipeline: which batch docs are ≥ threshold Jaccard-similar
+    * to some already-stored doc?
+    *
+    * Scale shape: the corpus side's (band, band_key) rows are exactly
+    * the banding step of [[minhashPairs]] — at 100 TB that index is
+    * computed ONCE, persisted as a table keyed by band_key, and kept
+    * current by appending each accepted batch's keys; the corpus text is
+    * NEVER rescanned per ingest. Each arriving batch (small by
+    * definition) broadcasts its band keys into the index join, so the
+    * corpus side shuffles nothing; exact-Jaccard verification re-attaches
+    * shingle sets for the candidate ids only. */
+  def minhashAgainstIndex(
+      corpus: DataFrame,
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      threshold: Double = 0.6): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val corpusSig = sigFrame(corpus, textCol, idCol, numHashes, shingleSize)
+    val batchSig = sigFrame(batch, textCol, idCol, numHashes, shingleSize)
+    val corpusKeys = bandKeyFrame(corpusSig, bands, rows)
+      .select(col("band"), col("band_key"), col("id").as("corpus_id"))
+    val batchKeys = bandKeyFrame(batchSig, bands, rows)
+      .select(col("band"), col("band_key"), col("id").as("batch_id"))
+
+    val candidates = corpusKeys
+      .join(broadcast(batchKeys), Seq("band", "band_key"))
+      .select(col("batch_id"), col("corpus_id"))
+      .distinct() // collapses multi-band hits
+
+    candidates
+      .join(batchSig.select(col("id").as("batch_id"), col("shingles").as("sh_b")),
+        Seq("batch_id"))
+      .join(corpusSig.select(col("id").as("corpus_id"), col("shingles").as("sh_c")),
+        Seq("corpus_id"))
+      .withColumn("__j", TF.jaccardSorted(col("sh_b"), col("sh_c")))
+      .filter(col("__j") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), round(col("__j"), 4).as("jaccard"))
+  }
+
+  /** (id, shingles, sig) for a frame. Native shingle/minhash
+    * expressions: one static-call kernel each — no HOF re-inlining
+    * hazard, tiny generated code. persist: this frame feeds band-key
+    * generation AND the candidate re-attach joins — without it the
+    * shingle+signature pipeline runs multiple times (LRU-evicted when
+    * memory is needed). */
+  private def sigFrame(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int, shingleSize: Int): DataFrame = {
+    val shingleExpr = TF.wordShingleHashes(col(textCol), shingleSize)
+    df.select(
+      col(idCol).as("id"),
+      shingleExpr.as("shingles"),
+      TF.minhashSignature(shingleExpr, numHashes).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** LIGHT band rows: (id, band, 64-bit key of the band's sub-signature)
+    * — LSH joins shuffle 16 bytes per row, never the shingle arrays. */
+  private def bandKeyFrame(sig: DataFrame, bands: Int, rows: Int): DataFrame =
+    sig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
 
   /** SimHash near-duplicate pairs with Hamming distance ≤ maxHamming.
     * Pigeonhole banding: split the 64-bit sketch into 4 16-bit chunks;

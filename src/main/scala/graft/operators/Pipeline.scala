@@ -65,6 +65,19 @@ object Pipeline {
     "d_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(dedupCorpus(s, d), "text", "doc_id", maxHamming = 3)),
 
+    // incremental ingest-time dedup: a new batch (perturbed copies of
+    // doc_id < 100) checked against the standing corpus via the
+    // banded-minhash index — batch band keys broadcast, corpus never
+    // reshuffled (see Dedup.minhashAgainstIndex for the 100 TB shape)
+    "d_dedup_incr" -> ((s, d) => {
+      val corpus = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val batch = corpus.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" graft dedup tail")).as("text"))
+      Dedup.minhashAgainstIndex(corpus, batch, "text", "doc_id",
+        numHashes = 32, bands = 16, shingleSize = 3, threshold = 0.6)
+    }),
+
     // exact n-gram Jaccard pairs under a blocking key
     "d_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
@@ -242,6 +255,22 @@ object Pipeline {
          |      len(list_distinct(list_concat(a.g, b.g))) AS j
          |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
          |SELECT id_a, id_b, round(j, 4) AS jaccard
+         |FROM pairs WHERE j >= 0.6""".stripMargin,
+    "d_dedup_incr" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |batch AS (
+         |  SELECT doc_id + 1000000 AS doc_id, text || ' graft dedup tail' AS text
+         |  FROM documents WHERE doc_id < 100),
+         |sc AS (SELECT doc_id, list_distinct(${shinglesSql(3)}) AS g
+         |       FROM (SELECT doc_id, $tokensSql AS ts FROM corpus)),
+         |sb AS (SELECT doc_id, list_distinct(${shinglesSql(3)}) AS g
+         |       FROM (SELECT doc_id, $tokensSql AS ts FROM batch)),
+         |pairs AS (
+         |  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+         |    CAST(len(list_intersect(b.g, c.g)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(b.g, c.g))) AS j
+         |  FROM sb b CROSS JOIN sc c)
+         |SELECT batch_id, corpus_id, round(j, 4) AS jaccard
          |FROM pairs WHERE j >= 0.6""".stripMargin,
     "d_dedup_clusters" ->
       s"""WITH RECURSIVE corpus AS (

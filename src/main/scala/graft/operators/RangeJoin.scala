@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bucketized interval (range) join: points matched to every range
+  * `[start, end)` that contains them, with NO equi-key between the two
+  * sides — the IP-to-geo / event-to-maintenance-window lookup shape.
+  *
+  * Spark has no native interval-join strategy: a raw
+  * `points JOIN ranges ON p >= start AND p < end` plans as
+  * BroadcastNestedLoopJoin (O(|points|·|ranges|) comparisons — a
+  * scale-killer the moment the ranges side outgrows a broadcast).
+  * This operator makes the join an EQUI-join Catalyst can shuffle or
+  * broadcast like any other:
+  *
+  *   - each point gets one bucket key `p div w`;
+  *   - each range explodes to the buckets its span covers
+  *     (`ceil(len/w)` keys — bounded replication, pick `w` near the
+  *     typical span so it stays O(1) per range);
+  *   - equi-join on the bucket key + residual containment filter.
+  *
+  * A qualifying pair meets in EXACTLY one bucket (the point's), so no
+  * dedup pass is needed. At 100 TB both sides shuffle by the 8-byte
+  * bucket key (or the exploded ranges side broadcasts when small);
+  * hot buckets are ordinary join skew — AQE's skew-join split applies,
+  * unlike the nested-loop plan, which no optimizer can rescue.
+  */
+object RangeJoin {
+
+  /** `points` × `ranges` where `pointCol ∈ [startCol, endCol)`.
+    * All three columns must be integral (epoch seconds, addresses, …);
+    * `bucketWidth` trades replication (`~span/width` copies per range)
+    * against residual-filter selectivity within a bucket. */
+  def rangeJoin(
+      points: DataFrame,
+      pointCol: String,
+      ranges: DataFrame,
+      startCol: String,
+      endCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val p = points.withColumn("__bkt", expr(s"`$pointCol` div $bucketWidth"))
+    val r = ranges
+      .withColumn("__bkt", explode(sequence(
+        expr(s"`$startCol` div $bucketWidth"),
+        expr(s"(`$endCol` - 1) div $bucketWidth"))))
+    p.join(r, Seq("__bkt"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__bkt")
+  }
+}

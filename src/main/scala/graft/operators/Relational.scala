@@ -224,6 +224,28 @@ object Relational {
         .groupBy(col("r_name"))
         .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
           count(lit(1)).as("n_orders"))
+    }),
+
+    // Interval join with NO equi-key (RangeJoin operator): events matched
+    // into 200 overlapping, non-uniform maintenance windows over the
+    // month. The bucketized rewrite keeps this an equi-join (shuffle or
+    // broadcast) instead of the nested-loop plan Spark would pick for the
+    // raw range predicate — see RangeJoin for the 100 TB shape.
+    "q26_range_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val points = ev.select(col("event_id"),
+        graft.functions.EventTime.epochSeconds(ev.schema, "ts").as("es"))
+      // 2024-01-01 UTC + 3.6h steps; window i is (i%5)+1 hours long —
+      // overlapping and non-uniform, so containment is a real interval
+      // test, not a floor()
+      val windows = s.range(0, 200).toDF("w_id")
+        .select(col("w_id"),
+          (lit(1704067200L) + col("w_id") * 12960L).as("w_start"))
+        .withColumn("w_end",
+          col("w_start") + (pmod(col("w_id"), lit(5L)) + 1L) * 3600L)
+      RangeJoin.rangeJoin(points, "es", windows, "w_start", "w_end",
+          bucketWidth = 14400L)
+        .select(col("event_id"), col("w_id"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -351,5 +373,14 @@ object Relational {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name""".stripMargin)
+        |GROUP BY r_name""".stripMargin,
+    "q26_range_join" ->
+      """WITH w AS (
+        |  SELECT i AS w_id, 1704067200 + i * 12960 AS w_start,
+        |    1704067200 + i * 12960 + ((i % 5) + 1) * 3600 AS w_end
+        |  FROM range(0, 200) t(i)),
+        |e AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
+        |      FROM events)
+        |SELECT e.event_id, w.w_id
+        |FROM e JOIN w ON e.es >= w.w_start AND e.es < w.w_end""".stripMargin)
 }

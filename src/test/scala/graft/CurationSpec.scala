@@ -199,4 +199,68 @@ class CurationSpec extends AnyFunSuite {
       assert(kept.exceptAll(again).isEmpty && again.exceptAll(kept).isEmpty)
     } finally { kept.unpersist(); () }
   }
+
+  test("profile reports one exact row per column") {
+    val docs = Tables.read(spark, sfDir, "documents")
+    val prof = run("d_profile").cache()
+    try {
+      val n = docs.count()
+      assert(prof.count() == docs.columns.length)
+      val byCol = prof.collect().map(r => r.getString(0) -> r).toMap
+      assert(byCol.keySet == docs.columns.toSet)
+      byCol.values.foreach(r => assert(r.getLong(1) == n))
+      // exact distincts match a direct computation
+      assert(byCol("lang").getLong(3) ==
+        docs.select("lang").distinct().count())
+      assert(byCol("doc_id").getLong(3) == n) // unique key
+      // numeric min/max render the numeric extremes, not lexicographic
+      val ids = docs.agg(min("doc_id"), max("doc_id")).head()
+      assert(byCol("doc_id").getString(4) == ids.getLong(0).toString)
+      assert(byCol("doc_id").getString(5) == ids.getLong(1).toString)
+      // the approx variant agrees on everything but n_distinct, and its
+      // HLL distincts land within 10% of exact
+      val ap = Curation.profile(docs, approx = true).collect()
+        .map(r => r.getString(0) -> r).toMap
+      ap.foreach { case (c, r) =>
+        val exact = byCol(c).getLong(3).toDouble
+        assert(math.abs(r.getLong(3) - exact) / exact < 0.1,
+          s"$c approx ${r.getLong(3)} vs exact $exact")
+        assert(r.getString(4) == byCol(c).getString(4))
+      }
+    } finally { prof.unpersist(); () }
+  }
+
+  test("stratified sample is exactly the per-stratum hash top-k") {
+    val docs = Tables.read(spark, sfDir, "documents")
+    val sample = run("d_stratified_sample").cache()
+    try {
+      // per stratum: exactly min(k, |stratum|) rows, ranks 1..k dense
+      val counts = docs.groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val got = sample.groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got.keySet == counts.keySet)
+      got.foreach { case (src, c) =>
+        assert(c == math.min(20L, counts(src)), s"$src got $c of ${counts(src)}")
+      }
+      // the two-level shape equals the single-window ground truth
+      // (same salted mix-hash, one row_number over the whole stratum)
+      import org.apache.spark.sql.expressions.Window
+      val b = pmod((col("doc_id") + 3000017L) * 2654435761L, lit(4294967296L))
+      val truth = docs.select(col("doc_id"), col("source"))
+        .withColumn("__h", pmod(b.bitwiseXOR(shiftright(b, 16)), lit(1000000L)))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("__h"), col("doc_id"))))
+        .filter(col("rn") <= 20)
+        .select(col("doc_id"), col("source"), col("rn"))
+      assert(sample.exceptAll(truth).isEmpty && truth.exceptAll(sample).isEmpty)
+      // deterministic across runs
+      val again = run("d_stratified_sample")
+      assert(sample.exceptAll(again).isEmpty && again.exceptAll(sample).isEmpty)
+    } finally { sample.unpersist(); () }
+  }
+
+  test("every curation query has a matching oracle") {
+    assert(Curation.oracleSql.keySet == Curation.queries.keySet)
+  }
 }

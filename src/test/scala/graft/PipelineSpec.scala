@@ -35,6 +35,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.forall(_.getDouble(2) >= 0.6))
   }
 
+  test("incremental dedup flags batch docs near-duplicating the corpus") {
+    val corpus = docs.select(col("doc_id"), col("text")).limit(200)
+    // batch: 50 perturbed corpus docs + 50 untouched NEW docs (ids shifted
+    // out of the corpus range, texts distinct) — only the former may match
+    val perturbed = corpus.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 5000L).as("doc_id"),
+        concat(col("text"), lit(" tail tok")).as("text"))
+    val fresh = docs.select(col("doc_id"), col("text"))
+      .filter(col("doc_id") >= 300 && col("doc_id") < 350)
+      .select((col("doc_id") + 9000L).as("doc_id"), col("text"))
+    val batch = perturbed.unionByName(fresh)
+    val hits = Dedup.minhashAgainstIndex(corpus, batch, "text", "doc_id",
+      numHashes = 32, bands = 16, threshold = 0.6).collect()
+    val plantedFound = hits.count(r =>
+      r.getLong(0) == r.getLong(1) + 5000L) // (batch_id, corpus_id, j)
+    assert(plantedFound >= 48, s"found $plantedFound/50 planted matches")
+    // fresh docs are not in the corpus — nothing above threshold
+    assert(!hits.exists(_.getLong(0) >= 9300L),
+      "a fresh doc matched the corpus")
+    assert(hits.forall(_.getDouble(2) >= 0.6))
+  }
+
   test("simhash finds exact copies at hamming 0") {
     val base = docs.select(col("doc_id"), col("text")).limit(100)
     val copies = base.filter(col("doc_id") < 20)

@@ -47,4 +47,25 @@ class RelationalSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("q26 range join matches the naive interval join and avoids nested-loop") {
+    import org.apache.spark.sql.functions._
+    val df = operators.Relational.queries("q26_range_join")(spark, sfDir)
+    // equi-join on the bucket key, never a nested-loop/cartesian plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    // ground truth: the raw O(n·m) predicate join on the same inputs
+    val ev = Tables.read(spark, sfDir, "events")
+    val points = ev.select(col("event_id"),
+      functions.EventTime.epochSeconds(ev.schema, "ts").as("es"))
+    val windows = spark.range(0, 200).toDF("w_id")
+      .select(col("w_id"), (lit(1704067200L) + col("w_id") * 12960L).as("w_start"))
+      .withColumn("w_end", col("w_start") + (pmod(col("w_id"), lit(5L)) + 1L) * 3600L)
+    val naive = points.join(windows,
+        col("es") >= col("w_start") && col("es") < col("w_end"))
+      .select(col("event_id"), col("w_id"))
+    assert(df.exceptAll(naive).isEmpty && naive.exceptAll(df).isEmpty)
+    assert(df.count() > 0)
+  }
 }
