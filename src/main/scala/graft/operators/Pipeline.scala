@@ -132,6 +132,12 @@ object Pipeline {
         numCentroids = 16, nProbe = 8)
     }),
 
+    // per-vector int8 quantization audit: scale, peak code, max
+    // reconstruction error — pure projection, exact DuckDB oracle
+    // (floor(x+0.5) tie-break is engine-portable, unlike round())
+    "v_quantize" -> ((s, d) =>
+      Similarity.quantizeInt8(t(s, d, "embeddings"), "embedding", "vec_id")),
+
     // text statistics: portable token/diversity/BPE-ish counts
     "d_text_stats" -> ((s, d) =>
       t(s, d, "documents").select(
@@ -320,6 +326,21 @@ object Pipeline {
         |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, round(c, 4) AS cosine
         |FROM pairs WHERE c >= 0.999""".stripMargin,
+    "v_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |  list_max(list_transform(v, x -> abs(x))) AS mm FROM e)
+        |SELECT vec_id, len(v) AS n_dims, round(mm / 127.0, 6) AS scale,
+        |  CASE WHEN mm = 0 THEN 0 ELSE CAST(list_max(list_transform(v,
+        |    x -> abs(floor(x / (mm / 127.0) + 0.5)))) AS BIGINT) END
+        |    AS max_code,
+        |  CASE WHEN mm = 0 THEN 0.0 ELSE round(list_max(list_transform(v,
+        |    x -> abs(x - floor(x / (mm / 127.0) + 0.5) * (mm / 127.0)))), 6)
+        |    END AS max_abs_err
+        |FROM m""".stripMargin,
     "v_ann_brute" ->
       """SELECT q_id, vec_id, round(s, 4) AS score, rank FROM (
         |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,

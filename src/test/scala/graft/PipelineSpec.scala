@@ -116,6 +116,24 @@ class PipelineSpec extends AnyFunSuite {
     } finally { sample.unpersist(); () }
   }
 
+  test("int8 quantization bounds codes and reconstruction error") {
+    val q = Similarity.quantizeInt8(embeddings, "embedding", "vec_id").cache()
+    try {
+      assert(q.count() == embeddings.count())
+      assert(q.filter(col("max_code") > 127).count() == 0)
+      // symmetric rounding quantization: error ≤ scale/2, up to the
+      // 1e-6 output-rounding granularity of both audit columns
+      assert(q.filter(col("max_abs_err") > col("scale") * 0.5 + 1e-5).count() == 0)
+      assert(q.filter(col("scale") <= 0).count() == 0)
+    } finally { q.unpersist(); () }
+    // all-zero vector → scale 0, codes 0, error 0 (no div-by-zero)
+    val session = spark
+    import session.implicits._
+    val z = Seq((1L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val r = Similarity.quantizeInt8(z, "embedding", "vec_id").head()
+    assert(r.getDouble(2) == 0.0 && r.getLong(3) == 0L && r.getDouble(4) == 0.0)
+  }
+
   test("text functions: token counts, quality in range, fingerprint order-sensitive") {
     val stats = docs.select(
       TF.tokenCount(col("text")).as("n"),

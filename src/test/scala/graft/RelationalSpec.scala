@@ -68,4 +68,28 @@ class RelationalSpec extends AnyFunSuite {
     assert(df.exceptAll(naive).isEmpty && naive.exceptAll(df).isEmpty)
     assert(df.count() > 0)
   }
+
+  test("range join fuzz: random widths/domains (incl. negative + empty ranges) match naive") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val width = 1L + rnd.nextInt(50)
+      val domain = 500
+      val nPoints = 300
+      val nRanges = 80
+      val points = spark.range(0, nPoints).toDF("pid")
+        .withColumn("p", pmod(xxhash64(col("pid"), lit(trial)), lit(2L * domain)) - domain)
+      // ~1/8 of ranges deliberately inverted/empty — they must match nothing
+      val ranges = spark.range(0, nRanges).toDF("rid")
+        .withColumn("s", pmod(xxhash64(col("rid"), lit(trial + 100)), lit(2L * domain)) - domain)
+        .withColumn("len", pmod(xxhash64(col("rid"), lit(trial + 200)), lit(120L)) - 15L)
+        .withColumn("e", col("s") + col("len"))
+      val got = operators.RangeJoin.rangeJoin(points, "p", ranges, "s", "e", width)
+        .select(col("pid"), col("rid"))
+      val naive = points.join(ranges, col("p") >= col("s") && col("p") < col("e"))
+        .select(col("pid"), col("rid"))
+      assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty,
+        s"trial $trial width $width mismatched")
+    }
+  }
 }
