@@ -39,6 +39,11 @@ object Bench {
     // "errors" map instead and is excluded from per-query timings/total.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      // Each query is timed self-contained: drop blocks persisted by the
+      // PREVIOUS queries first (dedup/LSH pipelines persist signature
+      // frames), so a later storage query doesn't pay their LRU-eviction
+      // churn and a query's own persists still count inside its time.
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()

@@ -230,6 +230,22 @@ class CurationSpec extends AnyFunSuite {
     } finally { prof.unpersist(); () }
   }
 
+  test("profile counts nulls and distincts on a frame with gaps") {
+    val session = spark
+    import session.implicits._
+    val df = Seq(
+      (1L, Some("a"), Some(10)), (2L, None, Some(10)),
+      (3L, Some("b"), None), (4L, Some("a"), Some(20)))
+      .toDF("id", "s", "n")
+    val p = Curation.profile(df).collect().map(r => r.getString(0) -> r).toMap
+    assert(p("s").getLong(1) == 4 && p("s").getLong(2) == 3) // rows, non-null
+    assert(p("s").getLong(3) == 2) // distinct excludes null
+    assert(p("n").getLong(2) == 3 && p("n").getLong(3) == 2)
+    assert(p("n").getString(4) == "10" && p("n").getString(5) == "20")
+    // avg_len ignores nulls: ("a","b","a") → 1.0
+    assert(p("s").getDouble(6) == 1.0)
+  }
+
   test("stratified sample is exactly the per-stratum hash top-k") {
     val docs = Tables.read(spark, sfDir, "documents")
     val sample = run("d_stratified_sample").cache()
