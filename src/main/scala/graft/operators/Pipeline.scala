@@ -198,6 +198,7 @@ object Pipeline {
   val oracleSql: Map[String, String] = Map(
     "d_dedup_simhash" -> GoldenOracles.simhashSql,
     "d_fingerprint" -> GoldenOracles.fingerprintSql,
+    "v_ann_ivf" -> GoldenOracles.ivfSql,
     "d_lang_id" -> {
       // mirror LangId.langId exactly: tokens of lower(text); per-language
       // hit ratio; fold-argmax over sorted languages (strict >, earliest

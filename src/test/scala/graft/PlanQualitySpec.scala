@@ -81,4 +81,29 @@ class PlanQualitySpec extends AnyFunSuite {
     val nShuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(nShuffles == 1, s"expected exactly 1 shuffle:\n${plan.take(3000)}")
   }
+
+  test("int8 quantization is a pure projection — zero exchanges") {
+    val df = operators.Pipeline.queries("v_quantize")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(3000))
+  }
+
+  test("column profile is one aggregate pass over the table") {
+    val df = operators.Curation.queries("d_profile")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // one scan of documents; the per-column fan-out happens in the
+    // aggregate (Expand for exact distincts), never as repeated scans
+    val nScans = "FileScan parquet".r.findAllIn(plan).length
+    assert(nScans == 1, s"expected a single table scan:\n${plan.take(3000)}")
+  }
+
+  test("stratified sample shuffles on (stratum, cell) then stratum — no global sort") {
+    val df = operators.Curation.queries("d_stratified_sample")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // two window stages, each hash-partitioned; a single-partition sort
+    // (Exchange SinglePartition + global Sort) would be the skew trap
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(3000))
+    val nShuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nShuffles == 2, s"expected exactly 2 shuffles:\n${plan.take(3000)}")
+  }
 }
