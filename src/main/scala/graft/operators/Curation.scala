@@ -195,7 +195,34 @@ object Curation {
     // runs. See [[stratifiedSample]] for the skew-proof two-level top-k.
     "d_stratified_sample" -> ((s, d) =>
       stratifiedSample(docs(s, d).select(col("doc_id"), col("source")),
-        "source", "doc_id", SampleK)))
+        "source", "doc_id", SampleK)),
+
+    // END-TO-END curation pipeline — the operators composed as one DAG,
+    // the way a real corpus build runs them: decontaminate (drop docs
+    // sharing a 3-shingle with the benchmark split) → quality gate
+    // (score ≥ 0.3) → deterministic train split (80%) → pack survivors
+    // into 2048-token context windows. One oracle replays the whole
+    // chain, proving the stages compose without hidden re-ordering:
+    // every stage is a filter or a keyed agg, so Catalyst fuses the
+    // filters into one pass over the corpus and the only shuffles are
+    // the decontamination count and pack_chunks' two-level prefix sum.
+    "d_e2e_pipeline" -> ((s, d) => {
+      val all = docs(s, d)
+      val nonBench = all.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      val bench = all.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(explode(TF.wordShingleHashes(col("text"), 3)).as("gram"))
+        .distinct()
+      val contaminated = nonBench
+        .select(col("doc_id"), explode(TF.wordShingleHashes(col("text"), 3)).as("gram"))
+        .join(broadcast(bench), Seq("gram"))
+        .select(col("doc_id")).distinct()
+      val train = nonBench
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .filter(TF.qualityScore(col("text")) >= 0.3)
+        .filter(mixBucket(col("doc_id"), 1000) < 800)
+      packChunks(train.select(col("doc_id"), col("source"),
+        TF.approxBpeTokenCount(col("text")).cast("long").as("n_tok")))
+    }))
 
   // shared by Spark + DuckDB sides (Java regex and RE2 agree on these)
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -477,5 +504,55 @@ object Curation {
          |r AS (SELECT doc_id, source,
          |  row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn
          |  FROM h)
-         |SELECT doc_id, source, rn FROM r WHERE rn <= $SampleK""".stripMargin)
+         |SELECT doc_id, source, rn FROM r WHERE rn <= $SampleK""".stripMargin,
+    "d_e2e_pipeline" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, text, source, ${Pipeline.tokensSql} AS ts FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(${Pipeline.shinglesSql(3)}) AS g
+         |       FROM toks),
+         |bench AS (SELECT DISTINCT unnest(g) AS gram FROM sh WHERE doc_id % 97 = 0),
+         |cont AS (SELECT DISTINCT u.doc_id
+         |  FROM (SELECT doc_id, unnest(g) AS gram FROM sh WHERE doc_id % 97 != 0) u
+         |  JOIN bench USING (gram)),
+         |m AS (SELECT doc_id, len(ts) AS n,
+         |  CASE WHEN len(ts) = 0 THEN 0.0
+         |    ELSE CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) END AS diversity,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |    ELSE CAST(length(text) -
+         |      length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+         |      / length(text) END AS punct,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |    ELSE CAST(length(text) -
+         |      length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+         |      / length(text) END AS digit,
+         |  CASE WHEN len(ts) = 0 THEN 0.0
+         |    ELSE CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE)
+         |      / len(ts) END AS avg_len
+         |  FROM toks),
+         |qual AS (SELECT doc_id,
+         |  least(1.0, n / 50.0)
+         |    * (0.5 + diversity * 0.5)
+         |    * greatest(0.0, 1.0 - punct * 5 - digit * 5)
+         |    * (CASE WHEN avg_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END)
+         |    AS quality FROM m),
+         |clean AS (
+         |  SELECT t.doc_id, t.source, t.ts FROM toks t JOIN qual q USING (doc_id)
+         |  WHERE t.doc_id % 97 != 0
+         |    AND t.doc_id NOT IN (SELECT doc_id FROM cont)
+         |    AND q.quality >= 0.3
+         |    AND ${mixBucketSql("t.doc_id", 1000)} < 800),
+         |n AS (SELECT doc_id, source,
+         |  CAST(coalesce(list_sum(list_transform(ts,
+         |    t -> greatest(1, CAST(ceil(length(t) / 4.0) AS INT)))), 0) AS BIGINT)
+         |    AS n_tok FROM clean),
+         |w AS (SELECT doc_id, source, n_tok,
+         |  CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS tok_start FROM n)
+         |SELECT doc_id, source, n_tok, tok_start,
+         |  CAST(floor(tok_start / 2048.0) AS BIGINT) AS start_chunk,
+         |  CAST(CASE WHEN n_tok <= 0 THEN floor(tok_start / 2048.0)
+         |       ELSE floor((tok_start + n_tok - 1) / 2048.0) END AS BIGINT)
+         |    AS end_chunk
+         |FROM w""".stripMargin)
 }

@@ -276,6 +276,58 @@ class CurationSpec extends AnyFunSuite {
     } finally { sample.unpersist(); () }
   }
 
+  test("stratified sample caps at stratum size when k exceeds it") {
+    val session = spark
+    import session.implicits._
+    // strata of size 3 and 30 with k=20: the small one returns all 3
+    val df = ((1L to 3L).map(i => (i, "tiny")) ++
+      (10L to 39L).map(i => (i, "big"))).toDF("doc_id", "source")
+    val out = Curation.stratifiedSample(df, "source", "doc_id", 20)
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("tiny" -> 3L, "big" -> 20L))
+    // ranks are dense 1..n within each stratum
+    val tinyRanks = out.filter(col("source") === "tiny")
+      .select("rn").collect().map(_.getInt(0)).sorted.toSeq
+    assert(tinyRanks == Seq(1, 2, 3))
+  }
+
+  test("profile of an empty frame reports zero rows per column") {
+    val empty = Tables.read(spark, sfDir, "documents").filter(lit(false))
+    val p = Curation.profile(empty).collect().map(r => r.getString(0) -> r).toMap
+    assert(p.size == 5)
+    p.values.foreach { r =>
+      assert(r.getLong(1) == 0 && r.getLong(2) == 0 && r.getLong(3) == 0)
+      assert(r.isNullAt(4) && r.isNullAt(5)) // min/max undefined
+    }
+  }
+
+  test("e2e pipeline output is consistent with its stage operators") {
+    val out = run("d_e2e_pipeline").cache()
+    try {
+      val ids = out.select("doc_id")
+      // survivors are a strict subset of the corpus that each stage allows
+      val contaminated = run("d_decontaminate")
+        .filter(col("contaminated")).select("doc_id")
+      assert(ids.join(contaminated, Seq("doc_id")).count() == 0,
+        "a contaminated doc survived")
+      val trainIds = run("d_hash_split")
+        .filter(col("split") === "train").select("doc_id")
+      assert(ids.exceptAll(ids.join(trainIds, Seq("doc_id"))).count() == 0,
+        "a non-train doc survived")
+      assert(ids.filter(pmod(col("doc_id"), lit(97)) === 0).count() == 0,
+        "a benchmark doc survived")
+      // packing invariant: per source, tok_start is the running sum
+      val bad = out.withColumn("expected_start",
+        coalesce(sum(col("n_tok")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("source")
+            .orderBy("doc_id").rowsBetween(Long.MinValue, -1)), lit(0L)))
+        .filter(col("tok_start") =!= col("expected_start"))
+      assert(bad.count() == 0, "tok_start is not the per-source prefix sum")
+      assert(out.count() > 0)
+    } finally { out.unpersist(); () }
+  }
+
   test("every curation query has a matching oracle") {
     assert(Curation.oracleSql.keySet == Curation.queries.keySet)
   }
