@@ -116,6 +116,65 @@ object Dedup {
       .select(col("batch_id"), col("corpus_id"), round(col("__j"), 4).as("jaccard"))
   }
 
+  /** The persistable minhash band index of a corpus: one (id, band,
+    * band_key) row per (doc, band). This is the table a standing corpus
+    * stores (and appends to on every accepted ingest) so that
+    * [[minhashAgainstStoredIndex]] never rescans corpus text — 24
+    * bytes/row × bands, the whole dedup state of a 100 TB corpus. */
+  def minhashIndexRows(
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      shingleSize: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    bandKeyFrame(sigFrame(corpus, textCol, idCol, numHashes, shingleSize),
+      bands, numHashes / bands)
+  }
+
+  /** [[minhashAgainstIndex]], but candidates come from a PRE-BUILT
+    * index (e.g. [[minhashIndexRows]] read back from a graft table)
+    * instead of re-banding the corpus. Corpus text is touched ONLY for
+    * the candidate ids (broadcast semi-join prunes the scan before any
+    * shingle computation), so per-ingest cost is O(index ⋈ batch) +
+    * O(candidates) — independent of corpus text volume. Parameters must
+    * match the ones the index was built with. */
+  def minhashAgainstStoredIndex(
+      index: DataFrame,
+      corpus: DataFrame,
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      threshold: Double = 0.6): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val batchSig = sigFrame(batch, textCol, idCol, numHashes, shingleSize)
+    val batchKeys = bandKeyFrame(batchSig, bands, numHashes / bands)
+      .select(col("band"), col("band_key"), col("id").as("batch_id"))
+    val candidates = index
+      .select(col("band"), col("band_key"), col("id").as("corpus_id"))
+      .join(broadcast(batchKeys), Seq("band", "band_key"))
+      .select(col("batch_id"), col("corpus_id"))
+      .distinct()
+
+    // fetch + shingle ONLY the candidate corpus docs
+    val candIds = candidates.select(col("corpus_id").as(idCol)).distinct()
+    val candShingles = corpus.join(broadcast(candIds), Seq(idCol))
+      .select(col(idCol).as("corpus_id"),
+        TF.wordShingleHashes(col(textCol), shingleSize).as("sh_c"))
+
+    candidates
+      .join(batchSig.select(col("id").as("batch_id"), col("shingles").as("sh_b")),
+        Seq("batch_id"))
+      .join(candShingles, Seq("corpus_id"))
+      .withColumn("__j", TF.jaccardSorted(col("sh_b"), col("sh_c")))
+      .filter(col("__j") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), round(col("__j"), 4).as("jaccard"))
+  }
+
   /** (id, shingles, sig) for a frame. Native shingle/minhash
     * expressions: one static-call kernel each — no HOF re-inlining
     * hazard, tiny generated code. persist: this frame feeds band-key

@@ -570,6 +570,28 @@ object StorageOps {
       ds.append(o.withColumn("o_orderkey", col("o_orderkey") + 1000000L))
       ds.versions().select(col("snapshot_id"), col("parent_snapshot_id"),
         explode_outer(col("refs")).as("ref"))
+    }),
+
+    // the dedup index AS A GRAFT TABLE: the corpus's minhash band keys
+    // are committed once (PK (id, band), 24-byte rows — the standing
+    // dedup state of the corpus), then an arriving batch is checked by
+    // joining the TABLE, and corpus text is fetched only for candidate
+    // ids. Same semantics — and the same oracle — as d_dedup_incr,
+    // which re-bands the corpus in-flight; this is the persisted shape
+    // a 100 TB pipeline actually operates.
+    "s_dedup_index" -> ((s, d) => {
+      val corpus = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val idx = Dedup.minhashIndexRows(corpus, "text", "doc_id",
+        numHashes = 32, bands = 16, shingleSize = 3)
+      val ds = SpaceDataset.create(s, fresh("dindex"), idx.schema,
+        Seq("id", "band"))
+      ds.append(idx)
+      val batch = corpus.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" graft dedup tail")).as("text"))
+      Dedup.minhashAgainstStoredIndex(ds.readAll(), corpus, batch,
+        "text", "doc_id", numHashes = 32, bands = 16, shingleSize = 3,
+        threshold = 0.6)
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -713,5 +735,7 @@ object StorageOps {
         |  len(list_distinct(list_filter(string_split_regex(text, '\s+'),
         |    x -> x != ''))) AS n_distinct
         |FROM documents
-        |WHERE n_chars >= 200 AND doc_id % 10 != 3""".stripMargin)
+        |WHERE n_chars >= 200 AND doc_id % 10 != 3""".stripMargin,
+    // identical semantics to the in-flight variant — one oracle for both
+    "s_dedup_index" -> Pipeline.oracleSql("d_dedup_incr"))
 }

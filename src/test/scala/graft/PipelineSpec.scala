@@ -57,6 +57,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(hits.forall(_.getDouble(2) >= 0.6))
   }
 
+  test("stored-index incremental dedup equals the in-flight variant") {
+    val inflight = operators.Pipeline.queries("d_dedup_incr")(spark, sfDir)
+    val stored = operators.StorageOps.queries("s_dedup_index")(spark, sfDir)
+    assert(inflight.exceptAll(stored).isEmpty && stored.exceptAll(inflight).isEmpty)
+    assert(stored.count() > 0)
+  }
+
   test("simhash finds exact copies at hamming 0") {
     val base = docs.select(col("doc_id"), col("text")).limit(100)
     val copies = base.filter(col("doc_id") < 20)
