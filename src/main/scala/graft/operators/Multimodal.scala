@@ -76,7 +76,29 @@ object Multimodal {
         expr(s"substring(__p, chunk_idx * $chunkBytes + 1, $chunkBytes)").as("chunk"))
       .withColumn("chunk_len", octet_length(col("chunk")))
 
+  /** Aspect-preserving resize parameters: fit (width, height) within
+    * `maxDim`, never upscale, floor to ≥ 1 px. INTEGRAL arithmetic
+    * (`div`) only, so the oracle replays it exactly — this computes the
+    * per-image resize PLAN; the pixel resample itself is the stubbed
+    * codec stage and would run in the same batched decode hook. */
+  def resizeDims(meta: DataFrame, maxDim: Int = 256): DataFrame = {
+    val m = greatest(col("width"), col("height"))
+    def fit(side: String) = when(m <= maxDim, col(side))
+      .otherwise(greatest(lit(1),
+        expr(s"($side * $maxDim) div greatest(width, height)")))
+      .cast(IntegerType)
+    meta.select(col("doc_id"), col("width"), col("height"),
+      fit("width").as("out_w"), fit("height").as("out_h"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // decode → aspect-preserving resize plan (fit within 256, never
+    // upscale) — integral math end-to-end, both branches data-covered
+    "m_resize" -> ((s, d) => {
+      val media = Tables.read(s, d, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      resizeDims(decodeMeta(media, "doc_id", "payload"))
+    }),
     // binary payload → batched stub decode → typed metadata
     "m_media_meta" -> ((s, d) => {
       val media = Tables.read(s, d, "documents")
@@ -102,6 +124,20 @@ object Multimodal {
   // The stub arithmetic is reproducible from length(text) (ASCII corpus:
   // chars == bytes — asserted in MultimodalSpec).
   val oracleSql: Map[String, String] = Map(
+    "m_resize" ->
+      """WITH meta AS (
+        |  SELECT doc_id,
+        |    CAST(64 + length(text) % 512 AS INT) AS width,
+        |    CAST(64 + (length(text) * 7) % 512 AS INT) AS height
+        |  FROM documents)
+        |SELECT doc_id, width, height,
+        |  CAST(CASE WHEN greatest(width, height) <= 256 THEN width
+        |    ELSE greatest(1, (width * 256) // greatest(width, height)) END
+        |    AS INT) AS out_w,
+        |  CAST(CASE WHEN greatest(width, height) <= 256 THEN height
+        |    ELSE greatest(1, (height * 256) // greatest(width, height)) END
+        |    AS INT) AS out_h
+        |FROM meta""".stripMargin,
     "m_media_meta" ->
       """SELECT doc_id,
         |  CAST(length(text) AS INT) AS n_bytes,

@@ -246,6 +246,21 @@ object Relational {
       RangeJoin.rangeJoin(points, "es", windows, "w_start", "w_end",
           bucketWidth = 14400L)
         .select(col("event_id"), col("w_id"))
+    }),
+
+    // exact interpolated percentiles (median / p90) per group — Spark's
+    // sort-based `percentile` and DuckDB's `quantile_cont` share the
+    // linear-interpolation definition, so the oracle is exact. The
+    // shuffle carries one row per (group, value) partial — at 100 TB
+    // the approx_percentile (KLL/GK sketch) variant is the single-pass
+    // answer; this exact form is the oracle-checkable semantics.
+    "q27_percentiles" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("median_price"),
+          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90_price"),
+          count(lit(1)).as("n"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -382,5 +397,11 @@ object Relational {
         |e AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
         |      FROM events)
         |SELECT e.event_id, w.w_id
-        |FROM e JOIN w ON e.es >= w.w_start AND e.es < w.w_end""".stripMargin)
+        |FROM e JOIN w ON e.es >= w.w_start AND e.es < w.w_end""".stripMargin,
+    "q27_percentiles" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+        |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin)
 }
