@@ -815,6 +815,7 @@ object Storage {
       recordFields: Seq[String] = Nil,
       tableType: String = TableType.Dataset,
       logicalPlan: Option[String] = None,
+      logicalPlanSubstrait: Option[String] = None,
       statsFields: Seq[String] = Nil,
       bucketColumns: Seq[String] = Nil,
       numBuckets: Int = 0,
@@ -855,7 +856,8 @@ object Storage {
       statsFields = statsFields.toList,
       bucketColumns = bucketColumns.toList, numBuckets = numBuckets,
       currentSnapshotId = 0L, maxSnapshotId = 0L,
-      snapshots = Map("0" -> initial), logicalPlan = logicalPlan)
+      snapshots = Map("0" -> initial), logicalPlan = logicalPlan,
+      logicalPlanSubstrait = logicalPlanSubstrait)
 
     val metaFile = StoragePaths.newMetadataFile()
     writeTo(fs, root, metaFile, MetadataJson.write(meta))

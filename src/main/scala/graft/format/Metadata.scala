@@ -143,6 +143,10 @@ final case class StorageMetadata(
     refs: Map[String, SnapshotRef] = Map.empty,
     /** Serialized view plan, present for MATERIALIZED_VIEW tables. */
     logicalPlan: Option[String] = None,
+    /** The same plan as base64 `substrait.Plan` wire bytes (the
+      * reference's encoding, transform/plans.py) — interop sidecar;
+      * the loader falls back to it when the JSON plan is absent. */
+    logicalPlanSubstrait: Option[String] = None,
     /** For MVs: the SOURCE snapshot id this MV is refreshed up to. */
     mvSourceSnapshotId: Option[Long] = None) {
 

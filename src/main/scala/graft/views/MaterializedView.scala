@@ -26,9 +26,13 @@ import graft.format.{Patch, TableType}
   */
 final class MaterializedView(val spark: SparkSession, val dataset: SpaceDataset) {
 
-  val plan: ViewPlan = ViewPlan.fromJson(
-    dataset.storage.metadata.logicalPlan.getOrElse(
-      throw new IllegalArgumentException(s"${dataset.location} is not a materialized view")))
+  val plan: ViewPlan = {
+    val meta = dataset.storage.metadata
+    meta.logicalPlan.map(ViewPlan.fromJson)
+      .orElse(meta.logicalPlanSubstrait.map(SubstraitPlans.decodeBase64))
+      .getOrElse(throw new IllegalArgumentException(
+        s"${dataset.location} is not a materialized view"))
+  }
 
   def view: View = new View(plan)
 
@@ -128,6 +132,8 @@ object MaterializedView {
     val storage = Storage.create(location, schema, primaryKeys, recordFields,
       tableType = TableType.MaterializedView,
       logicalPlan = Some(view.plan.json),
+      // interop sidecar: the same plan in the reference's wire format
+      logicalPlanSubstrait = Some(SubstraitPlans.encodeBase64(view.plan)),
       conf = spark.sparkContext.hadoopConfiguration)
     new MaterializedView(spark, new SpaceDataset(spark, storage))
   }
