@@ -132,8 +132,10 @@ object MaterializedView {
     val storage = Storage.create(location, schema, primaryKeys, recordFields,
       tableType = TableType.MaterializedView,
       logicalPlan = Some(view.plan.json),
-      // interop sidecar: the same plan in the reference's wire format
-      logicalPlanSubstrait = Some(SubstraitPlans.encodeBase64(view.plan)),
+      // interop sidecar: the same plan in the reference's wire format,
+      // with each source's field-id-carrying schema as ReadRel.base_schema
+      logicalPlanSubstrait = Some(SubstraitPlans.encodeBase64(view.plan,
+        loc => scala.util.Try(SpaceDataset.load(spark, loc).storage.schema).toOption)),
       conf = spark.sparkContext.hadoopConfiguration)
     new MaterializedView(spark, new SpaceDataset(spark, storage))
   }

@@ -104,8 +104,96 @@ object SubstraitPlans {
 
   // ---- encode ----
 
-  /** Encode a (join-free) view plan as `substrait.Plan` bytes. */
-  def encode(plan: ViewPlan): Array[Byte] = {
+  /** ReadRel.base_schema — the reference attaches the source table's
+    * schema as a `NamedStruct` (datasets.py:120-121, built by
+    * schema/substrait.py:35-100): names in depth-first order (list items
+    * contribute no name), one `Type` per field with the FIELD ID stored
+    * in `type_variation_reference` (their documented hack,
+    * substrait.py:102-104), nullability left unspecified. Array element
+    * ids are `list id + 1` (field_ids.py:44-49 — same rule FieldIds
+    * uses). Returns false (emit nothing) when a type has no mapping. */
+  private def namedStruct(w: Writer, schema: org.apache.spark.sql.types.StructType): Boolean = {
+    import org.apache.spark.sql.types._
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    val types = scala.collection.mutable.ArrayBuffer.empty[Writer => Unit]
+    def fieldId(f: StructField): Long =
+      if (f.metadata.contains(graft.format.FieldIds.ParquetFieldId))
+        f.metadata.getLong(graft.format.FieldIds.ParquetFieldId)
+      else graft.format.FieldIds.NullFieldId.toLong
+    // Type{<typeField>: <Concrete>{type_variation_reference: id}}
+    def leaf(typeField: Int, tvr: Long)(t: Writer): Unit =
+      t.msgField(typeField)(c => if (tvr != 0) c.varintField(1, tvr))
+    def typeOf(dt: DataType, id: Long): Option[Writer => Unit] = dt match {
+      case BooleanType => Some(leaf(1, id))
+      case IntegerType => Some(leaf(5, id))
+      case LongType => Some(leaf(7, id))
+      case FloatType => Some(leaf(10, id))
+      case DoubleType => Some(leaf(11, id))
+      case StringType => Some(leaf(12, id))
+      case BinaryType => Some(leaf(13, id))
+      case a: ArrayType =>
+        typeOf(a.elementType, id + 1).map { inner => (t: Writer) =>
+          t.msgField(27) { l =>          // Type.list
+            l.msgField(1)(inner)         // List.type
+            if (id != 0) l.varintField(2, id) // List.type_variation_reference
+          }
+        }
+      case s: StructType =>
+        val members = s.fields.toSeq.map(f => field(f))
+        if (members.exists(_.isEmpty)) None
+        else Some { (t: Writer) =>
+          t.msgField(25) { st =>         // Type.struct
+            members.flatten.foreach(m => st.msgField(1)(m)) // Struct.types
+            if (id != 0) st.varintField(2, id)
+          }
+        }
+      case _ => None
+    }
+    def field(f: StructField): Option[Writer => Unit] = {
+      names += f.name
+      typeOf(f.dataType, fieldId(f))
+    }
+    val all = schema.fields.toSeq.map(field)
+    if (all.exists(_.isEmpty)) false
+    else {
+      names.foreach(w.stringField(1, _))          // NamedStruct.names
+      w.msgField(2) { st =>                       // NamedStruct.struct
+        all.flatten.foreach(t => st.msgField(1)(t)) // Type.Struct.types
+      }
+      true
+    }
+  }
+
+  /** DFS field names of the first ReadRel's base_schema, if present —
+    * introspection/spec helper. */
+  def baseSchemaNames(bytes: Array[Byte]): Option[Seq[String]] = {
+    def findRead(rel: Array[Byte]): Option[Array[Byte]] = {
+      val f = parse(rel)
+      f.headOption match {
+        case Some((1, Right(read))) => Some(read)
+        case Some((2, Right(filt))) => findRead(one(parse(filt), 2, "input"))
+        case Some((7, Right(proj))) => findRead(one(parse(proj), 2, "input"))
+        case _ => None
+      }
+    }
+    val planRel = one(parse(bytes), 3, "Plan.relations")
+    val root = one(parse(planRel), 2, "PlanRel.root")
+    findRead(one(parse(root), 1, "RelRoot.input")).flatMap { read =>
+      sub(parse(read), 2).headOption.map { ns =>
+        sub(parse(ns), 1).map(new String(_, UTF_8))
+      }
+    }
+  }
+
+  /** Encode a (join-free) view plan as `substrait.Plan` bytes.
+    * `schemaOf` supplies a source table's (field-id-carrying) schema so
+    * ReadRel can carry `base_schema` like the reference; tables it
+    * returns None for — or types with no Substrait mapping — just omit
+    * it (the loader only reads `named_table`, udfs.py:260). */
+  def encode(
+      plan: ViewPlan,
+      schemaOf: String => Option[org.apache.spark.sql.types.StructType] = _ => None
+  ): Array[Byte] = {
     var uriAnchor = 0
     var fnAnchor = 0
     // (uriAnchor, fnAnchor, name) per registered function, in plan order
@@ -119,6 +207,11 @@ object SubstraitPlans {
     def relOf(p: ViewPlan, w: Writer): Unit = p match {
       case ReadTable(location) =>
         w.msgField(1) { read =>           // Rel.read
+          schemaOf(location).foreach { schema =>
+            val bs = new Writer
+            if (namedStruct(bs, schema))
+              read.bytesField(2, bs.bytes) // ReadRel.base_schema
+          }
           read.msgField(7) { nt =>        // ReadRel.named_table
             nt.stringField(1, location)   // NamedTable.names
           }
@@ -183,8 +276,10 @@ object SubstraitPlans {
     w.bytes
   }
 
-  def encodeBase64(plan: ViewPlan): String =
-    Base64.getEncoder.encodeToString(encode(plan))
+  def encodeBase64(
+      plan: ViewPlan,
+      schemaOf: String => Option[org.apache.spark.sql.types.StructType] = _ => None): String =
+    Base64.getEncoder.encodeToString(encode(plan, schemaOf))
 
   // ---- decode ----
 

@@ -69,6 +69,25 @@ class SubstraitSpec extends AnyFunSuite {
     assert(countTopLevel(3) == 1, "relations")
   }
 
+  test("base_schema rides in ReadRel and is transparent to the loader") {
+    import org.apache.spark.sql.types._
+    val schema = graft.format.FieldIds.assign(StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("txt", StringType),
+      StructField("meta", StructType(Seq(
+        StructField("w", IntegerType), StructField("v", DoubleType)))),
+      StructField("emb", ArrayType(FloatType)))))
+    val plan = FilterNode("filter_expr", Map("expr" -> "id > 0"), ReadTable("t"))
+    val bytes = SubstraitPlans.encode(plan, loc => Some(schema))
+    // DFS names: list items contribute no name (schema/substrait.py:48-50)
+    assert(SubstraitPlans.baseSchemaNames(bytes).contains(
+      Seq("id", "txt", "meta", "w", "v", "emb")))
+    // the loader reads only named_table — decode is unaffected
+    assert(SubstraitPlans.decode(bytes) == plan)
+    // without a schema resolver there is no base_schema
+    assert(SubstraitPlans.baseSchemaNames(SubstraitPlans.encode(plan)).isEmpty)
+  }
+
   test("join plans refuse substrait encoding, like the reference loader") {
     val j = JoinNode(ReadTable("a"), ReadTable("b"), "k")
     assertThrows[UnsupportedOperationException](SubstraitPlans.encode(j))
@@ -87,6 +106,10 @@ class SubstraitSpec extends AnyFunSuite {
     val mv = v.materialize(spark, s"$loc/mv", Seq("doc_id"))
     val meta = mv.dataset.storage.metadata
     assert(meta.logicalPlanSubstrait.isDefined)
+    // the sidecar carries the SOURCE table's schema as base_schema
+    val wire = java.util.Base64.getDecoder.decode(meta.logicalPlanSubstrait.get)
+    assert(SubstraitPlans.baseSchemaNames(wire)
+      .contains(src.schema.fieldNames.toSeq))
     // the sidecar alone reconstructs the identical plan
     val fromWire = SubstraitPlans.decodeBase64(meta.logicalPlanSubstrait.get)
     assert(fromWire == mv.plan)
