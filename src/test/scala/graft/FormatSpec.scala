@@ -180,4 +180,19 @@ class FormatSpec extends AnyFunSuite {
     assert(bm2.getCardinality == 4 && bm2.contains(1) && bm2.contains(4) && !bm2.contains(5))
     assert(st.changeLog(0L).isEmpty)
   }
+
+  test("metadata without the logicalPlanSubstrait key still parses (pre-round-5 files)") {
+    val loc = tmpTable()
+    val st = Storage.create(loc, schema, Seq("id"))
+    val json = MetadataJson.write(st.metadata)
+    // fresh non-MV metadata must not even serialize the absent option —
+    // i.e. pre-round-5 files and new files are byte-compatible
+    assert(!json.contains("logicalPlanSubstrait"))
+    val meta = MetadataJson.readMetadata(json)
+    assert(meta.logicalPlanSubstrait.isEmpty && meta.currentSnapshotId == 0L)
+    // and a populated sidecar round-trips
+    val withPlan = st.metadata.copy(logicalPlanSubstrait = Some("AAEC"))
+    assert(MetadataJson.readMetadata(MetadataJson.write(withPlan))
+      .logicalPlanSubstrait.contains("AAEC"))
+  }
 }
