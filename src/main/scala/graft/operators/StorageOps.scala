@@ -572,6 +572,42 @@ object StorageOps {
         explode_outer(col("refs")).as("ref"))
     }),
 
+    // append_from: multiple sources land in ONE snapshot (reference
+    // runners.py append_from — patches merged, single commit). The
+    // require pins the one-commit contract the oracle can't see.
+    "s_append_from" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val ds = SpaceDataset.create(s, fresh("afrm"), o.schema, Seq("o_orderkey"))
+      ds.appendFrom(Seq(
+        () => o.filter(col("o_orderkey") % 3 === 0),
+        () => o.filter(col("o_orderkey") % 3 === 1),
+        () => o.filter(col("o_orderkey") % 3 === 2)))
+      require(ds.storage.metadata.currentSnapshotId == 1L,
+        "append_from must produce exactly one snapshot")
+      ds.readAll()
+    }),
+
+    // random access: point reads of a RECORD field by global ordinal
+    // (reference RandomAccessDataSource __getitem__). The table is laid
+    // out in doc_id order in one index file so ordinal == rank(doc_id)
+    // and DuckDB can replay the lookups; the reads themselves go through
+    // the address → record-file → payload path.
+    "s_random_access" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .repartition(1).sortWithinPartitions("doc_id")
+      val ds = SpaceDataset.create(s, fresh("ra"), docs.schema, Seq("doc_id"),
+        recordFields = Seq("payload"))
+      ds.append(docs)
+      val ra = new RandomAccessReader(ds, "payload")
+      val ords = Seq(0L, 7L, 42L, 99L, ra.length - 1)
+      val rows = ords.zip(ra.getBatch(ords)).map { case (o, b) =>
+        (o, new String(b, java.nio.charset.StandardCharsets.UTF_8))
+      }
+      import s.implicits._
+      rows.toDF("ordinal", "text")
+    }),
+
     // the dedup index AS A GRAFT TABLE: the corpus's minhash band keys
     // are committed once (PK (id, band), 24-byte rows — the standing
     // dedup state of the corpus), then an arriving batch is checked by
@@ -737,5 +773,13 @@ object StorageOps {
         |FROM documents
         |WHERE n_chars >= 200 AND doc_id % 10 != 3""".stripMargin,
     // identical semantics to the in-flight variant — one oracle for both
-    "s_dedup_index" -> Pipeline.oracleSql("d_dedup_incr"))
+    "s_dedup_index" -> Pipeline.oracleSql("d_dedup_incr"),
+    "s_append_from" -> "SELECT * FROM orders",
+    "s_random_access" ->
+      """WITH r AS (
+        |  SELECT text, row_number() OVER (ORDER BY doc_id) - 1 AS ordinal
+        |  FROM documents)
+        |SELECT ordinal, text FROM r
+        |WHERE ordinal IN (0, 7, 42, 99)
+        |   OR ordinal = (SELECT count(*) - 1 FROM documents)""".stripMargin)
 }
