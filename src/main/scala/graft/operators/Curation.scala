@@ -202,10 +202,12 @@ object Curation {
     // sharing a 3-shingle with the benchmark split) → quality gate
     // (score ≥ 0.3) → deterministic train split (80%) → pack survivors
     // into 2048-token context windows. One oracle replays the whole
-    // chain, proving the stages compose without hidden re-ordering:
-    // every stage is a filter or a keyed agg, so Catalyst fuses the
-    // filters into one pass over the corpus and the only shuffles are
-    // the decontamination count and pack_chunks' two-level prefix sum.
+    // chain. The cleaned corpus is PERSISTED before layout: pack_chunks
+    // references its input several times (two windows + join-back), and
+    // without the materialization Catalyst re-executes the whole
+    // decontaminate+gate subtree per reference — the plan-level reason
+    // real pipelines checkpoint between the filter phase and the layout
+    // phase (at 100 TB: write the cleaned corpus to a table, then pack).
     "d_e2e_pipeline" -> ((s, d) => {
       val all = docs(s, d)
       val nonBench = all.filter(pmod(col("doc_id"), lit(97)) =!= 0)
@@ -220,8 +222,10 @@ object Curation {
         .join(contaminated, Seq("doc_id"), "left_anti")
         .filter(TF.qualityScore(col("text")) >= 0.3)
         .filter(mixBucket(col("doc_id"), 1000) < 800)
-      packChunks(train.select(col("doc_id"), col("source"),
-        TF.approxBpeTokenCount(col("text")).cast("long").as("n_tok")))
+        .select(col("doc_id"), col("source"),
+          TF.approxBpeTokenCount(col("text")).cast("long").as("n_tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      packChunks(train)
     }))
 
   // shared by Spark + DuckDB sides (Java regex and RE2 agree on these)
