@@ -14,6 +14,14 @@ for t in ["region","nation","customer","supplier","part","orders",
 
 oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
 
+# Verify records crashed queries here (and exits non-zero); a query that
+# CRASHED must grade as FAIL, not SKIP — a missing dump is only benign
+# when the run was deliberately restricted to other queries.
+try:
+    verify_errors = json.load(open(f"{out_dir}/_errors.json"))
+except Exception:
+    verify_errors = {}
+
 def norm(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -30,6 +38,10 @@ def norm(rows, cols):
 
 fails = 0
 for name, sql in sorted(oracles.items()):
+    if name in verify_errors:
+        print(f"FAIL {name}: Verify crashed — {verify_errors[name][:200]}")
+        fails += 1
+        continue
     # a restricted Verify run (trailing query names) dumps a subset;
     # only grade what was dumped
     if not os.path.isdir(f"{out_dir}/{name}"):

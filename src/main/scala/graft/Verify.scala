@@ -26,6 +26,10 @@ object Verify {
     // stderr line plus a missing dump just silently shrinks the gate.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     selected.foreach { case (name, fn) =>
+      // each query self-contained: drop blocks persisted by previous
+      // queries (dedup/LSH signature frames, the e2e pipeline's cleaned
+      // corpus) so 100+ queries don't accumulate cache pressure
+      spark.catalog.clearCache()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -34,18 +38,11 @@ object Verify {
         System.err.println(s"[verify] $name FAILED — $msg")
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // JSON string escape (shared Jsons.escape): backslash, quote, and
+    // ALL control chars (<0x20) — a tab or CR in builder-authored SQL
+    // would otherwise make the driver's json.load fail and silently
+    // zero the round's correctness.
+    def q(s: String): String = graft.format.Jsons.escape(s)
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

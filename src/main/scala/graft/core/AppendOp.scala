@@ -81,7 +81,14 @@ object AppendOp {
     // `spark.graft.pkBloomFilters=false` opts a write-heavy pipeline out
     // (e.g. bulk ingest that will be compacted/clustered anyway)
     val bloomEnabled = spark.conf
-      .getOption("spark.graft.pkBloomFilters").forall(_.toBoolean)
+      .getOption("spark.graft.pkBloomFilters").forall { v =>
+        v.trim.toLowerCase match {
+          case "true" => true
+          case "false" => false
+          case other => throw new IllegalArgumentException(
+            s"spark.graft.pkBloomFilters must be true or false, got '$other'")
+        }
+      }
     val bloomCols =
       if (!bloomEnabled) Nil
       else storage.primaryKeys.filter(c =>

@@ -21,9 +21,17 @@ import scala.collection.immutable.SortedMap
   * each value an array (scalars are accepted on serialize and wrapped).
   * Mapping: JSON strings → `bytes_list` (UTF-8), integral numbers →
   * `int64_list`, other numbers → `float_list` (binary32, the proto's
-  * precision). Deserialize is canonical: keys sorted, values always
-  * arrays — so serialize∘deserialize is the identity on proto bytes and
-  * deserialize∘serialize is the identity on canonical JSON.
+  * precision). `bytes_list` values that are NOT valid UTF-8 (image /
+  * audio payloads — the common TFDS case) deserialize as
+  * `"base64:<data>"` strings, and a JSON string with that prefix
+  * serializes back to the raw bytes: every byte payload round-trips
+  * losslessly; the prefix is reserved (a literal UTF-8 string starting
+  * with `base64:` also gets re-encoded through the same form, keeping
+  * the mapping bijective). Deserialize is canonical: keys sorted,
+  * values always arrays — so serialize∘deserialize is the identity on
+  * proto bytes and deserialize∘serialize is the identity on canonical
+  * JSON. Both packed and unpacked encodings of the repeated numeric
+  * lists are accepted on read, as the proto spec requires.
   *
   * Wire schema (tensorflow/core/example/{example,feature}.proto):
   * {{{
@@ -59,11 +67,37 @@ object TfExampleSerializer extends FieldSerializer {
     out.toByteArray
   }
 
+  /** Reserved JSON prefix for non-UTF-8 byte payloads. */
+  private val B64Prefix = "base64:"
+
+  private def featureBytes(s: String): Array[Byte] =
+    if (s.startsWith(B64Prefix))
+      java.util.Base64.getDecoder.decode(s.substring(B64Prefix.length))
+    else s.getBytes(StandardCharsets.UTF_8)
+
+  private def featureString(b: Array[Byte], from: Int, to: Int): String = {
+    val slice = java.util.Arrays.copyOfRange(b, from, to)
+    val dec = StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try {
+      val s = dec.decode(ByteBuffer.wrap(slice)).toString
+      // keep the mapping bijective: a literal string carrying the
+      // reserved prefix is itself re-encoded through base64 form
+      if (s.startsWith(B64Prefix))
+        B64Prefix + java.util.Base64.getEncoder.encodeToString(slice)
+      else s
+    } catch {
+      case _: java.nio.charset.CharacterCodingException =>
+        B64Prefix + java.util.Base64.getEncoder.encodeToString(slice)
+    }
+  }
+
   private def encodeFeature(f: FeatureValue): Array[Byte] = {
     val list = new ByteArrayOutputStream()
     val fieldNo = f match {
       case BytesFeature(vs) =>
-        vs.foreach(v => writeLenDelim(list, 1, v.getBytes(StandardCharsets.UTF_8)))
+        vs.foreach(v => writeLenDelim(list, 1, featureBytes(v)))
         1
       case FloatFeature(vs) =>
         val bb = ByteBuffer.allocate(4 * vs.size).order(ByteOrder.LITTLE_ENDIAN)
@@ -85,14 +119,15 @@ object TfExampleSerializer extends FieldSerializer {
 
   def deserialize(bytes: Array[Byte]): Array[Byte] = {
     var features = SortedMap.empty[String, FeatureValue]
-    forEachField(bytes, 0, bytes.length) { (no, body, from, to) =>
-      if (no == 1) forEachField(body, from, to) { (no2, b2, f2, t2) =>
-        if (no2 == 1) { // one map entry
+    forEachField(bytes, 0, bytes.length) { (no, w, _, body, from, to) =>
+      if (no == 1 && w == 2) forEachField(body, from, to) { (no2, w2, _, b2, f2, t2) =>
+        if (no2 == 1 && w2 == 2) { // one map entry
           var key = ""
           var value: FeatureValue = BytesFeature(Nil)
-          forEachField(b2, f2, t2) { (no3, b3, f3, t3) =>
-            if (no3 == 1) key = new String(b3, f3, t3 - f3, StandardCharsets.UTF_8)
-            else if (no3 == 2) value = decodeFeature(b3, f3, t3)
+          forEachField(b2, f2, t2) { (no3, w3, _, b3, f3, t3) =>
+            if (no3 == 1 && w3 == 2)
+              key = new String(b3, f3, t3 - f3, StandardCharsets.UTF_8)
+            else if (no3 == 2 && w3 == 2) value = decodeFeature(b3, f3, t3)
           }
           features += key -> value
         }
@@ -103,27 +138,28 @@ object TfExampleSerializer extends FieldSerializer {
 
   private def decodeFeature(b: Array[Byte], from: Int, to: Int): FeatureValue = {
     var out: FeatureValue = BytesFeature(Nil)
-    forEachField(b, from, to) { (no, body, f, t) =>
+    forEachField(b, from, to) { (no, w, _, body, f, t) =>
       no match {
-        case 1 => // BytesList: repeated len-delimited
+        case 1 if w == 2 => // BytesList: repeated len-delimited
           val vs = List.newBuilder[String]
-          forEachField(body, f, t) { (n2, b2, f2, t2) =>
-            if (n2 == 1) vs += new String(b2, f2, t2 - f2, StandardCharsets.UTF_8)
+          forEachField(body, f, t) { (n2, w2, _, b2, f2, t2) =>
+            if (n2 == 1 && w2 == 2) vs += featureString(b2, f2, t2)
           }
           out = BytesFeature(vs.result())
-        case 2 => // FloatList: packed fixed32
+        case 2 if w == 2 => // FloatList: packed or unpacked fixed32
           val vs = List.newBuilder[Float]
-          forEachField(body, f, t) { (n2, b2, f2, t2) =>
-            if (n2 == 1) {
+          forEachField(body, f, t) { (n2, w2, _, b2, f2, t2) =>
+            if (n2 == 1 && (w2 == 2 || w2 == 5)) {
               val bb = ByteBuffer.wrap(b2, f2, t2 - f2).order(ByteOrder.LITTLE_ENDIAN)
               while (bb.remaining() >= 4) vs += bb.getFloat
             }
           }
           out = FloatFeature(vs.result())
-        case 3 => // Int64List: packed varints
+        case 3 if w == 2 => // Int64List: packed or unpacked varints
           val vs = List.newBuilder[Long]
-          forEachField(body, f, t) { (n2, b2, f2, t2) =>
-            if (n2 == 1) {
+          forEachField(body, f, t) { (n2, w2, v2, b2, f2, t2) =>
+            if (n2 == 1 && w2 == 0) vs += v2
+            else if (n2 == 1 && w2 == 2) {
               var p = f2
               while (p < t2) { val (v, np) = readVarint(b2, p); vs += v; p = np }
             }
@@ -137,50 +173,43 @@ object TfExampleSerializer extends FieldSerializer {
 
   // ------------------------------------------- minimal proto wire I/O
 
-  /** Walk the length-delimited fields of a message slice. Only wire type
-    * 2 (LEN) occurs in the Example schema; varint fields are tolerated
-    * and skipped so foreign protos fail soft, not with a corrupt read. */
+  /** Walk the fields of a message slice. LEN fields (wire 2) pass their
+    * body slice; varint fields (wire 0) pass the decoded value with
+    * from == to; fixed32/fixed64 pass their 4/8-byte slice. Delivering
+    * ALL wire types matters: repeated int64/float list values are legal
+    * in BOTH packed (one LEN body) and unpacked (one scalar field per
+    * element) encodings, and a conformant reader must accept both. */
   private def forEachField(b: Array[Byte], from: Int, to: Int)(
-      f: (Int, Array[Byte], Int, Int) => Unit): Unit = {
+      f: (Int, Int, Long, Array[Byte], Int, Int) => Unit): Unit = {
     var p = from
     while (p < to) {
       val (tag, p1) = readVarint(b, p)
       val fieldNo = (tag >> 3).toInt
-      (tag & 7) match {
+      val wire = (tag & 7).toInt
+      wire match {
         case 2 =>
           val (len, p2) = readVarint(b, p1)
-          f(fieldNo, b, p2, p2 + len.toInt)
+          f(fieldNo, 2, 0L, b, p2, p2 + len.toInt)
           p = p2 + len.toInt
-        case 0 => p = readVarint(b, p1)._2 // skip varint field
-        case 5 => p = p1 + 4               // skip fixed32
-        case 1 => p = p1 + 8               // skip fixed64
+        case 0 =>
+          val (v, p2) = readVarint(b, p1)
+          f(fieldNo, 0, v, b, p2, p2)
+          p = p2
+        case 5 => f(fieldNo, 5, 0L, b, p1, p1 + 4); p = p1 + 4
+        case 1 => f(fieldNo, 1, 0L, b, p1, p1 + 8); p = p1 + 8
         case w => throw new IllegalArgumentException(
           s"unsupported wire type $w in tf.train.Example bytes")
       }
     }
   }
 
-  private def writeLenDelim(out: ByteArrayOutputStream, fieldNo: Int, body: Array[Byte]): Unit = {
-    writeVarint(out, (fieldNo.toLong << 3) | 2L)
-    writeVarint(out, body.length.toLong)
-    out.write(body, 0, body.length)
-  }
-
-  private def writeVarint(out: ByteArrayOutputStream, v0: Long): Unit = {
-    var v = v0
-    while ((v & ~0x7FL) != 0L) { out.write(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
-    out.write((v & 0x7F).toInt)
-  }
-
-  private def readVarint(b: Array[Byte], from: Int): (Long, Int) = {
-    var v = 0L; var shift = 0; var p = from
-    while ({
-      val x = b(p) & 0xFF
-      v |= (x & 0x7FL) << shift; shift += 7; p += 1
-      (x & 0x80) != 0
-    }) ()
-    (v, p)
-  }
+  // varint/tag primitives shared with the Substrait codec
+  private def writeLenDelim(out: ByteArrayOutputStream, fieldNo: Int, body: Array[Byte]): Unit =
+    ProtoWire.writeLenDelim(out, fieldNo, body)
+  private def writeVarint(out: ByteArrayOutputStream, v: Long): Unit =
+    ProtoWire.writeVarint(out, v)
+  private def readVarint(b: Array[Byte], from: Int): (Long, Int) =
+    ProtoWire.readVarint(b, from)
 
   // ------------------------------------------------ tiny JSON (no deps)
 
@@ -287,18 +316,5 @@ object TfExampleSerializer extends FieldSerializer {
       s"${jsonStr(k)}:$arr"
     }.mkString("{", ",", "}")
 
-  private def jsonStr(s: String): String = {
-    val sb = new StringBuilder("\"")
-    s.foreach {
-      case '"' => sb ++= "\\\""
-      case '\\' => sb ++= "\\\\"
-      case '\n' => sb ++= "\\n"
-      case '\r' => sb ++= "\\r"
-      case '\t' => sb ++= "\\t"
-      case c if c < ' ' => sb ++= f"\\u${c.toInt}%04x"
-      case c => sb += c
-    }
-    sb += '"'
-    sb.result()
-  }
+  private def jsonStr(s: String): String = Jsons.escape(s)
 }

@@ -50,16 +50,10 @@ object SubstraitPlans {
 
   private final class Writer {
     val out = new ByteArrayOutputStream()
-    def varint(v: Long): Unit = {
-      var x = v
-      while ((x & ~0x7fL) != 0) { out.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
-      out.write(x.toInt)
-    }
-    def tag(field: Int, wire: Int): Unit = varint((field.toLong << 3) | wire)
-    def varintField(field: Int, v: Long): Unit = { tag(field, 0); varint(v) }
-    def bytesField(field: Int, b: Array[Byte]): Unit = {
-      tag(field, 2); varint(b.length.toLong); out.write(b)
-    }
+    def varintField(field: Int, v: Long): Unit =
+      graft.format.ProtoWire.writeVarintField(out, field, v)
+    def bytesField(field: Int, b: Array[Byte]): Unit =
+      graft.format.ProtoWire.writeLenDelim(out, field, b)
     def stringField(field: Int, s: String): Unit = bytesField(field, s.getBytes(UTF_8))
     def msgField(field: Int)(body: Writer => Unit): Unit = {
       val w = new Writer; body(w); bytesField(field, w.out.toByteArray)
@@ -74,10 +68,8 @@ object SubstraitPlans {
     val res = scala.collection.mutable.ArrayBuffer.empty[(Int, Either[Long, Array[Byte]])]
     var i = 0
     def varint(): Long = {
-      var v = 0L; var shift = 0
-      while ({ val b = buf(i); i += 1; v |= (b & 0x7fL) << shift; shift += 7
-               (b & 0x80) != 0 }) ()
-      v
+      val (v, next) = graft.format.ProtoWire.readVarint(buf, i)
+      i = next; v
     }
     while (i < buf.length) {
       val t = varint(); val field = (t >>> 3).toInt

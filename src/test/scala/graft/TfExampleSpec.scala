@@ -78,4 +78,55 @@ class TfExampleSpec extends AnyFunSuite {
     assert(back.count() == 50)
     assert(back.filter(col("id_back") =!= col("doc_id")).isEmpty)
   }
+
+  test("non-UTF-8 byte payloads round-trip via the base64: form") {
+    // wire-build an Example with a bytes_list holding raw PNG-ish bytes
+    def lenDelim(field: Int, body: Array[Byte]): Array[Byte] =
+      Array(((field << 3) | 2).toByte, body.length.toByte) ++ body
+    val raw = Array(0x89.toByte, 0x50.toByte, 0x4E.toByte, 0xFF.toByte, 0x00.toByte)
+    val feature = lenDelim(1, lenDelim(1, raw))                 // BytesList
+    val entry = lenDelim(1, "img".getBytes(StandardCharsets.UTF_8)) ++
+      lenDelim(2, feature)
+    val example = lenDelim(1, lenDelim(1, entry))
+    val json = new String(TfExampleSerializer.deserialize(example),
+      StandardCharsets.UTF_8)
+    val b64 = java.util.Base64.getEncoder.encodeToString(raw)
+    assert(json == s"""{"img":["base64:$b64"]}""", json)
+    // and serialize restores the EXACT original bytes (identity on wire)
+    assert(TfExampleSerializer.serialize(json.getBytes(StandardCharsets.UTF_8))
+      .toSeq == example.toSeq)
+    // a literal string that happens to carry the prefix stays bijective
+    val lit = """{"k":["base64:aGk="]}""" // decodes to "hi"
+    val rt = new String(TfExampleSerializer.deserialize(
+      TfExampleSerializer.serialize(lit.getBytes(StandardCharsets.UTF_8))),
+      StandardCharsets.UTF_8)
+    assert(rt == """{"k":["hi"]}""", rt) // canonical form of the same bytes
+  }
+
+  test("unpacked repeated int64/float list encodings are accepted") {
+    def lenDelim(field: Int, body: Array[Byte]): Array[Byte] =
+      Array(((field << 3) | 2).toByte, body.length.toByte) ++ body
+    // Int64List{value: 1, 2, 300} UNPACKED: three varint fields (wire 0)
+    val unpackedInts = Array(
+      (1 << 3).toByte, 1.toByte,
+      (1 << 3).toByte, 2.toByte,
+      (1 << 3).toByte, 0xAC.toByte, 0x02.toByte) // 300 varint
+    val intFeature = lenDelim(3, unpackedInts)
+    // FloatList{value: 1.5f} UNPACKED: one fixed32 field (wire 5)
+    val bb = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putFloat(1.5f)
+    val unpackedFloat = Array(((1 << 3) | 5).toByte) ++ bb.array()
+    val floatFeature = lenDelim(2, unpackedFloat)
+    def exampleWith(key: String, feature: Array[Byte]): Array[Byte] = {
+      val entry = lenDelim(1, key.getBytes(StandardCharsets.UTF_8)) ++
+        lenDelim(2, feature)
+      lenDelim(1, lenDelim(1, entry))
+    }
+    val ints = new String(TfExampleSerializer.deserialize(
+      exampleWith("n", intFeature)), StandardCharsets.UTF_8)
+    assert(ints == """{"n":[1,2,300]}""", ints)
+    val floats = new String(TfExampleSerializer.deserialize(
+      exampleWith("f", floatFeature)), StandardCharsets.UTF_8)
+    assert(floats == """{"f":[1.5]}""", floats)
+  }
 }
