@@ -31,15 +31,22 @@ object RangeJoin {
   /** `points` × `ranges` where `pointCol ∈ [startCol, endCol)`.
     * All three columns must be integral (epoch seconds, addresses, …);
     * `bucketWidth` trades replication (`~span/width` copies per range)
-    * against residual-filter selectivity within a bucket. */
+    * against residual-filter selectivity within a bucket.
+    * `maxBucketsPerRange` is the loud-failure backstop against runaway
+    * replication: a single range spanning more buckets than this (a
+    * bucketWidth orders of magnitude below the real spans, or a corrupt
+    * `endCol`) raises at runtime instead of silently exploding one row
+    * into millions of shuffle keys. */
   def rangeJoin(
       points: DataFrame,
       pointCol: String,
       ranges: DataFrame,
       startCol: String,
       endCol: String,
-      bucketWidth: Long): DataFrame = {
+      bucketWidth: Long,
+      maxBucketsPerRange: Long = 16384L): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxBucketsPerRange > 0, "maxBucketsPerRange must be positive")
     val p = points.withColumn("__bkt", expr(s"`$pointCol` div $bucketWidth"))
     // Empty/inverted ranges ([start, end) with end <= start) match
     // nothing — drop them BEFORE the explode: sequence(a, b) with b < a
@@ -48,11 +55,19 @@ object RangeJoin {
     // (Correctness for well-formed ranges, including negative domains,
     // rests only on `div` being monotone: start <= p < end implies the
     // point's bucket lies within the range's covered-bucket interval.)
+    val startBkt = expr(s"`$startCol` div $bucketWidth")
+    val endBkt = expr(s"(`$endCol` - 1) div $bucketWidth")
+    // the guard rides INSIDE sequence's upper bound so column pruning
+    // can never eliminate it
+    val endGuarded = when(endBkt - startBkt >= maxBucketsPerRange,
+      raise_error(format_string(
+        s"range [%s, %s) spans more than $maxBucketsPerRange buckets at " +
+          s"bucketWidth=$bucketWidth — raise bucketWidth or maxBucketsPerRange",
+        col(startCol), col(endCol))).cast("long"))
+      .otherwise(endBkt)
     val r = ranges
       .filter(col(endCol) > col(startCol))
-      .withColumn("__bkt", explode(sequence(
-        expr(s"`$startCol` div $bucketWidth"),
-        expr(s"(`$endCol` - 1) div $bucketWidth"))))
+      .withColumn("__bkt", explode(sequence(startBkt, endGuarded)))
     p.join(r, Seq("__bkt"))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bkt")

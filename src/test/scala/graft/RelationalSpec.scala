@@ -69,6 +69,24 @@ class RelationalSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("range join fails loudly when one range explodes past the bucket cap") {
+    import org.apache.spark.sql.functions._
+    val points = spark.range(0, 10).toDF("p")
+    val ranges = spark.range(0, 1).toDF("rid")
+      .withColumn("s", lit(0L)).withColumn("e", lit(1000000L))
+    val joined = operators.RangeJoin.rangeJoin(
+      points, "p", ranges, "s", "e", bucketWidth = 1L, maxBucketsPerRange = 1000L)
+    val ex = intercept[Exception](joined.count())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => String.valueOf(e.getMessage) +: messages(e.getCause))
+    assert(messages(ex).exists(_.contains("spans more than 1000 buckets")),
+      messages(ex).mkString(" | "))
+    // within the cap, the same call works
+    val ok = operators.RangeJoin.rangeJoin(
+      points, "p", ranges, "s", "e", bucketWidth = 10000L, maxBucketsPerRange = 1000L)
+    assert(ok.count() == 10)
+  }
+
   test("range join fuzz: random widths/domains (incl. negative + empty ranges) match naive") {
     import org.apache.spark.sql.functions._
     val rnd = new scala.util.Random(42)
