@@ -71,11 +71,24 @@ object TfExampleSerializer extends FieldSerializer {
   private val B64Prefix = "base64:"
 
   private def featureBytes(s: String): Array[Byte] =
-    if (s.startsWith(B64Prefix))
-      java.util.Base64.getDecoder.decode(s.substring(B64Prefix.length))
-    else s.getBytes(StandardCharsets.UTF_8)
+    if (s.startsWith(B64Prefix)) {
+      // a literal string that merely STARTS with the prefix but isn't
+      // valid base64 (e.g. "base64: see attachment", written by the
+      // pre-prefix codec) must stay a literal, not crash
+      try java.util.Base64.getDecoder.decode(s.substring(B64Prefix.length))
+      catch { case _: IllegalArgumentException => s.getBytes(StandardCharsets.UTF_8) }
+    } else s.getBytes(StandardCharsets.UTF_8)
 
   private def featureString(b: Array[Byte], from: Int, to: Int): String = {
+    // fast path: pure-ASCII slices (the overwhelmingly common case) are
+    // always valid UTF-8 — no decoder object, no copy
+    var i = from
+    var ascii = true
+    while (ascii && i < to) { if ((b(i) & 0x80) != 0) ascii = false; i += 1 }
+    if (ascii) {
+      val s = new String(b, from, to - from, StandardCharsets.US_ASCII)
+      if (!s.startsWith(B64Prefix)) return s
+    }
     val slice = java.util.Arrays.copyOfRange(b, from, to)
     val dec = StandardCharsets.UTF_8.newDecoder()
       .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
@@ -189,6 +202,11 @@ object TfExampleSerializer extends FieldSerializer {
       wire match {
         case 2 =>
           val (len, p2) = readVarint(b, p1)
+          // a declared length past the buffer is CORRUPTION and must be
+          // loud — copyOfRange would silently zero-pad the slice
+          if (len < 0 || p2 + len > to) throw new IllegalArgumentException(
+            s"truncated tf.train.Example: field $fieldNo declares $len bytes " +
+              s"but only ${to - p2} remain")
           f(fieldNo, 2, 0L, b, p2, p2 + len.toInt)
           p = p2 + len.toInt
         case 0 =>

@@ -58,8 +58,12 @@ object RangeJoin {
     val startBkt = expr(s"`$startCol` div $bucketWidth")
     val endBkt = expr(s"(`$endCol` - 1) div $bucketWidth")
     // the guard rides INSIDE sequence's upper bound so column pruning
-    // can never eliminate it
-    val endGuarded = when(endBkt - startBkt >= maxBucketsPerRange,
+    // can never eliminate it. endBkt >= startBkt is guaranteed by the
+    // end > start filter + div monotonicity, so a NEGATIVE difference
+    // can only mean 64-bit overflow (full-address-space domains) — trip
+    // the guard then too, instead of letting sequence() die opaquely.
+    val span = endBkt - startBkt
+    val endGuarded = when(span < 0L || span >= maxBucketsPerRange,
       raise_error(format_string(
         s"range [%s, %s) spans more than $maxBucketsPerRange buckets at " +
           s"bucketWidth=$bucketWidth — raise bucketWidth or maxBucketsPerRange",

@@ -79,15 +79,19 @@ class TfExampleSpec extends AnyFunSuite {
     assert(back.filter(col("id_back") =!= col("doc_id")).isEmpty)
   }
 
-  test("non-UTF-8 byte payloads round-trip via the base64: form") {
-    // wire-build an Example with a bytes_list holding raw PNG-ish bytes
-    def lenDelim(field: Int, body: Array[Byte]): Array[Byte] =
-      Array(((field << 3) | 2).toByte, body.length.toByte) ++ body
-    val raw = Array(0x89.toByte, 0x50.toByte, 0x4E.toByte, 0xFF.toByte, 0x00.toByte)
-    val feature = lenDelim(1, lenDelim(1, raw))                 // BytesList
-    val entry = lenDelim(1, "img".getBytes(StandardCharsets.UTF_8)) ++
+  // wire-building helpers shared by the hand-rolled-bytes tests
+  private def lenDelim(field: Int, body: Array[Byte]): Array[Byte] =
+    Array(((field << 3) | 2).toByte, body.length.toByte) ++ body
+  private def exampleWith(key: String, feature: Array[Byte]): Array[Byte] = {
+    val entry = lenDelim(1, key.getBytes(StandardCharsets.UTF_8)) ++
       lenDelim(2, feature)
-    val example = lenDelim(1, lenDelim(1, entry))
+    lenDelim(1, lenDelim(1, entry))
+  }
+
+  test("non-UTF-8 byte payloads round-trip via the base64: form") {
+    // an Example with a bytes_list holding raw PNG-ish bytes
+    val raw = Array(0x89.toByte, 0x50.toByte, 0x4E.toByte, 0xFF.toByte, 0x00.toByte)
+    val example = exampleWith("img", lenDelim(1, lenDelim(1, raw)))
     val json = new String(TfExampleSerializer.deserialize(example),
       StandardCharsets.UTF_8)
     val b64 = java.util.Base64.getEncoder.encodeToString(raw)
@@ -104,8 +108,6 @@ class TfExampleSpec extends AnyFunSuite {
   }
 
   test("unpacked repeated int64/float list encodings are accepted") {
-    def lenDelim(field: Int, body: Array[Byte]): Array[Byte] =
-      Array(((field << 3) | 2).toByte, body.length.toByte) ++ body
     // Int64List{value: 1, 2, 300} UNPACKED: three varint fields (wire 0)
     val unpackedInts = Array(
       (1 << 3).toByte, 1.toByte,
@@ -117,16 +119,35 @@ class TfExampleSpec extends AnyFunSuite {
       .order(java.nio.ByteOrder.LITTLE_ENDIAN).putFloat(1.5f)
     val unpackedFloat = Array(((1 << 3) | 5).toByte) ++ bb.array()
     val floatFeature = lenDelim(2, unpackedFloat)
-    def exampleWith(key: String, feature: Array[Byte]): Array[Byte] = {
-      val entry = lenDelim(1, key.getBytes(StandardCharsets.UTF_8)) ++
-        lenDelim(2, feature)
-      lenDelim(1, lenDelim(1, entry))
-    }
     val ints = new String(TfExampleSerializer.deserialize(
       exampleWith("n", intFeature)), StandardCharsets.UTF_8)
     assert(ints == """{"n":[1,2,300]}""", ints)
     val floats = new String(TfExampleSerializer.deserialize(
       exampleWith("f", floatFeature)), StandardCharsets.UTF_8)
     assert(floats == """{"f":[1.5]}""", floats)
+  }
+
+  test("a literal string merely starting with base64: stays a literal") {
+    // written by the pre-prefix codec: NOT valid base64 after the colon
+    val json = """{"note":["base64: see attachment"]}"""
+    val wire = TfExampleSerializer.serialize(json.getBytes(StandardCharsets.UTF_8))
+    val back = new String(TfExampleSerializer.deserialize(wire), StandardCharsets.UTF_8)
+    // canonical form re-encodes the reserved prefix through base64, but
+    // the BYTES round-trip losslessly (serialize of the canonical form
+    // restores the identical wire bytes)
+    val b64 = java.util.Base64.getEncoder
+      .encodeToString("base64: see attachment".getBytes(StandardCharsets.UTF_8))
+    assert(back == s"""{"note":["base64:$b64"]}""", back)
+    assert(TfExampleSerializer.serialize(back.getBytes(StandardCharsets.UTF_8))
+      .toSeq == wire.toSeq)
+  }
+
+  test("truncated wire bytes fail loudly instead of zero-padding") {
+    val raw = Array(0x89.toByte, 0xFF.toByte, 0x01.toByte)
+    val example = exampleWith("img", lenDelim(1, lenDelim(1, raw)))
+    val truncated = example.dropRight(2) // cut into the declared payload
+    val e = intercept[IllegalArgumentException](
+      TfExampleSerializer.deserialize(truncated))
+    assert(e.getMessage.contains("truncated"), e.getMessage)
   }
 }
