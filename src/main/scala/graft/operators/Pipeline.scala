@@ -179,6 +179,29 @@ object Pipeline {
       counts.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 100)
         .select(col("token"), col("freq"), col("rank"))
+    }),
+
+    // unigram-surprisal quality signals: each token scored by its corpus
+    // rarity (−log2 p̂), each doc summarized by ORDER STATISTICS (max and
+    // exact median) — deliberately not a float SUM, whose partial-agg
+    // order differs across engines and would break the hash-exact
+    // oracle. Scale: the corpus-model side is the word-count plan
+    // (map-side combined, one row per distinct token); scoring is a join
+    // of the exploded corpus against that model — broadcast when the
+    // vocabulary fits, shuffle-by-token otherwise — then one groupBy(doc).
+    // This is the cheap half of a perplexity filter; swap the unigram
+    // model for KenLM scores and the plan shape is unchanged.
+    "d_surprisal" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+      val model = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      val total = toks.count() // model size, computed once (driver scalar)
+      toks.join(model, Seq("token"))
+        .withColumn("surp", -log2(col("cnt").cast("double") / total.toDouble))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          round(max(col("surp")), 4).as("max_surprisal"),
+          round(expr("percentile(surp, 0.5)"), 4).as("median_surprisal"))
     }))
 
   // DuckDB lambda/list SQL mirroring the Spark semantics exactly.
@@ -241,6 +264,19 @@ object Pipeline {
          |        row_number() OVER (ORDER BY freq DESC, token ASC) AS rank
          |      FROM c)
          |SELECT token, freq, rank FROM r WHERE rank <= 100""".stripMargin,
+    "d_surprisal" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($tokensSql) AS token FROM documents),
+         |model AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+         |total AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM toks),
+         |scored AS (
+         |  SELECT k.doc_id,
+         |    -log2(CAST(m.cnt AS DOUBLE) / (SELECT t FROM total)) AS surp
+         |  FROM toks k JOIN model m USING (token))
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  round(max(surp), 4) AS max_surprisal,
+         |  round(quantile_cont(surp, 0.5), 4) AS median_surprisal
+         |FROM scored GROUP BY doc_id""".stripMargin,
     "d_dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

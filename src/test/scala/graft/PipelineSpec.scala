@@ -123,6 +123,23 @@ class PipelineSpec extends AnyFunSuite {
     } finally { sample.unpersist(); () }
   }
 
+  test("surprisal: rare tokens score high, every doc is scored, bounds hold") {
+    val out = operators.Pipeline.queries("d_surprisal")(spark, sfDir).cache()
+    try {
+      val n = docs.count()
+      assert(out.count() == n)
+      // surprisal of any token is in (0, log2(totalTokens)]: max when a
+      // token occurs once, near 0 for a token that is most of the corpus
+      val totalToks = docs.select(explode(
+        graft.functions.TextFunctions.tokens(col("text"))).as("t")).count()
+      val bound = math.log(totalToks.toDouble) / math.log(2.0) + 1e-6
+      assert(out.filter(col("max_surprisal") <= 0 ||
+        col("max_surprisal") > bound).count() == 0)
+      // median ≤ max always
+      assert(out.filter(col("median_surprisal") > col("max_surprisal")).count() == 0)
+    } finally { out.unpersist(); () }
+  }
+
   test("int8 quantization bounds codes and reconstruction error") {
     val q = Similarity.quantizeInt8(embeddings, "embedding", "vec_id").cache()
     try {
