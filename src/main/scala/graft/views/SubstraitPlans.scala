@@ -46,6 +46,11 @@ object SubstraitPlans {
   /** plans.py:34 — the UDF extension URI of the reference. */
   val SimpleUdfUri = "urn:space:substrait_simple_extension_function"
 
+  private def paramEsc(s: String): String =
+    s.replace("%", "%25").replace("=", "%3D")
+  private def paramUnesc(s: String): String =
+    s.replace("%3D", "=").replace("%25", "%")
+
   // ---- protobuf wire primitives ----
 
   private final class Writer {
@@ -237,7 +242,9 @@ object SubstraitPlans {
           t.msgField(1)(_ => ())                    // Type.bool = Boolean{}
         }
         params.toSeq.sortBy(_._1).foreach { case (k, v) =>
-          sf.msgField(4)(_.stringField(1, s"$k=$v")) // arguments += {enum:}
+          // '=' separates key from value, so both sides percent-escape
+          // '%' and '=' — a key containing '=' must survive the split
+          sf.msgField(4)(_.stringField(1, s"${paramEsc(k)}=${paramEsc(v)}"))
         }
       }
 
@@ -317,7 +324,8 @@ object SubstraitPlans {
       val params = sub(sf, 4).flatMap { arg =>
         sub(parse(arg), 1).map(new String(_, UTF_8)).map { s =>
           val i = s.indexOf('=')
-          if (i < 0) s -> "" else s.take(i) -> s.drop(i + 1)
+          if (i < 0) paramUnesc(s) -> ""
+          else paramUnesc(s.take(i)) -> paramUnesc(s.drop(i + 1))
         }
       }.toMap
       (name, params)

@@ -88,6 +88,25 @@ class SubstraitSpec extends AnyFunSuite {
     assert(SubstraitPlans.baseSchemaNames(SubstraitPlans.encode(plan)).isEmpty)
   }
 
+  test("fuzz: random read/filter/map chains with adversarial params round-trip") {
+    val rnd = new scala.util.Random(7)
+    def randString(n: Int): String =
+      (1 to n).map(_ => rnd.nextPrintableChar()).mkString +
+        (if (rnd.nextBoolean()) "=;\n\"\\🦉" else "") // separators, quotes, utf-8
+    for (trial <- 1 to 50) {
+      var plan: ViewPlan = ReadTable("/t/" + randString(rnd.nextInt(30)))
+      for (_ <- 0 until rnd.nextInt(6)) {
+        val params = (0 until rnd.nextInt(4))
+          .map(i => s"k$i${randString(3)}" -> randString(rnd.nextInt(40))).toMap
+        plan =
+          if (rnd.nextBoolean()) MapNode("m" + randString(5), params, plan)
+          else FilterNode("f" + randString(5), params, plan)
+      }
+      val back = SubstraitPlans.decode(SubstraitPlans.encode(plan))
+      assert(back == plan, s"trial $trial: $plan vs $back")
+    }
+  }
+
   test("join plans refuse substrait encoding, like the reference loader") {
     val j = JoinNode(ReadTable("a"), ReadTable("b"), "k")
     assertThrows[UnsupportedOperationException](SubstraitPlans.encode(j))
