@@ -20,6 +20,7 @@ object SparkEntry {
       operators.Pipeline.queries ++ operators.Curation.queries ++
       operators.Multimodal.queries ++
       operators.ExtrasOps.queries ++ operators.Scalars.queries ++
+      operators.Semantics.queries ++
       streaming.EventsStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -29,5 +30,6 @@ object SparkEntry {
       operators.Pipeline.oracleSql ++ operators.Curation.oracleSql ++
       operators.Multimodal.oracleSql ++
       operators.ExtrasOps.oracleSql ++ operators.Scalars.oracleSql ++
+      operators.Semantics.oracleSql ++
       streaming.EventsStream.oracleSql
 }

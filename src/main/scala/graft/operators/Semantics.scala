@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+
+/** Lexical retrieval, semantic dedup, and training-export layout — the
+  * ops that sit between a curated corpus and a training run (absent in
+  * the reference, which stops at storage + transforms; see SURVEY.md
+  * §2.9 extension scope):
+  *
+  *  - BM25 keyword scoring (Robertson/Sparck-Jones): the standard
+  *    lexical retrieval baseline, used in data pipelines for
+  *    quality-by-query probes and retrieval-augmented filtering.
+  *  - SemDeDup-style semantic dedup (Abbas et al. 2023,
+  *    arXiv:2303.09540): cluster embeddings with a coarse quantizer,
+  *    then drop within-cluster near-duplicates by exact cosine — the
+  *    cluster bound is what keeps the pairwise step tractable at
+  *    corpus scale.
+  *  - Deterministic shuffle-export layout: shard + within-shard order
+  *    assigned by hash, so the training shuffle is reproducible and
+  *    re-runs never migrate an example between shards.
+  *
+  * Everything is DataFrame-native (no UDFs in row paths; the only
+  * driver-side collects are O(1) scalars and the K centroid vectors).
+  * Every query has an exact DuckDB oracle.
+  */
+object Semantics {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.read(s, d, n)
+
+  // BM25 constants — written as plain decimal literals and combined the
+  // SAME way in the DuckDB SQL so both engines parse identical doubles.
+  private val K1 = 1.2
+  private val B = 0.75
+  /** Fixed probe terms for the oracle query (mid-frequency corpus words). */
+  private val QueryTerms = Seq("vector", "merge", "window")
+
+  /** BM25 score of `terms` against every document containing at least
+    * one of them.
+    *
+    * Scale shape (100 TB corpus, handful of terms): the exploded token
+    * stream is filtered to the query terms BEFORE any shuffle, so the
+    * groupBy only carries (matched doc × term) rows; document length
+    * rides along with the explode (no join back to the corpus); the
+    * per-term document frequencies are a tiny aggregate broadcast back.
+    * Corpus-wide N and avgdl are one scalar aggregate. Net: one scan +
+    * two small shuffles, nothing driver-side but two numbers.
+    */
+  def bm25(docs: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String]): DataFrame = {
+    val stats = docs
+      .agg(count(lit(1)).as("n"), avg(TF.tokenCount(col(textCol))).as("avgdl"))
+      .collect()(0)
+    val nDocs = stats.getLong(0)
+    val avgdl = stats.getDouble(1)
+
+    val toks = docs
+      .select(col(idCol), TF.tokenCount(col(textCol)).as("dl"),
+        explode(TF.tokens(col(textCol))).as("term"))
+      .filter(col("term").isin(terms: _*))
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+    val idf = log(lit(1.0) +
+      (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val w = idf * (col("tf") * lit(K1 + 1)) /
+      (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / lit(avgdl)))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .groupBy(col(idCol))
+      .agg(round(sum(w), 4).as("bm25"), count(lit(1)).as("n_terms"))
+  }
+
+  /** SemDeDup: assign each vector to its nearest centroid (squared-L2,
+    * ties to the lowest centroid index), then inside each cluster drop
+    * every vector whose cosine similarity to a LOWER-id cluster member
+    * reaches `threshold` (keep-lowest-id, chain-insensitive — the rule
+    * is a pure predicate, so it is oracle-checkable).
+    *
+    * Centroids here are the `numClusters` lowest-id vectors (collected
+    * to the driver — K rows — and broadcast inside the codegen'd
+    * nearest-centroid expression); a production run would train them
+    * with [[Similarity.trainCentroids]] — the assignment and
+    * within-cluster plan is identical. Scale shape: assignment is a
+    * projection over one scan; the pairwise cosine is joined ON THE
+    * CLUSTER KEY, so the quadratic term is bounded by the largest
+    * cluster — SemDeDup's design point (K grows with N; the paper runs
+    * 50k clusters over 134M embeddings).
+    */
+  def semDedup(df: DataFrame, vecCol: String, idCol: String,
+      numClusters: Int, threshold: Double): DataFrame = {
+    val centroids: Seq[Seq[Double]] = df
+      .orderBy(col(idCol).asc).limit(numClusters)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    val assigned = df
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("cluster",
+        org.apache.spark.sql.graftshim.NearestCentroidsExpr(
+          col("v"), centroids, 1)(0))
+    val a = assigned
+      .select(col("cluster"), col("vec_id").as("id_a"), col("v").as("va"))
+    val b = assigned
+      .select(col("cluster"), col("vec_id").as("id_b"), col("v").as("vb"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(VF.cosine(col("va"), col("vb")) >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+      .withColumn("__drop", lit(true))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("__drop").isNull.as("kept"))
+  }
+
+  // Second salt decorrelates the within-shard order from the shard
+  // assignment (Curation.mixBucket reuses the split/mix kernel).
+  private val OrdSalt = 3000017L
+  private val OrdSpace = 1 << 30
+
+  /** Deterministic training-export shuffle: shard = hash(doc) mod
+    * `shards`, position = rank of an independent hash within the shard.
+    * Re-running the export reproduces the exact same layout (no RNG
+    * state), and adding documents never migrates an existing one
+    * between shards. Scale shape: the window is partitioned BY SHARD —
+    * each shard ranks independently after one shuffle; the physical
+    * export would `repartition($"shard").sortWithinPartitions($"pos")`
+    * and write per-shard files from the same columns. */
+  def shuffleExport(docs: DataFrame, idCol: String, shards: Int): DataFrame = {
+    val ord = Curation.mixBucket(col(idCol) + lit(OrdSalt), OrdSpace)
+    val w = Window.partitionBy(col("shard")).orderBy(col("__ord").asc, col(idCol).asc)
+    docs.select(col(idCol),
+        Curation.mixBucket(col(idCol), shards).as("shard"), ord.as("__ord"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v_bm25" -> ((s, d) =>
+      bm25(t(s, d, "documents"), "text", "doc_id", QueryTerms)),
+
+    // corpus with planted exact copies (vec_id < 100 re-inserted at
+    // +100000), 8 fixed clusters, cosine ≥ 0.999 → dropped
+    "v_semdedup" -> ((s, d) => {
+      val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val corpus = e.unionByName(
+        e.filter(col("vec_id") < 100)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      semDedup(corpus, "embedding", "vec_id", numClusters = 8, threshold = 0.999)
+    }),
+
+    "d_shuffle_export" -> ((s, d) =>
+      shuffleExport(t(s, d, "documents"), "doc_id", shards = 8)))
+
+  private def mixSql(idExpr: String, space: Long): String =
+    s"xor((($idExpr) * 2654435761) % 4294967296, " +
+      s"((($idExpr) * 2654435761) % 4294967296) >> 16) % $space"
+
+  val oracleSql: Map[String, String] = Map(
+    "v_bm25" -> {
+      val termList = QueryTerms.map(q => s"'$q'").mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${Pipeline.tokensSql} AS ts FROM documents),
+         |stats AS (SELECT count(*) AS n, avg(len(ts)) AS avgdl FROM toks),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM (
+         |    SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM toks)
+         |  WHERE term IN ($termList) GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+         |SELECT t.doc_id,
+         |  round(sum(ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5)) *
+         |    (t.tf * (1.2 + 1)) /
+         |    (t.tf + 1.2 * ((1 - 0.75) + 0.75 * t.dl / s.avgdl))), 4) AS bm25,
+         |  count(*) AS n_terms
+         |FROM tf t JOIN dfreq f USING (term) CROSS JOIN stats s
+         |GROUP BY 1""".stripMargin
+    },
+    "v_semdedup" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id < 100),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM corpus WHERE vec_id < 8),
+        |asg AS (
+        |  SELECT vec_id, CAST(cid AS INT) AS cluster FROM (
+        |    SELECT c.vec_id, t.cid,
+        |      row_number() OVER (PARTITION BY c.vec_id
+        |        ORDER BY list_distance(c.v, t.cv) ASC, t.cid ASC) AS rn
+        |    FROM corpus c CROSS JOIN cent t) WHERE rn = 1),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  JOIN corpus ca ON ca.vec_id = a.vec_id
+        |  JOIN corpus cb ON cb.vec_id = b.vec_id
+        |  WHERE list_cosine_similarity(ca.v, cb.v) >= 0.999)
+        |SELECT s.vec_id, s.cluster, (d.vec_id IS NULL) AS kept
+        |FROM asg s LEFT JOIN dropped d ON s.vec_id = d.vec_id""".stripMargin,
+    "d_shuffle_export" -> {
+      val shardSql = mixSql("doc_id", 8L)
+      val ordSql = mixSql(s"doc_id + $OrdSalt", OrdSpace.toLong)
+      s"""SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard
+         |    ORDER BY __ord ASC, doc_id ASC) AS BIGINT) AS pos
+         |FROM (SELECT doc_id, $shardSql AS shard, $ordSql AS __ord
+         |      FROM documents)""".stripMargin
+    })
+}

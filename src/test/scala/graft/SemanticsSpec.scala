@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Semantics
+
+/** Semantics ops: BM25 retrieval scoring, SemDeDup-style semantic
+  * dedup, deterministic shuffle-export layout. */
+class SemanticsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  for (name <- Semantics.queries.keys.toSeq.sorted) {
+    test(s"$name runs and returns rows") {
+      val df = Semantics.queries(name)(spark, sfDir)
+      assert(df.count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every query has a matching oracle") {
+    assert(Semantics.oracleSql.keySet == Semantics.queries.keySet)
+  }
+
+  test("bm25 gives higher scores to higher term frequency at equal length") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta beta beta gamma gamma delta delta"),
+      (2L, "alpha beta gamma gamma delta delta delta delta"),
+      (3L, "delta delta delta delta delta delta delta delta"))
+      .toDF("doc_id", "text")
+    val scores = Semantics.bm25(docs, "text", "doc_id", Seq("beta"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 1 has tf(beta)=3, doc 2 tf=1, doc 3 tf=0 (absent from output)
+    assert(scores(1L) > scores(2L), scores.toString)
+    assert(!scores.contains(3L))
+  }
+
+  test("semDedup drops planted copies and keeps all originals") {
+    val df = Semantics.queries("v_semdedup")(spark, sfDir)
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    val (planted, originals) = rows.partition(_._1 >= 100000L)
+    assert(planted.nonEmpty)
+    // every planted row is an exact copy of a lower-id original in the
+    // same cluster → all dropped
+    assert(planted.forall(!_._3), planted.filter(_._3).take(5).mkString(","))
+    // originals are random vectors, mutually far → all kept
+    assert(originals.forall(_._3), originals.filterNot(_._3).take(5).mkString(","))
+    // a planted copy lands in the same cluster as its source
+    val byId = rows.map(r => r._1 -> r._2).toMap
+    planted.foreach { case (id, cl, _) => assert(byId(id - 100000L) == cl) }
+  }
+
+  test("shuffleExport is a permutation: contiguous positions per shard") {
+    val df = Semantics.queries("d_shuffle_export")(spark, sfDir)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      val ps = rs.map(_._3).sorted
+      assert(ps.head == 1L && ps.last == ps.length.toLong,
+        s"shard $shard positions not contiguous: ${ps.take(5).mkString(",")}")
+    }
+    // deterministic: a second run yields the identical layout
+    val again = Semantics.queries("d_shuffle_export")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
+  test("semdedup pair join is keyed on cluster (no cartesian product)") {
+    val df = Semantics.queries("v_semdedup")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("bm25 broadcasts the per-term document frequencies") {
+    val df = Semantics.queries("v_bm25")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+}
