@@ -319,6 +319,12 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
   def rollback(version: String): Unit =
     storage.rollback(storage.versionToSnapshotId(version), currentBranch)
 
+  /** Publish step of write-audit-publish: fast-forward the current
+    * branch to `toBranch`'s head (metadata-only; requires this branch's
+    * head to be an ancestor — see [[Storage.fastForward]]). */
+  def fastForward(toBranch: String): Unit =
+    storage.fastForward(currentBranch, toBranch)
+
   def removeRef(name: String): Unit = storage.removeRef(name)
 
   def removeTag(name: String): Unit = storage.removeTag(name)

@@ -531,6 +531,38 @@ final class Storage(val location: String, val conf: Configuration) {
           lastUpdateTimeMs = now))
     }
 
+  /** Fast-forward `branch` to the head of `toBranch` — the publish step
+    * of a write-audit-publish flow: stage writes on an audit branch,
+    * validate them there, then move the consuming branch up in one
+    * metadata-only operation. The inverse guard of [[rollback]]:
+    * `branch`'s head must be an ANCESTOR of `toBranch`'s head, so the
+    * move only appends already-committed audited snapshots — histories
+    * stay linear and the CDC feed never splices an unrelated lineage. */
+  def fastForward(branch: String, toBranch: String): Unit =
+    withCommitLock {
+      reload()
+      val target = branchHead(toBranch)
+      val head = branchHead(branch)
+      require(target != head,
+        s"branch $branch is already at $toBranch's head (snapshot $target)")
+      @annotation.tailrec
+      def isAncestor(cur: Option[Long]): Boolean = cur match {
+        case None => false
+        case Some(id) =>
+          id == head || isAncestor(snapshotOrFail(id).parentSnapshotId)
+      }
+      require(isAncestor(Some(target)),
+        s"$branch head $head is not an ancestor of $toBranch head $target " +
+          "— fast-forward would rewrite history; use rollback for that")
+      val now = System.currentTimeMillis()
+      persist(
+        if (branch == SnapshotRef.MainBranch)
+          meta.copy(currentSnapshotId = target, lastUpdateTimeMs = now)
+        else meta.copy(
+          refs = meta.refs + (branch -> SnapshotRef(branch, SnapshotRef.Branch, target)),
+          lastUpdateTimeMs = now))
+    }
+
   def addTag(name: String, snapshotId: Option[Long] = None): Unit =
     addRef(name, SnapshotRef.Tag, snapshotId)
 

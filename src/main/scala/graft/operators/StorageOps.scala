@@ -452,6 +452,27 @@ object StorageOps {
       ds.read(version = Some("exp"))
     }),
 
+    // WRITE-AUDIT-PUBLISH: stage a new batch on an audit branch, run
+    // validation there (bad rows deleted on the branch — main serves
+    // readers untouched the whole time), then publish with a
+    // metadata-only fast-forward of main to the audited head
+    "s_wap" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val ds = SpaceDataset.create(s, fresh("wap"), o.schema, Seq("o_orderkey"))
+      ds.append(o.filter(col("o_orderkey") <= 1000L)) // production data
+      ds.addBranch("audit")
+      // stage: the incoming batch lands on the audit branch only
+      ds.append(o.filter(col("o_orderkey") > 1000L && col("o_orderkey") <= 2000L),
+        branch = "audit")
+      // audit: validation rejects under-priced rows ON THE BRANCH
+      ds.delete(col("o_orderkey") > 1000L && col("o_totalprice") < 50000.0,
+        branch = "audit")
+      require(ds.readAll().count() == ds.read(version = Some("1")).count(),
+        "main must be untouched while the audit runs")
+      ds.fastForward("audit") // publish: metadata-only
+      ds.readAll()
+    }),
+
     // ROLLBACK: a bad commit is undone metadata-only (head reset to the
     // tagged ancestor), history continues from there under fresh ids,
     // and the abandoned snapshot stays time-travelable until expiry
@@ -738,6 +759,11 @@ object StorageOps {
       """SELECT * FROM orders
         |WHERE o_orderkey <= 1000
         |   OR (o_orderkey > 2000 AND o_orderkey <= 3000)""".stripMargin,
+    "s_wap" ->
+      """SELECT * FROM orders
+        |WHERE o_orderkey <= 1000
+        |   OR (o_orderkey > 1000 AND o_orderkey <= 2000
+        |       AND o_totalprice >= 50000.0)""".stripMargin,
     "s_sql_maintenance" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders WHERE o_orderkey <= 1500""".stripMargin,

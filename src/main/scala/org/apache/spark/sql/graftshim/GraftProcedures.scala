@@ -243,6 +243,23 @@ object GraftProcedures {
             d.storage.versionToSnapshotId(input.getUTF8String(1).toString), branch)
           Seq(InternalRow(d.storage.branchHead(branch)))
         }
+      },
+
+      new Proc("fast_forward",
+        "Fast-forward a branch to a descendant branch's head (the " +
+          "write-audit-publish publish step; metadata-only)",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("to_branch", StringType).build(),
+          ProcedureParameter.in("branch", StringType)
+            .defaultValue("'main'").build()),
+        StructType(Seq(StructField("current_snapshot_id", LongType, nullable = false)))) {
+        override def run(input: InternalRow): Seq[InternalRow] = {
+          val d = ds(input)
+          val branch = input.getUTF8String(2).toString
+          d.storage.fastForward(branch, input.getUTF8String(1).toString)
+          Seq(InternalRow(d.storage.branchHead(branch)))
+        }
       })
     all.map(p => p.name() -> p).toMap
   }

@@ -171,6 +171,29 @@ class ProcedureSpec extends AnyFunSuite {
       mainProtected.getMessage.contains("not found"))
   }
 
+  test("fast_forward publishes an audited branch through SQL") {
+    root
+    spark.sql("CREATE TABLE graft_proc.wap (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('primary_keys'='id')")
+    import spark.implicits._
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+      .write.mode("append").insertInto("graft_proc.wap")
+    spark.sql("CALL graft_proc.system.create_branch(table => 'wap', name => 'audit')")
+    // stage on the audit branch via the API (SQL writes target main)
+    val ds = core.SpaceDataset.load(spark, root + "/wap")
+    ds.append(Seq((3L, 30L)).toDF("id", "v"), branch = "audit")
+    assert(spark.sql("SELECT count(*) FROM graft_proc.wap").collect()(0).getLong(0) == 2)
+    val head = spark.sql(
+      "CALL graft_proc.system.fast_forward(table => 'wap', to_branch => 'audit')")
+      .collect()(0).getLong(0)
+    assert(head > 0)
+    assert(spark.sql("SELECT count(*) FROM graft_proc.wap").collect()(0).getLong(0) == 3)
+    // re-publishing with no new audited commits fails loudly
+    val again = intercept[Exception](spark.sql(
+      "CALL graft_proc.system.fast_forward(table => 'wap', to_branch => 'audit')").collect())
+    assert(again.getMessage.contains("already"))
+  }
+
   test("unknown procedure and bad table fail with clear errors") {
     root
     val e1 = intercept[Exception](spark.sql("CALL graft_proc.system.nope()").collect())

@@ -396,6 +396,27 @@ class RollbackSpec extends org.scalatest.funsuite.AnyFunSuite {
     ds.setCurrentBranch("main")
     assert(ds.readAll().count() == 180)
   }
+
+  test("fastForward publishes an audit branch; rejects diverged branches") {
+    val orders = Tables.read(spark, sfDir, "orders")
+    val loc = java.nio.file.Files.createTempDirectory("graft_ff_").toString + "/tbl"
+    val ds = core.SpaceDataset.create(spark, loc, orders.schema, Seq("o_orderkey"))
+    ds.append(orders.limit(100))                                      // snap 1 (main)
+    ds.addBranch("audit")
+    ds.append(orders.limit(50).withColumn("o_orderkey",
+      col("o_orderkey") + 1000000L), branch = "audit")                // snap 2 (audit)
+    // main is an ancestor of audit → fast-forward succeeds, metadata-only
+    assert(ds.readAll().count() == 100)
+    ds.fastForward("audit")
+    assert(ds.readAll().count() == 150)
+    // already at the target → loud no-op rejection
+    intercept[IllegalArgumentException](ds.fastForward("audit"))
+    // diverge: a new commit on main makes audit a non-descendant
+    ds.append(orders.limit(30).withColumn("o_orderkey",
+      col("o_orderkey") + 2000000L))                                  // snap 3 (main)
+    intercept[IllegalArgumentException](ds.fastForward("audit"))
+    assert(ds.readAll().count() == 180)
+  }
 }
 
 class CurrentBranchSpec extends org.scalatest.funsuite.AnyFunSuite {
