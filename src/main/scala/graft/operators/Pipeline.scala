@@ -138,6 +138,15 @@ object Pipeline {
     "v_quantize" -> ((s, d) =>
       Similarity.quantizeInt8(t(s, d, "embeddings"), "embedding", "vec_id")),
 
+    // product-quantization ANN: 8 subspaces × 16 fixed anchors (the
+    // lowest-id vectors — deterministic, so the DuckDB oracle replays
+    // encode + ADC scoring exactly), top-10 by asymmetric dot product
+    "v_pq" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 5),
+        "embedding", "vec_id", dim = 64, k = 10, m = 8, codebookSize = 16)
+    }),
+
     // text statistics: portable token/diversity/BPE-ish counts
     "d_text_stats" -> ((s, d) =>
       t(s, d, "documents").select(
@@ -378,6 +387,35 @@ object Pipeline {
         |    x -> abs(x - floor(x / (mm / 127.0) + 0.5) * (mm / 127.0)))), 6)
         |    END AS max_abs_err
         |FROM m""".stripMargin,
+    "v_pq" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |subsp AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS s),
+        |cb AS (SELECT vec_id AS cid, v AS cv FROM corpus WHERE vec_id < 16),
+        |anch AS (SELECT cid, s, cv[(s*8+1):(s*8+8)] AS av FROM cb CROSS JOIN subsp),
+        |subv AS (SELECT vec_id, s, v[(s*8+1):(s*8+8)] AS sv
+        |         FROM corpus CROSS JOIN subsp),
+        |codes AS (
+        |  SELECT vec_id, s, cid FROM (
+        |    SELECT subv.vec_id, subv.s, anch.cid,
+        |      row_number() OVER (PARTITION BY subv.vec_id, subv.s
+        |        ORDER BY list_distance(subv.sv, anch.av) ASC, anch.cid ASC) AS rn
+        |    FROM subv JOIN anch USING (s)) WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM corpus WHERE vec_id < 5),
+        |contrib AS (
+        |  SELECT q.q_id, codes.vec_id,
+        |    list_sum(list(
+        |      list_inner_product(q.qv[(codes.s*8+1):(codes.s*8+8)], anch.av)
+        |      ORDER BY codes.s)) AS approx
+        |  FROM q CROSS JOIN codes
+        |  JOIN anch ON anch.s = codes.s AND anch.cid = codes.cid
+        |  WHERE codes.vec_id != q.q_id
+        |  GROUP BY 1, 2)
+        |SELECT q_id, vec_id, round(approx, 4) AS approx_dot, rank FROM (
+        |  SELECT q_id, vec_id, approx,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY approx DESC, vec_id ASC) AS rank
+        |  FROM contrib) WHERE rank <= 10""".stripMargin,
     "v_ann_brute" ->
       """SELECT q_id, vec_id, round(s, 4) AS score, rank FROM (
         |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,

@@ -210,6 +210,68 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), round(col("__s"), 4).as("score"), col("rank"))
   }
 
+  /** Product-quantization ANN (Jégou et al. 2011): vectors are split
+    * into `m` subspaces; each sub-vector is coded as the index of its
+    * nearest codebook anchor (squared-L2, ties to the lowest index), so
+    * a `dim`-float vector shrinks to `m` small codes — with the default
+    * 64-dim/8-subspace split, 256 bytes of floats become 8 bytes, the
+    * compression that lets a 100 TB vector corpus score in memory.
+    * Queries score by asymmetric distance computation (ADC): the query
+    * keeps full precision and accumulates `dot(q_sub, anchor(code))`
+    * per subspace — one table lookup + an 8-dim dot product each, no
+    * decode of the corpus vector.
+    *
+    * The codebook here is the `codebookSize` lowest-id vectors
+    * (deterministic — the oracle replays the whole pipeline in SQL); a
+    * production run would train per-subspace k-means codebooks with the
+    * same [[trainCentroids]] machinery — encode/score plans are
+    * identical. Scale shape: encoding is a projection; the scored join
+    * broadcasts the queries against the CODES-ONLY corpus (the full
+    * vectors never leave the encode scan); ranking is a per-query
+    * window over candidates. */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      dim: Int,
+      k: Int,
+      m: Int = 8,
+      codebookSize: Int = 16): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    val codebook: Seq[Seq[Double]] = corpus
+      .orderBy(col(idCol).asc).limit(codebookSize)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    // anchors(s) = the codebook's sub-vectors for subspace s
+    val anchors: IndexedSeq[Seq[Seq[Double]]] = (0 until m).map(s =>
+      codebook.map(v => v.slice(s * sub, (s + 1) * sub)))
+
+    val encoded = corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("codes", array((0 until m).map(s =>
+        org.apache.spark.sql.graftshim.NearestCentroidsExpr(
+          slice(col("__v"), s * sub + 1, sub), anchors(s), 1)(0)): _*))
+      .select(col("vec_id"), col("codes")) // PQ's point: only codes survive
+
+    val q = broadcast(queries
+      .select(col(idCol).as("q_id"), col(vecCol).cast("array<double>").as("qv")))
+    // ADC accumulated in fixed subspace order (deterministic float sum)
+    val approx = (0 until m).map { s =>
+      VF.dot(slice(col("qv"), s * sub + 1, sub),
+        element_at(typedLit(anchors(s)), col("codes")(s) + 1))
+    }.reduce(_ + _)
+    val scored = encoded.join(q, col("vec_id") =!= col("q_id"))
+      .withColumn("__s", approx)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("__s").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"),
+        round(col("__s"), 4).as("approx_dot"), col("rank"))
+  }
+
   /** Symmetric per-vector int8 quantization of an embedding column —
     * the 4× memory shrink that makes a 100 TB vector corpus fit an ANN
     * serving tier. For each vector: scale = max|x| / 127, code_i =

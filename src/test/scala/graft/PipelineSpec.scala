@@ -96,6 +96,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"IVF recall $recall")
   }
 
+  test("PQ ADC beats chance by an order of magnitude; codebook self-codes") {
+    val queries = embeddings.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(embeddings, queries, "embedding", "vec_id", 10)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.pqTopK(embeddings, queries, "embedding", "vec_id",
+      dim = 64, k = 10, m = 8, codebookSize = 16)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // uniform-random 64-dim vectors + an untrained 16-anchor codebook is
+    // PQ's worst case (measured ~0.3 recall@10); chance overlap is 10/N ≈
+    // 2% — assert we stay an order of magnitude above chance
+    assert(recall >= 0.15, s"PQ recall $recall")
+    // a codebook vector's sub-vectors ARE anchors → it codes to itself
+    import org.apache.spark.sql.graftshim.NearestCentroidsExpr
+    val codebook = embeddings.orderBy(col("vec_id")).limit(16)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    val anchors0 = codebook.map(_.slice(0, 8))
+    val selfCodes = embeddings.filter(col("vec_id") < 16)
+      .select(col("vec_id"), NearestCentroidsExpr(
+        slice(col("embedding").cast("array<double>"), 1, 8), anchors0, 1)(0).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    (0 until 16).foreach(i => assert(selfCodes(i.toLong) == i, s"vec $i codes to ${selfCodes(i.toLong)}"))
+  }
+
   test("k-means IVF reaches >= 70% recall of brute force at nProbe=8/16") {
     val queries = embeddings.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(embeddings, queries, "embedding", "vec_id", 10)
