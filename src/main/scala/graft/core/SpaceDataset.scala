@@ -152,6 +152,19 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
 
   def readAll(): DataFrame = read()
 
+  /** Metadata-only row count at a version — O(1) from the snapshot's
+    * accumulated storage statistics, no file listing and no scan (the
+    * 100 TB `count(*)`). Copy-on-write mutation keeps it exact: every
+    * append/delete/upsert/compact commit patches the statistics with
+    * the rows it added and removed. Accepts any version string a read
+    * does (snapshot id, tag, branch); default = current branch head. */
+  def countRows(version: Option[String] = None): Long = {
+    storage.reload()
+    val snapId = version.map(storage.versionToSnapshotId)
+      .getOrElse(storage.branchHead(currentBranch))
+    storage.snapshotOrFail(snapId).storageStatistics.numRows
+  }
+
   /** Register this table (at `version`, default current) as a temp view.
     * The view is relation-backed ([[GraftFileIndex]]), so a SQL `WHERE`
     * over it prunes manifest files inside Catalyst planning — full

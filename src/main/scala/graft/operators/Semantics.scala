@@ -115,6 +115,49 @@ object Semantics {
       .select(col("vec_id"), col("cluster"), col("__drop").isNull.as("kept"))
   }
 
+  /** Hybrid retrieval with reciprocal rank fusion (Cormack et al.
+    * 2009): fuse the BM25 lexical ranking with an embedding-cosine
+    * ranking of the same item ids — rrf = Σ 1/(rrfK + rank) over the
+    * lists an item appears in. Rank fusion needs no score calibration
+    * between the two systems, which is why it is the default hybrid
+    * combiner in retrieval stacks.
+    *
+    * Ranks ride on ROUNDED bm25 (deterministic ties → id) and raw
+    * cosine; absent-list ranks surface as 0. This single-query shape
+    * ranks each list with one global window — the multi-query version
+    * partitions both windows by query id exactly like
+    * [[Similarity.bruteForceTopK]], same plan at any corpus size. */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, terms: Seq[String],
+      queryVecId: Long, kEach: Int, kOut: Int, rrfK: Int = 60): DataFrame = {
+    val lex = bm25(docs, "text", "doc_id", terms)
+      .withColumn("rank_lex", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+      .filter(col("rank_lex") <= kEach)
+      .select(col("doc_id").as("id"), col("rank_lex"))
+    val q = broadcast(emb.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").cast("array<double>").as("qv")))
+    val vec = emb.filter(col("vec_id") =!= queryVecId).crossJoin(q)
+      .withColumn("__c", VF.cosine(col("embedding").cast("array<double>"), col("qv")))
+      .withColumn("rank_vec", row_number().over(
+        Window.orderBy(col("__c").desc, col("vec_id").asc)))
+      .filter(col("rank_vec") <= kEach)
+      .select(col("vec_id").as("id"), col("rank_vec"))
+    val rrf =
+      when(col("rank_lex").isNull, lit(0.0))
+        .otherwise(lit(1.0) / (lit(rrfK) + col("rank_lex"))) +
+      when(col("rank_vec").isNull, lit(0.0))
+        .otherwise(lit(1.0) / (lit(rrfK) + col("rank_vec")))
+    lex.join(vec, Seq("id"), "outer")
+      .withColumn("__rrf", rrf)
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(col("__rrf").desc, col("id").asc)))
+      .filter(col("__rn") <= kOut)
+      .select(col("id").as("doc_id"),
+        coalesce(col("rank_lex"), lit(0)).as("rank_lex"),
+        coalesce(col("rank_vec"), lit(0)).as("rank_vec"),
+        round(col("__rrf"), 6).as("rrf"))
+  }
+
   // Second salt decorrelates the within-shard order from the shard
   // assignment (Curation.mixBucket reuses the split/mix kernel).
   private val OrdSalt = 3000017L
@@ -152,7 +195,13 @@ object Semantics {
     }),
 
     "d_shuffle_export" -> ((s, d) =>
-      shuffleExport(t(s, d, "documents"), "doc_id", shards = 8)))
+      shuffleExport(t(s, d, "documents"), "doc_id", shards = 8)),
+
+    // hybrid search: BM25 lexical top-50 ⊕ cosine top-50 (query =
+    // embedding 0), fused by reciprocal rank, top-20 out
+    "v_hybrid_rrf" -> ((s, d) =>
+      hybridRrf(t(s, d, "documents"), t(s, d, "embeddings"),
+        QueryTerms, queryVecId = 0L, kEach = 50, kOut = 20)))
 
   private def mixSql(idExpr: String, space: Long): String =
     s"xor((($idExpr) * 2654435761) % 4294967296, " +
@@ -206,5 +255,47 @@ object Semantics {
          |    ORDER BY __ord ASC, doc_id ASC) AS BIGINT) AS pos
          |FROM (SELECT doc_id, $shardSql AS shard, $ordSql AS __ord
          |      FROM documents)""".stripMargin
+    },
+    "v_hybrid_rrf" -> {
+      val termList = QueryTerms.map(q => s"'$q'").mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${Pipeline.tokensSql} AS ts FROM documents),
+         |stats AS (SELECT count(*) AS n, avg(len(ts)) AS avgdl FROM toks),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM (
+         |    SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM toks)
+         |  WHERE term IN ($termList) GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |bm AS (
+         |  SELECT t.doc_id,
+         |    round(sum(ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5)) *
+         |      (t.tf * (1.2 + 1)) /
+         |      (t.tf + 1.2 * ((1 - 0.75) + 0.75 * t.dl / s.avgdl))), 4) AS bm25
+         |  FROM tf t JOIN dfreq f USING (term) CROSS JOIN stats s
+         |  GROUP BY 1),
+         |lex AS (SELECT doc_id AS id, rank_lex FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
+         |    AS rank_lex FROM bm) WHERE rank_lex <= 50),
+         |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+         |       WHERE vec_id = 0),
+         |cos AS (
+         |  SELECT vec_id, list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |    qv.qv) AS c
+         |  FROM embeddings e CROSS JOIN qv WHERE e.vec_id != 0),
+         |vec AS (SELECT vec_id AS id, rank_vec FROM (
+         |  SELECT vec_id, row_number() OVER (ORDER BY c DESC, vec_id ASC)
+         |    AS rank_vec FROM cos) WHERE rank_vec <= 50),
+         |fused AS (
+         |  SELECT coalesce(lex.id, vec.id) AS doc_id,
+         |    rank_lex, rank_vec,
+         |    (CASE WHEN rank_lex IS NULL THEN 0.0
+         |          ELSE 1.0 / (60 + rank_lex) END +
+         |     CASE WHEN rank_vec IS NULL THEN 0.0
+         |          ELSE 1.0 / (60 + rank_vec) END) AS rrf
+         |  FROM lex FULL OUTER JOIN vec ON lex.id = vec.id)
+         |SELECT doc_id, coalesce(rank_lex, 0) AS rank_lex,
+         |  coalesce(rank_vec, 0) AS rank_vec, round(rrf, 6) AS rrf
+         |FROM (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id ASC)
+         |      AS rn FROM fused) WHERE rn <= 20""".stripMargin
     })
 }

@@ -66,6 +66,24 @@ class SemanticsSpec extends AnyFunSuite {
     assert(rows.sortBy(_._1).sameElements(again.sortBy(_._1)))
   }
 
+  test("hybridRrf fuses both lists; dual-list docs outrank single-list peers") {
+    val df = Semantics.queries("v_hybrid_rrf")(spark, sfDir)
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.length == 20)
+    // output is rrf-sorted descending (ties broken by id upstream)
+    assert(rows.map(_._4).sliding(2).forall(p => p.head >= p.last))
+    // every fused score matches its rank reconstruction
+    rows.foreach { case (id, rl, rv, rrf) =>
+      val expect = (if (rl == 0) 0.0 else 1.0 / (60 + rl)) +
+        (if (rv == 0) 0.0 else 1.0 / (60 + rv))
+      assert(math.abs(rrf - expect) < 1e-6, s"doc $id rrf $rrf != $expect")
+    }
+    // at least one returned doc must have been fused from both lists
+    assert(rows.exists(r => r._2 > 0 && r._3 > 0),
+      "no doc appears on both ranked lists — fusion untested by data")
+  }
+
   test("semdedup pair join is keyed on cluster (no cartesian product)") {
     val df = Semantics.queries("v_semdedup")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString

@@ -397,6 +397,24 @@ class RollbackSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(ds.readAll().count() == 180)
   }
 
+  test("countRows answers from metadata and stays exact through CoW mutation") {
+    val orders = Tables.read(spark, sfDir, "orders")
+    val loc = java.nio.file.Files.createTempDirectory("graft_cnt_").toString + "/tbl"
+    val ds = core.SpaceDataset.create(spark, loc, orders.schema, Seq("o_orderkey"))
+    assert(ds.countRows() == 0)
+    ds.append(orders.limit(300))
+    assert(ds.countRows() == 300 && ds.countRows() == ds.readAll().count())
+    ds.addTag("v300")
+    ds.delete(col("o_orderkey") <= 100L)
+    assert(ds.countRows() == ds.readAll().count())
+    ds.upsert(orders.limit(50).withColumn("o_totalprice", lit(1.0)))
+    assert(ds.countRows() == ds.readAll().count())
+    ds.compact(targetFileRows = 1000000L, smallFraction = 1.0)
+    assert(ds.countRows() == ds.readAll().count())
+    // versioned counts: the tag still answers 300, metadata-only
+    assert(ds.countRows(Some("v300")) == 300)
+  }
+
   test("fastForward publishes an audit branch; rejects diverged branches") {
     val orders = Tables.read(spark, sfDir, "orders")
     val loc = java.nio.file.Files.createTempDirectory("graft_ff_").toString + "/tbl"
