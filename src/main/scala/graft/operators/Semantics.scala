@@ -47,8 +47,9 @@ object Semantics {
     * groupBy only carries (matched doc × term) rows; document length
     * rides along with the explode (no join back to the corpus); the
     * per-term document frequencies are a tiny aggregate broadcast back.
-    * Corpus-wide N and avgdl are one scalar aggregate. Net: one scan +
-    * two small shuffles, nothing driver-side but two numbers.
+    * Corpus-wide N and avgdl are one scalar aggregate (its own scan).
+    * Net: two scans + two small shuffles, nothing driver-side but two
+    * numbers.
     */
   def bm25(docs: DataFrame, textCol: String, idCol: String,
       terms: Seq[String]): DataFrame = {
@@ -56,7 +57,7 @@ object Semantics {
       .agg(count(lit(1)).as("n"), avg(TF.tokenCount(col(textCol))).as("avgdl"))
       .collect()(0)
     val nDocs = stats.getLong(0)
-    val avgdl = stats.getDouble(1)
+    val avgdl = if (stats.isNullAt(1)) 0.0 else stats.getDouble(1)
 
     val toks = docs
       .select(col(idCol), TF.tokenCount(col(textCol)).as("dl"),

@@ -84,6 +84,34 @@ class SemanticsSpec extends AnyFunSuite {
       "no doc appears on both ranked lists — fusion untested by data")
   }
 
+  test("bm25 edge cases: empty/whitespace docs and absent terms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta"),
+      (2L, ""),            // zero tokens — dl = 0 must not divide-by-zero
+      (3L, "   "),         // whitespace-only
+      (4L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val hit = Semantics.bm25(docs, "text", "doc_id", Seq("beta"))
+    assert(hit.collect().map(_.getLong(0)).toSet == Set(1L))
+    // terms absent from the whole corpus → empty result, no crash
+    assert(Semantics.bm25(docs, "text", "doc_id", Seq("zzz")).count() == 0)
+  }
+
+  test("semDedup keeps a zero vector and never pairs it (cosine 0)") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array.fill(4)(1.0f)),
+      (1L, Array.fill(4)(0.0f)),          // zero vector
+      (2L, Array.fill(4)(1.0f)))          // exact copy of 0
+      .toDF("vec_id", "embedding")
+    val out = Semantics.semDedup(vecs, "embedding", "vec_id",
+      numClusters = 2, threshold = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out(0L) && !out(2L), out.toString)   // copy dropped, source kept
+    assert(out(1L), "zero vector must survive (cosine defined as 0)")
+  }
+
   test("semdedup pair join is keyed on cluster (no cartesian product)") {
     val df = Semantics.queries("v_semdedup")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
