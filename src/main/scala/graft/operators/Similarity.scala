@@ -238,23 +238,47 @@ object Similarity {
       k: Int,
       m: Int = 8,
       codebookSize: Int = 16): DataFrame = {
-    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
-    val sub = dim / m
-    val codebook: Seq[Seq[Double]] = corpus
-      .orderBy(col(idCol).asc).limit(codebookSize)
+    val codebook = pqCodebook(corpus, vecCol, idCol, codebookSize)
+    val encoded = pqEncode(corpus, vecCol, idCol, dim, m, codebook)
+    pqScore(encoded, queries, vecCol, idCol, dim, m, codebook, k)
+  }
+
+  /** The deterministic demo codebook: the `codebookSize` lowest-id
+    * vectors (production: per-subspace k-means via [[trainCentroids]]). */
+  def pqCodebook(corpus: DataFrame, vecCol: String, idCol: String,
+      codebookSize: Int): Seq[Seq[Double]] =
+    corpus.orderBy(col(idCol).asc).limit(codebookSize)
       .select(col(vecCol).cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
-    // anchors(s) = the codebook's sub-vectors for subspace s
-    val anchors: IndexedSeq[Seq[Seq[Double]]] = (0 until m).map(s =>
-      codebook.map(v => v.slice(s * sub, (s + 1) * sub)))
 
-    val encoded = corpus
+  private def pqAnchors(codebook: Seq[Seq[Double]], dim: Int, m: Int)
+      : IndexedSeq[Seq[Seq[Double]]] = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    (0 until m).map(s => codebook.map(v => v.slice(s * sub, (s + 1) * sub)))
+  }
+
+  /** Encode each vector to `m` codebook codes — one codegen'd
+    * projection; only `(id, codes)` survives (the 32× shrink). */
+  def pqEncode(corpus: DataFrame, vecCol: String, idCol: String,
+      dim: Int, m: Int, codebook: Seq[Seq[Double]]): DataFrame = {
+    val sub = dim / m
+    val anchors = pqAnchors(codebook, dim, m)
+    corpus
       .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("__v"))
       .withColumn("codes", array((0 until m).map(s =>
         org.apache.spark.sql.graftshim.NearestCentroidsExpr(
           slice(col("__v"), s * sub + 1, sub), anchors(s), 1)(0)): _*))
-      .select(col("vec_id"), col("codes")) // PQ's point: only codes survive
+      .select(col("vec_id"), col("codes"))
+  }
 
+  /** ADC scoring of full-precision queries against a codes-only corpus
+    * (in-flight or read back from a persisted index table). */
+  def pqScore(encoded: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, dim: Int, m: Int, codebook: Seq[Seq[Double]],
+      k: Int): DataFrame = {
+    val sub = dim / m
+    val anchors = pqAnchors(codebook, dim, m)
     val q = broadcast(queries
       .select(col(idCol).as("q_id"), col(vecCol).cast("array<double>").as("qv")))
     // ADC accumulated in fixed subspace order (deterministic float sum)

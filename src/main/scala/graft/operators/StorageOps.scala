@@ -649,6 +649,22 @@ object StorageOps {
       Dedup.minhashAgainstStoredIndex(ds.readAll(), corpus, batch,
         "text", "doc_id", numHashes = 32, bands = 16, shingleSize = 3,
         threshold = 0.6)
+    }),
+
+    // PQ index persisted AS A GRAFT TABLE (PK vec_id, 8 int codes per
+    // row — the 32× smaller serving tier a 100 TB vector corpus scores
+    // from); queries ADC-score against the STORED codes, never touching
+    // the full vectors after encode. Same output as in-flight v_pq →
+    // shares its oracle verbatim.
+    "s_pq_index" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val codebook = Similarity.pqCodebook(e, "embedding", "vec_id", 16)
+      val encoded = Similarity.pqEncode(e, "embedding", "vec_id",
+        dim = 64, m = 8, codebook)
+      val ds = SpaceDataset.create(s, fresh("pqidx"), encoded.schema, Seq("vec_id"))
+      ds.append(encoded)
+      Similarity.pqScore(ds.readAll(), e.filter(col("vec_id") < 5),
+        "embedding", "vec_id", dim = 64, m = 8, codebook, k = 10)
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -800,6 +816,7 @@ object StorageOps {
         |WHERE n_chars >= 200 AND doc_id % 10 != 3""".stripMargin,
     // identical semantics to the in-flight variant — one oracle for both
     "s_dedup_index" -> Pipeline.oracleSql("d_dedup_incr"),
+    "s_pq_index" -> Pipeline.oracleSql("v_pq"),
     "s_append_from" -> "SELECT * FROM orders",
     "s_random_access" ->
       """WITH r AS (
