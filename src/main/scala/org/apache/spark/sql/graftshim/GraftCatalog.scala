@@ -333,7 +333,7 @@ final class GraftTable(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val delegate = ParquetScanBuilder(spark, new GraftFileIndex(spark, storage, snapshotId),
       physical, physical, options)
-    new GraftScanBuilder(spark, storage, delegate, options)
+    new GraftScanBuilder(spark, storage, delegate, options, snapshotId)
   }
 
   private def requireMutable(op: String): Unit = {
@@ -387,7 +387,8 @@ final class GraftScanBuilder(
     spark: SparkSession,
     storage: graft.core.Storage,
     delegate: ParquetScanBuilder,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    snapshotId: Long)
   extends ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -443,7 +444,13 @@ final class GraftScanBuilder(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     !anyRenames && delegate.supportCompletePushDown(aggregation)
 
-  override def build(): Scan = new GraftDelegatingScan(spark, storage, delegate.build(), options)
+  override def build(): Scan = new GraftDelegatingScan(
+    spark, storage, delegate.build(), options,
+    // exact-rows statistics are only safe for an unfiltered scan: any
+    // pushed data filter makes the post-scan cardinality unknowable here
+    exactRows = if (delegate.pushedFilters.isEmpty)
+      Some(storage.snapshotOrFail(snapshotId).storageStatistics.numRows)
+    else None)
 }
 
 /** The parquet scan plus `toMicroBatchStream`. */
@@ -451,7 +458,8 @@ final class GraftDelegatingScan(
     spark: SparkSession,
     storage: graft.core.Storage,
     delegate: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    exactRows: Option[Long] = None)
   extends Scan
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -493,8 +501,23 @@ final class GraftDelegatingScan(
 
   override def description(): String = delegate.description()
 
-  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
-    delegate.estimateStatistics()
+  /** Parquet's size estimate, upgraded with the EXACT row count from
+    * the scanned snapshot's O(1) storage statistics when no data filter
+    * was pushed — Catalyst's cardinality estimates (join-side choice,
+    * AQE thresholds) then start from truth instead of a byte-size
+    * heuristic. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val del = delegate.estimateStatistics()
+    exactRows match {
+      case Some(n) =>
+        new org.apache.spark.sql.connector.read.Statistics {
+          override def sizeInBytes(): java.util.OptionalLong = del.sizeInBytes()
+          override def numRows(): java.util.OptionalLong =
+            java.util.OptionalLong.of(n)
+        }
+      case None => del
+    }
+  }
 
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =

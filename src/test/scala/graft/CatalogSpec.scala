@@ -52,6 +52,27 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SHOW TABLES IN graft_test").collect().map(_.getString(1)).contains("kv"))
   }
 
+  test("unfiltered catalog scans report the exact snapshot row count") {
+    root
+    spark.sql("CREATE TABLE graft_test.stats_t (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('primary_keys'='id')")
+    import spark.implicits._
+    (1L to 137L).map(i => (i, i * 2)).toDF("id", "v")
+      .write.mode("append").insertInto("graft_test.stats_t")
+    def scanStats(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+            .estimateStatistics()
+      }.head
+    val full = scanStats(spark.sql("SELECT * FROM graft_test.stats_t"))
+    assert(full.numRows.isPresent && full.numRows.getAsLong == 137L,
+      s"numRows = ${full.numRows}")
+    // a pushed data filter must not claim the unfiltered exact count
+    val filt = scanStats(spark.sql("SELECT * FROM graft_test.stats_t WHERE v > 100"))
+    assert(!filt.numRows.isPresent || filt.numRows.getAsLong != 137L)
+  }
+
   test("CREATE TABLE requires primary_keys and rejects partitioning") {
     root
     intercept[Exception] {
