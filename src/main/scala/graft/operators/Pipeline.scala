@@ -214,7 +214,7 @@ object Pipeline {
     }))
 
   // DuckDB lambda/list SQL mirroring the Spark semantics exactly.
-  private[operators] val tokensSql = "list_filter(string_split_regex(text, '\\s+'), x -> x != '')"
+  private[graft] val tokensSql = "list_filter(string_split_regex(text, '\\s+'), x -> x != '')"
 
   private[operators] def shinglesSql(n: Int): String = {
     val sliceEnd = s"i + ${n - 1}"

@@ -427,7 +427,41 @@ object EventsStream {
     mv.dataset.readAll()
   }
 
+  /** Streaming corpus curation — "curate as you crawl": a document
+    * stream is quality-gated with the SAME pure-Column signals the
+    * batch pipeline uses (stateless projections, no state store), and
+    * survivors append into a graft table exactly-once per micro-batch
+    * ([[GraftSink.append]]'s appId+batchId idempotence). The result is
+    * equal to running the batch gate over the accumulated corpus —
+    * exactly what the DuckDB oracle asserts. At scale the identical
+    * plan tails the live crawl feed; per-batch cost is one distributed
+    * projection + one commit. */
+  def streamCurate(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val loc = java.nio.file.Files.createTempDirectory("graft_scur_").toString
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("lang", StringType),
+      StructField("quality", DoubleType),
+      StructField("n_tok", LongType)))
+    val sink = SpaceDataset.create(s, s"$loc/tbl", outSchema, Seq("doc_id"))
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .filter(TF.qualityScore(col("text")) >= 0.3)
+      .select(col("doc_id"), col("lang"),
+        TF.qualityScore(col("text")).as("quality"),
+        TF.approxBpeTokenCount(col("text")).cast("long").as("n_tok"))
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$loc/ckpt")
+      .foreachBatch(GraftSink.append(sink, appId = "e_stream_curate"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    sink.readAll()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_stream_curate" -> ((s, d) => streamCurate(s, d)),
     "e_stream_sessions" -> ((s, d) => streamSessions(s, d)),
     "e_mv_stream" -> ((s, d) => mvStream(s, d)),
     "e_stream_to_table" -> ((s, d) => streamToTable(s, d)),
@@ -438,6 +472,39 @@ object EventsStream {
     "e_cdc_stream" -> ((s, d) => cdcStream(s, d)))
 
   val oracleSql: Map[String, String] = Map(
+    // the streaming quality gate must land on exactly the batch gate
+    // over the same corpus (quality rounds to 4 on BOTH sides before
+    // the threshold, so the gate decision is engine-identical)
+    "e_stream_curate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, text,
+         |    ${graft.operators.Pipeline.tokensSql} AS ts FROM documents),
+         |m AS (SELECT doc_id, lang, len(ts) AS n, ts,
+         |  CASE WHEN len(ts) = 0 THEN 0.0
+         |    ELSE CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) END AS diversity,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |    ELSE CAST(length(text) -
+         |      length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+         |      / length(text) END AS punct,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |    ELSE CAST(length(text) -
+         |      length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+         |      / length(text) END AS digit,
+         |  CASE WHEN len(ts) = 0 THEN 0.0
+         |    ELSE CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE)
+         |      / len(ts) END AS avg_len
+         |  FROM toks),
+         |qual AS (SELECT doc_id, lang, ts,
+         |  round(least(1.0, n / 50.0)
+         |    * (0.5 + diversity * 0.5)
+         |    * greatest(0.0, 1.0 - punct * 5 - digit * 5)
+         |    * (CASE WHEN avg_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END),
+         |    4) AS quality FROM m)
+         |SELECT doc_id, lang, quality,
+         |  CAST(coalesce(list_sum(list_transform(ts,
+         |    t -> greatest(1, CAST(ceil(length(t) / 4.0) AS INT)))), 0) AS BIGINT)
+         |    AS n_tok
+         |FROM qual WHERE quality >= 0.3""".stripMargin,
     // per-session rollup with the same gap semantics as e_sessionize
     // (> gap starts a new session); the custom-state streaming operator
     // must land on exactly the batch sessionization
