@@ -118,6 +118,18 @@ class StreamingWriteSpec extends AnyFunSuite {
       .contains("record fields"))
   }
 
+  test("streaming curation equals the batch quality gate over the corpus") {
+    val streamed = graft.streaming.EventsStream.streamCurate(spark, sfDir)
+    val batch = Tables.read(spark, sfDir, "documents")
+      .filter(graft.functions.TextFunctions.qualityScore(col("text")) >= 0.3)
+      .select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("quality"),
+        graft.functions.TextFunctions.approxBpeTokenCount(col("text"))
+          .cast("long").as("n_tok"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("custom-state streaming sessionization equals batch sessionization") {
     import org.apache.spark.sql.expressions.Window
     val out = graft.streaming.EventsStream.streamSessions(spark, sfDir)
