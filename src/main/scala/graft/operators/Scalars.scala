@@ -93,6 +93,38 @@ object Scalars {
         .intersect(li.select(col("l_orderkey").as("k")))
     }),
 
+    // ranking window-function family (q18 covers lag/lead/frames):
+    // rank, dense_rank, ntile, percent_rank, cume_dist over a total
+    // order (price desc, key asc — deterministic ties)
+    "q28_rank_funcs" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("prank"),
+        round(cume_dist().over(w), 6).as("cdist"))
+    }),
+
+    // map construction + extraction (the §2.9 family q16's arrays left
+    // out); the oracle pins the expected SCALARS, so Spark's map
+    // semantics are verified without depending on engine map formats
+    "q29_map_funcs" -> ((s, d) => {
+      val m = map(
+        col("p_brand"), length(col("p_name")),
+        col("p_type"), length(col("p_type")))
+      t(s, d, "part").select(
+        col("p_partkey"),
+        size(m).as("msize"),
+        element_at(m, col("p_brand")).as("brand_v"),
+        element_at(m, col("p_type")).as("type_v"),
+        map_contains_key(m, col("p_brand")).as("has_brand"),
+        array_join(sort_array(map_keys(m)), "|").as("keys_sorted"))
+    }),
+
     // CUBE grouping sets (rollup already covered by q10)
     "q19_cube" -> ((s, d) =>
       t(s, d, "orders")
@@ -159,6 +191,25 @@ object Scalars {
         |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
         |INTERSECT
         |SELECT l_orderkey AS k FROM lineitem""".stripMargin,
+    "q28_rank_funcs" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS prank,
+        |  round(cume_dist() OVER w, 6) AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin,
+    "q29_map_funcs" ->
+      """SELECT p_partkey,
+        |  2 AS msize,
+        |  CAST(length(p_name) AS INT) AS brand_v,
+        |  CAST(length(p_type) AS INT) AS type_v,
+        |  true AS has_brand,
+        |  concat(least(p_brand, p_type), '|', greatest(p_brand, p_type))
+        |    AS keys_sorted
+        |FROM part""".stripMargin,
     "q19_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS st,
         |  coalesce(o_orderpriority, 'ALL') AS pri,
