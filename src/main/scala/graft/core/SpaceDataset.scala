@@ -157,9 +157,12 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
     * 100 TB `count(*)`). Copy-on-write mutation keeps it exact: every
     * append/delete/upsert/compact commit patches the statistics with
     * the rows it added and removed. Accepts any version string a read
-    * does (snapshot id, tag, branch); default = current branch head. */
+    * does (snapshot id, tag, branch); default = current branch head.
+    * Resolves against the currently-loaded metadata, exactly like
+    * [[read]] — so `countRows() == readAll().count()` holds even with
+    * concurrent external writers; call [[refresh]] first when you want
+    * the latest committed head. */
   def countRows(version: Option[String] = None): Long = {
-    storage.reload()
     val snapId = version.map(storage.versionToSnapshotId)
       .getOrElse(storage.branchHead(currentBranch))
     storage.snapshotOrFail(snapId).storageStatistics.numRows

@@ -43,7 +43,7 @@ object Curation {
     pmod(b.bitwiseXOR(shiftright(b, 16)), lit(buckets.toLong))
   }
 
-  private def mixBucketSql(idExpr: String, buckets: Int): String =
+  private[operators] def mixBucketSql(idExpr: String, buckets: Long): String =
     s"xor((($idExpr) * 2654435761) % 4294967296, " +
       s"((($idExpr) * 2654435761) % 4294967296) >> 16) % $buckets"
 

@@ -98,11 +98,16 @@ object Semantics {
       .orderBy(col(idCol).asc).limit(numClusters)
       .select(col(vecCol).cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    // referenced three times (both self-join sides + the final left
+    // join) — persist so scan + assignment run once, not three times
+    // (the d_e2e_pipeline lesson; Bench/Verify clearCache between
+    // queries reclaims it)
     val assigned = df
       .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("cluster",
         org.apache.spark.sql.graftshim.NearestCentroidsExpr(
           col("v"), centroids, 1)(0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = assigned
       .select(col("cluster"), col("vec_id").as("id_a"), col("v").as("va"))
     val b = assigned
@@ -204,29 +209,33 @@ object Semantics {
       hybridRrf(t(s, d, "documents"), t(s, d, "embeddings"),
         QueryTerms, queryVecId = 0L, kEach = 50, kOut = 20)))
 
-  private def mixSql(idExpr: String, space: Long): String =
-    s"xor((($idExpr) * 2654435761) % 4294967296, " +
-      s"((($idExpr) * 2654435761) % 4294967296) >> 16) % $space"
+  // ONE copy of the BM25 oracle pipeline (CTEs + the scoring select),
+  // interpolated into both the v_bm25 and v_hybrid_rrf oracles so the
+  // formula cannot silently diverge between them.
+  private def bm25Ctes(termList: String): String =
+    s"""toks AS (
+       |  SELECT doc_id, ${Pipeline.tokensSql} AS ts FROM documents),
+       |stats AS (SELECT count(*) AS n, avg(len(ts)) AS avgdl FROM toks),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM (
+       |    SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM toks)
+       |  WHERE term IN ($termList) GROUP BY 1, 2),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |bm AS (
+       |  SELECT t.doc_id,
+       |    round(sum(ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5)) *
+       |      (t.tf * (1.2 + 1)) /
+       |      (t.tf + 1.2 * ((1 - 0.75) + 0.75 * t.dl / s.avgdl))), 4) AS bm25,
+       |    count(*) AS n_terms
+       |  FROM tf t JOIN dfreq f USING (term) CROSS JOIN stats s
+       |  GROUP BY 1)""".stripMargin
+
+  private def termListSql: String = QueryTerms.map(q => s"'$q'").mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
-    "v_bm25" -> {
-      val termList = QueryTerms.map(q => s"'$q'").mkString(", ")
-      s"""WITH toks AS (
-         |  SELECT doc_id, ${Pipeline.tokensSql} AS ts FROM documents),
-         |stats AS (SELECT count(*) AS n, avg(len(ts)) AS avgdl FROM toks),
-         |tf AS (
-         |  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM (
-         |    SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM toks)
-         |  WHERE term IN ($termList) GROUP BY 1, 2),
-         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
-         |SELECT t.doc_id,
-         |  round(sum(ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5)) *
-         |    (t.tf * (1.2 + 1)) /
-         |    (t.tf + 1.2 * ((1 - 0.75) + 0.75 * t.dl / s.avgdl))), 4) AS bm25,
-         |  count(*) AS n_terms
-         |FROM tf t JOIN dfreq f USING (term) CROSS JOIN stats s
-         |GROUP BY 1""".stripMargin
-    },
+    "v_bm25" ->
+      s"""WITH ${bm25Ctes(termListSql)}
+         |SELECT doc_id, bm25, n_terms FROM bm""".stripMargin,
     "v_semdedup" ->
       """WITH corpus AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -249,8 +258,8 @@ object Semantics {
         |SELECT s.vec_id, s.cluster, (d.vec_id IS NULL) AS kept
         |FROM asg s LEFT JOIN dropped d ON s.vec_id = d.vec_id""".stripMargin,
     "d_shuffle_export" -> {
-      val shardSql = mixSql("doc_id", 8L)
-      val ordSql = mixSql(s"doc_id + $OrdSalt", OrdSpace.toLong)
+      val shardSql = Curation.mixBucketSql("doc_id", 8L)
+      val ordSql = Curation.mixBucketSql(s"doc_id + $OrdSalt", OrdSpace.toLong)
       s"""SELECT doc_id, shard,
          |  CAST(row_number() OVER (PARTITION BY shard
          |    ORDER BY __ord ASC, doc_id ASC) AS BIGINT) AS pos
@@ -258,22 +267,7 @@ object Semantics {
          |      FROM documents)""".stripMargin
     },
     "v_hybrid_rrf" -> {
-      val termList = QueryTerms.map(q => s"'$q'").mkString(", ")
-      s"""WITH toks AS (
-         |  SELECT doc_id, ${Pipeline.tokensSql} AS ts FROM documents),
-         |stats AS (SELECT count(*) AS n, avg(len(ts)) AS avgdl FROM toks),
-         |tf AS (
-         |  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM (
-         |    SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM toks)
-         |  WHERE term IN ($termList) GROUP BY 1, 2),
-         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         |bm AS (
-         |  SELECT t.doc_id,
-         |    round(sum(ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5)) *
-         |      (t.tf * (1.2 + 1)) /
-         |      (t.tf + 1.2 * ((1 - 0.75) + 0.75 * t.dl / s.avgdl))), 4) AS bm25
-         |  FROM tf t JOIN dfreq f USING (term) CROSS JOIN stats s
-         |  GROUP BY 1),
+      s"""WITH ${bm25Ctes(termListSql)},
          |lex AS (SELECT doc_id AS id, rank_lex FROM (
          |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
          |    AS rank_lex FROM bm) WHERE rank_lex <= 50),

@@ -446,12 +446,16 @@ object EventsStream {
       StructField("quality", DoubleType),
       StructField("n_tok", LongType)))
     val sink = SpaceDataset.create(s, s"$loc/tbl", outSchema, Seq("doc_id"))
+    // project the score FIRST, filter on the named column — one
+    // evaluation of the (re-tokenizing) quality expression per row, not
+    // two (filter and select are separate operators; codegen CSE does
+    // not share across them)
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(d)
-      .filter(TF.qualityScore(col("text")) >= 0.3)
       .select(col("doc_id"), col("lang"),
         TF.qualityScore(col("text")).as("quality"),
         TF.approxBpeTokenCount(col("text")).cast("long").as("n_tok"))
+      .filter(col("quality") >= 0.3)
     val q = stream.writeStream
       .option("checkpointLocation", s"$loc/ckpt")
       .foreachBatch(GraftSink.append(sink, appId = "e_stream_curate"))

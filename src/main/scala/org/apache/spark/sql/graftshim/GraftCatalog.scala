@@ -436,9 +436,14 @@ final class GraftScanBuilder(
   override def pushedFilters(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     delegate.pushedFilters
 
+  private var aggPushed = false
+
   override def pushAggregation(
-      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    !anyRenames && delegate.pushAggregation(aggregation)
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val pushed = !anyRenames && delegate.pushAggregation(aggregation)
+    if (pushed) aggPushed = true
+    pushed
+  }
 
   override def supportCompletePushDown(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
@@ -446,9 +451,11 @@ final class GraftScanBuilder(
 
   override def build(): Scan = new GraftDelegatingScan(
     spark, storage, delegate.build(), options,
-    // exact-rows statistics are only safe for an unfiltered scan: any
-    // pushed data filter makes the post-scan cardinality unknowable here
-    exactRows = if (delegate.pushedFilters.isEmpty)
+    // exact-rows statistics are only safe for an unfiltered, un-
+    // aggregated scan: a pushed data filter makes the post-scan
+    // cardinality unknowable here, and a pushed aggregate's output is
+    // the (few) aggregated rows, not the table's
+    exactRows = if (delegate.pushedFilters.isEmpty && !aggPushed)
       Some(storage.snapshotOrFail(snapshotId).storageStatistics.numRows)
     else None)
 }

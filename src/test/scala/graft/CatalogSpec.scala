@@ -71,6 +71,15 @@ class CatalogSpec extends AnyFunSuite {
     // a pushed data filter must not claim the unfiltered exact count
     val filt = scanStats(spark.sql("SELECT * FROM graft_test.stats_t WHERE v > 100"))
     assert(!filt.numRows.isPresent || filt.numRows.getAsLong != 137L)
+    // a pushed AGGREGATE outputs few rows — claiming the table count
+    // there would poison join cardinality estimates (aggregate
+    // pushdown is opt-in: spark.sql.parquet.aggregatePushdown)
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val agg = scanStats(spark.sql("SELECT count(*) FROM graft_test.stats_t"))
+      assert(!agg.numRows.isPresent || agg.numRows.getAsLong != 137L,
+        s"pushed-aggregate scan claims table cardinality: ${agg.numRows}")
+    } finally spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
   }
 
   test("CREATE TABLE requires primary_keys and rejects partitioning") {
