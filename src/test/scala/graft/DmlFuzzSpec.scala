@@ -28,9 +28,11 @@ class DmlFuzzSpec extends AnyFunSuite {
       val ds = SpaceDataset.create(spark, loc, schema, Seq("id"))
       var model = Map.empty[Long, Long]
       var nextId = 0L
+      // tag name -> the model at tag time (for rollback restoration)
+      var tagged = Map.empty[String, Map[Long, Long]]
 
-      for (step <- 1 to 10) {
-        rnd.nextInt(6) match {
+      for (step <- 1 to 12) {
+        rnd.nextInt(8) match {
           case 0 | 1 => // append a batch of FRESH ids
             val n = 20 + rnd.nextInt(80)
             val rows = (0 until n).map { i =>
@@ -64,11 +66,30 @@ class DmlFuzzSpec extends AnyFunSuite {
             val hi = lo + rnd.nextInt(200)
             ds.delete(col("id") >= lo && col("id") <= hi)
             model = model.filter { case (id, _) => id < lo || id > hi }
+          case 6 => // tag the current state for a later rollback
+            val name = s"t$step"
+            ds.addTag(name)
+            tagged += name -> model
+          case 7 => // rollback to a random tag still on the chain;
+            // off-chain tags (behind an earlier rollback) reject loudly
+            if (tagged.nonEmpty) {
+              val (name, snap) =
+                tagged.toSeq(rnd.nextInt(tagged.size))
+              try { ds.rollback(name); model = snap }
+              catch { case _: IllegalArgumentException => () }
+            }
         }
         assert(tableRows(ds) == model,
           s"trial $trial step $step: table diverged from model")
         assert(ds.countRows() == model.size.toLong,
           s"trial $trial step $step: countRows ${ds.countRows()} != ${model.size}")
+      }
+
+      // every tag still answers its metadata-only count — even tags
+      // left behind an abandoned (rolled-back) chain stay readable
+      tagged.foreach { case (name, snap) =>
+        assert(ds.countRows(Some(name)) == snap.size.toLong,
+          s"trial $trial: countRows($name) != tagged model size")
       }
 
       // CDC replay: fold every change batch from v0 to head back into a
