@@ -121,6 +121,52 @@ object Semantics {
       .select(col("vec_id"), col("cluster"), col("__drop").isNull.as("kept"))
   }
 
+  /** Fixed query set for the multi-query oracle (id → terms). */
+  private val QuerySet: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("vector", "merge", "window"),
+    1 -> Seq("hash", "scan"),
+    2 -> Seq("customer"))
+
+  /** Batch BM25: score a whole QUERY SET against the corpus in one
+    * pass — the retrieval-benchmark / decontamination-probe shape.
+    * Same plan as [[bm25]] with the query dimension riding along: the
+    * (q_id, term) table broadcasts into the token-stream join (so the
+    * corpus-side explode is filtered before any shuffle, once, for all
+    * queries), document frequencies are per-TERM (deduped on (doc,
+    * term), so a term shared by two queries is counted once), and the
+    * final aggregate is keyed (q_id, doc). Scoring Q queries costs one
+    * corpus pass regardless of Q. */
+  def bm25Multi(docs: DataFrame, textCol: String, idCol: String,
+      queries: Seq[(Int, Seq[String])]): DataFrame = {
+    val stats = docs
+      .agg(count(lit(1)).as("n"), avg(TF.tokenCount(col(textCol))).as("avgdl"))
+      .collect()(0)
+    val nDocs = stats.getLong(0)
+    val avgdl = if (stats.isNullAt(1)) 0.0 else stats.getDouble(1)
+
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qdf = broadcast(
+      queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+        .toDF("q_id", "term"))
+    val toks = docs
+      .select(col(idCol), TF.tokenCount(col(textCol)).as("dl"),
+        explode(TF.tokens(col(textCol))).as("term"))
+      .join(qdf, Seq("term"))
+    val tf = toks.groupBy(col("q_id"), col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfreq = tf.select(col(idCol), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+    val idf = log(lit(1.0) +
+      (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val w = idf * (col("tf") * lit(K1 + 1)) /
+      (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / lit(avgdl)))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .groupBy(col("q_id"), col(idCol))
+      .agg(round(sum(w), 4).as("bm25"), count(lit(1)).as("n_terms"))
+  }
+
   /** Hybrid retrieval with reciprocal rank fusion (Cormack et al.
     * 2009): fuse the BM25 lexical ranking with an embedding-cosine
     * ranking of the same item ids — rrf = Σ 1/(rrfK + rank) over the
@@ -190,6 +236,10 @@ object Semantics {
     "v_bm25" -> ((s, d) =>
       bm25(t(s, d, "documents"), "text", "doc_id", QueryTerms)),
 
+    // batch retrieval: three term-set queries scored in ONE corpus pass
+    "v_bm25_multi" -> ((s, d) =>
+      bm25Multi(t(s, d, "documents"), "text", "doc_id", QuerySet)),
+
     // corpus with planted exact copies (vec_id < 100 re-inserted at
     // +100000), 8 fixed clusters, cosine ≥ 0.999 → dropped
     "v_semdedup" -> ((s, d) => {
@@ -236,6 +286,27 @@ object Semantics {
     "v_bm25" ->
       s"""WITH ${bm25Ctes(termListSql)}
          |SELECT doc_id, bm25, n_terms FROM bm""".stripMargin,
+    "v_bm25_multi" -> {
+      val valuesRows = QuerySet
+        .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${Pipeline.tokensSql} AS ts FROM documents),
+         |stats AS (SELECT count(*) AS n, avg(len(ts)) AS avgdl FROM toks),
+         |q AS (SELECT * FROM (VALUES $valuesRows) AS v(q_id, term)),
+         |tok2 AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM toks),
+         |tf AS (
+         |  SELECT q.q_id, t.doc_id, t.term, count(*) AS tf, max(t.dl) AS dl
+         |  FROM tok2 t JOIN q ON t.term = q.term GROUP BY 1, 2, 3),
+         |dfreq AS (SELECT term, count(*) AS df FROM
+         |  (SELECT DISTINCT doc_id, term FROM tf) GROUP BY 1)
+         |SELECT t.q_id, t.doc_id,
+         |  round(sum(ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5)) *
+         |    (t.tf * (1.2 + 1)) /
+         |    (t.tf + 1.2 * ((1 - 0.75) + 0.75 * t.dl / s.avgdl))), 4) AS bm25,
+         |  count(*) AS n_terms
+         |FROM tf t JOIN dfreq f USING (term) CROSS JOIN stats s
+         |GROUP BY 1, 2""".stripMargin
+    },
     "v_semdedup" ->
       """WITH corpus AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -84,6 +84,14 @@ class SemanticsSpec extends AnyFunSuite {
       "no doc appears on both ranked lists — fusion untested by data")
   }
 
+  test("bm25Multi's q0 slice equals the single-query bm25 exactly") {
+    val single = Semantics.queries("v_bm25")(spark, sfDir)
+    val multi = Semantics.queries("v_bm25_multi")(spark, sfDir)
+      .filter(col("q_id") === 0).drop("q_id")
+    assert(single.count() > 0)
+    assert(single.exceptAll(multi).isEmpty && multi.exceptAll(single).isEmpty)
+  }
+
   test("bm25 edge cases: empty/whitespace docs and absent terms") {
     import spark.implicits._
     val docs = Seq(
