@@ -189,6 +189,18 @@ object Curation {
     // numbers; see [[profile]] for the approx scale path.
     "d_profile" -> ((s, d) => profile(docs(s, d))),
 
+    // sequence-length histogram (width-32 buckets of the BPE-ish token
+    // count): the distribution that sizes context-window packing —
+    // docs and token mass per bucket tell you the padding/truncation
+    // cost of any window choice before running the pack. One groupBy
+    // over ≤ max_len/32 keys: map-side combined, trivially scalable.
+    "d_token_hist" -> ((s, d) =>
+      docs(s, d)
+        .select(TF.approxBpeTokenCount(col("text")).cast("long").as("n_tok"))
+        .withColumn("bucket", col("n_tok") - pmod(col("n_tok"), lit(32L)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))),
+
     // deterministic per-stratum sample: exactly min(k, |stratum|) docs
     // per source, the ones with the smallest salted mix-hash — a stable
     // "eyeball 20 docs per domain" sample that never changes between
@@ -492,6 +504,15 @@ object Curation {
          |  regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
          |    '$PhoneRe', '<PHONE>', 'g') AS scrubbed
          |FROM c""".stripMargin,
+    "d_token_hist" ->
+      s"""WITH n AS (
+         |  SELECT CAST(coalesce(list_sum(list_transform(${Pipeline.tokensSql},
+         |    t -> greatest(1, CAST(ceil(length(t) / 4.0) AS INT)))), 0) AS BIGINT)
+         |    AS n_tok
+         |  FROM documents)
+         |SELECT n_tok - n_tok % 32 AS bucket,
+         |  count(*) AS n_docs, sum(n_tok) AS total_tokens
+         |FROM n GROUP BY 1""".stripMargin,
     "d_profile" ->
       Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
         s"""SELECT '$c' AS col_name, count(*) AS n_rows,

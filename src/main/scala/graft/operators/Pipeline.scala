@@ -138,6 +138,18 @@ object Pipeline {
     "v_quantize" -> ((s, d) =>
       Similarity.quantizeInt8(t(s, d, "embeddings"), "embedding", "vec_id")),
 
+    // FILTERED ANN: exact top-k restricted to a metadata predicate
+    // (label = 1) — the "filtered vector search" shape every serving
+    // stack needs. The filter applies BEFORE scoring, so it pushes into
+    // the corpus scan (pruned parquet read at scale), and ranking runs
+    // on the reduced candidate set — never score-then-filter, which
+    // returns fewer than k survivors
+    "v_ann_filtered" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(e.filter(col("label") === 1),
+        e.filter(col("vec_id") < 5), "embedding", "vec_id", k = 10)
+    }),
+
     // product-quantization ANN: 8 subspaces × 16 fixed anchors (the
     // lowest-id vectors — deterministic, so the DuckDB oracle replays
     // encode + ADC scoring exactly), top-10 by asymmetric dot product
@@ -416,6 +428,18 @@ object Pipeline {
         |    row_number() OVER (PARTITION BY q_id
         |      ORDER BY approx DESC, vec_id ASC) AS rank
         |  FROM contrib) WHERE rank <= 10""".stripMargin,
+    "v_ann_filtered" ->
+      """SELECT q_id, vec_id, round(s, 4) AS score, rank FROM (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                           CAST(q.embedding AS DOUBLE[])) AS s,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                 CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id ASC) AS rank
+        |  FROM (SELECT * FROM embeddings WHERE label = 1) e
+        |  JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+        |    ON e.vec_id != q.vec_id
+        |) WHERE rank <= 10""".stripMargin,
     "v_ann_brute" ->
       """SELECT q_id, vec_id, round(s, 4) AS score, rank FROM (
         |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,

@@ -96,6 +96,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"IVF recall $recall")
   }
 
+  test("filtered ANN returns only candidates passing the predicate") {
+    val res = operators.Pipeline.queries("v_ann_filtered")(spark, sfDir)
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    val bad = res.join(labels, Seq("vec_id")).filter(col("label") =!= 1)
+    assert(res.count() > 0)
+    assert(bad.count() == 0, "a returned neighbor fails the label filter")
+  }
+
   test("PQ ADC beats chance by an order of magnitude; codebook self-codes") {
     val queries = embeddings.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(embeddings, queries, "embedding", "vec_id", 10)
