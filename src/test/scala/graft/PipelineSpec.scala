@@ -102,6 +102,11 @@ class PipelineSpec extends AnyFunSuite {
     val bad = res.join(labels, Seq("vec_id")).filter(col("label") =!= 1)
     assert(res.count() > 0)
     assert(bad.count() == 0, "a returned neighbor fails the label filter")
+    // the predicate reaches the corpus parquet scan (filter BEFORE
+    // scoring — at scale this is the pruned read, not a post-score
+    // cut); AQE wraps the leaves, so assert on the rendered plan
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(label,1)"), plan.take(3000))
   }
 
   test("PQ ADC beats chance by an order of magnitude; codebook self-codes") {
