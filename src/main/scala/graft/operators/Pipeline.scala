@@ -228,7 +228,7 @@ object Pipeline {
   // DuckDB lambda/list SQL mirroring the Spark semantics exactly.
   private[graft] val tokensSql = "list_filter(string_split_regex(text, '\\s+'), x -> x != '')"
 
-  private[operators] def shinglesSql(n: Int): String = {
+  private[graft] def shinglesSql(n: Int): String = {
     val sliceEnd = s"i + ${n - 1}"
     s"""CASE WHEN len(ts) <= $n THEN [array_to_string(ts, ' ')]
        |     ELSE list_transform(range(1, len(ts) - ${n - 2}),

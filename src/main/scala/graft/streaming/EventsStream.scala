@@ -464,7 +464,59 @@ object EventsStream {
     sink.readAll()
   }
 
+  /** Dedup-as-you-ingest: a document stream is checked per micro-batch
+    * against the corpus's PERSISTED banded-minhash index (a graft table
+    * keyed (id, band) — the standing 100 TB shape); batch band keys
+    * broadcast against the stored index, candidates verify by exact
+    * Jaccard, and only NON-duplicate documents append (exactly-once)
+    * into the output table. The synthetic stream is 50 perturbed
+    * near-copies of corpus docs (all dropped) + 50 reversed-text
+    * novelties (all kept) — the oracle replays the whole decision with
+    * exact Jaccard in SQL. Per-batch cost is O(batch) band keys + the
+    * candidate fetches; the corpus is never rescanned. */
+  def streamIngestDedup(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft_sid_").toString
+    val corpus = Tables.read(s, d, "documents").select(col("doc_id"), col("text"))
+
+    // standing index, persisted as a graft table (the s_dedup_index shape)
+    val idx = Dedup.minhashIndexRows(corpus, "text", "doc_id",
+      numHashes = 32, bands = 16, shingleSize = 3)
+    val idxTable = SpaceDataset.create(s, s"$root/idx", idx.schema, Seq("id", "band"))
+    idxTable.append(idx)
+
+    // the incoming "crawl": near-dups + novelties, staged as stream input
+    val batch = corpus.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" graft dedup tail")).as("text"))
+      .unionByName(corpus.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(reverse(col("text")), lit(" xx"), col("doc_id")).as("text")))
+    batch.coalesce(1).write.mode("overwrite").parquet(s"$root/in")
+
+    val sink = SpaceDataset.create(s, s"$root/tbl", batch.schema, Seq("doc_id"))
+    val stored = idxTable.readAll()
+    val q = s.readStream.schema(batch.schema).parquet(s"$root/in")
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        val bb = b.persist()
+        try {
+          val dup = Dedup.minhashAgainstStoredIndex(stored, corpus, bb.toDF(),
+            "text", "doc_id", numHashes = 32, bands = 16, shingleSize = 3,
+            threshold = 0.6)
+            .select(col("batch_id").as("doc_id")).distinct()
+          val survivors = bb.toDF().join(dup, Seq("doc_id"), "left_anti")
+          if (!survivors.isEmpty) { sink.appendOnce(survivors, "e_stream_ingest_dedup", batchId); () }
+        } finally { bb.unpersist(); () }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    sink.readAll()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_stream_ingest_dedup" -> ((s, d) => streamIngestDedup(s, d)),
     "e_stream_curate" -> ((s, d) => streamCurate(s, d)),
     "e_stream_sessions" -> ((s, d) => streamSessions(s, d)),
     "e_mv_stream" -> ((s, d) => mvStream(s, d)),
@@ -476,6 +528,32 @@ object EventsStream {
     "e_cdc_stream" -> ((s, d) => cdcStream(s, d)))
 
   val oracleSql: Map[String, String] = Map(
+    // dedup-as-you-ingest: survivors = batch docs with NO corpus doc at
+    // exact Jaccard >= 0.6 (the stored-index pipeline verifies
+    // candidates by exact Jaccard, so the decision replays in SQL)
+    "e_stream_ingest_dedup" -> {
+      import graft.operators.Pipeline.{tokensSql, shinglesSql}
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |batch AS (
+         |  SELECT doc_id + 1000000 AS doc_id,
+         |    text || ' graft dedup tail' AS text
+         |  FROM documents WHERE doc_id < 50
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id,
+         |    reverse(text) || ' xx' || CAST(doc_id AS VARCHAR) AS text
+         |  FROM documents WHERE doc_id < 50),
+         |sc AS (SELECT doc_id, list_distinct(${shinglesSql(3)}) AS g
+         |       FROM (SELECT doc_id, $tokensSql AS ts FROM corpus)),
+         |sb AS (SELECT doc_id, list_distinct(${shinglesSql(3)}) AS g
+         |       FROM (SELECT doc_id, $tokensSql AS ts FROM batch)),
+         |matched AS (
+         |  SELECT DISTINCT b.doc_id
+         |  FROM sb b CROSS JOIN sc c
+         |  WHERE CAST(len(list_intersect(b.g, c.g)) AS DOUBLE) /
+         |        len(list_distinct(list_concat(b.g, c.g))) >= 0.6)
+         |SELECT doc_id, text FROM batch
+         |WHERE doc_id NOT IN (SELECT doc_id FROM matched)""".stripMargin
+    },
     // the streaming quality gate must land on exactly the batch gate
     // over the same corpus (quality rounds to 4 on BOTH sides before
     // the threshold, so the gate decision is engine-identical)
