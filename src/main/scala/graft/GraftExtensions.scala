@@ -91,5 +91,12 @@ object GraftExtensions {
       es => expr(TF.minhashSignature(col(es.head), litInt(es(1), "numHashes")))),
     ("graft_jaccard_sorted", 2, es => expr(TF.jaccardSorted(col(es(0)), col(es(1))))),
     ("graft_hamming64", 2, es => expr(TF.hammingDistance64(col(es(0)), col(es(1))))),
-    ("graft_cosine", 2, es => expr(VF.cosine(col(es(0)), col(es(1))))))
+    ("graft_cosine", 2, es => expr(VF.cosine(col(es(0)), col(es(1))))),
+    ("graft_dot", 2, es => expr(VF.dot(col(es(0)), col(es(1))))),
+    // the deterministic split/mix kernel: graft_mix_bucket(id, buckets)
+    // — SQL users build stable train/valid/test splits and sampling
+    // decisions with the exact arithmetic the curation ops use
+    ("graft_mix_bucket", 2, es =>
+      expr(graft.operators.Curation.mixBucket(
+        col(es.head), litInt(es(1), "buckets")))))
 }

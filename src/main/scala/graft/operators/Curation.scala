@@ -38,7 +38,7 @@ object Curation {
     * any SQL engine — unlike xxhash64, which only Spark has). Production
     * splits on arbitrary keys would use `xxhash64(key, salt)`; the
     * arithmetic here is the same idea with a portable kernel. */
-  private[operators] def mixBucket(id: Column, buckets: Int): Column = {
+  private[graft] def mixBucket(id: Column, buckets: Int): Column = {
     val b = pmod(id * lit(2654435761L), lit(4294967296L))
     pmod(b.bitwiseXOR(shiftright(b, 16)), lit(buckets.toLong))
   }

@@ -61,6 +61,25 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(sql == 1.0)
   }
 
+  test("graft_mix_bucket and graft_dot match the DataFrame API from SQL") {
+    import org.apache.spark.sql.functions._
+    docs()
+    Tables.read(spark, sfDir, "embeddings").createOrReplaceTempView("emb_ext")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_mix_bucket(doc_id, 1000) AS b FROM docs_ext")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaApi = Tables.read(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        graft.operators.Curation.mixBucket(col("doc_id"), 1000).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaApi)
+    // self dot = squared norm > 0 for non-zero vectors
+    val d = spark.sql(
+      "SELECT min(graft_dot(embedding, embedding)) AS d FROM emb_ext")
+      .collect()(0).getDouble(0)
+    assert(d > 0.0)
+  }
+
   test("literal-arg validation and arity errors are user-readable") {
     docs()
     val e = intercept[Exception](
