@@ -495,24 +495,45 @@ object EventsStream {
     batch.coalesce(1).write.mode("overwrite").parquet(s"$root/in")
 
     val sink = SpaceDataset.create(s, s"$root/tbl", batch.schema, Seq("doc_id"))
-    val stored = idxTable.readAll()
     val q = s.readStream.schema(batch.schema).parquet(s"$root/in")
       .writeStream
       .option("checkpointLocation", s"$root/ckpt")
-      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
-        val bb = b.persist()
-        try {
-          val dup = Dedup.minhashAgainstStoredIndex(stored, corpus, bb.toDF(),
-            "text", "doc_id", numHashes = 32, bands = 16, shingleSize = 3,
-            threshold = 0.6)
-            .select(col("batch_id").as("doc_id")).distinct()
-          val survivors = bb.toDF().join(dup, Seq("doc_id"), "left_anti")
-          if (!survivors.isEmpty) { sink.appendOnce(survivors, "e_stream_ingest_dedup", batchId); () }
-        } finally { bb.unpersist(); () }
-      }
+      .foreachBatch(ingestDedupBatch(idxTable, corpus, sink, "e_stream_ingest_dedup"))
       .start()
     try q.processAllAvailable() finally q.stop()
     sink.readAll()
+  }
+
+  /** The per-micro-batch body of [[streamIngestDedup]]: check the batch
+    * against the stored index (candidates verified by exact Jaccard),
+    * append survivors exactly-once, then MAINTAIN the index — admitted
+    * docs join it, so a later batch near-duplicating this one dedupes
+    * too. Index and admitted-text universe are re-read per batch. */
+  private[graft] def ingestDedupBatch(
+      idxTable: SpaceDataset,
+      corpus: DataFrame,
+      sink: SpaceDataset,
+      appId: String): (Dataset[Row], Long) => Unit = { (b, batchId) =>
+    import graft.operators.Dedup
+    val bb = b.persist()
+    try {
+      val stored = idxTable.readAll()
+      val corpusAll = corpus.unionByName(
+        sink.readAll().select(col("doc_id"), col("text")))
+      val dup = Dedup.minhashAgainstStoredIndex(stored, corpusAll, bb.toDF(),
+        "text", "doc_id", numHashes = 32, bands = 16, shingleSize = 3,
+        threshold = 0.6)
+        .select(col("batch_id").as("doc_id")).distinct()
+      val survivors = bb.toDF().join(dup, Seq("doc_id"), "left_anti").persist()
+      try {
+        if (!survivors.isEmpty) {
+          sink.appendOnce(survivors, appId, batchId)
+          idxTable.append(Dedup.minhashIndexRows(survivors, "text",
+            "doc_id", numHashes = 32, bands = 16, shingleSize = 3))
+          ()
+        }
+      } finally { survivors.unpersist(); () }
+    } finally { bb.unpersist(); () }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -130,6 +130,55 @@ class StreamingWriteSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("ingest dedup maintains its index: a later wave duplicating an earlier one drops") {
+    import java.nio.file.{Files => JF, Paths, StandardCopyOption}
+    val root = JF.createTempDirectory("graft_sidw_").toString
+    val corpus = Tables.read(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val idx = graft.operators.Dedup.minhashIndexRows(corpus, "text", "doc_id",
+      numHashes = 32, bands = 16, shingleSize = 3)
+    val idxT = core.SpaceDataset.create(spark, s"$root/idx", idx.schema,
+      Seq("id", "band"))
+    idxT.append(idx)
+
+    // wave1: novel reversed docs; wave2: near-copies OF WAVE1 (not of
+    // the corpus) — only the maintained index can catch them
+    val w1 = corpus.filter(col("doc_id") < 30)
+      .select((col("doc_id") + 500000L).as("doc_id"),
+        concat(reverse(col("text")), lit(" xx"), col("doc_id")).as("text"))
+    val w2 = w1.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" tail2")).as("text"))
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = s"$root/stage_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = JF.list(Paths.get(tmp)).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val dst = Paths.get(s"$root/in/$name.parquet")
+      JF.createDirectories(dst.getParent)
+      JF.move(Paths.get(part), dst, StandardCopyOption.REPLACE_EXISTING)
+      JF.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val now = System.currentTimeMillis()
+    stage(w1, "w1", now - 60000)
+    stage(w2, "w2", now)
+
+    val sink = core.SpaceDataset.create(spark, s"$root/tbl", w1.schema, Seq("doc_id"))
+    val q = spark.readStream.schema(w1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(graft.streaming.EventsStream.ingestDedupBatch(
+        idxT, corpus, sink, "sidw_test"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val admitted = sink.readAll().select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == w1.collect().map(_.getLong(0)).toSet,
+      s"expected exactly wave1; got ${admitted.size} docs")
+    assert(!admitted.exists(_ >= 1000000L), "a wave2 near-copy was admitted")
+  }
+
   test("custom-state streaming sessionization equals batch sessionization") {
     import org.apache.spark.sql.expressions.Window
     val out = graft.streaming.EventsStream.streamSessions(spark, sfDir)
