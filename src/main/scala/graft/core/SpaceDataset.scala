@@ -233,6 +233,24 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
       DmlOps.delete(spark, storage, pinned, toPhysicalCol(cond))
     }
 
+  /** Predicate overwrite (the backfill primitive, Delta's
+    * `replaceWhere`): delete every row matching `cond` and append `df`,
+    * in ONE snapshot — readers never observe the partial state, CDC
+    * sees one DELETE+ADD snapshot, and a conflicting concurrent commit
+    * aborts the whole pair. The caller is responsible for `df` only
+    * containing rows that satisfy `cond` (checked with a loud require
+    * so a mis-scoped backfill cannot silently widen the overwrite). */
+  def overwriteWhere(cond: Column, df: DataFrame,
+      branch: String = currentBranch): Long = {
+    require(df.filter(!cond).limit(1).count() == 0,
+      "overwriteWhere: replacement rows must satisfy the predicate")
+    storage.commitTransaction(branch, ConflictPolicy.Rewrite) { pinned =>
+      val del = DmlOps.delete(spark, storage, pinned, toPhysicalCol(cond))
+      val app = RecordIO.writeWithRecords(spark, storage, toPhysicalDf(df))
+      Patch.merge(del.toSeq :+ app)
+    }
+  }
+
   def insert(df: DataFrame, branch: String = currentBranch): Long =
     storage.commitTransaction(branch) { pinned =>
       Some(DmlOps.insert(spark, storage, pinned, toPhysicalDf(df)))

@@ -452,6 +452,23 @@ object StorageOps {
       ds.read(version = Some("exp"))
     }),
 
+    // PREDICATE OVERWRITE (replaceWhere backfill): the [500,1000] key
+    // range is deleted and replaced with recomputed rows in ONE
+    // snapshot — create=0, append=1, overwrite=2 (require-asserted), so
+    // readers never observe the half-done backfill
+    "s_overwrite_where" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val ds = SpaceDataset.create(s, fresh("ow"), o.schema, Seq("o_orderkey"))
+      ds.append(o.filter(col("o_orderkey") <= 2000L))
+      val pred = col("o_orderkey") > 500L && col("o_orderkey") <= 1000L
+      val repl = o.filter(pred)
+        .withColumn("o_totalprice", round(col("o_totalprice") * 2, 2))
+      ds.overwriteWhere(pred, repl)
+      require(ds.storage.branchHead("main") == 2L,
+        "overwriteWhere must commit exactly one snapshot")
+      ds.readAll()
+    }),
+
     // WRITE-AUDIT-PUBLISH: stage a new batch on an audit branch, run
     // validation there (bad rows deleted on the branch — main serves
     // readers untouched the whole time), then publish with a
@@ -775,6 +792,13 @@ object StorageOps {
       """SELECT * FROM orders
         |WHERE o_orderkey <= 1000
         |   OR (o_orderkey > 2000 AND o_orderkey <= 3000)""".stripMargin,
+    "s_overwrite_where" ->
+      """SELECT * FROM orders
+        |WHERE o_orderkey <= 500
+        |   OR (o_orderkey > 1000 AND o_orderkey <= 2000)
+        |UNION ALL
+        |SELECT * REPLACE (round(o_totalprice * 2, 2) AS o_totalprice)
+        |FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 1000""".stripMargin,
     "s_wap" ->
       """SELECT * FROM orders
         |WHERE o_orderkey <= 1000

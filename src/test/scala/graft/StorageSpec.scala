@@ -397,6 +397,27 @@ class RollbackSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(ds.readAll().count() == 180)
   }
 
+  test("overwriteWhere is one DELETE+ADD snapshot and rejects mis-scoped rows") {
+    val orders = Tables.read(spark, sfDir, "orders")
+    val loc = java.nio.file.Files.createTempDirectory("graft_ow_").toString + "/tbl"
+    val ds = core.SpaceDataset.create(spark, loc, orders.schema, Seq("o_orderkey"))
+    ds.append(orders.filter(col("o_orderkey") <= 200L))
+    val pred = col("o_orderkey") <= 100L
+    val repl = orders.filter(pred).withColumn("o_totalprice", lit(1.0))
+    ds.overwriteWhere(pred, repl)
+    // exactly one new snapshot, whose CDC is DELETE(old range)+ADD(new)
+    assert(ds.storage.branchHead("main") == 2L)
+    val batches = ds.diff("1", "2")
+    assert(batches.map(_.changeType) == Seq(ChangeType.Delete, ChangeType.Add),
+      batches.map(_.changeType).toString)
+    assert(batches.forall(_.snapshotId == 2L))
+    assert(ds.readAll().filter(pred && col("o_totalprice") =!= 1.0).count() == 0)
+    // replacement rows outside the predicate are a loud error, not a
+    // silent widened overwrite
+    val bad = orders.filter(col("o_orderkey") > 150L && col("o_orderkey") <= 160L)
+    intercept[IllegalArgumentException](ds.overwriteWhere(pred, bad))
+  }
+
   test("countRows answers from metadata and stays exact through CoW mutation") {
     val orders = Tables.read(spark, sfDir, "orders")
     val loc = java.nio.file.Files.createTempDirectory("graft_cnt_").toString + "/tbl"
