@@ -242,13 +242,24 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
     * so a mis-scoped backfill cannot silently widen the overwrite). */
   def overwriteWhere(cond: Column, df: DataFrame,
       branch: String = currentBranch): Long = {
-    require(df.filter(!cond).limit(1).count() == 0,
-      "overwriteWhere: replacement rows must satisfy the predicate")
-    storage.commitTransaction(branch, ConflictPolicy.Rewrite) { pinned =>
-      val del = DmlOps.delete(spark, storage, pinned, toPhysicalCol(cond))
-      val app = RecordIO.writeWithRecords(spark, storage, toPhysicalDf(df))
-      Patch.merge(del.toSeq :+ app)
-    }
+    // pin ONE evaluation of df (guard + write must see the same rows —
+    // a nondeterministic df could otherwise pass the guard yet write
+    // different rows), and treat a NULL predicate as a violation
+    // (three-valued logic would silently admit NULL-keyed rows the
+    // delete leg never covers)
+    val pinnedDf = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      require(
+        pinnedDf.filter(!org.apache.spark.sql.functions.coalesce(
+          cond, org.apache.spark.sql.functions.lit(false))).limit(1).count() == 0,
+        "overwriteWhere: replacement rows must satisfy the predicate " +
+          "(NULL predicate values count as violations)")
+      storage.commitTransaction(branch, ConflictPolicy.Rewrite) { pinned =>
+        val del = DmlOps.delete(spark, storage, pinned, toPhysicalCol(cond))
+        val app = RecordIO.writeWithRecords(spark, storage, toPhysicalDf(pinnedDf))
+        Patch.merge(del.toSeq :+ app)
+      }
+    } finally { pinnedDf.unpersist(); () }
   }
 
   def insert(df: DataFrame, branch: String = currentBranch): Long =

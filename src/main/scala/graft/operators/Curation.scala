@@ -196,7 +196,10 @@ object Curation {
     // over ≤ max_len/32 keys: map-side combined, trivially scalable.
     "d_token_hist" -> ((s, d) =>
       docs(s, d)
-        .select(TF.approxBpeTokenCount(col("text")).cast("long").as("n_tok"))
+        // coalesce: a NULL text is a 0-token doc, matching the oracle's
+        // coalesce(list_sum(...), 0) — not a NULL histogram bucket
+        .select(coalesce(TF.approxBpeTokenCount(col("text")), lit(0))
+          .cast("long").as("n_tok"))
         .withColumn("bucket", col("n_tok") - pmod(col("n_tok"), lit(32L)))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))),

@@ -517,14 +517,22 @@ object EventsStream {
     import graft.operators.Dedup
     val bb = b.persist()
     try {
+      // WITHIN-batch dedup first: a near-dup pair arriving in the same
+      // micro-batch has neither doc in the index yet — drop the
+      // higher-id of every intra-batch pair (chain-insensitive
+      // keep-lowest, same rule the oracle replays)
+      val intra = Dedup.minhashPairs(bb.toDF(), "text", "doc_id",
+        numHashes = 32, bands = 16, shingleSize = 3, threshold = 0.6)
+        .select(col("id_b").as("doc_id")).distinct()
+      val batchUnique = bb.toDF().join(intra, Seq("doc_id"), "left_anti")
       val stored = idxTable.readAll()
       val corpusAll = corpus.unionByName(
         sink.readAll().select(col("doc_id"), col("text")))
-      val dup = Dedup.minhashAgainstStoredIndex(stored, corpusAll, bb.toDF(),
+      val dup = Dedup.minhashAgainstStoredIndex(stored, corpusAll, batchUnique,
         "text", "doc_id", numHashes = 32, bands = 16, shingleSize = 3,
         threshold = 0.6)
         .select(col("batch_id").as("doc_id")).distinct()
-      val survivors = bb.toDF().join(dup, Seq("doc_id"), "left_anti").persist()
+      val survivors = batchUnique.join(dup, Seq("doc_id"), "left_anti").persist()
       try {
         if (!survivors.isEmpty) {
           sink.appendOnce(survivors, appId, batchId)
@@ -533,7 +541,15 @@ object EventsStream {
           ()
         }
       } finally { survivors.unpersist(); () }
-    } finally { bb.unpersist(); () }
+    } finally {
+      bb.unpersist()
+      // the minhash kernels persist signature frames internally with no
+      // unpersist path (fine for one-shot batch queries where
+      // Bench/Verify clearCache between queries) — a long-running
+      // ingest stream must not accumulate them batch over batch
+      b.sparkSession.catalog.clearCache()
+      ()
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -567,13 +583,19 @@ object EventsStream {
          |       FROM (SELECT doc_id, $tokensSql AS ts FROM corpus)),
          |sb AS (SELECT doc_id, list_distinct(${shinglesSql(3)}) AS g
          |       FROM (SELECT doc_id, $tokensSql AS ts FROM batch)),
+         |intra AS (
+         |  SELECT DISTINCT b.doc_id
+         |  FROM sb a JOIN sb b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+         |        len(list_distinct(list_concat(a.g, b.g))) >= 0.6),
          |matched AS (
          |  SELECT DISTINCT b.doc_id
          |  FROM sb b CROSS JOIN sc c
          |  WHERE CAST(len(list_intersect(b.g, c.g)) AS DOUBLE) /
          |        len(list_distinct(list_concat(b.g, c.g))) >= 0.6)
          |SELECT doc_id, text FROM batch
-         |WHERE doc_id NOT IN (SELECT doc_id FROM matched)""".stripMargin
+         |WHERE doc_id NOT IN (SELECT doc_id FROM intra)
+         |  AND doc_id NOT IN (SELECT doc_id FROM matched)""".stripMargin
     },
     // the streaming quality gate must land on exactly the batch gate
     // over the same corpus (quality rounds to 4 on BOTH sides before

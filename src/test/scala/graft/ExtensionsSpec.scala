@@ -78,6 +78,15 @@ class ExtensionsSpec extends AnyFunSuite {
       "SELECT min(graft_dot(embedding, embedding)) AS d FROM emb_ext")
       .collect()(0).getDouble(0)
     assert(d > 0.0)
+    // arbitrary int64 keys are safe (the SQL surface folds before the
+    // multiply — the raw kernel would overflow under ANSI)
+    val big = spark.sql(
+      "SELECT graft_mix_bucket(9223372036854775807, 1000) AS b")
+      .collect()(0).getLong(0)
+    assert(big >= 0 && big < 1000)
+    val zero = intercept[Exception](
+      spark.sql("SELECT graft_mix_bucket(1, 0)").collect())
+    assert(zero.getMessage.contains("positive"), zero.getMessage)
   }
 
   test("literal-arg validation and arity errors are user-readable") {

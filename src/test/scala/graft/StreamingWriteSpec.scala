@@ -141,12 +141,19 @@ class StreamingWriteSpec extends AnyFunSuite {
       Seq("id", "band"))
     idxT.append(idx)
 
-    // wave1: novel reversed docs; wave2: near-copies OF WAVE1 (not of
-    // the corpus) — only the maintained index can catch them
-    val w1 = corpus.filter(col("doc_id") < 30)
+    // wave1: novel reversed docs PLUS one intra-batch near-copy of the
+    // first novelty (id 900000 copies 500000 — must drop within the
+    // SAME batch, before the index ever sees either); wave2:
+    // near-copies OF WAVE1 (not of the corpus) — only the maintained
+    // index can catch those
+    val w1base = corpus.filter(col("doc_id") < 30)
       .select((col("doc_id") + 500000L).as("doc_id"),
         concat(reverse(col("text")), lit(" xx"), col("doc_id")).as("text"))
-    val w2 = w1.select((col("doc_id") + 1000000L).as("doc_id"),
+    val w1 = w1base.unionByName(
+      w1base.filter(col("doc_id") === 500000L)
+        .select(lit(900000L).as("doc_id"),
+          concat(col("text"), lit(" intradup")).as("text")))
+    val w2 = w1base.select((col("doc_id") + 1000000L).as("doc_id"),
       concat(col("text"), lit(" tail2")).as("text"))
     def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
       val tmp = s"$root/stage_$name"
@@ -174,8 +181,22 @@ class StreamingWriteSpec extends AnyFunSuite {
     try q.processAllAvailable() finally q.stop()
 
     val admitted = sink.readAll().select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(admitted == w1.collect().map(_.getLong(0)).toSet,
-      s"expected exactly wave1; got ${admitted.size} docs")
+    // expected = wave1 minus docs with a LOWER-id exact-Jaccard near-dup
+    // inside wave1 (the testdata plants near-dup pairs, e.g. docs 8/12 at
+    // sf0.001 — they must intra-dedup too). Computed via the independent
+    // exact all-pairs route, not the banded-minhash path under test.
+    import graft.functions.{TextFunctions => TFn}
+    val sh = w1.select(col("doc_id"),
+      array_sort(array_distinct(TFn.wordShingleHashes(col("text"), 3))).as("g"))
+    val a = sh.select(col("doc_id").as("ia"), col("g").as("ga"))
+    val b = sh.select(col("doc_id").as("ib"), col("g").as("gb"))
+    val intraDrop = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .filter(TFn.jaccardSorted(col("ga"), col("gb")) >= 0.6)
+      .select("ib").collect().map(_.getLong(0)).toSet
+    val expected = w1.collect().map(_.getLong(0)).toSet -- intraDrop
+    assert(admitted == expected,
+      s"admitted ${admitted.size} != expected ${expected.size} (intraDrop=$intraDrop)")
+    assert(!admitted.contains(900000L), "the intra-batch near-copy was admitted")
     assert(!admitted.exists(_ >= 1000000L), "a wave2 near-copy was admitted")
   }
 
