@@ -189,6 +189,21 @@ object Curation {
     // numbers; see [[profile]] for the approx scale path.
     "d_profile" -> ((s, d) => profile(docs(s, d))),
 
+    // percentile quality gating: drop the bottom 20% of the corpus by
+    // quality score — the relative-threshold variant of the absolute
+    // gate (absolute thresholds drift as the corpus mix shifts; "keep
+    // the top X%" does not). The cutoff is ONE exact interpolated
+    // percentile (Spark `percentile` == DuckDB `quantile_cont`, parity
+    // proven by q27); the corpus-side filter is then a pure projection.
+    // The 100 TB path swaps in approx_percentile for the cutoff scan.
+    "d_quality_topq" -> ((s, d) => {
+      val scored = docs(s, d)
+        .select(col("doc_id"), TF.qualityScore(col("text")).as("quality"))
+      val cutoff = scored
+        .agg(expr("percentile(quality, 0.2)")).collect()(0).getDouble(0)
+      scored.filter(col("quality") >= cutoff)
+    }),
+
     // sequence-length histogram (width-32 buckets of the BPE-ish token
     // count): the distribution that sizes context-window packing —
     // docs and token mass per bucket tell you the padding/truncation
@@ -507,6 +522,32 @@ object Curation {
          |  regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
          |    '$PhoneRe', '<PHONE>', 'g') AS scrubbed
          |FROM c""".stripMargin,
+    "d_quality_topq" ->
+      s"""WITH toks AS (SELECT doc_id, text, ${Pipeline.tokensSql} AS ts
+         |              FROM documents),
+         |m AS (SELECT doc_id, len(ts) AS n,
+         |  CASE WHEN len(ts) = 0 THEN 0.0
+         |    ELSE CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) END AS diversity,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |    ELSE CAST(length(text) -
+         |      length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+         |      / length(text) END AS punct,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |    ELSE CAST(length(text) -
+         |      length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+         |      / length(text) END AS digit,
+         |  CASE WHEN len(ts) = 0 THEN 0.0
+         |    ELSE CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE)
+         |      / len(ts) END AS avg_len
+         |  FROM toks),
+         |qual AS (SELECT doc_id,
+         |  round(least(1.0, n / 50.0)
+         |    * (0.5 + diversity * 0.5)
+         |    * greatest(0.0, 1.0 - punct * 5 - digit * 5)
+         |    * (CASE WHEN avg_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END),
+         |    4) AS quality FROM m)
+         |SELECT doc_id, quality FROM qual
+         |WHERE quality >= (SELECT quantile_cont(quality, 0.2) FROM qual)""".stripMargin,
     "d_token_hist" ->
       s"""WITH n AS (
          |  SELECT CAST(coalesce(list_sum(list_transform(${Pipeline.tokensSql},
