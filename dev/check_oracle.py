@@ -48,14 +48,25 @@ for name, sql in sorted(oracles.items()):
         print(f"SKIP {name} (not dumped)")
         continue
     try:
-        got_rel = con.execute(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-        got_cols = [d[0] for d in got_rel.description]
+        got_rel = con.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+        got_cols = list(got_rel.columns)
+        got_types = dict(zip(got_rel.columns, [str(t) for t in got_rel.types]))
         got = norm(got_rel.fetchall(), got_cols)
-        exp_rel = con.execute(sql)
-        exp_cols = [d[0] for d in exp_rel.description]
+        exp_rel = con.sql(sql)
+        exp_cols = list(exp_rel.columns)
+        exp_types = dict(zip(exp_rel.columns, [str(t) for t in exp_rel.types]))
         exp = norm(exp_rel.fetchall(), exp_cols)
+        # The driver's hash is TYPE-sensitive (it hashes typed Arrow buffers):
+        # a value-identical BIGINT-vs-HUGEINT column still fails hash_match.
+        # Compare DuckDB-reported types per column so this gate predicts it.
+        type_diff = {c: (got_types[c], exp_types[c])
+                     for c in sorted(set(got_cols) & set(exp_cols))
+                     if got_types[c] != exp_types[c]}
         if sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL {name}: columns {sorted(got_cols)} vs {sorted(exp_cols)}"); fails += 1
+        elif type_diff:
+            print(f"FAIL {name}: column types differ (dump vs oracle): {type_diff}")
+            fails += 1
         elif got != exp:
             diff_g = [x for x in got if x not in set(exp)][:3]
             diff_e = [x for x in exp if x not in set(got)][:3]

@@ -555,7 +555,7 @@ object Curation {
          |    AS n_tok
          |  FROM documents)
          |SELECT n_tok - n_tok % 32 AS bucket,
-         |  count(*) AS n_docs, sum(n_tok) AS total_tokens
+         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
          |FROM n GROUP BY 1""".stripMargin,
     "d_profile" ->
       Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
