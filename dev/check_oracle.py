@@ -56,12 +56,17 @@ for name, sql in sorted(oracles.items()):
         exp_cols = list(exp_rel.columns)
         exp_types = dict(zip(exp_rel.columns, [str(t) for t in exp_rel.types]))
         exp = norm(exp_rel.fetchall(), exp_cols)
-        # The driver's hash is TYPE-sensitive (it hashes typed Arrow buffers):
-        # a value-identical BIGINT-vs-HUGEINT column still fails hash_match.
-        # Compare DuckDB-reported types per column so this gate predicts it.
+        # The driver's hash is TYPE-sensitive for NON-native widths (it
+        # hashes values after an Arrow/pandas pass): a value-identical
+        # BIGINT-vs-HUGEINT column fails hash_match (r5 d_token_hist),
+        # while native int widths unify (Spark INT32 row_number vs DuckDB
+        # BIGINT row_number passed every round). Compare per-column types
+        # up to that equivalence so this gate predicts the driver's.
+        def tclass(t):
+            return "INT" if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT") else t
         type_diff = {c: (got_types[c], exp_types[c])
                      for c in sorted(set(got_cols) & set(exp_cols))
-                     if got_types[c] != exp_types[c]}
+                     if tclass(got_types[c]) != tclass(exp_types[c])}
         if sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL {name}: columns {sorted(got_cols)} vs {sorted(exp_cols)}"); fails += 1
         elif type_diff:

@@ -188,17 +188,20 @@ object Pipeline {
         col("doc_id"), TF.fingerprint(col("text")).as("fp"))),
 
     // vocabulary building: top-100 tokens by corpus frequency. The only
-    // shuffle is the token groupBy with map-side partial counts —
-    // at 100 TB the shuffle carries one row per DISTINCT token per
-    // partition, not per occurrence; the top-k is a tiny sort after.
+    // unbounded shuffle is the token groupBy with map-side partial
+    // counts — at 100 TB it carries one row per DISTINCT token per
+    // partition, not per occurrence. The top-k is `orderBy().limit()`,
+    // which Spark plans as TakeOrderedAndProject (per-partition partial
+    // top-k, then a k-row merge) — NOT a global single-task sort; the
+    // rank window then runs over the bounded 100-row frame only.
     "d_token_freq" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val counts = t(s, d, "documents")
         .select(explode(TF.tokens(col("text"))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      val top = counts.orderBy(col("freq").desc, col("token").asc).limit(100)
       val w = Window.orderBy(col("freq").desc, col("token").asc)
-      counts.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 100)
+      top.withColumn("rank", row_number().over(w))
         .select(col("token"), col("freq"), col("rank"))
     }),
 

@@ -175,24 +175,27 @@ object Semantics {
     * combiner in retrieval stacks.
     *
     * Ranks ride on ROUNDED bm25 (deterministic ties → id) and raw
-    * cosine; absent-list ranks surface as 0. This single-query shape
-    * ranks each list with one global window — the multi-query version
-    * partitions both windows by query id exactly like
-    * [[Similarity.bruteForceTopK]], same plan at any corpus size. */
+    * cosine; absent-list ranks surface as 0. Each list's top-kEach is
+    * `orderBy().limit()` — Spark's TakeOrderedAndProject, a distributed
+    * per-partition partial top-k with a k-row merge — and the rank
+    * windows then run over the BOUNDED kEach-row frames only (a global
+    * `Window.orderBy` over the corpus would funnel every row into one
+    * task). The multi-query version partitions per query id exactly
+    * like [[Similarity.bruteForceTopK]]'s bounded top-k aggregate. */
   def hybridRrf(docs: DataFrame, emb: DataFrame, terms: Seq[String],
       queryVecId: Long, kEach: Int, kOut: Int, rrfK: Int = 60): DataFrame = {
     val lex = bm25(docs, "text", "doc_id", terms)
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(kEach)
       .withColumn("rank_lex", row_number().over(
         Window.orderBy(col("bm25").desc, col("doc_id").asc)))
-      .filter(col("rank_lex") <= kEach)
       .select(col("doc_id").as("id"), col("rank_lex"))
     val q = broadcast(emb.filter(col("vec_id") === queryVecId)
       .select(col("embedding").cast("array<double>").as("qv")))
     val vec = emb.filter(col("vec_id") =!= queryVecId).crossJoin(q)
       .withColumn("__c", VF.cosine(col("embedding").cast("array<double>"), col("qv")))
+      .orderBy(col("__c").desc, col("vec_id").asc).limit(kEach)
       .withColumn("rank_vec", row_number().over(
         Window.orderBy(col("__c").desc, col("vec_id").asc)))
-      .filter(col("rank_vec") <= kEach)
       .select(col("vec_id").as("id"), col("rank_vec"))
     val rrf =
       when(col("rank_lex").isNull, lit(0.0))

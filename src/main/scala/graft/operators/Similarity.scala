@@ -22,23 +22,34 @@ object Similarity {
 
   /** Exact top-k: for each query row, the k most-cosine-similar corpus
     * rows (excluding self-matches by id). Deterministic ordering via
-    * (score desc, id asc). */
+    * (score desc, id asc).
+    *
+    * Scale shape: brute force must SCORE all N×Q pairs, but it must not
+    * SHIP them — the per-query ranking runs through the bounded
+    * [[org.apache.spark.sql.graftshim.TopKByScore]] aggregate, whose
+    * map-side partial caps at k entries, so the one shuffle carries
+    * ≤ partitions × k rows per query and no task ever holds a whole
+    * query's scored corpus (the `Window.partitionBy(q_id)` formulation
+    * did exactly that). Ranks on the RAW score (rounded ties would
+    * reorder vs an oracle); posexplode over the sorted result array
+    * recovers the rank. */
   def bruteForceTopK(
       corpus: DataFrame,
       queries: DataFrame,
       vecCol: String,
       idCol: String,
       k: Int): DataFrame = {
+    import org.apache.spark.sql.graftshim.TopKByScore
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
     val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("qv")))
     val scored = c.join(q, col("vec_id") =!= col("q_id"))
       .withColumn("__s", VF.cosine(col("v"), col("qv")))
-    // rank on the RAW score (rounded ties would reorder vs an oracle)
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("__s").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id"), round(col("__s"), 4).as("score"), col("rank"))
+    scored.groupBy(col("q_id"))
+      .agg(TopKByScore(col("__s"), col("vec_id"), k).as("__tk"))
+      .select(col("q_id"), posexplode(col("__tk")).as(Seq("__i", "__x")))
+      .select(col("q_id"), col("__x.vec_id").as("vec_id"),
+        round(col("__x.score"), 4).as("score"),
+        (col("__i") + 1).cast("int").as("rank"))
   }
 
   /** IVF-style ANN: corpus rows are assigned a `cells`-bit hyperplane

@@ -97,6 +97,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(nScans == 1, s"expected a single table scan:\n${plan.take(3000)}")
   }
 
+  test("retrieval top-k plans never funnel unbounded data into one task") {
+    // the round-5 scale-killers: a global Window.orderBy (or an
+    // unpartitioned per-key window) ships the whole relation into a
+    // single task. Fixed shapes: TakeOrderedAndProject for global
+    // top-k (rank windows only over the bounded k-row frame), and the
+    // map-side-capped TopKByScore aggregate for per-query top-k.
+    import org.apache.spark.sql.graftshim.PlanAudit
+    for (name <- Seq("v_ann_brute", "v_ann_filtered", "v_hybrid_rrf", "d_token_freq")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val bad = PlanAudit.unboundedSinglePartitionExchanges(df)
+      assert(bad.isEmpty, s"$name has unbounded single-partition shuffles: $bad")
+    }
+    // brute-force ANN ranks through the bounded aggregate, not a window
+    val brute = SparkEntry.queries("v_ann_brute")(spark, sfDir)
+    val plan = brute.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(plan.contains("graft_top_k"), plan.take(3000))
+  }
+
   test("stratified sample shuffles on (stratum, cell) then stratum — no global sort") {
     val df = operators.Curation.queries("d_stratified_sample")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
