@@ -246,6 +246,7 @@ object Pipeline {
     "d_dedup_simhash" -> GoldenOracles.simhashSql,
     "d_fingerprint" -> GoldenOracles.fingerprintSql,
     "v_ann_ivf" -> GoldenOracles.ivfSql,
+    "v_ann_ivf_kmeans" -> GoldenOracles.kmeansSql,
     "d_lang_id" -> {
       // mirror LangId.langId exactly: tokens of lower(text); per-language
       // hit ratio; fold-argmax over sorted languages (strict >, earliest

@@ -130,16 +130,26 @@ object Similarity {
       while (iter < numIters) {
         val assigned = sample.withColumn("cell",
           org.apache.spark.sql.graftshim.NearestCentroidsExpr(col("v"), centroids, 1)(0))
+        // Per-(cell, dimension) mean in FIXED POINT: a double `avg` is
+        // merge-order-sensitive (float addition is not associative), so
+        // trained centroids would differ run-to-run with partitioning —
+        // the one thing that kept this operator oracle-less. Scaled-long
+        // sums are exact and associative: bit-identical centroids at any
+        // parallelism. S = 2^36 keeps 1.5e-11 precision with overflow
+        // headroom up to |x| ≈ 1e3 at the 1e5-row sample cap.
+        val S = (1L << 36).toDouble
         val means = assigned
           .select(col("cell"), posexplode(col("v")))
-          .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+          .groupBy(col("cell"), col("pos"))
+          .agg(sum(round(col("col") * S).cast("long")).as("fs"),
+            count(lit(1)).as("n"))
           .collect()
         val byCell = means.groupBy(_.getInt(0))
         centroids = centroids.zipWithIndex.map { case (prev, ci) =>
           byCell.get(ci) match {
             case Some(rows) =>
               val m = prev.toArray.clone()
-              rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
+              rows.foreach(r => m(r.getInt(1)) = r.getLong(2).toDouble / S / r.getLong(3))
               m.toIndexedSeq
             case None => prev // empty cell: keep the old centroid
           }

@@ -14,9 +14,11 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("rows-only queries are exactly the documented set") {
+    // empty since round 6: v_ann_ivf_kmeans gained a golden oracle once
+    // fixed-point Lloyd means made its training bit-deterministic
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("v_ann_ivf_kmeans"),
-      s"undocumented rows-only queries: ${rowsOnly - "v_ann_ivf_kmeans"}")
+    assert(rowsOnly == Set.empty[String],
+      s"undocumented rows-only queries: $rowsOnly")
   }
 
   test("query names follow the gate's prefix convention") {

@@ -134,6 +134,17 @@ class PipelineSpec extends AnyFunSuite {
     (0 until 16).foreach(i => assert(selfCodes(i.toLong) == i, s"vec $i codes to ${selfCodes(i.toLong)}"))
   }
 
+  test("k-means training is bit-deterministic across partitionings") {
+    // the property that makes v_ann_ivf_kmeans oracle-able: Lloyd means
+    // accumulate in scaled-long fixed point (exact, associative), so
+    // partition count / merge order cannot perturb a single bit
+    val a = Similarity.trainCentroids(
+      embeddings.repartition(7), "embedding", "vec_id", 64, 16, 3)
+    val b = Similarity.trainCentroids(
+      embeddings.repartition(31), "embedding", "vec_id", 64, 16, 3)
+    assert(a == b, "trained centroids differ across partitionings")
+  }
+
   test("k-means IVF reaches >= 70% recall of brute force at nProbe=8/16") {
     val queries = embeddings.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(embeddings, queries, "embedding", "vec_id", 10)
