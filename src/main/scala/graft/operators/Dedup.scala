@@ -150,6 +150,54 @@ object Dedup {
       bands: Int = 16,
       shingleSize: Int = 3,
       threshold: Double = 0.6): DataFrame = {
+    val (batchSig, candidates) =
+      storedIndexCandidates(index, batch, textCol, idCol, numHashes, bands, shingleSize)
+    // fetch + shingle ONLY the candidate corpus docs (broadcast
+    // semi-join: filters rows, though the corpus SCAN still lists every
+    // file — the point-read variant below prunes the scan itself)
+    val candIds = candidates.select(col("corpus_id").as(idCol)).distinct()
+    val candText = corpus.join(broadcast(candIds), Seq(idCol))
+    verifyCandidates(candidates, batchSig, candText, textCol, idCol,
+      shingleSize, threshold)
+  }
+
+  /** [[minhashAgainstStoredIndex]] with the candidate text fetched via
+    * PK POINT READS: candidate ids (bounded by the batch's band matches
+    * — a metadata-plane collect) go to `fetchByIds`, which should issue
+    * a primary-key `isin` read against the corpus table(s) so manifest
+    * stats / bloom pruning skip every data file containing no
+    * candidate. This is the standing-ingest shape at 100 TB: a
+    * broadcast semi-join still LISTS (and at best row-group-skips) the
+    * whole corpus scan every micro-batch; a PK point read touches only
+    * the files the candidates live in. */
+  def minhashAgainstStoredIndexPointRead(
+      index: DataFrame,
+      fetchByIds: Seq[Long] => DataFrame,
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      threshold: Double = 0.6): DataFrame = {
+    val (batchSig, candidates) =
+      storedIndexCandidates(index, batch, textCol, idCol, numHashes, bands, shingleSize)
+    val ids = candidates.select(col("corpus_id")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    verifyCandidates(candidates, batchSig, fetchByIds(ids), textCol, idCol,
+      shingleSize, threshold)
+  }
+
+  /** Shared stage 1 of the stored-index check: batch signatures + the
+    * (batch_id, corpus_id) candidate pairs from the banded-key join. */
+  private def storedIndexCandidates(
+      index: DataFrame,
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int,
+      bands: Int,
+      shingleSize: Int): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val batchSig = sigFrame(batch, textCol, idCol, numHashes, shingleSize)
     val batchKeys = bandKeyFrame(batchSig, bands, numHashes / bands)
@@ -159,13 +207,22 @@ object Dedup {
       .join(broadcast(batchKeys), Seq("band", "band_key"))
       .select(col("batch_id"), col("corpus_id"))
       .distinct()
+    (batchSig, candidates)
+  }
 
-    // fetch + shingle ONLY the candidate corpus docs
-    val candIds = candidates.select(col("corpus_id").as(idCol)).distinct()
-    val candShingles = corpus.join(broadcast(candIds), Seq(idCol))
+  /** Shared stage 2: exact-Jaccard verification of candidate pairs
+    * against the fetched candidate text. */
+  private def verifyCandidates(
+      candidates: DataFrame,
+      batchSig: DataFrame,
+      candText: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int,
+      threshold: Double): DataFrame = {
+    val candShingles = candText
       .select(col(idCol).as("corpus_id"),
         TF.wordShingleHashes(col(textCol), shingleSize).as("sh_c"))
-
     candidates
       .join(batchSig.select(col("id").as("batch_id"), col("shingles").as("sh_b")),
         Seq("batch_id"))

@@ -479,6 +479,13 @@ object EventsStream {
     val root = java.nio.file.Files.createTempDirectory("graft_sid_").toString
     val corpus = Tables.read(s, d, "documents").select(col("doc_id"), col("text"))
 
+    // the corpus as a PK'd graft table in disjoint key ranges — the
+    // standing shape that lets the per-batch candidate-text fetch be a
+    // manifest-pruned PK point read instead of a full corpus scan
+    val corpusTable = SpaceDataset.create(
+      s, s"$root/corpus", corpus.schema, Seq("doc_id"))
+    corpusTable.append(corpus.repartitionByRange(4, col("doc_id")))
+
     // standing index, persisted as a graft table (the s_dedup_index shape)
     val idx = Dedup.minhashIndexRows(corpus, "text", "doc_id",
       numHashes = 32, bands = 16, shingleSize = 3)
@@ -498,7 +505,7 @@ object EventsStream {
     val q = s.readStream.schema(batch.schema).parquet(s"$root/in")
       .writeStream
       .option("checkpointLocation", s"$root/ckpt")
-      .foreachBatch(ingestDedupBatch(idxTable, corpus, sink, "e_stream_ingest_dedup"))
+      .foreachBatch(ingestDedupBatch(idxTable, corpusTable, sink, "e_stream_ingest_dedup"))
       .start()
     try q.processAllAvailable() finally q.stop()
     sink.readAll()
@@ -508,10 +515,25 @@ object EventsStream {
     * against the stored index (candidates verified by exact Jaccard),
     * append survivors exactly-once, then MAINTAIN the index — admitted
     * docs join it, so a later batch near-duplicating this one dedupes
-    * too. Index and admitted-text universe are re-read per batch. */
+    * too.
+    *
+    * Scale shape: the index read is the design (that is the point of
+    * the persisted index), and candidate TEXT comes back via PK point
+    * reads against the corpus and sink tables — manifest pruning skips
+    * every data file holding no candidate, so per-batch cost is
+    * O(batch band keys) + O(candidate files), independent of corpus
+    * text volume.
+    *
+    * Exactly-once: BOTH commits are independently idempotent
+    * `appendOnce` transactions keyed by the same batchId (the index
+    * under a derived app id). A replay after a crash between the two
+    * commits re-runs the SAME decision — the fetch excludes the
+    * batch's own ids from the sink read, so docs this batch already
+    * admitted can't self-match as duplicates — then each appendOnce
+    * either no-ops (already committed) or heals the missing half. */
   private[graft] def ingestDedupBatch(
       idxTable: SpaceDataset,
-      corpus: DataFrame,
+      corpusTable: SpaceDataset,
       sink: SpaceDataset,
       appId: String): (Dataset[Row], Long) => Unit = { (b, batchId) =>
     import graft.operators.Dedup
@@ -526,18 +548,27 @@ object EventsStream {
         .select(col("id_b").as("doc_id")).distinct()
       val batchUnique = bb.toDF().join(intra, Seq("doc_id"), "left_anti")
       val stored = idxTable.readAll()
-      val corpusAll = corpus.unionByName(
-        sink.readAll().select(col("doc_id"), col("text")))
-      val dup = Dedup.minhashAgainstStoredIndex(stored, corpusAll, batchUnique,
-        "text", "doc_id", numHashes = 32, bands = 16, shingleSize = 3,
-        threshold = 0.6)
+      // micro-batch-bounded id set, used only for replay self-exclusion
+      val batchIds = bb.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      val fetchByIds: Seq[Long] => DataFrame = { ids =>
+        val safe = ids.filterNot(batchIds)
+        val f = if (safe.isEmpty) lit(false)
+          else col("doc_id").isin(safe.map(Long.box): _*)
+        corpusTable.read(filter = Some(f)).select(col("doc_id"), col("text"))
+          .unionByName(
+            sink.read(filter = Some(f)).select(col("doc_id"), col("text")))
+      }
+      val dup = Dedup.minhashAgainstStoredIndexPointRead(stored, fetchByIds,
+        batchUnique, "text", "doc_id", numHashes = 32, bands = 16,
+        shingleSize = 3, threshold = 0.6)
         .select(col("batch_id").as("doc_id")).distinct()
       val survivors = batchUnique.join(dup, Seq("doc_id"), "left_anti").persist()
       try {
         if (!survivors.isEmpty) {
           sink.appendOnce(survivors, appId, batchId)
-          idxTable.append(Dedup.minhashIndexRows(survivors, "text",
-            "doc_id", numHashes = 32, bands = 16, shingleSize = 3))
+          idxTable.appendOnce(Dedup.minhashIndexRows(survivors, "text",
+            "doc_id", numHashes = 32, bands = 16, shingleSize = 3),
+            appId + "#idx", batchId)
           ()
         }
       } finally { survivors.unpersist(); () }

@@ -135,6 +135,9 @@ class StreamingWriteSpec extends AnyFunSuite {
     val root = JF.createTempDirectory("graft_sidw_").toString
     val corpus = Tables.read(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
+    val corpusT = core.SpaceDataset.create(
+      spark, s"$root/corpus", corpus.schema, Seq("doc_id"))
+    corpusT.append(corpus.repartitionByRange(4, col("doc_id")))
     val idx = graft.operators.Dedup.minhashIndexRows(corpus, "text", "doc_id",
       numHashes = 32, bands = 16, shingleSize = 3)
     val idxT = core.SpaceDataset.create(spark, s"$root/idx", idx.schema,
@@ -176,7 +179,7 @@ class StreamingWriteSpec extends AnyFunSuite {
       .writeStream
       .option("checkpointLocation", s"$root/ckpt")
       .foreachBatch(graft.streaming.EventsStream.ingestDedupBatch(
-        idxT, corpus, sink, "sidw_test"))
+        idxT, corpusT, sink, "sidw_test"))
       .start()
     try q.processAllAvailable() finally q.stop()
 
@@ -198,6 +201,89 @@ class StreamingWriteSpec extends AnyFunSuite {
       s"admitted ${admitted.size} != expected ${expected.size} (intraDrop=$intraDrop)")
     assert(!admitted.contains(900000L), "the intra-batch near-copy was admitted")
     assert(!admitted.exists(_ >= 1000000L), "a wave2 near-copy was admitted")
+  }
+
+  test("ingest-dedup candidate fetch point-reads only files containing candidates") {
+    import graft.operators.Dedup
+    val docs = Tables.read(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val loc = Files.createTempDirectory("graft_sid_pr_").toString
+    val corpusT = core.SpaceDataset.create(
+      spark, s"$loc/corpus", docs.schema, Seq("doc_id"))
+    corpusT.append(docs.repartitionByRange(4, col("doc_id")))
+    val totalFiles = corpusT.plan().totalFiles
+    assert(totalFiles == 4, s"expected 4 range files, got $totalFiles")
+
+    val idx = Dedup.minhashIndexRows(docs, "text", "doc_id",
+      numHashes = 32, bands = 16, shingleSize = 3)
+    // near-copies of 3 docs from the LOWEST key range: their candidates
+    // all live in one of the four corpus files
+    val batch = docs.filter(col("doc_id") < 3)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" graft tail")).as("text"))
+
+    var fetchedIds: Seq[Long] = Nil
+    val fetch: Seq[Long] => org.apache.spark.sql.DataFrame = { ids =>
+      fetchedIds = ids
+      corpusT.read(filter = Some(col("doc_id").isin(ids.map(Long.box): _*)))
+    }
+    val viaPoint = Dedup.minhashAgainstStoredIndexPointRead(
+      idx, fetch, batch, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaJoin = Dedup.minhashAgainstStoredIndex(
+      idx, docs, batch, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaPoint == viaJoin, s"point-read pairs $viaPoint != join pairs $viaJoin")
+    assert(viaPoint.nonEmpty, "planted near-copies produced no candidate pairs")
+
+    // the scale property: manifest stats pruning skips every corpus
+    // file containing no candidate id — the same planning path
+    // corpusT.read(filter) takes (DataFrame.inputFiles is filter-blind)
+    val p = corpusT.plan(
+      Some(col("doc_id").isin(fetchedIds.map(Long.box): _*)))
+    assert(p.prunedFiles > 0 && p.totalFiles - p.prunedFiles < totalFiles,
+      s"candidate fetch scans ${p.totalFiles - p.prunedFiles} of " +
+        s"${p.totalFiles} corpus files (candidates $fetchedIds) — no pruning")
+    spark.catalog.clearCache()
+  }
+
+  test("ingest-dedup index append heals on replay after a partial commit") {
+    import graft.operators.Dedup
+    val docs = Tables.read(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 50)
+    val loc = Files.createTempDirectory("graft_sid_eo_").toString
+    val corpusT = core.SpaceDataset.create(
+      spark, s"$loc/corpus", docs.schema, Seq("doc_id"))
+    corpusT.append(docs)
+    val idx = Dedup.minhashIndexRows(docs, "text", "doc_id",
+      numHashes = 32, bands = 16, shingleSize = 3)
+    val idxT = core.SpaceDataset.create(
+      spark, s"$loc/idx", idx.schema, Seq("id", "band"))
+    idxT.append(idx)
+    val batch = docs.select((col("doc_id") + 700000L).as("doc_id"),
+      concat(reverse(col("text")), lit(" novel"), col("doc_id")).as("text"))
+    val sink = core.SpaceDataset.create(
+      spark, s"$loc/tbl", batch.schema, Seq("doc_id"))
+
+    // simulate the crash window: sink committed batch 0, index did NOT
+    sink.appendOnce(batch, "sid_eo", 0L)
+    val idxRowsBefore = idxT.readAll().count()
+
+    // replay of batch 0: the batch's own sink rows must not self-match
+    // as duplicates, and the missing index append must commit
+    graft.streaming.EventsStream.ingestDedupBatch(
+      idxT, corpusT, sink, "sid_eo")(batch, 0L)
+    assert(sink.readAll().count() == batch.count(),
+      "replay re-appended or dropped admitted docs")
+    assert(idxT.readAll().count() > idxRowsBefore,
+      "replay did not heal the missing index append")
+
+    // a second replay is a full no-op on both tables
+    val idxRowsHealed = idxT.readAll().count()
+    graft.streaming.EventsStream.ingestDedupBatch(
+      idxT, corpusT, sink, "sid_eo")(batch, 0L)
+    assert(sink.readAll().count() == batch.count())
+    assert(idxT.readAll().count() == idxRowsHealed)
+    spark.catalog.clearCache()
   }
 
   test("custom-state streaming sessionization equals batch sessionization") {
