@@ -543,24 +543,27 @@ final class Storage(val location: String, val conf: Configuration) {
       reload()
       val target = branchHead(toBranch)
       val head = branchHead(branch)
-      require(target != head,
-        s"branch $branch is already at $toBranch's head (snapshot $target)")
-      @annotation.tailrec
-      def isAncestor(cur: Option[Long]): Boolean = cur match {
-        case None => false
-        case Some(id) =>
-          id == head || isAncestor(snapshotOrFail(id).parentSnapshotId)
+      // already at the target head: an idempotent no-op, not an error —
+      // an unchanged-audit publish or a retried WAP publish step must
+      // succeed silently; require failures are for non-ancestor moves
+      if (target != head) {
+        @annotation.tailrec
+        def isAncestor(cur: Option[Long]): Boolean = cur match {
+          case None => false
+          case Some(id) =>
+            id == head || isAncestor(snapshotOrFail(id).parentSnapshotId)
+        }
+        require(isAncestor(Some(target)),
+          s"$branch head $head is not an ancestor of $toBranch head $target " +
+            "— fast-forward would rewrite history; use rollback for that")
+        val now = System.currentTimeMillis()
+        persist(
+          if (branch == SnapshotRef.MainBranch)
+            meta.copy(currentSnapshotId = target, lastUpdateTimeMs = now)
+          else meta.copy(
+            refs = meta.refs + (branch -> SnapshotRef(branch, SnapshotRef.Branch, target)),
+            lastUpdateTimeMs = now))
       }
-      require(isAncestor(Some(target)),
-        s"$branch head $head is not an ancestor of $toBranch head $target " +
-          "— fast-forward would rewrite history; use rollback for that")
-      val now = System.currentTimeMillis()
-      persist(
-        if (branch == SnapshotRef.MainBranch)
-          meta.copy(currentSnapshotId = target, lastUpdateTimeMs = now)
-        else meta.copy(
-          refs = meta.refs + (branch -> SnapshotRef(branch, SnapshotRef.Branch, target)),
-          lastUpdateTimeMs = now))
     }
 
   def addTag(name: String, snapshotId: Option[Long] = None): Unit =

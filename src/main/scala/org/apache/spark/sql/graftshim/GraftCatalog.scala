@@ -429,14 +429,22 @@ final class GraftScanBuilder(
 
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
-      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    // remember that ANY data filter reached this scan — not just ones
+    // translatable to V2 predicates (delegate.pushedFilters): an
+    // untranslatable filter still flows to GraftFileIndex.listFiles,
+    // where manifest pruning can drop files, so exact-rows statistics
+    // would overstate the scan's output
+    if (filters.nonEmpty) filtersPushed = true
     delegate.pushFilters(filters.map(renameExpr(_, phys = true)))
       .map(renameExpr(_, phys = false))
+  }
 
   override def pushedFilters(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     delegate.pushedFilters
 
   private var aggPushed = false
+  private var filtersPushed = false
 
   override def pushAggregation(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
@@ -452,10 +460,11 @@ final class GraftScanBuilder(
   override def build(): Scan = new GraftDelegatingScan(
     spark, storage, delegate.build(), options,
     // exact-rows statistics are only safe for an unfiltered, un-
-    // aggregated scan: a pushed data filter makes the post-scan
-    // cardinality unknowable here, and a pushed aggregate's output is
-    // the (few) aggregated rows, not the table's
-    exactRows = if (delegate.pushedFilters.isEmpty && !aggPushed)
+    // aggregated scan: ANY data filter (translatable to V2 or not —
+    // untranslatable ones still prune files in GraftFileIndex) makes
+    // the post-scan cardinality unknowable here, and a pushed
+    // aggregate's output is the (few) aggregated rows, not the table's
+    exactRows = if (!filtersPushed && !aggPushed)
       Some(storage.snapshotOrFail(snapshotId).storageStatistics.numRows)
     else None)
 }

@@ -71,6 +71,12 @@ class CatalogSpec extends AnyFunSuite {
     // a pushed data filter must not claim the unfiltered exact count
     val filt = scanStats(spark.sql("SELECT * FROM graft_test.stats_t WHERE v > 100"))
     assert(!filt.numRows.isPresent || filt.numRows.getAsLong != 137L)
+    // an UNtranslatable data filter (no V2 predicate, so
+    // delegate.pushedFilters stays empty) still reaches the file index
+    // and can prune — it must not claim the exact count either
+    val odd = scanStats(spark.sql("SELECT * FROM graft_test.stats_t WHERE id % 97 = 5"))
+    assert(!odd.numRows.isPresent || odd.numRows.getAsLong != 137L,
+      s"untranslatable-filter scan claims table cardinality: ${odd.numRows}")
     // a pushed AGGREGATE outputs few rows — claiming the table count
     // there would poison join cardinality estimates (aggregate
     // pushdown is opt-in: spark.sql.parquet.aggregatePushdown)

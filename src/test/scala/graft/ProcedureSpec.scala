@@ -188,10 +188,12 @@ class ProcedureSpec extends AnyFunSuite {
       .collect()(0).getLong(0)
     assert(head > 0)
     assert(spark.sql("SELECT count(*) FROM graft_proc.wap").collect()(0).getLong(0) == 3)
-    // re-publishing with no new audited commits fails loudly
-    val again = intercept[Exception](spark.sql(
-      "CALL graft_proc.system.fast_forward(table => 'wap', to_branch => 'audit')").collect())
-    assert(again.getMessage.contains("already"))
+    // re-publishing with no new audited commits is an idempotent no-op
+    val again = spark.sql(
+      "CALL graft_proc.system.fast_forward(table => 'wap', to_branch => 'audit')")
+      .collect()(0).getLong(0)
+    assert(again == head, s"retried publish moved the head: $head -> $again")
+    assert(spark.sql("SELECT count(*) FROM graft_proc.wap").collect()(0).getLong(0) == 3)
   }
 
   test("unknown procedure and bad table fail with clear errors") {

@@ -448,8 +448,10 @@ class RollbackSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(ds.readAll().count() == 100)
     ds.fastForward("audit")
     assert(ds.readAll().count() == 150)
-    // already at the target → loud no-op rejection
-    intercept[IllegalArgumentException](ds.fastForward("audit"))
+    // already at the target → silent idempotent no-op (a retried WAP
+    // publish or an unchanged-audit publish must not fail)
+    ds.fastForward("audit")
+    assert(ds.readAll().count() == 150)
     // diverge: a new commit on main makes audit a non-descendant
     ds.append(orders.limit(30).withColumn("o_orderkey",
       col("o_orderkey") + 2000000L))                                  // snap 3 (main)
