@@ -23,9 +23,29 @@ object ExtTypes {
     * payloads (resolved via [[SerializerRegistry]]). */
   val SerializerKey = "graft.ext.serializer"
 
+  /** JSON of the field's declared [[TfFeaturesSpec]] — the analog of
+    * the reference persisting `FeaturesDict.to_json` inside the Arrow
+    * extension type (`__arrow_ext_serialize__`, tf_features.py:44-45):
+    * the spec travels WITH the schema, so reads are schema-checked with
+    * no registry setup. */
+  val TfSpecKey = "graft.ext.tf_features_spec"
+
   def tfFeaturesField(name: String): StructField =
     StructField(name, BinaryType, nullable = true,
       new MetadataBuilder().putString(TypeKey, TfFeaturesType).build())
+
+  /** A `tf_features` record field carrying its own FeaturesDict spec:
+    * payloads are schema-checked `tf.train.Example` bytes, logical
+    * values are nested JSON feature documents. */
+  def tfFeaturesDictField(name: String, spec: TfFeaturesSpec): StructField =
+    StructField(name, BinaryType, nullable = true,
+      new MetadataBuilder().putString(TypeKey, TfFeaturesType)
+        .putString(TfSpecKey, spec.toJson).build())
+
+  def tfFeaturesSpec(f: StructField): Option[TfFeaturesSpec] =
+    if (f.metadata.contains(TfSpecKey))
+      Some(TfFeaturesSpec.fromJson(f.metadata.getString(TfSpecKey)))
+    else None
 
   /** A binary record field whose payloads pass through the named
     * serializer on write and its inverse on read/stitch/random-access. */
@@ -87,9 +107,17 @@ object SerializerRegistry {
 
   def register(name: String, s: FieldSerializer): Unit = registry.put(name, s)
 
-  /** Serializer for a record field: explicit marker first, then the
-    * TfFeatures default, else pass-through. */
+  /** Serializer for a record field: a field-embedded FeaturesDict spec
+    * wins (self-describing, like the reference's extension-type
+    * metadata), then the explicit marker, then the TfFeatures default,
+    * else pass-through. */
   def resolve(f: StructField): FieldSerializer =
+    ExtTypes.tfFeaturesSpec(f) match {
+      case Some(spec) => new TfFeaturesDictSerializer(spec)
+      case None => resolveNamed(f)
+    }
+
+  private def resolveNamed(f: StructField): FieldSerializer =
     ExtTypes.serializerName(f) match {
       case Some(n) =>
         registry.get(n).orElse(loadClass(n)).getOrElse {

@@ -1,0 +1,238 @@
+package graft.format
+
+import java.nio.charset.StandardCharsets
+
+import scala.collection.immutable.SortedMap
+
+// no wildcard: org.json4s._ would shadow graft.format.FieldSerializer
+// with json4s's unrelated FieldSerializer
+import org.json4s.{JArray, JDecimal, JDouble, JInt, JLong, JObject, JString, JValue}
+import org.json4s.jackson.JsonMethods
+
+/** TFDS `FeaturesDict` semantics on top of the [[TfExampleSerializer]]
+  * wire codec (reference schema/types/tf_features.py:29-64, where the
+  * extension type wraps a `tfds.features.FeaturesDict` and
+  * `serialize_example` / `deserialize_example` apply it).
+  *
+  * The reference's contract has three parts, replicated here without
+  * TensorFlow:
+  *
+  *  1. **A declared schema** — dtype + shape per feature, features
+  *     possibly NESTED in dicts. TFDS flattens nested names with `/`
+  *     in the serialized `tf.train.Example` (`{"a": {"b": …}}` →
+  *     feature key `"a/b"`); this codec flattens/re-nests the same way.
+  *  2. **Schema-checked (de)serialization** — every declared feature
+  *     must be present (and nothing undeclared), values must conform to
+  *     the declared dtype, and element counts must match the declared
+  *     shape (tensors are stored flattened row-major, exactly like
+  *     TFDS; one `-1` wildcard dim is allowed, like TFDS's `None`).
+  *  3. **Spec persistence with the schema** — the reference serializes
+  *     the FeaturesDict spec into the Arrow extension type's metadata
+  *     (`__arrow_ext_serialize__`); here [[TfFeaturesSpec.toJson]]
+  *     rides in the field's `StructField.metadata` (see
+  *     [[ExtTypes.tfFeaturesDictField]]), so a migrated dataset is
+  *     self-describing — no registry call needed to read it back.
+  *
+  * dtypes: `int64`, `float32`, `string`, and `image` — the
+  * encoded-bytes passthrough for image/audio payloads (TFDS stores an
+  * encoded image as a single bytes feature; the JSON-side value is the
+  * wire codec's `base64:` form). The documented deviation from the
+  * reference stands: spec JSON is this codec's own compact form, not
+  * TFDS's `FeaturesDict.to_json` class-name envelope.
+  */
+sealed trait TfFeatureNode
+
+/** A leaf feature: declared dtype and (for tensors) shape. `shape`
+  * `Nil` = scalar (exactly one element); one `-1` dim acts as TFDS's
+  * `None` (unknown — any count divisible by the known dims). */
+final case class TfLeaf(dtype: String, shape: Seq[Int] = Nil) extends TfFeatureNode {
+  require(TfLeaf.Dtypes.contains(dtype), s"unsupported dtype $dtype")
+  require(shape.count(_ == -1) <= 1, s"at most one unknown dim: $shape")
+  require(shape.forall(d => d > 0 || d == -1), s"bad shape $shape")
+}
+object TfLeaf {
+  val Dtypes: Set[String] = Set("int64", "float32", "string", "image")
+}
+
+/** A nested dict of features (TFDS sub-FeaturesDict). */
+final case class TfDict(children: SortedMap[String, TfFeatureNode]) extends TfFeatureNode
+object TfDict {
+  def apply(kv: (String, TfFeatureNode)*): TfDict = TfDict(SortedMap(kv: _*))
+}
+
+final case class TfFeaturesSpec(root: TfDict) {
+
+  /** `/`-flattened leaves, the key space of the serialized Example. */
+  lazy val flat: SortedMap[String, TfLeaf] = {
+    def walk(prefix: String, n: TfFeatureNode): SortedMap[String, TfLeaf] = n match {
+      case l: TfLeaf => SortedMap(prefix -> l)
+      case TfDict(cs) =>
+        cs.foldLeft(SortedMap.empty[String, TfLeaf]) { case (acc, (k, c)) =>
+          require(!k.contains("/"), s"feature name $k may not contain '/'")
+          acc ++ walk(if (prefix.isEmpty) k else s"$prefix/$k", c)
+        }
+    }
+    walk("", root)
+  }
+
+  def toJson: String = {
+    def render(n: TfFeatureNode): String = n match {
+      case TfLeaf(dt, shape) =>
+        val sh = if (shape.isEmpty) "" else s""","shape":[${shape.mkString(",")}]"""
+        s"""{"dtype":"$dt"$sh}"""
+      case TfDict(cs) =>
+        cs.map { case (k, c) => s"${Jsons.escape(k)}:${render(c)}" }
+          .mkString("{", ",", "}")
+    }
+    render(root)
+  }
+}
+
+object TfFeaturesSpec {
+
+  def apply(kv: (String, TfFeatureNode)*): TfFeaturesSpec =
+    TfFeaturesSpec(TfDict(kv: _*))
+
+  /** Inverse of [[TfFeaturesSpec.toJson]]. A JSON object with a string
+    * `dtype` member is a leaf; any other object is a nested dict. */
+  def fromJson(json: String): TfFeaturesSpec = {
+    def toNode(v: JValue): TfFeatureNode = v match {
+      case JObject(fields) if fields.exists {
+          case ("dtype", JString(_)) => true; case _ => false } =>
+        val m = fields.toMap
+        val dt = m("dtype").asInstanceOf[JString].s
+        val shape = m.get("shape") match {
+          case Some(JArray(items)) => items.map {
+            case JInt(i) => i.toInt
+            case other => throw new IllegalArgumentException(s"bad shape dim $other")
+          }
+          case None => Nil
+          case Some(other) => throw new IllegalArgumentException(s"bad shape $other")
+        }
+        TfLeaf(dt, shape)
+      case JObject(fields) =>
+        TfDict(SortedMap(fields.map { case (k, c) => k -> toNode(c) }: _*))
+      case other =>
+        throw new IllegalArgumentException(s"feature spec node must be an object: $other")
+    }
+    toNode(JsonMethods.parse(json)) match {
+      case d: TfDict => TfFeaturesSpec(d)
+      case _: TfLeaf => throw new IllegalArgumentException(
+        "feature spec root must be a dict of features")
+    }
+  }
+}
+
+/** Schema-checked TFDS-style serializer: nested JSON feature documents
+  * ↔ `tf.train.Example` bytes with `/`-flattened keys, validated
+  * against a declared [[TfFeaturesSpec]] in BOTH directions (the
+  * reference's `serialize_example`/`deserialize_example` contract). */
+final class TfFeaturesDictSerializer(val spec: TfFeaturesSpec) extends FieldSerializer {
+
+  def serialize(value: Array[Byte]): Array[Byte] = {
+    val doc = JsonMethods.parse(new String(value, StandardCharsets.UTF_8))
+    val flatVals = flattenDoc(doc)
+    checkKeys(flatVals.keySet)
+    val flatJson = flatVals.map { case (k, items) =>
+      s"${Jsons.escape(k)}:${renderChecked(k, items)}"
+    }.mkString("{", ",", "}")
+    TfExampleSerializer.serialize(flatJson.getBytes(StandardCharsets.UTF_8))
+  }
+
+  def deserialize(bytes: Array[Byte]): Array[Byte] = {
+    val flatJson = new String(TfExampleSerializer.deserialize(bytes), StandardCharsets.UTF_8)
+    val flatVals: Map[String, List[JValue]] = JsonMethods.parse(flatJson) match {
+      case JObject(fields) => fields.map {
+        case (k, JArray(items)) => k -> items
+        case (k, scalar) => k -> List(scalar)
+      }.toMap
+      case other => throw new IllegalArgumentException(s"flat doc not an object: $other")
+    }
+    checkKeys(flatVals.keySet)
+    // re-nest '/'-joined keys into the declared dict structure, with
+    // each leaf's values validated and canonically rendered
+    def nest(node: TfFeatureNode, prefix: String): String = node match {
+      case _: TfLeaf => renderChecked(prefix, flatVals(prefix))
+      case TfDict(cs) =>
+        cs.map { case (k, c) =>
+          s"${Jsons.escape(k)}:${nest(c, if (prefix.isEmpty) k else s"$prefix/$k")}"
+        }.mkString("{", ",", "}")
+    }
+    nest(spec.root, "").getBytes(StandardCharsets.UTF_8)
+  }
+
+  // ------------------------------------------------------- validation
+
+  /** Flatten the nested document to `/`-keys. An object at a path NOT
+    * declared as a leaf recurses; anything else is a leaf value. */
+  private def flattenDoc(v: JValue): SortedMap[String, List[JValue]] = {
+    def walk(prefix: String, v: JValue): SortedMap[String, List[JValue]] =
+      (v, spec.flat.contains(prefix)) match {
+        case (JObject(fields), false) =>
+          val nested = fields.foldLeft(SortedMap.empty[String, List[JValue]]) {
+            case (acc, (k, c)) =>
+              acc ++ walk(if (prefix.isEmpty) k else s"$prefix/$k", c)
+          }
+          if (fields.isEmpty && prefix.nonEmpty)
+            throw new IllegalArgumentException(
+              s"empty dict at $prefix matches no declared feature")
+          else nested
+        case (JArray(items), _) => SortedMap(prefix -> items)
+        case (scalar, _) => SortedMap(prefix -> List(scalar))
+      }
+    walk("", v)
+  }
+
+  private def checkKeys(got: collection.Set[String]): Unit = {
+    val want = spec.flat.keySet
+    val missing = want -- got
+    val extra = got -- want
+    require(missing.isEmpty && extra.isEmpty,
+      s"feature document does not match the declared FeaturesDict: " +
+        s"missing=[${missing.mkString(",")}] undeclared=[${extra.mkString(",")}]")
+  }
+
+  private def show(v: JValue): String = JsonMethods.compact(JsonMethods.render(v))
+
+  /** Validate one flat feature's items against its declared leaf and
+    * render them as a flat-codec JSON array (float32 integers forced to
+    * carry a decimal point so the wire codec types the list as a
+    * float_list, exactly as TFDS would). */
+  private def renderChecked(key: String, items: List[JValue]): String = {
+    val leaf = spec.flat(key)
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"feature $key: $msg")
+    checkShape(leaf, items.size, fail)
+    val rendered = leaf.dtype match {
+      case "int64" => items.map {
+        case v @ (JInt(_) | JLong(_)) => show(v)
+        case other => fail(s"expected int64 values, got ${show(other)}")
+      }
+      case "float32" => items.map {
+        case v @ (JInt(_) | JLong(_)) => show(v) + ".0"
+        case v @ (JDouble(_) | JDecimal(_)) => show(v)
+        case other => fail(s"expected float32 values, got ${show(other)}")
+      }
+      case "string" | "image" => items.map {
+        case v: JString => show(v)
+        case other => fail(s"expected ${leaf.dtype} bytes, got ${show(other)}")
+      }
+    }
+    rendered.mkString("[", ",", "]")
+  }
+
+  private def checkShape(leaf: TfLeaf, n: Int, fail: String => Nothing): Unit =
+    if (leaf.dtype == "image") {
+      if (n != 1) fail(s"an image feature is a single encoded payload, got $n values")
+    } else if (leaf.shape.isEmpty) {
+      if (n != 1) fail(s"scalar shape [] requires exactly 1 value, got $n")
+    } else if (leaf.shape.contains(-1)) {
+      val known = leaf.shape.filter(_ > 0).product
+      if (n == 0 || n % known != 0)
+        fail(s"$n values do not fit shape [${leaf.shape.mkString(",")}]")
+    } else {
+      val want = leaf.shape.product
+      if (n != want)
+        fail(s"shape [${leaf.shape.mkString(",")}] requires $want values, got $n")
+    }
+}

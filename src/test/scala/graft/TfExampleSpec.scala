@@ -79,6 +79,109 @@ class TfExampleSpec extends AnyFunSuite {
     assert(back.filter(col("id_back") =!= col("doc_id")).isEmpty)
   }
 
+  test("FeaturesDict: nested spec round-trips schema-checked (golden)") {
+    import graft.format.{TfFeaturesDictSerializer, TfFeaturesSpec, TfLeaf, TfDict}
+    // the reference contract (tf_features.py:29-64): a declared nested
+    // FeaturesDict; serialized Examples use '/'-flattened keys
+    val spec = TfFeaturesSpec(
+      "doc" -> TfDict(
+        "title" -> TfLeaf("string"),
+        "tokens" -> TfLeaf("int64", Seq(3))),
+      "emb" -> TfLeaf("float32", Seq(2, 2)),
+      "image" -> TfLeaf("image"))
+    // spec JSON golden + identity through fromJson
+    assert(spec.toJson ==
+      """{"doc":{"title":{"dtype":"string"},"tokens":{"dtype":"int64","shape":[3]}},""" +
+      """"emb":{"dtype":"float32","shape":[2,2]},"image":{"dtype":"image"}}""")
+    assert(TfFeaturesSpec.fromJson(spec.toJson) == spec)
+
+    val ser = new TfFeaturesDictSerializer(spec)
+    val doc =
+      """{"doc":{"title":"hello","tokens":[1,2,3]},""" +
+      """"emb":[0.5,1,2.5,3],"image":"base64:iVBO"}"""
+    val wire = ser.serialize(json(doc))
+    // the flat Example carries '/'-joined keys (golden: decode through
+    // the RAW codec, which has no nesting) — and the float32 leaf was
+    // coerced to a float_list even for its integer-literal elements
+    val flat = new String(TfExampleSerializer.deserialize(wire), StandardCharsets.UTF_8)
+    assert(flat ==
+      """{"doc/title":["hello"],"doc/tokens":[1,2,3],""" +
+      """"emb":[0.5,1.0,2.5,3.0],"image":["base64:iVBO"]}""", flat)
+    // schema-checked deserialize re-nests canonically
+    val back = new String(ser.deserialize(wire), StandardCharsets.UTF_8)
+    assert(back ==
+      """{"doc":{"title":["hello"],"tokens":[1,2,3]},""" +
+      """"emb":[0.5,1.0,2.5,3.0],"image":["base64:iVBO"]}""", back)
+    // fixpoint on wire bytes
+    assert(ser.serialize(ser.deserialize(wire)).toSeq == wire.toSeq)
+  }
+
+  test("FeaturesDict: schema violations fail loudly in both directions") {
+    import graft.format.{TfFeaturesDictSerializer, TfFeaturesSpec, TfLeaf}
+    val spec = TfFeaturesSpec(
+      "n" -> TfLeaf("int64", Seq(2)),
+      "s" -> TfLeaf("string"),
+      "v" -> TfLeaf("float32", Seq(-1, 2)))
+    val ser = new TfFeaturesDictSerializer(spec)
+    def bad(doc: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](ser.serialize(json(doc)))
+      assert(e.getMessage.contains(frag), s"$doc -> ${e.getMessage}")
+    }
+    val ok = """{"n":[1,2],"s":"x","v":[1.0,2.0]}"""
+    assert(ser.deserialize(ser.serialize(json(ok))).nonEmpty)
+    bad("""{"n":[1,2],"s":"x"}""", "missing=[v]")                       // missing feature
+    bad("""{"n":[1,2],"s":"x","v":[1.0,2.0],"zz":[1]}""", "undeclared") // undeclared
+    bad("""{"n":[1,2,3],"s":"x","v":[1.0,2.0]}""", "shape [2]")         // wrong count
+    bad("""{"n":[1,2],"s":"x","v":[1.0,2.0,3.0]}""", "do not fit")      // -1 dim divisibility
+    bad("""{"n":[1,2],"s":["a","b"],"v":[1.0,2.0]}""", "exactly 1")     // scalar arity
+    bad("""{"n":[1.5,2],"s":"x","v":[1.0,2.0]}""", "expected int64")    // dtype
+    bad("""{"n":[1,2],"s":7,"v":[1.0,2.0]}""", "expected string")       // dtype
+
+    // deserialize validates too: an Example missing a declared feature
+    val partial = TfExampleSerializer.serialize(json("""{"n":[1,2],"s":["x"]}"""))
+    val e = intercept[IllegalArgumentException](ser.deserialize(partial))
+    assert(e.getMessage.contains("missing=[v]"))
+  }
+
+  test("FeaturesDict: spec travels in field metadata through a table") {
+    import graft.format.{TfFeaturesSpec, TfLeaf, TfDict}
+    val spec = TfFeaturesSpec(
+      "meta" -> TfDict("id" -> TfLeaf("int64")),
+      "text" -> TfLeaf("string"))
+    val docs = Tables.read(spark, sfDir, "documents").filter(col("doc_id") < 50L)
+      .select(col("doc_id"),
+        encode(to_json(struct(
+          struct(array(col("doc_id")).as("id")).as("meta"),
+          array(col("text")).as("text"))), "UTF-8").as("features"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      ExtTypes.tfFeaturesDictField("features", spec)))
+    val loc = java.nio.file.Files.createTempDirectory("graft_tffd_").toString + "/tbl"
+    val ds = SpaceDataset.create(spark, loc, schema, Seq("doc_id"), Seq("features"))
+    ds.append(docs)
+
+    // a FRESH dataset handle (metadata read back from disk) resolves
+    // the spec'd serializer from the field metadata alone — no registry
+    val ds2 = SpaceDataset.load(spark, loc)
+    val back = ds2.readAll()
+      .select(col("doc_id"), decode(col("features"), "UTF-8").as("f"))
+      .withColumn("id_back", expr("CAST(get_json_object(f, '$.meta.id[0]') AS BIGINT)"))
+    assert(back.count() == 50)
+    assert(back.filter(col("id_back") =!= col("doc_id")).isEmpty)
+
+    // and a document violating the spec is rejected at append
+    val badRows = docs.limit(1).select(col("doc_id") + 100L,
+      encode(to_json(struct(array(col("doc_id")).as("wrong"))), "UTF-8").as("features"))
+      .toDF("doc_id", "features")
+    val e = intercept[Exception](ds2.append(badRows))
+    def rootMsg(t: Throwable): String =
+      if (t.getCause == null) String.valueOf(t.getMessage)
+      else String.valueOf(t.getMessage) + " | " + rootMsg(t.getCause)
+    assert(rootMsg(e).contains("FeaturesDict") || rootMsg(e).contains("missing"),
+      rootMsg(e).take(500))
+  }
+
   // wire-building helpers shared by the hand-rolled-bytes tests
   private def lenDelim(field: Int, body: Array[Byte]): Array[Byte] =
     Array(((field << 3) | 2).toByte, body.length.toByte) ++ body
