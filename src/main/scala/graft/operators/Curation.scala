@@ -192,17 +192,11 @@ object Curation {
     // percentile quality gating: drop the bottom 20% of the corpus by
     // quality score — the relative-threshold variant of the absolute
     // gate (absolute thresholds drift as the corpus mix shifts; "keep
-    // the top X%" does not). The cutoff is ONE exact interpolated
-    // percentile (Spark `percentile` == DuckDB `quantile_cont`, parity
-    // proven by q27); the corpus-side filter is then a pure projection.
-    // The 100 TB path swaps in approx_percentile for the cutoff scan.
-    "d_quality_topq" -> ((s, d) => {
-      val scored = docs(s, d)
-        .select(col("doc_id"), TF.qualityScore(col("text")).as("quality"))
-      val cutoff = scored
-        .agg(expr("percentile(quality, 0.2)")).collect()(0).getDouble(0)
-      scored.filter(col("quality") >= cutoff)
-    }),
+    // the top X%" does not). See [[qualityTopQuantile]]: the gate runs
+    // the exact cutoff (Spark `percentile` == DuckDB `quantile_cont`,
+    // parity proven by q27); the 100 TB path is the same kernel with
+    // approx_percentile, exercised by CurationSpec.
+    "d_quality_topq" -> ((s, d) => qualityTopQuantile(docs(s, d), 0.2)),
 
     // sequence-length histogram (width-32 buckets of the BPE-ish token
     // count): the distribution that sizes context-window packing —
@@ -397,6 +391,27 @@ object Curation {
         col(s"__len_$c").as("avg_len"))
     }
     one.select(explode(array(perCol: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** Percentile quality gate kernel: score every doc, compute ONE
+    * corpus-wide cutoff (a 1-row scalar collect — metadata-plane), keep
+    * docs at or above it. `approx = false` uses the exact interpolated
+    * `percentile` (sort-based: right for the hash-exact oracle, wrong
+    * at 100 TB where it shuffles every score); `approx = true` is the
+    * scale path — `approx_percentile` (Greenwald-Khanna sketch: one
+    * pass, map-side mergeable, bounded memory at `accuracy`), which
+    * moves only per-partition sketches and changes the keep-set by at
+    * most the sketch's rank-error band around the cutoff. */
+  private[graft] def qualityTopQuantile(
+      docs: DataFrame, q: Double, approx: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    val scored = docs
+      .select(col("doc_id"), TF.qualityScore(col("text")).as("quality"))
+    val cutoffExpr =
+      if (approx) expr(s"approx_percentile(quality, $q, $accuracy)")
+      else expr(s"percentile(quality, $q)")
+    val cutoff = scored.agg(cutoffExpr).collect()(0).getDouble(0)
+    scored.filter(col("quality") >= cutoff)
   }
 
   /** Deterministic stratified sample: the min(k, |stratum|) rows of each
