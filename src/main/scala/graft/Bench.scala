@@ -62,13 +62,81 @@ object Bench {
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Per-query MINIMA across this build's runs at this sf: host IO
+    // stalls randomly spike 1-3 queries per run 3-6×, so a single run's
+    // times are not judgeable — a real regression reproduces in the
+    // minimum, a stall never does. The driver invokes this main n times
+    // and keeps only the LAST line, so each run folds its times into a
+    // build-keyed history file and re-emits the running minima: the
+    // final line carries min_times over all n runs with no driver-side
+    // reconstruction. (Build key = SparkEntry class bytes' mtime, so a
+    // recompile never inherits stale minima.)
+    val (minTimes, runsObserved) = foldHistory(sfDir, results.toMap)
+    val mins = minTimes.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // 1-minute load average BEFORE this JVM's own work is long gone, but
     // load at end-of-run still flags a contaminated box (r03+r04 both
     // shipped driver bench artifacts skewed by concurrent machine load).
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""min_times":$mins,"runs_observed":$runsObserved,""" +
       s""""errors":$errs,"load_avg_1m":$load,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Fold this run's times into the per-(build, sf) history and return
+    * (per-query minima across all recorded runs, number of runs). */
+  private def foldHistory(
+      sfDir: String, times: Map[String, Double]): (Map[String, Double], Int) = {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    // CONTENT hash of this build's class files (mtimes churn on every
+    // sbt invocation even without source changes; bytes don't) — a
+    // recompile with changed code gets a fresh history, unchanged code
+    // accumulates runs
+    val buildId = {
+      val md = java.security.MessageDigest.getInstance("SHA-1")
+      val loc = new java.io.File(
+        getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+      if (loc.isFile) md.update(Files.readAllBytes(loc.toPath))
+      else {
+        val walk = Files.walk(loc.toPath)
+        try {
+          scala.jdk.CollectionConverters.IteratorHasAsScala(walk.iterator()).asScala
+            .filter(_.toString.endsWith(".class"))
+            .toSeq.sortBy(_.toString)
+            .foreach { p =>
+              md.update(p.toString.getBytes("UTF-8"))
+              md.update(Files.readAllBytes(p))
+            }
+        } finally walk.close()
+      }
+      md.digest().map("%02x".format(_)).mkString.take(16)
+    }
+    val hist = Paths.get(s"/tmp/graft_bench_history_b${buildId}_" +
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_") + ".jsonl")
+    val prior: Seq[Map[String, Double]] =
+      if (!Files.exists(hist)) Nil
+      else scala.jdk.CollectionConverters.ListHasAsScala(
+        Files.readAllLines(hist)).asScala.toSeq
+        .filter(_.nonEmpty).flatMap(parseTimesLine)
+    val line = times.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    Files.write(hist, java.util.Arrays.asList(line),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    val all = prior :+ times
+    val mins = all.flatMap(_.keys).distinct.map { k =>
+      k -> all.flatMap(_.get(k)).min
+    }.toMap
+    (mins, all.size)
+  }
+
+  /** Parse one flat {"name":seconds,...} history line (writer-matched;
+    * a corrupt line is skipped, never fatal to the bench). */
+  private def parseTimesLine(s: String): Option[Map[String, Double]] = {
+    val Entry = "\"([^\"]+)\":([-0-9.Ee]+)".r
+    scala.util.Try {
+      Entry.findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }.toOption.filter(_.nonEmpty)
   }
 }
