@@ -69,10 +69,13 @@ object Bench {
     // and keeps only the LAST line, so each run folds its times into a
     // build-keyed history file and re-emits the running minima: the
     // final line carries min_times over all n runs with no driver-side
-    // reconstruction. (Build key = SparkEntry class bytes' mtime, so a
-    // recompile never inherits stale minima.)
+    // reconstruction. (Build key = a CONTENT hash of the class files —
+    // see foldHistory — so a recompile with changed code never inherits
+    // stale minima.) A query that FAILED in THIS run must not surface a
+    // healthy-looking historical minimum (the round-4 trap): errored
+    // queries are excluded from the emitted minima.
     val (minTimes, runsObserved) = foldHistory(sfDir, results.toMap)
-    val mins = minTimes.toSeq.sortBy(_._1)
+    val mins = (minTimes -- errors.keys).toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // 1-minute load average BEFORE this JVM's own work is long gone, but
     // load at end-of-run still flags a contaminated box (r03+r04 both

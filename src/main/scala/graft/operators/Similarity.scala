@@ -123,8 +123,11 @@ object Similarity {
       seed: Long = 42L): Seq[Seq[Double]] = {
     val sample = thresholdSample(df, vecCol, idCol, sampleSize, numCentroids, seed)
     try {
+      // id tie-break: ~1 hash collision is EXPECTED in a 100k-row
+      // sample (32-bit hash space); without it a tie at the init
+      // boundary would make training partition-order-dependent
       var centroids: Seq[Seq[Double]] = sample
-        .orderBy(col("__h")).limit(numCentroids)
+        .orderBy(col("__h"), col("id")).limit(numCentroids)
         .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
       var iter = 0
       while (iter < numIters) {

@@ -550,13 +550,19 @@ object EventsStream {
       val stored = idxTable.readAll()
       // micro-batch-bounded id set, used only for replay self-exclusion
       val batchIds = bb.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      def isinF(xs: Seq[Long]) =
+        if (xs.isEmpty) lit(false) else col("doc_id").isin(xs.map(Long.box): _*)
       val fetchByIds: Seq[Long] => DataFrame = { ids =>
-        val safe = ids.filterNot(batchIds)
-        val f = if (safe.isEmpty) lit(false)
-          else col("doc_id").isin(safe.map(Long.box): _*)
-        corpusTable.read(filter = Some(f)).select(col("doc_id"), col("text"))
-          .unionByName(
-            sink.read(filter = Some(f)).select(col("doc_id"), col("text")))
+        // self-exclusion applies ONLY to the sink read (docs THIS batch
+        // admitted before a crash must not self-match on replay); the
+        // corpus read keeps every candidate — a re-crawled id that
+        // already exists in the corpus must still verify against its
+        // corpus text, or a near-duplicate would slip in
+        val sinkIds = ids.filterNot(batchIds)
+        corpusTable.read(filter = Some(isinF(ids)))
+          .select(col("doc_id"), col("text"))
+          .unionByName(sink.read(filter = Some(isinF(sinkIds)))
+            .select(col("doc_id"), col("text")))
       }
       val dup = Dedup.minhashAgainstStoredIndexPointRead(stored, fetchByIds,
         batchUnique, "text", "doc_id", numHashes = 32, bands = 16,

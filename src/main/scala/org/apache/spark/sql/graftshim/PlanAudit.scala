@@ -2,9 +2,10 @@ package org.apache.spark.sql.graftshim
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
-import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.{CollectLimitExec, GenerateExec, GlobalLimitExec, SparkPlan, TakeOrderedAndProjectExec, UnionExec}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.BaseJoinExec
 
 /** Physical-plan audit helpers for the scale-shape specs. Lives in the
   * sql package tree to unwrap AQE and inspect partitioning without the
@@ -17,11 +18,21 @@ object PlanAudit {
     case p => p
   }
 
-  private def limitBounded(p: SparkPlan): Boolean = p.collectFirst {
-    case g: GlobalLimitExec => g
-    case t: TakeOrderedAndProjectExec => t
-    case c: CollectLimitExec => c
-  }.nonEmpty
+  /** Is this subtree's output cardinality bounded by a limit? A limit
+    * node bounds everything below it; ROW-MULTIPLYING nodes between the
+    * limit and the consumer void the bound — `explode` fans out
+    * data-dependently, a join's output is bounded only when BOTH inputs
+    * are, a union when ALL are. (A `collectFirst` for limit nodes
+    * anywhere below would false-pass Exchange ← explode ← limit.) */
+  private def limitBounded(p: SparkPlan): Boolean = p match {
+    case _: GlobalLimitExec | _: TakeOrderedAndProjectExec |
+        _: CollectLimitExec => true
+    case _: GenerateExec => false // explode: data-dependent fan-out
+    case j: BaseJoinExec => limitBounded(j.left) && limitBounded(j.right)
+    case u: UnionExec => u.children.forall(limitBounded)
+    case leaf if leaf.children.isEmpty => false
+    case other => other.children.forall(limitBounded)
+  }
 
   /** Single-partition shuffles whose input is NOT bounded by a limit
     * below them — the "entire input into one task" shape that a global

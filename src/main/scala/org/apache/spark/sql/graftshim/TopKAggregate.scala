@@ -6,7 +6,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -35,12 +35,16 @@ case class TopKByScore(
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[ArrayBuffer[(Double, Long)]]
-  with BinaryLike[Expression] {
+  with ImplicitCastInputTypes with BinaryLike[Expression] {
 
   require(k > 0, s"top-k needs k > 0, got $k")
 
   override def left: Expression = score
   override def right: Expression = id
+  // analysis-time contract: float scores / int ids get implicit casts;
+  // anything uncastable fails analysis instead of ClassCastException
+  // inside update() at execution
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, LongType)
   override def prettyName: String = "graft_top_k"
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(

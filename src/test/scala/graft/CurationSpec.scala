@@ -343,10 +343,6 @@ class CurationSpec extends AnyFunSuite {
     assert(exact.nonEmpty && approx.nonEmpty)
     assert(diff / total <= 0.05,
       s"approx keep-set differs from exact by $diff of $total docs")
-    // at default accuracy on this corpus the cutoff lands on the same
-    // observed value → identical keep-sets; the bound above is the
-    // contract, this is the observed tightness
-    assert(diff == 0 || diff / total <= 0.05)
   }
 
   test("every curation query has a matching oracle") {

@@ -286,6 +286,33 @@ class StreamingWriteSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("a re-crawled doc reusing a corpus id still dedupes against its corpus text") {
+    import graft.operators.Dedup
+    val docs = Tables.read(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 50)
+    val loc = Files.createTempDirectory("graft_sid_rc_").toString
+    val corpusT = core.SpaceDataset.create(
+      spark, s"$loc/corpus", docs.schema, Seq("doc_id"))
+    corpusT.append(docs)
+    val idx = Dedup.minhashIndexRows(docs, "text", "doc_id",
+      numHashes = 32, bands = 16, shingleSize = 3)
+    val idxT = core.SpaceDataset.create(
+      spark, s"$loc/idx", idx.schema, Seq("id", "band"))
+    idxT.append(idx)
+    // the batch doc keeps the CORPUS doc's id — the replay
+    // self-exclusion must not also blind the corpus-side fetch, or the
+    // (X, X) candidate pair never verifies and the near-dup is admitted
+    val batch = docs.filter(col("doc_id") === 3L)
+      .select(col("doc_id"), concat(col("text"), lit(" graft dedup tail")).as("text"))
+    val sink = core.SpaceDataset.create(
+      spark, s"$loc/tbl", batch.schema, Seq("doc_id"))
+    graft.streaming.EventsStream.ingestDedupBatch(
+      idxT, corpusT, sink, "sid_rc")(batch, 0L)
+    assert(sink.readAll().count() == 0,
+      "a near-duplicate re-crawl of an existing corpus id was admitted")
+    spark.catalog.clearCache()
+  }
+
   test("custom-state streaming sessionization equals batch sessionization") {
     import org.apache.spark.sql.expressions.Window
     val out = graft.streaming.EventsStream.streamSessions(spark, sfDir)
