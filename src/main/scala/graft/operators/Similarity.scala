@@ -39,16 +39,29 @@ object Similarity {
       vecCol: String,
       idCol: String,
       k: Int): DataFrame = {
-    import org.apache.spark.sql.graftshim.TopKByScore
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
     val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("qv")))
     val scored = c.join(q, col("vec_id") =!= col("q_id"))
       .withColumn("__s", VF.cosine(col("v"), col("qv")))
+    topKPerQuery(scored, k, "score")
+  }
+
+  /** Per-query bounded top-k over a scored candidate frame
+    * (`q_id`, `vec_id`, `__s`): one aggregate through
+    * [[org.apache.spark.sql.graftshim.TopKByScore]] — the map-side
+    * partial caps at k, so the shuffle carries ≤ partitions × k rows
+    * per query and no task ever holds a query's whole candidate set
+    * (the `row_number().over(Window.partitionBy(q_id))` formulation
+    * did). Output order and ties (score desc, id asc) are identical to
+    * the window formulation, so oracles are unaffected; `posexplode`
+    * over the sorted result array recovers the rank. */
+  private def topKPerQuery(scored: DataFrame, k: Int, outScore: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.TopKByScore
     scored.groupBy(col("q_id"))
       .agg(TopKByScore(col("__s"), col("vec_id"), k).as("__tk"))
       .select(col("q_id"), posexplode(col("__tk")).as(Seq("__i", "__x")))
       .select(col("q_id"), col("__x.vec_id").as("vec_id"),
-        round(col("__x.score"), 4).as("score"),
+        round(col("__x.score"), 4).as(outScore),
         (col("__i") + 1).cast("int").as("rank"))
   }
 
@@ -90,11 +103,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("__s", VF.cosine(col("v"), col("qv")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("__s").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id"), round(col("__s"), 4).as("score"), col("rank"))
+    topKPerQuery(scored, k, "score")
   }
 
   /** K-means coarse quantizer: Lloyd's iterations as DataFrame jobs over
@@ -227,11 +236,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("__s", VF.cosine(col("v"), col("qv")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("__s").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id"), round(col("__s"), 4).as("score"), col("rank"))
+    topKPerQuery(scored, k, "score")
   }
 
   /** Product-quantization ANN (Jégou et al. 2011): vectors are split
@@ -312,12 +317,7 @@ object Similarity {
     }.reduce(_ + _)
     val scored = encoded.join(q, col("vec_id") =!= col("q_id"))
       .withColumn("__s", approx)
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("__s").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id"),
-        round(col("__s"), 4).as("approx_dot"), col("rank"))
+    topKPerQuery(scored, k, "approx_dot")
   }
 
   /** Symmetric per-vector int8 quantization of an embedding column —

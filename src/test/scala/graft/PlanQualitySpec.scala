@@ -109,11 +109,15 @@ class PlanQualitySpec extends AnyFunSuite {
       val bad = PlanAudit.unboundedSinglePartitionExchanges(df)
       assert(bad.isEmpty, s"$name has unbounded single-partition shuffles: $bad")
     }
-    // brute-force ANN ranks through the bounded aggregate, not a window
-    val brute = SparkEntry.queries("v_ann_brute")(spark, sfDir)
-    val plan = brute.queryExecution.executedPlan.toString
-    assert(!plan.contains("Window"), plan.take(3000))
-    assert(plan.contains("graft_top_k"), plan.take(3000))
+    // the whole ANN family ranks through the bounded aggregate — no
+    // per-query window anywhere (map-side-capped partial top-k instead)
+    for (name <- Seq("v_ann_brute", "v_ann_filtered", "v_ann_ivf",
+        "v_ann_ivf_kmeans", "v_pq")) {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"$name: ${plan.take(3000)}")
+      assert(plan.contains("graft_top_k"), s"$name: ${plan.take(3000)}")
+    }
   }
 
   test("stratified sample shuffles on (stratum, cell) then stratum — no global sort") {
