@@ -213,6 +213,50 @@ object Semantics {
         round(col("__rrf"), 6).as("rrf"))
   }
 
+  /** Multi-query hybrid RRF — [[hybridRrf]]'s semantics for a whole
+    * query set, every stage in its scale shape: lexical lists come from
+    * [[bm25Multi]] (ONE corpus pass for all queries) ranked per query
+    * through the bounded
+    * [[org.apache.spark.sql.graftshim.TopKByScore]] aggregate
+    * (map-side-capped partial top-k — no per-query window over the
+    * match set); vector lists from [[Similarity.bruteForceTopK]] (same
+    * aggregate; swap in ivfTopK for the ANN path, identical shape); the
+    * fusion join then sees two ≤ kEach-row lists per query, so the
+    * final rank window's input is bounded by construction. Query ids
+    * double as query-vector ids. */
+  def hybridRrfMulti(docs: DataFrame, emb: DataFrame,
+      querySet: Seq[(Int, Seq[String])], kEach: Int, kOut: Int,
+      rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.graftshim.TopKByScore
+    val lex = bm25Multi(docs, "text", "doc_id", querySet)
+      .groupBy(col("q_id"))
+      .agg(TopKByScore(col("bm25"), col("doc_id"), kEach).as("__tk"))
+      .select(col("q_id").cast("long").as("q_id"),
+        posexplode(col("__tk")).as(Seq("__i", "__x")))
+      .select(col("q_id"), col("__x.vec_id").as("id"),
+        (col("__i") + 1).cast("int").as("rank_lex"))
+    val qIds = querySet.map(q => Long.box(q._1.toLong))
+    val vec = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id").isin(qIds: _*)),
+        "embedding", "vec_id", kEach)
+      .select(col("q_id"), col("vec_id").as("id"), col("rank").as("rank_vec"))
+    val rrf =
+      when(col("rank_lex").isNull, lit(0.0))
+        .otherwise(lit(1.0) / (lit(rrfK) + col("rank_lex"))) +
+      when(col("rank_vec").isNull, lit(0.0))
+        .otherwise(lit(1.0) / (lit(rrfK) + col("rank_vec")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("__rrf").desc, col("id").asc)
+    lex.join(vec, Seq("q_id", "id"), "outer")
+      .withColumn("__rrf", rrf)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= kOut)
+      .select(col("q_id"), col("id").as("doc_id"),
+        coalesce(col("rank_lex"), lit(0)).as("rank_lex"),
+        coalesce(col("rank_vec"), lit(0)).as("rank_vec"),
+        round(col("__rrf"), 6).as("rrf"))
+  }
+
   // Second salt decorrelates the within-shard order from the shard
   // assignment (Curation.mixBucket reuses the split/mix kernel).
   private val OrdSalt = 3000017L
@@ -260,7 +304,13 @@ object Semantics {
     // embedding 0), fused by reciprocal rank, top-20 out
     "v_hybrid_rrf" -> ((s, d) =>
       hybridRrf(t(s, d, "documents"), t(s, d, "embeddings"),
-        QueryTerms, queryVecId = 0L, kEach = 50, kOut = 20)))
+        QueryTerms, queryVecId = 0L, kEach = 50, kOut = 20)),
+
+    // batch hybrid retrieval: the whole query set fused in one pass —
+    // one corpus pass for all lexical lists, bounded top-k everywhere
+    "v_hybrid_rrf_multi" -> ((s, d) =>
+      hybridRrfMulti(t(s, d, "documents"), t(s, d, "embeddings"),
+        QuerySet, kEach = 50, kOut = 20)))
 
   // ONE copy of the BM25 oracle pipeline (CTEs + the scoring select),
   // interpolated into both the v_bm25 and v_hybrid_rrf oracles so the
@@ -339,6 +389,56 @@ object Semantics {
          |    ORDER BY __ord ASC, doc_id ASC) AS BIGINT) AS pos
          |FROM (SELECT doc_id, $shardSql AS shard, $ordSql AS __ord
          |      FROM documents)""".stripMargin
+    },
+    "v_hybrid_rrf_multi" -> {
+      val valuesRows = QuerySet
+        .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+      val qIdList = QuerySet.map(_._1).mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${Pipeline.tokensSql} AS ts FROM documents),
+         |stats AS (SELECT count(*) AS n, avg(len(ts)) AS avgdl FROM toks),
+         |q AS (SELECT * FROM (VALUES $valuesRows) AS v(q_id, term)),
+         |tok2 AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM toks),
+         |tf AS (
+         |  SELECT q.q_id, t.doc_id, t.term, count(*) AS tf, max(t.dl) AS dl
+         |  FROM tok2 t JOIN q ON t.term = q.term GROUP BY 1, 2, 3),
+         |dfreq AS (SELECT term, count(*) AS df FROM
+         |  (SELECT DISTINCT doc_id, term FROM tf) GROUP BY 1),
+         |bmq AS (
+         |  SELECT t.q_id, t.doc_id,
+         |    round(sum(ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5)) *
+         |      (t.tf * (1.2 + 1)) /
+         |      (t.tf + 1.2 * ((1 - 0.75) + 0.75 * t.dl / s.avgdl))), 4) AS bm25
+         |  FROM tf t JOIN dfreq f USING (term) CROSS JOIN stats s
+         |  GROUP BY 1, 2),
+         |lex AS (SELECT q_id, id, rank_lex FROM (
+         |  SELECT q_id, doc_id AS id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY bm25 DESC, doc_id ASC) AS rank_lex FROM bmq)
+         |  WHERE rank_lex <= 50),
+         |qv AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+         |       FROM embeddings WHERE vec_id IN ($qIdList)),
+         |cos AS (
+         |  SELECT qv.q_id, e.vec_id,
+         |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.qv) AS c
+         |  FROM embeddings e CROSS JOIN qv WHERE e.vec_id != qv.q_id),
+         |vec AS (SELECT q_id, id, rank_vec FROM (
+         |  SELECT q_id, vec_id AS id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY c DESC, vec_id ASC) AS rank_vec FROM cos)
+         |  WHERE rank_vec <= 50),
+         |fused AS (
+         |  SELECT coalesce(lex.q_id, vec.q_id) AS q_id,
+         |    coalesce(lex.id, vec.id) AS doc_id, rank_lex, rank_vec,
+         |    (CASE WHEN rank_lex IS NULL THEN 0.0
+         |          ELSE 1.0 / (60 + rank_lex) END +
+         |     CASE WHEN rank_vec IS NULL THEN 0.0
+         |          ELSE 1.0 / (60 + rank_vec) END) AS rrf
+         |  FROM lex FULL OUTER JOIN vec
+         |    ON lex.q_id = vec.q_id AND lex.id = vec.id)
+         |SELECT q_id, doc_id, coalesce(rank_lex, 0) AS rank_lex,
+         |  coalesce(rank_vec, 0) AS rank_vec, round(rrf, 6) AS rrf
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY rrf DESC, doc_id ASC) AS rn FROM fused)
+         |WHERE rn <= 20""".stripMargin
     },
     "v_hybrid_rrf" -> {
       s"""WITH ${bm25Ctes(termListSql)},

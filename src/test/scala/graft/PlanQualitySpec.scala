@@ -104,7 +104,8 @@ class PlanQualitySpec extends AnyFunSuite {
     // top-k (rank windows only over the bounded k-row frame), and the
     // map-side-capped TopKByScore aggregate for per-query top-k.
     import org.apache.spark.sql.graftshim.PlanAudit
-    for (name <- Seq("v_ann_brute", "v_ann_filtered", "v_hybrid_rrf", "d_token_freq")) {
+    for (name <- Seq("v_ann_brute", "v_ann_filtered", "v_hybrid_rrf",
+        "v_hybrid_rrf_multi", "d_token_freq")) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       val bad = PlanAudit.unboundedSinglePartitionExchanges(df)
       assert(bad.isEmpty, s"$name has unbounded single-partition shuffles: $bad")

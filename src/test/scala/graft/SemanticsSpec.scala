@@ -131,4 +131,17 @@ class SemanticsSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
+
+  test("hybridRrfMulti's q0 slice equals the single-query hybridRrf exactly") {
+    // q0's term set and query vector match the single-query fixture, and
+    // document frequencies are per-TERM (query-set independent), so the
+    // batch operator's q_id=0 slice must reproduce v_hybrid_rrf verbatim
+    val single = Semantics.queries("v_hybrid_rrf")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSet
+    val multi0 = Semantics.queries("v_hybrid_rrf_multi")(spark, sfDir)
+      .filter(col("q_id") === 0L).drop("q_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(single == multi0,
+      s"only-in-single=${(single -- multi0).take(3)} only-in-multi=${(multi0 -- single).take(3)}")
+  }
 }
