@@ -136,6 +136,15 @@ object Curation {
         .select(col("doc_id"), col("source"),
           TF.approxBpeTokenCount(col("text")).cast("long").as("n_tok")))),
 
+    // overlapping token-window chunking (RAG / retrieval-index prep):
+    // each doc splits into 64-token windows advancing by 48 (16-token
+    // overlap so no boundary context is lost). Pure per-row projection +
+    // explode — no shuffle at any scale; chunk ids are position-derived
+    // (start/stride), so re-chunking a grown corpus never renumbers
+    // existing docs' chunks.
+    "d_chunk_text" -> ((s, d) =>
+      chunkText(docs(s, d), chunkSize = 64, overlap = 16)),
+
     // exact duplicate-segment removal (the segment/paragraph-level exact
     // dedup of Lee et al. 2021 / CCNet, adapted to fixed word windows —
     // the corpus has no newlines, so "paragraph" = 4-word segment): a
@@ -393,6 +402,37 @@ object Curation {
     one.select(explode(array(perCol: _*)).as("p")).select(col("p.*"))
   }
 
+  /** Overlapping token-window chunking: split each document's token
+    * stream into `chunkSize`-token windows advancing by
+    * `chunkSize - overlap` tokens. Window starts stop `overlap` short
+    * of the end, so the final window always reaches the last token and
+    * no chunk is fully contained in its predecessor (trailing windows
+    * may still be short); a 0-token doc yields no chunks. The
+    * retrieval-index / RAG prep step. Shape: tokenize → per-row
+    * `sequence` of window starts → `explode` → `slice` — a projection
+    * with a row-local fan-out of ~n/stride, no shuffle at any corpus
+    * size, and deterministic position-derived chunk ids. */
+  private[graft] def chunkText(
+      df: DataFrame, chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap $overlap must be in [0, chunkSize $chunkSize)")
+    val stride = chunkSize - overlap
+    val toks = TF.tokens(col("text"))
+    df.select(col("doc_id"), toks.as("__ts"))
+      .withColumn("__n", size(col("__ts")))
+      .withColumn("__start", explode(
+        when(col("__n") > 0,
+          sequence(lit(0),
+            greatest(col("__n") - overlap, lit(1)) - 1, lit(stride)))
+          .otherwise(array().cast("array<int>"))))
+      .select(col("doc_id"),
+        (col("__start") / stride).cast("int").as("chunk_id"),
+        least(col("__n") - col("__start"), lit(chunkSize)).cast("long")
+          .as("n_tokens"),
+        array_join(slice(col("__ts"), col("__start") + 1, lit(chunkSize)), " ")
+          .as("chunk_text"))
+  }
+
   /** Percentile quality gate kernel: score every doc, compute ONE
     * corpus-wide cutoff (a 1-row scalar collect — metadata-plane), keep
     * docs at or above it. `approx = false` uses the exact interpolated
@@ -480,6 +520,18 @@ object Curation {
          |WHERE ${mixBucketSql(s"doc_id + $MixSalt", 1000)} <
          |  CASE ${MixRates.map { case (k, v) => s"WHEN source = '$k' THEN $v" }
             .mkString(" ")} ELSE $MixDefaultRate END""".stripMargin,
+    "d_chunk_text" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${Pipeline.tokensSql} AS ts FROM documents),
+         |starts AS (
+         |  SELECT doc_id, ts, len(ts) AS n,
+         |    unnest(range(0, greatest(len(ts) - 16, 1), 48)) AS s
+         |  FROM toks WHERE len(ts) > 0)
+         |SELECT doc_id, CAST(s // 48 AS INT) AS chunk_id,
+         |  CAST(least(n - s, 64) AS BIGINT) AS n_tokens,
+         |  array_to_string(list_slice(ts, s + 1, least(s + 64, n)), ' ')
+         |    AS chunk_text
+         |FROM starts""".stripMargin,
     "d_pack_chunks" ->
       s"""WITH toks AS (SELECT doc_id, source, ${Pipeline.tokensSql} AS ts FROM documents),
          |n AS (SELECT doc_id, source,

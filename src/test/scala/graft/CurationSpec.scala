@@ -345,6 +345,32 @@ class CurationSpec extends AnyFunSuite {
       s"approx keep-set differs from exact by $diff of $total docs")
   }
 
+  test("chunkText windows overlap correctly and cover every token") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                  // shorter than one window
+      (3L, ""),                                       // no tokens -> no chunks
+      (4L, "   ")                                     // whitespace only -> none
+    ).toDF("doc_id", "text")
+    val out = Curation.chunkText(df, chunkSize = 4, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2))
+    // doc 1: starts 0,2,4,6 (stop `overlap` short of the end — the last
+    // window reaches the final token, no fully-contained chunk)
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._2).toSeq == Seq(0, 1, 2, 3))
+    assert(d1.head._4 == "t1 t2 t3 t4")
+    assert(d1(1)._4 == "t3 t4 t5 t6", "2-token overlap lost")
+    assert(d1.last._4 == "t7 t8 t9 t10" && d1.last._3 == 4L)
+    // every token appears in at least one chunk
+    val covered = d1.flatMap(_._4.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"t$i").toSet)
+    // short doc: one whole-doc chunk; empty docs: none
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, 3L, "a b c")))
+    assert(!out.exists(t => t._1 == 3L || t._1 == 4L))
+  }
+
   test("every curation query has a matching oracle") {
     assert(Curation.oracleSql.keySet == Curation.queries.keySet)
   }
