@@ -162,10 +162,13 @@ object Curation {
     "d_lang_balance" -> ((s, d) => {
       val counts = docs(s, d).groupBy(col("lang"))
         .agg(count(lit(1)).as("__cnt"))
-      // global min over the per-lang frame (a handful of rows): an
-      // unpartitioned window is fine — the frame is |languages|, not rows
-      val rates = counts
-        .withColumn("__mn", min(col("__cnt")).over(Window.partitionBy()))
+      // global min as a broadcast 1-row scalar, not an unpartitioned
+      // window: the per-lang frame is tiny, but the window shape would
+      // still funnel it through a single-partition exchange — the
+      // ungrouped agg + broadcast join is single-task-free and the
+      // whole-gate plan sweep (PlanQualitySpec) stays clean
+      val mn = counts.agg(min(col("__cnt")).as("__mn"))
+      val rates = counts.crossJoin(broadcast(mn))
         .withColumn("keep_permille",
           floor(sqrt(col("__mn").cast("double") / col("__cnt")) * 1000).cast("long"))
         .select(col("lang"), col("keep_permille"))

@@ -27,6 +27,12 @@ object PlanAudit {
   private def limitBounded(p: SparkPlan): Boolean = p match {
     case _: GlobalLimitExec | _: TakeOrderedAndProjectExec |
         _: CollectLimitExec => true
+    // an UNGROUPED aggregate's partial output is one row per partition
+    // — a SinglePartition exchange above it carries ≤ #partitions rows
+    // (grouped aggregates shuffle by hashpartitioning, never through
+    // this path, so their cardinality needs no proving here)
+    case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+        if a.groupingExpressions.isEmpty => true
     case _: GenerateExec => false // explode: data-dependent fan-out
     case j: BaseJoinExec => limitBounded(j.left) && limitBounded(j.right)
     case u: UnionExec => u.children.forall(limitBounded)
