@@ -3,7 +3,7 @@
 run Verify's parquet dumps against the DuckDB oracle SQL on the same
 scale-factor directory, compare row sets with columns sorted by name
 and doubles rounded. Usage: check_oracle.py <sfDir> <verifyOutDir>"""
-import json, sys, math, os
+import json, sys, math, os, time
 import duckdb
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -37,7 +37,9 @@ def norm(rows, cols):
     return sorted(out)
 
 fails = 0
+t_start = time.time()
 for name, sql in sorted(oracles.items()):
+    t_q = time.time()
     if name in verify_errors:
         print(f"FAIL {name}: Verify crashed — {verify_errors[name][:200]}")
         fails += 1
@@ -78,7 +80,9 @@ for name, sql in sorted(oracles.items()):
             print(f"FAIL {name}: {len(got)} vs {len(exp)} rows; got-only {diff_g}; exp-only {diff_e}")
             fails += 1
         else:
-            print(f"OK   {name} ({len(got)} rows)")
+            print(f"OK   {name} ({len(got)} rows, {time.time() - t_q:.1f}s)",
+                  flush=True)
     except Exception as e:
-        print(f"ERR  {name}: {e}"); fails += 1
+        print(f"ERR  {name}: {e}", flush=True); fails += 1
+print(f"done in {time.time() - t_start:.0f}s, fails={fails}", flush=True)
 sys.exit(1 if fails else 0)

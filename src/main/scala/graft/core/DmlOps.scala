@@ -295,19 +295,27 @@ object DmlOps {
     val snap = storage.snapshotOrFail(snapshotId)
     val appendPatch = RecordIO.writeWithRecords(spark, storage, df)
     val manifests = snap.manifestFiles.indexManifestFiles
-    if (manifests.isEmpty) return appendPatch
-    val fileRows = ManifestIO.readIndexManifests(spark, storage, manifests)
-      .select(col(ManifestIO.FileCol), col(ManifestIO.NumRowsCol))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    // no early return on empty index manifests: a prior full delete can
+    // leave the snapshot with ZERO index manifests but dangling record
+    // manifests and positive record-byte statistics (CoW delete only
+    // rewrites the index side) — the overwrite must still drop those and
+    // negate the stats, or phantom record files stay referenced forever
+    val fileRows =
+      if (manifests.isEmpty) Array.empty[(String, Long)]
+      else ManifestIO.readIndexManifests(spark, storage, manifests)
+        .select(col(ManifestIO.FileCol), col(ManifestIO.NumRowsCol))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
     val s = snap.storageStatistics
     val removePatch = Patch(
       removedIndexManifests = manifests,
       removedRecordManifests = snap.manifestFiles.recordManifestFiles,
       statsDelta = StorageStatistics(-s.numRows, -s.indexCompressedBytes,
         -s.indexUncompressedBytes, -s.recordUncompressedBytes),
-      changeLog = Some(ChangeLog(deletedRows = fileRows.toList.map {
-        case (f, n) => RowBitmap(f, allRows = true, numRows = n)
-      })))
+      changeLog =
+        if (fileRows.isEmpty) None
+        else Some(ChangeLog(deletedRows = fileRows.toList.map {
+          case (f, n) => RowBitmap(f, allRows = true, numRows = n)
+        })))
     Patch.merge(Seq(removePatch, appendPatch)).get
   }
 
@@ -319,23 +327,35 @@ object DmlOps {
     * narrow key range never scans the whole table. */
   def insert(spark: SparkSession, storage: Storage, snapshotId: Long, df: DataFrame): Patch = {
     val pks = storage.primaryKeys
-    failOnInternalDupes(df, pks)
-    val keys = df.select(pks.map(col): _*)
-    val rangePred = keyRangePredicate(spark, keys, storage)
-    val existing = ReadOp.scanPhysical(spark, storage, snapshotId, rangePred)
-      .select(pks.map(col): _*)
-    val dupes = existing.join(keys, pks, "left_semi").limit(1).count()
-    require(dupes == 0, s"insert: input contains existing primary keys")
-    RecordIO.writeWithRecords(spark, storage, df)
+    // pinned: the dup checks and the write each evaluate the input — a
+    // nondeterministic source re-evaluated after passing the checks
+    // could write keys the checks never saw
+    val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      failOnInternalDupes(pinned, pks)
+      val keys = pinned.select(pks.map(col): _*)
+      val rangePred = keyRangePredicate(spark, keys, storage)
+      val existing = ReadOp.scanPhysical(spark, storage, snapshotId, rangePred)
+        .select(pks.map(col): _*)
+      val dupes = existing.join(keys, pks, "left_semi").limit(1).count()
+      require(dupes == 0, s"insert: input contains existing primary keys")
+      RecordIO.writeWithRecords(spark, storage, pinned)
+    } finally { pinned.unpersist(); () }
   }
 
   /** Delete-matching-PKs + append, one snapshot; DELETE+ADD of the same
-    * key in one snapshot is the UPDATE encoding (change_data.py:42-44). */
+    * key in one snapshot is the UPDATE encoding (change_data.py:42-44).
+    * The input is PINNED (like [[merge]]/overwriteWhere): the delete leg
+    * and the append leg each evaluate it, and a nondeterministic source
+    * re-evaluated between them could delete keys it never re-appends. */
   def upsert(spark: SparkSession, storage: Storage, snapshotId: Long, df: DataFrame): Patch = {
-    failOnInternalDupes(df, storage.primaryKeys)
-    val deletePatch = deleteByKeys(spark, storage, snapshotId, df)
-    val appendPatch = RecordIO.writeWithRecords(spark, storage, df)
-    Patch.merge(deletePatch.toSeq :+ appendPatch).get
+    val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      failOnInternalDupes(pinned, storage.primaryKeys)
+      val deletePatch = deleteByKeys(spark, storage, snapshotId, pinned)
+      val appendPatch = RecordIO.writeWithRecords(spark, storage, pinned)
+      Patch.merge(deletePatch.toSeq :+ appendPatch).get
+    } finally { pinned.unpersist(); () }
   }
 
   /** MERGE semantics on a PK-keyed table, ONE snapshot (the general form

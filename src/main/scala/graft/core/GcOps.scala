@@ -151,12 +151,16 @@ object GcOps {
       doomed.foreach(rel => fs.delete(new Path(root, rel), false))
     } else {
       val loc = storage.location
+      // session Hadoop conf: executor-side deletes must resolve the same
+      // filesystem (credentials/custom impl via spark.hadoop.*) as the
+      // driver that planned them
+      val serConf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf())
       spark.sparkContext
         .parallelize(doomed, math.min(doomed.size, 32).max(1))
         .foreachPartition { part =>
-          val conf = new org.apache.hadoop.conf.Configuration()
           val r = new Path(loc)
-          val pfs = r.getFileSystem(conf)
+          val pfs = r.getFileSystem(serConf.value)
           part.foreach(rel => pfs.delete(new Path(r, rel), false))
         }
     }

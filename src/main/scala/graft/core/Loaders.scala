@@ -22,9 +22,28 @@ object ParquetLoader {
     require(ds.storage.metadata.numBuckets == 0,
       "zero-copy ingest into a BUCKETED table is not supported: external " +
         "files carry no bucket assignment (rewrite through append instead)")
+    // a repeated path would create two manifest rows for one file —
+    // every scan then reads it twice (duplicate rows AND duplicate PKs)
+    val unique = files.distinct
+    require(unique.size == files.size,
+      s"duplicate paths in loadParquet input: " +
+        files.diff(unique).distinct.take(3).mkString(", "))
     val conf = spark.sparkContext.hadoopConfiguration
+    // schema gate: external files must carry every index field with a
+    // compatible type — a missing PK would otherwise null-fill on read,
+    // silently breaking insert/upsert dup checks and key-range pruning
+    val physical = ReadOp.physicalSchema(ds.storage.schema, ds.storage.recordFields)
+    val extSchema = spark.read.parquet(unique: _*).schema
+    physical.fields.filterNot(_.name.startsWith("_")).foreach { f =>
+      val ext = extSchema.find(_.name == f.name).getOrElse(
+        throw new IllegalArgumentException(
+          s"external parquet lacks table field ${f.name} " +
+            s"(external schema: ${extSchema.map(_.name).mkString(", ")})"))
+      require(ext.dataType == f.dataType,
+        s"external field ${f.name} has type ${ext.dataType}, table expects ${f.dataType}")
+    }
     ds.storage.commitTransaction() { _ =>
-      val metas = files.map { f =>
+      val metas = unique.map { f =>
         val abs = new Path(f)
         ManifestIO.harvestFooter(abs.toString, abs.toString, conf, ds.storage.statsColumns)
       }.filter(_.numRows > 0)

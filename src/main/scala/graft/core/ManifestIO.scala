@@ -124,12 +124,22 @@ object ManifestIO {
     case other => (other.genericGetMin, other.genericGetMax)
   }
 
+  // Strings must merge in UTF8String BINARY order (unsigned UTF-8
+  // bytes) — the order Spark's pruning filter later compares the stored
+  // min/max with. Java String <= is UTF-16 code-unit order, which
+  // DISAGREES for supplementary characters (U+10000.. sorts above every
+  // BMP char in UTF-8 but between surrogates in UTF-16): merging with
+  // it could store a too-small max and prune files that contain matches.
+  private def utf8Cmp(x: String, y: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(x)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
+
   private[graft] def minAny(a: Any, b: Any): Any = (a, b) match {
     case (x: Long, y: Long) => if (x <= y) x else y
     case (x: Int, y: Int) => if (x <= y) x else y
     case (x: Double, y: Double) => if (x <= y) x else y
     case (x: Float, y: Float) => if (x <= y) x else y
-    case (x: String, y: String) => if (x <= y) x else y
+    case (x: String, y: String) => if (utf8Cmp(x, y) <= 0) x else y
     case _ => a
   }
   private[graft] def maxAny(a: Any, b: Any): Any = (a, b) match {
@@ -137,7 +147,7 @@ object ManifestIO {
     case (x: Int, y: Int) => if (x >= y) x else y
     case (x: Double, y: Double) => if (x >= y) x else y
     case (x: Float, y: Float) => if (x >= y) x else y
-    case (x: String, y: String) => if (x >= y) x else y
+    case (x: String, y: String) => if (utf8Cmp(x, y) >= 0) x else y
     case _ => a
   }
 

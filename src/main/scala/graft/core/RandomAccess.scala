@@ -74,9 +74,15 @@ final class RandomAccessReader(ds: SpaceDataset, field: String) {
         while (g != null && remaining.nonEmpty) {
           // a while, not an if: the same ordinal may be requested twice
           while (remaining.nonEmpty && rowIdx == remaining.head._1) {
-            val addr = g.getGroup(field, 0)
+            // a NULL payload stores a null address struct (RecordIO
+            // writes null for null bytes): repetition count 0 — getGroup
+            // would throw, the ordinal must resolve to null instead
             addresses(remaining.head._2) =
-              (addr.getString("_FILE", 0), addr.getInteger("_ROW_ID", 0))
+              if (g.getFieldRepetitionCount(field) == 0) null
+              else {
+                val addr = g.getGroup(field, 0)
+                (addr.getString("_FILE", 0), addr.getInteger("_ROW_ID", 0))
+              }
             remaining = remaining.tail
           }
           rowIdx += 1
@@ -85,9 +91,10 @@ final class RandomAccessReader(ds: SpaceDataset, field: String) {
       } finally reader.close()
     }
 
-    // pass 2: payloads from record files (one sequential scan per file)
+    // pass 2: payloads from record files (one sequential scan per file);
+    // null addresses (null payloads) stay null in the result
     val result = new Array[Array[Byte]](ordinals.size)
-    addresses.zipWithIndex.groupBy(_._1._1).foreach { case (recFile, entries) =>
+    addresses.zipWithIndex.filter(_._1 != null).groupBy(_._1._1).foreach { case (recFile, entries) =>
       val wanted = entries.map { case ((_, rowId), pos) => rowId -> pos }.sortBy(_._1)
       val reader = ParquetReader.builder(new GroupReadSupport(),
         new Path(ds.storage.absolute(recFile))).withConf(conf).build()

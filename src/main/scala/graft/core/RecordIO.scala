@@ -59,8 +59,13 @@ object RecordIO {
     // is Serializable, so instances ride the task closure)
     val serializers = recordIdx.map(i => i -> SerializerRegistry.resolve(schema(i))).toMap
 
+    // ship the SESSION's Hadoop conf: the table may live on a filesystem
+    // configured via spark.hadoop.* (credentials, custom fs impl) that a
+    // default executor-side Configuration would not resolve
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
     val indexDF = aligned.mapPartitions { it =>
-      val conf = new Configuration()
+      val conf = serConf.value
       val writers = fieldNames.map(f => new RecordFileWriter(location, f, conf))
       val writerByIdx = recordIdx.zip(writers).toMap
       new Iterator[Row] {
@@ -115,11 +120,14 @@ object RecordIO {
     if (files.isEmpty) Nil
     else {
       val withAbs = files.map { case (rel, fid) => (rel, fid, storage.absolute(rel)) }
+      // session Hadoop conf, for the same spark.hadoop.* reason as above
+      val serConf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf())
       spark.sparkContext
         .parallelize(withAbs, math.max(1, math.min(withAbs.size, 32)))
         .map { case (rel, fid, abs) =>
           val reader = ParquetFileReader.open(
-            HadoopInputFile.fromPath(new Path(abs), new Configuration()))
+            HadoopInputFile.fromPath(new Path(abs), serConf.value))
           try {
             val blocks = reader.getFooter.getBlocks.asScala
             (rel, fid, blocks.map(_.getRowCount).sum, blocks.map(_.getTotalByteSize).sum)

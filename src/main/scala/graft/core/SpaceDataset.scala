@@ -215,10 +215,16 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
       branch: String = currentBranch): Option[Long] = {
     storage.reload()
     if (storage.metadata.txnVersions.get(appId).exists(_ >= version)) return None
-    Some(storage.commitTransaction(branch, ConflictPolicy.Append) { _ =>
+    try Some(storage.commitTransaction(branch, ConflictPolicy.Append) { _ =>
       val patch = RecordIO.writeWithRecords(spark, storage, toPhysicalDf(df))
       Some(patch.copy(txn = Some(TxnTag(appId, version))))
-    })
+    }) catch {
+      // a concurrent worker committed the same (appId, version) between
+      // the up-front check and the commit lock: the documented
+      // "skipped, already delivered" outcome, not an error (the staged
+      // files of the losing attempt are unreferenced; GC reaps them)
+      case _: DuplicateTransactionException => None
+    }
   }
 
   /** Atomic truncate-and-append: ONE snapshot replacing the whole table

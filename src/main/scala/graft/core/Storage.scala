@@ -10,6 +10,14 @@ import graft.format._
 
 class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 
+/** Thrown by the under-lock exactly-once guard when a transaction tag
+  * (appId, version) has already committed — the signal `appendOnce`
+  * turns into its documented `None` ("skipped, already delivered")
+  * result instead of crashing the redelivered worker. */
+class DuplicateTransactionException(val appId: String, val version: Long)
+  extends RuntimeException(
+    s"duplicate transaction: appId=$appId version=$version already committed")
+
 /** How a transaction's patch relates to concurrent commits — see
   * [[Storage.transaction]]. */
 sealed trait ConflictPolicy
@@ -500,6 +508,16 @@ final class Storage(val location: String, val conf: Configuration) {
       lastUpdateTimeMs = System.currentTimeMillis()))
   }
 
+  /** Is `ancestor` on `of`'s parent chain (inclusive)? The shared walk
+    * behind [[rollback]]'s forward guard and [[fastForward]]'s inverse
+    * one — one definition so a future cycle/expiry fix hits both. */
+  @annotation.tailrec
+  private def isAncestor(ancestor: Long, of: Long): Boolean =
+    ancestor == of || (snapshotOrFail(of).parentSnapshotId match {
+      case Some(p) => isAncestor(ancestor, p)
+      case None => false
+    })
+
   /** Reset `branch`'s head to an ANCESTOR snapshot — a metadata-only
     * undo (Iceberg's rollback semantics; the reference has no undo op).
     * The abandoned descendant snapshots stay readable by id/tag until
@@ -514,13 +532,7 @@ final class Storage(val location: String, val conf: Configuration) {
       reload()
       val head = branchHead(branch)
       require(snapshotId != head, s"branch $branch is already at snapshot $snapshotId")
-      @annotation.tailrec
-      def isAncestor(cur: Option[Long]): Boolean = cur match {
-        case None => false
-        case Some(id) =>
-          id == snapshotId || isAncestor(snapshotOrFail(id).parentSnapshotId)
-      }
-      require(isAncestor(Some(head)),
+      require(isAncestor(ancestor = snapshotId, of = head),
         s"snapshot $snapshotId is not an ancestor of $branch head $head")
       val now = System.currentTimeMillis()
       persist(
@@ -547,13 +559,7 @@ final class Storage(val location: String, val conf: Configuration) {
       // an unchanged-audit publish or a retried WAP publish step must
       // succeed silently; require failures are for non-ancestor moves
       if (target != head) {
-        @annotation.tailrec
-        def isAncestor(cur: Option[Long]): Boolean = cur match {
-          case None => false
-          case Some(id) =>
-            id == head || isAncestor(snapshotOrFail(id).parentSnapshotId)
-        }
-        require(isAncestor(Some(target)),
+        require(isAncestor(ancestor = head, of = target),
           s"$branch head $head is not an ancestor of $toBranch head $target " +
             "— fast-forward would rewrite history; use rollback for that")
         val now = System.currentTimeMillis()
@@ -572,21 +578,29 @@ final class Storage(val location: String, val conf: Configuration) {
   def addBranch(name: String, snapshotId: Option[Long] = None): Unit =
     addRef(name, SnapshotRef.Branch, snapshotId)
 
-  private def addRef(name: String, refType: String, snapshotId: Option[Long]): Unit = {
-    require(name != SnapshotRef.MainBranch, s"ref name $name is reserved")
-    require(!meta.refs.contains(name), s"ref $name already exists")
-    val id = snapshotId.getOrElse(meta.currentSnapshotId)
-    snapshotOrFail(id)
-    persist(meta.copy(
-      refs = meta.refs + (name -> SnapshotRef(name, refType, id)),
-      lastUpdateTimeMs = System.currentTimeMillis()))
-  }
+  // Ref mutations take the commit lock AND reload first, like every
+  // other metadata mutator: persist() from a stale in-memory meta would
+  // overwrite (and permanently orphan) snapshots committed concurrently
+  // by another process between this handle's load and the ref edit.
+  private def addRef(name: String, refType: String, snapshotId: Option[Long]): Unit =
+    withCommitLock {
+      reload()
+      require(name != SnapshotRef.MainBranch, s"ref name $name is reserved")
+      require(!meta.refs.contains(name), s"ref $name already exists")
+      val id = snapshotId.getOrElse(meta.currentSnapshotId)
+      snapshotOrFail(id)
+      persist(meta.copy(
+        refs = meta.refs + (name -> SnapshotRef(name, refType, id)),
+        lastUpdateTimeMs = System.currentTimeMillis()))
+    }
 
-  def removeRef(name: String): Unit = {
-    require(meta.refs.contains(name), s"ref $name not found")
-    persist(meta.copy(refs = meta.refs - name,
-      lastUpdateTimeMs = System.currentTimeMillis()))
-  }
+  def removeRef(name: String): Unit =
+    withCommitLock {
+      reload()
+      require(meta.refs.contains(name), s"ref $name not found")
+      persist(meta.copy(refs = meta.refs - name,
+        lastUpdateTimeMs = System.currentTimeMillis()))
+    }
 
   /** Remove a tag; fails if `name` is missing or is a branch
     * (storage.py:287-289, 298-307). */
@@ -600,14 +614,16 @@ final class Storage(val location: String, val conf: Configuration) {
     removeTypedRef(name, SnapshotRef.Branch)
   }
 
-  private def removeTypedRef(name: String, refType: String): Unit = {
-    val ref = meta.refs.getOrElse(name,
-      throw new IllegalArgumentException(s"ref $name not found"))
-    require(ref.refType == refType,
-      s"ref $name is a ${ref.refType}, not a $refType")
-    persist(meta.copy(refs = meta.refs - name,
-      lastUpdateTimeMs = System.currentTimeMillis()))
-  }
+  private def removeTypedRef(name: String, refType: String): Unit =
+    withCommitLock {
+      reload()
+      val ref = meta.refs.getOrElse(name,
+        throw new IllegalArgumentException(s"ref $name not found"))
+      require(ref.refType == refType,
+        s"ref $name is a ${ref.refType}, not a $refType")
+      persist(meta.copy(refs = meta.refs - name,
+        lastUpdateTimeMs = System.currentTimeMillis()))
+    }
 
   // ------------------------------------------------------------- commit
 
@@ -640,10 +656,12 @@ final class Storage(val location: String, val conf: Configuration) {
       base.storageStatistics + patch.statsDelta, changeLogFile)
 
     // exactly-once writer guard: runs under the commit lock after a
-    // fresh reload, so a duplicate delivery can NEVER double-commit
+    // fresh reload, so a duplicate delivery can NEVER double-commit —
+    // the typed exception lets appendOnce resolve a concurrent
+    // redelivery to its documented None result instead of crashing
     patch.txn.foreach { t =>
-      require(meta.txnVersions.getOrElse(t.appId, Long.MinValue) < t.version,
-        s"duplicate transaction: appId=${t.appId} version=${t.version} already committed")
+      if (meta.txnVersions.getOrElse(t.appId, Long.MinValue) >= t.version)
+        throw new DuplicateTransactionException(t.appId, t.version)
     }
 
     val withSnap = meta.copy(
@@ -668,9 +686,10 @@ final class Storage(val location: String, val conf: Configuration) {
     * check-then-flip is racy between writers — storage.py:317-319 admits
     * single-writer; the exclusive-create lock file makes the final
     * check+flip mutually exclusive, so concurrent writers serialize
-    * instead of silently losing commits). */
-  /** Optimistic transaction with Iceberg-style conflict policies
-    * (beyond the reference's single-winner-per-head, storage.py:545-596):
+    * instead of silently losing commits).
+    *
+    * Conflict is adjudicated with Iceberg-style policies (beyond the
+    * reference's single-winner-per-head):
     *
     *  - [[ConflictPolicy.Append]]: the patch only ADDS manifests — valid
     *    against any head; concurrent appends serialize under the lock
@@ -896,7 +915,29 @@ object Storage {
 
     val metaFile = StoragePaths.newMetadataFile()
     writeTo(fs, root, metaFile, MetadataJson.write(meta))
-    writeTo(fs, root, StoragePaths.EntryPointFile, MetadataJson.write(EntryPoint(metaFile)))
+    // entrypoint birth is EXCLUSIVE: the up-front exists() is
+    // check-then-act, so two concurrent creators could both pass it and
+    // the second would silently clobber the first's table. Local scheme
+    // uses nio CREATE_NEW (true O_EXCL — LocalFileSystem's
+    // create(overwrite=false) is itself check-then-create); remote
+    // schemes get create(overwrite=false), atomic at the namenode.
+    val ep = new Path(root, StoragePaths.EntryPointFile)
+    val epBytes = MetadataJson.write(EntryPoint(metaFile)).getBytes(StandardCharsets.UTF_8)
+    try {
+      if (Option(ep.toUri.getScheme).forall(_ == "file"))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(ep.toUri.getPath), epBytes,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+      else {
+        val out = fs.create(ep, false)
+        try out.write(epBytes) finally out.close()
+      }
+    } catch {
+      case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"table already exists at $location (lost a concurrent create race)", e)
+    }
     new Storage(location, conf)
   }
 

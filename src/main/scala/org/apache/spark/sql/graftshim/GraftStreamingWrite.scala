@@ -105,7 +105,7 @@ final class GraftStreamingWrite(
       }
       keep
     }
-    storage.commitTransaction(ds.getCurrentBranch, ConflictPolicy.Append) { _ =>
+    try storage.commitTransaction(ds.getCurrentBranch, ConflictPolicy.Append) { _ =>
       if (metas.isEmpty) {
         // commit an EMPTY snapshot anyway: the txn watermark must
         // advance or a restart would replay this epoch forever
@@ -123,7 +123,13 @@ final class GraftStreamingWrite(
           manifestSummaries = Map(manifest -> ManifestIO.summarize(storage, metas)),
           txn = Some(TxnTag(queryId, epochId))))
       }
+    } catch {
+      // a racing replay of this epoch committed between the up-front
+      // check and the lock: the rows are in the table; this attempt's
+      // files/manifest are unreferenced (GC reaps them)
+      case _: graft.core.DuplicateTransactionException => ()
     }
+    ()
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {

@@ -49,8 +49,9 @@ class TxnSpec extends AnyFunSuite {
     val ds = freshDs()
     ds.appendOnce(kv(1L -> "a"), "sink", 7L)
     // drive the raw transaction path with an already-committed tag —
-    // the reload-under-lock check must refuse it
-    intercept[IllegalArgumentException] {
+    // the reload-under-lock check must refuse it with the TYPED
+    // exception (appendOnce absorbs it into its documented None)
+    intercept[graft.core.DuplicateTransactionException] {
       ds.storage.transaction() { _ =>
         val patch = graft.core.RecordIO.writeWithRecords(spark, ds.storage, kv(9L -> "x"))
         (Some(patch.copy(txn = Some(TxnTag("sink", 7L)))), ())
