@@ -21,6 +21,27 @@ import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
   */
 object Dedup {
 
+  // ------------------------------------------------ persist tracking
+  // sigFrame persists the shared shingle+signature frame with no
+  // unpersist path — fine for one-shot batch queries (Verify/Bench
+  // clearCache between queries), but a LONG-RUNNING caller (the ingest
+  // stream's per-micro-batch body) must release exactly those frames,
+  // not nuke the whole session cache.
+  private val trackedPersists =
+    new ThreadLocal[scala.collection.mutable.Buffer[DataFrame]]
+
+  /** Run `body` collecting every frame the minhash kernels persist on
+    * THIS thread, and unpersist them all afterwards (after the body's
+    * actions have completed). */
+  private[graft] def trackingPersists[T](body: => T): T = {
+    val buf = scala.collection.mutable.Buffer.empty[DataFrame]
+    trackedPersists.set(buf)
+    try body finally {
+      trackedPersists.remove()
+      buf.foreach(df => df.unpersist())
+    }
+  }
+
   /** Exact dedup: keep the minimum-id row per distinct content value.
     * Map-side partial agg keeps the shuffle small even when most rows
     * are unique. */
@@ -241,11 +262,13 @@ object Dedup {
   private def sigFrame(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int, shingleSize: Int): DataFrame = {
     val shingleExpr = TF.wordShingleHashes(col(textCol), shingleSize)
-    df.select(
+    val p = df.select(
       col(idCol).as("id"),
       shingleExpr.as("shingles"),
       TF.minhashSignature(shingleExpr, numHashes).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Option(trackedPersists.get).foreach(_ += p)
+    p
   }
 
   /** LIGHT band rows: (id, band, 64-bit key of the band's sub-signature)

@@ -22,6 +22,21 @@ final case class SessionAcc(start: Long, last: Long, n: Long, sum: Double)
 
 object EventsStream {
 
+  /** Pin `spark.sql.shuffle.partitions` for the duration of `body`.
+    * Stateful streaming disables AQE, so a stateful operator at the
+    * session's full shuffle count means one state-store dir per
+    * partition per micro-batch of pure overhead on this single-box
+    * harness (the count is fixed at first checkpoint anyway; on a real
+    * cluster size it to the executor count). Restoring in a finally
+    * around the WHOLE build+drain matters: a failure while constructing
+    * or starting the stream must not leak the pinned value into every
+    * later batch query of the shared session. */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Schema of events.parquet as the reader types it (timestamp[us] or
     * legacy long-nanos — graft.functions.EventTime dispatches on it). */
   private def eventsRaw(s: SparkSession, d: String): (StructType, String) = {
@@ -48,15 +63,7 @@ object EventsStream {
     val sink = SpaceDataset.create(s, s"$loc/tbl", outSchema,
       primaryKeys = Seq("w_start", "event_type"))
 
-    // Stateful streaming disables AQE, so the windowed agg would run at
-    // the full shuffle-partition count — on this single-box harness that
-    // means one state-store checkpoint dir per partition per micro-batch
-    // of pure overhead. Pin the stream's state partitioning low (it is
-    // fixed at first checkpoint anyway); on a real cluster size it to
-    // the executor count instead.
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-
+    withShufflePartitions(s, 4) {
     // the streaming file source requires a DIRECTORY; select just the
     // events file out of the scale-factor dir via pathGlobFilter
     val stream = s.readStream.schema(schema)
@@ -76,12 +83,10 @@ object EventsStream {
       // once; replays are key-idempotent (GraftSink)
       .foreachBatch(GraftSink.upsert(sink))
       .start()
-    try q.processAllAvailable() finally {
-      q.stop()
-      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    }
+    try q.processAllAvailable() finally q.stop()
     if (sys.env.contains("GRAFT_PROF"))
       println(s"[stream] drain ${(System.nanoTime() - t0) / 1e9}s")
+    }
     sink.readAll()
   }
 
@@ -183,24 +188,21 @@ object EventsStream {
       StructField("value", DoubleType)))
     val sink = SpaceDataset.create(s, s"$loc/tbl", outSchema, Seq("event_id"))
 
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    val q = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("event_time",
-        timestamp_seconds(graft.functions.EventTime.epochSeconds(schema, "ts")))
-      // deliver every event twice (at-least-once replay shape)
-      .withColumn("__copy", explode(array(lit(1), lit(2))))
-      .withWatermark("event_time", "1 hour")
-      .dropDuplicatesWithinWatermark("event_id")
-      .select(col("event_id"), col("event_type"), col("value"))
-      .writeStream
-      .option("checkpointLocation", s"$loc/ckpt")
-      .foreachBatch(GraftSink.append(sink, appId = "e_stream_dedup"))
-      .start()
-    try q.processAllAvailable() finally {
-      q.stop()
-      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    withShufflePartitions(s, 4) {
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .withColumn("event_time",
+          timestamp_seconds(graft.functions.EventTime.epochSeconds(schema, "ts")))
+        // deliver every event twice (at-least-once replay shape)
+        .withColumn("__copy", explode(array(lit(1), lit(2))))
+        .withWatermark("event_time", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .writeStream
+        .option("checkpointLocation", s"$loc/ckpt")
+        .foreachBatch(GraftSink.append(sink, appId = "e_stream_dedup"))
+        .start()
+      try q.processAllAvailable() finally q.stop()
     }
     sink.readAll()
       .groupBy(col("event_type"))
@@ -238,24 +240,21 @@ object EventsStream {
         col("value").as(s"${alias}_value"))
       .withWatermark(s"${alias}_time", "1 hour")
 
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    val q = side("click", "click").join(side("purchase", "purchase"),
-        col("click_user") === col("purchase_user") &&
-          col("purchase_time") >= col("click_time") &&
-          col("purchase_time") <= col("click_time") + expr(s"INTERVAL $boundSec seconds"))
-      .select(col("click_id"), col("purchase_id"),
-        col("click_user").as("user_id"),
-        (unix_timestamp(col("purchase_time")) - unix_timestamp(col("click_time")))
-          .as("delay_sec"),
-        round(col("purchase_value"), 2).as("purchase_value"))
-      .writeStream
-      .option("checkpointLocation", s"$loc/ckpt")
-      .foreachBatch(GraftSink.append(sink, appId = "e_stream_join"))
-      .start()
-    try q.processAllAvailable() finally {
-      q.stop()
-      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    withShufflePartitions(s, 4) {
+      val q = side("click", "click").join(side("purchase", "purchase"),
+          col("click_user") === col("purchase_user") &&
+            col("purchase_time") >= col("click_time") &&
+            col("purchase_time") <= col("click_time") + expr(s"INTERVAL $boundSec seconds"))
+        .select(col("click_id"), col("purchase_id"),
+          col("click_user").as("user_id"),
+          (unix_timestamp(col("purchase_time")) - unix_timestamp(col("click_time")))
+            .as("delay_sec"),
+          round(col("purchase_value"), 2).as("purchase_value"))
+        .writeStream
+        .option("checkpointLocation", s"$loc/ckpt")
+        .foreachBatch(GraftSink.append(sink, appId = "e_stream_join"))
+        .start()
+      try q.processAllAvailable() finally q.stop()
     }
     sink.readAll()
   }
@@ -348,31 +347,28 @@ object EventsStream {
       out.iterator
     }
 
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    val inSchema = StructType(Seq(
-      StructField("user_id", LongType), StructField("t", LongType),
-      StructField("value", DoubleType)))
-    val q = s.readStream.schema(inSchema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$loc/in")
-      .withColumn("event_time", timestamp_seconds(col("t")))
-      .withWatermark("event_time", "10 seconds")
-      // the watermarked column must flow INTO the stateful operator for
-      // event-time timeouts to resolve — carry it in the tuple
-      .select(col("user_id"), col("t"), col("value"), col("event_time"))
-      .as[(Long, Long, Double, java.sql.Timestamp)]
-      .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
-      .select(col("_1").as("user_id"), col("_2").as("s_start"),
-        col("_3").as("n_events"), col("_4").as("sum_value"))
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", s"$loc/ckpt")
-      .foreachBatch(GraftSink.append(sink, appId = "e_stream_sessions"))
-      .start()
-    try q.processAllAvailable() finally {
-      q.stop()
-      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    withShufflePartitions(s, 4) {
+      val inSchema = StructType(Seq(
+        StructField("user_id", LongType), StructField("t", LongType),
+        StructField("value", DoubleType)))
+      val q = s.readStream.schema(inSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$loc/in")
+        .withColumn("event_time", timestamp_seconds(col("t")))
+        .withWatermark("event_time", "10 seconds")
+        // the watermarked column must flow INTO the stateful operator for
+        // event-time timeouts to resolve — carry it in the tuple
+        .select(col("user_id"), col("t"), col("value"), col("event_time"))
+        .as[(Long, Long, Double, java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+        .select(col("_1").as("user_id"), col("_2").as("s_start"),
+          col("_3").as("n_events"), col("_4").as("sum_value"))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$loc/ckpt")
+        .foreachBatch(GraftSink.append(sink, appId = "e_stream_sessions"))
+        .start()
+      try q.processAllAvailable() finally q.stop()
     }
     sink.readAll().select(col("user_id"), col("s_start"), col("n_events"),
       round(col("sum_value"), 2).as("sum_value"))
@@ -538,11 +534,20 @@ object EventsStream {
       appId: String): (Dataset[Row], Long) => Unit = { (b, batchId) =>
     import graft.operators.Dedup
     val bb = b.persist()
-    try {
+    // track (and afterwards release) exactly the signature frames the
+    // minhash kernels persist this batch — a long-running ingest stream
+    // must not accumulate them, and a session-global clearCache() would
+    // evict every OTHER component's caches too
+    try Dedup.trackingPersists {
       // WITHIN-batch dedup first: a near-dup pair arriving in the same
       // micro-batch has neither doc in the index yet — drop the
       // higher-id of every intra-batch pair (chain-insensitive
-      // keep-lowest, same rule the oracle replays)
+      // keep-lowest, same rule the oracle replays).
+      // Deliberate trade: the three kernel calls below (pairs, index
+      // check, index rows) each shingle+minhash (subsets of) the batch
+      // — O(batch) work per call, micro-batch-bounded, never touching
+      // the corpus; threading one signature frame through all three
+      // would triple the Dedup API surface for a small constant win.
       val intra = Dedup.minhashPairs(bb.toDF(), "text", "doc_id",
         numHashes = 32, bands = 16, shingleSize = 3, threshold = 0.6)
         .select(col("id_b").as("doc_id")).distinct()
@@ -580,11 +585,6 @@ object EventsStream {
       } finally { survivors.unpersist(); () }
     } finally {
       bb.unpersist()
-      // the minhash kernels persist signature frames internally with no
-      // unpersist path (fine for one-shot batch queries where
-      // Bench/Verify clearCache between queries) — a long-running
-      // ingest stream must not accumulate them batch over batch
-      b.sparkSession.catalog.clearCache()
       ()
     }
   }

@@ -54,23 +54,36 @@ final class MaterializedView(val spark: SparkSession, val dataset: SpaceDataset)
       // (branch commits also consume ids): diff from the actual parent
       val parent = source.storage.snapshotOrFail(sid).parentSnapshotId.getOrElse(0L)
       val batches = ChangeData.diff(spark, source.storage, parent, sid)
+      var applied = false
       dataset.storage.transaction() { pinned =>
-        val patches = batches.flatMap { b =>
-          b.changeType match {
-            case ChangeType.Delete =>
-              // delete by PK on the MV (PKs survive the transform pipeline)
-              DmlOps.deleteByKeys(spark, dataset.storage, pinned, b.data)
-            case ChangeType.Add =>
-              val transformed = plan.processSource(spark, b.data)
-              Some(RecordIO.writeWithRecords(spark, dataset.storage, transformed))
+        // exactly-once across OVERLAPPING refreshers (a refreshStream
+        // micro-batch racing a manual refresh): the op re-runs on a
+        // Strict-conflict retry from a freshly reloaded head — if the
+        // other refresher already applied this source snapshot, no-op
+        // instead of appending its rows a second time. This is the
+        // refreshedTo-watermark re-check the scaladoc promises.
+        if (dataset.storage.metadata.mvSourceSnapshotId.exists(_ >= sid)) {
+          applied = false
+          (None, ())
+        } else {
+          val patches = batches.flatMap { b =>
+            b.changeType match {
+              case ChangeType.Delete =>
+                // delete by PK on the MV (PKs survive the transform pipeline)
+                DmlOps.deleteByKeys(spark, dataset.storage, pinned, b.data)
+              case ChangeType.Add =>
+                val transformed = plan.processSource(spark, b.data)
+                Some(RecordIO.writeWithRecords(spark, dataset.storage, transformed))
+            }
           }
+          val merged = Patch.merge(patches)
+            .getOrElse(Patch()) // empty source snapshot still advances the MV
+            .copy(sourceSnapshotId = Some(sid))
+          applied = true
+          (Some(merged), ())
         }
-        val merged = Patch.merge(patches)
-          .getOrElse(Patch()) // empty source snapshot still advances the MV
-          .copy(sourceSnapshotId = Some(sid))
-        (Some(merged), ())
       }
-      commits += 1
+      if (applied) commits += 1
     }
     commits
   }

@@ -82,6 +82,14 @@ object SubstraitPlans {
         case 0 => res += field -> Left(varint())
         case 2 =>
           val len = varint().toInt
+          // copyOfRange past the end ZERO-PADS instead of failing: a
+          // truncated/corrupt persisted plan would decode to silent
+          // garbage (e.g. a table location with NUL tail) — corruption
+          // must be loud
+          if (len < 0 || i + len > buf.length)
+            throw new IllegalArgumentException(
+              s"truncated substrait plan: field $field declares $len bytes " +
+                s"but only ${buf.length - i} remain")
           res += field -> Right(java.util.Arrays.copyOfRange(buf, i, i + len))
           i += len
         case w => throw new IllegalArgumentException(

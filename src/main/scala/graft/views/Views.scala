@@ -151,8 +151,17 @@ trait Transform extends Serializable {
 object TransformRegistry {
   private val registry = TrieMap.empty[String, Transform]
 
+  // percent-escape each expression before joining with ";;": a literal
+  // ';' inside an expression (e.g. concat(a, ';;', b)) would otherwise
+  // corrupt the persisted plan when split back. Escaping removes every
+  // raw ';' from the parts, so the delimiter can never appear inside one.
+  private[views] def escExpr(e: String): String =
+    e.replace("%", "%25").replace(";", "%3B")
+  private[views] def unescExpr(e: String): String =
+    e.replace("%3B", ";").replace("%25", "%")
+
   register("select_exprs", (df, params) =>
-    df.selectExpr(params("exprs").split(";;").toIndexedSeq: _*))
+    df.selectExpr(params("exprs").split(";;").toIndexedSeq.map(unescExpr): _*))
   register("filter_expr", (df, params) => df.filter(expr(params("expr"))))
 
   def register(name: String, t: (DataFrame, Map[String, String]) => DataFrame): Unit =
@@ -176,7 +185,8 @@ final class View(val plan: ViewPlan) {
   def mapTransform(name: String, params: Map[String, String]): View =
     new View(MapNode(name, params, plan))
   def selectExprs(exprs: String*): View =
-    mapTransform("select_exprs", Map("exprs" -> exprs.mkString(";;")))
+    mapTransform("select_exprs",
+      Map("exprs" -> exprs.map(TransformRegistry.escExpr).mkString(";;")))
   def filterTransform(name: String, params: Map[String, String]): View =
     new View(FilterNode(name, params, plan))
   def filterExpr(e: String): View =

@@ -152,6 +152,35 @@ class ViewSpec extends AnyFunSuite {
     assert(mv2.refresh() == 0)
   }
 
+  test("overlapping refreshers: a stale MV handle must not double-apply snapshots") {
+    val src = sourceTable()
+    val v = View.ofDataset(src).selectExprs("o_orderkey", "o_totalprice")
+    val mv = v.materialize(spark, freshLoc("mv_race"), Seq("o_orderkey"))
+    // staleHandle loads BEFORE new source commits land
+    val staleHandle = MaterializedView.load(spark, mv.dataset.location)
+    src.append(orders.filter(col("o_orderkey") > 1000L && col("o_orderkey") <= 1100L))
+    assert(mv.refresh() == 1)
+    val rows = mv.dataset.readAll().count()
+    // the stale handle still believes refreshedTo is the OLD watermark;
+    // its per-snapshot transaction must re-check under the lock and
+    // no-op instead of appending snapshot 2's rows a second time
+    assert(staleHandle.refresh() == 0,
+      "a stale refresher re-applied an already-applied source snapshot")
+    assert(mv.dataset.readAll().count() == rows, "MV rows were double-applied")
+  }
+
+  test("selectExprs with a literal ';;' round-trips through the persisted plan") {
+    val ds = sourceTable()
+    val v = View.ofDataset(ds)
+      .selectExprs("o_orderkey", "concat('a', ';;', o_orderstatus) AS tagged")
+    // the plan must survive JSON persistence AND apply identically
+    val back = ViewPlan.fromJson(v.plan.json)
+    assert(back == v.plan)
+    val got = new View(back).toDF(spark)
+    assert(got.columns.toSeq == Seq("o_orderkey", "tagged"))
+    assert(got.filter(col("tagged").startsWith("a;;")).count() == got.count())
+  }
+
   test("MV refresh handles rows leaving and entering the filter") {
     val src = sourceTable()
     val v = View.ofDataset(src).filterExpr("o_totalprice > 200000")
