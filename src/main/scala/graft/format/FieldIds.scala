@@ -36,32 +36,28 @@ object FieldIds {
     StructType(schema.fields.map(assignField))
   }
 
+  // ONE definition of how many ids a type/field consumes — consumedIds
+  // and maxAssignedId must never skew (a future id-consumption rule,
+  // e.g. MapType support, changes exactly one place)
+  private def countType(dt: DataType): Int = dt match {
+    case s: StructType => s.fields.map(countField).sum
+    case a: ArrayType => 1 + countType(a.elementType)
+    case _ => 0
+  }
+  private def countField(f: StructField): Int = 1 + countType(f.dataType)
+
   /** Number of ids [[assign]] consumes for `schema` — the start id for
     * fields appended by schema evolution (ids are never reused). */
-  def consumedIds(schema: StructType): Int = {
-    def countType(dt: DataType): Int = dt match {
-      case s: StructType => s.fields.map(countField).sum
-      case a: ArrayType => 1 + countType(a.elementType)
-      case _ => 0
-    }
-    def countField(f: StructField): Int = 1 + countType(f.dataType)
+  def consumedIds(schema: StructType): Int =
     schema.fields.map(countField).sum
-  }
 
   /** Highest id [[assign]] has handed out for `schema` — ids of a field
     * with id k and a type consuming c ids span k..k+c-1. Unlike
     * [[consumedIds]] this stays correct after DROP COLUMN leaves holes
     * in the id space. */
-  def maxAssignedId(schema: StructType): Int = {
-    def countType(dt: DataType): Int = dt match {
-      case s: StructType => s.fields.map(countField).sum
-      case a: ArrayType => 1 + countType(a.elementType)
-      case _ => 0
-    }
-    def countField(f: StructField): Int = 1 + countType(f.dataType)
+  def maxAssignedId(schema: StructType): Int =
     if (schema.fields.isEmpty) -1
     else schema.fields.map(f => fieldId(f) + countField(f) - 1).max
-  }
 
   def fieldId(f: StructField): Int =
     if (f.metadata.contains(ParquetFieldId)) f.metadata.getLong(ParquetFieldId).toInt

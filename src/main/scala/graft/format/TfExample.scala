@@ -289,6 +289,12 @@ object TfExampleSerializer extends FieldSerializer {
       sb.result()
     }
     private def number(): Either[Long, Float] = {
+      // JSON has no NaN/Infinity literals, but binary32 payloads do —
+      // the canonical form this codec EMITS (Float.toString) must parse
+      // back, or serialize∘deserialize breaks on non-finite features
+      if (s.startsWith("NaN", i)) { i += 3; return Right(Float.NaN) }
+      if (s.startsWith("Infinity", i)) { i += 8; return Right(Float.PositiveInfinity) }
+      if (s.startsWith("-Infinity", i)) { i += 9; return Right(Float.NegativeInfinity) }
       val start = i
       while (i < s.length && (s.charAt(i).isDigit || "+-.eE".contains(s.charAt(i)))) i += 1
       val tok = s.substring(start, i)

@@ -127,6 +127,12 @@ object TfFeaturesSpec {
   * ↔ `tf.train.Example` bytes with `/`-flattened keys, validated
   * against a declared [[TfFeaturesSpec]] in BOTH directions (the
   * reference's `serialize_example`/`deserialize_example` contract). */
+object TfFeaturesDictSerializer {
+  // a bare NaN/Infinity token in the compact flat doc (after : [ or ,)
+  // — quoted occurrences inside strings don't match
+  private[format] val NonFinite = "[\\[:,](-?Infinity|NaN)[,\\]}]".r
+}
+
 final class TfFeaturesDictSerializer(val spec: TfFeaturesSpec) extends FieldSerializer {
 
   def serialize(value: Array[Byte]): Array[Byte] = {
@@ -141,6 +147,13 @@ final class TfFeaturesDictSerializer(val spec: TfFeaturesSpec) extends FieldSeri
 
   def deserialize(bytes: Array[Byte]): Array[Byte] = {
     val flatJson = new String(TfExampleSerializer.deserialize(bytes), StandardCharsets.UTF_8)
+    // the base codec round-trips NaN/Infinity floats, but json4s (and
+    // strict JSON) cannot represent them — reject with a clear message
+    // instead of a jackson parse crash
+    if (TfFeaturesDictSerializer.NonFinite.findFirstIn(flatJson).isDefined)
+      throw new IllegalArgumentException(
+        "non-finite float feature values (NaN/Infinity) are not " +
+          "supported under a declared FeaturesDict spec")
     val flatVals: Map[String, List[JValue]] = JsonMethods.parse(flatJson) match {
       case JObject(fields) => fields.map {
         case (k, JArray(items)) => k -> items
@@ -227,8 +240,10 @@ final class TfFeaturesDictSerializer(val spec: TfFeaturesSpec) extends FieldSeri
     } else if (leaf.shape.isEmpty) {
       if (n != 1) fail(s"scalar shape [] requires exactly 1 value, got $n")
     } else if (leaf.shape.contains(-1)) {
+      // TFDS's None dim admits length 0 (an empty tensor is valid) —
+      // only a non-empty count must divide the known dims
       val known = leaf.shape.filter(_ > 0).product
-      if (n == 0 || n % known != 0)
+      if (n % known != 0)
         fail(s"$n values do not fit shape [${leaf.shape.mkString(",")}]")
     } else {
       val want = leaf.shape.product

@@ -15,7 +15,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * isomorphic to the string-shingle set — tokenization on `\s+` runs
   * (Java regex `\s` = ASCII 9-13 and space), shingles = `n` consecutive
   * tokens joined by a single space, docs with ≤ n tokens yield one
-  * shingle of all tokens. Any injective hash preserves Jaccard; xxhash64
+  * shingle of all tokens — INCLUDING zero tokens, which yield the one
+  * empty shingle (`concat_ws` of no tokens), exactly like the string
+  * pipeline and the DuckDB oracle SQL: two empty documents are
+  * identical and must score Jaccard 1. Any injective hash preserves
+  * Jaccard; xxhash64
   * collisions (~1e-12 at corpus scale) are the standard exactness
   * caveat (same as the prior `xxhash64(shingle_string)` pipeline).
   */
@@ -39,7 +43,13 @@ object ShingleOps {
       while (i < len && isSpace(bytes(i))) i += 1
       if (i < len) { nTokens += 1; while (i < len && !isSpace(bytes(i))) i += 1 }
     }
-    if (nTokens == 0) return ArrayData.toArrayData(Array.emptyLongArray)
+    if (nTokens == 0) {
+      // one EMPTY shingle, isomorphic to the string pipeline's
+      // array(concat_ws(" ", [])) = [""] — not an empty set, which
+      // would make empty-vs-empty Jaccard 0 instead of 1
+      val h = SimHash.factory.hash64().hash(Array.emptyByteArray, 0, 0, 0L)
+      return ArrayData.toArrayData(Array(h))
+    }
 
     // pass 2: normalized buffer (tokens joined by single spaces) +
     // per-token start offsets within it
@@ -98,6 +108,15 @@ object ShingleOps {
     * the verify stage treating them as Jaccard 0/0). */
   def minhashSig(shingles: ArrayData, numHashes: Int): ArrayData = {
     val k = shingles.numElements()
+    // inputTypes admit nullable-element arrays; getLong on a null slot
+    // would silently read 0 and poison the signature — fail loudly
+    var chk = 0
+    while (chk < k) {
+      if (shingles.isNullAt(chk))
+        throw new IllegalArgumentException(
+          s"null element at $chk in minhash shingle array")
+      chk += 1
+    }
     val sig = new Array[Long](numHashes)
     var s = 0
     while (s < numHashes) {

@@ -364,7 +364,11 @@ object Relational {
         |  FROM events),
         |flags AS (
         |  SELECT user_id, t, value,
-        |    CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w >= 1800
+        |    -- STRICT >: Spark's session_window merges sessions whose
+        |    -- windows touch, so a gap of exactly 1800s continues the
+        |    -- session (latent until sf0.1 planted an exact-gap pair;
+        |    -- the e_stream_sessions rule agrees)
+        |    CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800
         |         THEN 1 ELSE 0 END AS new_s
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
         |g AS (

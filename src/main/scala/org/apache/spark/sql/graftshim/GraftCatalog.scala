@@ -193,8 +193,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val ds = loadDataset(ident)
     changes.foreach {
       case add: TableChange.AddColumn =>
+        // DDL fidelity over silent drift: an added column is null-filled
+        // for existing rows, so NOT NULL cannot be honored — reject it
+        // instead of silently creating a nullable column; likewise a
+        // position spec (AFTER/FIRST), which metadata-only evolution
+        // appends at the end, must not silently land elsewhere
+        require(add.isNullable,
+          s"ADD COLUMN ${add.fieldNames.mkString(".")} NOT NULL is " +
+            "unsupported: existing rows null-fill the new column")
+        require(add.position == null,
+          s"ADD COLUMN ${add.fieldNames.mkString(".")} with a position " +
+            "(FIRST/AFTER) is unsupported: added columns append at the end")
+        val meta =
+          if (add.comment == null) org.apache.spark.sql.types.Metadata.empty
+          else new org.apache.spark.sql.types.MetadataBuilder()
+            .putString("comment", add.comment).build()
         val field = org.apache.spark.sql.types.StructField(
-          add.fieldNames.last, add.dataType, nullable = true)
+          add.fieldNames.last, add.dataType, nullable = true, meta)
         if (add.fieldNames.length == 1) ds.storage.addColumn(field)
         else ds.storage.addNestedColumn(add.fieldNames.init.toSeq, field)
       case ren: TableChange.RenameColumn =>

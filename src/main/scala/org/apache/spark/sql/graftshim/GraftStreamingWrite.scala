@@ -64,7 +64,9 @@ final class GraftStreamingWrite(
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val rels = messages.toSeq.collect { case m: GraftFilesMessage => m.files }.flatten
     storage.reload()
-    val conf = spark.sparkContext.hadoopConfiguration
+    // session conf, matching the writer factory (spark.hadoop.* session
+    // overrides must resolve the same filesystem on commit/abort)
+    val conf = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState.newHadoopConf()
     if (storage.metadata.txnVersions.get(queryId).exists(_ >= epochId)) {
       // epoch replay after a successful commit: this epoch's rows are
       // already in the table — the re-written files are orphans
@@ -133,7 +135,9 @@ final class GraftStreamingWrite(
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
+    // session conf, matching the writer factory (spark.hadoop.* session
+    // overrides must resolve the same filesystem on commit/abort)
+    val conf = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState.newHadoopConf()
     messages.collect { case m: GraftFilesMessage => m.files }.flatten.foreach { rel =>
       val p = new Path(storage.absolute(rel))
       val fs = p.getFileSystem(conf)

@@ -2,7 +2,7 @@ package org.apache.spark.sql.graftshim
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
-import org.apache.spark.sql.execution.{CollectLimitExec, GenerateExec, GlobalLimitExec, SparkPlan, TakeOrderedAndProjectExec, UnionExec}
+import org.apache.spark.sql.execution.{CollectLimitExec, GenerateExec, GlobalLimitExec, LocalLimitExec, SparkPlan, TakeOrderedAndProjectExec, UnionExec}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 import org.apache.spark.sql.execution.joins.BaseJoinExec
@@ -25,8 +25,11 @@ object PlanAudit {
     * are, a union when ALL are. (A `collectFirst` for limit nodes
     * anywhere below would false-pass Exchange ← explode ← limit.) */
   private def limitBounded(p: SparkPlan): Boolean = p match {
+    // LocalLimit bounds per-partition output to k, so the exchange above
+    // it carries ≤ k × partitions rows — the canonical df.limit(k) plan
+    // is GlobalLimit ← Exchange(SinglePartition) ← LocalLimit ← scan
     case _: GlobalLimitExec | _: TakeOrderedAndProjectExec |
-        _: CollectLimitExec => true
+        _: CollectLimitExec | _: LocalLimitExec => true
     // an UNGROUPED aggregate's partial output is one row per partition
     // — a SinglePartition exchange above it carries ≤ #partitions rows
     // (grouped aggregates shuffle by hashpartitioning, never through

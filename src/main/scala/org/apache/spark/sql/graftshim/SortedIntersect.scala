@@ -40,6 +40,12 @@ object SortedIntersectCount {
     var j = 0
     var c = 0
     while (i < n && j < m) {
+      // null slots would read as 0 through getLong and intersect
+      // silently — the shingle pipeline never produces them, so one
+      // appearing is a caller bug that must be loud
+      if (a.isNullAt(i) || b.isNullAt(j))
+        throw new IllegalArgumentException(
+          "null element in sorted-intersect input array")
       val x = a.getLong(i)
       val y = b.getLong(j)
       if (x == y) { c += 1; i += 1; j += 1 }

@@ -69,7 +69,13 @@ object NearestCentroidsExpr {
 
   def nearest(v: ArrayData, flat: Array[Double], dim: Int, n: Int): ArrayData = {
     val numC = flat.length / dim
-    val len = math.min(dim, v.numElements())
+    // a mis-sized vector (schema drift, data bug) must fail LOUDLY: a
+    // truncated distance loop silently assigns wrong cells and degrades
+    // ANN recall with no error anywhere
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"vector has ${v.numElements()} elements, centroids expect $dim")
+    val len = dim
     val bestIdx = new Array[Int](n)
     val bestDist = new Array[Double](n)
     java.util.Arrays.fill(bestDist, Double.MaxValue)
@@ -108,7 +114,10 @@ object HyperplaneSketchExpr {
 
   def sketch(v: ArrayData, flat: Array[Double], dim: Int): Long = {
     val numPlanes = flat.length / dim
-    val n = math.min(dim, v.numElements())
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"vector has ${v.numElements()} elements, hyperplanes expect $dim")
+    val n = dim
     var bits = 0L
     var p = 0
     while (p < numPlanes) {

@@ -88,6 +88,21 @@ class CatalogSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
   }
 
+  test("ADD COLUMN rejects NOT NULL and positions instead of silently drifting") {
+    root
+    spark.sql("CREATE TABLE graft_test.addcol_t (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('primary_keys'='id')")
+    val nn = intercept[Exception](spark.sql(
+      "ALTER TABLE graft_test.addcol_t ADD COLUMN c BIGINT NOT NULL"))
+    assert(nn.getMessage.contains("NOT NULL"), nn.getMessage)
+    val pos = intercept[Exception](spark.sql(
+      "ALTER TABLE graft_test.addcol_t ADD COLUMN c BIGINT AFTER id"))
+    assert(pos.getMessage.contains("position"), pos.getMessage)
+    // plain nullable add (with comment) still works
+    spark.sql("ALTER TABLE graft_test.addcol_t ADD COLUMN c BIGINT COMMENT 'new'")
+    assert(spark.table("graft_test.addcol_t").schema.fieldNames.contains("c"))
+  }
+
   test("CREATE TABLE requires primary_keys and rejects partitioning") {
     root
     intercept[Exception] {

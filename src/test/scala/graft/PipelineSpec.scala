@@ -134,6 +134,39 @@ class PipelineSpec extends AnyFunSuite {
     (0 until 16).foreach(i => assert(selfCodes(i.toLong) == i, s"vec $i codes to ${selfCodes(i.toLong)}"))
   }
 
+  test("empty docs: native shingle pipeline stays isomorphic to the string one") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => TFn}
+    val df = Seq((1L, ""), (2L, "   "), (3L, "one two")).toDF("doc_id", "text")
+    val rows = df.select(col("doc_id"),
+      size(TFn.wordShingleHashes(col("text"), 3)).as("n_native"),
+      size(TFn.wordShingles(col("text"), 3)).as("n_string"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    // zero tokens yield ONE empty shingle in BOTH pipelines (empty docs
+    // are identical to each other: Jaccard 1, like the DuckDB oracle)
+    assert(rows(1L) == ((1, 1)), rows.toString)
+    assert(rows(2L) == ((1, 1)), rows.toString)
+    assert(rows(3L) == ((1, 1)), rows.toString)
+    val j = df.filter(col("doc_id") <= 2)
+      .select(TFn.wordShingleHashes(col("text"), 3).as("g"))
+      .collect().map(_.getSeq[Long](0))
+    assert(j(0) == j(1), "two empty docs must share the one empty shingle")
+  }
+
+  test("mis-sized vectors fail loudly in centroid/sketch kernels") {
+    import spark.implicits._
+    val bad = Seq((1L, Array(0.5, 0.5))).toDF("vec_id", "embedding")
+    val centroids = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0))
+    val e = intercept[Exception] {
+      bad.select(org.apache.spark.sql.graftshim.NearestCentroidsExpr(
+        col("embedding"), centroids, 1)).collect()
+    }
+    def root(t: Throwable): String =
+      if (t.getCause == null) String.valueOf(t.getMessage)
+      else root(t.getCause)
+    assert(root(e).contains("centroids expect 3"), root(e))
+  }
+
   test("k-means training is bit-deterministic across partitionings") {
     // the property that makes v_ann_ivf_kmeans oracle-able: Lloyd means
     // accumulate in scaled-long fixed point (exact, associative), so

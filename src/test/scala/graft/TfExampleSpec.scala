@@ -191,6 +191,30 @@ class TfExampleSpec extends AnyFunSuite {
     lenDelim(1, lenDelim(1, entry))
   }
 
+  test("NaN/Infinity floats round-trip through the base codec") {
+    val doc = """{"f":[NaN,Infinity,-Infinity,0.5]}"""
+    val wire = TfExampleSerializer.serialize(json(doc))
+    val back = new String(TfExampleSerializer.deserialize(wire), StandardCharsets.UTF_8)
+    assert(back == doc, back)
+    assert(TfExampleSerializer.serialize(json(back)).toSeq == wire.toSeq)
+    // the spec'd FeaturesDict serializer cannot represent them in
+    // strict JSON — clear rejection, not a jackson crash
+    import graft.format.{TfFeaturesDictSerializer, TfFeaturesSpec, TfLeaf}
+    val ser = new TfFeaturesDictSerializer(
+      TfFeaturesSpec("f" -> TfLeaf("float32", Seq(-1))))
+    val e = intercept[IllegalArgumentException](ser.deserialize(wire))
+    assert(e.getMessage.contains("non-finite"), e.getMessage)
+  }
+
+  test("FeaturesDict: an empty tensor fits a -1 (None) dim") {
+    import graft.format.{TfFeaturesDictSerializer, TfFeaturesSpec, TfLeaf}
+    val ser = new TfFeaturesDictSerializer(
+      TfFeaturesSpec("v" -> TfLeaf("float32", Seq(-1, 2)), "s" -> TfLeaf("string")))
+    val wire = ser.serialize(json("""{"v":[],"s":"x"}"""))
+    val back = new String(ser.deserialize(wire), StandardCharsets.UTF_8)
+    assert(back == """{"s":["x"],"v":[]}""", back)
+  }
+
   test("non-UTF-8 byte payloads round-trip via the base64: form") {
     // an Example with a bytes_list holding raw PNG-ish bytes
     val raw = Array(0x89.toByte, 0x50.toByte, 0x4E.toByte, 0xFF.toByte, 0x00.toByte)
