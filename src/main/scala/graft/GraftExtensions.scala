@@ -95,17 +95,13 @@ object GraftExtensions {
     ("graft_dot", 2, es => expr(VF.dot(col(es(0)), col(es(1))))),
     // the deterministic split/mix kernel: graft_mix_bucket(id, buckets)
     // — SQL users build stable train/valid/test splits and sampling
-    // decisions with the exact arithmetic the curation ops use. The SQL
-    // surface takes ARBITRARY int64 keys (hash-derived ids included), so
-    // the id is folded into [0, 2^31) first — the multiply then stays
-    // inside int64 for every input (the raw kernel would overflow past
-    // |id| ≈ 3.4e9: ArithmeticException under ANSI, engine-divergent
-    // wrapping otherwise). Identical to the raw kernel for ids < 2^31.
+    // decisions with the exact arithmetic the curation ops use. The
+    // kernel itself folds ids into [0, 2^31) (round 6), so arbitrary
+    // int64 keys — hash-derived ids included — never overflow the
+    // multiply on any surface.
     ("graft_mix_bucket", 2, es => {
       val buckets = litInt(es(1), "buckets")
       require(buckets > 0, "graft_mix_bucket: buckets must be positive")
-      expr(graft.operators.Curation.mixBucket(
-        org.apache.spark.sql.functions.pmod(col(es.head),
-          org.apache.spark.sql.functions.lit(2147483648L)), buckets))
+      expr(graft.operators.Curation.mixBucket(col(es.head), buckets))
     }))
 }

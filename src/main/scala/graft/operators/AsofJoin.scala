@@ -58,8 +58,19 @@ object AsofJoin {
       (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }.select(leftShape.columns.map(col): _*)
 
+    // deterministic tiebreak for multiple right rows at the same
+    // (keys, time): order by the payload struct itself when its type is
+    // orderable — otherwise last() would carry whichever duplicate
+    // happened to sort last under the partitioning (and flake against
+    // an oracle). Unorderable payloads (maps) keep the 2-column order;
+    // ties there remain caller-visible nondeterminism.
+    val rStructOrderable = org.apache.spark.sql.catalyst.expressions.RowOrdering
+      .isOrderable(taggedRight.schema("__r").dataType)
+    val ordering =
+      if (rStructOrderable) Seq(col("__t").asc, col("__tag").asc, col("__r").asc)
+      else Seq(col("__t").asc, col("__tag").asc)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__tag").asc)
+      .orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     leftShape.unionByName(rightShape)

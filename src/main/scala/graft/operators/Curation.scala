@@ -39,13 +39,23 @@ object Curation {
     * splits on arbitrary keys would use `xxhash64(key, salt)`; the
     * arithmetic here is the same idea with a portable kernel. */
   private[graft] def mixBucket(id: Column, buckets: Int): Column = {
-    val b = pmod(id * lit(2654435761L), lit(4294967296L))
+    // fold into [0, 2^31) FIRST so the multiply stays inside int64 for
+    // every int64 input — the raw id * M overflows past |id| ≈ 3.4e9
+    // (ArithmeticException under ANSI, engine-divergent wrapping
+    // otherwise), exactly the multi-billion-id corpus the 100 TB ops
+    // advertise. Identity for 0 ≤ id < 2^31, so shipped-corpus buckets
+    // and every oracle are unchanged; the SQL mirror folds identically.
+    val folded = pmod(id, lit(2147483648L))
+    val b = pmod(folded * lit(2654435761L), lit(4294967296L))
     pmod(b.bitwiseXOR(shiftright(b, 16)), lit(buckets.toLong))
   }
 
-  private[operators] def mixBucketSql(idExpr: String, buckets: Long): String =
-    s"xor((($idExpr) * 2654435761) % 4294967296, " +
-      s"((($idExpr) * 2654435761) % 4294967296) >> 16) % $buckets"
+  private[operators] def mixBucketSql(idExpr: String, buckets: Long): String = {
+    // pmod analog: DuckDB % keeps the dividend's sign
+    val folded = s"((($idExpr) % 2147483648 + 2147483648) % 2147483648)"
+    s"xor(($folded * 2654435761) % 4294967296, " +
+      s"(($folded * 2654435761) % 4294967296) >> 16) % $buckets"
+  }
 
   // deterministic per-source keep-rates (permille) for the mixing demo:
   // named sources are up/down-weighted, the long tail keeps 12.5%
@@ -453,8 +463,10 @@ object Curation {
     val cutoffExpr =
       if (approx) expr(s"approx_percentile(quality, $q, $accuracy)")
       else expr(s"percentile(quality, $q)")
-    val cutoff = scored.agg(cutoffExpr).collect()(0).getDouble(0)
-    scored.filter(col("quality") >= cutoff)
+    val row = scored.agg(cutoffExpr).collect()(0)
+    // empty corpus: the percentile is NULL — an empty gate, not an NPE
+    if (row.isNullAt(0)) scored.filter(lit(false))
+    else scored.filter(col("quality") >= row.getDouble(0))
   }
 
   /** Deterministic stratified sample: the min(k, |stratum|) rows of each
@@ -669,11 +681,11 @@ object Curation {
          |      / len(ts) END AS avg_len
          |  FROM toks),
          |qual AS (SELECT doc_id,
-         |  least(1.0, n / 50.0)
+         |  round(least(1.0, n / 50.0)
          |    * (0.5 + diversity * 0.5)
          |    * greatest(0.0, 1.0 - punct * 5 - digit * 5)
-         |    * (CASE WHEN avg_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END)
-         |    AS quality FROM m),
+         |    * (CASE WHEN avg_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END),
+         |    4) AS quality FROM m),
          |clean AS (
          |  SELECT t.doc_id, t.source, t.ts FROM toks t JOIN qual q USING (doc_id)
          |  WHERE t.doc_id % 97 != 0

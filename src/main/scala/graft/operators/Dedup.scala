@@ -288,6 +288,11 @@ object Dedup {
       textCol: String,
       idCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // the fixed 4×16-bit chunk pigeonhole only GUARANTEES a shared
+    // chunk for Hamming ≤ 3 — a larger threshold would silently miss
+    // pairs whose 4+ differing bits spread across all chunks
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming $maxHamming exceeds the 4-chunk pigeonhole bound (3)")
     val sketched = df.select(col(idCol).as("id"),
       TF.simhash64(TF.tokens(col(textCol))).as("sim"))
 
@@ -387,6 +392,10 @@ object Dedup {
           spark.sparkContext.parallelize(labelRows, 1), labelSchema)
         .select(col("id").cast(idType).as("id"), col("label").cast(idType).as("label"))
       val u = universe.select(col(idCol)).distinct()
+      // the union-find consumed the edge list: release half's
+      // checkpoint blocks (Dataset.unpersist can't — they live outside
+      // the CacheManager)
+      org.apache.spark.sql.graftshim.PlanAudit.releaseCheckpoint(half)
       return u.join(broadcast(labels), u(idCol) === labels("id"), "left")
         .select(u(idCol),
           coalesce(col("label"), u(idCol)).as("cluster_id"),
@@ -401,8 +410,13 @@ object Dedup {
     val edges = half
       .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
+    // edges' checkpoint truncated the lineage: half's blocks are done
+    org.apache.spark.sql.graftshim.PlanAudit.releaseCheckpoint(half)
+    // track each round's DIRECT checkpoint so its blocks can be
+    // released when superseded (Dataset.unpersist doesn't touch them)
+    var labelsCk = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
+    var labels = labelsCk.toDF()
     try {
       var changed = 1L
       var iters = 0
@@ -417,19 +431,22 @@ object Dedup {
             least(labels("label"), coalesce(col("nl"), labels("label"))).as("label"))
           .localCheckpoint()
         changed = next.filter(col("label") =!= col("prev")).count()
-        labels.unpersist()
+        org.apache.spark.sql.graftshim.PlanAudit.releaseCheckpoint(labelsCk)
+        labelsCk = next
         labels = next.select(col("id"), col("label"))
         if (sys.env.contains("GRAFT_PROF"))
           println(s"[cc] iter $iters changed=$changed ${(System.nanoTime() - itT0) / 1e9}s")
       }
       // paired nodes carry their component min; everything else is a
-      // singleton — one broadcast-able left join against the corpus
+      // singleton — one broadcast-able left join against the corpus.
+      // (The FINAL round's checkpoint stays alive: the returned frame
+      // references it; its blocks free when the caller is done.)
       val u = universe.select(col(idCol)).distinct()
       u.join(labels, u(idCol) === labels("id"), "left")
         .select(u(idCol),
           coalesce(col("label"), u(idCol)).as("cluster_id"),
           (coalesce(col("label"), u(idCol)) === u(idCol)).as("survivor"))
-    } finally edges.unpersist()
+    } finally org.apache.spark.sql.graftshim.PlanAudit.releaseCheckpoint(edges)
   }
 
   /** Exact n-gram Jaccard pairs within a blocking key (all-pairs inside

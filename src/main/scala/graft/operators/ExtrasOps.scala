@@ -91,7 +91,11 @@ object ExtrasOps {
     "s_sql_catalog" -> ((s, d) => {
       s.conf.set("spark.sql.catalog.graft_cat",
         classOf[org.apache.spark.sql.graftshim.GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.graft_cat.location", "/tmp/graft_cat_oracle")
+      // fresh location per run (like every sibling query): a fixed
+      // shared path races concurrent Verify/Bench sessions on
+      // DROP+CREATE and reads half-written state
+      s.conf.set("spark.sql.catalog.graft_cat.location",
+        java.nio.file.Files.createTempDirectory("graft_cat_sql_").toString)
       val orders = Tables.read(s, d, "orders")
       s.sql("DROP TABLE IF EXISTS graft_cat.orders_sql")
       s.sql("CREATE TABLE graft_cat.orders_sql (" +

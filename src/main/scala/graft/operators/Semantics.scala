@@ -259,7 +259,11 @@ object Semantics {
 
   // Second salt decorrelates the within-shard order from the shard
   // assignment (Curation.mixBucket reuses the split/mix kernel).
-  private val OrdSalt = 3000017L
+  // Distinct from EVERY other enumerated salt (1000003 split / 2000003
+  // mix / 3000017 sample): sharing Curation.SampleSalt would make the
+  // export order and the stratified-sample hash congruent mod
+  // gcd(bases), structurally biasing a pipeline that composes both.
+  private val OrdSalt = 4000037L
   private val OrdSpace = 1 << 30
 
   /** Deterministic training-export shuffle: shard = hash(doc) mod

@@ -19,6 +19,14 @@ object SkewUtils {
       joinType: String = "inner",
       extraCond: (DataFrame, DataFrame) => Column = null): DataFrame = {
     require(salts > 0)
+    // the replicated side's key column is dropped from the output, so a
+    // small-side-only row of a right/full outer join would surface with
+    // an irrecoverable NULL key — refuse those shapes loudly
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti", "cross")
+      .contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin does not support joinType=$joinType: small-side-only " +
+        "rows would lose their key (the replica's copy is dropped)")
     // pmod of a stable per-row hash: deterministic, no RNG in the plan
     val salted = big.withColumn("__salt",
       pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)), lit(salts)).cast("int"))

@@ -638,7 +638,10 @@ object StorageOps {
         recordFields = Seq("payload"))
       ds.append(docs)
       val ra = new RandomAccessReader(ds, "payload")
-      val ords = Seq(0L, 7L, 42L, 99L, ra.length - 1)
+      // clamp + dedup so a corpus of ≤ 100 docs neither reads past the
+      // end nor emits a duplicate row the oracle's IN-set dedups away
+      val ords = (Seq(0L, 7L, 42L, 99L) :+ (ra.length - 1))
+        .filter(o => o >= 0 && o < ra.length).distinct
       val rows = ords.zip(ra.getBatch(ords)).map { case (o, b) =>
         (o, new String(b, java.nio.charset.StandardCharsets.UTF_8))
       }

@@ -43,6 +43,19 @@ object PlanAudit {
     case other => other.children.forall(limitBounded)
   }
 
+  /** Release the storage blocks behind a `Dataset.localCheckpoint()`
+    * result. `Dataset.unpersist` only touches the CacheManager; the
+    * checkpointed RDD's blocks live outside it and are otherwise freed
+    * only when the RDD is GC'd — an iterative caller (connected
+    * components) must release each superseded round eagerly. No-op for
+    * frames not directly backed by a checkpointed RDD. */
+  def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+
   /** Single-partition shuffles whose input is NOT bounded by a limit
     * below them — the "entire input into one task" shape that a global
     * `Window.orderBy` plans. A SinglePartition exchange sitting ABOVE a
