@@ -140,6 +140,45 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(ds.delete(col("o_orderkey") === -1L) == head)
   }
 
+  test("racing appendOnce redeliveries: exactly one commits, the rest resolve to None") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("graft_conc_eo_").toString + "/tbl"
+    val rows = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    SpaceDataset.create(spark, loc, rows.schema, Seq("id"))
+
+    // N workers redeliver the SAME exactly-once batch concurrently: all
+    // pass appendOnce's up-front check (the table has no txn yet), so
+    // the losers hit the under-lock duplicate guard — which must
+    // resolve to the documented None, not crash the worker
+    val workers = 4
+    val pool = Executors.newFixedThreadPool(workers)
+    val start = new CountDownLatch(1)
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[Option[Long]]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (1 to workers).foreach { _ =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          val ds = SpaceDataset.load(spark, loc) // own handle per worker
+          start.await()
+          try outcomes.add(ds.appendOnce(rows, "race-sink", 1L))
+          catch { case t: Throwable => errors.add(t); () }
+          ()
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(errors.isEmpty, s"a redelivered worker crashed: ${errors.peek()}")
+    import scala.jdk.CollectionConverters._
+    val results = outcomes.asScala.toSeq
+    assert(results.count(_.isDefined) == 1,
+      s"expected exactly one committed delivery, got $results")
+    assert(results.count(_.isEmpty) == workers - 1)
+    assert(SpaceDataset.load(spark, loc).readAll().count() == 2,
+      "duplicate delivery rows landed in the table")
+  }
+
   test("stale commit locks are stolen; release only deletes the owner's lock") {
     val orders = Tables.read(spark, sfDir, "orders").limit(20)
     val loc = Files.createTempDirectory("graft_lock_").toString + "/tbl"
