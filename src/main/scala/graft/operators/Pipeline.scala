@@ -349,9 +349,19 @@ object Pipeline {
          |toks AS (SELECT doc_id, $tokensSql AS ts FROM corpus),
          |sh AS (SELECT doc_id, ${shinglesSql(3)} AS g FROM toks),
          |d AS (SELECT doc_id, list_distinct(g) AS g FROM sh),
+         |-- EXACT shared-shingle blocking before the Jaccard verify: a
+         |-- pair at Jaccard >= 0.6 > 0 must share a shingle, so the
+         |-- candidate join loses nothing — and turns the O(n^2)
+         |-- all-pairs scan (~30 min in DuckDB at sf0.1) into seconds
+         |shing AS (SELECT doc_id, unnest(g) AS s FROM d),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM shing x JOIN shing y ON x.s = y.s AND x.doc_id < y.doc_id),
          |pairs AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |  SELECT c.id_a, c.id_b
+         |  FROM cand c
+         |  JOIN d a ON a.doc_id = c.id_a
+         |  JOIN d b ON b.doc_id = c.id_b
          |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
          |    len(list_distinct(list_concat(a.g, b.g))) >= 0.6),
          |edges AS (
