@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.Filter
-import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+import org.apache.spark.sql.functions.{array, coalesce, col, lit, not, size, filter => arrayFilter}
 import org.apache.spark.sql.types._
 
 import graft.format.FieldIds
@@ -40,6 +40,10 @@ import graft.format.FieldIds
   * whole files from our own file index (SURVEY.md §4.1).
   */
 object Pruning {
+
+  /** IN lists longer than this use the shallow higher-order-filter
+    * falsifiable form instead of an AND-over-equalities tree. */
+  private val InTreeMax = 32
 
   /** Column over the index-manifest schema that is true when the file may
     * contain matching rows (i.e. NOT provably falsifiable). None when the
@@ -90,9 +94,17 @@ object Pruning {
         for { a <- f(l); b <- f(r) } yield a && b
       case Not(child) => negate(child).flatMap(f)
       case cmp: BinaryComparison => leaf(cmp)
+      case In(attr, values) if values.length > InTreeMax =>
+        val vs = values.map(LiteralValue.unapply)
+        inLarge(attr, vs)
       case In(attr, values) =>
         val eqs = values.map(v => leaf(EqualTo(attr, v)))
         if (eqs.exists(_.isEmpty)) None else Some(eqs.flatten.reduce(_ && _))
+      case InSet(attr, values) if values.size > InTreeMax =>
+        val dt = attr.dataType
+        val vs = values.toSeq.map(v =>
+          Try(CatalystTypeConverters.convertToScala(v, dt)).toOption)
+        inLarge(attr, vs)
       case InSet(attr, values) =>
         // analyzer may compact IN lists; values are internal representations
         val dt = attr.dataType
@@ -101,6 +113,30 @@ object Pruning {
       case IsNotNull(_) => None // stats carry no null info: contributes nothing
       case _ => None
     }
+
+    // Large IN lists (a point-read `isin` can carry thousands of keys):
+    // `IN ⇔ AND over equalities` builds a |values|-deep boolean tree that
+    // analysis and evaluation both pay for per manifest row. Equivalent
+    // shallow form: the file is falsifiable ⇔ NO value lies inside
+    // [min, max] ⇔ the higher-order filter keeping in-range values over
+    // the literal array is empty — one fixed-depth expression, O(|values|)
+    // scan per file.
+    def inLarge(attr: Expression, maybeVals: Seq[Option[Any]]): Option[Column] = {
+      if (maybeVals.isEmpty || maybeVals.exists(v => v.isEmpty || v.get == null)) None
+      else statsCol(attr).map { s =>
+        size(arrayFilter(array(maybeVals.map(v => lit(v.get)): _*),
+          v => s("_MIN") <= v && s("_MAX") >= v)) === 0
+      }
+    }
+
+    // stats struct column for an attribute, when it is stats-eligible
+    def statsCol(attr: Expression): Option[Column] =
+      attrName(attr).flatMap { name =>
+        if (!pks.contains(name)) None
+        else ManifestIO.fieldAtPath(schema, name)
+          .filter(f => ManifestIO.statsEligible(f.dataType))
+          .map(f => col(ManifestIO.statsColName(FieldIds.fieldId(f))))
+      }
 
     def leaf(cmp: BinaryComparison): Option[Column] = {
       val converted: Option[(String, Any, String)] = (cmp.left, cmp.right) match {

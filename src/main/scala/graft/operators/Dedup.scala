@@ -209,6 +209,48 @@ object Dedup {
       shingleSize, threshold)
   }
 
+  /** [[minhashAgainstStoredIndexPointRead]] with the INDEX itself also
+    * fetched by point read: the batch's band keys (micro-batch-bounded —
+    * ≤ batch rows × bands 64-bit values, a metadata-plane collect) go to
+    * `fetchIndexByBandKeys`, which should issue a `band_key.isin` read
+    * against the persisted index table. With the index range-clustered
+    * on `band_key` and `band_key` in its stats fields, manifest pruning
+    * skips every index file whose key range the batch cannot touch — so
+    * per-batch cost is O(batch bands) + O(touched index files) +
+    * O(candidate files), and NEITHER the corpus text NOR the
+    * corpus-sized index is scanned per batch. This is the standing
+    * 100 TB ingest shape: at that scale the band index is itself a
+    * multi-TB table, and a full `readAll()` per micro-batch would
+    * dominate batch cost (periodic `clusterBy("band_key")` maintenance
+    * keeps later appends pruned too). */
+  def minhashAgainstStoredIndexPruned(
+      fetchIndexByBandKeys: Seq[Long] => DataFrame,
+      fetchByIds: Seq[Long] => DataFrame,
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      threshold: Double = 0.6): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val batchSig = sigFrame(batch, textCol, idCol, numHashes, shingleSize)
+    val batchKeys = bandKeyFrame(batchSig, bands, numHashes / bands)
+      .select(col("band"), col("band_key"), col("id").as("batch_id"))
+    val keys = batchKeys.select(col("band_key")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val index = fetchIndexByBandKeys(keys)
+    val candidates = index
+      .select(col("band"), col("band_key"), col("id").as("corpus_id"))
+      .join(broadcast(batchKeys), Seq("band", "band_key"))
+      .select(col("batch_id"), col("corpus_id"))
+      .distinct()
+    val ids = candidates.select(col("corpus_id")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    verifyCandidates(candidates, batchSig, fetchByIds(ids), textCol, idCol,
+      shingleSize, threshold)
+  }
+
   /** Shared stage 1 of the stored-index check: batch signatures + the
     * (batch_id, corpus_id) candidate pairs from the banded-key join. */
   private def storedIndexCandidates(

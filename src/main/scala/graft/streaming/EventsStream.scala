@@ -482,11 +482,16 @@ object EventsStream {
       s, s"$root/corpus", corpus.schema, Seq("doc_id"))
     corpusTable.append(corpus.repartitionByRange(4, col("doc_id")))
 
-    // standing index, persisted as a graft table (the s_dedup_index shape)
+    // standing index, persisted as a graft table (the s_dedup_index
+    // shape) — range-clustered on band_key with band_key in the stats
+    // fields, so the per-batch index fetch is a manifest-pruned point
+    // read (files whose key range the batch's band keys cannot touch
+    // are never opened), not a full index scan
     val idx = Dedup.minhashIndexRows(corpus, "text", "doc_id",
       numHashes = 32, bands = 16, shingleSize = 3)
-    val idxTable = SpaceDataset.create(s, s"$root/idx", idx.schema, Seq("id", "band"))
-    idxTable.append(idx)
+    val idxTable = SpaceDataset.create(s, s"$root/idx", idx.schema, Seq("id", "band"),
+      statsFields = Seq("band_key"))
+    idxTable.append(idx.repartitionByRange(4, col("band_key")))
 
     // the incoming "crawl": near-dups + novelties, staged as stream input
     val batch = corpus.filter(col("doc_id") < 50)
@@ -513,12 +518,14 @@ object EventsStream {
     * docs join it, so a later batch near-duplicating this one dedupes
     * too.
     *
-    * Scale shape: the index read is the design (that is the point of
-    * the persisted index), and candidate TEXT comes back via PK point
-    * reads against the corpus and sink tables — manifest pruning skips
-    * every data file holding no candidate, so per-batch cost is
-    * O(batch band keys) + O(candidate files), independent of corpus
-    * text volume.
+    * Scale shape: BOTH standing tables are point-read per batch. The
+    * INDEX comes back via a band-key `isin` read — the index table is
+    * range-clustered on band_key with band_key stats, so manifest
+    * pruning skips every index file the batch's keys cannot touch —
+    * and candidate TEXT comes back via PK point reads against the
+    * corpus and sink tables. Per-batch cost is O(batch band keys) +
+    * O(touched index files) + O(candidate files), independent of both
+    * corpus text volume and total index size.
     *
     * Exactly-once: BOTH commits are independently idempotent
     * `appendOnce` transactions keyed by the same batchId (the index
@@ -552,7 +559,14 @@ object EventsStream {
         numHashes = 32, bands = 16, shingleSize = 3, threshold = 0.6)
         .select(col("id_b").as("doc_id")).distinct()
       val batchUnique = bb.toDF().join(intra, Seq("doc_id"), "left_anti")
-      val stored = idxTable.readAll()
+      // index point read: band-key isin filter → manifest pruning skips
+      // index files outside the batch's key set (keys are micro-batch-
+      // bounded: ≤ batch rows × bands longs)
+      val fetchIndex: Seq[Long] => DataFrame = { keys =>
+        idxTable.read(filter = Some(
+          if (keys.isEmpty) lit(false)
+          else col("band_key").isin(keys.map(Long.box): _*)))
+      }
       // micro-batch-bounded id set, used only for replay self-exclusion
       val batchIds = bb.select(col("doc_id")).collect().map(_.getLong(0)).toSet
       def isinF(xs: Seq[Long]) =
@@ -569,7 +583,7 @@ object EventsStream {
           .unionByName(sink.read(filter = Some(isinF(sinkIds)))
             .select(col("doc_id"), col("text")))
       }
-      val dup = Dedup.minhashAgainstStoredIndexPointRead(stored, fetchByIds,
+      val dup = Dedup.minhashAgainstStoredIndexPruned(fetchIndex, fetchByIds,
         batchUnique, "text", "doc_id", numHashes = 32, bands = 16,
         shingleSize = 3, threshold = 0.6)
         .select(col("batch_id").as("doc_id")).distinct()

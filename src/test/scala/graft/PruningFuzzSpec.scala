@@ -61,6 +61,26 @@ class PruningFuzzSpec extends AnyFunSuite {
     assert(prunedAtLeastOnce, "fuzz never exercised an actual pruning decision")
   }
 
+  /** IN lists past Pruning.InTreeMax take the shallow higher-order-filter
+    * falsifiable form instead of an AND-over-equalities tree — same
+    * soundness, and a clustered key set must still prune (the per-batch
+    * band-key point read carries thousands of keys through this path). */
+  test("large isin (HOF falsifiable form) prunes soundly") {
+    val rnd = new Random(7L)
+    // keys clustered in the lowest key range → most of the 8 range files
+    // are provably untouchable
+    val keys = Seq.fill(200)(rnd.nextLong(300)).distinct.map(Long.box)
+    val pred = col("o_orderkey").isin(keys: _*)
+    val plan = ds.plan(Some(pred))
+    assert(plan.prunedFiles > 0,
+      s"large IN kept all ${plan.totalFiles} files")
+    assert(ds.read(filter = Some(pred)).count() == orders.filter(pred).count())
+    // a key set entirely above the table's range prunes every file
+    val none = ds.plan(Some(col("o_orderkey")
+      .isin((1 to 100).map(i => Long.box(100000000L + i)): _*)))
+    assert(none.files.isEmpty, s"all-miss IN kept ${none.files.size} files")
+  }
+
   /** Same soundness property when NON-KEY columns carry declared stats
     * (statsFields): predicates on them become falsifiable, results must
     * not change, and pruning must actually fire on a non-key filter. */

@@ -246,6 +246,53 @@ class StreamingWriteSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("ingest-dedup index fetch point-reads only index files touching batch band keys") {
+    import graft.operators.Dedup
+    val docs = Tables.read(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val loc = Files.createTempDirectory("graft_sid_ix_").toString
+    val idx = Dedup.minhashIndexRows(docs, "text", "doc_id",
+      numHashes = 32, bands = 16, shingleSize = 3)
+    val idxT = core.SpaceDataset.create(spark, s"$loc/idx", idx.schema,
+      Seq("id", "band"), statsFields = Seq("band_key"))
+    // 64 disjoint band_key ranges: a 1-doc batch carries ≤ 16 band keys,
+    // so ≥ 48 index files are provably untouchable — manifest stats
+    // pruning must skip them (the scale property: per-batch index cost
+    // is O(touched files), never O(index size))
+    idxT.append(idx.repartitionByRange(64, col("band_key")))
+    val totalFiles = idxT.plan().totalFiles
+    assert(totalFiles == 64, s"expected 64 range files, got $totalFiles")
+
+    val batch = docs.filter(col("doc_id") === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" graft tail")).as("text"))
+    var fetchedKeys: Seq[Long] = Nil
+    val fetchIdx: Seq[Long] => org.apache.spark.sql.DataFrame = { ks =>
+      fetchedKeys = ks
+      idxT.read(filter = Some(col("band_key").isin(ks.map(Long.box): _*)))
+    }
+    val fetchText: Seq[Long] => org.apache.spark.sql.DataFrame = { ids =>
+      if (ids.isEmpty) docs.limit(0)
+      else docs.filter(col("doc_id").isin(ids.map(Long.box): _*))
+    }
+    val viaPruned = Dedup.minhashAgainstStoredIndexPruned(fetchIdx, fetchText,
+      batch, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaJoin = Dedup.minhashAgainstStoredIndex(idxT.readAll(), docs, batch,
+      "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaPruned == viaJoin, s"pruned pairs $viaPruned != full-read pairs $viaJoin")
+    assert(viaPruned.nonEmpty, "planted near-copy produced no candidate pairs")
+    assert(fetchedKeys.nonEmpty && fetchedKeys.size <= 16,
+      s"1-doc batch fetched ${fetchedKeys.size} band keys")
+
+    // the same planning path idxT.read(filter) takes inside fetchIdx
+    val p = idxT.plan(Some(col("band_key").isin(fetchedKeys.map(Long.box): _*)))
+    assert(p.prunedFiles >= totalFiles - fetchedKeys.size,
+      s"index fetch scans ${p.totalFiles - p.prunedFiles} of ${p.totalFiles} " +
+        s"index files for ${fetchedKeys.size} band keys — no pruning")
+    spark.catalog.clearCache()
+  }
+
   test("ingest-dedup index append heals on replay after a partial commit") {
     import graft.operators.Dedup
     val docs = Tables.read(spark, sfDir, "documents")
