@@ -218,14 +218,28 @@ object Pipeline {
     "d_surprisal" -> ((s, d) => {
       val toks = t(s, d, "documents")
         .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
-      val model = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-      val total = toks.count() // model size, computed once (driver scalar)
-      toks.join(model, Seq("token"))
-        .withColumn("surp", -log2(col("cnt").cast("double") / total.toDouble))
+      // ONE action, ONE corpus scan: per-(doc, token) occurrence counts
+      // first — the scoring join and the corpus model BOTH build on this
+      // frame, so its shuffle is planned once and reused (ReusedExchange)
+      // instead of re-exploding the corpus per branch; the token-keyed
+      // join then ships one row per DISTINCT (doc, token), never per
+      // occurrence (common-token skew stays off the wire), and the
+      // corpus total joins in as a broadcast scalar, not a collected
+      // driver constant (no separate count job). Order statistics go
+      // frequency-weighted (`percentile(surp, 0.5, m)`) — identical
+      // values to the per-occurrence form.
+      val occ = toks.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("m"))
+      val model = occ.groupBy(col("token")).agg(sum(col("m")).as("cnt"))
+      val total = model.agg(sum(col("cnt")).as("__total"))
+      occ.join(model, Seq("token"))
+        .crossJoin(broadcast(total))
+        .withColumn("surp",
+          -log2(col("cnt").cast("double") / col("__total").cast("double")))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"),
+        .agg(sum(col("m")).as("n_tokens"),
           round(max(col("surp")), 4).as("max_surprisal"),
-          round(expr("percentile(surp, 0.5)"), 4).as("median_surprisal"))
+          round(expr("percentile(surp, 0.5, m)"), 4).as("median_surprisal"))
     }))
 
   // DuckDB lambda/list SQL mirroring the Spark semantics exactly.

@@ -97,6 +97,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(nScans == 1, s"expected a single table scan:\n${plan.take(3000)}")
   }
 
+  test("surprisal scoring is one corpus scan with a reused occurrence shuffle") {
+    val df = operators.Pipeline.queries("d_surprisal")(spark, sfDir)
+    // the (doc_id, token) occurrence frame feeds BOTH the scoring join
+    // and the corpus model — AQE must reuse its shuffle stage at
+    // runtime, leaving a single explode scan of documents (no second
+    // corpus pass for the model or the total); reuse is a RUNTIME
+    // decision, so execute first and audit the final adaptive plan
+    df.collect()
+    // AdaptiveSparkPlan.toString appends the pre-reuse "== Initial
+    // Plan ==" section — audit only the final executed section
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val nScans = "FileScan parquet".r.findAllIn(plan).length
+    assert(nScans == 1, s"expected a single documents scan, got $nScans:\n${plan.take(4000)}")
+    assert(plan.contains("ReusedExchange"), s"occurrence shuffle not reused:\n${plan.take(4000)}")
+  }
+
   test("retrieval top-k plans never funnel unbounded data into one task") {
     // the round-5 scale-killers: a global Window.orderBy (or an
     // unpartitioned per-key window) ships the whole relation into a
