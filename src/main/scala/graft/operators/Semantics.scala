@@ -219,14 +219,21 @@ object Semantics {
     * through the bounded
     * [[org.apache.spark.sql.graftshim.TopKByScore]] aggregate
     * (map-side-capped partial top-k — no per-query window over the
-    * match set); vector lists from [[Similarity.bruteForceTopK]] (same
-    * aggregate; swap in ivfTopK for the ANN path, identical shape); the
+    * match set); vector lists from the pluggable `vectorTopK` scorer
+    * (corpus, queries, k) → (q_id, vec_id, rank) — default
+    * [[Similarity.bruteForceTopK]]; pass [[Similarity.pqTopK]] or
+    * [[Similarity.ivfTopK]] for the ANN path, identical fusion shape
+    * (all of them rank through the same bounded aggregate); the
     * fusion join then sees two ≤ kEach-row lists per query, so the
     * final rank window's input is bounded by construction. Query ids
     * double as query-vector ids. */
   def hybridRrfMulti(docs: DataFrame, emb: DataFrame,
       querySet: Seq[(Int, Seq[String])], kEach: Int, kOut: Int,
-      rrfK: Int = 60): DataFrame = {
+      rrfK: Int = 60,
+      vectorTopK: (DataFrame, DataFrame, Int) => DataFrame =
+        (corpus, queries, k) =>
+          Similarity.bruteForceTopK(corpus, queries, "embedding", "vec_id", k))
+      : DataFrame = {
     import org.apache.spark.sql.graftshim.TopKByScore
     val lex = bm25Multi(docs, "text", "doc_id", querySet)
       .groupBy(col("q_id"))
@@ -236,9 +243,7 @@ object Semantics {
       .select(col("q_id"), col("__x.vec_id").as("id"),
         (col("__i") + 1).cast("int").as("rank_lex"))
     val qIds = querySet.map(q => Long.box(q._1.toLong))
-    val vec = Similarity.bruteForceTopK(emb,
-        emb.filter(col("vec_id").isin(qIds: _*)),
-        "embedding", "vec_id", kEach)
+    val vec = vectorTopK(emb, emb.filter(col("vec_id").isin(qIds: _*)), kEach)
       .select(col("q_id"), col("vec_id").as("id"), col("rank").as("rank_vec"))
     val rrf =
       when(col("rank_lex").isNull, lit(0.0))
@@ -314,7 +319,20 @@ object Semantics {
     // one corpus pass for all lexical lists, bounded top-k everywhere
     "v_hybrid_rrf_multi" -> ((s, d) =>
       hybridRrfMulti(t(s, d, "documents"), t(s, d, "embeddings"),
-        QuerySet, kEach = 50, kOut = 20)))
+        QuerySet, kEach = 50, kOut = 20)),
+
+    // ANN-path batch hybrid retrieval: same fusion, vector lists from
+    // the PQ/ADC scorer — the candidate join ships 8 small codes per
+    // corpus row instead of 64-double vectors, and scoring is table
+    // lookups + 8-dim dots (no norms). The deterministic codebook keeps
+    // the whole pipeline SQL-oracle-checkable; ivfTopK slots into the
+    // same parameter when probabilistic cells are acceptable.
+    "v_hybrid_rrf_pq" -> ((s, d) =>
+      hybridRrfMulti(t(s, d, "documents"), t(s, d, "embeddings"),
+        QuerySet, kEach = 50, kOut = 20,
+        vectorTopK = (corpus, qs, k) => Similarity.pqTopK(
+          corpus, qs, "embedding", "vec_id",
+          dim = 64, k = k, m = 8, codebookSize = 16))))
 
   // ONE copy of the BM25 oracle pipeline (CTEs + the scoring select),
   // interpolated into both the v_bm25 and v_hybrid_rrf oracles so the
@@ -338,6 +356,54 @@ object Semantics {
        |  GROUP BY 1)""".stripMargin
 
   private def termListSql: String = QueryTerms.map(q => s"'$q'").mkString(", ")
+
+  private def qIdListSql: String = QuerySet.map(_._1).mkString(", ")
+
+  /** ONE copy of the multi-query hybrid-RRF oracle scaffold (lexical
+    * BM25 CTEs + rank fusion + top-kOut), shared by the brute-cosine and
+    * PQ variants so the fusion formula cannot silently diverge.
+    * `vecCtes` must define a CTE `vec(q_id, id, rank_vec)` — the
+    * per-query top-50 vector ranking. */
+  private def hybridMultiOracle(vecCtes: String): String = {
+    val valuesRows = QuerySet
+      .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${Pipeline.tokensSql} AS ts FROM documents),
+       |stats AS (SELECT count(*) AS n, avg(len(ts)) AS avgdl FROM toks),
+       |q AS (SELECT * FROM (VALUES $valuesRows) AS v(q_id, term)),
+       |tok2 AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM toks),
+       |tf AS (
+       |  SELECT q.q_id, t.doc_id, t.term, count(*) AS tf, max(t.dl) AS dl
+       |  FROM tok2 t JOIN q ON t.term = q.term GROUP BY 1, 2, 3),
+       |dfreq AS (SELECT term, count(*) AS df FROM
+       |  (SELECT DISTINCT doc_id, term FROM tf) GROUP BY 1),
+       |bmq AS (
+       |  SELECT t.q_id, t.doc_id,
+       |    round(sum(ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5)) *
+       |      (t.tf * (1.2 + 1)) /
+       |      (t.tf + 1.2 * ((1 - 0.75) + 0.75 * t.dl / s.avgdl))), 4) AS bm25
+       |  FROM tf t JOIN dfreq f USING (term) CROSS JOIN stats s
+       |  GROUP BY 1, 2),
+       |lex AS (SELECT q_id, id, rank_lex FROM (
+       |  SELECT q_id, doc_id AS id, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY bm25 DESC, doc_id ASC) AS rank_lex FROM bmq)
+       |  WHERE rank_lex <= 50),
+       |$vecCtes,
+       |fused AS (
+       |  SELECT coalesce(lex.q_id, vec.q_id) AS q_id,
+       |    coalesce(lex.id, vec.id) AS doc_id, rank_lex, rank_vec,
+       |    (CASE WHEN rank_lex IS NULL THEN 0.0
+       |          ELSE 1.0 / (60 + rank_lex) END +
+       |     CASE WHEN rank_vec IS NULL THEN 0.0
+       |          ELSE 1.0 / (60 + rank_vec) END) AS rrf
+       |  FROM lex FULL OUTER JOIN vec
+       |    ON lex.q_id = vec.q_id AND lex.id = vec.id)
+       |SELECT q_id, doc_id, coalesce(rank_lex, 0) AS rank_lex,
+       |  coalesce(rank_vec, 0) AS rank_vec, round(rrf, 6) AS rrf
+       |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY rrf DESC, doc_id ASC) AS rn FROM fused)
+       |WHERE rn <= 20""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "v_bm25" ->
@@ -394,33 +460,9 @@ object Semantics {
          |FROM (SELECT doc_id, $shardSql AS shard, $ordSql AS __ord
          |      FROM documents)""".stripMargin
     },
-    "v_hybrid_rrf_multi" -> {
-      val valuesRows = QuerySet
-        .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
-      val qIdList = QuerySet.map(_._1).mkString(", ")
-      s"""WITH toks AS (
-         |  SELECT doc_id, ${Pipeline.tokensSql} AS ts FROM documents),
-         |stats AS (SELECT count(*) AS n, avg(len(ts)) AS avgdl FROM toks),
-         |q AS (SELECT * FROM (VALUES $valuesRows) AS v(q_id, term)),
-         |tok2 AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM toks),
-         |tf AS (
-         |  SELECT q.q_id, t.doc_id, t.term, count(*) AS tf, max(t.dl) AS dl
-         |  FROM tok2 t JOIN q ON t.term = q.term GROUP BY 1, 2, 3),
-         |dfreq AS (SELECT term, count(*) AS df FROM
-         |  (SELECT DISTINCT doc_id, term FROM tf) GROUP BY 1),
-         |bmq AS (
-         |  SELECT t.q_id, t.doc_id,
-         |    round(sum(ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5)) *
-         |      (t.tf * (1.2 + 1)) /
-         |      (t.tf + 1.2 * ((1 - 0.75) + 0.75 * t.dl / s.avgdl))), 4) AS bm25
-         |  FROM tf t JOIN dfreq f USING (term) CROSS JOIN stats s
-         |  GROUP BY 1, 2),
-         |lex AS (SELECT q_id, id, rank_lex FROM (
-         |  SELECT q_id, doc_id AS id, row_number() OVER (PARTITION BY q_id
-         |    ORDER BY bm25 DESC, doc_id ASC) AS rank_lex FROM bmq)
-         |  WHERE rank_lex <= 50),
-         |qv AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
-         |       FROM embeddings WHERE vec_id IN ($qIdList)),
+    "v_hybrid_rrf_multi" -> hybridMultiOracle(
+      s"""qv AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+         |       FROM embeddings WHERE vec_id IN ($qIdListSql)),
          |cos AS (
          |  SELECT qv.q_id, e.vec_id,
          |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.qv) AS c
@@ -428,22 +470,38 @@ object Semantics {
          |vec AS (SELECT q_id, id, rank_vec FROM (
          |  SELECT q_id, vec_id AS id, row_number() OVER (PARTITION BY q_id
          |    ORDER BY c DESC, vec_id ASC) AS rank_vec FROM cos)
-         |  WHERE rank_vec <= 50),
-         |fused AS (
-         |  SELECT coalesce(lex.q_id, vec.q_id) AS q_id,
-         |    coalesce(lex.id, vec.id) AS doc_id, rank_lex, rank_vec,
-         |    (CASE WHEN rank_lex IS NULL THEN 0.0
-         |          ELSE 1.0 / (60 + rank_lex) END +
-         |     CASE WHEN rank_vec IS NULL THEN 0.0
-         |          ELSE 1.0 / (60 + rank_vec) END) AS rrf
-         |  FROM lex FULL OUTER JOIN vec
-         |    ON lex.q_id = vec.q_id AND lex.id = vec.id)
-         |SELECT q_id, doc_id, coalesce(rank_lex, 0) AS rank_lex,
-         |  coalesce(rank_vec, 0) AS rank_vec, round(rrf, 6) AS rrf
-         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
-         |      ORDER BY rrf DESC, doc_id ASC) AS rn FROM fused)
-         |WHERE rn <= 20""".stripMargin
-    },
+         |  WHERE rank_vec <= 50)""".stripMargin),
+    // same fusion scaffold, vector lists from PQ encode + ADC scoring
+    // (mirrors the v_pq oracle with the query set swapped in)
+    "v_hybrid_rrf_pq" -> hybridMultiOracle(
+      s"""corpus AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |subsp AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS s),
+         |cb AS (SELECT vec_id AS cid, v AS cv FROM corpus WHERE vec_id < 16),
+         |anch AS (SELECT cid, s, cv[(s*8+1):(s*8+8)] AS av FROM cb CROSS JOIN subsp),
+         |subv AS (SELECT vec_id, s, v[(s*8+1):(s*8+8)] AS sv
+         |         FROM corpus CROSS JOIN subsp),
+         |codes AS (
+         |  SELECT vec_id, s, cid FROM (
+         |    SELECT subv.vec_id, subv.s, anch.cid,
+         |      row_number() OVER (PARTITION BY subv.vec_id, subv.s
+         |        ORDER BY list_distance(subv.sv, anch.av) ASC, anch.cid ASC) AS rn
+         |    FROM subv JOIN anch USING (s)) WHERE rn = 1),
+         |qpq AS (SELECT vec_id AS q_id, v AS qv FROM corpus
+         |        WHERE vec_id IN ($qIdListSql)),
+         |contrib AS (
+         |  SELECT qpq.q_id, codes.vec_id,
+         |    list_sum(list(
+         |      list_inner_product(qpq.qv[(codes.s*8+1):(codes.s*8+8)], anch.av)
+         |      ORDER BY codes.s)) AS approx
+         |  FROM qpq CROSS JOIN codes
+         |  JOIN anch ON anch.s = codes.s AND anch.cid = codes.cid
+         |  WHERE codes.vec_id != qpq.q_id
+         |  GROUP BY 1, 2),
+         |vec AS (SELECT q_id, id, rank_vec FROM (
+         |  SELECT q_id, vec_id AS id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY approx DESC, vec_id ASC) AS rank_vec FROM contrib)
+         |  WHERE rank_vec <= 50)""".stripMargin),
     "v_hybrid_rrf" -> {
       s"""WITH ${bm25Ctes(termListSql)},
          |lex AS (SELECT doc_id AS id, rank_lex FROM (

@@ -121,7 +121,7 @@ class PlanQualitySpec extends AnyFunSuite {
     // map-side-capped TopKByScore aggregate for per-query top-k.
     import org.apache.spark.sql.graftshim.PlanAudit
     for (name <- Seq("v_ann_brute", "v_ann_filtered", "v_hybrid_rrf",
-        "v_hybrid_rrf_multi", "d_token_freq")) {
+        "v_hybrid_rrf_multi", "v_hybrid_rrf_pq", "d_token_freq")) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       val bad = PlanAudit.unboundedSinglePartitionExchanges(df)
       assert(bad.isEmpty, s"$name has unbounded single-partition shuffles: $bad")
