@@ -320,6 +320,16 @@ object Similarity {
     topKPerQuery(scored, k, "approx_dot")
   }
 
+  /** Params map for [[PqEncodeTransform]] — the codebook rides INSIDE
+    * the persisted plan (Double.toString round-trips exactly), so an MV
+    * whose transform is the PQ encoder refreshes in any later session
+    * with bit-identical codes. */
+  def pqEncodeParams(vecCol: String, idCol: String, dim: Int, m: Int,
+      codebook: Seq[Seq[Double]]): Map[String, String] = Map(
+    "vecCol" -> vecCol, "idCol" -> idCol,
+    "dim" -> dim.toString, "m" -> m.toString,
+    "codebook" -> codebook.map(_.mkString(",")).mkString(";"))
+
   /** Symmetric per-vector int8 quantization of an embedding column —
     * the 4× memory shrink that makes a 100 TB vector corpus fit an ANN
     * serving tier. For each vector: scale = max|x| / 127, code_i =
@@ -347,5 +357,22 @@ object Similarity {
           round(array_max(transform(col("__v"), x =>
             abs(x - floor(x / (col("__m") / 127.0d) + 0.5d) *
               (col("__m") / 127.0d)))), 6)).as("max_abs_err"))
+  }
+}
+
+/** FQCN-persistable PQ-encode transform for materialized views
+  * (resolved by [[graft.views.TransformRegistry]]'s class loader — no
+  * session-local registration needed): the embedding-index maintenance
+  * shape of the reference's `notebooks/incremental_embedding_index.ipynb`.
+  * An MV of a vector table with this transform IS a PQ code index that
+  * [[MaterializedView.refresh]] maintains incrementally — each source
+  * snapshot's CDC batch re-encodes ONLY its delta vectors. Params via
+  * [[Similarity.pqEncodeParams]]. */
+final class PqEncodeTransform extends graft.views.Transform {
+  def apply(df: DataFrame, params: Map[String, String]): DataFrame = {
+    val codebook: Seq[Seq[Double]] = params("codebook").split(";").toIndexedSeq
+      .map(_.split(",").toIndexedSeq.map(_.toDouble))
+    Similarity.pqEncode(df, params("vecCol"), params("idCol"),
+      params("dim").toInt, params("m").toInt, codebook)
   }
 }

@@ -685,6 +685,33 @@ object StorageOps {
       ds.append(encoded)
       Similarity.pqScore(ds.readAll(), e.filter(col("vec_id") < 5),
         "embedding", "vec_id", dim = 64, m = 8, codebook, k = 10)
+    }),
+
+    // INCREMENTAL embedding-index maintenance (the reference's flagship
+    // ML workflow, notebooks/incremental_embedding_index.ipynb): the PQ
+    // code table is a MATERIALIZED VIEW of the vector table whose
+    // transform is the FQCN-persisted PQ encoder — new vectors arrive as
+    // a source append, refresh() re-encodes ONLY that CDC delta (one MV
+    // commit per source snapshot; ViewSpec pins the delta-only count),
+    // and ADC queries against the maintained index equal a from-scratch
+    // rebuild, so this shares v_pq's oracle verbatim. At 100 TB this is
+    // the difference between re-encoding a corpus and encoding a day's
+    // arrivals.
+    "s_ann_index_mv" -> ((s, d) => {
+      import graft.views._
+      val e = t(s, d, "embeddings")
+      val vecs = e.select(col("vec_id"), col("embedding"))
+      val codebook = Similarity.pqCodebook(e, "embedding", "vec_id", 16)
+      val src = SpaceDataset.create(s, fresh("annsrc"), vecs.schema, Seq("vec_id"))
+      src.append(vecs.filter(col("vec_id") >= 100))
+      val mv = View.ofDataset(src)
+        .mapTransform(classOf[PqEncodeTransform].getName,
+          Similarity.pqEncodeParams("embedding", "vec_id", dim = 64, m = 8, codebook))
+        .materialize(s, fresh("annmv"), Seq("vec_id"))
+      src.append(vecs.filter(col("vec_id") < 100)) // new vectors arrive
+      mv.refresh()
+      Similarity.pqScore(mv.dataset.readAll(), e.filter(col("vec_id") < 5),
+        "embedding", "vec_id", dim = 64, m = 8, codebook, k = 10)
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -844,6 +871,8 @@ object StorageOps {
     // identical semantics to the in-flight variant — one oracle for both
     "s_dedup_index" -> Pipeline.oracleSql("d_dedup_incr"),
     "s_pq_index" -> Pipeline.oracleSql("v_pq"),
+    // the incrementally-maintained index must equal a full rebuild
+    "s_ann_index_mv" -> Pipeline.oracleSql("v_pq"),
     "s_append_from" -> "SELECT * FROM orders",
     "s_random_access" ->
       """WITH r AS (

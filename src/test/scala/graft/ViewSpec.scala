@@ -169,6 +169,43 @@ class ViewSpec extends AnyFunSuite {
     assert(mv.dataset.readAll().count() == rows, "MV rows were double-applied")
   }
 
+  test("incremental PQ-index MV re-encodes only the delta and equals a full rebuild") {
+    import graft.operators.{PqEncodeTransform, Similarity}
+    val e = Tables.read(spark, sfDir, "embeddings")
+    val vecs = e.select(col("vec_id"), col("embedding"))
+    val codebook = Similarity.pqCodebook(e, "embedding", "vec_id", 16)
+    val src = SpaceDataset.create(spark, freshLoc("annsrc"), vecs.schema, Seq("vec_id"))
+    src.append(vecs.filter(col("vec_id") >= 100))
+    val mv = View.ofDataset(src)
+      .mapTransform(classOf[PqEncodeTransform].getName,
+        Similarity.pqEncodeParams("embedding", "vec_id", dim = 64, m = 8, codebook))
+      .materialize(spark, freshLoc("annmv"), Seq("vec_id"))
+    val headBefore = mv.dataset.storage.metadata.currentSnapshotId
+
+    val delta = vecs.filter(col("vec_id") < 100)
+    val nDelta = delta.count()
+    src.append(delta)
+    assert(mv.refresh() == 1, "one source snapshot → one MV commit")
+
+    // delta-only maintenance: the refresh commit's change feed carries
+    // exactly the new vectors' codes — nothing already in the index was
+    // re-encoded or rewritten
+    val headAfter = mv.dataset.storage.metadata.currentSnapshotId
+    val batches = ChangeData.diff(spark, mv.dataset.storage, headBefore, headAfter)
+    val added = batches.filter(_.changeType == ChangeType.Add).map(_.data.count()).sum
+    val deleted = batches.filter(_.changeType == ChangeType.Delete).map(_.data.count()).sum
+    assert(added == nDelta, s"refresh re-encoded $added rows, delta was $nDelta")
+    assert(deleted == 0, s"refresh deleted $deleted index rows")
+
+    // the maintained index equals encoding the whole corpus from scratch
+    val rebuilt = Similarity.pqEncode(vecs, "embedding", "vec_id", 64, 8, codebook)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+    val maintained = mv.dataset.readAll()
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+    assert(maintained == rebuilt,
+      s"maintained index diverges from full rebuild (${maintained.size}/${rebuilt.size} rows)")
+  }
+
   test("selectExprs with a literal ';;' round-trips through the persisted plan") {
     val ds = sourceTable()
     val v = View.ofDataset(ds)
