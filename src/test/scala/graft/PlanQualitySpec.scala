@@ -137,24 +137,30 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
-  test("NO gate query funnels unbounded data into a single task") {
-    // the whole-gate sweep: every SparkEntry query's physical plan is
-    // audited for SinglePartition exchanges whose input is not bounded
-    // below (by a limit, a bounded top-k, or an ungrouped aggregate's
-    // per-partition partial). Building s_*/e_* queries executes their
-    // storage scenarios at sf0.001 — acceptable cost for pinning the
-    // scale-shape property across all queries, forever.
-    import org.apache.spark.sql.graftshim.PlanAudit
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        spark.catalog.clearCache()
-        val bad = PlanAudit.unboundedSinglePartitionExchanges(fn(spark, sfDir))
-        if (bad.isEmpty) None else Some(s"$name: ${bad.mkString("; ")}")
+  // the whole-gate sweep: every SparkEntry query's physical plan is
+  // audited for SinglePartition exchanges whose input is not bounded
+  // below (by a limit, a bounded top-k, or an ungrouped aggregate's
+  // per-partition partial). Building s_*/e_* queries executes their
+  // storage scenarios — acceptable cost for pinning the scale-shape
+  // property across all queries, forever. Runs at BOTH the spec scale
+  // and the bench scale: AQE plans from runtime statistics, so a shape
+  // that is safe against sf0.001's tiny stats can still regress with
+  // real row counts (and vice versa) — each scale is audited on the
+  // plans it actually produces.
+  for (dir <- Seq(sfDir, "/root/testdata/sf0.1")
+      if new java.io.File(dir).isDirectory)
+    test(s"NO gate query funnels unbounded data into a single task ($dir)") {
+      import org.apache.spark.sql.graftshim.PlanAudit
+      val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          spark.catalog.clearCache()
+          val bad = PlanAudit.unboundedSinglePartitionExchanges(fn(spark, dir))
+          if (bad.isEmpty) None else Some(s"$name: ${bad.mkString("; ")}")
+      }
+      spark.catalog.clearCache()
+      assert(offenders.isEmpty,
+        s"queries with unbounded single-task funnels:\n${offenders.mkString("\n")}")
     }
-    spark.catalog.clearCache()
-    assert(offenders.isEmpty,
-      s"queries with unbounded single-task funnels:\n${offenders.mkString("\n")}")
-  }
 
   test("stratified sample shuffles on (stratum, cell) then stratum — no global sort") {
     val df = operators.Curation.queries("d_stratified_sample")(spark, sfDir)
