@@ -116,23 +116,41 @@ object Bench {
       }
       md.digest().map("%02x".format(_)).mkString.take(16)
     }
-    val hist = Paths.get(s"/tmp/graft_bench_history_b${buildId}_" +
+    // per-user history dir with owner-only perms — a world-shared /tmp
+    // path keyed only by build hash could be poisoned (or symlinked) by
+    // another user on a multi-tenant host
+    val histDir = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_bench_${System.getProperty("user.name", "unknown")}")
+    if (!Files.exists(histDir)) {
+      Files.createDirectories(histDir)
+      scala.util.Try(Files.setPosixFilePermissions(histDir,
+        java.nio.file.attribute.PosixFilePermissions.fromString("rwx------")))
+    }
+    val hist = histDir.resolve(s"b${buildId}_" +
       sfDir.replaceAll("[^A-Za-z0-9.]", "_") + ".jsonl")
     val prior: Seq[Map[String, Double]] =
       if (!Files.exists(hist)) Nil
       else scala.jdk.CollectionConverters.ListHasAsScala(
         Files.readAllLines(hist)).asScala.toSeq
         .filter(_.nonEmpty).flatMap(parseTimesLine)
+        .takeRight(MaxHistoryRuns - 1)
     val line = times.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    Files.write(hist, java.util.Arrays.asList(line),
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    // rewrite capped history (bounded file; append-only grew forever)
+    val kept = (prior.map(m => m.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")) :+ line)
+    Files.write(hist, scala.jdk.CollectionConverters.SeqHasAsJava(kept).asJava,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+      StandardOpenOption.WRITE)
     val all = prior :+ times
     val mins = all.flatMap(_.keys).distinct.map { k =>
       k -> all.flatMap(_.get(k)).min
     }.toMap
     (mins, all.size)
   }
+
+  /** Retained history lines per (build, sf) key — bounds the file. */
+  private val MaxHistoryRuns = 50
 
   /** Parse one flat {"name":seconds,...} history line (writer-matched;
     * a corrupt line is skipped, never fatal to the bench). */

@@ -934,7 +934,11 @@ object Storage {
         try out.write(epBytes) finally out.close()
       }
     } catch {
-      case e: java.io.IOException =>
+      // only a genuine exists-collision means "lost the race" — other
+      // IOExceptions (transient IO, disk full) must surface as what
+      // they are, not be misdiagnosed as an existing table
+      case e @ (_: java.nio.file.FileAlreadyExistsException |
+          _: org.apache.hadoop.fs.FileAlreadyExistsException) =>
         throw new IllegalStateException(
           s"table already exists at $location (lost a concurrent create race)", e)
     }

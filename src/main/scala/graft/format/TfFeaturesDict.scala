@@ -128,9 +128,27 @@ object TfFeaturesSpec {
   * against a declared [[TfFeaturesSpec]] in BOTH directions (the
   * reference's `serialize_example`/`deserialize_example` contract). */
 object TfFeaturesDictSerializer {
-  // a bare NaN/Infinity token in the compact flat doc (after : [ or ,)
-  // — quoted occurrences inside strings don't match
-  private[format] val NonFinite = "[\\[:,](-?Infinity|NaN)[,\\]}]".r
+  /** True when a BARE (unquoted) NaN/Infinity token occurs in the JSON
+    * text — one quote-state-aware pass, so string feature values that
+    * merely CONTAIN the characters (e.g. "[NaN]", ":Infinity,") never
+    * match (a naive regex falsely rejected them). */
+  private[graft] def hasBareNonFinite(s: String): Boolean = {
+    var i = 0
+    var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        if (c == '\\') i += 1 // skip the escaped character
+        else if (c == '"') inStr = false
+      } else {
+        if (c == '"') inStr = true
+        else if ((c == 'N' && s.startsWith("NaN", i)) ||
+            (c == 'I' && s.startsWith("Infinity", i))) return true
+      }
+      i += 1
+    }
+    false
+  }
 }
 
 final class TfFeaturesDictSerializer(val spec: TfFeaturesSpec) extends FieldSerializer {
@@ -149,8 +167,9 @@ final class TfFeaturesDictSerializer(val spec: TfFeaturesSpec) extends FieldSeri
     val flatJson = new String(TfExampleSerializer.deserialize(bytes), StandardCharsets.UTF_8)
     // the base codec round-trips NaN/Infinity floats, but json4s (and
     // strict JSON) cannot represent them — reject with a clear message
-    // instead of a jackson parse crash
-    if (TfFeaturesDictSerializer.NonFinite.findFirstIn(flatJson).isDefined)
+    // instead of a jackson parse crash (quote-aware, so strings that
+    // merely contain the token text pass through)
+    if (TfFeaturesDictSerializer.hasBareNonFinite(flatJson))
       throw new IllegalArgumentException(
         "non-finite float feature values (NaN/Infinity) are not " +
           "supported under a declared FeaturesDict spec")

@@ -160,8 +160,15 @@ object TransformRegistry {
   private[views] def unescExpr(e: String): String =
     e.replace("%3B", ";").replace("%25", "%")
 
-  register("select_exprs", (df, params) =>
-    df.selectExpr(params("exprs").split(";;").toIndexedSeq.map(unescExpr): _*))
+  // `escaped=1` marks plans whose parts were percent-escaped at write
+  // time; without it the parts are taken verbatim — so a plan persisted
+  // before escaping existed, whose expression contains a literal '%3B'
+  // or '%25', keeps its meaning on replay instead of being "unescaped"
+  register("select_exprs", (df, params) => {
+    val parts = params("exprs").split(";;").toIndexedSeq
+    df.selectExpr(
+      (if (params.get("escaped").contains("1")) parts.map(unescExpr) else parts): _*)
+  })
   register("filter_expr", (df, params) => df.filter(expr(params("expr"))))
 
   def register(name: String, t: (DataFrame, Map[String, String]) => DataFrame): Unit =
@@ -186,7 +193,8 @@ final class View(val plan: ViewPlan) {
     new View(MapNode(name, params, plan))
   def selectExprs(exprs: String*): View =
     mapTransform("select_exprs",
-      Map("exprs" -> exprs.map(TransformRegistry.escExpr).mkString(";;")))
+      Map("exprs" -> exprs.map(TransformRegistry.escExpr).mkString(";;"),
+        "escaped" -> "1"))
   def filterTransform(name: String, params: Map[String, String]): View =
     new View(FilterNode(name, params, plan))
   def filterExpr(e: String): View =

@@ -206,6 +206,28 @@ class TfExampleSpec extends AnyFunSuite {
     assert(e.getMessage.contains("non-finite"), e.getMessage)
   }
 
+  test("string features CONTAINING NaN/Infinity text are not rejected") {
+    // the non-finite guard is quote-aware: only bare tokens count — a
+    // legitimate string value like "[NaN]" or ":Infinity," (or one with
+    // an escaped quote before it) must round-trip, not throw
+    import graft.format.{TfFeaturesDictSerializer, TfFeaturesSpec, TfLeaf}
+    val ser = new TfFeaturesDictSerializer(
+      TfFeaturesSpec("s" -> TfLeaf("string"), "x" -> TfLeaf("float32")))
+    for (v <- Seq("[NaN]", ":Infinity,", """esc\" NaN""")) {
+      val doc = s"""{"s":${org.json4s.jackson.JsonMethods.compact(
+        org.json4s.JString(v))},"x":0.5}"""
+      val wire = ser.serialize(json(doc))
+      val back = new String(ser.deserialize(wire), StandardCharsets.UTF_8)
+      assert(back.contains("NaN") || back.contains("Infinity"), back)
+    }
+    // and the bare-token scanner itself
+    assert(TfFeaturesDictSerializer.hasBareNonFinite("""{"f":[NaN]}"""))
+    assert(TfFeaturesDictSerializer.hasBareNonFinite("""{"f":-Infinity}"""))
+    assert(!TfFeaturesDictSerializer.hasBareNonFinite("""{"f":["NaN"]}"""))
+    // escaped quote inside the string must not flip the quote state
+    assert(!TfFeaturesDictSerializer.hasBareNonFinite("""{"f":"a\"NaN"}"""))
+  }
+
   test("FeaturesDict: an empty tensor fits a -1 (None) dim") {
     import graft.format.{TfFeaturesDictSerializer, TfFeaturesSpec, TfLeaf}
     val ser = new TfFeaturesDictSerializer(

@@ -216,6 +216,21 @@ class ViewSpec extends AnyFunSuite {
     val got = new View(back).toDF(spark)
     assert(got.columns.toSeq == Seq("o_orderkey", "tagged"))
     assert(got.filter(col("tagged").startsWith("a;;")).count() == got.count())
+    // new plans carry the escaping-version marker
+    assert(v.plan.asInstanceOf[MapNode].params.get("escaped").contains("1"))
+  }
+
+  test("a pre-escaping plan with literal %3B/%25 text replays verbatim") {
+    // plans persisted before expression escaping existed carry no
+    // `escaped` flag — their parts must be taken as written, not
+    // percent-decoded (a literal '%3B' must not silently become ';')
+    val ds = sourceTable()
+    val legacy = MapNode("select_exprs",
+      Map("exprs" -> "o_orderkey;;concat('%3B', '%25') AS lit"),
+      ReadTable(ds.location))
+    val got = new View(legacy).toDF(spark)
+    assert(got.select("lit").distinct().collect().map(_.getString(0)).toSeq ==
+      Seq("%3B%25"))
   }
 
   test("MV refresh handles rows leaving and entering the filter") {
