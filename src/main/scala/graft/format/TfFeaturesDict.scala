@@ -94,8 +94,21 @@ object TfFeaturesSpec {
     TfFeaturesSpec(TfDict(kv: _*))
 
   /** Inverse of [[TfFeaturesSpec.toJson]]. A JSON object with a string
-    * `dtype` member is a leaf; any other object is a nested dict. */
+    * `dtype` member is a leaf; any other object is a nested dict.
+    * ALSO accepts a verbatim TFDS `FeaturesDict.to_json` envelope (the
+    * proto3-JSON feature tree whose nodes carry `pythonClassName` +
+    * a oneof content key) — detected by the envelope's string
+    * `pythonClassName` root member, which the compact form can never
+    * produce (its members are feature OBJECTS), and translated via
+    * [[fromTfdsJson]] so a spec exported by real TFDS loads without
+    * hand-translation. */
   def fromJson(json: String): TfFeaturesSpec = {
+    JsonMethods.parse(json) match {
+      case JObject(fields) if fields.exists {
+          case ("pythonClassName", JString(_)) => true; case _ => false } =>
+        return fromTfdsEnvelope(JObject(fields))
+      case _ => ()
+    }
     def toNode(v: JValue): TfFeatureNode = v match {
       case JObject(fields) if fields.exists {
           case ("dtype", JString(_)) => true; case _ => false } =>
@@ -119,6 +132,119 @@ object TfFeaturesSpec {
       case d: TfDict => TfFeaturesSpec(d)
       case _: TfLeaf => throw new IllegalArgumentException(
         "feature spec root must be a dict of features")
+    }
+  }
+
+  /** Translate a verbatim TFDS `FeaturesDict.to_json` envelope (the
+    * proto3-JSON rendering of tensorflow_datasets' `feature.proto`:
+    * each node is `{"pythonClassName": …, <oneof content>: …}`) into
+    * this codec's spec. Supported content nodes and their mapping:
+    *
+    *  - `featuresDict.features` → nested [[TfDict]]
+    *  - `tensor {shape, dtype}` → [[TfLeaf]] (dtypes int64 / float32 /
+    *    string; proto3 prints int64 shape dims as STRINGS — both forms
+    *    accepted; an absent `dimensions` list = scalar)
+    *  - `text {}` → string scalar
+    *  - `classLabel {numClasses}` → int64 scalar (stored as the label id,
+    *    exactly TFDS's wire form)
+    *  - `image {…}` → [[TfLeaf]] `image` (ENCODED bytes passthrough —
+    *    TFDS stores the encoded payload as one bytes feature)
+    *  - `sequence {feature, length}` → the inner leaf with a prepended
+    *    unknown (-1) or fixed `length` dim (TFDS serializes a Sequence
+    *    as the flattened variable-length tensor); sequences of dicts
+    *    are rejected with a clear message
+    *
+    * Unsupported nodes (audio/video/translation/…) throw with the
+    * offending `pythonClassName` so the gap is visible, never silent. */
+  def fromTfdsJson(json: String): TfFeaturesSpec =
+    JsonMethods.parse(json) match {
+      case o: JObject => fromTfdsEnvelope(o)
+      case other => throw new IllegalArgumentException(
+        s"TFDS features envelope must be an object: $other")
+    }
+
+  private def fromTfdsEnvelope(root: JObject): TfFeaturesSpec = {
+    def fail(msg: String) = throw new IllegalArgumentException(msg)
+
+    def dims(shape: JValue): Seq[Int] = shape match {
+      case JObject(fs) => fs.toMap.get("dimensions") match {
+        case Some(JArray(items)) => items.map {
+          case JString(s) => s.toInt // proto3 JSON prints int64 as string
+          case JInt(i) => i.toInt
+          case JLong(l) => l.toInt
+          case other => fail(s"bad TFDS shape dimension: $other")
+        }
+        case None => Nil // empty Shape message = scalar
+        case Some(other) => fail(s"bad TFDS dimensions: $other")
+      }
+      case _ => Nil // absent shape = scalar
+    }
+
+    def toNode(v: JValue): TfFeatureNode = {
+      val fields = v match {
+        case JObject(fs) => fs.toMap
+        case other => fail(s"TFDS feature node must be an object: $other")
+      }
+      def className = fields.get("pythonClassName") match {
+        case Some(JString(s)) => s
+        case _ => "<unknown>"
+      }
+      if (fields.contains("featuresDict")) {
+        val feats = fields("featuresDict") match {
+          case JObject(fs) => fs.toMap.get("features") match {
+            case Some(JObject(m)) => m
+            case None => Nil
+            case Some(other) => fail(s"bad TFDS features map: $other")
+          }
+          case other => fail(s"bad TFDS featuresDict: $other")
+        }
+        TfDict(SortedMap(feats.map { case (k, c) => k -> toNode(c) }: _*))
+      } else if (fields.contains("tensor")) {
+        val t = fields("tensor") match {
+          case JObject(fs) => fs.toMap
+          case other => fail(s"bad TFDS tensor: $other")
+        }
+        val dt = t.get("dtype") match {
+          case Some(JString(s)) => s
+          case other => fail(s"bad TFDS tensor dtype: $other")
+        }
+        if (!TfLeaf.Dtypes.contains(dt))
+          fail(s"unsupported TFDS tensor dtype $dt (supported: int64, float32, string)")
+        TfLeaf(dt, dims(t.getOrElse("shape", JObject())))
+      } else if (fields.contains("text")) {
+        TfLeaf("string")
+      } else if (fields.contains("classLabel")) {
+        TfLeaf("int64")
+      } else if (fields.contains("image")) {
+        TfLeaf("image")
+      } else if (fields.contains("sequence")) {
+        val s = fields("sequence") match {
+          case JObject(fs) => fs.toMap
+          case other => fail(s"bad TFDS sequence: $other")
+        }
+        val len = s.get("length") match {
+          case Some(JString(l)) => l.toInt
+          case Some(JInt(l)) => l.toInt
+          case Some(JLong(l)) => l.toInt
+          case _ => -1
+        }
+        toNode(s.getOrElse("feature", fail("TFDS sequence without a feature"))) match {
+          case TfLeaf(dt, shape) =>
+            if (shape.contains(-1)) fail(
+              "TFDS sequence over a tensor with an unknown dim is not representable " +
+                "(at most one unknown dim per feature)")
+            TfLeaf(dt, (if (len >= 0) len else -1) +: shape)
+          case _: TfDict => fail(
+            "TFDS sequences of feature dicts are not supported — flatten to " +
+              "per-field sequences")
+        }
+      } else fail(s"unsupported TFDS feature $className " +
+        s"(supported: FeaturesDict, Tensor, Text, ClassLabel, Image, Sequence)")
+    }
+
+    toNode(root) match {
+      case d: TfDict => TfFeaturesSpec(d)
+      case _: TfLeaf => fail("TFDS envelope root must be a FeaturesDict")
     }
   }
 }

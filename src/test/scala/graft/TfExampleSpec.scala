@@ -228,6 +228,85 @@ class TfExampleSpec extends AnyFunSuite {
     assert(!TfFeaturesDictSerializer.hasBareNonFinite("""{"f":"a\"NaN"}"""))
   }
 
+  test("a verbatim TFDS FeaturesDict.to_json envelope loads and round-trips") {
+    import graft.format.{TfFeaturesDictSerializer, TfFeaturesSpec, TfLeaf}
+    // envelope text as tensorflow_datasets emits it: proto3 JSON of its
+    // feature.proto — per-node pythonClassName + oneof content, int64
+    // shape dims rendered as strings
+    val envelope =
+      """{
+        |  "pythonClassName": "tensorflow_datasets.core.features.features_dict.FeaturesDict",
+        |  "featuresDict": {
+        |    "features": {
+        |      "id": {
+        |        "pythonClassName": "tensorflow_datasets.core.features.tensor_feature.Tensor",
+        |        "tensor": {"shape": {}, "dtype": "int64", "encoding": "none"}
+        |      },
+        |      "embedding": {
+        |        "pythonClassName": "tensorflow_datasets.core.features.tensor_feature.Tensor",
+        |        "tensor": {"shape": {"dimensions": ["4"]}, "dtype": "float32", "encoding": "none"}
+        |      },
+        |      "caption": {
+        |        "pythonClassName": "tensorflow_datasets.core.features.text_feature.Text",
+        |        "text": {}
+        |      },
+        |      "label": {
+        |        "pythonClassName": "tensorflow_datasets.core.features.class_label_feature.ClassLabel",
+        |        "classLabel": {"numClasses": "10"}
+        |      },
+        |      "img": {
+        |        "pythonClassName": "tensorflow_datasets.core.features.image_feature.Image",
+        |        "image": {"shape": {"dimensions": ["-1", "-1", "3"]}, "dtype": "uint8",
+        |                  "encodingFormat": "png"}
+        |      },
+        |      "tokens": {
+        |        "pythonClassName": "tensorflow_datasets.core.features.sequence_feature.Sequence",
+        |        "sequence": {
+        |          "feature": {
+        |            "pythonClassName": "tensorflow_datasets.core.features.tensor_feature.Tensor",
+        |            "tensor": {"shape": {}, "dtype": "int64", "encoding": "none"}
+        |          },
+        |          "length": "-1"
+        |        }
+        |      },
+        |      "meta": {
+        |        "pythonClassName": "tensorflow_datasets.core.features.features_dict.FeaturesDict",
+        |        "featuresDict": {"features": {
+        |          "source": {
+        |            "pythonClassName": "tensorflow_datasets.core.features.text_feature.Text",
+        |            "text": {}
+        |          }
+        |        }}
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    val spec = TfFeaturesSpec.fromTfdsJson(envelope)
+    assert(spec.flat.keySet == Set(
+      "caption", "embedding", "id", "img", "label", "meta/source", "tokens"))
+    assert(spec.flat("embedding") == TfLeaf("float32", Seq(4)))
+    assert(spec.flat("tokens") == TfLeaf("int64", Seq(-1)))
+    assert(spec.flat("img") == TfLeaf("image"))
+    assert(spec.flat("label") == TfLeaf("int64"))
+    assert(spec.flat("id") == TfLeaf("int64"))
+    // the generic entry point auto-detects the envelope
+    assert(TfFeaturesSpec.fromJson(envelope) == spec)
+    // and the translated spec drives a bijective (de)serialize
+    val ser = new TfFeaturesDictSerializer(spec)
+    val doc = """{"caption":"a cat","embedding":[0.5,1.5,-2.0,3.25],"id":7,""" +
+      """"img":"base64:iVBORw==","label":3,"meta":{"source":"web"},"tokens":[1,2,3]}"""
+    val wire = ser.serialize(json(doc))
+    val back = new String(ser.deserialize(wire), StandardCharsets.UTF_8)
+    assert(back.contains(""""meta":{"source":["web"]}"""), back)
+    assert(ser.serialize(json(back)).toSeq == wire.toSeq, "re-serialize changed the wire")
+    // unsupported nodes name the offending class
+    val bad = envelope.replace(
+      "text_feature.Text\",\n            \"text\": {}",
+      "audio_feature.Audio\",\n            \"audio\": {}")
+    val e = intercept[IllegalArgumentException](TfFeaturesSpec.fromTfdsJson(bad))
+    assert(e.getMessage.contains("audio_feature.Audio"), e.getMessage)
+  }
+
   test("FeaturesDict: an empty tensor fits a -1 (None) dim") {
     import graft.format.{TfFeaturesDictSerializer, TfFeaturesSpec, TfLeaf}
     val ser = new TfFeaturesDictSerializer(
