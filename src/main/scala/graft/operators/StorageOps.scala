@@ -687,6 +687,54 @@ object StorageOps {
         "embedding", "vec_id", dim = 64, m = 8, codebook, k = 10)
     }),
 
+    // WebDataset-style sharded multimodal ingest (reference
+    // notebooks/webdataset_ingestion.ipynb): the documents table becomes
+    // tar shards of (<key>.txt caption, <key>.jpg payload) samples; each
+    // shard is one appendFrom source — parsed ON EXECUTORS, one task per
+    // shard, all shards in ONE snapshot — with jpg landing in record
+    // storage (the notebook's ArrayRecord role). Payload bytes derive
+    // deterministically from doc_id, so the DuckDB oracle replays the
+    // decoded scalars from the source table alone.
+    "s_load_webds" -> ((s, d) => {
+      import graft.sources.WebDataset
+      import org.apache.spark.sql.types.{BinaryType, StringType, StructField, StructType}
+      def fakeJpg(id: Long): Array[Byte] = {
+        val n = 100 + (id % 50).toInt
+        val a = new Array[Byte](n)
+        a(0) = (id % 251).toByte
+        var i = 1
+        while (i < n) { a(i) = ((id + i) % 256).toByte; i += 1 }
+        a
+      }
+      // fixture synthesis (driver-side, like the notebook's img2dataset
+      // download step — not part of the measured ingest path)
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text")).collect()
+      val dir = Files.createTempDirectory("graft_webds_")
+      val shards = (0 until 4).map { i =>
+        val p = dir.resolve(f"shard-$i%05d.tar")
+        WebDataset.writeShard(p, docs.toSeq.filter(_.getLong(0) % 4 == i).map { r =>
+          val id = r.getLong(0)
+          f"$id%09d" -> Seq(
+            "txt" -> r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            "jpg" -> fakeJpg(id))
+        })
+        p.toString
+      }
+      val schema = StructType(Seq(
+        StructField("key", StringType, nullable = false),
+        StructField("txt", BinaryType),
+        StructField("jpg", BinaryType)))
+      val ds = SpaceDataset.create(s, fresh("webds"), schema, Seq("key"),
+        recordFields = Seq("jpg"))
+      ds.appendFrom(shards.map(p =>
+        () => WebDataset.read(s, Seq(p), Seq("txt", "jpg"))))
+      ds.readAll().select(
+        col("key"),
+        decode(col("txt"), "UTF-8").as("caption"),
+        length(col("jpg")).as("n_jpg_bytes"),
+        hex(substring(col("jpg"), 1, 1)).as("head_hex"))
+    }),
+
     // INCREMENTAL embedding-index maintenance (the reference's flagship
     // ML workflow, notebooks/incremental_embedding_index.ipynb): the PQ
     // code table is a MATERIALIZED VIEW of the vector table whose
@@ -873,6 +921,14 @@ object StorageOps {
     "s_pq_index" -> Pipeline.oracleSql("v_pq"),
     // the incrementally-maintained index must equal a full rebuild
     "s_ann_index_mv" -> Pipeline.oracleSql("v_pq"),
+    // the ingested shards decode back to scalars derivable from the
+    // source table (payload length/head byte are functions of doc_id)
+    "s_load_webds" ->
+      """SELECT lpad(CAST(doc_id AS VARCHAR), 9, '0') AS key,
+        |  text AS caption,
+        |  CAST(100 + doc_id % 50 AS INT) AS n_jpg_bytes,
+        |  lpad(upper(to_hex(doc_id % 251)), 2, '0') AS head_hex
+        |FROM documents""".stripMargin,
     "s_append_from" -> "SELECT * FROM orders",
     "s_random_access" ->
       """WITH r AS (

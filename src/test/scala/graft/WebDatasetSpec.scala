@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+import graft.sources.WebDataset
+
+/** WebDataset sharded-ingest semantics: tar round-trip, webdataset-style
+  * key splitting, executor-side parsing into rows, and the one-snapshot
+  * multi-shard appendFrom with record-field payloads. */
+class WebDatasetSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def bytes(s: String): Array[Byte] = s.getBytes(UTF_8)
+
+  test("writeShard/parseSamples round-trip with webdataset key semantics") {
+    val dir = Files.createTempDirectory("graft_wds_rt_")
+    val p = dir.resolve("s.tar")
+    WebDataset.writeShard(p, Seq(
+      "000000001" -> Seq("txt" -> bytes("hello"), "jpg" -> Array[Byte](1, 2, 3)),
+      // key with a directory AND a dotted double extension: key is the
+      // name up to the FIRST dot of the basename
+      "a/b" -> Seq("seg.jpg" -> Array[Byte](9), "txt" -> bytes("x"))))
+    val back = WebDataset.parseSamples(Files.readAllBytes(p), Seq("txt", "jpg", "seg.jpg"))
+    assert(back.map(_._1) == Seq("000000001", "a/b"))
+    assert(new String(back.head._2("txt"), UTF_8) == "hello")
+    assert(back.head._2("jpg").toSeq == Seq[Byte](1, 2, 3))
+    assert(back(1)._2("seg.jpg").toSeq == Seq[Byte](9))
+    // unrequested extensions are ignored
+    val only = WebDataset.parseSamples(Files.readAllBytes(p), Seq("txt"))
+    assert(only.forall(_._2.keySet == Set("txt")))
+  }
+
+  test("multi-shard read ingests as ONE snapshot with byte-identical record payloads") {
+    import org.apache.spark.sql.types.{BinaryType, StringType, StructField, StructType}
+    val dir = Files.createTempDirectory("graft_wds_ing_")
+    val samples = (0 until 20).map { i =>
+      f"$i%09d" -> Seq("txt" -> bytes(s"caption $i"),
+        "jpg" -> Array.tabulate[Byte](10 + i)(j => ((i + j) % 256).toByte))
+    }
+    val shardPaths = (0 until 2).map { sh =>
+      val p = dir.resolve(f"shard-$sh%05d.tar")
+      WebDataset.writeShard(p, samples.filter(_._1.takeRight(1).toInt % 2 == sh))
+      p.toString
+    }
+    // loader yields all samples across shards
+    val df = WebDataset.read(spark, shardPaths, Seq("txt", "jpg"))
+    assert(df.count() == 20)
+
+    val schema = StructType(Seq(
+      StructField("key", StringType, nullable = false),
+      StructField("txt", BinaryType),
+      StructField("jpg", BinaryType)))
+    val ds = SpaceDataset.create(spark, Files.createTempDirectory("graft_wds_t_")
+      .toString + "/tbl", schema, Seq("key"), recordFields = Seq("jpg"))
+    val snapsBefore = ds.storage.metadata.currentSnapshotId
+    ds.appendFrom(shardPaths.map(p =>
+      () => WebDataset.read(spark, Seq(p), Seq("txt", "jpg"))))
+    // N shards, ONE commit (the notebook's append_from contract)
+    assert(ds.storage.metadata.currentSnapshotId == snapsBefore + 1)
+
+    val got = ds.readAll().collect()
+      .map(r => r.getString(0) -> (new String(r.getAs[Array[Byte]](1), UTF_8),
+        r.getAs[Array[Byte]](2).toSeq)).toMap
+    assert(got.size == 20)
+    for ((k, exts) <- samples) {
+      val (txt, jpg) = got(k)
+      assert(txt == new String(exts.head._2, UTF_8), s"caption mismatch for $k")
+      assert(jpg == exts(1)._2.toSeq, s"payload mismatch for $k")
+    }
+  }
+}
