@@ -28,26 +28,43 @@ object LangId {
       (len - length(regexp_replace(c, "[\\x{4e00}-\\x{9fff}]", ""))).cast("double") / len)
   }
 
-  /** Per-language marker-token hit ratio. */
-  def profileScore(c: Column, lang: String): Column = {
-    val ts = TextFunctions.tokens(lower(c))
+  /** Per-language marker-token hit ratio over an ALREADY-TOKENIZED
+    * lowered array (callers bind the tokenization once). */
+  private def profileScoreOf(ts: Column, lang: String): Column = {
     val n = size(ts)
     when(n === 0, lit(0.0)).otherwise(
       size(filter(ts, t => array_contains(lit(Profiles(lang).toArray), t)))
         .cast("double") / n)
   }
 
+  /** Per-language marker-token hit ratio. */
+  def profileScore(c: Column, lang: String): Column =
+    TextFunctions.bound(TextFunctions.tokens(lower(c)))(profileScoreOf(_, lang))
+
   /** Predicted language: 'zh' if CJK-dominated, else argmax profile
-    * score, else 'unknown' when no profile fires. */
+    * score (ties to the alphabetically-first language), else 'unknown'
+    * when no profile fires.
+    *
+    * One tokenization per row: the lowered token array is [[TextFunctions.bound]]
+    * and every profile scores from it; the argmax is a single
+    * `greatest()` over (score, -index) structs — ties pick the larger
+    * -index = the earlier language, exactly the strict-`>` fold this
+    * replaces, whose when-chains duplicated every partial best in both
+    * branches (lambda-bearing subtrees are exempt from subexpression
+    * elimination, so that re-ran the tokenizing score exponentially
+    * many times). */
   def langId(c: Column): Column = {
-    val scored = Profiles.keys.toSeq.sorted.map(l => (l, profileScore(c, l)))
-    // argmax via a fold over (bestLang, bestScore)
-    val (bestLang, bestScore) = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
-      case ((bl, bs), (l, s)) =>
-        (when(s > bs, lit(l)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    val langs = Profiles.keys.toSeq.sorted
+    TextFunctions.bound(TextFunctions.tokens(lower(c))) { ts =>
+      val entries = langs.zipWithIndex.map { case (l, i) =>
+        struct(profileScoreOf(ts, l).as("s"), lit(-i).as("ni"))
+      }
+      TextFunctions.bound(greatest(entries: _*)) { best =>
+        when(cjkRatio(c) > 0.3, lit("zh"))
+          .when(best.getField("s") > 0.0,
+            element_at(lit(langs.toArray), -best.getField("ni") + 1))
+          .otherwise(lit("unknown"))
+      }
     }
-    when(cjkRatio(c) > 0.3, lit("zh"))
-      .when(bestScore > 0.0, bestLang)
-      .otherwise(lit("unknown"))
   }
 }

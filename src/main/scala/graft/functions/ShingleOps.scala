@@ -102,10 +102,13 @@ object ShingleOps {
   }
 
   /** MinHash signature: for each of `numHashes` seeds, the minimum of the
-    * seed-mixed shingle hashes. Empty input → all Long.MaxValue (the
-    * empty-set signature; two empty docs still collide in every band,
-    * matching the prior HOF pipeline's array_min-of-empty semantics via
-    * the verify stage treating them as Jaccard 0/0). */
+    * seed-mixed shingle hashes. An EMPTY input array yields all
+    * Long.MaxValue — defensive only: [[shingleHashes]] never emits an
+    * empty array (zero tokens produce the one empty-shingle hash, so
+    * two empty documents share a real signature and verify at
+    * Jaccard 1, exactly like the string pipeline and the oracle SQL —
+    * do NOT "restore" empty-set semantics here, that was the pre-fix
+    * divergence). */
   def minhashSig(shingles: ArrayData, numHashes: Int): ArrayData = {
     val k = shingles.numElements()
     // inputTypes admit nullable-element arrays; getLong on a null slot

@@ -22,11 +22,12 @@ object TextFunctions {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
-  def distinctTokenRatio(c: Column): Column = {
-    val n = tokenCount(c)
-    when(n === 0, lit(0.0))
-      .otherwise(size(array_distinct(tokens(c))).cast("double") / n)
-  }
+  def distinctTokenRatio(c: Column): Column =
+    bound(tokens(c)) { ts =>
+      val n = size(ts)
+      when(n === 0, lit(0.0))
+        .otherwise(size(array_distinct(ts)).cast("double") / n)
+    }
 
   /** English stopwords (small, embedded list — heuristic quality cue). */
   val Stopwords: Seq[String] = Seq(
@@ -34,11 +35,14 @@ object TextFunctions {
     "for", "on", "with", "as", "at", "by", "be", "this", "are", "was",
     "from", "but", "not", "they", "his", "her", "she", "he", "you", "we")
 
-  def stopwordRatio(c: Column): Column = {
-    val n = tokenCount(c)
-    val stops = filter(tokens(lower(c)), t => array_contains(lit(Stopwords.toArray), t))
-    when(n === 0, lit(0.0)).otherwise(size(stops).cast("double") / n)
-  }
+  def stopwordRatio(c: Column): Column =
+    // token COUNT is case-insensitive (whitespace split), so one
+    // lowered tokenization serves both numerator and denominator
+    bound(tokens(lower(c))) { ts =>
+      val n = size(ts)
+      val stops = filter(ts, t => array_contains(lit(Stopwords.toArray), t))
+      when(n === 0, lit(0.0)).otherwise(size(stops).cast("double") / n)
+    }
 
   def punctRatio(c: Column): Column = {
     val len = length(c)
@@ -53,23 +57,34 @@ object TextFunctions {
   }
 
   /** Mean token length. */
-  def avgTokenLen(c: Column): Column = {
-    val n = tokenCount(c)
-    val total = aggregate(transform(tokens(c), t => length(t)), lit(0),
-      (acc, x) => acc + x)
-    when(n === 0, lit(0.0)).otherwise(total.cast("double") / n)
-  }
+  def avgTokenLen(c: Column): Column =
+    bound(tokens(c)) { ts =>
+      val n = size(ts)
+      val total = aggregate(transform(ts, t => length(t)), lit(0),
+        (acc, x) => acc + x)
+      when(n === 0, lit(0.0)).otherwise(total.cast("double") / n)
+    }
 
   /** Composite quality score in [0,1] — the standard cheap heuristics
     * (length saturation, lexical diversity, low punctuation/digit noise,
-    * sane token lengths) combined multiplicatively. */
-  def qualityScore(c: Column): Column = {
-    val lengthScore = least(lit(1.0), tokenCount(c).cast("double") / 50.0)
-    val diversity = distinctTokenRatio(c)
-    val noise = greatest(lit(0.0), lit(1.0) - punctRatio(c) * 5 - digitRatio(c) * 5)
-    val wordShape = when(avgTokenLen(c).between(2.0, 12.0), lit(1.0)).otherwise(lit(0.5))
-    round(lengthScore * (lit(0.5) + diversity * 0.5) * noise * wordShape, 4)
-  }
+    * sane token lengths) combined multiplicatively. The token array goes
+    * through [[bound]] ONCE and every sub-score derives from it —
+    * lambda-bearing subtrees are exempt from Catalyst subexpression
+    * elimination, so composing the ratio helpers directly would re-run
+    * the \s+ tokenization ~8× per row on the documents hot path. */
+  def qualityScore(c: Column): Column =
+    bound(tokens(c)) { ts =>
+      val n = size(ts)
+      val lengthScore = least(lit(1.0), n.cast("double") / 50.0)
+      val diversity = when(n === 0, lit(0.0))
+        .otherwise(size(array_distinct(ts)).cast("double") / n)
+      val noise = greatest(lit(0.0), lit(1.0) - punctRatio(c) * 5 - digitRatio(c) * 5)
+      val totalLen = aggregate(transform(ts, t => length(t)), lit(0),
+        (acc, x) => acc + x)
+      val avgLen = when(n === 0, lit(0.0)).otherwise(totalLen.cast("double") / n)
+      val wordShape = when(avgLen.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.5))
+      round(lengthScore * (lit(0.5) + diversity * 0.5) * noise * wordShape, 4)
+    }
 
   /** BPE-ish sub-token count: whitespace tokens plus extra units for long
     * words (a cheap stand-in for a real tokenizer's token count: every
@@ -89,13 +104,15 @@ object TextFunctions {
     * references the token array, and project collapsing would otherwise
     * re-inline the whole regexp tokenization into every lambda call —
     * O(words²) regexp work per document. */
-  def wordShingles(c: Column, n: Int): Column =
+  def wordShingles(c: Column, n: Int): Column = {
+    require(n >= 1, s"shingle size must be >= 1, got $n")
     bound(tokens(c)) { ts =>
       val k = size(ts)
       when(k <= n, array(concat_ws(" ", ts)))
         .otherwise(transform(sequence(lit(1), k - (n - 1)),
           i => concat_ws(" ", slice(ts, i, lit(n)))))
     }
+  }
 
   /** SORTED distinct 64-bit hashes of the word shingles — the set the
     * MinHash / Jaccard pipeline actually operates on. Hashing each

@@ -8,18 +8,34 @@ import org.apache.spark.sql.functions._
   * similarity search composes with pushdown/pruning like any projection. */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Σ aᵢ·bᵢ in double precision. Mismatched lengths FAIL LOUDLY:
+    * `zip_with` pads the shorter side with nulls, which would make the
+    * product NULL and every downstream `cosine >= threshold` verify
+    * filter silently DROP the pair — silent recall loss from one
+    * truncated embedding (the LSH sketch kernels already throw on this;
+    * the exact-verify path must match). Null ARRAYS still flow through
+    * as null, unchanged. */
+  def dot(a: Column, b: Column): Column = {
+    val mismatch = size(a).isNotNull && size(b).isNotNull && size(a) =!= size(b)
+    when(mismatch, raise_error(concat(
+        lit("vector length mismatch: "), size(a).cast("string"),
+        lit(" vs "), size(b).cast("string"))).cast("double"))
+      .otherwise(aggregate(
+        zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x))
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity in double precision; 0 for zero vectors. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm(a) * norm(b)
-    when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
-  }
+  /** Cosine similarity in double precision; 0 for zero vectors. The
+    * norm product is [[TextFunctions.bound]] so it evaluates once —
+    * referencing it from both the zero test and the division would
+    * otherwise duplicate both norm aggregates (lambda-bearing subtrees
+    * are exempt from Catalyst subexpression elimination). */
+  def cosine(a: Column, b: Column): Column =
+    TextFunctions.bound(norm(a) * norm(b)) { d =>
+      when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
+    }
 
   /** Sign-bit sketch against `planes` (array of array<double>): bit i set
     * iff dot(v, planes[i]) >= 0. Random-hyperplane LSH: P(bits equal) =

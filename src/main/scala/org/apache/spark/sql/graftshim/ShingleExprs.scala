@@ -14,6 +14,11 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongTy
 case class WordShingleHashesExpr(child: Expression, n: Int)
     extends UnaryExpression with ExpectsInputTypes {
 
+  // construction-time (= analysis-time for the SQL surface): n <= 0
+  // would otherwise surface as opaque per-row negative-length hash
+  // slices deep inside a running job
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_shingle_hashes"
@@ -38,6 +43,8 @@ object WordShingleHashesExpr {
   * splitmix64-mixed hashes (kernel: [[graft.functions.ShingleOps]]). */
 case class MinHashSigExpr(child: Expression, numHashes: Int)
     extends UnaryExpression with ExpectsInputTypes {
+
+  require(numHashes >= 1, s"signature length must be >= 1, got $numHashes")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -39,6 +39,12 @@ object SortedIntersectCount {
     var i = 0
     var j = 0
     var c = 0
+    // order violations would silently UNDERCOUNT the intersection (the
+    // merge skips out-of-order matches) — a threshold filter would then
+    // pass near-duplicates with no error; detecting them costs one
+    // compare per consumed element
+    var prevA = Long.MinValue
+    var prevB = Long.MinValue
     while (i < n && j < m) {
       // null slots would read as 0 through getLong and intersect
       // silently — the shingle pipeline never produces them, so one
@@ -48,9 +54,13 @@ object SortedIntersectCount {
           "null element in sorted-intersect input array")
       val x = a.getLong(i)
       val y = b.getLong(j)
-      if (x == y) { c += 1; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
+      if (x < prevA || y < prevB)
+        throw new IllegalArgumentException(
+          "sorted-intersect input array is not sorted ascending " +
+            "(sort with array_sort, or use graft.functions jaccard for unsorted sets)")
+      if (x == y) { c += 1; prevA = x; prevB = y; i += 1; j += 1 }
+      else if (x < y) { prevA = x; i += 1 }
+      else { prevB = y; j += 1 }
     }
     c
   }

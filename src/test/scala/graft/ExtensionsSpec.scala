@@ -95,4 +95,32 @@ class ExtensionsSpec extends AnyFunSuite {
       spark.sql("SELECT graft_token_count(text, 2) FROM docs_ext").collect())
     assert(e.getMessage.contains("1 argument"))
   }
+
+  test("degenerate literal args fail fast at analysis, not per-row") {
+    docs()
+    val e = intercept[Exception](
+      spark.sql("SELECT graft_word_shingle_hashes(text, 0) FROM docs_ext").collect())
+    assert(e.getMessage.contains(">= 1"), e.getMessage)
+  }
+
+  test("unsorted jaccardSorted inputs and mismatched vectors fail loudly") {
+    import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // out-of-order arrays would silently UNDERCOUNT the intersection —
+    // they must throw instead
+    val bad = Seq((Array(3L, 1L, 2L), Array(1L, 2L, 3L, 4L, 5L))).toDF("a", "b")
+    val e1 = intercept[Exception](
+      bad.select(TF.jaccardSorted(col("a"), col("b"))).collect())
+    assert(e1.getMessage.contains("not sorted"), e1.getMessage)
+    // sorted inputs unaffected
+    val ok = Seq((Array(1L, 2L, 3L), Array(2L, 3L, 4L))).toDF("a", "b")
+    assert(ok.select(TF.jaccardSorted(col("a"), col("b")))
+      .collect()(0).getDouble(0) == 0.5)
+    // a truncated embedding must error, not NULL out of a >= filter
+    val vecs = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
+    val e2 = intercept[Exception](
+      vecs.select(VF.cosine(col("a"), col("b"))).collect())
+    assert(e2.getMessage.contains("length mismatch"), e2.getMessage)
+  }
 }
