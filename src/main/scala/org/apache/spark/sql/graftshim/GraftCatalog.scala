@@ -52,7 +52,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   // ------------------------------------------ procedure catalog surface
   // SQL maintenance parity: CALL <cat>.system.compact/cluster_by/zorder/
-  // expire_snapshots/gc/rollback — see [[GraftProcedures]].
+  // expire_snapshots/gc/rollback — see [[GraftProcedures]]. The
+  // procedure set is static per catalog — built once, not on every
+  // CALL resolution / SHOW PROCEDURES
+  private[graftshim] lazy val procedures = GraftProcedures.procs(this)
+
   override def loadProcedure(
       ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
     GraftProcedures.load(this, ident)
@@ -166,9 +170,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
+    // standard bucketing syntax (CLUSTERED BY ... INTO N BUCKETS) arrives
+    // as a bucket Transform — translate it, since bucketing is exactly
+    // what graft tables support; only hive-style PARTITIONED BY is not
+    val (bucketTs, otherTs) = partitions.partition(
+      _.isInstanceOf[org.apache.spark.sql.connector.expressions.BucketTransform])
+    require(otherTs.isEmpty,
       "graft tables are not hive-partitioned; file pruning comes from manifest stats")
+    require(bucketTs.length <= 1, "at most one CLUSTERED BY clause")
     val props = properties.asScala
+    val clusteredBy = bucketTs.headOption
+      .map(_.asInstanceOf[org.apache.spark.sql.connector.expressions.BucketTransform])
+    require(clusteredBy.isEmpty ||
+        (!props.contains("bucket_columns") && !props.contains("num_buckets")),
+      "specify bucketing either as CLUSTERED BY or as TBLPROPERTIES, not both")
     val pks = props.getOrElse("primary_keys",
       throw new IllegalArgumentException(
         "CREATE TABLE requires TBLPROPERTIES ('primary_keys'='col1,col2')"))
@@ -177,9 +192,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     val statsFields = props.get("stats_fields")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    val bucketCols = props.get("bucket_columns")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    val numBuckets = props.get("num_buckets").map(_.trim.toInt).getOrElse(0)
+    val bucketCols = clusteredBy
+      .map(_.columns.map(_.fieldNames.mkString(".")).toSeq)
+      .orElse(props.get("bucket_columns")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+      .getOrElse(Nil)
+    val numBuckets = clusteredBy
+      .map(_.numBuckets.value.asInstanceOf[Number].intValue())
+      .orElse(props.get("num_buckets").map(_.trim.toInt)).getOrElse(0)
     val ds = dir.createDataset(tableName(ident), schema, pks, recordFields, statsFields,
       bucketCols, numBuckets)
     new GraftTable(spark, ds, s"$catalogName.${ident.name}", None)
@@ -191,6 +211,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * unsupported. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val ds = loadDataset(ident)
+    // VALIDATE every change before applying ANY: each application below
+    // persists immediately, so a rejected later change must not leave
+    // the earlier ones committed (the TableCatalog contract is that a
+    // rejected change means none were applied — and a half-applied
+    // multi-change ALTER cannot be safely re-run)
     changes.foreach {
       case add: TableChange.AddColumn =>
         // DDL fidelity over silent drift: an added column is null-filled
@@ -204,6 +229,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         require(add.position == null,
           s"ADD COLUMN ${add.fieldNames.mkString(".")} with a position " +
             "(FIRST/AFTER) is unsupported: added columns append at the end")
+      case _: TableChange.RenameColumn => ()
+      case _: TableChange.DeleteColumn => ()
+      case other =>
+        throw new UnsupportedOperationException(s"unsupported ALTER TABLE change: $other")
+    }
+    changes.foreach {
+      case add: TableChange.AddColumn =>
         val meta =
           if (add.comment == null) org.apache.spark.sql.types.Metadata.empty
           else new org.apache.spark.sql.types.MetadataBuilder()
@@ -329,10 +361,12 @@ final class GraftTable(
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
 
+  // logical-name translation lives in ONE place (SpaceDataset /
+  // logicalNameOf) — record_fields previously leaked raw physical names
   override def properties(): util.Map[String, String] = Map(
     "location" -> storage.location,
-    "primary_keys" -> storage.primaryKeys.map(storage.logicalNameOf).mkString(","),
-    "record_fields" -> storage.recordFields.mkString(","),
+    "primary_keys" -> ds.primaryKeys.mkString(","),
+    "record_fields" -> storage.recordFields.map(storage.logicalNameOf).mkString(","),
     "bucket_columns" -> storage.metadata.bucketColumns.map(storage.logicalNameOf).mkString(","),
     "num_buckets" -> storage.metadata.numBuckets.toString,
     "provider" -> "graft",
@@ -455,8 +489,31 @@ final class GraftScanBuilder(
       .map(renameExpr(_, phys = false))
   }
 
+  /** EXPLAIN displays pushedFilters(); the delegate speaks PHYSICAL
+    * column names while the rest of the plan speaks logical ones — on a
+    * renamed table the stale pre-rename names would mislead anyone
+    * debugging pushdown, so translate references back (top-level
+    * segment; nested renames live inside the translated struct types). */
   override def pushedFilters(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
-    delegate.pushedFilters
+    if (!anyRenames) delegate.pushedFilters
+    else delegate.pushedFilters.map(renameV2(_)
+      .asInstanceOf[org.apache.spark.sql.connector.expressions.filter.Predicate])
+
+  private def renameV2(e: org.apache.spark.sql.connector.expressions.Expression)
+      : org.apache.spark.sql.connector.expressions.Expression = e match {
+    case f: org.apache.spark.sql.connector.expressions.FieldReference =>
+      val parts = f.fieldNames.toIndexedSeq
+      val head = toLog.getOrElse(parts.head, parts.head)
+      if (head == parts.head) f
+      else org.apache.spark.sql.connector.expressions.FieldReference(head +: parts.tail)
+    case p: org.apache.spark.sql.connector.expressions.filter.Predicate =>
+      new org.apache.spark.sql.connector.expressions.filter.Predicate(
+        p.name, p.children.map(renameV2))
+    case g: org.apache.spark.sql.connector.expressions.GeneralScalarExpression =>
+      new org.apache.spark.sql.connector.expressions.GeneralScalarExpression(
+        g.name, g.children.map(renameV2))
+    case other => other
+  }
 
   private var aggPushed = false
   private var filtersPushed = false

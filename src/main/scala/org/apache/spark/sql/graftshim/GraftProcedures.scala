@@ -70,7 +70,7 @@ object GraftProcedures {
     StructField("output_files", IntegerType, nullable = false),
     StructField("rows", LongType, nullable = false)))
 
-  private def procs(cat: GraftCatalog): Map[String, UnboundProcedure] = {
+  private[graftshim] def procs(cat: GraftCatalog): Map[String, UnboundProcedure] = {
     def ds(input: InternalRow): SpaceDataset =
       cat.datasetByName(input.getUTF8String(0).toString)
     def cols(input: InternalRow, i: Int): Seq[String] =
@@ -264,13 +264,21 @@ object GraftProcedures {
     all.map(p => p.name() -> p).toMap
   }
 
+  // a missing procedure is an ANALYSIS error (CALL resolves during
+  // analysis) — classify it as such instead of a raw runtime
+  // IllegalArgumentException (Spark 4.1 ships no NoSuchProcedureException
+  // class to throw)
+  private def notFound(msg: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "_LEGACY_ERROR_TEMP_3100", messageParameters = Map("message" -> msg))
+
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
-    require(ident.namespace.isEmpty || ident.namespace.sameElements(Namespace),
-      s"unknown procedure namespace ${ident.namespace.mkString(".")}")
-    val all = procs(cat)
+    if (!(ident.namespace.isEmpty || ident.namespace.sameElements(Namespace)))
+      notFound(s"unknown procedure namespace ${ident.namespace.mkString(".")}")
+    val all = cat.procedures
     all.getOrElse(ident.name,
-      throw new IllegalArgumentException(
-        s"unknown procedure ${ident.name}; available: ${all.keys.toSeq.sorted.mkString(", ")}"))
+      notFound(s"unknown procedure ${ident.name}; " +
+        s"available: ${all.keys.toSeq.sorted.mkString(", ")}"))
   }
 
   def list(cat: GraftCatalog, namespace: Array[String]): Array[Identifier] =

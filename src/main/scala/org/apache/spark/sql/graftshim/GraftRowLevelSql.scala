@@ -51,6 +51,13 @@ case class GraftRowLevelSqlRule(session: SparkSession) extends Rule[LogicalPlan]
           // (SET meta.b = …) — flatten the latter to the dotted logical
           // path the API's update() takes
           def keyPath(e: Expression): Option[String] = ColumnExpr.dottedPath(e)
+          // standard SQL rejects duplicate assignment targets; silently
+          // collapsing them (toMap, last wins) would execute invalid SQL
+          // with arbitrary pick-the-last semantics
+          val targetPaths = assignments.flatMap(a => keyPath(a.key))
+          val dups = targetPaths.diff(targetPaths.distinct).distinct
+          if (dups.nonEmpty)
+            fail(s"duplicate UPDATE assignment target(s): ${dups.mkString(", ")}")
           val assigns = assignments.flatMap { a =>
             val name = keyPath(a.key).getOrElse(
               fail(s"unsupported UPDATE assignment target: ${a.key}"))
@@ -131,6 +138,7 @@ case class GraftRowLevelSqlRule(session: SparkSession) extends Rule[LogicalPlan]
         cond.foreach(c => fail(s"WHEN MATCHED AND <cond> THEN UPDATE is not " +
           s"supported (only a conditional DELETE before it): $c"))
         assignments.foreach(requireStarAssignment(_, sourceOut, "UPDATE SET"))
+        requireFullCoverage(assignments, m.targetTable, "UPDATE SET")
         doUpdate = true
       case other => fail(s"unsupported MATCHED action for graft MERGE: $other")
     }
@@ -139,6 +147,7 @@ case class GraftRowLevelSqlRule(session: SparkSession) extends Rule[LogicalPlan]
       case InsertAction(cond, assignments) =>
         cond.foreach(c => fail(s"conditional NOT MATCHED INSERT is not supported: $c"))
         assignments.foreach(requireStarAssignment(_, sourceOut, "INSERT"))
+        requireFullCoverage(assignments, m.targetTable, "INSERT")
         doInsert = true
       case other => fail(s"unsupported NOT MATCHED action for graft MERGE: $other")
     }
@@ -165,6 +174,28 @@ case class GraftRowLevelSqlRule(session: SparkSession) extends Rule[LogicalPlan]
         s"(every column set to the same-named source column); " +
         s"column $name was set to $v — use the SpaceDataset API for general updates")
     }
+  }
+
+  /** The assignment set must name EVERY target column: the merge
+    * machinery replaces matched rows (and builds inserted rows) from
+    * the source row WHOLESALE, so a partial list that passed the
+    * per-assignment star check would silently overwrite the
+    * unmentioned columns with source values — Spark's coercion-only
+    * resolution for non-SupportsRowLevelOperations tables never pads
+    * assignments to full coverage, so it reaches us as written. */
+  private def requireFullCoverage(
+      assigns: Seq[Assignment], target: LogicalPlan, what: String): Unit = {
+    val assigned = assigns.flatMap(a => a.key match {
+      case ar: AttributeReference => Some(ar.name)
+      case _ => None
+    }).toSet
+    val all = target.output.map(_.name).toSet
+    val missing = all -- assigned
+    if (missing.nonEmpty)
+      fail(s"graft MERGE $what must cover every target column (matched rows " +
+        s"are replaced with the source row wholesale — an unmentioned column " +
+        s"would NOT keep its value); missing: ${missing.toSeq.sorted.mkString(", ")}. " +
+        "Use SET * / INSERT *, or the SpaceDataset API for partial updates")
   }
 
   private def fail(msg: String): Nothing =

@@ -415,6 +415,63 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("partial MERGE coverage and duplicate UPDATE targets are rejected, table untouched") {
+    root
+    spark.sql("CREATE TABLE graft_test.gd (id BIGINT, a DOUBLE, b STRING) " +
+      "TBLPROPERTIES ('primary_keys'='id')")
+    spark.sql("INSERT INTO graft_test.gd VALUES (1, 1.0, 'x')")
+    import spark.implicits._
+    Seq((1L, 9.0, "y"), (2L, 8.0, "z")).toDF("id", "a", "b")
+      .createOrReplaceTempView("gd_src")
+    // a partial UPDATE SET would pass the per-assignment star check but
+    // the merge machinery replaces matched rows WHOLESALE — unmentioned
+    // column b would silently take s.b; must be rejected
+    val e1 = intercept[Exception](spark.sql(
+      "MERGE INTO graft_test.gd t USING gd_src s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET a = s.a"))
+    assert(e1.getMessage.contains("cover every target column"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      "MERGE INTO graft_test.gd t USING gd_src s ON t.id = s.id " +
+        "WHEN NOT MATCHED THEN INSERT (id, a) VALUES (s.id, s.a)"))
+    assert(e2.getMessage.contains("cover every target column"), e2.getMessage)
+    // duplicate assignment targets would execute with pick-the-last
+    // semantics through toMap — standard SQL rejects them
+    val e3 = intercept[Exception](spark.sql("UPDATE graft_test.gd SET a = 1.0, a = 2.0"))
+    assert(e3.getMessage.contains("duplicate"), e3.getMessage)
+    // none of the rejected statements touched the table
+    val rows = spark.sql("SELECT * FROM graft_test.gd").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(rows == Seq((1L, 1.0, "x")), rows.toString)
+  }
+
+  test("CLUSTERED BY creates a bucketed table; a rejected ALTER applies nothing") {
+    root
+    spark.sql("CREATE TABLE graft_test.cb (id BIGINT, v STRING) " +
+      "CLUSTERED BY (id) INTO 4 BUCKETS TBLPROPERTIES ('primary_keys'='id')")
+    val props = spark.sql("SHOW TBLPROPERTIES graft_test.cb").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("bucket_columns") == "id" && props("num_buckets") == "4", props.toString)
+    // bucketing specified both ways is ambiguous — rejected
+    intercept[Exception](spark.sql("CREATE TABLE graft_test.cb2 (id BIGINT) " +
+      "CLUSTERED BY (id) INTO 4 BUCKETS " +
+      "TBLPROPERTIES ('primary_keys'='id','num_buckets'='8')"))
+    // hive partitioning is still rejected
+    intercept[Exception](spark.sql("CREATE TABLE graft_test.cb3 (id BIGINT, p STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('primary_keys'='id')"))
+
+    // ALTER atomicity: the valid first ADD must NOT survive the rejected
+    // second one (each applied change persists immediately — validation
+    // must run over the whole change list first)
+    intercept[Exception](spark.sql(
+      "ALTER TABLE graft_test.cb ADD COLUMNS (ok INT, bad INT NOT NULL)"))
+    assert(spark.table("graft_test.cb").columns.toSeq == Seq("id", "v"))
+
+    // unknown procedures are ANALYSIS errors, not raw runtime exceptions
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("CALL graft_test.system.nope()"))
+    assert(e.getMessage.contains("unknown procedure"), e.getMessage)
+  }
+
   test("ALTER TABLE RENAME TO keeps history under the new name") {
     root
     spark.sql(
