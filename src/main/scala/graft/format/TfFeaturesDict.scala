@@ -151,8 +151,14 @@ object TfFeaturesSpec {
     *    TFDS stores the encoded payload as one bytes feature)
     *  - `sequence {feature, length}` → the inner leaf with a prepended
     *    unknown (-1) or fixed `length` dim (TFDS serializes a Sequence
-    *    as the flattened variable-length tensor); sequences of dicts
-    *    are rejected with a clear message
+    *    as the flattened variable-length tensor). A Sequence OF A DICT
+    *    (the `tfds_coco_tutorial` `objects` shape) is translated by
+    *    prepending the dim to EVERY leaf under the inner dict — exactly
+    *    TFDS's wire form, where `objects: Sequence({area, bbox})`
+    *    serializes as per-field aligned lists `objects/area`,
+    *    `objects/bbox`
+    *  - `BBoxFeature` (by class name) → float32 `[·, 4]`-compatible
+    *    leaf (4 normalized corner floats per box)
     *
     * Unsupported nodes (audio/video/translation/…) throw with the
     * offending `pythonClassName` so the gap is visible, never silent. */
@@ -205,11 +211,14 @@ object TfFeaturesSpec {
           case other => fail(s"bad TFDS tensor: $other")
         }
         val dt = t.get("dtype") match {
+          // bool rides tf.train.Example's int64_list on the wire —
+          // translate to the wire form, exactly like TFDS serializes it
+          case Some(JString("bool")) => "int64"
           case Some(JString(s)) => s
           case other => fail(s"bad TFDS tensor dtype: $other")
         }
         if (!TfLeaf.Dtypes.contains(dt))
-          fail(s"unsupported TFDS tensor dtype $dt (supported: int64, float32, string)")
+          fail(s"unsupported TFDS tensor dtype $dt (supported: int64, float32, string, bool)")
         TfLeaf(dt, dims(t.getOrElse("shape", JObject())))
       } else if (fields.contains("text")) {
         TfLeaf("string")
@@ -228,18 +237,23 @@ object TfFeaturesSpec {
           case Some(JLong(l)) => l.toInt
           case _ => -1
         }
-        toNode(s.getOrElse("feature", fail("TFDS sequence without a feature"))) match {
+        val dim = if (len >= 0) len else -1
+        // prepend the sequence dim to a leaf; a dict sequence prepends
+        // it to every leaf underneath (TFDS's per-field aligned lists)
+        def sequenced(n: TfFeatureNode): TfFeatureNode = n match {
           case TfLeaf(dt, shape) =>
-            if (shape.contains(-1)) fail(
-              "TFDS sequence over a tensor with an unknown dim is not representable " +
-                "(at most one unknown dim per feature)")
-            TfLeaf(dt, (if (len >= 0) len else -1) +: shape)
-          case _: TfDict => fail(
-            "TFDS sequences of feature dicts are not supported — flatten to " +
-              "per-field sequences")
+            if (dim == -1 && shape.contains(-1)) fail(
+              "TFDS sequence over a tensor with an unknown dim is not " +
+                "representable (at most one unknown dim per feature)")
+            TfLeaf(dt, dim +: shape)
+          case TfDict(cs) => TfDict(cs.map { case (k, c) => k -> sequenced(c) })
         }
+        sequenced(toNode(s.getOrElse("feature", fail("TFDS sequence without a feature"))))
+      } else if (className.endsWith("BBoxFeature") || fields.contains("boundingBox")) {
+        // 4 normalized corner floats per box (ymin, xmin, ymax, xmax)
+        TfLeaf("float32", Seq(4))
       } else fail(s"unsupported TFDS feature $className " +
-        s"(supported: FeaturesDict, Tensor, Text, ClassLabel, Image, Sequence)")
+        s"(supported: FeaturesDict, Tensor, Text, ClassLabel, Image, BBox, Sequence)")
     }
 
     toNode(root) match {

@@ -307,6 +307,73 @@ class TfExampleSpec extends AnyFunSuite {
     assert(e.getMessage.contains("audio_feature.Audio"), e.getMessage)
   }
 
+  test("TFDS coco-tutorial shape: Sequence of dict, BBoxFeature, ClassLabel, bool") {
+    import graft.format.{TfFeaturesDictSerializer, TfFeaturesSpec, TfLeaf}
+    // the reference's tfds_coco_tutorial FeaturesDict: an image record
+    // with a variable-length `objects` Sequence of a dict (area, bbox,
+    // id, is_crowd, label) — TFDS serializes it as per-field aligned
+    // lists objects/area, objects/bbox, … which is exactly how the
+    // translated spec flattens
+    val envelope =
+      """{
+        |  "pythonClassName": "tensorflow_datasets.core.features.features_dict.FeaturesDict",
+        |  "featuresDict": {"features": {
+        |    "image": {
+        |      "pythonClassName": "tensorflow_datasets.core.features.image_feature.Image",
+        |      "image": {"shape": {"dimensions": ["-1","-1","3"]}, "dtype": "uint8"}
+        |    },
+        |    "image_id": {
+        |      "pythonClassName": "tensorflow_datasets.core.features.tensor_feature.Tensor",
+        |      "tensor": {"shape": {}, "dtype": "int64", "encoding": "none"}
+        |    },
+        |    "objects": {
+        |      "pythonClassName": "tensorflow_datasets.core.features.sequence_feature.Sequence",
+        |      "sequence": {
+        |        "feature": {
+        |          "pythonClassName": "tensorflow_datasets.core.features.features_dict.FeaturesDict",
+        |          "featuresDict": {"features": {
+        |            "area": {
+        |              "pythonClassName": "tensorflow_datasets.core.features.tensor_feature.Tensor",
+        |              "tensor": {"shape": {}, "dtype": "int64", "encoding": "none"}
+        |            },
+        |            "bbox": {
+        |              "pythonClassName": "tensorflow_datasets.core.features.bounding_boxes.BBoxFeature",
+        |              "boundingBox": {}
+        |            },
+        |            "is_crowd": {
+        |              "pythonClassName": "tensorflow_datasets.core.features.tensor_feature.Tensor",
+        |              "tensor": {"shape": {}, "dtype": "bool", "encoding": "none"}
+        |            },
+        |            "label": {
+        |              "pythonClassName": "tensorflow_datasets.core.features.class_label_feature.ClassLabel",
+        |              "classLabel": {"numClasses": "80"}
+        |            }
+        |          }}
+        |        },
+        |        "length": "-1"
+        |      }
+        |    }
+        |  }}
+        |}""".stripMargin
+    val spec = TfFeaturesSpec.fromTfdsJson(envelope)
+    assert(spec.flat.keySet == Set("image", "image_id", "objects/area",
+      "objects/bbox", "objects/is_crowd", "objects/label"))
+    assert(spec.flat("objects/area") == TfLeaf("int64", Seq(-1)))
+    assert(spec.flat("objects/bbox") == TfLeaf("float32", Seq(-1, 4)))
+    assert(spec.flat("objects/is_crowd") == TfLeaf("int64", Seq(-1))) // bool = int64 wire
+    assert(spec.flat("objects/label") == TfLeaf("int64", Seq(-1)))
+    assert(spec.flat("image") == TfLeaf("image"))
+    // a two-object record round-trips bijectively through the wire
+    val ser = new TfFeaturesDictSerializer(spec)
+    val doc = """{"image":"base64:aGVsbG8=","image_id":42,"objects":{""" +
+      """"area":[100,200],"bbox":[0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8],""" +
+      """"is_crowd":[0,1],"label":[17,3]}}"""
+    val wire = ser.serialize(json(doc))
+    val back = new String(ser.deserialize(wire), StandardCharsets.UTF_8)
+    assert(ser.serialize(json(back)).toSeq == wire.toSeq, "re-serialize changed the wire")
+    assert(back.contains(""""area":[100,200]"""), back)
+  }
+
   test("FeaturesDict: an empty tensor fits a -1 (None) dim") {
     import graft.format.{TfFeaturesDictSerializer, TfFeaturesSpec, TfLeaf}
     val ser = new TfFeaturesDictSerializer(
