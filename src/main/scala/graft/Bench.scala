@@ -136,12 +136,20 @@ object Bench {
         .takeRight(MaxHistoryRuns - 1)
     val line = times.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    // rewrite capped history (bounded file; append-only grew forever)
-    val kept = (prior.map(m => m.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")) :+ line)
-    Files.write(hist, scala.jdk.CollectionConverters.SeqHasAsJava(kept).asJava,
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
-      StandardOpenOption.WRITE)
+    // APPEND (atomic for small writes) so a concurrent bench run's line
+    // is never lost to a read-rewrite race; the cap rewrites only when
+    // the file has grown well past the retention window (rare, and the
+    // worst case is dropping lines the cap was discarding anyway)
+    Files.write(hist, java.util.Arrays.asList(line),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    if (Files.exists(hist) &&
+        Files.readAllLines(hist).size > MaxHistoryRuns * 2) {
+      val kept = prior.map(m => m.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")) :+ line
+      Files.write(hist, scala.jdk.CollectionConverters.SeqHasAsJava(kept).asJava,
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+        StandardOpenOption.WRITE)
+    }
     val all = prior :+ times
     val mins = all.flatMap(_.keys).distinct.map { k =>
       k -> all.flatMap(_.get(k)).min

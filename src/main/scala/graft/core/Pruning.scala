@@ -124,8 +124,15 @@ object Pruning {
     def inLarge(attr: Expression, maybeVals: Seq[Option[Any]]): Option[Column] = {
       if (maybeVals.isEmpty || maybeVals.exists(v => v.isEmpty || v.get == null)) None
       else statsCol(attr).map { s =>
+        // NULL min/max (stats unknown for this file/manifest) must mean
+        // KEEP: the lambda then yields NULL per element, the filter
+        // drops everything and size===0 would be a non-null TRUE —
+        // wrongly proving falsifiability. The explicit isNotNull guards
+        // collapse that case to false (the AND-of-leaves small-IN form
+        // gets the same keep-on-null behavior from three-valued logic).
         size(arrayFilter(array(maybeVals.map(v => lit(v.get)): _*),
-          v => s("_MIN") <= v && s("_MAX") >= v)) === 0
+          v => s("_MIN") <= v && s("_MAX") >= v)) === 0 &&
+          s("_MIN").isNotNull && s("_MAX").isNotNull
       }
     }
 

@@ -28,13 +28,17 @@ object VectorFunctions {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity in double precision; 0 for zero vectors. The
-    * norm product is [[TextFunctions.bound]] so it evaluates once —
-    * referencing it from both the zero test and the division would
-    * otherwise duplicate both norm aggregates (lambda-bearing subtrees
-    * are exempt from Catalyst subexpression elimination). */
+    * numerator and the norm product are each [[TextFunctions.bound]] so
+    * they evaluate once — and binding the NUMERATOR (not just the
+    * norms) also means the mismatched-length check in [[dot]] always
+    * fires: a `when(d === 0, 0.0)` over only the norms would
+    * short-circuit past it for zero vectors, silently passing a
+    * mismatched pair as score 0. */
   def cosine(a: Column, b: Column): Column =
-    TextFunctions.bound(norm(a) * norm(b)) { d =>
-      when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
+    TextFunctions.bound(dot(a, b)) { num =>
+      TextFunctions.bound(norm(a) * norm(b)) { d =>
+        when(d === 0.0, lit(0.0)).otherwise(num / d)
+      }
     }
 
   /** Sign-bit sketch against `planes` (array of array<double>): bit i set

@@ -233,23 +233,41 @@ object Dedup {
       bands: Int = 16,
       shingleSize: Int = 3,
       threshold: Double = 0.6): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val batchSig = sigFrame(batch, textCol, idCol, numHashes, shingleSize)
-    val batchKeys = bandKeyFrame(batchSig, bands, numHashes / bands)
-      .select(col("band"), col("band_key"), col("id").as("batch_id"))
+    val (batchSig, batchKeys) =
+      batchBandKeys(batch, textCol, idCol, numHashes, bands, shingleSize)
     val keys = batchKeys.select(col("band_key")).distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
-    val index = fetchIndexByBandKeys(keys)
-    val candidates = index
-      .select(col("band"), col("band_key"), col("id").as("corpus_id"))
-      .join(broadcast(batchKeys), Seq("band", "band_key"))
-      .select(col("batch_id"), col("corpus_id"))
-      .distinct()
+    val candidates = candidatesFrom(fetchIndexByBandKeys(keys), batchKeys)
     val ids = candidates.select(col("corpus_id")).distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
     verifyCandidates(candidates, batchSig, fetchByIds(ids), textCol, idCol,
       shingleSize, threshold)
   }
+
+  /** Batch signatures + light (band, band_key, batch_id) band rows —
+    * stage 0 of every stored-index check. */
+  private def batchBandKeys(
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int,
+      bands: Int,
+      shingleSize: Int): (DataFrame, DataFrame) = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val batchSig = sigFrame(batch, textCol, idCol, numHashes, shingleSize)
+    val batchKeys = bandKeyFrame(batchSig, bands, numHashes / bands)
+      .select(col("band"), col("band_key"), col("id").as("batch_id"))
+    (batchSig, batchKeys)
+  }
+
+  /** Banded-key candidate join: (batch_id, corpus_id) pairs sharing a
+    * band key with the (pre-fetched or full) index. */
+  private def candidatesFrom(index: DataFrame, batchKeys: DataFrame): DataFrame =
+    index
+      .select(col("band"), col("band_key"), col("id").as("corpus_id"))
+      .join(broadcast(batchKeys), Seq("band", "band_key"))
+      .select(col("batch_id"), col("corpus_id"))
+      .distinct()
 
   /** Shared stage 1 of the stored-index check: batch signatures + the
     * (batch_id, corpus_id) candidate pairs from the banded-key join. */
@@ -261,16 +279,9 @@ object Dedup {
       numHashes: Int,
       bands: Int,
       shingleSize: Int): (DataFrame, DataFrame) = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val batchSig = sigFrame(batch, textCol, idCol, numHashes, shingleSize)
-    val batchKeys = bandKeyFrame(batchSig, bands, numHashes / bands)
-      .select(col("band"), col("band_key"), col("id").as("batch_id"))
-    val candidates = index
-      .select(col("band"), col("band_key"), col("id").as("corpus_id"))
-      .join(broadcast(batchKeys), Seq("band", "band_key"))
-      .select(col("batch_id"), col("corpus_id"))
-      .distinct()
-    (batchSig, candidates)
+    val (batchSig, batchKeys) =
+      batchBandKeys(batch, textCol, idCol, numHashes, bands, shingleSize)
+    (batchSig, candidatesFrom(index, batchKeys))
   }
 
   /** Shared stage 2: exact-Jaccard verification of candidate pairs

@@ -923,8 +923,10 @@ object StorageOps {
     "s_ann_index_mv" -> Pipeline.oracleSql("v_pq"),
     // the ingested shards decode back to scalars derivable from the
     // source table (payload length/head byte are functions of doc_id)
+    // printf, not lpad: DuckDB's lpad TRUNCATES strings longer than the
+    // pad width, so a doc_id >= 1e9 would diverge from Scala's %09d
     "s_load_webds" ->
-      """SELECT lpad(CAST(doc_id AS VARCHAR), 9, '0') AS key,
+      """SELECT printf('%09d', doc_id) AS key,
         |  text AS caption,
         |  CAST(100 + doc_id % 50 AS INT) AS n_jpg_bytes,
         |  lpad(upper(to_hex(doc_id % 251)), 2, '0') AS head_hex

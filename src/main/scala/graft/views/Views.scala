@@ -163,7 +163,11 @@ object TransformRegistry {
   // `escaped=1` marks plans whose parts were percent-escaped at write
   // time; without it the parts are taken verbatim — so a plan persisted
   // before escaping existed, whose expression contains a literal '%3B'
-  // or '%25', keeps its meaning on replay instead of being "unescaped"
+  // or '%25', keeps its meaning on replay instead of being "unescaped".
+  // MIGRATION NOTE: plans written by the one intermediate build that
+  // escaped WITHOUT writing the flag are indistinguishable from
+  // pre-escaping plans; if such a plan's exprs contain ';' (stored as
+  // '%3B'), re-materialize the view — there is no marker to dispatch on
   register("select_exprs", (df, params) => {
     val parts = params("exprs").split(";;").toIndexedSeq
     df.selectExpr(

@@ -215,8 +215,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // persists immediately, so a rejected later change must not leave
     // the earlier ones committed (the TableCatalog contract is that a
     // rejected change means none were applied — and a half-applied
-    // multi-change ALTER cannot be safely re-run)
-    changes.foreach {
+    // multi-change ALTER cannot be safely re-run). Top-level name
+    // existence/collision is SIMULATED through the change sequence, so
+    // e.g. DROP COLUMNS (a, no_such) rejects before dropping `a`;
+    // nested paths rely on the storage layer's own checks (a multi-
+    // change nested ALTER is the one shape that can still half-apply).
+    val names = scala.collection.mutable.Set[String](ds.schema.fieldNames.toIndexedSeq: _*)
+    val skip = scala.collection.mutable.Set[Int]() // IF EXISTS no-ops
+    changes.zipWithIndex.foreach { case (c, i) => c match {
       case add: TableChange.AddColumn =>
         // DDL fidelity over silent drift: an added column is null-filled
         // for existing rows, so NOT NULL cannot be honored — reject it
@@ -229,12 +235,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         require(add.position == null,
           s"ADD COLUMN ${add.fieldNames.mkString(".")} with a position " +
             "(FIRST/AFTER) is unsupported: added columns append at the end")
-      case _: TableChange.RenameColumn => ()
-      case _: TableChange.DeleteColumn => ()
+        if (add.fieldNames.length == 1) {
+          require(!names.contains(add.fieldNames()(0)),
+            s"column ${add.fieldNames()(0)} already exists")
+          names += add.fieldNames()(0)
+        }
+      case ren: TableChange.RenameColumn =>
+        if (ren.fieldNames.length == 1) {
+          require(names.contains(ren.fieldNames()(0)),
+            s"no such column ${ren.fieldNames()(0)}")
+          require(!names.contains(ren.newName),
+            s"column ${ren.newName} already exists")
+          names -= ren.fieldNames()(0)
+          names += ren.newName
+        }
+      case del: TableChange.DeleteColumn =>
+        if (del.fieldNames.length == 1) {
+          if (names.contains(del.fieldNames()(0))) names -= del.fieldNames()(0)
+          else if (del.ifExists) { skip += i; () }
+          else throw new IllegalArgumentException(
+            s"no such column ${del.fieldNames()(0)} (use IF EXISTS to ignore)")
+        }
       case other =>
         throw new UnsupportedOperationException(s"unsupported ALTER TABLE change: $other")
-    }
-    changes.foreach {
+    }}
+    changes.zipWithIndex.withFilter { case (_, i) => !skip.contains(i) }.foreach {
+      case (c, _) => c match {
       case add: TableChange.AddColumn =>
         val meta =
           if (add.comment == null) org.apache.spark.sql.types.Metadata.empty
@@ -252,7 +278,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         else ds.dropNestedColumn(del.fieldNames.toSeq)
       case other =>
         throw new UnsupportedOperationException(s"unsupported ALTER TABLE change: $other")
-    }
+    }}
     loadTable(ident)
   }
 

@@ -283,6 +283,6 @@ object GraftProcedures {
 
   def list(cat: GraftCatalog, namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Namespace))
-      procs(cat).keys.toSeq.sorted.map(Identifier.of(Namespace, _)).toArray
+      cat.procedures.keys.toSeq.sorted.map(Identifier.of(Namespace, _)).toArray
     else Array.empty
 }

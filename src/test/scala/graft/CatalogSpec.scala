@@ -465,6 +465,13 @@ class CatalogSpec extends AnyFunSuite {
     intercept[Exception](spark.sql(
       "ALTER TABLE graft_test.cb ADD COLUMNS (ok INT, bad INT NOT NULL)"))
     assert(spark.table("graft_test.cb").columns.toSeq == Seq("id", "v"))
+    // the existence simulation catches a bad later DROP before any apply
+    intercept[Exception](spark.sql(
+      "ALTER TABLE graft_test.cb DROP COLUMNS (v, no_such)"))
+    assert(spark.table("graft_test.cb").columns.toSeq == Seq("id", "v"))
+    // IF EXISTS on a missing column no-ops instead of erroring
+    spark.sql("ALTER TABLE graft_test.cb DROP COLUMN IF EXISTS no_such")
+    assert(spark.table("graft_test.cb").columns.toSeq == Seq("id", "v"))
 
     // unknown procedures are ANALYSIS errors, not raw runtime exceptions
     val e = intercept[org.apache.spark.sql.AnalysisException](

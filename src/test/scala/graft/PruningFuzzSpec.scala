@@ -81,6 +81,37 @@ class PruningFuzzSpec extends AnyFunSuite {
     assert(none.files.isEmpty, s"all-miss IN kept ${none.files.size} files")
   }
 
+  /** NULL min/max (stats unknown for a file/manifest — ManifestIO emits
+    * null stats structs when footer stats are absent) must mean KEEP for
+    * BOTH falsifiable-IN forms: evaluating the keep condition directly
+    * over a synthetic manifest frame pins it — the HOF form initially
+    * shipped treating null stats as provably falsifiable. */
+  test("unknown (null) stats are kept by both IN falsifiable forms") {
+    import org.apache.spark.sql.types._
+    val tblSchema = graft.format.FieldIds.assign(StructType(Seq(
+      StructField("k", LongType, nullable = false))))
+    val fid = graft.format.FieldIds.fieldId(tblSchema("k"))
+    val statsName = ManifestIO.statsColName(fid)
+    val mSchema = StructType(Seq(
+      StructField("f", StringType),
+      StructField(statsName, StructType(Seq(
+        StructField("_MIN", LongType), StructField("_MAX", LongType))))))
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row("in_range", org.apache.spark.sql.Row(1L, 10L)),
+      org.apache.spark.sql.Row("no_stats", null),
+      org.apache.spark.sql.Row("out_of_range", org.apache.spark.sql.Row(5000L, 6000L)))
+    val manifests = spark.createDataFrame(rows, mSchema)
+    for (nVals <- Seq(3, 40)) { // small (AND-tree) and large (HOF) forms
+      val pred = col("k").isin((1 to nVals).map(i => Long.box(i.toLong)): _*)
+      val keep = Pruning.keepCondition(spark, tblSchema, Seq("k"), pred)
+        .getOrElse(fail(s"IN($nVals) did not convert"))
+      val kept = manifests.filter(keep).select("f")
+        .collect().map(_.getString(0)).toSet
+      assert(kept == Set("in_range", "no_stats"),
+        s"IN($nVals) kept $kept — null stats must KEEP, out-of-range must prune")
+    }
+  }
+
   /** Same soundness property when NON-KEY columns carry declared stats
     * (statsFields): predicates on them become falsifiable, results must
     * not change, and pruning must actually fire on a non-key filter. */
