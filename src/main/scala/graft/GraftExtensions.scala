@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.graftshim.{ColumnExpr, SimHash64Expr, SortedIntersectCount}
 import org.apache.spark.sql.types.IntegerType
 
@@ -103,5 +104,20 @@ object GraftExtensions {
       val buckets = litInt(es(1), "buckets")
       require(buckets > 0, "graft_mix_bucket: buckets must be positive")
       expr(graft.operators.Curation.mixBucket(col(es.head), buckets))
-    }))
+    }),
+    // Bloom-sketch pair (Spark's own runtime-filter expressions, surfaced
+    // as functions): graft_bloom_agg(longCol, estimatedItems) builds one
+    // compact bloom binary DISTRIBUTED (map-side partial sketches OR-merged
+    // in the final agg — no driver collect), and
+    // graft_might_contain(bloomBinary, longValue) tests membership in
+    // codegen. The bloom argument must be a constant or a scalar subquery
+    // (enforced by the expression itself) — the idiomatic use is
+    //   graft_might_contain((SELECT graft_bloom_agg(k, n) FROM small), k)
+    // which ships the sketch through Spark's subquery broadcast machinery.
+    // This is the prefilter shape for membership sets too large to
+    // broadcast exactly (e.g. benchmark-shingle decontamination at corpus
+    // scale): bloom drops ~all non-members map-side, the exact join only
+    // sees the survivors.
+    ("graft_bloom_agg", 2, es => new BloomFilterAggregate(es(0), es(1))),
+    ("graft_might_contain", 2, es => BloomFilterMightContain(es(0), es(1))))
 }

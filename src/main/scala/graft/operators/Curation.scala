@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{GraftExtensions, Tables}
 import graft.functions.{TextFunctions => TF}
 
 /** Corpus-curation operators — the steps between "raw crawl" and
@@ -90,6 +90,46 @@ object Curation {
         .select(col("doc_id"),
           coalesce(col("n_shared"), lit(0L)).as("n_shared"),
           (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+    }),
+
+    // decontamination, Bloom-prefilter variant — the shape for when the
+    // held-out set's shingle inventory outgrows an exact broadcast (a
+    // full eval-suite 13-gram set at corpus scale is 10^8+ entries). A
+    // compact bloom over the benchmark grams is built DISTRIBUTED
+    // (graft_bloom_agg: partial sketches per partition, OR-merged once)
+    // and reaches the corpus side as a scalar subquery — Spark's
+    // subquery broadcast, never a driver collect of the gram set. The
+    // corpus-side explode is then prefiltered map-side by
+    // graft_might_contain BEFORE any shuffle: only the ~contaminated
+    // tail reaches the exact join (an unhinted shuffle join — the bench
+    // set no longer needs to fit broadcast), which removes bloom false
+    // positives, so the output is bit-identical to `d_decontaminate`
+    // (they share one oracle).
+    "d_decontaminate_bloom" -> ((s, d) => {
+      GraftExtensions.registerAll(s)
+      docs(s, d).select(col("doc_id"),
+          TF.wordShingleHashes(col("text"), 3).as("g"))
+        .createOrReplaceTempView("graft_decon_grams")
+      s.sql("""
+        WITH bench AS (
+          SELECT DISTINCT gram
+          FROM graft_decon_grams LATERAL VIEW explode(g) x AS gram
+          WHERE doc_id % 97 = 0),
+        tr AS (SELECT doc_id FROM graft_decon_grams WHERE doc_id % 97 != 0),
+        cand AS (
+          SELECT doc_id, gram
+          FROM graft_decon_grams LATERAL VIEW explode(g) x AS gram
+          WHERE doc_id % 97 != 0
+            AND graft_might_contain(
+                  (SELECT graft_bloom_agg(gram, CAST(200000 AS BIGINT))
+                   FROM bench), gram)),
+        cnt AS (
+          SELECT c.doc_id, count(*) AS n_shared
+          FROM cand c JOIN bench USING (gram) GROUP BY c.doc_id)
+        SELECT t.doc_id,
+          coalesce(c.n_shared, CAST(0 AS BIGINT)) AS n_shared,
+          coalesce(c.n_shared, CAST(0 AS BIGINT)) > 0 AS contaminated
+        FROM tr t LEFT JOIN cnt c USING (doc_id)""")
     }),
 
     // repetition analysis (Gopher-style quality signals): per doc, the
@@ -499,6 +539,21 @@ object Curation {
 
   val oracleSql: Map[String, String] = Map(
     "d_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, ${Pipeline.tokensSql} AS ts FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(${Pipeline.shinglesSql(3)}) AS g FROM toks),
+         |bench AS (SELECT DISTINCT unnest(g) AS gram FROM sh WHERE doc_id % 97 = 0),
+         |tr AS (SELECT doc_id, g FROM sh WHERE doc_id % 97 != 0),
+         |cnt AS (
+         |  SELECT doc_id, count(*) AS n_shared
+         |  FROM (SELECT doc_id, unnest(g) AS gram FROM tr) u
+         |  JOIN bench USING (gram) GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  CAST(coalesce(c.n_shared, 0) AS BIGINT) AS n_shared,
+         |  coalesce(c.n_shared, 0) > 0 AS contaminated
+         |FROM tr t LEFT JOIN cnt c USING (doc_id)""".stripMargin,
+    // the bloom prefilter is invisible in the output (false positives die
+    // in the exact join) — the variant shares the exact oracle verbatim
+    "d_decontaminate_bloom" ->
       s"""WITH toks AS (SELECT doc_id, ${Pipeline.tokensSql} AS ts FROM documents),
          |sh AS (SELECT doc_id, list_distinct(${Pipeline.shinglesSql(3)}) AS g FROM toks),
          |bench AS (SELECT DISTINCT unnest(g) AS gram FROM sh WHERE doc_id % 97 = 0),

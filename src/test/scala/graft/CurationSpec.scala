@@ -39,6 +39,21 @@ class CurationSpec extends AnyFunSuite {
     assert(out.count() == docs.filter(pmod(col("doc_id"), lit(97)) =!= 0).count())
   }
 
+  test("bloom-prefilter decontamination matches the exact variant bit-for-bit") {
+    val exact = run("d_decontaminate")
+    val bloom = run("d_decontaminate_bloom").cache()
+    try {
+      assert(bloom.exceptAll(exact).isEmpty && exact.exceptAll(bloom).isEmpty,
+        "bloom variant diverged from exact decontamination")
+      // the sketch really is in the plan: corpus grams are prefiltered by
+      // might_contain over a scalar-subquery-built bloom_filter_agg
+      val plan = bloom.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"), s"no bloom prefilter in plan:\n$plan")
+      assert(plan.contains("bloom_filter_agg"),
+        s"no distributed sketch build in plan:\n$plan")
+    } finally { bloom.unpersist(); () }
+  }
+
   test("source mixing keeps all of src0 and applies deterministic rates") {
     val docs = Tables.read(spark, sfDir, "documents")
     val kept = run("d_source_mix").cache()
