@@ -39,9 +39,19 @@ object EventsStream {
 
   /** Schema of events.parquet as the reader types it (timestamp[us] or
     * legacy long-nanos — graft.functions.EventTime dispatches on it). */
-  private def eventsRaw(s: SparkSession, d: String): (StructType, String) = {
-    val path = s"$d/events.parquet"
-    (s.read.parquet(path).schema, path)
+  private def eventsSchema(s: SparkSession, d: String): StructType =
+    s.read.parquet(s"$d/events.parquet").schema
+
+  /** The events table as a file-source STREAM. The streaming file
+    * source requires a DIRECTORY, so the single events file is selected
+    * out of the scale-factor dir via pathGlobFilter. One definition —
+    * every streaming query sources events through here, so a change to
+    * how the stream is read (glob, schema dispatch) lands once instead
+    * of once per query. */
+  private def eventsStream(s: SparkSession, d: String): (StructType, DataFrame) = {
+    val schema = eventsSchema(s, d)
+    (schema, s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d))
   }
 
   /** Tumbling-window aggregation executed by the REAL streaming engine,
@@ -53,7 +63,7 @@ object EventsStream {
     * used complete+memory sink, re-collecting the whole result every
     * batch). Returns the final graft table contents. */
   def windowedAgg(s: SparkSession, d: String, windowSec: Int = 600): DataFrame = {
-    val (schema, _) = eventsRaw(s, d)
+    val (schema, src) = eventsStream(s, d)
     val loc = java.nio.file.Files.createTempDirectory("graft_stream_").toString
     val outSchema = StructType(Seq(
       StructField("w_start", LongType, nullable = false),
@@ -64,10 +74,7 @@ object EventsStream {
       primaryKeys = Seq("w_start", "event_type"))
 
     withShufflePartitions(s, 4) {
-    // the streaming file source requires a DIRECTORY; select just the
-    // events file out of the scale-factor dir via pathGlobFilter
-    val stream = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val stream = src
       .withColumn("event_time",
         timestamp_seconds(graft.functions.EventTime.epochSeconds(schema, "ts")))
       .withWatermark("event_time", "1 hour")
@@ -180,7 +187,7 @@ object EventsStream {
     * to the same aggregate over the ORIGINAL events iff dedup removed
     * every duplicate. */
   def streamDedup(s: SparkSession, d: String): DataFrame = {
-    val (schema, _) = eventsRaw(s, d)
+    val (schema, src) = eventsStream(s, d)
     val loc = java.nio.file.Files.createTempDirectory("graft_sdedup_").toString
     val outSchema = StructType(Seq(
       StructField("event_id", LongType, nullable = false),
@@ -189,8 +196,7 @@ object EventsStream {
     val sink = SpaceDataset.create(s, s"$loc/tbl", outSchema, Seq("event_id"))
 
     withShufflePartitions(s, 4) {
-      val q = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val q = src
         .withColumn("event_time",
           timestamp_seconds(graft.functions.EventTime.epochSeconds(schema, "ts")))
         // deliver every event twice (at-least-once replay shape)
@@ -220,7 +226,6 @@ object EventsStream {
     * pair; results land in a graft table through the exactly-once
     * append sink. */
   def streamJoin(s: SparkSession, d: String, boundSec: Int = 7200): DataFrame = {
-    val (schema, _) = eventsRaw(s, d)
     val loc = java.nio.file.Files.createTempDirectory("graft_sjoin_").toString
     val outSchema = StructType(Seq(
       StructField("click_id", LongType, nullable = false),
@@ -231,14 +236,15 @@ object EventsStream {
     val sink = SpaceDataset.create(s, s"$loc/tbl", outSchema,
       primaryKeys = Seq("click_id", "purchase_id"))
 
-    def side(tpe: String, alias: String) = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-      .filter(col("event_type") === tpe)
+    def side(tpe: String, alias: String) = {
+      val (schema, src) = eventsStream(s, d)
+      src.filter(col("event_type") === tpe)
       .select(col("event_id").as(s"${alias}_id"), col("user_id").as(s"${alias}_user"),
         timestamp_seconds(graft.functions.EventTime.epochSeconds(schema, "ts"))
           .as(s"${alias}_time"),
         col("value").as(s"${alias}_value"))
       .withWatermark(s"${alias}_time", "1 hour")
+    }
 
     withShufflePartitions(s, 4) {
       val q = side("click", "click").join(side("purchase", "purchase"),
@@ -279,36 +285,6 @@ object EventsStream {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val loc = java.nio.file.Files.createTempDirectory("graft_ssess_").toString
-    val SentinelUser = -1L
-
-    val ev = Tables.read(s, d, "events")
-    val base = ev.select(col("user_id"),
-      graft.functions.EventTime.epochSeconds(ev.schema, "ts").as("t"),
-      col("value"))
-    // ONE range-shuffle pass: partition i holds the i-th time quartile,
-    // and part-file numbering follows partition order, so renaming in
-    // file order yields time-ordered chunks
-    val inDir = new java.io.File(loc, "in"); inDir.mkdirs()
-    base.repartitionByRange(4, col("t")).write.parquet(s"$loc/tmpchunks")
-    new java.io.File(s"$loc/tmpchunks").listFiles()
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .sortBy(_.getName).zipWithIndex.foreach { case (part, i) =>
-        val dst = new java.io.File(inDir, f"chunk-$i%02d.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        // file-source delivery order follows (mtime, path): pin both
-        dst.setLastModified(1700000000000L + i * 60000L)
-      }
-    // end-of-stream flush: one sentinel event far enough past the last
-    // real timestamp that the final watermark clears every open
-    // session's last+gap timeout
-    val hi = base.agg(max(col("t"))).collect()(0).getLong(0)
-    Seq((SentinelUser, hi + gapSec + 60L, 0.0)).toDF("user_id", "t", "value")
-      .coalesce(1).write.parquet(s"$loc/sentinel")
-    val sentinelPart = new java.io.File(s"$loc/sentinel").listFiles()
-      .filter(_.getName.endsWith(".parquet")).head
-    val sentinelDst = new java.io.File(inDir, "chunk-99.parquet")
-    java.nio.file.Files.move(sentinelPart.toPath, sentinelDst.toPath)
-    sentinelDst.setLastModified(1700000000000L + 99 * 60000L)
 
     val outSchema = StructType(Seq(
       StructField("user_id", LongType, nullable = false),
@@ -316,20 +292,59 @@ object EventsStream {
       StructField("n_events", LongType),
       StructField("sum_value", DoubleType)))
     val sink = SpaceDataset.create(s, s"$loc/tbl", outSchema, Seq("user_id", "s_start"))
+    def result() = sink.readAll().select(col("user_id"), col("s_start"),
+      col("n_events"), round(col("sum_value"), 2).as("sum_value"))
 
-    def fn(uid: Long, rows: Iterator[(Long, Long, Double, java.sql.Timestamp)],
+    val ev = Tables.read(s, d, "events")
+    // `sentinel` is an OUT-OF-BAND flag column, not a magic user id —
+    // user_id is a plain signed BIGINT, so any in-band sentinel value
+    // would silently swallow a real user carrying that id
+    val base = ev.select(col("user_id"),
+      graft.functions.EventTime.epochSeconds(ev.schema, "ts").as("t"),
+      col("value"), lit(false).as("sentinel"))
+    // ONE range-shuffle pass: partition i holds the i-th time quartile,
+    // and part-file numbering follows partition order, so renaming in
+    // file order yields time-ordered chunks
+    val inDir = new java.io.File(loc, "in"); inDir.mkdirs()
+    base.repartitionByRange(4, col("t")).write.parquet(s"$loc/tmpchunks")
+    val chunks = new java.io.File(s"$loc/tmpchunks").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    chunks.sortBy(_.getName).zipWithIndex.foreach { case (part, i) =>
+        val dst = new java.io.File(inDir, f"chunk-$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        // file-source delivery order follows (mtime, path): pin both
+        dst.setLastModified(1700000000000L + i * 60000L)
+      }
+    if (chunks.isEmpty) return result() // empty events table: no stream to run
+    // end-of-stream flush: one sentinel event far enough past the last
+    // real timestamp that the final watermark clears every open
+    // session's last+gap timeout. max(t) comes from the just-written
+    // chunks — one column-pruned scan of materialized data, not a second
+    // full pass over the source projection.
+    val hiRow = s.read.parquet(s"$loc/in").agg(max(col("t"))).collect()(0)
+    if (hiRow.isNullAt(0)) return result() // zero rows: nothing to sessionize
+    val hi = hiRow.getLong(0)
+    Seq((0L, hi + gapSec + 60L, 0.0, true)).toDF("user_id", "t", "value", "sentinel")
+      .coalesce(1).write.parquet(s"$loc/sentinel")
+    val sentinelPart = new java.io.File(s"$loc/sentinel").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val sentinelDst = new java.io.File(inDir, "chunk-99.parquet")
+    java.nio.file.Files.move(sentinelPart.toPath, sentinelDst.toPath)
+    sentinelDst.setLastModified(1700000000000L + 99 * 60000L)
+
+    def fn(uid: Long, rows: Iterator[(Long, Long, Double, Boolean, java.sql.Timestamp)],
         state: GroupState[SessionAcc]): Iterator[(Long, Long, Long, Double)] = {
       if (state.hasTimedOut) { // idle past the gap: emit final, clear
         val a = state.get
         state.remove()
         return Iterator.single((uid, a.start, a.n, a.sum))
       }
-      if (uid == SentinelUser) return Iterator.empty // advances the watermark only
       val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Double)]
       var st = state.getOption
       // sort the batch's slice of this user — O(events-per-user-per-batch),
-      // the same bound the state itself has
-      rows.toArray.sortBy(_._2).foreach { case (_, t, v, _) =>
+      // the same bound the state itself has. The sentinel row only
+      // advances the watermark; it joins no session.
+      rows.toArray.filter(!_._4).sortBy(_._2).foreach { case (_, t, v, _, _) =>
         st match {
           case Some(a) if t - a.last <= gapSec =>
             st = Some(SessionAcc(a.start, t, a.n + 1, a.sum + v))
@@ -350,15 +365,16 @@ object EventsStream {
     withShufflePartitions(s, 4) {
       val inSchema = StructType(Seq(
         StructField("user_id", LongType), StructField("t", LongType),
-        StructField("value", DoubleType)))
+        StructField("value", DoubleType), StructField("sentinel", BooleanType)))
       val q = s.readStream.schema(inSchema)
         .option("maxFilesPerTrigger", "1").parquet(s"$loc/in")
         .withColumn("event_time", timestamp_seconds(col("t")))
         .withWatermark("event_time", "10 seconds")
         // the watermarked column must flow INTO the stateful operator for
         // event-time timeouts to resolve — carry it in the tuple
-        .select(col("user_id"), col("t"), col("value"), col("event_time"))
-        .as[(Long, Long, Double, java.sql.Timestamp)]
+        .select(col("user_id"), col("t"), col("value"), col("sentinel"),
+          col("event_time"))
+        .as[(Long, Long, Double, Boolean, java.sql.Timestamp)]
         .groupByKey(_._1)
         .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
         .select(col("_1").as("user_id"), col("_2").as("s_start"),
@@ -370,8 +386,7 @@ object EventsStream {
         .start()
       try q.processAllAvailable() finally q.stop()
     }
-    sink.readAll().select(col("user_id"), col("s_start"), col("n_events"),
-      round(col("sum_value"), 2).as("sum_value"))
+    result()
   }
 
   /** Native streaming SINK: events stream into a graft catalog table
@@ -379,13 +394,12 @@ object EventsStream {
     * per epoch, exactly-once TxnTag watermarks — no foreachBatch); the
     * result is the table read back through the same catalog. */
   def streamToTable(s: SparkSession, d: String): DataFrame = {
-    val (schema, _) = eventsRaw(s, d)
+    val (_, src) = eventsStream(s, d)
     val root = java.nio.file.Files.createTempDirectory("graft_stt_").toString
     graft.core.TempCatalog.withTempCatalog(s, root, "gst") { cat =>
       s.sql(s"CREATE TABLE $cat.ev (event_id BIGINT, event_type STRING, " +
         "value DOUBLE) TBLPROPERTIES ('primary_keys'='event_id')")
-      val q = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val q = src
         .select(col("event_id"), col("event_type"), round(col("value"), 2).as("value"))
         .writeStream
         .option("checkpointLocation", s"$root/ckpt")
@@ -434,6 +448,7 @@ object EventsStream {
     * projection + one commit. */
   def streamCurate(s: SparkSession, d: String): DataFrame = {
     import graft.functions.{TextFunctions => TF}
+    import s.implicits._
     val schema = s.read.parquet(s"$d/documents.parquet").schema
     val loc = java.nio.file.Files.createTempDirectory("graft_scur_").toString
     val outSchema = StructType(Seq(
@@ -442,16 +457,21 @@ object EventsStream {
       StructField("quality", DoubleType),
       StructField("n_tok", LongType)))
     val sink = SpaceDataset.create(s, s"$loc/tbl", outSchema, Seq("doc_id"))
-    // project the score FIRST, filter on the named column — one
-    // evaluation of the (re-tokenizing) quality expression per row, not
-    // two (filter and select are separate operators; codegen CSE does
-    // not share across them)
+    // ONE evaluation of the (re-tokenizing) quality expression per row:
+    // a Column filter on the alias would be pushed below the Project by
+    // the optimizer, re-inlining the full expression into the Filter —
+    // tokenizing every document twice. The TYPED filter is a deliberate
+    // pushdown barrier (closures don't cross the object boundary); it
+    // ser/des four small fields per row, far cheaper than a second
+    // tokenize of the text.
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(d)
       .select(col("doc_id"), col("lang"),
         TF.qualityScore(col("text")).as("quality"),
         TF.approxBpeTokenCount(col("text")).cast("long").as("n_tok"))
-      .filter(col("quality") >= 0.3)
+      .as[(Long, String, Double, Long)]
+      .filter(_._3 >= 0.3)
+      .toDF("doc_id", "lang", "quality", "n_tok")
     val q = stream.writeStream
       .option("checkpointLocation", s"$loc/ckpt")
       .foreachBatch(GraftSink.append(sink, appId = "e_stream_curate"))
@@ -530,17 +550,26 @@ object EventsStream {
     * Exactly-once: BOTH commits are independently idempotent
     * `appendOnce` transactions keyed by the same batchId (the index
     * under a derived app id). A replay after a crash between the two
-    * commits re-runs the SAME decision — the fetch excludes the
-    * batch's own ids from the sink read, so docs this batch already
-    * admitted can't self-match as duplicates — then each appendOnce
-    * either no-ops (already committed) or heals the missing half. */
+    * commits re-runs the SAME decision — replays are DETECTED (the
+    * sink's recorded txn version for this appId has reached this
+    * batchId) and only then does the fetch exclude the batch's own ids
+    * from the sink read, so docs this batch already admitted can't
+    * self-match as duplicates; each appendOnce then either no-ops
+    * (already committed) or heals the missing half. On a first
+    * attempt no exclusion applies: a doc_id an EARLIER batch admitted
+    * that re-arrives must verify against its own sink text. */
   private[graft] def ingestDedupBatch(
       idxTable: SpaceDataset,
       corpusTable: SpaceDataset,
       sink: SpaceDataset,
       appId: String): (Dataset[Row], Long) => Unit = { (b, batchId) =>
     import graft.operators.Dedup
-    val bb = b.persist()
+    // at-least-once delivery can put the SAME doc twice in one
+    // micro-batch; identical ids never form an intra-batch pair
+    // (pair generation requires id_a < id_b), so without this both
+    // copies would survive and appendOnce would write a duplicate
+    // primary key in a single commit
+    val bb = b.dropDuplicates("doc_id").persist()
     // track (and afterwards release) exactly the signature frames the
     // minhash kernels persist this batch — a long-running ingest stream
     // must not accumulate them, and a session-global clearCache() would
@@ -569,6 +598,16 @@ object EventsStream {
       }
       // micro-batch-bounded id set, used only for replay self-exclusion
       val batchIds = bb.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      // replay iff the sink has already recorded THIS (appId, batchId)
+      // txn — only then do the batch's own admitted rows exist in the
+      // sink and must be excluded from the verify fetch. On a FIRST
+      // attempt the exclusion must NOT apply: a doc_id some EARLIER
+      // batch admitted can re-arrive in this batch, and it has to
+      // verify against its own sink text or the near-duplicate is
+      // re-admitted under the same primary key.
+      sink.storage.reload()
+      val isReplay =
+        sink.storage.metadata.txnVersions.get(appId).exists(_ >= batchId)
       def isinF(xs: Seq[Long]) =
         if (xs.isEmpty) lit(false) else col("doc_id").isin(xs.map(Long.box): _*)
       val fetchByIds: Seq[Long] => DataFrame = { ids =>
@@ -577,7 +616,7 @@ object EventsStream {
         // corpus read keeps every candidate — a re-crawled id that
         // already exists in the corpus must still verify against its
         // corpus text, or a near-duplicate would slip in
-        val sinkIds = ids.filterNot(batchIds)
+        val sinkIds = if (isReplay) ids.filterNot(batchIds) else ids
         corpusTable.read(filter = Some(isinF(ids)))
           .select(col("doc_id"), col("text"))
           .unionByName(sink.read(filter = Some(isinF(sinkIds)))

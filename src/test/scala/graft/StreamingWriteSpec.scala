@@ -333,6 +333,101 @@ class StreamingWriteSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("a doc_id admitted by an EARLIER batch re-arriving later still dedupes") {
+    import graft.operators.Dedup
+    val docs = Tables.read(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 50)
+    val loc = Files.createTempDirectory("graft_sid_xb_").toString
+    val corpusT = core.SpaceDataset.create(
+      spark, s"$loc/corpus", docs.schema, Seq("doc_id"))
+    corpusT.append(docs)
+    val idx = Dedup.minhashIndexRows(docs, "text", "doc_id",
+      numHashes = 32, bands = 16, shingleSize = 3)
+    val idxT = core.SpaceDataset.create(
+      spark, s"$loc/idx", idx.schema, Seq("id", "band"))
+    idxT.append(idx)
+    // batch 0 admits a novel doc; batch 1 re-delivers the SAME doc_id
+    // with near-identical text (a re-crawl). The batch-1 copy must
+    // verify against the batch-0 sink text and be dropped — replay
+    // self-exclusion must NOT blind a first-attempt batch, or the sink
+    // gains a second row under the same primary key.
+    val novel = docs.filter(col("doc_id") === 7L)
+      .select((col("doc_id") + 800000L).as("doc_id"),
+        concat(reverse(col("text")), lit(" fresh")).as("text"))
+    val sink = core.SpaceDataset.create(
+      spark, s"$loc/tbl", novel.schema, Seq("doc_id"))
+    graft.streaming.EventsStream.ingestDedupBatch(
+      idxT, corpusT, sink, "sid_xb")(novel, 0L)
+    assert(sink.readAll().count() == 1, "the novel doc was not admitted")
+    val rearrival = novel.select(col("doc_id"),
+      concat(col("text"), lit(" tail")).as("text"))
+    graft.streaming.EventsStream.ingestDedupBatch(
+      idxT, corpusT, sink, "sid_xb")(rearrival, 1L)
+    val rows = sink.readAll().collect()
+    assert(rows.length == 1,
+      s"re-arrived doc_id duplicated the sink primary key (${rows.length} rows)")
+    spark.catalog.clearCache()
+  }
+
+  test("the same doc_id twice within ONE micro-batch appends a single row") {
+    import graft.operators.Dedup
+    val docs = Tables.read(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 50)
+    val loc = Files.createTempDirectory("graft_sid_2x_").toString
+    val corpusT = core.SpaceDataset.create(
+      spark, s"$loc/corpus", docs.schema, Seq("doc_id"))
+    corpusT.append(docs)
+    val idx = Dedup.minhashIndexRows(docs, "text", "doc_id",
+      numHashes = 32, bands = 16, shingleSize = 3)
+    val idxT = core.SpaceDataset.create(
+      spark, s"$loc/idx", idx.schema, Seq("id", "band"))
+    idxT.append(idx)
+    // at-least-once delivery: one novel doc arrives TWICE in the same
+    // micro-batch (identical ids never pair in intra-batch dedup)
+    val novel = docs.filter(col("doc_id") === 9L)
+      .select((col("doc_id") + 810000L).as("doc_id"),
+        concat(reverse(col("text")), lit(" once")).as("text"))
+    val doubled = novel.unionByName(novel)
+    val sink = core.SpaceDataset.create(
+      spark, s"$loc/tbl", novel.schema, Seq("doc_id"))
+    graft.streaming.EventsStream.ingestDedupBatch(
+      idxT, corpusT, sink, "sid_2x")(doubled, 0L)
+    assert(sink.readAll().count() == 1,
+      "duplicate delivery within one batch wrote a duplicate primary key")
+    assert(idxT.readAll().filter(col("id") === 810009L).count() == 16,
+      "index gained duplicate (id, band) rows for the doubled doc")
+    spark.catalog.clearCache()
+  }
+
+  test("stream-curate's quality gate evaluates the scoring expression once") {
+    import graft.functions.{TextFunctions => TFn}
+    import TestSpark.spark.implicits._
+    // the batch shape of streamCurate's gate: typed filter above the
+    // projection — the object boundary blocks predicate pushdown, so the
+    // Filter must NOT re-inline the text-tokenizing expression
+    val df = Tables.read(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TFn.qualityScore(col("text")).as("quality"),
+        TFn.approxBpeTokenCount(col("text")).cast("long").as("n_tok"))
+      .as[(Long, String, Double, Long)]
+      .filter(_._3 >= 0.3)
+      .toDF("doc_id", "lang", "quality", "n_tok")
+    val opt = df.queryExecution.optimizedPlan
+    val filterRefs = opt.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.references.map(_.name).toSet
+    }
+    assert(filterRefs.forall(!_.contains("text")),
+      s"quality gate re-inlined the scoring expression over text: $filterRefs")
+    // the optimizer collapses the ser/de pair into a TypedFilter sitting
+    // ABOVE the Project — the barrier held and the text-tokenizing
+    // expression appears exactly once (in the Project)
+    assert(opt.toString.contains("TypedFilter"),
+      "typed pushdown barrier missing — gate would double-evaluate")
+    assert("split\\(text".r.findAllIn(opt.toString).size <= 2,
+      "scoring expressions over text evaluated more than once each")
+  }
+
   test("a re-crawled doc reusing a corpus id still dedupes against its corpus text") {
     import graft.operators.Dedup
     val docs = Tables.read(spark, sfDir, "documents")
@@ -380,5 +475,32 @@ class StreamingWriteSpec extends AnyFunSuite {
       .drop("sid")
     assert(out.count() == exp.count())
     assert(out.exceptAll(exp).isEmpty && exp.exceptAll(out).isEmpty)
+  }
+
+  test("sessionization keeps user_id -1 and survives an empty events table") {
+    import TestSpark.spark.implicits._
+    // user_id is a plain signed BIGINT: -1 is a legitimate user and must
+    // sessionize (the sentinel is an out-of-band flag, not a magic id)
+    val dir = Files.createTempDirectory("graft_sess_edge_").toString
+    Seq((-1L, 1000L, 1.0), (-1L, 1100L, 2.0), (-1L, 4000L, 3.0), (5L, 1000L, 4.0))
+      .toDF("user_id", "t", "value")
+      .select(lit(1L).as("event_id"), col("user_id"),
+        lit("click").as("event_type"), col("value"),
+        timestamp_seconds(col("t")).as("ts"))
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val out = graft.streaming.EventsStream.streamSessions(spark, dir).collect()
+    val neg = out.filter(_.getLong(0) == -1L)
+    assert(neg.length == 2,
+      s"user -1 must yield 2 sessions, got ${neg.mkString("; ")}")
+    assert(out.count(_.getLong(0) == 5L) == 1)
+
+    // zero rows: no stream runs, result is empty instead of an NPE
+    val empty = Files.createTempDirectory("graft_sess_empty_").toString
+    Seq.empty[(Long, Long, String, Double, Long)]
+      .toDF("event_id", "user_id", "event_type", "value", "t")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        timestamp_seconds(col("t")).as("ts"))
+      .coalesce(1).write.parquet(s"$empty/events.parquet")
+    assert(graft.streaming.EventsStream.streamSessions(spark, empty).count() == 0)
   }
 }
