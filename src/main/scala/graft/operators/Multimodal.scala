@@ -32,14 +32,21 @@ object Multimodal {
   private def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[Row] =
     batch.map { case (id, payload) =>
       val n = payload.length
-      Row(id, n, 64 + n % 512, 64 + (n * 7) % 512)
+      // n * 7 in Int wraps past ~306 MB payloads — the long widening
+      // keeps the stub total-ordered with the BIGINT oracle arithmetic
+      Row(id, n, 64 + n % 512, 64 + (n.toLong * 7 % 512).toInt)
     }
 
   /** Batched decode over (id, payload) rows: batches of `batchSize` per
-    * partition, preserving partitioning (no shuffle). */
+    * partition, preserving partitioning (no shuffle). Rows with a null
+    * id or payload are SKIPPED — WebDataset samples legitimately miss
+    * extensions (nullable payload columns), and a missing payload has
+    * no metadata to decode. */
   def decodeMeta(df: DataFrame, idCol: String, payloadCol: String,
       batchSize: Int = 64): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
     val pair = df.select(col(idCol).cast(LongType), col(payloadCol))
+      .filter(col(idCol).isNotNull && col(payloadCol).isNotNull)
     pair.mapPartitions { it =>
       it.grouped(batchSize).flatMap { rows =>
         decodeBatch(rows.map(r => (r.getLong(0), r.getAs[Array[Byte]](1))))
@@ -51,11 +58,13 @@ object Multimodal {
     * frames; emit every `step`-th frame index. Explode stays proportional
     * to SAMPLED frames only. */
   def sampleFrames(df: DataFrame, idCol: String, payloadCol: String,
-      step: Int = 5): DataFrame =
+      step: Int = 5): DataFrame = {
+    require(step > 0, s"step must be positive, got $step")
     df.select(col(idCol), octet_length(col(payloadCol)).as("n_bytes"))
       .withColumn("n_frames", (col("n_bytes") / 1000).cast(IntegerType) + 1)
       .select(col(idCol), explode(
         sequence(lit(0), col("n_frames") - 1, lit(step))).as("frame_idx"))
+  }
 
   /** Fixed-size binary chunking with ordinals (audio/window shape):
     * one output row per chunk, sliced with codegen'd `substring` on the
@@ -66,7 +75,8 @@ object Multimodal {
     * truncates toward zero on this side but floors to -1 in engines
     * with floor division — the oracle mirrors the same clamp). */
   def chunkPayload(df: DataFrame, idCol: String, payloadCol: String,
-      chunkBytes: Int): DataFrame =
+      chunkBytes: Int): DataFrame = {
+    require(chunkBytes > 0, s"chunkBytes must be positive, got $chunkBytes")
     df.select(col(idCol), col(payloadCol).as("__p"),
         octet_length(col(payloadCol)).as("__n"))
       .withColumn("chunk_idx",
@@ -75,6 +85,7 @@ object Multimodal {
       .select(col(idCol), col("chunk_idx"),
         expr(s"substring(__p, chunk_idx * $chunkBytes + 1, $chunkBytes)").as("chunk"))
       .withColumn("chunk_len", octet_length(col("chunk")))
+  }
 
   /** Aspect-preserving resize parameters: fit (width, height) within
     * `maxDim`, never upscale, floor to ≥ 1 px. INTEGRAL arithmetic
@@ -91,38 +102,33 @@ object Multimodal {
       fit("width").as("out_w"), fit("height").as("out_h"))
   }
 
+  /** The fake media table every `m_*` query decodes: document text as an
+    * opaque binary payload. */
+  private def mediaPayload(s: SparkSession, d: String): DataFrame =
+    Tables.read(s, d, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // decode → aspect-preserving resize plan (fit within 256, never
     // upscale) — integral math end-to-end, both branches data-covered
-    "m_resize" -> ((s, d) => {
-      val media = Tables.read(s, d, "documents")
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      resizeDims(decodeMeta(media, "doc_id", "payload"))
-    }),
+    "m_resize" -> ((s, d) =>
+      resizeDims(decodeMeta(mediaPayload(s, d), "doc_id", "payload"))),
     // binary payload → batched stub decode → typed metadata
-    "m_media_meta" -> ((s, d) => {
-      val media = Tables.read(s, d, "documents")
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      decodeMeta(media, "doc_id", "payload")
-    }),
+    "m_media_meta" -> ((s, d) =>
+      decodeMeta(mediaPayload(s, d), "doc_id", "payload")),
     // frame sampling over fake video payloads
-    "m_frame_sample" -> ((s, d) => {
-      val media = Tables.read(s, d, "documents")
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      sampleFrames(media, "doc_id", "payload", step = 5)
-    }),
+    "m_frame_sample" -> ((s, d) =>
+      sampleFrames(mediaPayload(s, d), "doc_id", "payload", step = 5)),
     // audio-style chunking: payloads split into fixed-size binary chunks
     // with ordinals — the batch shape fed to chunked inference
-    "m_chunk_bytes" -> ((s, d) => {
-      val media = Tables.read(s, d, "documents")
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      chunkPayload(media, "doc_id", "payload", chunkBytes = 256)
+    "m_chunk_bytes" -> ((s, d) =>
+      chunkPayload(mediaPayload(s, d), "doc_id", "payload", chunkBytes = 256)
         .withColumn("chunk_text", decode(col("chunk"), "UTF-8"))
-        .drop("chunk")
-    }))
+        .drop("chunk")))
 
   // The stub arithmetic is reproducible from length(text) (ASCII corpus:
-  // chars == bytes — asserted in MultimodalSpec).
+  // chars == bytes — MultimodalSpec's "corpus is ASCII" test pins the
+  // precondition; a non-ASCII doc would silently skew every m_* oracle).
   val oracleSql: Map[String, String] = Map(
     "m_resize" ->
       """WITH meta AS (

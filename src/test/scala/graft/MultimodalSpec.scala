@@ -41,4 +41,35 @@ class MultimodalSpec extends AnyFunSuite {
       assert(skewed.count() == 0, "aspect ratio drifted past floor tolerance")
     } finally { out.unpersist(); () }
   }
+
+  test("corpus is ASCII — the oracle's chars==bytes precondition holds") {
+    // every m_* oracle equates DuckDB length(text) (chars) with Spark
+    // octet_length (bytes); a non-ASCII doc would silently skew them
+    val docs = Tables.read(spark, sfDir, "documents")
+    assert(docs.filter(
+      octet_length(col("text")) =!= length(col("text"))).count() == 0,
+      "non-ASCII text in the documents fixture breaks m_* oracles")
+  }
+
+  test("null ids/payloads are skipped, not crashed on; bad args rejected") {
+    import TestSpark.spark.implicits._
+    import graft.operators.Multimodal
+    val df = Seq((Some(1L), Some("abc")), (Some(2L), None),
+      (None: Option[Long], Some("xyz")))
+      .toDF("doc_id", "txt")
+      .select(col("doc_id"), encode(col("txt"), "UTF-8").as("payload"))
+    // WebDataset samples legitimately miss extensions → null payloads
+    val meta = Multimodal.decodeMeta(df, "doc_id", "payload").collect()
+    assert(meta.length == 1 && meta(0).getLong(0) == 1L,
+      s"null rows must be skipped: ${meta.mkString(";")}")
+    intercept[IllegalArgumentException] {
+      Multimodal.chunkPayload(df, "doc_id", "payload", chunkBytes = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.sampleFrames(df, "doc_id", "payload", step = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeMeta(df, "doc_id", "payload", batchSize = 0)
+    }
+  }
 }

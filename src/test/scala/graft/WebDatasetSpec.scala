@@ -35,6 +35,30 @@ class WebDatasetSpec extends AnyFunSuite {
     assert(only.forall(_._2.keySet == Set("txt")))
   }
 
+  test("hidden files are skipped and duplicate sample files are an error") {
+    // webdataset's base_plus_ext requires a non-empty stem: `.txt` and
+    // `dir/.txt` are stray hidden files, not samples — silently merging
+    // them under an empty key would collide as a duplicate PK later
+    val dir = Files.createTempDirectory("graft_wds_hid_")
+    val p = dir.resolve("h.tar")
+    WebDataset.writeShard(p, Seq(
+      "" -> Seq("txt" -> bytes("stray")),          // entry name ".txt"
+      "dir/" -> Seq("txt" -> bytes("stray2")),     // entry "dir/.txt"
+      "good" -> Seq("txt" -> bytes("keep"))))
+    val back = WebDataset.parseSamples(Files.readAllBytes(p), Seq("txt"))
+    assert(back.map(_._1) == Seq("good"), s"hidden files leaked: $back")
+
+    // the same file twice in one sample is a corrupt shard, not
+    // last-wins data loss — the webdataset library raises too
+    val d = dir.resolve("dup.tar")
+    WebDataset.writeShard(d, Seq(
+      "k" -> Seq("txt" -> bytes("v1"), "txt" -> bytes("v2"))))
+    val err = intercept[IllegalArgumentException] {
+      WebDataset.parseSamples(Files.readAllBytes(d), Seq("txt"))
+    }
+    assert(err.getMessage.contains("duplicate"), err.getMessage)
+  }
+
   test("multi-shard read ingests as ONE snapshot with byte-identical record payloads") {
     import org.apache.spark.sql.types.{BinaryType, StringType, StructField, StructType}
     val dir = Files.createTempDirectory("graft_wds_ing_")
