@@ -137,18 +137,27 @@ object Bench {
     val line = times.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // APPEND (atomic for small writes) so a concurrent bench run's line
-    // is never lost to a read-rewrite race; the cap rewrites only when
-    // the file has grown well past the retention window (rare, and the
-    // worst case is dropping lines the cap was discarding anyway)
+    // is never lost to a read-rewrite race. The cap rewrite re-reads the
+    // CURRENT file (keeping any line a concurrent run appended after our
+    // append) and lands via rename — a reader never observes a torn or
+    // truncated file, and two concurrent cap rewrites resolve to one of
+    // the two complete capped snapshots, not an interleaving
     Files.write(hist, java.util.Arrays.asList(line),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     if (Files.exists(hist) &&
         Files.readAllLines(hist).size > MaxHistoryRuns * 2) {
-      val kept = prior.map(m => m.toSeq.sortBy(_._1)
-        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")) :+ line
-      Files.write(hist, scala.jdk.CollectionConverters.SeqHasAsJava(kept).asJava,
-        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
-        StandardOpenOption.WRITE)
+      val kept = scala.jdk.CollectionConverters.ListHasAsScala(
+        Files.readAllLines(hist)).asScala.toSeq
+        .filter(_.nonEmpty).takeRight(MaxHistoryRuns)
+      val tmp = Files.createTempFile(histDir, "hist_", ".tmp")
+      Files.write(tmp, scala.jdk.CollectionConverters.SeqHasAsJava(kept).asJava,
+        StandardOpenOption.TRUNCATE_EXISTING, StandardOpenOption.WRITE)
+      try Files.move(tmp, hist,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(tmp, hist, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
     }
     val all = prior :+ times
     val mins = all.flatMap(_.keys).distinct.map { k =>

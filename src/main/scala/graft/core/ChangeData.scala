@@ -42,6 +42,20 @@ object ChangeData {
       }
     }
 
+  /** The ADDED rows of ONE snapshot's changelog — the exact delta that
+    * commit appended. Backs replay self-exclusion in streaming
+    * ingest-dedup: a replaying exactly-once writer excludes only the
+    * PKs its own earlier commit added (found via
+    * [[Storage.snapshotIdForTxn]]), never rows an earlier batch
+    * admitted. `pksOnly` skips record stitching when only keys matter. */
+  def addedRows(
+      spark: SparkSession,
+      storage: Storage,
+      snapshotId: Long,
+      pksOnly: Boolean = false): Option[DataFrame] =
+    storage.changeLog(snapshotId).flatMap(cl =>
+      readRowSet(spark, storage, cl.addedRows, pksOnly = pksOnly))
+
   private def readRowSet(
       spark: SparkSession,
       storage: Storage,

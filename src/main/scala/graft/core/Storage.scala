@@ -653,7 +653,7 @@ final class Storage(val location: String, val conf: Configuration) {
 
     val now = System.currentTimeMillis()
     val snap = Snapshot(newId, Some(baseId), now, manifests,
-      base.storageStatistics + patch.statsDelta, changeLogFile)
+      base.storageStatistics + patch.statsDelta, changeLogFile, patch.txn)
 
     // exactly-once writer guard: runs under the commit lock after a
     // fresh reload, so a duplicate delivery can NEVER double-commit —
@@ -843,6 +843,18 @@ final class Storage(val location: String, val conf: Configuration) {
 
   def changeLog(snapshotId: Long): Option[ChangeLog] =
     snapshotOrFail(snapshotId).changeLogFile.map(f => MetadataJson.readChangeLog(readString(f)))
+
+  /** The snapshot committed under exactly the exactly-once tag
+    * (appId, version), if any — lets a replaying writer read the
+    * changelog of ITS OWN earlier commit (what that batch actually
+    * added) instead of approximating from the redelivered batch.
+    * Metadata-plane scan over the snapshot map; None when the tagged
+    * commit never happened (e.g. the batch had nothing to append) or
+    * predates the per-snapshot tag field. */
+  def snapshotIdForTxn(appId: String, version: Long): Option[Long] =
+    meta.snapshots.values.collectFirst {
+      case s if s.txn.contains(TxnTag(appId, version)) => s.snapshotId
+    }
 
   /** Walk parent pointers from end back to start, exclusive of start
     * (change_data.py:59-84): returns (start, end] in increasing order. */

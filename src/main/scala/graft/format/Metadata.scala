@@ -60,7 +60,17 @@ final case class Snapshot(
     manifestFiles: ManifestFiles,
     storageStatistics: StorageStatistics,
     /** Relative path of this snapshot's change log (metadata.proto:108-111). */
-    changeLogFile: Option[String])
+    changeLogFile: Option[String],
+    /** The exactly-once writer tag this snapshot committed under, if
+      * any. [[StorageMetadata.txnVersions]] keeps only the high-water
+      * mark per appId; recording the tag PER SNAPSHOT lets a replaying
+      * writer find exactly WHAT its own (appId, version) commit added —
+      * the changelog of this snapshot — instead of approximating it
+      * from the redelivered batch (which can over-exclude rows an
+      * earlier batch admitted). Absent in pre-existing metadata (json4s
+      * default) — replay exclusion then degrades to empty, which only
+      * re-verifies, never re-admits. */
+    txn: Option[TxnTag] = None)
 
 object SnapshotRef {
   val Tag = "TAG"

@@ -552,12 +552,15 @@ object EventsStream {
     * under a derived app id). A replay after a crash between the two
     * commits re-runs the SAME decision — replays are DETECTED (the
     * sink's recorded txn version for this appId has reached this
-    * batchId) and only then does the fetch exclude the batch's own ids
-    * from the sink read, so docs this batch already admitted can't
-    * self-match as duplicates; each appendOnce then either no-ops
-    * (already committed) or heals the missing half. On a first
-    * attempt no exclusion applies: a doc_id an EARLIER batch admitted
-    * that re-arrives must verify against its own sink text. */
+    * batchId) and only then does the fetch exclude, from the sink read,
+    * exactly the ids THIS batch's sink commit added (the changelog
+    * delta of the snapshot tagged TxnTag(appId, batchId)), so docs this
+    * batch already admitted can't self-match as duplicates; each
+    * appendOnce then either no-ops (already committed) or heals the
+    * missing half. A doc_id an EARLIER batch admitted that re-arrives —
+    * even inside a replayed batch — is NOT excluded and verifies
+    * against its own sink text, so the replay reaches the same
+    * drop-as-duplicate decision the first attempt committed. */
   private[graft] def ingestDedupBatch(
       idxTable: SpaceDataset,
       corpusTable: SpaceDataset,
@@ -596,18 +599,27 @@ object EventsStream {
           if (keys.isEmpty) lit(false)
           else col("band_key").isin(keys.map(Long.box): _*)))
       }
-      // micro-batch-bounded id set, used only for replay self-exclusion
-      val batchIds = bb.select(col("doc_id")).collect().map(_.getLong(0)).toSet
       // replay iff the sink has already recorded THIS (appId, batchId)
       // txn — only then do the batch's own admitted rows exist in the
-      // sink and must be excluded from the verify fetch. On a FIRST
-      // attempt the exclusion must NOT apply: a doc_id some EARLIER
-      // batch admitted can re-arrive in this batch, and it has to
-      // verify against its own sink text or the near-duplicate is
-      // re-admitted under the same primary key.
+      // sink and must be excluded from the verify fetch. The exclusion
+      // set is EXACTLY what this batch's sink commit added: the
+      // changelog delta of the snapshot tagged TxnTag(appId, batchId) —
+      // NOT the redelivered batch's id set, which over-excludes a
+      // doc_id an EARLIER batch admitted that re-arrives in this batch
+      // (its sink text must stay visible, or the replay re-admits the
+      // near-duplicate and the #idx appendOnce writes duplicate
+      // (id, band) primary-key rows for it). Micro-batch-bounded: the
+      // tagged commit appended at most this batch's survivors.
       sink.storage.reload()
       val isReplay =
         sink.storage.metadata.txnVersions.get(appId).exists(_ >= batchId)
+      val thisBatchAdmitted: Set[Long] =
+        if (!isReplay) Set.empty
+        else sink.storage.snapshotIdForTxn(appId, batchId)
+          .flatMap(sid => graft.core.ChangeData.addedRows(
+            bb.sparkSession, sink.storage, sid, pksOnly = true))
+          .map(_.collect().map(_.getLong(0)).toSet)
+          .getOrElse(Set.empty)
       def isinF(xs: Seq[Long]) =
         if (xs.isEmpty) lit(false) else col("doc_id").isin(xs.map(Long.box): _*)
       val fetchByIds: Seq[Long] => DataFrame = { ids =>
@@ -616,7 +628,7 @@ object EventsStream {
         // corpus read keeps every candidate — a re-crawled id that
         // already exists in the corpus must still verify against its
         // corpus text, or a near-duplicate would slip in
-        val sinkIds = if (isReplay) ids.filterNot(batchIds) else ids
+        val sinkIds = ids.filterNot(thisBatchAdmitted)
         corpusTable.read(filter = Some(isinF(ids)))
           .select(col("doc_id"), col("text"))
           .unionByName(sink.read(filter = Some(isinF(sinkIds)))

@@ -162,14 +162,27 @@ object TransformRegistry {
 
   // `escaped=1` marks plans whose parts were percent-escaped at write
   // time; without it the parts are taken verbatim — so a plan persisted
-  // before escaping existed, whose expression contains a literal '%3B'
-  // or '%25', keeps its meaning on replay instead of being "unescaped".
-  // MIGRATION NOTE: plans written by the one intermediate build that
-  // escaped WITHOUT writing the flag are indistinguishable from
-  // pre-escaping plans; if such a plan's exprs contain ';' (stored as
-  // '%3B'), re-materialize the view — there is no marker to dispatch on
+  // before escaping existed keeps its meaning on replay instead of
+  // being "unescaped". Plans written by the one intermediate build that
+  // escaped WITHOUT writing the flag are indistinguishable from a
+  // pre-escaping plan whose expression contains a literal '%3B'/'%25':
+  // executing either reading would silently change ONE of them (a ';'
+  // replays as a selectExpr parse error; a '%' literal shifts value).
+  // There is no marker to dispatch on, so an unflagged expr carrying
+  // either sequence REFUSES to run — re-materialize the view from its
+  // definition to get a flagged plan.
   register("select_exprs", (df, params) => {
     val parts = params("exprs").split(";;").toIndexedSeq
+    if (!params.get("escaped").contains("1")) {
+      val tainted = parts.filter(p => p.contains("%3B") || p.contains("%25"))
+      if (tainted.nonEmpty) throw new IllegalStateException(
+        "select_exprs plan has no 'escaped' flag but contains the escape " +
+          s"sequence %3B/%25 in: ${tainted.mkString(", ")} — it was either " +
+          "written by a build that escaped without flagging (unescaping is " +
+          "required) or contains those characters literally (unescaping " +
+          "would corrupt it). Cannot tell apart; re-materialize this view " +
+          "so the plan is persisted with escaped=1.")
+    }
     df.selectExpr(
       (if (params.get("escaped").contains("1")) parts.map(unescExpr) else parts): _*)
   })

@@ -173,6 +173,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // standard bucketing syntax (CLUSTERED BY ... INTO N BUCKETS) arrives
     // as a bucket Transform — translate it, since bucketing is exactly
     // what graft tables support; only hive-style PARTITIONED BY is not
+    // DDL fidelity: a silently-dropped SORTED BY would promise a sort
+    // order graft writes don't produce — reject by name, don't let it
+    // fall into the generic not-hive-partitioned error (or worse, be
+    // swallowed by the BucketTransform extractor's 3-tuple form)
+    require(!partitions.exists(
+        _.isInstanceOf[org.apache.spark.sql.connector.expressions.SortedBucketTransform]),
+      "SORTED BY is unsupported: graft bucketing hashes rows to buckets " +
+        "but does not sort within them; drop the SORTED BY clause")
     val (bucketTs, otherTs) = partitions.partition(
       _.isInstanceOf[org.apache.spark.sql.connector.expressions.BucketTransform])
     require(otherTs.isEmpty,

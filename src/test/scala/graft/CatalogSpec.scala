@@ -458,6 +458,12 @@ class CatalogSpec extends AnyFunSuite {
     // hive partitioning is still rejected
     intercept[Exception](spark.sql("CREATE TABLE graft_test.cb3 (id BIGINT, p STRING) " +
       "PARTITIONED BY (p) TBLPROPERTIES ('primary_keys'='id')"))
+    // SORTED BY is not silently dropped — graft buckets are unsorted
+    val eSort = intercept[Exception](spark.sql(
+      "CREATE TABLE graft_test.cb4 (id BIGINT, v STRING) " +
+        "CLUSTERED BY (id) SORTED BY (v) INTO 4 BUCKETS " +
+        "TBLPROPERTIES ('primary_keys'='id')"))
+    assert(eSort.getMessage.contains("SORTED BY is unsupported"), eSort.getMessage)
 
     // ALTER atomicity: the valid first ADD must NOT survive the rejected
     // second one (each applied change persists immediately — validation

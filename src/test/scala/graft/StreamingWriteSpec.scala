@@ -333,6 +333,61 @@ class StreamingWriteSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("replay excludes only THIS batch's sink delta, not earlier-batch admits") {
+    import graft.operators.Dedup
+    val docs = Tables.read(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 50)
+    val loc = Files.createTempDirectory("graft_sid_rx_").toString
+    val corpusT = core.SpaceDataset.create(
+      spark, s"$loc/corpus", docs.schema, Seq("doc_id"))
+    corpusT.append(docs)
+    val idx = Dedup.minhashIndexRows(docs, "text", "doc_id",
+      numHashes = 32, bands = 16, shingleSize = 3)
+    val idxT = core.SpaceDataset.create(
+      spark, s"$loc/idx", idx.schema, Seq("id", "band"))
+    idxT.append(idx)
+    // batch 0 admits novel doc X (id 820003)
+    val x = docs.filter(col("doc_id") === 3L)
+      .select((col("doc_id") + 820000L).as("doc_id"),
+        concat(reverse(col("text")), lit(" first")).as("text"))
+    val sink = core.SpaceDataset.create(
+      spark, s"$loc/tbl", x.schema, Seq("doc_id"))
+    graft.streaming.EventsStream.ingestDedupBatch(
+      idxT, corpusT, sink, "sid_rx")(x, 0L)
+    assert(sink.readAll().count() == 1)
+    assert(idxT.readAll().filter(col("id") === 820003L).count() == 16)
+    // batch 1 = X re-arriving (near-dup of its batch-0 text) + novel Y.
+    // Simulate the crash window: batch 1's sink commit landed (correct
+    // decision: Y admitted, X-rearrival dropped as a dup of its own
+    // batch-0 sink row), the #idx commit did NOT.
+    val xAgain = x.select(col("doc_id"),
+      concat(col("text"), lit(" tail")).as("text"))
+    val y = docs.filter(col("doc_id") === 4L)
+      .select((col("doc_id") + 830000L).as("doc_id"),
+        concat(reverse(col("text")), lit(" other")).as("text"))
+    val batch1 = xAgain.unionByName(y)
+    sink.appendOnce(y, "sid_rx", 1L)
+    // replay of batch 1: self-exclusion must hide only Y's sink row
+    // (this batch's committed delta), NOT X's batch-0 row — else the
+    // recomputed survivors re-admit X and the healing #idx appendOnce
+    // writes duplicate (id, band) primary-key rows for it
+    graft.streaming.EventsStream.ingestDedupBatch(
+      idxT, corpusT, sink, "sid_rx")(batch1, 1L)
+    assert(sink.readAll().count() == 2,
+      "replay changed the committed sink decision")
+    assert(idxT.readAll().filter(col("id") === 820003L).count() == 16,
+      "replay wrote duplicate index rows for an earlier-batch admit")
+    assert(idxT.readAll().filter(col("id") === 830004L).count() == 16,
+      "replay did not heal the index rows for this batch's admit")
+    // a second replay is a full no-op on both tables
+    val idxRows = idxT.readAll().count()
+    graft.streaming.EventsStream.ingestDedupBatch(
+      idxT, corpusT, sink, "sid_rx")(batch1, 1L)
+    assert(sink.readAll().count() == 2)
+    assert(idxT.readAll().count() == idxRows)
+    spark.catalog.clearCache()
+  }
+
   test("a doc_id admitted by an EARLIER batch re-arriving later still dedupes") {
     import graft.operators.Dedup
     val docs = Tables.read(spark, sfDir, "documents")

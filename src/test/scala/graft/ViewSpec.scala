@@ -220,17 +220,31 @@ class ViewSpec extends AnyFunSuite {
     assert(v.plan.asInstanceOf[MapNode].params.get("escaped").contains("1"))
   }
 
-  test("a pre-escaping plan with literal %3B/%25 text replays verbatim") {
+  test("a pre-escaping plan without escape sequences replays verbatim") {
     // plans persisted before expression escaping existed carry no
     // `escaped` flag — their parts must be taken as written, not
-    // percent-decoded (a literal '%3B' must not silently become ';')
+    // percent-decoded
+    val ds = sourceTable()
+    val legacy = MapNode("select_exprs",
+      Map("exprs" -> "o_orderkey;;concat('a', 'b') AS lit"),
+      ReadTable(ds.location))
+    val got = new View(legacy).toDF(spark)
+    assert(got.select("lit").distinct().collect().map(_.getString(0)).toSeq ==
+      Seq("ab"))
+  }
+
+  test("an unflagged plan carrying %3B/%25 refuses to run (ambiguous vintage)") {
+    // an unflagged expr containing the escape sequences is ambiguous: a
+    // pre-escaping plan with those characters LITERAL, or a plan from
+    // the intermediate build that escaped without flagging. Executing
+    // either reading silently changes one of them — the loader must
+    // fail with a re-materialize instruction instead.
     val ds = sourceTable()
     val legacy = MapNode("select_exprs",
       Map("exprs" -> "o_orderkey;;concat('%3B', '%25') AS lit"),
       ReadTable(ds.location))
-    val got = new View(legacy).toDF(spark)
-    assert(got.select("lit").distinct().collect().map(_.getString(0)).toSeq ==
-      Seq("%3B%25"))
+    val err = intercept[IllegalStateException](new View(legacy).toDF(spark))
+    assert(err.getMessage.contains("re-materialize"), err.getMessage)
   }
 
   test("MV refresh handles rows leaving and entering the filter") {
