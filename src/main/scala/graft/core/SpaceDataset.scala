@@ -500,8 +500,21 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
       .toDF("snapshot_id", "parent_snapshot_id", "create_time", "refs")
   }
 
-  /** Current snapshot's index files (datasets.py:99-104). */
-  def indexFiles(filter: Option[Column] = None): Seq[String] = plan(filter).files
+  /** Index files of a version (datasets.py:99-104; default current).
+    * `version` accepts what reads accept — tag/branch/snapshot-id/ISO
+    * timestamp. This is the HuggingFace-export surface of the reference
+    * (notebooks/huggingface_conversion.ipynb: `load_dataset("parquet",
+    * data_files=ds.index_files(version=tag))`): a table whose fields
+    * all live in parquet converts BACK to an HF dataset by handing the
+    * pinned file list to any raw parquet reader — CoW snapshots are
+    * complete at rest (no masks), so no engine sits on that read path.
+    * Paths are RESOLVED (native files under the table root become
+    * absolute; zero-copy external files pass through as written) so the
+    * list is directly consumable outside the engine. */
+  def indexFiles(
+      filter: Option[Column] = None,
+      version: Option[String] = None): Seq[String] =
+    plan(filter, version).files.map(storage.absolute)
 
   /** Filterable index-manifest table (storage.py:459-480). */
   def indexManifest(): DataFrame = {

@@ -23,6 +23,42 @@ object StorageOps {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.read(s, d, n)
 
+  /** Session-cached WebDataset fixture shards, keyed by source dir. The
+    * notebook's img2dataset download happens ONCE, outside the measured
+    * ingest — synthesizing shards inside the query body charged a
+    * driver-side collect + tar write to every bench iteration of
+    * `s_load_webds`. Shards derive deterministically from the documents
+    * table, so reuse across calls is sound. */
+  private val webdsShardCache = scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+
+  private def webdsFakeJpg(id: Long): Array[Byte] = {
+    val n = 100 + (id % 50).toInt
+    val a = new Array[Byte](n)
+    a(0) = (id % 251).toByte
+    var i = 1
+    while (i < n) { a(i) = ((id + i) % 256).toByte; i += 1 }
+    a
+  }
+
+  private def webdsShards(s: SparkSession, d: String): Seq[String] =
+    webdsShardCache.synchronized {
+      webdsShardCache.getOrElseUpdate(d, {
+        import graft.sources.WebDataset
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text")).collect()
+        val dir = Files.createTempDirectory("graft_webds_fixture_")
+        (0 until 4).map { i =>
+          val p = dir.resolve(f"shard-$i%05d.tar")
+          WebDataset.writeShard(p, docs.toSeq.filter(_.getLong(0) % 4 == i).map { r =>
+            val id = r.getLong(0)
+            f"$id%09d" -> Seq(
+              "txt" -> r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              "jpg" -> webdsFakeJpg(id))
+          })
+          p.toString
+        }
+      })
+    }
+
   private def ordersTable(s: SparkSession, d: String, prefix: String): SpaceDataset = {
     val o = t(s, d, "orders")
     val ds = SpaceDataset.create(s, fresh(prefix), o.schema, Seq("o_orderkey"))
@@ -698,28 +734,10 @@ object StorageOps {
     "s_load_webds" -> ((s, d) => {
       import graft.sources.WebDataset
       import org.apache.spark.sql.types.{BinaryType, StringType, StructField, StructType}
-      def fakeJpg(id: Long): Array[Byte] = {
-        val n = 100 + (id % 50).toInt
-        val a = new Array[Byte](n)
-        a(0) = (id % 251).toByte
-        var i = 1
-        while (i < n) { a(i) = ((id + i) % 256).toByte; i += 1 }
-        a
-      }
-      // fixture synthesis (driver-side, like the notebook's img2dataset
-      // download step — not part of the measured ingest path)
-      val docs = t(s, d, "documents").select(col("doc_id"), col("text")).collect()
-      val dir = Files.createTempDirectory("graft_webds_")
-      val shards = (0 until 4).map { i =>
-        val p = dir.resolve(f"shard-$i%05d.tar")
-        WebDataset.writeShard(p, docs.toSeq.filter(_.getLong(0) % 4 == i).map { r =>
-          val id = r.getLong(0)
-          f"$id%09d" -> Seq(
-            "txt" -> r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8),
-            "jpg" -> fakeJpg(id))
-        })
-        p.toString
-      }
+      // fixture shards come from the session cache (built once per sf
+      // dir) — the measured query body starts at the engine surface:
+      // WebDataset.read + appendFrom
+      val shards = webdsShards(s, d)
       val schema = StructType(Seq(
         StructField("key", StringType, nullable = false),
         StructField("txt", BinaryType),

@@ -23,9 +23,15 @@ import org.apache.spark.sql.types.{BinaryType, StringType, StructField, StructTy
   * 100 TB parallelism is shard count, the same unit WebDataset itself
   * distributes by), each task STREAMING its tar off the filesystem, so
   * no whole-shard byte array is ever materialized and shards larger
-  * than 2 GB (the binary-source row cap) ingest fine. Task memory is
-  * bounded by the shard's REQUESTED payloads, not the tar size.
-  * Nothing passes through the driver.
+  * than 2 GB (the binary-source row cap) ingest fine. Well-formed
+  * shards store each sample's files CONTIGUOUSLY (the format's own
+  * sequential-access contract), so samples are EMITTED AS THEIR RUN
+  * ENDS and task memory is bounded by ONE sample's requested payloads,
+  * not the shard: a cheap first pass walks only the tar headers
+  * (payload bytes are seek-skipped) to confirm contiguity; a shard
+  * whose keys interleave falls back to whole-shard grouping, which
+  * produces the identical sample set. Nothing passes through the
+  * driver.
   *
   * Key semantics mirror the `webdataset` library: the sample key is the
   * entry name up to the FIRST dot of its basename (directories kept),
@@ -52,20 +58,132 @@ object WebDataset {
     val rows = sc.parallelize(shardPaths, shardPaths.size).flatMap { p =>
       val path = new org.apache.hadoop.fs.Path(p)
       val fs = path.getFileSystem(conf.value.value)
-      val in = new BufferedInputStream(fs.open(path))
-      try parseSamples(in, exts)
-        .map { case (k, m) => Row.fromSeq(k +: exts.map(m.get(_).orNull)) }
-      finally in.close()
+      // pass 1 — headers only (payloads seek-skipped on FS streams):
+      // are this shard's sample keys contiguous?
+      val contiguous = {
+        val s = new BufferedInputStream(fs.open(path))
+        try keysContiguous(s, exts) finally s.close()
+      }
+      val samples: Iterator[(String, Map[String, Array[Byte]])] =
+        if (contiguous) {
+          // pass 2 — streaming emit, memory bounded by one sample; the
+          // stream closes at EOF, and the task-completion listener
+          // covers abnormal task exit mid-iteration
+          val in = new BufferedInputStream(fs.open(path))
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => in.close()))
+          parseSamplesStreaming(in, exts)
+        } else {
+          // out-of-order shard: whole-shard grouping (identical sample
+          // set; memory = the shard's requested payloads — unavoidable
+          // when a sample's files are genuinely scattered)
+          val in = new BufferedInputStream(fs.open(path))
+          val all = try parseSamples(in, exts) finally in.close()
+          all.iterator
+        }
+      samples.map { case (k, m) => Row.fromSeq(k +: exts.map(m.get(_).orNull)) }
     }
     spark.createDataFrame(rows, schema)
   }
 
-  /** One shard → the samples it holds: key → (ext → bytes). Insertion
-    * order preserved (WebDataset tars store a sample's files
-    * contiguously, but grouping the whole shard is robust to any
-    * order — a shard is one task's input, the same memory unit the
-    * webdataset library assumes). The stream is consumed to EOF but
-    * only requested-extension payloads are retained. */
+  /** webdataset `base_plus_ext` split: name up to the FIRST dot of the
+    * basename is the key, the rest is the extension. None for entries
+    * that cannot be a sample file (no dot, or an empty/hidden stem). */
+  private def keyExt(name: String): Option[(String, String)] = {
+    val slash = name.lastIndexOf('/')
+    val dot = name.indexOf('.', slash + 1)
+    // a valid sample entry needs a non-empty stem before the first
+    // dot of its basename: extension-less entries cannot address a
+    // column, and hidden files (`.txt`, `dir/.txt`) would collapse
+    // into one bogus empty-stem sample — webdataset skips them
+    if (dot > slash + 1) Some((name.substring(0, dot), name.substring(dot + 1)))
+    else None
+  }
+
+  /** Pass-1 contiguity check: do the shard's requested-extension keys
+    * appear in contiguous runs? Walks tar HEADERS only — payload bytes
+    * are skipped by `getNextEntry` (a seek on filesystem streams), so
+    * this costs one header sweep regardless of shard size. Memory is
+    * one string per distinct key (keys, not payloads). */
+  private[graft] def keysContiguous(stream: InputStream, exts: Seq[String]): Boolean = {
+    val wanted = exts.toSet
+    val in = new TarArchiveInputStream(stream)
+    val closed = mutable.HashSet.empty[String]
+    var cur: String = null
+    var e = in.getNextEntry
+    while (e != null) {
+      if (!e.isDirectory) {
+        keyExt(e.getName) match {
+          case Some((key, ext)) if wanted.contains(ext) =>
+            if (key != cur) {
+              if (cur != null) closed += cur
+              if (closed.contains(key)) return false
+              cur = key
+            }
+          case _ =>
+        }
+      }
+      e = in.getNextEntry
+    }
+    true
+  }
+
+  /** Streaming parse of a CONTIGUOUS shard: each sample is emitted the
+    * moment its run of entries ends, so memory is bounded by one
+    * sample's requested payloads. Callers must have verified contiguity
+    * ([[keysContiguous]]); a key reappearing after its run closed is
+    * reported as the corrupt/out-of-order shard it is. */
+  private[graft] def parseSamplesStreaming(stream: InputStream, exts: Seq[String])
+      : Iterator[(String, Map[String, Array[Byte]])] =
+    new Iterator[(String, Map[String, Array[Byte]])] {
+      private val wanted = exts.toSet
+      private val in = new TarArchiveInputStream(stream)
+      private val closed = mutable.HashSet.empty[String]
+      private var curKey: String = null
+      private var curFiles = Map.empty[String, Array[Byte]]
+      private var ready: (String, Map[String, Array[Byte]]) = null
+      private var eof = false
+
+      private def close(): Unit = { eof = true; in.close() }
+
+      private def advance(): Unit = while (ready == null && !eof) {
+        val e = in.getNextEntry
+        if (e == null) {
+          if (curKey != null) { ready = (curKey, curFiles); curKey = null }
+          close()
+        } else if (!e.isDirectory) {
+          keyExt(e.getName) match {
+            case Some((key, ext)) if wanted.contains(ext) =>
+              if (key == curKey) {
+                if (curFiles.contains(ext)) throw new IllegalArgumentException(
+                  s"duplicate file '${e.getName}' in sample '$key' — corrupt shard")
+                curFiles += ext -> IOUtils.toByteArray(in)
+              } else {
+                if (closed.contains(key)) throw new IllegalStateException(
+                  s"sample '$key' reappears after its run ended — " +
+                    "out-of-order shard in streaming parse")
+                if (curKey != null) { ready = (curKey, curFiles); closed += curKey }
+                curKey = key
+                curFiles = Map(ext -> IOUtils.toByteArray(in))
+              }
+            case _ =>
+          }
+        }
+      }
+
+      def hasNext: Boolean = { if (ready == null) advance(); ready != null }
+      def next(): (String, Map[String, Array[Byte]]) = {
+        if (!hasNext) throw new NoSuchElementException("shard exhausted")
+        val r = ready; ready = null; r
+      }
+    }
+
+  /** One shard → the samples it holds: key → (ext → bytes), grouping
+    * the WHOLE shard in memory (insertion order preserved). Robust to
+    * any entry order — the fallback for out-of-order shards, and the
+    * semantics [[parseSamplesStreaming]] must reproduce on contiguous
+    * ones. The stream is consumed to EOF but only requested-extension
+    * payloads are retained. */
   private[graft] def parseSamples(stream: InputStream, exts: Seq[String])
       : Seq[(String, Map[String, Array[Byte]])] = {
     val wanted = exts.toSet
@@ -74,26 +192,17 @@ object WebDataset {
     var e = in.getNextEntry
     while (e != null) {
       if (!e.isDirectory) {
-        val name = e.getName
-        val slash = name.lastIndexOf('/')
-        val dot = name.indexOf('.', slash + 1)
-        // a valid sample entry needs a non-empty stem before the first
-        // dot of its basename: extension-less entries cannot address a
-        // column, and hidden files (`.txt`, `dir/.txt`) would collapse
-        // into one bogus empty-stem sample — webdataset skips them
-        if (dot > slash + 1) {
-          val key = name.substring(0, dot)
-          val ext = name.substring(dot + 1)
-          if (wanted.contains(ext)) {
+        keyExt(e.getName) match {
+          case Some((key, ext)) if wanted.contains(ext) =>
             val bytes = IOUtils.toByteArray(in) // to current-entry EOF
             samples.updateWith(key) {
               case Some(m) =>
                 if (m.contains(ext)) throw new IllegalArgumentException(
-                  s"duplicate file '$name' in sample '$key' — corrupt shard")
+                  s"duplicate file '${e.getName}' in sample '$key' — corrupt shard")
                 Some(m + (ext -> bytes))
               case None => Some(Map(ext -> bytes))
             }
-          }
+          case _ =>
         }
       }
       e = in.getNextEntry

@@ -59,6 +59,50 @@ class WebDatasetSpec extends AnyFunSuite {
     assert(err.getMessage.contains("duplicate"), err.getMessage)
   }
 
+  test("interleaved and ordered shards produce identical samples") {
+    val dir = Files.createTempDirectory("graft_wds_ord_")
+    val ordered = dir.resolve("ordered.tar")
+    WebDataset.writeShard(ordered, Seq(
+      "a" -> Seq("txt" -> bytes("ta"), "jpg" -> Array[Byte](1, 2)),
+      "b" -> Seq("txt" -> bytes("tb"), "jpg" -> Array[Byte](3)),
+      "c" -> Seq("txt" -> bytes("tc"), "jpg" -> Array[Byte](4, 5, 6))))
+    // same content, sample files scattered across the shard (writeShard
+    // writes outer-seq order, so repeating a key interleaves entries)
+    val interleaved = dir.resolve("interleaved.tar")
+    WebDataset.writeShard(interleaved, Seq(
+      "a" -> Seq("txt" -> bytes("ta")),
+      "b" -> Seq("txt" -> bytes("tb")),
+      "c" -> Seq("txt" -> bytes("tc")),
+      "a" -> Seq("jpg" -> Array[Byte](1, 2)),
+      "b" -> Seq("jpg" -> Array[Byte](3)),
+      "c" -> Seq("jpg" -> Array[Byte](4, 5, 6))))
+
+    // contiguity pre-scan classifies them correctly
+    def scan(p: java.nio.file.Path) = {
+      val s = new java.io.ByteArrayInputStream(Files.readAllBytes(p))
+      WebDataset.keysContiguous(s, Seq("txt", "jpg"))
+    }
+    assert(scan(ordered), "ordered shard misclassified as interleaved")
+    assert(!scan(interleaved), "interleaved shard misclassified as ordered")
+
+    // streaming parse of the ordered shard equals whole-shard grouping
+    val streamed = WebDataset.parseSamplesStreaming(
+      new java.io.ByteArrayInputStream(Files.readAllBytes(ordered)), Seq("txt", "jpg"))
+      .toSeq.map { case (k, m) => (k, m.view.mapValues(_.toSeq).toMap) }
+    val grouped = WebDataset.parseSamples(Files.readAllBytes(ordered), Seq("txt", "jpg"))
+      .map { case (k, m) => (k, m.view.mapValues(_.toSeq).toMap) }
+    assert(streamed == grouped)
+
+    // the full reader yields the identical sample set for both layouts
+    def rows(p: java.nio.file.Path) =
+      WebDataset.read(spark, Seq(p.toString), Seq("txt", "jpg")).collect()
+        .map(r => (r.getString(0),
+          new String(r.getAs[Array[Byte]](1), UTF_8),
+          r.getAs[Array[Byte]](2).toSeq)).toSet
+    assert(rows(ordered) == rows(interleaved))
+    assert(rows(ordered).map(_._1) == Set("a", "b", "c"))
+  }
+
   test("multi-shard read ingests as ONE snapshot with byte-identical record payloads") {
     import org.apache.spark.sql.types.{BinaryType, StringType, StructField, StructType}
     val dir = Files.createTempDirectory("graft_wds_ing_")
