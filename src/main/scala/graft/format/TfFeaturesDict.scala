@@ -159,9 +159,14 @@ object TfFeaturesSpec {
     *    `objects/bbox`
     *  - `BBoxFeature` (by class name) → float32 `[·, 4]`-compatible
     *    leaf (4 normalized corner floats per box)
+    *  - `translation {languages}` → [[TfDict]] of language → string
+    *    scalar (TFDS serializes a fixed-language Translation as
+    *    per-language Text keys; the variable-language variant is
+    *    list-aligned on the wire and stays an explicit throw)
     *
-    * Unsupported nodes (audio/video/translation/…) throw with the
-    * offending `pythonClassName` so the gap is visible, never silent. */
+    * Unsupported nodes (audio/video/TranslationVariableLanguages/…)
+    * throw with the offending `pythonClassName` so the gap is visible,
+    * never silent. */
   def fromTfdsJson(json: String): TfFeaturesSpec =
     JsonMethods.parse(json) match {
       case o: JObject => fromTfdsEnvelope(o)
@@ -252,8 +257,29 @@ object TfFeaturesSpec {
       } else if (className.endsWith("BBoxFeature") || fields.contains("boundingBox")) {
         // 4 normalized corner floats per box (ymin, xmin, ymax, xmax)
         TfLeaf("float32", Seq(4))
+      } else if (fields.contains("translation")) {
+        // Translation(languages=[…]) is a dict of language → Text on
+        // the wire (TFDS serializes per-language keys `<lang>`); the
+        // variable-language variant (TranslationVariableLanguages)
+        // serializes as aligned language/translation LISTS instead and
+        // stays unsupported by name below
+        val t = fields("translation") match {
+          case JObject(fs) => fs.toMap
+          case other => fail(s"bad TFDS translation: $other")
+        }
+        val langs = t.get("languages") match {
+          case Some(JArray(items)) => items.map {
+            case JString(l) => l
+            case other => fail(s"bad TFDS translation language: $other")
+          }
+          case _ => fail(s"TFDS translation without a languages list " +
+            s"($className — TranslationVariableLanguages is unsupported)")
+        }
+        if (langs.isEmpty) fail("TFDS translation with an empty languages list")
+        TfDict(SortedMap(langs.map(l => l -> (TfLeaf("string"): TfFeatureNode)): _*))
       } else fail(s"unsupported TFDS feature $className " +
-        s"(supported: FeaturesDict, Tensor, Text, ClassLabel, Image, BBox, Sequence)")
+        s"(supported: FeaturesDict, Tensor, Text, ClassLabel, Image, BBox, " +
+        s"Sequence, Translation)")
     }
 
     toNode(root) match {

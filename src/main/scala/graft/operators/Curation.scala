@@ -32,6 +32,13 @@ object Curation {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.read(s, d, "documents")
 
+  /** Bloom estimated-items for decontamination: the measured benchmark
+    * cardinality with a floor (approx_count_distinct carries ~2% error
+    * and a pathologically tiny estimate must not shrink the sketch into
+    * an all-pass sieve) and 10% headroom for the estimator's low side. */
+  private[operators] def bloomItems(nDistinct: Long): Long =
+    math.max(nDistinct + nDistinct / 10, 4096L)
+
   /** Portable multiplicative mix → bucket in [0, buckets): Knuth
     * multiplicative hashing with an xorshift finalizer, kept inside
     * non-overflowing int64 arithmetic (ANSI-safe, and reproducible in
@@ -110,7 +117,21 @@ object Curation {
       docs(s, d).select(col("doc_id"),
           TF.wordShingleHashes(col("text"), 3).as("g"))
         .createOrReplaceTempView("graft_decon_grams")
-      s.sql("""
+      // size the sketch FROM THE DATA: Spark's BloomFilterAggregate
+      // requires estimatedItems as a foldable literal, so the benchmark
+      // set's distinct-gram cardinality is measured up front (one cheap
+      // distributed agg over the BENCH slice only, never the corpus).
+      // A fixed literal silently degrades at scale — at a 10^8-gram
+      // eval suite an undersized sketch saturates into a ~100%-pass
+      // sieve: still correct (the exact join kills false positives)
+      // but the prefilter it exists for does nothing.
+      val nBenchGrams = s.sql(
+        """SELECT approx_count_distinct(gram) FROM (
+          |  SELECT gram FROM graft_decon_grams
+          |  LATERAL VIEW explode(g) x AS gram
+          |  WHERE doc_id % 97 = 0)""".stripMargin).head().getLong(0)
+      val items = bloomItems(nBenchGrams)
+      s.sql(s"""
         WITH bench AS (
           SELECT DISTINCT gram
           FROM graft_decon_grams LATERAL VIEW explode(g) x AS gram
@@ -121,7 +142,7 @@ object Curation {
           FROM graft_decon_grams LATERAL VIEW explode(g) x AS gram
           WHERE doc_id % 97 != 0
             AND graft_might_contain(
-                  (SELECT graft_bloom_agg(gram, CAST(200000 AS BIGINT))
+                  (SELECT graft_bloom_agg(gram, CAST($items AS BIGINT))
                    FROM bench), gram)),
         cnt AS (
           SELECT c.doc_id, count(*) AS n_shared

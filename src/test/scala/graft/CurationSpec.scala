@@ -54,6 +54,36 @@ class CurationSpec extends AnyFunSuite {
     } finally { bloom.unpersist(); () }
   }
 
+  test("the decontamination bloom is sized from the data and actually filters") {
+    graft.GraftExtensions.registerAll(spark)
+    import graft.functions.{TextFunctions => TF}
+    val g = Tables.read(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(TF.wordShingleHashes(col("text"), 3)).as("gram"))
+    val bench = g.filter(col("doc_id") % 97 === 0).select("gram").distinct().cache()
+    val corpus = g.filter(col("doc_id") % 97 =!= 0).cache()
+    try {
+      val nBench = bench.count()
+      val total = corpus.count()
+      // the query's sizing rule, replayed: measured cardinality + floor
+      bench.createOrReplaceTempView("graft_bloom_bench")
+      corpus.createOrReplaceTempView("graft_bloom_corpus")
+      val items = math.max(nBench + nBench / 10, 4096L)
+      val passed = spark.sql(
+        s"""SELECT count(*) FROM graft_bloom_corpus
+           |WHERE graft_might_contain(
+           |  (SELECT graft_bloom_agg(gram, CAST($items AS BIGINT))
+           |   FROM graft_bloom_bench), gram)""".stripMargin).head().getLong(0)
+      // a correctly-sized sketch must kill the vast majority of corpus
+      // grams BEFORE the exact join — an undersized (saturated) one
+      // passes ~everything, which is exactly the silent degradation the
+      // data-derived sizing prevents
+      assert(passed < total / 2,
+        s"bloom passed $passed of $total corpus grams — saturated sketch")
+      val truePos = corpus.join(bench, "gram").count()
+      assert(passed >= truePos, "bloom dropped a true contamination gram")
+    } finally { bench.unpersist(); corpus.unpersist(); () }
+  }
+
   test("source mixing keeps all of src0 and applies deterministic rates") {
     val docs = Tables.read(spark, sfDir, "documents")
     val kept = run("d_source_mix").cache()

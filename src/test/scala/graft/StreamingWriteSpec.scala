@@ -293,6 +293,72 @@ class StreamingWriteSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("periodic cluster_by maintenance restores index point-read pruning") {
+    import graft.operators.Dedup
+    val docs = Tables.read(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val root = Files.createTempDirectory("graft_sid_mx_").toString
+    spark.conf.set("spark.sql.catalog.graft_mx",
+      classOf[org.apache.spark.sql.graftshim.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_mx.location", root)
+
+    val base = Dedup.minhashIndexRows(docs.filter(col("doc_id") < 200),
+      "text", "doc_id", numHashes = 32, bands = 16, shingleSize = 3)
+    val idxT = core.SpaceDataset.create(spark, s"$root/idx", base.schema,
+      Seq("id", "band"), statsFields = Seq("band_key"))
+    idxT.append(base.repartitionByRange(16, col("band_key")))
+
+    // the stream runs: 8 appendOnce index increments, one per admitted
+    // micro-batch — each lands as (a) tiny unclustered file(s) whose
+    // band_key range spans ~the whole key space, so every increment is
+    // unprunable for any point read and the round-7 win decays
+    (0 until 8).foreach { i =>
+      val b = docs.filter(col("doc_id") >= 200 + i * 10 && col("doc_id") < 210 + i * 10)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(reverse(col("text")), lit(" b"), lit(i)).as("text"))
+      idxT.appendOnce(Dedup.minhashIndexRows(b, "text", "doc_id",
+        numHashes = 32, bands = 16, shingleSize = 3), "mx#idx", i.toLong)
+    }
+    val rowsBefore = idxT.readAll().collect().map(_.toSeq).toSet
+
+    // a 1-doc batch's point read: ≤16 band keys
+    val probe = docs.filter(col("doc_id") === 42L)
+      .select((col("doc_id") + 4000000L).as("doc_id"),
+        concat(col("text"), lit(" probe")).as("text"))
+    val keys = Dedup.minhashIndexRows(probe, "text", "doc_id",
+      numHashes = 32, bands = 16, shingleSize = 3)
+      .select(col("band_key")).collect().map(_.getLong(0)).toSeq.distinct
+    assert(keys.nonEmpty && keys.size <= 16)
+
+    def scanned(): (Int, Int) = {
+      idxT.refresh()
+      val p = idxT.plan(Some(col("band_key").isin(keys.map(Long.box): _*)))
+      (p.totalFiles - p.prunedFiles, p.totalFiles)
+    }
+    val (scannedBefore, totalBefore) = scanned()
+    assert(scannedBefore >= 8,
+      s"expected every unclustered increment scanned, got $scannedBefore of $totalBefore")
+
+    // the maintenance cycle Dedup.scala prescribes: re-cluster on
+    // band_key through the SQL surface a scheduled job would use
+    val cb = spark.sql("CALL graft_mx.system.cluster_by(table => 'idx', " +
+      "columns => 'band_key', target_file_rows => 300)").collect()
+    assert(cb.length == 1)
+
+    // point-read pruning is restored to the standing-index bar: only
+    // files whose range a batch key touches are read
+    val (scannedAfter, totalAfter) = scanned()
+    assert(totalAfter - scannedAfter >= totalAfter - keys.size,
+      s"after cluster_by a ${keys.size}-key fetch still scans " +
+        s"$scannedAfter of $totalAfter index files")
+    assert(scannedAfter < scannedBefore,
+      s"maintenance did not reduce the point-read cost " +
+        s"($scannedBefore -> $scannedAfter)")
+    // the rewrite moved bytes, not data: same rows, same PK uniqueness
+    assert(idxT.readAll().collect().map(_.toSeq).toSet == rowsBefore,
+      "cluster_by changed the index contents")
+    spark.catalog.clearCache()
+  }
+
   test("ingest-dedup index append heals on replay after a partial commit") {
     import graft.operators.Dedup
     val docs = Tables.read(spark, sfDir, "documents")

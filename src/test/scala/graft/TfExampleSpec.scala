@@ -374,6 +374,46 @@ class TfExampleSpec extends AnyFunSuite {
     assert(back.contains(""""area":[100,200]"""), back)
   }
 
+  test("TFDS Translation envelope: dict of language -> Text; variable variant throws") {
+    import graft.format.{TfFeaturesDictSerializer, TfFeaturesSpec, TfLeaf}
+    // the wmt-style features.json TFDS exports for a fixed-language
+    // Translation (proto3 JSON of feature.proto's translation node)
+    val envelope =
+      """{
+        |  "pythonClassName": "tensorflow_datasets.core.features.features_dict.FeaturesDict",
+        |  "featuresDict": {"features": {
+        |    "translation": {
+        |      "pythonClassName": "tensorflow_datasets.core.features.translation_feature.Translation",
+        |      "translation": {"languages": ["de", "en"]}
+        |    },
+        |    "id": {
+        |      "pythonClassName": "tensorflow_datasets.core.features.tensor_feature.Tensor",
+        |      "tensor": {"shape": {}, "dtype": "int64", "encoding": "none"}
+        |    }
+        |  }}
+        |}""".stripMargin
+    val spec = TfFeaturesSpec.fromTfdsJson(envelope)
+    assert(spec.flat.keySet == Set("id", "translation/de", "translation/en"))
+    assert(spec.flat("translation/de") == TfLeaf("string"))
+    assert(spec.flat("translation/en") == TfLeaf("string"))
+    // a sentence pair round-trips bijectively through the wire
+    val ser = new TfFeaturesDictSerializer(spec)
+    val doc = """{"id":7,"translation":{"de":"Hallo Welt","en":"Hello world"}}"""
+    val wire = ser.serialize(json(doc))
+    val back = new String(ser.deserialize(wire), StandardCharsets.UTF_8)
+    assert(back.contains(""""de":["Hallo Welt"]"""), back)
+    assert(ser.serialize(json(back)).toSeq == wire.toSeq, "re-serialize changed the wire")
+    // the variable-language variant has no fixed languages list — its
+    // wire form is aligned lists, which this codec must refuse by name
+    val varEnvelope = envelope.replace(
+      """"translation": {"languages": ["de", "en"]}""",
+      """"translation": {}""")
+      .replace("translation_feature.Translation",
+        "translation_feature.TranslationVariableLanguages")
+    val e = intercept[IllegalArgumentException](TfFeaturesSpec.fromTfdsJson(varEnvelope))
+    assert(e.getMessage.contains("TranslationVariableLanguages"), e.getMessage)
+  }
+
   test("FeaturesDict: an empty tensor fits a -1 (None) dim") {
     import graft.format.{TfFeaturesDictSerializer, TfFeaturesSpec, TfLeaf}
     val ser = new TfFeaturesDictSerializer(
