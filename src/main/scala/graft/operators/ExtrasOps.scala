@@ -14,24 +14,21 @@ object ExtrasOps {
   private def fresh(prefix: String): String =
     Files.createTempDirectory(s"graft_$prefix").toString
 
-  /** Session-cached "HuggingFace download" fixture: the documents table
-    * exported once as 4 range-sharded parquet files — the HF hub serves
-    * every dataset as parquet (notebooks/huggingface_conversion.ipynb),
-    * so these stand in for the notebook's wget'd files. Building them
-    * is the download step, not part of the measured conversion. */
-  private val hfShardCache = scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
-
-  private def hfShards(s: SparkSession, d: String): Seq[String] =
-    hfShardCache.synchronized {
-      hfShardCache.getOrElseUpdate(d, {
-        val out = fresh("hf_fixture") + "/shards"
-        Tables.read(s, d, "documents").repartitionByRange(4, col("doc_id"))
-          .write.parquet(out)
-        new java.io.File(out).listFiles()
-          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-          .map(_.getAbsolutePath).sorted.toSeq
-      })
+  /** The "HuggingFace download" fixture: the documents table exported
+    * once as 4 range-sharded parquet files — the HF hub serves every
+    * dataset as parquet (notebooks/huggingface_conversion.ipynb), so
+    * these stand in for the notebook's wget'd files. Building them is
+    * the download step, not part of the measured conversion; cached
+    * ACROSS JVMs ([[FixtureCache]]) so bench minima never include it. */
+  private def hfShards(s: SparkSession, d: String): Seq[String] = {
+    val dir = FixtureCache.dir("hf", d, "documents") { out =>
+      Tables.read(s, d, "documents").repartitionByRange(4, col("doc_id"))
+        .write.mode("overwrite").parquet(out.resolve("shards").toString)
     }
+    new java.io.File(dir.resolve("shards").toString).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath).sorted.toSeq
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // directory catalog: name → location resolution round-trip

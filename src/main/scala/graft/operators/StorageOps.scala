@@ -23,14 +23,12 @@ object StorageOps {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.read(s, d, n)
 
-  /** Session-cached WebDataset fixture shards, keyed by source dir. The
-    * notebook's img2dataset download happens ONCE, outside the measured
-    * ingest — synthesizing shards inside the query body charged a
-    * driver-side collect + tar write to every bench iteration of
-    * `s_load_webds`. Shards derive deterministically from the documents
-    * table, so reuse across calls is sound. */
-  private val webdsShardCache = scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
-
+  /** WebDataset fixture shards, cached ACROSS JVMs keyed by the source
+    * table's identity ([[FixtureCache]]). The notebook's img2dataset
+    * download happens ONCE, outside the measured ingest — synthesizing
+    * shards inside the query body charged a driver-side collect + tar
+    * write to every bench run of `s_load_webds`. Shards derive
+    * deterministically from the documents table, so reuse is sound. */
   private def webdsFakeJpg(id: Long): Array[Byte] = {
     val n = 100 + (id % 50).toInt
     val a = new Array[Byte](n)
@@ -40,24 +38,22 @@ object StorageOps {
     a
   }
 
-  private def webdsShards(s: SparkSession, d: String): Seq[String] =
-    webdsShardCache.synchronized {
-      webdsShardCache.getOrElseUpdate(d, {
-        import graft.sources.WebDataset
-        val docs = t(s, d, "documents").select(col("doc_id"), col("text")).collect()
-        val dir = Files.createTempDirectory("graft_webds_fixture_")
-        (0 until 4).map { i =>
-          val p = dir.resolve(f"shard-$i%05d.tar")
-          WebDataset.writeShard(p, docs.toSeq.filter(_.getLong(0) % 4 == i).map { r =>
+  private def webdsShards(s: SparkSession, d: String): Seq[String] = {
+    val dir = FixtureCache.dir("webds", d, "documents") { out =>
+      import graft.sources.WebDataset
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text")).collect()
+      (0 until 4).foreach { i =>
+        WebDataset.writeShard(out.resolve(f"shard-$i%05d.tar"),
+          docs.toSeq.filter(_.getLong(0) % 4 == i).map { r =>
             val id = r.getLong(0)
             f"$id%09d" -> Seq(
               "txt" -> r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8),
               "jpg" -> webdsFakeJpg(id))
           })
-          p.toString
-        }
-      })
+      }
     }
+    (0 until 4).map(i => dir.resolve(f"shard-$i%05d.tar").toString)
+  }
 
   private def ordersTable(s: SparkSession, d: String, prefix: String): SpaceDataset = {
     val o = t(s, d, "orders")

@@ -20,7 +20,10 @@ class CarryoverSpec extends AnyFunSuite {
     // 16 files in one manifest → rewriting 2 carries over 14 rows
     ds.append(orders.repartition(16))
     val snap = ds.storage.metadata.currentSnapshotId
-    val files = ds.indexFiles().sorted
+    // manifestCarryover matches files AS WRITTEN in manifests (table-
+    // root-relative) — plan().files, not the user-facing indexFiles()
+    // which resolves paths for external consumption
+    val files = ds.plan().files.sorted
     assert(files.size == 16)
     val affected = files.take(2).toSet
 
