@@ -31,10 +31,21 @@ final case class ChangeBatch(snapshotId: Long, changeType: String, data: DataFra
   */
 object ChangeData {
 
-  def diff(spark: SparkSession, storage: Storage, startId: Long, endId: Long): Seq[ChangeBatch] =
+  /** `deletesPksOnly = false` reads the FULL deleted rows (values, not
+    * just keys) from the parent snapshot's still-on-disk files — CoW
+    * keeps them until gc — for consumers that must INVERT the deleted
+    * rows' contribution (aggregate-view maintenance) rather than merely
+    * locate victims by key. The reference feed is keys-only
+    * (change_data.py:122-132); this is a strict superset. */
+  def diff(
+      spark: SparkSession,
+      storage: Storage,
+      startId: Long,
+      endId: Long,
+      deletesPksOnly: Boolean = true): Seq[ChangeBatch] =
     storage.orderedSnapshotIds(startId, endId).flatMap { sid =>
       storage.changeLog(sid).toSeq.flatMap { cl =>
-        val del = readRowSet(spark, storage, cl.deletedRows, pksOnly = true)
+        val del = readRowSet(spark, storage, cl.deletedRows, pksOnly = deletesPksOnly)
           .map(ChangeBatch(sid, ChangeType.Delete, _))
         val add = readRowSet(spark, storage, cl.addedRows, pksOnly = false)
           .map(ChangeBatch(sid, ChangeType.Add, _))

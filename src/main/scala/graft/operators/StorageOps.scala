@@ -609,6 +609,30 @@ object StorageOps {
       mv.dataset.readAll()
     }),
 
+    // incrementally-maintained GROUP BY view (AggregateView): per-group
+    // partial-aggregate state updated from CDC deltas — appends merge
+    // arithmetically, deletes SUBTRACT for sum/count/avg and recompute
+    // only extremum-hit groups for min/max. At 100 TB the refresh cost
+    // is O(delta), never a corpus rescan; the oracle recomputes the
+    // final source state from scratch, so equality proves maintenance
+    "s_mv_agg" -> ((s, d) => {
+      import graft.views._
+      val li = t(s, d, "lineitem")
+      val src = SpaceDataset.create(s, fresh("aggsrc"), li.schema,
+        Seq("l_orderkey", "l_linenumber"))
+      src.append(li.filter(col("l_orderkey") % 3 =!= 0))
+      val av = AggregateView.create(s, fresh("aggview"), src,
+        Seq("l_returnflag", "l_linestatus"), Seq(
+          AggSpec.countAll("n_rows"), AggSpec.sum("l_quantity", "sum_qty"),
+          AggSpec.avg("l_quantity", "avg_qty"), AggSpec.min("l_quantity", "min_qty"),
+          AggSpec.max("l_quantity", "max_qty"), AggSpec.count("l_partkey", "n_part")))
+      av.refresh()
+      src.append(li.filter(col("l_orderkey") % 3 === 0)) // late rows arrive
+      src.delete(col("l_suppkey") % 5 === 1) // retractions incl. extrema
+      av.refresh()
+      av.read()
+    }),
+
     // join view over two record-field tables: per-side field selection,
     // addresses (not payloads) cross the key join, payloads stitched
     // back after (views.py:183-224 + ray/ops/join.py:120-135 semantics)
@@ -922,6 +946,17 @@ object StorageOps {
         |FROM orders
         |WHERE o_orderkey > 200 AND o_orderkey <= 1200
         |  AND o_totalprice > 100000""".stripMargin,
+    "s_mv_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS n_rows,
+        |  sum(l_quantity) AS sum_qty,
+        |  avg(l_quantity) AS avg_qty,
+        |  min(l_quantity) AS min_qty,
+        |  max(l_quantity) AS max_qty,
+        |  count(l_partkey) AS n_part
+        |FROM lineitem
+        |WHERE l_suppkey % 5 <> 1
+        |GROUP BY 1, 2""".stripMargin,
     "s_mv_pipeline" ->
       """SELECT doc_id, lang,
         |  len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))

@@ -1,0 +1,359 @@
+package graft.views
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.format.{Patch, TableType}
+
+/** One aggregate of an [[AggregateView]]: `kind` ∈ count_all | count |
+  * sum | avg | min | max, `input` the source column (absent for
+  * count_all), `as` the output column name (unique across the view,
+  * distinct from the group-by columns). */
+final case class AggSpec(kind: String, input: Option[String], as: String) {
+  require(AggSpec.Kinds.contains(kind), s"unknown aggregate kind: $kind")
+  require(kind == "count_all" || input.isDefined, s"$kind requires an input column")
+}
+
+object AggSpec {
+  val Kinds: Set[String] = Set("count_all", "count", "sum", "avg", "min", "max")
+  def countAll(as: String): AggSpec = AggSpec("count_all", None, as)
+  def count(c: String, as: String): AggSpec = AggSpec("count", Some(c), as)
+  def sum(c: String, as: String): AggSpec = AggSpec("sum", Some(c), as)
+  def avg(c: String, as: String): AggSpec = AggSpec("avg", Some(c), as)
+  def min(c: String, as: String): AggSpec = AggSpec("min", Some(c), as)
+  def max(c: String, as: String): AggSpec = AggSpec("max", Some(c), as)
+}
+
+/** Persisted plan of an aggregate view (its own node type — a
+  * [[ViewPlan]] loader rejects it by name, the unknown-node contract). */
+final case class AggPlan(sourceLocation: String, groupBy: List[String], aggs: List[AggSpec]) {
+  def json: String = JsonMethods.compact(JsonMethods.render(JObject(
+    "type" -> JString("aggregate"),
+    "location" -> JString(sourceLocation),
+    "group_by" -> JArray(groupBy.map(JString(_))),
+    "aggs" -> JArray(aggs.map(a => JObject(List(
+      "kind" -> (JString(a.kind): JValue),
+      "as" -> JString(a.as)) ++ a.input.map(c => "input" -> (JString(c): JValue))))))))
+}
+
+object AggPlan {
+  def fromJson(s: String): AggPlan = {
+    val j = JsonMethods.parse(s)
+    def str(v: JValue, f: String): String = (v \ f) match {
+      case JString(x) => x
+      case other => throw new IllegalArgumentException(s"bad agg plan field $f: $other")
+    }
+    (j \ "type") match {
+      case JString("aggregate") =>
+      case other => throw new IllegalArgumentException(s"not an aggregate view plan: $other")
+    }
+    val groups = (j \ "group_by") match {
+      case JArray(vs) => vs.collect { case JString(v) => v }
+      case other => throw new IllegalArgumentException(s"bad group_by: $other")
+    }
+    val aggs = (j \ "aggs") match {
+      case JArray(vs) => vs.map { a =>
+        AggSpec(str(a, "kind"),
+          (a \ "input") match { case JString(c) => Some(c); case _ => None },
+          str(a, "as"))
+      }
+      case other => throw new IllegalArgumentException(s"bad aggs: $other")
+    }
+    AggPlan(str(j, "location"), groups, aggs)
+  }
+}
+
+/** Incrementally-maintained GROUP BY materialized view — a capability
+  * the reference lacks (its MVs are row-wise map/filter pipelines,
+  * views.py:247-323) but a 100 TB pipeline leans on constantly: corpus
+  * stats per source/language, token budgets per shard, quality-score
+  * histograms — recomputing them from scratch per refresh is a full
+  * corpus scan; maintaining them from the CDC delta is O(delta).
+  *
+  * Design (classic incremental view maintenance, self-maintainable
+  * aggregates):
+  *  - The state table is a graft table with PK = the group-by columns,
+  *    holding PARTIAL-aggregate state per group (`__rows` plus per-agg
+  *    sums/counts/extrema) — never final values, so refreshes compose.
+  *  - Refresh walks source snapshots exactly like
+  *    [[MaterializedView.refresh]] (one state commit per source
+  *    snapshot, `mvSourceSnapshotId` watermark, exactly-once across
+  *    overlapping refreshers) but aggregates each ADD/DELETE batch to
+  *    per-group deltas first — the state update shuffles ONLY the
+  *    delta's groups, never the source.
+  *  - sum/count/avg are INVERTIBLE: deletes subtract; no source reread
+  *    ever. min/max are not: a delete whose per-group deleted extremum
+  *    ties-or-beats the stored extremum triggers a recompute of JUST
+  *    that group from the source AT that snapshot (time-travel read,
+  *    semi-joined to the affected keys — prunable when the source is
+  *    clustered by the group columns). Deletes strictly inside the
+  *    range stay arithmetic.
+  *  - A group whose row count reaches zero is DELETED from the state
+  *    (SQL semantics: groups exist only while rows do).
+  *
+  * Deliberate limit: rows with a NULL group-by key are rejected at
+  * refresh (state-table PKs identify groups; SQL's null group has no
+  * PK encoding). Aggregate INPUT columns may be null and follow SQL
+  * semantics (count/sum/min/max ignore nulls; all-null group → NULL).
+  */
+final class AggregateView(val spark: SparkSession, val dataset: SpaceDataset) {
+  import AggregateView._
+
+  val plan: AggPlan = dataset.storage.metadata.logicalPlan.map(AggPlan.fromJson)
+    .getOrElse(throw new IllegalArgumentException(
+      s"${dataset.location} is not an aggregate view"))
+
+  private def groups: Seq[String] = plan.groupBy
+
+  /** Source snapshot id the view is currently refreshed to. */
+  def refreshedTo: Option[Long] = dataset.storage.metadata.mvSourceSnapshotId
+
+  /** Groups recomputed from the source by the LAST refresh() call on
+    * this instance — observability for the invertibility contract
+    * (specs assert 0 for delete patterns that stay arithmetic). */
+  @volatile var lastRecomputedGroups: Long = 0L
+
+  /** Final aggregate values per live group. */
+  def read(): DataFrame = {
+    val st = dataset.readAll()
+    val out = groups.map(col) ++ plan.aggs.map { a =>
+      val as = a.as
+      a.kind match {
+        case "count_all" => col(RowsCol).as(as)
+        case "count" => col(cntCol(as)).as(as)
+        case "sum" =>
+          when(col(cntCol(as)) === 0L, lit(null)).otherwise(col(sumCol(as))).as(as)
+        case "avg" =>
+          when(col(cntCol(as)) === 0L, lit(null))
+            .otherwise(col(sumCol(as)) / col(cntCol(as))).as(as)
+        case "min" => col(minCol(as)).as(as)
+        case "max" => col(maxCol(as)).as(as)
+      }
+    }
+    st.select(out: _*)
+  }
+
+  /** Incrementally refresh to the source's `targetVersion` (default:
+    * head). Returns the number of state commits made. */
+  def refresh(targetVersion: Option[String] = None): Int = {
+    val source = SpaceDataset.load(spark, plan.sourceLocation)
+    val target = targetVersion.map(source.storage.versionToSnapshotId)
+      .getOrElse(source.storage.metadata.currentSnapshotId)
+    val start = refreshedTo.getOrElse(0L)
+    val sids = source.storage.orderedSnapshotIds(start, target)
+    lastRecomputedGroups = 0L
+
+    var commits = 0
+    for (sid <- sids) {
+      val parent = source.storage.snapshotOrFail(sid).parentSnapshotId.getOrElse(0L)
+      // full delete rows: the state must SUBTRACT their contribution
+      val batches = ChangeData.diff(spark, source.storage, parent, sid,
+        deletesPksOnly = false)
+      var applied = false
+      dataset.storage.transaction() { pinned =>
+        if (dataset.storage.metadata.mvSourceSnapshotId.exists(_ >= sid)) {
+          applied = false
+          (None, ())
+        } else {
+          val patch = applyBatches(source, sid, batches, pinned)
+          applied = true
+          (Some(patch.copy(sourceSnapshotId = Some(sid))), ())
+        }
+      }
+      if (applied) commits += 1
+    }
+    commits
+  }
+
+  /** Merge one source snapshot's change batches into the state table:
+    * per-group delta partials → arithmetic merge against the affected
+    * state rows → (rare) extremum recompute → delete+append of exactly
+    * the affected groups. All joins are delta-sized. */
+  private def applyBatches(
+      source: SpaceDataset,
+      sid: Long,
+      batches: Seq[ChangeBatch],
+      pinned: Long): Patch = {
+    val stateSchema = dataset.storage.logicalSchema
+    val gCols = groups.map(col)
+
+    def partial(df: DataFrame): DataFrame = {
+      val agged = df.groupBy(gCols: _*).agg(partialExprs(plan).head,
+        partialExprs(plan).tail: _*)
+      val nullKey = groups.map(g => col(g).isNull).reduce(_ || _)
+      val bad = agged.filter(nullKey).limit(1).count()
+      require(bad == 0L,
+        s"aggregate view ${dataset.location}: NULL group-by key in source " +
+          s"snapshot $sid (null groups are unsupported — filter them in a view)")
+      agged
+    }
+
+    val adds = batches.filter(_.changeType == ChangeType.Add).map(_.data)
+    val dels = batches.filter(_.changeType == ChangeType.Delete).map(_.data)
+    val addDelta = adds.reduceOption(_.unionByName(_)).map(partial)
+    val delDelta = dels.reduceOption(_.unionByName(_)).map(partial)
+    if (addDelta.isEmpty && delDelta.isEmpty) return Patch()
+
+    def rename(df: DataFrame, p: String): DataFrame =
+      df.columns.foldLeft(df)((d, c) =>
+        if (groups.contains(c)) d else d.withColumnRenamed(c, p + c))
+
+    val a = addDelta.map(rename(_, "a_"))
+    val d = delDelta.map(rename(_, "d_"))
+    val delta = (a, d) match {
+      case (Some(x), Some(y)) => x.join(y, groups, "full_outer")
+      case (Some(x), None) => x
+      case (None, Some(y)) => y
+      case (None, None) => return Patch()
+    }
+
+    // current state of ONLY the delta's groups (delta-sized inner
+    // read), pinned to the transaction's snapshot for retry-safety
+    val stateRaw = dataset.read(version = Some(pinned.toString))
+      .join(delta.select(gCols: _*), groups, "left_semi")
+    val state = stateRaw.columns.foldLeft(stateRaw) { (df, c) =>
+      if (groups.contains(c)) df else df.withColumnRenamed(c, "s_" + c)
+    }
+    val merged = delta.join(state, groups, "left_outer")
+
+    def nz(c: String, m: DataFrame): Column =
+      if (m.columns.contains(c)) coalesce(col(c), lit(0L)) else lit(0L)
+    def opt(c: String, m: DataFrame): Column =
+      if (m.columns.contains(c)) col(c) else lit(null)
+
+    // arithmetic merge of every state column
+    val mergedRows = nz("s_" + RowsCol, merged) + nz("a_" + RowsCol, merged) -
+      nz("d_" + RowsCol, merged)
+    val stateCols: Seq[Column] = stateSchema.fields.toSeq.map { f =>
+      val c = f.name
+      if (groups.contains(c)) col(c)
+      else if (c == RowsCol) mergedRows.cast(f.dataType).as(c)
+      else if (c.startsWith("__cnt_"))
+        (nz("s_" + c, merged) + nz("a_" + c, merged) - nz("d_" + c, merged))
+          .cast(f.dataType).as(c)
+      else if (c.startsWith("__sum_")) {
+        val zero = lit(0).cast(f.dataType)
+        (coalesce(opt("s_" + c, merged), zero) + coalesce(opt("a_" + c, merged), zero) -
+          coalesce(opt("d_" + c, merged), zero)).cast(f.dataType).as(c)
+      } else if (c.startsWith("__min_"))
+        least(opt("s_" + c, merged), opt("a_" + c, merged)).cast(f.dataType).as(c)
+      else if (c.startsWith("__max_"))
+        greatest(opt("s_" + c, merged), opt("a_" + c, merged)).cast(f.dataType).as(c)
+      else throw new IllegalStateException(s"unexpected state column $c")
+    }
+
+    // a deleted extremum that ties-or-beats the stored one invalidates
+    // the stored value; deletes strictly inside the range do not
+    val recomputeNeeded: Column = plan.aggs.map { sp =>
+      val as = sp.as
+      sp.kind match {
+        case "min" if merged.columns.contains("d_" + minCol(as)) =>
+          coalesce(col("d_" + minCol(as)) <= col("s_" + minCol(as)), lit(false)) ||
+            (col("d_" + minCol(as)).isNotNull && col("s_" + minCol(as)).isNull)
+        case "max" if merged.columns.contains("d_" + maxCol(as)) =>
+          coalesce(col("d_" + maxCol(as)) >= col("s_" + maxCol(as)), lit(false)) ||
+            (col("d_" + maxCol(as)).isNotNull && col("s_" + maxCol(as)).isNull)
+        case _ => lit(false)
+      }
+    }.reduceOption(_ || _).getOrElse(lit(false))
+
+    val annotated = merged
+      .withColumn("__live", mergedRows > 0L)
+      .withColumn("__recompute", recomputeNeeded && mergedRows > 0L)
+      .persist()
+    try {
+      val recomputeKeys = annotated.filter(col("__recompute")).select(gCols: _*)
+      val nRecompute = recomputeKeys.count()
+      lastRecomputedGroups += nRecompute
+
+      val arithmetic = annotated.filter(col("__live") && !col("__recompute"))
+        .select(stateCols: _*)
+
+      val recomputed =
+        if (nRecompute == 0L) None
+        else {
+          // the group's true state at this source snapshot: time-travel
+          // read semi-joined to the (small) affected keys — prunable
+          // when the source is clustered by the group columns
+          val rows = source.read(version = Some(sid.toString))
+            .join(broadcast(recomputeKeys), groups, "left_semi")
+          val re = rows.groupBy(gCols: _*).agg(partialExprs(plan).head,
+            partialExprs(plan).tail: _*)
+          Some(re.select(stateSchema.fields.toSeq.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)): _*))
+        }
+
+      val newRows = recomputed.foldLeft(arithmetic)(_.unionByName(_))
+      val affectedKeys = annotated.select(gCols: _*)
+
+      val patches =
+        DmlOps.deleteByKeys(spark, dataset.storage, pinned, affectedKeys).toSeq ++
+          Seq(RecordIO.writeWithRecords(spark, dataset.storage, newRows))
+      Patch.merge(patches).getOrElse(Patch())
+    } finally {
+      annotated.unpersist()
+    }
+  }
+}
+
+object AggregateView {
+  /** Implicit per-group row count — group liveness + count_all. */
+  val RowsCol = "__rows"
+  def cntCol(as: String): String = s"__cnt_$as"
+  def sumCol(as: String): String = s"__sum_$as"
+  def minCol(as: String): String = s"__min_$as"
+  def maxCol(as: String): String = s"__max_$as"
+
+  /** Partial-aggregate expressions (state columns) for one batch of
+    * source rows. Deduplicated: two aggs can share nothing (unique
+    * `as`), so every column lands once. */
+  private[views] def partialExprs(plan: AggPlan): Seq[Column] =
+    count(lit(1)).as(RowsCol) +: plan.aggs.flatMap { sp =>
+      val c = sp.input.map(col)
+      sp.kind match {
+        case "count_all" => Nil
+        case "count" => Seq(count(c.get).as(cntCol(sp.as)))
+        case "sum" => Seq(sum(c.get).as(sumCol(sp.as)), count(c.get).as(cntCol(sp.as)))
+        case "avg" => Seq(sum(c.get.cast("double")).as(sumCol(sp.as)),
+          count(c.get).as(cntCol(sp.as)))
+        case "min" => Seq(min(c.get).as(minCol(sp.as)), count(c.get).as(cntCol(sp.as)))
+        case "max" => Seq(max(c.get).as(maxCol(sp.as)), count(c.get).as(cntCol(sp.as)))
+      }
+    }
+
+  /** Create the state table (PK = group columns) and bind the view. */
+  def create(
+      spark: SparkSession,
+      location: String,
+      source: SpaceDataset,
+      groupBy: Seq[String],
+      aggs: Seq[AggSpec]): AggregateView = {
+    require(groupBy.nonEmpty, "aggregate view requires at least one group-by column")
+    val outNames = aggs.map(_.as)
+    require(outNames.distinct == outNames, s"duplicate aggregate output names: $outNames")
+    require(outNames.forall(!groupBy.contains(_)),
+      "aggregate output names must not collide with group-by columns")
+    val srcSchema = source.storage.logicalSchema
+    (groupBy ++ aggs.flatMap(_.input)).foreach(c =>
+      require(srcSchema.fieldNames.contains(c), s"column $c not in source schema"))
+
+    val plan = AggPlan(source.location, groupBy.toList, aggs.toList)
+    // state schema inferred from the partial aggregation's own output
+    // (sum widening etc. follow Spark's rules, no duplication here)
+    val stateSchema = source.readAll()
+      .groupBy(groupBy.map(col): _*).agg(partialExprs(plan).head, partialExprs(plan).tail: _*)
+      .schema
+    val storage = Storage.create(location, stateSchema, groupBy,
+      tableType = TableType.MaterializedView,
+      logicalPlan = Some(plan.json),
+      conf = spark.sparkContext.hadoopConfiguration)
+    new AggregateView(spark, new SpaceDataset(spark, storage))
+  }
+
+  def load(spark: SparkSession, location: String): AggregateView =
+    new AggregateView(spark, SpaceDataset.load(spark, location))
+}

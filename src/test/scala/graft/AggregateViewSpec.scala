@@ -1,0 +1,214 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+import graft.views._
+
+/** Incrementally-maintained GROUP BY views (AggregateView): state must
+  * equal a from-scratch recompute after every refresh, deletes must
+  * stay arithmetic unless they hit a stored extremum, and the refresh
+  * must be delta-sized (watermark no-ops, one commit per snapshot). */
+class AggregateViewSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def freshLoc(p: String): String =
+    Files.createTempDirectory(s"graft_$p").toString + "/tbl"
+
+  private def lineitem = Tables.read(spark, sfDir, "lineitem")
+
+  private def sourceTable(): SpaceDataset = {
+    val li = lineitem.filter(col("l_orderkey") <= 2000L)
+    val ds = SpaceDataset.create(spark, freshLoc("aggsrc"), li.schema,
+      Seq("l_orderkey", "l_linenumber"))
+    ds.append(li)
+    ds
+  }
+
+  private def specs = Seq(
+    AggSpec.countAll("n_rows"),
+    AggSpec.sum("l_quantity", "sum_qty"),
+    AggSpec.avg("l_quantity", "avg_qty"),
+    AggSpec.min("l_quantity", "min_qty"),
+    AggSpec.max("l_quantity", "max_qty"),
+    AggSpec.count("l_comment_is_null_free", "n_c"))
+
+  /** Compare with doubles rounded (the driver's oracle gate rounds to
+    * 6 decimals too): incremental +/− reorders float additions, so
+    * sums legitimately differ in the last ulp from a fresh recompute. */
+  private def assertSame(got: DataFrame, exp: DataFrame): Unit = {
+    assert(got.schema.fieldNames.sorted.sameElements(exp.schema.fieldNames.sorted))
+    def rounded(df: DataFrame): DataFrame =
+      df.select(df.schema.fields.toSeq.map { f =>
+        if (f.dataType == org.apache.spark.sql.types.DoubleType) round(col(f.name), 4).as(f.name)
+        else col(f.name)
+      }: _*)
+    val g = rounded(got.select(exp.columns.map(col): _*))
+    val e = rounded(exp)
+    assert(g.exceptAll(e).isEmpty && e.exceptAll(g).isEmpty)
+  }
+
+  test("agg plan JSON roundtrips; unknown node rejected by both loaders") {
+    val p = AggPlan("/tmp/x", List("a", "b"),
+      List(AggSpec.sum("v", "s"), AggSpec.countAll("n")))
+    assert(AggPlan.fromJson(p.json) == p)
+    intercept[IllegalArgumentException](AggPlan.fromJson("""{"type":"read"}"""))
+    // a ViewPlan loader must refuse an aggregate plan by name
+    intercept[IllegalArgumentException](ViewPlan.fromJson(p.json))
+  }
+
+  test("initial refresh equals full recompute; watermark no-ops a second refresh") {
+    val src0 = lineitem.filter(col("l_orderkey") <= 2000L)
+      .withColumn("l_comment_is_null_free",
+        when(col("l_orderkey") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("l_returnflag")))
+    val src = SpaceDataset.create(spark, freshLoc("aggsrc"), src0.schema,
+      Seq("l_orderkey", "l_linenumber"))
+    src.append(src0)
+    val av = AggregateView.create(spark, freshLoc("aggmv"), src,
+      Seq("l_returnflag", "l_linestatus"), specs)
+    assert(av.refresh() == 1)
+    assertSame(av.read(), src.readAll().groupBy("l_returnflag", "l_linestatus").agg(
+      count(lit(1)).as("n_rows"), sum("l_quantity").as("sum_qty"),
+      avg("l_quantity").as("avg_qty"), min("l_quantity").as("min_qty"),
+      max("l_quantity").as("max_qty"), count(col("l_comment_is_null_free")).as("n_c")))
+    assert(av.refresh() == 0) // already at source head
+  }
+
+  test("append-only maintenance is pure arithmetic (no recompute)") {
+    val src = sourceTable()
+    val av = AggregateView.create(spark, freshLoc("aggmv"), src,
+      Seq("l_returnflag"), Seq(
+        AggSpec.sum("l_quantity", "sum_qty"), AggSpec.min("l_quantity", "min_qty"),
+        AggSpec.max("l_quantity", "max_qty"), AggSpec.countAll("n_rows")))
+    av.refresh()
+    src.append(lineitem.filter(col("l_orderkey") > 2000L && col("l_orderkey") <= 4000L))
+    assert(av.refresh() == 1)
+    assert(av.lastRecomputedGroups == 0L)
+    assertSame(av.read(), src.readAll().groupBy("l_returnflag").agg(
+      sum("l_quantity").as("sum_qty"), min("l_quantity").as("min_qty"),
+      max("l_quantity").as("max_qty"), count(lit(1)).as("n_rows")))
+  }
+
+  test("interior delete stays arithmetic; extremum delete triggers bounded recompute") {
+    val rows = spark.createDataFrame(Seq(
+      (1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0),
+      (4L, "b", 5.0), (5L, "b", 50.0))).toDF("id", "g", "v")
+    val src = SpaceDataset.create(spark, freshLoc("aggsrc"), rows.schema, Seq("id"))
+    src.append(rows)
+    val av = AggregateView.create(spark, freshLoc("aggmv"), src, Seq("g"), Seq(
+      AggSpec.min("v", "min_v"), AggSpec.max("v", "max_v"),
+      AggSpec.sum("v", "sum_v"), AggSpec.countAll("n")))
+    av.refresh()
+
+    // id=2 (v=20, strictly inside a's [10,30]) — invertible, no reread
+    src.delete(col("id") === 2L)
+    av.refresh()
+    assert(av.lastRecomputedGroups == 0L)
+    assertSame(av.read(), src.readAll().groupBy("g").agg(
+      min("v").as("min_v"), max("v").as("max_v"),
+      sum("v").as("sum_v"), count(lit(1)).as("n")))
+
+    // id=3 (v=30 == a's max) — exactly group a recomputed, b untouched
+    src.delete(col("id") === 3L)
+    av.refresh()
+    assert(av.lastRecomputedGroups == 1L)
+    assertSame(av.read(), src.readAll().groupBy("g").agg(
+      min("v").as("min_v"), max("v").as("max_v"),
+      sum("v").as("sum_v"), count(lit(1)).as("n")))
+  }
+
+  test("group emptied by deletes disappears; reappears on new rows") {
+    val rows = spark.createDataFrame(Seq(
+      (1L, "a", 1.0), (2L, "b", 2.0))).toDF("id", "g", "v")
+    val src = SpaceDataset.create(spark, freshLoc("aggsrc"), rows.schema, Seq("id"))
+    src.append(rows)
+    val av = AggregateView.create(spark, freshLoc("aggmv"), src, Seq("g"),
+      Seq(AggSpec.sum("v", "sum_v"), AggSpec.countAll("n")))
+    av.refresh()
+    src.delete(col("g") === "a")
+    av.refresh()
+    assert(av.read().filter(col("g") === "a").count() == 0L)
+    assert(av.read().count() == 1L)
+    src.append(spark.createDataFrame(Seq((3L, "a", 7.0))).toDF("id", "g", "v"))
+    av.refresh()
+    assertSame(av.read(), src.readAll().groupBy("g")
+      .agg(sum("v").as("sum_v"), count(lit(1)).as("n")))
+  }
+
+  test("all-null aggregate inputs follow SQL semantics (NULL sum/avg/min/max, 0 count)") {
+    val rows = spark.createDataFrame(Seq(
+      (1L, "a", Some(3.0)), (2L, "a", None: Option[Double]), (3L, "b", None: Option[Double])))
+      .toDF("id", "g", "v")
+    val src = SpaceDataset.create(spark, freshLoc("aggsrc"), rows.schema, Seq("id"))
+    src.append(rows)
+    val av = AggregateView.create(spark, freshLoc("aggmv"), src, Seq("g"), Seq(
+      AggSpec.sum("v", "sum_v"), AggSpec.avg("v", "avg_v"), AggSpec.min("v", "min_v"),
+      AggSpec.max("v", "max_v"), AggSpec.count("v", "n_v"), AggSpec.countAll("n")))
+    av.refresh()
+    val b = av.read().filter(col("g") === "b").collect()(0)
+    assert(b.isNullAt(b.fieldIndex("sum_v")) && b.isNullAt(b.fieldIndex("avg_v")) &&
+      b.isNullAt(b.fieldIndex("min_v")) && b.isNullAt(b.fieldIndex("max_v")))
+    assert(b.getLong(b.fieldIndex("n_v")) == 0L && b.getLong(b.fieldIndex("n")) == 1L)
+
+    // deleting the only non-null value of group a must null its aggs
+    // (extremum delete path: the stored min/max die with the row)
+    src.delete(col("id") === 1L)
+    av.refresh()
+    val a = av.read().filter(col("g") === "a").collect()(0)
+    assert(a.isNullAt(a.fieldIndex("sum_v")) && a.isNullAt(a.fieldIndex("min_v")))
+    assert(a.getLong(a.fieldIndex("n")) == 1L)
+  }
+
+  test("upsert (delete+add of same PK in one snapshot) maintains correctly") {
+    // orders: PK-unique source (testdata lineitem has duplicate
+    // (l_orderkey, l_linenumber) pairs, so upsert rejects it by design)
+    val o = Tables.read(spark, sfDir, "orders").filter(col("o_orderkey") <= 2000L)
+    val src = SpaceDataset.create(spark, freshLoc("aggsrc"), o.schema, Seq("o_orderkey"))
+    src.append(o)
+    val av = AggregateView.create(spark, freshLoc("aggmv"), src,
+      Seq("o_orderstatus"), Seq(AggSpec.sum("o_totalprice", "sum_price"),
+        AggSpec.countAll("n_rows"), AggSpec.max("o_totalprice", "max_price")))
+    av.refresh()
+    // bump prices of a slice via upsert: same PKs, new values
+    val bumped = src.readAll().filter(col("o_orderkey") <= 300L)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000000.0)
+    src.upsert(bumped)
+    assert(av.refresh() == 1)
+    assertSame(av.read(), src.readAll().groupBy("o_orderstatus").agg(
+      sum("o_totalprice").as("sum_price"), count(lit(1)).as("n_rows"),
+      max("o_totalprice").as("max_price")))
+  }
+
+  test("NULL group-by key is rejected with a clear error") {
+    val rows = spark.createDataFrame(Seq(
+      (1L, Some("a"), 1.0), (2L, None: Option[String], 2.0))).toDF("id", "g", "v")
+    val src = SpaceDataset.create(spark, freshLoc("aggsrc"), rows.schema, Seq("id"))
+    src.append(rows)
+    val av = AggregateView.create(spark, freshLoc("aggmv"), src, Seq("g"),
+      Seq(AggSpec.countAll("n")))
+    val e = intercept[IllegalArgumentException](av.refresh())
+    assert(e.getMessage.contains("NULL group-by key"))
+  }
+
+  test("load() rebinds from the persisted plan; refresh resumes from watermark") {
+    val src = sourceTable()
+    val loc = freshLoc("aggmv")
+    val av = AggregateView.create(spark, loc, src, Seq("l_linestatus"),
+      Seq(AggSpec.sum("l_extendedprice", "sum_price"), AggSpec.countAll("n")))
+    av.refresh()
+    src.append(lineitem.filter(col("l_orderkey") > 2000L && col("l_orderkey") <= 3000L))
+
+    val re = AggregateView.load(spark, loc)
+    assert(re.plan.groupBy == List("l_linestatus"))
+    assert(re.refresh() == 1)
+    assertSame(re.read(), src.readAll().groupBy("l_linestatus").agg(
+      sum("l_extendedprice").as("sum_price"), count(lit(1)).as("n")))
+    // MaterializedView.load must refuse the aggregate plan by name
+    intercept[IllegalArgumentException](MaterializedView.load(spark, loc))
+  }
+}
