@@ -50,6 +50,17 @@ final class DirCatalog(val spark: SparkSession, val root: String) {
     MaterializedView.load(spark, location(name))
   }
 
+  /** Load whichever refreshable view kind lives at `name` — row-wise
+    * [[MaterializedView]] or [[graft.views.AggregateView]] — by probing
+    * the persisted plan's node type. */
+  def refreshableView(name: String): graft.views.Refreshable = {
+    require(exists(name), s"dataset $name not found")
+    val ds = SpaceDataset.load(spark, location(name))
+    if (ds.storage.metadata.logicalPlan.exists(graft.views.AggPlan.isAggregate))
+      new graft.views.AggregateView(spark, ds)
+    else new MaterializedView(spark, ds)
+  }
+
   def exists(name: String): Boolean =
     Storage.exists(location(name), spark.sparkContext.hadoopConfiguration)
 

@@ -40,7 +40,18 @@ final case class AggPlan(sourceLocation: String, groupBy: List[String], aggs: Li
       "as" -> JString(a.as)) ++ a.input.map(c => "input" -> (JString(c): JValue))))))))
 }
 
+/** Common refresh surface of row-wise and aggregate materialized
+  * views — what `CALL system.refresh_mv` dispatches over. */
+trait Refreshable {
+  def refresh(targetVersion: Option[String] = None): Int
+  def refreshedTo: Option[Long]
+}
+
 object AggPlan {
+  /** Cheap plan-kind probe (for loaders dispatching by table). */
+  def isAggregate(planJson: String): Boolean =
+    (JsonMethods.parse(planJson) \ "type") == JString("aggregate")
+
   def fromJson(s: String): AggPlan = {
     val j = JsonMethods.parse(s)
     def str(v: JValue, f: String): String = (v \ f) match {
@@ -100,7 +111,8 @@ object AggPlan {
   * PK encoding). Aggregate INPUT columns may be null and follow SQL
   * semantics (count/sum/min/max ignore nulls; all-null group → NULL).
   */
-final class AggregateView(val spark: SparkSession, val dataset: SpaceDataset) {
+final class AggregateView(val spark: SparkSession, val dataset: SpaceDataset)
+    extends Refreshable {
   import AggregateView._
 
   val plan: AggPlan = dataset.storage.metadata.logicalPlan.map(AggPlan.fromJson)
@@ -168,6 +180,22 @@ final class AggregateView(val spark: SparkSession, val dataset: SpaceDataset) {
     }
     commits
   }
+
+  /** CONTINUOUS maintenance through Structured Streaming, identical in
+    * shape to [[MaterializedView.refreshStream]]: the source's CDC
+    * stream is pure trigger + offset bookkeeping; each micro-batch
+    * runs an incremental [[refresh]] whose own `refreshedTo` watermark
+    * provides exactly-once under replays and overlapping refreshers. */
+  def refreshStream(checkpointLocation: String): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("graft-cdc")
+      .option("location", plan.sourceLocation)
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        refresh(); ()
+      }
+      .start()
 
   /** Merge one source snapshot's change batches into the state table:
     * per-group delta partials → arithmetic merge against the affected

@@ -24,7 +24,8 @@ import graft.format.{Patch, TableType}
   * delete of a row the filter would have dropped becomes a no-op delete
   * on the MV, which is correctness-neutral.
   */
-final class MaterializedView(val spark: SparkSession, val dataset: SpaceDataset) {
+final class MaterializedView(val spark: SparkSession, val dataset: SpaceDataset)
+    extends Refreshable {
 
   val plan: ViewPlan = {
     val meta = dataset.storage.metadata

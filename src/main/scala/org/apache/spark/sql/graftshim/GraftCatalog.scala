@@ -70,10 +70,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     dir.dataset(name)
   }
 
-  private[graftshim] def mvByName(name: String): graft.views.MaterializedView = {
+  private[graftshim] def mvByName(name: String): graft.views.Refreshable = {
     if (!dir.exists(name))
       throw new NoSuchTableException(Identifier.of(Array.empty, name))
-    dir.materializedView(name)
+    dir.refreshableView(name)
   }
 
   // ------------------------------------------- function catalog surface

@@ -195,6 +195,38 @@ class AggregateViewSpec extends AnyFunSuite {
     assert(e.getMessage.contains("NULL group-by key"))
   }
 
+  test("streaming refresh follows source commits and survives restart without re-applying") {
+    val rows = spark.createDataFrame(Seq(
+      (1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 5.0))).toDF("id", "g", "v")
+    val root = Files.createTempDirectory("graft_aggstream_").toString
+    val src = SpaceDataset.create(spark, s"$root/src", rows.schema, Seq("id"))
+    src.append(rows)
+    val av = AggregateView.create(spark, s"$root/aggmv", src, Seq("g"),
+      Seq(AggSpec.sum("v", "sum_v"), AggSpec.countAll("n")))
+
+    val q1 = av.refreshStream(s"$root/ckpt")
+    try {
+      q1.processAllAvailable()
+      src.append(spark.createDataFrame(Seq((4L, "b", 15.0))).toDF("id", "g", "v"))
+      src.delete(col("id") === 1L)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    av.dataset.refresh()
+    assert(av.read().orderBy("g").collect().map(r =>
+      (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq ==
+      Seq(("a", 20.0, 1L), ("b", 20.0, 2L)))
+    val watermark = av.refreshedTo
+    val commits = av.dataset.storage.versions.length
+
+    // restart from the same checkpoint with no new source commits:
+    // replayed/empty batches must not commit new state snapshots
+    val q2 = av.refreshStream(s"$root/ckpt")
+    try q2.processAllAvailable() finally q2.stop()
+    av.dataset.refresh()
+    assert(av.refreshedTo == watermark)
+    assert(av.dataset.storage.versions.length == commits)
+  }
+
   test("load() rebinds from the persisted plan; refresh resumes from watermark") {
     val src = sourceTable()
     val loc = freshLoc("aggmv")

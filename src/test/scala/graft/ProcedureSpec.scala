@@ -100,6 +100,34 @@ class ProcedureSpec extends AnyFunSuite {
     assert(r2(0).getAs[Int]("commits") == 0)
   }
 
+  test("refresh_mv procedure dispatches to aggregate views by plan kind") {
+    root
+    spark.sql("CREATE TABLE graft_proc.aggsrc (id BIGINT, g STRING, v DOUBLE) " +
+      "TBLPROPERTIES ('primary_keys'='id')")
+    spark.sql("INSERT INTO graft_proc.aggsrc " +
+      "SELECT id, CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END, id * 1.0 " +
+      "FROM range(0, 100)")
+    val src = SpaceDataset.load(spark, s"$root/aggsrc")
+    val av = graft.views.AggregateView.create(spark, s"$root/aggmv", src,
+      Seq("g"), Seq(graft.views.AggSpec.sum("v", "sum_v"),
+        graft.views.AggSpec.countAll("n")))
+    av.refresh()
+
+    spark.sql("INSERT INTO graft_proc.aggsrc SELECT id, 'even', id * 1.0 " +
+      "FROM range(100, 200, 2)")
+    spark.sql("DELETE FROM graft_proc.aggsrc WHERE id < 10")
+    val r = spark.sql("CALL graft_proc.system.refresh_mv(table => 'aggmv')").collect()
+    assert(r.length == 1 && r(0).getAs[Int]("commits") == 2,
+      s"two source commits -> two state commits, got ${r.mkString}")
+    av.dataset.refresh() // the procedure committed through its own instance
+    val even = av.read().filter(col("g") === "even").collect()(0)
+    // even ids 10..98 plus 100..198 step 2: counts and sums recompute
+    val expN = 45L + 50L
+    val expSum = (10L until 100L by 2).sum + (100L until 200L by 2).sum
+    assert(even.getAs[Long]("n") == expN)
+    assert(math.abs(even.getAs[Double]("sum_v") - expSum.toDouble) < 1e-6)
+  }
+
   test("rewrite_records procedure reclaims payload space through SQL") {
     root
     // record tables take DATA mutations through the API (SQL writes
