@@ -91,7 +91,7 @@ object AppendOp {
       }
     val bloomCols =
       if (!bloomEnabled) Nil
-      else storage.primaryKeys.filter(c =>
+      else (storage.primaryKeys ++ storage.metadata.bloomColumns).distinct.filter(c =>
         idSchema.fields.exists(f => f.name == c && ManifestIO.statsEligible(f.dataType)))
     val writer = bloomCols.foldLeft(
       aligned.write.mode("overwrite")

@@ -25,10 +25,11 @@ final class DirCatalog(val spark: SparkSession, val root: String) {
       recordFields: Seq[String] = Nil,
       statsFields: Seq[String] = Nil,
       bucketColumns: Seq[String] = Nil,
-      numBuckets: Int = 0): SpaceDataset = {
+      numBuckets: Int = 0,
+      bloomColumns: Seq[String] = Nil): SpaceDataset = {
     require(!exists(name), s"dataset $name already exists")
     SpaceDataset.create(spark, location(name), schema, primaryKeys, recordFields, statsFields,
-      bucketColumns, numBuckets)
+      bucketColumns, numBuckets, bloomColumns)
   }
 
   def createMaterializedView(

@@ -141,7 +141,11 @@ final class GraftFileIndex(
     // bucket pruning: a filter pinning the bucket columns reaches only
     // the buckets its literals hash to — stats-free O(1/n) point lookups
     val bucketKept = BucketPruning.pruneFiles(storage, dataFilters, kept)
-    Seq(PartitionDirectory(InternalRow.empty, bucketKept.map(statusOf).toArray))
+    // bloom pruning: point predicates on bloom-carrying columns drop
+    // files whose embedded parquet blooms prove the value absent —
+    // the arbitrary-layout complement to stats and buckets
+    val bloomKept = BloomPruning.pruneFiles(spark, storage, dataFilters, bucketKept)
+    Seq(PartitionDirectory(InternalRow.empty, bloomKept.map(statusOf).toArray))
   }
 }
 

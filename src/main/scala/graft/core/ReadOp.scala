@@ -82,8 +82,10 @@ object ReadOp {
     val kept = keep.fold(mdf)(mdf.filter)
     val files0 = kept.select(col(ManifestIO.FileCol)).collect().map(_.getString(0)).toSeq
     val files = predicate match {
-      case Some(p) => BucketPruning.pruneFiles(storage,
-        Seq(org.apache.spark.sql.graftshim.ColumnExpr.catalystExpression(p)), files0)
+      case Some(p) =>
+        val exprs = Seq(org.apache.spark.sql.graftshim.ColumnExpr.catalystExpression(p))
+        BloomPruning.pruneFiles(spark, storage, exprs,
+          BucketPruning.pruneFiles(storage, exprs, files0))
       case None => files0
     }
     // legacy (unsummarized) tables read every manifest, so mdf IS the total

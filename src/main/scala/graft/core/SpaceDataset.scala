@@ -578,9 +578,10 @@ object SpaceDataset {
       recordFields: Seq[String] = Nil,
       statsFields: Seq[String] = Nil,
       bucketColumns: Seq[String] = Nil,
-      numBuckets: Int = 0): SpaceDataset =
+      numBuckets: Int = 0,
+      bloomColumns: Seq[String] = Nil): SpaceDataset =
     new SpaceDataset(spark, Storage.create(location, schema, primaryKeys, recordFields,
-      statsFields = statsFields,
+      statsFields = statsFields, bloomColumns = bloomColumns,
       bucketColumns = bucketColumns, numBuckets = numBuckets,
       conf = spark.sparkContext.hadoopConfiguration))
 

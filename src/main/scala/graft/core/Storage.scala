@@ -883,10 +883,18 @@ object Storage {
       logicalPlan: Option[String] = None,
       logicalPlanSubstrait: Option[String] = None,
       statsFields: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil,
       bucketColumns: Seq[String] = Nil,
       numBuckets: Int = 0,
       conf: Configuration = new Configuration()): Storage = {
     SchemaValidation.validate(schema, primaryKeys, recordFields)
+    bloomColumns.foreach { c =>
+      val fld = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"bloom column $c not in schema (top-level only)"))
+      require(ManifestIO.statsEligible(fld.dataType),
+        s"bloom column $c has non-bloom-eligible type ${fld.dataType}")
+      require(!recordFields.contains(c), s"record field $c cannot carry a bloom filter")
+    }
     require(bucketColumns.isEmpty == (numBuckets == 0),
       "bucketColumns and numBuckets must be set together")
     require(numBuckets >= 0 && numBuckets <= 100000, s"bad numBuckets $numBuckets")
@@ -919,7 +927,7 @@ object Storage {
       createTimeMs = now, lastUpdateTimeMs = now, tableType = tableType,
       schemaJson = withIds.json,
       primaryKeys = primaryKeys.toList, recordFields = recordFields.toList,
-      statsFields = statsFields.toList,
+      statsFields = statsFields.toList, bloomColumns = bloomColumns.toList,
       bucketColumns = bucketColumns.toList, numBuckets = numBuckets,
       currentSnapshotId = 0L, maxSnapshotId = 0L,
       snapshots = Map("0" -> initial), logicalPlan = logicalPlan,

@@ -100,6 +100,13 @@ final case class StorageMetadata(
       * the difference between scanning 100 TB and one partition's worth
       * when the workload filters on a non-key column. */
     statsFields: List[String] = Nil,
+    /** Extra NON-KEY columns whose data files carry parquet bloom
+      * filters (primary keys always do — AppendOp). Blooms answer point
+      * predicates on an arbitrary layout: the planner drops whole files
+      * whose blooms prove a `=`/`IN` value absent (BloomPruning), and
+      * Spark's parquet reader skips row groups inside surviving files.
+      * Write-side only — absent blooms never affect correctness. */
+    bloomColumns: List[String] = Nil,
     /** Highest committed version per writer appId (exactly-once sinks;
       * see [[TxnTag]]). */
     txnVersions: Map[String, Long] = Map.empty,

@@ -609,6 +609,20 @@ object StorageOps {
       mv.dataset.readAll()
     }),
 
+    // bloom-pruned point read on a layout DECORRELATED from the key:
+    // files ordered by a text hash make doc_id min/max span every file
+    // (stats pruning useless), so the planner's third layer — the
+    // parquet blooms the write embedded — drops the files that cannot
+    // hold the looked-up ids before any task is scheduled. The 100 TB
+    // shape of "fetch these K rows by key from an unclustered table"
+    "s_bloom_point" -> ((s, d) => {
+      val ds = SpaceDataset.create(s, fresh("bloom"),
+        t(s, d, "documents").schema, Seq("doc_id"))
+      ds.append(t(s, d, "documents").repartitionByRange(8, xxhash64(col("text"))))
+      ds.read(filter = Some(col("doc_id").isin(3L, 41L, 107L, 411L)))
+        .select("doc_id", "lang", "n_chars")
+    }),
+
     // incrementally-maintained GROUP BY view (AggregateView): per-group
     // partial-aggregate state updated from CDC deltas — appends merge
     // arithmetically, deletes SUBTRACT for sum/count/avg and recompute
@@ -946,6 +960,9 @@ object StorageOps {
         |FROM orders
         |WHERE o_orderkey > 200 AND o_orderkey <= 1200
         |  AND o_totalprice > 100000""".stripMargin,
+    "s_bloom_point" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id IN (3, 41, 107, 411)""".stripMargin,
     "s_mv_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  count(*) AS n_rows,

@@ -200,6 +200,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     val statsFields = props.get("stats_fields")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val bloomCols = props.get("bloom_columns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     val bucketCols = clusteredBy
       .map(_.columns.map(_.fieldNames.mkString(".")).toSeq)
       .orElse(props.get("bucket_columns")
@@ -209,7 +211,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       .map(_.numBuckets.value.asInstanceOf[Number].intValue())
       .orElse(props.get("num_buckets").map(_.trim.toInt)).getOrElse(0)
     val ds = dir.createDataset(tableName(ident), schema, pks, recordFields, statsFields,
-      bucketCols, numBuckets)
+      bucketCols, numBuckets, bloomCols)
     new GraftTable(spark, ds, s"$catalogName.${ident.name}", None)
   }
 
@@ -402,6 +404,7 @@ final class GraftTable(
     "primary_keys" -> ds.primaryKeys.mkString(","),
     "record_fields" -> storage.recordFields.map(storage.logicalNameOf).mkString(","),
     "bucket_columns" -> storage.metadata.bucketColumns.map(storage.logicalNameOf).mkString(","),
+    "bloom_columns" -> storage.metadata.bloomColumns.map(storage.logicalNameOf).mkString(","),
     "num_buckets" -> storage.metadata.numBuckets.toString,
     "provider" -> "graft",
     "snapshot_id" -> snapshotId.toString).asJava

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+import graft.views._
+
+/** Model-based fuzz for incremental aggregate-view maintenance: a
+  * seeded random append / delete / upsert sequence runs against a
+  * source table; after EVERY refresh the view's final values must
+  * equal a from-scratch GROUP BY over the source's current rows —
+  * including groups that empty out and reappear, all-null aggregate
+  * inputs, and extremum deletions. Deterministic seed. */
+class AggViewFuzzSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val groups = Seq("g0", "g1", "g2", "g3", "g4")
+
+  test("randomized source lifecycle: view equals recompute after every refresh") {
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 1 to 2) {
+      val loc = java.nio.file.Files.createTempDirectory(s"graft_aggfuzz${trial}_")
+        .toString + "/tbl"
+      val schema = Seq.empty[(Long, String, Option[Double])].toDF("id", "g", "v").schema
+      val src = SpaceDataset.create(spark, loc, schema, Seq("id"))
+      var nextId = 0L
+
+      val av = AggregateView.create(spark,
+        java.nio.file.Files.createTempDirectory(s"graft_aggfuzzv${trial}_").toString + "/tbl",
+        src, Seq("g"), Seq(
+          AggSpec.countAll("n"), AggSpec.count("v", "n_v"), AggSpec.sum("v", "sum_v"),
+          AggSpec.avg("v", "avg_v"), AggSpec.min("v", "min_v"), AggSpec.max("v", "max_v")))
+
+      def freshRows(n: Int): Seq[(Long, String, Option[Double])] = {
+        val rows = (0 until n).map { i =>
+          val v = if (rnd.nextInt(10) == 0) None
+                  else Some((rnd.nextInt(2000) - 1000).toDouble)
+          (nextId + i, groups(rnd.nextInt(groups.size)), v)
+        }
+        nextId += n
+        rows
+      }
+
+      for (step <- 1 to 10) {
+        rnd.nextInt(5) match {
+          case 0 | 1 => // append
+            src.append(freshRows(10 + rnd.nextInt(60)).toDF("id", "g", "v"))
+          case 2 => // predicate delete (often hits per-group extrema)
+            val m = 2 + rnd.nextInt(4)
+            src.delete(pmod(col("id"), lit(m.toLong)) === rnd.nextInt(m).toLong)
+          case 3 => // delete a whole group (forces group death)
+            src.delete(col("g") === groups(rnd.nextInt(groups.size)))
+          case 4 => // upsert: rewrite surviving ids of a congruence class
+            val survivors = src.readAll().filter(col("id") % 3 === 0)
+              .select("id", "g").collect()
+              .map(r => (r.getLong(0), r.getString(1))).toSeq
+            val batch = survivors.take(40).map { case (id, g) =>
+              (id, g, Some((rnd.nextInt(2000) - 1000).toDouble): Option[Double])
+            } ++ freshRows(rnd.nextInt(10))
+            if (batch.nonEmpty) src.upsert(batch.toDF("id", "g", "v"))
+        }
+        av.refresh()
+
+        val exp = src.readAll().groupBy("g").agg(
+          count(lit(1)).as("n"), count(col("v")).as("n_v"),
+          sum("v").as("sum_v"), avg("v").as("avg_v"),
+          min("v").as("min_v"), max("v").as("max_v"))
+        def norm(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("g"), col("n"), col("n_v"),
+            round(col("sum_v"), 6).as("sum_v"), round(col("avg_v"), 6).as("avg_v"),
+            col("min_v"), col("max_v"))
+        val g = norm(av.read())
+        val e = norm(exp)
+        assert(g.exceptAll(e).isEmpty && e.exceptAll(g).isEmpty,
+          s"trial $trial step $step: view != recompute\n" +
+            s"view: ${g.orderBy("g").collect().mkString(", ")}\n" +
+            s"exp:  ${e.orderBy("g").collect().mkString(", ")}")
+      }
+    }
+  }
+}
