@@ -44,38 +44,97 @@ object DmlOps {
       keepSurvivors = df => df.filter(!coalesce(cond, lit(false))))
 
   /** CoW delete of rows whose primary key appears in `keys`. */
-  def deleteByKeys(spark: SparkSession, storage: Storage, snapshotId: Long, keys: DataFrame): Option[Patch] = {
+  def deleteByKeys(spark: SparkSession, storage: Storage, snapshotId: Long, keys: DataFrame): Option[Patch] =
+    deleteByKeysOn(spark, storage, snapshotId, keys, storage.primaryKeys)
+
+  /** CoW delete of rows matching `keys` on `keyCols` (top-level physical
+    * columns, not necessarily this table's PK). This is the MV-refresh
+    * generalization: an EXPAND transform (one source row → N view rows,
+    * e.g. an inverted-index postings view) makes the view's PK a strict
+    * superset of the source's, and a source-row delete must sweep EVERY
+    * derived row — so the match runs on the source-PK columns that
+    * survived the transform. With `keyCols == primaryKeys` this is
+    * exactly [[deleteByKeys]]. */
+  def deleteByKeysOn(
+      spark: SparkSession,
+      storage: Storage,
+      snapshotId: Long,
+      keys: DataFrame,
+      keyCols: Seq[String]): Option[Patch] = {
     // an empty table can't match any key: skip the key-range job entirely
     // (first upsert into a fresh table — e.g. a streaming sink's batch 0)
     if (storage.snapshotOrFail(snapshotId).manifestFiles.indexManifestFiles.isEmpty) return None
-    val pks = storage.primaryKeys
-    val k = keys.select(pks.map(col): _*).distinct()
+    require(keyCols.nonEmpty, "deleteByKeysOn: empty key column list")
+    keyCols.foreach(c => require(storage.schema.fieldNames.contains(c),
+      s"deleteByKeysOn: key column $c is not in the table schema " +
+        s"(${storage.schema.fieldNames.mkString(", ")})"))
+    val k = keys.select(keyCols.map(col): _*).distinct()
     deleteCore(spark, storage, snapshotId,
-      candidates = ReadOp.plan(spark, storage, snapshotId, keyRangePredicate(spark, k, storage)).files,
-      markMatched = df => df.join(k, pks, "left_semi"),
-      keepSurvivors = df => df.join(k, pks, "left_anti"))
+      candidates = ReadOp.plan(spark, storage, snapshotId,
+        keyLookupPredicate(spark, k, storage, keyCols)).files,
+      markMatched = df => df.join(k, keyCols, "left_semi"),
+      keepSurvivors = df => df.join(k, keyCols, "left_anti"))
   }
 
-  /** Stats-driven pre-filter for key lookups: `pk BETWEEN min AND max` of
-    * the incoming keys, per PK column, ANDed (the useful half of the
-    * reference's range partitioning, ray/ops/join.py:148-176) — lets
-    * manifest pruning skip files entirely outside the key box. With a
+  /** A point-shaped key lookup is one the planner can prune EXACTLY:
+    * below this many key rows the prefilter is a per-column IN list
+    * (falsifiable-IN manifest pruning + file-level parquet blooms both
+    * engage) instead of a min/max box. The bound keeps driver-side
+    * literals and bloom probes small; larger batches fall back to the
+    * range box, which costs one aggregate regardless of size. */
+  private[graft] val MaxPointLookupKeys = 1024
+
+  /** Stats-driven pre-filter for key lookups over `cols` (default: the
+    * primary keys — insert/upsert/merge all route here).
+    *
+    * Point form: when the lookup carries at most [[MaxPointLookupKeys]]
+    * rows (a CDC delete batch, an upsert of a few keys, an MV sweep),
+    * the predicate is the exact per-column IN list — on a clustered
+    * layout the falsifiable-IN manifest form prunes to the touched
+    * files, and on a layout DECORRELATED from the key the embedded
+    * parquet blooms ([[BloomPruning]]) still drop every file that
+    * cannot hold any key. The `limit(n+1)` probe short-circuits, so
+    * large batches pay one cheap partial scan, never a shuffle.
+    *
+    * Range form (large batches): `pk BETWEEN min AND max` of the
+    * incoming keys, per column, ANDed (the useful half of the
+    * reference's range partitioning, ray/ops/join.py:148-176). With a
     * composite PK each column contributes its own range, so an upsert
     * keyed on (l_orderkey, l_linenumber) still prunes on BOTH; one tiny
     * agg job computes every min/max at once. */
-  private[graft] def keyRangePredicate(spark: SparkSession, keys: DataFrame, storage: Storage): Option[Column] = {
-    val pks = storage.primaryKeys
-      .filter(pk => ManifestIO.statsEligible(storage.schema(pk).dataType))
+  private[graft] def keyLookupPredicate(
+      spark: SparkSession,
+      keys: DataFrame,
+      storage: Storage,
+      cols: Seq[String]): Option[Column] = {
+    val pks = cols.filter(pk => ManifestIO.statsEligible(storage.schema(pk).dataType))
     if (pks.isEmpty) return None
-    val aggs = pks.flatMap(pk =>
-      Seq(min(col(pk)).as(s"__lo_$pk"), max(col(pk)).as(s"__hi_$pk")))
-    val row = keys.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val preds = pks.zipWithIndex.flatMap { case (pk, i) =>
-      if (row.isNullAt(2 * i)) None
-      else Some(col(pk) >= lit(row.get(2 * i)) && col(pk) <= lit(row.get(2 * i + 1)))
+    val probe = keys.select(pks.map(col): _*).limit(MaxPointLookupKeys + 1).collect()
+    if (probe.isEmpty) return None
+    if (probe.length <= MaxPointLookupKeys) {
+      // exact point form: every row matching the full composite key has
+      // each column's value in that column's collected set, so the
+      // per-column IN conjunction is a sound (superset) prefilter
+      val preds = pks.indices.flatMap { i =>
+        val vals = probe.map(_.get(i)).filter(_ != null).distinct.toSeq
+        if (vals.isEmpty) None else Some(col(pks(i)).isInCollection(vals))
+      }
+      preds.reduceOption(_ && _)
+    } else {
+      val aggs = pks.flatMap(pk =>
+        Seq(min(col(pk)).as(s"__lo_$pk"), max(col(pk)).as(s"__hi_$pk")))
+      val row = keys.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val preds = pks.zipWithIndex.flatMap { case (pk, i) =>
+        if (row.isNullAt(2 * i)) None
+        else Some(col(pk) >= lit(row.get(2 * i)) && col(pk) <= lit(row.get(2 * i + 1)))
+      }
+      preds.reduceOption(_ && _)
     }
-    preds.reduceOption(_ && _)
   }
+
+  /** Back-compat shim for the pre-point-form name. */
+  private[graft] def keyRangePredicate(spark: SparkSession, keys: DataFrame, storage: Storage): Option[Column] =
+    keyLookupPredicate(spark, keys, storage, storage.primaryKeys)
 
   /** Canonical identity of a data file for executor↔driver matching:
     * scheme + authority + path. `_metadata.file_path` renders a qualified

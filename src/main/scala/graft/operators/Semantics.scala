@@ -34,10 +34,10 @@ object Semantics {
 
   // BM25 constants — written as plain decimal literals and combined the
   // SAME way in the DuckDB SQL so both engines parse identical doubles.
-  private val K1 = 1.2
-  private val B = 0.75
+  private[operators] val K1 = 1.2
+  private[operators] val B = 0.75
   /** Fixed probe terms for the oracle query (mid-frequency corpus words). */
-  private val QueryTerms = Seq("vector", "merge", "window")
+  private[graft] val QueryTerms = Seq("vector", "merge", "window")
 
   /** BM25 score of `terms` against every document containing at least
     * one of them.
@@ -65,15 +65,9 @@ object Semantics {
       .filter(col("term").isin(terms: _*))
     val tf = toks.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-
-    val idf = log(lit(1.0) +
-      (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val w = idf * (col("tf") * lit(K1 + 1)) /
-      (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / lit(avgdl)))
-    tf.join(broadcast(dfreq), Seq("term"))
-      .groupBy(col(idCol))
-      .agg(round(sum(w), 4).as("bm25"), count(lit(1)).as("n_terms"))
+    // scoring tail shared with the persisted-index path — one copy of
+    // the formula against the one shared oracle
+    TextIndex.bm25FromPostings(tf, idCol, nDocs, avgdl)
   }
 
   /** SemDeDup: assign each vector to its nearest centroid (squared-L2,

@@ -812,6 +812,65 @@ object StorageOps {
       mv.refresh()
       Similarity.pqScore(mv.dataset.readAll(), e.filter(col("vec_id") < 5),
         "embedding", "vec_id", dim = 64, m = 8, codebook, k = 10)
+    }),
+
+    // inverted text index AS AN INCREMENTALLY-MAINTAINED MV (EXPAND
+    // transform: one doc → one posting per distinct term; source
+    // deletes sweep derived rows by source key). BM25 for a query then
+    // reads ONLY the query terms' postings — a term-clustered point
+    // read — plus O(#langs) rows of maintained corpus stats
+    // (AggregateView: N, token counts), so at 100 TB keyword search
+    // never rescans the corpus and new docs cost one delta refresh.
+    // Indexes the full documents table in two arrivals → output equals
+    // v_bm25 over the same corpus, sharing its oracle verbatim.
+    "s_text_index" -> ((s, d) => {
+      import graft.views._
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"), col("text"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("dl"))
+      val src = SpaceDataset.create(s, fresh("tidx_src"), docs.schema, Seq("doc_id"))
+      src.append(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0))
+      val mv = View.ofDataset(src)
+        .mapTransform(classOf[TokenPostingsTransform].getName,
+          Map("textCol" -> "text", "idCol" -> "doc_id"))
+        .materialize(s, fresh("tidx_mv"), Seq("term", "doc_id"))
+      val stats = AggregateView.create(s, fresh("tidx_stats"), src, Seq("lang"),
+        Seq(AggSpec.countAll("n"), AggSpec.count("dl", "n_dl"), AggSpec.sum("dl", "sum_dl")))
+      src.append(docs.filter(pmod(col("doc_id"), lit(5)) === 0)) // new docs arrive
+      mv.refresh()
+      stats.refresh()
+      // maintenance: term-cluster the postings so a query's term IN
+      // list prunes to its own posting files (file count scales with
+      // the corpus via O(1) countRows, not a fixed row target)
+      mv.dataset.clusterBy(Seq("term"),
+        targetFileRows = math.max(4096L, mv.dataset.countRows() / 16))
+      val st = stats.read().agg(sum(col("n")), sum(col("n_dl")), sum(col("sum_dl"))).collect()(0)
+      val nDocs = st.getLong(0)
+      val avgdl = st.getLong(2).toDouble / st.getLong(1)
+      val tf = mv.dataset.read(filter = Some(col("term").isin(Semantics.QueryTerms: _*)))
+        .select(col("doc_id"), col("term"), col("tf"), col("dl"))
+      TextIndex.bm25FromPostings(tf, "doc_id", nDocs, avgdl)
+    }),
+
+    // dynamic FILE pruning join: the selective dim side's distinct keys
+    // become an exact IN predicate on the graft fact scan, so manifest
+    // stats, buckets and file-level parquet blooms drop fact files
+    // BEFORE task scheduling — here the fact layout is deliberately
+    // DECORRELATED from the key (ordered by a non-key hash), so only
+    // the PK blooms can prune, and they do. Spark's own DPP reaches
+    // Hive partition columns only; this reaches arbitrary graft
+    // layouts. The 100 TB shape of "enrich these few entities".
+    "s_join_dpp" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val ds = SpaceDataset.create(s, fresh("dpp"), li.schema,
+        Seq("l_orderkey", "l_linenumber"))
+      ds.append(li.repartitionByRange(8,
+        xxhash64(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))))
+      val dim = t(s, d, "orders")
+        .filter(pmod(col("o_orderkey"), lit(701)) === 7)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      PrunedJoin.inner(s, ds, "l_orderkey", dim, "o_orderkey")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("o_totalprice"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -987,6 +1046,12 @@ object StorageOps {
     "s_pq_index" -> Pipeline.oracleSql("v_pq"),
     // the incrementally-maintained index must equal a full rebuild
     "s_ann_index_mv" -> Pipeline.oracleSql("v_pq"),
+    // the index path must reproduce the corpus-scan BM25 exactly
+    "s_text_index" -> Semantics.oracleSql("v_bm25"),
+    "s_join_dpp" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderkey % 701 = 7""".stripMargin,
     // the ingested shards decode back to scalars derivable from the
     // source table (payload length/head byte are functions of doc_id)
     // printf, not lpad: DuckDB's lpad TRUNCATES strings longer than the

@@ -70,8 +70,18 @@ final class MaterializedView(val spark: SparkSession, val dataset: SpaceDataset)
           val patches = batches.flatMap { b =>
             b.changeType match {
               case ChangeType.Delete =>
-                // delete by PK on the MV (PKs survive the transform pipeline)
-                DmlOps.deleteByKeys(spark, dataset.storage, pinned, b.data)
+                // delete by the SOURCE-pk columns that survived the
+                // transform (they do by contract). For row-wise views
+                // these are exactly the MV's own PKs; for EXPAND
+                // transforms (one source row → N view rows, e.g. a
+                // postings index) the MV PK is a superset and the
+                // source key must sweep every derived row.
+                val keyCols = b.data.columns.toSeq
+                  .filter(dataset.storage.schema.fieldNames.contains)
+                require(keyCols.nonEmpty,
+                  s"MV refresh: no source key column of (${b.data.columns.mkString(", ")}) " +
+                    s"survives the transform — cannot apply source deletes")
+                DmlOps.deleteByKeysOn(spark, dataset.storage, pinned, b.data, keyCols)
               case ChangeType.Add =>
                 val transformed = plan.processSource(spark, b.data)
                 Some(RecordIO.writeWithRecords(spark, dataset.storage, transformed))
