@@ -13,25 +13,38 @@ import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Equal
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** File pruning from the PARQUET BLOOM FILTERS the write path already
-  * embeds (AppendOp: PK columns + [[graft.format.StorageMetadata
-  * .bloomColumns]]): a point predicate (`=` / `IN`) on a bloom-carrying
-  * column drops every candidate file whose blooms prove the value(s)
-  * absent — BEFORE task scheduling, from footer-only driver reads.
+/** File pruning from the PER-FILE MEMBERSHIP EVIDENCE the write path
+  * already embeds: a point predicate (`=` / `IN`) on a key column drops
+  * every candidate file whose row groups PROVE the value(s) absent —
+  * BEFORE task scheduling, from footer+sidecar driver reads.
+  *
+  * Two complementary provers, matching how parquet-mr actually writes:
+  *  - **Bloom filters** (AppendOp: PK columns + [[graft.format
+  *    .StorageMetadata.bloomColumns]]) — parquet-mr only materializes
+  *    them for chunks that FELL BACK from dictionary encoding, i.e.
+  *    exactly the high-NDV production-scale chunks.
+  *  - **Dictionary pages** — a chunk that stayed fully
+  *    dictionary-encoded gets NO bloom (the writer skips it by design),
+  *    but its dictionary is a complete, EXACT value inventory; probing
+  *    it gives false-positive-free membership for the low-NDV chunks
+  *    blooms never cover.
   *
   * This is the third pruning layer and the one that works when the
   * OTHER two can't: manifest min/max stats need the layout to correlate
   * with the key (clustered tables), bucket pruning needs a bucket spec —
-  * a bloom answers point lookups on an arbitrary layout. The intended
-  * 100 TB shape is a small candidate set AFTER stats/bucket pruning (a
-  * point read); a broad scan gains nothing from per-file membership
-  * tests, so pruning engages only under [[MaxCandidateFiles]].
+  * membership evidence answers point lookups on an arbitrary layout.
+  * The intended 100 TB shape is a small candidate set AFTER stats/bucket
+  * pruning (a point read); a broad scan gains nothing from per-file
+  * membership tests, so pruning engages only under [[MaxCandidateFiles]],
+  * and the per-file probes run on a bounded driver pool (object-store
+  * footers are hundreds of RPCs if walked serially).
   *
-  * Conservative by construction: any file whose footer lacks a bloom
-  * for the column (legacy files, `spark.graft.pkBloomFilters=false`
-  * writes), any non-literal or type-mismatched comparison, and any
-  * value possibly present in ANY row group keeps the file. Row-group
-  * blooms are cached (bounded LRU, whole-filter bits) so the repeated
+  * Conservative by construction: any chunk with neither a bloom nor a
+  * fully-dictionary-encoded page set (legacy files,
+  * `spark.graft.pkBloomFilters=false` writes, partially-dict chunks,
+  * oversized dictionaries), any non-literal or type-mismatched
+  * comparison, and any value possibly present in ANY row group keeps
+  * the file. Per-file evidence is cached (bounded LRU) so the repeated
   * point reads of a streaming ingest pay the footer IO once per file.
   */
 object BloomPruning {
@@ -43,8 +56,46 @@ object BloomPruning {
   /** Cap on total membership probes (values × conjuncts). */
   private val MaxLookupValues = 1024
 
-  /** Drop candidate files whose blooms falsify a point conjunct.
-    * `filters` are implicitly ANDed; `files` are table-root-relative. */
+  /** A dictionary bigger than this is a high-NDV chunk that should have
+    * carried a bloom instead; decoding it to a set stops paying. */
+  private val MaxDictEntries = 1 << 17
+
+  /** Bounded driver-side parallelism for per-file footer probes. */
+  private val ProbePoolSize = 16
+
+  /** Per-row-group membership evidence for one column: either the
+    * parquet bloom bits or the exact decoded dictionary. */
+  private sealed trait Prover {
+    def mightContain(dt: DataType, v: Any): Boolean
+  }
+  private final case class BloomProver(b: BloomFilter) extends Prover {
+    def mightContain(dt: DataType, v: Any): Boolean = dt match {
+      case IntegerType => b.findHash(b.hash(v.asInstanceOf[Int]))
+      case LongType => b.findHash(b.hash(v.asInstanceOf[Long]))
+      case FloatType => b.findHash(b.hash(v.asInstanceOf[Float]))
+      case DoubleType => b.findHash(b.hash(v.asInstanceOf[Double]))
+      case StringType => b.findHash(b.hash(Binary.fromConstantByteArray(utf8(v))))
+      case _ => true
+    }
+  }
+  /** Exact membership: values are canonicalized (strings as String). */
+  private final case class DictProver(values: Set[Any]) extends Prover {
+    def mightContain(dt: DataType, v: Any): Boolean = dt match {
+      case StringType => values.contains(new String(utf8(v), java.nio.charset.StandardCharsets.UTF_8))
+      case IntegerType | LongType | FloatType | DoubleType => values.contains(v)
+      case _ => true
+    }
+  }
+
+  private def utf8(v: Any): Array[Byte] = v match {
+    case s: UTF8String => s.getBytes
+    case s: String => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    case other => other.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Drop candidate files whose membership evidence falsifies a point
+    * conjunct. `filters` are implicitly ANDed; `files` are
+    * table-root-relative. */
   def pruneFiles(
       spark: SparkSession,
       storage: Storage,
@@ -55,23 +106,39 @@ object BloomPruning {
     if (lookups.isEmpty) return files
     if (lookups.map(_._3.size).sum > MaxLookupValues) return files
     val conf = spark.sparkContext.hadoopConfiguration
-    files.filter { rel =>
+
+    def keep(rel: String): Boolean = {
       val abs = storage.absolute(rel)
       lookups.forall { case (colName, dt, values) =>
         // the conjunct can hold in this file only if SOME value might
-        // be present in SOME row group (missing bloom = might)
-        blooms(abs, colName, conf) match {
-          case None => true // no bloom anywhere in the file
+        // be present in SOME row group (missing evidence = might)
+        provers(abs, colName, conf) match {
+          case None => true // no evidence anywhere in the file
           case Some(perGroup) => perGroup.exists {
             case None => true
-            case Some(b) => values.exists(v => mightContain(b, dt, v))
+            case Some(p) => values.exists(v => p.mightContain(dt, v))
           }
         }
       }
     }
+
+    if (files.size <= 2) files.filter(keep)
+    else {
+      // bounded fan-out: object-store footer probes are network RPCs;
+      // serial walks of a few hundred candidates would put seconds of
+      // latency inside planning
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(ProbePoolSize, files.size))
+      try {
+        val futs = files.map(f => f -> pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = keep(f)
+        }))
+        futs.collect { case (f, fut) if fut.get() => f }
+      } finally pool.shutdown()
+    }
   }
 
-  /** Conjunctive point lookups on bloom-carrying columns:
+  /** Conjunctive point lookups on evidence-carrying columns:
     * (column, type, candidate values) per conjunct — the conjunct holds
     * only if the row's column equals one of the values. */
   private def pointLookups(
@@ -147,50 +214,38 @@ object BloomPruning {
     }
   }
 
-  private def mightContain(b: BloomFilter, dt: DataType, v: Any): Boolean = dt match {
-    case IntegerType => b.findHash(b.hash(v.asInstanceOf[Int]))
-    case LongType => b.findHash(b.hash(v.asInstanceOf[Long]))
-    case FloatType => b.findHash(b.hash(v.asInstanceOf[Float]))
-    case DoubleType => b.findHash(b.hash(v.asInstanceOf[Double]))
-    case StringType =>
-      val bytes = v match {
-        case s: UTF8String => s.getBytes
-        case s: String => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        case other => other.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      }
-      b.findHash(b.hash(Binary.fromConstantByteArray(bytes)))
-    case _ => true
-  }
+  // -------------------------------------------- membership evidence cache
 
-  // ------------------------------------------------- bloom bits cache
-
-  /** (absolute path, column) → per-row-group blooms; None = no row
-    * group in the file carries one (cache that too — re-proving absence
-    * costs the same footer read the cache exists to avoid). */
+  /** (absolute path, column) → per-row-group provers; None = no row
+    * group in the file carries usable evidence (cache that too —
+    * re-proving absence costs the same footer read the cache exists to
+    * avoid). */
   private val MaxCached = 512
   private val cache =
-    new java.util.LinkedHashMap[(String, String), Option[Seq[Option[BloomFilter]]]](64, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, String), Option[Seq[Option[Prover]]]](64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, String), Option[Seq[Option[BloomFilter]]]]): Boolean =
+          e: java.util.Map.Entry[(String, String), Option[Seq[Option[Prover]]]]): Boolean =
         size() > MaxCached
     }
 
-  private def blooms(
+  private def provers(
       absPath: String,
       colName: String,
-      conf: org.apache.hadoop.conf.Configuration): Option[Seq[Option[BloomFilter]]] = {
+      conf: org.apache.hadoop.conf.Configuration): Option[Seq[Option[Prover]]] = {
     val key = (absPath, colName)
     cache.synchronized {
       val hit = cache.get(key)
       if (hit != null) return hit
     }
-    val loaded: Option[Seq[Option[BloomFilter]]] = {
+    val loaded: Option[Seq[Option[Prover]]] = {
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(absPath), conf))
       try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
         val perGroup = reader.getFooter.getBlocks.asScala.toSeq.map { block =>
           block.getColumns.asScala.find(_.getPath.toDotString == colName).flatMap { cc =>
-            Option(reader.getBloomFilterDataReader(block)).flatMap(r =>
-              Option(r.readBloomFilter(cc)))
+            val bloom = Option(reader.getBloomFilterDataReader(block)).flatMap(r =>
+              Option(r.readBloomFilter(cc))).map(BloomProver.apply)
+            bloom.orElse(dictProver(reader, block, cc, schema))
           }
         }
         if (perGroup.forall(_.isEmpty)) None else Some(perGroup)
@@ -200,6 +255,43 @@ object BloomPruning {
     loaded
   }
 
-  /** Test hook: drop cached bloom bits (e.g. after rewriting files). */
+  /** Exact membership from the dictionary page of a chunk that never
+    * fell back to plain encoding — the case parquet-mr deliberately
+    * writes no bloom for. `hasNonDictionaryEncodedPages` is the same
+    * test parquet's own row-group DictionaryFilter uses. */
+  private def dictProver(
+      reader: ParquetFileReader,
+      block: org.apache.parquet.hadoop.metadata.BlockMetaData,
+      cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+      schema: org.apache.parquet.schema.MessageType): Option[Prover] = {
+    val stats = cc.getEncodingStats
+    if (stats == null || !stats.hasDictionaryPages || stats.hasNonDictionaryEncodedPages) return None
+    // upcast to the public read-store interface: the concrete
+    // DictionaryPageReader class is package-private in parquet-mr
+    val dicts: org.apache.parquet.column.page.DictionaryPageReadStore =
+      reader.getDictionaryReader(block)
+    if (dicts == null) return None
+    val desc = schema.getColumnDescription(cc.getPath.toArray)
+    Option(dicts.readDictionaryPage(desc)).flatMap { page =>
+      val dict = page.getEncoding.initDictionary(desc, page)
+      val n = dict.getMaxId + 1
+      if (n > MaxDictEntries) None
+      else {
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+        val values: Option[Set[Any]] = desc.getPrimitiveType.getPrimitiveTypeName match {
+          case INT32 => Some((0 until n).map(i => dict.decodeToInt(i): Any).toSet)
+          case INT64 => Some((0 until n).map(i => dict.decodeToLong(i): Any).toSet)
+          case FLOAT => Some((0 until n).map(i => dict.decodeToFloat(i): Any).toSet)
+          case DOUBLE => Some((0 until n).map(i => dict.decodeToDouble(i): Any).toSet)
+          case BINARY => Some((0 until n).map(i =>
+            dict.decodeToBinary(i).toStringUsingUTF8: Any).toSet)
+          case _ => None
+        }
+        values.map(DictProver.apply)
+      }
+    }
+  }
+
+  /** Test hook: drop cached evidence (e.g. after rewriting files). */
   private[graft] def clearCache(): Unit = cache.synchronized(cache.clear())
 }

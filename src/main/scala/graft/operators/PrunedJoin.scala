@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.core.SpaceDataset
 
@@ -29,6 +30,18 @@ import graft.core.SpaceDataset
   */
 object PrunedJoin {
 
+  /** Join by NAME through subquery aliases, never by `df(col)` handles:
+    * a graft relation can be re-instantiated between the handle's
+    * resolution and the join's analysis (fresh expression ids), which
+    * makes attribute-handle conditions fail analysis with
+    * MISSING_ATTRIBUTES. Qualified name resolution is immune. */
+  private def joinOnKey(
+      factDf: DataFrame, factKey: String,
+      dimDf: DataFrame, dimKey: String): DataFrame = {
+    val cond: Column = col(s"__pj_f.`$factKey`") === col(s"__pj_d.`$dimKey`")
+    factDf.alias("__pj_f").join(dimDf.alias("__pj_d"), cond)
+  }
+
   /** Inner equi-join of `fact` (graft table) with `dim` on
     * `factKey == dimKey`. The dim side should be broadcast-small when
     * point-shaped (it is broadcast in the pruned path); the fallback
@@ -40,20 +53,26 @@ object PrunedJoin {
       dim: DataFrame,
       dimKey: String,
       maxKeys: Int = 4096): DataFrame = {
+    // persist across the probe and the join so an expensive dim
+    // subquery evaluates each partition ONCE (the probe materializes
+    // what it touches, the broadcast build reads the cache); the
+    // fallback unpersists before joining so a huge dim is never
+    // force-materialized into the cache
+    val cached = dim.persist(StorageLevel.MEMORY_AND_DISK)
     // limit(n+1) short-circuits: a non-selective dim pays one cheap
     // partial scan of its distinct keys, never a full collect
-    val keys = dim.select(col(dimKey)).filter(col(dimKey).isNotNull)
+    val keys = cached.select(col(dimKey)).filter(col(dimKey).isNotNull)
       .distinct().limit(maxKeys + 1).collect().map(_.get(0)).toSeq
     if (keys.isEmpty) {
+      cached.unpersist(blocking = false)
       // no joinable dim keys -> empty inner join, zero fact IO
-      val factDf = fact.readAll().filter(lit(false))
-      factDf.join(dim, factDf(factKey) === dim(dimKey))
+      joinOnKey(fact.readAll().filter(lit(false)), factKey, dim, dimKey)
     } else if (keys.size > maxKeys) {
-      val factDf = fact.readAll()
-      factDf.join(dim, factDf(factKey) === dim(dimKey))
+      cached.unpersist(blocking = false)
+      joinOnKey(fact.readAll(), factKey, dim, dimKey)
     } else {
       val factDf = fact.read(filter = Some(col(factKey).isInCollection(keys)))
-      factDf.join(broadcast(dim), factDf(factKey) === dim(dimKey))
+      joinOnKey(factDf, factKey, broadcast(cached), dimKey)
     }
   }
 }

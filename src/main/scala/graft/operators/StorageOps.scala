@@ -865,9 +865,15 @@ object StorageOps {
         Seq("l_orderkey", "l_linenumber"))
       ds.append(li.repartitionByRange(8,
         xxhash64(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))))
+      // a POINT-SHAPED dim (2 entities -> ~10 fact rows over 8 files):
+      // r8's %701 dim had 214 keys, every fact file matched one, and
+      // the prune could never fire — correct but undemonstrated
       val dim = t(s, d, "orders")
-        .filter(pmod(col("o_orderkey"), lit(701)) === 7)
+        .filter(col("o_orderkey").isin(3L, 411L))
         .select(col("o_orderkey"), col("o_totalprice"))
+      val all = ds.plan().files.size
+      val kept = ds.plan(Some(col("l_orderkey").isin(3L, 411L))).files.size
+      require(kept < all, s"DPP showcase must prune: kept $kept/$all fact files")
       PrunedJoin.inner(s, ds, "l_orderkey", dim, "o_orderkey")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("o_totalprice"))
@@ -1051,7 +1057,7 @@ object StorageOps {
     "s_join_dpp" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |WHERE o_orderkey % 701 = 7""".stripMargin,
+        |WHERE o_orderkey IN (3, 411)""".stripMargin,
     // the ingested shards decode back to scalars derivable from the
     // source table (payload length/head byte are functions of doc_id)
     // printf, not lpad: DuckDB's lpad TRUNCATES strings longer than the

@@ -17,8 +17,11 @@ import graft.operators.PrunedJoin
 class PrunedJoinSpec extends AnyFunSuite {
   import TestSpark._
 
-  private def li = Tables.read(spark, sfDir, "lineitem")
-  private def orders = Tables.read(spark, sfDir, "orders")
+  // vals, not defs: a re-read produces FRESH attribute ids, so
+  // `li.join(dim, li("l_orderkey") === ...)` with a def evaluates `li`
+  // twice and the handle condition fails analysis (MISSING_ATTRIBUTES)
+  private lazy val li = Tables.read(spark, sfDir, "lineitem")
+  private lazy val orders = Tables.read(spark, sfDir, "orders")
 
   /** Fact table in a layout DECORRELATED from the join key, so only
     * the PK blooms can prune the key IN list. */
@@ -40,7 +43,12 @@ class PrunedJoinSpec extends AnyFunSuite {
 
   test("point-shaped dim prunes fact files; result equals the plain join") {
     val ds = factTable()
-    val dim = orders.filter(pmod(col("o_orderkey"), lit(701)) === 7)
+    // a GENUINELY point-shaped dim (2 keys -> ~9 fact rows over 8
+    // files) so at least one file provably holds no match and the
+    // blooms must drop it; a wider key set scatters a row into every
+    // file and "kept 8/8" is then CORRECT, not a pruning failure
+    // (that was r8's unsound assertion)
+    val dim = orders.filter(col("o_orderkey").isin(3L, 411L))
       .select(col("o_orderkey"), col("o_totalprice"))
     val keys = dim.select("o_orderkey").collect().map(_.getLong(0)).toSeq
     assert(keys.nonEmpty && keys.size <= 1024)
