@@ -208,17 +208,15 @@ final class AggregateView(val spark: SparkSession, val dataset: SpaceDataset)
       pinned: Long): Patch = {
     val stateSchema = dataset.storage.logicalSchema
     val gCols = groups.map(col)
+    val pexprs = partialExprs(plan)
 
-    def partial(df: DataFrame): DataFrame = {
-      val agged = df.groupBy(gCols: _*).agg(partialExprs(plan).head,
-        partialExprs(plan).tail: _*)
-      val nullKey = groups.map(g => col(g).isNull).reduce(_ || _)
-      val bad = agged.filter(nullKey).limit(1).count()
-      require(bad == 0L,
-        s"aggregate view ${dataset.location}: NULL group-by key in source " +
-          s"snapshot $sid (null groups are unsupported — filter them in a view)")
-      agged
-    }
+    // NO per-batch validation action here: a separate null-key check
+    // would execute the whole CDC read + aggregation once for the check
+    // and AGAIN when the merged frame materializes (r8's refresh cost
+    // was ~2× for exactly this). The check rides the persisted merge
+    // below — one pass over each delta, validated before any commit.
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(gCols: _*).agg(pexprs.head, pexprs.tail: _*)
 
     val adds = batches.filter(_.changeType == ChangeType.Add).map(_.data)
     val dels = batches.filter(_.changeType == ChangeType.Delete).map(_.data)
@@ -232,12 +230,16 @@ final class AggregateView(val spark: SparkSession, val dataset: SpaceDataset)
 
     val a = addDelta.map(rename(_, "a_"))
     val d = delDelta.map(rename(_, "d_"))
-    val delta = (a, d) match {
+    // persisted: the delta plan (full CDC read + aggregation) feeds
+    // BOTH the state semi-join and the merge join below — without the
+    // cache the expensive part of the refresh would execute twice
+    // inside one job. The cached frame is per-affected-group, tiny.
+    val delta = ((a, d) match {
       case (Some(x), Some(y)) => x.join(y, groups, "full_outer")
       case (Some(x), None) => x
       case (None, Some(y)) => y
       case (None, None) => return Patch()
-    }
+    }).persist()
 
     // current state of ONLY the delta's groups (delta-sized inner
     // read), pinned to the transaction's snapshot for retry-safety
@@ -294,8 +296,20 @@ final class AggregateView(val spark: SparkSession, val dataset: SpaceDataset)
       .withColumn("__recompute", recomputeNeeded && mergedRows > 0L)
       .persist()
     try {
+      // ONE action materializes the persist and returns both the
+      // recompute count and the null-group-key violation flag (a null
+      // key from either delta survives the outer join as a null group
+      // row here); failing after materialization but before any patch
+      // is built keeps the state table untouched on bad input
+      val nullKey = groups.map(g => col(g).isNull).reduce(_ || _)
+      val probe = annotated.agg(
+        sum(when(col("__recompute"), 1L).otherwise(0L)).as("n_recompute"),
+        max(when(nullKey, 1).otherwise(0)).as("null_key")).collect()(0)
+      require(probe.isNullAt(1) || probe.getInt(1) == 0,
+        s"aggregate view ${dataset.location}: NULL group-by key in source " +
+          s"snapshot $sid (null groups are unsupported — filter them in a view)")
+      val nRecompute = if (probe.isNullAt(0)) 0L else probe.getLong(0)
       val recomputeKeys = annotated.filter(col("__recompute")).select(gCols: _*)
-      val nRecompute = recomputeKeys.count()
       lastRecomputedGroups += nRecompute
 
       val arithmetic = annotated.filter(col("__live") && !col("__recompute"))
@@ -309,8 +323,7 @@ final class AggregateView(val spark: SparkSession, val dataset: SpaceDataset)
           // when the source is clustered by the group columns
           val rows = source.read(version = Some(sid.toString))
             .join(broadcast(recomputeKeys), groups, "left_semi")
-          val re = rows.groupBy(gCols: _*).agg(partialExprs(plan).head,
-            partialExprs(plan).tail: _*)
+          val re = rows.groupBy(gCols: _*).agg(pexprs.head, pexprs.tail: _*)
           Some(re.select(stateSchema.fields.toSeq.map(f =>
             col(f.name).cast(f.dataType).as(f.name)): _*))
         }
@@ -324,6 +337,7 @@ final class AggregateView(val spark: SparkSession, val dataset: SpaceDataset)
       Patch.merge(patches).getOrElse(Patch())
     } finally {
       annotated.unpersist()
+      delta.unpersist()
     }
   }
 }
