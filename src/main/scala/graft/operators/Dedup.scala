@@ -71,8 +71,20 @@ object Dedup {
       shingleSize: Int = 3,
       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val withSig = sigFrame(df, textCol, idCol, numHashes, shingleSize)
-    val bandKeys = bandKeyFrame(withSig, bands, numHashes / bands)
+    pairsFromSignatures(sigFrame(df, textCol, idCol, numHashes, shingleSize),
+      bands, numHashes / bands, threshold)
+  }
+
+  /** [[minhashPairs]] over a PRECOMPUTED [[signatureFrame]] — the
+    * shape a streaming ingest uses to shingle+minhash each micro-batch
+    * exactly once and reuse the frame for intra-batch pairs, the
+    * stored-index check and the index rows. */
+  private[graft] def pairsFromSignatures(
+      withSig: DataFrame,
+      bands: Int,
+      rows: Int,
+      threshold: Double): DataFrame = {
+    val bandKeys = bandKeyFrame(withSig, bands, rows)
 
     val candidates = bandKeys.select(col("band"), col("band_key"), col("id").as("id_a"))
       .join(bandKeys.select(col("band"), col("band_key"), col("id").as("id_b")),
@@ -233,8 +245,26 @@ object Dedup {
       bands: Int = 16,
       shingleSize: Int = 3,
       threshold: Double = 0.6): DataFrame = {
-    val (batchSig, batchKeys) =
-      batchBandKeys(batch, textCol, idCol, numHashes, bands, shingleSize)
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    storedIndexPrunedFromSignatures(fetchIndexByBandKeys, fetchByIds,
+      sigFrame(batch, textCol, idCol, numHashes, shingleSize),
+      bands, numHashes / bands, textCol, idCol, shingleSize, threshold)
+  }
+
+  /** [[minhashAgainstStoredIndexPruned]] over a PRECOMPUTED
+    * [[signatureFrame]] (see [[pairsFromSignatures]] for why). */
+  private[graft] def storedIndexPrunedFromSignatures(
+      fetchIndexByBandKeys: Seq[Long] => DataFrame,
+      fetchByIds: Seq[Long] => DataFrame,
+      batchSig: DataFrame,
+      bands: Int,
+      rows: Int,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int,
+      threshold: Double): DataFrame = {
+    val batchKeys = bandKeyFrame(batchSig, bands, rows)
+      .select(col("band"), col("band_key"), col("id").as("batch_id"))
     val keys = batchKeys.select(col("band_key")).distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
     val candidates = candidatesFrom(fetchIndexByBandKeys(keys), batchKeys)
@@ -243,6 +273,22 @@ object Dedup {
     verifyCandidates(candidates, batchSig, fetchByIds(ids), textCol, idCol,
       shingleSize, threshold)
   }
+
+  /** Precomputed (id, shingles, sig) frame for reuse across the
+    * kernels above; persisted (and tracked under [[trackingPersists]])
+    * exactly like the frames the kernels build internally. */
+  private[graft] def signatureFrame(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int,
+      shingleSize: Int): DataFrame =
+    sigFrame(df, textCol, idCol, numHashes, shingleSize)
+
+  /** [[minhashIndexRows]] over a precomputed [[signatureFrame]]. */
+  private[graft] def indexRowsFromSignatures(
+      sig: DataFrame, bands: Int, rows: Int): DataFrame =
+    bandKeyFrame(sig, bands, rows)
 
   /** Batch signatures + light (band, band_key, batch_id) band rows —
     * stage 0 of every stored-index check. */

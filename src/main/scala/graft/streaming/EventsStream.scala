@@ -578,19 +578,26 @@ object EventsStream {
     // must not accumulate them, and a session-global clearCache() would
     // evict every OTHER component's caches too
     try Dedup.trackingPersists {
+      // ONE signature frame (shingles + minhash over the whole batch)
+      // feeds all three kernel stages — intra-batch pairs, the
+      // stored-index check, and the index rows — so the batch is
+      // shingled exactly once per micro-batch (r8 shingled it three
+      // times, ~+16% per-batch cost)
+      val numHashes = 32; val bands = 16; val rowsPerBand = numHashes / bands
+      val sig = Dedup.signatureFrame(bb.toDF(), "text", "doc_id",
+        numHashes = numHashes, shingleSize = 3)
       // WITHIN-batch dedup first: a near-dup pair arriving in the same
       // micro-batch has neither doc in the index yet — drop the
       // higher-id of every intra-batch pair (chain-insensitive
       // keep-lowest, same rule the oracle replays).
-      // Deliberate trade: the three kernel calls below (pairs, index
-      // check, index rows) each shingle+minhash (subsets of) the batch
-      // — O(batch) work per call, micro-batch-bounded, never touching
-      // the corpus; threading one signature frame through all three
-      // would triple the Dedup API surface for a small constant win.
-      val intra = Dedup.minhashPairs(bb.toDF(), "text", "doc_id",
-        numHashes = 32, bands = 16, shingleSize = 3, threshold = 0.6)
-        .select(col("id_b").as("doc_id")).distinct()
+      // persisted: this tiny id list (and therefore the pair-verify
+      // plan above it) anchors THREE downstream anti-joins — the sink
+      // rows, the band keys and the verify re-attach all filter by it
+      val intra = Dedup.pairsFromSignatures(sig, bands, rowsPerBand, threshold = 0.6)
+        .select(col("id_b").as("doc_id")).distinct().persist()
       val batchUnique = bb.toDF().join(intra, Seq("doc_id"), "left_anti")
+      val uniqueSig = sig.join(intra.select(col("doc_id").as("id")),
+        Seq("id"), "left_anti")
       // index point read: band-key isin filter → manifest pruning skips
       // index files outside the batch's key set (keys are micro-batch-
       // bounded: ≤ batch rows × bands longs)
@@ -634,20 +641,22 @@ object EventsStream {
           .unionByName(sink.read(filter = Some(isinF(sinkIds)))
             .select(col("doc_id"), col("text")))
       }
-      val dup = Dedup.minhashAgainstStoredIndexPruned(fetchIndex, fetchByIds,
-        batchUnique, "text", "doc_id", numHashes = 32, bands = 16,
+      val dup = Dedup.storedIndexPrunedFromSignatures(fetchIndex, fetchByIds,
+        uniqueSig, bands, rowsPerBand, "text", "doc_id",
         shingleSize = 3, threshold = 0.6)
         .select(col("batch_id").as("doc_id")).distinct()
       val survivors = batchUnique.join(dup, Seq("doc_id"), "left_anti").persist()
       try {
         if (!survivors.isEmpty) {
           sink.appendOnce(survivors, appId, batchId)
-          idxTable.appendOnce(Dedup.minhashIndexRows(survivors, "text",
-            "doc_id", numHashes = 32, bands = 16, shingleSize = 3),
+          val survSig = uniqueSig.join(
+            survivors.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+          idxTable.appendOnce(
+            Dedup.indexRowsFromSignatures(survSig, bands, rowsPerBand),
             appId + "#idx", batchId)
           ()
         }
-      } finally { survivors.unpersist(); () }
+      } finally { survivors.unpersist(); intra.unpersist(); () }
     } finally {
       bb.unpersist()
       ()
