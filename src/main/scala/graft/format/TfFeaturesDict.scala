@@ -161,12 +161,13 @@ object TfFeaturesSpec {
     *    leaf (4 normalized corner floats per box)
     *  - `translation {languages}` → [[TfDict]] of language → string
     *    scalar (TFDS serializes a fixed-language Translation as
-    *    per-language Text keys; the variable-language variant is
-    *    list-aligned on the wire and stays an explicit throw)
+    *    per-language Text keys); `TranslationVariableLanguages` →
+    *    [[TfDict]] of aligned variable-length `language`/`translation`
+    *    string lists (it is a Sequence-of-dict underneath, so that IS
+    *    its wire form)
     *
-    * Unsupported nodes (audio/video/TranslationVariableLanguages/…)
-    * throw with the offending `pythonClassName` so the gap is visible,
-    * never silent. */
+    * Unsupported nodes (audio/video/…) throw with the offending
+    * `pythonClassName` so the gap is visible, never silent. */
   def fromTfdsJson(json: String): TfFeaturesSpec =
     JsonMethods.parse(json) match {
       case o: JObject => fromTfdsEnvelope(o)
@@ -260,23 +261,30 @@ object TfFeaturesSpec {
       } else if (fields.contains("translation")) {
         // Translation(languages=[…]) is a dict of language → Text on
         // the wire (TFDS serializes per-language keys `<lang>`); the
-        // variable-language variant (TranslationVariableLanguages)
-        // serializes as aligned language/translation LISTS instead and
-        // stays unsupported by name below
+        // variable-language variant (TranslationVariableLanguages) is a
+        // Sequence({language, translation}) underneath, so its wire
+        // form is two ALIGNED variable-length string lists (languages
+        // sorted at encode time), independent of any optional
+        // `languages` restriction in the envelope
         val t = fields("translation") match {
           case JObject(fs) => fs.toMap
           case other => fail(s"bad TFDS translation: $other")
         }
-        val langs = t.get("languages") match {
-          case Some(JArray(items)) => items.map {
-            case JString(l) => l
-            case other => fail(s"bad TFDS translation language: $other")
+        if (className.endsWith("TranslationVariableLanguages")) {
+          TfDict(SortedMap(
+            "language" -> (TfLeaf("string", Seq(-1)): TfFeatureNode),
+            "translation" -> (TfLeaf("string", Seq(-1)): TfFeatureNode)))
+        } else {
+          val langs = t.get("languages") match {
+            case Some(JArray(items)) => items.map {
+              case JString(l) => l
+              case other => fail(s"bad TFDS translation language: $other")
+            }
+            case _ => fail(s"TFDS translation without a languages list: $className")
           }
-          case _ => fail(s"TFDS translation without a languages list " +
-            s"($className — TranslationVariableLanguages is unsupported)")
+          if (langs.isEmpty) fail("TFDS translation with an empty languages list")
+          TfDict(SortedMap(langs.map(l => l -> (TfLeaf("string"): TfFeatureNode)): _*))
         }
-        if (langs.isEmpty) fail("TFDS translation with an empty languages list")
-        TfDict(SortedMap(langs.map(l => l -> (TfLeaf("string"): TfFeatureNode)): _*))
       } else fail(s"unsupported TFDS feature $className " +
         s"(supported: FeaturesDict, Tensor, Text, ClassLabel, Image, BBox, " +
         s"Sequence, Translation)")

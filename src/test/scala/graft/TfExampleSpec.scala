@@ -374,7 +374,7 @@ class TfExampleSpec extends AnyFunSuite {
     assert(back.contains(""""area":[100,200]"""), back)
   }
 
-  test("TFDS Translation envelope: dict of language -> Text; variable variant throws") {
+  test("TFDS Translation envelope: dict of language -> Text; variable variant is aligned lists") {
     import graft.format.{TfFeaturesDictSerializer, TfFeaturesSpec, TfLeaf}
     // the wmt-style features.json TFDS exports for a fixed-language
     // Translation (proto3 JSON of feature.proto's translation node)
@@ -403,15 +403,34 @@ class TfExampleSpec extends AnyFunSuite {
     val back = new String(ser.deserialize(wire), StandardCharsets.UTF_8)
     assert(back.contains(""""de":["Hallo Welt"]"""), back)
     assert(ser.serialize(json(back)).toSeq == wire.toSeq, "re-serialize changed the wire")
-    // the variable-language variant has no fixed languages list — its
-    // wire form is aligned lists, which this codec must refuse by name
+    // the variable-language variant is a Sequence({language,
+    // translation}) underneath — its wire form is two ALIGNED
+    // variable-length string lists, regardless of any languages
+    // restriction in the envelope
     val varEnvelope = envelope.replace(
       """"translation": {"languages": ["de", "en"]}""",
       """"translation": {}""")
       .replace("translation_feature.Translation",
         "translation_feature.TranslationVariableLanguages")
-    val e = intercept[IllegalArgumentException](TfFeaturesSpec.fromTfdsJson(varEnvelope))
-    assert(e.getMessage.contains("TranslationVariableLanguages"), e.getMessage)
+    val varSpec = TfFeaturesSpec.fromTfdsJson(varEnvelope)
+    assert(varSpec.flat.keySet ==
+      Set("id", "translation/language", "translation/translation"))
+    assert(varSpec.flat("translation/language") == TfLeaf("string", Seq(-1)))
+    val varSer = new TfFeaturesDictSerializer(varSpec)
+    val varDoc = """{"id":7,"translation":{"language":["de","en","en"],""" +
+      """"translation":["Hallo Welt","Hello world","Hi world"]}}"""
+    val varWire = varSer.serialize(json(varDoc))
+    val varBack = new String(varSer.deserialize(varWire), StandardCharsets.UTF_8)
+    assert(varBack.contains(""""language":["de","en","en"]"""), varBack)
+    assert(varBack.contains(""""Hi world""""), varBack)
+    assert(varSer.serialize(json(varBack)).toSeq == varWire.toSeq,
+      "re-serialize changed the wire")
+    // a restricted variable-language envelope (languages given) keeps
+    // the SAME aligned-list wire form
+    val restricted = envelope.replace("translation_feature.Translation",
+      "translation_feature.TranslationVariableLanguages")
+    assert(TfFeaturesSpec.fromTfdsJson(restricted).flat.keySet ==
+      Set("id", "translation/language", "translation/translation"))
   }
 
   test("FeaturesDict: an empty tensor fits a -1 (None) dim") {
