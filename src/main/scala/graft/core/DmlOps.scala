@@ -109,26 +109,38 @@ object DmlOps {
       cols: Seq[String]): Option[Column] = {
     val pks = cols.filter(pk => ManifestIO.statsEligible(storage.schema(pk).dataType))
     if (pks.isEmpty) return None
-    val probe = keys.select(pks.map(col): _*).limit(MaxPointLookupKeys + 1).collect()
-    if (probe.isEmpty) return None
-    if (probe.length <= MaxPointLookupKeys) {
-      // exact point form: every row matching the full composite key has
-      // each column's value in that column's collected set, so the
-      // per-column IN conjunction is a sound (superset) prefilter
-      val preds = pks.indices.flatMap { i =>
-        val vals = probe.map(_.get(i)).filter(_ != null).distinct.toSeq
-        if (vals.isEmpty) None else Some(col(pks(i)).isInCollection(vals))
+    // persist the PK projection across the point probe and the range
+    // agg: for a large batch from an expensive keys plan, the probe
+    // would otherwise evaluate (part of) the plan once and the min/max
+    // agg a second time. Everything collected is literals, so the cache
+    // is released before returning.
+    val proj = keys.select(pks.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val probe = proj.limit(MaxPointLookupKeys + 1).collect()
+      if (probe.isEmpty) return None
+      if (probe.length <= MaxPointLookupKeys) {
+        // exact point form: every row matching the full composite key has
+        // each column's value in that column's collected set, so the
+        // per-column IN conjunction is a sound (superset) prefilter
+        val preds = pks.indices.flatMap { i =>
+          val vals = probe.map(_.get(i)).filter(_ != null).distinct.toSeq
+          if (vals.isEmpty) None else Some(col(pks(i)).isInCollection(vals))
+        }
+        preds.reduceOption(_ && _)
+      } else {
+        val aggs = pks.flatMap(pk =>
+          Seq(min(col(pk)).as(s"__lo_$pk"), max(col(pk)).as(s"__hi_$pk")))
+        val row = proj.agg(aggs.head, aggs.tail: _*).collect()(0)
+        val preds = pks.zipWithIndex.flatMap { case (pk, i) =>
+          if (row.isNullAt(2 * i)) None
+          else Some(col(pk) >= lit(row.get(2 * i)) && col(pk) <= lit(row.get(2 * i + 1)))
+        }
+        preds.reduceOption(_ && _)
       }
-      preds.reduceOption(_ && _)
-    } else {
-      val aggs = pks.flatMap(pk =>
-        Seq(min(col(pk)).as(s"__lo_$pk"), max(col(pk)).as(s"__hi_$pk")))
-      val row = keys.agg(aggs.head, aggs.tail: _*).collect()(0)
-      val preds = pks.zipWithIndex.flatMap { case (pk, i) =>
-        if (row.isNullAt(2 * i)) None
-        else Some(col(pk) >= lit(row.get(2 * i)) && col(pk) <= lit(row.get(2 * i + 1)))
-      }
-      preds.reduceOption(_ && _)
+    } finally {
+      proj.unpersist(blocking = false)
+      ()
     }
   }
 
