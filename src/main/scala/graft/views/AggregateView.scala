@@ -29,15 +29,30 @@ object AggSpec {
 }
 
 /** Persisted plan of an aggregate view (its own node type — a
-  * [[ViewPlan]] loader rejects it by name, the unknown-node contract). */
-final case class AggPlan(sourceLocation: String, groupBy: List[String], aggs: List[AggSpec]) {
-  def json: String = JsonMethods.compact(JsonMethods.render(JObject(
-    "type" -> JString("aggregate"),
+  * [[ViewPlan]] loader rejects it by name, the unknown-node contract).
+  *
+  * `fpSums`: names of `sum` aggregates over FLOAT/DOUBLE inputs, whose
+  * state is kept in exact DECIMAL(38,18) instead of double — floating
+  * addition is order-dependent, so subtract-on-delete would otherwise
+  * accumulate drift against a from-scratch recompute over long delete
+  * histories. Decimal state is exactly invertible: the delete batch
+  * subtracts the SAME per-row decimal each row's add contributed.
+  * Recorded in the plan (not re-derived) so views created before this
+  * field keep their double state untouched. */
+final case class AggPlan(
+    sourceLocation: String,
+    groupBy: List[String],
+    aggs: List[AggSpec],
+    fpSums: List[String] = Nil) {
+  def json: String = JsonMethods.compact(JsonMethods.render(JObject(List(
+    "type" -> (JString("aggregate"): JValue),
     "location" -> JString(sourceLocation),
     "group_by" -> JArray(groupBy.map(JString(_))),
     "aggs" -> JArray(aggs.map(a => JObject(List(
       "kind" -> (JString(a.kind): JValue),
-      "as" -> JString(a.as)) ++ a.input.map(c => "input" -> (JString(c): JValue))))))))
+      "as" -> JString(a.as)) ++ a.input.map(c => "input" -> (JString(c): JValue)))))) ++
+    (if (fpSums.isEmpty) Nil
+     else List("fp_sums" -> (JArray(fpSums.map(JString(_))): JValue))))))
 }
 
 /** Common refresh surface of row-wise and aggregate materialized
@@ -74,7 +89,11 @@ object AggPlan {
       }
       case other => throw new IllegalArgumentException(s"bad aggs: $other")
     }
-    AggPlan(str(j, "location"), groups, aggs)
+    val fpSums = (j \ "fp_sums") match {
+      case JArray(vs) => vs.collect { case JString(v) => v }
+      case _ => Nil // plans persisted before the drift guard
+    }
+    AggPlan(str(j, "location"), groups, aggs, fpSums)
   }
 }
 
@@ -138,10 +157,13 @@ final class AggregateView(val spark: SparkSession, val dataset: SpaceDataset)
         case "count_all" => col(RowsCol).as(as)
         case "count" => col(cntCol(as)).as(as)
         case "sum" =>
-          when(col(cntCol(as)) === 0L, lit(null)).otherwise(col(sumCol(as))).as(as)
+          val raw = when(col(cntCol(as)) === 0L, lit(null)).otherwise(col(sumCol(as)))
+          // FP sums live in exact decimal state; surface as the double
+          // the source column (and the SQL equivalent) produces
+          (if (plan.fpSums.contains(as)) raw.cast("double") else raw).as(as)
         case "avg" =>
           when(col(cntCol(as)) === 0L, lit(null))
-            .otherwise(col(sumCol(as)) / col(cntCol(as))).as(as)
+            .otherwise((col(sumCol(as)) / col(cntCol(as))).cast("double")).as(as)
         case "min" => col(minCol(as)).as(as)
         case "max" => col(maxCol(as)).as(as)
       }
@@ -353,14 +375,24 @@ object AggregateView {
   /** Partial-aggregate expressions (state columns) for one batch of
     * source rows. Deduplicated: two aggs can share nothing (unique
     * `as`), so every column lands once. */
+  /** Exact state type for floating sums — decimal addition commutes
+    * and inverts bit-exactly, unlike double addition. 18 fractional
+    * digits cover a double's usable precision at magnitudes up to 1e20. */
+  private[views] val FpSumState = org.apache.spark.sql.types.DecimalType(38, 18)
+
   private[views] def partialExprs(plan: AggPlan): Seq[Column] =
     count(lit(1)).as(RowsCol) +: plan.aggs.flatMap { sp =>
       val c = sp.input.map(col)
       sp.kind match {
         case "count_all" => Nil
         case "count" => Seq(count(c.get).as(cntCol(sp.as)))
-        case "sum" => Seq(sum(c.get).as(sumCol(sp.as)), count(c.get).as(cntCol(sp.as)))
-        case "avg" => Seq(sum(c.get.cast("double")).as(sumCol(sp.as)),
+        case "sum" =>
+          val s = if (plan.fpSums.contains(sp.as)) sum(c.get.cast(FpSumState))
+                  else sum(c.get)
+          Seq(s.as(sumCol(sp.as)), count(c.get).as(cntCol(sp.as)))
+        // avg state rides the same exact-decimal representation (its
+        // output is double either way, so this is drift-guarding only)
+        case "avg" => Seq(sum(c.get.cast(FpSumState)).as(sumCol(sp.as)),
           count(c.get).as(cntCol(sp.as)))
         case "min" => Seq(min(c.get).as(minCol(sp.as)), count(c.get).as(cntCol(sp.as)))
         case "max" => Seq(max(c.get).as(maxCol(sp.as)), count(c.get).as(cntCol(sp.as)))
@@ -383,7 +415,13 @@ object AggregateView {
     (groupBy ++ aggs.flatMap(_.input)).foreach(c =>
       require(srcSchema.fieldNames.contains(c), s"column $c not in source schema"))
 
-    val plan = AggPlan(source.location, groupBy.toList, aggs.toList)
+    // floating sums get exact decimal state (see AggPlan.fpSums)
+    val fpSums = aggs.collect {
+      case sp if sp.kind == "sum" && sp.input.exists(c =>
+        srcSchema(c).dataType == org.apache.spark.sql.types.FloatType ||
+          srcSchema(c).dataType == org.apache.spark.sql.types.DoubleType) => sp.as
+    }
+    val plan = AggPlan(source.location, groupBy.toList, aggs.toList, fpSums.toList)
     // state schema inferred from the partial aggregation's own output
     // (sum widening etc. follow Spark's rules, no duplication here)
     val stateSchema = source.readAll()

@@ -80,4 +80,45 @@ class AggViewFuzzSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("adversarial float deletes: FP sums stay EXACTLY equal to recompute") {
+    import org.apache.spark.sql.types.DecimalType
+    val loc = java.nio.file.Files.createTempDirectory("graft_aggdrift_")
+      .toString + "/tbl"
+    val schema = Seq.empty[(Long, String, Double)].toDF("id", "g", "v").schema
+    val src = SpaceDataset.create(spark, loc, schema, Seq("id"))
+    val av = AggregateView.create(spark,
+      java.nio.file.Files.createTempDirectory("graft_aggdriftv_").toString + "/tbl",
+      src, Seq("g"), Seq(AggSpec.sum("v", "sum_v"), AggSpec.avg("v", "avg_v")))
+
+    // a tiny resident remainder, then repeated add/delete cycles of
+    // values 18 orders of magnitude larger: under double subtract-state
+    // each cycle's (tiny + 1e12) - 1e12 loses the tiny term's low bits
+    // and the drift compounds; decimal state cancels each cycle exactly
+    src.append(Seq((0L, "a", 1e-6), (1L, "a", 2.5e-7), (2L, "b", 3e-6))
+      .toDF("id", "g", "v"))
+    av.refresh()
+    var nextId = 10L
+    for (cycle <- 1 to 8) {
+      val big = (0 until 16).map(i =>
+        (nextId + i, if (i % 2 == 0) "a" else "b", 1e12 + i * 0.1))
+      nextId += 16
+      src.append(big.toDF("id", "g", "v"))
+      av.refresh()
+      src.delete(col("id") >= 10L) // remove every big row, keep the remainder
+      av.refresh()
+
+      // the view must equal the EXACT sum (decimal recompute) with NO
+      // rounding tolerance — this is precisely what double subtract-
+      // state cannot do after the first cycle
+      val exact = src.readAll().groupBy("g").agg(
+        sum(col("v").cast(DecimalType(38, 18))).cast("double").as("sum_v"),
+        (sum(col("v").cast(DecimalType(38, 18))) / count(col("v")))
+          .cast("double").as("avg_v"))
+      val got = av.read().select("g", "sum_v", "avg_v")
+      assert(got.exceptAll(exact).isEmpty && exact.exceptAll(got).isEmpty,
+        s"cycle $cycle drift:\nview: ${got.orderBy("g").collect().mkString(", ")}\n" +
+          s"exact: ${exact.orderBy("g").collect().mkString(", ")}")
+    }
+  }
 }

@@ -122,6 +122,39 @@ class AggregateViewSpec extends AnyFunSuite {
       sum("v").as("sum_v"), count(lit(1)).as("n")))
   }
 
+  test("broad delete hitting every group's extremum recomputes every group — once") {
+    // the s_mv_agg shape: a wide predicate delete that clips each
+    // group's min. The O(delta) claim must stay MEASURED: the refresh
+    // recomputes exactly the extremum-hit groups (all of them here),
+    // not zero and not more than the group count
+    val rows = (0 until 400).map(i => (i.toLong, s"g${i % 4}", i.toDouble))
+    val src = SpaceDataset.create(spark, freshLoc("aggsrc"),
+      spark.createDataFrame(rows).toDF("id", "g", "v").schema, Seq("id"))
+    src.append(spark.createDataFrame(rows).toDF("id", "g", "v"))
+    val av = AggregateView.create(spark, freshLoc("aggmv"), src, Seq("g"), Seq(
+      AggSpec.min("v", "min_v"), AggSpec.max("v", "max_v"),
+      AggSpec.sum("v", "sum_v"), AggSpec.countAll("n")))
+    av.refresh()
+
+    // every group's smallest ids go — each group's stored min is hit
+    src.delete(col("id") < 100L)
+    av.refresh()
+    assert(av.lastRecomputedGroups == 4L,
+      s"expected all 4 extremum-hit groups recomputed, got ${av.lastRecomputedGroups}")
+    assertSame(av.read(), src.readAll().groupBy("g").agg(
+      min("v").as("min_v"), max("v").as("max_v"),
+      sum("v").as("sum_v"), count(lit(1)).as("n")))
+
+    // a second, strictly-interior broad delete stays fully arithmetic
+    src.delete(col("id") >= 150L && col("id") < 250L)
+    av.refresh()
+    assert(av.lastRecomputedGroups == 0L,
+      s"interior broad delete must not recompute, got ${av.lastRecomputedGroups}")
+    assertSame(av.read(), src.readAll().groupBy("g").agg(
+      min("v").as("min_v"), max("v").as("max_v"),
+      sum("v").as("sum_v"), count(lit(1)).as("n")))
+  }
+
   test("group emptied by deletes disappears; reappears on new rows") {
     val rows = spark.createDataFrame(Seq(
       (1L, "a", 1.0), (2L, "b", 2.0))).toDF("id", "g", "v")
