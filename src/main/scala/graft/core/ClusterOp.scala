@@ -50,13 +50,16 @@ object ClusterOp {
       snapshotId: Long,
       sortCols: Seq[String],
       targetFileRows: Long,
-      zorder: Boolean = false): Option[(Patch, ClusterResult)] = {
+      zorder: Boolean = false,
+      incremental: Boolean = false): Option[(Patch, ClusterResult)] = {
     require(sortCols.nonEmpty, "clusterBy requires at least one column")
     require(storage.metadata.numBuckets == 0,
       "clustering would destroy the hash-bucket layout of a bucketed table")
     require(targetFileRows > 0)
     require(!zorder || (sortCols.size >= 2 && sortCols.size <= 4),
       "zorder needs 2-4 columns (16 bits per dimension in a 64-bit key)")
+    require(!(zorder && incremental),
+      "incremental clustering needs 1-D file ranges; zorder tiles are multi-D")
     sortCols.foreach { c =>
       require(storage.schema.fieldNames.contains(c), s"unknown cluster column $c")
       require(!storage.recordFields.contains(c), s"record field $c cannot cluster")
@@ -72,10 +75,29 @@ object ClusterOp {
 
     val mdf = ManifestIO.readIndexManifests(
       spark, storage, snap.manifestFiles.indexManifestFiles)
-    val files = mdf
+    val allFiles = mdf
       .select(col(ManifestIO.FileCol), col(ManifestIO.NumRowsCol))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    if (files.isEmpty) return None
+    if (allFiles.isEmpty) return None
+
+    // INCREMENTAL maintenance: keep the maximum-rows subset of files
+    // whose sort-key ranges are already pairwise disjoint (the
+    // "backbone" — after a full clustering that is the whole table) and
+    // rewrite ONLY the rest, merged into ONE sorted delta tier. The op
+    // CONVERGES at a two-tier layout (backbone + disjoint delta tier =
+    // point reads touch ≤2 files): when the remainder is already
+    // pairwise disjoint the pass is a no-op, so repeated passes never
+    // re-shuffle the same tier. At 100 TB this turns steady-state cost
+    // from O(table) per pass into O(delta tier + new bytes): the
+    // clustered bulk is never reread; a periodic FULL pass merges the
+    // tiers when the delta tier has grown enough to matter.
+    val files =
+      if (!incremental) allFiles
+      else incrementalRewriteSet(storage, sortCols.head, mdf) match {
+        case None => return None // already ≤2 clean tiers
+        case Some(dirty) => allFiles.filter(f => dirty.contains(f._1))
+      }
+    if (files.isEmpty) return None // already fully clustered
 
     val physical = ReadOp.physicalSchema(storage.schema, storage.recordFields)
     val totalRows = files.map(_._2).sum
@@ -108,6 +130,101 @@ object ClusterOp {
       changeLog = None,
       manifestSummaries = appendPatch.manifestSummaries ++ co.summaries)
     Some((patch, ClusterResult(files.size, written.files.size, outRows)))
+  }
+
+  /** The incremental pass's rewrite set, or None for a no-op.
+    *
+    * Backbone = the maximum-rows subset of files whose sort-key
+    * [min,max] ranges (from manifest stats) are pairwise disjoint —
+    * weighted interval scheduling, driver-side O(files log files).
+    * Dirty = everything else, plus any file lacking stats on the sort
+    * column (it must be rewritten to gain a tight range). No-op when
+    * the dirty set is empty OR is itself already pairwise disjoint
+    * (the converged two-tier layout). Touching ranges
+    * (prev.max == next.min) count as disjoint: range-partitioned tiers
+    * stay stable and a point read pays at most one extra file. */
+  private def incrementalRewriteSet(
+      storage: Storage,
+      field: String,
+      mdf: DataFrame): Option[Set[String]] = {
+    val all = mdf.select(col(ManifestIO.FileCol)).collect().map(_.getString(0)).toSet
+    val f = ManifestIO.fieldAtPath(storage.schema, field)
+      .filter(x => ManifestIO.statsEligible(x.dataType))
+      .getOrElse(return Some(all)) // no stats possible: full rewrite
+    val cname = ManifestIO.statsColName(FieldIds.fieldId(f))
+    if (!mdf.columns.contains(cname)) return Some(all)
+    val rows = mdf.select(col(ManifestIO.FileCol), col(ManifestIO.NumRowsCol),
+      col(s"$cname._MIN"), col(s"$cname._MAX")).collect()
+    val (withStats, statless) = rows.toSeq.partition(r => !r.isNullAt(2) && !r.isNullAt(3))
+    val iv = withStats.map(r => (r.getString(0), r.getLong(1), r.get(2), r.get(3)))
+    val keep = maxDisjointByRows(iv)
+    val rest = iv.filterNot(r => keep.contains(r._1))
+    val dirty = rest.map(_._1).toSet ++ statless.map(_.getString(0))
+    if (dirty.isEmpty) None // fully clustered
+    else if (statless.isEmpty && pairwiseDisjoint(rest)) None // clean 2 tiers
+    else Some(dirty)
+  }
+
+  private def pairwiseDisjoint(iv: Seq[(String, Long, Any, Any)]): Boolean = {
+    val sorted = iv.sortWith((a, b) => cmpStat(a._3, b._3) < 0)
+    sorted.sliding(2).forall {
+      case Seq(a, b) => cmpStat(a._4, b._3) <= 0
+      case _ => true
+    }
+  }
+
+  /** Stats-value total order, matching the order the footer stats were
+    * harvested under (numeric natural order; UTF-8 unsigned bytes for
+    * strings — parquet's binary min/max comparator). */
+  private def cmpStat(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Int, y: Int) => Integer.compare(x, y)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: Float, y: Float) => java.lang.Float.compare(x, y)
+    case (x: String, y: String) =>
+      val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < xb.length && i < yb.length) {
+        val c = Integer.compare(xb(i) & 0xff, yb(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      Integer.compare(xb.length, yb.length)
+    case _ => 0 // unknown stat shape: treat as overlapping (never kept)
+  }
+
+  /** Classic weighted interval scheduling over (file, rows, lo, hi):
+    * the kept set maximizes total rows under pairwise disjointness. */
+  private def maxDisjointByRows(iv: Seq[(String, Long, Any, Any)]): Set[String] = {
+    if (iv.isEmpty) return Set.empty
+    val sorted = iv.sortWith((a, b) => cmpStat(a._4, b._4) < 0).toIndexedSeq
+    val n = sorted.size
+    // p(i): rightmost j < i whose hi <= lo_i (compatible predecessor)
+    val p = Array.tabulate(n) { i =>
+      var lo = 0; var hi = i - 1; var ans = -1
+      while (lo <= hi) {
+        val m = (lo + hi) >>> 1
+        if (cmpStat(sorted(m)._4, sorted(i)._3) <= 0) { ans = m; lo = m + 1 }
+        else hi = m - 1
+      }
+      ans
+    }
+    val dp = new Array[Long](n + 1)
+    val take = new Array[Boolean](n)
+    for (i <- 1 to n) {
+      val w = sorted(i - 1)._2 + (if (p(i - 1) >= 0) dp(p(i - 1) + 1) else 0L)
+      if (w > dp(i - 1)) { dp(i) = w; take(i - 1) = true } else dp(i) = dp(i - 1)
+    }
+    val keep = Set.newBuilder[String]
+    var i = n
+    while (i > 0) {
+      if (take(i - 1)) {
+        keep += sorted(i - 1)._1
+        i = p(i - 1) + 1
+      } else i -= 1
+    }
+    keep.result()
   }
 
   private val ZBits = 16 // per-dimension resolution: 65k tiles per axis

@@ -462,15 +462,23 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
       }
     }
 
-  /** Rewrite all index files range-partitioned + sorted by `sortCols`
+  /** Rewrite index files range-partitioned + sorted by `sortCols`
     * so min/max stats become disjoint ranges and pruning on those
-    * columns bites (one snapshot, CDC-silent — see ClusterOp). */
+    * columns bites (one snapshot, CDC-silent — see ClusterOp).
+    *
+    * `incremental = true` rewrites ONLY the files not already part of a
+    * pairwise-disjoint backbone on `sortCols.head` — the steady-state
+    * maintenance shape: appends since the last pass become a small
+    * sorted delta tier, the clustered bulk is never reread. Returns
+    * None when the layout is already fully clustered. */
   def clusterBy(
       sortCols: Seq[String],
       targetFileRows: Long,
-      branch: String = currentBranch): Option[ClusterOp.ClusterResult] =
+      branch: String = currentBranch,
+      incremental: Boolean = false): Option[ClusterOp.ClusterResult] =
     storage.transaction(branch, ConflictPolicy.Rewrite) { pinned =>
-      ClusterOp.cluster(spark, storage, pinned, toPhysicalNames(sortCols), targetFileRows) match {
+      ClusterOp.cluster(spark, storage, pinned, toPhysicalNames(sortCols), targetFileRows,
+        incremental = incremental) match {
         case Some((patch, res)) => (Some(patch), Some(res))
         case None => (None, None)
       }

@@ -835,14 +835,26 @@ object StorageOps {
         .materialize(s, fresh("tidx_mv"), Seq("term", "doc_id"))
       val stats = AggregateView.create(s, fresh("tidx_stats"), src, Seq("lang"),
         Seq(AggSpec.countAll("n"), AggSpec.count("dl", "n_dl"), AggSpec.sum("dl", "sum_dl")))
+      // initial maintenance: term-cluster the arrival-1 postings so a
+      // query's term IN list prunes to its own posting files (file
+      // count scales with the corpus via O(1) countRows)
+      def target() = math.max(4096L, mv.dataset.countRows() / 16)
+      mv.dataset.clusterBy(Seq("term"), targetFileRows = target())
       src.append(docs.filter(pmod(col("doc_id"), lit(5)) === 0)) // new docs arrive
       mv.refresh()
       stats.refresh()
-      // maintenance: term-cluster the postings so a query's term IN
-      // list prunes to its own posting files (file count scales with
-      // the corpus via O(1) countRows, not a fixed row target)
-      mv.dataset.clusterBy(Seq("term"),
-        targetFileRows = math.max(4096L, mv.dataset.countRows() / 16))
+      // steady-state maintenance is INCREMENTAL: only the delta
+      // postings are rewritten into a sorted tier; the clustered bulk
+      // is never reread (at 100 TB a full re-cluster per arrival would
+      // dwarf the refresh itself)
+      val filesBefore = mv.dataset.plan().files.size
+      val inc = mv.dataset.clusterBy(Seq("term"), targetFileRows = target(),
+        incremental = true)
+      // None = the delta already forms a clean tier (nothing reread);
+      // Some = only a strict subset rewritten. A full rewrite is the bug.
+      require(inc.forall(_.rewrittenFiles < filesBefore),
+        s"incremental clustering must not reread the clustered bulk: " +
+          s"${inc.map(_.rewrittenFiles)} of $filesBefore files")
       val st = stats.read().agg(sum(col("n")), sum(col("n_dl")), sum(col("sum_dl"))).collect()(0)
       val nDocs = st.getLong(0)
       val avgdl = st.getLong(2).toDouble / st.getLong(1)

@@ -41,6 +41,43 @@ class ClusterSpec extends AnyFunSuite {
     assert(ds.read(version = Some(preSnapshot.toString)).collect().toSet == before)
   }
 
+  test("incremental clusterBy rewrites only the unclustered delta tier") {
+    val orders = Tables.read(spark, sfDir, "orders")
+    val loc = Files.createTempDirectory("graft_clusi_").toString + "/tbl"
+    val ds = SpaceDataset.create(spark, loc, orders.schema, Seq("o_orderkey"),
+      statsFields = Seq("o_totalprice"))
+    val bulk = orders.filter(col("o_orderkey") % 5 =!= 0)
+    val delta = orders.filter(col("o_orderkey") % 5 === 0)
+    ds.append(bulk.repartition(6))
+    ds.clusterBy(Seq("o_totalprice"), targetFileRows = orders.count() / 8)
+    val clusteredFiles = ds.plan().files.toSet
+
+    // new arrivals land scattered (each file spans the price range)
+    ds.append(delta.repartition(2))
+    val before = ds.readAll().collect().toSet
+    val filesBefore = ds.plan().files.size
+
+    val res = ds.clusterBy(Seq("o_totalprice"), targetFileRows = orders.count() / 8,
+      incremental = true).get
+    // only the 2 delta files are rewritten; the clustered bulk is kept
+    assert(res.rewrittenFiles == 2, s"rewrote ${res.rewrittenFiles} of $filesBefore")
+    val after = ds.plan().files.toSet
+    assert(clusteredFiles.subsetOf(after), "backbone files must survive untouched")
+    assert(ds.readAll().collect().toSet == before)
+
+    // the delta tier's stats are now tight: a price point-range scans
+    // at most one backbone file + one delta file
+    val p = ds.plan(Some(col("o_totalprice") > 500000.0))
+    assert(p.files.size <= 2, s"kept ${p.files.size} files for a top-range read")
+
+    // a second incremental pass finds nothing to do — no new snapshot
+    val snap = ds.storage.metadata.currentSnapshotId
+    assert(ds.clusterBy(Seq("o_totalprice"), targetFileRows = orders.count() / 8,
+      incremental = true).isEmpty)
+    ds.storage.reload()
+    assert(ds.storage.metadata.currentSnapshotId == snap)
+  }
+
   test("zorderBy prunes on BOTH clustered columns; plain clusterBy only on the first") {
     val orders = Tables.read(spark, sfDir, "orders")
     val n = orders.count()
