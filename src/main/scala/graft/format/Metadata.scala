@@ -26,6 +26,11 @@ final case class StorageStatistics(
     indexCompressedBytes + o.indexCompressedBytes,
     indexUncompressedBytes + o.indexUncompressedBytes,
     recordUncompressedBytes + o.recordUncompressedBytes)
+  def -(o: StorageStatistics): StorageStatistics = StorageStatistics(
+    numRows - o.numRows,
+    indexCompressedBytes - o.indexCompressedBytes,
+    indexUncompressedBytes - o.indexUncompressedBytes,
+    recordUncompressedBytes - o.recordUncompressedBytes)
 }
 
 /** Manifest-file lists of one snapshot. The snapshot embeds the FULL list

@@ -889,6 +889,31 @@ object StorageOps {
       PrunedJoin.inner(s, ds, "l_orderkey", dim, "o_orderkey")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("o_totalprice"))
+    }),
+
+    // JobResult state surface (reference core/jobs.py:26-44,
+    // runners.py:100-122): every mutation resolves to SUCCEEDED /
+    // FAILED / SKIPPED with the committed stats update — a failed job
+    // reports its message instead of raising, an idempotent replay and
+    // an empty delete report SKIPPED. The emitted (step, state,
+    // rows_delta) ledger is fully derivable in SQL, so the oracle pins
+    // the whole contract.
+    "s_jobs" -> ((s, d) => {
+      import s.implicits._
+      val orders = t(s, d, "orders")
+      val ds = SpaceDataset.create(s, fresh("jobs"), orders.schema, Seq("o_orderkey"))
+      val r = new JobRunner(ds)
+      def row(step: String, res: JobResult): (String, String, Option[Long]) =
+        (step, res.state.toString, res.storageStatisticsUpdate.map(_.numRows))
+      val rest = orders.filter(col("o_orderkey") >= 1000)
+      val out = Seq(
+        row("append", r.append(orders.filter(col("o_orderkey") < 1000))),
+        row("load", r.appendOnce(rest, "load", 1L)),
+        row("replay", r.appendOnce(rest, "load", 1L)),
+        row("dup_insert", r.insert(orders.limit(1))),
+        row("empty_delete", r.delete(col("o_orderkey") < 0L)),
+        row("prune_delete", r.delete(col("o_totalprice") > 400000.0)))
+      out.toDF("step", "state", "rows_delta")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -1070,6 +1095,16 @@ object StorageOps {
       """SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderkey IN (3, 411)""".stripMargin,
+    "s_jobs" ->
+      """SELECT 'append' AS step, 'Succeeded' AS state,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey < 1000) AS rows_delta
+        |UNION ALL SELECT 'load', 'Succeeded',
+        |  (SELECT count(*) FROM orders WHERE o_orderkey >= 1000)
+        |UNION ALL SELECT 'replay', 'Skipped', CAST(NULL AS BIGINT)
+        |UNION ALL SELECT 'dup_insert', 'Failed', CAST(NULL AS BIGINT)
+        |UNION ALL SELECT 'empty_delete', 'Skipped', CAST(NULL AS BIGINT)
+        |UNION ALL SELECT 'prune_delete', 'Succeeded',
+        |  -(SELECT count(*) FROM orders WHERE o_totalprice > 400000.0)""".stripMargin,
     // the ingested shards decode back to scalars derivable from the
     // source table (payload length/head byte are functions of doc_id)
     // printf, not lpad: DuckDB's lpad TRUNCATES strings longer than the
