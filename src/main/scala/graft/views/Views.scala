@@ -194,8 +194,23 @@ object TransformRegistry {
     })
 
   def resolve(name: String): Transform =
-    registry.get(name).orElse(loadClass(name)).getOrElse(
-      throw new IllegalArgumentException(s"transform $name not registered"))
+    registry.get(name).orElse(loadClass(name)).getOrElse {
+      // a view materialized by the Python reference persists its UDF as
+      // a cloudpickle blob (metadata.proto:195-202, transform/udfs.py:
+      // 216-246) — unexecutable on a JVM by construction. Name the
+      // conversion path instead of failing generically.
+      val hint =
+        if (name.endsWith(".pkl") || name.toLowerCase.contains("pickle"))
+          " — this view's transform is a cloudpickled Python UDF, which " +
+            "cannot execute on the JVM. Re-materialize the view with a " +
+            "registered transform (TransformRegistry.register, or the " +
+            "fully-qualified class name of a Transform) over the same " +
+            "source table; the source and its snapshots read as-is."
+        else
+          " (register with TransformRegistry.register(name, fn), or use " +
+            "the fully-qualified class name of a Transform)"
+      throw new IllegalArgumentException(s"transform $name not registered$hint")
+    }
 
   private def loadClass(name: String): Option[Transform] =
     if (!name.contains(".")) None

@@ -91,15 +91,19 @@ object GraftProcedures {
       },
 
       new Proc("cluster_by",
-        "Rewrite index files range-sorted by `columns` so stats-based pruning bites",
+        "Rewrite index files range-sorted by `columns` so stats-based pruning bites; " +
+          "incremental => true rewrites only the unclustered delta tier",
         Array(
           ProcedureParameter.in("table", StringType).build(),
           ProcedureParameter.in("columns", StringType)
             .comment("comma-separated column names").build(),
-          ProcedureParameter.in("target_file_rows", LongType).build()),
+          ProcedureParameter.in("target_file_rows", LongType).build(),
+          ProcedureParameter.in("incremental", BooleanType)
+            .defaultValue("false").build()),
         rewriteSchema) {
         override def run(input: InternalRow): Seq[InternalRow] =
-          ds(input).clusterBy(cols(input, 1), input.getLong(2)).toSeq
+          ds(input).clusterBy(cols(input, 1), input.getLong(2),
+            incremental = input.getBoolean(3)).toSeq
             .map(r => InternalRow(r.rewrittenFiles, r.outputFiles, r.rows))
       },
 

@@ -57,6 +57,11 @@ class ProcedureSpec extends AnyFunSuite {
       "columns => 'a', target_file_rows => 5000)").collect()
     assert(cb.length == 1 && cb(0).getAs[Int]("output_files") >= 4)       // snap 3
 
+    // incremental pass right after a full clustering: clean tiers, no-op
+    val inc = spark.sql("CALL graft_proc.system.cluster_by(table => 'm', " +
+      "columns => 'a', target_file_rows => 5000, incremental => true)").collect()
+    assert(inc.isEmpty, s"expected a no-op, got ${inc.mkString(", ")}")
+
     val zo = spark.sql("CALL graft_proc.system.zorder(table => 'm', " +
       "columns => 'a,b', target_file_rows => 5000)").collect()
     assert(zo.length == 1 && zo(0).getAs[Long]("rows") == 40000L)         // snap 4

@@ -31,6 +31,19 @@ class ViewSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](ViewPlan.fromJson("""{"type":"nope"}"""))
   }
 
+  test("a cloudpickled-UDF transform name fails with the conversion path") {
+    // a Python-reference MV persists its UDF as a pickle blob; the JVM
+    // loader must say WHY it cannot run and HOW to convert, not just
+    // "not registered"
+    val e = intercept[IllegalArgumentException](
+      TransformRegistry.resolve("map_udf_3f2a.pkl"))
+    assert(e.getMessage.contains("cloudpickled"), e.getMessage)
+    assert(e.getMessage.contains("Re-materialize"), e.getMessage)
+    val plain = intercept[IllegalArgumentException](
+      TransformRegistry.resolve("no_such_transform"))
+    assert(plain.getMessage.contains("TransformRegistry.register"), plain.getMessage)
+  }
+
   test("view compiles to DataFrame lineage") {
     val ds = sourceTable()
     val v = View.ofDataset(ds)
