@@ -33,14 +33,21 @@ object AppendOp {
       spark: SparkSession,
       storage: Storage,
       df: DataFrame,
-      targetFileRows: Option[Long] = None): Patch =
-    writeFilesWithMeta(spark, storage, df, targetFileRows).patch
+      targetFileRows: Option[Long] = None,
+      writeClustered: Boolean = false): Patch =
+    writeFilesWithMeta(spark, storage, df, targetFileRows, writeClustered).patch
 
+  /** `writeClustered = true` (APPEND-path callers only) honors the
+    * table's `write_cluster_by` columns: the batch is range-partitioned
+    * + sorted so it lands as an internally-disjoint tier. Maintenance
+    * rewrites (compact/cluster/CoW survivors) pass false — they arrange
+    * their own layout and must not be re-shuffled. */
   def writeFilesWithMeta(
       spark: SparkSession,
       storage: Storage,
       df: DataFrame,
-      targetFileRows: Option[Long] = None): AppendResult = {
+      targetFileRows: Option[Long] = None,
+      writeClustered: Boolean = false): AppendResult = {
     val conf = spark.sparkContext.hadoopConfiguration
     val tmpRel = s"${StoragePaths.DataDir}/tmp_append_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val tmpAbs = storage.absolute(tmpRel)
@@ -51,11 +58,19 @@ object AppendOp {
     // encodes it. CoW rewrites and compaction flow through here too, so
     // the invariant survives delete/update/upsert/compact.
     val numBuckets = storage.metadata.numBuckets
+    val wcb = storage.metadata.writeClusterBy
     val toWrite =
       if (numBuckets > 0)
         df.repartition(numBuckets,
           storage.metadata.bucketColumns.map(org.apache.spark.sql.functions.col): _*)
-      else targetFileRows match {
+      else if (writeClustered && wcb.nonEmpty) {
+        // cluster-on-write: the batch lands as an internally-disjoint
+        // sorted tier with tight per-file stats. NO explicit partition
+        // count — AQE coalesces tiny range partitions, so a small batch
+        // becomes one sorted file and a large ingest fans out
+        val cols = wcb.map(org.apache.spark.sql.functions.col)
+        df.repartitionByRange(cols: _*).sortWithinPartitions(cols: _*)
+      } else targetFileRows match {
         case Some(n) if n > 0 =>
           val total = df.count()
           val parts = math.max(1, math.ceil(total.toDouble / n).toInt)

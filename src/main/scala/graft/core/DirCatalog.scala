@@ -26,10 +26,11 @@ final class DirCatalog(val spark: SparkSession, val root: String) {
       statsFields: Seq[String] = Nil,
       bucketColumns: Seq[String] = Nil,
       numBuckets: Int = 0,
-      bloomColumns: Seq[String] = Nil): SpaceDataset = {
+      bloomColumns: Seq[String] = Nil,
+      writeClusterBy: Seq[String] = Nil): SpaceDataset = {
     require(!exists(name), s"dataset $name already exists")
     SpaceDataset.create(spark, location(name), schema, primaryKeys, recordFields, statsFields,
-      bucketColumns, numBuckets, bloomColumns)
+      bucketColumns, numBuckets, bloomColumns, writeClusterBy)
   }
 
   def createMaterializedView(

@@ -46,7 +46,8 @@ object RecordIO {
     * both manifests; returns the merged Patch. */
   def writeWithRecords(spark: SparkSession, storage: Storage, df: DataFrame): Patch = {
     val recordFields = storage.recordFields
-    if (recordFields.isEmpty) return AppendOp.writeFiles(spark, storage, df)
+    if (recordFields.isEmpty)
+      return AppendOp.writeFiles(spark, storage, df, writeClustered = true)
 
     val schema = storage.schema
     val physical = ReadOp.physicalSchema(schema, recordFields)
@@ -91,7 +92,10 @@ object RecordIO {
       }
     }(Encoders.row(physical))
 
-    val result = AppendOp.writeFilesWithMeta(spark, storage, indexDF)
+    // writeClustered: re-arranging the INDEX rows after the payload
+    // write is safe — addresses are data and ride the shuffle
+    val result = AppendOp.writeFilesWithMeta(spark, storage, indexDF,
+      writeClustered = true)
     if (result.files.isEmpty) return result.patch
 
     // record manifest: distinct record files referenced by the new index

@@ -587,10 +587,12 @@ object SpaceDataset {
       statsFields: Seq[String] = Nil,
       bucketColumns: Seq[String] = Nil,
       numBuckets: Int = 0,
-      bloomColumns: Seq[String] = Nil): SpaceDataset =
+      bloomColumns: Seq[String] = Nil,
+      writeClusterBy: Seq[String] = Nil): SpaceDataset =
     new SpaceDataset(spark, Storage.create(location, schema, primaryKeys, recordFields,
       statsFields = statsFields, bloomColumns = bloomColumns,
       bucketColumns = bucketColumns, numBuckets = numBuckets,
+      writeClusterBy = writeClusterBy,
       conf = spark.sparkContext.hadoopConfiguration))
 
   def load(spark: SparkSession, location: String): SpaceDataset =

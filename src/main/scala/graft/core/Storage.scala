@@ -886,6 +886,7 @@ object Storage {
       bloomColumns: Seq[String] = Nil,
       bucketColumns: Seq[String] = Nil,
       numBuckets: Int = 0,
+      writeClusterBy: Seq[String] = Nil,
       conf: Configuration = new Configuration()): Storage = {
     SchemaValidation.validate(schema, primaryKeys, recordFields)
     bloomColumns.foreach { c =>
@@ -911,6 +912,13 @@ object Storage {
         s"stats field $f has non-stats-eligible type ${fld.dataType}")
       require(!recordFields.contains(f), s"record field $f cannot carry stats")
     }
+    require(writeClusterBy.isEmpty || numBuckets == 0,
+      "write_cluster_by and bucketing are exclusive: a bucketed write's " +
+        "partitioning IS the bucket layout")
+    writeClusterBy.foreach { c =>
+      require(schema.fieldNames.contains(c), s"write-cluster column $c not in schema")
+      require(!recordFields.contains(c), s"record field $c cannot write-cluster")
+    }
     val withIds = FieldIds.assign(schema)
     val root = new Path(location)
     val fs = root.getFileSystem(conf)
@@ -929,6 +937,7 @@ object Storage {
       primaryKeys = primaryKeys.toList, recordFields = recordFields.toList,
       statsFields = statsFields.toList, bloomColumns = bloomColumns.toList,
       bucketColumns = bucketColumns.toList, numBuckets = numBuckets,
+      writeClusterBy = writeClusterBy.toList,
       currentSnapshotId = 0L, maxSnapshotId = 0L,
       snapshots = Map("0" -> initial), logicalPlan = logicalPlan,
       logicalPlanSubstrait = logicalPlanSubstrait)

@@ -147,6 +147,19 @@ final case class StorageMetadata(
       * bucket's files. */
     bucketColumns: List[String] = Nil,
     numBuckets: Int = 0,
+    /** CLUSTER-ON-WRITE columns (empty = off; exclusive with
+      * bucketing). Every APPEND-path write (user appends, MV
+      * refreshes, streaming sinks) range-partitions + sorts its batch
+      * by these columns before writing, so each batch lands as an
+      * internally-disjoint sorted tier with tight per-file min/max —
+      * point reads prune to ≤1 file per tier immediately, without
+      * waiting for a clusterBy pass, and incremental clustering's
+      * backbone/tier model gets clean tiers by construction. At 100 TB
+      * this trades one extra shuffle of each ingest batch for never
+      * rescanning the table to build pruning. Maintenance rewrites
+      * (compact, CoW delete survivors, clusterBy itself) keep their own
+      * layouts and are not re-shuffled. */
+    writeClusterBy: List[String] = Nil,
     /** Manifest-list level (beyond the reference; Iceberg's design):
       * index-manifest path → [[ManifestSummary]]. Planning consults the
       * summaries FIRST and reads only manifests whose range can match —

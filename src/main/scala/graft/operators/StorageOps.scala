@@ -829,29 +829,29 @@ object StorageOps {
         graft.functions.TextFunctions.tokenCount(col("text")).as("dl"))
       val src = SpaceDataset.create(s, fresh("tidx_src"), docs.schema, Seq("doc_id"))
       src.append(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0))
+      // CLUSTER-ON-WRITE: every refresh lands its postings delta
+      // range-sorted by term (one internally-disjoint tier per
+      // arrival), so term point reads prune immediately and NO
+      // full-table clusterBy rewrite ever runs — at 100 TB the old
+      // "build, then re-cluster the whole postings table" shape would
+      // reshuffle the index per maintenance pass
       val mv = View.ofDataset(src)
         .mapTransform(classOf[TokenPostingsTransform].getName,
           Map("textCol" -> "text", "idCol" -> "doc_id"))
-        .materialize(s, fresh("tidx_mv"), Seq("term", "doc_id"))
+        .materialize(s, fresh("tidx_mv"), Seq("term", "doc_id"),
+          writeClusterBy = Seq("term"))
       val stats = AggregateView.create(s, fresh("tidx_stats"), src, Seq("lang"),
         Seq(AggSpec.countAll("n"), AggSpec.count("dl", "n_dl"), AggSpec.sum("dl", "sum_dl")))
-      // initial maintenance: term-cluster the arrival-1 postings so a
-      // query's term IN list prunes to its own posting files (file
-      // count scales with the corpus via O(1) countRows)
-      def target() = math.max(4096L, mv.dataset.countRows() / 16)
-      mv.dataset.clusterBy(Seq("term"), targetFileRows = target())
       src.append(docs.filter(pmod(col("doc_id"), lit(5)) === 0)) // new docs arrive
       mv.refresh()
       stats.refresh()
-      // steady-state maintenance is INCREMENTAL: only the delta
-      // postings are rewritten into a sorted tier; the clustered bulk
-      // is never reread (at 100 TB a full re-cluster per arrival would
-      // dwarf the refresh itself)
+      // steady-state maintenance is INCREMENTAL: with write-clustered
+      // tiers it either no-ops or merges a strict subset; the clustered
+      // bulk is never reread (a full rewrite here is the bug)
       val filesBefore = mv.dataset.plan().files.size
-      val inc = mv.dataset.clusterBy(Seq("term"), targetFileRows = target(),
+      val inc = mv.dataset.clusterBy(Seq("term"),
+        targetFileRows = math.max(4096L, mv.dataset.countRows() / 16),
         incremental = true)
-      // None = the delta already forms a clean tier (nothing reread);
-      // Some = only a strict subset rewritten. A full rewrite is the bug.
       require(inc.forall(_.rewrittenFiles < filesBefore),
         s"incremental clustering must not reread the clustered bulk: " +
           s"${inc.map(_.rewrittenFiles)} of $filesBefore files")

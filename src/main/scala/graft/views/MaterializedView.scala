@@ -149,12 +149,14 @@ object MaterializedView {
       location: String,
       view: View,
       primaryKeys: Seq[String],
-      recordFields: Seq[String] = Nil): MaterializedView = {
+      recordFields: Seq[String] = Nil,
+      writeClusterBy: Seq[String] = Nil): MaterializedView = {
     // the reference raises on materializing joins (transform/join.py:128-129)
     require(!view.plan.containsJoin, "materialized view of a join is not supported")
     val schema = view.plan.toDF(spark).schema
     val storage = Storage.create(location, schema, primaryKeys, recordFields,
       tableType = TableType.MaterializedView,
+      writeClusterBy = writeClusterBy,
       logicalPlan = Some(view.plan.json),
       // interop sidecar: the same plan in the reference's wire format,
       // with each source's field-id-carrying schema as ReadRel.base_schema

@@ -254,8 +254,10 @@ final class View(val plan: ViewPlan) {
       spark: SparkSession,
       location: String,
       primaryKeys: Seq[String],
-      recordFields: Seq[String] = Nil): MaterializedView = {
-    val mv = MaterializedView.create(spark, location, this, primaryKeys, recordFields)
+      recordFields: Seq[String] = Nil,
+      writeClusterBy: Seq[String] = Nil): MaterializedView = {
+    val mv = MaterializedView.create(spark, location, this, primaryKeys,
+      recordFields, writeClusterBy)
     mv.refresh()
     mv
   }

@@ -210,8 +210,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val numBuckets = clusteredBy
       .map(_.numBuckets.value.asInstanceOf[Number].intValue())
       .orElse(props.get("num_buckets").map(_.trim.toInt)).getOrElse(0)
+    val writeClusterBy = props.get("write_cluster_by")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     val ds = dir.createDataset(tableName(ident), schema, pks, recordFields, statsFields,
-      bucketCols, numBuckets, bloomCols)
+      bucketCols, numBuckets, bloomCols, writeClusterBy)
     new GraftTable(spark, ds, s"$catalogName.${ident.name}", None)
   }
 
@@ -405,6 +407,7 @@ final class GraftTable(
     "record_fields" -> storage.recordFields.map(storage.logicalNameOf).mkString(","),
     "bucket_columns" -> storage.metadata.bucketColumns.map(storage.logicalNameOf).mkString(","),
     "bloom_columns" -> storage.metadata.bloomColumns.map(storage.logicalNameOf).mkString(","),
+    "write_cluster_by" -> storage.metadata.writeClusterBy.map(storage.logicalNameOf).mkString(","),
     "num_buckets" -> storage.metadata.numBuckets.toString,
     "provider" -> "graft",
     "snapshot_id" -> snapshotId.toString).asJava

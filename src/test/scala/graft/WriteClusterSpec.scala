@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+
+/** CLUSTER-ON-WRITE (`write_cluster_by`): every append-path write lands
+  * its batch range-sorted as an internally-disjoint tier, so point
+  * reads prune without a clusterBy rewrite, and incremental clustering
+  * finds clean tiers by construction. */
+class WriteClusterSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def freshLoc(): String =
+    Files.createTempDirectory("graft_wclus_").toString + "/tbl"
+
+  test("each append lands as a disjoint sorted tier; point reads prune immediately") {
+    val orders = Tables.read(spark, sfDir, "orders")
+    val ds = SpaceDataset.create(spark, freshLoc(), orders.schema, Seq("o_orderkey"),
+      statsFields = Seq("o_totalprice"), writeClusterBy = Seq("o_totalprice"))
+    // two scattered arrivals — each must land sorted by price
+    ds.append(orders.filter(col("o_orderkey") % 2 === 0).repartition(4))
+    ds.append(orders.filter(col("o_orderkey") % 2 =!= 0).repartition(4))
+    assert(ds.readAll().collect().toSet == orders.collect().toSet)
+
+    // a price point-range read touches at most one file PER TIER with
+    // NO clusterBy ever run
+    val total = ds.plan().files.size
+    val kept = ds.plan(Some(col("o_totalprice") > 500000.0)).files.size
+    assert(kept <= 2, s"top-range read kept $kept of $total files")
+
+    // the tiers are clean: an incremental pass has nothing to do
+    assert(ds.clusterBy(Seq("o_totalprice"), targetFileRows = 100000L,
+      incremental = true).isEmpty)
+  }
+
+  test("write-clustered MV refresh: term point reads prune without any rewrite") {
+    val docs = Tables.read(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val src = SpaceDataset.create(spark, freshLoc(), docs.schema, Seq("doc_id"))
+    src.append(docs.filter(col("doc_id") % 2 === 0))
+    val mv = graft.views.View.ofDataset(src)
+      .mapTransform(classOf[graft.operators.TokenPostingsTransform].getName,
+        Map("textCol" -> "text", "idCol" -> "doc_id"))
+      .materialize(spark, freshLoc(), Seq("term", "doc_id"),
+        writeClusterBy = Seq("term"))
+    src.append(docs.filter(col("doc_id") % 2 =!= 0))
+    mv.refresh()
+
+    val total = mv.dataset.plan().files.size
+    val kept = mv.dataset.plan(Some(col("term") === "the")).files.size
+    assert(kept <= 2, s"term point read kept $kept of $total posting files")
+    // contents equal an unclustered rebuild
+    val flat = graft.operators.TextIndex.postings(docs, "text", "doc_id")
+    val got = mv.dataset.readAll().select("term", "doc_id", "tf")
+    assert(got.exceptAll(flat.select("term", "doc_id", "tf")).isEmpty)
+    assert(flat.select("term", "doc_id", "tf").exceptAll(got).isEmpty)
+  }
+
+  test("write_cluster_by validates: bucketing exclusive, columns must exist") {
+    val schema = Seq.empty[(Long, String)].toDF("id", "g").schema
+    intercept[IllegalArgumentException](SpaceDataset.create(spark, freshLoc(),
+      schema, Seq("id"), writeClusterBy = Seq("nope")))
+    intercept[IllegalArgumentException](SpaceDataset.create(spark, freshLoc(),
+      schema, Seq("id"), bucketColumns = Seq("id"), numBuckets = 4,
+      writeClusterBy = Seq("g")))
+  }
+
+  test("SQL DDL property round-trips and the writes cluster") {
+    val root = Files.createTempDirectory("graft_wclussql_").toString
+    spark.conf.set("spark.sql.catalog.graft_wc",
+      classOf[org.apache.spark.sql.graftshim.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_wc.location", root)
+    spark.sql("CREATE TABLE graft_wc.t (id BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('primary_keys'='id', 'stats_fields'='v', " +
+      "'write_cluster_by'='v')")
+    spark.sql("INSERT INTO graft_wc.t SELECT id, (id * 7919) % 100000 * 1.0 " +
+      "FROM range(0, 50000)")
+    val props = spark.sql("SHOW TBLPROPERTIES graft_wc.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("write_cluster_by").contains("v"))
+    val ds = SpaceDataset.load(spark, s"$root/t")
+    val total = ds.plan().files.size
+    val kept = ds.plan(Some(col("v") === 77.0)).files.size
+    assert(kept <= 1, s"point read kept $kept of $total files")
+  }
+}
