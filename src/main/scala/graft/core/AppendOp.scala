@@ -66,8 +66,11 @@ object AppendOp {
       else if (writeClustered && wcb.nonEmpty) {
         // cluster-on-write: the batch lands as an internally-disjoint
         // sorted tier with tight per-file stats. NO explicit partition
-        // count — AQE coalesces tiny range partitions, so a small batch
-        // becomes one sorted file and a large ingest fans out
+        // count — AQE coalesces tiny range partitions (a small batch
+        // becomes one sorted file, a large ingest fans out), under the
+        // REDUCED advisory size set around the write below: pruning
+        // granularity needs several files per tier, and AQE's default
+        // 64 MB advisory would fold a whole mid-size tier into one
         val cols = wcb.map(org.apache.spark.sql.functions.col)
         df.repartitionByRange(cols: _*).sortWithinPartitions(cols: _*)
       } else targetFileRows match {
@@ -114,7 +117,21 @@ object AppendOp {
         .option("parquet.bloom.filter.max.bytes", (128 * 1024).toString)) {
       (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
     }
-    writer.parquet(tmpAbs)
+    if (writeClustered && wcb.nonEmpty && numBuckets == 0) {
+      // scoped advisory override for the write-clustered shuffle:
+      // several tight-range files per tier beat one 64 MB-coalesced
+      // file (pruning granularity). Overridable for other workloads.
+      val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+      val advisory = spark.conf.getOption("spark.graft.writeCluster.advisoryBytes")
+        .getOrElse((8L * 1024 * 1024).toString)
+      val old = spark.conf.getOption(key)
+      spark.conf.set(key, advisory)
+      try writer.parquet(tmpAbs)
+      finally old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    } else writer.parquet(tmpAbs)
 
     val fs = new Path(tmpAbs).getFileSystem(conf)
     val parts = fs.listStatus(new Path(tmpAbs)).map(_.getPath)

@@ -509,9 +509,13 @@ object EventsStream {
     // are never opened), not a full index scan
     val idx = Dedup.minhashIndexRows(corpus, "text", "doc_id",
       numHashes = 32, bands = 16, shingleSize = 3)
+    // write_cluster_by: every index append (the initial build AND each
+    // micro-batch's survivor keys) lands band_key-sorted as its own
+    // disjoint tier, so point reads stay pruned as the index grows
+    // without waiting for periodic cluster_by maintenance
     val idxTable = SpaceDataset.create(s, s"$root/idx", idx.schema, Seq("id", "band"),
-      statsFields = Seq("band_key"))
-    idxTable.append(idx.repartitionByRange(4, col("band_key")))
+      statsFields = Seq("band_key"), writeClusterBy = Seq("band_key"))
+    idxTable.append(idx)
 
     // the incoming "crawl": near-dups + novelties, staged as stream input
     val batch = corpus.filter(col("doc_id") < 50)
