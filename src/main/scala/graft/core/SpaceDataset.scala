@@ -434,7 +434,14 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
 
   /** Bin-pack small index files into ~`targetFileRows`-row files (one
     * snapshot, no logical change — see CompactOp). Returns stats, or
-    * None when there was nothing worth compacting. */
+    * None when there was nothing worth compacting.
+    *
+    * On a `write_cluster_by` table prefer
+    * `clusterBy(cols, n, incremental = true)`: it IS the tier-aware
+    * compaction (merges small tiers sorted, keeps the backbone), while
+    * plain compact bin-packs ACROSS tiers and un-sorts them — results
+    * stay exact, but the point-read pruning the clustering bought is
+    * lost until the next clustering pass. */
   def compact(
       targetFileRows: Long,
       smallFraction: Double = 0.5,

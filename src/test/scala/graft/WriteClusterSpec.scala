@@ -61,6 +61,31 @@ class WriteClusterSpec extends AnyFunSuite {
     assert(flat.select("term", "doc_id", "tf").exceptAll(got).isEmpty)
   }
 
+  test("CoW delete and upsert on a write-clustered table stay exact") {
+    val orders = Tables.read(spark, sfDir, "orders")
+    val ds = SpaceDataset.create(spark, freshLoc(), orders.schema, Seq("o_orderkey"),
+      statsFields = Seq("o_totalprice"), writeClusterBy = Seq("o_totalprice"))
+    ds.append(orders)
+    ds.delete(col("o_totalprice") > 400000.0)
+    val bumped = orders.filter(col("o_orderkey") % 7 === 0)
+      .filter(col("o_totalprice") <= 400000.0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+    ds.upsert(bumped)
+    val exp = orders.filter(col("o_totalprice") <= 400000.0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+    assert(ds.readAll().exceptAll(exp).isEmpty && exp.exceptAll(ds.readAll()).isEmpty)
+    // an incremental pass afterwards repairs whatever the rewrites
+    // scattered, without a full-table rewrite
+    val total = ds.plan().files.size
+    val res = ds.clusterBy(Seq("o_totalprice"), targetFileRows = 100000L,
+      incremental = true)
+    res.foreach(r => assert(r.rewrittenFiles <= total))
+    val kept = ds.plan(Some(col("o_totalprice") > 390000.0)).files.size
+    assert(kept <= 2, s"top-range read kept $kept files after repair")
+  }
+
   test("write_cluster_by validates: bucketing exclusive, columns must exist") {
     val schema = Seq.empty[(Long, String)].toDF("id", "g").schema
     intercept[IllegalArgumentException](SpaceDataset.create(spark, freshLoc(),
