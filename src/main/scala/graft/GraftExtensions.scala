@@ -44,14 +44,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // resolve to the SpaceDataset CoW machinery (DELETE already works
     // through DSv2 SupportsDelete without any rule)
     ext.injectResolutionRule(org.apache.spark.sql.graftshim.GraftRowLevelSqlRule)
+    // ±0.0 parquet-pushdown soundness: vanilla Spark drops row groups
+    // whose zeros are stored with the other sign bit (see
+    // FloatingZeroRewrite scaladoc for the reproduction)
+    ext.injectOptimizerRule(_ => org.apache.spark.sql.graftshim.FloatingZeroRewrite)
   }
 }
 
 object GraftExtensions {
 
   /** Register the same function set on an ALREADY-RUNNING session (the
-    * extensions config only applies at session construction). */
-  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    * extensions config only applies at session construction). Also
+    * installs the ±0.0 pushdown-soundness rewrite as an extra
+    * optimization (idempotent). */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     all.foreach { case (name, arity, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name,
@@ -61,6 +67,11 @@ object GraftExtensions {
         },
         "scala_udf")
     }
+    val zr = org.apache.spark.sql.graftshim.FloatingZeroRewrite
+    if (!spark.experimental.extraOptimizations.contains(zr))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ zr
+  }
 
   private def col(e: Expression): Column = ColumnExpr.column(e)
   private def expr(c: Column): Expression = ColumnExpr.catalystExpression(c)

@@ -66,6 +66,42 @@ class MembershipPruningFuzzSpec extends AnyFunSuite {
     assert(prunedSomething, "no trial ever pruned — the fuzz is vacuous")
   }
 
+  test("double evidence: ±0.0 and NaN probes follow Spark equality on BOTH tiers") {
+    // Spark SQL evaluates -0.0 = 0.0 as true and NaN = NaN as true;
+    // boxed-set membership and raw-bits bloom hashes disagree with
+    // both. Seed zeros stored ONLY as -0.0 (plus NaN) in each tier and
+    // assert a +0.0 / NaN point read still returns the rows.
+    val loc = Files.createTempDirectory("graft_membfuzz_fp_").toString + "/tbl"
+    val schema = Seq((0L, 0.0d)).toDF("id", "v").schema
+    val d = SpaceDataset.create(spark, loc, schema, Seq("id"), bloomColumns = Seq("v"))
+    // dictionary tier: a 6-value pool, zeros as -0.0 only → exact prover
+    val pool = Array(-0.0d, 1.5d, 2.5d, Double.NaN, 42.0d, -7.25d)
+    d.append((0 until 3000).map(i => (i.toLong, pool(i % pool.length)))
+      .toDF("id", "v").repartition(1))
+    // bloom tier: >2^17 distinct doubles overflow parquet's 1MB
+    // dictionary page → plain encoding + bloom; seed one -0.0, one NaN
+    val high = (0 until 150000).map(i => (1000000L + i, 10000.0 + i * 0.5)) ++
+      Seq((9000000L, -0.0d), (9000001L, Double.NaN))
+    d.append(high.toDF("id", "v").repartition(1))
+    BloomPruning.clearCache()
+
+    def ids(pred: org.apache.spark.sql.Column): Set[Long] =
+      d.read(filter = Some(pred)).select("id").collect().map(_.getLong(0)).toSet
+    def full(pred: org.apache.spark.sql.Column): Set[Long] =
+      d.readAll().filter(pred).select("id").collect().map(_.getLong(0)).toSet
+
+    for (probe <- Seq(lit(0.0d), lit(-0.0d), lit(Double.NaN), lit(1.5d), lit(10000.0d))) {
+      val pred = col("v") === probe
+      val got = ids(pred)
+      assert(got == full(pred), s"pruned read diverged for probe $probe")
+      assert(got.nonEmpty, s"probe $probe matched nothing — the case is vacuous")
+    }
+    // absent value still prunes at least the dictionary-tier file
+    val total = d.plan().files.size
+    assert(d.plan(Some(col("v") === 3.25d)).files.size < total,
+      "absent double pruned nothing — fp evidence never engaged")
+  }
+
   test("absent key prunes the dictionary tier exactly (zero false positives)") {
     // a key INSIDE the low stripe's value range but absent from its
     // 40-value pool: min/max can't falsify it, a bloom could false-
