@@ -111,27 +111,25 @@ object AppendOp {
       if (!bloomEnabled) Nil
       else (storage.primaryKeys ++ storage.metadata.bloomColumns).distinct.filter(c =>
         idSchema.fields.exists(f => f.name == c && ManifestIO.statsEligible(f.dataType)))
-    val writer = bloomCols.foldLeft(
-      aligned.write.mode("overwrite")
-        .option("parquet.bloom.filter.adaptive.enabled", "true")
-        .option("parquet.bloom.filter.max.bytes", (128 * 1024).toString)) {
-      (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
-    }
+    def writeOut(frame: DataFrame): Unit =
+      bloomCols.foldLeft(
+        frame.write.mode("overwrite")
+          .option("parquet.bloom.filter.adaptive.enabled", "true")
+          .option("parquet.bloom.filter.max.bytes", (128 * 1024).toString)) {
+        (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
+      }.parquet(tmpAbs)
     if (writeClustered && wcb.nonEmpty && numBuckets == 0) {
-      // scoped advisory override for the write-clustered shuffle:
-      // several tight-range files per tier beat one 64 MB-coalesced
-      // file (pruning granularity). Overridable for other workloads.
-      val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+      // reduced AQE advisory for the write-clustered shuffle: several
+      // tight-range files per tier beat one 64 MB-coalesced file
+      // (pruning granularity). Overridable for other workloads.
+      // SESSION-SCOPED via a cloned session — a set/restore on the
+      // shared conf would leak the 8 MB advisory to any job planning
+      // concurrently in this session during the write window.
       val advisory = spark.conf.getOption("spark.graft.writeCluster.advisoryBytes")
         .getOrElse((8L * 1024 * 1024).toString)
-      val old = spark.conf.getOption(key)
-      spark.conf.set(key, advisory)
-      try writer.parquet(tmpAbs)
-      finally old match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
-    } else writer.parquet(tmpAbs)
+      org.apache.spark.sql.graftshim.ScopedConf.withScopedConf(aligned,
+        Seq("spark.sql.adaptive.advisoryPartitionSizeInBytes" -> advisory))(writeOut)
+    } else writeOut(aligned)
 
     val fs = new Path(tmpAbs).getFileSystem(conf)
     val parts = fs.listStatus(new Path(tmpAbs)).map(_.getPath)
@@ -154,9 +152,10 @@ object AppendOp {
       (p.toString, rel, storage.absolute(rel))
     }.toSeq
     val pks = storage.statsColumns
+    val evid = ManifestIO.evidenceColumns(storage)
     val harvested = (if (assignments.size <= 8) {
       assignments.map { case (src, rel, dstAbs) =>
-        val meta = ManifestIO.harvestFooter(src, rel, conf, pks)
+        val meta = ManifestIO.harvestFooter(src, rel, conf, pks, evid)
         if (!fs.rename(new Path(src), new Path(dstAbs)))
           throw new java.io.IOException(s"rename $src failed")
         meta
@@ -174,13 +173,13 @@ object AppendOp {
           val dst = new Path(dstAbs)
           val tfs = dst.getFileSystem(c)
           if (tfs.exists(srcPath)) {
-            val meta = ManifestIO.harvestFooter(src, rel, c, pks)
+            val meta = ManifestIO.harvestFooter(src, rel, c, pks, evid)
             if (!tfs.rename(srcPath, dst))
               throw new java.io.IOException(s"rename $src -> $dstAbs failed")
             meta
           } else if (tfs.exists(dst)) {
             // task retry after a completed rename: harvest the moved file
-            ManifestIO.harvestFooter(dstAbs, rel, c, pks)
+            ManifestIO.harvestFooter(dstAbs, rel, c, pks, evid)
           } else throw new java.io.IOException(s"missing $src and $dstAbs")
         }
         .collect().toSeq

@@ -60,8 +60,25 @@ object BloomPruning {
     * carried a bloom instead; decoding it to a set stops paying. */
   private val MaxDictEntries = 1 << 17
 
-  /** Bounded driver-side parallelism for per-file footer probes. */
+  /** Bounded driver-side parallelism for per-file footer probes. ONE
+    * shared daemon pool for the process — planning is called per
+    * micro-batch on streaming point-read paths, and a fresh pool per
+    * call was measurable churn. */
   private val ProbePoolSize = 16
+  private lazy val probePool = java.util.concurrent.Executors.newFixedThreadPool(
+    ProbePoolSize,
+    new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger()
+      override def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"graft-membership-probe-${n.incrementAndGet()}")
+        t.setDaemon(true)
+        t
+      }
+    })
+
+  /** Footer opens performed by the evidence loader (test observability:
+    * manifest-marked evidence-less files must cause ZERO of these). */
+  private[graft] val footerOpens = new java.util.concurrent.atomic.AtomicLong()
 
   /** Per-row-group membership evidence for one column: either the
     * parquet bloom bits or the exact decoded dictionary. */
@@ -72,19 +89,45 @@ object BloomPruning {
     def mightContain(dt: DataType, v: Any): Boolean = dt match {
       case IntegerType => b.findHash(b.hash(v.asInstanceOf[Int]))
       case LongType => b.findHash(b.hash(v.asInstanceOf[Long]))
-      case FloatType => b.findHash(b.hash(v.asInstanceOf[Float]))
-      case DoubleType => b.findHash(b.hash(v.asInstanceOf[Double]))
+      case FloatType =>
+        val f = v.asInstanceOf[Float]
+        // Spark SQL evaluates -0.0 = 0.0 as TRUE, but the bloom hashed
+        // the writer's raw IEEE bits — a zero probe must admit either
+        // pattern or a file whose zeros are all -0.0 is wrongly pruned
+        // for `k = 0.0` (and vice versa). NaN bit patterns are not
+        // canonical across writers: keep the file.
+        if (java.lang.Float.isNaN(f)) true
+        else if (f == 0.0f) b.findHash(b.hash(0.0f)) || b.findHash(b.hash(-0.0f))
+        else b.findHash(b.hash(f))
+      case DoubleType =>
+        val d = v.asInstanceOf[Double]
+        if (java.lang.Double.isNaN(d)) true
+        else if (d == 0.0d) b.findHash(b.hash(0.0d)) || b.findHash(b.hash(-0.0d))
+        else b.findHash(b.hash(d))
       case StringType => b.findHash(b.hash(Binary.fromConstantByteArray(utf8(v))))
       case _ => true
     }
   }
-  /** Exact membership: values are canonicalized (strings as String). */
+  /** Exact membership: values are canonicalized (strings as String,
+    * float/double zeros as +0.0 — boxed equality distinguishes ±0.0
+    * where Spark SQL does not; boxed NaN == NaN already matches
+    * Spark's NaN-equals-NaN semantics). */
   private final case class DictProver(values: Set[Any]) extends Prover {
     def mightContain(dt: DataType, v: Any): Boolean = dt match {
       case StringType => values.contains(new String(utf8(v), java.nio.charset.StandardCharsets.UTF_8))
-      case IntegerType | LongType | FloatType | DoubleType => values.contains(v)
+      case FloatType | DoubleType => values.contains(canonZero(v))
+      case IntegerType | LongType => values.contains(v)
       case _ => true
     }
+  }
+
+  /** Collapse -0.0 onto +0.0 so boxed membership follows Spark SQL's
+    * `-0.0 = 0.0 → true` (java.lang.{Float,Double}.equals compares bit
+    * patterns and would say false). */
+  private def canonZero(v: Any): Any = v match {
+    case f: java.lang.Float if f.floatValue() == 0.0f => java.lang.Float.valueOf(0.0f)
+    case d: java.lang.Double if d.doubleValue() == 0.0d => java.lang.Double.valueOf(0.0d)
+    case other => other
   }
 
   private def utf8(v: Any): Array[Byte] = v match {
@@ -95,12 +138,18 @@ object BloomPruning {
 
   /** Drop candidate files whose membership evidence falsifies a point
     * conjunct. `filters` are implicitly ANDed; `files` are
-    * table-root-relative. */
+    * table-root-relative. `evidence` carries the manifest's per
+    * (file, column) markers when the planner has them: `false` means
+    * the write path PROVED the file has no usable evidence for that
+    * column (some row group has neither bloom nor full dictionary), so
+    * the file is kept without ever opening its footer — the metadata
+    * plane answers what used to be one RPC per evidence-less file. */
   def pruneFiles(
       spark: SparkSession,
       storage: Storage,
       filters: Seq[Expression],
-      files: Seq[String]): Seq[String] = {
+      files: Seq[String],
+      evidence: Map[(String, String), Boolean] = Map.empty): Seq[String] = {
     if (files.isEmpty || files.size > MaxCandidateFiles || filters.isEmpty) return files
     val lookups = pointLookups(storage, filters)
     if (lookups.isEmpty) return files
@@ -112,7 +161,8 @@ object BloomPruning {
       lookups.forall { case (colName, dt, values) =>
         // the conjunct can hold in this file only if SOME value might
         // be present in SOME row group (missing evidence = might)
-        provers(abs, colName, conf) match {
+        if (evidence.get((rel, colName)).contains(false)) true
+        else provers(abs, colName, conf) match {
           case None => true // no evidence anywhere in the file
           case Some(perGroup) => perGroup.exists {
             case None => true
@@ -122,20 +172,27 @@ object BloomPruning {
       }
     }
 
-    if (files.size <= 2) files.filter(keep)
-    else {
-      // bounded fan-out: object-store footer probes are network RPCs;
-      // serial walks of a few hundred candidates would put seconds of
-      // latency inside planning
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(ProbePoolSize, files.size))
-      try {
-        val futs = files.map(f => f -> pool.submit(new java.util.concurrent.Callable[Boolean] {
-          def call(): Boolean = keep(f)
-        }))
+    // files whose EVERY probed column is manifest-marked evidence-less
+    // never touch storage at all — decide them inline
+    def metadataOnly(rel: String): Boolean =
+      lookups.forall { case (c, _, _) => evidence.get((rel, c)).contains(false) }
+
+    val (decided, probed) = files.partition(metadataOnly)
+    val probedKept: Seq[String] =
+      if (probed.size <= 2) probed.filter(keep)
+      else {
+        // bounded fan-out on the shared pool: object-store footer
+        // probes are network RPCs; serial walks of a few hundred
+        // candidates would put seconds of latency inside planning
+        val futs = probed.map(f => f -> probePool.submit(
+          new java.util.concurrent.Callable[Boolean] {
+            def call(): Boolean = keep(f)
+          }))
         futs.collect { case (f, fut) if fut.get() => f }
-      } finally pool.shutdown()
-    }
+      }
+    // preserve input order (downstream file lists are order-stable)
+    val keptSet = (decided ++ probedKept).toSet
+    files.filter(keptSet.contains)
   }
 
   /** Conjunctive point lookups on evidence-carrying columns:
@@ -238,6 +295,7 @@ object BloomPruning {
       if (hit != null) return hit
     }
     val loaded: Option[Seq[Option[Prover]]] = {
+      footerOpens.incrementAndGet()
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(absPath), conf))
       try {
         val schema = reader.getFooter.getFileMetaData.getSchema
@@ -281,8 +339,8 @@ object BloomPruning {
         val values: Option[Set[Any]] = desc.getPrimitiveType.getPrimitiveTypeName match {
           case INT32 => Some((0 until n).map(i => dict.decodeToInt(i): Any).toSet)
           case INT64 => Some((0 until n).map(i => dict.decodeToLong(i): Any).toSet)
-          case FLOAT => Some((0 until n).map(i => dict.decodeToFloat(i): Any).toSet)
-          case DOUBLE => Some((0 until n).map(i => dict.decodeToDouble(i): Any).toSet)
+          case FLOAT => Some((0 until n).map(i => canonZero(dict.decodeToFloat(i): Any)).toSet)
+          case DOUBLE => Some((0 until n).map(i => canonZero(dict.decodeToDouble(i): Any)).toSet)
           case BINARY => Some((0 until n).map(i =>
             dict.decodeToBinary(i).toStringUsingUTF8: Any).toSet)
           case _ => None

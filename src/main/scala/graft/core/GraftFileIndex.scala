@@ -44,9 +44,26 @@ final class GraftFileIndex(
 
   private val manifests: Seq[String] =
     storage.snapshotOrFail(snapshotId).manifestFiles.indexManifestFiles
-  private val mSchema: StructType =
-    ManifestIO.manifestSchema(storage.schema, storage.statsColumns)
+  private val mSchema: StructType = ManifestIO.manifestSchema(storage)
   private val fileIdx = mSchema.fieldIndex(ManifestIO.FileCol)
+
+  /** (logical column, manifest row index) of each membership-evidence
+    * marker — consulted so evidence-less files skip footer probes. */
+  private val evidIdx: Seq[(String, Int)] =
+    ManifestIO.evidenceColumns(storage).flatMap { c =>
+      ManifestIO.fieldAtPath(storage.schema, c).map { f =>
+        c -> mSchema.fieldIndex(ManifestIO.evidColName(graft.format.FieldIds.fieldId(f)))
+      }
+    }
+
+  private def evidenceOf(rows: Seq[Row]): Map[(String, String), Boolean] =
+    if (evidIdx.isEmpty) Map.empty
+    else rows.iterator.flatMap { r =>
+      val file = r.getString(fileIdx)
+      evidIdx.iterator.collect {
+        case (c, i) if !r.isNullAt(i) => (file, c) -> r.getBoolean(i)
+      }
+    }.toMap
 
   // ------------------------------------------ lazy manifest-row loading
 
@@ -143,8 +160,11 @@ final class GraftFileIndex(
     val bucketKept = BucketPruning.pruneFiles(storage, dataFilters, kept)
     // bloom pruning: point predicates on bloom-carrying columns drop
     // files whose embedded parquet blooms prove the value absent —
-    // the arbitrary-layout complement to stats and buckets
-    val bloomKept = BloomPruning.pruneFiles(spark, storage, dataFilters, bucketKept)
+    // the arbitrary-layout complement to stats and buckets. Manifest
+    // evidence markers let it skip the footer RPC for files the write
+    // path proved evidence-less.
+    val bloomKept = BloomPruning.pruneFiles(spark, storage, dataFilters, bucketKept,
+      evidenceOf(rows))
     Seq(PartitionDirectory(InternalRow.empty, bloomKept.map(statusOf).toArray))
   }
 }

@@ -45,7 +45,8 @@ object ParquetLoader {
     ds.storage.commitTransaction() { _ =>
       val metas = unique.map { f =>
         val abs = new Path(f)
-        ManifestIO.harvestFooter(abs.toString, abs.toString, conf, ds.storage.statsColumns)
+        ManifestIO.harvestFooter(abs.toString, abs.toString, conf,
+          ds.storage.statsColumns, ManifestIO.evidenceColumns(ds.storage))
       }.filter(_.numRows > 0)
       if (metas.isEmpty) None
       else {

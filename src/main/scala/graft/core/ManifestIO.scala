@@ -16,13 +16,23 @@ import graft.format.{FieldIds, StoragePaths}
 final case class ColumnStats(min: Any, max: Any)
 
 /** Manifest row for one index data file (reference
-  * `/root/reference/python/src/space/core/manifests/index.py:42-65`). */
+  * `/root/reference/python/src/space/core/manifests/index.py:42-65`).
+  *
+  * `evidence`: per membership-evidence column (PK + bloom columns),
+  * TRUE iff every row group in the file carries usable point-lookup
+  * evidence — a bloom filter or a fully-dictionary-encoded page set
+  * ([[BloomPruning]]). Recorded at write time from the same footer the
+  * stats harvest already opens, so PLANNING can skip the footer RPC for
+  * evidence-less files entirely (a file with any evidence-free row
+  * group can never be membership-pruned). Absent for legacy files
+  * (null in the manifest → planner falls back to opening the footer). */
 final case class IndexFileMeta(
     file: String, // table-root-relative
     numRows: Long,
     compressedBytes: Long,
     uncompressedBytes: Long,
-    pkStats: Map[String, ColumnStats])
+    pkStats: Map[String, ColumnStats],
+    evidence: Map[String, Boolean] = Map.empty)
 
 /** Index/record manifest reading & writing. Manifests are Parquet tables,
   * one row per data file, with a `_STATS_f<fieldId> struct<_MIN,_MAX>`
@@ -40,6 +50,14 @@ object ManifestIO {
   val UncompressedCol = "_INDEX_UNCOMPRESSED_BYTES"
 
   def statsColName(fieldId: Int): String = s"_STATS_f$fieldId"
+  def evidColName(fieldId: Int): String = s"_EVID_f$fieldId"
+
+  /** Columns whose per-file membership evidence (bloom / dictionary,
+    * [[BloomPruning]]) is recorded in the manifest: the same set the
+    * pruner probes — primary keys plus declared bloom columns. */
+  def evidenceColumns(storage: Storage): Seq[String] =
+    (storage.primaryKeys ++ storage.metadata.bloomColumns).distinct.filter(c =>
+      fieldAtPath(storage.schema, c).exists(f => statsEligible(f.dataType)))
 
   /** PK fields eligible for manifest stats (types we can pull out of
     * Parquet footer statistics and compare for pruning). */
@@ -82,13 +100,25 @@ object ManifestIO {
     StructType(base ++ statsCols)
   }
 
+  /** Full manifest schema for `storage`: stats structs plus the
+    * per-file membership-evidence markers (`_EVID_f<id>` boolean,
+    * null = written before evidence recording). */
+  def manifestSchema(storage: Storage): StructType = {
+    val base = manifestSchema(storage.schema, storage.statsColumns)
+    val evid = evidenceColumns(storage).flatMap(c =>
+      fieldAtPath(storage.schema, c).map(f =>
+        StructField(evidColName(FieldIds.fieldId(f)), BooleanType)))
+    StructType(base.fields ++ evid)
+  }
+
   /** Read one data file's footer: row count, sizes, merged PK min/max
     * across row groups. Driver-side, footer-only IO. */
   def harvestFooter(
       absPath: String,
       relPath: String,
       conf: Configuration,
-      primaryKeys: Seq[String]): IndexFileMeta = {
+      primaryKeys: Seq[String],
+      evidenceColumns: Seq[String] = Nil): IndexFileMeta = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(absPath), conf))
     try {
       val footer = reader.getFooter
@@ -111,7 +141,21 @@ object ManifestIO {
           Some(pk -> ColumnStats(merged._1, merged._2))
         }
       }.toMap
-      IndexFileMeta(relPath, numRows, compressed, uncompressed, stats)
+      // membership-evidence markers: METADATA-only reads (bloom offset +
+      // encoding stats live in the footer already in hand) — true iff
+      // EVERY row group carries a bloom or a fully-dict page set, the
+      // exact precondition for BloomPruning to ever drop this file
+      val evidence = evidenceColumns.flatMap { c =>
+        val ccs = blocks.map(b => b.getColumns.asScala.find(_.getPath.toDotString == c))
+        if (ccs.exists(_.isEmpty)) None
+        else Some(c -> ccs.flatten.forall { cc =>
+          cc.getBloomFilterOffset >= 0 || {
+            val st = cc.getEncodingStats
+            st != null && st.hasDictionaryPages && !st.hasNonDictionaryEncodedPages
+          }
+        })
+      }.toMap
+      IndexFileMeta(relPath, numRows, compressed, uncompressed, stats, evidence)
     } finally reader.close()
   }
 
@@ -290,8 +334,9 @@ object ManifestIO {
   def summaryRows(
       storage: Storage,
       manifests: Seq[String]): (Seq[Row], StructType) = {
-    val schema = manifestSchema(storage.schema, storage.statsColumns)
+    val schema = manifestSchema(storage)
     val cols = summaryCols(storage)
+    val nEvid = evidenceColumns(storage).size // summaries carry no evidence
     val summaries = storage.metadata.manifestSummaries
     val rows = manifests.map { m =>
       val s = summaries.get(m)
@@ -300,7 +345,8 @@ object ManifestIO {
           .map(ss => Row(decodeStat(ss.min, f.dataType), decodeStat(ss.max, f.dataType)))
           .orNull
       }
-      Row.fromSeq(Seq(m, s.map(_.numFiles).getOrElse(0L), 0L, 0L) ++ statsVals)
+      Row.fromSeq(Seq(m, s.map(_.numFiles).getOrElse(0L), 0L, 0L) ++ statsVals ++
+        Seq.fill(nEvid)(null))
     }
     (rows, schema)
   }
@@ -334,14 +380,17 @@ object ManifestIO {
       spark: SparkSession,
       storage: Storage,
       files: Seq[IndexFileMeta]): String = {
-    val schema = manifestSchema(storage.schema, storage.statsColumns)
+    val schema = manifestSchema(storage)
     val statsFields = storage.statsColumns.filter(c =>
       fieldAtPath(storage.schema, c).exists(f => statsEligible(f.dataType)))
+    val evidFields = evidenceColumns(storage)
     val rows = files.map { m =>
       val statsVals = statsFields.map { pk =>
         m.pkStats.get(pk).map(s => Row(s.min, s.max)).orNull
       }
-      Row.fromSeq(Seq(m.file, m.numRows, m.compressedBytes, m.uncompressedBytes) ++ statsVals)
+      val evidVals = evidFields.map(c => m.evidence.get(c).map(Boolean.box).orNull)
+      Row.fromSeq(Seq(m.file, m.numRows, m.compressedBytes, m.uncompressedBytes) ++
+        statsVals ++ evidVals)
     }
     val rel = StoragePaths.newIndexManifestFile()
     DriverParquet.write(spark.sparkContext.hadoopConfiguration,
@@ -349,9 +398,13 @@ object ManifestIO {
     rel
   }
 
+  /** Manifests as a DataFrame of the CURRENT manifest schema (explicit
+    * — manifests written before a stats-field drop or before evidence
+    * markers normalize to it, missing columns reading as null, instead
+    * of the read inferring whichever generation's schema it samples). */
   def readIndexManifests(spark: SparkSession, storage: Storage, manifests: Seq[String]): DataFrame = {
     require(manifests.nonEmpty)
-    spark.read.parquet(manifests.map(storage.absolute): _*)
+    spark.read.schema(manifestSchema(storage)).parquet(manifests.map(storage.absolute): _*)
   }
 
   /** Write a small driver-built DataFrame as a SINGLE parquet file at

@@ -80,12 +80,25 @@ object ReadOp {
       return ScanPlan(Nil, math.max(total, 0), manifests.size, prunedM)
     val mdf = ManifestIO.readIndexManifests(spark, storage, surviving)
     val kept = keep.fold(mdf)(mdf.filter)
-    val files0 = kept.select(col(ManifestIO.FileCol)).collect().map(_.getString(0)).toSeq
+    // one collect carries both the surviving file list and the
+    // membership-evidence markers (file, column) → usable?, so the
+    // bloom layer can skip footer RPCs for evidence-less files
+    val evidNames: Seq[(String, String)] = ManifestIO.evidenceColumns(storage).flatMap(c =>
+      ManifestIO.fieldAtPath(storage.schema, c).map(f =>
+        c -> ManifestIO.evidColName(graft.format.FieldIds.fieldId(f))))
+    val collected = kept.select(
+      (col(ManifestIO.FileCol) +: evidNames.map { case (_, n) => col(n) }): _*).collect()
+    val files0 = collected.map(_.getString(0)).toSeq
     val files = predicate match {
       case Some(p) =>
+        val evidence: Map[(String, String), Boolean] = collected.iterator.flatMap { r =>
+          evidNames.iterator.zipWithIndex.collect {
+            case ((c, _), i) if !r.isNullAt(i + 1) => (r.getString(0), c) -> r.getBoolean(i + 1)
+          }
+        }.toMap
         val exprs = Seq(org.apache.spark.sql.graftshim.ColumnExpr.catalystExpression(p))
         BloomPruning.pruneFiles(spark, storage, exprs,
-          BucketPruning.pruneFiles(storage, exprs, files0))
+          BucketPruning.pruneFiles(storage, exprs, files0), evidence)
       case None => files0
     }
     // legacy (unsummarized) tables read every manifest, so mdf IS the total
@@ -106,7 +119,17 @@ object ReadOp {
       snapshotId: Long,
       predicate: Option[Column] = None): DataFrame = {
     val df = GraftRelation.dataFrame(spark, storage, snapshotId)
-    predicate.fold(df)(df.filter)
+    // ±0.0 pushdown soundness even on sessions without GraftExtensions:
+    // rewrite zero-equality forms before Catalyst pushes them to parquet
+    // (see FloatingZeroRewrite — vanilla pushdown drops row groups whose
+    // zeros carry the other sign bit)
+    predicate.map { p =>
+      val e = org.apache.spark.sql.graftshim.ColumnExpr.catalystExpression(p)
+      if (org.apache.spark.sql.graftshim.FloatingZeroRewrite.mentionsFpZero(e))
+        org.apache.spark.sql.graftshim.ColumnExpr.column(
+          org.apache.spark.sql.graftshim.FloatingZeroRewrite.rewriteUnresolved(e))
+      else p
+    }.fold(df)(df.filter)
   }
 
   def emptyDF(spark: SparkSession, schema: StructType): DataFrame =

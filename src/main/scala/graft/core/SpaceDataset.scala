@@ -436,12 +436,13 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
     * snapshot, no logical change — see CompactOp). Returns stats, or
     * None when there was nothing worth compacting.
     *
-    * On a `write_cluster_by` table prefer
-    * `clusterBy(cols, n, incremental = true)`: it IS the tier-aware
-    * compaction (merges small tiers sorted, keeps the backbone), while
-    * plain compact bin-packs ACROSS tiers and un-sorts them — results
-    * stay exact, but the point-read pruning the clustering bought is
-    * lost until the next clustering pass. */
+    * TIER-AWARE on `write_cluster_by` tables: the selected small files
+    * re-range-sort into one disjoint tier (one bounded shuffle of just
+    * the small-file bytes), so the point-read pruning the clustering
+    * bought survives routine compaction. `clusterBy(cols, n,
+    * incremental = true)` remains the fuller maintenance op (it also
+    * self-merges the delta tier into the backbone when it outgrows
+    * `spark.graft.cluster.mergeFraction`). */
   def compact(
       targetFileRows: Long,
       smallFraction: Double = 0.5,
@@ -535,7 +536,7 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
   def indexManifest(): DataFrame = {
     val ms = storage.metadata.currentSnapshot.manifestFiles.indexManifestFiles
     if (ms.isEmpty)
-      ReadOp.emptyDF(spark, ManifestIO.manifestSchema(storage.schema, storage.statsColumns))
+      ReadOp.emptyDF(spark, ManifestIO.manifestSchema(storage))
     else ManifestIO.readIndexManifests(spark, storage, ms)
   }
 

@@ -109,6 +109,44 @@ class BloomPruningSpec extends AnyFunSuite {
     }
   }
 
+  test("manifest evidence markers: evidence-less files plan with ZERO footer opens") {
+    // high-NDV long PKs overflow parquet's 1MB dictionary page (plain
+    // encoding, no dictionary evidence) and blooms are opted out, so
+    // the write marks every file evidence-less in the manifest — a
+    // point-read plan must then touch NO data-file footer at all
+    spark.conf.set("spark.graft.pkBloomFilters", "false")
+    val ds = try {
+      val rows = spark.range(0, 300000).selectExpr("id AS k", "CAST(id AS STRING) AS tag")
+      val d = SpaceDataset.create(spark, freshLoc("evid"), rows.schema, Seq("k", "tag"))
+      // scatter so min/max stats cannot falsify the probe on their own
+      d.append(rows.repartitionByRange(4, org.apache.spark.sql.functions.xxhash64(col("tag"))))
+      d
+    } finally spark.conf.unset("spark.graft.pkBloomFilters")
+    BloomPruning.clearCache()
+    val before = BloomPruning.footerOpens.get()
+    val p = ds.plan(Some(col("k") === 123456L))
+    assert(p.files.size == 4, s"no evidence -> no pruning, kept ${p.files.size}")
+    assert(BloomPruning.footerOpens.get() == before,
+      s"evidence-less files must plan metadata-only, opened " +
+        s"${BloomPruning.footerOpens.get() - before} footers")
+    // the read itself is still exact
+    assert(ds.read(filter = Some(col("k") === 123456L)).count() == 1L)
+    // the Catalyst path consults the same markers
+    val before2 = BloomPruning.footerOpens.get()
+    assert(ds.readAll().filter(col("k") === 123456L).count() == 1L)
+    assert(BloomPruning.footerOpens.get() == before2)
+  }
+
+  test("files WITH evidence still probe and prune (markers never disable pruning)") {
+    val ds = shuffledDocs(8)
+    BloomPruning.clearCache()
+    val before = BloomPruning.footerOpens.get()
+    val p = ds.plan(Some(col("doc_id") === 41L))
+    assert(p.files.size < 8)
+    assert(BloomPruning.footerOpens.get() > before,
+      "evidence-marked files must have been probed through their footers")
+  }
+
   test("CoW delete keeps blooms effective on the rewritten survivors") {
     val ds = shuffledDocs(8)
     ds.delete(col("doc_id") % 2 === 0L)
