@@ -43,7 +43,8 @@ final case class AggPlan(
     sourceLocation: String,
     groupBy: List[String],
     aggs: List[AggSpec],
-    fpSums: List[String] = Nil) {
+    fpSums: List[String] = Nil,
+    reservoirK: Int = 0) {
   def json: String = JsonMethods.compact(JsonMethods.render(JObject(List(
     "type" -> (JString("aggregate"): JValue),
     "location" -> JString(sourceLocation),
@@ -52,7 +53,15 @@ final case class AggPlan(
       "kind" -> (JString(a.kind): JValue),
       "as" -> JString(a.as)) ++ a.input.map(c => "input" -> (JString(c): JValue)))))) ++
     (if (fpSums.isEmpty) Nil
-     else List("fp_sums" -> (JArray(fpSums.map(JString(_))): JValue))))))
+     else List("fp_sums" -> (JArray(fpSums.map(JString(_))): JValue))) ++
+    (if (reservoirK <= 0) Nil
+     else List("reservoir_k" -> (JInt(reservoirK): JValue))))))
+
+  /** min/max aggregates maintained through a bounded extremum reservoir
+    * (state column `__res_<as>`); empty for pre-reservoir plans. */
+  def reservoirAggs: List[AggSpec] =
+    if (reservoirK <= 0) Nil
+    else aggs.filter(a => a.kind == "min" || a.kind == "max")
 }
 
 /** Common refresh surface of row-wise and aggregate materialized
@@ -93,7 +102,11 @@ object AggPlan {
       case JArray(vs) => vs.collect { case JString(v) => v }
       case _ => Nil // plans persisted before the drift guard
     }
-    AggPlan(str(j, "location"), groups, aggs, fpSums)
+    val resK = (j \ "reservoir_k") match {
+      case JInt(v) => v.toInt
+      case _ => 0 // plans persisted before extremum reservoirs
+    }
+    AggPlan(str(j, "location"), groups, aggs, fpSums, resK)
   }
 }
 
@@ -116,12 +129,17 @@ object AggPlan {
   *    per-group deltas first — the state update shuffles ONLY the
   *    delta's groups, never the source.
   *  - sum/count/avg are INVERTIBLE: deletes subtract; no source reread
-  *    ever. min/max are not: a delete whose per-group deleted extremum
-  *    ties-or-beats the stored extremum triggers a recompute of JUST
-  *    that group from the source AT that snapshot (time-travel read,
-  *    semi-joined to the affected keys — prunable when the source is
-  *    clustered by the group columns). Deletes strictly inside the
-  *    range stay arithmetic.
+  *    ever. min/max are made ~invertible by a bounded EXTREMUM
+  *    RESERVOIR per group ([[org.apache.spark.sql.graftshim
+  *    .ExtremeReservoir]]): the k most extreme DISTINCT values with
+  *    exact counts ride the state; deletes decrement, and only a
+  *    reservoir that fully DRAINS (k distinct extreme values all
+  *    deleted while rows remain) recomputes JUST that group from the
+  *    source AT that snapshot (time-travel read, semi-joined to the
+  *    affected keys — prunable when the source is clustered by the
+  *    group columns). Views created before reservoirs keep the legacy
+  *    rule (recompute when a deleted extremum ties-or-beats the
+  *    stored one).
   *  - A group whose row count reaches zero is DELETED from the state
   *    (SQL semantics: groups exist only while rows do).
   *
@@ -171,15 +189,21 @@ final class AggregateView(val spark: SparkSession, val dataset: SpaceDataset)
     st.select(out: _*)
   }
 
-  /** Incrementally refresh to the source's `targetVersion` (default:
-    * head). Returns the number of state commits made. */
+  /** Refresh to the source's `targetVersion` (default: head). The
+    * FIRST refresh full-builds the state with one aggregation scan AT
+    * the target snapshot (one commit — no CDC replay, so it works even
+    * when the source's early history has been expired/GC'd, and costs
+    * one pass instead of one per historical snapshot); every later
+    * refresh is incremental from the watermark, one state commit per
+    * source snapshot. Returns the number of state commits made. */
   def refresh(targetVersion: Option[String] = None): Int = {
     val source = SpaceDataset.load(spark, plan.sourceLocation)
     val target = targetVersion.map(source.storage.versionToSnapshotId)
       .getOrElse(source.storage.metadata.currentSnapshotId)
+    lastRecomputedGroups = 0L
+    if (refreshedTo.isEmpty) return initialBuild(source, target)
     val start = refreshedTo.getOrElse(0L)
     val sids = source.storage.orderedSnapshotIds(start, target)
-    lastRecomputedGroups = 0L
 
     var commits = 0
     for (sid <- sids) {
@@ -201,6 +225,36 @@ final class AggregateView(val spark: SparkSession, val dataset: SpaceDataset)
       if (applied) commits += 1
     }
     commits
+  }
+
+  /** First-ever refresh: ONE aggregation scan of the source at
+    * `target`, committed as the whole state with the watermark set —
+    * no per-snapshot CDC replay (see [[refresh]]). */
+  private def initialBuild(source: SpaceDataset, target: Long): Int = {
+    val stateSchema = dataset.storage.logicalSchema
+    val pexprs = partialExprs(plan)
+    var applied = false
+    dataset.storage.transaction() { _ =>
+      if (dataset.storage.metadata.mvSourceSnapshotId.isDefined) (None, ())
+      else {
+        val partial = source.read(version = Some(target.toString))
+          .groupBy(groups.map(col): _*).agg(pexprs.head, pexprs.tail: _*)
+          .persist()
+        try {
+          val nullKey = groups.map(g => col(g).isNull).reduce(_ || _)
+          val bad = partial.agg(max(when(nullKey, 1).otherwise(0))).collect()(0)
+          require(bad.isNullAt(0) || bad.getInt(0) == 0,
+            s"aggregate view ${dataset.location}: NULL group-by key in source " +
+              s"snapshot $target (null groups are unsupported — filter them in a view)")
+          val rows = partial.select(stateSchema.fields.toSeq.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)): _*)
+          val patch = RecordIO.writeWithRecords(spark, dataset.storage, rows)
+          applied = true
+          (Some(patch.copy(sourceSnapshotId = Some(target))), ())
+        } finally partial.unpersist()
+      }
+    }
+    if (applied) 1 else 0
   }
 
   /** CONTINUOUS maintenance through Structured Streaming, identical in
@@ -270,12 +324,25 @@ final class AggregateView(val spark: SparkSession, val dataset: SpaceDataset)
     val state = stateRaw.columns.foldLeft(stateRaw) { (df, c) =>
       if (groups.contains(c)) df else df.withColumnRenamed(c, "s_" + c)
     }
-    val merged = delta.join(state, groups, "left_outer")
+    val joined = delta.join(state, groups, "left_outer")
 
     def nz(c: String, m: DataFrame): Column =
       if (m.columns.contains(c)) coalesce(col(c), lit(0L)) else lit(0L)
     def opt(c: String, m: DataFrame): Column =
       if (m.columns.contains(c)) col(c) else lit(null)
+
+    // merged extremum reservoirs (state ⊕ add ⊖ delete), computed once
+    // per affected group as `__mres_<as>`; the state columns, the
+    // derived min/max, and the drain check below all read these
+    def mresCol(as: String): String = s"__mres_$as"
+    val merged = plan.reservoirAggs.foldLeft(joined) { (df, sp) =>
+      val rc = resCol(sp.as)
+      df.withColumn(mresCol(sp.as),
+        org.apache.spark.sql.graftshim.MergeReservoirs(
+          opt("s_" + rc, df), opt("a_" + rc, df), opt("d_" + rc, df),
+          plan.reservoirK, sp.kind == "min"))
+    }
+    val reservoirNames = plan.reservoirAggs.map(_.as).toSet
 
     // arithmetic merge of every state column
     val mergedRows = nz("s_" + RowsCol, merged) + nz("a_" + RowsCol, merged) -
@@ -291,6 +358,16 @@ final class AggregateView(val spark: SparkSession, val dataset: SpaceDataset)
         val zero = lit(0).cast(f.dataType)
         (coalesce(opt("s_" + c, merged), zero) + coalesce(opt("a_" + c, merged), zero) -
           coalesce(opt("d_" + c, merged), zero)).cast(f.dataType).as(c)
+      } else if (c.startsWith("__res_")) {
+        col(mresCol(c.stripPrefix("__res_"))).as(c)
+      } else if (c.startsWith("__min_") && reservoirNames.contains(c.stripPrefix("__min_"))) {
+        val ent = col(mresCol(c.stripPrefix("__min_"))).getField("entries")
+        when(size(ent) > 0, ent.getItem(0).getField("v"))
+          .otherwise(lit(null)).cast(f.dataType).as(c)
+      } else if (c.startsWith("__max_") && reservoirNames.contains(c.stripPrefix("__max_"))) {
+        val ent = col(mresCol(c.stripPrefix("__max_"))).getField("entries")
+        when(size(ent) > 0, ent.getItem(0).getField("v"))
+          .otherwise(lit(null)).cast(f.dataType).as(c)
       } else if (c.startsWith("__min_"))
         least(opt("s_" + c, merged), opt("a_" + c, merged)).cast(f.dataType).as(c)
       else if (c.startsWith("__max_"))
@@ -298,11 +375,18 @@ final class AggregateView(val spark: SparkSession, val dataset: SpaceDataset)
       else throw new IllegalStateException(s"unexpected state column $c")
     }
 
-    // a deleted extremum that ties-or-beats the stored one invalidates
-    // the stored value; deletes strictly inside the range do not
+    // Reservoir aggs recompute only when their merged reservoir DRAINS
+    // (entries empty with a bound set — values beyond the bound exist
+    // but are untracked); empty-with-null-bound is a complete inventory
+    // of zero non-null values, i.e. a genuine NULL extremum.
+    // Legacy (pre-reservoir) views keep the conservative rule: a
+    // deleted extremum that ties-or-beats the stored one invalidates it.
     val recomputeNeeded: Column = plan.aggs.map { sp =>
       val as = sp.as
       sp.kind match {
+        case "min" | "max" if reservoirNames.contains(as) =>
+          size(col(mresCol(as)).getField("entries")) === 0 &&
+            col(mresCol(as)).getField("bound").isNotNull
         case "min" if merged.columns.contains("d_" + minCol(as)) =>
           coalesce(col("d_" + minCol(as)) <= col("s_" + minCol(as)), lit(false)) ||
             (col("d_" + minCol(as)).isNotNull && col("s_" + minCol(as)).isNull)
@@ -371,6 +455,11 @@ object AggregateView {
   def sumCol(as: String): String = s"__sum_$as"
   def minCol(as: String): String = s"__min_$as"
   def maxCol(as: String): String = s"__max_$as"
+  def resCol(as: String): String = s"__res_$as"
+
+  /** Default reservoir width for new views: comfortably above typical
+    * per-group delete depth, still a few hundred bytes of state. */
+  val DefaultReservoirK = 16
 
   /** Partial-aggregate expressions (state columns) for one batch of
     * source rows. Deduplicated: two aggs can share nothing (unique
@@ -380,6 +469,24 @@ object AggregateView {
     * digits cover a double's usable precision at magnitudes up to 1e20. */
   private[views] val FpSumState = org.apache.spark.sql.types.DecimalType(38, 18)
 
+  /** Exact decimal state cannot represent NaN, ±Infinity, or |x| ≥ 1e20
+    * — and the non-ANSI cast would NULL them SILENTLY, dropping the
+    * value from the sum while the paired count still counts the row.
+    * Refuse loudly instead: the refresh fails before any commit, and
+    * the domain restriction is the documented contract of exact fp
+    * sums (plain `sum(double)` semantics over non-finite inputs are
+    * unrecoverable under subtract-on-delete maintenance anyway — once
+    * a NaN enters a running double sum it never leaves). */
+  private def fpStateCast(c: Column, as: String): Column = {
+    val d = c.cast("double")
+    val bad = c.isNotNull && (isnan(d) || abs(d) >= lit(1e20))
+    when(bad, raise_error(concat(
+      lit(s"aggregate view: value not representable in exact sum state '$as' " +
+        "(NaN, Infinity and |x| >= 1e20 are outside DECIMAL(38,18)): "),
+      c.cast("string"))))
+      .otherwise(c.cast(FpSumState))
+  }
+
   private[views] def partialExprs(plan: AggPlan): Seq[Column] =
     count(lit(1)).as(RowsCol) +: plan.aggs.flatMap { sp =>
       val c = sp.input.map(col)
@@ -387,15 +494,25 @@ object AggregateView {
         case "count_all" => Nil
         case "count" => Seq(count(c.get).as(cntCol(sp.as)))
         case "sum" =>
-          val s = if (plan.fpSums.contains(sp.as)) sum(c.get.cast(FpSumState))
+          val s = if (plan.fpSums.contains(sp.as)) sum(fpStateCast(c.get, sp.as))
                   else sum(c.get)
           Seq(s.as(sumCol(sp.as)), count(c.get).as(cntCol(sp.as)))
         // avg state rides the same exact-decimal representation (its
         // output is double either way, so this is drift-guarding only)
-        case "avg" => Seq(sum(c.get.cast(FpSumState)).as(sumCol(sp.as)),
+        case "avg" => Seq(sum(fpStateCast(c.get, sp.as)).as(sumCol(sp.as)),
           count(c.get).as(cntCol(sp.as)))
-        case "min" => Seq(min(c.get).as(minCol(sp.as)), count(c.get).as(cntCol(sp.as)))
-        case "max" => Seq(max(c.get).as(maxCol(sp.as)), count(c.get).as(cntCol(sp.as)))
+        case "min" =>
+          Seq(min(c.get).as(minCol(sp.as)), count(c.get).as(cntCol(sp.as))) ++
+            (if (plan.reservoirK > 0)
+              Seq(org.apache.spark.sql.graftshim.ExtremeReservoir(
+                c.get, plan.reservoirK, isMin = true).as(resCol(sp.as)))
+             else Nil)
+        case "max" =>
+          Seq(max(c.get).as(maxCol(sp.as)), count(c.get).as(cntCol(sp.as))) ++
+            (if (plan.reservoirK > 0)
+              Seq(org.apache.spark.sql.graftshim.ExtremeReservoir(
+                c.get, plan.reservoirK, isMin = false).as(resCol(sp.as)))
+             else Nil)
       }
     }
 
@@ -421,7 +538,17 @@ object AggregateView {
         srcSchema(c).dataType == org.apache.spark.sql.types.FloatType ||
           srcSchema(c).dataType == org.apache.spark.sql.types.DoubleType) => sp.as
     }
-    val plan = AggPlan(source.location, groupBy.toList, aggs.toList, fpSums.toList)
+    // extremum reservoirs make min/max deletes O(1) arithmetic in the
+    // common case (see ExtremeReservoir); enabled when every min/max
+    // input is an orderable atomic type, recorded in the plan so views
+    // created before the feature keep their legacy recompute rule
+    val extremumAggs = aggs.filter(a => a.kind == "min" || a.kind == "max")
+    val resK =
+      if (extremumAggs.nonEmpty && extremumAggs.forall(a =>
+        org.apache.spark.sql.graftshim.Reservoir.supportsType(srcSchema(a.input.get).dataType)))
+        DefaultReservoirK
+      else 0
+    val plan = AggPlan(source.location, groupBy.toList, aggs.toList, fpSums.toList, resK)
     // state schema inferred from the partial aggregation's own output
     // (sum widening etc. follow Spark's rules, no duplication here)
     val stateSchema = source.readAll()

@@ -94,7 +94,7 @@ class AggregateViewSpec extends AnyFunSuite {
       max("l_quantity").as("max_qty"), count(lit(1)).as("n_rows")))
   }
 
-  test("interior delete stays arithmetic; extremum delete triggers bounded recompute") {
+  test("interior and extremum deletes stay arithmetic; only a DRAINED reservoir recomputes") {
     val rows = spark.createDataFrame(Seq(
       (1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0),
       (4L, "b", 5.0), (5L, "b", 50.0))).toDF("id", "g", "v")
@@ -113,13 +113,46 @@ class AggregateViewSpec extends AnyFunSuite {
       min("v").as("min_v"), max("v").as("max_v"),
       sum("v").as("sum_v"), count(lit(1)).as("n")))
 
-    // id=3 (v=30 == a's max) — exactly group a recomputed, b untouched
+    // id=3 (v=30 == a's max): pre-reservoir this forced a group
+    // recompute; the extremum reservoir tracks the runner-up, so it
+    // stays pure arithmetic
     src.delete(col("id") === 3L)
     av.refresh()
-    assert(av.lastRecomputedGroups == 1L)
+    assert(av.lastRecomputedGroups == 0L,
+      s"reservoir should absorb an extremum delete, got ${av.lastRecomputedGroups}")
     assertSame(av.read(), src.readAll().groupBy("g").agg(
       min("v").as("min_v"), max("v").as("max_v"),
       sum("v").as("sum_v"), count(lit(1)).as("n")))
+  }
+
+  test("deleting past the reservoir width drains it and recomputes exactly that group") {
+    // group "deep" has 40 distinct values — beyond the k=16 reservoir —
+    // and loses its 20 smallest in one delete: the min reservoir drains
+    // (all 16 tracked values gone, more beyond the bound), so exactly
+    // this group recomputes; group "other" stays arithmetic
+    val rows = (0 until 40).map(i => (i.toLong, "deep", i.toDouble)) ++
+      Seq((100L, "other", 1.0), (101L, "other", 2.0))
+    val src = SpaceDataset.create(spark, freshLoc("aggsrc"),
+      spark.createDataFrame(rows).toDF("id", "g", "v").schema, Seq("id"))
+    src.append(spark.createDataFrame(rows).toDF("id", "g", "v"))
+    val av = AggregateView.create(spark, freshLoc("aggmv"), src, Seq("g"), Seq(
+      AggSpec.min("v", "min_v"), AggSpec.max("v", "max_v"), AggSpec.countAll("n")))
+    av.refresh()
+    assert(av.plan.reservoirK > 0, "new views must carry reservoirs")
+
+    src.delete(col("g") === "deep" && col("id") < 20L)
+    av.refresh()
+    assert(av.lastRecomputedGroups == 1L,
+      s"drained min reservoir must recompute its one group, got ${av.lastRecomputedGroups}")
+    assertSame(av.read(), src.readAll().groupBy("g").agg(
+      min("v").as("min_v"), max("v").as("max_v"), count(lit(1)).as("n")))
+
+    // the rebuilt reservoir absorbs the next extremum delete again
+    src.delete(col("g") === "deep" && col("id") === 20L)
+    av.refresh()
+    assert(av.lastRecomputedGroups == 0L)
+    assertSame(av.read(), src.readAll().groupBy("g").agg(
+      min("v").as("min_v"), max("v").as("max_v"), count(lit(1)).as("n")))
   }
 
   test("broad delete hitting every group's extremum recomputes every group — once") {
