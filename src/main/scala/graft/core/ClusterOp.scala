@@ -93,7 +93,7 @@ object ClusterOp {
     // tiers when the delta tier has grown enough to matter.
     val files =
       if (!incremental) allFiles
-      else incrementalRewriteSet(storage, sortCols.head, mdf) match {
+      else incrementalRewriteSet(spark, storage, sortCols.head, mdf) match {
         case None => return None // already ≤2 clean tiers
         case Some(dirty) => allFiles.filter(f => dirty.contains(f._1))
       }
@@ -132,6 +132,15 @@ object ClusterOp {
     Some((patch, ClusterResult(files.size, written.files.size, outRows)))
   }
 
+  /** Merge trigger for incremental clustering: when the delta tier
+    * holds more than this fraction of the backbone's rows, the pass
+    * rewrites EVERYTHING (tiers merge into one backbone) instead of
+    * re-rewriting an ever-growing delta tier each pass. Geometric: with
+    * f = 0.5 a table absorbing steady appends pays O(log N) full merges
+    * over its life, and per-pass cost stays O(delta) between them. */
+  private val MergeFractionKey = "spark.graft.cluster.mergeFraction"
+  private val DefaultMergeFraction = 0.5
+
   /** The incremental pass's rewrite set, or None for a no-op.
     *
     * Backbone = the maximum-rows subset of files whose sort-key
@@ -140,10 +149,14 @@ object ClusterOp {
     * Dirty = everything else, plus any file lacking stats on the sort
     * column (it must be rewritten to gain a tight range). No-op when
     * the dirty set is empty OR is itself already pairwise disjoint
-    * (the converged two-tier layout). Touching ranges
-    * (prev.max == next.min) count as disjoint: range-partitioned tiers
-    * stay stable and a point read pays at most one extra file. */
+    * (the converged two-tier layout) — UNLESS the delta tier has grown
+    * past [[MergeFractionKey]] × backbone rows, in which case the pass
+    * self-triggers a FULL merge (no operator has to remember to run
+    * one). Touching ranges (prev.max == next.min) count as disjoint:
+    * range-partitioned tiers stay stable and a point read pays at most
+    * one extra file. */
   private def incrementalRewriteSet(
+      spark: SparkSession,
       storage: Storage,
       field: String,
       mdf: DataFrame): Option[Set[String]] = {
@@ -160,7 +173,14 @@ object ClusterOp {
     val keep = maxDisjointByRows(iv)
     val rest = iv.filterNot(r => keep.contains(r._1))
     val dirty = rest.map(_._1).toSet ++ statless.map(_.getString(0))
-    if (dirty.isEmpty) None // fully clustered
+    if (dirty.isEmpty) return None // fully clustered
+
+    val mergeFraction = spark.conf.getOption(MergeFractionKey)
+      .map(_.toDouble).getOrElse(DefaultMergeFraction)
+    val backboneRows = iv.filter(r => keep.contains(r._1)).map(_._2).sum
+    val deltaRows = rest.map(_._2).sum + statless.map(_.getLong(1)).sum
+    if (deltaRows > mergeFraction * backboneRows && backboneRows > 0)
+      Some(all) // delta tier outgrew the threshold: merge the tiers
     else if (statless.isEmpty && pairwiseDisjoint(rest)) None // clean 2 tiers
     else Some(dirty)
   }

@@ -77,10 +77,23 @@ object CompactOp {
     val physical = ReadOp.physicalSchema(storage.schema, storage.recordFields)
     val scan = spark.read.schema(physical)
       .parquet(small.map(f => storage.absolute(f._1)): _*)
+    val wcb = storage.metadata.writeClusterBy
+    val totalRows = small.map(_._2).sum
+    val parts = math.max(1, math.ceil(totalRows.toDouble / targetFileRows).toInt)
     val written =
-      if (!bucketed) {
-        val totalRows = small.map(_._2).sum
-        val parts = math.max(1, math.ceil(totalRows.toDouble / targetFileRows).toInt)
+      if (!bucketed && wcb.nonEmpty) {
+        // TIER-AWARE on write-clustered tables: a plain coalesce would
+        // interleave sorted tiers and un-sort every compacted range —
+        // one routine compact used to silently degrade all subsequent
+        // point reads. Instead the selected small files re-range-sort
+        // into ONE disjoint tier (the same shape an append tier has),
+        // so point reads stay ≤ tier-count files. This pays one bounded
+        // shuffle of just the small-file bytes — the identical price
+        // the bucketed branch pays to keep ITS invariant.
+        val cols = wcb.map(col)
+        AppendOp.writeFilesWithMeta(spark, storage,
+          scan.repartitionByRange(parts, cols: _*).sortWithinPartitions(cols: _*))
+      } else if (!bucketed) {
         AppendOp.writeFilesWithMeta(spark, storage, scan.coalesce(parts))
       } else {
         // bucketed: the standard bucketed write re-hashes the selected

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.core.SpaceDataset
 
@@ -53,26 +52,24 @@ object PrunedJoin {
       dim: DataFrame,
       dimKey: String,
       maxKeys: Int = 4096): DataFrame = {
-    // persist across the probe and the join so an expensive dim
-    // subquery evaluates each partition ONCE (the probe materializes
-    // what it touches, the broadcast build reads the cache); the
-    // fallback unpersists before joining so a huge dim is never
-    // force-materialized into the cache
-    val cached = dim.persist(StorageLevel.MEMORY_AND_DISK)
+    // No persist across probe and join: the returned DataFrame outlives
+    // this call, so a persist here could only be released by the caller
+    // (or leak in the session CacheManager — cached plans are not
+    // GC-reclaimed). The dim evaluates at most twice — once for the
+    // limit-bounded key probe, once as the broadcast build — and a dim
+    // worth pruning with is small by contract.
     // limit(n+1) short-circuits: a non-selective dim pays one cheap
     // partial scan of its distinct keys, never a full collect
-    val keys = cached.select(col(dimKey)).filter(col(dimKey).isNotNull)
+    val keys = dim.select(col(dimKey)).filter(col(dimKey).isNotNull)
       .distinct().limit(maxKeys + 1).collect().map(_.get(0)).toSeq
     if (keys.isEmpty) {
-      cached.unpersist(blocking = false)
       // no joinable dim keys -> empty inner join, zero fact IO
       joinOnKey(fact.readAll().filter(lit(false)), factKey, dim, dimKey)
     } else if (keys.size > maxKeys) {
-      cached.unpersist(blocking = false)
       joinOnKey(fact.readAll(), factKey, dim, dimKey)
     } else {
       val factDf = fact.read(filter = Some(col(factKey).isInCollection(keys)))
-      joinOnKey(factDf, factKey, broadcast(cached), dimKey)
+      joinOnKey(factDf, factKey, broadcast(dim), dimKey)
     }
   }
 }

@@ -33,9 +33,18 @@ class WriteClusterSpec extends AnyFunSuite {
     val kept = ds.plan(Some(col("o_totalprice") > 500000.0)).files.size
     assert(kept <= 2, s"top-range read kept $kept of $total files")
 
-    // the tiers are clean: an incremental pass has nothing to do
-    assert(ds.clusterBy(Seq("o_totalprice"), targetFileRows = 100000L,
+    // the tiers are clean: with the self-merge trigger parked, an
+    // incremental pass has nothing to rewrite
+    spark.conf.set("spark.graft.cluster.mergeFraction", "1e9")
+    try assert(ds.clusterBy(Seq("o_totalprice"), targetFileRows = 100000L,
       incremental = true).isEmpty)
+    finally spark.conf.unset("spark.graft.cluster.mergeFraction")
+    // at the default fraction the SAME state self-merges: two equal
+    // tiers mean delta == backbone > 0.5 × backbone, so the pass folds
+    // them into one backbone and a point read then touches ≤1 file
+    assert(ds.clusterBy(Seq("o_totalprice"), targetFileRows = 100000L,
+      incremental = true).isDefined)
+    assert(ds.plan(Some(col("o_totalprice") > 500000.0)).files.size <= 1)
   }
 
   test("write-clustered MV refresh: term point reads prune without any rewrite") {
@@ -84,6 +93,35 @@ class WriteClusterSpec extends AnyFunSuite {
     res.foreach(r => assert(r.rewrittenFiles <= total))
     val kept = ds.plan(Some(col("o_totalprice") > 390000.0)).files.size
     assert(kept <= 2, s"top-range read kept $kept files after repair")
+  }
+
+  test("compact is TIER-AWARE: small tiers merge into one SORTED tier, point reads stay pruned") {
+    // pre-fix behavior: compact's shuffle-free coalesce interleaved the
+    // sorted tiers, silently un-sorting every compacted range — one
+    // routine compact degraded all subsequent point reads until an
+    // operator noticed. Six trickle appends = six small sorted tiers;
+    // compaction must bin-pack them into ONE sorted tier.
+    val orders = Tables.read(spark, sfDir, "orders")
+    val ds = SpaceDataset.create(spark, freshLoc(), orders.schema, Seq("o_orderkey"),
+      statsFields = Seq("o_totalprice"), writeClusterBy = Seq("o_totalprice"))
+    for (m <- 0 until 6)
+      ds.append(orders.filter(col("o_orderkey") % 6 === m).repartition(2))
+    val before = ds.readAll().collect().toSet
+    val filesBefore = ds.plan().files.size
+
+    val res = ds.compact(targetFileRows = orders.count() * 2)
+    assert(res.isDefined, "six small tiers must compact")
+    assert(ds.readAll().collect().toSet == before, "compact changed content")
+
+    // the compacted tier is still range-sorted: a point-range read
+    // touches ≤2 files (compacted tier + at most one leftover tier)
+    val kept = ds.plan(Some(col("o_totalprice") > 500000.0)).files.size
+    assert(kept <= 2,
+      s"compact un-sorted the tiers: top-range read kept $kept of " +
+        s"${ds.plan().files.size} files (was $filesBefore before compact)")
+    // and the layout is clean enough that incremental clustering no-ops
+    assert(ds.clusterBy(Seq("o_totalprice"), targetFileRows = orders.count() * 2,
+      incremental = true).isEmpty)
   }
 
   test("write_cluster_by validates: bucketing exclusive, columns must exist") {
