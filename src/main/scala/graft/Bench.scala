@@ -13,6 +13,33 @@ import org.apache.spark.sql.SparkSession
   * they measure the engine's write+commit+read path, not just the scan.
   */
 object Bench {
+  /** Fixed fsync+read microbench: 3 × (write 8 MiB, fsync, read back)
+    * in java.io.tmpdir — the filesystem the storage queries commit to.
+    * Returns (min ms, max ms). Run BEFORE and AFTER the query sweep so
+    * a host suffering writeback stalls is detectable from the bench
+    * artifact alone (BASELINE.md documents the healthy band): stalls
+    * contaminated whole driver-bench rounds (r8/r9) and could only be
+    * diagnosed by out-of-band reruns before this probe existed. */
+  private def hostProbe(): (Double, Double) = {
+    val dir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val buf = new Array[Byte](8 * 1024 * 1024)
+    new java.util.Random(42).nextBytes(buf)
+    val times = (1 to 3).map { _ =>
+      val f = java.nio.file.Files.createTempFile(dir, "graft_probe_", ".bin")
+      try {
+        val t0 = System.nanoTime()
+        val ch = java.nio.channels.FileChannel.open(
+          f, java.nio.file.StandardOpenOption.WRITE)
+        try { ch.write(java.nio.ByteBuffer.wrap(buf)); ch.force(true) }
+        finally ch.close()
+        val back = java.nio.file.Files.readAllBytes(f)
+        require(back.length == buf.length, "probe readback truncated")
+        (System.nanoTime() - t0) / 1e6
+      } finally java.nio.file.Files.deleteIfExists(f)
+    }
+    (times.min, times.max)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -33,6 +60,8 @@ object Bench {
     // (steady-state is what the per-query numbers claim to measure)
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     try SparkEntry.queries("d_dedup_minhash")(spark, sfDir).count() catch { case _: Throwable => }
+
+    val (probeBeforeMin, probeBeforeMax) = hostProbe()
 
     // A failed query must NOT record a bogus fast time (round 4: seven
     // broken queries benched as ~0s and nobody noticed) — it goes in an
@@ -82,9 +111,12 @@ object Bench {
     // shipped driver bench artifacts skewed by concurrent machine load).
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
+    val (probeAfterMin, probeAfterMax) = hostProbe()
+    val probe = s"""{"before_min_ms":$probeBeforeMin,"before_max_ms":$probeBeforeMax,""" +
+      s""""after_min_ms":$probeAfterMin,"after_max_ms":$probeAfterMax}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""min_times":$mins,"runs_observed":$runsObserved,""" +
-      s""""errors":$errs,"load_avg_1m":$load,"sf":"$sfDir"}""")
+      s""""errors":$errs,"load_avg_1m":$load,"host_probe":$probe,"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -42,6 +42,15 @@ final class DirCatalog(val spark: SparkSession, val root: String) {
     MaterializedView.create(spark, location(name), view, primaryKeys, recordFields)
   }
 
+  def createAggregateView(
+      name: String,
+      source: SpaceDataset,
+      groupBy: Seq[String],
+      aggs: Seq[graft.views.AggSpec]): graft.views.AggregateView = {
+    require(!exists(name), s"dataset $name already exists")
+    graft.views.AggregateView.create(spark, location(name), source, groupBy, aggs)
+  }
+
   def dataset(name: String): SpaceDataset = {
     require(exists(name), s"dataset $name not found")
     SpaceDataset.load(spark, location(name))

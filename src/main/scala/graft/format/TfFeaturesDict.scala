@@ -165,9 +165,17 @@ object TfFeaturesSpec {
     *    [[TfDict]] of aligned variable-length `language`/`translation`
     *    string lists (it is a Sequence-of-dict underneath, so that IS
     *    its wire form)
+    *  - `audio {shape, dtype, sampleRate}` → the sample Tensor in its
+    *    WIRE dtype (narrow ints ride int64_list, floats the float32
+    *    float_list); sample_rate is decode-side metadata with no wire
+    *    footprint; absent shape = `(None,)`
+    *  - `video {shape}` → variable/fixed-length list of ENCODED frame
+    *    payloads (Sequence(Image) underneath — only the frame-count dim
+    *    survives; H/W/C live inside each encoded frame). Payload decode
+    *    stays out of scope, exactly as with Image.
     *
-    * Unsupported nodes (audio/video/…) throw with the offending
-    * `pythonClassName` so the gap is visible, never silent. */
+    * Remaining unsupported nodes throw with the offending
+    * `pythonClassName` so any gap is visible, never silent. */
   def fromTfdsJson(json: String): TfFeaturesSpec =
     JsonMethods.parse(json) match {
       case o: JObject => fromTfdsEnvelope(o)
@@ -232,6 +240,37 @@ object TfFeaturesSpec {
         TfLeaf("int64")
       } else if (fields.contains("image")) {
         TfLeaf("image")
+      } else if (fields.contains("audio")) {
+        // Audio is an int-PCM (or float) Tensor underneath: TFDS
+        // serializes the decoded samples as one flattened list, shape
+        // (None,) or (None, channels); sample_rate/file_format are
+        // decode-side metadata with no wire footprint. Narrower sample
+        // dtypes ride tf.train.Example's int64_list (and float64 its
+        // FLOAT32 float_list), so they translate to the wire dtype.
+        val a = fields("audio") match {
+          case JObject(fs) => fs.toMap
+          case other => fail(s"bad TFDS audio: $other")
+        }
+        val dt = a.get("dtype") match {
+          case Some(JString("int64" | "int32" | "int16" | "uint8" | "bool")) => "int64"
+          case Some(JString("float32" | "float64")) => "float32"
+          case None => "int64" // TFDS Audio default
+          case Some(other) => fail(s"bad TFDS audio dtype: $other")
+        }
+        val sh = dims(a.getOrElse("shape", JObject()))
+        TfLeaf(dt, if (sh.isEmpty) Seq(-1) else sh)
+      } else if (fields.contains("video")) {
+        // Video is Sequence(Image) underneath: the wire form is a
+        // variable-length list of ENCODED frame payloads (the declared
+        // H/W/C live inside each encoded frame, not on the wire), so
+        // only the leading frame-count dim survives translation.
+        // Payload DECODE stays out of scope, exactly as with Image.
+        val vf = fields("video") match {
+          case JObject(fs) => fs.toMap
+          case other => fail(s"bad TFDS video: $other")
+        }
+        val frames = dims(vf.getOrElse("shape", JObject())).headOption.getOrElse(-1)
+        TfLeaf("image", Seq(frames))
       } else if (fields.contains("sequence")) {
         val s = fields("sequence") match {
           case JObject(fs) => fs.toMap
@@ -286,8 +325,8 @@ object TfFeaturesSpec {
           TfDict(SortedMap(langs.map(l => l -> (TfLeaf("string"): TfFeatureNode)): _*))
         }
       } else fail(s"unsupported TFDS feature $className " +
-        s"(supported: FeaturesDict, Tensor, Text, ClassLabel, Image, BBox, " +
-        s"Sequence, Translation)")
+        s"(supported: FeaturesDict, Tensor, Text, ClassLabel, Image, Audio, " +
+        s"Video, BBox, Sequence, Translation)")
     }
 
     toNode(root) match {
@@ -428,7 +467,9 @@ final class TfFeaturesDictSerializer(val spec: TfFeaturesSpec) extends FieldSeri
   }
 
   private def checkShape(leaf: TfLeaf, n: Int, fail: String => Nothing): Unit =
-    if (leaf.dtype == "image") {
+    if (leaf.dtype == "image" && leaf.shape.isEmpty) {
+      // a shaped image leaf is a LIST of encoded payloads (video
+      // frames) and validates through the shape branches below
       if (n != 1) fail(s"an image feature is a single encoded payload, got $n values")
     } else if (leaf.shape.isEmpty) {
       if (n != 1) fail(s"scalar shape [] requires exactly 1 value, got $n")

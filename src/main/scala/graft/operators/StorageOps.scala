@@ -189,6 +189,38 @@ object StorageOps {
       ds.read(filter = Some(col("o_totalprice") > 400000.0))
     }),
 
+    // WRITE-CLUSTER + INCREMENTAL-CLUSTER LIFECYCLE at gate scale: five
+    // arrivals on a cluster-on-write table with ONLY incremental
+    // maintenance between them — no manual full pass, ever. Each pass
+    // must keep point-range reads at ≤2 files, rewrite a strict subset
+    // (O(delta)) unless the delta tier outgrew the merge fraction, in
+    // which case the pass SELF-TRIGGERS the tier merge (the 100 TB
+    // steady state must not depend on an operator remembering one).
+    // The requires pin all three properties per pass, in-query.
+    "s_cluster_lifecycle" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val ds = SpaceDataset.create(s, fresh("clife"), o.schema, Seq("o_orderkey"),
+        statsFields = Seq("o_totalprice"), writeClusterBy = Seq("o_totalprice"))
+      var merges = 0
+      for (m <- 0 until 5) {
+        ds.append(o.filter(col("o_orderkey") % 5 === m).repartition(3))
+        val before = ds.plan().files.size
+        ds.clusterBy(Seq("o_totalprice"),
+          targetFileRows = math.max(1L, o.count() / 6), incremental = true)
+          .foreach { r =>
+            if (r.rewrittenFiles == before) merges += 1
+            else require(r.rewrittenFiles < before,
+              s"arrival $m: pass must be O(delta), rewrote ${r.rewrittenFiles}/$before")
+          }
+        val kept = ds.plan(Some(col("o_totalprice") > 500000.0)).files.size
+        require(kept <= 2,
+          s"arrival $m: point-range read kept $kept files (two-tier invariant broken)")
+      }
+      require(merges >= 1 && merges <= 3,
+        s"tier merges must self-trigger geometrically over 5 arrivals, got $merges")
+      ds.read(filter = Some(col("o_totalprice") > 400000.0))
+    }),
+
     // BUCKET-PRUNED POINT LOOKUP: arrival-ordered bucketed table (every
     // file spans the full key range — min/max stats useless), equality
     // on the bucket column reads ONE bucket's files (require asserts
@@ -251,7 +283,24 @@ object StorageOps {
         s.sql(s"CALL $cat.system.expire_snapshots(table => 'o', " +
           "older_than_ms => -1000, keep_last => 0)").collect()
         s.sql(s"CALL $cat.system.gc(table => 'o', min_age_ms => 0)").collect()
-        TempCatalog.decouple(s, s.sql(s"SELECT * FROM $cat.o"))
+        // SQL-created AGGREGATE VIEW parity: create_agg_view builds the
+        // incrementally-maintained GROUP BY state, refresh_mv brings it
+        // to the source head, and `.view` serves the FINAL per-group
+        // values (the state table itself holds partials) — the output
+        // joins them back to the rows so the oracle witnesses both
+        val v = s.sql(s"CALL $cat.system.create_agg_view(table => 'o', " +
+          "view => 'o_stats', group_by => 'o_custkey', " +
+          "aggs => 'count_all::n_rows,sum:o_totalprice:sum_price," +
+          "min:o_totalprice:min_price,max:o_totalprice:max_price')").collect()
+        require(v.length == 1 && v(0).getAs[Int]("reservoir_k") > 0,
+          "create_agg_view must report an extremum-reservoir plan")
+        s.sql(s"CALL $cat.system.refresh_mv(table => 'o_stats')").collect()
+        TempCatalog.decouple(s, s.sql(
+          s"""SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+             |       v.n_rows, round(v.sum_price, 4) AS sum_price,
+             |       v.min_price, v.max_price
+             |FROM $cat.o o JOIN $cat.o_stats.view v
+             |  ON o.o_custkey = v.o_custkey""".stripMargin))
       }
     }),
 
@@ -625,10 +674,14 @@ object StorageOps {
 
     // incrementally-maintained GROUP BY view (AggregateView): per-group
     // partial-aggregate state updated from CDC deltas — appends merge
-    // arithmetically, deletes SUBTRACT for sum/count/avg and recompute
-    // only extremum-hit groups for min/max. At 100 TB the refresh cost
-    // is O(delta), never a corpus rescan; the oracle recomputes the
-    // final source state from scratch, so equality proves maintenance
+    // arithmetically, deletes SUBTRACT for sum/count/avg, and min/max
+    // ride a bounded EXTREMUM RESERVOIR (k extreme distinct values +
+    // exact counts) so even a broad delete that hits every group's
+    // extremum just decrements counts — the require pins that ZERO
+    // groups recompute (pre-reservoir this delete rescanned every
+    // group's source slice). At 100 TB the refresh cost is O(delta),
+    // never a corpus rescan; the oracle recomputes the final source
+    // state from scratch, so equality proves maintenance
     "s_mv_agg" -> ((s, d) => {
       import graft.views._
       val li = t(s, d, "lineitem")
@@ -644,6 +697,9 @@ object StorageOps {
       src.append(li.filter(col("l_orderkey") % 3 === 0)) // late rows arrive
       src.delete(col("l_suppkey") % 5 === 1) // retractions incl. extrema
       av.refresh()
+      require(av.lastRecomputedGroups == 0L,
+        s"extremum reservoir must absorb the broad delete arithmetically, " +
+          s"recomputed ${av.lastRecomputedGroups} groups")
       av.read()
     }),
 
@@ -943,6 +999,7 @@ object StorageOps {
       """SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS amount
         |FROM orders WHERE o_totalprice > 400000.0""".stripMargin,
     "s_cluster" -> "SELECT * FROM orders WHERE o_totalprice > 400000.0",
+    "s_cluster_lifecycle" -> "SELECT * FROM orders WHERE o_totalprice > 400000.0",
     "s_bucket_join" ->
       """SELECT o_orderkey, c_name, round(o_totalprice, 2) AS price
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
@@ -1037,8 +1094,16 @@ object StorageOps {
         |   OR (o_orderkey > 1000 AND o_orderkey <= 2000
         |       AND o_totalprice >= 50000.0)""".stripMargin,
     "s_sql_maintenance" ->
-      """SELECT o_orderkey, o_custkey, o_totalprice
-        |FROM orders WHERE o_orderkey <= 1500""".stripMargin,
+      """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+        |       v.n_rows, v.sum_price, v.min_price, v.max_price
+        |FROM (SELECT o_orderkey, o_custkey, o_totalprice
+        |      FROM orders WHERE o_orderkey <= 1500) o
+        |JOIN (SELECT o_custkey, count(*) AS n_rows,
+        |             round(sum(o_totalprice), 4) AS sum_price,
+        |             min(o_totalprice) AS min_price,
+        |             max(o_totalprice) AS max_price
+        |      FROM orders WHERE o_orderkey <= 1500 GROUP BY o_custkey) v
+        |  ON o.o_custkey = v.o_custkey""".stripMargin,
     "s_record_gc" -> "SELECT * FROM documents WHERE doc_id % 4 = 0",
     "s_cdc_diff" ->
       """SELECT o_orderkey, 1 AS snapshot_id, 'ADD' AS change_type

@@ -76,6 +76,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     dir.refreshableView(name)
   }
 
+  private[graftshim] def dirCatalog: graft.core.DirCatalog = dir
+
   // ------------------------------------------- function catalog surface
   // One function: bucket(numBuckets, col). Catalyst resolves it while
   // proving two bucketed scans' KeyGroupedPartitionings compatible
@@ -129,10 +131,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     ident.namespace.isEmpty && dir.exists(ident.name)
 
   /** Metadata tables: `SELECT * FROM <cat>.<table>.<meta>` with meta ∈
-    * versions | files | record_files (the SQL face of `versions()` /
-    * `indexManifest()` / `recordManifest()`). `<cat>.<t>.versions`
-    * parses as namespace [t], name "versions" — resolved here before
-    * the flat-namespace table lookup. */
+    * versions | files | record_files | view (the SQL face of
+    * `versions()` / `indexManifest()` / `recordManifest()` /
+    * `AggregateView.read()` — an aggregate view's TABLE holds partial
+    * state; `.view` serves the FINAL per-group values). `<cat>.<t>
+    * .versions` parses as namespace [t], name "versions" — resolved
+    * here before the flat-namespace table lookup. */
   private def metadataTable(ident: Identifier): Option[Table] =
     if (ident.namespace.length == 1 && dir.exists(ident.namespace.head)) {
       val ds = dir.dataset(ident.namespace.head)
@@ -141,6 +145,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         case "versions" => Some(new GraftMetadataTable(full, () => ds.versions()))
         case "files" => Some(new GraftMetadataTable(full, () => ds.indexManifest()))
         case "record_files" => Some(new GraftMetadataTable(full, () => ds.recordManifest()))
+        case "view" if ds.storage.metadata.logicalPlan
+            .exists(graft.views.AggPlan.isAggregate) =>
+          Some(new GraftMetadataTable(full,
+            () => new graft.views.AggregateView(spark, ds).read()))
         case _ => None
       }
     } else None

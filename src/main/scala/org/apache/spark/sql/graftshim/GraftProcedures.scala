@@ -175,6 +175,39 @@ object GraftProcedures {
         }
       },
 
+      new Proc("create_agg_view",
+        "Create an incrementally-maintained GROUP BY view over `table` " +
+          "(state refreshes from the source's CDC feed via refresh_mv); " +
+          "aggs are comma-separated kind:input:as entries — kinds " +
+          "count_all (empty input), count, sum, avg, min, max",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("view", StringType).build(),
+          ProcedureParameter.in("group_by", StringType)
+            .comment("comma-separated group-by column names").build(),
+          ProcedureParameter.in("aggs", StringType)
+            .comment("comma-separated kind:input:as (count_all::n for no input)").build()),
+        StructType(Seq(
+          StructField("view_location", StringType, nullable = false),
+          StructField("reservoir_k", IntegerType, nullable = false)))) {
+        override def run(input: InternalRow): Seq[InternalRow] = {
+          val source = ds(input)
+          val viewName = input.getUTF8String(1).toString
+          val aggSpecs = input.getUTF8String(3).toString.split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq.map { s =>
+              s.split(":", -1) match {
+                case Array(kind, in, as) =>
+                  graft.views.AggSpec(kind, if (in.isEmpty) None else Some(in), as)
+                case _ => throw new IllegalArgumentException(
+                  s"bad agg spec '$s' (want kind:input:as)")
+              }
+            }
+          val av = cat.dirCatalog.createAggregateView(
+            viewName, source, cols(input, 2), aggSpecs)
+          Seq(InternalRow(utf8(av.dataset.location), av.plan.reservoirK))
+        }
+      },
+
       new Proc("create_tag",
         "Tag a snapshot (default: current head) for SQL time travel via VERSION AS OF",
         Array(

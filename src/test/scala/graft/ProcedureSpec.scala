@@ -133,6 +133,42 @@ class ProcedureSpec extends AnyFunSuite {
     assert(math.abs(even.getAs[Double]("sum_v") - expSum.toDouble) < 1e-6)
   }
 
+  test("create_agg_view procedure builds the view from SQL; .view serves final values") {
+    root
+    spark.sql("CREATE TABLE graft_proc.cavsrc (id BIGINT, g STRING, v DOUBLE) " +
+      "TBLPROPERTIES ('primary_keys'='id')")
+    spark.sql("INSERT INTO graft_proc.cavsrc " +
+      "SELECT id, CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END, id * 1.0 " +
+      "FROM range(0, 100)")
+    val created = spark.sql("CALL graft_proc.system.create_agg_view(" +
+      "table => 'cavsrc', view => 'cavmv', group_by => 'g', " +
+      "aggs => 'count_all::n,sum:v:sum_v,min:v:min_v,max:v:max_v')").collect()
+    assert(created.length == 1)
+    assert(created(0).getAs[Int]("reservoir_k") > 0, "min/max aggs carry reservoirs")
+    spark.sql("CALL graft_proc.system.refresh_mv(table => 'cavmv')").collect()
+
+    // `.view` is the FINAL-values read (the table itself holds state)
+    val rows = spark.sql(
+      "SELECT g, n, sum_v, min_v, max_v FROM graft_proc.cavmv.view ORDER BY g")
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("even", "odd"))
+    val even = rows(0)
+    assert(even.getLong(1) == 50L && even.getDouble(3) == 0.0 && even.getDouble(4) == 98.0)
+    assert(math.abs(even.getDouble(2) - (0L until 100L by 2).sum.toDouble) < 1e-6)
+
+    // maintenance stays incremental through the SQL surface
+    spark.sql("DELETE FROM graft_proc.cavsrc WHERE id = 98") // even max deleted
+    spark.sql("CALL graft_proc.system.refresh_mv(table => 'cavmv')").collect()
+    val even2 = spark.sql(
+      "SELECT max_v FROM graft_proc.cavmv.view WHERE g = 'even'").collect()(0)
+    assert(even2.getDouble(0) == 96.0, "reservoir must absorb the extremum delete")
+
+    // a malformed agg spec fails loudly
+    val e = intercept[Exception](spark.sql("CALL graft_proc.system.create_agg_view(" +
+      "table => 'cavsrc', view => 'cavbad', group_by => 'g', aggs => 'sum_v')").collect())
+    assert(e.getMessage.contains("kind:input:as"), e.getMessage)
+  }
+
   test("rewrite_records procedure reclaims payload space through SQL") {
     root
     // record tables take DATA mutations through the API (SQL writes

@@ -299,12 +299,13 @@ class TfExampleSpec extends AnyFunSuite {
     val back = new String(ser.deserialize(wire), StandardCharsets.UTF_8)
     assert(back.contains(""""meta":{"source":["web"]}"""), back)
     assert(ser.serialize(json(back)).toSeq == wire.toSeq, "re-serialize changed the wire")
-    // unsupported nodes name the offending class
+    // unsupported nodes name the offending class (Audio/Video became
+    // supported in round 10, so the probe uses a genuinely unknown node)
     val bad = envelope.replace(
       "text_feature.Text\",\n            \"text\": {}",
-      "audio_feature.Audio\",\n            \"audio\": {}")
+      "dataset_feature.Dataset\",\n            \"dataset\": {}")
     val e = intercept[IllegalArgumentException](TfFeaturesSpec.fromTfdsJson(bad))
-    assert(e.getMessage.contains("audio_feature.Audio"), e.getMessage)
+    assert(e.getMessage.contains("dataset_feature.Dataset"), e.getMessage)
   }
 
   test("TFDS coco-tutorial shape: Sequence of dict, BBoxFeature, ClassLabel, bool") {
@@ -431,6 +432,62 @@ class TfExampleSpec extends AnyFunSuite {
       "translation_feature.TranslationVariableLanguages")
     assert(TfFeaturesSpec.fromTfdsJson(restricted).flat.keySet ==
       Set("id", "translation/language", "translation/translation"))
+  }
+
+  test("TFDS Audio and Video envelopes translate to their wire forms and round-trip") {
+    import graft.format.{TfFeaturesDictSerializer, TfFeaturesSpec, TfLeaf}
+    // speech_commands-style Audio (int64 PCM samples, unknown length)
+    // plus a Video clip (Sequence(Image) underneath: a variable-length
+    // list of ENCODED frame payloads — H/W/C live inside each frame)
+    val envelope =
+      """{
+        |  "pythonClassName": "tensorflow_datasets.core.features.features_dict.FeaturesDict",
+        |  "featuresDict": {"features": {
+        |    "audio": {
+        |      "pythonClassName": "tensorflow_datasets.core.features.audio_feature.Audio",
+        |      "audio": {"shape": {"dimensions": ["-1"]}, "dtype": "int64", "sampleRate": 16000}
+        |    },
+        |    "clip": {
+        |      "pythonClassName": "tensorflow_datasets.core.features.video_feature.Video",
+        |      "video": {"shape": {"dimensions": ["-1", "64", "64", "3"]}}
+        |    },
+        |    "label": {
+        |      "pythonClassName": "tensorflow_datasets.core.features.class_label_feature.ClassLabel",
+        |      "classLabel": {"numClasses": 12}
+        |    }
+        |  }}
+        |}""".stripMargin
+    val spec = TfFeaturesSpec.fromTfdsJson(envelope)
+    assert(spec.flat("audio") == TfLeaf("int64", Seq(-1)))
+    assert(spec.flat("clip") == TfLeaf("image", Seq(-1)))
+    assert(spec.flat("label") == TfLeaf("int64"))
+
+    // frame payloads with non-UTF-8 bytes (0xFF lead) keep the base64:
+    // form through the round-trip
+    val ser = new TfFeaturesDictSerializer(spec)
+    val doc = """{"audio":[12,-7,0,44,13],"clip":["base64:/wAB","base64:/wID"],"label":3}"""
+    val wire = ser.serialize(json(doc))
+    val back = new String(ser.deserialize(wire), StandardCharsets.UTF_8)
+    assert(back.contains(""""audio":[12,-7,0,44,13]"""), back)
+    assert(back.contains(""""base64:/wID""""), back)
+    assert(ser.serialize(json(back)).toSeq == wire.toSeq, "re-serialize changed the wire")
+
+    // float audio (e.g. normalized samples) maps to the float32 wire
+    // list; absent shape defaults to (None,)
+    val floatEnv = envelope
+      .replace(""""shape": {"dimensions": ["-1"]}, "dtype": "int64", "sampleRate": 16000""",
+        """"dtype": "float64", "sampleRate": 16000""")
+    assert(TfFeaturesSpec.fromTfdsJson(floatEnv).flat("audio") == TfLeaf("float32", Seq(-1)))
+
+    // a FIXED-length video validates its frame count
+    val fixedEnv = envelope.replace(""""dimensions": ["-1", "64", "64", "3"]""",
+      """"dimensions": ["2", "64", "64", "3"]""")
+    val fixedSer = new TfFeaturesDictSerializer(TfFeaturesSpec.fromTfdsJson(fixedEnv))
+    fixedSer.serialize(json(doc)) // 2 frames: fits
+    val bad = doc.replace(""","clip":["base64:/wAB","base64:/wID"]""",
+      ""","clip":["base64:/wAB"]""")
+    val e = intercept[IllegalArgumentException](fixedSer.serialize(json(bad)))
+    assert(e.getMessage.contains("clip"), e.getMessage)
   }
 
   test("FeaturesDict: an empty tensor fits a -1 (None) dim") {
