@@ -81,6 +81,69 @@ class AggViewFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("adversarial duplicate-value delete cycles: reservoirs stay exact under multisets") {
+    // l_quantity-shaped data: FEW distinct values, MANY duplicates per
+    // group — the multiset case the extremum reservoir must count
+    // exactly (a set-shaped reservoir would drop a value on its FIRST
+    // deletion while copies remain). Cycles repeatedly delete SOME
+    // copies of the current extremes, then all of them, then re-add.
+    val rnd = new scala.util.Random(77L)
+    val loc = java.nio.file.Files.createTempDirectory("graft_aggdup_").toString + "/tbl"
+    val schema = Seq.empty[(Long, String, Double)].toDF("id", "g", "v").schema
+    val src = SpaceDataset.create(spark, loc, schema, Seq("id"))
+    val av = AggregateView.create(spark,
+      java.nio.file.Files.createTempDirectory("graft_aggdupv_").toString + "/tbl",
+      src, Seq("g"), Seq(
+        AggSpec.min("v", "min_v"), AggSpec.max("v", "max_v"), AggSpec.countAll("n")))
+    var nextId = 0L
+    def rows(n: Int): Seq[(Long, String, Double)] = {
+      val out = (0 until n).map { i =>
+        // values drawn from a 12-value pool: duplicates guaranteed
+        (nextId + i, if (rnd.nextBoolean()) "a" else "b", (rnd.nextInt(12) * 2.5))
+      }
+      nextId += n
+      out
+    }
+    src.append(rows(300).toDF("id", "g", "v"))
+    av.refresh()
+
+    def checkEqual(step: String): Unit = {
+      val exp = src.readAll().groupBy("g").agg(
+        min("v").as("min_v"), max("v").as("max_v"), count(lit(1)).as("n"))
+      val got = av.read().select("g", "min_v", "max_v", "n")
+      assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty,
+        s"$step: view != recompute\n got ${got.orderBy("g").collect().mkString(", ")}" +
+          s"\n exp ${exp.orderBy("g").collect().mkString(", ")}")
+    }
+
+    for (cycle <- 1 to 6) {
+      // delete PART of the copies at the current per-group max (ids are
+      // arbitrary halves), then refresh: the reservoir must DECREMENT,
+      // not drop, and the max must stand while copies remain
+      val curMax = src.readAll().groupBy("g").agg(max("v").as("m"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val half = src.readAll()
+        .filter(col("v") === curMax("a") && col("g") === "a" && col("id") % 2 === 0)
+        .select("id").collect().map(_.getLong(0))
+      if (half.nonEmpty) {
+        src.delete(col("id").isin(half.map(Long.box): _*))
+        av.refresh()
+        checkEqual(s"cycle $cycle partial-copies delete")
+        assert(av.lastRecomputedGroups == 0L,
+          s"cycle $cycle: deleting SOME copies of the max must stay arithmetic")
+      }
+      // now delete ALL remaining copies of that value (max falls to the
+      // runner-up — still arithmetic, the reservoir tracks it)
+      src.delete(col("g") === "a" && col("v") === curMax("a"))
+      av.refresh()
+      checkEqual(s"cycle $cycle full-value delete")
+      // and re-add duplicates so the next cycle has fresh extremes
+      src.append(rows(40 + rnd.nextInt(40)).toDF("id", "g", "v"))
+      av.refresh()
+      checkEqual(s"cycle $cycle re-add")
+    }
+  }
+
   test("adversarial float deletes: FP sums stay EXACTLY equal to recompute") {
     import org.apache.spark.sql.types.DecimalType
     val loc = java.nio.file.Files.createTempDirectory("graft_aggdrift_")

@@ -80,6 +80,26 @@ class FloatingZeroSpec extends AnyFunSuite {
     check(col("v") === lit(Double.NaN), E, "v = NaN")
   }
 
+  test("float32 columns: zero probes rewrite through the cast-unwrap path") {
+    // a FloatType column probed with a DOUBLE literal goes through
+    // Cast(vf as double) = 0.0, which UnwrapCastInBinaryComparison
+    // turns back into a float comparison — the rewrite must fire on
+    // the float literal form too
+    val loc = Files.createTempDirectory("graft_fzero32_").toString + "/tbl"
+    val schema = Seq((0L, 0.0f)).toDF("id", "vf").schema
+    val d = SpaceDataset.create(spark, loc, schema, Seq("id"))
+    d.append((0 until 50).map(i => (i.toLong, -0.0f)).toDF("id", "vf").repartition(1))
+    d.append((50 until 100).map(i => (i.toLong, 0.0f)).toDF("id", "vf").repartition(1))
+    d.append((100 until 150).map(i => (i.toLong, 2.5f)).toDF("id", "vf").repartition(1))
+    def ids(pred: Column): Set[Long] =
+      idsVia(d.readAll().filter(pred)) // later-filter path: optimizer rule only
+    assert(ids(col("vf") === 0.0f) == (0L until 100L).toSet, "float literal")
+    assert(ids(col("vf") === 0.0d) == (0L until 100L).toSet, "double literal via cast")
+    assert(ids(col("vf") >= lit(0.0f)) == (0L until 100L).toSet ++ (100L until 150L), ">= 0.0f")
+    assert(idsVia(d.read(filter = Some(col("vf") === 0.0f))) == (0L until 100L).toSet,
+      "read(filter) path")
+  }
+
   test("the optimizer rule rewrites the pushed condition (plan-visible)") {
     val df = ds.readAll().filter(col("v") === 0.0d)
     val opt = df.queryExecution.optimizedPlan.toString
