@@ -25,9 +25,18 @@ object BucketPruning {
     * murmur3_32 CHAINED across the columns in spec order from seed 42,
     * then pmod — `HashPartitioning(cols, n)`'s partition id, exactly
     * what AppendOp's `repartition(n, cols…)` and the catalog's `bucket`
-    * V2 function compute. */
+    * V2 function compute. Float/double probe values canonicalize
+    * -0.0 → +0.0 first: Spark's NormalizeFloatingNumbers normalizes
+    * repartition keys at WRITE time (verified: ±0.0 rows land in one
+    * partition), so a raw -0.0 probe would hash to a bucket no zero
+    * row was ever written to and wrongly prune every match. */
   def bucketId(values: Seq[(Any, DataType)], numBuckets: Int): Int = {
-    val h = values.foldLeft(42L) { case (seed, (v, dt)) =>
+    val h = values.foldLeft(42L) { case (seed, (v0, dt)) =>
+      val v = v0 match {
+        case f: java.lang.Float if f.floatValue() == 0.0f => java.lang.Float.valueOf(0.0f)
+        case d: java.lang.Double if d.doubleValue() == 0.0d => java.lang.Double.valueOf(0.0d)
+        case other => other
+      }
       Murmur3HashFunction.hash(v, dt, seed)
     }.toInt
     ((h % numBuckets) + numBuckets) % numBuckets

@@ -250,6 +250,29 @@ class BucketSpec extends AnyFunSuite {
     }
   }
 
+  test("double bucket columns: ±0.0 probes reach the bucket the write normalized to") {
+    import spark.implicits._
+    // Spark's NormalizeFloatingNumbers folds -0.0 into +0.0 in
+    // repartition keys, so every zero row lands in ONE bucket; a probe
+    // hashing raw -0.0 bits would prune that bucket away and silently
+    // lose the rows (the API plan() path sees the raw literal — the
+    // optimizer's zero rewrite only guards the Catalyst path)
+    val loc = java.nio.file.Files.createTempDirectory("graft_bzero_").toString + "/tbl"
+    val rows = (0 until 200).map(i => (i.toLong, if (i % 10 == 0) -0.0d else i * 1.5d))
+    val ds = SpaceDataset.create(spark, loc, rows.toDF("id", "v").schema, Seq("id"),
+      bucketColumns = Seq("v"), numBuckets = 8)
+    ds.append(rows.toDF("id", "v"))
+    for (probe <- Seq(0.0d, -0.0d)) {
+      val got = ds.read(filter = Some(col("v") === probe))
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == (0 until 200 by 10).map(_.toLong).toSet,
+        s"probe $probe lost zero rows: ${got.size}")
+    }
+    // non-zero probes still prune to one bucket's files
+    val p = ds.plan(Some(col("v") === 1.5d))
+    assert(p.prunedFiles > 0, "bucket pruning must still engage for non-zero doubles")
+  }
+
   test("bucketed tables refuse zero-copy ingest; bucket column must exist") {
     val orders = Tables.read(spark, sfDir, "orders")
     intercept[IllegalArgumentException] {
