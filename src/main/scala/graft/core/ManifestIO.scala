@@ -178,19 +178,32 @@ object ManifestIO {
     org.apache.spark.unsafe.types.UTF8String.fromString(x)
       .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
 
+  // Float/double stats merge in SPARK's ordering (NaN greatest), the
+  // order the pruning filter later evaluates the stored range with —
+  // AND the order parquet's own footer stats carry (total order). A
+  // primitive `<=` mishandles NaN on BOTH sides: minAny(5, NaN) would
+  // return NaN (a min=NaN range wrongly falsifies every normal probe
+  // via `min > v` = true under NaN-greatest), and maxAny(NaN, 5) would
+  // return 5 (losing the NaN max, so a `v = NaN` probe is wrongly
+  // falsified by `max < NaN` = true). NaN is therefore never a MIN
+  // unless every value is NaN, and always the MAX once present.
   private[graft] def minAny(a: Any, b: Any): Any = (a, b) match {
     case (x: Long, y: Long) => if (x <= y) x else y
     case (x: Int, y: Int) => if (x <= y) x else y
-    case (x: Double, y: Double) => if (x <= y) x else y
-    case (x: Float, y: Float) => if (x <= y) x else y
+    case (x: Double, y: Double) =>
+      if (x.isNaN) y else if (y.isNaN) x else if (x <= y) x else y
+    case (x: Float, y: Float) =>
+      if (x.isNaN) y else if (y.isNaN) x else if (x <= y) x else y
     case (x: String, y: String) => if (utf8Cmp(x, y) <= 0) x else y
     case _ => a
   }
   private[graft] def maxAny(a: Any, b: Any): Any = (a, b) match {
     case (x: Long, y: Long) => if (x >= y) x else y
     case (x: Int, y: Int) => if (x >= y) x else y
-    case (x: Double, y: Double) => if (x >= y) x else y
-    case (x: Float, y: Float) => if (x >= y) x else y
+    case (x: Double, y: Double) =>
+      if (x.isNaN || y.isNaN) Double.NaN else if (x >= y) x else y
+    case (x: Float, y: Float) =>
+      if (x.isNaN || y.isNaN) Float.NaN else if (x >= y) x else y
     case (x: String, y: String) => if (utf8Cmp(x, y) >= 0) x else y
     case _ => a
   }

@@ -112,6 +112,35 @@ class PruningFuzzSpec extends AnyFunSuite {
     }
   }
 
+  /** NaN-bearing files: stats merge in Spark's ordering (NaN greatest).
+    * A primitive-compare merge recorded min=NaN when an all-NaN file
+    * reduced first (falsifying EVERY normal probe via `min > v`) and
+    * dropped a NaN max (falsifying `v = NaN` probes) — both silent
+    * row loss at the manifest-LIST level. */
+  test("NaN values never falsify normal or NaN point probes") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("graft_fuzz_nan_").toString + "/tbl"
+    val rows = (0 until 50).map(i => (i.toLong, Double.NaN)) ++
+      (50 until 100).map(i => (i.toLong, i * 1.0))
+    val d = SpaceDataset.create(spark, loc, rows.toDF("id", "v").schema,
+      Seq("id"), statsFields = Seq("v"))
+    // one append, two files: ids 0-49 (all NaN) and 50-99 (normal) —
+    // the MANIFEST SUMMARY reduces both files' stats into one range
+    d.append(rows.toDF("id", "v").repartitionByRange(2, col("id")))
+
+    val normal = d.read(filter = Some(col("v") === 75.0))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(normal == Seq(75L), s"normal probe lost rows: $normal")
+    val nan = d.read(filter = Some(col("v") === lit(Double.NaN)))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(nan == (0L until 50L).toSet, s"NaN probe lost rows: ${nan.size}")
+    // and the merged helpers themselves follow Spark ordering
+    assert(ManifestIO.minAny(Double.NaN, 5.0) == 5.0)
+    assert(ManifestIO.minAny(5.0, Double.NaN) == 5.0)
+    assert(ManifestIO.maxAny(5.0, Double.NaN).asInstanceOf[Double].isNaN)
+    assert(ManifestIO.maxAny(Double.NaN, 5.0).asInstanceOf[Double].isNaN)
+  }
+
   /** Same soundness property when NON-KEY columns carry declared stats
     * (statsFields): predicates on them become falsifiable, results must
     * not change, and pruning must actually fire on a non-key filter. */
