@@ -201,9 +201,18 @@ final class AggregateView(val spark: SparkSession, val dataset: SpaceDataset)
     val target = targetVersion.map(source.storage.versionToSnapshotId)
       .getOrElse(source.storage.metadata.currentSnapshotId)
     lastRecomputedGroups = 0L
-    if (refreshedTo.isEmpty) return initialBuild(source, target)
+    if (refreshedTo.isEmpty) return fullBuild(source, target, overwrite = false)
     val start = refreshedTo.getOrElse(0L)
-    val sids = source.storage.orderedSnapshotIds(start, target)
+    val sids =
+      try source.storage.orderedSnapshotIds(start, target)
+      catch {
+        case _: IllegalArgumentException =>
+          // the source history between the watermark and the target has
+          // been EXPIRED/GC'd — the CDC walk is impossible, but the
+          // state is fully derivable: rebuild it at the target in one
+          // atomic overwrite commit instead of failing forever
+          return fullBuild(source, target, overwrite = true)
+      }
 
     var commits = 0
     for (sid <- sids) {
@@ -227,16 +236,20 @@ final class AggregateView(val spark: SparkSession, val dataset: SpaceDataset)
     commits
   }
 
-  /** First-ever refresh: ONE aggregation scan of the source at
-    * `target`, committed as the whole state with the watermark set —
-    * no per-snapshot CDC replay (see [[refresh]]). */
-  private def initialBuild(source: SpaceDataset, target: Long): Int = {
+  /** One-commit whole-state (re)build: a single aggregation scan of
+    * the source at `target`. `overwrite = false` is the FIRST refresh
+    * (append into the empty state table); `overwrite = true` is the
+    * expired-history fallback (atomic truncate + write, see
+    * [[refresh]]). */
+  private def fullBuild(source: SpaceDataset, target: Long, overwrite: Boolean): Int = {
     val stateSchema = dataset.storage.logicalSchema
     val pexprs = partialExprs(plan)
     var applied = false
-    dataset.storage.transaction() { _ =>
-      if (dataset.storage.metadata.mvSourceSnapshotId.isDefined) (None, ())
-      else {
+    dataset.storage.transaction() { pinned =>
+      val watermark = dataset.storage.metadata.mvSourceSnapshotId
+      if (watermark.exists(_ >= target) || (watermark.isDefined && !overwrite)) {
+        (None, ())
+      } else {
         val partial = source.read(version = Some(target.toString))
           .groupBy(groups.map(col): _*).agg(pexprs.head, pexprs.tail: _*)
           .persist()
@@ -248,7 +261,9 @@ final class AggregateView(val spark: SparkSession, val dataset: SpaceDataset)
               s"snapshot $target (null groups are unsupported — filter them in a view)")
           val rows = partial.select(stateSchema.fields.toSeq.map(f =>
             col(f.name).cast(f.dataType).as(f.name)): _*)
-          val patch = RecordIO.writeWithRecords(spark, dataset.storage, rows)
+          val patch =
+            if (overwrite) DmlOps.overwriteAll(spark, dataset.storage, pinned, rows)
+            else RecordIO.writeWithRecords(spark, dataset.storage, rows)
           applied = true
           (Some(patch.copy(sourceSnapshotId = Some(target))), ())
         } finally partial.unpersist()

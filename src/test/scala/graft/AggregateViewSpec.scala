@@ -250,6 +250,33 @@ class AggregateViewSpec extends AnyFunSuite {
       max("o_totalprice").as("max_price")))
   }
 
+  test("expired source history between refreshes: the view REBUILDS instead of failing") {
+    val rows = spark.createDataFrame(Seq(
+      (1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 5.0))).toDF("id", "g", "v")
+    val src = SpaceDataset.create(spark, freshLoc("aggsrc"), rows.schema, Seq("id"))
+    src.append(rows)
+    val av = AggregateView.create(spark, freshLoc("aggmv"), src, Seq("g"), Seq(
+      AggSpec.sum("v", "sum_v"), AggSpec.min("v", "min_v"), AggSpec.countAll("n")))
+    assert(av.refresh() == 1)
+
+    // two more source commits, then expire EVERYTHING between the
+    // watermark and the head — the CDC walk is now impossible
+    src.append(spark.createDataFrame(Seq((4L, "b", 50.0))).toDF("id", "g", "v"))
+    src.delete(col("id") === 1L)
+    src.expireSnapshots(olderThanMs = -1000L, keepLast = 1)
+    src.garbageCollect(minAgeMs = 0L)
+
+    assert(av.refresh() == 1, "expired history must trigger a one-commit rebuild")
+    assertSame(av.read(), src.readAll().groupBy("g").agg(
+      sum("v").as("sum_v"), min("v").as("min_v"), count(lit(1)).as("n")))
+    // and the rebuilt watermark resumes INCREMENTAL maintenance
+    src.append(spark.createDataFrame(Seq((5L, "a", 7.0))).toDF("id", "g", "v"))
+    assert(av.refresh() == 1)
+    assert(av.lastRecomputedGroups == 0L)
+    assertSame(av.read(), src.readAll().groupBy("g").agg(
+      sum("v").as("sum_v"), min("v").as("min_v"), count(lit(1)).as("n")))
+  }
+
   test("NULL group-by key is rejected with a clear error") {
     val rows = spark.createDataFrame(Seq(
       (1L, Some("a"), 1.0), (2L, None: Option[String], 2.0))).toDF("id", "g", "v")
