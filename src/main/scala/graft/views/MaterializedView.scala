@@ -47,7 +47,17 @@ final class MaterializedView(val spark: SparkSession, val dataset: SpaceDataset)
     val target = targetVersion.map(source.storage.versionToSnapshotId)
       .getOrElse(source.storage.metadata.currentSnapshotId)
     val start = refreshedTo.getOrElse(0L)
-    val sids = source.storage.orderedSnapshotIds(start, target)
+    val sids =
+      try source.storage.orderedSnapshotIds(start, target)
+      catch {
+        case _: IllegalArgumentException =>
+          // the source history between the watermark and the target was
+          // EXPIRED/GC'd: the CDC walk is impossible, but a row-wise
+          // view's state is pure transform(live source rows) — rebuild
+          // it at the target in one atomic overwrite commit instead of
+          // failing until someone drops and recreates the view
+          return rebuild(source, target)
+      }
 
     var commits = 0
     for (sid <- sids) {
@@ -97,6 +107,28 @@ final class MaterializedView(val spark: SparkSession, val dataset: SpaceDataset)
       if (applied) commits += 1
     }
     commits
+  }
+
+  /** Expired-history fallback: one transform pass over the source AT
+    * `target`, committed as an atomic whole-state overwrite with the
+    * watermark advanced; incremental maintenance resumes from there.
+    * Sound because a row-wise/EXPAND view's state is exactly
+    * transform(live source rows), independent of arrival order. */
+  private def rebuild(source: SpaceDataset, target: Long): Int = {
+    var applied = false
+    dataset.storage.transaction() { pinned =>
+      if (dataset.storage.metadata.mvSourceSnapshotId.exists(_ >= target)) {
+        (None, ())
+      } else {
+        val transformed = plan.processSource(
+          spark, source.read(version = Some(target.toString)))
+        val patch = graft.core.DmlOps.overwriteAll(
+          spark, dataset.storage, pinned, transformed)
+        applied = true
+        (Some(patch.copy(sourceSnapshotId = Some(target))), ())
+      }
+    }
+    if (applied) 1 else 0
   }
 
   /** CONTINUOUS MV maintenance through Structured Streaming: the

@@ -165,6 +165,33 @@ class ViewSpec extends AnyFunSuite {
     assert(mv2.refresh() == 0)
   }
 
+  test("expired source history between refreshes: the MV REBUILDS instead of failing") {
+    val src = sourceTable()
+    val v = View.ofDataset(src)
+      .filterExpr("o_totalprice > 50000")
+      .selectExprs("o_orderkey", "o_totalprice")
+    val mv = v.materialize(spark, freshLoc("mv_exp"), Seq("o_orderkey"))
+    assert(mv.refreshedTo.isDefined)
+
+    // commits after the watermark, then expire + GC them away: the CDC
+    // walk from the watermark is impossible
+    src.append(orders.filter(col("o_orderkey") > 1000L && col("o_orderkey") <= 1200L))
+    src.delete(col("o_orderkey") <= 100L)
+    src.expireSnapshots(olderThanMs = -1000L, keepLast = 1)
+    src.garbageCollect(minAgeMs = 0L)
+
+    assert(mv.refresh() == 1, "expired history must trigger a one-commit rebuild")
+    val got = mv.dataset.readAll()
+    val exp = v.toDF(spark)
+    assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty)
+    // incremental maintenance resumes from the rebuilt watermark
+    src.append(orders.filter(col("o_orderkey") > 1200L && col("o_orderkey") <= 1300L))
+    assert(mv.refresh() == 1)
+    val got2 = mv.dataset.readAll()
+    val exp2 = v.toDF(spark)
+    assert(got2.exceptAll(exp2).isEmpty && exp2.exceptAll(got2).isEmpty)
+  }
+
   test("overlapping refreshers: a stale MV handle must not double-apply snapshots") {
     val src = sourceTable()
     val v = View.ofDataset(src).selectExprs("o_orderkey", "o_totalprice")
