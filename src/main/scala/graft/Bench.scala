@@ -63,47 +63,71 @@ object Bench {
 
     val (probeBeforeMin, probeBeforeMax) = hostProbe()
 
-    // A failed query must NOT record a bogus fast time (round 4: seven
-    // broken queries benched as ~0s and nobody noticed) — it goes in an
-    // "errors" map instead and is excluded from per-query timings/total.
-    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      // Each query is timed self-contained: drop blocks persisted by the
-      // PREVIOUS queries first (dedup/LSH pipelines persist signature
-      // frames), so a later storage query doesn't pay their LRU-eviction
-      // churn and a query's own persists still count inside its time.
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        Some(name -> (System.nanoTime() - t0) / 1e9)
-      } catch {
-        case e: Throwable =>
-          errors(name) =
-            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
-          System.err.println(s"[bench] $name FAILED — ${errors(name)}")
-          None
+    // One full query sweep. A failed query must NOT record a bogus fast
+    // time (round 4: seven broken queries benched as ~0s and nobody
+    // noticed) — it goes in an "errors" map instead and is excluded
+    // from per-query timings/total.
+    def sweep(): (Seq[(String, Double)], scala.collection.mutable.LinkedHashMap[String, String]) = {
+      val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+      val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        // Each query is timed self-contained: drop blocks persisted by
+        // the PREVIOUS queries first (dedup/LSH pipelines persist
+        // signature frames), so a later storage query doesn't pay their
+        // LRU-eviction churn and a query's own persists still count
+        // inside its time.
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          Some(name -> (System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            errors(name) =
+              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
+            System.err.println(s"[bench] $name FAILED — ${errors(name)}")
+            None
+        }
       }
+      (results, errors)
     }
+
+    // Per-query MINIMA across repeated sweeps: host IO stalls randomly
+    // spike 1-3 queries per run 3-6×, so a single run's times are not
+    // judgeable — a real regression reproduces in the minimum, a stall
+    // never does. The entrypoint itself runs GRAFT_REPEAT (default 3)
+    // sweeps so the one emitted line natively carries runs_observed ≥ 3
+    // (VERDICT r10's "driver bench self-minima"); each sweep ALSO folds
+    // into a build-keyed history file, so repeated driver invocations
+    // keep accumulating. (Build key = a CONTENT hash of the class files
+    // — see foldHistory — so a recompile with changed code never
+    // inherits stale minima.) A query that FAILED in the LAST sweep
+    // must not surface a healthy-looking historical minimum (the
+    // round-4 trap): errored queries are excluded from the emitted
+    // minima.
+    val repeat = math.max(1, sys.env.getOrElse("GRAFT_REPEAT", "3").toInt)
+    var last: (Seq[(String, Double)], scala.collection.mutable.LinkedHashMap[String, String]) = null
+    var minTimes = Map.empty[String, Double]
+    var runsObserved = 0
+    val sweepProbes = Seq.newBuilder[Double]
+    for (i <- 1 to repeat) {
+      last = sweep()
+      val (mt, ro) = foldHistory(sfDir, last._1.toMap)
+      minTimes = mt; runsObserved = ro
+      // a per-sweep probe timestamping each run's IO health — a stall
+      // window is attributable to the sweep it contaminated
+      val (pMin, _) = hostProbe()
+      sweepProbes += pMin
+      System.err.println(f"[bench] sweep $i/$repeat total ${last._1.map(_._2).sum}%.1f s " +
+        f"(probe min $pMin%.1f ms)")
+    }
+    val (results, errors) = last
+
     def jstr(s: String): String = graft.format.Jsons.escape(s)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // Per-query MINIMA across this build's runs at this sf: host IO
-    // stalls randomly spike 1-3 queries per run 3-6×, so a single run's
-    // times are not judgeable — a real regression reproduces in the
-    // minimum, a stall never does. The driver invokes this main n times
-    // and keeps only the LAST line, so each run folds its times into a
-    // build-keyed history file and re-emits the running minima: the
-    // final line carries min_times over all n runs with no driver-side
-    // reconstruction. (Build key = a CONTENT hash of the class files —
-    // see foldHistory — so a recompile with changed code never inherits
-    // stale minima.) A query that FAILED in THIS run must not surface a
-    // healthy-looking historical minimum (the round-4 trap): errored
-    // queries are excluded from the emitted minima.
-    val (minTimes, runsObserved) = foldHistory(sfDir, results.toMap)
     val mins = (minTimes -- errors.keys).toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // 1-minute load average BEFORE this JVM's own work is long gone, but
@@ -113,9 +137,10 @@ object Bench {
       .getSystemLoadAverage
     val (probeAfterMin, probeAfterMax) = hostProbe()
     val probe = s"""{"before_min_ms":$probeBeforeMin,"before_max_ms":$probeBeforeMax,""" +
-      s""""after_min_ms":$probeAfterMin,"after_max_ms":$probeAfterMax}"""
+      s""""after_min_ms":$probeAfterMin,"after_max_ms":$probeAfterMax,""" +
+      s""""per_sweep_min_ms":${sweepProbes.result().mkString("[", ",", "]")}}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""min_times":$mins,"runs_observed":$runsObserved,""" +
+      s""""min_times":$mins,"runs_observed":$runsObserved,"repeat":$repeat,""" +
       s""""errors":$errs,"load_avg_1m":$load,"host_probe":$probe,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -175,8 +175,18 @@ object ClusterOp {
     val dirty = rest.map(_._1).toSet ++ statless.map(_.getString(0))
     if (dirty.isEmpty) return None // fully clustered
 
-    val mergeFraction = spark.conf.getOption(MergeFractionKey)
-      .map(_.toDouble).getOrElse(DefaultMergeFraction)
+    val mergeFraction = spark.conf.getOption(MergeFractionKey).map { raw =>
+      // fail with the key name on garbage — a bare .toDouble threw an
+      // opaque NumberFormatException, and NaN/negative values would
+      // silently force or disable merges mid-pass (ADVICE r10)
+      val v = try raw.toDouble catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$MergeFractionKey must be a finite non-negative number, got '$raw'")
+      }
+      require(java.lang.Double.isFinite(v) && v >= 0,
+        s"$MergeFractionKey must be a finite non-negative number, got '$raw'")
+      v
+    }.getOrElse(DefaultMergeFraction)
     val backboneRows = iv.filter(r => keep.contains(r._1)).map(_._2).sum
     val deltaRows = rest.map(_._2).sum + statless.map(_.getLong(1)).sum
     if (deltaRows > mergeFraction * backboneRows && backboneRows > 0)

@@ -10,6 +10,16 @@ import graft.format._
 
 class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 
+/** Thrown by [[Storage.orderedSnapshotIds]] when the CDC walk is
+  * impossible because the START snapshot (an MV's refresh watermark) has
+  * been EXPIRED out of metadata — the one condition a consumer may
+  * legitimately resolve with a whole-state rebuild. A walk failure while
+  * the start snapshot still EXISTS is a caller bug (target below the
+  * watermark, or on an unrelated lineage) and stays a plain
+  * IllegalArgumentException, so a typo'd refresh target surfaces instead
+  * of silently triggering a full source rescan (ADVICE r10). */
+class ExpiredHistoryException(msg: String) extends IllegalArgumentException(msg)
+
 /** Thrown by the under-lock exactly-once guard when a transaction tag
   * (appId, version) has already committed — the signal `appendOnce`
   * turns into its documented `None` ("skipped, already delivered")
@@ -857,16 +867,26 @@ final class Storage(val location: String, val conf: Configuration) {
     }
 
   /** Walk parent pointers from end back to start, exclusive of start
-    * (change_data.py:59-84): returns (start, end] in increasing order. */
+    * (change_data.py:59-84): returns (start, end] in increasing order.
+    * Throws [[ExpiredHistoryException]] iff the walk fails AND `startId`
+    * no longer exists in metadata (snapshot expiry removed it) — the
+    * rebuild-eligible condition; any other failure is a caller bug and
+    * throws IllegalArgumentException. */
   def orderedSnapshotIds(startId: Long, endId: Long): Seq[Long] = {
     if (startId == endId) return Nil
+    def walkFailed(): Nothing =
+      if (meta.snapshot(startId).isEmpty)
+        throw new ExpiredHistoryException(
+          s"snapshot $startId has been expired from $location — " +
+            s"the change walk to $endId is impossible")
+      else throw new IllegalArgumentException(
+        s"snapshot $startId is not an ancestor of $endId")
     var ids = List.empty[Long]
     var cur = endId
     while (cur != startId) {
-      val s = snapshotOrFail(cur)
+      val s = meta.snapshot(cur).getOrElse(walkFailed())
       ids = cur :: ids
-      cur = s.parentSnapshotId.getOrElse(
-        throw new IllegalArgumentException(s"snapshot $startId is not an ancestor of $endId"))
+      cur = s.parentSnapshotId.getOrElse(walkFailed())
     }
     ids
   }

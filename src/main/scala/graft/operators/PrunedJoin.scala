@@ -58,18 +58,29 @@ object PrunedJoin {
     // GC-reclaimed). The dim evaluates at most twice — once for the
     // limit-bounded key probe, once as the broadcast build — and a dim
     // worth pruning with is small by contract.
+    //
+    // A NON-DETERMINISTIC dim (sample(), rand-derived keys, unordered
+    // limit) must NOT re-evaluate between the probe and the build: the
+    // fact scan would be pruned by keys from evaluation 1 while the
+    // broadcast holds rows from evaluation 2 — silently dropped matches
+    // (ADVICE r10). localCheckpoint pins ONE evaluation executor-side;
+    // the checkpointed blocks are reclaimed with the frame by the
+    // ContextCleaner, so nothing needs a caller-side release.
+    val dimSafe =
+      if (dim.queryExecution.analyzed.deterministic) dim
+      else dim.localCheckpoint()
     // limit(n+1) short-circuits: a non-selective dim pays one cheap
     // partial scan of its distinct keys, never a full collect
-    val keys = dim.select(col(dimKey)).filter(col(dimKey).isNotNull)
+    val keys = dimSafe.select(col(dimKey)).filter(col(dimKey).isNotNull)
       .distinct().limit(maxKeys + 1).collect().map(_.get(0)).toSeq
     if (keys.isEmpty) {
       // no joinable dim keys -> empty inner join, zero fact IO
-      joinOnKey(fact.readAll().filter(lit(false)), factKey, dim, dimKey)
+      joinOnKey(fact.readAll().filter(lit(false)), factKey, dimSafe, dimKey)
     } else if (keys.size > maxKeys) {
-      joinOnKey(fact.readAll(), factKey, dim, dimKey)
+      joinOnKey(fact.readAll(), factKey, dimSafe, dimKey)
     } else {
       val factDf = fact.read(filter = Some(col(factKey).isInCollection(keys)))
-      joinOnKey(factDf, factKey, broadcast(dim), dimKey)
+      joinOnKey(factDf, factKey, broadcast(dimSafe), dimKey)
     }
   }
 }

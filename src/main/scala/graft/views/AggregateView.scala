@@ -201,16 +201,28 @@ final class AggregateView(val spark: SparkSession, val dataset: SpaceDataset)
     val target = targetVersion.map(source.storage.versionToSnapshotId)
       .getOrElse(source.storage.metadata.currentSnapshotId)
     lastRecomputedGroups = 0L
-    if (refreshedTo.isEmpty) return fullBuild(source, target, overwrite = false)
+    if (refreshedTo.isEmpty) {
+      val built = fullBuild(source, target, overwrite = false)
+      // First-refresh race (ADVICE r10): a concurrent refresher can set
+      // the watermark to some version BELOW `target` between the
+      // refreshedTo check and fullBuild's transaction — fullBuild then
+      // commits nothing, but the view is still behind the requested
+      // target. Fall through to the incremental CDC walk from the
+      // observed watermark instead of returning success at 0 commits.
+      val observed = refreshedTo
+      if (built > 0 || observed.isEmpty || observed.exists(_ >= target)) return built
+    }
     val start = refreshedTo.getOrElse(0L)
     val sids =
       try source.storage.orderedSnapshotIds(start, target)
       catch {
-        case _: IllegalArgumentException =>
-          // the source history between the watermark and the target has
-          // been EXPIRED/GC'd — the CDC walk is impossible, but the
-          // state is fully derivable: rebuild it at the target in one
-          // atomic overwrite commit instead of failing forever
+        // ONLY the typed expired-history signal (the watermark snapshot
+        // was expired out of metadata) may fall back to a rebuild; any
+        // other IllegalArgumentException — a refresh target below the
+        // watermark, an unrelated lineage — is a caller bug and
+        // propagates instead of silently becoming a full source scan
+        // (ADVICE r10).
+        case _: graft.core.ExpiredHistoryException =>
           return fullBuild(source, target, overwrite = true)
       }
 

@@ -50,12 +50,16 @@ final class MaterializedView(val spark: SparkSession, val dataset: SpaceDataset)
     val sids =
       try source.storage.orderedSnapshotIds(start, target)
       catch {
-        case _: IllegalArgumentException =>
-          // the source history between the watermark and the target was
-          // EXPIRED/GC'd: the CDC walk is impossible, but a row-wise
-          // view's state is pure transform(live source rows) — rebuild
-          // it at the target in one atomic overwrite commit instead of
-          // failing until someone drops and recreates the view
+        // ONLY the typed expired-history signal (the watermark snapshot
+        // itself is gone): the CDC walk is impossible, but a row-wise
+        // view's state is pure transform(live source rows) — rebuild it
+        // at the target in one atomic overwrite commit instead of
+        // failing until someone drops and recreates the view. Any other
+        // IllegalArgumentException (a refresh target below the
+        // watermark, an unrelated lineage) is a caller bug and
+        // PROPAGATES — a blanket catch here used to turn typos into
+        // silent full source rescans (ADVICE r10).
+        case _: graft.core.ExpiredHistoryException =>
           return rebuild(source, target)
       }
 

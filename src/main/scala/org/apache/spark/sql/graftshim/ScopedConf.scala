@@ -11,36 +11,62 @@ import org.apache.spark.sql.DataFrame
   * of) anything else planning in the same session during the window. */
 object ScopedConf {
 
-  /** Cloned sessions cached per (parent session, overrides): a
-    * streaming sink with a write-clustered table would otherwise build
-    * a fresh SessionState every micro-batch. Weak keys let a parent
-    * session (and its clones) unload with the app; the overrides are
-    * applied once at clone time and the clone is never mutated after.
-    * The clone snapshots the parent's conf at FIRST use — later parent
-    * conf changes don't propagate into it (callers key value-bearing
-    * overrides into `confs`, so changing e.g. the advisory byte size
-    * naturally selects a fresh clone). */
+  /** Bound on cached clones ACROSS all parents and override sets. The
+    * engine's callers use a handful of override sets per session
+    * (advisory-partition sizes keyed by value), so 32 entries covers
+    * steady state; under session churn (a server embedding the engine)
+    * eviction is what lets a dropped parent session unload — the clone
+    * strongly references its parent's SessionState, so any cache design
+    * that never evicts pins every parent forever. (The previous
+    * WeakHashMap keyed by parent had exactly that flaw: the VALUE
+    * reached the KEY, so the weak key was never collectible —
+    * VERDICT/ADVICE r10.) */
+  private val MaxClones = 32
+
+  /** (parent sessionUUID, overrides) → clone, LRU over [[MaxClones]].
+    * Keyed by the parent's UUID string — never by the parent object —
+    * so the cache itself holds no reference path to a parent except
+    * through its live clones, and eviction severs that. The clone
+    * snapshots the parent's conf/catalog state at FIRST use — later
+    * parent conf changes don't propagate into it (callers key
+    * value-bearing overrides into `confs`, so changing e.g. the
+    * advisory byte size naturally selects a fresh clone). */
   private val clones =
-    new java.util.WeakHashMap[org.apache.spark.sql.classic.SparkSession,
-      java.util.concurrent.ConcurrentHashMap[Seq[(String, String)],
-        org.apache.spark.sql.classic.SparkSession]]()
+    new java.util.LinkedHashMap[(String, Seq[(String, String)]),
+        org.apache.spark.sql.classic.SparkSession](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Seq[(String, String)]),
+            org.apache.spark.sql.classic.SparkSession]): Boolean =
+        size() > MaxClones
+    }
 
   def withScopedConf[A](df: DataFrame, confs: Seq[(String, String)])(
       body: DataFrame => A): A = {
     val classic = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val perSession = clones.synchronized {
-      var m = clones.get(classic)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap()
-        clones.put(classic, m)
+    val key = (classic.sessionUUID, confs)
+    val clone = clones.synchronized {
+      val hit = clones.get(key)
+      if (hit != null) hit
+      else {
+        val c = classic.cloneSession()
+        confs.foreach { case (k, v) => c.conf.set(k, v) }
+        clones.put(key, c)
+        c
       }
-      m
     }
-    val clone = perSession.computeIfAbsent(confs, { _ =>
-      val c = classic.cloneSession()
-      confs.foreach { case (k, v) => c.conf.set(k, v) }
-      c
-    })
     body(org.apache.spark.sql.classic.Dataset.ofRows(clone, df.queryExecution.logical))
   }
+
+  /** Drop every cached clone of `session` — for embedders that retire
+    * sessions deterministically instead of waiting for LRU churn. */
+  def invalidate(session: org.apache.spark.sql.SparkSession): Unit = {
+    val uuid = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
+    clones.synchronized {
+      val it = clones.keySet().iterator()
+      while (it.hasNext) if (it.next()._1 == uuid) it.remove()
+    }
+  }
+
+  /** Current number of cached clones (bounded by [[MaxClones]]). */
+  def cacheSize: Int = clones.synchronized(clones.size())
 }

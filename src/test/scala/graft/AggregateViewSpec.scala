@@ -336,4 +336,20 @@ class AggregateViewSpec extends AnyFunSuite {
     // MaterializedView.load must refuse the aggregate plan by name
     intercept[IllegalArgumentException](MaterializedView.load(spark, loc))
   }
+
+  test("refresh to a target BELOW the watermark is a caller error, not a rebuild") {
+    val rows = spark.createDataFrame(Seq(
+      (1L, "a", 10.0), (2L, "b", 20.0))).toDF("id", "g", "v")
+    val src = SpaceDataset.create(spark, freshLoc("aggsrc_below"), rows.schema, Seq("id"))
+    src.append(rows)
+    val oldHead = src.storage.metadata.currentSnapshotId
+    val av = AggregateView.create(spark, freshLoc("aggmv_below"), src, Seq("g"),
+      Seq(AggSpec.sum("v", "sum_v")))
+    src.append(spark.createDataFrame(Seq((3L, "a", 5.0))).toDF("id", "g", "v"))
+    assert(av.refresh() >= 1) // watermark past oldHead
+    // oldHead still exists: asking for it must surface, not full-rebuild
+    val e = intercept[IllegalArgumentException](
+      av.refresh(targetVersion = Some(oldHead.toString)))
+    assert(!e.isInstanceOf[graft.core.ExpiredHistoryException])
+  }
 }

@@ -135,4 +135,27 @@ class ClusterSpec extends AnyFunSuite {
       ds.clusterBy(Seq("nope"), 100L)
     }
   }
+
+  test("malformed mergeFraction conf fails loudly with the key name") {
+    val loc = java.nio.file.Files.createTempDirectory("graft_cluster_conf_").toString + "/t"
+    val rows = spark.range(0, 200).selectExpr("id as k", "id * 2 as v")
+    val ds = SpaceDataset.create(spark, loc, rows.schema, Seq("k"))
+    // overlapping ranges so the incremental pass has a dirty set and
+    // actually consults the merge-fraction conf
+    ds.append(rows.filter(col("k") < 120))
+    ds.append(rows.filter(col("k") >= 80))
+    val key = "spark.graft.cluster.mergeFraction"
+    for (bad <- Seq("potato", "NaN", "-0.5")) {
+      spark.conf.set(key, bad)
+      try {
+        val e = intercept[IllegalArgumentException](
+          ds.clusterBy(Seq("k"), 50L, incremental = true))
+        assert(e.getMessage.contains(key), s"error for '$bad' must name the conf key")
+      } finally spark.conf.unset(key)
+    }
+    // a valid value still works
+    spark.conf.set(key, "0.5")
+    try ds.clusterBy(Seq("k"), 50L, incremental = true)
+    finally spark.conf.unset(key)
+  }
 }

@@ -304,4 +304,19 @@ class ViewSpec extends AnyFunSuite {
     assert(got.count() == exp.count())
     assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty)
   }
+
+  test("refresh to a target BELOW the watermark is a caller error, not a rebuild") {
+    val src = sourceTable()
+    val oldHead = src.storage.metadata.currentSnapshotId
+    val v = View.ofDataset(src).selectExprs("o_orderkey", "o_totalprice")
+    val mv = v.materialize(spark, freshLoc("mv_below"), Seq("o_orderkey"))
+    src.append(orders.filter(col("o_orderkey") > 1000L && col("o_orderkey") <= 1100L))
+    assert(mv.refresh() == 1) // watermark is now past oldHead
+    // the old snapshot still EXISTS — asking to refresh back to it must
+    // surface as an error (the r10 blanket IllegalArgumentException
+    // catch silently turned this into a full-source rebuild)
+    val e = intercept[IllegalArgumentException](
+      mv.refresh(targetVersion = Some(oldHead.toString)))
+    assert(!e.isInstanceOf[graft.core.ExpiredHistoryException])
+  }
 }
