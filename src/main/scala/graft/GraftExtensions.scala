@@ -40,6 +40,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           builder(exprs)
         }))
     }
+    // merge-on-read soundness for SQL reads: relations over
+    // vector-carrying snapshots swap to the masked read plan. Injected
+    // BEFORE the row-level rule so a MERGE SOURCE over a vector-carrying
+    // table is masked before the command captures its plan (targets are
+    // skipped — their machinery masks internally).
+    ext.injectResolutionRule(org.apache.spark.sql.graftshim.GraftDvMaskRule)
     // SQL row-level parity: UPDATE / MERGE INTO on graft catalog tables
     // resolve to the SpaceDataset CoW machinery (DELETE already works
     // through DSv2 SupportsDelete without any rule)

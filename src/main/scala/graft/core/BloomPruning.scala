@@ -85,38 +85,86 @@ object BloomPruning {
   private sealed trait Prover {
     def mightContain(dt: DataType, v: Any): Boolean
   }
-  private final case class BloomProver(b: BloomFilter) extends Prover {
+  /** `prim` is the FILE's physical type for the column. With metadata-
+    * only type widening (int→bigint, int→double, float→double —
+    * [[Storage.widenColumn]]), the predicate literal arrives in the
+    * WIDENED schema type while old files hashed the narrow physical
+    * values into their blooms: hashing the wide value directly would
+    * miss every member (silent wrong prune). Probes convert the literal
+    * down to the file's type when it is exactly representable there —
+    * and a literal NOT representable in the file's type provably
+    * matches nothing in that file, which is a sound (stronger) prune. */
+  private final case class BloomProver(
+      b: BloomFilter,
+      prim: org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName) extends Prover {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+    private def hitInt(i: Int): Boolean = b.findHash(b.hash(i))
+    private def hitLong(l: Long): Boolean = b.findHash(b.hash(l))
+    private def hitFloat(f: Float): Boolean =
+      // Spark SQL evaluates -0.0 = 0.0 as TRUE, but the bloom hashed
+      // the writer's raw IEEE bits — a zero probe must admit either
+      // pattern or a file whose zeros are all -0.0 is wrongly pruned
+      // for `k = 0.0` (and vice versa). NaN bit patterns are not
+      // canonical across writers: keep the file.
+      if (java.lang.Float.isNaN(f)) true
+      else if (f == 0.0f) b.findHash(b.hash(0.0f)) || b.findHash(b.hash(-0.0f))
+      else b.findHash(b.hash(f))
+    private def hitDouble(d: Double): Boolean =
+      if (java.lang.Double.isNaN(d)) true
+      else if (d == 0.0d) b.findHash(b.hash(0.0d)) || b.findHash(b.hash(-0.0d))
+      else b.findHash(b.hash(d))
+
     def mightContain(dt: DataType, v: Any): Boolean = dt match {
-      case IntegerType => b.findHash(b.hash(v.asInstanceOf[Int]))
-      case LongType => b.findHash(b.hash(v.asInstanceOf[Long]))
-      case FloatType =>
-        val f = v.asInstanceOf[Float]
-        // Spark SQL evaluates -0.0 = 0.0 as TRUE, but the bloom hashed
-        // the writer's raw IEEE bits — a zero probe must admit either
-        // pattern or a file whose zeros are all -0.0 is wrongly pruned
-        // for `k = 0.0` (and vice versa). NaN bit patterns are not
-        // canonical across writers: keep the file.
-        if (java.lang.Float.isNaN(f)) true
-        else if (f == 0.0f) b.findHash(b.hash(0.0f)) || b.findHash(b.hash(-0.0f))
-        else b.findHash(b.hash(f))
+      case IntegerType => hitInt(v.asInstanceOf[Int])
+      case LongType =>
+        val l = v.asInstanceOf[Long]
+        prim match {
+          case INT64 => hitLong(l)
+          case INT32 => l >= Int.MinValue && l <= Int.MaxValue && hitInt(l.toInt)
+          case _ => true
+        }
+      case FloatType => hitFloat(v.asInstanceOf[Float])
       case DoubleType =>
         val d = v.asInstanceOf[Double]
-        if (java.lang.Double.isNaN(d)) true
-        else if (d == 0.0d) b.findHash(b.hash(0.0d)) || b.findHash(b.hash(-0.0d))
-        else b.findHash(b.hash(d))
+        prim match {
+          case DOUBLE => hitDouble(d)
+          case FLOAT =>
+            // a stored float f equals the double probe iff widening f
+            // reproduces d exactly (NaN conservatively kept)
+            java.lang.Double.isNaN(d) || (d.toFloat.toDouble == d && hitFloat(d.toFloat))
+          case INT32 =>
+            // int→double widen: only an integral in-int-range double
+            // can match any stored value
+            !java.lang.Double.isNaN(d) && d == Math.rint(d) &&
+              d >= Int.MinValue && d <= Int.MaxValue && hitInt(d.toInt)
+          case _ => true
+        }
       case StringType => b.findHash(b.hash(Binary.fromConstantByteArray(utf8(v))))
       case _ => true
     }
   }
-  /** Exact membership: values are canonicalized (strings as String,
-    * float/double zeros as +0.0 — boxed equality distinguishes ±0.0
-    * where Spark SQL does not; boxed NaN == NaN already matches
-    * Spark's NaN-equals-NaN semantics). */
+  /** Exact membership. Values are NORMALIZED at decode time — integral
+    * physical types to Long, floating to Double with zeros collapsed to
+    * +0.0 — so membership survives metadata-only type widening (the
+    * probe literal's type and the file's physical type may legally
+    * differ by a safe promotion) while still following Spark SQL's
+    * `-0.0 = 0.0 → true` (boxed equality distinguishes ±0.0) and
+    * NaN-equals-NaN semantics (boxed Double NaN == NaN). */
   private final case class DictProver(values: Set[Any]) extends Prover {
     def mightContain(dt: DataType, v: Any): Boolean = dt match {
       case StringType => values.contains(new String(utf8(v), java.nio.charset.StandardCharsets.UTF_8))
-      case FloatType | DoubleType => values.contains(canonZero(v))
-      case IntegerType | LongType => values.contains(v)
+      case IntegerType => values.contains(v.asInstanceOf[Int].toLong)
+      case LongType => values.contains(v.asInstanceOf[Long])
+      case FloatType => values.contains(canonZero(v.asInstanceOf[Float].toDouble))
+      case DoubleType =>
+        val d = v.asInstanceOf[Double]
+        // the set holds Doubles (FLOAT/DOUBLE files) or Longs (an INT32
+        // file probed after an int→double widen) — check both images
+        values.contains(canonZero(d)) ||
+          (!java.lang.Double.isNaN(d) && d == Math.rint(d) &&
+            d >= Long.MinValue.toDouble && d <= Long.MaxValue.toDouble &&
+            values.contains(d.toLong))
       case _ => true
     }
   }
@@ -125,7 +173,6 @@ object BloomPruning {
     * `-0.0 = 0.0 → true` (java.lang.{Float,Double}.equals compares bit
     * patterns and would say false). */
   private def canonZero(v: Any): Any = v match {
-    case f: java.lang.Float if f.floatValue() == 0.0f => java.lang.Float.valueOf(0.0f)
     case d: java.lang.Double if d.doubleValue() == 0.0d => java.lang.Double.valueOf(0.0d)
     case other => other
   }
@@ -302,7 +349,8 @@ object BloomPruning {
         val perGroup = reader.getFooter.getBlocks.asScala.toSeq.map { block =>
           block.getColumns.asScala.find(_.getPath.toDotString == colName).flatMap { cc =>
             val bloom = Option(reader.getBloomFilterDataReader(block)).flatMap(r =>
-              Option(r.readBloomFilter(cc))).map(BloomProver.apply)
+              Option(r.readBloomFilter(cc))).map(bf =>
+              BloomProver(bf, cc.getPrimitiveType.getPrimitiveTypeName))
             bloom.orElse(dictProver(reader, block, cc, schema))
           }
         }
@@ -336,10 +384,13 @@ object BloomPruning {
       if (n > MaxDictEntries) None
       else {
         import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+        // normalize to Long / Double at decode (see DictProver): probes
+        // may legally arrive in a WIDENED schema type
         val values: Option[Set[Any]] = desc.getPrimitiveType.getPrimitiveTypeName match {
-          case INT32 => Some((0 until n).map(i => dict.decodeToInt(i): Any).toSet)
+          case INT32 => Some((0 until n).map(i => dict.decodeToInt(i).toLong: Any).toSet)
           case INT64 => Some((0 until n).map(i => dict.decodeToLong(i): Any).toSet)
-          case FLOAT => Some((0 until n).map(i => canonZero(dict.decodeToFloat(i): Any)).toSet)
+          case FLOAT => Some((0 until n).map(i =>
+            canonZero(dict.decodeToFloat(i).toDouble: Any)).toSet)
           case DOUBLE => Some((0 until n).map(i => canonZero(dict.decodeToDouble(i): Any)).toSet)
           case BINARY => Some((0 until n).map(i =>
             dict.decodeToBinary(i).toStringUsingUTF8: Any).toSet)

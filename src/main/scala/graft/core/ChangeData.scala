@@ -115,8 +115,12 @@ object ChangeData {
 
 /** Per-executor deserialized-bitmap cache — the bitmap-contains filter
   * runs per row; deserialization (and path normalization) must not.
-  * Keyed by the FULL normalized file path (unique across tables) and
-  * bounded LRU, so long-lived executors don't accumulate bitmaps. */
+  * Keyed by the SERIALIZED BITMAP CONTENT (the b64 string), not the file
+  * path: with merge-on-read delete vectors the same file legitimately
+  * carries DIFFERENT bitmaps at different snapshots (and across multiple
+  * CDC changelogs), so a path-keyed cache would serve a stale mask.
+  * String keys hash once (String caches hashCode) and compare cheaply on
+  * hit; bounded LRU so long-lived executors don't accumulate bitmaps. */
 object BitmapCache {
   private val MaxBitmaps = 1024
   private val norm = TrieMap.empty[String, String]
@@ -132,12 +136,12 @@ object BitmapCache {
     norm.getOrElseUpdate(raw, DmlOps.pathKey(raw))
   }
 
-  def get(key: String, b64: => String): org.roaringbitmap.RoaringBitmap = cache.synchronized {
-    val hit = cache.get(key)
+  def get(b64: String): org.roaringbitmap.RoaringBitmap = cache.synchronized {
+    val hit = cache.get(b64)
     if (hit != null) hit
     else {
       val bm = DmlOps.deserializeBitmap(b64)
-      cache.put(key, bm)
+      cache.put(b64, bm)
       bm
     }
   }

@@ -102,8 +102,12 @@ object ClusterOp {
     val physical = ReadOp.physicalSchema(storage.schema, storage.recordFields)
     val totalRows = files.map(_._2).sum
     val parts = math.max(1, math.ceil(totalRows.toDouble / targetFileRows).toInt)
-    val scan = spark.read.schema(physical)
+    val rawScan = spark.read.schema(physical)
       .parquet(files.map(f => storage.absolute(f._1)): _*)
+    // fold merge-on-read delete vectors of the rewritten files (see
+    // DeleteVectorOps: mask dead rows, retire entries, compensate stats)
+    val (scan, dvRemoved, foldComp) = DeleteVectorOps.foldIntoScan(
+      spark, storage, snapshotId, files.map(_._1).toSet, rawScan)
     val rows =
       if (!zorder)
         scan.repartitionByRange(parts, sortCols.map(col): _*)
@@ -121,14 +125,16 @@ object ClusterOp {
 
     val co = DmlOps.manifestCarryover(spark, storage, snapshotId, files.map(_._1).toSet)
     val outRows = appendPatch.statsDelta.numRows
-    require(outRows == -co.removedStats.numRows,
-      s"clustering row-count drift: wrote $outRows, removed ${-co.removedStats.numRows}")
+    require(outRows == -co.removedStats.numRows - foldComp.numRows,
+      s"clustering row-count drift: wrote $outRows live rows, removed " +
+        s"${-co.removedStats.numRows} physical minus ${foldComp.numRows} folded dead")
     val patch = Patch(
       addedIndexManifests = appendPatch.addedIndexManifests ++ co.carryoverManifests,
       removedIndexManifests = co.removedManifests,
-      statsDelta = appendPatch.statsDelta + co.removedStats,
+      statsDelta = appendPatch.statsDelta + co.removedStats + foldComp,
       changeLog = None,
-      manifestSummaries = appendPatch.manifestSummaries ++ co.summaries)
+      manifestSummaries = appendPatch.manifestSummaries ++ co.summaries,
+      dvRemoved = dvRemoved)
     Some((patch, ClusterResult(files.size, written.files.size, outRows)))
   }
 

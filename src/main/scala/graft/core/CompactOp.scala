@@ -50,8 +50,16 @@ object CompactOp {
     val mdf = ManifestIO.readIndexManifests(
       spark, storage, snap.manifestFiles.indexManifestFiles)
     import org.apache.spark.sql.functions.col
+    // merge-on-read vectors FOLD on compact: every vector-carrying file
+    // joins the rewrite set regardless of size, so routine compaction is
+    // also the op that returns a MoR-deleted table to its
+    // vectors-free steady state (reads shed the mask, external
+    // consumers like index_files() become usable again)
+    val dvs = storage.deleteVectors(snapshotId)
     val small0 = mdf
-      .filter(col(ManifestIO.NumRowsCol) < threshold)
+      .filter(col(ManifestIO.NumRowsCol) < threshold ||
+        (if (dvs.isEmpty) org.apache.spark.sql.functions.lit(false)
+         else col(ManifestIO.FileCol).isin(dvs.keys.toSeq: _*)))
       .select(col(ManifestIO.FileCol), col(ManifestIO.NumRowsCol))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
 
@@ -65,9 +73,14 @@ object CompactOp {
       if (!bucketed) small0
       else small0
         .groupBy(f => StoragePaths.bucketOf(f._1))
-        .collect { case (Some(_), fs) if fs.size >= 2 => fs }
+        .collect {
+          // a bucket with one vector-carrying file still rewrites: the
+          // fold is the point, not the merge
+          case (Some(_), fs) if fs.size >= 2 || fs.exists(f => dvs.contains(f._1)) => fs
+        }
         .flatten.toSeq
-    if (small.size < minInputFiles) return None
+    val anyFold = small.exists(f => dvs.contains(f._1))
+    if (small.size < minInputFiles && !anyFold) return None
 
     // one distributed, SHUFFLE-FREE rewrite: the manifest already gives
     // exact row counts, so size the output with coalesce (merges scan
@@ -75,8 +88,14 @@ object CompactOp {
     // every compacted byte across the cluster. Physical schema keeps
     // record addresses opaque (never stitched).
     val physical = ReadOp.physicalSchema(storage.schema, storage.recordFields)
-    val scan = spark.read.schema(physical)
+    val rawScan = spark.read.schema(physical)
       .parquet(small.map(f => storage.absolute(f._1)): _*)
+    // fold delete vectors: the rewrite keeps live rows only, the folded
+    // entries retire, and the stats compensation cancels the physical-
+    // row double-count (the dead rows were already subtracted when the
+    // vector was written)
+    val (scan, dvRemoved, foldComp) = DeleteVectorOps.foldIntoScan(
+      spark, storage, snapshotId, small.map(_._1).toSet, rawScan)
     val wcb = storage.metadata.writeClusterBy
     val totalRows = small.map(_._2).sum
     val parts = math.max(1, math.ceil(totalRows.toDouble / targetFileRows).toInt)
@@ -107,14 +126,16 @@ object CompactOp {
 
     val co = DmlOps.manifestCarryover(spark, storage, snapshotId, small.map(_._1).toSet)
     val outRows = appendPatch.statsDelta.numRows
-    require(outRows == -co.removedStats.numRows,
-      s"compaction row-count drift: wrote $outRows, removed ${-co.removedStats.numRows}")
+    require(outRows == -co.removedStats.numRows - foldComp.numRows,
+      s"compaction row-count drift: wrote $outRows live rows, removed " +
+        s"${-co.removedStats.numRows} physical minus ${foldComp.numRows} folded dead")
     val patch = Patch(
       addedIndexManifests = appendPatch.addedIndexManifests ++ co.carryoverManifests,
       removedIndexManifests = co.removedManifests,
-      statsDelta = appendPatch.statsDelta + co.removedStats,
+      statsDelta = appendPatch.statsDelta + co.removedStats + foldComp,
       changeLog = None,
-      manifestSummaries = appendPatch.manifestSummaries ++ co.summaries)
+      manifestSummaries = appendPatch.manifestSummaries ++ co.summaries,
+      dvRemoved = dvRemoved)
     Some((patch, CompactResult(small.size, written.files.size, outRows)))
   }
 }

@@ -1,0 +1,98 @@
+package graft.core
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.format.{RowBitmap, StorageStatistics}
+
+/** Merge-on-read delete-vector plumbing shared by every layer that
+  * touches data-file rows (beyond the reference, whose DML is pure
+  * copy-on-write — delete.py:41-44 defers cleanup to "a separate
+  * garbage collection operation" but always rewrites the files).
+  *
+  * Semantics:
+  *  - A snapshot may carry one consolidated vector set
+  *    ([[graft.format.Snapshot.deleteVectorFile]]): data file → bitmap
+  *    of DEAD row positions. Reads mask those rows; manifests, file
+  *    stats, blooms and buckets keep describing the PHYSICAL file
+  *    (conservative for pruning, exact for IO planning).
+  *  - `storageStatistics.numRows` stays the LIVE count: a MoR delete
+  *    subtracts the newly-dead rows without touching a byte of data.
+  *  - Maintenance rewrites (compact / cluster / record-rewrite) and CoW
+  *    legs FOLD vectors in: the rewrite scan masks dead rows, the
+  *    file's vector entry retires (`Patch.dvRemoved`), and the fold
+  *    adds back the entry's cardinality to the stats delta — those rows
+  *    were already subtracted when the vector was written, and the
+  *    manifest-based accounting of the rewrite subtracts them a second
+  *    time.
+  *  - CDC is UNCHANGED: a MoR delete logs the same per-file bitmaps a
+  *    CoW delete logs, and historical row positions stay physical.
+  */
+object DeleteVectorOps {
+
+  /** Per-file dead fraction at or below which a delete writes a vector
+    * instead of rewriting the file. 0 (default) = pure copy-on-write —
+    * the reference's behavior; 1 = always merge-on-read. A 100 TB
+    * deployment whose deletes are small and scattered sets this (e.g.
+    * 0.2) so a 1 % delete stops rewriting every touched file. */
+  val DvMaxFractionKey = "spark.graft.delete.dvMaxFraction"
+
+  def dvMaxFraction(spark: SparkSession): Double = {
+    val raw = spark.conf.getOption(DvMaxFractionKey).getOrElse("0")
+    val v = try raw.toDouble catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"$DvMaxFractionKey must be a number in [0, 1], got '$raw'")
+    }
+    require(java.lang.Double.isFinite(v) && v >= 0 && v <= 1,
+      s"$DvMaxFractionKey must be a number in [0, 1], got '$raw'")
+    v
+  }
+
+  /** Normalized-path → serialized-bitmap map for a vector set, keyed
+    * exactly like `_metadata.file_path` renders (the one idiom every
+    * file↔executor match uses — see [[DmlOps.pathKey]]). */
+  private def broadcastMap(
+      spark: SparkSession,
+      storage: Storage,
+      dvs: Map[String, RowBitmap]): org.apache.spark.broadcast.Broadcast[Map[String, String]] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val byKey = dvs.collect { case (rel, bm) if bm.bitmapB64.isDefined =>
+      val abs = new Path(storage.absolute(rel))
+      DmlOps.pathKey(abs.getFileSystem(conf).makeQualified(abs).toString) -> bm.bitmapB64.get
+    }
+    spark.sparkContext.broadcast(byKey)
+  }
+
+  /** The live-rows mask for a scan whose files may carry vectors:
+    * `NOT bitmap_contains(file, row)` with missing entries = all live.
+    * None when the set is empty (zero overhead on CoW-only tables). */
+  def maskFilter(
+      spark: SparkSession,
+      storage: Storage,
+      dvs: Map[String, RowBitmap]): Option[Column] = {
+    if (dvs.isEmpty) return None
+    val bc = broadcastMap(spark, storage, dvs)
+    Some(!org.apache.spark.sql.graftshim.BitmapContains.lenient(
+      col("_metadata.file_path"), col("_metadata.row_index"), bc))
+  }
+
+  /** Apply the snapshot's vectors to an explicit-file-list scan (the
+    * maintenance-rewrite shape). Returns the masked frame plus the fold
+    * bookkeeping: the entries being folded (→ `Patch.dvRemoved`) and
+    * the stats compensation (+cardinality — see the object doc). */
+  def foldIntoScan(
+      spark: SparkSession,
+      storage: Storage,
+      snapshotId: Long,
+      files: Set[String],
+      scan: DataFrame): (DataFrame, List[String], StorageStatistics) = {
+    val dvs = storage.deleteVectors(snapshotId).view.filterKeys(files).toMap
+    if (dvs.isEmpty) (scan, Nil, StorageStatistics())
+    else {
+      val masked = scan.filter(maskFilter(spark, storage, dvs).get)
+      (masked, dvs.keys.toList.sorted,
+        StorageStatistics(numRows = dvs.valuesIterator.map(_.numRows).sum))
+    }
+  }
+}

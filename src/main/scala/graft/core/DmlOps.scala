@@ -198,11 +198,18 @@ object DmlOps {
     val physical = ReadOp.physicalSchema(storage.schema, storage.recordFields)
     val conf = spark.sparkContext.hadoopConfiguration
     val relByKey = relByQualifiedKey(storage, conf, candidates)
+    val dvs = storage.deleteVectors(snapshotId)
 
-    val withPos = spark.read.schema(physical)
+    val raw = spark.read.schema(physical)
       .parquet(candidates.map(storage.absolute): _*)
       .withColumn(FileCol, col("_metadata.file_path"))
       .withColumn(RowCol, col("_metadata.row_index"))
+    // rows already soft-deleted by an earlier merge-on-read commit are
+    // not matchable — re-deleting them would double-log the CDC DELETE
+    // (an aggregate view would subtract them twice)
+    val candDvs = dvs.view.filterKeys(candidates.toSet).toMap
+    val withPos = DeleteVectorOps.maskFilter(spark, storage, candDvs)
+      .fold(raw)(raw.filter)
 
     // one (file, serializedBitmap) row per affected file — bitmaps are
     // built in executors; the driver never sees row positions
@@ -215,34 +222,99 @@ object DmlOps {
     }.toMap
     val affectedRel = deletedByFile.keySet
 
-    // rewrite ONLY affected files; survivors keep record addresses as-is
-    // (record_address_input=True analog, delete.py:103)
-    val affectedDF = spark.read.schema(physical)
-      .parquet(affectedRel.toSeq.map(storage.absolute): _*)
-    val survivors = keepSurvivors(affectedDF)
-    val appendPatch = AppendOp.writeFiles(spark, storage, survivors)
+    // ---- merge-on-read split: a file whose NEW dead fraction is at or
+    // below the conf'd threshold (and that keeps at least one live row)
+    // takes a delete VECTOR instead of a rewrite; fully-dead files and
+    // heavy deletes take the copy-on-write leg. Pure-CoW tables with the
+    // conf at 0 skip the per-file row-count lookup entirely.
+    val dvFrac = DeleteVectorOps.dvMaxFraction(spark)
+    val needSplit = dvFrac > 0
+    val physRows: Map[String, Long] =
+      if (needSplit) fileNumRows(spark, storage, snapshotId, affectedRel) else Map.empty
+    val (morFiles, cowFiles) =
+      if (!needSplit) (Set.empty[String], affectedRel)
+      else affectedRel.partition { f =>
+        val phys = physRows(f)
+        val existing = dvs.get(f).map(_.numRows).getOrElse(0L)
+        val newDead = deletedByFile(f).getLongCardinality
+        existing + newDead < phys && newDead.toDouble / phys <= dvFrac
+      }
 
-    val co = manifestCarryover(spark, storage, snapshotId, affectedRel)
-    val removedManifests = co.removedManifests
-    val carryoverManifest = co.carryoverManifests
-    val removed = co.removedStats
-    val fileRows = co.affectedFileRows
+    // ---- merge-on-read leg: no data IO — merge each file's new dead
+    // rows into its (possibly absent) existing vector
+    val dvAdded: Map[String, RowBitmap] = morFiles.iterator.map { f =>
+      val merged = dvs.get(f).flatMap(_.bitmapB64) match {
+        case Some(b64) =>
+          val bm = deserializeBitmap(b64); bm.or(deletedByFile(f)); bm
+        case None => deletedByFile(f)
+      }
+      f -> RowBitmap(f, allRows = false, numRows = merged.getLongCardinality,
+        bitmapB64 = Some(bitmapToB64(merged)))
+    }.toMap
+    val dvObserved: Map[String, Option[String]] =
+      morFiles.iterator.map(f => f -> dvs.get(f).flatMap(_.bitmapB64)).toMap
+    val morDead = morFiles.iterator.map(f => deletedByFile(f).getLongCardinality).sum
+
+    // ---- copy-on-write leg: rewrite ONLY the CoW files; survivors keep
+    // record addresses as-is (record_address_input=True analog,
+    // delete.py:103). An existing vector on a rewritten file FOLDS in:
+    // the survivor scan masks its dead rows, the entry retires, and the
+    // fold compensates the stats (those rows were already subtracted).
+    val (appendPatch, co, dvRemoved, foldComp) =
+      if (cowFiles.isEmpty)
+        (Patch(), CarryoverResult(Nil, Nil, StorageStatistics(), Map.empty),
+          Nil, StorageStatistics())
+      else {
+        val affectedDF = spark.read.schema(physical)
+          .parquet(cowFiles.toSeq.map(storage.absolute): _*)
+        val (maskedDF, removedDvs, comp) = DeleteVectorOps.foldIntoScan(
+          spark, storage, snapshotId, cowFiles, affectedDF)
+        val survivors = keepSurvivors(maskedDF)
+        val ap = AppendOp.writeFiles(spark, storage, survivors)
+        (ap, manifestCarryover(spark, storage, snapshotId, cowFiles), removedDvs, comp)
+      }
+
+    // physical row counts for allRows detection: the carryover pass
+    // covers the CoW files; the split pass covers everything when MoR
+    // was in play (a MoR file is never allRows — it keeps live rows)
+    val fileRows = co.affectedFileRows ++ physRows
 
     val deleteLog = ChangeLog(deletedRows = deletedByFile.toList.sortBy(_._1).map {
       case (file, bm) =>
         val n = bm.getLongCardinality
+        // n == physical rows is only possible when the file had no
+        // existing vector (masked rows are unmatchable), so allRows
+        // stays exact under merge-on-read
         val all = fileRows.get(file).contains(n)
         RowBitmap(file, allRows = all, numRows = n,
           bitmapB64 = if (all) None else Some(bitmapToB64(bm)))
     })
 
     Some(Patch(
-      addedIndexManifests = appendPatch.addedIndexManifests ++ carryoverManifest,
-      removedIndexManifests = removedManifests.toList,
-      statsDelta = appendPatch.statsDelta + removed,
+      addedIndexManifests = appendPatch.addedIndexManifests ++ co.carryoverManifests,
+      removedIndexManifests = co.removedManifests,
+      statsDelta = appendPatch.statsDelta + co.removedStats + foldComp +
+        StorageStatistics(numRows = -morDead),
       changeLog = Some(deleteLog),
-      manifestSummaries = appendPatch.manifestSummaries ++ co.summaries))
+      manifestSummaries = appendPatch.manifestSummaries ++ co.summaries,
+      dvAdded = dvAdded,
+      dvObserved = dvObserved,
+      dvRemoved = dvRemoved))
   }
+
+  /** Physical row count per file (manifest projection) for a specific
+    * file set — the merge-on-read split needs counts BEFORE deciding
+    * which files the carryover pass will cover. */
+  private def fileNumRows(
+      spark: SparkSession,
+      storage: Storage,
+      snapshotId: Long,
+      files: Set[String]): Map[String, Long] =
+    ManifestIO.readIndexManifests(spark, storage,
+      storage.snapshotOrFail(snapshotId).manifestFiles.indexManifestFiles)
+      .filter(col(ManifestIO.FileCol).isin(files.toSeq: _*))
+      .select(col(ManifestIO.FileCol), col(ManifestIO.NumRowsCol))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
   final case class CarryoverResult(
       removedManifests: List[String],
@@ -377,6 +449,12 @@ object DmlOps {
         .select(col(ManifestIO.FileCol), col(ManifestIO.NumRowsCol))
         .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
     val s = snap.storageStatistics
+    // merge-on-read: a vector-carrying file's DELETE rowset is its LIVE
+    // rows (the complement of the vector) — logging allRows would
+    // re-delete rows an earlier MoR commit already logged, and an
+    // aggregate view would subtract them twice. Every vector entry
+    // retires with the overwrite.
+    val dvs = storage.deleteVectors(snapshotId)
     val removePatch = Patch(
       removedIndexManifests = manifests,
       removedRecordManifests = snap.manifestFiles.recordManifestFiles,
@@ -384,9 +462,16 @@ object DmlOps {
         -s.indexUncompressedBytes, -s.recordUncompressedBytes),
       changeLog =
         if (fileRows.isEmpty) None
-        else Some(ChangeLog(deletedRows = fileRows.toList.map {
-          case (f, n) => RowBitmap(f, allRows = true, numRows = n)
-        })))
+        else Some(ChangeLog(deletedRows = fileRows.toList.map { case (f, n) =>
+          dvs.get(f).flatMap(_.bitmapB64) match {
+            case Some(b64) =>
+              val live = RoaringBitmap.flip(deserializeBitmap(b64), 0L, n)
+              RowBitmap(f, allRows = false, numRows = live.getLongCardinality,
+                bitmapB64 = Some(bitmapToB64(live)))
+            case None => RowBitmap(f, allRows = true, numRows = n)
+          }
+        })),
+      dvRemoved = dvs.keys.toList.sorted)
     Patch.merge(Seq(removePatch, appendPatch)).get
   }
 
@@ -438,12 +523,25 @@ object DmlOps {
     *   - other matched rows, when `matchedUpdate`, REPLACE the target row
     *     (the DELETE+ADD encoding, change_data.py:42-44) — when
     *     `matchedUpdate` is false they leave the target untouched;
-    *   - unmatched source rows, when `insertNew`, append.
+    *   - unmatched source rows, when `insertNew`, append;
+    *   - TARGET rows with no matching source row ("NOT MATCHED BY
+    *     SOURCE", the sync-two-tables shape): when
+    *     `notMatchedBySourceDelete` is set, rows satisfying it delete;
+    *     when `notMatchedBySourceUpdate` is set, remaining unmatched
+    *     rows satisfying its condition are rewritten with the
+    *     assignments applied (every RHS sees the PRE-update row —
+    *     same staging rule as row-level UPDATE). Assignments address
+    *     top-level non-key columns. These two legs necessarily scan the
+    *     WHOLE target (a row outside the source's key range is by
+    *     definition unmatched), so only merges that use them pay a full
+    *     anti-join pass; the matched legs keep the pruned scan.
     *
     * The target-side match scan is pre-pruned to the source's key range
     * (same stats prefilter as insert/deleteByKeys), so merging a narrow
     * key range never scans the whole table; matching is one distributed
-    * semi/anti join pair. */
+    * semi/anti join pair. All delete legs combine into ONE CoW pass and
+    * all appends into ONE write, so each data file is rewritten at most
+    * once per MERGE. */
   def merge(
       spark: SparkSession,
       storage: Storage,
@@ -451,7 +549,9 @@ object DmlOps {
       source: DataFrame,
       matchedUpdate: Boolean,
       matchedDeleteCond: Option[Column],
-      insertNew: Boolean): Option[Patch] = {
+      insertNew: Boolean,
+      notMatchedBySourceDelete: Option[Column] = None,
+      notMatchedBySourceUpdate: Option[(Column, Seq[(String, Column)])] = None): Option[Patch] = {
     val pks = storage.primaryKeys
     failOnInternalDupes(source, pks)
     val src = source.persist()
@@ -468,12 +568,47 @@ object DmlOps {
         case (Some(_), false) => Some(matched.filter(delCond))
         case (Some(_), true) => Some(matched) // updates also delete-then-add
       }
+
+      // ---- NOT MATCHED BY SOURCE legs (full-target anti-join; rows are
+      // read at the pinned snapshot, logical shape — record payloads
+      // stitched so the rewritten rows re-append uniformly)
+      val nmbsNeeded = notMatchedBySourceDelete.isDefined || notMatchedBySourceUpdate.isDefined
+      val notMatched: Option[DataFrame] =
+        if (!nmbsNeeded) None
+        else {
+          val full = ReadOp.scanPhysical(spark, storage, snapshotId, None)
+          val stitched =
+            if (storage.recordFields.isEmpty) full
+            else RecordIO.stitch(spark, storage, full, None)
+          Some(stitched.join(keys, pks, "left_anti"))
+        }
+      val nmbsDelVictims = notMatchedBySourceDelete.map(c => notMatched.get.filter(c))
+      val nmbsUpdVictims = notMatchedBySourceUpdate.map { case (cond, _) =>
+        // a row claimed by the DELETE clause never reaches UPDATE
+        val base = notMatchedBySourceDelete.fold(notMatched.get)(dc =>
+          notMatched.get.filter(!coalesce(dc, lit(false))))
+        base.filter(cond)
+      }
+      val nmbsUpdatedRows = notMatchedBySourceUpdate.map { case (_, assigns) =>
+        // stage every RHS first so later assignments read PRE-update values
+        val tmp = assigns.zipWithIndex.map { case ((k, v), i) => (k, v, s"__graft_set_$i") }
+        val staged = tmp.foldLeft(nmbsUpdVictims.get) { case (df, (_, v, t)) => df.withColumn(t, v) }
+        val applied = tmp.foldLeft(staged) { case (df, (k, _, t)) => df.withColumn(k, col(t)) }
+        applied.drop(tmp.map(_._3): _*)
+      }
+
+      // ONE CoW delete pass over the union of every leg's victim keys
+      val deleteKeyFrames =
+        toDelete.map(_.select(pks.map(col): _*)).toSeq ++
+          nmbsDelVictims.map(_.select(pks.map(col): _*)).toSeq ++
+          nmbsUpdVictims.map(_.select(pks.map(col): _*)).toSeq
+      val deletePatch = deleteKeyFrames.reduceOption(_.unionByName(_))
+        .flatMap(k => deleteByKeys(spark, storage, snapshotId, k))
+
       val toAppend =
         (if (matchedUpdate) Seq(matched.filter(!coalesce(delCond, lit(false)))) else Nil) ++
-          (if (insertNew) Seq(src.join(targetKeys, pks, "left_anti")) else Nil)
-
-      val deletePatch = toDelete.flatMap(d =>
-        deleteByKeys(spark, storage, snapshotId, d.select(pks.map(col): _*)))
+          (if (insertNew) Seq(src.join(targetKeys, pks, "left_anti")) else Nil) ++
+          nmbsUpdatedRows.toSeq
       val appendPatch = toAppend.reduceOption(_.unionByName(_))
         .filter(!_.isEmpty)
         .map(RecordIO.writeWithRecords(spark, storage, _))

@@ -114,6 +114,10 @@ object GcOps {
     val manifestFiles = live.flatMap(s =>
       s.manifestFiles.indexManifestFiles ++ s.manifestFiles.recordManifestFiles).distinct
     val changeLogFiles = live.flatMap(_.changeLogFile).distinct
+    // merge-on-read: every live snapshot's consolidated delete-vector
+    // file is load-bearing (reads at that snapshot mask through it);
+    // superseded DV files of expired snapshots become orphans here
+    val dvFiles = live.flatMap(_.deleteVectorFile).distinct
     val changeLogRefs = changeLogFiles.flatMap { f =>
       val cl = MetadataJson.readChangeLog(storage.readString(f))
       (cl.addedRows ++ cl.deletedRows).map(_.file)
@@ -125,7 +129,7 @@ object GcOps {
         .collect().map(_.getString(0)).toSeq
 
     val reachable: Set[String] =
-      (manifestFiles ++ changeLogFiles ++ changeLogRefs ++ dataFiles ++
+      (manifestFiles ++ changeLogFiles ++ changeLogRefs ++ dataFiles ++ dvFiles ++
         Seq(StoragePaths.EntryPointFile,
           storage.metadataFile,
           s"${StoragePaths.MetadataDir}/commit.lock")).toSet

@@ -22,6 +22,15 @@ import org.apache.parquet.hadoop.example.GroupReadSupport
   * file-instruction batching (random_access.py:244-279). */
 final class RandomAccessReader(ds: SpaceDataset, field: String) {
   require(ds.storage.recordFields.contains(field), s"$field is not a record field")
+  // ordinals map onto PHYSICAL manifest row counts — a merge-on-read
+  // snapshot would shift every ordinal past its first dead row and
+  // serve deleted payloads; compact() folds the vectors and restores
+  // random access
+  require(ds.storage.deleteVectors(
+      ds.storage.metadata.currentSnapshotId).isEmpty,
+    "random access: the current snapshot carries merge-on-read delete " +
+      "vectors — ordinal addressing needs a vectors-free layout; run " +
+      "compact() to fold them first")
 
   private val conf: Configuration = ds.spark.sparkContext.hadoopConfiguration
   // inverse payload codec, same hook as the stitch path (the reference

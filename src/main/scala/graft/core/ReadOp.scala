@@ -118,7 +118,13 @@ object ReadOp {
       storage: Storage,
       snapshotId: Long,
       predicate: Option[Column] = None): DataFrame = {
-    val df = GraftRelation.dataFrame(spark, storage, snapshotId)
+    val df0 = GraftRelation.dataFrame(spark, storage, snapshotId)
+    // merge-on-read: mask soft-deleted rows (no-op Column when the
+    // snapshot has no delete vectors — the common steady state). The
+    // mask is a plain conjunct, so the user's own filters still push
+    // down past it into the parquet scan and the file index.
+    val df = DeleteVectorOps.maskFilter(
+      spark, storage, storage.deleteVectors(snapshotId)).fold(df0)(df0.filter)
     // ±0.0 pushdown soundness even on sessions without GraftExtensions:
     // rewrite zero-equality forms before Catalyst pushes them to parquet
     // (see FloatingZeroRewrite — vanilla pushdown drops row groups whose

@@ -62,11 +62,19 @@ object RecordRewriteOp {
 
     val conf = spark.sparkContext.hadoopConfiguration
     val physical = ReadOp.physicalSchema(storage.schema, recordFields)
+    // merge-on-read mask BEFORE counting live references: a soft-deleted
+    // index row must not pin its payload — masking here is what lets a
+    // MoR-deleted corpus slice become reclaimable record bytes
+    val dvs = storage.deleteVectors(snapshotId)
+    val mask = DeleteVectorOps.maskFilter(spark, storage, dvs)
     val idxOpt =
       if (idxFiles.isEmpty) None
-      else Some(spark.read.schema(physical)
-        .parquet(idxFiles.map(storage.absolute): _*)
-        .withColumn("__idx_file", col("_metadata.file_path")))
+      else {
+        val raw = spark.read.schema(physical)
+          .parquet(idxFiles.map(storage.absolute): _*)
+          .withColumn("__idx_file", col("_metadata.file_path"))
+        Some(mask.fold(raw)(raw.filter))
+      }
 
     // live reference counts per record file (map-side combined count)
     val liveDF = idxOpt match {
@@ -112,13 +120,17 @@ object RecordRewriteOp {
 
     // rewrite the affected index files: payloads stitched back in, then
     // re-written as fresh record + index files
-    val appendPatch =
-      if (affectedRel.isEmpty) Patch()
+    val (appendPatch, dvRemoved, foldComp) =
+      if (affectedRel.isEmpty) (Patch(), Nil, StorageStatistics())
       else {
         val affectedDF = spark.read.schema(physical)
           .parquet(affectedRel.toSeq.map(storage.absolute): _*)
-        RecordIO.writeWithRecords(spark, storage,
-          RecordIO.stitch(spark, storage, affectedDF, None))
+        // fold vectors of the rewritten index files (live rows only;
+        // the folded entries retire and the stats compensate)
+        val (masked, removed, comp) = DeleteVectorOps.foldIntoScan(
+          spark, storage, snapshotId, affectedRel, affectedDF)
+        (RecordIO.writeWithRecords(spark, storage,
+          RecordIO.stitch(spark, storage, masked, None)), removed, comp)
       }
     // all-dead picked files have no referencing index file left (their
     // rows were CoW-deleted already) — nothing to carry over then
@@ -152,9 +164,10 @@ object RecordRewriteOp {
       removedIndexManifests = co.removedManifests,
       addedRecordManifests = appendPatch.addedRecordManifests ++ recCarry,
       removedRecordManifests = recMans,
-      statsDelta = appendPatch.statsDelta + co.removedStats +
+      statsDelta = appendPatch.statsDelta + co.removedStats + foldComp +
         StorageStatistics(recordUncompressedBytes = -pickedBytes),
-      manifestSummaries = appendPatch.manifestSummaries ++ co.summaries)
+      manifestSummaries = appendPatch.manifestSummaries ++ co.summaries,
+      dvRemoved = dvRemoved)
     Some((patch, RewriteResult(picked.size, affectedRel.size,
       appendPatch.statsDelta.numRows)))
   }

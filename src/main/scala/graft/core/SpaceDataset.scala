@@ -421,6 +421,17 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
     * (see [[Storage.dropNestedColumn]]). */
   def dropNestedColumn(path: Seq[String]): Unit = storage.dropNestedColumn(path)
 
+  /** Schema evolution: TYPE WIDENING, metadata-only (see
+    * [[Storage.widenColumn]]) — int→bigint, int→double, float→double.
+    * `name` addresses the top-level column of that exact name if one
+    * exists; otherwise dots walk struct members (`meta.price`), the
+    * same rule [[update]] uses. */
+  def widenColumn(name: String, newType: org.apache.spark.sql.types.DataType): Unit = {
+    val path =
+      if (schema.fieldNames.contains(name)) Seq(name) else name.split('.').toSeq
+    storage.widenColumn(path, newType)
+  }
+
   // ------------------------------------------------------- maintenance
 
   /** Expire old unreferenced snapshots (metadata-only; see GcOps). */
@@ -529,8 +540,20 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
     * list is directly consumable outside the engine. */
   def indexFiles(
       filter: Option[Column] = None,
-      version: Option[String] = None): Seq[String] =
+      version: Option[String] = None): Seq[String] = {
+    // the no-masks contract above is what makes this list directly
+    // consumable by raw parquet readers — a merge-on-read snapshot
+    // VIOLATES it (files contain soft-deleted rows), so fail loudly
+    // instead of silently exporting dead rows; compact() folds the
+    // vectors and restores exportability
+    val sid = version.map(storage.versionToSnapshotId)
+      .getOrElse(storage.branchHead(currentBranch))
+    require(storage.deleteVectors(sid).isEmpty,
+      s"index_files: snapshot $sid carries merge-on-read delete vectors — " +
+        "raw file export would include soft-deleted rows; run compact() " +
+        "to fold the vectors first")
     plan(filter, version).files.map(storage.absolute)
+  }
 
   /** Filterable index-manifest table (storage.py:459-480). */
   def indexManifest(): DataFrame = {
@@ -557,11 +580,15 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
 
 /** Accumulates MERGE clauses; `execute` runs them in ONE optimistic
   * transaction (one snapshot, one changelog). At least one clause is
-  * required. The delete condition is evaluated against the SOURCE row. */
+  * required. The matched-delete condition is evaluated against the
+  * SOURCE row; the NOT-MATCHED-BY-SOURCE conditions and assignment
+  * values against the TARGET row. */
 final class MergeBuilder private[core] (ds: SpaceDataset, source: DataFrame) {
   private var matchedUpdate = false
   private var matchedDeleteCond: Option[Column] = None
   private var insertNew = false
+  private var nmbsDeleteCond: Option[Column] = None
+  private var nmbsUpdate: Option[(Column, Seq[(String, Column)])] = None
 
   def whenMatchedUpdate(): MergeBuilder = { matchedUpdate = true; this }
 
@@ -571,15 +598,52 @@ final class MergeBuilder private[core] (ds: SpaceDataset, source: DataFrame) {
 
   def whenNotMatchedInsert(): MergeBuilder = { insertNew = true; this }
 
+  /** Delete target rows with no matching source row (optionally only
+    * those satisfying `cond`, over target columns) — the sync shape:
+    * `merge(snapshotOfTruth).whenMatchedUpdate().whenNotMatchedInsert()
+    * .whenNotMatchedBySourceDelete()` makes the target equal the
+    * source. */
+  def whenNotMatchedBySourceDelete(
+      cond: Column = org.apache.spark.sql.functions.lit(true)): MergeBuilder = {
+    nmbsDeleteCond = Some(cond); this
+  }
+
+  /** Rewrite target rows with no matching source row: `assignments`
+    * (top-level non-key column → value over the PRE-update target row)
+    * apply to rows satisfying `cond`; rows claimed by a
+    * NOT-MATCHED-BY-SOURCE DELETE clause are skipped. */
+  def whenNotMatchedBySourceUpdate(
+      assignments: Map[String, Column],
+      cond: Column = org.apache.spark.sql.functions.lit(true)): MergeBuilder = {
+    require(assignments.nonEmpty, "NOT MATCHED BY SOURCE UPDATE needs assignments")
+    val pkSet = ds.primaryKeys.toSet
+    assignments.keys.foreach { k =>
+      require(ds.schema.fieldNames.contains(k),
+        s"unknown or non-top-level column $k (NOT MATCHED BY SOURCE UPDATE " +
+          "assigns top-level columns)")
+      require(!pkSet.contains(k), s"cannot update primary key $k")
+    }
+    nmbsUpdate = Some((cond, assignments.toSeq.sortBy(_._1)))
+    this
+  }
+
   /** Returns the id the new snapshot committed as (a no-op merge —
     * nothing matched any enabled clause — commits nothing, same
     * convention as [[SpaceDataset.delete]]). */
   def execute(branch: String = ds.getCurrentBranch): Long = {
-    require(matchedUpdate || matchedDeleteCond.isDefined || insertNew,
+    require(matchedUpdate || matchedDeleteCond.isDefined || insertNew ||
+      nmbsDeleteCond.isDefined || nmbsUpdate.isDefined,
       "merge requires at least one WHEN clause")
     ds.storage.commitTransaction(branch) { pinned =>
       DmlOps.merge(ds.spark, ds.storage, pinned, source,
-        matchedUpdate, matchedDeleteCond.map(ds.toPhysicalCol), insertNew)
+        matchedUpdate, matchedDeleteCond.map(ds.toPhysicalCol), insertNew,
+        nmbsDeleteCond.map(ds.toPhysicalCol),
+        nmbsUpdate.map { case (c, as) =>
+          (ds.toPhysicalCol(c),
+            as.map { case (k, v) =>
+              ds.storage.physicalNameOf(k) -> ds.toPhysicalCol(v)
+            })
+        })
     }
   }
 }

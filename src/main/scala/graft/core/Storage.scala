@@ -466,6 +466,75 @@ final class Storage(val location: String, val conf: Configuration) {
       lastUpdateTimeMs = System.currentTimeMillis()))
   }
 
+  /** Metadata-only TYPE WIDENING: promote a column (or struct member)
+    * to a wider type — the safe promotions `int→bigint`, `int→double`,
+    * `float→double`. No byte of data is rewritten: Spark 4's parquet
+    * readers (vectorized and row-based) widen INT32/FLOAT values to the
+    * requested LONG/DOUBLE at scan time, for top-level and nested
+    * fields alike, with filter pushdown intact (probed on this build;
+    * SPARK-40876 is the upstream feature). The field keeps its id, so
+    * manifest stats (`_STATS_f<id>` structs, themselves widened on
+    * read by the same mechanism), renames, and pruning stay keyed
+    * correctly; NEW files and manifests simply write the wider type.
+    * Membership pruning hashes per-FILE physical types
+    * ([[BloomPruning]]), so old files' blooms/dictionaries keep
+    * engaging after the widen. Bucket columns cannot widen — the
+    * murmur3 bucket hash of an int differs from the same value hashed
+    * as long, which would break the layout contract.
+    *
+    * `path` is a LOGICAL dotted path (length 1 = top-level). */
+  def widenColumn(path: Seq[String], newType: DataType): Unit = withCommitLock {
+    reload()
+    require(path.nonEmpty, "widenColumn requires a column path")
+    val physPath = physicalPathOf(path).toVector
+    physPath.indices.foreach { i =>
+      require(logicalLeafOf(physPath.take(i + 1)) == path(i),
+        s"column ${path.take(i + 1).mkString(".")} not found")
+    }
+    if (physPath.lengthCompare(1) == 0) {
+      val phys = physPath.head
+      require(!meta.recordFields.contains(phys),
+        s"cannot widen record field ${path.head}")
+      require(!meta.bucketColumns.contains(phys),
+        s"cannot widen bucket column ${path.head}: the bucket hash of the " +
+          "widened type differs, which would break the bucket layout")
+    }
+    def widen(st: StructType, steps: Seq[String], walked: Seq[String]): StructType =
+      steps match {
+        case Seq(leaf) =>
+          val idx = st.fields.indexWhere(_.name == leaf)
+          require(idx >= 0, s"column ${path.mkString(".")} not found")
+          val f = st.fields(idx)
+          val ok = (f.dataType, newType) match {
+            case (org.apache.spark.sql.types.IntegerType,
+                  org.apache.spark.sql.types.LongType) => true
+            case (org.apache.spark.sql.types.IntegerType,
+                  org.apache.spark.sql.types.DoubleType) => true
+            case (org.apache.spark.sql.types.FloatType,
+                  org.apache.spark.sql.types.DoubleType) => true
+            case _ => false
+          }
+          require(ok, s"unsupported type widening ${f.dataType.simpleString} -> " +
+            s"${newType.simpleString} for ${path.mkString(".")} (supported: " +
+            "int->bigint, int->double, float->double)")
+          // copy keeps the field-id metadata: stats/pruning stay keyed
+          StructType(st.fields.updated(idx, f.copy(dataType = newType)))
+        case p +: rest =>
+          val idx = st.fields.indexWhere(_.name == p)
+          require(idx >= 0, s"struct ${(walked :+ p).mkString(".")} not found")
+          val f = st.fields(idx)
+          f.dataType match {
+            case s: StructType =>
+              StructType(st.fields.updated(idx,
+                f.copy(dataType = widen(s, rest, walked :+ p))))
+            case other => throw new IllegalArgumentException(
+              s"$p is not a struct (${other.simpleString})")
+          }
+      }
+    persist(meta.copy(schemaJson = widen(schema, physPath, Vector.empty).json,
+      lastUpdateTimeMs = System.currentTimeMillis()))
+  }
+
   /** First field id not yet handed out: past both the live schema's ids
     * and the high-water mark left by dropped columns (never reuse). */
   private def nextFieldId: Int =
@@ -661,9 +730,29 @@ final class Storage(val location: String, val conf: Configuration) {
       f
     }
 
+    // merge-on-read delete vectors: fold the patch's vector edits into
+    // the parent's consolidated set; write a new DV file only when the
+    // set actually changed (appends inherit the parent's file pointer)
+    val parentDvs = deleteVectors(baseId)
+    val dvFile =
+      if (patch.dvAdded.isEmpty &&
+          // a removal that names no live entry is a no-op
+          !patch.dvRemoved.exists(parentDvs.contains))
+        base.deleteVectorFile
+      else {
+        val next = (parentDvs -- patch.dvRemoved) ++ patch.dvAdded
+        if (next.isEmpty) None
+        else {
+          val f = StoragePaths.newDeleteVectorFile()
+          writeStringAtomic(f, MetadataJson.write(
+            DeleteVectors(next.toList.sortBy(_._1).map(_._2))))
+          Some(f)
+        }
+      }
+
     val now = System.currentTimeMillis()
     val snap = Snapshot(newId, Some(baseId), now, manifests,
-      base.storageStatistics + patch.statsDelta, changeLogFile, patch.txn)
+      base.storageStatistics + patch.statsDelta, changeLogFile, dvFile, patch.txn)
 
     // exactly-once writer guard: runs under the commit lock after a
     // fresh reload, so a duplicate delivery can NEVER double-commit —
@@ -765,9 +854,27 @@ final class Storage(val location: String, val conf: Configuration) {
             case ConflictPolicy.Append => true
             case ConflictPolicy.Rewrite =>
               val mf = snapshotOrFail(head).manifestFiles
-              patch.forall(p =>
+              patch.forall { p =>
                 p.removedIndexManifests.forall(mf.indexManifestFiles.contains) &&
-                  p.removedRecordManifests.forall(mf.recordManifestFiles.contains))
+                  p.removedRecordManifests.forall(mf.recordManifestFiles.contains) && {
+                    // merge-on-read vector edits: valid iff (a) no index
+                    // manifest was removed since pin (a concurrent CoW/
+                    // compact rewrite could have replaced a file this
+                    // vector targets) and (b) the HEAD's vector for each
+                    // touched file is exactly what the op observed and
+                    // merged with — a concurrent MoR delete of the same
+                    // file would otherwise have its rows silently
+                    // dropped from the last-writer's merged vector.
+                    p.dvAdded.isEmpty || {
+                      val pinnedMf = snapshotOrFail(pinned).manifestFiles
+                      val headDvs = deleteVectors(head)
+                      pinnedMf.indexManifestFiles.forall(mf.indexManifestFiles.contains) &&
+                        p.dvAdded.keys.forall(f =>
+                          headDvs.get(f).flatMap(_.bitmapB64) ==
+                            p.dvObserved.getOrElse(f, None))
+                    }
+                  }
+              }
             case ConflictPolicy.Strict => false
           })
           if (!valid)
@@ -854,6 +961,19 @@ final class Storage(val location: String, val conf: Configuration) {
   def changeLog(snapshotId: Long): Option[ChangeLog] =
     snapshotOrFail(snapshotId).changeLogFile.map(f => MetadataJson.readChangeLog(readString(f)))
 
+  /** The consolidated merge-on-read delete vectors of a snapshot:
+    * data-file relative path → dead-row bitmap entry. Empty for
+    * copy-on-write-only tables (the common case — one metadata field
+    * check, no IO). DV files are immutable, so loads cache process-wide
+    * by absolute path. */
+  def deleteVectors(snapshotId: Long): Map[String, RowBitmap] =
+    snapshotOrFail(snapshotId).deleteVectorFile match {
+      case None => Map.empty
+      case Some(f) => Storage.dvCacheGet(absolute(f), () =>
+        MetadataJson.readDeleteVectors(readString(f))
+          .vectors.map(v => v.file -> v).toMap)
+    }
+
   /** The snapshot committed under exactly the exactly-once tag
     * (appId, version), if any — lets a replaying writer read the
     * changelog of ITS OWN earlier commit (what that batch actually
@@ -893,6 +1013,21 @@ final class Storage(val location: String, val conf: Configuration) {
 }
 
 object Storage {
+
+  /** Process-wide LRU of parsed delete-vector files (immutable once
+    * written, like manifests) — a bench/driver process re-loads Storage
+    * handles per query and must not re-parse the same DV JSON each time. */
+  private val dvCache =
+    new java.util.LinkedHashMap[String, Map[String, RowBitmap]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Map[String, RowBitmap]]): Boolean = size() > 64
+    }
+  private object dvCacheLock
+  private[core] def dvCacheGet(k: String, load: () => Map[String, RowBitmap]) =
+    dvCacheLock.synchronized {
+      val hit = dvCache.get(k)
+      if (hit != null) hit else { val v = load(); dvCache.put(k, v); v }
+    }
 
   def create(
       location: String,

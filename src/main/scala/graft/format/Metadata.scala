@@ -66,6 +66,15 @@ final case class Snapshot(
     storageStatistics: StorageStatistics,
     /** Relative path of this snapshot's change log (metadata.proto:108-111). */
     changeLogFile: Option[String],
+    /** Relative path of this snapshot's CONSOLIDATED delete-vector file
+      * (merge-on-read DML, beyond the reference): one JSON document
+      * listing, per data file carrying soft-deleted rows, the
+      * RoaringBitmap of dead row positions. Absent (the common steady
+      * state — copy-on-write default, and compaction folds vectors in)
+      * means every manifest-listed row is live. Consolidation per
+      * snapshot makes time travel exact: a read at snapshot S applies
+      * exactly S's vectors. */
+    deleteVectorFile: Option[String] = None,
     /** The exactly-once writer tag this snapshot committed under, if
       * any. [[StorageMetadata.txnVersions]] keeps only the high-water
       * mark per appId; recording the tag PER SNAPSHOT lets a replaying
@@ -210,6 +219,14 @@ final case class ChangeLog(
     addedRows: List[RowBitmap] = Nil,
     deletedRows: List[RowBitmap] = Nil)
 
+/** The consolidated delete-vector document of one snapshot
+  * ([[Snapshot.deleteVectorFile]]): per data file, the bitmap of DEAD
+  * row positions. Entries reuse [[RowBitmap]] with `allRows = false`
+  * always (a fully-dead file is dropped from manifests instead — the
+  * copy-on-write leg with zero survivors costs no data write) and
+  * `numRows` = the bitmap's cardinality. */
+final case class DeleteVectors(vectors: List[RowBitmap] = Nil)
+
 /** Result of a storage mutation, merged and applied atomically at commit:
   * manifest additions/removals relative to the parent snapshot, a stats
   * delta, and the change log (runtime.proto:71-83; `_patch_manifests`
@@ -232,7 +249,23 @@ final case class Patch(
     /** Exactly-once writer tag; see [[TxnTag]]. */
     txn: Option[TxnTag] = None,
     /** Manifest-list entries for the added index manifests. */
-    manifestSummaries: Map[String, ManifestSummary] = Map.empty)
+    manifestSummaries: Map[String, ManifestSummary] = Map.empty,
+    /** Merge-on-read: data file → its FULL merged delete vector after
+      * this commit (the op merges its new dead rows with the vector it
+      * observed at pin time; commit validates nothing changed since —
+      * see the Rewrite-policy DV check in [[graft.core.Storage]]). */
+    dvAdded: Map[String, RowBitmap] = Map.empty,
+    /** Merge-on-read: what each dvAdded file's vector looked like at
+      * pin time (serialized bitmap; None = no vector). The commit-time
+      * conflict check compares these against the HEAD's vectors — a
+      * concurrent delete of the same file aborts instead of silently
+      * dropping its rows from the merged vector. */
+    dvObserved: Map[String, Option[String]] = Map.empty,
+    /** Files whose delete-vector entries retire with this commit: CoW
+      * rewrites and maintenance rewrites (compact/cluster/record-
+      * rewrite) fold the vector into the rewritten data, and
+      * whole-table overwrite drops every entry. */
+    dvRemoved: List[String] = Nil)
 
 object Patch {
   /** merge_patches analog (ops/utils.py:94-118): manifest lists concat,
@@ -254,7 +287,10 @@ object Patch {
         },
         a.sourceSnapshotId.orElse(b.sourceSnapshotId),
         a.txn.orElse(b.txn),
-        a.manifestSummaries ++ b.manifestSummaries)
+        a.manifestSummaries ++ b.manifestSummaries,
+        a.dvAdded ++ b.dvAdded,
+        a.dvObserved ++ b.dvObserved,
+        a.dvRemoved ++ b.dvRemoved)
     })
   }
 }
@@ -267,4 +303,5 @@ object MetadataJson {
   def readMetadata(s: String): StorageMetadata = Serialization.read[StorageMetadata](s)
   def readEntryPoint(s: String): EntryPoint = Serialization.read[EntryPoint](s)
   def readChangeLog(s: String): ChangeLog = Serialization.read[ChangeLog](s)
+  def readDeleteVectors(s: String): DeleteVectors = Serialization.read[DeleteVectors](s)
 }

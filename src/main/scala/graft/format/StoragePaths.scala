@@ -31,6 +31,7 @@ object StoragePaths {
   def newIndexManifestFile(): String = s"$MetadataDir/index_manifest_${uuid()}.parquet"
   def newRecordManifestFile(): String = s"$MetadataDir/record_manifest_${uuid()}.parquet"
   def newChangeLogFile(): String = s"$ChangesDir/change_${uuid()}.json"
+  def newDeleteVectorFile(): String = s"$MetadataDir/dv_${uuid()}.json"
   def newIndexDataFile(): String = s"$DataDir/index_${uuid()}.parquet"
   /** Bucketed index file: the bucket id is encoded in the NAME (the
     * Hive/Spark-bucketing convention) so no manifest change is needed

@@ -92,6 +92,34 @@ object StorageOps {
       ds.readAll()
     }),
 
+    // merge-on-read delete: vectors instead of rewrites. Two deletes
+    // land as vectors (require-pinned: the manifest set — and therefore
+    // every data file — is byte-identical after both), the second
+    // merging into the first's vectors; compaction then folds the
+    // vectors back to a clean layout. Final content must equal the
+    // plain double-filtered table — same answers as CoW, zero rewritten
+    // bytes at delete time.
+    "s_delete_mor" -> ((s, d) => {
+      val ds = ordersTable(s, d, "delmor")
+      val before = ds.storage.metadata.currentSnapshot
+        .manifestFiles.indexManifestFiles.toSet
+      s.conf.set(DeleteVectorOps.DvMaxFractionKey, "1.0")
+      try {
+        ds.delete(col("o_totalprice") > 300000.0)
+        ds.delete(col("o_orderkey") % 97 === 0)
+      } finally s.conf.unset(DeleteVectorOps.DvMaxFractionKey)
+      val head = ds.storage.metadata.currentSnapshot
+      require(head.manifestFiles.indexManifestFiles.toSet == before,
+        "s_delete_mor: merge-on-read deletes must rewrite ZERO data files")
+      require(ds.storage.deleteVectors(head.snapshotId).nonEmpty,
+        "s_delete_mor: delete vectors must be present")
+      ds.compact(targetFileRows = 100000L)
+      require(ds.storage.deleteVectors(
+          ds.storage.metadata.currentSnapshotId).isEmpty,
+        "s_delete_mor: compaction must fold every delete vector")
+      ds.readAll()
+    }),
+
     // full maintenance cycle: trickle appends → CoW delete → bin-pack
     // compaction → snapshot expiry → GC; content must equal the plain
     // filtered table afterwards (compaction/GC are logically invisible)
@@ -408,7 +436,9 @@ object StorageOps {
     }),
 
     // SQL MERGE INTO through the catalog: conditional DELETE +
-    // UPDATE SET * + INSERT * in ONE snapshot (mirrors s_merge)
+    // UPDATE SET * + INSERT * + both NOT-MATCHED-BY-SOURCE clauses
+    // (conditional DELETE and UPDATE over target columns) in ONE
+    // snapshot — the full sync-two-tables shape (mirrors s_merge)
     "s_sql_merge" -> ((s, d) => {
       val o = t(s, d, "orders")
       val dir = Files.createTempDirectory("graft_sqlmrg").toString
@@ -423,7 +453,10 @@ object StorageOps {
         s.sql(s"""MERGE INTO $cat.tbl t USING $src s ON t.o_orderkey = s.o_orderkey
           |WHEN MATCHED AND s.o_orderstatus = 'F' THEN DELETE
           |WHEN MATCHED THEN UPDATE SET *
-          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          |WHEN NOT MATCHED THEN INSERT *
+          |WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 10 = 0 THEN DELETE
+          |WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 10 = 5
+          |  THEN UPDATE SET o_orderpriority = '9-STALE'""".stripMargin)
         s.sql(s"SELECT * FROM $cat.tbl")
       } finally s.catalog.dropTempView(src)
     }),
@@ -488,6 +521,36 @@ object StorageOps {
         s.sql(s"SELECT o_orderkey, meta.status AS status, " +
           s"round(meta.price, 2) AS price FROM $cat.tbl")
       }
+    }),
+
+    // metadata-only TYPE WIDENING (int->bigint, float->double): old
+    // int32/float files read under the widened schema with NO rewrite,
+    // post-widen appends hold values only the wide type can carry, and
+    // manifest stats on the widened column still prune across BOTH file
+    // generations (require-pinned in-query)
+    "s_evolve_widen" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val base = o.select(col("o_orderkey"),
+        col("o_custkey").cast("int").as("cust_i"),
+        col("o_totalprice").cast("float").as("price_f"))
+      val ds = SpaceDataset.create(s, fresh("widen"), base.schema,
+        Seq("o_orderkey"), statsFields = Seq("cust_i"))
+      // parity split so BOTH generations exist at every scale factor
+      ds.append(base.filter(col("o_orderkey") % 2 === 0)
+        .repartitionByRange(4, col("o_orderkey")))
+      ds.widenColumn("cust_i", org.apache.spark.sql.types.LongType)
+      ds.widenColumn("price_f", org.apache.spark.sql.types.DoubleType)
+      ds.append(base.filter(col("o_orderkey") % 2 === 1)
+        .withColumn("cust_i", col("cust_i").cast("long") + 10000000000L)
+        .withColumn("price_f", col("price_f").cast("double"))
+        .repartitionByRange(4, col("o_orderkey")))
+      // pruning-after-widen: beyond-int32 literals must falsify every
+      // pre-widen file from its (widened-on-read) int stats
+      val plan = ds.plan(Some(col("cust_i") >= 10000000000L))
+      require(plan.files.nonEmpty && plan.files.size < plan.totalFiles,
+        s"s_evolve_widen: widened-column stats must prune pre-widen files " +
+          s"(kept ${plan.files.size} of ${plan.totalFiles})")
+      ds.readAll()
     }),
 
     // NESTED rename + drop + re-add (metadata-only column mapping inside
@@ -986,6 +1049,9 @@ object StorageOps {
     "s_filter_prune" -> "SELECT * FROM orders WHERE o_orderkey < 1000",
     "s_project" -> "SELECT o_orderkey, o_totalprice FROM orders",
     "s_delete" -> "SELECT * FROM orders WHERE NOT (o_totalprice > 300000.0)",
+    "s_delete_mor" ->
+      """SELECT * FROM orders
+        |WHERE NOT (o_totalprice > 300000.0) AND NOT (o_orderkey % 97 = 0)""".stripMargin,
     "s_compact" -> "SELECT * FROM orders WHERE NOT (o_totalprice > 400000.0)",
     "s_insert" -> "SELECT * FROM orders",
     "s_upsert" ->
@@ -1015,7 +1081,10 @@ object StorageOps {
         |       ELSE o_orderpriority END AS o_orderpriority
         |FROM orders""".stripMargin,
     "s_sql_merge" ->
-      """SELECT * FROM orders WHERE o_orderkey <= 2000
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |  CASE WHEN o_orderkey % 10 = 5 THEN '9-STALE'
+        |       ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders WHERE o_orderkey <= 2000 AND o_orderkey % 10 <> 0
         |UNION ALL
         |SELECT o_orderkey, o_custkey, o_orderstatus,
         |  o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
@@ -1044,6 +1113,13 @@ object StorageOps {
         |SELECT *, CASE WHEN o_totalprice > 150000.0 THEN 'hi' ELSE 'lo' END
         |  AS o_band
         |FROM orders WHERE o_orderkey > 3000""".stripMargin,
+    "s_evolve_widen" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 2 = 1
+        |       THEN CAST(o_custkey AS BIGINT) + 10000000000
+        |       ELSE CAST(o_custkey AS BIGINT) END AS cust_i,
+        |  CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS price_f
+        |FROM orders""".stripMargin,
     "s_merge" ->
       """SELECT * FROM orders WHERE o_orderkey <= 2000
         |UNION ALL

@@ -276,6 +276,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           else throw new IllegalArgumentException(
             s"no such column ${del.fieldNames()(0)} (use IF EXISTS to ignore)")
         }
+      case upd: TableChange.UpdateColumnType =>
+        if (upd.fieldNames.length == 1)
+          require(names.contains(upd.fieldNames()(0)),
+            s"no such column ${upd.fieldNames()(0)}")
       case other =>
         throw new UnsupportedOperationException(s"unsupported ALTER TABLE change: $other")
     }}
@@ -296,6 +300,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       case del: TableChange.DeleteColumn =>
         if (del.fieldNames.length == 1) ds.dropColumn(del.fieldNames()(0))
         else ds.dropNestedColumn(del.fieldNames.toSeq)
+      case upd: TableChange.UpdateColumnType =>
+        // metadata-only type widening (int->bigint, int->double,
+        // float->double); Storage validates the promotion
+        ds.storage.widenColumn(upd.fieldNames.toSeq, upd.newDataType)
       case other =>
         throw new UnsupportedOperationException(s"unsupported ALTER TABLE change: $other")
     }}
@@ -392,6 +400,9 @@ final class GraftTable(
   private[graftshim] def dataset: SpaceDataset = ds
   private[graftshim] def isPinned: Boolean = pinned.isDefined
   private val snapshotId: Long = pinned.getOrElse(storage.branchHead(ds.getCurrentBranch))
+  /** The snapshot this table handle reads — the DV-mask rule rewrites
+    * reads of vector-carrying snapshots through the masked V1 plan. */
+  private[graftshim] def pinnedSnapshotId: Long = snapshotId
   private val physical: StructType = ReadOp.physicalSchema(storage.schema, storage.recordFields)
   // SQL surface speaks LOGICAL names (renames applied, top-level and
   // struct members); the parquet delegate underneath speaks physical —

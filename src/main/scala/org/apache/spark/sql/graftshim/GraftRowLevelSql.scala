@@ -34,7 +34,11 @@ import graft.core.SpaceDataset
   *   - `WHEN MATCHED [AND cond] THEN DELETE` — cond over SOURCE columns;
   *   - `WHEN MATCHED THEN UPDATE SET *` — replace matched rows with the
   *     source row (general per-column assignments need the row-level API);
-  *   - `WHEN NOT MATCHED THEN INSERT *` / explicit all-column inserts.
+  *   - `WHEN NOT MATCHED THEN INSERT *` / explicit all-column inserts;
+  *   - `WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE` and
+  *     `WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET c = expr`
+  *     — conditions and values over TARGET columns (there is no source
+  *     row); DELETE is evaluated before UPDATE.
   * Anything else raises a clear AnalysisException instead of silently
   * changing semantics.
   */
@@ -94,8 +98,6 @@ case class GraftRowLevelSqlRule(session: SparkSession) extends Rule[LogicalPlan]
     requireMutable(t, "MERGE")
     if (m.withSchemaEvolution)
       fail("MERGE WITH SCHEMA EVOLUTION is not supported on graft tables")
-    if (m.notMatchedBySourceActions.nonEmpty)
-      fail("WHEN NOT MATCHED BY SOURCE is not supported on graft tables")
 
     val ds = t.dataset
     val sourceOut = m.sourceTable.outputSet
@@ -151,10 +153,62 @@ case class GraftRowLevelSqlRule(session: SparkSession) extends Rule[LogicalPlan]
         doInsert = true
       case other => fail(s"unsupported NOT MATCHED action for graft MERGE: $other")
     }
-    if (deleteCond.isEmpty && !doUpdate && !doInsert)
+
+    // NOT MATCHED BY SOURCE: target rows with no matching source row —
+    // one optional DELETE (evaluated first) and one optional UPDATE,
+    // both over TARGET columns only (there is no source row to read)
+    var nmbsDelete: Option[Column] = None
+    var nmbsUpdate: Option[(Column, Seq[(String, Column)])] = None
+    m.notMatchedBySourceActions.foreach {
+      case DeleteAction(cond) =>
+        if (nmbsDelete.isDefined || nmbsUpdate.isDefined)
+          fail("graft MERGE supports one NOT MATCHED BY SOURCE DELETE clause, " +
+            "evaluated before the UPDATE clause")
+        cond.foreach { c =>
+          if (!c.references.subsetOf(targetOut))
+            fail(s"the NOT MATCHED BY SOURCE condition must reference only " +
+              s"target columns: $c")
+        }
+        nmbsDelete = Some(cond.map(asColumn).getOrElse(lit(true)))
+      case UpdateAction(cond, assignments, _) =>
+        if (nmbsUpdate.isDefined)
+          fail("graft MERGE supports a single NOT MATCHED BY SOURCE UPDATE clause")
+        cond.foreach { c =>
+          if (!c.references.subsetOf(targetOut))
+            fail(s"the NOT MATCHED BY SOURCE condition must reference only " +
+              s"target columns: $c")
+        }
+        val pks = ds.primaryKeys.toSet
+        val assigns = assignments.flatMap { a =>
+          val name = a.key match {
+            case ar: AttributeReference => ar.name
+            case other => fail(s"NOT MATCHED BY SOURCE UPDATE of a nested field " +
+              s"is not supported: $other")
+          }
+          if (!a.value.references.subsetOf(targetOut))
+            fail(s"NOT MATCHED BY SOURCE UPDATE values must reference only " +
+              s"target columns (there is no source row): ${a.value}")
+          // alignment pads unmentioned columns with identity (col = col)
+          // — including primary keys, which may not be assigned
+          a.value match {
+            case v: AttributeReference if v.name == name => None
+            case v =>
+              if (pks.contains(name)) fail(s"cannot update primary key $name")
+              Some(name -> asColumn(v))
+          }
+        }
+        if (assigns.isEmpty)
+          fail("NOT MATCHED BY SOURCE UPDATE with no effective assignment")
+        nmbsUpdate = Some((cond.map(asColumn).getOrElse(lit(true)), assigns))
+      case other => fail(s"unsupported NOT MATCHED BY SOURCE action: $other")
+    }
+
+    if (deleteCond.isEmpty && !doUpdate && !doInsert &&
+        nmbsDelete.isEmpty && nmbsUpdate.isEmpty)
       fail("graft MERGE requires at least one WHEN clause")
 
-    GraftMergeCommand(new GraftMergeSpec(ds, m.sourceTable, deleteCond, doUpdate, doInsert))
+    GraftMergeCommand(new GraftMergeSpec(ds, m.sourceTable, deleteCond, doUpdate,
+      doInsert, nmbsDelete, nmbsUpdate))
   }
 
   /** Every aligned assignment must be `target.col = source.col` of the
@@ -246,7 +300,9 @@ object GraftRowLevelSql {
       val sourcePlan: LogicalPlan,
       val deleteCond: Option[Column],
       val doUpdate: Boolean,
-      val doInsert: Boolean)
+      val doInsert: Boolean,
+      val nmbsDelete: Option[Column] = None,
+      val nmbsUpdate: Option[(Column, Seq[(String, Column)])] = None)
 
   case class GraftUpdateCommand(spec: GraftUpdateSpec) extends LeafRunnableCommand {
     override def output: Seq[Attribute] = Nil
@@ -265,6 +321,10 @@ object GraftRowLevelSql {
       spec.deleteCond.foreach(c => b = b.whenMatchedDelete(c))
       if (spec.doUpdate) b = b.whenMatchedUpdate()
       if (spec.doInsert) b = b.whenNotMatchedInsert()
+      spec.nmbsDelete.foreach(c => b = b.whenNotMatchedBySourceDelete(c))
+      spec.nmbsUpdate.foreach { case (c, as) =>
+        b = b.whenNotMatchedBySourceUpdate(as.toMap, c)
+      }
       b.execute()
       Nil
     }

@@ -110,4 +110,86 @@ class DmlFuzzSpec extends AnyFunSuite {
         s"trial $trial: CDC replay (${replay.size} rows) diverged from model (${model.size})")
     }
   }
+
+  test("randomized DML mixing merge-on-read and copy-on-write matches the model") {
+    val rnd = new scala.util.Random(20260815L)
+    val fracKey = DeleteVectorOps.DvMaxFractionKey
+    try {
+      for (trial <- 1 to 3) {
+        val loc = java.nio.file.Files.createTempDirectory(s"graft_morfuzz${trial}_")
+          .toString + "/tbl"
+        val schema = Seq.empty[(Long, Long)].toDF("id", "v").schema
+        val ds = SpaceDataset.create(spark, loc, schema, Seq("id"))
+        var model = Map.empty[Long, Long]
+        var nextId = 0L
+
+        for (step <- 1 to 12) {
+          // every mutation runs under a random delete mode: pure CoW,
+          // MoR-for-small, or always-MoR — the surfaces must be
+          // indistinguishable to readers, stats, and CDC
+          spark.conf.set(fracKey, Seq("0", "0.3", "1.0")(rnd.nextInt(3)))
+          rnd.nextInt(7) match {
+            case 0 | 1 => // append fresh ids
+              val n = 20 + rnd.nextInt(80)
+              val rows = (0 until n).map(i => (nextId + i, rnd.nextLong(1000000L)))
+              nextId += n
+              ds.append(rows.toDF("id", "v"))
+              model ++= rows
+            case 2 => // congruence-class delete
+              val m = 2 + rnd.nextInt(5)
+              val r = rnd.nextInt(m)
+              ds.delete(pmod(col("id"), lit(m.toLong)) === r.toLong)
+              model = model.filter { case (id, _) => id % m != r }
+            case 3 => // upsert existing + fresh
+              val existing = rnd.shuffle(model.keys.toList)
+                .take(rnd.nextInt(model.size.min(30) + 1))
+                .map(id => (id, rnd.nextLong(1000000L)))
+              val fresh = (0 until rnd.nextInt(20)).map { i =>
+                (nextId + i, rnd.nextLong(1000000L))
+              }
+              nextId += fresh.length
+              val batch = existing ++ fresh
+              if (batch.nonEmpty) { ds.upsert(batch.toDF("id", "v")); model ++= batch }
+            case 4 => // compact folds any accumulated vectors; no-op logically
+              ds.compact(targetFileRows = 1000000L, smallFraction = 1.0)
+              assert(ds.storage.deleteVectors(
+                ds.storage.metadata.currentSnapshotId).isEmpty,
+                s"trial $trial step $step: compact left vectors behind")
+            case 5 => // narrow range delete (the MoR sweet spot)
+              val lo = rnd.nextLong(nextId.max(1L))
+              val hi = lo + rnd.nextInt(30)
+              ds.delete(col("id") >= lo && col("id") <= hi)
+              model = model.filter { case (id, _) => id < lo || id > hi }
+            case 6 => // single-key delete
+              if (model.nonEmpty) {
+                val id = model.keys.toSeq(rnd.nextInt(model.size))
+                ds.delete(col("id") === id)
+                model -= id
+              }
+          }
+          assert(tableRows(ds) == model,
+            s"trial $trial step $step: table diverged from model")
+          assert(ds.countRows() == model.size.toLong,
+            s"trial $trial step $step: countRows ${ds.countRows()} != ${model.size}")
+        }
+
+        // CDC replay across the mixed history must rebuild the model —
+        // MoR DELETE batches carry the same keys CoW batches would
+        val head = ds.storage.branchHead("main")
+        var replay = Map.empty[Long, Long]
+        ds.diff("0", head.toString).foreach { b =>
+          b.changeType match {
+            case ChangeType.Delete =>
+              val keys = b.data.select("id").collect().map(_.getLong(0)).toSet
+              replay = replay.view.filterKeys(k => !keys.contains(k)).toMap
+            case ChangeType.Add =>
+              replay ++= b.data.select("id", "v").collect()
+                .map(r => r.getLong(0) -> r.getLong(1))
+          }
+        }
+        assert(replay == model,
+          s"trial $trial: CDC replay (${replay.size}) diverged from model (${model.size})")
+      }
+    } finally spark.conf.unset(fracKey)
+  }
 }

@@ -265,4 +265,70 @@ class EvolutionFuzzSpec extends AnyFunSuite {
     assert(ds.readAll().filter(col("s2").getField("u") === "t2").count() == 1)
     assert(ds.readAll().filter(col("s").isNotNull).count() == 0)
   }
+
+  test("random widen/append/delete interleavings match a typed model") {
+    for (seed <- Seq(11, 12)) {
+      val rnd = new Random(seed)
+      val loc = Files.createTempDirectory(s"graft_widenfuzz${seed}_").toString + "/t"
+      var aWide = false // int -> bigint
+      var bWide = false // float -> double
+      def schemaNow = StructType(Seq(
+        StructField("k", LongType, nullable = false),
+        StructField("a", if (aWide) LongType else IntegerType),
+        StructField("b", if (bWide) DoubleType else FloatType)))
+      val ds = SpaceDataset.create(spark, loc, schemaNow, Seq("k"),
+        statsFields = Seq("a"), bloomColumns = Seq("a"))
+      // model values carried at the WIDE types the engine reads under
+      val model = mutable.Map[Long, (Long, Double)]()
+      var nextK = 0L
+
+      def check(): Unit = {
+        val got = ds.readAll().collect()
+          .map(r => r.getLong(0) -> ((
+            r.get(1) match { case i: Int => i.toLong; case l: Long => l },
+            r.get(2) match { case f: Float => f.toDouble; case d: Double => d }))).toMap
+        assert(got == model.toMap, s"seed $seed: content diverged from model")
+        assert(ds.countRows() == model.size.toLong)
+        // point lookup through stats + blooms on the (possibly widened)
+        // column: exact value present and absent
+        if (model.nonEmpty) {
+          val (_, (av, _)) = model.head
+          val hits = model.valuesIterator.count(_._1 == av)
+          assert(ds.read(filter = Some(col("a") === av)).count() == hits)
+          assert(ds.read(filter = Some(col("a") === 777777777777L)).count() == 0)
+        }
+      }
+
+      for (_ <- 1 to 10) {
+        rnd.nextInt(5) match {
+          case 0 | 1 => // append under the CURRENT schema types
+            val rows = (1 to 20 + rnd.nextInt(30)).map { _ =>
+              nextK += 1
+              val a: Long =
+                if (aWide && rnd.nextBoolean()) 10000000000L + rnd.nextInt(1000)
+                else rnd.nextInt(5000).toLong
+              // pre-widen floats: values exactly representable as float
+              val bF: Float = (rnd.nextInt(100) / 4.0).toFloat
+              val bD: Double = if (bWide && rnd.nextBoolean()) 0.1 + rnd.nextInt(10) else bF.toDouble
+              model(nextK) = (a, bD)
+              Row(nextK,
+                if (aWide) a else a.toInt,
+                if (bWide) bD else bD.toFloat)
+            }
+            import scala.jdk.CollectionConverters._
+            ds.append(spark.createDataFrame(rows.asJava, schemaNow))
+          case 2 if !aWide => aWide = true; ds.widenColumn("a", LongType)
+          case 3 if !bWide => bWide = true; ds.widenColumn("b", DoubleType)
+          case _ => // delete a k-range
+            if (nextK > 0) {
+              val lo = 1L + rnd.nextLong(nextK)
+              val hi = lo + rnd.nextInt(25)
+              ds.delete(col("k") >= lo && col("k") <= hi)
+              model.filterInPlace { case (k, _) => k < lo || k > hi }
+            }
+        }
+        check()
+      }
+    }
+  }
 }

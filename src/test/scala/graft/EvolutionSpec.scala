@@ -392,4 +392,82 @@ class EvolutionSpec extends AnyFunSuite {
     spark.sql("DELETE FROM graft_evo2.t WHERE label = 'a'")
     assert(spark.sql("SELECT count(*) AS c FROM graft_evo2.t").collect()(0).getLong(0) == 2L)
   }
+
+  test("type widening: old files read wide, pruning + membership survive, guards hold") {
+    import org.apache.spark.sql.types._
+    val loc = java.nio.file.Files.createTempDirectory("graft_widen_").toString + "/t"
+    val narrow = spark.range(1, 1001).select(
+      col("id").as("k"),
+      col("id").cast("int").as("i"),
+      (col("id") / 4).cast("float").as("f"),
+      struct(col("id").cast("int").as("m")).as("st"))
+    val ds = SpaceDataset.create(spark, loc, narrow.schema, Seq("k"),
+      statsFields = Seq("i"), bloomColumns = Seq("i"))
+    ds.append(narrow.repartitionByRange(4, col("k")))
+    val manifestsBefore =
+      ds.storage.metadata.currentSnapshot.manifestFiles.indexManifestFiles.toSet
+
+    ds.widenColumn("i", LongType)
+    ds.widenColumn("f", DoubleType)
+    ds.widenColumn("st.m", LongType) // nested member widens too
+    // metadata-only: not a byte rewritten
+    assert(ds.storage.metadata.currentSnapshot
+      .manifestFiles.indexManifestFiles.toSet == manifestsBefore)
+    assert(ds.schema("i").dataType == LongType)
+    assert(ds.schema("f").dataType == DoubleType)
+
+    // old int32/float files read under the wide schema, values exact
+    assert(ds.readAll().agg(sum("i")).collect()(0).getLong(0) == (1L to 1000L).sum)
+    assert(ds.read(filter = Some(col("f") === 2.5d)).count() == 1) // k = 10
+    assert(ds.readAll().filter(col("st.m") === 7L).count() == 1)
+
+    // post-widen append with beyond-int32 values
+    val wide = spark.range(1001, 1101).select(
+      col("id").as("k"),
+      (col("id") + 10000000000L).as("i"),
+      (col("id") / 4.0).as("f"),
+      struct((col("id") + 20000000000L).as("m")).as("st"))
+    ds.append(wide.repartitionByRange(2, col("k")))
+    assert(ds.countRows() == 1100)
+
+    // stats pruning engages across generations: a beyond-int32 literal
+    // falsifies every pre-widen file
+    val plan = ds.plan(Some(col("i") >= 10000000000L))
+    assert(plan.files.size < plan.totalFiles && plan.files.nonEmpty,
+      s"widened stats must prune (kept ${plan.files.size}/${plan.totalFiles})")
+    assert(ds.read(filter = Some(col("i") >= 10000000000L)).count() == 100)
+
+    // membership (bloom/dict) still engages on OLD files probed with
+    // widened literals: a present value matches, an absent one prunes
+    assert(ds.read(filter = Some(col("i") === 500L)).count() == 1)
+    assert(ds.read(filter = Some(col("i") === 999999L)).count() == 0)
+
+    // guards: narrowing / crossing / lossy promotions rejected
+    intercept[IllegalArgumentException](ds.widenColumn("i", IntegerType))
+    intercept[IllegalArgumentException](ds.widenColumn("f", FloatType))
+    intercept[IllegalArgumentException](ds.widenColumn("k", DoubleType))
+    val bloc = java.nio.file.Files.createTempDirectory("graft_widenb_").toString + "/t"
+    val bds = SpaceDataset.create(spark, bloc,
+      narrow.select("k", "i").schema, Seq("k"),
+      bucketColumns = Seq("i"), numBuckets = 4)
+    intercept[IllegalArgumentException](bds.widenColumn("i", LongType))
+  }
+
+  test("SQL ALTER COLUMN TYPE widens through the catalog; DML keeps working") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_widen_sql_").toString
+    val df = spark.range(1, 101).select(col("id").as("k"),
+      col("id").cast("int").as("n"))
+    val ds = SpaceDataset.create(spark, dir + "/t", df.schema, Seq("k"))
+    ds.append(df)
+    TempCatalog.withTempCatalog(spark, dir, "graft_wsql") { cat =>
+      spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN n TYPE BIGINT")
+      assert(spark.sql(s"DESCRIBE $cat.t").collect()
+        .exists(r => r.getString(0) == "n" && r.getString(1) == "bigint"))
+      spark.sql(s"INSERT INTO $cat.t VALUES (200, 30000000000)")
+      assert(spark.sql(s"SELECT sum(n) AS s FROM $cat.t").collect()(0).getLong(0) ==
+        (1L to 100L).sum + 30000000000L)
+      spark.sql(s"UPDATE $cat.t SET n = n + 1 WHERE k <= 2")
+      assert(spark.sql(s"SELECT n FROM $cat.t WHERE k = 1").collect()(0).getLong(0) == 2L)
+    }
+  }
 }

@@ -89,4 +89,62 @@ class MergeSpec extends AnyFunSuite {
       ds.merge(kv((1L, "a", "x"), (1L, "dup", "x"))).whenMatchedUpdate().execute()
     }
   }
+
+  test("NOT MATCHED BY SOURCE: delete + conditional update sync the target") {
+    val ds = freshDs()
+    ds.append(kv((1L, "one", "keep"), (2L, "two", "stale"),
+      (3L, "three", "keep"), (4L, "four", "stale"), (5L, "five", "keep")))
+    // source matches 1 and 3; 2/4/5 are NOT matched by source
+    val snap = ds.merge(kv((1L, "ONE", "u"), (3L, "THREE", "u"), (9L, "NINE", "i")))
+      .whenMatchedUpdate()
+      .whenNotMatchedInsert()
+      .whenNotMatchedBySourceDelete(col("op") === "stale") // kills 2 and 4
+      .whenNotMatchedBySourceUpdate(
+        Map("v" -> concat(col("v"), lit("_old"))))          // rewrites 5
+      .execute()
+    val got = ds.readAll().collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "ONE", "u"), (3L, "THREE", "u"),
+      (5L, "five_old", "keep"), (9L, "NINE", "i")))
+
+    // ONE snapshot; CDC encodes updates (matched AND by-source) as
+    // DELETE+ADD of the same keys, deletes as plain DELETE
+    val batches = ChangeData.diff(spark, ds.storage, snap - 1, snap)
+    assert(batches.map(_.changeType) == Seq(ChangeType.Delete, ChangeType.Add))
+    val delKeys = batches.head.data.collect().map(_.getLong(0)).sorted
+    assert(delKeys.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    val addKeys = batches(1).data.collect().map(_.getLong(0)).sorted
+    assert(addKeys.toSeq == Seq(1L, 3L, 5L, 9L))
+  }
+
+  test("NOT MATCHED BY SOURCE: delete-only sync makes target = source keys") {
+    val ds = freshDs()
+    ds.append(kv((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "x")))
+    ds.merge(kv((2L, "B", "u"), (4L, "D", "i")))
+      .whenMatchedUpdate()
+      .whenNotMatchedInsert()
+      .whenNotMatchedBySourceDelete()
+      .execute()
+    val got = ds.readAll().collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.toSeq == Seq((2L, "B"), (4L, "D")))
+    assert(ds.countRows() == 2)
+  }
+
+  test("NOT MATCHED BY SOURCE update: RHS sees the PRE-update row; PKs rejected") {
+    val ds = freshDs()
+    ds.append(kv((1L, "a", "p"), (2L, "b", "q")))
+    // swap v and op on unmatched rows: staging must read pre-update values
+    ds.merge(kv((1L, "A", "u")))
+      .whenMatchedUpdate()
+      .whenNotMatchedBySourceUpdate(Map("v" -> col("op"), "op" -> col("v")))
+      .execute()
+    val got = ds.readAll().collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "A", "u"), (2L, "q", "b")))
+
+    intercept[IllegalArgumentException] {
+      ds.merge(kv((1L, "x", "y")))
+        .whenNotMatchedBySourceUpdate(Map("id" -> lit(99L))).execute()
+    }
+  }
 }
