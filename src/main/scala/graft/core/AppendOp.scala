@@ -26,6 +26,59 @@ object AppendOp {
 
   final case class AppendResult(patch: Patch, files: Seq[IndexFileMeta])
 
+  /** Synthetic per-column bucket-id column names for the dynamic-
+    * partition write of a [[graft.format.StorageMetadata.bucketCounts]]
+    * layout. */
+  private[core] def bucketDirNames(m: Int): Seq[String] =
+    (0 until m).map(i => s"__graft_b$i")
+  private[core] def bucketDirCols(m: Int): Seq[org.apache.spark.sql.Column] =
+    bucketDirNames(m).map(org.apache.spark.sql.functions.col)
+
+  /** `pmod(murmur3(cᵢ, seed 42), nᵢ)` per bucket column — the exact
+    * per-column hash [[BucketPruning.bucketId]] probes and the `bucket`
+    * V2 function computes for one column. Float/double inputs collapse
+    * -0.0 onto +0.0 first (x + 0.0 is the identity everywhere else,
+    * incl. NaN/∞), matching the normalization `df.repartition` keys get
+    * in the single-hash layout. */
+  private[core] def perColumnBucketExprs(storage: Storage): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    storage.metadata.bucketColumns.zip(storage.metadata.bucketCounts)
+      .zipWithIndex.map { case ((c, n), i) =>
+        val base = storage.schema(c).dataType match {
+          case org.apache.spark.sql.types.FloatType => col(c) + lit(0.0f)
+          case org.apache.spark.sql.types.DoubleType => col(c) + lit(0.0d)
+          case _ => col(c)
+        }
+        pmod(hash(base), lit(n)).as(s"__graft_b$i")
+      }
+  }
+
+  /** Row-major flat id of a dynamic-partition output file's directory
+    * tuple (`.../__graft_b0=X/__graft_b1=Y/part-…`). */
+  private[core] def flatBucketOfDir(p: Path, counts: Seq[Int]): Int = {
+    val byName = Iterator.iterate(p.getParent)(_.getParent)
+      .takeWhile(_ != null)
+      .map(_.getName)
+      .filter(_.startsWith("__graft_b"))
+      .map { seg =>
+        val Array(k, v) = seg.split("=", 2)
+        k.stripPrefix("__graft_b").toInt -> v.toInt
+      }.toMap
+    require(byName.size == counts.size,
+      s"malformed bucket directory layout at $p (want ${counts.size} levels)")
+    counts.indices.foldLeft(0) { (acc, i) => acc * counts(i) + byName(i) }
+  }
+
+  /** Inverse of [[flatBucketOfDir]]: the per-column tuple of a flat id
+    * (public: the shim-side bucketed batch decodes partition keys). */
+  def tupleOfFlat(flat: Int, counts: Seq[Int]): Seq[Int] = {
+    var rem = flat
+    val out = new Array[Int](counts.size)
+    var i = counts.size - 1
+    while (i >= 0) { out(i) = rem % counts(i); rem /= counts(i); i -= 1 }
+    out.toSeq
+  }
+
   /** Write `df` as new data files + one index manifest; returns the Patch
     * to commit. `df` must carry the table's index schema (record-field
     * columns already replaced by addresses when record fields exist). */
@@ -58,9 +111,19 @@ object AppendOp {
     // encodes it. CoW rewrites and compaction flow through here too, so
     // the invariant survives delete/update/upsert/compact.
     val numBuckets = storage.metadata.numBuckets
+    val bucketCounts = storage.metadata.bucketCounts
+    // per-column sub-buckets (multi-column SPJ layout): rows shuffle by
+    // the TUPLE of per-column ids — one task per occupied tuple — and
+    // the dynamic-partition write below splits tasks into tuple-pure
+    // files whose directory names carry the ids
+    val perColumn = numBuckets > 0 && bucketCounts.nonEmpty
     val wcb = storage.metadata.writeClusterBy
     val toWrite =
-      if (numBuckets > 0)
+      if (perColumn) {
+        val bCols = AppendOp.perColumnBucketExprs(storage)
+        df.select((df.columns.map(org.apache.spark.sql.functions.col) ++ bCols).toIndexedSeq: _*)
+          .repartition(numBuckets, AppendOp.bucketDirCols(bucketCounts.size): _*)
+      } else if (numBuckets > 0)
         df.repartition(numBuckets,
           storage.metadata.bucketColumns.map(org.apache.spark.sql.functions.col): _*)
       else if (writeClustered && wcb.nonEmpty) {
@@ -83,8 +146,16 @@ object AppendOp {
     // align to schema order + re-attach field-id metadata so Spark embeds
     // `parquet.field.id` in the written footers (schema-evolution-by-id)
     val idSchema = ReadOp.physicalSchemaWithIds(storage.schema, storage.recordFields)
-    val aligned = toWrite.select(idSchema.fields.map(f =>
+    val aligned0 = toWrite.select(idSchema.fields.map(f =>
       org.apache.spark.sql.functions.col(f.name).as(f.name, f.metadata)).toIndexedSeq: _*)
+    // the per-column layout keeps its (synthetic) bucket-id columns for
+    // the dynamic-partition write; partitionBy excludes them from the
+    // written data files
+    val aligned =
+      if (!perColumn) aligned0
+      else toWrite.select((idSchema.fields.map(f =>
+        org.apache.spark.sql.functions.col(f.name).as(f.name, f.metadata)) ++
+        AppendOp.bucketDirCols(bucketCounts.size)).toIndexedSeq: _*)
     // Parquet BLOOM FILTERS on the primary-key columns: min/max stats
     // prune files only when the layout correlates with the key; a bloom
     // skips row groups on PK point lookups regardless of layout — the
@@ -111,13 +182,17 @@ object AppendOp {
       if (!bloomEnabled) Nil
       else (storage.primaryKeys ++ storage.metadata.bloomColumns).distinct.filter(c =>
         idSchema.fields.exists(f => f.name == c && ManifestIO.statsEligible(f.dataType)))
-    def writeOut(frame: DataFrame): Unit =
-      bloomCols.foldLeft(
+    def writeOut(frame: DataFrame): Unit = {
+      val base = bloomCols.foldLeft(
         frame.write.mode("overwrite")
           .option("parquet.bloom.filter.adaptive.enabled", "true")
           .option("parquet.bloom.filter.max.bytes", (128 * 1024).toString)) {
         (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
-      }.parquet(tmpAbs)
+      }
+      (if (perColumn) base.partitionBy(
+        AppendOp.bucketDirNames(bucketCounts.size): _*)
+       else base).parquet(tmpAbs)
+    }
     if (writeClustered && wcb.nonEmpty && numBuckets == 0) {
       // reduced AQE advisory for the write-clustered shuffle: several
       // tight-range files per tier beat one 64 MB-coalesced file
@@ -132,19 +207,36 @@ object AppendOp {
     } else writeOut(aligned)
 
     val fs = new Path(tmpAbs).getFileSystem(conf)
-    val parts = fs.listStatus(new Path(tmpAbs)).map(_.getPath)
-      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val parts: Array[Path] =
+      if (!perColumn)
+        fs.listStatus(new Path(tmpAbs)).map(_.getPath)
+          .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      else {
+        // dynamic-partition layout: tmp/__gb0=X/__gb1=Y/part-*.parquet
+        val out = Array.newBuilder[Path]
+        val it = fs.listFiles(new Path(tmpAbs), true)
+        while (it.hasNext) {
+          val p = it.next().getPath
+          if (p.getName.startsWith("part-")) out += p
+        }
+        out.result().sortBy(_.toString)
+      }
 
     // footer harvest + move into data/ — one small task per batch of
     // files for large appends (the driver loop is O(new files) and
     // becomes the append bottleneck at thousands of task outputs);
     // driver-side below a small threshold to avoid job overhead
     // part-NNNNN task numbering = partition index = bucket id (an
-    // explicit df.repartition(n, expr) is never AQE-coalesced)
+    // explicit df.repartition(n, expr) is never AQE-coalesced); the
+    // per-column layout reads the tuple from the directory names and
+    // flattens it row-major into the file-name id
     val partIdxRe = "part-(\\d+)-.*".r
     val assignments = parts.map { p =>
       val rel =
-        if (numBuckets > 0) p.getName match {
+        if (perColumn)
+          StoragePaths.newIndexDataFile(
+            bucket = AppendOp.flatBucketOfDir(p, bucketCounts))
+        else if (numBuckets > 0) p.getName match {
           case partIdxRe(idx) => StoragePaths.newIndexDataFile(bucket = idx.toInt)
           case other => throw new IllegalStateException(s"unparseable part file $other")
         }

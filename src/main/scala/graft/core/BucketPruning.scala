@@ -49,14 +49,62 @@ object BucketPruning {
     * assignments give up (keep all buckets) rather than enumerate. */
   private val MaxAssignments = 256
 
-  /** Buckets `filters` (implicitly ANDed) can reach; None = all.
-    * `colTypes` must cover every bucket column. */
+  /** Buckets `filters` (implicitly ANDed) can reach under the
+    * SINGLE-HASH layout; None = all. `colTypes` must cover every bucket
+    * column. */
   def reachableBuckets(
       bucketCols: Seq[String],
       colTypes: Map[String, DataType],
       numBuckets: Int,
-      filters: Seq[Expression]): Option[Set[Int]] = {
-    if (bucketCols.isEmpty || numBuckets <= 0 || filters.isEmpty) return None
+      filters: Seq[Expression]): Option[Set[Int]] =
+    pinnedAssignments(bucketCols, colTypes, filters).flatMap { assignments =>
+      // every disjunct must pin EVERY bucket column; one partial
+      // disjunct can reach any bucket. An empty disjunct set means the
+      // filter is unsatisfiable -- zero buckets reachable is sound.
+      if (assignments.forall(_.keySet == bucketCols.toSet))
+        Some(assignments.map(m =>
+          bucketId(bucketCols.map(c => m(c) -> colTypes(c)), numBuckets)))
+      else None
+    }
+
+  /** Cap on enumerated flat ids in the per-column layout. */
+  private val MaxEnumeratedFlats = 4096
+
+  /** Flat ids `filters` can reach under the PER-COLUMN layout
+    * ([[graft.format.StorageMetadata.bucketCounts]]). Stronger than the
+    * single-hash rule: a disjunct pinning ANY SUBSET of the bucket
+    * columns prunes its dimensions (unpinned dimensions range over all
+    * their sub-buckets). */
+  def reachableFlatsPerColumn(
+      bucketCols: Seq[String],
+      colTypes: Map[String, DataType],
+      counts: Seq[Int],
+      filters: Seq[Expression]): Option[Set[Int]] =
+    pinnedAssignments(bucketCols, colTypes, filters).flatMap { assignments =>
+      val flats = scala.collection.mutable.Set[Int]()
+      for (m <- assignments) {
+        val dimSets: Seq[Seq[Int]] = bucketCols.zip(counts).map { case (c, n) =>
+          m.get(c) match {
+            case Some(v) => Seq(bucketId(v, colTypes(c), n))
+            case None => 0 until n
+          }
+        }
+        if (dimSets.map(_.size.toLong).product > MaxEnumeratedFlats) return None
+        val combo = dimSets.zip(counts).foldLeft(Seq(0)) { case (acc, (s, n)) =>
+          acc.flatMap(a => s.map(b => a * n + b))
+        }
+        flats ++= combo
+      }
+      Some(flats.toSet)
+    }
+
+  /** `filters`' disjuncts as partial bucket-column assignments (see
+    * `walk` below); None = no information. */
+  private def pinnedAssignments(
+      bucketCols: Seq[String],
+      colTypes: Map[String, DataType],
+      filters: Seq[Expression]): Option[Set[Map[String, Any]]] = {
+    if (bucketCols.isEmpty || filters.isEmpty) return None
     val bucketSet = bucketCols.toSet
 
     def attrName(e: Expression): Option[String] = e match {
@@ -129,15 +177,7 @@ object BucketPruning {
       case _ => None
     }
 
-    walk(filters.reduce(And)).flatMap { assignments =>
-      // every disjunct must pin EVERY bucket column; one partial
-      // disjunct can reach any bucket. An empty disjunct set means the
-      // filter is unsatisfiable — zero buckets reachable is sound.
-      if (assignments.forall(_.keySet == bucketSet))
-        Some(assignments.map(m =>
-          bucketId(bucketCols.map(c => m(c) -> colTypes(c)), numBuckets)))
-      else None
-    }
+    walk(filters.reduce(And))
   }
 
   /** Drop files of unreachable buckets (files without a bucket id in
@@ -149,10 +189,14 @@ object BucketPruning {
     val meta = storage.metadata
     if (meta.numBuckets == 0) return files
     val colTypes = meta.bucketColumns.map(c => c -> storage.schema(c).dataType).toMap
-    reachableBuckets(meta.bucketColumns, colTypes, meta.numBuckets, filters) match {
+    val reach =
+      if (meta.bucketCounts.nonEmpty)
+        reachableFlatsPerColumn(meta.bucketColumns, colTypes, meta.bucketCounts, filters)
+      else reachableBuckets(meta.bucketColumns, colTypes, meta.numBuckets, filters)
+    reach match {
       case None => files
-      case Some(reach) =>
-        files.filter(f => StoragePaths.bucketOf(f).forall(reach.contains))
+      case Some(r) =>
+        files.filter(f => StoragePaths.bucketOf(f).forall(r.contains))
     }
   }
 }

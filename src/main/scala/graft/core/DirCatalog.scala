@@ -27,10 +27,11 @@ final class DirCatalog(val spark: SparkSession, val root: String) {
       bucketColumns: Seq[String] = Nil,
       numBuckets: Int = 0,
       bloomColumns: Seq[String] = Nil,
-      writeClusterBy: Seq[String] = Nil): SpaceDataset = {
+      writeClusterBy: Seq[String] = Nil,
+      bucketCounts: Seq[Int] = Nil): SpaceDataset = {
     require(!exists(name), s"dataset $name already exists")
     SpaceDataset.create(spark, location(name), schema, primaryKeys, recordFields, statsFields,
-      bucketColumns, numBuckets, bloomColumns, writeClusterBy)
+      bucketColumns, numBuckets, bloomColumns, writeClusterBy, bucketCounts)
   }
 
   def createMaterializedView(
@@ -46,9 +47,10 @@ final class DirCatalog(val spark: SparkSession, val root: String) {
       name: String,
       source: SpaceDataset,
       groupBy: Seq[String],
-      aggs: Seq[graft.views.AggSpec]): graft.views.AggregateView = {
+      aggs: Seq[graft.views.AggSpec],
+      filter: Option[String] = None): graft.views.AggregateView = {
     require(!exists(name), s"dataset $name already exists")
-    graft.views.AggregateView.create(spark, location(name), source, groupBy, aggs)
+    graft.views.AggregateView.create(spark, location(name), source, groupBy, aggs, filter)
   }
 
   def dataset(name: String): SpaceDataset = {

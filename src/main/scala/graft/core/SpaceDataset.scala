@@ -660,10 +660,15 @@ object SpaceDataset {
       bucketColumns: Seq[String] = Nil,
       numBuckets: Int = 0,
       bloomColumns: Seq[String] = Nil,
-      writeClusterBy: Seq[String] = Nil): SpaceDataset =
+      writeClusterBy: Seq[String] = Nil,
+      /** Per-column bucket counts (see [[graft.format.StorageMetadata
+        * .bucketCounts]]) — the multi-column storage-partitioned-join
+        * layout; empty = single-hash. */
+      bucketCounts: Seq[Int] = Nil): SpaceDataset =
     new SpaceDataset(spark, Storage.create(location, schema, primaryKeys, recordFields,
       statsFields = statsFields, bloomColumns = bloomColumns,
       bucketColumns = bucketColumns, numBuckets = numBuckets,
+      bucketCounts = bucketCounts,
       writeClusterBy = writeClusterBy,
       conf = spark.sparkContext.hadoopConfiguration))
 

@@ -1041,9 +1041,22 @@ object Storage {
       bloomColumns: Seq[String] = Nil,
       bucketColumns: Seq[String] = Nil,
       numBuckets: Int = 0,
+      bucketCounts: Seq[Int] = Nil,
       writeClusterBy: Seq[String] = Nil,
       conf: Configuration = new Configuration()): Storage = {
     SchemaValidation.validate(schema, primaryKeys, recordFields)
+    if (bucketCounts.nonEmpty) {
+      require(bucketCounts.length == bucketColumns.length,
+        s"bucketCounts (${bucketCounts.length}) must align with " +
+          s"bucketColumns (${bucketColumns.length})")
+      require(bucketCounts.forall(_ >= 1), s"bucket counts must be >= 1: $bucketCounts")
+      val product = bucketCounts.map(_.toLong).product
+      require(numBuckets == 0 || numBuckets.toLong == product,
+        s"numBuckets ($numBuckets) must equal the bucketCounts product ($product)")
+      require(product <= 100000, s"bucketCounts product $product exceeds 100000")
+    }
+    val effectiveNumBuckets =
+      if (bucketCounts.nonEmpty) bucketCounts.map(_.toLong).product.toInt else numBuckets
     bloomColumns.foreach { c =>
       val fld = schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(s"bloom column $c not in schema (top-level only)"))
@@ -1051,9 +1064,10 @@ object Storage {
         s"bloom column $c has non-bloom-eligible type ${fld.dataType}")
       require(!recordFields.contains(c), s"record field $c cannot carry a bloom filter")
     }
-    require(bucketColumns.isEmpty == (numBuckets == 0),
+    require(bucketColumns.isEmpty == (effectiveNumBuckets == 0),
       "bucketColumns and numBuckets must be set together")
-    require(numBuckets >= 0 && numBuckets <= 100000, s"bad numBuckets $numBuckets")
+    require(effectiveNumBuckets >= 0 && effectiveNumBuckets <= 100000,
+      s"bad numBuckets $effectiveNumBuckets")
     bucketColumns.foreach { c =>
       require(schema.fieldNames.contains(c), s"bucket column $c not in schema")
       require(!recordFields.contains(c), s"record field $c cannot be a bucket column")
@@ -1067,7 +1081,7 @@ object Storage {
         s"stats field $f has non-stats-eligible type ${fld.dataType}")
       require(!recordFields.contains(f), s"record field $f cannot carry stats")
     }
-    require(writeClusterBy.isEmpty || numBuckets == 0,
+    require(writeClusterBy.isEmpty || effectiveNumBuckets == 0,
       "write_cluster_by and bucketing are exclusive: a bucketed write's " +
         "partitioning IS the bucket layout")
     writeClusterBy.foreach { c =>
@@ -1091,7 +1105,8 @@ object Storage {
       schemaJson = withIds.json,
       primaryKeys = primaryKeys.toList, recordFields = recordFields.toList,
       statsFields = statsFields.toList, bloomColumns = bloomColumns.toList,
-      bucketColumns = bucketColumns.toList, numBuckets = numBuckets,
+      bucketColumns = bucketColumns.toList, numBuckets = effectiveNumBuckets,
+      bucketCounts = bucketCounts.toList,
       writeClusterBy = writeClusterBy.toList,
       currentSnapshotId = 0L, maxSnapshotId = 0L,
       snapshots = Map("0" -> initial), logicalPlan = logicalPlan,

@@ -156,6 +156,18 @@ final case class StorageMetadata(
       * bucket's files. */
     bucketColumns: List[String] = Nil,
     numBuckets: Int = 0,
+    /** PER-COLUMN bucket counts (aligned with [[bucketColumns]]; empty =
+      * the legacy single-hash layout). When set, each row's bucket is
+      * the TUPLE (pmod(murmur3(c1), n1), …) flattened row-major into the
+      * file-name id, and the SQL scan reports one single-leaf
+      * `bucket(nᵢ, cᵢ)` transform per column — the only shape Spark's
+      * storage-partitioned join machinery matches for MULTI-column
+      * joins (its numBuckets folding is single-reference-only,
+      * V2ExpressionUtils). `numBuckets` stays the product, so flat
+      * file-name ids, compaction grouping, and bucket-count bounds are
+      * unchanged. Partial benefit beyond SPJ: a filter pinning ANY
+      * subset of the bucket columns prunes its dimensions. */
+    bucketCounts: List[Int] = Nil,
     /** CLUSTER-ON-WRITE columns (empty = off; exclusive with
       * bucketing). Every APPEND-path write (user appends, MV
       * refreshes, streaming sinks) range-partitions + sorts its batch

@@ -390,6 +390,73 @@ object StorageOps {
       }
     }),
 
+    // MULTI-COLUMN storage-partitioned join: per-column bucket counts
+    // ('num_buckets'='4,4') lay rows out by the TUPLE of per-column
+    // hashes and report one single-leaf bucket transform per column —
+    // the only shape Spark's SPJ machinery matches for multi-key joins.
+    // Require-pinned: the two-key join plans with ZERO exchanges, and a
+    // filter pinning just ONE bucket column prunes its dimension.
+    "s_bucket_join_multi" -> ((s, d) => {
+      val root = Files.createTempDirectory("graft_bjoinm").toString
+      TempCatalog.withTempCatalog(s, root, "gbjm") { cat =>
+      val prevV2Bucketing =
+        s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+      val prevBroadcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        s.sql(s"CREATE TABLE $cat.a (o_orderkey BIGINT, o_custkey BIGINT, " +
+          "o_orderstatus STRING, o_totalprice DOUBLE) TBLPROPERTIES " +
+          "('primary_keys'='o_orderkey', " +
+          "'bucket_columns'='o_custkey,o_orderstatus', 'num_buckets'='4,4')")
+        s.sql(s"CREATE TABLE $cat.b (o_custkey BIGINT, o_orderstatus STRING) " +
+          "TBLPROPERTIES ('primary_keys'='o_custkey,o_orderstatus', " +
+          "'bucket_columns'='o_custkey,o_orderstatus', 'num_buckets'='4,4')")
+        t(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .write.mode("append").insertInto(s"$cat.a")
+        t(s, d, "orders").select("o_custkey", "o_orderstatus").distinct()
+          .write.mode("append").insertInto(s"$cat.b")
+        // a filter pinning ONE of the two bucket columns prunes its
+        // dimension of the tuple layout
+        val ds = SpaceDataset.load(s, s"$root/a")
+        val p = ds.plan(Some(col("o_orderstatus") === "F"))
+        require(p.files.nonEmpty && p.files.size < p.totalFiles,
+          s"partial bucket pin must prune (kept ${p.files.size}/${p.totalFiles})")
+        // join on EXACTLY the bucket-column pair: SPJ co-partitioning
+        // requires the join keys to cover the partition transforms
+        // (spark.sql.requireAllClusterKeysForCoPartition)
+        val j = s.sql(s"SELECT a.o_orderkey, round(a.o_totalprice, 2) AS price " +
+          s"FROM $cat.a a JOIN $cat.b b " +
+          "ON a.o_custkey = b.o_custkey AND a.o_orderstatus = b.o_orderstatus")
+        j.count() // materialize so AQE finalizes the plan
+        def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            p +: flatten(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => p +: flatten(q.plan)
+          case _ => p +: p.children.flatMap(flatten)
+        }
+        val all = flatten(j.queryExecution.executedPlan)
+        val joinIdx = all.indexWhere {
+          case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => true
+          case _: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => true
+          case _ => false
+        }
+        require(joinIdx >= 0, "no shuffle-family join in the plan")
+        require(!flatten(all(joinIdx)).exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+          "multi-column storage-partitioned join still shuffled")
+        TempCatalog.decouple(s, j)
+      } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+        prevV2Bucketing match {
+          case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+          case None => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        }
+      }
+      }
+    }),
+
     // Z-ORDER rewrite: scattered files → Morton-tiled files; pruning
     // must fire on BOTH clustered columns (requires assert it)
     "s_zorder" -> ((s, d) => {
@@ -766,6 +833,34 @@ object StorageOps {
       av.read()
     }),
 
+    // FILTERED aggregate view: the plan carries a pre-aggregation
+    // predicate applied symmetrically to adds and deletes — the
+    // materialized `SELECT ... WHERE pred GROUP BY` shape with NO
+    // intermediate row-wise MV. Updates moving rows ACROSS the
+    // predicate boundary (quantity rewritten below the threshold) must
+    // retract them from the state; refresh stays O(delta)
+    "s_mv_agg_filtered" -> ((s, d) => {
+      import graft.views._
+      val li = t(s, d, "lineitem")
+      val src = SpaceDataset.create(s, fresh("aggfsrc"), li.schema,
+        Seq("l_orderkey", "l_linenumber"))
+      src.append(li.filter(col("l_orderkey") % 3 =!= 0))
+      val av = AggregateView.create(s, fresh("aggfview"), src,
+        Seq("l_returnflag"), Seq(
+          AggSpec.countAll("n_rows"), AggSpec.sum("l_quantity", "sum_qty"),
+          AggSpec.min("l_quantity", "min_qty"), AggSpec.max("l_quantity", "max_qty")),
+        filter = Some("l_quantity > 25"))
+      av.refresh()
+      src.append(li.filter(col("l_orderkey") % 3 === 0))
+      src.delete(col("l_suppkey") % 5 === 1)
+      // UPDATE that moves rows across the filter boundary: quantities of
+      // a slice drop to 1 (below the predicate) — the state must retract
+      // them even though the rows still exist in the source
+      src.update(col("l_partkey") % 7 === 0, Map("l_quantity" -> lit(1.0)))
+      av.refresh()
+      av.read()
+    }),
+
     // join view over two record-field tables: per-side field selection,
     // addresses (not payloads) cross the key join, payloads stitched
     // back after (views.py:183-224 + ray/ops/join.py:120-135 semantics)
@@ -1069,6 +1164,8 @@ object StorageOps {
     "s_bucket_join" ->
       """SELECT o_orderkey, c_name, round(o_totalprice, 2) AS price
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "s_bucket_join_multi" ->
+      "SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders",
     "s_bucket_lookup" ->
       "SELECT * FROM orders WHERE o_custkey = (SELECT min(o_custkey) FROM orders)",
     "s_zorder" -> "SELECT * FROM orders WHERE o_totalprice > 400000.0",
@@ -1217,6 +1314,15 @@ object StorageOps {
         |FROM lineitem
         |WHERE l_suppkey % 5 <> 1
         |GROUP BY 1, 2""".stripMargin,
+    "s_mv_agg_filtered" ->
+      """SELECT l_returnflag,
+        |  count(*) AS n_rows,
+        |  sum(l_quantity) AS sum_qty,
+        |  min(l_quantity) AS min_qty,
+        |  max(l_quantity) AS max_qty
+        |FROM lineitem
+        |WHERE l_suppkey % 5 <> 1 AND l_partkey % 7 <> 0 AND l_quantity > 25
+        |GROUP BY 1""".stripMargin,
     "s_mv_pipeline" ->
       """SELECT doc_id, lang,
         |  len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))

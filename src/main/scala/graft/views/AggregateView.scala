@@ -44,7 +44,15 @@ final case class AggPlan(
     groupBy: List[String],
     aggs: List[AggSpec],
     fpSums: List[String] = Nil,
-    reservoirK: Int = 0) {
+    reservoirK: Int = 0,
+    /** Optional PRE-AGGREGATION filter (a deterministic SQL boolean
+      * expression over source columns), applied symmetrically to ADD
+      * and DELETE deltas, the one-scan initial build, and extremum
+      * recomputes — so `CREATE ... AS SELECT g, sum(v) FROM src WHERE
+      * pred GROUP BY g` maintains without materializing a row-wise
+      * filtered MV first. Sound because agg deltas read FULL delete
+      * rows (the PKs-only caveat of row-wise views does not apply). */
+    filter: Option[String] = None) {
   def json: String = JsonMethods.compact(JsonMethods.render(JObject(List(
     "type" -> (JString("aggregate"): JValue),
     "location" -> JString(sourceLocation),
@@ -55,7 +63,8 @@ final case class AggPlan(
     (if (fpSums.isEmpty) Nil
      else List("fp_sums" -> (JArray(fpSums.map(JString(_))): JValue))) ++
     (if (reservoirK <= 0) Nil
-     else List("reservoir_k" -> (JInt(reservoirK): JValue))))))
+     else List("reservoir_k" -> (JInt(reservoirK): JValue))) ++
+    filter.map(f => "filter" -> (JString(f): JValue)).toList)))
 
   /** min/max aggregates maintained through a bounded extremum reservoir
     * (state column `__res_<as>`); empty for pre-reservoir plans. */
@@ -106,7 +115,11 @@ object AggPlan {
       case JInt(v) => v.toInt
       case _ => 0 // plans persisted before extremum reservoirs
     }
-    AggPlan(str(j, "location"), groups, aggs, fpSums, resK)
+    val filt = (j \ "filter") match {
+      case JString(f) => Some(f)
+      case _ => None // plans persisted before pre-aggregation filters
+    }
+    AggPlan(str(j, "location"), groups, aggs, fpSums, resK, filt)
   }
 }
 
@@ -157,6 +170,9 @@ final class AggregateView(val spark: SparkSession, val dataset: SpaceDataset)
       s"${dataset.location} is not an aggregate view"))
 
   private def groups: Seq[String] = plan.groupBy
+
+  /** The plan's pre-aggregation filter, as a Column (None = all rows). */
+  private def srcFilter: Option[Column] = plan.filter.map(expr)
 
   /** Source snapshot id the view is currently refreshed to. */
   def refreshedTo: Option[Long] = dataset.storage.metadata.mvSourceSnapshotId
@@ -262,7 +278,8 @@ final class AggregateView(val spark: SparkSession, val dataset: SpaceDataset)
       if (watermark.exists(_ >= target) || (watermark.isDefined && !overwrite)) {
         (None, ())
       } else {
-        val partial = source.read(version = Some(target.toString))
+        val srcRows = source.read(version = Some(target.toString))
+        val partial = srcFilter.fold(srcRows)(srcRows.filter)
           .groupBy(groups.map(col): _*).agg(pexprs.head, pexprs.tail: _*)
           .persist()
         try {
@@ -318,8 +335,13 @@ final class AggregateView(val spark: SparkSession, val dataset: SpaceDataset)
     // and AGAIN when the merged frame materializes (r8's refresh cost
     // was ~2× for exactly this). The check rides the persisted merge
     // below — one pass over each delta, validated before any commit.
-    def partial(df: DataFrame): DataFrame =
-      df.groupBy(gCols: _*).agg(pexprs.head, pexprs.tail: _*)
+    // The plan's pre-aggregation filter applies SYMMETRICALLY here:
+    // adds and deletes see the same predicate over full rows, so a
+    // filtered-out row contributes to neither side.
+    def partial(df: DataFrame): DataFrame = {
+      val base = srcFilter.fold(df)(df.filter)
+      base.groupBy(gCols: _*).agg(pexprs.head, pexprs.tail: _*)
+    }
 
     val adds = batches.filter(_.changeType == ChangeType.Add).map(_.data)
     val dels = batches.filter(_.changeType == ChangeType.Delete).map(_.data)
@@ -454,7 +476,8 @@ final class AggregateView(val spark: SparkSession, val dataset: SpaceDataset)
           // the group's true state at this source snapshot: time-travel
           // read semi-joined to the (small) affected keys — prunable
           // when the source is clustered by the group columns
-          val rows = source.read(version = Some(sid.toString))
+          val srcRows = source.read(version = Some(sid.toString))
+          val rows = srcFilter.fold(srcRows)(srcRows.filter)
             .join(broadcast(recomputeKeys), groups, "left_semi")
           val re = rows.groupBy(gCols: _*).agg(pexprs.head, pexprs.tail: _*)
           Some(re.select(stateSchema.fields.toSeq.map(f =>
@@ -543,13 +566,17 @@ object AggregateView {
       }
     }
 
-  /** Create the state table (PK = group columns) and bind the view. */
+  /** Create the state table (PK = group columns) and bind the view.
+    * `filter` is an optional deterministic SQL boolean expression over
+    * source columns, applied BEFORE aggregation on every maintenance
+    * path (see [[AggPlan.filter]]). */
   def create(
       spark: SparkSession,
       location: String,
       source: SpaceDataset,
       groupBy: Seq[String],
-      aggs: Seq[AggSpec]): AggregateView = {
+      aggs: Seq[AggSpec],
+      filter: Option[String] = None): AggregateView = {
     require(groupBy.nonEmpty, "aggregate view requires at least one group-by column")
     val outNames = aggs.map(_.as)
     require(outNames.distinct == outNames, s"duplicate aggregate output names: $outNames")
@@ -558,6 +585,16 @@ object AggregateView {
     val srcSchema = source.storage.logicalSchema
     (groupBy ++ aggs.flatMap(_.input)).foreach(c =>
       require(srcSchema.fieldNames.contains(c), s"column $c not in source schema"))
+    filter.foreach { f =>
+      // analyze the predicate against the source NOW — a typo must fail
+      // at create, not at the first refresh; and it must be
+      // deterministic (adds and deletes evaluate it independently — a
+      // rand()-bearing filter would admit a row's ADD but not its
+      // DELETE, silently corrupting the state)
+      val analyzed = source.readAll().filter(expr(f))
+      require(analyzed.queryExecution.analyzed.deterministic,
+        s"aggregate view filter must be deterministic: $f")
+    }
 
     // floating sums get exact decimal state (see AggPlan.fpSums)
     val fpSums = aggs.collect {
@@ -575,7 +612,8 @@ object AggregateView {
         org.apache.spark.sql.graftshim.Reservoir.supportsType(srcSchema(a.input.get).dataType)))
         DefaultReservoirK
       else 0
-    val plan = AggPlan(source.location, groupBy.toList, aggs.toList, fpSums.toList, resK)
+    val plan = AggPlan(source.location, groupBy.toList, aggs.toList, fpSums.toList,
+      resK, filter)
     // state schema inferred from the partial aggregation's own output
     // (sum widening etc. follow Spark's rules, no duplication here)
     val stateSchema = source.readAll()

@@ -26,20 +26,24 @@ import graft.format.StoragePaths
 object GraftBucketing {
 
   /** One input partition per bucket: the parquet splits of that bucket's
-    * files, keyed by the bucket id. */
+    * files, keyed by the bucket id — a single flat id for the single-
+    * hash layout, the per-column id TUPLE for a `bucketCounts` layout
+    * (matching the per-column transforms the scan reports). */
   final class BucketFilePartition(
       index: Int,
       files: Array[PartitionedFile],
-      bucketId: Int)
+      key: Array[Any])
     extends FilePartition(index, files) with HasPartitionKey {
-    override def partitionKey(): InternalRow =
-      new GenericInternalRow(Array[Any](bucketId))
+    override def partitionKey(): InternalRow = new GenericInternalRow(key)
   }
 
   /** Batch that REGROUPS the delegate parquet batch's splits by bucket.
     * Reuses the parquet reader factory unchanged — only the grouping
-    * (and therefore the reported partitioning) differs. */
-  final class BucketedBatch(delegate: ParquetScan) extends Batch {
+    * (and therefore the reported partitioning) differs. `bucketCounts`
+    * non-empty = per-column layout: flat file ids decode row-major into
+    * tuples. */
+  final class BucketedBatch(delegate: ParquetScan, bucketCounts: Seq[Int] = Nil)
+    extends Batch {
     private lazy val inner = delegate.toBatch
 
     lazy val partitions: Array[InputPartition] = {
@@ -55,7 +59,11 @@ object GraftBucketing {
         .sortBy(_._1)
         .zipWithIndex
         .map { case ((b, fs), idx) =>
-          new BucketFilePartition(idx, fs, b): InputPartition
+          val key: Array[Any] =
+            if (bucketCounts.isEmpty) Array[Any](b)
+            else graft.core.AppendOp.tupleOfFlat(b, bucketCounts)
+              .map(Int.box(_): Any).toArray
+          new BucketFilePartition(idx, fs, key): InputPartition
         }
         .toArray
     }

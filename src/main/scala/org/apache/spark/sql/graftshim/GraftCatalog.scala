@@ -215,13 +215,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       .orElse(props.get("bucket_columns")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
       .getOrElse(Nil)
-    val numBuckets = clusteredBy
-      .map(_.numBuckets.value.asInstanceOf[Number].intValue())
-      .orElse(props.get("num_buckets").map(_.trim.toInt)).getOrElse(0)
+    // `num_buckets` accepts a COMMA LIST for the per-column layout
+    // ('4,4' with bucket_columns 'k1,k2' → tuple buckets, the
+    // multi-column SPJ shape); a single int keeps the single-hash layout
+    val numBucketsSpec: Seq[Int] = clusteredBy
+      .map(b => Seq(b.numBuckets.value.asInstanceOf[Number].intValue()))
+      .orElse(props.get("num_buckets")
+        .map(_.split(",").map(_.trim.toInt).toSeq))
+      .getOrElse(Nil)
+    val (numBuckets, bucketCounts) = numBucketsSpec match {
+      case Nil => (0, Nil)
+      case Seq(n) => (n, Nil)
+      case counts => (counts.map(_.toLong).product.toInt, counts)
+    }
     val writeClusterBy = props.get("write_cluster_by")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     val ds = dir.createDataset(tableName(ident), schema, pks, recordFields, statsFields,
-      bucketCols, numBuckets, bloomCols, writeClusterBy)
+      bucketCols, numBuckets, bloomCols, writeClusterBy, bucketCounts)
     new GraftTable(spark, ds, s"$catalogName.${ident.name}", None)
   }
 
@@ -428,6 +438,7 @@ final class GraftTable(
     "bloom_columns" -> storage.metadata.bloomColumns.map(storage.logicalNameOf).mkString(","),
     "write_cluster_by" -> storage.metadata.writeClusterBy.map(storage.logicalNameOf).mkString(","),
     "num_buckets" -> storage.metadata.numBuckets.toString,
+    "bucket_counts" -> storage.metadata.bucketCounts.mkString(","),
     "provider" -> "graft",
     "snapshot_id" -> snapshotId.toString).asJava
 
@@ -620,31 +631,44 @@ final class GraftDelegatingScan(
   override def readSchema(): StructType = storage.logicalize(delegate.readSchema())
 
   private def numBuckets: Int = storage.metadata.numBuckets
+  private def bucketCounts: Seq[Int] = storage.metadata.bucketCounts
 
-  private lazy val bucketedBatch = new GraftBucketing.BucketedBatch(delegate)
+  private lazy val bucketedBatch =
+    new GraftBucketing.BucketedBatch(delegate, bucketCounts)
 
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
     if (numBuckets > 0) bucketedBatch else delegate.toBatch
 
-  /** Bucketed tables report `KeyGroupedPartitioning(bucket(n, cols))` —
-    * with `spark.sql.sources.v2.bucketing.enabled=true`, joins between
+  /** Bucketed tables report key-grouped partitioning — with
+    * `spark.sql.sources.v2.bucketing.enabled=true`, joins between
     * co-bucketed graft tables on the bucket columns need NO exchange
-    * (storage-partitioned join). The zero-exchange join requires a
-    * SINGLE-column bucket spec: Spark's KeyGroupedPartitioning only
-    * matches single-leaf transforms against join keys (V2ExpressionUtils
-    * folds the numBuckets literal away for one-column bucket transforms
-    * only), so a chained multi-column transform can report here but never
-    * satisfy the join's distribution — those tables still get correct
-    * joins (with exchange) and fully-pinned bucket pruning. */
+    * (storage-partitioned join).
+    *
+    *  - Per-column layout ([[graft.format.StorageMetadata.bucketCounts]]):
+    *    one single-leaf `bucket(nᵢ, cᵢ)` transform per column, partition
+    *    keys = the id tuples — the shape Spark's SPJ machinery matches
+    *    for MULTI-column join keys (its numBuckets folding accepts
+    *    single-reference bucket transforms only, V2ExpressionUtils).
+    *  - Legacy single-hash layout: one `bucket(n, cols…)` transform —
+    *    zero-exchange only when it has exactly one column; multi-column
+    *    legacy tables still get correct joins (with exchange) and
+    *    fully-pinned bucket pruning. */
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    if (numBuckets > 0 && bucketedBatch.partitions.nonEmpty)
+    if (numBuckets > 0 && bucketedBatch.partitions.nonEmpty) {
+      val transforms: Array[org.apache.spark.sql.connector.expressions.Expression] =
+        if (bucketCounts.nonEmpty)
+          storage.metadata.bucketColumns.zip(bucketCounts).map { case (c, n) =>
+            org.apache.spark.sql.connector.expressions.Expressions.bucket(
+              n, storage.logicalNameOf(c))
+          }.toArray
+        else
+          Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
+            numBuckets,
+            storage.metadata.bucketColumns.map(storage.logicalNameOf): _*))
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-        Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
-          numBuckets,
-          storage.metadata.bucketColumns.map(storage.logicalNameOf): _*)),
-        bucketedBatch.partitions.length)
-    else new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+        transforms, bucketedBatch.partitions.length)
+    } else new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
 
   override def description(): String = delegate.description()
 

@@ -186,7 +186,12 @@ object GraftProcedures {
           ProcedureParameter.in("group_by", StringType)
             .comment("comma-separated group-by column names").build(),
           ProcedureParameter.in("aggs", StringType)
-            .comment("comma-separated kind:input:as (count_all::n for no input)").build()),
+            .comment("comma-separated kind:input:as (count_all::n for no input)").build(),
+          ProcedureParameter.in("where", StringType)
+            .defaultValue("NULL")
+            .comment("optional deterministic pre-aggregation SQL predicate " +
+              "over source columns (the WHERE of the materialized GROUP BY)")
+            .build()),
         StructType(Seq(
           StructField("view_location", StringType, nullable = false),
           StructField("reservoir_k", IntegerType, nullable = false)))) {
@@ -202,8 +207,10 @@ object GraftProcedures {
                   s"bad agg spec '$s' (want kind:input:as)")
               }
             }
+          val filt =
+            if (input.isNullAt(4)) None else Some(input.getUTF8String(4).toString)
           val av = cat.dirCatalog.createAggregateView(
-            viewName, source, cols(input, 2), aggSpecs)
+            viewName, source, cols(input, 2), aggSpecs, filt)
           Seq(InternalRow(utf8(av.dataset.location), av.plan.reservoirK))
         }
       },

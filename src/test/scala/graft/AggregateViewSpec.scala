@@ -337,6 +337,54 @@ class AggregateViewSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](MaterializedView.load(spark, loc))
   }
 
+  test("filtered view: symmetric add/delete filtering, boundary-crossing updates, SQL") {
+    val rows = spark.createDataFrame(Seq(
+      (1L, "a", 10.0), (2L, "a", 30.0), (3L, "b", 40.0), (4L, "b", 5.0)))
+      .toDF("id", "g", "v")
+    val src = SpaceDataset.create(spark, freshLoc("fsrc"), rows.schema, Seq("id"))
+    src.append(rows)
+    val av = AggregateView.create(spark, freshLoc("fview"), src, Seq("g"),
+      Seq(AggSpec.countAll("n"), AggSpec.sum("v", "sum_v"),
+        AggSpec.min("v", "min_v")), filter = Some("v > 20"))
+    assert(av.refresh() == 1)
+    def expect() = src.readAll().filter(col("v") > 20).groupBy("g").agg(
+      count(lit(1)).as("n"), sum("v").as("sum_v"), min("v").as("min_v"))
+    assertSame(av.read(), expect())
+
+    // appends/deletes maintain through the filter incrementally
+    src.append(spark.createDataFrame(Seq((5L, "a", 50.0), (6L, "c", 21.0),
+      (7L, "c", 15.0))).toDF("id", "g", "v"))
+    src.delete(col("id") === 2L)
+    assert(av.refresh() == 2)
+    assertSame(av.read(), expect())
+
+    // an update moving a row ACROSS the filter boundary retracts it;
+    // one moving INTO the filter admits it
+    src.update(col("id") === 5L, Map("v" -> lit(3.0)))   // leaves the view
+    src.update(col("id") === 7L, Map("v" -> lit(99.0)))  // enters the view
+    assert(av.refresh() == 2)
+    assertSame(av.read(), expect())
+    // group "a" lost its only qualifying row -> no state row for it
+    assert(av.read().filter(col("g") === "a").count() == 0)
+
+    // a group fully below the filter never exists; reload round-trips
+    // the plan's filter
+    val re = AggregateView.load(spark, av.dataset.location)
+    assert(re.plan.filter.contains("v > 20"))
+    assert(re.refresh() == 0)
+
+    // nondeterministic filters rejected at create
+    intercept[IllegalArgumentException] {
+      AggregateView.create(spark, freshLoc("fbad"), src, Seq("g"),
+        Seq(AggSpec.countAll("n")), filter = Some("rand() > 0.5"))
+    }
+    // malformed filters fail at create, not first refresh
+    intercept[Exception] {
+      AggregateView.create(spark, freshLoc("fbad2"), src, Seq("g"),
+        Seq(AggSpec.countAll("n")), filter = Some("no_such_col > 1"))
+    }
+  }
+
   test("refresh to a target BELOW the watermark is a caller error, not a rebuild") {
     val rows = spark.createDataFrame(Seq(
       (1L, "a", 10.0), (2L, "b", 20.0))).toDF("id", "g", "v")

@@ -201,13 +201,14 @@ class BucketSpec extends AnyFunSuite {
         assert(ds.read(filter = Some(c)).count() == orders.filter(c).count())
       }
 
-    // --- SQL path: a multi-column-bucketed scan must PLAN (the bucket()
-    // function binds N columns — it used to die in bind()), and joins
-    // stay CORRECT. Zero-exchange SPJ is single-column-only: Spark's
-    // KeyGroupedPartitioning.satisfies only accepts single-leaf
-    // transforms (V2ExpressionUtils folds the numBuckets literal away
-    // for 1-column bucket transforms only), so one chained transform
-    // spanning two join keys can never match the join's distribution.
+    // --- SQL path: a LEGACY (single-hash) multi-column-bucketed scan
+    // must PLAN (the bucket() function binds N columns — it used to die
+    // in bind()), and joins stay CORRECT. Zero-exchange SPJ needs the
+    // per-column layout ('num_buckets'='4,4' → one single-leaf
+    // transform per column; Spark folds the numBuckets literal for
+    // single-reference bucket transforms only) — covered by the
+    // per-column test below; the chained single-hash layout keeps
+    // exchange-ful joins and fully-pinned pruning.
     val root = Files.createTempDirectory("graft_mspj_").toString
     spark.conf.set("spark.sql.catalog.gmbk",
       classOf[org.apache.spark.sql.graftshim.GraftCatalog].getName)
@@ -247,6 +248,83 @@ class BucketSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
       spark.conf.unset("spark.sql.catalog.gmbk")
       spark.conf.unset("spark.sql.catalog.gmbk.location")
+    }
+  }
+
+  test("per-column bucket counts: multi-key SPJ is exchange-free; subset pins prune") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_pcspj_").toString
+    spark.conf.set("spark.sql.catalog.gpc",
+      classOf[org.apache.spark.sql.graftshim.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gpc.location", root)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      spark.sql("CREATE TABLE gpc.a (k1 BIGINT, k2 STRING, v DOUBLE) TBLPROPERTIES " +
+        "('primary_keys'='k1', 'bucket_columns'='k1,k2', 'num_buckets'='4,4')")
+      spark.sql("CREATE TABLE gpc.b (k1 BIGINT, k2 STRING, w DOUBLE) TBLPROPERTIES " +
+        "('primary_keys'='k1', 'bucket_columns'='k1,k2', 'num_buckets'='4,4')")
+      (1L to 500L).map(i => (i, "s" + (i % 7), i * 1.0)).toDF("k1", "k2", "v")
+        .write.mode("append").insertInto("gpc.a")
+      (1L to 400L).map(i => (i, "s" + (i % 7), i * 2.0)).toDF("k1", "k2", "w")
+        .write.mode("append").insertInto("gpc.b")
+
+      val ds = SpaceDataset.load(spark, s"$root/a")
+      assert(ds.storage.metadata.bucketCounts == List(4, 4))
+      assert(ds.storage.metadata.numBuckets == 16)
+
+      // partial pin prunes ONE dimension; full pin prunes both
+      val p1 = ds.plan(Some(col("k2") === "s3"))
+      assert(p1.files.nonEmpty && p1.files.size <= p1.totalFiles / 4,
+        s"k2 pin must keep <= 1/4 of files (kept ${p1.files.size}/${p1.totalFiles})")
+      val p2 = ds.plan(Some(col("k1") === 77L && col("k2") === "s0"))
+      assert(p2.files.size <= p2.totalFiles / 8)
+      // soundness: pruned reads equal plain filters
+      assert(ds.read(filter = Some(col("k2") === "s3")).count() ==
+        (1L to 500L).count(i => "s" + (i % 7) == "s3"))
+      assert(ds.read(filter = Some(col("k1") === 77L && col("k2") === "s0")).count() ==
+        (if ("s" + (77 % 7) == "s0") 1 else 0))
+
+      // two-key join over co-bucketed tuple layouts: ZERO exchanges
+      val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = spark.sql("SELECT a.k1, a.v, b.w FROM gpc.a a JOIN gpc.b b " +
+          "ON a.k1 = b.k1 AND a.k2 = b.k2")
+        assert(j.count() == 400L)
+        def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+          case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            p +: flatten(q.plan)
+          case _ => p +: p.children.flatMap(flatten)
+        }
+        val all = flatten(j.queryExecution.executedPlan)
+        val joinIdx = all.indexWhere {
+          case _: SortMergeJoinExec | _: ShuffledHashJoinExec => true
+          case _ => false
+        }
+        assert(joinIdx >= 0, s"no shuffle-family join:\n${all.head.treeString}")
+        assert(!flatten(all(joinIdx)).exists(_.isInstanceOf[ShuffleExchangeExec]),
+          s"multi-column SPJ still shuffled:\n${all.head.treeString}")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+
+      // DML keeps the tuple layout: delete + upsert, then reads and
+      // pruning still line up and compaction regroups within buckets
+      val api = SpaceDataset.load(spark, s"$root/a")
+      api.delete(col("k1") <= 50L)
+      api.upsert((1L to 20L).map(i => (i, "s" + (i % 7), -i * 1.0)).toDF("k1", "k2", "v"))
+      assert(api.readAll().count() == 470L)
+      assert(api.read(filter = Some(col("k2") === "s3")).count() ==
+        api.readAll().filter(col("k2") === "s3").collect().length)
+      api.compact(targetFileRows = 100000L)
+      val files = api.plan(None).files
+      assert(files.forall(f => graft.format.StoragePaths.bucketOf(f).isDefined),
+        "compacted files must keep bucket ids")
+      assert(api.readAll().count() == 470L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gpc")
+      spark.conf.unset("spark.sql.catalog.gpc.location")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
     }
   }
 

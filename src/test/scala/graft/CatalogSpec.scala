@@ -409,9 +409,17 @@ class CatalogSpec extends AnyFunSuite {
       spark.sql("MERGE INTO graft_test.mt t USING mt_src s ON t.id = s.id " +
         "WHEN MATCHED THEN UPDATE SET price = s.price + 1")
     }
-    intercept[Exception] { // NOT MATCHED BY SOURCE is not supported
+    // NOT MATCHED BY SOURCE is supported since round 11: the sync shape.
+    // State here: (1,10.0,F), (2,200.0,O), (4,400.0,O); source ids 2,3,4
+    // -> row 1 is not matched by source and deletes
+    spark.sql("MERGE INTO graft_test.mt t USING mt_src s ON t.id = s.id " +
+      "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    assert(spark.sql("SELECT id FROM graft_test.mt ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L, 4L))
+    // ...but its conditions/values must stay on TARGET columns
+    intercept[Exception] {
       spark.sql("MERGE INTO graft_test.mt t USING mt_src s ON t.id = s.id " +
-        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+        "WHEN NOT MATCHED BY SOURCE AND s.st = 'F' THEN DELETE")
     }
   }
 

@@ -167,6 +167,18 @@ class ProcedureSpec extends AnyFunSuite {
     val e = intercept[Exception](spark.sql("CALL graft_proc.system.create_agg_view(" +
       "table => 'cavsrc', view => 'cavbad', group_by => 'g', aggs => 'sum_v')").collect())
     assert(e.getMessage.contains("kind:input:as"), e.getMessage)
+
+    // FILTERED view from SQL: the optional `where` predicate rides the
+    // plan and maintains symmetrically through appends and deletes
+    spark.sql("CALL graft_proc.system.create_agg_view(" +
+      "table => 'cavsrc', view => 'cavmvf', group_by => 'g', " +
+      "aggs => 'count_all::nf,sum:v:sum_vf', where => 'v >= 50')").collect()
+    spark.sql("CALL graft_proc.system.refresh_mv(table => 'cavmvf')").collect()
+    // id 98 was deleted above and 97 is odd: even qualifying = 50..96 even
+    val f = spark.sql(
+      "SELECT nf, sum_vf FROM graft_proc.cavmvf.view WHERE g = 'even'").collect()(0)
+    assert(f.getLong(0) == (50 to 96 by 2).size.toLong)
+    assert(math.abs(f.getDouble(1) - (50 to 96 by 2).sum.toDouble) < 1e-6)
   }
 
   test("rewrite_records procedure reclaims payload space through SQL") {
