@@ -833,15 +833,21 @@ object StorageOps {
       av.read()
     }),
 
-    // FILTERED aggregate view: the plan carries a pre-aggregation
-    // predicate applied symmetrically to adds and deletes — the
-    // materialized `SELECT ... WHERE pred GROUP BY` shape with NO
-    // intermediate row-wise MV. Updates moving rows ACROSS the
-    // predicate boundary (quantity rewritten below the threshold) must
-    // retract them from the state; refresh stays O(delta)
+    // FILTERED aggregate view over MERGE-ON-READ DML: the plan carries
+    // a pre-aggregation predicate applied symmetrically to adds and
+    // deletes — the materialized `SELECT ... WHERE pred GROUP BY` shape
+    // with NO intermediate row-wise MV. The source mutates under
+    // dvMaxFraction=1 (scattered delete + update → delete VECTORS, zero
+    // file rewrites), proving the CDC feed the view maintains from is
+    // mode-oblivious. The UPDATE moves rows ACROSS the predicate
+    // boundary (quantities drop below it) — the state must retract them
+    // even though the rows still exist in the source; refresh stays
+    // O(delta)
     "s_mv_agg_filtered" -> ((s, d) => {
       import graft.views._
-      val li = t(s, d, "lineitem")
+      // half the keyspace: the full corpus is s_mv_agg's job — this
+      // query measures the FILTER + MoR maintenance semantics
+      val li = t(s, d, "lineitem").filter(col("l_orderkey") % 2 === 0)
       val src = SpaceDataset.create(s, fresh("aggfsrc"), li.schema,
         Seq("l_orderkey", "l_linenumber"))
       src.append(li.filter(col("l_orderkey") % 3 =!= 0))
@@ -852,11 +858,18 @@ object StorageOps {
         filter = Some("l_quantity > 25"))
       av.refresh()
       src.append(li.filter(col("l_orderkey") % 3 === 0))
-      src.delete(col("l_suppkey") % 5 === 1)
-      // UPDATE that moves rows across the filter boundary: quantities of
-      // a slice drop to 1 (below the predicate) — the state must retract
-      // them even though the rows still exist in the source
-      src.update(col("l_partkey") % 7 === 0, Map("l_quantity" -> lit(1.0)))
+      val manifestsBefore = src.storage.metadata.currentSnapshot
+        .manifestFiles.indexManifestFiles.toSet
+      s.conf.set(DeleteVectorOps.DvMaxFractionKey, "1.0")
+      try {
+        src.delete(col("l_suppkey") % 5 === 1)
+        src.update(col("l_partkey") % 37 === 0, Map("l_quantity" -> lit(1.0)))
+      } finally s.conf.unset(DeleteVectorOps.DvMaxFractionKey)
+      // MoR: both scattered mutations wrote vectors, not files (the
+      // update's append adds manifests; nothing is ever REMOVED)
+      require(manifestsBefore.subsetOf(src.storage.metadata.currentSnapshot
+        .manifestFiles.indexManifestFiles.toSet),
+        "s_mv_agg_filtered: scattered DML must take the merge-on-read leg")
       av.refresh()
       av.read()
     }),
@@ -1321,7 +1334,8 @@ object StorageOps {
         |  min(l_quantity) AS min_qty,
         |  max(l_quantity) AS max_qty
         |FROM lineitem
-        |WHERE l_suppkey % 5 <> 1 AND l_partkey % 7 <> 0 AND l_quantity > 25
+        |WHERE l_orderkey % 2 = 0
+        |  AND l_suppkey % 5 <> 1 AND l_partkey % 37 <> 0 AND l_quantity > 25
         |GROUP BY 1""".stripMargin,
     "s_mv_pipeline" ->
       """SELECT doc_id, lang,
