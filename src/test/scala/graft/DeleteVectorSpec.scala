@@ -279,6 +279,55 @@ class DeleteVectorSpec extends AnyFunSuite {
     assert(ds.readAll().count() == 985)
   }
 
+  test("clusterBy folds vectors: rewritten files shed dead rows, stats exact") {
+    val ds = mkTable("cluster")
+    withMor() { ds.delete(col("k") % 4 === 0) } // 250 dead, vectors on all files
+    assert(ds.countRows() == 750)
+    val res = ds.clusterBy(Seq("k"), targetFileRows = 300)
+    assert(res.isDefined)
+    val head = ds.storage.metadata.currentSnapshotId
+    assert(ds.storage.deleteVectors(head).isEmpty,
+      "a full clusterBy must fold every vector")
+    assert(ds.countRows() == 750 && ds.readAll().count() == 750)
+    assert(ds.readAll().filter(col("k") % 4 === 0).count() == 0)
+    // the clustered layout now prunes point reads AND the files are
+    // clean at rest (export works again)
+    val p = ds.plan(Some(col("k") === 501L))
+    assert(p.files.size < p.totalFiles)
+    assert(spark.read.parquet(ds.indexFiles(): _*).count() == 750)
+  }
+
+  test("record-rewrite reclaims payloads whose only references are MoR-dead rows") {
+    val loc = freshLoc("recrw")
+    val df = dense(400).withColumn("payload",
+      concat(lit("payload_"), col("k")).cast("binary"))
+    val ds = SpaceDataset.create(spark, loc, df.schema, Seq("k"),
+      recordFields = Seq("payload"))
+    // two appends -> two record files; MoR-delete ALL rows of the first
+    // append: its payload file's live references drop to zero without a
+    // single index rewrite
+    ds.append(df.filter(col("k") <= 200))
+    ds.append(df.filter(col("k") > 200))
+    withMor() { ds.delete(col("k") <= 200) }
+    assert(ds.countRows() == 200)
+
+    val res = ds.rewriteRecords(maxLiveFraction = 0.5)
+    assert(res.isDefined, "an all-dead payload file must be picked")
+    assert(res.get.pickedRecordFiles >= 1)
+    // the rewrite folded the index vectors it touched; reads stay exact
+    // with payloads intact
+    val got = ds.readAll().selectExpr("k", "decode(payload, 'UTF-8') AS p").collect()
+    assert(got.length == 200)
+    assert(got.forall(r => r.getString(1) == s"payload_${r.getLong(0)}"))
+    // expiry + GC actually delete the dead payload bytes
+    ds.expireSnapshots(olderThanMs = -1000L, keepLast = 1)
+    val deleted = ds.garbageCollect(minAgeMs = 0L).deleted
+    assert(deleted.exists(_.startsWith("data/records/")),
+      s"dead payload file must be reclaimed, got: $deleted")
+    val got2 = ds.readAll().count()
+    assert(got2 == 200)
+  }
+
   test("random access and raw export refuse a vector-carrying snapshot") {
     val loc = freshLoc("guard")
     val df = dense(100).withColumn("payload",
