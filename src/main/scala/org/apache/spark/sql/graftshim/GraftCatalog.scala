@@ -131,12 +131,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     ident.namespace.isEmpty && dir.exists(ident.name)
 
   /** Metadata tables: `SELECT * FROM <cat>.<table>.<meta>` with meta ∈
-    * versions | files | record_files | view (the SQL face of
-    * `versions()` / `indexManifest()` / `recordManifest()` /
-    * `AggregateView.read()` — an aggregate view's TABLE holds partial
-    * state; `.view` serves the FINAL per-group values). `<cat>.<t>
-    * .versions` parses as namespace [t], name "versions" — resolved
-    * here before the flat-namespace table lookup. */
+    * versions | files | record_files | delete_vectors | view (the SQL
+    * face of `versions()` / `indexManifest()` / `recordManifest()` /
+    * the merge-on-read vector set / `AggregateView.read()` — an
+    * aggregate view's TABLE holds partial state; `.view` serves the
+    * FINAL per-group values). `<cat>.<t>.versions` parses as namespace
+    * [t], name "versions" — resolved here before the flat-namespace
+    * table lookup. */
   private def metadataTable(ident: Identifier): Option[Table] =
     if (ident.namespace.length == 1 && dir.exists(ident.namespace.head)) {
       val ds = dir.dataset(ident.namespace.head)
@@ -145,6 +146,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         case "versions" => Some(new GraftMetadataTable(full, () => ds.versions()))
         case "files" => Some(new GraftMetadataTable(full, () => ds.indexManifest()))
         case "record_files" => Some(new GraftMetadataTable(full, () => ds.recordManifest()))
+        // merge-on-read observability: which files carry soft-deleted
+        // rows, and how many — `sum(_NUM_DELETED)` is the table's
+        // compaction debt; empty = clean-at-rest (export/random access
+        // contracts hold)
+        case "delete_vectors" => Some(new GraftMetadataTable(full, () => {
+          val rows = ds.storage.deleteVectors(ds.storage.metadata.currentSnapshotId)
+            .toSeq.sortBy(_._1)
+            .map { case (f, e) => org.apache.spark.sql.Row(f, e.numRows) }
+          spark.createDataFrame(
+            java.util.Arrays.asList(rows: _*),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("_FILE",
+                org.apache.spark.sql.types.StringType, nullable = false),
+              org.apache.spark.sql.types.StructField("_NUM_DELETED",
+                org.apache.spark.sql.types.LongType, nullable = false))))
+        }))
         case "view" if ds.storage.metadata.logicalPlan
             .exists(graft.views.AggPlan.isAggregate) =>
           Some(new GraftMetadataTable(full,

@@ -227,6 +227,11 @@ class DeleteVectorSpec extends AnyFunSuite {
       withMor() { ds.delete(col("id") % 10 === 0) }
       assert(ds.storage.deleteVectors(ds.storage.metadata.currentSnapshotId).nonEmpty)
 
+      // vector observability: the delete_vectors metadata table reports
+      // the per-file soft-delete debt
+      assert(spark.sql("SELECT sum(_NUM_DELETED) FROM graft_dv.t.delete_vectors")
+        .collect()(0).getLong(0) == 50L)
+
       // plain SELECT masks
       assert(spark.sql("SELECT count(*) FROM graft_dv.t").collect()(0).getLong(0) == 450L)
       assert(spark.sql("SELECT count(*) FROM graft_dv.t WHERE id % 10 = 0")
