@@ -873,6 +873,19 @@ final class Storage(val location: String, val conf: Configuration) {
                           headDvs.get(f).flatMap(_.bitmapB64) ==
                             p.dvObserved.getOrElse(f, None))
                     }
+                  } && {
+                    // the INVERSE interleave: a CoW/maintenance rewrite
+                    // (removes manifests) computed its survivors against
+                    // the PINNED snapshot's vectors — if a concurrent
+                    // MoR delete changed ANY vector since pin, the
+                    // rewrite could resurrect its soft-deleted rows (the
+                    // CoW-vs-CoW analogue aborts via the manifest check
+                    // above; MoR removes no manifests, so it must be
+                    // caught here). Comparing whole vector SETS is
+                    // coarser than per-file but lock-cheap; an abort
+                    // just re-runs the op from the fresh head.
+                    p.removedIndexManifests.isEmpty ||
+                      deleteVectors(pinned) == deleteVectors(head)
                   }
               }
             case ConflictPolicy.Strict => false

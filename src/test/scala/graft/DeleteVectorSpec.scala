@@ -242,6 +242,14 @@ class DeleteVectorSpec extends AnyFunSuite {
       // time travel to the pre-delete snapshot stays unmasked
       assert(spark.sql("SELECT count(*) FROM graft_dv.t VERSION AS OF 1")
         .collect()(0).getLong(0) == 500L)
+      // SUBQUERY expressions over the vector-carrying table mask too
+      // (their plans analyze through the same rule executor)
+      assert(spark.sql(
+        "SELECT count(*) FROM range(1, 501) WHERE id IN (SELECT id FROM graft_dv.t)")
+        .collect()(0).getLong(0) == 450L)
+      assert(spark.sql(
+        "SELECT (SELECT count(*) FROM graft_dv.t WHERE id % 10 = 0) AS n")
+        .collect()(0).getLong(0) == 0L)
 
       // MERGE with the vector-carrying table as TARGET (structurally
       // unmasked; the command machinery masks internally)
@@ -331,6 +339,31 @@ class DeleteVectorSpec extends AnyFunSuite {
       s"dead payload file must be reclaimed, got: $deleted")
     val got2 = ds.readAll().count()
     assert(got2 == 200)
+  }
+
+  test("a CoW rewrite racing a MoR delete aborts instead of resurrecting its rows") {
+    val ds = mkTable("resurrect")
+    val other = SpaceDataset.load(spark, ds.location)
+    var calls = 0
+    ds.storage.commitTransaction(policy = ConflictPolicy.Rewrite) { pinned =>
+      calls += 1
+      if (calls == 1) {
+        // a heavy CoW delete computes survivors against `pinned`...
+        val patch = DmlOps.delete(spark, ds.storage, pinned, col("k") > 500)
+        // ...then a MoR delete lands on the SAME files: its dead rows
+        // are invisible to the already-computed survivor set
+        spark.conf.set(FracKey, "1.0")
+        try other.delete(col("k") % 9 === 1)
+        finally spark.conf.unset(FracKey)
+        patch
+      } else DmlOps.delete(spark, ds.storage, pinned, col("k") > 500)
+    }
+    assert(calls >= 2,
+      "the stale CoW patch must abort — committing it would resurrect the " +
+        "MoR delete's rows in the rewritten files")
+    // both deletes fully applied after the retry
+    assert(ds.readAll().filter(col("k") > 500 || col("k") % 9 === 1).count() == 0)
+    assert(ds.countRows() == ds.readAll().count())
   }
 
   test("random access and raw export refuse a vector-carrying snapshot") {
