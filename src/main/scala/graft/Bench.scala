@@ -104,7 +104,17 @@ object Bench {
     // must not surface a healthy-looking historical minimum (the
     // round-4 trap): errored queries are excluded from the emitted
     // minima.
-    val repeat = math.max(1, sys.env.getOrElse("GRAFT_REPEAT", "3").toInt)
+    val repeat = {
+      val raw = sys.env.getOrElse("GRAFT_REPEAT", "3")
+      // fail with the env var name on garbage — a bare .toInt threw an
+      // opaque NumberFormatException (same keyed-error rule as the
+      // dvMaxFraction / cluster.mergeFraction conf validation)
+      val v = try raw.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"GRAFT_REPEAT must be a positive integer, got '$raw'")
+      }
+      math.max(1, v)
+    }
     var last: (Seq[(String, Double)], scala.collection.mutable.LinkedHashMap[String, String]) = null
     var minTimes = Map.empty[String, Double]
     var runsObserved = 0

@@ -181,13 +181,17 @@ object BucketPruning {
   }
 
   /** Drop files of unreachable buckets (files without a bucket id in
-    * their name are conservatively kept). */
+    * their name are conservatively kept). `snapshotId` gates layout
+    * applicability: a snapshot below `bucketLayoutSince` holds files
+    * hashed under a PREVIOUS bucket layout (rebucket), where pruning by
+    * the current counts would be unsound — keep everything there. */
   def pruneFiles(
       storage: Storage,
+      snapshotId: Long,
       filters: Seq[Expression],
       files: Seq[String]): Seq[String] = {
     val meta = storage.metadata
-    if (meta.numBuckets == 0) return files
+    if (meta.numBuckets == 0 || snapshotId < meta.bucketLayoutSince) return files
     val colTypes = meta.bucketColumns.map(c => c -> storage.schema(c).dataType).toMap
     val reach =
       if (meta.bucketCounts.nonEmpty)

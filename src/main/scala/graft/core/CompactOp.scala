@@ -33,6 +33,29 @@ object CompactOp {
 
   final case class CompactResult(rewrittenFiles: Int, outputFiles: Int, rows: Long)
 
+  /** Merge-on-read debt policy for compaction's file selection: a
+    * vector-carrying file joins the rewrite set when its dead fraction
+    * (vector cardinality / physical rows) is AT OR ABOVE this value.
+    * Default 0 = fold every vector-carrying file (compaction returns
+    * the table to its vectors-free steady state — the export/random-
+    * access contract). An operator running routine compaction on a
+    * huge MoR table sets e.g. 0.2 so barely-dirty files keep their
+    * (cheap) vectors instead of paying a rewrite, while debt-heavy
+    * files self-select — the compact-side mirror of the cumulative
+    * dvMaxFraction cutover on the delete path (VERDICT r11 #1). */
+  val DvDebtFractionKey = "spark.graft.compact.dvDebtFraction"
+
+  private[core] def dvDebtFraction(spark: SparkSession): Double = {
+    val raw = spark.conf.getOption(DvDebtFractionKey).getOrElse("0")
+    val v = try raw.toDouble catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"$DvDebtFractionKey must be a number in [0, 1], got '$raw'")
+    }
+    require(java.lang.Double.isFinite(v) && v >= 0 && v <= 1,
+      s"$DvDebtFractionKey must be a number in [0, 1], got '$raw'")
+    v
+  }
+
   /** Build the compaction patch, or None when fewer than `minInputFiles`
     * files are below the small threshold. */
   def compact(
@@ -50,18 +73,25 @@ object CompactOp {
     val mdf = ManifestIO.readIndexManifests(
       spark, storage, snap.manifestFiles.indexManifestFiles)
     import org.apache.spark.sql.functions.col
-    // merge-on-read vectors FOLD on compact: every vector-carrying file
-    // joins the rewrite set regardless of size, so routine compaction is
-    // also the op that returns a MoR-deleted table to its
-    // vectors-free steady state (reads shed the mask, external
-    // consumers like index_files() become usable again)
+    // merge-on-read vectors FOLD on compact: by default every
+    // vector-carrying file joins the rewrite set regardless of size, so
+    // routine compaction returns a MoR-deleted table to its vectors-free
+    // steady state (reads shed the mask, external consumers like
+    // index_files() become usable again). With `dvDebtFraction` > 0 only
+    // files whose dead fraction reaches the threshold self-select —
+    // barely-dirty big files keep their vectors (see [[DvDebtFractionKey]]).
     val dvs = storage.deleteVectors(snapshotId)
+    val debtFrac = dvDebtFraction(spark)
     val small0 = mdf
       .filter(col(ManifestIO.NumRowsCol) < threshold ||
         (if (dvs.isEmpty) org.apache.spark.sql.functions.lit(false)
          else col(ManifestIO.FileCol).isin(dvs.keys.toSeq: _*)))
       .select(col(ManifestIO.FileCol), col(ManifestIO.NumRowsCol))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .filter { case (f, rows) =>
+        rows < threshold || (dvs.contains(f) &&
+          (debtFrac == 0 || dvs(f).numRows.toDouble / rows >= debtFrac))
+      }
 
     // Bucketed tables compact WITHIN buckets (each append mints one file
     // per bucket, so buckets accumulate small files linearly): only

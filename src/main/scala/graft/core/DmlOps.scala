@@ -36,12 +36,18 @@ object DmlOps {
   private[graft] val FileCol = "__graft_file"
   private[graft] val RowCol = "__graft_row"
 
-  /** CoW delete of rows matching `cond`. None = no-op (nothing matched). */
-  def delete(spark: SparkSession, storage: Storage, snapshotId: Long, cond: Column): Option[Patch] =
+  /** CoW delete of rows matching `cond`. None = no-op (nothing matched).
+    * `dvMaxFraction` overrides the session's merge-on-read threshold for
+    * THIS operation only (the safe alternative to set/unset on the
+    * shared session conf — a concurrent job planning in the same
+    * session never observes it). */
+  def delete(spark: SparkSession, storage: Storage, snapshotId: Long, cond: Column,
+      dvMaxFraction: Option[Double] = None): Option[Patch] =
     deleteCore(spark, storage, snapshotId,
       candidates = ReadOp.plan(spark, storage, snapshotId, Some(cond)).files,
       markMatched = df => df.filter(cond),
-      keepSurvivors = df => df.filter(!coalesce(cond, lit(false))))
+      keepSurvivors = df => df.filter(!coalesce(cond, lit(false))),
+      dvFracOverride = dvMaxFraction)
 
   /** CoW delete of rows whose primary key appears in `keys`. */
   def deleteByKeys(spark: SparkSession, storage: Storage, snapshotId: Long, keys: DataFrame): Option[Patch] =
@@ -193,7 +199,8 @@ object DmlOps {
       snapshotId: Long,
       candidates: Seq[String],
       markMatched: DataFrame => DataFrame,
-      keepSurvivors: DataFrame => DataFrame): Option[Patch] = {
+      keepSurvivors: DataFrame => DataFrame,
+      dvFracOverride: Option[Double] = None): Option[Patch] = {
     if (candidates.isEmpty) return None
     val physical = ReadOp.physicalSchema(storage.schema, storage.recordFields)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -222,12 +229,24 @@ object DmlOps {
     }.toMap
     val affectedRel = deletedByFile.keySet
 
-    // ---- merge-on-read split: a file whose NEW dead fraction is at or
-    // below the conf'd threshold (and that keeps at least one live row)
-    // takes a delete VECTOR instead of a rewrite; fully-dead files and
-    // heavy deletes take the copy-on-write leg. Pure-CoW tables with the
-    // conf at 0 skip the per-file row-count lookup entirely.
-    val dvFrac = DeleteVectorOps.dvMaxFraction(spark)
+    // ---- merge-on-read split: a file whose CUMULATIVE dead fraction
+    // (existing vector + this delete) stays at or below the threshold
+    // (and that keeps at least one live row) takes a delete VECTOR
+    // instead of a rewrite; fully-dead files and debt-heavy files take
+    // the copy-on-write leg. The cumulative form is what bounds
+    // steady-state read debt (VERDICT r11 #1): under repeated small
+    // deletes a file's vector can never grow past dvMaxFraction of its
+    // physical rows — the delete that would cross the line flips the
+    // file to CoW, folding its vector — where the per-delete form let
+    // debt accumulate without bound. Pure-CoW tables with the conf at 0
+    // skip the per-file row-count lookup entirely.
+    val dvFrac = dvFracOverride match {
+      case Some(v) =>
+        require(java.lang.Double.isFinite(v) && v >= 0 && v <= 1,
+          s"dvMaxFraction override must be a number in [0, 1], got $v")
+        v
+      case None => DeleteVectorOps.dvMaxFraction(spark)
+    }
     val needSplit = dvFrac > 0
     val physRows: Map[String, Long] =
       if (needSplit) fileNumRows(spark, storage, snapshotId, affectedRel) else Map.empty
@@ -237,7 +256,7 @@ object DmlOps {
         val phys = physRows(f)
         val existing = dvs.get(f).map(_.numRows).getOrElse(0L)
         val newDead = deletedByFile(f).getLongCardinality
-        existing + newDead < phys && newDead.toDouble / phys <= dvFrac
+        existing + newDead < phys && (existing + newDead).toDouble / phys <= dvFrac
       }
 
     // ---- merge-on-read leg: no data IO — merge each file's new dead
@@ -302,6 +321,30 @@ object DmlOps {
       dvRemoved = dvRemoved))
   }
 
+  /** Above this many members a file-set filter becomes a broadcast
+    * semi/anti join instead of an IN literal list: a broad delete
+    * touching tens of thousands of files would otherwise build a huge
+    * expression tree on the manifest-scan paths (ADVICE r11). */
+  private[core] val MaxFileSetLiterals = 1000
+
+  /** `df` restricted to (keep = true) or stripped of (keep = false) the
+    * rows whose `c` is in `files` — IN list below [[MaxFileSetLiterals]],
+    * broadcast left_semi/left_anti join above it. */
+  private[core] def filterFileSet(
+      spark: SparkSession,
+      df: DataFrame,
+      c: String,
+      files: Set[String],
+      keep: Boolean): DataFrame =
+    if (files.size <= MaxFileSetLiterals) {
+      val in = col(c).isin(files.toSeq: _*)
+      df.filter(if (keep) in else !in)
+    } else {
+      import spark.implicits._
+      val fdf = broadcast(files.toSeq.toDF(c))
+      df.join(fdf, Seq(c), if (keep) "left_semi" else "left_anti")
+    }
+
   /** Physical row count per file (manifest projection) for a specific
     * file set — the merge-on-read split needs counts BEFORE deciding
     * which files the carryover pass will cover. */
@@ -310,9 +353,10 @@ object DmlOps {
       storage: Storage,
       snapshotId: Long,
       files: Set[String]): Map[String, Long] =
-    ManifestIO.readIndexManifests(spark, storage,
-      storage.snapshotOrFail(snapshotId).manifestFiles.indexManifestFiles)
-      .filter(col(ManifestIO.FileCol).isin(files.toSeq: _*))
+    filterFileSet(spark,
+      ManifestIO.readIndexManifests(spark, storage,
+        storage.snapshotOrFail(snapshotId).manifestFiles.indexManifestFiles),
+      ManifestIO.FileCol, files, keep = true)
       .select(col(ManifestIO.FileCol), col(ManifestIO.NumRowsCol))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
@@ -347,14 +391,20 @@ object DmlOps {
     val mdf = ManifestIO.readIndexManifests(spark, storage, manifests)
       .withColumn("__mfile", element_at(split(col("_metadata.file_path"), "/"), -1))
     val manifestRelByName = manifests.map(m => new Path(m).getName -> m).toMap
-    val affectedManifestNames = mdf
-      .filter(col(ManifestIO.FileCol).isin(affectedRel.toSeq: _*))
-      .select(col("__mfile")).distinct().collect().map(_.getString(0)).toSeq
+    // ONE job over the affected rows yields the touched manifests, the
+    // negative stats delta, and the per-file row counts (previously
+    // three jobs; file-set filters join instead of IN past the literal
+    // bound — ADVICE r11)
+    val affectedRows = filterFileSet(spark, mdf, ManifestIO.FileCol, affectedRel, keep = true)
+      .select(col("__mfile"), col(ManifestIO.FileCol), col(ManifestIO.NumRowsCol),
+        col(ManifestIO.CompressedCol), col(ManifestIO.UncompressedCol))
+      .collect()
+    val affectedManifestNames = affectedRows.map(_.getString(0)).distinct.toSeq
     val removedManifests = affectedManifestNames.map(manifestRelByName).toList
 
-    val carryover = mdf
-      .filter(col("__mfile").isin(affectedManifestNames: _*) &&
-        !col(ManifestIO.FileCol).isin(affectedRel.toSeq: _*))
+    val carryover = filterFileSet(spark,
+      filterFileSet(spark, mdf, "__mfile", affectedManifestNames.toSet, keep = true),
+      ManifestIO.FileCol, affectedRel, keep = false)
       .drop("__mfile")
     // probe one past the cutover: a short collect decides the path
     // without a separate count job
@@ -372,21 +422,15 @@ object DmlOps {
         (pairs.map(_._1), pairs.toMap)
       }
 
-    // negative stats of the removed files (delete.py's stats delta)
-    val removedStats = mdf
-      .filter(col(ManifestIO.FileCol).isin(affectedRel.toSeq: _*))
-      .agg(sum(ManifestIO.NumRowsCol), sum(ManifestIO.CompressedCol), sum(ManifestIO.UncompressedCol))
-      .collect()(0)
+    // negative stats of the removed files (delete.py's stats delta) and
+    // per-file numRows for allRows detection — both from the one
+    // collected affected-row pass above
     val removed = StorageStatistics(
-      numRows = -removedStats.getLong(0),
-      indexCompressedBytes = -removedStats.getLong(1),
-      indexUncompressedBytes = -removedStats.getLong(2))
-
-    // per-file numRows for allRows detection
-    val fileRows: Map[String, Long] = mdf
-      .filter(col(ManifestIO.FileCol).isin(affectedRel.toSeq: _*))
-      .select(col(ManifestIO.FileCol), col(ManifestIO.NumRowsCol))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      numRows = -affectedRows.map(_.getLong(2)).sum,
+      indexCompressedBytes = -affectedRows.map(_.getLong(3)).sum,
+      indexUncompressedBytes = -affectedRows.map(_.getLong(4)).sum)
+    val fileRows: Map[String, Long] =
+      affectedRows.map(r => r.getString(1) -> r.getLong(2)).toMap
 
     CarryoverResult(removedManifests, carryoverManifest, removed, fileRows, summaries)
   }
@@ -397,7 +441,7 @@ object DmlOps {
     * Driver work is O(part files), never O(rows) — and one footer read
     * per part: the summary's `numFiles` IS the part's row count, so the
     * 0-row skip and the summary share the same open. */
-  private def writeCarryoverDistributed(
+  private[core] def writeCarryoverDistributed(
       spark: SparkSession,
       storage: Storage,
       carryover: DataFrame): List[(String, ManifestSummary)] = {
@@ -554,6 +598,17 @@ object DmlOps {
       notMatchedBySourceUpdate: Option[(Column, Seq[(String, Column)])] = None): Option[Patch] = {
     val pks = storage.primaryKeys
     failOnInternalDupes(source, pks)
+    // every merge condition/assignment is evaluated MORE THAN ONCE over
+    // the same rows (a matched delete cond filters the delete leg and,
+    // negated, the re-append leg; the NMBS cond/assignments derive both
+    // the delete-key union and the rewritten rows) — a nondeterministic
+    // expression (rand()) would delete keys one evaluation saw and
+    // re-append rows another saw, silently losing or duplicating rows.
+    // Spark's analyzer guards the SQL MERGE path; mirror it here
+    // (same rule as AggregateView.create's filter check — ADVICE r11).
+    def requireDeterministic(frame: DataFrame, c: Column, what: String): Unit =
+      require(frame.select(c).queryExecution.analyzed.deterministic,
+        s"merge: $what must be deterministic — it is evaluated more than once")
     val src = source.persist()
     try {
       val keys = src.select(pks.map(col): _*)
@@ -561,6 +616,8 @@ object DmlOps {
       val targetKeys = ReadOp.scanPhysical(spark, storage, snapshotId, rangePred)
         .select(pks.map(col): _*)
       val matched = src.join(targetKeys, pks, "left_semi")
+      matchedDeleteCond.foreach(c =>
+        requireDeterministic(matched, c, "the WHEN MATCHED delete condition"))
       val delCond = matchedDeleteCond.getOrElse(lit(false))
       val toDelete = (matchedDeleteCond, matchedUpdate) match {
         case (None, false) => None // no matched clause: matched rows untouched
@@ -582,6 +639,14 @@ object DmlOps {
             else RecordIO.stitch(spark, storage, full, None)
           Some(stitched.join(keys, pks, "left_anti"))
         }
+      notMatchedBySourceDelete.foreach(c => requireDeterministic(notMatched.get, c,
+        "the NOT MATCHED BY SOURCE delete condition"))
+      notMatchedBySourceUpdate.foreach { case (c, assigns) =>
+        requireDeterministic(notMatched.get, c,
+          "the NOT MATCHED BY SOURCE update condition")
+        assigns.foreach { case (k, v) => requireDeterministic(notMatched.get, v,
+          s"the NOT MATCHED BY SOURCE assignment to $k") }
+      }
       val nmbsDelVictims = notMatchedBySourceDelete.map(c => notMatched.get.filter(c))
       val nmbsUpdVictims = notMatchedBySourceUpdate.map { case (cond, _) =>
         // a row claimed by the DELETE clause never reaches UPDATE

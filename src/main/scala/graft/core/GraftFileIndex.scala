@@ -157,7 +157,7 @@ final class GraftFileIndex(
     }
     // bucket pruning: a filter pinning the bucket columns reaches only
     // the buckets its literals hash to — stats-free O(1/n) point lookups
-    val bucketKept = BucketPruning.pruneFiles(storage, dataFilters, kept)
+    val bucketKept = BucketPruning.pruneFiles(storage, snapshotId, dataFilters, kept)
     // bloom pruning: point predicates on bloom-carrying columns drop
     // files whose embedded parquet blooms prove the value absent —
     // the arbitrary-layout complement to stats and buckets. Manifest

@@ -98,7 +98,7 @@ object ReadOp {
         }.toMap
         val exprs = Seq(org.apache.spark.sql.graftshim.ColumnExpr.catalystExpression(p))
         BloomPruning.pruneFiles(spark, storage, exprs,
-          BucketPruning.pruneFiles(storage, exprs, files0), evidence)
+          BucketPruning.pruneFiles(storage, snapshotId, exprs, files0), evidence)
       case None => files0
     }
     // legacy (unsummarized) tables read every manifest, so mdf IS the total

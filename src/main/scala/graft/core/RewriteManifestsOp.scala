@@ -1,0 +1,108 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import graft.format._
+
+/** Manifest compaction (`rewrite_manifests`) — the metadata-plane
+  * sibling of [[CompactOp]] (Iceberg ships the same procedure for the
+  * same reason; the reference has no metadata maintenance at all).
+  *
+  * Every append adds one manifest and CoW carryover rewrites only the
+  * touched ones, so after 10k trickle commits a snapshot carries
+  * thousands of small manifest files: the manifest-list summaries keep
+  * OPENS pruned for selective queries, but the list itself grows
+  * linearly and a full scan's planning pays one footer/read per
+  * manifest. This op bin-packs every index-manifest ROW of the pinned
+  * snapshot into ~`targetFilesPerManifest`-row manifests in ONE commit:
+  *
+  *  - Rows are RANGE-SORTED by the first stats column's `_MIN` before
+  *    packing, so each output manifest covers a tight key range and the
+  *    manifest-list summaries regain their pruning power (a trickle
+  *    history interleaves ranges across manifests; packing without
+  *    sorting would keep every summary spanning everything).
+  *  - CDC-silent and stats-neutral: no data file moves, no row changes;
+  *    `diff()` across the commit reports nothing and MV refreshes skip
+  *    it. Delete vectors are untouched (they key data files).
+  *  - The replaced manifests stay on disk for time travel until
+  *    snapshot expiry + GC reclaim them, like any rewrite.
+  *
+  * Small tables pack driver-side (no Spark job); histories past
+  * [[DmlOps.CarryoverDriverMaxRows]] rows pack with one distributed
+  * range-partitioned write — driver work stays O(output manifests).
+  */
+object RewriteManifestsOp {
+
+  final case class RewriteManifestsResult(
+      rewrittenManifests: Int,
+      outputManifests: Int,
+      files: Long)
+
+  /** Build the rewrite patch, or None when the snapshot already has no
+    * more manifests than the packed layout would (nothing to gain). */
+  def rewriteManifests(
+      spark: SparkSession,
+      storage: Storage,
+      snapshotId: Long,
+      targetFilesPerManifest: Long = 100000L,
+      /** Driver-write cutover (visible for the distributed-path spec). */
+      driverMaxRows: Long = DmlOps.CarryoverDriverMaxRows.toLong)
+      : Option[(Patch, RewriteManifestsResult)] = {
+    require(targetFilesPerManifest > 0,
+      s"targetFilesPerManifest must be positive, got $targetFilesPerManifest")
+    val snap = storage.snapshotOrFail(snapshotId)
+    val manifests = snap.manifestFiles.indexManifestFiles
+    if (manifests.size <= 1) return None
+
+    val mdf = ManifestIO.readIndexManifests(spark, storage, manifests)
+    // sort by the first stats column's _MIN when the schema carries one
+    // (falls back to the file path — still deterministic packing)
+    val sortCol = storage.statsColumns.headOption
+      .flatMap(c => ManifestIO.fieldAtPath(storage.schema, c)
+        .filter(f => ManifestIO.statsEligible(f.dataType)))
+      .map(f => ManifestIO.statsColName(graft.format.FieldIds.fieldId(f)))
+      .filter(mdf.columns.contains)
+      .map(n => col(s"$n._MIN"))
+      .getOrElse(col(ManifestIO.FileCol))
+
+    val totalFiles: Long = {
+      val summaries = storage.metadata.manifestSummaries
+      if (manifests.forall(summaries.contains)) manifests.map(summaries(_).numFiles).sum
+      else mdf.count()
+    }
+    val parts = math.max(1, math.ceil(totalFiles.toDouble / targetFilesPerManifest).toInt)
+    if (manifests.size <= parts) return None // already packed
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    val written: List[(String, ManifestSummary)] =
+      if (totalFiles <= driverMaxRows) {
+        // driver path: one sorted collect, chunked into target-size
+        // manifests — no Spark write job for the common small history
+        val rows = mdf.orderBy(sortCol, col(ManifestIO.FileCol)).collect().toSeq
+        rows.grouped(targetFilesPerManifest.toInt).map { chunk =>
+          val rel = StoragePaths.newIndexManifestFile()
+          DriverParquet.write(conf, storage.absolute(rel), mdf.schema, chunk)
+          rel -> ManifestIO.summarizeRows(storage, mdf.schema, chunk)
+        }.toList
+      } else {
+        // distributed path: one range-partitioned write, each task's
+        // part file becomes one manifest (same shape as the carryover
+        // writer — driver work is O(part files))
+        DmlOps.writeCarryoverDistributed(spark, storage,
+          mdf.repartitionByRange(parts, sortCol).sortWithinPartitions(sortCol))
+      }
+
+    val outFiles = written.map(_._2.numFiles).sum
+    require(outFiles == totalFiles,
+      s"rewrite_manifests row-count drift: packed $outFiles manifest rows, " +
+        s"snapshot lists $totalFiles")
+    val patch = Patch(
+      addedIndexManifests = written.map(_._1),
+      removedIndexManifests = manifests,
+      changeLog = None,
+      manifestSummaries = written.toMap)
+    Some((patch,
+      RewriteManifestsResult(manifests.size, written.size, totalFiles)))
+  }
+}

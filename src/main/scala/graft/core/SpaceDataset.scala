@@ -234,9 +234,17 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
       Some(DmlOps.overwriteAll(spark, storage, pinned, toPhysicalDf(df)))
     }
 
-  def delete(cond: Column, branch: String = currentBranch): Long =
+  /** Delete rows matching `cond` (CoW, or merge-on-read vectors under
+    * `spark.graft.delete.dvMaxFraction`). `dvMaxFraction` overrides the
+    * session conf for THIS call only — the safe form of a scoped
+    * override (no set/unset window that concurrent jobs in the same
+    * session could observe). */
+  def delete(
+      cond: Column,
+      branch: String = currentBranch,
+      dvMaxFraction: Option[Double] = None): Long =
     storage.commitTransaction(branch, ConflictPolicy.Rewrite) { pinned =>
-      DmlOps.delete(spark, storage, pinned, toPhysicalCol(cond))
+      DmlOps.delete(spark, storage, pinned, toPhysicalCol(cond), dvMaxFraction)
     }
 
   /** Predicate overwrite (the backfill primitive, Delta's
@@ -297,7 +305,9 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
   def update(
       cond: Column,
       assignments: Map[String, Column],
-      branch: String = currentBranch): Long = {
+      branch: String = currentBranch,
+      /** Per-call merge-on-read threshold override (see [[delete]]). */
+      dvMaxFraction: Option[Double] = None): Long = {
     require(assignments.nonEmpty, "update requires at least one assignment")
     val pkSet = primaryKeys.toSet
     // a key addresses the top-level column of that exact name if one
@@ -318,7 +328,7 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
         s"conflicting assignments: $b is a member of assigned column $a")
     storage.commitTransaction(branch, ConflictPolicy.Rewrite) { pinned =>
       val physCond = toPhysicalCol(cond)
-      DmlOps.delete(spark, storage, pinned, physCond) match {
+      DmlOps.delete(spark, storage, pinned, physCond, dvMaxFraction) match {
         case None => None // nothing matched: no-op, returns the current head
         case Some(delPatch) =>
           // updated rows, built from the same pinned snapshot (CoW: the
@@ -460,6 +470,37 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
       branch: String = currentBranch): Option[CompactOp.CompactResult] =
     storage.transaction(branch, ConflictPolicy.Rewrite) { pinned =>
       CompactOp.compact(spark, storage, pinned, targetFileRows, smallFraction) match {
+        case Some((patch, res)) => (Some(patch), Some(res))
+        case None => (None, None)
+      }
+    }
+
+  /** BUCKET-LAYOUT EVOLUTION: rewrite every data file under new
+    * per-column bucket counts and switch the layout metadata in the
+    * same CDC-silent commit (see [[RebucketOp]] — one shuffle, record
+    * payloads untouched, delete vectors folded, time travel below the
+    * switch guarded). Strict concurrency: any concurrent commit aborts
+    * with [[ConcurrentCommitException]]; re-run. Layout metadata is
+    * table-wide — run it from the MAIN branch; side branches parked on
+    * pre-rebucket snapshots keep reading correctly (the layout guards
+    * disengage below the watermark) but should not take bucketed
+    * maintenance rewrites afterwards. */
+  def rebucket(newCounts: Seq[Int],
+      branch: String = currentBranch): RebucketOp.RebucketResult =
+    RebucketOp.rebucket(spark, storage, newCounts, branch)
+
+  /** Bin-pack the snapshot's index MANIFESTS into
+    * ~`targetFilesPerManifest`-row manifests, range-sorted by the first
+    * stats column so manifest-list summaries regain their pruning power
+    * (one commit; CDC-silent, stats-neutral — see [[RewriteManifestsOp]]).
+    * The metadata-plane sibling of [[compact]]: run it when a trickle
+    * history has grown the manifest list past what planning should pay.
+    * Returns stats, or None when the layout is already packed. */
+  def rewriteManifests(
+      targetFilesPerManifest: Long = 100000L,
+      branch: String = currentBranch): Option[RewriteManifestsOp.RewriteManifestsResult] =
+    storage.transaction(branch, ConflictPolicy.Rewrite) { pinned =>
+      RewriteManifestsOp.rewriteManifests(spark, storage, pinned, targetFilesPerManifest) match {
         case Some((patch, res)) => (Some(patch), Some(res))
         case None => (None, None)
       }

@@ -482,6 +482,13 @@ final class Storage(val location: String, val conf: Configuration) {
     * murmur3 bucket hash of an int differs from the same value hashed
     * as long, which would break the layout contract.
     *
+    * Dependent AGGREGATE VIEWS: a view's partial-state schema was
+    * derived from the pre-widen type; the table holds no
+    * back-references to its views, so the widen cannot be blocked
+    * here — the view's next refresh detects the mismatch and fails
+    * with recreate guidance instead of truncating silently
+    * ([[graft.views.AggregateView]], ADVICE r11).
+    *
     * `path` is a LOGICAL dotted path (length 1 = top-level). */
   def widenColumn(path: Seq[String], newType: DataType): Unit = withCommitLock {
     reload()
@@ -708,8 +715,17 @@ final class Storage(val location: String, val conf: Configuration) {
 
   /** Apply a patch as a new snapshot on `branch` (storage.py:315-367).
     * Returns the new snapshot id. Not concurrency-checked by itself —
-    * use [[transaction]] for the optimistic check. */
-  def commit(patch: Patch, branch: String = SnapshotRef.MainBranch): Long = {
+    * use [[transaction]] for the optimistic check.
+    *
+    * `metaTransform` (identity by default) edits the metadata ATOMICALLY
+    * with the snapshot — the hook layout-changing rewrites (rebucket)
+    * use so data and the layout claim can never be observed apart. It
+    * runs on the metadata that already contains the new snapshot (its
+    * id = `maxSnapshotId`). */
+  def commit(
+      patch: Patch,
+      branch: String = SnapshotRef.MainBranch,
+      metaTransform: StorageMetadata => StorageMetadata = identity): Long = {
     val baseId = branchHead(branch)
     val base = snapshotOrFail(baseId)
     val newId = meta.maxSnapshotId + 1
@@ -775,7 +791,7 @@ final class Storage(val location: String, val conf: Configuration) {
       if (branch == SnapshotRef.MainBranch) withSnap.copy(currentSnapshotId = newId)
       else withSnap.copy(refs = withSnap.refs +
         (branch -> SnapshotRef(branch, SnapshotRef.Branch, newId)))
-    persist(newMeta)
+    persist(metaTransform(newMeta))
     newId
   }
 
@@ -1029,18 +1045,51 @@ object Storage {
 
   /** Process-wide LRU of parsed delete-vector files (immutable once
     * written, like manifests) — a bench/driver process re-loads Storage
-    * handles per query and must not re-parse the same DV JSON each time. */
+    * handles per query and must not re-parse the same DV JSON each time.
+    *
+    * Weighted by RETAINED BYTES, not entry count (ADVICE r11): each
+    * entry is a table's full consolidated vector map, so at the
+    * many-table / 100 TB scale an entry-count bound lets the driver
+    * heap grow without limit. A map too large to ever fit under the cap
+    * is served uncached rather than evicting everything else. */
+  private val DvCacheMaxBytes = 256L * 1024 * 1024
   private val dvCache =
-    new java.util.LinkedHashMap[String, Map[String, RowBitmap]](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Map[String, RowBitmap]]): Boolean = size() > 64
-    }
+    new java.util.LinkedHashMap[String, (Map[String, RowBitmap], Long)](16, 0.75f, true)
+  private var dvCacheBytes = 0L
   private object dvCacheLock
+
+  /** Approximate retained heap of one parsed vector map: dominated by
+    * the base64 bitmap strings (2 bytes/char) plus per-entry object
+    * overhead. */
+  private def dvWeight(m: Map[String, RowBitmap]): Long =
+    64L + m.iterator.map { case (k, v) =>
+      2L * k.length + 2L * v.file.length +
+        v.bitmapB64.map(2L * _.length).getOrElse(0L) + 96L
+    }.sum
+
   private[core] def dvCacheGet(k: String, load: () => Map[String, RowBitmap]) =
     dvCacheLock.synchronized {
       val hit = dvCache.get(k)
-      if (hit != null) hit else { val v = load(); dvCache.put(k, v); v }
+      if (hit != null) hit._1
+      else {
+        val v = load()
+        val w = dvWeight(v)
+        if (w < DvCacheMaxBytes) {
+          val it = dvCache.entrySet().iterator()
+          while (dvCacheBytes + w > DvCacheMaxBytes && it.hasNext) {
+            dvCacheBytes -= it.next().getValue._2
+            it.remove()
+          }
+          dvCache.put(k, (v, w))
+          dvCacheBytes += w
+        }
+        v
+      }
     }
+
+  /** Visible for the cache-bound spec. */
+  private[graft] def dvCacheRetainedBytes: Long = dvCacheLock.synchronized(dvCacheBytes)
+  private[graft] def dvCacheEntryCount: Int = dvCacheLock.synchronized(dvCache.size())
 
   def create(
       location: String,

@@ -168,6 +168,15 @@ final case class StorageMetadata(
       * unchanged. Partial benefit beyond SPJ: a filter pinning ANY
       * subset of the bucket columns prunes its dimensions. */
     bucketCounts: List[Int] = Nil,
+    /** First snapshot whose data files follow the CURRENT bucket layout
+      * (`bucketColumns`/`numBuckets`/`bucketCounts`). 0 for tables that
+      * never re-bucketed. A `rebucket` rewrite bumps this to its own
+      * snapshot id in the same commit that swaps the manifests — reads
+      * of OLDER snapshots see files hashed under the previous counts,
+      * so bucket pruning and storage-partitioned-join reporting must
+      * disengage below this watermark (the layout claim would be wrong
+      * there; stats/bloom pruning still apply). */
+    bucketLayoutSince: Long = 0L,
     /** CLUSTER-ON-WRITE columns (empty = off; exclusive with
       * bucketing). Every APPEND-path write (user appends, MV
       * refreshes, streaming sinks) range-partitions + sorts its batch

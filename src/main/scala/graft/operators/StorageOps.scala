@@ -103,11 +103,11 @@ object StorageOps {
       val ds = ordersTable(s, d, "delmor")
       val before = ds.storage.metadata.currentSnapshot
         .manifestFiles.indexManifestFiles.toSet
-      s.conf.set(DeleteVectorOps.DvMaxFractionKey, "1.0")
-      try {
-        ds.delete(col("o_totalprice") > 300000.0)
-        ds.delete(col("o_orderkey") % 97 === 0)
-      } finally s.conf.unset(DeleteVectorOps.DvMaxFractionKey)
+      // per-call threshold override — never a set/unset window on the
+      // shared session conf (the template future callers copy; ADVICE/
+      // VERDICT r11 #2)
+      ds.delete(col("o_totalprice") > 300000.0, dvMaxFraction = Some(1.0))
+      ds.delete(col("o_orderkey") % 97 === 0, dvMaxFraction = Some(1.0))
       val head = ds.storage.metadata.currentSnapshot
       require(head.manifestFiles.indexManifestFiles.toSet == before,
         "s_delete_mor: merge-on-read deletes must rewrite ZERO data files")
@@ -117,6 +117,47 @@ object StorageOps {
       require(ds.storage.deleteVectors(
           ds.storage.metadata.currentSnapshotId).isEmpty,
         "s_delete_mor: compaction must fold every delete vector")
+      ds.readAll()
+    }),
+
+    // MERGE-ON-READ DEBT LIFECYCLE (VERDICT r11 #1): the dvMaxFraction
+    // cutover is CUMULATIVE — a broad ~1% scattered delete puts a vector
+    // on every file, then repeated deletes hammer ONE key range until
+    // its file's accumulated dead fraction crosses the threshold and
+    // that delete flips the file to the copy-on-write leg (rewritten,
+    // vector folded) while every lightly-dirty file keeps its cheap
+    // vector. Require-pinned: the folded set is exactly a subset of the
+    // hot-range files and every light file's vector survives — under
+    // the old per-delete rule nothing would ever flip and read debt
+    // grew without bound. Compaction then folds the remainder.
+    "s_delete_mor_debt" -> ((s, d) => {
+      val ds = ordersTable(s, d, "delmordebt")
+      val maxKey = t(s, d, "orders").agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+      val cut = maxKey / 8
+      val frac = Some(0.08)
+      ds.delete(col("o_orderkey") % 101 === 0, dvMaxFraction = frac)
+      val dvAll = ds.storage.deleteVectors(
+        ds.storage.metadata.currentSnapshotId).keySet
+      require(dvAll.nonEmpty, "s_delete_mor_debt: scattered delete must write vectors")
+      // the hot key range's files (range-partitioned layout → a prefix)
+      val hot = ds.plan(Some(col("o_orderkey") < lit(cut))).files.toSet
+      require(hot.nonEmpty && (dvAll -- hot).nonEmpty,
+        "s_delete_mor_debt: need both hot and light vector-carrying files")
+      (0 until 3).foreach(i =>
+        ds.delete(col("o_orderkey") < cut && col("o_orderkey") % 17 === i,
+          dvMaxFraction = frac))
+      val dvAfter = ds.storage.deleteVectors(
+        ds.storage.metadata.currentSnapshotId).keySet
+      val flipped = dvAll -- dvAfter
+      require(flipped.nonEmpty && flipped.subsetOf(hot),
+        s"s_delete_mor_debt: the debt-heavy file(s) must flip to CoW " +
+          s"(flipped ${flipped.size}, hot ${hot.size})")
+      require((dvAll -- hot).subsetOf(dvAfter),
+        "s_delete_mor_debt: lightly-dirty files must keep their vectors")
+      ds.compact(targetFileRows = 100000L)
+      require(ds.storage.deleteVectors(
+          ds.storage.metadata.currentSnapshotId).isEmpty,
+        "s_delete_mor_debt: compaction must fold the remaining vectors")
       ds.readAll()
     }),
 
@@ -131,6 +172,41 @@ object StorageOps {
       ds.compact(targetFileRows = 100000L)
       ds.expireSnapshots(olderThanMs = -1L, keepLast = 1)
       ds.garbageCollect(minAgeMs = 0L)
+      ds.readAll()
+    }),
+
+    // MANIFEST COMPACTION (rewrite_manifests): a trickle history mints
+    // one manifest per append; planning cost creeps linearly even when
+    // summaries prune opens. The rewrite bin-packs every manifest row
+    // into few range-sorted manifests in ONE CDC-silent commit —
+    // require-pinned: the manifest list shrinks, and a selective filter
+    // afterwards still prunes whole manifests from the REBUILT summaries
+    // (the 10k-commit table's planning path at 100 TB). Content must
+    // equal the plain table (metadata-only reorganization).
+    "s_rewrite_manifests" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val ds = SpaceDataset.create(s, fresh("rwman"), o.schema, Seq("o_orderkey"))
+      val maxKey = o.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+      val step = maxKey / 12 + 1
+      (0 until 12).foreach { i =>
+        ds.append(o.filter(
+          col("o_orderkey") >= i * step && col("o_orderkey") < (i + 1) * step))
+      }
+      val before = ds.storage.metadata.currentSnapshot
+        .manifestFiles.indexManifestFiles.size
+      require(before >= 12, s"trickle appends must mint manifests (got $before)")
+      val res = ds.rewriteManifests(targetFilesPerManifest = 4L)
+      require(res.isDefined, "rewrite_manifests must engage on a trickle history")
+      val after = ds.storage.metadata.currentSnapshot
+        .manifestFiles.indexManifestFiles.size
+      require(after < before && after == res.get.outputManifests,
+        s"manifest list must shrink ($before -> $after)")
+      // the packed manifests are range-sorted: manifest-LIST pruning
+      // drops whole manifests for a selective key filter
+      val p = ds.plan(Some(col("o_orderkey") < lit(step)))
+      require(p.prunedManifests > 0,
+        s"summary pruning must drop manifests after the rewrite " +
+          s"(${p.prunedManifests}/${p.totalManifests})")
       ds.readAll()
     }),
 
@@ -446,6 +522,78 @@ object StorageOps {
         require(!flatten(all(joinIdx)).exists(
           _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
           "multi-column storage-partitioned join still shuffled")
+        TempCatalog.decouple(s, j)
+      } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+        prevV2Bucketing match {
+          case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+          case None => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        }
+      }
+      }
+    }),
+
+    // BUCKET-LAYOUT EVOLUTION (rebucket): both sides of a co-bucketed
+    // pair outgrow their 2x2 layout and rewrite to 4x4 in ONE CDC-silent
+    // commit each — require-pinned: the layout watermark moves, a
+    // subset bucket pin prunes at the NEW counts, and the two-key join
+    // plans with ZERO exchanges under the new layout (what a 100 TB
+    // table does instead of export/recreate when its buckets grow
+    // ~100 GB each). Content is layout-invariant → plain-join oracle.
+    "s_rebucket" -> ((s, d) => {
+      val root = Files.createTempDirectory("graft_rebucket").toString
+      TempCatalog.withTempCatalog(s, root, "grbk") { cat =>
+      val prevV2Bucketing =
+        s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+      val prevBroadcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        s.sql(s"CREATE TABLE $cat.a (o_orderkey BIGINT, o_custkey BIGINT, " +
+          "o_orderstatus STRING, o_totalprice DOUBLE) TBLPROPERTIES " +
+          "('primary_keys'='o_orderkey', " +
+          "'bucket_columns'='o_custkey,o_orderstatus', 'num_buckets'='2,2')")
+        s.sql(s"CREATE TABLE $cat.b (o_custkey BIGINT, o_orderstatus STRING) " +
+          "TBLPROPERTIES ('primary_keys'='o_custkey,o_orderstatus', " +
+          "'bucket_columns'='o_custkey,o_orderstatus', 'num_buckets'='2,2')")
+        t(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .write.mode("append").insertInto(s"$cat.a")
+        t(s, d, "orders").select("o_custkey", "o_orderstatus").distinct()
+          .write.mode("append").insertInto(s"$cat.b")
+        val a = SpaceDataset.load(s, s"$root/a")
+        val b = SpaceDataset.load(s, s"$root/b")
+        a.rebucket(Seq(4, 4))
+        b.rebucket(Seq(4, 4))
+        require(a.storage.metadata.bucketCounts == List(4, 4) &&
+          a.storage.metadata.bucketLayoutSince ==
+            a.storage.metadata.currentSnapshotId,
+          "s_rebucket: layout metadata must switch with the rewrite commit")
+        // subset pin prunes a dimension of the NEW tuple layout
+        val p = a.plan(Some(col("o_orderstatus") === "F"))
+        require(p.files.nonEmpty && p.files.size < p.totalFiles,
+          s"s_rebucket: partial pin must prune at 4x4 " +
+            s"(kept ${p.files.size}/${p.totalFiles})")
+        val j = s.sql(s"SELECT a.o_orderkey, round(a.o_totalprice, 2) AS price " +
+          s"FROM $cat.a a JOIN $cat.b b " +
+          "ON a.o_custkey = b.o_custkey AND a.o_orderstatus = b.o_orderstatus")
+        j.count() // materialize so AQE finalizes the plan
+        def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+          case x: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            p +: flatten(x.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => p +: flatten(q.plan)
+          case _ => p +: p.children.flatMap(flatten)
+        }
+        val all = flatten(j.queryExecution.executedPlan)
+        val joinIdx = all.indexWhere {
+          case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => true
+          case _: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => true
+          case _ => false
+        }
+        require(joinIdx >= 0, "no shuffle-family join in the plan")
+        require(!flatten(all(joinIdx)).exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+          "s_rebucket: post-rebucket storage-partitioned join still shuffled")
         TempCatalog.decouple(s, j)
       } finally {
         s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
@@ -860,11 +1008,10 @@ object StorageOps {
       src.append(li.filter(col("l_orderkey") % 3 === 0))
       val manifestsBefore = src.storage.metadata.currentSnapshot
         .manifestFiles.indexManifestFiles.toSet
-      s.conf.set(DeleteVectorOps.DvMaxFractionKey, "1.0")
-      try {
-        src.delete(col("l_suppkey") % 5 === 1)
-        src.update(col("l_partkey") % 37 === 0, Map("l_quantity" -> lit(1.0)))
-      } finally s.conf.unset(DeleteVectorOps.DvMaxFractionKey)
+      // per-call threshold overrides, not a conf set/unset window
+      src.delete(col("l_suppkey") % 5 === 1, dvMaxFraction = Some(1.0))
+      src.update(col("l_partkey") % 37 === 0, Map("l_quantity" -> lit(1.0)),
+        dvMaxFraction = Some(1.0))
       // MoR: both scattered mutations wrote vectors, not files (the
       // update's append adds manifests; nothing is ever REMOVED)
       require(manifestsBefore.subsetOf(src.storage.metadata.currentSnapshot
@@ -937,6 +1084,38 @@ object StorageOps {
       val ra = new RandomAccessReader(ds, "payload")
       // clamp + dedup so a corpus of ≤ 100 docs neither reads past the
       // end nor emits a duplicate row the oracle's IN-set dedups away
+      val ords = (Seq(0L, 7L, 42L, 99L) :+ (ra.length - 1))
+        .filter(o => o >= 0 && o < ra.length).distinct
+      val rows = ords.zip(ra.getBatch(ords)).map { case (o, b) =>
+        (o, new String(b, java.nio.charset.StandardCharsets.UTF_8))
+      }
+      import s.implicits._
+      rows.toDF("ordinal", "text")
+    }),
+
+    // random access on a VECTOR-CARRYING snapshot (VERDICT r11 #3): a
+    // scattered merge-on-read delete (zero rewritten files —
+    // require-pinned) soft-deletes rows, then ordinal reads address the
+    // LIVE ranks through the masked slow path — the training-loop
+    // reader stays available between the delete and the next compact
+    // instead of refusing. The oracle replays the lookups over the
+    // filtered corpus in doc_id order.
+    "s_random_access_mor" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .repartition(1).sortWithinPartitions("doc_id")
+      val ds = SpaceDataset.create(s, fresh("ramor"), docs.schema, Seq("doc_id"),
+        recordFields = Seq("payload"))
+      ds.append(docs)
+      val before = ds.storage.metadata.currentSnapshot
+        .manifestFiles.indexManifestFiles.toSet
+      ds.delete(col("doc_id") % 7 === 3, dvMaxFraction = Some(1.0))
+      val head = ds.storage.metadata.currentSnapshot
+      require(head.manifestFiles.indexManifestFiles.toSet == before,
+        "s_random_access_mor: the delete must take the merge-on-read leg")
+      require(ds.storage.deleteVectors(head.snapshotId).nonEmpty,
+        "s_random_access_mor: delete vectors must be present")
+      val ra = new RandomAccessReader(ds, "payload")
       val ords = (Seq(0L, 7L, 42L, 99L) :+ (ra.length - 1))
         .filter(o => o >= 0 && o < ra.length).distinct
       val rows = ords.zip(ra.getBatch(ords)).map { case (o, b) =>
@@ -1160,8 +1339,15 @@ object StorageOps {
     "s_delete_mor" ->
       """SELECT * FROM orders
         |WHERE NOT (o_totalprice > 300000.0) AND NOT (o_orderkey % 97 = 0)""".stripMargin,
+    "s_delete_mor_debt" ->
+      """SELECT * FROM orders
+        |WHERE o_orderkey % 101 <> 0
+        |  AND NOT (o_orderkey <
+        |             (SELECT CAST(FLOOR(max(o_orderkey) / 8.0) AS BIGINT) FROM orders)
+        |           AND o_orderkey % 17 IN (0, 1, 2))""".stripMargin,
     "s_compact" -> "SELECT * FROM orders WHERE NOT (o_totalprice > 400000.0)",
     "s_insert" -> "SELECT * FROM orders",
+    "s_rewrite_manifests" -> "SELECT * FROM orders",
     "s_upsert" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
@@ -1178,6 +1364,8 @@ object StorageOps {
       """SELECT o_orderkey, c_name, round(o_totalprice, 2) AS price
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "s_bucket_join_multi" ->
+      "SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders",
+    "s_rebucket" ->
       "SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders",
     "s_bucket_lookup" ->
       "SELECT * FROM orders WHERE o_custkey = (SELECT min(o_custkey) FROM orders)",
@@ -1383,5 +1571,12 @@ object StorageOps {
         |  FROM documents)
         |SELECT ordinal, text FROM r
         |WHERE ordinal IN (0, 7, 42, 99)
-        |   OR ordinal = (SELECT count(*) - 1 FROM documents)""".stripMargin)
+        |   OR ordinal = (SELECT count(*) - 1 FROM documents)""".stripMargin,
+    "s_random_access_mor" ->
+      """WITH live AS (
+        |  SELECT text, row_number() OVER (ORDER BY doc_id) - 1 AS ordinal
+        |  FROM documents WHERE doc_id % 7 <> 3)
+        |SELECT ordinal, text FROM live
+        |WHERE ordinal IN (0, 7, 42, 99)
+        |   OR ordinal = (SELECT count(*) - 1 FROM live)""".stripMargin)
 }

@@ -148,13 +148,30 @@ object EventsStream {
     * Offsets are snapshot ids, so the three commits arrive exactly once;
     * DELETE rows carry primary keys only. The result is the full change
     * history — deterministic snapshot ids (1, 2, 3) included. */
-  def cdcStream(s: SparkSession, d: String): DataFrame = {
+  /** `morDelete = true` runs the SAME lifecycle with the delete on the
+    * merge-on-read leg (delete vectors, zero rewritten files —
+    * require-pinned) and shares the copy-on-write run's oracle: the CDC
+    * feed a consumer streams is byte-identical across DML modes
+    * (VERDICT r11 #3 — the streaming proof of "CDC is mode-oblivious"). */
+  def cdcStream(s: SparkSession, d: String, morDelete: Boolean = false): DataFrame = {
     val orders = Tables.read(s, d, "orders")
     val loc = java.nio.file.Files.createTempDirectory("graft_cdcstream_").toString
     val src = SpaceDataset.create(s, s"$loc/tbl", orders.schema, Seq("o_orderkey"))
     src.append(orders.filter(col("o_orderkey") <= 2000))                              // snap 1
     src.append(orders.filter(col("o_orderkey") > 2000 && col("o_orderkey") <= 4000))  // snap 2
-    src.delete(col("o_orderkey") % 10 === 0)                                          // snap 3
+    if (!morDelete) {
+      src.delete(col("o_orderkey") % 10 === 0)                                        // snap 3
+    } else {
+      val before = src.storage.metadata.currentSnapshot
+        .manifestFiles.indexManifestFiles.toSet
+      src.delete(col("o_orderkey") % 10 === 0, dvMaxFraction = Some(1.0))             // snap 3
+      require(src.storage.metadata.currentSnapshot
+          .manifestFiles.indexManifestFiles.toSet == before,
+        "e_cdc_stream_mor: the delete must take the merge-on-read leg")
+      require(src.storage.deleteVectors(
+          src.storage.metadata.currentSnapshotId).nonEmpty,
+        "e_cdc_stream_mor: delete vectors must be present")
+    }
 
     val outSchema = StructType(Seq(
       StructField("o_orderkey", LongType),
@@ -677,7 +694,8 @@ object EventsStream {
     "e_stream_dedup" -> ((s, d) => streamDedup(s, d)),
     "e_stream_join" -> ((s, d) => streamJoin(s, d)),
     "e_sessionize" -> ((s, d) => sessionize(s, d)),
-    "e_cdc_stream" -> ((s, d) => cdcStream(s, d)))
+    "e_cdc_stream" -> ((s, d) => cdcStream(s, d)),
+    "e_cdc_stream_mor" -> ((s, d) => cdcStream(s, d, morDelete = true)))
 
   val oracleSql: Map[String, String] = Map(
     // dedup-as-you-ingest: survivors = batch docs with NO corpus doc at
@@ -790,6 +808,18 @@ object EventsStream {
         | AND floor(epoch(p.ts)) >= floor(epoch(c.ts))
         | AND floor(epoch(p.ts)) <= floor(epoch(c.ts)) + 7200""".stripMargin,
     "e_cdc_stream" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  'ADD' AS change_type,
+        |  CAST(CASE WHEN o_orderkey <= 2000 THEN 1 ELSE 2 END AS BIGINT)
+        |    AS commit_snapshot_id
+        |FROM orders WHERE o_orderkey <= 4000
+        |UNION ALL
+        |SELECT o_orderkey, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+        |  'DELETE', CAST(3 AS BIGINT)
+        |FROM orders WHERE o_orderkey <= 4000 AND o_orderkey % 10 = 0""".stripMargin,
+    // SHARED oracle: the merge-on-read run must stream the byte-identical
+    // CDC feed the copy-on-write run streams
+    "e_cdc_stream_mor" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
         |  'ADD' AS change_type,
         |  CAST(CASE WHEN o_orderkey <= 2000 THEN 1 ELSE 2 END AS BIGINT)

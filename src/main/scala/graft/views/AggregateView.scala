@@ -212,8 +212,41 @@ final class AggregateView(val spark: SparkSession, val dataset: SpaceDataset)
     * one pass instead of one per historical snapshot); every later
     * refresh is incremental from the watermark, one state commit per
     * source snapshot. Returns the number of state commits made. */
+  /** The partial-state schema is FIXED at create from the source's
+    * column types; a later metadata-only TYPE WIDENING of a consumed
+    * source column (int→double on a summed/min'd column) changes what
+    * the partial aggregation produces, and the state merge's casts
+    * would then TRUNCATE silently (double partials cast back into a
+    * bigint state column) — never a loud mismatch. The source table
+    * has no back-references to its views, so the widen itself cannot
+    * be blocked there; this refresh-time check is the enforcement
+    * point (ADVICE r11). Schema-only — no job runs. */
+  private def requireStateCompatible(source: SpaceDataset): Unit = {
+    val stateSchema = dataset.storage.logicalSchema
+    val pexprs = AggregateView.partialExprs(plan)
+    val base = srcFilter.fold(source.readAll())(source.readAll().filter)
+    val expected = base.groupBy(groups.map(col): _*)
+      .agg(pexprs.head, pexprs.tail: _*).schema
+    expected.fields.foreach { f =>
+      stateSchema.fields.find(_.name == f.name).foreach { cur =>
+        // catalogString: nullability-insensitive (aggregation output
+        // nullability legitimately differs from the persisted state
+        // schema's; only the VALUE types matter for the casts)
+        if (cur.dataType.catalogString != f.dataType.catalogString)
+          throw new IllegalStateException(
+            s"aggregate view ${dataset.location}: partial-state column " +
+              s"${f.name} holds ${cur.dataType.simpleString} but the source " +
+              s"now produces ${f.dataType.simpleString} — a source column " +
+              "this view consumes was type-widened after the view was " +
+              "created; recreate the view over the widened source (state " +
+              "arithmetic would otherwise truncate silently)")
+      }
+    }
+  }
+
   def refresh(targetVersion: Option[String] = None): Int = {
     val source = SpaceDataset.load(spark, plan.sourceLocation)
+    requireStateCompatible(source)
     val target = targetVersion.map(source.storage.versionToSnapshotId)
       .getOrElse(source.storage.metadata.currentSnapshotId)
     lastRecomputedGroups = 0L

@@ -625,7 +625,8 @@ final class GraftScanBuilder(
     // aggregate's output is the (few) aggregated rows, not the table's
     exactRows = if (!filtersPushed && !aggPushed)
       Some(storage.snapshotOrFail(snapshotId).storageStatistics.numRows)
-    else None)
+    else None,
+    snapshotId = snapshotId)
 }
 
 /** The parquet scan plus `toMicroBatchStream`. */
@@ -634,10 +635,21 @@ final class GraftDelegatingScan(
     storage: graft.core.Storage,
     delegate: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
     options: CaseInsensitiveStringMap,
-    exactRows: Option[Long] = None)
+    exactRows: Option[Long] = None,
+    /** The scanned snapshot; Long.MaxValue (callers without time travel)
+      * always reads the CURRENT layout. */
+    snapshotId: Long = Long.MaxValue)
   extends Scan
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  /** A snapshot below `bucketLayoutSince` (rebucket) holds files hashed
+    * under a PREVIOUS layout: reporting the current bucket transforms
+    * for it would let Catalyst align a join on a partitioning the files
+    * don't have — treat such scans as unbucketed (plain parquet batch,
+    * UnknownPartitioning). */
+  private def layoutApplies: Boolean =
+    snapshotId >= storage.metadata.bucketLayoutSince
 
   /** Reported back in LOGICAL names (top-level and struct members):
     * Spark rebuilds the scan relation's output attributes from this
@@ -654,7 +666,7 @@ final class GraftDelegatingScan(
     new GraftBucketing.BucketedBatch(delegate, bucketCounts)
 
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
-    if (numBuckets > 0) bucketedBatch else delegate.toBatch
+    if (numBuckets > 0 && layoutApplies) bucketedBatch else delegate.toBatch
 
   /** Bucketed tables report key-grouped partitioning — with
     * `spark.sql.sources.v2.bucketing.enabled=true`, joins between
@@ -672,7 +684,7 @@ final class GraftDelegatingScan(
     *    fully-pinned bucket pruning. */
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    if (numBuckets > 0 && bucketedBatch.partitions.nonEmpty) {
+    if (numBuckets > 0 && layoutApplies && bucketedBatch.partitions.nonEmpty) {
       val transforms: Array[org.apache.spark.sql.connector.expressions.Expression] =
         if (bucketCounts.nonEmpty)
           storage.metadata.bucketColumns.zip(bucketCounts).map { case (c, n) =>

@@ -198,19 +198,30 @@ final class GraftCdcMicroBatchStream(
       (if (head == from.snapshotId) Nil
        else try storage.orderedSnapshotIds(from.snapshotId, head)
        catch {
+         // the TYPED expired-history signal: the offset's snapshot was
+         // EXPIRED out of metadata while the stream lagged — the one
+         // recoverable shape, with a concrete remedy (a fresh checkpoint
+         // plus startingSnapshotId past the expired range), surfaced by
+         // name instead of folded into the generic walk error
+         case e: graft.core.ExpiredHistoryException =>
+           throw new IllegalStateException(
+             s"checkpointed offset ${from.snapshotId} was EXPIRED from " +
+               s"${storage.location} while the stream lagged (branch '$branch', " +
+               s"head $head): the change walk is impossible; restart from a " +
+               "fresh checkpoint with option startingSnapshotId set past the " +
+               "expired history (or rebuild the consumer from a full read)", e)
          case e: IllegalArgumentException =>
-           // the checkpointed offset's snapshot is no longer on the
-           // branch chain — either the table was ROLLED BACK past it, or
-           // the snapshot was EXPIRED while the stream lagged. Either
-           // way the stream's emitted history diverged from what the
-           // branch can still serve, so failing is the only safe move —
-           // name both causes instead of a bare 'not an ancestor'
+           // the offset's snapshot still EXISTS but is not on the branch
+           // chain — the table was ROLLED BACK past the stream's offset
+           // (or the offset points into another branch's lineage); the
+           // stream's emitted history diverged from what the branch can
+           // serve, so failing is the only safe move
            throw new IllegalStateException(
              s"checkpointed offset ${from.snapshotId} is no longer on branch " +
                s"'$branch' of ${storage.location} (head $head): the table was " +
-               "rolled back past the stream's offset, or the offset's snapshot " +
-               "was expired while the stream lagged; restart the stream from a " +
-               "fresh checkpoint", e)
+               "rolled back past the stream's offset (or the offset belongs to " +
+               "another branch's lineage); restart the stream from a fresh " +
+               "checkpoint", e)
        })
 
   override def initialOffset(): Offset =

@@ -146,6 +146,43 @@ object GraftProcedures {
             .map(f => InternalRow(utf8(f)))
       },
 
+      new Proc("rewrite_manifests",
+        "Bin-pack the snapshot's index manifests into ~target_files_per_manifest-row " +
+          "manifests, range-sorted so manifest-list pruning regains power (CDC-silent)",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("target_files_per_manifest", LongType)
+            .defaultValue("100000").build()),
+        StructType(Seq(
+          StructField("rewritten_manifests", IntegerType, nullable = false),
+          StructField("output_manifests", IntegerType, nullable = false),
+          StructField("files", LongType, nullable = false)))) {
+        override def run(input: InternalRow): Seq[InternalRow] =
+          ds(input).rewriteManifests(input.getLong(1)).toSeq
+            .map(r => InternalRow(r.rewrittenManifests, r.outputManifests, r.files))
+      },
+
+      new Proc("rebucket",
+        "Rewrite the whole table under new per-column bucket counts and switch " +
+          "the layout in one CDC-silent commit (storage-partitioned joins and " +
+          "bucket pruning follow the new counts; time travel below it is guarded)",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("counts", StringType)
+            .comment("comma-separated per-bucket-column counts, e.g. '8,8'").build()),
+        StructType(Seq(
+          StructField("rewritten_files", IntegerType, nullable = false),
+          StructField("output_files", IntegerType, nullable = false),
+          StructField("rows", LongType, nullable = false),
+          StructField("num_buckets", IntegerType, nullable = false)))) {
+        override def run(input: InternalRow): Seq[InternalRow] = {
+          val counts = cols(input, 1).map(_.toInt)
+          val r = ds(input).rebucket(counts)
+          Seq(InternalRow(r.rewrittenFiles, r.outputFiles, r.rows,
+            r.newCounts.map(_.toLong).product.toInt))
+        }
+      },
+
       new Proc("rewrite_records",
         "Reclaim record-payload space: rewrite index files referencing mostly-dead record files",
         Array(

@@ -40,9 +40,28 @@ object ScopedConf {
         size() > MaxClones
     }
 
+  /** Clears the whole cache when the SparkContext stops: a stopped
+    * application's sessions (and their SessionStates) must not stay
+    * pinned by cached clones. Registered once, on the first clone.
+    * Embedders retiring individual SESSIONS (the context outlives them)
+    * call [[invalidate]] deterministically instead — LRU churn is the
+    * only other way a retired parent's clones unload. */
+  final class CleanupListener
+    extends org.apache.spark.scheduler.SparkListener {
+    override def onApplicationEnd(
+        e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = clearAll()
+  }
+
+  private val listenerRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Drop every cached clone (the application-end hook). */
+  def clearAll(): Unit = clones.synchronized(clones.clear())
+
   def withScopedConf[A](df: DataFrame, confs: Seq[(String, String)])(
       body: DataFrame => A): A = {
     val classic = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (listenerRegistered.compareAndSet(false, true))
+      classic.sparkContext.addSparkListener(new CleanupListener)
     val key = (classic.sessionUUID, confs)
     val clone = clones.synchronized {
       val hit = clones.get(key)

@@ -400,4 +400,30 @@ class AggregateViewSpec extends AnyFunSuite {
       av.refresh(targetVersion = Some(oldHead.toString)))
     assert(!e.isInstanceOf[graft.core.ExpiredHistoryException])
   }
+
+  test("widening a view-consumed source column fails the NEXT refresh loudly") {
+    val rows = spark.createDataFrame(Seq(
+      (1L, "a", 10), (2L, "b", 20), (3L, "a", 7))).toDF("id", "g", "v")
+    val src = SpaceDataset.create(spark, freshLoc("aggsrc_widen"), rows.schema, Seq("id"))
+    src.append(rows)
+    val av = AggregateView.create(spark, freshLoc("aggmv_widen"), src, Seq("g"),
+      Seq(AggSpec.sum("v", "sum_v"), AggSpec.min("v", "min_v")))
+    assert(av.refresh() == 1)
+    // widening an UNCONSUMED column is harmless to the view
+    src.addColumn("w", org.apache.spark.sql.types.IntegerType)
+    src.widenColumn("w", org.apache.spark.sql.types.LongType)
+    src.append(spark.createDataFrame(Seq((4L, "b", 3))).toDF("id", "g", "v")
+      .withColumn("w", lit(null).cast("bigint")))
+    assert(av.refresh() >= 1)
+    // int→double on the summed/min'd column changes the partial types:
+    // the state merge's casts would TRUNCATE silently — refresh must
+    // refuse with recreate guidance instead (ADVICE r11)
+    src.widenColumn("v", org.apache.spark.sql.types.DoubleType)
+    src.append(spark.createDataFrame(Seq((5L, "a", 2.5)))
+      .toDF("id", "g", "v").withColumn("w", lit(null).cast("bigint")))
+    val e = intercept[IllegalStateException](av.refresh())
+    assert(e.getMessage.contains("type-widened") && e.getMessage.contains("recreate"))
+    // the state table is untouched by the failed refresh
+    assert(av.read().collect().length == 2)
+  }
 }

@@ -351,6 +351,118 @@ class BucketSpec extends AnyFunSuite {
     assert(p.prunedFiles > 0, "bucket pruning must still engage for non-zero doubles")
   }
 
+  test("rebucket lifecycle: new counts, SPJ exchange-free, time travel guarded") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_rbk_").toString
+    spark.conf.set("spark.sql.catalog.grb",
+      classOf[org.apache.spark.sql.graftshim.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grb.location", root)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      spark.sql("CREATE TABLE grb.a (k1 BIGINT, k2 STRING, v DOUBLE) TBLPROPERTIES " +
+        "('primary_keys'='k1', 'bucket_columns'='k1,k2', 'num_buckets'='2,2')")
+      spark.sql("CREATE TABLE grb.b (k1 BIGINT, k2 STRING, w DOUBLE) TBLPROPERTIES " +
+        "('primary_keys'='k1', 'bucket_columns'='k1,k2', 'num_buckets'='2,2')")
+      (1L to 500L).map(i => (i, "s" + (i % 7), i * 1.0)).toDF("k1", "k2", "v")
+        .write.mode("append").insertInto("grb.a")
+      (1L to 400L).map(i => (i, "s" + (i % 7), i * 2.0)).toDF("k1", "k2", "w")
+        .write.mode("append").insertInto("grb.b")
+
+      val a = SpaceDataset.load(spark, s"$root/a")
+      val preRebucket = a.storage.metadata.currentSnapshotId
+      val preCount = a.readAll().count()
+      val preFiltered = a.readAll().filter(col("k2") === "s3").count()
+
+      // API path on a, SQL procedure path on b
+      val r = a.rebucket(Seq(4, 4))
+      assert(r.newCounts == Seq(4, 4) && r.rows == preCount)
+      val sqlRes = spark.sql(
+        "CALL grb.system.rebucket(table => 'b', counts => '4,4')").collect()
+      assert(sqlRes(0).getAs[Int]("num_buckets") == 16)
+
+      val meta = a.storage.metadata
+      assert(meta.bucketCounts == List(4, 4) && meta.numBuckets == 16)
+      assert(meta.bucketLayoutSince == meta.currentSnapshotId,
+        "the layout watermark must be the rebucket commit itself")
+      // the rewrite is a full replacement: every current file carries a
+      // flat id in [0,16) whose rows hash to its tuple under NEW counts
+      a.indexFiles().foreach { f =>
+        val flat = graft.format.StoragePaths.bucketOf(f).get
+        val Seq(b1, b2) = AppendOp.tupleOfFlat(flat, Seq(4, 4))
+        val tuples = spark.read.parquet(f)
+          .select(pmod(hash(col("k1")), lit(4)), pmod(hash(col("k2")), lit(4)))
+          .distinct().collect().map(x => (x.getInt(0), x.getInt(1))).toSet
+        assert(tuples.subsetOf(Set((b1, b2))), s"$f rows not in tuple ($b1,$b2): $tuples")
+      }
+      assert(a.readAll().count() == preCount)
+      // pruning engages at the NEW counts
+      val p = a.plan(Some(col("k2") === "s3"))
+      assert(p.files.nonEmpty && p.files.size <= p.totalFiles / 4,
+        s"k2 pin must keep <= 1/4 at 4x4 (kept ${p.files.size}/${p.totalFiles})")
+      assert(a.read(filter = Some(col("k2") === "s3")).count() == preFiltered)
+
+      // SPJ at the new counts: two-key join with ZERO exchanges
+      val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = spark.sql("SELECT a.k1, a.v, b.w FROM grb.a a JOIN grb.b b " +
+          "ON a.k1 = b.k1 AND a.k2 = b.k2")
+        assert(j.count() == 400L)
+        def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+          case x: AdaptiveSparkPlanExec => p +: flatten(x.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            p +: flatten(q.plan)
+          case _ => p +: p.children.flatMap(flatten)
+        }
+        val all = flatten(j.queryExecution.executedPlan)
+        val joinIdx = all.indexWhere {
+          case _: SortMergeJoinExec | _: ShuffledHashJoinExec => true
+          case _ => false
+        }
+        assert(joinIdx >= 0, s"no shuffle-family join:\n${all.head.treeString}")
+        assert(!flatten(all(joinIdx)).exists(_.isInstanceOf[ShuffleExchangeExec]),
+          s"post-rebucket SPJ still shuffled:\n${all.head.treeString}")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+
+      // CDC-silent: diff across the rebucket reports nothing
+      assert(a.diff(preRebucket.toString,
+        a.storage.metadata.currentSnapshotId.toString).isEmpty)
+      // time travel BELOW the watermark: old files hashed under 2x2 —
+      // bucket pruning by the new counts must disengage, reads stay exact
+      assert(a.read(version = Some(preRebucket.toString)).count() == preCount)
+      assert(a.read(filter = Some(col("k2") === "s3"),
+        version = Some(preRebucket.toString)).count() == preFiltered)
+      // k2 carries no stats and no bloom, so only bucket pruning could
+      // drop files for this probe — below the watermark it must not
+      // (old files are 2x2 tuples; a 4x4 interpretation would be wrong)
+      val oldPlan = a.plan(Some(col("k2") === "s0"),
+        version = Some(preRebucket.toString))
+      assert(oldPlan.files.size == oldPlan.totalFiles,
+        "bucket pruning must keep everything below the layout watermark")
+      assert(spark.sql(s"SELECT count(*) FROM grb.a VERSION AS OF $preRebucket " +
+        "WHERE k2 = 's3'").collect()(0).getLong(0) == preFiltered)
+
+      // subsequent DML lands in (and preserves) the new layout
+      a.upsert((1L to 20L).map(i => (i, "s" + (i % 7), -i * 1.0)).toDF("k1", "k2", "v"))
+      assert(a.readAll().count() == preCount)
+      assert(a.read(filter = Some(col("k2") === "s3")).count() ==
+        a.readAll().filter(col("k2") === "s3").collect().length)
+
+      // invalid shapes refuse loudly
+      intercept[IllegalArgumentException](a.rebucket(Seq(4, 4))) // unchanged
+      intercept[IllegalArgumentException](a.rebucket(Seq(4)))    // arity
+      val unbucketed = SpaceDataset.create(spark,
+        Files.createTempDirectory("graft_rbk2_").toString + "/tbl",
+        (1L to 3L).toDF("k1").schema, Seq("k1"))
+      intercept[IllegalArgumentException](unbucketed.rebucket(Seq(4)))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.grb")
+      spark.conf.unset("spark.sql.catalog.grb.location")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
   test("bucketed tables refuse zero-copy ingest; bucket column must exist") {
     val orders = Tables.read(spark, sfDir, "orders")
     intercept[IllegalArgumentException] {

@@ -252,6 +252,40 @@ class CdcStreamSpec extends AnyFunSuite {
       s"expected a rollback-naming IllegalStateException, got: $ex")
   }
 
+  test("a stream whose checkpoint predates expired history surfaces the expiry by name") {
+    val root = Files.createTempDirectory("graft_cdcspec9_").toString
+    val ds = SpaceDataset.create(spark, s"$root/tbl", kvSchema, Seq("id"))
+    ds.append(kv(1L -> "a")) // snap 1
+    drain(s"$root/tbl", s"$root/ckpt") // checkpoint now at snapshot 1
+    ds.append(kv(2L -> "b")) // snap 2
+    ds.append(kv(3L -> "c")) // snap 3
+    ds.expireSnapshots(olderThanMs = -1L, keepLast = 1) // 1 and 2 expire
+
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(s"$root/tbl", s"$root/ckpt")
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    // the typed ExpiredHistoryException is translated into guidance that
+    // names the remedy (fresh checkpoint + startingSnapshotId), not the
+    // generic rolled-back message
+    assert(causes(ex).exists(c => c.isInstanceOf[IllegalStateException] &&
+      c.getMessage.contains("EXPIRED") &&
+      c.getMessage.contains("startingSnapshotId")),
+      s"expected an expiry-naming IllegalStateException, got: $ex")
+  }
+
+  test("the e_cdc_stream lifecycle under merge-on-read equals the copy-on-write run") {
+    // the gate runs this at full scale (e_cdc_stream_mor shares
+    // e_cdc_stream's oracle); this pins the equality in-process on a
+    // small frame so a regression localizes here first
+    val cow = graft.streaming.EventsStream.cdcStream(spark, sfDir)
+    val mor = graft.streaming.EventsStream.cdcStream(spark, sfDir, morDelete = true)
+    assert(cow.exceptAll(mor).isEmpty && mor.exceptAll(cow).isEmpty &&
+      cow.count() == mor.count(),
+      "the CDC feed a consumer streams must be identical across DML modes")
+  }
+
   test("rate limit follows the branch chain across interleaved branch commits") {
     // snapshot ids are GLOBAL: main's chain here is 1 → 3 → 5, with exp's
     // snapshots 2 and 4 interleaved. `start + m` offset arithmetic would

@@ -366,15 +366,107 @@ class DeleteVectorSpec extends AnyFunSuite {
     assert(ds.countRows() == ds.readAll().count())
   }
 
-  test("random access and raw export refuse a vector-carrying snapshot") {
+  test("random access serves a vector-carrying snapshot MASKED; raw export still refuses") {
     val loc = freshLoc("guard")
+    // one file, ordered by k, so ordinal == rank(k) deterministically
     val df = dense(100).withColumn("payload",
       col("k").cast("string").cast("binary"))
+      .repartition(1).sortWithinPartitions("k")
     val ds = SpaceDataset.create(spark, loc, df.schema, Seq("k"),
       recordFields = Seq("payload"))
     ds.append(df)
-    withMor() { ds.delete(col("k") <= 10) }
-    intercept[IllegalArgumentException](new RandomAccessReader(ds, "payload"))
+    withMor() { ds.delete(col("k") <= 10 || col("k") % 13 === 0) }
+    // dead: k in 1..10 plus multiples of 13 above 10 (13..91 → 7 rows)
+    val liveKeys = (1 to 100).filterNot(k => k <= 10 || k % 13 == 0).map(_.toLong)
+    val ra = new RandomAccessReader(ds, "payload")
+    assert(ra.length == liveKeys.size.toLong,
+      "ordinals must address LIVE rows under a delete vector")
+    def str(b: Array[Byte]) = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+    // ordinal i is the i-th live row in file order
+    assert(str(ra.get(0)) == liveKeys.head.toString)
+    assert(str(ra.get(ra.length - 1)) == liveKeys.last.toString)
+    val ords = Seq(0L, 3L, 17L, ra.length - 1)
+    assert(ra.getBatch(ords).map(str) == ords.map(o => liveKeys(o.toInt).toString))
+    // raw file export CANNOT mask (external readers see physical bytes):
+    // the refusal stands until compaction folds the vectors
     intercept[IllegalArgumentException](ds.indexFiles())
+    ds.compact(targetFileRows = 1000L)
+    assert(ds.indexFiles().nonEmpty)
+  }
+
+  test("per-op dvMaxFraction override routes the split without touching the session conf") {
+    val ds = mkTable("perop")
+    val beforeManifests = ds.storage.metadata.currentSnapshot
+      .manifestFiles.indexManifestFiles.toSet
+    assert(spark.conf.getOption(FracKey).isEmpty)
+    ds.delete(col("k") % 100 === 0, dvMaxFraction = Some(1.0))
+    assert(spark.conf.getOption(FracKey).isEmpty,
+      "the override must never land on the shared session conf")
+    assert(ds.storage.metadata.currentSnapshot
+      .manifestFiles.indexManifestFiles.toSet == beforeManifests)
+    assert(ds.storage.deleteVectors(ds.storage.metadata.currentSnapshotId).nonEmpty)
+    intercept[IllegalArgumentException](
+      ds.delete(col("k") === 1L, dvMaxFraction = Some(1.5)))
+  }
+
+  test("dvMaxFraction is CUMULATIVE: repeated small deletes flip the file to CoW") {
+    val df = dense(1000).repartition(1)
+    val ds = SpaceDataset.create(spark, freshLoc("cumul"), df.schema, Seq("k"))
+    ds.append(df)
+    val frac = Some(0.08)
+    // 5% dead → under the threshold: vector
+    ds.delete(col("k") % 20 === 0, dvMaxFraction = frac)
+    val afterFirst = ds.storage.metadata.currentSnapshot
+    assert(ds.storage.deleteVectors(afterFirst.snapshotId).nonEmpty)
+    val manifests1 = afterFirst.manifestFiles.indexManifestFiles.toSet
+    // +5% dead → CUMULATIVE 10% > 8%: the delete flips the file to the
+    // CoW leg, folding the existing vector (under the old per-delete
+    // rule this would stay a vector forever — unbounded read debt)
+    ds.delete(col("k") % 20 === 1, dvMaxFraction = frac)
+    val afterSecond = ds.storage.metadata.currentSnapshot
+    assert(ds.storage.deleteVectors(afterSecond.snapshotId).isEmpty,
+      "the threshold-crossing delete must fold the accumulated vector")
+    assert(afterSecond.manifestFiles.indexManifestFiles.toSet != manifests1,
+      "the flip must rewrite the file")
+    assert(ds.readAll().count() == 900)
+    assert(ds.countRows() == 900)
+    assert(ds.readAll().filter(col("k") % 20 <= 1).count() == 0)
+  }
+
+  test("compact dvDebtFraction: debt-heavy files rewrite, lightly-dirty files keep vectors") {
+    val n = 1000
+    val df = dense(n)
+    val ds = SpaceDataset.create(spark, freshLoc("debt"), df.schema, Seq("k"))
+    ds.append(df.filter(col("k") <= n / 2).repartition(1))
+    ds.append(df.filter(col("k") > n / 2).repartition(1))
+    // file A: 20% dead; file B: 2% dead — both as vectors
+    ds.delete(col("k") <= 100, dvMaxFraction = Some(1.0))
+    ds.delete(col("k") > 500 && col("k") % 50 === 3, dvMaxFraction = Some(1.0))
+    val dvs0 = ds.storage.deleteVectors(ds.storage.metadata.currentSnapshotId)
+    assert(dvs0.size == 2)
+    val (heavy, light) = {
+      val s = dvs0.toSeq.sortBy(-_._2.numRows)
+      (s.head._1, s.last._1)
+    }
+    spark.conf.set(CompactOp.DvDebtFractionKey, "0.1")
+    try {
+      // neither file is small (500 phys rows, threshold 250) — only the
+      // debt-heavy one self-selects
+      ds.compact(targetFileRows = 500L)
+    } finally spark.conf.unset(CompactOp.DvDebtFractionKey)
+    val dvs1 = ds.storage.deleteVectors(ds.storage.metadata.currentSnapshotId)
+    assert(!dvs1.contains(heavy), "the 20%-dead file must fold")
+    assert(dvs1.contains(light), "the 2%-dead file must keep its cheap vector")
+    // default policy (0) folds the remainder
+    ds.compact(targetFileRows = 500L)
+    assert(ds.storage.deleteVectors(ds.storage.metadata.currentSnapshotId).isEmpty)
+    assert(ds.readAll().count() ==
+      (1 to n).count(k => k > 100 && !(k > 500 && k % 50 == 3)).toLong)
+    // keyed validation on garbage conf
+    spark.conf.set(CompactOp.DvDebtFractionKey, "lots")
+    try {
+      val e = intercept[IllegalArgumentException](ds.compact(targetFileRows = 500L))
+      assert(e.getMessage.contains(CompactOp.DvDebtFractionKey))
+    } finally spark.conf.unset(CompactOp.DvDebtFractionKey)
   }
 }

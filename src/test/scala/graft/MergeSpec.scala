@@ -147,4 +147,29 @@ class MergeSpec extends AnyFunSuite {
         .whenNotMatchedBySourceUpdate(Map("id" -> lit(99L))).execute()
     }
   }
+
+  test("nondeterministic merge conditions/assignments are rejected") {
+    // every merge cond/assignment is evaluated MORE THAN ONCE (delete-key
+    // union vs re-append) — a rand() would lose or duplicate rows
+    // silently, so the builder refuses it up front (ADVICE r11)
+    val ds = freshDs()
+    ds.append(kv((1L, "a", "p"), (2L, "b", "q")))
+    val src = kv((1L, "A", "u"))
+    def rej(b: => MergeBuilder): Unit = {
+      val e = intercept[IllegalArgumentException](b.execute())
+      assert(e.getMessage.contains("deterministic"))
+    }
+    rej(ds.merge(src).whenMatchedUpdate().whenMatchedDelete(rand() < 0.5))
+    rej(ds.merge(src).whenNotMatchedBySourceDelete(rand() < 0.5))
+    rej(ds.merge(src).whenNotMatchedBySourceUpdate(Map("v" -> lit("x")), rand() < 0.5))
+    rej(ds.merge(src).whenNotMatchedBySourceUpdate(
+      Map("v" -> concat(col("v"), rand().cast("string")))))
+    // the table is untouched: no clause ever ran
+    assert(content(ds) == Set((1L, "a", "p"), (2L, "b", "q")))
+    // deterministic equivalents still work
+    ds.merge(src).whenMatchedUpdate()
+      .whenNotMatchedBySourceUpdate(Map("v" -> lit("x")), col("op") === "q")
+      .execute()
+    assert(content(ds) == Set((1L, "A", "u"), (2L, "x", "q")))
+  }
 }

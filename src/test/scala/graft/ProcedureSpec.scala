@@ -44,6 +44,26 @@ class ProcedureSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM graft_proc.pc").collect()(0).getLong(0) == before)
   }
 
+  test("rewrite_manifests procedure packs the manifest list through SQL") {
+    root
+    spark.sql("CREATE TABLE graft_proc.rm (o_orderkey BIGINT, o_totalprice DOUBLE) " +
+      "TBLPROPERTIES ('primary_keys'='o_orderkey')")
+    (0 until 5).foreach { i =>
+      orders.filter(col("o_orderkey") % 5 === i)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("append").insertInto("graft_proc.rm")
+    }
+    val before = spark.sql("SELECT count(*) FROM graft_proc.rm").collect()(0).getLong(0)
+    val res = spark.sql(
+      "CALL graft_proc.system.rewrite_manifests(table => 'rm')").collect()
+    assert(res.length == 1)
+    assert(res(0).getAs[Int]("rewritten_manifests") >= 5)
+    assert(res(0).getAs[Int]("output_manifests") <
+      res(0).getAs[Int]("rewritten_manifests"))
+    assert(spark.sql("SELECT count(*) FROM graft_proc.rm")
+      .collect()(0).getLong(0) == before)
+  }
+
   test("cluster_by/zorder procedures rewrite; expire+gc reclaim; rollback resets") {
     root
     spark.sql("CREATE TABLE graft_proc.m (id BIGINT, a BIGINT, b BIGINT) " +

@@ -40,6 +40,32 @@ class ScopedConfSpec extends AnyFunSuite {
     assert(ScopedConf.cacheSize <= 32, s"cache grew to ${ScopedConf.cacheSize}")
   }
 
+  test("invalidate drops a retired session's clones deterministically") {
+    val df = spark.range(2).toDF("x")
+    ScopedConf.withScopedConf(df,
+      Seq("spark.sql.shuffle.partitions" -> "11"))(_.schema)
+    assert(ScopedConf.cacheSize > 0)
+    // the embedder contract: retiring a session calls invalidate(session)
+    // instead of waiting for LRU churn
+    ScopedConf.invalidate(spark)
+    assert(ScopedConf.cacheSize == 0,
+      "invalidate must drop every clone keyed to the session")
+  }
+
+  test("the application-end listener clears the whole cache") {
+    val df = spark.range(2).toDF("x")
+    ScopedConf.withScopedConf(df,
+      Seq("spark.sql.shuffle.partitions" -> "13"))(_.schema)
+    assert(ScopedConf.cacheSize > 0)
+    // fire the hook directly (stopping the shared test context would
+    // kill every other suite); registration itself is exercised by any
+    // withScopedConf call above
+    new ScopedConf.CleanupListener().onApplicationEnd(
+      org.apache.spark.scheduler.SparkListenerApplicationEnd(0L))
+    assert(ScopedConf.cacheSize == 0,
+      "application end must clear the clone cache")
+  }
+
   test("a retired parent session's clones become collectible under churn") {
     // scope the parent inside a helper so no local slot keeps it alive
     def makeAndUseParent(): java.lang.ref.WeakReference[Object] = {

@@ -102,6 +102,74 @@ class ManifestListSpec extends AnyFunSuite {
       orders.filter(col("o_orderkey") === lit(lo)).count())
   }
 
+  test("rewrite_manifests bin-packs the list, preserves stats, stays CDC-silent") {
+    val orders = Tables.read(spark, sfDir, "orders")
+    val loc = Files.createTempDirectory("graft_mlrw_").toString + "/tbl"
+    val ds = SpaceDataset.create(spark, loc, orders.schema, Seq("o_orderkey"))
+    val maxKey = orders.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+    val step = maxKey / 8 + 1
+    // INTERLEAVED trickle: appends alternate low/high ranges, so before
+    // the rewrite consecutive manifests do NOT sort by key
+    val order = Seq(0, 4, 1, 5, 2, 6, 3, 7)
+    order.foreach { i =>
+      ds.append(orders.filter(
+        col("o_orderkey") >= i * step && col("o_orderkey") < (i + 1) * step))
+    }
+    val beforeSnap = ds.storage.metadata.currentSnapshotId
+    val beforeManifests = ds.storage.metadata.currentSnapshot
+      .manifestFiles.indexManifestFiles
+    assert(beforeManifests.size >= 8)
+    val total = orders.count()
+
+    val res = ds.rewriteManifests(targetFilesPerManifest = 3L).get
+    val meta = ds.storage.metadata
+    val after = meta.currentSnapshot.manifestFiles.indexManifestFiles
+    assert(after.size == res.outputManifests && after.size < beforeManifests.size)
+    assert(res.rewrittenManifests == beforeManifests.size)
+    // every new manifest is summarized; counts conserve
+    assert(after.forall(meta.manifestSummaries.contains))
+    assert(after.map(meta.manifestSummaries(_).numFiles).sum == res.files)
+    // range-sorted packing: a low-range probe prunes whole manifests
+    val p = ds.plan(Some(col("o_orderkey") < lit(step)))
+    assert(p.prunedManifests > 0, s"expected summary pruning, got $p")
+    assert(ds.readAll().count() == total)
+    // CDC-silent: the rewrite snapshot carries no changelog and diff
+    // across it reports nothing
+    assert(ds.storage.metadata.currentSnapshot.changeLogFile.isEmpty)
+    assert(ds.diff(beforeSnap.toString,
+      ds.storage.metadata.currentSnapshotId.toString).isEmpty)
+    // time travel to the pre-rewrite snapshot still reads the old list
+    assert(ds.read(version = Some(beforeSnap.toString)).count() == total)
+    // idempotent: a second rewrite at the same target is a no-op
+    assert(ds.rewriteManifests(targetFilesPerManifest = 3L).isEmpty)
+  }
+
+  test("rewrite_manifests takes the distributed path past the driver row bound") {
+    val orders = Tables.read(spark, sfDir, "orders")
+    val loc = Files.createTempDirectory("graft_mlrwd_").toString + "/tbl"
+    val ds = SpaceDataset.create(spark, loc, orders.schema, Seq("o_orderkey"))
+    (0 until 3).foreach(i => ds.append(
+      orders.filter(col("o_orderkey") % 3 === i).repartitionByRange(4, col("o_orderkey"))))
+    val nFiles = ds.storage.metadata.currentSnapshot.manifestFiles.indexManifestFiles
+      .map(ds.storage.metadata.manifestSummaries(_).numFiles).sum
+    // force the distributed writer by shrinking the driver cutover to 0
+    val res = ds.storage.transaction(policy = ConflictPolicy.Rewrite) { pinned =>
+      RewriteManifestsOp.rewriteManifests(spark, ds.storage, pinned,
+        targetFilesPerManifest = math.max(1L, nFiles / 2),
+        driverMaxRows = 0L) match {
+        case Some((patch, r)) => (Some(patch), Some(r))
+        case None => (None, None)
+      }
+    }
+    assert(res.isDefined && res.get.files == nFiles)
+    val meta = ds.storage.metadata
+    val after = meta.currentSnapshot.manifestFiles.indexManifestFiles
+    assert(after.size == res.get.outputManifests)
+    assert(after.forall(meta.manifestSummaries.contains),
+      "distributed-path manifests must carry footer-derived summaries")
+    assert(ds.readAll().count() == orders.count())
+  }
+
   test("snapshot expiry drops summaries of stranded manifests") {
     val (ds, _) = quartered("mliste_")
     ds.delete(col("o_orderkey") % 2 === 0) // rewrites → old manifests stranded on old snapshots
