@@ -72,10 +72,66 @@ object DeleteVectorOps {
       storage: Storage,
       dvs: Map[String, RowBitmap]): Option[Column] = {
     if (dvs.isEmpty) return None
-    val bc = broadcastMap(spark, storage, dvs)
+    maskFromBroadcast(broadcastMap(spark, storage, dvs))
+  }
+
+  private def maskFromBroadcast(
+      bc: org.apache.spark.broadcast.Broadcast[Map[String, String]]): Option[Column] =
     Some(!org.apache.spark.sql.graftshim.BitmapContains.lenient(
       col("_metadata.file_path"), col("_metadata.row_index"), bc))
+
+  /** Bounded process-wide cache of BROADCAST vector maps, keyed by
+    * (application id, DV file absolute path) — DV files are immutable,
+    * and the READ path would otherwise re-broadcast the same
+    * consolidated set on every scan of a vector-carrying snapshot
+    * (VERDICT r11 #4: per-read broadcasts leaned on ContextCleaner with
+    * no bound). Evicted entries `unpersist(blocking = false)` — never
+    * destroy: an in-flight job may still re-fetch from the driver. */
+  private val BcCacheMax = 16
+  private val bcCache = new java.util.LinkedHashMap[
+      (String, String), org.apache.spark.broadcast.Broadcast[Map[String, String]]](
+      16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(String, String),
+          org.apache.spark.broadcast.Broadcast[Map[String, String]]]): Boolean = {
+      if (size() > BcCacheMax) {
+        // a stale entry's context may already be stopped — best-effort
+        scala.util.Try(e.getValue.unpersist(blocking = false))
+        true
+      } else false
+    }
   }
+
+  /** The live-rows mask for a whole-snapshot read ([[graft.core.ReadOp
+    * .scanPhysical]]'s shape): same semantics as [[maskFilter]] over the
+    * snapshot's full vector set, with the broadcast REUSED across reads
+    * of the same immutable DV file. Subset callers (CoW delete legs,
+    * maintenance folds) keep the uncached [[maskFilter]]. */
+  def maskFilterForSnapshot(
+      spark: SparkSession,
+      storage: Storage,
+      snapshotId: Long): Option[Column] =
+    storage.snapshotOrFail(snapshotId).deleteVectorFile match {
+      case None => None
+      case Some(f) =>
+        val key = (spark.sparkContext.applicationId, storage.absolute(f))
+        val bc = bcCache.synchronized {
+          val hit = bcCache.get(key)
+          if (hit != null) hit
+          else {
+            bcMisses.incrementAndGet()
+            val b = broadcastMap(spark, storage, storage.deleteVectors(snapshotId))
+            bcCache.put(key, b)
+            b
+          }
+        }
+        maskFromBroadcast(bc)
+    }
+
+  /** Observability for the reuse spec. */
+  private val bcMisses = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] def broadcastCacheMisses: Long = bcMisses.get()
+  private[graft] def broadcastCacheSize: Int = bcCache.synchronized(bcCache.size())
 
   /** Apply the snapshot's vectors to an explicit-file-list scan (the
     * maintenance-rewrite shape). Returns the masked frame plus the fold

@@ -122,9 +122,11 @@ object ReadOp {
     // merge-on-read: mask soft-deleted rows (no-op Column when the
     // snapshot has no delete vectors — the common steady state). The
     // mask is a plain conjunct, so the user's own filters still push
-    // down past it into the parquet scan and the file index.
-    val df = DeleteVectorOps.maskFilter(
-      spark, storage, storage.deleteVectors(snapshotId)).fold(df0)(df0.filter)
+    // down past it into the parquet scan and the file index; the
+    // broadcast vector map is REUSED across reads of the same snapshot
+    // (DV files are immutable).
+    val df = DeleteVectorOps.maskFilterForSnapshot(spark, storage, snapshotId)
+      .fold(df0)(df0.filter)
     // ±0.0 pushdown soundness even on sessions without GraftExtensions:
     // rewrite zero-equality forms before Catalyst pushes them to parquet
     // (see FloatingZeroRewrite — vanilla pushdown drops row groups whose

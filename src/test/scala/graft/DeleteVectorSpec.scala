@@ -433,6 +433,22 @@ class DeleteVectorSpec extends AnyFunSuite {
     assert(ds.readAll().filter(col("k") % 20 <= 1).count() == 0)
   }
 
+  test("the snapshot vector-mask broadcast is reused across reads of one snapshot") {
+    val ds = mkTable("bcreuse")
+    withMor() { ds.delete(col("k") % 50 === 0) }
+    val missesBefore = DeleteVectorOps.broadcastCacheMisses
+    // three reads of the SAME vector-carrying snapshot: one broadcast
+    (1 to 3).foreach(_ => assert(ds.readAll().count() == 980))
+    val misses = DeleteVectorOps.broadcastCacheMisses - missesBefore
+    assert(misses == 1L,
+      s"expected one broadcast for three reads of one snapshot, got $misses")
+    assert(DeleteVectorOps.broadcastCacheSize <= 16)
+    // a NEW snapshot's vector set broadcasts once more
+    withMor() { ds.delete(col("k") % 51 === 0) }
+    assert(ds.readAll().count() > 0)
+    assert(DeleteVectorOps.broadcastCacheMisses - missesBefore == 2L)
+  }
+
   test("compact dvDebtFraction: debt-heavy files rewrite, lightly-dirty files keep vectors") {
     val n = 1000
     val df = dense(n)
