@@ -97,9 +97,43 @@ object RewriteManifestsOp {
     require(outFiles == totalFiles,
       s"rewrite_manifests row-count drift: packed $outFiles manifest rows, " +
         s"snapshot lists $totalFiles")
+
+    // RECORD manifests pack along (each append of a record-field table
+    // mints one): same bin-pack, no stats sorting (their rows are
+    // (file, field) pairs), driver-side only — their row count is
+    // record files × fields, orders of magnitude below the index rows;
+    // past the driver bound they are left as-is (the index plane is the
+    // planning cost; record manifests are read whole by GC/reclamation).
+    val recMans = snap.manifestFiles.recordManifestFiles
+    val (recAdded, recRemoved) =
+      if (recMans.size <= 1) (Nil, Nil)
+      else {
+        val rdf = spark.read.parquet(recMans.map(storage.absolute): _*)
+        val rows = rdf.limit(driverMaxRows.toInt + 1).collect().toSeq
+        if (rows.size > driverMaxRows) (Nil, Nil)
+        else {
+          val recParts = math.max(1,
+            math.ceil(rows.size.toDouble / targetFilesPerManifest).toInt)
+          if (recMans.size <= recParts) (Nil, Nil)
+          else {
+            val fi = rdf.schema.fieldIndex("_FILE")
+            val sorted = rows.sortBy(_.getString(fi))
+            val rels = sorted.grouped(
+              math.max(1, math.ceil(sorted.size.toDouble / recParts).toInt)).map { chunk =>
+              val rel = StoragePaths.newRecordManifestFile()
+              DriverParquet.write(conf, storage.absolute(rel), rdf.schema, chunk)
+              rel
+            }.toList
+            (rels, recMans)
+          }
+        }
+      }
+
     val patch = Patch(
       addedIndexManifests = written.map(_._1),
       removedIndexManifests = manifests,
+      addedRecordManifests = recAdded,
+      removedRecordManifests = recRemoved,
       changeLog = None,
       manifestSummaries = written.toMap)
     Some((patch,

@@ -147,20 +147,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         case "files" => Some(new GraftMetadataTable(full, () => ds.indexManifest()))
         case "record_files" => Some(new GraftMetadataTable(full, () => ds.recordManifest()))
         // merge-on-read observability: which files carry soft-deleted
-        // rows, and how many — `sum(_NUM_DELETED)` is the table's
-        // compaction debt; empty = clean-at-rest (export/random access
-        // contracts hold)
+        // rows, how many, and each file's DEAD FRACTION — the exact
+        // input of the cumulative dvMaxFraction cutover and compact's
+        // dvDebtFraction policy, so an operator can see which files a
+        // debt-threshold compaction would select. `sum(_NUM_DELETED)`
+        // is the table's compaction debt; empty = clean-at-rest
+        // (export/random access contracts hold)
         case "delete_vectors" => Some(new GraftMetadataTable(full, () => {
-          val rows = ds.storage.deleteVectors(ds.storage.metadata.currentSnapshotId)
-            .toSeq.sortBy(_._1)
-            .map { case (f, e) => org.apache.spark.sql.Row(f, e.numRows) }
+          val sid = ds.storage.metadata.currentSnapshotId
+          val dvs = ds.storage.deleteVectors(sid)
+          val physRows: Map[String, Long] =
+            if (dvs.isEmpty) Map.empty
+            else graft.core.ManifestIO.readIndexManifests(spark, ds.storage,
+                ds.storage.snapshotOrFail(sid).manifestFiles.indexManifestFiles)
+              .filter(org.apache.spark.sql.functions.col(graft.core.ManifestIO.FileCol)
+                .isin(dvs.keys.toSeq: _*))
+              .select(graft.core.ManifestIO.FileCol, graft.core.ManifestIO.NumRowsCol)
+              .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          val rows = dvs.toSeq.sortBy(_._1).map { case (f, e) =>
+            val phys = physRows.get(f)
+            org.apache.spark.sql.Row(f, e.numRows,
+              phys.map(Long.box).orNull,
+              phys.map(p => Double.box(e.numRows.toDouble / p)).orNull)
+          }
           spark.createDataFrame(
             java.util.Arrays.asList(rows: _*),
             org.apache.spark.sql.types.StructType(Seq(
               org.apache.spark.sql.types.StructField("_FILE",
                 org.apache.spark.sql.types.StringType, nullable = false),
               org.apache.spark.sql.types.StructField("_NUM_DELETED",
-                org.apache.spark.sql.types.LongType, nullable = false))))
+                org.apache.spark.sql.types.LongType, nullable = false),
+              org.apache.spark.sql.types.StructField("_NUM_ROWS",
+                org.apache.spark.sql.types.LongType, nullable = true),
+              org.apache.spark.sql.types.StructField("_DEAD_FRACTION",
+                org.apache.spark.sql.types.DoubleType, nullable = true))))
         }))
         case "view" if ds.storage.metadata.logicalPlan
             .exists(graft.views.AggPlan.isAggregate) =>

@@ -228,9 +228,15 @@ class DeleteVectorSpec extends AnyFunSuite {
       assert(ds.storage.deleteVectors(ds.storage.metadata.currentSnapshotId).nonEmpty)
 
       // vector observability: the delete_vectors metadata table reports
-      // the per-file soft-delete debt
+      // the per-file soft-delete debt AND its fraction of physical rows
+      // (the input of compact's dvDebtFraction policy)
       assert(spark.sql("SELECT sum(_NUM_DELETED) FROM graft_dv.t.delete_vectors")
         .collect()(0).getLong(0) == 50L)
+      val frac = spark.sql(
+        "SELECT sum(_NUM_DELETED), sum(_NUM_ROWS), max(_DEAD_FRACTION) " +
+          "FROM graft_dv.t.delete_vectors").collect()(0)
+      assert(frac.getLong(1) == 500L, "physical rows must sum to the table size")
+      assert(frac.getDouble(2) > 0.0 && frac.getDouble(2) < 1.0)
 
       // plain SELECT masks
       assert(spark.sql("SELECT count(*) FROM graft_dv.t").collect()(0).getLong(0) == 450L)

@@ -170,6 +170,28 @@ class ManifestListSpec extends AnyFunSuite {
     assert(ds.readAll().count() == orders.count())
   }
 
+  test("rewrite_manifests packs record manifests too; stitching survives") {
+    import org.apache.spark.sql.functions.encode
+    val docs = Tables.read(spark, sfDir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val loc = Files.createTempDirectory("graft_mlrwr_").toString + "/tbl"
+    val ds = SpaceDataset.create(spark, loc, docs.schema, Seq("doc_id"),
+      recordFields = Seq("payload"))
+    (0 until 4).foreach(i => ds.append(docs.filter(col("doc_id") % 4 === i)))
+    val before = ds.storage.metadata.currentSnapshot
+    assert(before.manifestFiles.recordManifestFiles.size == 4)
+
+    val res = ds.rewriteManifests(targetFilesPerManifest = 100L).get
+    val after = ds.storage.metadata.currentSnapshot
+    assert(after.manifestFiles.indexManifestFiles.size == res.outputManifests)
+    assert(after.manifestFiles.recordManifestFiles.size <
+      before.manifestFiles.recordManifestFiles.size,
+      "record manifests must bin-pack alongside the index manifests")
+    // payload stitching and counts survive the metadata reorganization
+    assert(ds.readAll().count() == docs.count())
+    assert(ds.readAll().filter(col("payload").isNull).count() == 0)
+  }
+
   test("snapshot expiry drops summaries of stranded manifests") {
     val (ds, _) = quartered("mliste_")
     ds.delete(col("o_orderkey") % 2 === 0) // rewrites → old manifests stranded on old snapshots
