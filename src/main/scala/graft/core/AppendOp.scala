@@ -154,17 +154,52 @@ object AppendOp {
         case _ => df
       }
     // align to schema order + re-attach field-id metadata so Spark embeds
-    // `parquet.field.id` in the written footers (schema-evolution-by-id)
+    // `parquet.field.id` in the written footers (schema-evolution-by-id).
+    // Type alignment: a column whose frame type differs from the table's
+    // UPCASTS in place (int frame into a widened bigint table — files
+    // then always match the declared schema); a frame WIDER than the
+    // table refuses loudly — writing it would commit files the declared
+    // schema cannot read back (the row-wise-MV-after-source-widen shape:
+    // widen the target table's column first, then retry).
     val idSchema = ReadOp.physicalSchemaWithIds(storage.schema, storage.recordFields)
-    val aligned0 = toWrite.select(idSchema.fields.map(f =>
-      org.apache.spark.sql.functions.col(f.name).as(f.name, f.metadata)).toIndexedSeq: _*)
+    val inTypes = toWrite.schema.fields.map(f => f.name -> f.dataType).toMap
+    // catalogString compare: metadata- and nullability-insensitive, so
+    // the type-matched fast path is exactly the old raw projection.
+    // Beyond Catalyst's canUpCast, a small-precision decimal widens
+    // losslessly into double (a double holds 15 significant digits
+    // exactly) — the shape SQL UPDATE literals arrive in (0.5 parses as
+    // decimal(1,1) against a double column).
+    def safeCast(from: org.apache.spark.sql.types.DataType,
+        to: org.apache.spark.sql.types.DataType): Boolean =
+      org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, to) ||
+        ((from, to) match {
+          case (d: org.apache.spark.sql.types.DecimalType,
+                org.apache.spark.sql.types.DoubleType) => d.precision <= 15
+          case _ => false
+        })
+    def typeAligned(f: org.apache.spark.sql.types.StructField): org.apache.spark.sql.Column = {
+      val cur = inTypes.getOrElse(f.name, throw new IllegalArgumentException(
+        s"append: missing column ${f.name}"))
+      val base =
+        if (cur.catalogString == f.dataType.catalogString)
+          org.apache.spark.sql.functions.col(f.name)
+        else if (safeCast(cur, f.dataType))
+          org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
+        else throw new IllegalArgumentException(
+          s"append: column ${f.name} arrives as ${cur.simpleString} but the " +
+            s"table stores ${f.dataType.simpleString}, and that is not a safe " +
+            "upcast — files written as-is could not be read back under the " +
+            "table schema. If a source column was type-widened, widen this " +
+            "table's column first (widenColumn), then retry")
+      base.as(f.name, f.metadata)
+    }
+    val aligned0 = toWrite.select(idSchema.fields.map(typeAligned).toIndexedSeq: _*)
     // the per-column layout keeps its (synthetic) bucket-id columns for
     // the dynamic-partition write; partitionBy excludes them from the
-    // written data files
+    // written data files (same type-aligned projection as aligned0)
     val aligned =
       if (!perColumn) aligned0
-      else toWrite.select((idSchema.fields.map(f =>
-        org.apache.spark.sql.functions.col(f.name).as(f.name, f.metadata)) ++
+      else toWrite.select((idSchema.fields.map(typeAligned) ++
         AppendOp.bucketDirCols(bucketCounts.size)).toIndexedSeq: _*)
     // Parquet BLOOM FILTERS on the primary-key columns: min/max stats
     // prune files only when the layout correlates with the key; a bloom

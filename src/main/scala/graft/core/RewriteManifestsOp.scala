@@ -14,8 +14,9 @@ import graft.format._
   * thousands of small manifest files: the manifest-list summaries keep
   * OPENS pruned for selective queries, but the list itself grows
   * linearly and a full scan's planning pays one footer/read per
-  * manifest. This op bin-packs every index-manifest ROW of the pinned
-  * snapshot into ~`targetFilesPerManifest`-row manifests in ONE commit:
+  * manifest. This op bin-packs the UNDER-FILLED index manifests of the
+  * pinned snapshot into ~`targetFilesPerManifest`-row manifests in ONE
+  * commit (already-packed manifests are never reread):
   *
   *  - Rows are RANGE-SORTED by the first stats column's `_MIN` before
   *    packing, so each output manifest covers a tight key range and the
@@ -39,8 +40,14 @@ object RewriteManifestsOp {
       outputManifests: Int,
       files: Long)
 
-  /** Build the rewrite patch, or None when the snapshot already has no
-    * more manifests than the packed layout would (nothing to gain). */
+  /** Build the rewrite patch, or None when there is nothing to gain.
+    * INCREMENTAL: only UNDER-FILLED manifests (fewer rows than the
+    * target) are selected and packed — a steady-state table whose bulk
+    * is already packed pays only for its small tail, never a re-pack of
+    * the whole list (the same small-file selection rule as
+    * [[CompactOp]]'s data-plane bin-pack). Converges: packed output
+    * chunks are full except at most one remainder, which a later pass
+    * leaves alone until enough new tail accumulates. */
   def rewriteManifests(
       spark: SparkSession,
       storage: Storage,
@@ -55,7 +62,29 @@ object RewriteManifestsOp {
     val manifests = snap.manifestFiles.indexManifestFiles
     if (manifests.size <= 1) return None
 
-    val mdf = ManifestIO.readIndexManifests(spark, storage, manifests)
+    // per-manifest file counts: from the manifest-list summaries when
+    // complete (pure metadata), else one grouped count over the rows
+    val summaries = storage.metadata.manifestSummaries
+    val sizes: Map[String, Long] =
+      if (manifests.forall(summaries.contains))
+        manifests.map(m => m -> summaries(m).numFiles).toMap
+      else {
+        import org.apache.spark.sql.functions.{count, element_at, lit, split}
+        val byName = ManifestIO.readIndexManifests(spark, storage, manifests)
+          .groupBy(element_at(split(col("_metadata.file_path"), "/"), -1).as("__m"))
+          .agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        manifests.map(m =>
+          m -> byName.getOrElse(new org.apache.hadoop.fs.Path(m).getName, 0L)).toMap
+      }
+    // under-filled manifests only — the already-packed bulk never rereads
+    val small = manifests.filter(m => sizes(m) < targetFilesPerManifest)
+    if (small.size <= 1) return None
+    val totalFiles: Long = small.map(sizes).sum
+    val parts = math.max(1, math.ceil(totalFiles.toDouble / targetFilesPerManifest).toInt)
+    if (small.size <= parts) return None // the tail is already as packed as it gets
+
+    val mdf = ManifestIO.readIndexManifests(spark, storage, small)
     // sort by the first stats column's _MIN when the schema carries one
     // (falls back to the file path — still deterministic packing)
     val sortCol = storage.statsColumns.headOption
@@ -65,14 +94,6 @@ object RewriteManifestsOp {
       .filter(mdf.columns.contains)
       .map(n => col(s"$n._MIN"))
       .getOrElse(col(ManifestIO.FileCol))
-
-    val totalFiles: Long = {
-      val summaries = storage.metadata.manifestSummaries
-      if (manifests.forall(summaries.contains)) manifests.map(summaries(_).numFiles).sum
-      else mdf.count()
-    }
-    val parts = math.max(1, math.ceil(totalFiles.toDouble / targetFilesPerManifest).toInt)
-    if (manifests.size <= parts) return None // already packed
 
     val conf = spark.sparkContext.hadoopConfiguration
     val written: List[(String, ManifestSummary)] =
@@ -96,7 +117,7 @@ object RewriteManifestsOp {
     val outFiles = written.map(_._2.numFiles).sum
     require(outFiles == totalFiles,
       s"rewrite_manifests row-count drift: packed $outFiles manifest rows, " +
-        s"snapshot lists $totalFiles")
+        s"the selected manifests list $totalFiles")
 
     // RECORD manifests pack along (each append of a record-field table
     // mints one): same bin-pack, no stats sorting (their rows are
@@ -131,12 +152,12 @@ object RewriteManifestsOp {
 
     val patch = Patch(
       addedIndexManifests = written.map(_._1),
-      removedIndexManifests = manifests,
+      removedIndexManifests = small,
       addedRecordManifests = recAdded,
       removedRecordManifests = recRemoved,
       changeLog = None,
       manifestSummaries = written.toMap)
     Some((patch,
-      RewriteManifestsResult(manifests.size, written.size, totalFiles)))
+      RewriteManifestsResult(small.size, written.size, totalFiles)))
   }
 }

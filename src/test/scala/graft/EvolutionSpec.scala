@@ -470,4 +470,53 @@ class EvolutionSpec extends AnyFunSuite {
       assert(spark.sql(s"SELECT n FROM $cat.t WHERE k = 1").collect()(0).getLong(0) == 2L)
     }
   }
+
+  test("widen + row-wise MV: refresh refuses the downcast write until the MV widens too") {
+    import graft.views._
+    import spark.implicits._
+    def loc(p: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_$p").toString + "/tbl"
+    val rows = Seq((1L, 10), (2L, 20), (3L, 30)).toDF("id", "v")
+    val src = SpaceDataset.create(spark, loc("wmv_src"), rows.schema, Seq("id"))
+    src.append(rows)
+    // materialize runs the initial refresh itself
+    val mv = View.ofDataset(src).filterExpr("v > 15")
+      .materialize(spark, loc("wmv_mv"), Seq("id"))
+    assert(mv.refreshedTo.contains(src.storage.metadata.currentSnapshotId))
+
+    src.widenColumn("v", org.apache.spark.sql.types.LongType)
+    src.append(Seq((4L, 9999999999L), (5L, 8L)).toDF("id", "v"))
+    // the transformed CDC delta now carries bigint; the MV table stores
+    // int — writing the file as-is would commit bytes the MV schema
+    // cannot read back. The append guard refuses and names the remedy.
+    val e = intercept[IllegalArgumentException](mv.refresh())
+    assert(e.getMessage.contains("widenColumn"), e.getMessage)
+    // widen the MV's own column → refresh proceeds and values are exact
+    mv.dataset.widenColumn("v", org.apache.spark.sql.types.LongType)
+    assert(mv.refresh() == 1)
+    assert(mv.dataset.readAll().select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((2L, 20L), (3L, 30L), (4L, 9999999999L)))
+  }
+
+  test("appends upcast narrower frames in place; wider frames refuse") {
+    import spark.implicits._
+    def loc(p: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_$p").toString + "/tbl"
+    val wide = Seq((1L, 5L)).toDF("id", "v")
+    val dsWide = SpaceDataset.create(spark, loc("upc_w"), wide.schema, Seq("id"))
+    // INT frame into a BIGINT table: upcast in place — new files match
+    // the declared schema (no reliance on read-time widening for them)
+    dsWide.append(Seq((2, 7)).toDF("id", "v")
+      .select(col("id").cast("long").as("id"), col("v").as("v")))
+    assert(dsWide.readAll().collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((2L, 7L)))
+    // BIGINT frame into an INT table: refuse loudly
+    val narrow = Seq((1, 5)).toDF("id", "v")
+    val dsNarrow = SpaceDataset.create(spark, loc("upc_n"), narrow.schema, Seq("id"))
+    val e = intercept[IllegalArgumentException](
+      dsNarrow.append(Seq((2L, 7L)).toDF("id", "v")
+        .select(col("id").cast("int").as("id"), col("v").as("v"))))
+    assert(e.getMessage.contains("upcast"), e.getMessage)
+  }
 }

@@ -142,6 +142,26 @@ class ManifestListSpec extends AnyFunSuite {
     assert(ds.read(version = Some(beforeSnap.toString)).count() == total)
     // idempotent: a second rewrite at the same target is a no-op
     assert(ds.rewriteManifests(targetFilesPerManifest = 3L).isEmpty)
+
+    // INCREMENTAL: new trickle appends pack WITHOUT rereading the
+    // already-full manifests — the packed bulk survives by identity
+    val packedFull = ds.storage.metadata.currentSnapshot
+      .manifestFiles.indexManifestFiles
+      .filter(m => ds.storage.metadata.manifestSummaries(m).numFiles >= 3).toSet
+    assert(packedFull.nonEmpty)
+    order.take(4).foreach { i =>
+      ds.append(orders.filter(
+        col("o_orderkey") >= i * step && col("o_orderkey") < (i + 1) * step)
+        .limit(5))
+    }
+    val res2 = ds.rewriteManifests(targetFilesPerManifest = 3L).get
+    val after2 = ds.storage.metadata.currentSnapshot
+      .manifestFiles.indexManifestFiles.toSet
+    assert(packedFull.subsetOf(after2),
+      "full manifests must survive an incremental pack untouched")
+    assert(res2.rewrittenManifests <= 4 + 1,
+      s"only the under-filled tail may pack (packed ${res2.rewrittenManifests})")
+    assert(ds.readAll().count() == total + 20)
   }
 
   test("rewrite_manifests takes the distributed path past the driver row bound") {
