@@ -39,14 +39,16 @@ object AppendOp {
     * V2 function computes for one column. Float/double inputs collapse
     * -0.0 onto +0.0 first (x + 0.0 is the identity everywhere else,
     * incl. NaN/∞), matching the normalization `df.repartition` keys get
-    * in the single-hash layout. `counts` defaults to the table's —
-    * rebucket passes its NEW counts. */
+    * in the single-hash layout. `columns`/`counts` default to the
+    * table's — rebucket passes its NEW layout. */
   private[core] def perColumnBucketExprs(
       storage: Storage,
+      columns: Seq[String] = Nil,
       counts: Seq[Int] = Nil): Seq[org.apache.spark.sql.Column] = {
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val effectiveCols = if (columns.nonEmpty) columns else storage.metadata.bucketColumns.toSeq
     val effective = if (counts.nonEmpty) counts else storage.metadata.bucketCounts
-    storage.metadata.bucketColumns.zip(effective)
+    effectiveCols.zip(effective)
       .zipWithIndex.map { case ((c, n), i) =>
         val base = storage.schema(c).dataType match {
           case org.apache.spark.sql.types.FloatType => col(c) + lit(0.0f)
@@ -105,10 +107,11 @@ object AppendOp {
       df: DataFrame,
       targetFileRows: Option[Long] = None,
       writeClustered: Boolean = false,
-      /** Rebucket's hook: write under these PER-COLUMN counts instead of
-        * the table's current layout (the metadata switches to them in
-        * the same commit that references the written files). */
-      bucketCountsOverride: Option[Seq[Int]] = None): AppendResult = {
+      /** Rebucket's hook: write under this PER-COLUMN (columns, counts)
+        * layout instead of the table's current one (the metadata
+        * switches to it in the same commit that references the written
+        * files). */
+      bucketLayoutOverride: Option[(Seq[String], Seq[Int])] = None): AppendResult = {
     val conf = spark.sparkContext.hadoopConfiguration
     val tmpRel = s"${StoragePaths.DataDir}/tmp_append_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val tmpAbs = storage.absolute(tmpRel)
@@ -118,10 +121,13 @@ object AppendOp {
     // bucket id (HashPartitioning semantics), and the output file name
     // encodes it. CoW rewrites and compaction flow through here too, so
     // the invariant survives delete/update/upsert/compact.
-    val numBuckets = bucketCountsOverride
-      .map(_.map(_.toLong).product.toInt)
+    val numBuckets = bucketLayoutOverride
+      .map(_._2.map(_.toLong).product.toInt)
       .getOrElse(storage.metadata.numBuckets)
-    val bucketCounts = bucketCountsOverride.getOrElse(storage.metadata.bucketCounts)
+    val bucketCounts = bucketLayoutOverride.map(_._2).getOrElse(
+      storage.metadata.bucketCounts.toSeq)
+    val bucketColumns = bucketLayoutOverride.map(_._1).getOrElse(
+      storage.metadata.bucketColumns.toSeq)
     // per-column sub-buckets (multi-column SPJ layout): rows shuffle by
     // the TUPLE of per-column ids — one task per occupied tuple — and
     // the dynamic-partition write below splits tasks into tuple-pure
@@ -130,7 +136,7 @@ object AppendOp {
     val wcb = storage.metadata.writeClusterBy
     val toWrite =
       if (perColumn) {
-        val bCols = AppendOp.perColumnBucketExprs(storage, bucketCounts)
+        val bCols = AppendOp.perColumnBucketExprs(storage, bucketColumns, bucketCounts)
         df.select((df.columns.map(org.apache.spark.sql.functions.col) ++ bCols).toIndexedSeq: _*)
           .repartition(numBuckets, AppendOp.bucketDirCols(bucketCounts.size): _*)
       } else if (numBuckets > 0)

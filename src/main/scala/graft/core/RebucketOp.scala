@@ -39,22 +39,40 @@ object RebucketOp {
       rows: Long,
       newCounts: Seq[Int])
 
+  /** `newColumns` re-keys the layout (or ADOPTS bucketing on an
+    * unbucketed table — the table that grew into needing
+    * storage-partitioned joins); omitted = keep the current bucket
+    * columns, which then must exist. Any target layout is valid because
+    * the op rewrites every file. */
   def rebucket(
       spark: SparkSession,
       storage: Storage,
       newCounts: Seq[Int],
-      branch: String = SnapshotRef.MainBranch): RebucketResult = {
-    val cols = storage.metadata.bucketColumns
-    require(cols.nonEmpty, "rebucket: the table is not bucketed " +
-      "(bucket layouts are declared at create)")
+      branch: String = SnapshotRef.MainBranch,
+      newColumns: Option[Seq[String]] = None): RebucketResult = {
+    val cols = newColumns.getOrElse(storage.metadata.bucketColumns.toSeq)
+    require(cols.nonEmpty,
+      "rebucket: the table is not bucketed — pass the bucket columns to " +
+        "ADOPT a layout (rebucket(counts, columns = ...))")
+    cols.foreach { c =>
+      require(storage.schema.fieldNames.contains(c),
+        s"rebucket: bucket column $c not in schema (physical top-level names)")
+      require(!storage.recordFields.contains(c),
+        s"rebucket: record field $c cannot be a bucket column")
+    }
+    require(storage.metadata.writeClusterBy.isEmpty,
+      "rebucket: write_cluster_by and bucketing are exclusive — a bucketed " +
+        "write's partitioning IS the bucket layout")
     require(newCounts.length == cols.length,
       s"rebucket: ${newCounts.length} counts for ${cols.length} bucket columns " +
         s"(${cols.mkString(", ")})")
     require(newCounts.forall(_ >= 1), s"rebucket: counts must be >= 1: $newCounts")
     val product = newCounts.map(_.toLong).product
     require(product <= 100000, s"rebucket: counts product $product exceeds 100000")
-    require(newCounts != storage.metadata.bucketCounts,
-      s"rebucket: the table already has bucketCounts $newCounts")
+    require(newCounts != storage.metadata.bucketCounts ||
+        cols != storage.metadata.bucketColumns,
+      s"rebucket: the table already has this bucket layout " +
+        s"(${cols.mkString(",")} @ ${newCounts.mkString(",")})")
 
     storage.reload()
     val pinned = storage.branchHead(branch)
@@ -77,7 +95,7 @@ object RebucketOp {
         val (scan, removed, comp) = DeleteVectorOps.foldIntoScan(
           spark, storage, pinned, files, rawScan)
         val w = AppendOp.writeFilesWithMeta(spark, storage, scan,
-          bucketCountsOverride = Some(newCounts))
+          bucketLayoutOverride = Some((cols, newCounts)))
         (w, DmlOps.manifestCarryover(spark, storage, pinned, files), removed, comp)
       }
     require(co.carryoverManifests.isEmpty,
@@ -109,6 +127,7 @@ object RebucketOp {
           s"rebucket aborted: branch $branch moved from snapshot $pinned to " +
             s"$head during the rewrite; re-run rebucket")
       newId = storage.commit(patch, branch, m => m.copy(
+        bucketColumns = cols.toList,
         bucketCounts = newCounts.toList,
         numBuckets = product.toInt,
         bucketLayoutSince = m.maxSnapshotId))

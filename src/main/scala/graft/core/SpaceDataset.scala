@@ -485,9 +485,14 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
     * pre-rebucket snapshots keep reading correctly (the layout guards
     * disengage below the watermark) but should not take bucketed
     * maintenance rewrites afterwards. */
-  def rebucket(newCounts: Seq[Int],
-      branch: String = currentBranch): RebucketOp.RebucketResult =
-    RebucketOp.rebucket(spark, storage, newCounts, branch)
+  def rebucket(
+      newCounts: Seq[Int],
+      branch: String = currentBranch,
+      /** Re-key the layout (or ADOPT bucketing on an unbucketed table);
+        * logical column names. Omitted = keep the current columns. */
+      columns: Option[Seq[String]] = None): RebucketOp.RebucketResult =
+    RebucketOp.rebucket(spark, storage, newCounts, branch,
+      columns.map(toPhysicalNames))
 
   /** Bin-pack the snapshot's index MANIFESTS into
     * ~`targetFilesPerManifest`-row manifests, range-sorted by the first

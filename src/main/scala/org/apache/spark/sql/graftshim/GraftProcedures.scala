@@ -163,13 +163,18 @@ object GraftProcedures {
       },
 
       new Proc("rebucket",
-        "Rewrite the whole table under new per-column bucket counts and switch " +
-          "the layout in one CDC-silent commit (storage-partitioned joins and " +
-          "bucket pruning follow the new counts; time travel below it is guarded)",
+        "Rewrite the whole table under a new per-column bucket layout and switch " +
+          "it in one CDC-silent commit (storage-partitioned joins and bucket " +
+          "pruning follow the new layout; time travel below it is guarded); " +
+          "`columns` re-keys or ADOPTS bucketing on an unbucketed table",
         Array(
           ProcedureParameter.in("table", StringType).build(),
           ProcedureParameter.in("counts", StringType)
-            .comment("comma-separated per-bucket-column counts, e.g. '8,8'").build()),
+            .comment("comma-separated per-bucket-column counts, e.g. '8,8'").build(),
+          ProcedureParameter.in("columns", StringType)
+            .defaultValue("NULL")
+            .comment("comma-separated bucket columns; default keeps the current ones")
+            .build()),
         StructType(Seq(
           StructField("rewritten_files", IntegerType, nullable = false),
           StructField("output_files", IntegerType, nullable = false),
@@ -177,7 +182,8 @@ object GraftProcedures {
           StructField("num_buckets", IntegerType, nullable = false)))) {
         override def run(input: InternalRow): Seq[InternalRow] = {
           val counts = cols(input, 1).map(_.toInt)
-          val r = ds(input).rebucket(counts)
+          val columns = if (input.isNullAt(2)) None else Some(cols(input, 2))
+          val r = ds(input).rebucket(counts, columns = columns)
           Seq(InternalRow(r.rewrittenFiles, r.outputFiles, r.rows,
             r.newCounts.map(_.toLong).product.toInt))
         }

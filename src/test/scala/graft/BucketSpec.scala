@@ -456,11 +456,57 @@ class BucketSpec extends AnyFunSuite {
         Files.createTempDirectory("graft_rbk2_").toString + "/tbl",
         (1L to 3L).toDF("k1").schema, Seq("k1"))
       intercept[IllegalArgumentException](unbucketed.rebucket(Seq(4)))
+      intercept[IllegalArgumentException](
+        unbucketed.rebucket(Seq(4), columns = Some(Seq("nope"))))
     } finally {
       spark.conf.unset("spark.sql.catalog.grb")
       spark.conf.unset("spark.sql.catalog.grb.location")
       spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
     }
+  }
+
+  test("rebucket ADOPTS bucketing on an unbucketed table; history stays guarded") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("graft_rbka_").toString + "/tbl"
+    val rows = (1L to 400L).map(i => (i, "s" + (i % 5), i * 1.0)).toDF("k1", "k2", "v")
+    val ds = SpaceDataset.create(spark, loc, rows.schema, Seq("k1"))
+    ds.append(rows.filter(col("k1") <= 200L).repartition(3))
+    ds.append(rows.filter(col("k1") > 200L).repartition(3))
+    val preSnap = ds.storage.metadata.currentSnapshotId
+    val preFiltered = ds.readAll().filter(col("k2") === "s2").count()
+
+    // the table grew into needing SPJ/point-lookups: adopt a layout
+    val r = ds.rebucket(Seq(4, 4), columns = Some(Seq("k1", "k2")))
+    assert(r.rows == 400L)
+    val meta = ds.storage.metadata
+    assert(meta.bucketColumns == List("k1", "k2") && meta.numBuckets == 16 &&
+      meta.bucketCounts == List(4, 4))
+    assert(meta.bucketLayoutSince == meta.currentSnapshotId)
+    // every current file carries a flat id and rows match their tuple
+    ds.indexFiles().foreach { f =>
+      val flat = graft.format.StoragePaths.bucketOf(f)
+      assert(flat.isDefined, s"adopted layout left an unbucketed file $f")
+      val Seq(b1, b2) = AppendOp.tupleOfFlat(flat.get, Seq(4, 4))
+      val tuples = spark.read.parquet(f)
+        .select(pmod(hash(col("k1")), lit(4)), pmod(hash(col("k2")), lit(4)))
+        .distinct().collect().map(x => (x.getInt(0), x.getInt(1))).toSet
+      assert(tuples.subsetOf(Set((b1, b2))))
+    }
+    assert(ds.readAll().count() == 400L)
+    // pruning engages on the adopted layout; content stays exact
+    val p = ds.plan(Some(col("k2") === "s2"))
+    assert(p.files.nonEmpty && p.files.size <= p.totalFiles / 4)
+    assert(ds.read(filter = Some(col("k2") === "s2")).count() == preFiltered)
+    // history below the watermark: pre-adoption files have NO bucket ids
+    // — reads stay exact and bucket pruning keeps everything
+    assert(ds.read(version = Some(preSnap.toString)).count() == 400L)
+    val oldPlan = ds.plan(Some(col("k2") === "s2"), version = Some(preSnap.toString))
+    assert(oldPlan.files.size == oldPlan.totalFiles)
+    // subsequent appends land bucketed
+    ds.append(Seq((401L, "s1", 1.0)).toDF("k1", "k2", "v"))
+    assert(ds.indexFiles().forall(f =>
+      graft.format.StoragePaths.bucketOf(f).isDefined))
+    assert(ds.readAll().count() == 401L)
   }
 
   test("bucketed tables refuse zero-copy ingest; bucket column must exist") {
