@@ -134,31 +134,6 @@ object AppendOp {
     // files whose directory names carry the ids
     val perColumn = numBuckets > 0 && bucketCounts.nonEmpty
     val wcb = storage.metadata.writeClusterBy
-    val toWrite =
-      if (perColumn) {
-        val bCols = AppendOp.perColumnBucketExprs(storage, bucketColumns, bucketCounts)
-        df.select((df.columns.map(org.apache.spark.sql.functions.col) ++ bCols).toIndexedSeq: _*)
-          .repartition(numBuckets, AppendOp.bucketDirCols(bucketCounts.size): _*)
-      } else if (numBuckets > 0)
-        df.repartition(numBuckets,
-          storage.metadata.bucketColumns.map(org.apache.spark.sql.functions.col): _*)
-      else if (writeClustered && wcb.nonEmpty) {
-        // cluster-on-write: the batch lands as an internally-disjoint
-        // sorted tier with tight per-file stats. NO explicit partition
-        // count — AQE coalesces tiny range partitions (a small batch
-        // becomes one sorted file, a large ingest fans out), under the
-        // REDUCED advisory size set around the write below: pruning
-        // granularity needs several files per tier, and AQE's default
-        // 64 MB advisory would fold a whole mid-size tier into one
-        val cols = wcb.map(org.apache.spark.sql.functions.col)
-        df.repartitionByRange(cols: _*).sortWithinPartitions(cols: _*)
-      } else targetFileRows match {
-        case Some(n) if n > 0 =>
-          val total = df.count()
-          val parts = math.max(1, math.ceil(total.toDouble / n).toInt)
-          df.repartition(parts)
-        case _ => df
-      }
     // align to schema order + re-attach field-id metadata so Spark embeds
     // `parquet.field.id` in the written footers (schema-evolution-by-id).
     // Type alignment: a column whose frame type differs from the table's
@@ -167,8 +142,14 @@ object AppendOp {
     // table refuses loudly — writing it would commit files the declared
     // schema cannot read back (the row-wise-MV-after-source-widen shape:
     // widen the target table's column first, then retry).
+    //
+    // Alignment happens BEFORE bucketing: bucket ids hash the STORED
+    // type (murmur3-of-long ≠ murmur3-of-int for the same value), so an
+    // int frame appended to a widened-bigint bucket column must be cast
+    // first or its files land under ids BucketPruning/SPJ would never
+    // probe — a silent layout corruption instead of a wrong hash.
     val idSchema = ReadOp.physicalSchemaWithIds(storage.schema, storage.recordFields)
-    val inTypes = toWrite.schema.fields.map(f => f.name -> f.dataType).toMap
+    val inTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
     // catalogString compare: metadata- and nullability-insensitive, so
     // the type-matched fast path is exactly the old raw projection.
     // Beyond Catalyst's canUpCast, a small-precision decimal widens
@@ -199,14 +180,35 @@ object AppendOp {
             "table's column first (widenColumn), then retry")
       base.as(f.name, f.metadata)
     }
-    val aligned0 = toWrite.select(idSchema.fields.map(typeAligned).toIndexedSeq: _*)
-    // the per-column layout keeps its (synthetic) bucket-id columns for
-    // the dynamic-partition write; partitionBy excludes them from the
-    // written data files (same type-aligned projection as aligned0)
+    val alignedDf = df.select(idSchema.fields.map(typeAligned).toIndexedSeq: _*)
+    // the per-column layout keeps its (synthetic) bucket-id columns
+    // through the repartition for the dynamic-partition write;
+    // partitionBy excludes them from the written data files
     val aligned =
-      if (!perColumn) aligned0
-      else toWrite.select((idSchema.fields.map(typeAligned) ++
-        AppendOp.bucketDirCols(bucketCounts.size)).toIndexedSeq: _*)
+      if (perColumn) {
+        val bCols = AppendOp.perColumnBucketExprs(storage, bucketColumns, bucketCounts)
+        alignedDf.select((alignedDf.columns.map(org.apache.spark.sql.functions.col) ++ bCols).toIndexedSeq: _*)
+          .repartition(numBuckets, AppendOp.bucketDirCols(bucketCounts.size): _*)
+      } else if (numBuckets > 0)
+        alignedDf.repartition(numBuckets,
+          storage.metadata.bucketColumns.map(org.apache.spark.sql.functions.col): _*)
+      else if (writeClustered && wcb.nonEmpty) {
+        // cluster-on-write: the batch lands as an internally-disjoint
+        // sorted tier with tight per-file stats. NO explicit partition
+        // count — AQE coalesces tiny range partitions (a small batch
+        // becomes one sorted file, a large ingest fans out), under the
+        // REDUCED advisory size set around the write below: pruning
+        // granularity needs several files per tier, and AQE's default
+        // 64 MB advisory would fold a whole mid-size tier into one
+        val cols = wcb.map(org.apache.spark.sql.functions.col)
+        alignedDf.repartitionByRange(cols: _*).sortWithinPartitions(cols: _*)
+      } else targetFileRows match {
+        case Some(n) if n > 0 =>
+          val total = alignedDf.count()
+          val parts = math.max(1, math.ceil(total.toDouble / n).toInt)
+          alignedDf.repartition(parts)
+        case _ => alignedDf
+      }
     // Parquet BLOOM FILTERS on the primary-key columns: min/max stats
     // prune files only when the layout correlates with the key; a bloom
     // skips row groups on PK point lookups regardless of layout — the

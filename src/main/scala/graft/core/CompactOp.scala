@@ -82,10 +82,17 @@ object CompactOp {
     // barely-dirty big files keep their vectors (see [[DvDebtFractionKey]]).
     val dvs = storage.deleteVectors(snapshotId)
     val debtFrac = dvDebtFraction(spark)
-    val small0 = mdf
-      .filter(col(ManifestIO.NumRowsCol) < threshold ||
-        (if (dvs.isEmpty) org.apache.spark.sql.functions.lit(false)
-         else col(ManifestIO.FileCol).isin(dvs.keys.toSeq: _*)))
+    // size-selected files, plus big vector-carrying files (disjoint
+    // union); the DV set routes through filterFileSet — a broad MoR
+    // delete can carry tens of thousands of vector entries, too many
+    // for an IN literal list
+    val bySize = mdf.filter(col(ManifestIO.NumRowsCol) < threshold)
+    val selected =
+      if (dvs.isEmpty) bySize
+      else bySize.unionByName(DmlOps.filterFileSet(spark,
+        mdf.filter(col(ManifestIO.NumRowsCol) >= threshold),
+        ManifestIO.FileCol, dvs.keySet, keep = true))
+    val small0 = selected
       .select(col(ManifestIO.FileCol), col(ManifestIO.NumRowsCol))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       .filter { case (f, rows) =>

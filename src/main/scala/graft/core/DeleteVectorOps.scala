@@ -115,16 +115,26 @@ object DeleteVectorOps {
       case None => None
       case Some(f) =>
         val key = (spark.sparkContext.applicationId, storage.absolute(f))
-        val bc = bcCache.synchronized {
-          val hit = bcCache.get(key)
+        // cache-miss work (DV JSON load + FileSystem qualification +
+        // broadcast) runs OUTSIDE the lock — holding it would serialize
+        // first reads of unrelated tables/snapshots behind one
+        // broadcast (ADVICE r12). Double-checked put: two concurrent
+        // misses may both broadcast; the loser unpersists its copy.
+        val hit = bcCache.synchronized(bcCache.get(key))
+        val bc =
           if (hit != null) hit
           else {
             bcMisses.incrementAndGet()
-            val b = broadcastMap(spark, storage, storage.deleteVectors(snapshotId))
-            bcCache.put(key, b)
-            b
+            val fresh = broadcastMap(spark, storage, storage.deleteVectors(snapshotId))
+            val winner = bcCache.synchronized {
+              val raced = bcCache.get(key)
+              if (raced != null) raced
+              else { bcCache.put(key, fresh); fresh }
+            }
+            if (winner ne fresh)
+              scala.util.Try(fresh.unpersist(blocking = false))
+            winner
           }
-        }
         maskFromBroadcast(bc)
     }
 

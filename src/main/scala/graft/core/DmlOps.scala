@@ -329,8 +329,11 @@ object DmlOps {
 
   /** `df` restricted to (keep = true) or stripped of (keep = false) the
     * rows whose `c` is in `files` — IN list below [[MaxFileSetLiterals]],
-    * broadcast left_semi/left_anti join above it. */
-  private[core] def filterFileSet(
+    * broadcast left_semi/left_anti join above it. Public: every
+    * manifest-scan path that restricts to a file set (incl. the shim's
+    * metadata tables and compaction's vector-debt selection) routes
+    * through here so no caller rebuilds the unbounded-IN hazard. */
+  def filterFileSet(
       spark: SparkSession,
       df: DataFrame,
       c: String,

@@ -73,8 +73,27 @@ object RebucketOp {
         cols != storage.metadata.bucketColumns,
       s"rebucket: the table already has this bucket layout " +
         s"(${cols.mkString(",")} @ ${newCounts.mkString(",")})")
-
+    // Layout applicability is a SINGLE snapshot-id watermark
+    // (`bucketLayoutSince`), and snapshot ids are not ordered by layout
+    // lineage across branches: a side branch forked before the rebucket
+    // keeps committing old-layout files under ids ABOVE the new
+    // watermark, which pruning/SPJ would then misread as new-layout.
+    // So rebucket runs on main only, and only when no side branches
+    // exist (tags are fine — they pin an id, and pre-rebucket ids fall
+    // below the watermark, correctly disengaging layout claims).
+    require(branch == SnapshotRef.MainBranch,
+      s"rebucket: layout evolution runs on '${SnapshotRef.MainBranch}' only " +
+        s"(got branch '$branch') — the bucketLayoutSince watermark cannot " +
+        "represent per-branch layout lineage")
     storage.reload()
+    val sideBranches = storage.metadata.refs.values
+      .filter(r => r.refType == SnapshotRef.Branch && r.name != SnapshotRef.MainBranch)
+      .map(_.name).toSeq.sorted
+    require(sideBranches.isEmpty,
+      s"rebucket: side branches exist (${sideBranches.mkString(", ")}); their " +
+        "future commits would carry old-layout files above the new " +
+        "bucketLayoutSince watermark. fastForward or drop them first")
+
     val pinned = storage.branchHead(branch)
     val snap = storage.snapshotOrFail(pinned)
     val manifests = snap.manifestFiles.indexManifestFiles
@@ -126,6 +145,15 @@ object RebucketOp {
         throw new ConcurrentCommitException(
           s"rebucket aborted: branch $branch moved from snapshot $pinned to " +
             s"$head during the rewrite; re-run rebucket")
+      // a side branch created during the rewrite reintroduces the
+      // cross-branch watermark hazard checked at entry — abort
+      val lateBranches = storage.metadata.refs.values
+        .filter(r => r.refType == SnapshotRef.Branch && r.name != SnapshotRef.MainBranch)
+        .map(_.name).toSeq.sorted
+      if (lateBranches.nonEmpty)
+        throw new ConcurrentCommitException(
+          s"rebucket aborted: side branch(es) ${lateBranches.mkString(", ")} " +
+            "created during the rewrite; fastForward or drop them and re-run")
       newId = storage.commit(patch, branch, m => m.copy(
         bucketColumns = cols.toList,
         bucketCounts = newCounts.toList,

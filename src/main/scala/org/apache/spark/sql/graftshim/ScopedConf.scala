@@ -52,7 +52,12 @@ object ScopedConf {
         e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = clearAll()
   }
 
-  private val listenerRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
+  /** The applicationId the listener is currently registered on. A
+    * per-JVM AtomicBoolean was not enough (ADVICE r12): after that
+    * application ends, a NEW SparkContext in the same JVM would never
+    * get a listener, so its clones would only unload by LRU churn.
+    * Tracking the app id re-registers on every context change. */
+  private val listenerAppId = new java.util.concurrent.atomic.AtomicReference[String](null)
 
   /** Drop every cached clone (the application-end hook). */
   def clearAll(): Unit = clones.synchronized(clones.clear())
@@ -60,7 +65,8 @@ object ScopedConf {
   def withScopedConf[A](df: DataFrame, confs: Seq[(String, String)])(
       body: DataFrame => A): A = {
     val classic = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    if (listenerRegistered.compareAndSet(false, true))
+    val appId = classic.sparkContext.applicationId
+    if (listenerAppId.getAndSet(appId) != appId)
       classic.sparkContext.addSparkListener(new CleanupListener)
     val key = (classic.sessionUUID, confs)
     val clone = clones.synchronized {

@@ -531,4 +531,78 @@ class BucketSpec extends AnyFunSuite {
     ds.append(orders.limit(10).withColumnRenamed("o_custkey", "customer"))
     assert(ds.readAll().count() == 10)
   }
+
+  test("narrower frame types bucket under the STORED type (alignment before hashing)") {
+    import spark.implicits._
+    // murmur3-of-int ≠ murmur3-of-long for the same value, so an int
+    // frame appended to a bigint bucket column MUST be upcast before
+    // bucket ids are computed — otherwise files land under ids that
+    // bucket pruning / SPJ never probe (ADVICE r12 high).
+    val rows = (1L to 400L).map(i => (i, "s" + (i % 5), i * 1.0)).toDF("k1", "k2", "v")
+    val narrow = rows
+      .withColumn("k1", col("k1").cast("int"))
+      .withColumn("v", col("v").cast("float"))
+
+    // single-hash layout on the bigint column
+    val ds1 = SpaceDataset.create(spark,
+      Files.createTempDirectory("graft_bkal_").toString + "/tbl",
+      rows.schema, Seq("k1"), bucketColumns = Seq("k1"), numBuckets = 4)
+    ds1.append(narrow)
+    ds1.indexFiles().foreach { f =>
+      val b = graft.format.StoragePaths.bucketOf(f)
+      assert(b.isDefined, s"unbucketed file $f")
+      val stored = spark.read.parquet(ds1.storage.absolute(f))
+      assert(stored.schema("k1").dataType ==
+        org.apache.spark.sql.types.LongType, "file must store the table type")
+      val hashed = stored.select(pmod(hash(col("k1")), lit(4)))
+        .distinct().collect().map(_.getInt(0)).toSet
+      assert(hashed.subsetOf(Set(b.get)),
+        s"rows of $f hashed under the frame type, not the stored type: $hashed vs $b")
+    }
+    // point lookups prune to the right bucket AND find the rows
+    val p1 = ds1.plan(Some(col("k1") === 37L))
+    assert(p1.files.size < p1.totalFiles, "bucket pruning must engage")
+    assert(ds1.read(filter = Some(col("k1") === 37L)).count() == 1L)
+
+    // per-column tuple layout: same invariant through perColumnBucketExprs
+    val ds2 = SpaceDataset.create(spark,
+      Files.createTempDirectory("graft_bkal2_").toString + "/tbl",
+      rows.schema, Seq("k1"), bucketColumns = Seq("k1", "k2"),
+      numBuckets = 16, bucketCounts = Seq(4, 4))
+    ds2.append(narrow)
+    ds2.indexFiles().foreach { f =>
+      val flat = graft.format.StoragePaths.bucketOf(f)
+      assert(flat.isDefined, s"unbucketed file $f")
+      val Seq(b1, b2) = AppendOp.tupleOfFlat(flat.get, Seq(4, 4))
+      val tuples = spark.read.parquet(ds2.storage.absolute(f))
+        .select(pmod(hash(col("k1")), lit(4)), pmod(hash(col("k2")), lit(4)))
+        .distinct().collect().map(x => (x.getInt(0), x.getInt(1))).toSet
+      assert(tuples.subsetOf(Set((b1, b2))),
+        s"tuple-layout rows of $f hashed under the frame type: $tuples vs ($b1,$b2)")
+    }
+    assert(ds2.read(filter = Some(col("k1") === 37L && col("k2") === "s2")).count() == 1L)
+    assert(ds2.readAll().count() == 400L)
+  }
+
+  test("rebucket refuses off-main and with side branches (watermark lineage)") {
+    import spark.implicits._
+    val rows = (1L to 100L).map(i => (i, i * 1.0)).toDF("k1", "v")
+    val ds = SpaceDataset.create(spark,
+      Files.createTempDirectory("graft_rbkg_").toString + "/tbl",
+      rows.schema, Seq("k1"), bucketColumns = Seq("k1"),
+      numBuckets = 4, bucketCounts = Seq(4))
+    ds.append(rows)
+    // the single bucketLayoutSince watermark cannot express per-branch
+    // layout lineage: off-main rebuckets and rebuckets while side
+    // branches exist both refuse (ADVICE r12 medium)
+    intercept[IllegalArgumentException](ds.rebucket(Seq(8), branch = "dev"))
+    ds.storage.addBranch("dev")
+    val e = intercept[IllegalArgumentException](ds.rebucket(Seq(8)))
+    assert(e.getMessage.contains("side branches"), e.getMessage)
+    // tags are fine — they pin an id below the new watermark
+    ds.storage.removeRef("dev")
+    ds.storage.addTag("v1")
+    val r = ds.rebucket(Seq(8))
+    assert(r.newCounts == Seq(8) && ds.readAll().count() == 100L)
+  }
 }
