@@ -180,18 +180,41 @@ object BucketPruning {
     walk(filters.reduce(And))
   }
 
+  /** Does the table's CURRENT bucket layout describe the files of
+    * `snapshotId`? Two gates, both required:
+    *
+    *  - per-snapshot LAYOUT EPOCH equality
+    *    ([[graft.format.Snapshot.bucketLayoutId]] vs
+    *    [[graft.format.StorageMetadata.currentBucketLayoutId]]) — the
+    *    lineage-safe check: only descendants of the rebucket commit
+    *    inherit its epoch, so a side branch forked before it (whose
+    *    later commits get ids ABOVE the watermark while still carrying
+    *    old-layout files) correctly disengages;
+    *  - the legacy `bucketLayoutSince` watermark — retained for
+    *    metadata written before epochs existed.
+    *
+    * `Long.MaxValue` is the read-current-head sentinel; an expired
+    * (missing) snapshot falls back to the watermark alone. */
+  def layoutApplies(storage: Storage, snapshotId: Long): Boolean = {
+    val meta = storage.metadata
+    val sid = if (snapshotId == Long.MaxValue) meta.currentSnapshotId else snapshotId
+    sid >= meta.bucketLayoutSince &&
+      meta.snapshot(sid).forall(_.bucketLayoutId == meta.currentBucketLayoutId)
+  }
+
   /** Drop files of unreachable buckets (files without a bucket id in
     * their name are conservatively kept). `snapshotId` gates layout
-    * applicability: a snapshot below `bucketLayoutSince` holds files
-    * hashed under a PREVIOUS bucket layout (rebucket), where pruning by
-    * the current counts would be unsound — keep everything there. */
+    * applicability via [[layoutApplies]]: a snapshot outside the
+    * current layout epoch holds files hashed under a PREVIOUS bucket
+    * layout (rebucket), where pruning by the current counts would be
+    * unsound — keep everything there. */
   def pruneFiles(
       storage: Storage,
       snapshotId: Long,
       filters: Seq[Expression],
       files: Seq[String]): Seq[String] = {
     val meta = storage.metadata
-    if (meta.numBuckets == 0 || snapshotId < meta.bucketLayoutSince) return files
+    if (meta.numBuckets == 0 || !layoutApplies(storage, snapshotId)) return files
     val colTypes = meta.bucketColumns.map(c => c -> storage.schema(c).dataType).toMap
     val reach =
       if (meta.bucketCounts.nonEmpty)

@@ -73,26 +73,18 @@ object RebucketOp {
         cols != storage.metadata.bucketColumns,
       s"rebucket: the table already has this bucket layout " +
         s"(${cols.mkString(",")} @ ${newCounts.mkString(",")})")
-    // Layout applicability is a SINGLE snapshot-id watermark
-    // (`bucketLayoutSince`), and snapshot ids are not ordered by layout
-    // lineage across branches: a side branch forked before the rebucket
-    // keeps committing old-layout files under ids ABOVE the new
-    // watermark, which pruning/SPJ would then misread as new-layout.
-    // So rebucket runs on main only, and only when no side branches
-    // exist (tags are fine — they pin an id, and pre-rebucket ids fall
-    // below the watermark, correctly disengaging layout claims).
+    // Layout metadata (columns/counts) is TABLE-WIDE, so the rewrite
+    // that redefines it runs on main only. Side branches may exist:
+    // layout claims follow the per-snapshot LAYOUT EPOCH
+    // ([[graft.format.Snapshot.bucketLayoutId]]) — only descendants of
+    // this rebucket commit inherit the new epoch, so a branch forked
+    // before it (and anything it commits later, even under ids above
+    // the watermark) correctly disengages bucket pruning/SPJ instead
+    // of being misread as new-layout.
     require(branch == SnapshotRef.MainBranch,
       s"rebucket: layout evolution runs on '${SnapshotRef.MainBranch}' only " +
-        s"(got branch '$branch') — the bucketLayoutSince watermark cannot " +
-        "represent per-branch layout lineage")
+        s"(got branch '$branch') — bucket layout metadata is table-wide")
     storage.reload()
-    val sideBranches = storage.metadata.refs.values
-      .filter(r => r.refType == SnapshotRef.Branch && r.name != SnapshotRef.MainBranch)
-      .map(_.name).toSeq.sorted
-    require(sideBranches.isEmpty,
-      s"rebucket: side branches exist (${sideBranches.mkString(", ")}); their " +
-        "future commits would carry old-layout files above the new " +
-        "bucketLayoutSince watermark. fastForward or drop them first")
 
     val pinned = storage.branchHead(branch)
     val snap = storage.snapshotOrFail(pinned)
@@ -145,20 +137,17 @@ object RebucketOp {
         throw new ConcurrentCommitException(
           s"rebucket aborted: branch $branch moved from snapshot $pinned to " +
             s"$head during the rewrite; re-run rebucket")
-      // a side branch created during the rewrite reintroduces the
-      // cross-branch watermark hazard checked at entry — abort
-      val lateBranches = storage.metadata.refs.values
-        .filter(r => r.refType == SnapshotRef.Branch && r.name != SnapshotRef.MainBranch)
-        .map(_.name).toSeq.sorted
-      if (lateBranches.nonEmpty)
-        throw new ConcurrentCommitException(
-          s"rebucket aborted: side branch(es) ${lateBranches.mkString(", ")} " +
-            "created during the rewrite; fastForward or drop them and re-run")
       newId = storage.commit(patch, branch, m => m.copy(
         bucketColumns = cols.toList,
         bucketCounts = newCounts.toList,
         numBuckets = product.toInt,
-        bucketLayoutSince = m.maxSnapshotId))
+        bucketLayoutSince = m.maxSnapshotId,
+        // the new layout EPOCH: the snapshot itself is stamped with
+        // this id (newLayoutEpoch below), and only its descendants
+        // inherit it — branch-lineage-safe where the raw watermark
+        // alone is not
+        currentBucketLayoutId = m.maxSnapshotId),
+        newLayoutEpoch = true)
     }
     RebucketResult(files.size, written.files.size, outRows, newCounts)
   }

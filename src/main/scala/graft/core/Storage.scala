@@ -725,7 +725,13 @@ final class Storage(val location: String, val conf: Configuration) {
   def commit(
       patch: Patch,
       branch: String = SnapshotRef.MainBranch,
-      metaTransform: StorageMetadata => StorageMetadata = identity): Long = {
+      metaTransform: StorageMetadata => StorageMetadata = identity,
+      /** True only for the rebucket commit: its snapshot starts a NEW
+        * layout epoch (stamped with its own id). Every other commit
+        * inherits the parent snapshot's epoch, so layout claims follow
+        * COMMIT LINEAGE, not raw id order (see
+        * [[graft.format.Snapshot.bucketLayoutId]]). */
+      newLayoutEpoch: Boolean = false): Long = {
     val baseId = branchHead(branch)
     val base = snapshotOrFail(baseId)
     val newId = meta.maxSnapshotId + 1
@@ -768,7 +774,8 @@ final class Storage(val location: String, val conf: Configuration) {
 
     val now = System.currentTimeMillis()
     val snap = Snapshot(newId, Some(baseId), now, manifests,
-      base.storageStatistics + patch.statsDelta, changeLogFile, dvFile, patch.txn)
+      base.storageStatistics + patch.statsDelta, changeLogFile, dvFile, patch.txn,
+      bucketLayoutId = if (newLayoutEpoch) newId else base.bucketLayoutId)
 
     // exactly-once writer guard: runs under the commit lock after a
     // fresh reload, so a duplicate delivery can NEVER double-commit —

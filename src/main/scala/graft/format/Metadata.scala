@@ -84,7 +84,20 @@ final case class Snapshot(
       * earlier batch admitted). Absent in pre-existing metadata (json4s
       * default) — replay exclusion then degrades to empty, which only
       * re-verifies, never re-admits. */
-    txn: Option[TxnTag] = None)
+    txn: Option[TxnTag] = None,
+    /** LAYOUT EPOCH: the bucket-layout generation this snapshot's files
+      * follow. Inherited from the parent snapshot on every normal
+      * commit; a `rebucket` (which rewrites every file) stamps its own
+      * new snapshot id. Layout claims (bucket pruning, storage-
+      * partitioned-join reporting) engage ONLY when a snapshot's epoch
+      * equals [[StorageMetadata.currentBucketLayoutId]] — raw
+      * snapshot-id comparison against a watermark is NOT lineage-safe
+      * across branches (a side branch forked before a rebucket keeps
+      * committing old-layout files under ids above the watermark).
+      * 0 for tables that never re-bucketed (json4s default — legacy
+      * snapshots parse as epoch 0, matching a never-rebucketed current
+      * epoch of 0). */
+    bucketLayoutId: Long = 0L)
 
 object SnapshotRef {
   val Tag = "TAG"
@@ -175,8 +188,18 @@ final case class StorageMetadata(
       * of OLDER snapshots see files hashed under the previous counts,
       * so bucket pruning and storage-partitioned-join reporting must
       * disengage below this watermark (the layout claim would be wrong
-      * there; stats/bloom pruning still apply). */
+      * there; stats/bloom pruning still apply). LEGACY check only —
+      * superseded by the per-snapshot epoch ([[Snapshot.bucketLayoutId]]
+      * vs [[currentBucketLayoutId]]), which is also lineage-safe across
+      * branches; both are kept and both must pass. */
     bucketLayoutSince: Long = 0L,
+    /** The CURRENT layout epoch (see [[Snapshot.bucketLayoutId]]). A
+      * rebucket sets this to its own snapshot id in the layout-swap
+      * commit; every subsequent commit stamps its snapshot by
+      * inheriting the PARENT's epoch, so only descendants of the
+      * rebucket commit — on any branch — claim the current layout.
+      * 0 = the original (create-time) layout. */
+    currentBucketLayoutId: Long = 0L,
     /** CLUSTER-ON-WRITE columns (empty = off; exclusive with
       * bucketing). Every APPEND-path write (user appends, MV
       * refreshes, streaming sinks) range-partitions + sorts its batch

@@ -663,13 +663,14 @@ final class GraftDelegatingScan(
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
-  /** A snapshot below `bucketLayoutSince` (rebucket) holds files hashed
+  /** A snapshot outside the current layout EPOCH (rebucket — see
+    * [[graft.core.BucketPruning.layoutApplies]]) holds files hashed
     * under a PREVIOUS layout: reporting the current bucket transforms
     * for it would let Catalyst align a join on a partitioning the files
     * don't have — treat such scans as unbucketed (plain parquet batch,
     * UnknownPartitioning). */
   private def layoutApplies: Boolean =
-    snapshotId >= storage.metadata.bucketLayoutSince
+    graft.core.BucketPruning.layoutApplies(storage, snapshotId)
 
   /** Reported back in LOGICAL names (top-level and struct members):
     * Spark rebuilds the scan relation's output attributes from this

@@ -584,25 +584,56 @@ class BucketSpec extends AnyFunSuite {
     assert(ds2.readAll().count() == 400L)
   }
 
-  test("rebucket refuses off-main and with side branches (watermark lineage)") {
+  test("layout epochs: side-branch commits after a rebucket never claim the new layout") {
     import spark.implicits._
-    val rows = (1L to 100L).map(i => (i, i * 1.0)).toDF("k1", "v")
+    // bucket on a NON-PK string column: PK stats/blooms can't prune an
+    // `s`-filter, so file survival under it isolates the BUCKET layer
+    val rows = (1L to 400L).map(i => (i, "g" + (i % 20), i * 1.0)).toDF("k1", "s", "v")
     val ds = SpaceDataset.create(spark,
       Files.createTempDirectory("graft_rbkg_").toString + "/tbl",
-      rows.schema, Seq("k1"), bucketColumns = Seq("k1"),
+      rows.schema, Seq("k1"), bucketColumns = Seq("s"),
       numBuckets = 4, bucketCounts = Seq(4))
-    ds.append(rows)
-    // the single bucketLayoutSince watermark cannot express per-branch
-    // layout lineage: off-main rebuckets and rebuckets while side
-    // branches exist both refuse (ADVICE r12 medium)
+    ds.append(rows.filter(col("k1") <= 200L))
+    // layout metadata is table-wide: off-main rebuckets refuse
     intercept[IllegalArgumentException](ds.rebucket(Seq(8), branch = "dev"))
+
+    // fork a side branch BEFORE the rebucket, then rebucket main
     ds.storage.addBranch("dev")
-    val e = intercept[IllegalArgumentException](ds.rebucket(Seq(8)))
-    assert(e.getMessage.contains("side branches"), e.getMessage)
-    // tags are fine — they pin an id below the new watermark
-    ds.storage.removeRef("dev")
     ds.storage.addTag("v1")
     val r = ds.rebucket(Seq(8))
-    assert(r.newCounts == Seq(8) && ds.readAll().count() == 100L)
+    assert(r.newCounts == Seq(8))
+    val meta = ds.storage.metadata
+    assert(meta.currentBucketLayoutId == meta.currentSnapshotId &&
+      meta.currentSnapshot.bucketLayoutId == meta.currentBucketLayoutId,
+      "the rebucket commit must start (and carry) the new epoch")
+    assert(ds.readAll().count() == 200L)
+    // main descendants inherit the epoch — layout claims keep engaging
+    ds.append(rows.filter(col("k1") > 200L))
+    assert(ds.storage.metadata.currentSnapshot.bucketLayoutId ==
+      ds.storage.metadata.currentBucketLayoutId)
+    val pMain = ds.plan(Some(col("s") === "g7"))
+    assert(pMain.files.size < pMain.totalFiles, "post-rebucket main must prune")
+
+    // THE HAZARD (ADVICE r12 medium): a commit on the pre-fork branch
+    // lands ABOVE the watermark by raw id, but its snapshot still
+    // references old-layout files — the per-snapshot epoch (inherited
+    // from the pre-rebucket parent, not stamped current) disengages
+    // bucket pruning there, where the raw-id watermark alone would
+    // have pruned wrongly
+    ds.append(rows.filter(col("k1") > 200L), branch = "dev")
+    val devHead = ds.storage.branchHead("dev")
+    assert(devHead > ds.storage.metadata.bucketLayoutSince,
+      "precondition: the branch commit id must exceed the watermark")
+    assert(ds.storage.metadata.snapshot(devHead).get.bucketLayoutId !=
+      ds.storage.metadata.currentBucketLayoutId,
+      "the branch snapshot must stay on the pre-rebucket epoch")
+    val pDev = ds.plan(Some(col("s") === "g7"), version = Some("dev"))
+    assert(pDev.files.size == pDev.totalFiles,
+      "bucket pruning must keep EVERYTHING on the old-epoch branch")
+    assert(ds.read(filter = Some(col("s") === "g7"),
+      version = Some("dev")).count() == 20L)
+    // pre-rebucket tag: same disengagement via both epoch and watermark
+    val pTag = ds.plan(Some(col("s") === "g7"), version = Some("v1"))
+    assert(pTag.files.size == pTag.totalFiles)
   }
 }
