@@ -53,6 +53,18 @@ final class DirCatalog(val spark: SparkSession, val root: String) {
     graft.views.AggregateView.create(spark, location(name), source, groupBy, aggs, filter)
   }
 
+  def createJoinView(
+      name: String,
+      left: SpaceDataset,
+      right: SpaceDataset,
+      keys: Seq[String],
+      leftFields: Seq[String],
+      rightFields: Seq[String]): graft.views.JoinView = {
+    require(!exists(name), s"dataset $name already exists")
+    graft.views.JoinView.create(spark, location(name), left, right,
+      keys, leftFields, rightFields)
+  }
+
   def dataset(name: String): SpaceDataset = {
     require(exists(name), s"dataset $name not found")
     SpaceDataset.load(spark, location(name))
@@ -71,6 +83,8 @@ final class DirCatalog(val spark: SparkSession, val root: String) {
     val ds = SpaceDataset.load(spark, location(name))
     if (ds.storage.metadata.logicalPlan.exists(graft.views.AggPlan.isAggregate))
       new graft.views.AggregateView(spark, ds)
+    else if (ds.storage.metadata.logicalPlan.exists(graft.views.JoinPlan.isJoin))
+      new graft.views.JoinView(spark, ds)
     else new MaterializedView(spark, ds)
   }
 

@@ -793,7 +793,10 @@ final class Storage(val location: String, val conf: Configuration) {
       lastUpdateTimeMs = now,
       txnVersions = patch.txn.fold(meta.txnVersions)(t =>
         meta.txnVersions + (t.appId -> t.version)),
-      mvSourceSnapshotId = patch.sourceSnapshotId.orElse(meta.mvSourceSnapshotId))
+      mvSourceSnapshotId = patch.sourceSnapshotId.orElse(meta.mvSourceSnapshotId),
+      mvSourceSnapshotIds =
+        if (patch.sourceSnapshotIds.isEmpty) meta.mvSourceSnapshotIds
+        else meta.mvSourceSnapshotIds ++ patch.sourceSnapshotIds)
     val newMeta =
       if (branch == SnapshotRef.MainBranch) withSnap.copy(currentSnapshotId = newId)
       else withSnap.copy(refs = withSnap.refs +

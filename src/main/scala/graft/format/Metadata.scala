@@ -236,7 +236,14 @@ final case class StorageMetadata(
       * the loader falls back to it when the JSON plan is absent. */
     logicalPlanSubstrait: Option[String] = None,
     /** For MVs: the SOURCE snapshot id this MV is refreshed up to. */
-    mvSourceSnapshotId: Option[Long] = None) {
+    mvSourceSnapshotId: Option[Long] = None,
+    /** For MULTI-SOURCE views (the incremental join view): per-side
+      * refresh watermarks, keyed by side name ("left"/"right"). Kept
+      * separate from [[mvSourceSnapshotId]] — the two sources' snapshot
+      * ids advance independently, so one Long cannot encode the
+      * refresh frontier. Empty for single-source views and plain
+      * tables (json4s default — older metadata parses clean). */
+    mvSourceSnapshotIds: Map[String, Long] = Map.empty) {
 
   def snapshot(id: Long): Option[Snapshot] = snapshots.get(id.toString)
 
@@ -309,7 +316,11 @@ final case class Patch(
       * rewrites and maintenance rewrites (compact/cluster/record-
       * rewrite) fold the vector into the rewritten data, and
       * whole-table overwrite drops every entry. */
-    dvRemoved: List[String] = Nil)
+    dvRemoved: List[String] = Nil,
+    /** Multi-source-view refresh commits: per-side watermark advances
+      * (see [[StorageMetadata.mvSourceSnapshotIds]]); merged into the
+      * metadata map at commit. */
+    sourceSnapshotIds: Map[String, Long] = Map.empty)
 
 object Patch {
   /** merge_patches analog (ops/utils.py:94-118): manifest lists concat,
@@ -334,7 +345,8 @@ object Patch {
         a.manifestSummaries ++ b.manifestSummaries,
         a.dvAdded ++ b.dvAdded,
         a.dvObserved ++ b.dvObserved,
-        a.dvRemoved ++ b.dvRemoved)
+        a.dvRemoved ++ b.dvRemoved,
+        a.sourceSnapshotIds ++ b.sourceSnapshotIds)
     })
   }
 }

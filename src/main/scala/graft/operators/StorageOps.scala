@@ -1021,6 +1021,41 @@ object StorageOps {
       av.read()
     }),
 
+    // INNER-JOIN MV maintained from BOTH sources' CDC feeds (bi-delta;
+    // the reference REFUSES to materialize joins, transform/join.py:
+    // 128-129): state must equal live(L) ⋈ live(R) after both sides
+    // mutate inside one refresh window — left deltas join right AT the
+    // right watermark, right deltas join left AT the new left head, so
+    // ΔL⋈ΔR lands exactly once; each refresh is O(delta ⋈ other side)
+    "s_mv_join" -> ((s, d) => {
+      import graft.views._
+      // fact ⋈ dim: orders (PK o_orderkey, join key custkey NON-pk —
+      // dim updates re-partner) ⋈ customer (PK = the join key)
+      val o = t(s, d, "orders")
+        .selectExpr("o_custkey AS custkey", "o_orderkey", "o_totalprice",
+          "o_orderstatus")
+      val c = t(s, d, "customer")
+        .selectExpr("c_custkey AS custkey", "c_name", "c_nationkey", "c_acctbal")
+      val l = SpaceDataset.create(s, fresh("jvl2"), o.schema, Seq("o_orderkey"))
+      l.append(o.filter(col("o_orderkey") % 3 =!= 0))
+      val r = SpaceDataset.create(s, fresh("jvr2"), c.schema, Seq("custkey"))
+      r.append(c)
+      val jv = JoinView.create(s, fresh("jview2"), l, r, Seq("custkey"),
+        Seq("o_orderkey", "o_totalprice", "o_orderstatus"),
+        Seq("c_name", "c_nationkey", "c_acctbal"))
+      jv.refresh()
+      l.append(o.filter(col("o_orderkey") % 3 === 0)) // late rows arrive
+      l.delete(col("o_totalprice") < 50000.0)
+      r.delete(col("c_nationkey") % 5 === 2) // dim delete sweeps many facts
+      r.update(col("c_nationkey") % 7 === 0,
+        Map("c_acctbal" -> (col("c_acctbal") * 2)))
+      val commits = jv.refresh()
+      require(commits == 4,
+        s"bi-delta: one state commit per source snapshot, got $commits")
+      require(jv.refresh() == 0, "watermarks must no-op a second refresh")
+      jv.read()
+    }),
+
     // join view over two record-field tables: per-side field selection,
     // addresses (not payloads) cross the key join, payloads stitched
     // back after (views.py:183-224 + ray/ops/join.py:120-135 semantics)
@@ -1525,6 +1560,13 @@ object StorageOps {
         |WHERE l_orderkey % 2 = 0
         |  AND l_suppkey % 5 <> 1 AND l_partkey % 37 <> 0 AND l_quantity > 25
         |GROUP BY 1""".stripMargin,
+    "s_mv_join" ->
+      """SELECT o_custkey AS custkey, o_orderkey, o_totalprice, o_orderstatus,
+        |  c_name, c_nationkey,
+        |  CASE WHEN c_nationkey % 7 = 0 THEN c_acctbal * 2
+        |       ELSE c_acctbal END AS c_acctbal
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice >= 50000 AND c_nationkey % 5 <> 2""".stripMargin,
     "s_mv_pipeline" ->
       """SELECT doc_id, lang,
         |  len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))

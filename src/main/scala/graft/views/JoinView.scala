@@ -1,0 +1,325 @@
+package graft.views
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.format.{Patch, TableType}
+
+/** Persisted plan of an incrementally-maintained JOIN view (node type
+  * `join_view` — single-source loaders reject it by name, the
+  * unknown-node contract).
+  *
+  * `keys` are shared-name equi-join columns; `leftFields`/`rightFields`
+  * the per-side NON-key output columns. The state table's schema is
+  * `keys ++ leftFields ++ rightFields` and its PK is the union of both
+  * sources' primary keys — each joined row is uniquely addressed by
+  * the pair of source rows it came from, which is what lets source
+  * deletes sweep exactly their derived rows. */
+final case class JoinPlan(
+    leftLocation: String,
+    rightLocation: String,
+    keys: List[String],
+    leftFields: List[String],
+    rightFields: List[String]) {
+  def json: String = JsonMethods.compact(JsonMethods.render(JObject(List(
+    "type" -> (JString("join_view"): JValue),
+    "left" -> JString(leftLocation),
+    "right" -> JString(rightLocation),
+    "keys" -> JArray(keys.map(JString(_))),
+    "left_fields" -> JArray(leftFields.map(JString(_))),
+    "right_fields" -> JArray(rightFields.map(JString(_)))))))
+}
+
+object JoinPlan {
+  /** Cheap plan-kind probe (for loaders dispatching by table). */
+  def isJoin(planJson: String): Boolean =
+    (JsonMethods.parse(planJson) \ "type") == JString("join_view")
+
+  def fromJson(s: String): JoinPlan = {
+    val j = JsonMethods.parse(s)
+    (j \ "type") match {
+      case JString("join_view") =>
+      case other => throw new IllegalArgumentException(s"not a join view plan: $other")
+    }
+    def str(f: String): String = (j \ f) match {
+      case JString(x) => x
+      case other => throw new IllegalArgumentException(s"bad join plan field $f: $other")
+    }
+    def arr(f: String): List[String] = (j \ f) match {
+      case JArray(vs) => vs.collect { case JString(v) => v }
+      case other => throw new IllegalArgumentException(s"bad join plan field $f: $other")
+    }
+    JoinPlan(str("left"), str("right"), arr("keys"),
+      arr("left_fields"), arr("right_fields"))
+  }
+}
+
+/** Incrementally-maintained INNER-JOIN materialized view — a capability
+  * the reference explicitly refuses (`transform/join.py:128-129` raises
+  * on materializing a join) but a training-data pipeline wants
+  * constantly: documents ⋈ per-doc quality scores, lineitems ⋈ order
+  * headers, media records ⋈ extracted features — recomputing the join
+  * per refresh is two full scans and a giant shuffle; maintaining it
+  * from the CDC deltas is O(delta ⋈ other side).
+  *
+  * Classic sequential bi-delta maintenance. The view tracks one
+  * watermark PER SIDE ([[graft.format.StorageMetadata
+  * .mvSourceSnapshotIds]], keys "left"/"right"); a refresh to targets
+  * (L1, R1) from watermarks (L0, R0) applies:
+  *
+  *  1. LEFT deltas joined against RIGHT **AT R0** (one state commit per
+  *     left snapshot, DELETE-before-ADD): state goes L0⋈R0 → L1⋈R0.
+  *     Deletes sweep by the LEFT source's PK columns (they are part of
+  *     the state PK); adds are ΔL ⋈ R@R0, delta side broadcast.
+  *  2. RIGHT deltas joined against LEFT **AT L1**: state → L1⋈R1.
+  *
+  * The asymmetric snapshots (R@R0 then L@L1) are what make the algebra
+  * exact — joining both deltas against current heads would double-count
+  * ΔL⋈ΔR. Source UPDATEs (DELETE+ADD in one snapshot) re-derive their
+  * join rows in one state commit; a join-key change moves the row
+  * across join partners correctly because the delete sweeps by source
+  * PK, not by key.
+  *
+  * Scale shape at 100 TB: deltas are small relative to the corpus, so
+  * each maintenance join is broadcast-delta ⋈ big-side — Catalyst
+  * pushes the key filter of the broadcast hash join into the big
+  * side's scan, and when the big side is bucketed or clustered by the
+  * join key the probe prunes to the matching files. No full-table
+  * shuffle after the initial build.
+  *
+  * Expired history on either side (watermark snapshot aged out of
+  * metadata) falls back to a one-commit full rebuild at the current
+  * heads — sound because the state is exactly `live(L) ⋈ live(R)`,
+  * independent of arrival order.
+  *
+  * CONTRACT: each source's primary key must actually be UNIQUE in it.
+  * Deletes sweep the state by source PK; two live source rows sharing
+  * a PK would both lose their join rows when either is deleted.
+  * `insert`/`upsert` enforce uniqueness; plain `append` trusts the
+  * caller (the same PK semantics the sources themselves have). */
+final class JoinView(val spark: SparkSession, val dataset: SpaceDataset)
+    extends Refreshable {
+  import JoinView._
+
+  val plan: JoinPlan = dataset.storage.metadata.logicalPlan.map(JoinPlan.fromJson)
+    .getOrElse(throw new IllegalArgumentException(
+      s"${dataset.location} is not a join view"))
+
+  /** Per-side watermarks; empty before the first refresh. */
+  def refreshedToSides: Option[(Long, Long)] = {
+    val m = dataset.storage.metadata.mvSourceSnapshotIds
+    for (l <- m.get(LeftSide); r <- m.get(RightSide)) yield (l, r)
+  }
+
+  /** [[Refreshable]] surface: the LEFT side's watermark (the two sides
+    * advance independently; see [[refreshedToSides]] for both). */
+  def refreshedTo: Option[Long] = refreshedToSides.map(_._1)
+
+  /** The joined result — the state table IS the join. */
+  def read(): DataFrame = dataset.readAll()
+
+  def refresh(targetVersion: Option[String] = None): Int = {
+    require(targetVersion.isEmpty,
+      "join view refresh has no single target version (two sources " +
+        "advance independently); refresh always goes to both heads")
+    val left = SpaceDataset.load(spark, plan.leftLocation)
+    val right = SpaceDataset.load(spark, plan.rightLocation)
+    val lT = left.storage.metadata.currentSnapshotId
+    val rT = right.storage.metadata.currentSnapshotId
+
+    if (refreshedToSides.isEmpty) {
+      val built = fullBuild(left, right, lT, rT, overwrite = false)
+      // first-refresh race: a concurrent refresher may have built to
+      // older targets between the check and the transaction — fall
+      // through to the incremental walk from the observed watermarks
+      val observed = refreshedToSides
+      if (built > 0 || observed.isEmpty ||
+          observed.exists { case (l, r) => l >= lT && r >= rT }) return built
+    }
+    val (lW, rW) = refreshedToSides.get
+
+    // the left pass joins ΔL against RIGHT AT the right watermark —
+    // if that snapshot was expired (and left has deltas to apply), the
+    // exact historical join side is gone: rebuild
+    var commits = 0
+    val lSids =
+      try left.storage.orderedSnapshotIds(lW, lT)
+      catch { case _: ExpiredHistoryException => return rebuild(left, right, lT, rT) }
+    if (lSids.nonEmpty && right.storage.metadata.snapshot(rW).isEmpty)
+      return rebuild(left, right, lT, rT)
+    if (lSids.nonEmpty) {
+      // lazily planned; each delta join re-uses the one frame
+      val rightAtW = sideProjection(right.read(version = Some(rW.toString)),
+        plan.rightFields)
+      for (sid <- lSids)
+        commits += step(left, LeftSide, sid, plan.leftFields, rightAtW,
+          deltaIsLeft = true)
+    }
+
+    val rSids =
+      try right.storage.orderedSnapshotIds(rW, rT)
+      catch { case _: ExpiredHistoryException => return rebuild(left, right, lT, rT) }
+    if (rSids.nonEmpty && left.storage.metadata.snapshot(lT).isEmpty)
+      return rebuild(left, right, lT, rT)
+    if (rSids.nonEmpty) {
+      val leftAtT = sideProjection(left.read(version = Some(lT.toString)),
+        plan.leftFields)
+      for (sid <- rSids)
+        commits += step(right, RightSide, sid, plan.rightFields, leftAtT,
+          deltaIsLeft = false)
+    }
+    commits
+  }
+
+  /** Keys + this side's fields, nothing else (column pruning reaches
+    * the scan through the projection). */
+  private def sideProjection(df: DataFrame, fields: Seq[String]): DataFrame =
+    df.select((plan.keys ++ fields).map(col): _*)
+
+  /** One source snapshot applied as one state commit (exactly-once via
+    * the per-side watermark re-check inside the transaction). */
+  private def step(
+      src: SpaceDataset,
+      side: String,
+      sid: Long,
+      sideFields: Seq[String],
+      other: DataFrame,
+      deltaIsLeft: Boolean): Int = {
+    val parent = src.storage.snapshotOrFail(sid).parentSnapshotId.getOrElse(0L)
+    val batches = ChangeData.diff(spark, src.storage, parent, sid)
+    val srcPks = src.primaryKeys
+    var applied = false
+    dataset.storage.transaction() { pinned =>
+      if (dataset.storage.metadata.mvSourceSnapshotIds.get(side).exists(_ >= sid)) {
+        applied = false
+        (None, ())
+      } else {
+        val patches = batches.flatMap { b =>
+          b.changeType match {
+            case ChangeType.Delete =>
+              // sweep by the SOURCE's PK columns — part of the state PK
+              // by construction, so exactly this source row's derived
+              // join rows disappear (PKs-only delete rows suffice)
+              DmlOps.deleteByKeysOn(spark, dataset.storage, pinned, b.data, srcPks)
+            case ChangeType.Add =>
+              val delta = broadcast(sideProjection(b.data, sideFields))
+              val joined =
+                if (deltaIsLeft) delta.join(other, plan.keys, "inner")
+                else other.join(delta, plan.keys, "inner")
+              val out = joined.select(
+                (plan.keys ++ plan.leftFields ++ plan.rightFields).map(col): _*)
+              Some(RecordIO.writeWithRecords(spark, dataset.storage, out))
+          }
+        }
+        val merged = Patch.merge(patches).getOrElse(Patch())
+          .copy(sourceSnapshotIds = Map(side -> sid))
+        applied = true
+        (Some(merged), ())
+      }
+    }
+    if (applied) 1 else 0
+  }
+
+  /** One-commit whole-state (re)build: one join of both sides at the
+    * target snapshots; both watermarks advance atomically with it. */
+  private def fullBuild(
+      left: SpaceDataset,
+      right: SpaceDataset,
+      lT: Long,
+      rT: Long,
+      overwrite: Boolean): Int = {
+    var applied = false
+    dataset.storage.transaction() { pinned =>
+      val wm = dataset.storage.metadata.mvSourceSnapshotIds
+      if (wm.get(LeftSide).exists(_ >= lT) && wm.get(RightSide).exists(_ >= rT)) {
+        (None, ())
+      } else {
+        val joined = sideProjection(left.read(version = Some(lT.toString)),
+            plan.leftFields)
+          .join(sideProjection(right.read(version = Some(rT.toString)),
+            plan.rightFields), plan.keys, "inner")
+          .select((plan.keys ++ plan.leftFields ++ plan.rightFields).map(col): _*)
+        val patch =
+          if (overwrite) DmlOps.overwriteAll(spark, dataset.storage, pinned, joined)
+          else RecordIO.writeWithRecords(spark, dataset.storage, joined)
+        applied = true
+        (Some(patch.copy(sourceSnapshotIds = Map(LeftSide -> lT, RightSide -> rT))), ())
+      }
+    }
+    if (applied) 1 else 0
+  }
+
+  private def rebuild(left: SpaceDataset, right: SpaceDataset, lT: Long, rT: Long): Int =
+    fullBuild(left, right, lT, rT, overwrite = true)
+}
+
+object JoinView {
+  val LeftSide = "left"
+  val RightSide = "right"
+
+  /** Create the state table and bind the view. `keys` are shared-name
+    * join columns (present in both sources with identical types);
+    * `leftFields`/`rightFields` the per-side non-key output columns —
+    * each side's full primary key must be covered by its fields ∪ keys
+    * (source deletes sweep the state by source PK). Record-field
+    * columns are refused: their address structs would dangle once the
+    * owning source compacts/GCs its payloads. */
+  def create(
+      spark: SparkSession,
+      location: String,
+      left: SpaceDataset,
+      right: SpaceDataset,
+      keys: Seq[String],
+      leftFields: Seq[String],
+      rightFields: Seq[String]): JoinView = {
+    require(keys.nonEmpty, "join view requires at least one join key")
+    val lSchema = left.storage.logicalSchema
+    val rSchema = right.storage.logicalSchema
+    keys.foreach { k =>
+      require(lSchema.fieldNames.contains(k), s"join key $k not in left schema")
+      require(rSchema.fieldNames.contains(k), s"join key $k not in right schema")
+      require(lSchema(k).dataType.catalogString == rSchema(k).dataType.catalogString,
+        s"join key $k types differ: left ${lSchema(k).dataType.simpleString} vs " +
+          s"right ${rSchema(k).dataType.simpleString}")
+    }
+    leftFields.foreach(c => require(lSchema.fieldNames.contains(c),
+      s"left field $c not in left schema"))
+    rightFields.foreach(c => require(rSchema.fieldNames.contains(c),
+      s"right field $c not in right schema"))
+    val all = keys ++ leftFields ++ rightFields
+    require(all.distinct == all,
+      s"join view output columns must be distinct across keys and both sides: $all")
+    (left.storage.recordFields ++ right.storage.recordFields).foreach(rf =>
+      require(!all.contains(rf),
+        s"record field $rf cannot be a join view column (addresses would " +
+          "dangle when the source reorganizes payloads)"))
+    def requirePkCovered(ds: SpaceDataset, fields: Seq[String], sideName: String): Unit =
+      ds.primaryKeys.foreach(pk =>
+        require(keys.contains(pk) || fields.contains(pk),
+          s"$sideName primary key $pk must be among the view's keys or " +
+            s"$sideName fields — source deletes sweep the state by source PK"))
+    requirePkCovered(left, leftFields, "left")
+    requirePkCovered(right, rightFields, "right")
+
+    val plan = JoinPlan(left.location, right.location, keys.toList,
+      leftFields.toList, rightFields.toList)
+    // schema inferred from the join's own output over the current
+    // sources (types/nullability follow Spark's join rules)
+    val schema = left.readAll().select((keys ++ leftFields).map(col): _*)
+      .join(right.readAll().select((keys ++ rightFields).map(col): _*), keys, "inner")
+      .select(all.map(col): _*).schema
+    val statePk = (left.primaryKeys ++ right.primaryKeys).distinct
+    val storage = Storage.create(location, schema, statePk,
+      tableType = TableType.MaterializedView,
+      logicalPlan = Some(plan.json),
+      conf = spark.sparkContext.hadoopConfiguration)
+    new JoinView(spark, new SpaceDataset(spark, storage))
+  }
+
+  def load(spark: SparkSession, location: String): JoinView =
+    new JoinView(spark, SpaceDataset.load(spark, location))
+}

@@ -186,6 +186,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
             .exists(graft.views.AggPlan.isAggregate) =>
           Some(new GraftMetadataTable(full,
             () => new graft.views.AggregateView(spark, ds).read()))
+        case "view" if ds.storage.metadata.logicalPlan
+            .exists(graft.views.JoinPlan.isJoin) =>
+          Some(new GraftMetadataTable(full,
+            () => new graft.views.JoinView(spark, ds).read()))
         case _ => None
       }
     } else None

@@ -258,6 +258,33 @@ object GraftProcedures {
         }
       },
 
+      new Proc("create_join_view",
+        "Create an incrementally-maintained INNER-JOIN view over two " +
+          "tables (bi-delta maintenance from both sources' CDC feeds " +
+          "via refresh_mv); keys are shared-name equi-join columns; " +
+          "each side's primary key must be covered by keys + its fields",
+        Array(
+          ProcedureParameter.in("left", StringType).build(),
+          ProcedureParameter.in("right", StringType).build(),
+          ProcedureParameter.in("view", StringType).build(),
+          ProcedureParameter.in("keys", StringType)
+            .comment("comma-separated shared join column names").build(),
+          ProcedureParameter.in("left_fields", StringType)
+            .comment("comma-separated left output columns (non-key)").build(),
+          ProcedureParameter.in("right_fields", StringType)
+            .comment("comma-separated right output columns (non-key)").build()),
+        StructType(Seq(
+          StructField("view_location", StringType, nullable = false)))) {
+        override def run(input: InternalRow): Seq[InternalRow] = {
+          val left = cat.dirCatalog.dataset(input.getUTF8String(0).toString)
+          val right = cat.dirCatalog.dataset(input.getUTF8String(1).toString)
+          val viewName = input.getUTF8String(2).toString
+          val jv = cat.dirCatalog.createJoinView(viewName, left, right,
+            cols(input, 3), cols(input, 4), cols(input, 5))
+          Seq(InternalRow(utf8(jv.dataset.location)))
+        }
+      },
+
       new Proc("create_tag",
         "Tag a snapshot (default: current head) for SQL time travel via VERSION AS OF",
         Array(

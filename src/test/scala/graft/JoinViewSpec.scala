@@ -1,0 +1,237 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+import graft.views._
+
+/** Incrementally-maintained INNER-JOIN views (JoinView): after every
+  * refresh the state must equal a from-scratch join of both sources'
+  * live rows, under appends/deletes/updates on either side (including
+  * both sides mutating inside ONE refresh window — the ΔL⋈ΔR case the
+  * asymmetric bi-delta algebra exists for), merge-on-read DML, and
+  * expired-history rebuilds. */
+class JoinViewSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def freshLoc(p: String): String =
+    Files.createTempDirectory(s"graft_$p").toString + "/tbl"
+
+  private def lineitem = Tables.read(spark, sfDir, "lineitem")
+  private def orders = Tables.read(spark, sfDir, "orders")
+
+  /** Left: lineitem subset keyed (okey, l_linenumber). The SYNTHETIC
+    * lineitem has duplicate (orderkey, linenumber) pairs — dedup at
+    * ingest to honor the view's source-PK-uniqueness contract. */
+  private def leftTable(max: Long = 2000L): SpaceDataset = {
+    val li = lineitem.filter(col("l_orderkey") <= max)
+      .selectExpr("l_orderkey AS okey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .dropDuplicates("okey", "l_linenumber")
+    val ds = SpaceDataset.create(spark, freshLoc("jvleft"), li.schema,
+      Seq("okey", "l_linenumber"))
+    ds.append(li)
+    ds
+  }
+
+  /** Right: orders subset keyed okey (the join key IS the right PK). */
+  private def rightTable(max: Long = 2000L): SpaceDataset = {
+    val o = orders.filter(col("o_orderkey") <= max)
+      .selectExpr("o_orderkey AS okey", "o_custkey", "o_totalprice")
+    val ds = SpaceDataset.create(spark, freshLoc("jvright"), o.schema, Seq("okey"))
+    ds.append(o)
+    ds
+  }
+
+  private def createView(l: SpaceDataset, r: SpaceDataset): JoinView =
+    JoinView.create(spark, freshLoc("jview"), l, r, Seq("okey"),
+      Seq("l_linenumber", "l_quantity", "l_extendedprice"),
+      Seq("o_custkey", "o_totalprice"))
+
+  /** From-scratch truth: live left ⋈ live right, same projection. */
+  private def expected(l: SpaceDataset, r: SpaceDataset): DataFrame =
+    l.readAll().join(r.readAll(), Seq("okey"), "inner")
+      .select("okey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "o_custkey", "o_totalprice")
+
+  private def assertSame(got: DataFrame, exp: DataFrame): Unit = {
+    val g = got.select(exp.columns.map(col): _*)
+    assert(g.exceptAll(exp).isEmpty && exp.exceptAll(g).isEmpty,
+      "join view state diverged from the from-scratch join")
+    assert(got.count() == exp.count())
+  }
+
+  test("join plan JSON roundtrips; single-source loaders reject it by name") {
+    val p = JoinPlan("/l", "/r", List("k"), List("a"), List("b"))
+    assert(JoinPlan.fromJson(p.json) == p)
+    assert(JoinPlan.isJoin(p.json) && !AggPlan.isAggregate(p.json))
+    intercept[IllegalArgumentException](JoinPlan.fromJson("""{"type":"read"}"""))
+  }
+
+  test("create validates keys, fields, PK coverage, and record fields") {
+    val l = leftTable(500L)
+    val r = rightTable(500L)
+    // unknown key / field
+    intercept[IllegalArgumentException](JoinView.create(spark, freshLoc("jv"),
+      l, r, Seq("nope"), Seq("l_quantity"), Seq("o_custkey")))
+    intercept[IllegalArgumentException](JoinView.create(spark, freshLoc("jv"),
+      l, r, Seq("okey"), Seq("nope"), Seq("o_custkey")))
+    // left PK (l_linenumber) not covered
+    intercept[IllegalArgumentException](JoinView.create(spark, freshLoc("jv"),
+      l, r, Seq("okey"), Seq("l_quantity"), Seq("o_custkey")))
+    // duplicate output name
+    intercept[IllegalArgumentException](JoinView.create(spark, freshLoc("jv"),
+      l, r, Seq("okey"), Seq("l_linenumber", "l_quantity"), Seq("l_quantity")))
+    // key type mismatch
+    val rl = orders.filter(col("o_orderkey") <= 500L)
+      .selectExpr("CAST(o_orderkey AS INT) AS okey", "o_custkey")
+    val rlds = SpaceDataset.create(spark, freshLoc("jvint"), rl.schema, Seq("okey"))
+    intercept[IllegalArgumentException](JoinView.create(spark, freshLoc("jv"),
+      l, rlds, Seq("okey"), Seq("l_linenumber"), Seq("o_custkey")))
+  }
+
+  test("lifecycle: build, both-side DML, one refresh — state equals the fresh join") {
+    val l = leftTable()
+    val r = rightTable()
+    val jv = createView(l, r)
+
+    // initial build: one commit, both watermarks set
+    assert(jv.refresh() == 1)
+    assertSame(jv.read(), expected(l, r))
+    val (lw, rw) = jv.refreshedToSides.get
+    assert(lw == l.storage.metadata.currentSnapshotId &&
+      rw == r.storage.metadata.currentSnapshotId)
+    // watermark no-op
+    assert(jv.refresh() == 0)
+
+    // BOTH sides mutate before one refresh — ΔL⋈ΔR must appear exactly
+    // once (left deltas join right@R0; the pairs with ΔR arrive via the
+    // right pass against left@L1)
+    val newLeft = lineitem
+      .filter(col("l_orderkey") > 2000L && col("l_orderkey") <= 2600L)
+      .selectExpr("l_orderkey AS okey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .dropDuplicates("okey", "l_linenumber")
+    val newRight = orders
+      .filter(col("o_orderkey") > 2000L && col("o_orderkey") <= 2600L)
+      .selectExpr("o_orderkey AS okey", "o_custkey", "o_totalprice")
+    l.append(newLeft)
+    r.append(newRight)
+    l.delete(col("okey") % 7 === 1) // scattered left delete
+    r.delete(col("o_custkey") % 5 === 2) // right delete sweeps many lefts
+    val commits = jv.refresh()
+    assert(commits == 4, s"one state commit per source snapshot, got $commits")
+    assertSame(jv.read(), expected(l, r))
+
+    // non-key update on the right: every joined row of that order
+    // refreshes its payload (pick a key that EXISTS — orderkeys are
+    // sparse, and a zero-match update commits nothing)
+    val liveKey = r.readAll().select(min(col("okey"))).collect()(0).getLong(0)
+    r.update(col("okey") === liveKey, Map("o_totalprice" -> lit(999.0)))
+    assert(jv.refresh() == 1)
+    assertSame(jv.read(), expected(l, r))
+  }
+
+  test("a non-PK join key can move: the update re-partners the row") {
+    import spark.implicits._
+    // join on a NON-PK column of both sides — an update can then move a
+    // row across join partners (CDC delete+add in one snapshot; the
+    // delete sweeps by source PK, so the OLD partner rows vanish and
+    // the add joins under the NEW key)
+    val a = (1L to 100L).map(i => (i, "k" + (i % 10), i * 1.0)).toDF("id", "k", "v")
+    val b = (1L to 30L).map(i => (i, "k" + (i % 10), i * 10.0)).toDF("bid", "k", "w")
+    val ads = SpaceDataset.create(spark, freshLoc("jvka"), a.schema, Seq("id"))
+    ads.append(a)
+    val bds = SpaceDataset.create(spark, freshLoc("jvkb"), b.schema, Seq("bid"))
+    bds.append(b)
+    val jv = JoinView.create(spark, freshLoc("jvkv"), ads, bds,
+      Seq("k"), Seq("id", "v"), Seq("bid", "w"))
+    jv.refresh()
+    def exp: DataFrame = ads.readAll().join(bds.readAll(), Seq("k"), "inner")
+      .select("k", "id", "v", "bid", "w")
+    assertSame(jv.read(), exp)
+
+    ads.update(col("id") === 7L, Map("k" -> lit("k3")))
+    assert(jv.refresh() == 1)
+    assertSame(jv.read(), exp)
+    // and on the right side too
+    bds.update(col("bid") === 4L, Map("k" -> lit("k9")))
+    assert(jv.refresh() == 1)
+    assertSame(jv.read(), exp)
+  }
+
+  test("merge-on-read sources maintain identically (CDC is mode-oblivious)") {
+    val l = leftTable(1500L)
+    val r = rightTable(1500L)
+    val jv = createView(l, r)
+    jv.refresh()
+    // scattered MoR deletes: vectors, zero rewrites — the CDC feed the
+    // view maintains from must not notice
+    l.delete(col("okey") % 11 === 3, dvMaxFraction = Some(1.0))
+    r.delete(col("okey") % 13 === 4, dvMaxFraction = Some(1.0))
+    assert(jv.refresh() == 2)
+    assertSame(jv.read(), expected(l, r))
+  }
+
+  test("expired source history falls back to a one-commit rebuild") {
+    val l = leftTable(800L)
+    val r = rightTable(800L)
+    val jv = createView(l, r)
+    jv.refresh()
+    l.append(lineitem.filter(col("l_orderkey") > 800L && col("l_orderkey") <= 1200L)
+      .selectExpr("l_orderkey AS okey", "l_linenumber", "l_quantity", "l_extendedprice"))
+    l.delete(col("okey") % 3 === 0)
+    // expire everything but the head on the left: the watermark
+    // snapshot is gone, orderedSnapshotIds raises ExpiredHistory
+    val expired = l.expireSnapshots(olderThanMs = 0L, keepLast = 1)
+    assert(expired.nonEmpty)
+    assert(jv.refresh() == 1, "expired history must rebuild in ONE commit")
+    assertSame(jv.read(), expected(l, r))
+    // incremental maintenance resumes after the rebuild
+    r.delete(col("okey") % 5 === 1)
+    assert(jv.refresh() == 1)
+    assertSame(jv.read(), expected(l, r))
+  }
+
+  test("SQL surface: create_join_view + refresh_mv + .view metadata read") {
+    val root = Files.createTempDirectory("graft_jvsql_").toString
+    spark.conf.set("spark.sql.catalog.gjv",
+      classOf[org.apache.spark.sql.graftshim.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gjv.location", root)
+    try {
+      val l = lineitem.filter(col("l_orderkey") <= 1000L)
+        .selectExpr("l_orderkey AS okey", "l_linenumber", "l_quantity")
+      val r = orders.filter(col("o_orderkey") <= 1000L)
+        .selectExpr("o_orderkey AS okey", "o_totalprice")
+      val lds = SpaceDataset.create(spark, s"$root/l", l.schema, Seq("okey", "l_linenumber"))
+      lds.append(l)
+      val rds = SpaceDataset.create(spark, s"$root/r", r.schema, Seq("okey"))
+      rds.append(r)
+      val loc = spark.sql(
+        "CALL gjv.system.create_join_view(left => 'l', right => 'r', " +
+          "view => 'jv', keys => 'okey', " +
+          "left_fields => 'l_linenumber,l_quantity', " +
+          "right_fields => 'o_totalprice')").collect()(0).getString(0)
+      assert(loc.endsWith("/jv"))
+      val out = spark.sql("CALL gjv.system.refresh_mv(table => 'jv')").collect()(0)
+      assert(out.getInt(0) == 1)
+      val viaSql = spark.sql("SELECT * FROM gjv.jv.view")
+      val exp = l.join(r, Seq("okey"), "inner")
+      assert(viaSql.count() == exp.count() && viaSql.count() > 0)
+      assert(viaSql.exceptAll(
+        exp.select("okey", "l_linenumber", "l_quantity", "o_totalprice")).isEmpty)
+      // refresh_mv dispatches the join view through the shared
+      // Refreshable surface: incremental after right-side DML
+      rds.delete(col("okey") % 2 === 0)
+      assert(spark.sql("CALL gjv.system.refresh_mv(table => 'jv')")
+        .collect()(0).getInt(0) == 1)
+      assert(spark.sql("SELECT count(*) FROM gjv.jv.view").collect()(0).getLong(0) ==
+        lds.readAll().join(rds.readAll(), Seq("okey"), "inner").count())
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gjv")
+      spark.conf.unset("spark.sql.catalog.gjv.location")
+    }
+  }
+}
