@@ -69,18 +69,41 @@ object DmlOps {
       keyCols: Seq[String]): Option[Patch] = {
     // an empty table can't match any key: skip the key-range job entirely
     // (first upsert into a fresh table — e.g. a streaming sink's batch 0)
-    if (storage.snapshotOrFail(snapshotId).manifestFiles.indexManifestFiles.isEmpty) return None
+    val manifests = storage.snapshotOrFail(snapshotId).manifestFiles.indexManifestFiles
+    if (manifests.isEmpty) return None
     require(keyCols.nonEmpty, "deleteByKeysOn: empty key column list")
     keyCols.foreach(c => require(storage.schema.fieldNames.contains(c),
       s"deleteByKeysOn: key column $c is not in the table schema " +
         s"(${storage.schema.fieldNames.mkString(", ")})"))
     val k = keys.select(keyCols.map(col): _*).distinct()
+    // SMALL-TABLE fast path (O(1) gate from the manifest-list
+    // summaries): with only a handful of files there is nothing worth
+    // pruning — the stats-prefilter construction (persist + probe
+    // collect) and the planner's manifest-scan job cost MORE than
+    // scanning every file. Candidates come off the driver-side
+    // manifest read; everything downstream (exact semi/anti joins,
+    // bitmaps, CDC) is identical. MV state sweeps hit this on every
+    // refresh commit.
+    val candidates = ManifestIO.summarizedFileCount(storage, manifests) match {
+      case Some(n) if n <= DriverScanMaxFiles =>
+        val fIdx = ManifestIO.manifestSchema(storage).fieldIndex(ManifestIO.FileCol)
+        ManifestIO.readIndexManifestRowsDriver(storage,
+          spark.sparkContext.hadoopConfiguration, manifests).map(_._2.getString(fIdx))
+      case _ =>
+        ReadOp.plan(spark, storage, snapshotId,
+          keyLookupPredicate(spark, k, storage, keyCols)).files
+    }
     deleteCore(spark, storage, snapshotId,
-      candidates = ReadOp.plan(spark, storage, snapshotId,
-        keyLookupPredicate(spark, k, storage, keyCols)).files,
+      candidates = candidates,
       markMatched = df => df.join(k, keyCols, "left_semi"),
       keepSurvivors = df => df.join(k, keyCols, "left_anti"))
   }
+
+  /** Below this many FILES in a snapshot, metadata passes (candidate
+    * listing, carryover, MoR row-count lookups) run on the driver via
+    * [[ManifestIO.readIndexManifestRowsDriver]] instead of Spark jobs —
+    * the job-scheduling overhead dominates at this size. */
+  private[core] val DriverScanMaxFiles = 256L
 
   /** A point-shaped key lookup is one the planner can prune EXACTLY:
     * below this many key rows the prefilter is a per-column IN list
@@ -355,13 +378,26 @@ object DmlOps {
       spark: SparkSession,
       storage: Storage,
       snapshotId: Long,
-      files: Set[String]): Map[String, Long] =
+      files: Set[String]): Map[String, Long] = {
+    val manifests = storage.snapshotOrFail(snapshotId).manifestFiles.indexManifestFiles
+    ManifestIO.summarizedFileCount(storage, manifests) match {
+      case Some(n) if n <= DriverScanMaxFiles =>
+        // small-table fast path: counts off the driver-read manifests
+        val schema = ManifestIO.manifestSchema(storage)
+        val fIdx = schema.fieldIndex(ManifestIO.FileCol)
+        val nIdx = schema.fieldIndex(ManifestIO.NumRowsCol)
+        return ManifestIO.readIndexManifestRowsDriver(storage,
+            spark.sparkContext.hadoopConfiguration, manifests)
+          .collect { case (_, r) if files.contains(r.getString(fIdx)) =>
+            r.getString(fIdx) -> r.getLong(nIdx) }.toMap
+      case _ =>
+    }
     filterFileSet(spark,
-      ManifestIO.readIndexManifests(spark, storage,
-        storage.snapshotOrFail(snapshotId).manifestFiles.indexManifestFiles),
+      ManifestIO.readIndexManifests(spark, storage, manifests),
       ManifestIO.FileCol, files, keep = true)
       .select(col(ManifestIO.FileCol), col(ManifestIO.NumRowsCol))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
 
   final case class CarryoverResult(
       removedManifests: List[String],
@@ -369,6 +405,44 @@ object DmlOps {
       removedStats: StorageStatistics,
       affectedFileRows: Map[String, Long],
       summaries: Map[String, ManifestSummary] = Map.empty)
+
+  /** Driver-side [[manifestCarryover]] for small tables: identical
+    * outputs, zero Spark jobs — pure set arithmetic over the driver-
+    * read manifest rows. */
+  private def manifestCarryoverDriver(
+      spark: SparkSession,
+      storage: Storage,
+      manifests: Seq[String],
+      affectedRel: Set[String]): CarryoverResult = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val schema = ManifestIO.manifestSchema(storage)
+    val fIdx = schema.fieldIndex(ManifestIO.FileCol)
+    val nIdx = schema.fieldIndex(ManifestIO.NumRowsCol)
+    val cIdx = schema.fieldIndex(ManifestIO.CompressedCol)
+    val uIdx = schema.fieldIndex(ManifestIO.UncompressedCol)
+    val rows = ManifestIO.readIndexManifestRowsDriver(storage, conf, manifests)
+    val affected = rows.filter { case (_, r) => affectedRel.contains(r.getString(fIdx)) }
+    val affectedManifests = affected.map(_._1).toSet
+    val removedManifests = manifests.filter(affectedManifests.contains).toList
+    val carryRows = rows.collect {
+      case (m, r) if affectedManifests.contains(m) &&
+        !affectedRel.contains(r.getString(fIdx)) => r
+    }
+    val (carryoverManifest, summaries) =
+      if (carryRows.isEmpty) (Nil, Map.empty[String, ManifestSummary])
+      else {
+        val rel = StoragePaths.newIndexManifestFile()
+        DriverParquet.write(conf, storage.absolute(rel), schema, carryRows)
+        (List(rel), Map(rel -> ManifestIO.summarizeRows(storage, schema, carryRows)))
+      }
+    val removed = StorageStatistics(
+      numRows = -affected.map(_._2.getLong(nIdx)).sum,
+      indexCompressedBytes = -affected.map(_._2.getLong(cIdx)).sum,
+      indexUncompressedBytes = -affected.map(_._2.getLong(uIdx)).sum)
+    CarryoverResult(removedManifests, carryoverManifest, removed,
+      affected.map { case (_, r) => r.getString(fIdx) -> r.getLong(nIdx) }.toMap,
+      summaries)
+  }
 
   /** Above this many surviving rows the carryover manifest is written by
     * a distributed job instead of a driver collect (the same cutover
@@ -391,6 +465,14 @@ object DmlOps {
       affectedRel: Set[String],
       driverMaxRows: Int = CarryoverDriverMaxRows): CarryoverResult = {
     val manifests = storage.snapshotOrFail(snapshotId).manifestFiles.indexManifestFiles
+    // SMALL-TABLE fast path: the whole carryover is set arithmetic over
+    // a few manifest rows — do it on the driver (zero Spark jobs; the
+    // Spark path below launches two) when the O(1) summary gate allows
+    ManifestIO.summarizedFileCount(storage, manifests) match {
+      case Some(n) if n <= DriverScanMaxFiles =>
+        return manifestCarryoverDriver(spark, storage, manifests, affectedRel)
+      case _ =>
+    }
     val mdf = ManifestIO.readIndexManifests(spark, storage, manifests)
       .withColumn("__mfile", element_at(split(col("_metadata.file_path"), "/"), -1))
     val manifestRelByName = manifests.map(m => new Path(m).getName -> m).toMap

@@ -10,13 +10,76 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.types._
 
-/** Tiny driver-side parquet writer for MANIFEST files (flat schema +
-  * one-level min/max stat structs). Manifest rows are already on the
-  * driver when a commit assembles its patch — spinning a Spark job (+
-  * temp dir + part-file rename) per manifest write is pure overhead;
-  * this writes them directly. Data files still go through distributed
-  * Spark writes — this path is metadata-only. */
+/** Tiny driver-side parquet writer/READER for MANIFEST files (flat
+  * schema + one-level min/max stat structs). Manifest rows are already
+  * on the driver when a commit assembles its patch — spinning a Spark
+  * job (+ temp dir + part-file rename) per manifest write is pure
+  * overhead; this writes them directly. The reader is the mirror
+  * (round 13): small-table DML spends more time scheduling the
+  * manifest-scan jobs than reading the bytes — a state-table sweep in
+  * an MV refresh launches 3+ Spark actions over manifests holding a
+  * handful of rows. Data files still go through distributed Spark
+  * reads/writes — this path is metadata-only. */
 object DriverParquet {
+
+  /** Read a manifest file back as Rows of `schema` — the exact inverse
+    * of [[write]] (primitives + one-level structs; a column missing
+    * from the file, e.g. written before a stats field was added, reads
+    * as null — the same normalization the Spark path's explicit read
+    * schema applies). */
+  def read(conf: Configuration, absPath: String, schema: StructType): Seq[Row] = {
+    val c = new Configuration(conf)
+    // requested projection must be a subset of the FILE's schema
+    // (parquet-mr rejects unknown fields) — intersect first; absent
+    // columns surface as nulls in groupToRow
+    val path = new Path(absPath)
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      c, path, org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+    val fileSchema = footer.getFileMetaData.getSchema
+    val wanted = toMessageType(schema)
+    val present = new MessageType(wanted.getName,
+      wanted.getFields.stream()
+        .filter(f => fileSchema.containsField(f.getName))
+        .toArray(n => new Array[Type](n)): _*)
+    c.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      present.toString)
+    val reader = org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), path)
+      .withConf(c).build()
+    val out = Seq.newBuilder[Row]
+    try {
+      var g = reader.read()
+      while (g != null) {
+        out += groupToRow(g, schema)
+        g = reader.read()
+      }
+    } finally reader.close()
+    out.result()
+  }
+
+  private def groupToRow(
+      g: org.apache.parquet.example.data.Group,
+      schema: StructType): Row = {
+    val fileFields = g.getType.asGroupType()
+    Row.fromSeq(schema.fields.toSeq.map { f =>
+      if (!fileFields.containsField(f.name) || g.getFieldRepetitionCount(f.name) == 0) null
+      else f.dataType match {
+        case s: StructType => groupToRow(g.getGroup(f.name, 0), s)
+        case dt => readPrimitive(g, f.name, dt)
+      }
+    })
+  }
+
+  private def readPrimitive(g: org.apache.parquet.example.data.Group,
+      name: String, dt: DataType): Any = dt match {
+    case StringType => g.getString(name, 0)
+    case LongType => g.getLong(name, 0)
+    case IntegerType => g.getInteger(name, 0)
+    case DoubleType => g.getDouble(name, 0)
+    case FloatType => g.getFloat(name, 0)
+    case BooleanType => g.getBoolean(name, 0)
+    case other => throw new IllegalArgumentException(s"manifest type unsupported: $other")
+  }
 
   def write(conf: Configuration, absPath: String, schema: StructType, rows: Seq[Row]): Unit = {
     val message = toMessageType(schema)

@@ -420,6 +420,31 @@ object ManifestIO {
     spark.read.schema(manifestSchema(storage)).parquet(manifests.map(storage.absolute): _*)
   }
 
+  /** O(1) total file count across `manifests` from the manifest-list
+    * summaries — None when any manifest predates summaries (legacy),
+    * which disqualifies the driver-side fast paths below. */
+  def summarizedFileCount(storage: Storage, manifests: Seq[String]): Option[Long] = {
+    val sums = storage.metadata.manifestSummaries
+    if (manifests.forall(sums.contains)) Some(manifests.map(sums(_).numFiles).sum)
+    else None
+  }
+
+  /** Small-table fast path: manifests read ON THE DRIVER as
+    * (manifestRel, row-of-[[manifestSchema]]) pairs — no Spark job.
+    * A handful of manifest rows costs more to SCHEDULE as a job than
+    * to read (MV state sweeps, small-batch streaming upserts); callers
+    * gate on [[summarizedFileCount]] ≤ a few hundred rows. Missing
+    * columns (manifests written before a stats field was added)
+    * surface as nulls, same as the Spark path's explicit schema. */
+  def readIndexManifestRowsDriver(
+      storage: Storage,
+      conf: org.apache.hadoop.conf.Configuration,
+      manifests: Seq[String]): Seq[(String, Row)] = {
+    val schema = manifestSchema(storage)
+    manifests.flatMap(m =>
+      DriverParquet.read(conf, storage.absolute(m), schema).map(m -> _))
+  }
+
   /** Write a small driver-built DataFrame as a SINGLE parquet file at
     * `rel` (Spark writes a directory; we move the lone part file). */
   def writeSingleParquet(spark: SparkSession, storage: Storage, df: DataFrame, rel: String): Unit = {

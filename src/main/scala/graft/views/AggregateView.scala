@@ -400,13 +400,18 @@ final class AggregateView(val spark: SparkSession, val dataset: SpaceDataset)
     }).persist()
 
     // current state of ONLY the delta's groups (delta-sized inner
-    // read), pinned to the transaction's snapshot for retry-safety
+    // read), pinned to the transaction's snapshot for retry-safety.
+    // BROADCAST both delta-sized join sides: the delta's group list
+    // and the affected-state rows are tiny by construction (affected
+    // groups only), and without the hints each join is a full shuffle
+    // stage — under AQE that's 2 extra jobs per state commit, pure
+    // scheduling overhead on a delta-sized refresh.
     val stateRaw = dataset.read(version = Some(pinned.toString))
-      .join(delta.select(gCols: _*), groups, "left_semi")
+      .join(broadcast(delta.select(gCols: _*)), groups, "left_semi")
     val state = stateRaw.columns.foldLeft(stateRaw) { (df, c) =>
       if (groups.contains(c)) df else df.withColumnRenamed(c, "s_" + c)
     }
-    val joined = delta.join(state, groups, "left_outer")
+    val joined = delta.join(broadcast(state), groups, "left_outer")
 
     def nz(c: String, m: DataFrame): Column =
       if (m.columns.contains(c)) coalesce(col(c), lit(0L)) else lit(0L)
