@@ -29,18 +29,22 @@ object DriverParquet {
     * schema applies). */
   def read(conf: Configuration, absPath: String, schema: StructType): Seq[Row] = {
     val c = new Configuration(conf)
-    // requested projection must be a subset of the FILE's schema
-    // (parquet-mr rejects unknown fields) — intersect first; absent
-    // columns surface as nulls in groupToRow
+    // the requested projection must be a SUBTREE of the FILE's schema
+    // (parquet-mr checkContains is strict about repetition and
+    // physical type) — so request the file's OWN types for each wanted
+    // top-level name and coerce values to the wanted Spark types while
+    // building rows (a stat struct written before a type widening
+    // holds int32 where the current schema says int64). Absent columns
+    // surface as nulls — the same normalization the Spark path's
+    // explicit read schema applies.
     val path = new Path(absPath)
     val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
       c, path, org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
     val fileSchema = footer.getFileMetaData.getSchema
-    val wanted = toMessageType(schema)
-    val present = new MessageType(wanted.getName,
-      wanted.getFields.stream()
-        .filter(f => fileSchema.containsField(f.getName))
-        .toArray(n => new Array[Type](n)): _*)
+    val presentFields: Array[Type] = schema.fields
+      .filter(f => fileSchema.containsField(f.name))
+      .map(f => fileSchema.getType(fileSchema.getFieldIndex(f.name)))
+    val present = new MessageType(fileSchema.getName, presentFields: _*)
     c.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
       present.toString)
     val reader = org.apache.parquet.hadoop.ParquetReader
@@ -70,15 +74,28 @@ object DriverParquet {
     })
   }
 
+  /** Read by the FILE's physical type, coerce to the wanted Spark type
+    * (lossless numeric widening only — the shapes schema evolution can
+    * leave behind in old manifests). */
   private def readPrimitive(g: org.apache.parquet.example.data.Group,
-      name: String, dt: DataType): Any = dt match {
-    case StringType => g.getString(name, 0)
-    case LongType => g.getLong(name, 0)
-    case IntegerType => g.getInteger(name, 0)
-    case DoubleType => g.getDouble(name, 0)
-    case FloatType => g.getFloat(name, 0)
-    case BooleanType => g.getBoolean(name, 0)
-    case other => throw new IllegalArgumentException(s"manifest type unsupported: $other")
+      name: String, dt: DataType): Any = {
+    val pt = g.getType.asGroupType().getType(name).asPrimitiveType().getPrimitiveTypeName
+    val raw: Any = pt match {
+      case PrimitiveTypeName.BINARY => g.getString(name, 0)
+      case PrimitiveTypeName.INT64 => g.getLong(name, 0)
+      case PrimitiveTypeName.INT32 => g.getInteger(name, 0)
+      case PrimitiveTypeName.DOUBLE => g.getDouble(name, 0)
+      case PrimitiveTypeName.FLOAT => g.getFloat(name, 0)
+      case PrimitiveTypeName.BOOLEAN => g.getBoolean(name, 0)
+      case other => throw new IllegalArgumentException(s"manifest type unsupported: $other")
+    }
+    (raw, dt) match {
+      case (x: Int, LongType) => x.toLong
+      case (x: Int, DoubleType) => x.toDouble
+      case (x: Long, DoubleType) => x.toDouble
+      case (x: Float, DoubleType) => x.toDouble
+      case (x, _) => x
+    }
   }
 
   def write(conf: Configuration, absPath: String, schema: StructType, rows: Seq[Row]): Unit = {

@@ -76,14 +76,26 @@ final class GraftFileIndex(
   private def rowsOf(ms: Seq[String]): Seq[Row] = {
     val missing = ms.filterNot(rowCache.contains)
     if (missing.nonEmpty) {
-      val byName = spark.read.schema(mSchema)
-        .parquet(missing.map(storage.absolute): _*)
-        .withColumn("__mfile", element_at(split(col("_metadata.file_path"), "/"), -1))
-        .collect()
-        .groupBy(_.getAs[String]("__mfile"))
-        .map { case (k, rs) => k -> rs.map(r => Row.fromSeq(r.toSeq.dropRight(1))) }
-      missing.foreach { m =>
-        rowCache(m) = byName.getOrElse(new Path(m).getName, Array.empty[Row])
+      // small manifest sets read ON THE DRIVER (no Spark job): scan
+      // planning over a few files otherwise pays a scheduling round
+      // trip per fresh FileIndex — the dominant cost of small-table
+      // reads. Same explicit-schema normalization on both paths.
+      if (ManifestIO.summarizedFileCount(storage, missing)
+          .exists(_ <= DmlOps.DriverScanMaxFiles)) {
+        ManifestIO.readIndexManifestRowsDriver(storage, conf, missing)
+          .groupBy(_._1)
+          .foreach { case (m, rs) => rowCache(m) = rs.map(_._2).toArray }
+        missing.foreach(m => rowCache.getOrElseUpdate(m, Array.empty[Row]))
+      } else {
+        val byName = spark.read.schema(mSchema)
+          .parquet(missing.map(storage.absolute): _*)
+          .withColumn("__mfile", element_at(split(col("_metadata.file_path"), "/"), -1))
+          .collect()
+          .groupBy(_.getAs[String]("__mfile"))
+          .map { case (k, rs) => k -> rs.map(r => Row.fromSeq(r.toSeq.dropRight(1))) }
+        missing.foreach { m =>
+          rowCache(m) = byName.getOrElse(new Path(m).getName, Array.empty[Row])
+        }
       }
     }
     ms.flatMap(rowCache(_))

@@ -67,6 +67,19 @@ object ReadOp {
     if (manifests.isEmpty) return ScanPlan(Nil, 0)
     val keep = predicate.flatMap(p =>
       Pruning.keepCondition(spark, storage.schema, storage.statsColumns, p))
+    // PREDICATE-LESS small scan: the file list comes off a driver-side
+    // manifest read — no Spark job for a plan that cannot prune anyway
+    // (stats/bloom layers need a predicate; bucket pruning needs
+    // filters). The O(1) summary gate bounds the driver work.
+    if (keep.isEmpty && predicate.isEmpty)
+      ManifestIO.summarizedFileCount(storage, manifests) match {
+        case Some(n) if n <= DmlOps.DriverScanMaxFiles =>
+          val fIdx = ManifestIO.manifestSchema(storage).fieldIndex(ManifestIO.FileCol)
+          val files = ManifestIO.readIndexManifestRowsDriver(storage,
+            spark.sparkContext.hadoopConfiguration, manifests).map(_._2.getString(fIdx))
+          return ScanPlan(files, files.size, manifests.size, 0)
+        case _ =>
+      }
     val summaries = storage.metadata.manifestSummaries
     val allSummarized = manifests.forall(summaries.contains)
 

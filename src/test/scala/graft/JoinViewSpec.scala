@@ -195,6 +195,43 @@ class JoinViewSpec extends AnyFunSuite {
     assertSame(jv.read(), expected(l, r))
   }
 
+  test("views chain: an aggregate view maintains over a join view's state") {
+    // the join view's state table is a full graft table (PKs, CDC
+    // changelogs per refresh commit), so downstream incremental view
+    // maintenance composes: orders ⋈ customer, then GROUP BY nation
+    // over the joined state — both layers refresh O(delta)
+    val o = orders.filter(col("o_orderkey") <= 3000L)
+      .selectExpr("o_custkey AS custkey", "o_orderkey", "o_totalprice")
+    val c = Tables.read(spark, sfDir, "customer")
+      .selectExpr("c_custkey AS custkey", "c_nationkey")
+    val l = SpaceDataset.create(spark, freshLoc("jvcl"), o.schema, Seq("o_orderkey"))
+    l.append(o)
+    val r = SpaceDataset.create(spark, freshLoc("jvcr"), c.schema, Seq("custkey"))
+    r.append(c)
+    val jv = JoinView.create(spark, freshLoc("jvcv"), l, r, Seq("custkey"),
+      Seq("o_orderkey", "o_totalprice"), Seq("c_nationkey"))
+    jv.refresh()
+    val av = AggregateView.create(spark, freshLoc("jvca"), jv.dataset,
+      Seq("c_nationkey"), Seq(
+        AggSpec.countAll("n_orders"), AggSpec.sum("o_totalprice", "sum_price")))
+    av.refresh()
+    def expAgg: DataFrame = jv.read().groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 4).as("sum_price"))
+    def gotAgg: DataFrame = av.read()
+      .select(col("c_nationkey"), col("n_orders"), round(col("sum_price"), 4).as("sum_price"))
+    assert(gotAgg.exceptAll(expAgg).isEmpty && expAgg.exceptAll(gotAgg).isEmpty)
+
+    // mutate BOTH base tables; the chain refreshes layer by layer
+    l.delete(col("o_totalprice") > 300000.0)
+    r.update(col("c_nationkey") === 3, Map("c_nationkey" -> lit(99)))
+    assert(jv.refresh() == 2)
+    assert(av.refresh() >= 1, "agg layer must see the join layer's commits")
+    assert(gotAgg.exceptAll(expAgg).isEmpty && expAgg.exceptAll(gotAgg).isEmpty)
+    assert(av.lastRecomputedGroups == 0L,
+      "chained deletes must stay arithmetic (full rows ride the state CDC)")
+  }
+
   test("SQL surface: create_join_view + refresh_mv + .view metadata read") {
     val root = Files.createTempDirectory("graft_jvsql_").toString
     spark.conf.set("spark.sql.catalog.gjv",
