@@ -245,6 +245,14 @@ final class AggregateView(val spark: SparkSession, val dataset: SpaceDataset)
   }
 
   def refresh(targetVersion: Option[String] = None): Int = {
+    val commits = refreshInner(targetVersion)
+    // self-maintenance: bin-pack the state table when refresh churn
+    // crossed the file threshold (CDC-silent; chained views unaffected)
+    if (commits > 0) ViewMaintenance.maybeCompactState(spark, dataset)
+    commits
+  }
+
+  private def refreshInner(targetVersion: Option[String]): Int = {
     val source = SpaceDataset.load(spark, plan.sourceLocation)
     requireStateCompatible(source)
     val target = targetVersion.map(source.storage.versionToSnapshotId)

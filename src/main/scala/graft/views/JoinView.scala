@@ -123,6 +123,14 @@ final class JoinView(val spark: SparkSession, val dataset: SpaceDataset)
   def read(): DataFrame = dataset.readAll()
 
   def refresh(targetVersion: Option[String] = None): Int = {
+    val commits = refreshInner(targetVersion)
+    // self-maintenance: bin-pack the state table when refresh churn
+    // crossed the file threshold (CDC-silent; chained views unaffected)
+    if (commits > 0) ViewMaintenance.maybeCompactState(spark, dataset)
+    commits
+  }
+
+  private def refreshInner(targetVersion: Option[String]): Int = {
     require(targetVersion.isEmpty,
       "join view refresh has no single target version (two sources " +
         "advance independently); refresh always goes to both heads")

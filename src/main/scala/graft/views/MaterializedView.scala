@@ -43,6 +43,14 @@ final class MaterializedView(val spark: SparkSession, val dataset: SpaceDataset)
   /** Incrementally refresh to the source's `targetVersion` (default:
     * current head). Returns the number of MV commits made. */
   def refresh(targetVersion: Option[String] = None): Int = {
+    val commits = refreshInner(targetVersion)
+    // self-maintenance: bin-pack the state table when refresh churn
+    // crossed the file threshold (CDC-silent; chained views unaffected)
+    if (commits > 0) ViewMaintenance.maybeCompactState(spark, dataset)
+    commits
+  }
+
+  private def refreshInner(targetVersion: Option[String]): Int = {
     val source = SpaceDataset.load(spark, plan.sourceLocation)
     val target = targetVersion.map(source.storage.versionToSnapshotId)
       .getOrElse(source.storage.metadata.currentSnapshotId)

@@ -426,4 +426,39 @@ class AggregateViewSpec extends AnyFunSuite {
     // the state table is untouched by the failed refresh
     assert(av.read().collect().length == 2)
   }
+
+  test("refresh self-compacts the state table past the file threshold") {
+    // every refresh commit mints small state files; past the threshold
+    // the refresh bin-packs its OWN table (CDC-silent), so a per-minute
+    // streaming refresh can't accrete thousands of files
+    spark.conf.set(ViewMaintenance.AutoCompactFilesKey, "3")
+    try {
+      val rows = spark.createDataFrame(
+        (1L to 40L).map(i => (i, "g" + (i % 4), i.toInt))).toDF("id", "g", "v")
+      val src = SpaceDataset.create(spark, freshLoc("aggsrc_ac"), rows.schema, Seq("id"))
+      src.append(rows.filter(col("id") <= 10L))
+      val av = AggregateView.create(spark, freshLoc("aggmv_ac"), src, Seq("g"),
+        Seq(AggSpec.countAll("n"), AggSpec.sum("v", "sum_v")))
+      av.refresh()
+      (1L to 3L).foreach { k =>
+        src.append(rows.filter(col("id") > k * 10L && col("id") <= (k + 1) * 10L))
+        av.refresh()
+      }
+      // 4 refresh commits would have left >= 4 files; self-compaction
+      // folded them (threshold 3)
+      val files = av.dataset.indexFiles().size
+      assert(files < 3, s"state table holds $files files; auto-compact must fire")
+      // values stay exact through the maintenance
+      val exp = rows.groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("sum_v"))
+      val got = av.read().select("g", "n", "sum_v")
+      assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty)
+      // disabled: no compaction, files accrue
+      spark.conf.set(ViewMaintenance.AutoCompactFilesKey, "0")
+      val before = av.dataset.indexFiles().size
+      src.delete(col("id") % 7 === 1)
+      av.refresh()
+      assert(av.dataset.indexFiles().size >= before,
+        "autoCompactFiles=0 must disable self-compaction")
+    } finally spark.conf.unset(ViewMaintenance.AutoCompactFilesKey)
+  }
 }
