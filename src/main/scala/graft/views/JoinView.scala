@@ -183,6 +183,47 @@ final class JoinView(val spark: SparkSession, val dataset: SpaceDataset)
     commits
   }
 
+  /** CONTINUOUS maintenance through Structured Streaming — the shape of
+    * [[MaterializedView.refreshStream]], doubled: BOTH sources' CDC
+    * streams (`graft-cdc`, snapshot-id offsets) trigger an incremental
+    * [[refresh]], so the view follows whichever side commits. Neither
+    * stream consumes its batch rows — refresh() applies change data
+    * itself with the bi-delta algebra, one state commit per source
+    * snapshot — so the streams are pure trigger + offset bookkeeping
+    * and a row never flows twice. Exactly-once comes from the per-side
+    * watermarks, not the checkpoints: an overlapping or replayed batch
+    * finds its snapshots already applied and no-ops. Checkpoints land
+    * under `<checkpointLocation>/left` and `/right`. */
+  def refreshStreams(checkpointLocation: String)
+      : Seq[org.apache.spark.sql.streaming.StreamingQuery] =
+    Seq(plan.leftLocation -> s"$checkpointLocation/left",
+        plan.rightLocation -> s"$checkpointLocation/right").map {
+      case (srcLoc, ckpt) =>
+        spark.readStream.format("graft-cdc")
+          .option("location", srcLoc)
+          .load()
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            refresh(); ()
+          }
+          .start()
+    }
+
+  /** Poll-and-refresh loop (committed-snapshot granularity — the
+    * long-running form of the refresh contract). Stops after
+    * `maxPolls`; returns total state commits. */
+  def refreshContinuously(pollIntervalMs: Long, maxPolls: Int): Int = {
+    var total = 0
+    var i = 0
+    while (i < maxPolls) {
+      total += refresh()
+      i += 1
+      if (i < maxPolls) Thread.sleep(pollIntervalMs)
+    }
+    total
+  }
+
   /** Keys + this side's fields, nothing else (column pruning reaches
     * the scan through the projection). */
   private def sideProjection(df: DataFrame, fields: Seq[String]): DataFrame =

@@ -232,6 +232,100 @@ class JoinViewSpec extends AnyFunSuite {
       "chained deletes must stay arithmetic (full rows ride the state CDC)")
   }
 
+  test("streaming maintenance: both sources' CDC streams drive the refresh") {
+    val root = Files.createTempDirectory("graft_jvstream_").toString
+    import spark.implicits._
+    val a = (1L to 50L).map(i => (i, "k" + (i % 5), i * 1.0)).toDF("id", "k", "v")
+    val b = (1L to 20L).map(i => (i, "k" + (i % 5), i * 10.0)).toDF("bid", "k", "w")
+    val ads = SpaceDataset.create(spark, s"$root/a", a.schema, Seq("id"))
+    ads.append(a)
+    val bds = SpaceDataset.create(spark, s"$root/b", b.schema, Seq("bid"))
+    bds.append(b)
+    val jv = JoinView.create(spark, s"$root/jv", ads, bds,
+      Seq("k"), Seq("id", "v"), Seq("bid", "w"))
+    def exp: DataFrame = ads.readAll().join(bds.readAll(), Seq("k"), "inner")
+      .select("k", "id", "v", "bid", "w")
+    val qs = jv.refreshStreams(s"$root/ckpt")
+    try {
+      qs.foreach(_.processAllAvailable())
+      assertSame(jv.read(), exp)
+      // either side's commit wakes the view
+      ads.delete(col("id") % 4 === 1)
+      bds.update(col("bid") === 3L, Map("w" -> lit(-1.0)))
+      qs.foreach(_.processAllAvailable())
+      jv.dataset.refresh()
+      assertSame(jv.read(), exp)
+      val wm = jv.refreshedToSides
+      // replayed/empty batches never re-commit (watermark exactly-once)
+      qs.foreach(_.processAllAvailable())
+      jv.dataset.refresh()
+      assert(jv.refreshedToSides == wm)
+    } finally qs.foreach(_.stop())
+  }
+
+  test("fuzz: random interleaved DML on both sides, refresh always converges") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260816L)
+    val a0 = (1L to 300L).map(i => (i, "k" + (i % 17), rnd.nextInt(1000) * 1.0))
+      .toDF("id", "k", "v")
+    val b0 = (1L to 60L).map(i => (i, "k" + (i % 17), rnd.nextInt(1000) * 1.0))
+      .toDF("bid", "k", "w")
+    val ads = SpaceDataset.create(spark, freshLoc("jvfa"), a0.schema, Seq("id"))
+    ads.append(a0)
+    val bds = SpaceDataset.create(spark, freshLoc("jvfb"), b0.schema, Seq("bid"))
+    bds.append(b0)
+    val jv = JoinView.create(spark, freshLoc("jvfv"), ads, bds,
+      Seq("k"), Seq("id", "v"), Seq("bid", "w"))
+    jv.refresh()
+    var nextId = 301L
+    var nextBid = 61L
+    for (round <- 1 to 12) {
+      // 1-3 random ops per round across both sides; MoR for some deletes
+      (1 to (1 + rnd.nextInt(3))).foreach { _ =>
+        rnd.nextInt(6) match {
+          case 0 =>
+            val n = 5 + rnd.nextInt(20)
+            val fresh = (nextId until nextId + n)
+              .map(i => (i, "k" + rnd.nextInt(17), rnd.nextInt(1000) * 1.0))
+              .toDF("id", "k", "v")
+            nextId += n
+            ads.append(fresh)
+          case 1 =>
+            val m = 2 + rnd.nextInt(9)
+            ads.delete(col("id") % m === rnd.nextInt(m),
+              dvMaxFraction = if (rnd.nextBoolean()) Some(1.0) else None)
+          case 2 =>
+            if (ads.readAll().limit(1).count() > 0)
+              ads.update(col("id") % 13 === rnd.nextInt(13),
+                Map("k" -> concat(lit("k"), lit(rnd.nextInt(17)))))
+          case 3 =>
+            val n = 1 + rnd.nextInt(5)
+            val fresh = (nextBid until nextBid + n)
+              .map(i => (i, "k" + rnd.nextInt(17), rnd.nextInt(1000) * 1.0))
+              .toDF("bid", "k", "w")
+            nextBid += n
+            bds.append(fresh)
+          case 4 =>
+            val m = 2 + rnd.nextInt(7)
+            bds.delete(col("bid") % m === rnd.nextInt(m),
+              dvMaxFraction = if (rnd.nextBoolean()) Some(1.0) else None)
+          case 5 =>
+            bds.update(col("bid") % 11 === rnd.nextInt(11),
+              Map("w" -> (col("w") + lit(1.0))))
+        }
+      }
+      // refresh every other round: multi-snapshot windows on both sides
+      if (round % 2 == 0) {
+        jv.refresh()
+        val exp = ads.readAll().join(bds.readAll(), Seq("k"), "inner")
+          .select("k", "id", "v", "bid", "w")
+        val got = jv.read().select("k", "id", "v", "bid", "w")
+        assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty,
+          s"fuzz divergence at round $round")
+      }
+    }
+  }
+
   test("SQL surface: create_join_view + refresh_mv + .view metadata read") {
     val root = Files.createTempDirectory("graft_jvsql_").toString
     spark.conf.set("spark.sql.catalog.gjv",
