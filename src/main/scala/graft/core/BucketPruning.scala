@@ -180,21 +180,70 @@ object BucketPruning {
     walk(filters.reduce(And))
   }
 
-  /** Does the table's CURRENT bucket layout describe the files of
-    * `snapshotId`? Two gates, both required:
+  /** The bucket layout that soundly describes the files of one
+    * snapshot (columns, per-column counts — empty = single hash —
+    * and flat count). */
+  final case class EffectiveLayout(
+      columns: Seq[String], counts: Seq[Int], numBuckets: Int)
+
+  /** Resolve the layout whose claims are SOUND for `snapshotId`, or
+    * None (no claims — stats/bloom pruning still apply):
     *
-    *  - per-snapshot LAYOUT EPOCH equality
-    *    ([[graft.format.Snapshot.bucketLayoutId]] vs
-    *    [[graft.format.StorageMetadata.currentBucketLayoutId]]) — the
-    *    lineage-safe check: only descendants of the rebucket commit
-    *    inherit its epoch, so a side branch forked before it (whose
-    *    later commits get ids ABOVE the watermark while still carrying
-    *    old-layout files) correctly disengages;
-    *  - the legacy `bucketLayoutSince` watermark — retained for
-    *    metadata written before epochs existed.
+    *  - epoch == current ([[graft.format.Snapshot.bucketLayoutId]] vs
+    *    [[graft.format.StorageMetadata.currentBucketLayoutId]]) AND the
+    *    legacy `bucketLayoutSince` watermark → the CURRENT layout. The
+    *    epoch check is lineage-safe: only descendants of the rebucket
+    *    commit inherit its epoch, so a side branch forked before it
+    *    (whose later commits get ids above the watermark while still
+    *    carrying old-layout files) correctly disengages.
+    *  - a RETIRED epoch with a [[graft.format.BucketLayoutSpec]] in
+    *    history → that layout, iff the snapshot is PURE (its id is
+    *    below the NEXT epoch's id — a snapshot committed while the
+    *    layout was current holds only files written under it; a
+    *    post-rebucket side-branch commit mixes layouts and fails this)
+    *    and the layout columns' current types still match the recorded
+    *    ones (a re-keyed-away column may have widened since).
     *
     * `Long.MaxValue` is the read-current-head sentinel; an expired
-    * (missing) snapshot falls back to the watermark alone. */
+    * (missing) snapshot keeps only the legacy watermark claim on the
+    * current layout. */
+  def layoutFor(storage: Storage, snapshotId: Long): Option[EffectiveLayout] = {
+    val meta = storage.metadata
+    val sid = if (snapshotId == Long.MaxValue) meta.currentSnapshotId else snapshotId
+    val current =
+      if (meta.numBuckets > 0)
+        Some(EffectiveLayout(meta.bucketColumns, meta.bucketCounts, meta.numBuckets))
+      else None
+    meta.snapshot(sid) match {
+      case None => // expired snapshot: epoch unknowable — watermark only
+        if (sid >= meta.bucketLayoutSince) current else None
+      case Some(snap) if snap.bucketLayoutId == meta.currentBucketLayoutId =>
+        if (sid >= meta.bucketLayoutSince) current else None
+      case Some(snap) =>
+        meta.bucketLayoutHistory.get(snap.bucketLayoutId.toString) match {
+          case Some(spec) if spec.numBuckets > 0 => {
+            // purity: committed before the NEXT epoch existed
+            val epochs = meta.bucketLayoutHistory.keysIterator.map(_.toLong) ++
+              Iterator.single(meta.currentBucketLayoutId)
+            val next = epochs.filter(_ > snap.bucketLayoutId)
+              .foldLeft(Long.MaxValue)(math.min)
+            val pure = next != Long.MaxValue && sid < next
+            val typesHold = spec.columns.zip(spec.columnTypes).forall {
+              case (c, t) => storage.schema.fields.exists(f =>
+                f.name == c && f.dataType.catalogString == t)
+            }
+            if (pure && typesHold)
+              Some(EffectiveLayout(spec.columns, spec.counts, spec.numBuckets))
+            else None
+          }
+          case _ => None
+        }
+    }
+  }
+
+  /** Does the CURRENT layout describe `snapshotId`'s files? (Scan-side
+    * callers that can only serve the current layout's bucket function
+    * use this; [[layoutFor]] is the full per-epoch resolution.) */
   def layoutApplies(storage: Storage, snapshotId: Long): Boolean = {
     val meta = storage.metadata
     val sid = if (snapshotId == Long.MaxValue) meta.currentSnapshotId else snapshotId
@@ -203,23 +252,24 @@ object BucketPruning {
   }
 
   /** Drop files of unreachable buckets (files without a bucket id in
-    * their name are conservatively kept). `snapshotId` gates layout
-    * applicability via [[layoutApplies]]: a snapshot outside the
-    * current layout epoch holds files hashed under a PREVIOUS bucket
-    * layout (rebucket), where pruning by the current counts would be
-    * unsound — keep everything there. */
+    * their name are conservatively kept). `snapshotId` selects the
+    * layout via [[layoutFor]]: current-epoch snapshots prune under the
+    * current layout, PURE retired-epoch snapshots under their own
+    * recorded layout, anything else keeps everything. */
   def pruneFiles(
       storage: Storage,
       snapshotId: Long,
       filters: Seq[Expression],
       files: Seq[String]): Seq[String] = {
-    val meta = storage.metadata
-    if (meta.numBuckets == 0 || !layoutApplies(storage, snapshotId)) return files
-    val colTypes = meta.bucketColumns.map(c => c -> storage.schema(c).dataType).toMap
+    val layout = layoutFor(storage, snapshotId) match {
+      case Some(l) => l
+      case None => return files
+    }
+    val colTypes = layout.columns.map(c => c -> storage.schema(c).dataType).toMap
     val reach =
-      if (meta.bucketCounts.nonEmpty)
-        reachableFlatsPerColumn(meta.bucketColumns, colTypes, meta.bucketCounts, filters)
-      else reachableBuckets(meta.bucketColumns, colTypes, meta.numBuckets, filters)
+      if (layout.counts.nonEmpty)
+        reachableFlatsPerColumn(layout.columns, colTypes, layout.counts, filters)
+      else reachableBuckets(layout.columns, colTypes, layout.numBuckets, filters)
     reach match {
       case None => files
       case Some(r) =>

@@ -146,7 +146,17 @@ object RebucketOp {
         // this id (newLayoutEpoch below), and only its descendants
         // inherit it — branch-lineage-safe where the raw watermark
         // alone is not
-        currentBucketLayoutId = m.maxSnapshotId),
+        currentBucketLayoutId = m.maxSnapshotId,
+        // retire the outgoing layout into history (if bucketed): pure
+        // old-epoch snapshots keep EXACT pruning/SPJ under their own
+        // layout; column types pinned so a later widen of a re-keyed-
+        // away column disengages instead of probing wrong hashes
+        bucketLayoutHistory =
+          if (m.numBuckets == 0) m.bucketLayoutHistory
+          else m.bucketLayoutHistory + (m.currentBucketLayoutId.toString ->
+            BucketLayoutSpec(m.bucketColumns, m.bucketCounts, m.numBuckets,
+              m.bucketColumns.map(c =>
+                storage.schema(c).dataType.catalogString)))),
         newLayoutEpoch = true)
     }
     RebucketResult(files.size, written.files.size, outRows, newCounts)

@@ -108,6 +108,16 @@ object SnapshotRef {
 
 final case class SnapshotRef(name: String, refType: String, snapshotId: Long)
 
+/** A retired bucket layout (see [[StorageMetadata.bucketLayoutHistory]]):
+  * physical column names, per-column counts (empty = legacy single
+  * hash), flat bucket count, and each column's `catalogString` type at
+  * the time the layout was retired. */
+final case class BucketLayoutSpec(
+    columns: List[String],
+    counts: List[Int],
+    numBuckets: Int,
+    columnTypes: List[String])
+
 object TableType {
   val Dataset = "DATASET"
   val MaterializedView = "MATERIALIZED_VIEW"
@@ -200,6 +210,18 @@ final case class StorageMetadata(
       * rebucket commit — on any branch — claim the current layout.
       * 0 = the original (create-time) layout. */
     currentBucketLayoutId: Long = 0L,
+    /** RETIRED bucket layouts, keyed by the epoch id (as a string —
+      * JSON object keys) under which they were active. A rebucket
+      * records the outgoing layout here (Iceberg keeps partition specs
+      * by id the same way), so a TIME-TRAVEL read of a PURE old-epoch
+      * snapshot — one committed before the next rebucket existed, i.e.
+      * its id is below the next epoch's id — prunes and reports
+      * partitioning under ITS OWN layout instead of conservatively
+      * disengaging. `columnTypes` pins each bucket column's type at
+      * retirement: a column re-keyed AWAY may legally widen afterwards,
+      * and murmur3-of-the-widened-type would probe old files wrongly —
+      * a type mismatch disengages the historical claim. */
+    bucketLayoutHistory: Map[String, BucketLayoutSpec] = Map.empty,
     /** CLUSTER-ON-WRITE columns (empty = off; exclusive with
       * bucketing). Every APPEND-path write (user appends, MV
       * refreshes, streaming sinks) range-partitions + sorts its batch

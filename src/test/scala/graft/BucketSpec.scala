@@ -433,13 +433,21 @@ class BucketSpec extends AnyFunSuite {
       assert(a.read(version = Some(preRebucket.toString)).count() == preCount)
       assert(a.read(filter = Some(col("k2") === "s3"),
         version = Some(preRebucket.toString)).count() == preFiltered)
-      // k2 carries no stats and no bloom, so only bucket pruning could
-      // drop files for this probe — below the watermark it must not
-      // (old files are 2x2 tuples; a 4x4 interpretation would be wrong)
+      // k2 carries no stats and no bloom, so only bucket pruning can
+      // drop files for this probe. The retired 2x2 layout lives in
+      // history, and the pre-rebucket snapshot is PURE (committed while
+      // 2x2 was current) — pruning engages under the OLD counts, never
+      // a 4x4 misinterpretation: the kept set must still contain every
+      // matching row
       val oldPlan = a.plan(Some(col("k2") === "s0"),
         version = Some(preRebucket.toString))
-      assert(oldPlan.files.size == oldPlan.totalFiles,
-        "bucket pruning must keep everything below the layout watermark")
+      assert(oldPlan.files.size < oldPlan.totalFiles,
+        "pure old-epoch snapshots must prune under their RETIRED layout")
+      // ground truth OUTSIDE the pruned path: full collect, filter in Scala
+      val oldTruth = a.read(version = Some(preRebucket.toString)).collect()
+        .count(_.getAs[String]("k2") == "s0")
+      assert(a.read(filter = Some(col("k2") === "s0"),
+        version = Some(preRebucket.toString)).count() == oldTruth && oldTruth > 0)
       assert(spark.sql(s"SELECT count(*) FROM grb.a VERSION AS OF $preRebucket " +
         "WHERE k2 = 's3'").collect()(0).getLong(0) == preFiltered)
 
@@ -632,8 +640,58 @@ class BucketSpec extends AnyFunSuite {
       "bucket pruning must keep EVERYTHING on the old-epoch branch")
     assert(ds.read(filter = Some(col("s") === "g7"),
       version = Some("dev")).count() == 20L)
-    // pre-rebucket tag: same disengagement via both epoch and watermark
+    // pre-rebucket tag: PURE old-epoch snapshot — prunes under the
+    // RETIRED 4-bucket layout (recorded in bucketLayoutHistory), and
+    // the read stays exact against a collect-side ground truth
     val pTag = ds.plan(Some(col("s") === "g7"), version = Some("v1"))
-    assert(pTag.files.size == pTag.totalFiles)
+    assert(pTag.files.size < pTag.totalFiles,
+      "pure old-epoch tag must prune under its retired layout")
+    val tagTruth = ds.read(version = Some("v1")).collect()
+      .count(_.getAs[String]("s") == "g7")
+    assert(ds.read(filter = Some(col("s") === "g7"),
+      version = Some("v1")).count() == tagTruth && tagTruth > 0)
+  }
+
+  test("layout history: chained rebuckets keep per-epoch claims; a widen disengages") {
+    import spark.implicits._
+    val rows = (1L to 300L).map(i => (i, (i % 16).toInt, i * 1.0)).toDF("k1", "n", "v")
+    val ds = SpaceDataset.create(spark,
+      Files.createTempDirectory("graft_rbkh_").toString + "/tbl",
+      rows.schema, Seq("k1"), bucketColumns = Seq("n"),
+      numBuckets = 4, bucketCounts = Seq(4))
+    ds.append(rows)
+    ds.storage.addTag("e0") // epoch 0: 4 buckets on n (int)
+    ds.rebucket(Seq(8))
+    ds.storage.addTag("e1") // epoch 1: 8 buckets on n
+    ds.rebucket(Seq(4), columns = Some(Seq("k1"))) // epoch 2: re-keyed to k1
+    assert(ds.storage.metadata.bucketLayoutHistory.size == 2,
+      "both retired layouts must be recorded")
+
+    // generic numeric read: post-widen, old snapshots serve n as LONG
+    def truth(tag: String): Int = ds.read(version = Some(tag)).collect()
+      .count(_.getAs[Number]("n").longValue == 7L)
+    // each retired epoch prunes under ITS OWN counts and stays exact
+    Seq("e0", "e1").foreach { tag =>
+      val p = ds.plan(Some(col("n") === 7), version = Some(tag))
+      assert(p.files.size < p.totalFiles, s"$tag must prune under its retired layout")
+      assert(ds.read(filter = Some(col("n") === 7),
+        version = Some(tag)).count() == truth(tag) && truth(tag) > 0)
+    }
+    // current epoch prunes on the NEW key
+    val pNow = ds.plan(Some(col("k1") === 37L))
+    assert(pNow.files.size < pNow.totalFiles)
+
+    // widen the re-keyed-AWAY column: legal now (it is no longer a
+    // bucket column), but murmur3-of-long ≠ murmur3-of-int — the
+    // recorded column type no longer matches, so the historical claims
+    // DISENGAGE (keep-all) instead of probing wrong hashes
+    ds.widenColumn("n", org.apache.spark.sql.types.LongType)
+    Seq("e0", "e1").foreach { tag =>
+      val p = ds.plan(Some(col("n") === 7L), version = Some(tag))
+      assert(p.files.size == p.totalFiles,
+        s"$tag claims must disengage after the bucket column widened")
+      assert(ds.read(filter = Some(col("n") === 7L),
+        version = Some(tag)).count() == truth(tag))
+    }
   }
 }
