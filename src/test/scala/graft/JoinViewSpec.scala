@@ -326,6 +326,47 @@ class JoinViewSpec extends AnyFunSuite {
     }
   }
 
+  test("overlapping refreshers apply each source snapshot exactly once") {
+    import spark.implicits._
+    val a = (1L to 200L).map(i => (i, "k" + (i % 8), i * 1.0)).toDF("id", "k", "v")
+    val b = (1L to 40L).map(i => (i, "k" + (i % 8), i * 10.0)).toDF("bid", "k", "w")
+    val ads = SpaceDataset.create(spark, freshLoc("jvra"), a.schema, Seq("id"))
+    ads.append(a)
+    val bds = SpaceDataset.create(spark, freshLoc("jvrb"), b.schema, Seq("bid"))
+    bds.append(b)
+    val jv = JoinView.create(spark, freshLoc("jvrv"), ads, bds,
+      Seq("k"), Seq("id", "v"), Seq("bid", "w"))
+    jv.refresh()
+    // pile up multi-snapshot windows on both sides, then race two
+    // refreshers: the per-side watermark re-check inside each state
+    // transaction must make every source snapshot apply EXACTLY once
+    ads.append((201L to 260L).map(i => (i, "k" + (i % 8), i * 1.0)).toDF("id", "k", "v"))
+    ads.delete(col("id") % 5 === 2)
+    bds.delete(col("bid") % 4 === 1)
+    bds.append((41L to 55L).map(i => (i, "k" + (i % 8), i * 10.0)).toDF("bid", "k", "w"))
+    import java.util.concurrent.{Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val totals = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (1 to 2).foreach { _ =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try totals.addAndGet(JoinView.load(spark, jv.dataset.location).refresh())
+          catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(errs.isEmpty, s"refresher failed: ${Option(errs.peek()).map(_.toString)}")
+    // 4 source snapshots -> exactly 4 state commits across BOTH racers
+    assert(totals.get() == 4, s"expected 4 total commits, got ${totals.get()}")
+    // the racers committed through their own handles: reload this one
+    jv.dataset.refresh()
+    val exp = ads.readAll().join(bds.readAll(), Seq("k"), "inner")
+      .select("k", "id", "v", "bid", "w")
+    assertSame(jv.read().select("k", "id", "v", "bid", "w"), exp)
+  }
+
   test("SQL surface: create_join_view + refresh_mv + .view metadata read") {
     val root = Files.createTempDirectory("graft_jvsql_").toString
     spark.conf.set("spark.sql.catalog.gjv",
