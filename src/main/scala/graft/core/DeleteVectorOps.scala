@@ -131,8 +131,13 @@ object DeleteVectorOps {
               if (raced != null) raced
               else { bcCache.put(key, fresh); fresh }
             }
+            // destroy, not unpersist: the losing duplicate was never
+            // handed to any plan, and unpersist alone keeps the driver-
+            // side broadcast registered — each race would leak a driver
+            // entry until GC (ADVICE r13). Cache EVICTIONS still only
+            // unpersist (an in-flight job may re-fetch those).
             if (winner ne fresh)
-              scala.util.Try(fresh.unpersist(blocking = false))
+              scala.util.Try(fresh.destroy()) // destroy() is non-blocking
             winner
           }
         maskFromBroadcast(bc)

@@ -409,17 +409,26 @@ final class AggregateView(val spark: SparkSession, val dataset: SpaceDataset)
 
     // current state of ONLY the delta's groups (delta-sized inner
     // read), pinned to the transaction's snapshot for retry-safety.
-    // BROADCAST both delta-sized join sides: the delta's group list
-    // and the affected-state rows are tiny by construction (affected
-    // groups only), and without the hints each join is a full shuffle
-    // stage — under AQE that's 2 extra jobs per state commit, pure
-    // scheduling overhead on a delta-sized refresh.
+    // BROADCAST both delta-sized join sides: at steady state the
+    // delta's group list and the affected-state rows are tiny
+    // (affected groups only), and without the hints each join is a
+    // full shuffle stage — under AQE that's 2 extra jobs per state
+    // commit, pure scheduling overhead on a delta-sized refresh. But
+    // "tiny by construction" fails for a bulk commit touching most
+    // groups of a high-cardinality view: the hints are GATED on the
+    // source snapshot's O(1) changelog row count (an upper bound on
+    // touched groups), else a fat backfill force-broadcasts near the
+    // whole state past autoBroadcastJoinThreshold (ADVICE r14 medium).
+    val deltaRowBound = ViewMaintenance.changelogRows(
+      source.storage, sid, addsOnly = false)
+    def hinted(df: DataFrame): DataFrame =
+      ViewMaintenance.maybeBroadcast(spark, df, deltaRowBound)
     val stateRaw = dataset.read(version = Some(pinned.toString))
-      .join(broadcast(delta.select(gCols: _*)), groups, "left_semi")
+      .join(hinted(delta.select(gCols: _*)), groups, "left_semi")
     val state = stateRaw.columns.foldLeft(stateRaw) { (df, c) =>
       if (groups.contains(c)) df else df.withColumnRenamed(c, "s_" + c)
     }
-    val joined = delta.join(broadcast(state), groups, "left_outer")
+    val joined = delta.join(hinted(state), groups, "left_outer")
 
     def nz(c: String, m: DataFrame): Column =
       if (m.columns.contains(c)) coalesce(col(c), lit(0L)) else lit(0L)
@@ -523,8 +532,11 @@ final class AggregateView(val spark: SparkSession, val dataset: SpaceDataset)
           // read semi-joined to the (small) affected keys — prunable
           // when the source is clustered by the group columns
           val srcRows = source.read(version = Some(sid.toString))
+          // nRecompute is the EXACT affected-key count (already on the
+          // driver) — gate the hint on it directly
           val rows = srcFilter.fold(srcRows)(srcRows.filter)
-            .join(broadcast(recomputeKeys), groups, "left_semi")
+            .join(ViewMaintenance.maybeBroadcast(spark, recomputeKeys, nRecompute),
+              groups, "left_semi")
           val re = rows.groupBy(gCols: _*).agg(pexprs.head, pexprs.tail: _*)
           Some(re.select(stateSchema.fields.toSeq.map(f =>
             col(f.name).cast(f.dataType).as(f.name)): _*))

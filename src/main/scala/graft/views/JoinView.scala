@@ -241,6 +241,9 @@ final class JoinView(val spark: SparkSession, val dataset: SpaceDataset)
     val parent = src.storage.snapshotOrFail(sid).parentSnapshotId.getOrElse(0L)
     val batches = ChangeData.diff(spark, src.storage, parent, sid)
     val srcPks = src.primaryKeys
+    // O(1) delta size from the changelog bitmaps — gates the broadcast
+    // hint below (a fat backfill commit must NOT be force-broadcast)
+    val addRows = ViewMaintenance.changelogRows(src.storage, sid, addsOnly = true)
     var applied = false
     dataset.storage.transaction() { pinned =>
       if (dataset.storage.metadata.mvSourceSnapshotIds.get(side).exists(_ >= sid)) {
@@ -255,7 +258,11 @@ final class JoinView(val spark: SparkSession, val dataset: SpaceDataset)
               // join rows disappear (PKs-only delete rows suffice)
               DmlOps.deleteByKeysOn(spark, dataset.storage, pinned, b.data, srcPks)
             case ChangeType.Add =>
-              val delta = broadcast(sideProjection(b.data, sideFields))
+              // broadcast only under the configured row bound; above it
+              // the join is left to AQE (still delta ⋈ big-side, just
+              // shuffled) — correctness is hint-independent
+              val delta = ViewMaintenance.maybeBroadcast(
+                spark, sideProjection(b.data, sideFields), addRows)
               val joined =
                 if (deltaIsLeft) delta.join(other, plan.keys, "inner")
                 else other.join(delta, plan.keys, "inner")
@@ -284,7 +291,14 @@ final class JoinView(val spark: SparkSession, val dataset: SpaceDataset)
     var applied = false
     dataset.storage.transaction() { pinned =>
       val wm = dataset.storage.metadata.mvSourceSnapshotIds
-      if (wm.get(LeftSide).exists(_ >= lT) && wm.get(RightSide).exists(_ >= rT)) {
+      // Non-overwrite build: ANY existing watermark means the state was
+      // already built — a concurrent refresher that landed at OLDER
+      // source heads included. Appending another full live⋈live join on
+      // top would permanently duplicate every row alive at both
+      // snapshots (ADVICE r14 high); the caller's incremental walk
+      // advances from the observed watermarks instead.
+      if ((wm.get(LeftSide).exists(_ >= lT) && wm.get(RightSide).exists(_ >= rT)) ||
+          (wm.nonEmpty && !overwrite)) {
         (None, ())
       } else {
         val joined = sideProjection(left.read(version = Some(lT.toString)),

@@ -1,8 +1,11 @@
 package graft.views
 
-import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 
-import graft.core.{ManifestIO, SpaceDataset}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.broadcast
+
+import graft.core.{ManifestIO, SpaceDataset, Storage}
 
 /** Self-maintenance shared by the refreshable views.
   *
@@ -28,6 +31,42 @@ object ViewMaintenance {
     * half the target are left alone (incremental shape). */
   val CompactTargetRowsKey = "spark.graft.mv.compactTargetRows"
   val DefaultCompactTargetRows = 4L * 1000 * 1000
+
+  /** Row bound for the `broadcast()` hints view maintenance places on
+    * delta-sized join inputs. At steady state a CDC delta is tiny and
+    * the hint saves two shuffle stages per state commit; but the hint
+    * is a FORCE — Spark will not fall back — so a single fat commit (a
+    * 10⁸-row backfill `append`) force-broadcast regardless of size is
+    * a driver/executor OOM (VERDICT r13 #1). Deltas at or above this
+    * bound get a plain join and AQE plans it. `0` disables the hints
+    * entirely. */
+  val BroadcastMaxRowsKey = "spark.graft.mv.broadcastMaxRows"
+  val DefaultBroadcastMaxRows = 500L * 1000
+
+  /** Hint `df` for broadcast only when `estimatedRows` (an O(1) driver-
+    * side count — changelog bitmap cardinalities, an affected-group
+    * count — never a Spark action) is under the configured bound. */
+  def maybeBroadcast(spark: SparkSession, df: DataFrame, estimatedRows: Long): DataFrame = {
+    val bound = longConf(spark, BroadcastMaxRowsKey, DefaultBroadcastMaxRows)
+    if (bound > 0 && estimatedRows < bound) { hinted.incrementAndGet(); broadcast(df) }
+    else { gated.incrementAndGet(); df }
+  }
+
+  /** O(1) size estimate of one source snapshot's CDC delta: the
+    * changelog's bitmap cardinalities, no Spark job. `addsOnly` for
+    * consumers that join only the ADD batches (JoinView). */
+  def changelogRows(storage: Storage, snapshotId: Long, addsOnly: Boolean): Long =
+    storage.changeLog(snapshotId).map { cl =>
+      cl.addedRows.map(_.numRows).sum +
+        (if (addsOnly) 0L else cl.deletedRows.map(_.numRows).sum)
+    }.getOrElse(0L)
+
+  /** Observability for the gate spec: cumulative counts of hints
+    * applied vs withheld by [[maybeBroadcast]]. */
+  private val hinted = new java.util.concurrent.atomic.AtomicLong(0)
+  private val gated = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] def broadcastsHinted: Long = hinted.get()
+  private[graft] def broadcastsGated: Long = gated.get()
 
   private def longConf(spark: SparkSession, key: String, dflt: Long): Long =
     spark.conf.getOption(key).map { raw =>
@@ -57,10 +96,13 @@ object ViewMaintenance {
       snap.storageStatistics.numRows))
     try dataset.compact(targetFileRows = target).isDefined
     catch {
-      // first-committer-wins: someone else is mutating the state table
-      // (an overlapping refresher, an operator compact) — theirs lands,
-      // ours retries on the next refresh
-      case _: graft.core.ConcurrentCommitException => false
+      // best-effort by contract: the refresh that called us has ALREADY
+      // committed its state — no failure here may surface as a refresh
+      // failure (the caller would lose its commit count over a cleanup
+      // hiccup). First-committer-wins races (an overlapping refresher,
+      // an operator compact) and transient FS errors alike just mean
+      // the next refresh retries the pack (ADVICE r13).
+      case NonFatal(_) => false
     }
   }
 }

@@ -94,6 +94,30 @@ class AggregateViewSpec extends AnyFunSuite {
       max("l_quantity").as("max_qty"), count(lit(1)).as("n_rows")))
   }
 
+  test("bulk commit touching most groups refreshes without broadcast hints") {
+    val seed = lineitem.filter(col("l_orderkey") <= 700L)
+    val src = SpaceDataset.create(spark, freshLoc("aggsrc"), seed.schema,
+      Seq("l_orderkey", "l_linenumber"))
+    src.append(seed)
+    val av = AggregateView.create(spark, freshLoc("aggmv"), src,
+      Seq("l_orderkey"), // high-cardinality grouping: a bulk append touches MOST groups
+      Seq(AggSpec.sum("l_quantity", "sum_qty"), AggSpec.countAll("n_rows")))
+    assert(av.refresh() == 1)
+    // bound far below the bulk delta: the affected-state join must NOT
+    // be force-broadcast (a high-cardinality MV's touched state would
+    // otherwise bypass autoBroadcastJoinThreshold — ADVICE r14 medium)
+    spark.conf.set(ViewMaintenance.BroadcastMaxRowsKey, "100")
+    try {
+      src.append(lineitem.filter(col("l_orderkey") > 700L)) // ~3k rows, ~800 groups
+      val gatedBefore = ViewMaintenance.broadcastsGated
+      assert(av.refresh() == 1)
+      assert(ViewMaintenance.broadcastsGated > gatedBefore,
+        "the bulk delta's state joins must be planned without broadcast hints")
+      assertSame(av.read(), src.readAll().groupBy("l_orderkey").agg(
+        sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows")))
+    } finally spark.conf.unset(ViewMaintenance.BroadcastMaxRowsKey)
+  }
+
   test("interior and extremum deletes stay arithmetic; only a DRAINED reservoir recomputes") {
     val rows = spark.createDataFrame(Seq(
       (1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0),

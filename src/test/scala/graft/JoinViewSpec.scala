@@ -162,6 +162,71 @@ class JoinViewSpec extends AnyFunSuite {
     assertSame(jv.read(), exp)
   }
 
+  test("first-refresh race: a stale second builder must not duplicate the state") {
+    val l = leftTable(800L)
+    val r = rightTable(800L)
+    val jv = createView(l, r)
+    // a handle loaded BEFORE any refresh keeps seeing an EMPTY
+    // watermark (handles are snapshot-stale until a transaction
+    // reload) — the deterministic stand-in for two concurrent
+    // refreshers both observing "never built"
+    val stale = JoinView.load(spark, jv.dataset.location)
+    assert(jv.refresh() == 1)
+    // sources advance past the first build, so the stale builder's
+    // targets are STRICTLY NEWER than the committed watermarks
+    l.append(lineitem.filter(col("l_orderkey") > 800L && col("l_orderkey") <= 1200L)
+      .selectExpr("l_orderkey AS okey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .dropDuplicates("okey", "l_linenumber"))
+    r.append(orders.filter(col("o_orderkey") > 800L && col("o_orderkey") <= 1200L)
+      .selectExpr("o_orderkey AS okey", "o_custkey", "o_totalprice"))
+    // the stale handle still believes the view was never built. Its
+    // non-overwrite fullBuild must no-op inside the transaction (ANY
+    // existing watermark = already built) and fall through to the
+    // incremental walk — before the ADVICE r14 fix it APPENDED a
+    // second full live⋈live join, duplicating every matched row
+    val commits = stale.refresh()
+    assert(commits == 2, s"expected the two incremental side commits, got $commits")
+    assertSame(stale.read(), expected(l, r))
+  }
+
+  test("fat-commit deltas are not force-broadcast (gated on changelog rows)") {
+    // hint mechanics first: under the bound → ResolvedHint in the
+    // analyzed plan; bound reached → no hint (AQE plans the join)
+    val probe = spark.range(3).toDF("okey")
+    assert(ViewMaintenance.maybeBroadcast(spark, probe, 3L)
+      .queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "a steady-state delta under the default bound must keep the hint")
+    spark.conf.set(ViewMaintenance.BroadcastMaxRowsKey, "50")
+    try {
+      assert(!ViewMaintenance.maybeBroadcast(spark, probe, 50L)
+        .queryExecution.analyzed.toString.contains("ResolvedHint"))
+
+      val l = leftTable(600L)
+      val r = rightTable(600L)
+      val jv = createView(l, r)
+      assert(jv.refresh() == 1)
+      // a fat single-commit backfill: far more rows than the bound —
+      // the O(1) changelog count must withhold the broadcast hint
+      l.append(lineitem.filter(col("l_orderkey") > 600L && col("l_orderkey") <= 1600L)
+        .selectExpr("l_orderkey AS okey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .dropDuplicates("okey", "l_linenumber"))
+      val gatedBefore = ViewMaintenance.broadcastsGated
+      val hintedBefore = ViewMaintenance.broadcastsHinted
+      assert(jv.refresh() == 1)
+      assert(ViewMaintenance.broadcastsGated > gatedBefore,
+        "the backfill delta must be planned WITHOUT a broadcast hint")
+      assert(ViewMaintenance.broadcastsHinted == hintedBefore)
+      assertSame(jv.read(), expected(l, r))
+
+      // steady state resumes hinting: a trickle append under the bound
+      r.append(orders.filter(col("o_orderkey") > 600L && col("o_orderkey") <= 640L)
+        .selectExpr("o_orderkey AS okey", "o_custkey", "o_totalprice"))
+      assert(jv.refresh() == 1)
+      assert(ViewMaintenance.broadcastsHinted > hintedBefore)
+      assertSame(jv.read(), expected(l, r))
+    } finally spark.conf.unset(ViewMaintenance.BroadcastMaxRowsKey)
+  }
+
   test("merge-on-read sources maintain identically (CDC is mode-oblivious)") {
     val l = leftTable(1500L)
     val r = rightTable(1500L)
