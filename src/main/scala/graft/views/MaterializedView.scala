@@ -42,15 +42,15 @@ final class MaterializedView(val spark: SparkSession, val dataset: SpaceDataset)
 
   /** Incrementally refresh to the source's `targetVersion` (default:
     * current head). Returns the number of MV commits made. */
-  def refresh(targetVersion: Option[String] = None): Int = {
-    val commits = refreshInner(targetVersion)
+  override def refresh(targetVersion: Option[String], coalesce: Boolean): Int = {
+    val commits = refreshInner(targetVersion, coalesce)
     // self-maintenance: bin-pack the state table when refresh churn
     // crossed the file threshold (CDC-silent; chained views unaffected)
     if (commits > 0) ViewMaintenance.maybeCompactState(spark, dataset)
     commits
   }
 
-  private def refreshInner(targetVersion: Option[String]): Int = {
+  private def refreshInner(targetVersion: Option[String], coalesce: Boolean): Int = {
     val source = SpaceDataset.load(spark, plan.sourceLocation)
     val target = targetVersion.map(source.storage.versionToSnapshotId)
       .getOrElse(source.storage.metadata.currentSnapshotId)
@@ -71,8 +71,19 @@ final class MaterializedView(val spark: SparkSession, val dataset: SpaceDataset)
           return rebuild(source, target)
       }
 
+    // CDC-silent source snapshots (compact/GC/rewrite_manifests) change
+    // no data — skip them instead of minting empty watermark-advance
+    // commits (VERDICT r13 #3); the watermark folds into the next
+    // data-bearing commit, and a purely-silent tail costs only an O(1)
+    // metadata re-check per refresh.
+    val dataSids = sids.filter(sid =>
+      source.storage.snapshotOrFail(sid).changeLogFile.isDefined)
+    if (dataSids.isEmpty) return 0
+
+    if (coalesce) return refreshCoalesced(source, start, target, dataSids)
+
     var commits = 0
-    for (sid <- sids) {
+    for (sid <- dataSids) {
       // snapshot ids are monotonic but not necessarily contiguous
       // (branch commits also consume ids): diff from the actual parent
       val parent = source.storage.snapshotOrFail(sid).parentSnapshotId.getOrElse(0L)
@@ -110,7 +121,7 @@ final class MaterializedView(val spark: SparkSession, val dataset: SpaceDataset)
             }
           }
           val merged = Patch.merge(patches)
-            .getOrElse(Patch()) // empty source snapshot still advances the MV
+            .getOrElse(Patch()) // zero-row data snapshot still advances the MV
             .copy(sourceSnapshotId = Some(sid))
           applied = true
           (Some(merged), ())
@@ -119,6 +130,63 @@ final class MaterializedView(val spark: SparkSession, val dataset: SpaceDataset)
       if (applied) commits += 1
     }
     commits
+  }
+
+  /** The whole watermark→target backlog as ONE state commit.
+    *
+    * Sequential per-snapshot application reduces, for a PK-keyed
+    * source, to: every key TOUCHED in the window (any delete or add)
+    * ends in the state iff it is live at `target`, carrying its
+    * `target`-version transform — untouched keys are unchanged. So:
+    * sweep the state by the touched keys, then re-derive
+    * `transform(source@target ⋉ touched)`. This also collapses the
+    * N-commit CoW cost AND re-applies the transform once per surviving
+    * key instead of once per intermediate version. First refresh
+    * (watermark 0) skips the key bookkeeping: the state is empty, so
+    * it is one transform pass over the source at `target`. */
+  private def refreshCoalesced(
+      source: SpaceDataset,
+      start: Long,
+      target: Long,
+      dataSids: Seq[Long]): Int = {
+    val keyCols = source.primaryKeys
+      .filter(dataset.storage.schema.fieldNames.contains)
+    require(keyCols.nonEmpty,
+      s"MV refresh: no source primary key of (${source.primaryKeys.mkString(", ")}) " +
+        "survives the transform — cannot apply source deletes")
+    val estRows = dataSids.map(sid =>
+      ViewMaintenance.changelogRows(source.storage, sid, addsOnly = false)).sum
+    var applied = false
+    dataset.storage.transaction() { pinned =>
+      if (dataset.storage.metadata.mvSourceSnapshotId.exists(_ >= target)) {
+        applied = false
+        (None, ())
+      } else if (start == 0L) {
+        val transformed = plan.processSource(
+          spark, source.read(version = Some(target.toString)))
+        applied = true
+        (Some(RecordIO.writeWithRecords(spark, dataset.storage, transformed)
+          .copy(sourceSnapshotId = Some(target))), ())
+      } else {
+        val batches = ChangeData.diff(spark, source.storage, start, target)
+        val touched = batches.map(_.data.select(keyCols.map(
+            org.apache.spark.sql.functions.col): _*))
+          .reduce(_.unionByName(_)).distinct().persist()
+        try {
+          val live = source.read(version = Some(target.toString))
+            .join(ViewMaintenance.maybeBroadcast(spark, touched, estRows),
+              keyCols, "left_semi")
+          val patches =
+            DmlOps.deleteByKeysOn(spark, dataset.storage, pinned, touched, keyCols).toSeq ++
+              Seq(RecordIO.writeWithRecords(spark, dataset.storage,
+                plan.processSource(spark, live)))
+          applied = true
+          (Some(Patch.merge(patches).getOrElse(Patch())
+            .copy(sourceSnapshotId = Some(target))), ())
+        } finally touched.unpersist()
+      }
+    }
+    if (applied) 1 else 0
   }
 
   /** Expired-history fallback: one transform pass over the source AT

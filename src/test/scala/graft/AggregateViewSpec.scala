@@ -80,13 +80,19 @@ class AggregateViewSpec extends AnyFunSuite {
   }
 
   test("append-only maintenance is pure arithmetic (no recompute)") {
-    val src = sourceTable()
+    // seed HALF the keyspace so the follow-up append carries real rows
+    // (sf0.001 orderkeys top out ~1500; an out-of-range append is a
+    // zero-row snapshot, which refresh now skips as CDC-silent)
+    val seed = lineitem.filter(col("l_orderkey") <= 1000L)
+    val src = SpaceDataset.create(spark, freshLoc("aggsrc"), seed.schema,
+      Seq("l_orderkey", "l_linenumber"))
+    src.append(seed)
     val av = AggregateView.create(spark, freshLoc("aggmv"), src,
       Seq("l_returnflag"), Seq(
         AggSpec.sum("l_quantity", "sum_qty"), AggSpec.min("l_quantity", "min_qty"),
         AggSpec.max("l_quantity", "max_qty"), AggSpec.countAll("n_rows")))
     av.refresh()
-    src.append(lineitem.filter(col("l_orderkey") > 2000L && col("l_orderkey") <= 4000L))
+    src.append(lineitem.filter(col("l_orderkey") > 1000L && col("l_orderkey") <= 2000L))
     assert(av.refresh() == 1)
     assert(av.lastRecomputedGroups == 0L)
     assertSame(av.read(), src.readAll().groupBy("l_returnflag").agg(
@@ -116,6 +122,36 @@ class AggregateViewSpec extends AnyFunSuite {
       assertSame(av.read(), src.readAll().groupBy("l_orderkey").agg(
         sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows")))
     } finally spark.conf.unset(ViewMaintenance.BroadcastMaxRowsKey)
+  }
+
+  test("coalesced refresh: one commit, state equals per-snapshot twin; silent snapshots skipped") {
+    // PK-unique slices: upsert rejects the synthetic lineitem's
+    // duplicate (okey, linenumber) pairs by design
+    val uniq = lineitem.dropDuplicates("l_orderkey", "l_linenumber")
+    val seed = uniq.filter(col("l_orderkey") <= 700L)
+    val src = SpaceDataset.create(spark, freshLoc("aggcsrc"), seed.schema,
+      Seq("l_orderkey", "l_linenumber"))
+    src.append(seed)
+    val view = AggregateView.create(spark, freshLoc("aggseq"), src,
+      Seq("l_returnflag"), specs.take(5)) // count/sum/avg/min/max
+    val twin = AggregateView.create(spark, freshLoc("aggcoal"), src,
+      Seq("l_returnflag"), specs.take(5))
+    view.refresh(); twin.refresh()
+
+    // backlog: append + delete + upsert + CDC-silent compact
+    src.append(uniq.filter(col("l_orderkey") > 700L && col("l_orderkey") <= 1100L))
+    src.delete(col("l_suppkey") % 4 === 1)
+    src.upsert(uniq.filter(col("l_orderkey") <= 80L && col("l_suppkey") % 4 =!= 1)
+      .withColumn("l_quantity", col("l_quantity") + 5.0))
+    src.compact(targetFileRows = 1000000L)
+    assert(view.refresh() == 3, "per-snapshot: silent compact mints no commit")
+    assert(twin.refresh(None, coalesce = true) == 1)
+    assertSame(twin.read(), view.read())
+    assertSame(twin.read(), src.readAll().groupBy("l_returnflag").agg(
+      count(lit(1)).as("n_rows"), sum("l_quantity").as("sum_qty"),
+      avg("l_quantity").as("avg_qty"), min("l_quantity").as("min_qty"),
+      max("l_quantity").as("max_qty")))
+    assert(view.refresh() == 0 && twin.refresh(None, coalesce = true) == 0)
   }
 
   test("interior and extremum deletes stay arithmetic; only a DRAINED reservoir recomputes") {
@@ -345,12 +381,15 @@ class AggregateViewSpec extends AnyFunSuite {
   }
 
   test("load() rebinds from the persisted plan; refresh resumes from watermark") {
-    val src = sourceTable()
+    val seed = lineitem.filter(col("l_orderkey") <= 1000L)
+    val src = SpaceDataset.create(spark, freshLoc("aggsrc"), seed.schema,
+      Seq("l_orderkey", "l_linenumber"))
+    src.append(seed)
     val loc = freshLoc("aggmv")
     val av = AggregateView.create(spark, loc, src, Seq("l_linestatus"),
       Seq(AggSpec.sum("l_extendedprice", "sum_price"), AggSpec.countAll("n")))
     av.refresh()
-    src.append(lineitem.filter(col("l_orderkey") > 2000L && col("l_orderkey") <= 3000L))
+    src.append(lineitem.filter(col("l_orderkey") > 1000L && col("l_orderkey") <= 2000L))
 
     val re = AggregateView.load(spark, loc)
     assert(re.plan.groupBy == List("l_linestatus"))

@@ -94,8 +94,11 @@ class JoinViewSpec extends AnyFunSuite {
   }
 
   test("lifecycle: build, both-side DML, one refresh — state equals the fresh join") {
-    val l = leftTable()
-    val r = rightTable()
+    // seed 2/3 of the keyspace; sf0.001 orderkeys top out ~1500, so the
+    // follow-up appends below carry real rows (a zero-row snapshot is
+    // CDC-silent and refresh skips it)
+    val l = leftTable(1000L)
+    val r = rightTable(1000L)
     val jv = createView(l, r)
 
     // initial build: one commit, both watermarks set
@@ -111,11 +114,11 @@ class JoinViewSpec extends AnyFunSuite {
     // once (left deltas join right@R0; the pairs with ΔR arrive via the
     // right pass against left@L1)
     val newLeft = lineitem
-      .filter(col("l_orderkey") > 2000L && col("l_orderkey") <= 2600L)
+      .filter(col("l_orderkey") > 1000L && col("l_orderkey") <= 1300L)
       .selectExpr("l_orderkey AS okey", "l_linenumber", "l_quantity", "l_extendedprice")
       .dropDuplicates("okey", "l_linenumber")
     val newRight = orders
-      .filter(col("o_orderkey") > 2000L && col("o_orderkey") <= 2600L)
+      .filter(col("o_orderkey") > 1000L && col("o_orderkey") <= 1300L)
       .selectExpr("o_orderkey AS okey", "o_custkey", "o_totalprice")
     l.append(newLeft)
     r.append(newRight)
@@ -238,6 +241,37 @@ class JoinViewSpec extends AnyFunSuite {
     r.delete(col("okey") % 13 === 4, dvMaxFraction = Some(1.0))
     assert(jv.refresh() == 2)
     assertSame(jv.read(), expected(l, r))
+  }
+
+  test("coalesced refresh: one commit per side, equals the per-snapshot twin") {
+    val l = leftTable(700L)
+    val r = rightTable(700L)
+    val jv = createView(l, r)
+    val twin = createView(l, r)
+    assert(jv.refresh() == 1 && twin.refresh() == 1)
+
+    // backlog on BOTH sides: appends + deletes + an update + silent compacts
+    l.append(lineitem.filter(col("l_orderkey") > 700L && col("l_orderkey") <= 1100L)
+      .selectExpr("l_orderkey AS okey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .dropDuplicates("okey", "l_linenumber"))
+    l.delete(col("okey") % 7 === 1)
+    r.append(orders.filter(col("o_orderkey") > 700L && col("o_orderkey") <= 1100L)
+      .selectExpr("o_orderkey AS okey", "o_custkey", "o_totalprice"))
+    val liveKey = r.readAll().select(min(col("okey"))).collect()(0).getLong(0)
+    r.update(col("okey") === liveKey, Map("o_totalprice" -> lit(123.0)))
+    l.compact(targetFileRows = 1000000L)
+    r.compact(targetFileRows = 1000000L)
+
+    assert(jv.refresh() == 4, "per-snapshot: 2 left + 2 right data snapshots " +
+      "(silent compacts mint no commits)")
+    assert(twin.refresh(None, coalesce = true) == 2,
+      "coalesced: exactly ONE state commit per side")
+    val a = jv.read()
+    val b = twin.read()
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "coalesced state diverged from per-snapshot application")
+    assertSame(b, expected(l, r))
+    assert(jv.refresh() == 0 && twin.refresh(None, coalesce = true) == 0)
   }
 
   test("expired source history falls back to a one-commit rebuild") {

@@ -165,6 +165,54 @@ class ViewSpec extends AnyFunSuite {
     assert(mv2.refresh() == 0)
   }
 
+  test("coalesced refresh: one commit, state identical to per-snapshot application") {
+    val src = sourceTable()
+    val v = View.ofDataset(src)
+      .filterExpr("o_totalprice > 50000")
+      .selectExprs("o_orderkey", "o_custkey", "o_totalprice", "o_totalprice * 0.1 AS fee")
+    val mv = v.materialize(spark, freshLoc("mvseq"), Seq("o_orderkey"))
+    val twin = v.materialize(spark, freshLoc("mvcoal"), Seq("o_orderkey"))
+
+    // backlog: append + delete + upsert + a CDC-SILENT compact
+    src.append(orders.filter(col("o_orderkey") > 1000L && col("o_orderkey") <= 1300L))
+    src.delete(col("o_orderkey") % 9 === 2)
+    src.upsert(orders.filter(col("o_orderkey") > 300L && col("o_orderkey") <= 400L)
+      .withColumn("o_totalprice", col("o_totalprice") + 500000.0))
+    src.compact(targetFileRows = 1000000L)
+    assert(mv.refresh() == 3,
+      "per-snapshot refresh: one commit per DATA snapshot, silent compact skipped")
+    assert(twin.refresh(None, coalesce = true) == 1,
+      "coalesced refresh: the whole backlog in ONE state commit")
+    val a = mv.dataset.readAll()
+    val b = twin.dataset.readAll()
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "coalesced state diverged from per-snapshot application")
+    // both are no-ops afterwards (the per-snapshot twin re-checks the
+    // silent tail without committing)
+    assert(mv.refresh() == 0 && twin.refresh(None, coalesce = true) == 0)
+  }
+
+  test("CDC-silent source snapshots mint no MV commits") {
+    val src = sourceTable()
+    src.append(orders.filter(col("o_orderkey") > 1000L && col("o_orderkey") <= 1100L))
+    src.append(orders.filter(col("o_orderkey") > 1100L && col("o_orderkey") <= 1200L))
+    val v = View.ofDataset(src).selectExprs("o_orderkey", "o_totalprice")
+    val mv = v.materialize(spark, freshLoc("mvsilent"), Seq("o_orderkey"))
+    val wm = mv.refreshedTo.get
+    assert(src.compact(targetFileRows = 1000000L).isDefined, "compact must commit for this arm to bite")
+    // the compacting snapshot is CDC-silent: no state commit, watermark
+    // parked (an hourly-compacting source must not mint empty commits)
+    assert(mv.refresh() == 0)
+    assert(MaterializedView.load(spark, mv.dataset.location).refreshedTo.get == wm)
+    // the next data-bearing commit folds the watermark past the silent one
+    src.append(orders.filter(col("o_orderkey") > 1200L && col("o_orderkey") <= 1250L))
+    assert(mv.refresh() == 1)
+    assert(mv.refreshedTo.get == src.storage.metadata.currentSnapshotId)
+    val exp = v.toDF(spark)
+    val got = mv.dataset.readAll()
+    assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty)
+  }
+
   test("expired source history between refreshes: the MV REBUILDS instead of failing") {
     val src = sourceTable()
     val v = View.ofDataset(src)
