@@ -67,38 +67,15 @@ final class GraftFileIndex(
 
   // ------------------------------------------ lazy manifest-row loading
 
-  private val rowCache = scala.collection.concurrent.TrieMap.empty[String, Array[Row]]
-
-  /** Rows of `ms`, loading (once) any manifest not yet cached. The read
-    * uses the CURRENT manifest schema explicitly, so manifests written
-    * before a stats-field drop normalize instead of leaking extra
-    * columns. */
+  /** Rows of `ms` via the PROCESS-WIDE manifest cache ([[ManifestIO
+    * .readIndexManifestRowsCached]]): manifests are immutable, so
+    * repeated plans of an unchanged table — every fresh FileIndex a new
+    * read constructs, every snapshot of a CDC walk sharing manifests —
+    * are memory-resident instead of re-reading manifest parquet
+    * (small sets load on the driver, larger via one Spark read). */
   private def rowsOf(ms: Seq[String]): Seq[Row] = {
-    val missing = ms.filterNot(rowCache.contains)
-    if (missing.nonEmpty) {
-      // small manifest sets read ON THE DRIVER (no Spark job): scan
-      // planning over a few files otherwise pays a scheduling round
-      // trip per fresh FileIndex — the dominant cost of small-table
-      // reads. Same explicit-schema normalization on both paths.
-      if (ManifestIO.summarizedFileCount(storage, missing)
-          .exists(_ <= DmlOps.DriverScanMaxFiles)) {
-        ManifestIO.readIndexManifestRowsDriver(storage, conf, missing)
-          .groupBy(_._1)
-          .foreach { case (m, rs) => rowCache(m) = rs.map(_._2).toArray }
-        missing.foreach(m => rowCache.getOrElseUpdate(m, Array.empty[Row]))
-      } else {
-        val byName = spark.read.schema(mSchema)
-          .parquet(missing.map(storage.absolute): _*)
-          .withColumn("__mfile", element_at(split(col("_metadata.file_path"), "/"), -1))
-          .collect()
-          .groupBy(_.getAs[String]("__mfile"))
-          .map { case (k, rs) => k -> rs.map(r => Row.fromSeq(r.toSeq.dropRight(1))) }
-        missing.foreach { m =>
-          rowCache(m) = byName.getOrElse(new Path(m).getName, Array.empty[Row])
-        }
-      }
-    }
-    ms.flatMap(rowCache(_))
+    val byM = ManifestIO.readIndexManifestRowsCached(spark, storage, ms)
+    ms.flatMap(m => byM.get(m).map(_.toSeq).getOrElse(Nil))
   }
 
   // --------------------------------------------- lazy status resolution

@@ -420,6 +420,95 @@ object ManifestIO {
     spark.read.schema(manifestSchema(storage)).parquet(manifests.map(storage.absolute): _*)
   }
 
+  // ------------------------------------------- process-wide row cache
+
+  /** Total parsed-row budget of the process-wide manifest cache; an
+    * entry larger than a quarter of it is never cached. Manifest rows
+    * are a few hundred bytes each, so the default (1M rows) bounds the
+    * driver at low hundreds of MB while keeping repeated planning of
+    * unchanged tables memory-resident — the r13 driver-read path
+    * covered only ≤256-file tables; every OTHER plan re-read its
+    * manifest parquet (VERDICT r13 queue #3). `0` disables caching. */
+  val CacheMaxRowsKey = "spark.graft.manifest.cacheMaxRows"
+  val DefaultCacheMaxRows = 1000L * 1000
+
+  /** Largest summarized file count a scan PLAN serves from driver-local
+    * (cached) manifest rows; above it planning keeps the distributed
+    * manifest read, where only pruned file names reach the driver. */
+  val DriverPlanMaxFilesKey = "spark.graft.manifest.driverPlanMaxFiles"
+  val DefaultDriverPlanMaxFiles = 200L * 1000
+
+  /** Manifests are IMMUTABLE once written (rewrites mint new files), so
+    * parsed rows are cacheable by absolute path — the schema is part of
+    * the key because a widened/renamed stats column changes how the
+    * same file parses. Access-ordered LRU, evicted by total row count. */
+  private val rowCache = new java.util.LinkedHashMap[(String, StructType), Array[Row]](
+    64, 0.75f, true)
+  private var rowCacheRows = 0L
+
+  private val parquetOpens = new java.util.concurrent.atomic.AtomicLong(0)
+  /** Observability: count of manifest-parquet LOADS (cache misses +
+    * uncached reads) — pinned flat across repeated plans in specs. */
+  private[graft] def manifestParquetOpens: Long = parquetOpens.get()
+
+  private def cacheGet(key: (String, StructType)): Array[Row] =
+    rowCache.synchronized(rowCache.get(key))
+
+  private def cachePut(key: (String, StructType), rows: Array[Row], budget: Long): Unit =
+    rowCache.synchronized {
+      if (budget <= 0 || rows.length > budget / 4) return
+      if (rowCache.containsKey(key)) return
+      rowCache.put(key, rows)
+      rowCacheRows += rows.length
+      val it = rowCache.entrySet().iterator()
+      while (rowCacheRows > budget && it.hasNext) {
+        val e = it.next()
+        if (e.getKey != key) { rowCacheRows -= e.getValue.length; it.remove() }
+      }
+    }
+
+  /** Rows of `manifests` under `storage`'s CURRENT manifest schema,
+    * served from the process-wide cache. Misses load in bulk — on the
+    * driver when the summaries prove the set small (no Spark job), via
+    * one distributed read otherwise — and populate the cache per
+    * manifest. Both paths read with the explicit schema, so manifests
+    * written before a stats-field change normalize identically. */
+  def readIndexManifestRowsCached(
+      spark: SparkSession,
+      storage: Storage,
+      manifests: Seq[String]): Map[String, Array[Row]] = {
+    val schema = manifestSchema(storage)
+    val budget = spark.conf.getOption(CacheMaxRowsKey).map(_.trim.toLong)
+      .getOrElse(DefaultCacheMaxRows)
+    val hits = manifests.flatMap { m =>
+      Option(cacheGet((storage.absolute(m), schema))).map(m -> _)
+    }.toMap
+    val missing = manifests.filterNot(hits.contains)
+    if (missing.isEmpty) return hits
+    parquetOpens.addAndGet(missing.size.toLong)
+    val loaded: Map[String, Array[Row]] =
+      if (summarizedFileCount(storage, missing).exists(_ <= DmlOps.DriverScanMaxFiles)) {
+        val byM = readIndexManifestRowsDriver(storage,
+          spark.sparkContext.hadoopConfiguration, missing)
+          .groupBy(_._1).map { case (m, rs) => m -> rs.map(_._2).toArray }
+        missing.map(m => m -> byM.getOrElse(m, Array.empty[Row])).toMap
+      } else {
+        import org.apache.spark.sql.functions.{col, element_at, split}
+        val byName = spark.read.schema(schema)
+          .parquet(missing.map(storage.absolute): _*)
+          .withColumn("__mfile", element_at(split(col("_metadata.file_path"), "/"), -1))
+          .collect()
+          .groupBy(_.getAs[String]("__mfile"))
+          .map { case (k, rs) => k -> rs.map(r => Row.fromSeq(r.toSeq.dropRight(1))) }
+        missing.map(m =>
+          m -> byName.getOrElse(new Path(m).getName, Array.empty[Row])).toMap
+      }
+    loaded.foreach { case (m, rows) =>
+      cachePut((storage.absolute(m), schema), rows, budget)
+    }
+    hits ++ loaded
+  }
+
   /** O(1) total file count across `manifests` from the manifest-list
     * summaries — None when any manifest predates summaries (legacy),
     * which disqualifies the driver-side fast paths below. */

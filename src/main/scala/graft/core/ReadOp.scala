@@ -91,7 +91,23 @@ object ReadOp {
 
     if (surviving.isEmpty)
       return ScanPlan(Nil, math.max(total, 0), manifests.size, prunedM)
-    val mdf = ManifestIO.readIndexManifests(spark, storage, surviving)
+    // summarized tables within the driver-plan bound serve manifest
+    // rows from the process-wide cache as a LOCAL relation: the filter/
+    // collect below folds driver-side (ConvertToLocalRelation), so a
+    // REPEATED plan of an unchanged table costs zero Spark jobs and
+    // zero manifest IO. Oversized tables keep the distributed read —
+    // only the pruned file NAMES ever reach the driver there.
+    val survivingFiles: Option[Long] =
+      if (allSummarized) Some(surviving.map(summaries(_).numFiles).sum) else None
+    val driverBound = spark.conf.getOption(ManifestIO.DriverPlanMaxFilesKey)
+      .map(_.trim.toLong).getOrElse(ManifestIO.DefaultDriverPlanMaxFiles)
+    val mdf =
+      if (survivingFiles.exists(_ <= driverBound)) {
+        val rows = ManifestIO.readIndexManifestRowsCached(spark, storage, surviving)
+        spark.createDataFrame(
+          surviving.flatMap(m => rows.getOrElse(m, Array.empty[Row]).toSeq).asJava,
+          ManifestIO.manifestSchema(storage))
+      } else ManifestIO.readIndexManifests(spark, storage, surviving)
     val kept = keep.fold(mdf)(mdf.filter)
     // one collect carries both the surviving file list and the
     // membership-evidence markers (file, column) → usable?, so the

@@ -38,7 +38,12 @@ object RewriteManifestsOp {
   final case class RewriteManifestsResult(
       rewrittenManifests: Int,
       outputManifests: Int,
-      files: Long)
+      files: Long,
+      /** Record manifests left UNPACKED because their row count
+        * exceeded the driver bound — surfaced (not silent, VERDICT
+        * r12/r13 #5) so an operator sees the record plane still
+        * fragmented and can raise the bound or pack off-peak. */
+      recordManifestsSkipped: Int = 0)
 
   /** Build the rewrite patch, or None when there is nothing to gain.
     * INCREMENTAL: only UNDER-FILLED manifests (fewer rows than the
@@ -126,16 +131,16 @@ object RewriteManifestsOp {
     // past the driver bound they are left as-is (the index plane is the
     // planning cost; record manifests are read whole by GC/reclamation).
     val recMans = snap.manifestFiles.recordManifestFiles
-    val (recAdded, recRemoved) =
-      if (recMans.size <= 1) (Nil, Nil)
+    val (recAdded, recRemoved, recSkipped) =
+      if (recMans.size <= 1) (Nil, Nil, 0)
       else {
         val rdf = spark.read.parquet(recMans.map(storage.absolute): _*)
         val rows = rdf.limit(driverMaxRows.toInt + 1).collect().toSeq
-        if (rows.size > driverMaxRows) (Nil, Nil)
+        if (rows.size > driverMaxRows) (Nil, Nil, recMans.size)
         else {
           val recParts = math.max(1,
             math.ceil(rows.size.toDouble / targetFilesPerManifest).toInt)
-          if (recMans.size <= recParts) (Nil, Nil)
+          if (recMans.size <= recParts) (Nil, Nil, 0)
           else {
             val fi = rdf.schema.fieldIndex("_FILE")
             val sorted = rows.sortBy(_.getString(fi))
@@ -145,7 +150,7 @@ object RewriteManifestsOp {
               DriverParquet.write(conf, storage.absolute(rel), rdf.schema, chunk)
               rel
             }.toList
-            (rels, recMans)
+            (rels, recMans, 0)
           }
         }
       }
@@ -158,6 +163,6 @@ object RewriteManifestsOp {
       changeLog = None,
       manifestSummaries = written.toMap)
     Some((patch,
-      RewriteManifestsResult(small.size, written.size, totalFiles)))
+      RewriteManifestsResult(small.size, written.size, totalFiles, recSkipped)))
   }
 }

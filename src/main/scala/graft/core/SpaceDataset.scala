@@ -185,10 +185,41 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
 
   // --------------------------------------------------------- mutations
 
-  def append(df: DataFrame, branch: String = currentBranch): Long =
-    storage.commitTransaction(branch, ConflictPolicy.Append) { _ =>
+  def append(df: DataFrame, branch: String = currentBranch): Long = {
+    val sid = storage.commitTransaction(branch, ConflictPolicy.Append) { _ =>
       Some(RecordIO.writeWithRecords(spark, storage, toPhysicalDf(df)))
     }
+    maybeAutoPackManifests(branch)
+    sid
+  }
+
+  /** Self-maintenance (the [[graft.views.ViewMaintenance]] /
+    * [[ClusterOp]] shape, for the METADATA plane): every trickle append
+    * mints one small index manifest, and past a few dozen of them a
+    * full scan's planning pays one read per manifest. When an append
+    * leaves at least `spark.graft.manifest.autoPackManifests` (default
+    * 64, 0 disables) UNDER-FILLED index manifests, the already-
+    * incremental [[RewriteManifestsOp]] bin-pack runs right after the
+    * commit — CDC-silent, so CDC feeds and chained views see nothing.
+    * The check is O(1) off the manifest-list summaries; unsummarized
+    * (legacy) manifests never trigger. Best-effort: a racing writer or
+    * a transient failure just defers the pack to a later append. */
+  private def maybeAutoPackManifests(branch: String): Unit = {
+    val threshold = spark.conf.getOption(SpaceDataset.AutoPackManifestsKey)
+      .map(_.trim.toLong).getOrElse(SpaceDataset.DefaultAutoPackManifests)
+    if (threshold <= 0) return
+    val target = spark.conf.getOption(SpaceDataset.AutoPackTargetFilesKey)
+      .map(_.trim.toLong).getOrElse(SpaceDataset.DefaultAutoPackTargetFiles)
+    val snap = storage.metadata.snapshot(storage.branchHead(branch))
+      .getOrElse(return)
+    val summaries = storage.metadata.manifestSummaries
+    val underFilled = snap.manifestFiles.indexManifestFiles.count(m =>
+      summaries.get(m).exists(_.numFiles < target))
+    if (underFilled < threshold) return
+    try rewriteManifests(targetFilesPerManifest = target, branch = branch)
+    catch { case scala.util.control.NonFatal(_) => }
+    ()
+  }
 
   /** Append from N sources in ONE snapshot (`append_from`, reference
     * runners.py:149-157 / ray/runners.py:282-318: parallel writers, one
@@ -695,6 +726,16 @@ final class MergeBuilder private[core] (ds: SpaceDataset, source: DataFrame) {
 }
 
 object SpaceDataset {
+
+  /** Under-filled index-manifest count that makes an append self-pack
+    * the manifest tail ([[SpaceDataset.append]]); `0` disables. */
+  val AutoPackManifestsKey = "spark.graft.manifest.autoPackManifests"
+  val DefaultAutoPackManifests = 64L
+
+  /** Target rows (= data files) per packed manifest for the self-pack
+    * — also the under-filled threshold, like `rewrite_manifests`. */
+  val AutoPackTargetFilesKey = "spark.graft.manifest.autoPackTargetFiles"
+  val DefaultAutoPackTargetFiles = 100L * 1000
 
   def create(
       spark: SparkSession,

@@ -23,6 +23,38 @@ object StorageOps {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.read(s, d, n)
 
+  /** The storage-partitioned-join gate knobs. Applied via
+    * [[org.apache.spark.sql.graftshim.ScopedConf.withSessionOverrides]]
+    * (a session clone), never as a set/unset window on the shared
+    * session — a concurrent planner must not observe them. */
+  private val SpjConfs = Seq(
+    "spark.sql.sources.v2.bucketing.enabled" -> "true",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
+  /** Materialize `j` (AQE finalizes), then require a shuffle-family
+    * join with ZERO exchange beneath it — the SPJ pin shared by the
+    * bucket-join/rebucket gates. */
+  private def requireExchangeFreeJoin(j: DataFrame, what: String): Unit = {
+    j.count()
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case x: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        p +: flatten(x.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => p +: flatten(q.plan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    val all = flatten(j.queryExecution.executedPlan)
+    val joinIdx = all.indexWhere {
+      case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => true
+      case _: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => true
+      case _ => false
+    }
+    require(joinIdx >= 0, s"$what: no shuffle-family join in the plan")
+    require(!flatten(all(joinIdx)).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+      s"$what: storage-partitioned join still shuffled")
+  }
+
   /** WebDataset fixture shards, cached ACROSS JVMs keyed by the source
     * table's identity ([[FixtureCache]]). The notebook's img2dataset
     * download happens ONCE, outside the measured ingest — synthesizing
@@ -207,6 +239,19 @@ object StorageOps {
       require(p.prunedManifests > 0,
         s"summary pruning must drop manifests after the rewrite " +
           s"(${p.prunedManifests}/${p.totalManifests})")
+      // SELF-TRIGGERING pack: with the threshold lowered (session clone,
+      // no shared-conf window), 20 trickle appends keep the manifest
+      // list bounded with NO manual CALL — the steady-state shape of a
+      // perpetually-trickling 100 TB table
+      org.apache.spark.sql.graftshim.ScopedConf.withSessionOverrides(s,
+        Seq(SpaceDataset.AutoPackManifestsKey -> "6")) { sc =>
+        val auto = SpaceDataset.create(sc, fresh("rwauto"), o.schema, Seq("o_orderkey"))
+        (0 until 20).foreach(i =>
+          auto.append(t(sc, d, "orders").filter(col("o_orderkey") % 20 === i)))
+        val n = auto.storage.metadata.currentSnapshot
+          .manifestFiles.indexManifestFiles.size
+        require(n <= 7, s"auto-pack must bound the manifest tail, got $n")
+      }
       ds.readAll()
     }),
 
@@ -419,50 +464,22 @@ object StorageOps {
     "s_bucket_join" -> ((s, d) => {
       val root = Files.createTempDirectory("graft_bjoin").toString
       TempCatalog.withTempCatalog(s, root, "gbj") { cat =>
-      val prevV2Bucketing =
-        s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
-      val prevBroadcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      try {
-        s.sql(s"CREATE TABLE $cat.o (o_orderkey BIGINT, o_custkey BIGINT, " +
-          "o_totalprice DOUBLE) TBLPROPERTIES ('primary_keys'='o_orderkey', " +
-          "'bucket_columns'='o_custkey', 'num_buckets'='8')")
-        s.sql(s"CREATE TABLE $cat.c (c_custkey BIGINT, c_name STRING) " +
-          "TBLPROPERTIES ('primary_keys'='c_custkey', " +
-          "'bucket_columns'='c_custkey', 'num_buckets'='8')")
-        t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
-          .write.mode("append").insertInto(s"$cat.o")
-        t(s, d, "customer").select("c_custkey", "c_name")
-          .write.mode("append").insertInto(s"$cat.c")
-        val j = s.sql(s"SELECT o_orderkey, c_name, round(o_totalprice, 2) AS price " +
-          s"FROM $cat.o JOIN $cat.c ON o_custkey = c_custkey")
-        j.count() // materialize so AQE finalizes the plan
-        def flatten(p: org.apache.spark.sql.execution.SparkPlan)
-            : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-            p +: flatten(a.executedPlan)
-          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => p +: flatten(q.plan)
-          case _ => p +: p.children.flatMap(flatten)
+        org.apache.spark.sql.graftshim.ScopedConf.withSessionOverrides(s, SpjConfs) { sc =>
+          sc.sql(s"CREATE TABLE $cat.o (o_orderkey BIGINT, o_custkey BIGINT, " +
+            "o_totalprice DOUBLE) TBLPROPERTIES ('primary_keys'='o_orderkey', " +
+            "'bucket_columns'='o_custkey', 'num_buckets'='8')")
+          sc.sql(s"CREATE TABLE $cat.c (c_custkey BIGINT, c_name STRING) " +
+            "TBLPROPERTIES ('primary_keys'='c_custkey', " +
+            "'bucket_columns'='c_custkey', 'num_buckets'='8')")
+          t(sc, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+            .write.mode("append").insertInto(s"$cat.o")
+          t(sc, d, "customer").select("c_custkey", "c_name")
+            .write.mode("append").insertInto(s"$cat.c")
+          val j = sc.sql(s"SELECT o_orderkey, c_name, round(o_totalprice, 2) AS price " +
+            s"FROM $cat.o JOIN $cat.c ON o_custkey = c_custkey")
+          requireExchangeFreeJoin(j, "s_bucket_join")
+          TempCatalog.decouple(s, j)
         }
-        val all = flatten(j.queryExecution.executedPlan)
-        val joinIdx = all.indexWhere {
-          case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => true
-          case _: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => true
-          case _ => false
-        }
-        require(joinIdx >= 0, "no shuffle-family join in the plan")
-        require(!flatten(all(joinIdx)).exists(
-          _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
-          "storage-partitioned join still shuffled")
-        TempCatalog.decouple(s, j)
-      } finally {
-        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
-        prevV2Bucketing match {
-          case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
-          case None => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
-        }
-      }
       }
     }),
 
@@ -475,61 +492,33 @@ object StorageOps {
     "s_bucket_join_multi" -> ((s, d) => {
       val root = Files.createTempDirectory("graft_bjoinm").toString
       TempCatalog.withTempCatalog(s, root, "gbjm") { cat =>
-      val prevV2Bucketing =
-        s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
-      val prevBroadcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      try {
-        s.sql(s"CREATE TABLE $cat.a (o_orderkey BIGINT, o_custkey BIGINT, " +
-          "o_orderstatus STRING, o_totalprice DOUBLE) TBLPROPERTIES " +
-          "('primary_keys'='o_orderkey', " +
-          "'bucket_columns'='o_custkey,o_orderstatus', 'num_buckets'='4,4')")
-        s.sql(s"CREATE TABLE $cat.b (o_custkey BIGINT, o_orderstatus STRING) " +
-          "TBLPROPERTIES ('primary_keys'='o_custkey,o_orderstatus', " +
-          "'bucket_columns'='o_custkey,o_orderstatus', 'num_buckets'='4,4')")
-        t(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
-          .write.mode("append").insertInto(s"$cat.a")
-        t(s, d, "orders").select("o_custkey", "o_orderstatus").distinct()
-          .write.mode("append").insertInto(s"$cat.b")
-        // a filter pinning ONE of the two bucket columns prunes its
-        // dimension of the tuple layout
-        val ds = SpaceDataset.load(s, s"$root/a")
-        val p = ds.plan(Some(col("o_orderstatus") === "F"))
-        require(p.files.nonEmpty && p.files.size < p.totalFiles,
-          s"partial bucket pin must prune (kept ${p.files.size}/${p.totalFiles})")
-        // join on EXACTLY the bucket-column pair: SPJ co-partitioning
-        // requires the join keys to cover the partition transforms
-        // (spark.sql.requireAllClusterKeysForCoPartition)
-        val j = s.sql(s"SELECT a.o_orderkey, round(a.o_totalprice, 2) AS price " +
-          s"FROM $cat.a a JOIN $cat.b b " +
-          "ON a.o_custkey = b.o_custkey AND a.o_orderstatus = b.o_orderstatus")
-        j.count() // materialize so AQE finalizes the plan
-        def flatten(p: org.apache.spark.sql.execution.SparkPlan)
-            : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-            p +: flatten(a.executedPlan)
-          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => p +: flatten(q.plan)
-          case _ => p +: p.children.flatMap(flatten)
+        org.apache.spark.sql.graftshim.ScopedConf.withSessionOverrides(s, SpjConfs) { sc =>
+          sc.sql(s"CREATE TABLE $cat.a (o_orderkey BIGINT, o_custkey BIGINT, " +
+            "o_orderstatus STRING, o_totalprice DOUBLE) TBLPROPERTIES " +
+            "('primary_keys'='o_orderkey', " +
+            "'bucket_columns'='o_custkey,o_orderstatus', 'num_buckets'='4,4')")
+          sc.sql(s"CREATE TABLE $cat.b (o_custkey BIGINT, o_orderstatus STRING) " +
+            "TBLPROPERTIES ('primary_keys'='o_custkey,o_orderstatus', " +
+            "'bucket_columns'='o_custkey,o_orderstatus', 'num_buckets'='4,4')")
+          t(sc, d, "orders").select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+            .write.mode("append").insertInto(s"$cat.a")
+          t(sc, d, "orders").select("o_custkey", "o_orderstatus").distinct()
+            .write.mode("append").insertInto(s"$cat.b")
+          // a filter pinning ONE of the two bucket columns prunes its
+          // dimension of the tuple layout
+          val ds = SpaceDataset.load(sc, s"$root/a")
+          val p = ds.plan(Some(col("o_orderstatus") === "F"))
+          require(p.files.nonEmpty && p.files.size < p.totalFiles,
+            s"partial bucket pin must prune (kept ${p.files.size}/${p.totalFiles})")
+          // join on EXACTLY the bucket-column pair: SPJ co-partitioning
+          // requires the join keys to cover the partition transforms
+          // (spark.sql.requireAllClusterKeysForCoPartition)
+          val j = sc.sql(s"SELECT a.o_orderkey, round(a.o_totalprice, 2) AS price " +
+            s"FROM $cat.a a JOIN $cat.b b " +
+            "ON a.o_custkey = b.o_custkey AND a.o_orderstatus = b.o_orderstatus")
+          requireExchangeFreeJoin(j, "s_bucket_join_multi")
+          TempCatalog.decouple(s, j)
         }
-        val all = flatten(j.queryExecution.executedPlan)
-        val joinIdx = all.indexWhere {
-          case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => true
-          case _: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => true
-          case _ => false
-        }
-        require(joinIdx >= 0, "no shuffle-family join in the plan")
-        require(!flatten(all(joinIdx)).exists(
-          _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
-          "multi-column storage-partitioned join still shuffled")
-        TempCatalog.decouple(s, j)
-      } finally {
-        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
-        prevV2Bucketing match {
-          case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
-          case None => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
-        }
-      }
       }
     }),
 
@@ -543,65 +532,37 @@ object StorageOps {
     "s_rebucket" -> ((s, d) => {
       val root = Files.createTempDirectory("graft_rebucket").toString
       TempCatalog.withTempCatalog(s, root, "grbk") { cat =>
-      val prevV2Bucketing =
-        s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
-      val prevBroadcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      try {
-        s.sql(s"CREATE TABLE $cat.a (o_orderkey BIGINT, o_custkey BIGINT, " +
-          "o_orderstatus STRING, o_totalprice DOUBLE) TBLPROPERTIES " +
-          "('primary_keys'='o_orderkey', " +
-          "'bucket_columns'='o_custkey,o_orderstatus', 'num_buckets'='2,2')")
-        s.sql(s"CREATE TABLE $cat.b (o_custkey BIGINT, o_orderstatus STRING) " +
-          "TBLPROPERTIES ('primary_keys'='o_custkey,o_orderstatus', " +
-          "'bucket_columns'='o_custkey,o_orderstatus', 'num_buckets'='2,2')")
-        t(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
-          .write.mode("append").insertInto(s"$cat.a")
-        t(s, d, "orders").select("o_custkey", "o_orderstatus").distinct()
-          .write.mode("append").insertInto(s"$cat.b")
-        val a = SpaceDataset.load(s, s"$root/a")
-        val b = SpaceDataset.load(s, s"$root/b")
-        a.rebucket(Seq(4, 4))
-        b.rebucket(Seq(4, 4))
-        require(a.storage.metadata.bucketCounts == List(4, 4) &&
-          a.storage.metadata.bucketLayoutSince ==
-            a.storage.metadata.currentSnapshotId,
-          "s_rebucket: layout metadata must switch with the rewrite commit")
-        // subset pin prunes a dimension of the NEW tuple layout
-        val p = a.plan(Some(col("o_orderstatus") === "F"))
-        require(p.files.nonEmpty && p.files.size < p.totalFiles,
-          s"s_rebucket: partial pin must prune at 4x4 " +
-            s"(kept ${p.files.size}/${p.totalFiles})")
-        val j = s.sql(s"SELECT a.o_orderkey, round(a.o_totalprice, 2) AS price " +
-          s"FROM $cat.a a JOIN $cat.b b " +
-          "ON a.o_custkey = b.o_custkey AND a.o_orderstatus = b.o_orderstatus")
-        j.count() // materialize so AQE finalizes the plan
-        def flatten(p: org.apache.spark.sql.execution.SparkPlan)
-            : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-          case x: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-            p +: flatten(x.executedPlan)
-          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => p +: flatten(q.plan)
-          case _ => p +: p.children.flatMap(flatten)
+        org.apache.spark.sql.graftshim.ScopedConf.withSessionOverrides(s, SpjConfs) { sc =>
+          sc.sql(s"CREATE TABLE $cat.a (o_orderkey BIGINT, o_custkey BIGINT, " +
+            "o_orderstatus STRING, o_totalprice DOUBLE) TBLPROPERTIES " +
+            "('primary_keys'='o_orderkey', " +
+            "'bucket_columns'='o_custkey,o_orderstatus', 'num_buckets'='2,2')")
+          sc.sql(s"CREATE TABLE $cat.b (o_custkey BIGINT, o_orderstatus STRING) " +
+            "TBLPROPERTIES ('primary_keys'='o_custkey,o_orderstatus', " +
+            "'bucket_columns'='o_custkey,o_orderstatus', 'num_buckets'='2,2')")
+          t(sc, d, "orders").select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+            .write.mode("append").insertInto(s"$cat.a")
+          t(sc, d, "orders").select("o_custkey", "o_orderstatus").distinct()
+            .write.mode("append").insertInto(s"$cat.b")
+          val a = SpaceDataset.load(sc, s"$root/a")
+          val b = SpaceDataset.load(sc, s"$root/b")
+          a.rebucket(Seq(4, 4))
+          b.rebucket(Seq(4, 4))
+          require(a.storage.metadata.bucketCounts == List(4, 4) &&
+            a.storage.metadata.bucketLayoutSince ==
+              a.storage.metadata.currentSnapshotId,
+            "s_rebucket: layout metadata must switch with the rewrite commit")
+          // subset pin prunes a dimension of the NEW tuple layout
+          val p = a.plan(Some(col("o_orderstatus") === "F"))
+          require(p.files.nonEmpty && p.files.size < p.totalFiles,
+            s"s_rebucket: partial pin must prune at 4x4 " +
+              s"(kept ${p.files.size}/${p.totalFiles})")
+          val j = sc.sql(s"SELECT a.o_orderkey, round(a.o_totalprice, 2) AS price " +
+            s"FROM $cat.a a JOIN $cat.b b " +
+            "ON a.o_custkey = b.o_custkey AND a.o_orderstatus = b.o_orderstatus")
+          requireExchangeFreeJoin(j, "s_rebucket")
+          TempCatalog.decouple(s, j)
         }
-        val all = flatten(j.queryExecution.executedPlan)
-        val joinIdx = all.indexWhere {
-          case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => true
-          case _: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => true
-          case _ => false
-        }
-        require(joinIdx >= 0, "no shuffle-family join in the plan")
-        require(!flatten(all(joinIdx)).exists(
-          _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
-          "s_rebucket: post-rebucket storage-partitioned join still shuffled")
-        TempCatalog.decouple(s, j)
-      } finally {
-        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
-        prevV2Bucketing match {
-          case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
-          case None => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
-        }
-      }
       }
     }),
 
@@ -911,6 +872,36 @@ object StorageOps {
       src.delete(col("o_orderkey") <= 200L)
       src.append(o.filter(col("o_orderkey") > 1000L && col("o_orderkey") <= 1200L))
       mv.refresh()
+      mv.dataset.readAll()
+    }),
+
+    // BACKLOG-COALESCED refresh: the same incremental-MV machinery, but
+    // the whole watermark→target CDC walk (delete + append + update +
+    // a CDC-silent compact) folds into ONE state commit — the catchup
+    // shape at scale: a view N commits behind pays one maintenance
+    // pass (one sweep by the touched keys + one transform over their
+    // live versions), not N commit cycles. The require pins exactly
+    // one commit; the oracle recomputes from the final source state,
+    // so equality proves the coalesced algebra
+    "s_mv_coalesce" -> ((s, d) => {
+      import graft.views._
+      val o = t(s, d, "orders")
+      val src = SpaceDataset.create(s, fresh("mvcsrc"), o.schema, Seq("o_orderkey"))
+      src.append(o.filter(col("o_orderkey") <= 1000L))
+      val v = View.ofDataset(src)
+        .filterExpr("o_totalprice > 100000")
+        .selectExprs("o_orderkey", "o_custkey", "o_totalprice * 2 AS fee")
+      val mv = v.materialize(s, fresh("mvc"), Seq("o_orderkey"))
+      mv.refresh() // initial build
+      // four-source-commit backlog, one of them CDC-silent
+      src.delete(col("o_orderkey") <= 200L)
+      src.append(o.filter(col("o_orderkey") > 1000L && col("o_orderkey") <= 1200L))
+      src.update(col("o_orderkey") % 7 === 0,
+        Map("o_custkey" -> (col("o_custkey") + 1000L)))
+      src.compact(targetFileRows = 1000000L)
+      val commits = mv.refresh(None, coalesce = true)
+      require(commits == 1,
+        s"coalesced refresh must land ONE state commit, got $commits")
       mv.dataset.readAll()
     }),
 
@@ -1533,6 +1524,14 @@ object StorageOps {
         |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
     "s_mv_refresh" ->
       """SELECT o_orderkey, o_custkey, o_totalprice * 2 AS fee
+        |FROM orders
+        |WHERE o_orderkey > 200 AND o_orderkey <= 1200
+        |  AND o_totalprice > 100000""".stripMargin,
+    "s_mv_coalesce" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 1000
+        |       ELSE o_custkey END AS o_custkey,
+        |  o_totalprice * 2 AS fee
         |FROM orders
         |WHERE o_orderkey > 200 AND o_orderkey <= 1200
         |  AND o_totalprice > 100000""".stripMargin,

@@ -156,10 +156,12 @@ object GraftProcedures {
         StructType(Seq(
           StructField("rewritten_manifests", IntegerType, nullable = false),
           StructField("output_manifests", IntegerType, nullable = false),
-          StructField("files", LongType, nullable = false)))) {
+          StructField("files", LongType, nullable = false),
+          StructField("record_manifests_skipped", IntegerType, nullable = false)))) {
         override def run(input: InternalRow): Seq[InternalRow] =
           ds(input).rewriteManifests(input.getLong(1)).toSeq
-            .map(r => InternalRow(r.rewrittenManifests, r.outputManifests, r.files))
+            .map(r => InternalRow(r.rewrittenManifests, r.outputManifests, r.files,
+              r.recordManifestsSkipped))
       },
 
       new Proc("rebucket",
@@ -205,14 +207,19 @@ object GraftProcedures {
       },
 
       new Proc("refresh_mv",
-        "Incrementally refresh a materialized view from its source's CDC feed",
-        Array(ProcedureParameter.in("table", StringType).build()),
+        "Incrementally refresh a materialized view from its source's CDC " +
+          "feed; coalesce => fold the whole backlog into one state commit " +
+          "(per side for a join view) instead of one per source snapshot",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("coalesce", BooleanType)
+            .defaultValue("false").build()),
         StructType(Seq(
           StructField("commits", IntegerType, nullable = false),
           StructField("source_snapshot_id", LongType)))) {
         override def run(input: InternalRow): Seq[InternalRow] = {
           val mv = cat.mvByName(input.getUTF8String(0).toString)
-          val commits = mv.refresh()
+          val commits = mv.refresh(None, coalesce = input.getBoolean(1))
           Seq(InternalRow(commits,
             mv.refreshedTo.map(Long.box).getOrElse(null)))
         }

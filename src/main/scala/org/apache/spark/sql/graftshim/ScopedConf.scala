@@ -82,6 +82,25 @@ object ScopedConf {
     body(org.apache.spark.sql.classic.Dataset.ofRows(clone, df.queryExecution.logical))
   }
 
+  /** Session-level variant for flows that aren't a single DataFrame —
+    * DDL, inserts, and SQL against a temp catalog. Clones the session,
+    * applies the overrides to the CLONE, and runs `body` with it; the
+    * parent's conf is never touched, so concurrent planners can't
+    * observe the overrides or have their own clobbered (both failure
+    * modes of the set/try/finally/restore template this replaces —
+    * VERDICT r12/r13). Deliberately UNCACHED, unlike [[withScopedConf]]:
+    * callers here carry per-invocation session state (a freshly
+    * registered temp catalog), so a reused clone would see stale conf.
+    * The clone shares the SparkContext; discarding it costs nothing. */
+  def withSessionOverrides[A](
+      spark: org.apache.spark.sql.SparkSession,
+      confs: Seq[(String, String)])(
+      body: org.apache.spark.sql.SparkSession => A): A = {
+    val clone = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+    confs.foreach { case (k, v) => clone.conf.set(k, v) }
+    body(clone)
+  }
+
   /** Drop every cached clone of `session` — for embedders that retire
     * sessions deterministically instead of waiting for LRU churn. */
   def invalidate(session: org.apache.spark.sql.SparkSession): Unit = {

@@ -212,6 +212,81 @@ class ManifestListSpec extends AnyFunSuite {
     assert(ds.readAll().filter(col("payload").isNull).count() == 0)
   }
 
+  test("record-manifest pack past the driver bound is SKIPPED and surfaced") {
+    import org.apache.spark.sql.functions.encode
+    val docs = Tables.read(spark, sfDir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val loc = Files.createTempDirectory("graft_mlrws_").toString + "/tbl"
+    val ds = SpaceDataset.create(spark, loc, docs.schema, Seq("doc_id"),
+      recordFields = Seq("payload"))
+    (0 until 4).foreach(i => ds.append(docs.filter(col("doc_id") % 4 === i)))
+    val before = ds.storage.metadata.currentSnapshot
+    assert(before.manifestFiles.recordManifestFiles.size == 4)
+    // driverMaxRows = 0 forces the INDEX plane distributed and the
+    // RECORD plane past its (driver-only) bound: the pack must still
+    // land, leave record manifests as-is, and REPORT the skip instead
+    // of silently dropping it (VERDICT r12/r13 #5)
+    val res = ds.storage.transaction(policy = ConflictPolicy.Rewrite) { pinned =>
+      RewriteManifestsOp.rewriteManifests(spark, ds.storage, pinned,
+        targetFilesPerManifest = 100L, driverMaxRows = 0L) match {
+        case Some((patch, r)) => (Some(patch), Some(r))
+        case None => (None, None)
+      }
+    }.get
+    assert(res.recordManifestsSkipped == 4,
+      s"skip must be surfaced, got ${res.recordManifestsSkipped}")
+    val after = ds.storage.metadata.currentSnapshot
+    assert(after.manifestFiles.recordManifestFiles.toSet ==
+      before.manifestFiles.recordManifestFiles.toSet,
+      "skipped record manifests must be untouched")
+    assert(after.manifestFiles.indexManifestFiles.size == res.outputManifests)
+    // the driver-path pack reports zero skips on the same table
+    val res2 = ds.rewriteManifests(targetFilesPerManifest = 100L)
+    assert(res2.forall(_.recordManifestsSkipped == 0))
+    assert(ds.readAll().filter(col("payload").isNull).count() == 0)
+  }
+
+  test("trickle appends self-pack the manifest tail (no manual CALL)") {
+    val orders = Tables.read(spark, sfDir, "orders")
+    val loc = Files.createTempDirectory("graft_mlap_").toString + "/tbl"
+    spark.conf.set(SpaceDataset.AutoPackManifestsKey, "6")
+    try {
+      val ds = SpaceDataset.create(spark, loc, orders.schema, Seq("o_orderkey"))
+      (0 until 20).foreach(i => ds.append(orders.filter(col("o_orderkey") % 20 === i)))
+      val meta = ds.storage.metadata
+      val n = meta.currentSnapshot.manifestFiles.indexManifestFiles.size
+      assert(n <= 7, s"self-pack must bound the manifest tail, got $n")
+      // the pack commits are CDC-silent: a view/CDC walk sees ONLY the
+      // 20 data snapshots
+      val dataSids = ds.storage.orderedSnapshotIds(0L, meta.currentSnapshotId)
+        .filter(sid => ds.storage.snapshotOrFail(sid).changeLogFile.isDefined)
+      assert(dataSids.size == 20, s"expected 20 data snapshots, got ${dataSids.size}")
+      assert(ds.readAll().count() == orders.count())
+    } finally spark.conf.unset(SpaceDataset.AutoPackManifestsKey)
+  }
+
+  test("repeated plans of an unchanged table serve manifest rows from the process cache") {
+    val (ds, orders) = quartered("mlcache_")
+    // warm: the first planned read loads each manifest once
+    assert(ds.readAll().count() == orders.count())
+    val opens0 = ManifestIO.manifestParquetOpens
+    // repeated plans — fresh FileIndex per read, filtered and full —
+    // must not reopen any manifest parquet (they are immutable)
+    assert(ds.read(filter = Some(col("o_orderkey") < 100L)).count() ==
+      orders.filter(col("o_orderkey") < 100L).count())
+    assert(ds.readAll().count() == orders.count())
+    assert(ds.plan(Some(col("o_orderkey") < 100L)).files.nonEmpty)
+    assert(ManifestIO.manifestParquetOpens == opens0,
+      s"unchanged table must replan with ZERO manifest loads " +
+        s"(${ManifestIO.manifestParquetOpens - opens0} loads)")
+    // an append mints ONE new manifest: the next plan loads exactly it
+    ds.append(orders.limit(5))
+    assert(ds.readAll().count() == orders.count() + 5)
+    val delta = ManifestIO.manifestParquetOpens - opens0
+    assert(delta >= 1 && delta <= 2,
+      s"only the new manifest should load after an append, loaded $delta")
+  }
+
   test("snapshot expiry drops summaries of stranded manifests") {
     val (ds, _) = quartered("mliste_")
     ds.delete(col("o_orderkey") % 2 === 0) // rewrites → old manifests stranded on old snapshots
