@@ -59,10 +59,11 @@ final class DirCatalog(val spark: SparkSession, val root: String) {
       right: SpaceDataset,
       keys: Seq[String],
       leftFields: Seq[String],
-      rightFields: Seq[String]): graft.views.JoinView = {
+      rightFields: Seq[String],
+      joinType: String = graft.views.JoinView.Inner): graft.views.JoinView = {
     require(!exists(name), s"dataset $name already exists")
     graft.views.JoinView.create(spark, location(name), left, right,
-      keys, leftFields, rightFields)
+      keys, leftFields, rightFields, joinType)
   }
 
   def dataset(name: String): SpaceDataset = {

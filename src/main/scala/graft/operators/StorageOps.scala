@@ -1047,6 +1047,42 @@ object StorageOps {
       jv.read()
     }),
 
+    // LEFT-OUTER incrementally-maintained join view: the fact ⋈
+    // optional-dim shape — orders keep flowing while some customers are
+    // missing/retired. The inner state stays PK-clean; a second state
+    // table carries the unmatched facts (PK = fact PK), and read()
+    // null-extends them. DML on both sides moves rows ACROSS the
+    // matched/unmatched boundary: the dim delete orphans many facts,
+    // the dim (re-)insert re-partners them, fact deletes leave both
+    // tables. Oracle = DuckDB LEFT JOIN over the final source states.
+    "s_mv_join_outer" -> ((s, d) => {
+      import graft.views._
+      val o = t(s, d, "orders")
+        .selectExpr("o_custkey AS custkey", "o_orderkey", "o_totalprice")
+      val c = t(s, d, "customer")
+        .selectExpr("c_custkey AS custkey", "c_name", "c_nationkey")
+      val l = SpaceDataset.create(s, fresh("jvol"), o.schema, Seq("o_orderkey"))
+      l.append(o.filter(col("o_orderkey") % 3 =!= 0))
+      val r = SpaceDataset.create(s, fresh("jvor"), c.schema, Seq("custkey"))
+      // dim starts PARTIAL: a third of the customers are absent, so the
+      // initial build already materializes unmatched facts
+      r.append(c.filter(col("custkey") % 3 =!= 1))
+      val jv = JoinView.create(s, fresh("jviewo"), l, r, Seq("custkey"),
+        Seq("o_orderkey", "o_totalprice"), Seq("c_name", "c_nationkey"),
+        joinType = JoinView.LeftOuter)
+      jv.refresh()
+      l.append(o.filter(col("o_orderkey") % 3 === 0)) // late facts
+      r.delete(col("c_nationkey") % 5 === 2) // dim delete ORPHANS facts
+      r.insert(c.filter(col("custkey") % 3 === 1 && col("c_nationkey") % 5 =!= 2))
+      l.delete(col("o_totalprice") < 30000.0)
+      val commits = jv.refresh()
+      require(commits > 0, "outer refresh must commit")
+      require(jv.refresh() == 0, "watermarks must no-op a second refresh")
+      require(jv.read().filter(col("c_name").isNull).count() > 0,
+        "the dim gaps must surface as null-extended facts")
+      jv.read()
+    }),
+
     // join view over two record-field tables: per-side field selection,
     // addresses (not payloads) cross the key join, payloads stitched
     // back after (views.py:183-224 + ray/ops/join.py:120-135 semantics)
@@ -1566,6 +1602,15 @@ object StorageOps {
         |       ELSE c_acctbal END AS c_acctbal
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_totalprice >= 50000 AND c_nationkey % 5 <> 2""".stripMargin,
+    // final right side reduces to `c_nationkey % 5 <> 2` (the starting
+    // two-thirds minus that delete, plus the insert of the last third
+    // under the same predicate)
+    "s_mv_join_outer" ->
+      """SELECT o_custkey AS custkey, o_orderkey, o_totalprice,
+        |  c_name, c_nationkey
+        |FROM orders LEFT JOIN customer
+        |  ON o_custkey = c_custkey AND c_nationkey % 5 <> 2
+        |WHERE o_totalprice >= 30000""".stripMargin,
     "s_mv_pipeline" ->
       """SELECT doc_id, lang,
         |  len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))

@@ -24,14 +24,20 @@ final case class JoinPlan(
     rightLocation: String,
     keys: List[String],
     leftFields: List[String],
-    rightFields: List[String]) {
+    rightFields: List[String],
+    /** `inner` (default) or `left_outer` — outer views ALSO maintain
+      * the unmatched-left side table at [[unmatchedLocation]]. */
+    joinType: String = JoinView.Inner,
+    unmatchedLocation: Option[String] = None) {
   def json: String = JsonMethods.compact(JsonMethods.render(JObject(List(
     "type" -> (JString("join_view"): JValue),
     "left" -> JString(leftLocation),
     "right" -> JString(rightLocation),
     "keys" -> JArray(keys.map(JString(_))),
     "left_fields" -> JArray(leftFields.map(JString(_))),
-    "right_fields" -> JArray(rightFields.map(JString(_)))))))
+    "right_fields" -> JArray(rightFields.map(JString(_))),
+    "join_type" -> JString(joinType)) ++
+    unmatchedLocation.map(u => "unmatched" -> (JString(u): JValue)).toList)))
 }
 
 object JoinPlan {
@@ -53,18 +59,36 @@ object JoinPlan {
       case JArray(vs) => vs.collect { case JString(v) => v }
       case other => throw new IllegalArgumentException(s"bad join plan field $f: $other")
     }
+    // pre-outer plans carry neither field: they are inner views
+    val jt = (j \ "join_type") match {
+      case JString(x) => x
+      case _ => JoinView.Inner
+    }
+    val um = (j \ "unmatched") match {
+      case JString(x) => Some(x)
+      case _ => None
+    }
     JoinPlan(str("left"), str("right"), arr("keys"),
-      arr("left_fields"), arr("right_fields"))
+      arr("left_fields"), arr("right_fields"), jt, um)
   }
 }
 
-/** Incrementally-maintained INNER-JOIN materialized view — a capability
-  * the reference explicitly refuses (`transform/join.py:128-129` raises
-  * on materializing a join) but a training-data pipeline wants
-  * constantly: documents ⋈ per-doc quality scores, lineitems ⋈ order
-  * headers, media records ⋈ extracted features — recomputing the join
-  * per refresh is two full scans and a giant shuffle; maintaining it
-  * from the CDC deltas is O(delta ⋈ other side).
+/** Incrementally-maintained JOIN materialized view (INNER and LEFT
+  * OUTER) — a capability the reference explicitly refuses
+  * (`transform/join.py:128-129` raises on materializing a join) but a
+  * training-data pipeline wants constantly: documents ⋈ per-doc
+  * quality scores, lineitems ⋈ order headers, media records ⋈
+  * extracted features — recomputing the join per refresh is two full
+  * scans and a giant shuffle; maintaining it from the CDC deltas is
+  * O(delta ⋈ other side).
+  *
+  * LEFT OUTER adds the fact⋈optional-dim shape (facts keep flowing
+  * while their dim rows lag) WITHOUT nullable state PKs: the inner
+  * state stays as below, a second state table holds the UNMATCHED
+  * left rows (PK = left source PK — always non-null), and read()
+  * unions them null-extended. See the unmatched-left section at the
+  * bottom for its delta algebra. RIGHT outer = swap the sides; FULL
+  * outer is not materialized (needs the bookkeeping on both sides).
   *
   * Classic sequential bi-delta maintenance. The view tracks one
   * watermark PER SIDE ([[graft.format.StorageMetadata
@@ -109,6 +133,16 @@ final class JoinView(val spark: SparkSession, val dataset: SpaceDataset)
     .getOrElse(throw new IllegalArgumentException(
       s"${dataset.location} is not a join view"))
 
+  private val isOuter = plan.joinType == LeftOuter
+
+  /** LEFT OUTER only: the unmatched-left state table — live left rows
+    * with NO live right partner, schema `keys ++ leftFields`, PK = the
+    * left source's PK. Maintained by its own bi-delta walk with its
+    * own per-side watermarks, so the two tables recover independently
+    * after a crash between their commits. */
+  val unmatchedDataset: Option[SpaceDataset] =
+    plan.unmatchedLocation.map(SpaceDataset.load(spark, _))
+
   /** Per-side watermarks; empty before the first refresh. */
   def refreshedToSides: Option[(Long, Long)] = {
     val m = dataset.storage.metadata.mvSourceSnapshotIds
@@ -119,14 +153,30 @@ final class JoinView(val spark: SparkSession, val dataset: SpaceDataset)
     * advance independently; see [[refreshedToSides]] for both). */
   def refreshedTo: Option[Long] = refreshedToSides.map(_._1)
 
-  /** The joined result — the state table IS the join. */
-  def read(): DataFrame = dataset.readAll()
+  /** The joined result. Inner views read the state table directly; a
+    * left-outer view unions the inner state with the unmatched-left
+    * rows null-extended over the right fields. A read BETWEEN the two
+    * tables' commits of one in-flight refresh can see a row's match
+    * transition torn — refresh() is the consistency point, the same
+    * caveat as any mid-refresh read. */
+  def read(): DataFrame = unmatchedDataset match {
+    case None => dataset.readAll()
+    case Some(um) =>
+      val schema = dataset.storage.logicalSchema
+      val nullRight = plan.rightFields.map(c =>
+        lit(null).cast(schema(c).dataType).as(c))
+      dataset.readAll().unionByName(
+        um.readAll().select((plan.keys ++ plan.leftFields).map(col) ++ nullRight: _*))
+  }
 
   override def refresh(targetVersion: Option[String], coalesce: Boolean): Int = {
     val commits = refreshInner(targetVersion, coalesce)
-    // self-maintenance: bin-pack the state table when refresh churn
+    // self-maintenance: bin-pack the state tables when refresh churn
     // crossed the file threshold (CDC-silent; chained views unaffected)
-    if (commits > 0) ViewMaintenance.maybeCompactState(spark, dataset)
+    if (commits > 0) {
+      ViewMaintenance.maybeCompactState(spark, dataset)
+      unmatchedDataset.foreach(ViewMaintenance.maybeCompactState(spark, _))
+    }
     commits
   }
 
@@ -138,7 +188,19 @@ final class JoinView(val spark: SparkSession, val dataset: SpaceDataset)
     val right = SpaceDataset.load(spark, plan.rightLocation)
     val lT = left.storage.metadata.currentSnapshotId
     val rT = right.storage.metadata.currentSnapshotId
+    var commits = innerRefresh(left, right, lT, rT, coalesce)
+    // the unmatched-left table maintains by its OWN walk and watermarks
+    // (crash between the two tables' commits recovers independently)
+    if (isOuter) commits += unmatchedRefresh(left, right, lT, rT, coalesce)
+    commits
+  }
 
+  private def innerRefresh(
+      left: SpaceDataset,
+      right: SpaceDataset,
+      lT: Long,
+      rT: Long,
+      coalesce: Boolean): Int = {
     if (refreshedToSides.isEmpty) {
       val built = fullBuild(left, right, lT, rT, overwrite = false)
       // first-refresh race: a concurrent refresher may have built to
@@ -149,16 +211,6 @@ final class JoinView(val spark: SparkSession, val dataset: SpaceDataset)
           observed.exists { case (l, r) => l >= lT && r >= rT }) return built
     }
     val (lW, rW) = refreshedToSides.get
-
-    // CDC-silent source snapshots (compact/GC) change no data — skip
-    // them instead of minting empty watermark-advance state commits
-    // (VERDICT r13 #3). The watermark folds into the side's next
-    // data-bearing commit; a purely-silent tail costs only an O(1)
-    // metadata re-check per refresh (and keeps the recorded watermark
-    // snapshot a little older — expiry there already rebuilds).
-    def dataSids(src: SpaceDataset, w: Long, t: Long): Seq[Long] =
-      src.storage.orderedSnapshotIds(w, t).filter(sid =>
-        src.storage.snapshotOrFail(sid).changeLogFile.isDefined)
 
     // the left pass joins ΔL against RIGHT AT the right watermark —
     // if that snapshot was expired (and left has deltas to apply), the
@@ -246,6 +298,16 @@ final class JoinView(val spark: SparkSession, val dataset: SpaceDataset)
     * the scan through the projection). */
   private def sideProjection(df: DataFrame, fields: Seq[String]): DataFrame =
     df.select((plan.keys ++ fields).map(col): _*)
+
+  /** CDC-silent source snapshots (compact/GC) change no data — skip
+    * them instead of minting empty watermark-advance state commits
+    * (VERDICT r13 #3). The watermark folds into the side's next
+    * data-bearing commit; a purely-silent tail costs only an O(1)
+    * metadata re-check per refresh (and keeps the recorded watermark
+    * snapshot a little older — expiry there already rebuilds). */
+  private def dataSids(src: SpaceDataset, w: Long, t: Long): Seq[Long] =
+    src.storage.orderedSnapshotIds(w, t).filter(sid =>
+      src.storage.snapshotOrFail(sid).changeLogFile.isDefined)
 
   /** One source snapshot applied as one state commit (exactly-once via
     * the per-side watermark re-check inside the transaction). */
@@ -390,11 +452,281 @@ final class JoinView(val spark: SparkSession, val dataset: SpaceDataset)
 
   private def rebuild(left: SpaceDataset, right: SpaceDataset, lT: Long, rT: Long): Int =
     fullBuild(left, right, lT, rT, overwrite = true)
+
+  // ----------------------------------------- unmatched-left maintenance
+  //
+  // The outer view's second state table holds exactly
+  // `live(L) anti-join live(R) on keys` and maintains bi-delta like the
+  // inner state, with its own per-side watermarks:
+  //  - LEFT delta: deletes sweep by left PK; adds are ΔL anti R@R0'.
+  //  - RIGHT delta (full-value deletes — the dying rows' JOIN KEYS are
+  //    needed, and the right PK may not contain them): left rows whose
+  //    key just DIED enter (guarded by an anti-join against the current
+  //    unmatched state — a key can die while its lefts were already
+  //    unmatched across an interleaved left pass); left rows whose key
+  //    came ALIVE leave.
+  // The null-extension itself happens at read() — the state rows carry
+  // only `keys ++ leftFields`, so no nullable-PK encoding is needed
+  // (the reason inner-only shipped first, JoinView r13).
+
+  private def lProjection(df: DataFrame): DataFrame =
+    df.select((plan.keys ++ plan.leftFields).map(col): _*)
+
+  private def keysOf(df: DataFrame): DataFrame =
+    df.select(plan.keys.map(col): _*).distinct()
+
+  private def unmatchedRefresh(
+      left: SpaceDataset,
+      right: SpaceDataset,
+      lT: Long,
+      rT: Long,
+      coalesce: Boolean): Int = {
+    val um = unmatchedDataset.get
+    def wm = um.storage.metadata.mvSourceSnapshotIds
+    if (wm.get(LeftSide).isEmpty || wm.get(RightSide).isEmpty) {
+      val built = umBuild(um, left, right, lT, rT, overwrite = false)
+      val w = wm
+      if (built > 0 || w.isEmpty ||
+          (w.get(LeftSide).exists(_ >= lT) && w.get(RightSide).exists(_ >= rT)))
+        return built
+    }
+    val lW = wm(LeftSide)
+    val rW = wm(RightSide)
+    var commits = 0
+    val lSids =
+      try dataSids(left, lW, lT)
+      catch { case _: ExpiredHistoryException =>
+        return umBuild(um, left, right, lT, rT, overwrite = true) }
+    if (lSids.nonEmpty && right.storage.metadata.snapshot(rW).isEmpty)
+      return umBuild(um, left, right, lT, rT, overwrite = true)
+    if (lSids.nonEmpty) {
+      val rightKeysAtW = right.read(version = Some(rW.toString))
+        .select(plan.keys.map(col): _*)
+      if (coalesce) commits += umLeftCoalesced(um, left, lW, lT, lSids, rightKeysAtW)
+      else for (sid <- lSids) commits += umLeftStep(um, left, sid, rightKeysAtW)
+    }
+    val rSids =
+      try dataSids(right, rW, rT)
+      catch { case _: ExpiredHistoryException =>
+        return umBuild(um, left, right, lT, rT, overwrite = true) }
+    if (rSids.nonEmpty && left.storage.metadata.snapshot(lT).isEmpty)
+      return umBuild(um, left, right, lT, rT, overwrite = true)
+    if (rSids.nonEmpty) {
+      val leftAtT = lProjection(left.read(version = Some(lT.toString)))
+      if (coalesce) commits += umRightCoalesced(um, right, rW, rT, rSids, leftAtT)
+      else for (sid <- rSids) commits += umRightStep(um, right, sid, leftAtT)
+    }
+    commits
+  }
+
+  /** One-commit (re)build of the unmatched table: `L@lT anti R@rT`.
+    * Same non-overwrite no-op rule as the inner [[fullBuild]]. */
+  private def umBuild(
+      um: SpaceDataset,
+      left: SpaceDataset,
+      right: SpaceDataset,
+      lT: Long,
+      rT: Long,
+      overwrite: Boolean): Int = {
+    var applied = false
+    um.storage.transaction() { pinned =>
+      val w = um.storage.metadata.mvSourceSnapshotIds
+      if ((w.get(LeftSide).exists(_ >= lT) && w.get(RightSide).exists(_ >= rT)) ||
+          (w.nonEmpty && !overwrite)) {
+        (None, ())
+      } else {
+        val rows = lProjection(left.read(version = Some(lT.toString)))
+          .join(right.read(version = Some(rT.toString)).select(plan.keys.map(col): _*),
+            plan.keys, "left_anti")
+        val patch =
+          if (overwrite) DmlOps.overwriteAll(spark, um.storage, pinned, rows)
+          else RecordIO.writeWithRecords(spark, um.storage, rows)
+        applied = true
+        (Some(patch.copy(sourceSnapshotIds = Map(LeftSide -> lT, RightSide -> rT))), ())
+      }
+    }
+    if (applied) 1 else 0
+  }
+
+  /** ΔL applied to the unmatched table: the exact mirror of [[step]]
+    * with the join replaced by an anti-join on the keys. */
+  private def umLeftStep(
+      um: SpaceDataset,
+      left: SpaceDataset,
+      sid: Long,
+      rightKeysAtW: DataFrame): Int = {
+    val parent = left.storage.snapshotOrFail(sid).parentSnapshotId.getOrElse(0L)
+    val batches = ChangeData.diff(spark, left.storage, parent, sid)
+    val lPks = left.primaryKeys
+    var applied = false
+    um.storage.transaction() { pinned =>
+      if (um.storage.metadata.mvSourceSnapshotIds.get(LeftSide).exists(_ >= sid)) {
+        applied = false
+        (None, ())
+      } else {
+        val patches = batches.flatMap { b =>
+          b.changeType match {
+            case ChangeType.Delete =>
+              DmlOps.deleteByKeysOn(spark, um.storage, pinned, b.data, lPks)
+            case ChangeType.Add =>
+              Some(RecordIO.writeWithRecords(spark, um.storage,
+                lProjection(b.data).join(rightKeysAtW, plan.keys, "left_anti")))
+          }
+        }
+        applied = true
+        (Some(Patch.merge(patches).getOrElse(Patch())
+          .copy(sourceSnapshotIds = Map(LeftSide -> sid))), ())
+      }
+    }
+    if (applied) 1 else 0
+  }
+
+  /** ΔR applied to the unmatched table: keys that DIED at `sid` push
+    * their (still-live) lefts in; keys ADDED pull their lefts out. */
+  private def umRightStep(
+      um: SpaceDataset,
+      right: SpaceDataset,
+      sid: Long,
+      leftAtT: DataFrame): Int = {
+    val parent = right.storage.snapshotOrFail(sid).parentSnapshotId.getOrElse(0L)
+    // full-value deletes: the dying rows' JOIN KEYS drive the update
+    val batches = ChangeData.diff(spark, right.storage, parent, sid,
+      deletesPksOnly = false)
+    val lPks = um.primaryKeys
+    val deltaRows = ViewMaintenance.changelogRows(right.storage, sid, addsOnly = false)
+    var applied = false
+    um.storage.transaction() { pinned =>
+      if (um.storage.metadata.mvSourceSnapshotIds.get(RightSide).exists(_ >= sid)) {
+        applied = false
+        (None, ())
+      } else {
+        val rightKeysAtSid = right.read(version = Some(sid.toString))
+          .select(plan.keys.map(col): _*)
+        val umPinned = um.read(version = Some(pinned.toString))
+        val patches = batches.flatMap { b =>
+          b.changeType match {
+            case ChangeType.Delete =>
+              val delKeys = ViewMaintenance.maybeBroadcast(
+                spark, keysOf(b.data), deltaRows)
+              // lefts of a dying key, unless the key survives at sid
+              // (another right row, or a same-snapshot re-add) or the
+              // left row is already unmatched
+              val cands = leftAtT.join(delKeys, plan.keys, "left_semi")
+                .join(rightKeysAtSid, plan.keys, "left_anti")
+                .join(umPinned.select(lPks.map(col): _*), lPks, "left_anti")
+              Some(RecordIO.writeWithRecords(spark, um.storage, cands))
+            case ChangeType.Add =>
+              val addKeys = ViewMaintenance.maybeBroadcast(
+                spark, keysOf(b.data), deltaRows)
+              val matched = umPinned.join(addKeys, plan.keys, "left_semi")
+                .select(lPks.map(col): _*)
+              DmlOps.deleteByKeysOn(spark, um.storage, pinned, matched, lPks)
+          }
+        }
+        applied = true
+        (Some(Patch.merge(patches).getOrElse(Patch())
+          .copy(sourceSnapshotIds = Map(RightSide -> sid))), ())
+      }
+    }
+    if (applied) 1 else 0
+  }
+
+  /** Coalesced ΔL backlog for the unmatched table — the [[coalescedStep]]
+    * shape with an anti-join: sweep touched left PKs, re-derive
+    * `(L@lT ⋉ touched) anti R@R0'`. */
+  private def umLeftCoalesced(
+      um: SpaceDataset,
+      left: SpaceDataset,
+      w: Long,
+      t: Long,
+      sids: Seq[Long],
+      rightKeysAtW: DataFrame): Int = {
+    val lPks = left.primaryKeys
+    val estRows = sids.map(sid =>
+      ViewMaintenance.changelogRows(left.storage, sid, addsOnly = false)).sum
+    val touched = ChangeData.diff(spark, left.storage, w, t)
+      .map(_.data.select(lPks.map(col): _*))
+      .reduceOption(_.unionByName(_)).map(_.distinct().persist())
+      .getOrElse(return 0)
+    var applied = false
+    try {
+      um.storage.transaction() { pinned =>
+        if (um.storage.metadata.mvSourceSnapshotIds.get(LeftSide).exists(_ >= t)) {
+          applied = false
+          (None, ())
+        } else {
+          val live = left.read(version = Some(t.toString))
+            .join(ViewMaintenance.maybeBroadcast(spark, touched, estRows),
+              lPks, "left_semi")
+          val adds = lProjection(live).join(rightKeysAtW, plan.keys, "left_anti")
+          val patches =
+            DmlOps.deleteByKeysOn(spark, um.storage, pinned, touched, lPks).toSeq ++
+              Seq(RecordIO.writeWithRecords(spark, um.storage, adds))
+          applied = true
+          (Some(Patch.merge(patches).getOrElse(Patch())
+            .copy(sourceSnapshotIds = Map(LeftSide -> t))), ())
+        }
+      }
+    } finally touched.unpersist()
+    if (applied) 1 else 0
+  }
+
+  /** Coalesced ΔR backlog for the unmatched table: split the window's
+    * AFFECTED keys by liveness at R@rT — lefts of dead keys enter
+    * (minus those already unmatched), unmatched lefts of live keys
+    * leave. One commit, one scan of each side. */
+  private def umRightCoalesced(
+      um: SpaceDataset,
+      right: SpaceDataset,
+      w: Long,
+      t: Long,
+      sids: Seq[Long],
+      leftAtT: DataFrame): Int = {
+    val lPks = um.primaryKeys
+    val estRows = sids.map(sid =>
+      ViewMaintenance.changelogRows(right.storage, sid, addsOnly = false)).sum
+    val affectedKeys = ChangeData.diff(spark, right.storage, w, t,
+        deletesPksOnly = false)
+      .map(b => b.data.select(plan.keys.map(col): _*))
+      .reduceOption(_.unionByName(_)).map(_.distinct().persist())
+      .getOrElse(return 0)
+    var applied = false
+    try {
+      um.storage.transaction() { pinned =>
+        if (um.storage.metadata.mvSourceSnapshotIds.get(RightSide).exists(_ >= t)) {
+          applied = false
+          (None, ())
+        } else {
+          val rightKeysAtT = right.read(version = Some(t.toString))
+            .select(plan.keys.map(col): _*)
+          val umPinned = um.read(version = Some(pinned.toString))
+          val liveAffected = ViewMaintenance.maybeBroadcast(spark,
+            affectedKeys.join(rightKeysAtT, plan.keys, "left_semi"), estRows)
+          val deadAffected = ViewMaintenance.maybeBroadcast(spark,
+            affectedKeys.join(rightKeysAtT, plan.keys, "left_anti"), estRows)
+          val matched = umPinned.join(liveAffected, plan.keys, "left_semi")
+            .select(lPks.map(col): _*)
+          val cands = leftAtT.join(deadAffected, plan.keys, "left_semi")
+            .join(umPinned.select(lPks.map(col): _*), lPks, "left_anti")
+          val patches =
+            DmlOps.deleteByKeysOn(spark, um.storage, pinned, matched, lPks).toSeq ++
+              Seq(RecordIO.writeWithRecords(spark, um.storage, cands))
+          applied = true
+          (Some(Patch.merge(patches).getOrElse(Patch())
+            .copy(sourceSnapshotIds = Map(RightSide -> t))), ())
+        }
+      }
+    } finally affectedKeys.unpersist()
+    if (applied) 1 else 0
+  }
 }
 
 object JoinView {
   val LeftSide = "left"
   val RightSide = "right"
+
+  val Inner = "inner"
+  val LeftOuter = "left_outer"
 
   /** Create the state table and bind the view. `keys` are shared-name
     * join columns (present in both sources with identical types);
@@ -410,8 +742,13 @@ object JoinView {
       right: SpaceDataset,
       keys: Seq[String],
       leftFields: Seq[String],
-      rightFields: Seq[String]): JoinView = {
+      rightFields: Seq[String],
+      joinType: String = Inner): JoinView = {
     require(keys.nonEmpty, "join view requires at least one join key")
+    require(joinType == Inner || joinType == LeftOuter,
+      s"join view supports '$Inner' and '$LeftOuter', got '$joinType' " +
+        "(right outer = swap the sides; full outer needs null-extension " +
+        "bookkeeping on BOTH sides and is not materialized)")
     val lSchema = left.storage.logicalSchema
     val rSchema = right.storage.logicalSchema
     keys.foreach { k =>
@@ -440,13 +777,35 @@ object JoinView {
     requirePkCovered(left, leftFields, "left")
     requirePkCovered(right, rightFields, "right")
 
+    // LEFT OUTER: the unmatched-left state table is created FIRST so a
+    // crash between the two creates leaves no view whose plan points at
+    // a missing table (the view table is the commit point for load())
+    val unmatchedLoc =
+      if (joinType == LeftOuter) {
+        val uLoc = location.stripSuffix("/") + "__unmatched"
+        val uSchema = left.readAll()
+          .select((keys ++ leftFields).map(col): _*).schema
+        Storage.create(uLoc, uSchema, left.primaryKeys,
+          tableType = TableType.MaterializedView,
+          conf = spark.sparkContext.hadoopConfiguration)
+        Some(uLoc)
+      } else None
+
     val plan = JoinPlan(left.location, right.location, keys.toList,
-      leftFields.toList, rightFields.toList)
+      leftFields.toList, rightFields.toList, joinType, unmatchedLoc)
     // schema inferred from the join's own output over the current
     // sources (types/nullability follow Spark's join rules)
-    val schema = left.readAll().select((keys ++ leftFields).map(col): _*)
+    val schema0 = left.readAll().select((keys ++ leftFields).map(col): _*)
       .join(right.readAll().select((keys ++ rightFields).map(col): _*), keys, "inner")
       .select(all.map(col): _*).schema
+    // outer: right fields are nullable in the READ output (null-extended
+    // rows), so the published schema must say so even though the inner
+    // state table never stores the nulls
+    val schema =
+      if (joinType == LeftOuter)
+        org.apache.spark.sql.types.StructType(schema0.fields.map(f =>
+          if (rightFields.contains(f.name)) f.copy(nullable = true) else f))
+      else schema0
     val statePk = (left.primaryKeys ++ right.primaryKeys).distinct
     val storage = Storage.create(location, schema, statePk,
       tableType = TableType.MaterializedView,

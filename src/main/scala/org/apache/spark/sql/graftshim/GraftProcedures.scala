@@ -279,7 +279,11 @@ object GraftProcedures {
           ProcedureParameter.in("left_fields", StringType)
             .comment("comma-separated left output columns (non-key)").build(),
           ProcedureParameter.in("right_fields", StringType)
-            .comment("comma-separated right output columns (non-key)").build()),
+            .comment("comma-separated right output columns (non-key)").build(),
+          ProcedureParameter.in("join_type", StringType)
+            .defaultValue("'inner'")
+            .comment("'inner' or 'left_outer' (outer maintains an " +
+              "unmatched-left side table; reads null-extend)").build()),
         StructType(Seq(
           StructField("view_location", StringType, nullable = false)))) {
         override def run(input: InternalRow): Seq[InternalRow] = {
@@ -287,7 +291,8 @@ object GraftProcedures {
           val right = cat.dirCatalog.dataset(input.getUTF8String(1).toString)
           val viewName = input.getUTF8String(2).toString
           val jv = cat.dirCatalog.createJoinView(viewName, left, right,
-            cols(input, 3), cols(input, 4), cols(input, 5))
+            cols(input, 3), cols(input, 4), cols(input, 5),
+            input.getUTF8String(6).toString)
           Seq(InternalRow(utf8(jv.dataset.location)))
         }
       },

@@ -243,6 +243,120 @@ class JoinViewSpec extends AnyFunSuite {
     assertSame(jv.read(), expected(l, r))
   }
 
+  /** Left-outer truth: live left ⋈ live right, unmatched null-extended. */
+  private def expectedOuter(l: SpaceDataset, r: SpaceDataset): DataFrame =
+    l.readAll().join(r.readAll(), Seq("okey"), "left_outer")
+      .select("okey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "o_custkey", "o_totalprice")
+
+  private def createOuterView(l: SpaceDataset, r: SpaceDataset): JoinView =
+    JoinView.create(spark, freshLoc("jviewo"), l, r, Seq("okey"),
+      Seq("l_linenumber", "l_quantity", "l_extendedprice"),
+      Seq("o_custkey", "o_totalprice"), joinType = JoinView.LeftOuter)
+
+  test("left outer: plan roundtrips; lifecycle moves rows across the match boundary") {
+    // partial dim: a third of the orders are missing, so unmatched
+    // lineitems exist from the initial build
+    val l = leftTable(900L)
+    val o = orders.filter(col("o_orderkey") <= 900L && col("o_orderkey") % 3 =!= 1)
+      .selectExpr("o_orderkey AS okey", "o_custkey", "o_totalprice")
+    val r = SpaceDataset.create(spark, freshLoc("jvro"), o.schema, Seq("okey"))
+    r.append(o)
+    val jv = createOuterView(l, r)
+    // plan JSON roundtrip incl. the outer fields
+    assert(JoinPlan.fromJson(jv.plan.json) == jv.plan)
+    assert(jv.plan.joinType == JoinView.LeftOuter && jv.plan.unmatchedLocation.isDefined)
+
+    assert(jv.refresh() >= 1)
+    assertSame(jv.read(), expectedOuter(l, r))
+    assert(jv.read().filter(col("o_custkey").isNull).count() > 0,
+      "partial dim must null-extend")
+    assert(jv.refresh() == 0)
+
+    // dim delete ORPHANS matched facts; dim insert RE-PARTNERS orphans;
+    // fact DML flows through both tables
+    r.delete(col("okey") % 4 === 2)
+    r.insert(orders.filter(col("o_orderkey") <= 900L && col("o_orderkey") % 3 === 1)
+      .selectExpr("o_orderkey AS okey", "o_custkey", "o_totalprice"))
+    l.delete(col("okey") % 5 === 3)
+    l.append(lineitem.filter(col("l_orderkey") > 900L && col("l_orderkey") <= 1200L)
+      .selectExpr("l_orderkey AS okey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .dropDuplicates("okey", "l_linenumber"))
+    assert(jv.refresh() > 0)
+    assertSame(jv.read(), expectedOuter(l, r))
+
+    // the unmatched table holds EXACTLY live(L) anti live(R)
+    val um = jv.unmatchedDataset.get.readAll()
+    val umExp = l.readAll().join(r.readAll(), Seq("okey"), "left_anti")
+      .select("okey", "l_linenumber", "l_quantity", "l_extendedprice")
+    assert(um.exceptAll(umExp).isEmpty && umExp.exceptAll(um).isEmpty,
+      "unmatched state diverged from live-anti-join truth")
+
+    // a right UPDATE that moves the join key re-partitions the boundary
+    val liveKey = r.readAll().select(min(col("okey"))).collect()(0).getLong(0)
+    r.update(col("okey") === liveKey, Map("o_totalprice" -> lit(77.0)))
+    assert(jv.refresh() > 0)
+    assertSame(jv.read(), expectedOuter(l, r))
+
+    // reload from the persisted plan: the outer view resumes
+    val re = JoinView.load(spark, jv.dataset.location)
+    assert(re.plan == jv.plan && re.refresh() == 0)
+    assertSame(re.read(), expectedOuter(l, r))
+  }
+
+  test("left outer: coalesced refresh equals the per-snapshot twin") {
+    val l = leftTable(700L)
+    val o = orders.filter(col("o_orderkey") <= 700L && col("o_orderkey") % 2 === 0)
+      .selectExpr("o_orderkey AS okey", "o_custkey", "o_totalprice")
+    def mkRight(): SpaceDataset = {
+      val ds = SpaceDataset.create(spark, freshLoc("jvro"), o.schema, Seq("okey"))
+      ds.append(o)
+      ds
+    }
+    val r = mkRight()
+    val jv = createOuterView(l, r)
+    val twin = createOuterView(l, r)
+    assert(jv.refresh() >= 1 && twin.refresh() >= 1)
+
+    l.append(lineitem.filter(col("l_orderkey") > 700L && col("l_orderkey") <= 1000L)
+      .selectExpr("l_orderkey AS okey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .dropDuplicates("okey", "l_linenumber"))
+    l.delete(col("okey") % 7 === 2)
+    r.delete(col("okey") % 6 === 0)
+    r.append(orders.filter(col("o_orderkey") <= 1000L && col("o_orderkey") % 2 === 1)
+      .selectExpr("o_orderkey AS okey", "o_custkey", "o_totalprice"))
+    assert(jv.refresh() > 0)
+    // coalesced: one inner commit + one unmatched commit per side
+    assert(twin.refresh(None, coalesce = true) == 4)
+    val a = jv.read()
+    val b = twin.read()
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "coalesced outer state diverged from per-snapshot application")
+    assertSame(b, expectedOuter(l, r))
+    assert(jv.refresh() == 0 && twin.refresh(None, coalesce = true) == 0)
+  }
+
+  test("left outer: expired source history rebuilds BOTH state tables") {
+    val l = leftTable(600L)
+    val o = orders.filter(col("o_orderkey") <= 600L && col("o_orderkey") % 2 === 0)
+      .selectExpr("o_orderkey AS okey", "o_custkey", "o_totalprice")
+    val r = SpaceDataset.create(spark, freshLoc("jvro"), o.schema, Seq("okey"))
+    r.append(o)
+    val jv = createOuterView(l, r)
+    jv.refresh()
+    l.append(lineitem.filter(col("l_orderkey") > 600L && col("l_orderkey") <= 900L)
+      .selectExpr("l_orderkey AS okey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .dropDuplicates("okey", "l_linenumber"))
+    l.delete(col("okey") % 3 === 0)
+    assert(l.expireSnapshots(olderThanMs = 0L, keepLast = 1).nonEmpty)
+    assert(jv.refresh() > 0)
+    assertSame(jv.read(), expectedOuter(l, r))
+    // incremental maintenance resumes on both tables
+    r.delete(col("okey") % 5 === 1)
+    assert(jv.refresh() > 0)
+    assertSame(jv.read(), expectedOuter(l, r))
+  }
+
   test("coalesced refresh: one commit per side, equals the per-snapshot twin") {
     val l = leftTable(700L)
     val r = rightTable(700L)
