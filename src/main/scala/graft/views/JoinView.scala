@@ -280,9 +280,12 @@ final class JoinView(val spark: SparkSession, val dataset: SpaceDataset)
           .start()
     }
 
-  /** Poll-and-refresh loop (committed-snapshot granularity — the
-    * long-running form of the refresh contract). Stops after
-    * `maxPolls`; returns total state commits. */
+  /** Poll-and-refresh loop (committed-snapshot granularity). BLOCKS
+    * the calling thread with Thread.sleep between polls — a test
+    * harness / cron-job body, not a scheduler: long-running production
+    * maintenance should use [[refreshStreams]] (checkpointed, restart-
+    * safe, trigger-driven). Stops after `maxPolls`; returns total
+    * state commits. */
   def refreshContinuously(pollIntervalMs: Long, maxPolls: Int): Int = {
     var total = 0
     var i = 0

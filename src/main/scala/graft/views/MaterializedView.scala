@@ -237,9 +237,12 @@ final class MaterializedView(val spark: SparkSession, val dataset: SpaceDataset)
       .start()
 
   /** Poll-and-refresh loop (the reference's incrementality is committed-
-    * snapshot granularity, not event streams — SURVEY.md §2.5; this is
-    * the long-running form of that contract). Stops after `maxPolls`
-    * polls; returns total MV commits. */
+    * snapshot granularity, not event streams — SURVEY.md §2.5). BLOCKS
+    * the calling thread with Thread.sleep between polls — a test
+    * harness / cron-job body, not a scheduler: long-running production
+    * maintenance should use [[refreshStream]] (checkpointed, restart-
+    * safe, trigger-driven). Stops after `maxPolls`; returns total MV
+    * commits. */
   def refreshContinuously(pollIntervalMs: Long, maxPolls: Int): Int = {
     var total = 0
     var i = 0
