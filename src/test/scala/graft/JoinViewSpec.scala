@@ -614,6 +614,25 @@ class JoinViewSpec extends AnyFunSuite {
         .collect()(0).getInt(0) == 1)
       assert(spark.sql("SELECT count(*) FROM gjv.jv.view").collect()(0).getLong(0) ==
         lds.readAll().join(rds.readAll(), Seq("okey"), "inner").count())
+
+      // LEFT OUTER through SQL: `.view` null-extends (the bare table
+      // name reads the inner STATE, like every view kind's state table;
+      // half the right side was deleted above, so unmatched lefts exist)
+      spark.sql(
+        "CALL gjv.system.create_join_view(left => 'l', right => 'r', " +
+          "view => 'jvo', keys => 'okey', " +
+          "left_fields => 'l_linenumber,l_quantity', " +
+          "right_fields => 'o_totalprice', join_type => 'left_outer')")
+      assert(spark.sql("CALL gjv.system.refresh_mv(table => 'jvo')")
+        .collect()(0).getInt(0) >= 1)
+      val outer = spark.sql("SELECT * FROM gjv.jvo.view")
+      val expOuter = lds.readAll().join(rds.readAll(), Seq("okey"), "left_outer")
+        .select("okey", "l_linenumber", "l_quantity", "o_totalprice")
+      assert(outer.count() == expOuter.count())
+      assert(outer.exceptAll(expOuter).isEmpty && expOuter.exceptAll(outer).isEmpty)
+      assert(spark.sql(
+        "SELECT count(*) FROM gjv.jvo.view WHERE o_totalprice IS NULL")
+        .collect()(0).getLong(0) > 0)
     } finally {
       spark.conf.unset("spark.sql.catalog.gjv")
       spark.conf.unset("spark.sql.catalog.gjv.location")
