@@ -274,8 +274,11 @@ class JoinViewSpec extends AnyFunSuite {
     assert(jv.refresh() == 0)
 
     // dim delete ORPHANS matched facts; dim insert RE-PARTNERS orphans;
-    // fact DML flows through both tables
-    r.delete(col("okey") % 4 === 2)
+    // fact DML flows through both tables. The dim delete is MERGE-ON-
+    // READ (vectors, zero rewrites): the unmatched maintenance needs
+    // the dying rows' FULL values (join keys), which the CDC feed must
+    // supply under vectors exactly as under CoW
+    r.delete(col("okey") % 4 === 2, dvMaxFraction = Some(1.0))
     r.insert(orders.filter(col("o_orderkey") <= 900L && col("o_orderkey") % 3 === 1)
       .selectExpr("o_orderkey AS okey", "o_custkey", "o_totalprice"))
     l.delete(col("okey") % 5 === 3)
@@ -473,6 +476,36 @@ class JoinViewSpec extends AnyFunSuite {
       qs.foreach(_.processAllAvailable())
       jv.dataset.refresh()
       assert(jv.refreshedToSides == wm)
+    } finally qs.foreach(_.stop())
+  }
+
+  test("streaming maintenance drives a LEFT-OUTER view across the match boundary") {
+    val root = Files.createTempDirectory("graft_jvostream_").toString
+    import spark.implicits._
+    val a = (1L to 60L).map(i => (i, "k" + (i % 6), i * 1.0)).toDF("id", "k", "v")
+    // dim covers only half the keys: unmatched lefts from the start
+    val b = (1L to 20L).map(i => (i, "k" + (i % 3), i * 10.0)).toDF("bid", "k", "w")
+    val ads = SpaceDataset.create(spark, s"$root/a", a.schema, Seq("id"))
+    ads.append(a)
+    val bds = SpaceDataset.create(spark, s"$root/b", b.schema, Seq("bid"))
+    bds.append(b)
+    val jv = JoinView.create(spark, s"$root/jv", ads, bds,
+      Seq("k"), Seq("id", "v"), Seq("bid", "w"), joinType = JoinView.LeftOuter)
+    def exp: DataFrame = ads.readAll().join(bds.readAll(), Seq("k"), "left_outer")
+      .select("k", "id", "v", "bid", "w")
+    val qs = jv.refreshStreams(s"$root/ckpt")
+    try {
+      qs.foreach(_.processAllAvailable())
+      assertSame(jv.read(), exp)
+      assert(jv.read().filter(col("bid").isNull).count() > 0)
+      // a dim delete pushes lefts INTO unmatched; a dim append with a
+      // previously-uncovered key pulls lefts OUT — both via the streams
+      bds.delete(col("k") === "k1")
+      bds.append(Seq((100L, "k4", 7.0)).toDF("bid", "k", "w"))
+      qs.foreach(_.processAllAvailable())
+      jv.dataset.refresh()
+      jv.unmatchedDataset.foreach(_.refresh())
+      assertSame(jv.read(), exp)
     } finally qs.foreach(_.stop())
   }
 
