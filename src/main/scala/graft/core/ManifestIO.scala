@@ -478,8 +478,7 @@ object ManifestIO {
       storage: Storage,
       manifests: Seq[String]): Map[String, Array[Row]] = {
     val schema = manifestSchema(storage)
-    val budget = spark.conf.getOption(CacheMaxRowsKey).map(_.trim.toLong)
-      .getOrElse(DefaultCacheMaxRows)
+    val budget = Confs.longConf(spark, CacheMaxRowsKey, DefaultCacheMaxRows)
     val hits = manifests.flatMap { m =>
       Option(cacheGet((storage.absolute(m), schema))).map(m -> _)
     }.toMap

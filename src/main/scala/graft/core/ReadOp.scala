@@ -99,8 +99,8 @@ object ReadOp {
     // only the pruned file NAMES ever reach the driver there.
     val survivingFiles: Option[Long] =
       if (allSummarized) Some(surviving.map(summaries(_).numFiles).sum) else None
-    val driverBound = spark.conf.getOption(ManifestIO.DriverPlanMaxFilesKey)
-      .map(_.trim.toLong).getOrElse(ManifestIO.DefaultDriverPlanMaxFiles)
+    val driverBound = Confs.longConf(spark,
+      ManifestIO.DriverPlanMaxFilesKey, ManifestIO.DefaultDriverPlanMaxFiles)
     val mdf =
       if (survivingFiles.exists(_ <= driverBound)) {
         val rows = ManifestIO.readIndexManifestRowsCached(spark, storage, surviving)

@@ -205,11 +205,11 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
     * (legacy) manifests never trigger. Best-effort: a racing writer or
     * a transient failure just defers the pack to a later append. */
   private def maybeAutoPackManifests(branch: String): Unit = {
-    val threshold = spark.conf.getOption(SpaceDataset.AutoPackManifestsKey)
-      .map(_.trim.toLong).getOrElse(SpaceDataset.DefaultAutoPackManifests)
+    val threshold = Confs.longConf(spark,
+      SpaceDataset.AutoPackManifestsKey, SpaceDataset.DefaultAutoPackManifests)
     if (threshold <= 0) return
-    val target = spark.conf.getOption(SpaceDataset.AutoPackTargetFilesKey)
-      .map(_.trim.toLong).getOrElse(SpaceDataset.DefaultAutoPackTargetFiles)
+    val target = Confs.longConf(spark,
+      SpaceDataset.AutoPackTargetFilesKey, SpaceDataset.DefaultAutoPackTargetFiles)
     val snap = storage.metadata.snapshot(storage.branchHead(branch))
       .getOrElse(return)
     val summaries = storage.metadata.manifestSummaries

@@ -1,5 +1,7 @@
 package graft.views
 
+import scala.util.control.NonFatal
+
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -25,10 +27,13 @@ final case class JoinPlan(
     keys: List[String],
     leftFields: List[String],
     rightFields: List[String],
-    /** `inner` (default) or `left_outer` — outer views ALSO maintain
-      * the unmatched-left side table at [[unmatchedLocation]]. */
+    /** `inner` (default), `left_outer` or `full_outer` — outer views
+      * ALSO maintain unmatched-side table(s): [[unmatchedLocation]]
+      * holds unmatched LEFT rows (left/full outer),
+      * [[unmatchedRightLocation]] unmatched RIGHT rows (full outer). */
     joinType: String = JoinView.Inner,
-    unmatchedLocation: Option[String] = None) {
+    unmatchedLocation: Option[String] = None,
+    unmatchedRightLocation: Option[String] = None) {
   def json: String = JsonMethods.compact(JsonMethods.render(JObject(List(
     "type" -> (JString("join_view"): JValue),
     "left" -> JString(leftLocation),
@@ -37,7 +42,8 @@ final case class JoinPlan(
     "left_fields" -> JArray(leftFields.map(JString(_))),
     "right_fields" -> JArray(rightFields.map(JString(_))),
     "join_type" -> JString(joinType)) ++
-    unmatchedLocation.map(u => "unmatched" -> (JString(u): JValue)).toList)))
+    unmatchedLocation.map(u => "unmatched" -> (JString(u): JValue)).toList ++
+    unmatchedRightLocation.map(u => "unmatched_right" -> (JString(u): JValue)).toList)))
 }
 
 object JoinPlan {
@@ -59,22 +65,20 @@ object JoinPlan {
       case JArray(vs) => vs.collect { case JString(v) => v }
       case other => throw new IllegalArgumentException(s"bad join plan field $f: $other")
     }
-    // pre-outer plans carry neither field: they are inner views
-    val jt = (j \ "join_type") match {
-      case JString(x) => x
-      case _ => JoinView.Inner
-    }
-    val um = (j \ "unmatched") match {
+    def optStr(f: String): Option[String] = (j \ f) match {
       case JString(x) => Some(x)
       case _ => None
     }
+    // pre-outer plans carry neither field: they are inner views
+    val jt = optStr("join_type").getOrElse(JoinView.Inner)
     JoinPlan(str("left"), str("right"), arr("keys"),
-      arr("left_fields"), arr("right_fields"), jt, um)
+      arr("left_fields"), arr("right_fields"), jt,
+      optStr("unmatched"), optStr("unmatched_right"))
   }
 }
 
-/** Incrementally-maintained JOIN materialized view (INNER and LEFT
-  * OUTER) — a capability the reference explicitly refuses
+/** Incrementally-maintained JOIN materialized view (INNER, LEFT OUTER
+  * and FULL OUTER) — a capability the reference explicitly refuses
   * (`transform/join.py:128-129` raises on materializing a join) but a
   * training-data pipeline wants constantly: documents ⋈ per-doc
   * quality scores, lineitems ⋈ order headers, media records ⋈
@@ -82,13 +86,13 @@ object JoinPlan {
   * scans and a giant shuffle; maintaining it from the CDC deltas is
   * O(delta ⋈ other side).
   *
-  * LEFT OUTER adds the fact⋈optional-dim shape (facts keep flowing
+  * OUTER joins add the fact⋈optional-dim shape (facts keep flowing
   * while their dim rows lag) WITHOUT nullable state PKs: the inner
   * state stays as below, a second state table holds the UNMATCHED
   * left rows (PK = left source PK — always non-null), and read()
-  * unions them null-extended. See the unmatched-left section at the
-  * bottom for its delta algebra. RIGHT outer = swap the sides; FULL
-  * outer is not materialized (needs the bookkeeping on both sides).
+  * unions them null-extended. FULL outer adds the symmetric
+  * unmatched-RIGHT table. See the unmatched-side section at the
+  * bottom for the delta algebra. RIGHT outer = swap the sides.
   *
   * Classic sequential bi-delta maintenance. The view tracks one
   * watermark PER SIDE ([[graft.format.StorageMetadata
@@ -108,17 +112,32 @@ object JoinPlan {
   * across join partners correctly because the delete sweeps by source
   * PK, not by key.
   *
+  * A refresh that finds MORE pending data snapshots than
+  * `spark.graft.mv.autoCoalesceSnapshots` takes the coalesced path on
+  * its own (one state commit + one other-side scan per side instead of
+  * one per snapshot) — a view that fell a day behind must not depend
+  * on the caller knowing the `coalesce` flag (VERDICT r14 #2); chained
+  * views then observe the backlog as one coarser CDC commit.
+  *
   * Scale shape at 100 TB: deltas are small relative to the corpus, so
   * each maintenance join is broadcast-delta ⋈ big-side — Catalyst
   * pushes the key filter of the broadcast hash join into the big
   * side's scan, and when the big side is bucketed or clustered by the
   * join key the probe prunes to the matching files. No full-table
-  * shuffle after the initial build.
+  * shuffle after the initial build. For an OUTER view, each refresh
+  * computes ONE `ChangeData.diff` per (side, window) — the per-refresh
+  * [[DiffCache]] persists the delta-sized frames so the inner and
+  * unmatched walks share them instead of re-reading the CDC window
+  * per state table (VERDICT r14 #2).
   *
   * Expired history on either side (watermark snapshot aged out of
   * metadata) falls back to a one-commit full rebuild at the current
   * heads — sound because the state is exactly `live(L) ⋈ live(R)`,
-  * independent of arrival order.
+  * independent of arrival order. A purely CDC-silent tail longer than
+  * `spark.graft.mv.silentTailMaxSnapshots` advances the watermark with
+  * one empty (CDC-silent) commit so source snapshot expiry under a
+  * silent tail can never force a data-identical rebuild (VERDICT r14
+  * #3).
   *
   * CONTRACT: each source's primary key must actually be UNIQUE in it.
   * Deletes sweep the state by source PK; two live source rows sharing
@@ -133,15 +152,20 @@ final class JoinView(val spark: SparkSession, val dataset: SpaceDataset)
     .getOrElse(throw new IllegalArgumentException(
       s"${dataset.location} is not a join view"))
 
-  private val isOuter = plan.joinType == LeftOuter
+  private val isOuter = plan.joinType != Inner
 
-  /** LEFT OUTER only: the unmatched-left state table — live left rows
-    * with NO live right partner, schema `keys ++ leftFields`, PK = the
-    * left source's PK. Maintained by its own bi-delta walk with its
-    * own per-side watermarks, so the two tables recover independently
-    * after a crash between their commits. */
+  /** OUTER only: the unmatched-left state table — live left rows with
+    * NO live right partner, schema `keys ++ leftFields`, PK = the left
+    * source's PK. Maintained by its own bi-delta walk with its own
+    * per-side watermarks, so the tables recover independently after a
+    * crash between their commits. */
   val unmatchedDataset: Option[SpaceDataset] =
     plan.unmatchedLocation.map(SpaceDataset.load(spark, _))
+
+  /** FULL OUTER only: the symmetric unmatched-right state table (live
+    * right rows with no live left partner, PK = right source PK). */
+  val unmatchedRightDataset: Option[SpaceDataset] =
+    plan.unmatchedRightLocation.map(SpaceDataset.load(spark, _))
 
   /** Per-side watermarks; empty before the first refresh. */
   def refreshedToSides: Option[(Long, Long)] = {
@@ -153,20 +177,23 @@ final class JoinView(val spark: SparkSession, val dataset: SpaceDataset)
     * advance independently; see [[refreshedToSides]] for both). */
   def refreshedTo: Option[Long] = refreshedToSides.map(_._1)
 
-  /** The joined result. Inner views read the state table directly; a
-    * left-outer view unions the inner state with the unmatched-left
-    * rows null-extended over the right fields. A read BETWEEN the two
-    * tables' commits of one in-flight refresh can see a row's match
-    * transition torn — refresh() is the consistency point, the same
-    * caveat as any mid-refresh read. */
-  def read(): DataFrame = unmatchedDataset match {
-    case None => dataset.readAll()
-    case Some(um) =>
-      val schema = dataset.storage.logicalSchema
-      val nullRight = plan.rightFields.map(c =>
-        lit(null).cast(schema(c).dataType).as(c))
-      dataset.readAll().unionByName(
-        um.readAll().select((plan.keys ++ plan.leftFields).map(col) ++ nullRight: _*))
+  /** The joined result. Inner views read the state table directly; an
+    * outer view unions the inner state with the unmatched rows
+    * null-extended over the absent side's fields. A read BETWEEN the
+    * state tables' commits of one in-flight refresh can see a row's
+    * match transition torn — refresh() is the consistency point, the
+    * same caveat as any mid-refresh read. */
+  def read(): DataFrame = {
+    val schema = dataset.storage.logicalSchema
+    def nulls(fields: Seq[String]) = fields.map(c =>
+      lit(null).cast(schema(c).dataType).as(c))
+    val withLeft = unmatchedDataset.fold(dataset.readAll())(um =>
+      dataset.readAll().unionByName(um.readAll()
+        .select((plan.keys ++ plan.leftFields).map(col) ++ nulls(plan.rightFields): _*)))
+    unmatchedRightDataset.fold(withLeft)(um =>
+      withLeft.unionByName(um.readAll()
+        .select(plan.keys.map(col) ++ nulls(plan.leftFields) ++
+          plan.rightFields.map(col): _*)))
   }
 
   override def refresh(targetVersion: Option[String], coalesce: Boolean): Int = {
@@ -176,6 +203,7 @@ final class JoinView(val spark: SparkSession, val dataset: SpaceDataset)
     if (commits > 0) {
       ViewMaintenance.maybeCompactState(spark, dataset)
       unmatchedDataset.foreach(ViewMaintenance.maybeCompactState(spark, _))
+      unmatchedRightDataset.foreach(ViewMaintenance.maybeCompactState(spark, _))
     }
     commits
   }
@@ -188,19 +216,62 @@ final class JoinView(val spark: SparkSession, val dataset: SpaceDataset)
     val right = SpaceDataset.load(spark, plan.rightLocation)
     val lT = left.storage.metadata.currentSnapshotId
     val rT = right.storage.metadata.currentSnapshotId
-    var commits = innerRefresh(left, right, lT, rT, coalesce)
-    // the unmatched-left table maintains by its OWN walk and watermarks
-    // (crash between the two tables' commits recovers independently)
-    if (isOuter) commits += unmatchedRefresh(left, right, lT, rT, coalesce)
-    commits
+    val cache = new DiffCache(shareAcrossPasses = isOuter)
+    try {
+      var commits = innerRefresh(left, right, lT, rT, coalesce, cache)
+      // unmatched tables maintain by their OWN walks and watermarks
+      // (crash between the tables' commits recovers independently) but
+      // share each (side, window) CDC diff through `cache`
+      unmatchedDataset.foreach { um =>
+        commits += unmatchedRefresh(
+          new UmSide(um, left, LeftSide, plan.leftFields, right, RightSide),
+          lT, rT, coalesce, cache)
+      }
+      unmatchedRightDataset.foreach { um =>
+        commits += unmatchedRefresh(
+          new UmSide(um, right, RightSide, plan.rightFields, left, LeftSide),
+          rT, lT, coalesce, cache)
+      }
+      commits
+    } finally cache.close()
   }
+
+  /** Per-refresh memo of `ChangeData.diff`: an OUTER view's inner and
+    * unmatched walks cover the same (side, window) CDC reads, so each
+    * is computed once and its delta-sized frames PERSISTED across the
+    * passes (one diff per side per refresh — VERDICT r14 #2). Inner
+    * views skip the persist: each frame feeds exactly one commit. */
+  private final class DiffCache(shareAcrossPasses: Boolean) {
+    private val memo = scala.collection.mutable.Map
+      .empty[(String, Long, Long, Boolean), Seq[ChangeBatch]]
+    private val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
+    def diff(storage: Storage, from: Long, to: Long, pksOnly: Boolean): Seq[ChangeBatch] =
+      memo.getOrElseUpdate((storage.location, from, to, pksOnly), {
+        val bs = ChangeData.diff(spark, storage, from, to, deletesPksOnly = pksOnly)
+        if (shareAcrossPasses) bs.foreach { b => b.data.persist(); persisted += b.data }
+        bs
+      })
+    def close(): Unit = {
+      persisted.foreach(_.unpersist())
+      persisted.clear()
+      memo.clear()
+    }
+  }
+
+  /** Delete batches for an OUTER view's diffs carry FULL VALUES: the
+    * unmatched walks need the dying rows' join keys, and sharing ONE
+    * diff per window beats a pks-only diff plus a full-value one
+    * (deleteByKeysOn selects its key columns itself, so the inner pass
+    * consumes the same frames unchanged). */
+  private def diffPksOnly: Boolean = !isOuter
 
   private def innerRefresh(
       left: SpaceDataset,
       right: SpaceDataset,
       lT: Long,
       rT: Long,
-      coalesce: Boolean): Int = {
+      coalesce: Boolean,
+      cache: DiffCache): Int = {
     if (refreshedToSides.isEmpty) {
       val built = fullBuild(left, right, lT, rT, overwrite = false)
       // first-refresh race: a concurrent refresher may have built to
@@ -216,8 +287,8 @@ final class JoinView(val spark: SparkSession, val dataset: SpaceDataset)
     // if that snapshot was expired (and left has deltas to apply), the
     // exact historical join side is gone: rebuild
     var commits = 0
-    val lSids =
-      try dataSids(left, lW, lT)
+    val (lAll, lSids) =
+      try sidWalk(left, lW, lT)
       catch { case _: ExpiredHistoryException => return rebuild(left, right, lT, rT) }
     if (lSids.nonEmpty && right.storage.metadata.snapshot(rW).isEmpty)
       return rebuild(left, right, lT, rT)
@@ -225,31 +296,33 @@ final class JoinView(val spark: SparkSession, val dataset: SpaceDataset)
       // lazily planned; each delta join re-uses the one frame
       val rightAtW = sideProjection(right.read(version = Some(rW.toString)),
         plan.rightFields)
-      if (coalesce)
+      if (ViewMaintenance.shouldCoalesce(spark, coalesce, lSids.size))
         commits += coalescedStep(left, LeftSide, lW, lT, lSids, plan.leftFields,
-          rightAtW, deltaIsLeft = true)
+          rightAtW, deltaIsLeft = true, cache)
       else
         for (sid <- lSids)
           commits += step(left, LeftSide, sid, plan.leftFields, rightAtW,
-            deltaIsLeft = true)
+            deltaIsLeft = true, cache)
     }
+    commits += maybeAdvanceSilent(dataset.storage, LeftSide, lT, lAll, lSids)
 
-    val rSids =
-      try dataSids(right, rW, rT)
+    val (rAll, rSids) =
+      try sidWalk(right, rW, rT)
       catch { case _: ExpiredHistoryException => return rebuild(left, right, lT, rT) }
     if (rSids.nonEmpty && left.storage.metadata.snapshot(lT).isEmpty)
       return rebuild(left, right, lT, rT)
     if (rSids.nonEmpty) {
       val leftAtT = sideProjection(left.read(version = Some(lT.toString)),
         plan.leftFields)
-      if (coalesce)
+      if (ViewMaintenance.shouldCoalesce(spark, coalesce, rSids.size))
         commits += coalescedStep(right, RightSide, rW, rT, rSids, plan.rightFields,
-          leftAtT, deltaIsLeft = false)
+          leftAtT, deltaIsLeft = false, cache)
       else
         for (sid <- rSids)
           commits += step(right, RightSide, sid, plan.rightFields, leftAtT,
-            deltaIsLeft = false)
+            deltaIsLeft = false, cache)
     }
+    commits += maybeAdvanceSilent(dataset.storage, RightSide, rT, rAll, rSids)
     commits
   }
 
@@ -302,15 +375,38 @@ final class JoinView(val spark: SparkSession, val dataset: SpaceDataset)
   private def sideProjection(df: DataFrame, fields: Seq[String]): DataFrame =
     df.select((plan.keys ++ fields).map(col): _*)
 
-  /** CDC-silent source snapshots (compact/GC) change no data — skip
-    * them instead of minting empty watermark-advance state commits
-    * (VERDICT r13 #3). The watermark folds into the side's next
-    * data-bearing commit; a purely-silent tail costs only an O(1)
-    * metadata re-check per refresh (and keeps the recorded watermark
-    * snapshot a little older — expiry there already rebuilds). */
-  private def dataSids(src: SpaceDataset, w: Long, t: Long): Seq[Long] =
-    src.storage.orderedSnapshotIds(w, t).filter(sid =>
-      src.storage.snapshotOrFail(sid).changeLogFile.isDefined)
+  /** One watermark→target walk: (all snapshot ids, the data-bearing
+    * subset). CDC-silent source snapshots (compact/GC) change no data —
+    * they are skipped instead of minting empty watermark-advance state
+    * commits (VERDICT r13 #3); the watermark folds into the side's next
+    * data-bearing commit, and a purely-silent tail costs only an O(1)
+    * metadata re-check per refresh until it crosses the
+    * [[ViewMaintenance.SilentTailMaxSnapshotsKey]] bound (then ONE
+    * empty advance commit — see [[maybeAdvanceSilent]]). */
+  private def sidWalk(src: SpaceDataset, w: Long, t: Long): (Seq[Long], Seq[Long]) = {
+    val all = src.storage.orderedSnapshotIds(w, t)
+    (all, all.filter(sid => src.storage.snapshotOrFail(sid).changeLogFile.isDefined))
+  }
+
+  /** ONE empty (CDC-silent) commit advancing `side`'s watermark to `t`
+    * when the walk's silent tail crossed the configured bound — keeps
+    * a long-silent source (hourly compactions, no data) from expiring
+    * the recorded watermark snapshot and forcing a data-identical full
+    * rebuild (VERDICT r14 #3). */
+  private def maybeAdvanceSilent(
+      st: Storage,
+      side: String,
+      t: Long,
+      allSids: Seq[Long],
+      dataSids: Seq[Long]): Int = {
+    if (!ViewMaintenance.silentTailNeedsAdvance(spark, allSids, dataSids)) return 0
+    var applied = false
+    st.transaction() { _ =>
+      if (st.metadata.mvSourceSnapshotIds.get(side).exists(_ >= t)) (None, ())
+      else { applied = true; (Some(Patch().copy(sourceSnapshotIds = Map(side -> t))), ()) }
+    }
+    if (applied) 1 else 0
+  }
 
   /** One source snapshot applied as one state commit (exactly-once via
     * the per-side watermark re-check inside the transaction). */
@@ -320,9 +416,10 @@ final class JoinView(val spark: SparkSession, val dataset: SpaceDataset)
       sid: Long,
       sideFields: Seq[String],
       other: DataFrame,
-      deltaIsLeft: Boolean): Int = {
+      deltaIsLeft: Boolean,
+      cache: DiffCache): Int = {
     val parent = src.storage.snapshotOrFail(sid).parentSnapshotId.getOrElse(0L)
-    val batches = ChangeData.diff(spark, src.storage, parent, sid)
+    val batches = cache.diff(src.storage, parent, sid, diffPksOnly)
     val srcPks = src.primaryKeys
     // O(1) delta size from the changelog bitmaps — gates the broadcast
     // hint below (a fat backfill commit must NOT be force-broadcast)
@@ -364,7 +461,8 @@ final class JoinView(val spark: SparkSession, val dataset: SpaceDataset)
   }
 
   /** One side's ENTIRE watermark→target backlog as ONE state commit
-    * (`refresh(coalesce = true)`). Sequential per-snapshot application
+    * (`refresh(coalesce = true)`, or automatic past the
+    * auto-coalesce bound). Sequential per-snapshot application
     * against the same fixed other-side frame reduces to: every source
     * key TOUCHED in the window ends in the state iff live at the
     * side's target, joined at its target version — so sweep the state
@@ -380,11 +478,12 @@ final class JoinView(val spark: SparkSession, val dataset: SpaceDataset)
       dataSids: Seq[Long],
       sideFields: Seq[String],
       other: DataFrame,
-      deltaIsLeft: Boolean): Int = {
+      deltaIsLeft: Boolean,
+      cache: DiffCache): Int = {
     val srcPks = src.primaryKeys
     val estRows = dataSids.map(sid =>
       ViewMaintenance.changelogRows(src.storage, sid, addsOnly = false)).sum
-    val batches = ChangeData.diff(spark, src.storage, w, t)
+    val batches = cache.diff(src.storage, w, t, diffPksOnly)
     val touched = batches.map(_.data.select(srcPks.map(col): _*))
       .reduceOption(_.unionByName(_)).map(_.distinct().persist())
       .getOrElse(return 0)
@@ -456,267 +555,278 @@ final class JoinView(val spark: SparkSession, val dataset: SpaceDataset)
   private def rebuild(left: SpaceDataset, right: SpaceDataset, lT: Long, rT: Long): Int =
     fullBuild(left, right, lT, rT, overwrite = true)
 
-  // ----------------------------------------- unmatched-left maintenance
+  // ----------------------------------------- unmatched-side maintenance
   //
-  // The outer view's second state table holds exactly
-  // `live(L) anti-join live(R) on keys` and maintains bi-delta like the
-  // inner state, with its own per-side watermarks:
-  //  - LEFT delta: deletes sweep by left PK; adds are ΔL anti R@R0'.
-  //  - RIGHT delta (full-value deletes — the dying rows' JOIN KEYS are
-  //    needed, and the right PK may not contain them): left rows whose
-  //    key just DIED enter (guarded by an anti-join against the current
-  //    unmatched state — a key can die while its lefts were already
-  //    unmatched across an interleaved left pass); left rows whose key
-  //    came ALIVE leave.
+  // An outer view's unmatched state table holds exactly
+  // `live(OWN) anti-join live(OTHER) on keys` (own = LEFT for
+  // left/full outer's first table, RIGHT for full outer's second) and
+  // maintains bi-delta like the inner state, with its own per-side
+  // watermarks:
+  //  - OWN delta: deletes sweep by own PK; adds are Δown anti OTHER@W.
+  //  - OTHER delta (full-value deletes — the dying rows' JOIN KEYS are
+  //    needed, and the other side's PK may not contain them): own rows
+  //    whose key just DIED enter (guarded by an anti-join against the
+  //    current unmatched state — a key can die while its own-rows were
+  //    already unmatched across an interleaved own-side pass); own
+  //    rows whose key came ALIVE leave.
   // The null-extension itself happens at read() — the state rows carry
-  // only `keys ++ leftFields`, so no nullable-PK encoding is needed
+  // only `keys ++ ownFields`, so no nullable-PK encoding is needed
   // (the reason inner-only shipped first, JoinView r13).
 
-  private def lProjection(df: DataFrame): DataFrame =
-    df.select((plan.keys ++ plan.leftFields).map(col): _*)
+  /** One unmatched table's maintenance roles: `own` is the side whose
+    * rows are STORED (its PK is the table's PK), `other` the side
+    * whose liveness decides membership. */
+  private final class UmSide(
+      val um: SpaceDataset,
+      val own: SpaceDataset,
+      val ownSide: String,
+      val ownFields: Seq[String],
+      val other: SpaceDataset,
+      val otherSide: String) {
+    def ownProjection(df: DataFrame): DataFrame =
+      df.select((plan.keys ++ ownFields).map(col): _*)
+  }
 
   private def keysOf(df: DataFrame): DataFrame =
     df.select(plan.keys.map(col): _*).distinct()
 
   private def unmatchedRefresh(
-      left: SpaceDataset,
-      right: SpaceDataset,
-      lT: Long,
-      rT: Long,
-      coalesce: Boolean): Int = {
-    val um = unmatchedDataset.get
-    def wm = um.storage.metadata.mvSourceSnapshotIds
-    if (wm.get(LeftSide).isEmpty || wm.get(RightSide).isEmpty) {
-      val built = umBuild(um, left, right, lT, rT, overwrite = false)
+      u: UmSide,
+      ownT: Long,
+      otherT: Long,
+      coalesce: Boolean,
+      cache: DiffCache): Int = {
+    def wm = u.um.storage.metadata.mvSourceSnapshotIds
+    if (wm.get(u.ownSide).isEmpty || wm.get(u.otherSide).isEmpty) {
+      val built = umBuild(u, ownT, otherT, overwrite = false)
       val w = wm
       if (built > 0 || w.isEmpty ||
-          (w.get(LeftSide).exists(_ >= lT) && w.get(RightSide).exists(_ >= rT)))
+          (w.get(u.ownSide).exists(_ >= ownT) && w.get(u.otherSide).exists(_ >= otherT)))
         return built
     }
-    val lW = wm(LeftSide)
-    val rW = wm(RightSide)
+    val ownW = wm(u.ownSide)
+    val otherW = wm(u.otherSide)
     var commits = 0
-    val lSids =
-      try dataSids(left, lW, lT)
+    val (ownAll, ownSids) =
+      try sidWalk(u.own, ownW, ownT)
       catch { case _: ExpiredHistoryException =>
-        return umBuild(um, left, right, lT, rT, overwrite = true) }
-    if (lSids.nonEmpty && right.storage.metadata.snapshot(rW).isEmpty)
-      return umBuild(um, left, right, lT, rT, overwrite = true)
-    if (lSids.nonEmpty) {
-      val rightKeysAtW = right.read(version = Some(rW.toString))
+        return umBuild(u, ownT, otherT, overwrite = true) }
+    if (ownSids.nonEmpty && u.other.storage.metadata.snapshot(otherW).isEmpty)
+      return umBuild(u, ownT, otherT, overwrite = true)
+    if (ownSids.nonEmpty) {
+      val otherKeysAtW = u.other.read(version = Some(otherW.toString))
         .select(plan.keys.map(col): _*)
-      if (coalesce) commits += umLeftCoalesced(um, left, lW, lT, lSids, rightKeysAtW)
-      else for (sid <- lSids) commits += umLeftStep(um, left, sid, rightKeysAtW)
+      if (ViewMaintenance.shouldCoalesce(spark, coalesce, ownSids.size))
+        commits += umOwnCoalesced(u, ownW, ownT, ownSids, otherKeysAtW, cache)
+      else for (sid <- ownSids) commits += umOwnStep(u, sid, otherKeysAtW, cache)
     }
-    val rSids =
-      try dataSids(right, rW, rT)
+    commits += maybeAdvanceSilent(u.um.storage, u.ownSide, ownT, ownAll, ownSids)
+
+    val (otherAll, otherSids) =
+      try sidWalk(u.other, otherW, otherT)
       catch { case _: ExpiredHistoryException =>
-        return umBuild(um, left, right, lT, rT, overwrite = true) }
-    if (rSids.nonEmpty && left.storage.metadata.snapshot(lT).isEmpty)
-      return umBuild(um, left, right, lT, rT, overwrite = true)
-    if (rSids.nonEmpty) {
-      val leftAtT = lProjection(left.read(version = Some(lT.toString)))
-      if (coalesce) commits += umRightCoalesced(um, right, rW, rT, rSids, leftAtT)
-      else for (sid <- rSids) commits += umRightStep(um, right, sid, leftAtT)
+        return umBuild(u, ownT, otherT, overwrite = true) }
+    if (otherSids.nonEmpty && u.own.storage.metadata.snapshot(ownT).isEmpty)
+      return umBuild(u, ownT, otherT, overwrite = true)
+    if (otherSids.nonEmpty) {
+      val ownAtT = u.ownProjection(u.own.read(version = Some(ownT.toString)))
+      if (ViewMaintenance.shouldCoalesce(spark, coalesce, otherSids.size))
+        commits += umOtherCoalesced(u, otherW, otherT, otherSids, ownAtT, cache)
+      else for (sid <- otherSids) commits += umOtherStep(u, sid, ownAtT, cache)
     }
+    commits += maybeAdvanceSilent(u.um.storage, u.otherSide, otherT, otherAll, otherSids)
     commits
   }
 
-  /** One-commit (re)build of the unmatched table: `L@lT anti R@rT`.
-    * Same non-overwrite no-op rule as the inner [[fullBuild]]. */
-  private def umBuild(
-      um: SpaceDataset,
-      left: SpaceDataset,
-      right: SpaceDataset,
-      lT: Long,
-      rT: Long,
-      overwrite: Boolean): Int = {
+  /** One-commit (re)build of an unmatched table: `OWN@ownT anti
+    * OTHER@otherT`. Same non-overwrite no-op rule as the inner
+    * [[fullBuild]]. */
+  private def umBuild(u: UmSide, ownT: Long, otherT: Long, overwrite: Boolean): Int = {
     var applied = false
-    um.storage.transaction() { pinned =>
-      val w = um.storage.metadata.mvSourceSnapshotIds
-      if ((w.get(LeftSide).exists(_ >= lT) && w.get(RightSide).exists(_ >= rT)) ||
+    u.um.storage.transaction() { pinned =>
+      val w = u.um.storage.metadata.mvSourceSnapshotIds
+      if ((w.get(u.ownSide).exists(_ >= ownT) && w.get(u.otherSide).exists(_ >= otherT)) ||
           (w.nonEmpty && !overwrite)) {
         (None, ())
       } else {
-        val rows = lProjection(left.read(version = Some(lT.toString)))
-          .join(right.read(version = Some(rT.toString)).select(plan.keys.map(col): _*),
-            plan.keys, "left_anti")
+        val rows = u.ownProjection(u.own.read(version = Some(ownT.toString)))
+          .join(u.other.read(version = Some(otherT.toString))
+            .select(plan.keys.map(col): _*), plan.keys, "left_anti")
         val patch =
-          if (overwrite) DmlOps.overwriteAll(spark, um.storage, pinned, rows)
-          else RecordIO.writeWithRecords(spark, um.storage, rows)
+          if (overwrite) DmlOps.overwriteAll(spark, u.um.storage, pinned, rows)
+          else RecordIO.writeWithRecords(spark, u.um.storage, rows)
         applied = true
-        (Some(patch.copy(sourceSnapshotIds = Map(LeftSide -> lT, RightSide -> rT))), ())
+        (Some(patch.copy(sourceSnapshotIds =
+          Map(u.ownSide -> ownT, u.otherSide -> otherT))), ())
       }
     }
     if (applied) 1 else 0
   }
 
-  /** ΔL applied to the unmatched table: the exact mirror of [[step]]
+  /** Δown applied to an unmatched table: the exact mirror of [[step]]
     * with the join replaced by an anti-join on the keys. */
-  private def umLeftStep(
-      um: SpaceDataset,
-      left: SpaceDataset,
+  private def umOwnStep(
+      u: UmSide,
       sid: Long,
-      rightKeysAtW: DataFrame): Int = {
-    val parent = left.storage.snapshotOrFail(sid).parentSnapshotId.getOrElse(0L)
-    val batches = ChangeData.diff(spark, left.storage, parent, sid)
-    val lPks = left.primaryKeys
+      otherKeysAtW: DataFrame,
+      cache: DiffCache): Int = {
+    val parent = u.own.storage.snapshotOrFail(sid).parentSnapshotId.getOrElse(0L)
+    val batches = cache.diff(u.own.storage, parent, sid, diffPksOnly)
+    val ownPks = u.own.primaryKeys
     var applied = false
-    um.storage.transaction() { pinned =>
-      if (um.storage.metadata.mvSourceSnapshotIds.get(LeftSide).exists(_ >= sid)) {
+    u.um.storage.transaction() { pinned =>
+      if (u.um.storage.metadata.mvSourceSnapshotIds.get(u.ownSide).exists(_ >= sid)) {
         applied = false
         (None, ())
       } else {
         val patches = batches.flatMap { b =>
           b.changeType match {
             case ChangeType.Delete =>
-              DmlOps.deleteByKeysOn(spark, um.storage, pinned, b.data, lPks)
+              DmlOps.deleteByKeysOn(spark, u.um.storage, pinned, b.data, ownPks)
             case ChangeType.Add =>
-              Some(RecordIO.writeWithRecords(spark, um.storage,
-                lProjection(b.data).join(rightKeysAtW, plan.keys, "left_anti")))
+              Some(RecordIO.writeWithRecords(spark, u.um.storage,
+                u.ownProjection(b.data).join(otherKeysAtW, plan.keys, "left_anti")))
           }
         }
         applied = true
         (Some(Patch.merge(patches).getOrElse(Patch())
-          .copy(sourceSnapshotIds = Map(LeftSide -> sid))), ())
+          .copy(sourceSnapshotIds = Map(u.ownSide -> sid))), ())
       }
     }
     if (applied) 1 else 0
   }
 
-  /** ΔR applied to the unmatched table: keys that DIED at `sid` push
-    * their (still-live) lefts in; keys ADDED pull their lefts out. */
-  private def umRightStep(
-      um: SpaceDataset,
-      right: SpaceDataset,
+  /** Δother applied to an unmatched table: keys that DIED at `sid` push
+    * their (still-live) own-rows in; keys ADDED pull their rows out. */
+  private def umOtherStep(
+      u: UmSide,
       sid: Long,
-      leftAtT: DataFrame): Int = {
-    val parent = right.storage.snapshotOrFail(sid).parentSnapshotId.getOrElse(0L)
+      ownAtT: DataFrame,
+      cache: DiffCache): Int = {
     // full-value deletes: the dying rows' JOIN KEYS drive the update
-    val batches = ChangeData.diff(spark, right.storage, parent, sid,
-      deletesPksOnly = false)
-    val lPks = um.primaryKeys
-    val deltaRows = ViewMaintenance.changelogRows(right.storage, sid, addsOnly = false)
+    val parent = u.other.storage.snapshotOrFail(sid).parentSnapshotId.getOrElse(0L)
+    val batches = cache.diff(u.other.storage, parent, sid, pksOnly = false)
+    val ownPks = u.um.primaryKeys
+    val deltaRows = ViewMaintenance.changelogRows(u.other.storage, sid, addsOnly = false)
     var applied = false
-    um.storage.transaction() { pinned =>
-      if (um.storage.metadata.mvSourceSnapshotIds.get(RightSide).exists(_ >= sid)) {
+    u.um.storage.transaction() { pinned =>
+      if (u.um.storage.metadata.mvSourceSnapshotIds.get(u.otherSide).exists(_ >= sid)) {
         applied = false
         (None, ())
       } else {
-        val rightKeysAtSid = right.read(version = Some(sid.toString))
+        val otherKeysAtSid = u.other.read(version = Some(sid.toString))
           .select(plan.keys.map(col): _*)
-        val umPinned = um.read(version = Some(pinned.toString))
+        val umPinned = u.um.read(version = Some(pinned.toString))
         val patches = batches.flatMap { b =>
           b.changeType match {
             case ChangeType.Delete =>
               val delKeys = ViewMaintenance.maybeBroadcast(
                 spark, keysOf(b.data), deltaRows)
-              // lefts of a dying key, unless the key survives at sid
-              // (another right row, or a same-snapshot re-add) or the
-              // left row is already unmatched
-              val cands = leftAtT.join(delKeys, plan.keys, "left_semi")
-                .join(rightKeysAtSid, plan.keys, "left_anti")
-                .join(umPinned.select(lPks.map(col): _*), lPks, "left_anti")
-              Some(RecordIO.writeWithRecords(spark, um.storage, cands))
+              // own-rows of a dying key, unless the key survives at sid
+              // (another other-side row, or a same-snapshot re-add) or
+              // the own row is already unmatched
+              val cands = ownAtT.join(delKeys, plan.keys, "left_semi")
+                .join(otherKeysAtSid, plan.keys, "left_anti")
+                .join(umPinned.select(ownPks.map(col): _*), ownPks, "left_anti")
+              Some(RecordIO.writeWithRecords(spark, u.um.storage, cands))
             case ChangeType.Add =>
               val addKeys = ViewMaintenance.maybeBroadcast(
                 spark, keysOf(b.data), deltaRows)
               val matched = umPinned.join(addKeys, plan.keys, "left_semi")
-                .select(lPks.map(col): _*)
-              DmlOps.deleteByKeysOn(spark, um.storage, pinned, matched, lPks)
+                .select(ownPks.map(col): _*)
+              DmlOps.deleteByKeysOn(spark, u.um.storage, pinned, matched, ownPks)
           }
         }
         applied = true
         (Some(Patch.merge(patches).getOrElse(Patch())
-          .copy(sourceSnapshotIds = Map(RightSide -> sid))), ())
+          .copy(sourceSnapshotIds = Map(u.otherSide -> sid))), ())
       }
     }
     if (applied) 1 else 0
   }
 
-  /** Coalesced ΔL backlog for the unmatched table — the [[coalescedStep]]
-    * shape with an anti-join: sweep touched left PKs, re-derive
-    * `(L@lT ⋉ touched) anti R@R0'`. */
-  private def umLeftCoalesced(
-      um: SpaceDataset,
-      left: SpaceDataset,
+  /** Coalesced Δown backlog for an unmatched table — the
+    * [[coalescedStep]] shape with an anti-join: sweep touched own PKs,
+    * re-derive `(OWN@ownT ⋉ touched) anti OTHER@W`. */
+  private def umOwnCoalesced(
+      u: UmSide,
       w: Long,
       t: Long,
       sids: Seq[Long],
-      rightKeysAtW: DataFrame): Int = {
-    val lPks = left.primaryKeys
+      otherKeysAtW: DataFrame,
+      cache: DiffCache): Int = {
+    val ownPks = u.own.primaryKeys
     val estRows = sids.map(sid =>
-      ViewMaintenance.changelogRows(left.storage, sid, addsOnly = false)).sum
-    val touched = ChangeData.diff(spark, left.storage, w, t)
-      .map(_.data.select(lPks.map(col): _*))
+      ViewMaintenance.changelogRows(u.own.storage, sid, addsOnly = false)).sum
+    val touched = cache.diff(u.own.storage, w, t, diffPksOnly)
+      .map(_.data.select(ownPks.map(col): _*))
       .reduceOption(_.unionByName(_)).map(_.distinct().persist())
       .getOrElse(return 0)
     var applied = false
     try {
-      um.storage.transaction() { pinned =>
-        if (um.storage.metadata.mvSourceSnapshotIds.get(LeftSide).exists(_ >= t)) {
+      u.um.storage.transaction() { pinned =>
+        if (u.um.storage.metadata.mvSourceSnapshotIds.get(u.ownSide).exists(_ >= t)) {
           applied = false
           (None, ())
         } else {
-          val live = left.read(version = Some(t.toString))
+          val live = u.own.read(version = Some(t.toString))
             .join(ViewMaintenance.maybeBroadcast(spark, touched, estRows),
-              lPks, "left_semi")
-          val adds = lProjection(live).join(rightKeysAtW, plan.keys, "left_anti")
+              ownPks, "left_semi")
+          val adds = u.ownProjection(live).join(otherKeysAtW, plan.keys, "left_anti")
           val patches =
-            DmlOps.deleteByKeysOn(spark, um.storage, pinned, touched, lPks).toSeq ++
-              Seq(RecordIO.writeWithRecords(spark, um.storage, adds))
+            DmlOps.deleteByKeysOn(spark, u.um.storage, pinned, touched, ownPks).toSeq ++
+              Seq(RecordIO.writeWithRecords(spark, u.um.storage, adds))
           applied = true
           (Some(Patch.merge(patches).getOrElse(Patch())
-            .copy(sourceSnapshotIds = Map(LeftSide -> t))), ())
+            .copy(sourceSnapshotIds = Map(u.ownSide -> t))), ())
         }
       }
     } finally touched.unpersist()
     if (applied) 1 else 0
   }
 
-  /** Coalesced ΔR backlog for the unmatched table: split the window's
-    * AFFECTED keys by liveness at R@rT — lefts of dead keys enter
-    * (minus those already unmatched), unmatched lefts of live keys
-    * leave. One commit, one scan of each side. */
-  private def umRightCoalesced(
-      um: SpaceDataset,
-      right: SpaceDataset,
+  /** Coalesced Δother backlog for an unmatched table: split the
+    * window's AFFECTED keys by liveness at OTHER@t — own-rows of dead
+    * keys enter (minus those already unmatched), unmatched rows of
+    * live keys leave. One commit, one scan of each side. */
+  private def umOtherCoalesced(
+      u: UmSide,
       w: Long,
       t: Long,
       sids: Seq[Long],
-      leftAtT: DataFrame): Int = {
-    val lPks = um.primaryKeys
+      ownAtT: DataFrame,
+      cache: DiffCache): Int = {
+    val ownPks = u.um.primaryKeys
     val estRows = sids.map(sid =>
-      ViewMaintenance.changelogRows(right.storage, sid, addsOnly = false)).sum
-    val affectedKeys = ChangeData.diff(spark, right.storage, w, t,
-        deletesPksOnly = false)
+      ViewMaintenance.changelogRows(u.other.storage, sid, addsOnly = false)).sum
+    val affectedKeys = cache.diff(u.other.storage, w, t, pksOnly = false)
       .map(b => b.data.select(plan.keys.map(col): _*))
       .reduceOption(_.unionByName(_)).map(_.distinct().persist())
       .getOrElse(return 0)
     var applied = false
     try {
-      um.storage.transaction() { pinned =>
-        if (um.storage.metadata.mvSourceSnapshotIds.get(RightSide).exists(_ >= t)) {
+      u.um.storage.transaction() { pinned =>
+        if (u.um.storage.metadata.mvSourceSnapshotIds.get(u.otherSide).exists(_ >= t)) {
           applied = false
           (None, ())
         } else {
-          val rightKeysAtT = right.read(version = Some(t.toString))
+          val otherKeysAtT = u.other.read(version = Some(t.toString))
             .select(plan.keys.map(col): _*)
-          val umPinned = um.read(version = Some(pinned.toString))
+          val umPinned = u.um.read(version = Some(pinned.toString))
           val liveAffected = ViewMaintenance.maybeBroadcast(spark,
-            affectedKeys.join(rightKeysAtT, plan.keys, "left_semi"), estRows)
+            affectedKeys.join(otherKeysAtT, plan.keys, "left_semi"), estRows)
           val deadAffected = ViewMaintenance.maybeBroadcast(spark,
-            affectedKeys.join(rightKeysAtT, plan.keys, "left_anti"), estRows)
+            affectedKeys.join(otherKeysAtT, plan.keys, "left_anti"), estRows)
           val matched = umPinned.join(liveAffected, plan.keys, "left_semi")
-            .select(lPks.map(col): _*)
-          val cands = leftAtT.join(deadAffected, plan.keys, "left_semi")
-            .join(umPinned.select(lPks.map(col): _*), lPks, "left_anti")
+            .select(ownPks.map(col): _*)
+          val cands = ownAtT.join(deadAffected, plan.keys, "left_semi")
+            .join(umPinned.select(ownPks.map(col): _*), ownPks, "left_anti")
           val patches =
-            DmlOps.deleteByKeysOn(spark, um.storage, pinned, matched, lPks).toSeq ++
-              Seq(RecordIO.writeWithRecords(spark, um.storage, cands))
+            DmlOps.deleteByKeysOn(spark, u.um.storage, pinned, matched, ownPks).toSeq ++
+              Seq(RecordIO.writeWithRecords(spark, u.um.storage, cands))
           applied = true
           (Some(Patch.merge(patches).getOrElse(Patch())
-            .copy(sourceSnapshotIds = Map(RightSide -> t))), ())
+            .copy(sourceSnapshotIds = Map(u.otherSide -> t))), ())
         }
       }
     } finally affectedKeys.unpersist()
@@ -730,14 +840,15 @@ object JoinView {
 
   val Inner = "inner"
   val LeftOuter = "left_outer"
+  val FullOuter = "full_outer"
 
-  /** Create the state table and bind the view. `keys` are shared-name
-    * join columns (present in both sources with identical types);
-    * `leftFields`/`rightFields` the per-side non-key output columns —
-    * each side's full primary key must be covered by its fields ∪ keys
-    * (source deletes sweep the state by source PK). Record-field
-    * columns are refused: their address structs would dangle once the
-    * owning source compacts/GCs its payloads. */
+  /** Create the state table(s) and bind the view. `keys` are
+    * shared-name join columns (present in both sources with identical
+    * types); `leftFields`/`rightFields` the per-side non-key output
+    * columns — each side's full primary key must be covered by its
+    * fields ∪ keys (source deletes sweep the state by source PK).
+    * Record-field columns are refused: their address structs would
+    * dangle once the owning source compacts/GCs its payloads. */
   def create(
       spark: SparkSession,
       location: String,
@@ -748,10 +859,13 @@ object JoinView {
       rightFields: Seq[String],
       joinType: String = Inner): JoinView = {
     require(keys.nonEmpty, "join view requires at least one join key")
-    require(joinType == Inner || joinType == LeftOuter,
-      s"join view supports '$Inner' and '$LeftOuter', got '$joinType' " +
-        "(right outer = swap the sides; full outer needs null-extension " +
-        "bookkeeping on BOTH sides and is not materialized)")
+    require(joinType == Inner || joinType == LeftOuter || joinType == FullOuter,
+      s"join view supports '$Inner', '$LeftOuter' and '$FullOuter', got " +
+        s"'$joinType' (right outer = swap the sides)")
+    // chaining onto an OUTER view's bare state table silently drops its
+    // unmatched rows — refuse at create (VERDICT r14 #1)
+    ViewMaintenance.requireChainableSource(spark, left)
+    ViewMaintenance.requireChainableSource(spark, right)
     val lSchema = left.storage.logicalSchema
     val rSchema = right.storage.logicalSchema
     keys.foreach { k =>
@@ -780,41 +894,66 @@ object JoinView {
     requirePkCovered(left, leftFields, "left")
     requirePkCovered(right, rightFields, "right")
 
-    // LEFT OUTER: the unmatched-left state table is created FIRST so a
-    // crash between the two creates leaves no view whose plan points at
-    // a missing table (the view table is the commit point for load())
-    val unmatchedLoc =
-      if (joinType == LeftOuter) {
-        val uLoc = location.stripSuffix("/") + "__unmatched"
-        val uSchema = left.readAll()
-          .select((keys ++ leftFields).map(col): _*).schema
-        Storage.create(uLoc, uSchema, left.primaryKeys,
-          tableType = TableType.MaterializedView,
-          conf = spark.sparkContext.hadoopConfiguration)
-        Some(uLoc)
-      } else None
+    // OUTER: the unmatched state table(s) are created FIRST so a crash
+    // between the creates leaves no view whose plan points at a missing
+    // table (the view table is the commit point for load()); if a LATER
+    // step fails, the already-created tables are best-effort removed so
+    // no orphan ever collides with a future create (ADVICE r14)
+    val createdLocs = scala.collection.mutable.Buffer.empty[String]
+    def createUnmatched(loc: String, src: SpaceDataset, fields: Seq[String]): String = {
+      val uSchema = src.readAll().select((keys ++ fields).map(col): _*).schema
+      Storage.create(loc, uSchema, src.primaryKeys,
+        tableType = TableType.MaterializedView,
+        conf = spark.sparkContext.hadoopConfiguration)
+      createdLocs += loc
+      loc
+    }
+    try {
+      val base = location.stripSuffix("/")
+      val unmatchedLoc =
+        if (joinType == LeftOuter || joinType == FullOuter)
+          Some(createUnmatched(base + "__unmatched", left, leftFields))
+        else None
+      val unmatchedRightLoc =
+        if (joinType == FullOuter)
+          Some(createUnmatched(base + "__unmatched_right", right, rightFields))
+        else None
 
-    val plan = JoinPlan(left.location, right.location, keys.toList,
-      leftFields.toList, rightFields.toList, joinType, unmatchedLoc)
-    // schema inferred from the join's own output over the current
-    // sources (types/nullability follow Spark's join rules)
-    val schema0 = left.readAll().select((keys ++ leftFields).map(col): _*)
-      .join(right.readAll().select((keys ++ rightFields).map(col): _*), keys, "inner")
-      .select(all.map(col): _*).schema
-    // outer: right fields are nullable in the READ output (null-extended
-    // rows), so the published schema must say so even though the inner
-    // state table never stores the nulls
-    val schema =
-      if (joinType == LeftOuter)
-        org.apache.spark.sql.types.StructType(schema0.fields.map(f =>
-          if (rightFields.contains(f.name)) f.copy(nullable = true) else f))
-      else schema0
-    val statePk = (left.primaryKeys ++ right.primaryKeys).distinct
-    val storage = Storage.create(location, schema, statePk,
-      tableType = TableType.MaterializedView,
-      logicalPlan = Some(plan.json),
-      conf = spark.sparkContext.hadoopConfiguration)
-    new JoinView(spark, new SpaceDataset(spark, storage))
+      val plan = JoinPlan(left.location, right.location, keys.toList,
+        leftFields.toList, rightFields.toList, joinType,
+        unmatchedLoc, unmatchedRightLoc)
+      // schema inferred from the join's own output over the current
+      // sources (types/nullability follow Spark's join rules)
+      val schema0 = left.readAll().select((keys ++ leftFields).map(col): _*)
+        .join(right.readAll().select((keys ++ rightFields).map(col): _*), keys, "inner")
+        .select(all.map(col): _*).schema
+      // outer: the absent side's fields are nullable in the READ output
+      // (null-extended rows), so the published schema must say so even
+      // though the inner state table never stores the nulls
+      val nullableSide: Set[String] = joinType match {
+        case LeftOuter => rightFields.toSet
+        case FullOuter => (leftFields ++ rightFields).toSet
+        case _ => Set.empty
+      }
+      val schema = org.apache.spark.sql.types.StructType(schema0.fields.map(f =>
+        if (nullableSide.contains(f.name)) f.copy(nullable = true) else f))
+      val statePk = (left.primaryKeys ++ right.primaryKeys).distinct
+      val storage = Storage.create(location, schema, statePk,
+        tableType = TableType.MaterializedView,
+        logicalPlan = Some(plan.json),
+        conf = spark.sparkContext.hadoopConfiguration)
+      new JoinView(spark, new SpaceDataset(spark, storage))
+    } catch {
+      case e: Throwable =>
+        val conf = spark.sparkContext.hadoopConfiguration
+        createdLocs.foreach { loc =>
+          try {
+            val p = new org.apache.hadoop.fs.Path(loc)
+            p.getFileSystem(conf).delete(p, true)
+          } catch { case NonFatal(_) => } // best-effort; the error below wins
+        }
+        throw e
+    }
   }
 
   def load(spark: SparkSession, location: String): JoinView =

@@ -43,6 +43,75 @@ object ViewMaintenance {
   val BroadcastMaxRowsKey = "spark.graft.mv.broadcastMaxRows"
   val DefaultBroadcastMaxRows = 500L * 1000
 
+  /** Pending-data-snapshot count past which a DEFAULT refresh takes the
+    * coalesced path on its own (`0` disables). A view that fell a day
+    * behind should not pay one commit cycle + one other-side scan per
+    * backlog snapshot just because the caller didn't know the
+    * `coalesce` flag existed (VERDICT r14 #2); chained views then
+    * observe the backlog as ONE coarser state CDC commit — the
+    * documented trade. */
+  val AutoCoalesceSnapshotsKey = "spark.graft.mv.autoCoalesceSnapshots"
+  val DefaultAutoCoalesceSnapshots = 8L
+
+  /** Length of a purely CDC-silent source tail (compact/GC snapshots
+    * past the recorded watermark) that triggers ONE empty
+    * watermark-advance state commit. Skipping silent snapshots keeps
+    * the watermark at the last data-bearing snapshot — if that expires
+    * under a long silent tail, the next refresh would full-rebuild a
+    * data-identical state (VERDICT r14 #3); the occasional empty
+    * advance commit (itself CDC-silent to chained views) restores the
+    * no-rebuild guarantee. `0` disables. */
+  val SilentTailMaxSnapshotsKey = "spark.graft.mv.silentTailMaxSnapshots"
+  val DefaultSilentTailMaxSnapshots = 32L
+
+  /** Coalesce decision for one refresh pass: the caller's explicit flag
+    * OR a backlog deeper than the auto-coalesce bound. */
+  def shouldCoalesce(spark: SparkSession, requested: Boolean, pendingDataSnapshots: Int): Boolean =
+    requested || {
+      val bound = longConf(spark, AutoCoalesceSnapshotsKey, DefaultAutoCoalesceSnapshots)
+      bound > 0 && pendingDataSnapshots >= bound
+    }
+
+  /** Trailing CDC-silent snapshot count of one walk (every snapshot
+    * after the last data-bearing one; the whole walk when none bear
+    * data), and whether it warrants an empty watermark-advance commit. */
+  def silentTailNeedsAdvance(spark: SparkSession, allSids: Seq[Long], dataSids: Seq[Long]): Boolean = {
+    val bound = longConf(spark, SilentTailMaxSnapshotsKey, DefaultSilentTailMaxSnapshots)
+    if (bound <= 0) return false
+    val tail =
+      if (dataSids.isEmpty) allSids.size
+      else allSids.size - allSids.indexOf(dataSids.last) - 1
+    tail >= bound
+  }
+
+  /** Opt-in for creating a chained view over an OUTER join view's bare
+    * STATE table (matched rows only — see [[requireChainableSource]]). */
+  val AllowOuterStateChainKey = "spark.graft.mv.allowOuterStateChain"
+
+  /** Refuse chaining a view onto an OUTER join view's bare state table
+    * (VERDICT r14 #1): the engine's uniform contract is "bare table
+    * name = state, `.view` = result surface", but an outer join view's
+    * inner state holds only MATCHED rows — a chained view over it would
+    * return plausible numbers that silently exclude every unmatched
+    * row (the rows the user chose the outer join to keep). Inner join
+    * views chain fine (inner state IS the result). */
+  def requireChainableSource(spark: SparkSession, ds: graft.core.SpaceDataset): Unit =
+    ds.storage.metadata.logicalPlan
+      .filter(JoinPlan.isJoin).map(JoinPlan.fromJson)
+      .filter(_.joinType != JoinView.Inner)
+      .foreach { p =>
+        val allowed = spark.conf.getOption(AllowOuterStateChainKey)
+          .exists(_.trim.equalsIgnoreCase("true"))
+        require(allowed,
+          s"cannot create a view over ${ds.location}: it is the bare STATE " +
+            s"table of a '${p.joinType}' join view and holds only MATCHED rows — " +
+            s"the unmatched rows live in ${(p.unmatchedLocation.toSeq ++
+              p.unmatchedRightLocation.toSeq).mkString(" and ")} and the " +
+            "null-extended result is the join view's read()/`<name>.view` " +
+            s"surface; set $AllowOuterStateChainKey=true to knowingly chain " +
+            "over matched rows only")
+      }
+
   /** Hint `df` for broadcast only when `estimatedRows` (an O(1) driver-
     * side count — changelog bitmap cardinalities, an affected-group
     * count — never a Spark action) is under the configured bound. */
@@ -69,14 +138,7 @@ object ViewMaintenance {
   private[graft] def broadcastsGated: Long = gated.get()
 
   private def longConf(spark: SparkSession, key: String, dflt: Long): Long =
-    spark.conf.getOption(key).map { raw =>
-      val v = try raw.trim.toLong catch {
-        case _: NumberFormatException => throw new IllegalArgumentException(
-          s"$key must be a non-negative integer, got '$raw'")
-      }
-      require(v >= 0, s"$key must be a non-negative integer, got '$raw'")
-      v
-    }.getOrElse(dflt)
+    graft.core.Confs.longConf(spark, key, dflt)
 
   /** Bin-pack the view's state table if its O(1) file count (manifest
     * summaries) reached the threshold. Returns true when a compaction
@@ -101,8 +163,15 @@ object ViewMaintenance {
       // failure (the caller would lose its commit count over a cleanup
       // hiccup). First-committer-wins races (an overlapping refresher,
       // an operator compact) and transient FS errors alike just mean
-      // the next refresh retries the pack (ADVICE r13).
-      case NonFatal(_) => false
+      // the next refresh retries the pack (ADVICE r13). Logged at warn
+      // so a PERSISTENT failure (misconfig, corrupt state) is still
+      // observable — silence here means state tables quietly stop
+      // compacting forever (ADVICE r14).
+      case NonFatal(e) =>
+        log.warn(s"auto-compact of view state ${storage.location} skipped: $e")
+        false
     }
   }
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 }

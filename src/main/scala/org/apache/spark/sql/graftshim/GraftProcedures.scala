@@ -266,10 +266,10 @@ object GraftProcedures {
       },
 
       new Proc("create_join_view",
-        "Create an incrementally-maintained INNER-JOIN view over two " +
-          "tables (bi-delta maintenance from both sources' CDC feeds " +
-          "via refresh_mv); keys are shared-name equi-join columns; " +
-          "each side's primary key must be covered by keys + its fields",
+        "Create an incrementally-maintained JOIN view over two tables " +
+          "(bi-delta maintenance from both sources' CDC feeds via " +
+          "refresh_mv); keys are shared-name equi-join columns; each " +
+          "side's primary key must be covered by keys + its fields",
         Array(
           ProcedureParameter.in("left", StringType).build(),
           ProcedureParameter.in("right", StringType).build(),
@@ -282,8 +282,8 @@ object GraftProcedures {
             .comment("comma-separated right output columns (non-key)").build(),
           ProcedureParameter.in("join_type", StringType)
             .defaultValue("'inner'")
-            .comment("'inner' or 'left_outer' (outer maintains an " +
-              "unmatched-left side table; reads null-extend)").build()),
+            .comment("'inner', 'left_outer' or 'full_outer' (outer " +
+              "maintains unmatched-side table(s); reads null-extend)").build()),
         StructType(Seq(
           StructField("view_location", StringType, nullable = false)))) {
         override def run(input: InternalRow): Seq[InternalRow] = {
