@@ -1083,6 +1083,45 @@ object StorageOps {
       jv.read()
     }),
 
+    // FULL-OUTER incrementally-maintained join view: both sides keep
+    // their unmatched rows — the inner state plus TWO unmatched state
+    // tables (left PK / right PK), each bi-delta-maintained, read()
+    // unions both null-extensions. DML moves rows across BOTH match
+    // boundaries: the dim delete orphans facts leftward, the fact
+    // delete orphans dims rightward, inserts re-partner each. Oracle =
+    // DuckDB FULL JOIN over the final source states.
+    "s_mv_join_full" -> ((s, d) => {
+      import graft.views._
+      val o = t(s, d, "orders")
+        .selectExpr("o_custkey AS custkey", "o_orderkey", "o_totalprice")
+      val c = t(s, d, "customer")
+        .selectExpr("c_custkey AS custkey", "c_name", "c_nationkey")
+      val l = SpaceDataset.create(s, fresh("jvfl"), o.schema, Seq("o_orderkey"))
+      l.append(o.filter(col("o_orderkey") % 3 =!= 0))
+      val r = SpaceDataset.create(s, fresh("jvfr"), c.schema, Seq("custkey"))
+      // dim starts PARTIAL: unmatched facts exist from the initial
+      // build; customers with no orders give unmatched dims
+      r.append(c.filter(col("custkey") % 3 =!= 1))
+      val jv = JoinView.create(s, fresh("jviewf"), l, r, Seq("custkey"),
+        Seq("o_orderkey", "o_totalprice"), Seq("c_name", "c_nationkey"),
+        joinType = JoinView.FullOuter)
+      jv.refresh()
+      l.append(o.filter(col("o_orderkey") % 3 === 0)) // late facts
+      r.delete(col("c_nationkey") % 5 === 2) // dim delete ORPHANS facts
+      r.insert(c.filter(col("custkey") % 3 === 1 && col("c_nationkey") % 5 =!= 2))
+      // key-based fact delete: custkeys losing ALL their orders orphan
+      // their dims into the unmatched-right table
+      l.delete(col("custkey") % 7 === 3)
+      val commits = jv.refresh()
+      require(commits > 0, "full-outer refresh must commit")
+      require(jv.refresh() == 0, "watermarks must no-op a second refresh")
+      require(jv.read().filter(col("c_name").isNull).count() > 0,
+        "dim gaps must surface as null-extended facts")
+      require(jv.read().filter(col("o_orderkey").isNull).count() > 0,
+        "order-less dims must surface as null-extended rows")
+      jv.read()
+    }),
+
     // join view over two record-field tables: per-side field selection,
     // addresses (not payloads) cross the key join, payloads stitched
     // back after (views.py:183-224 + ray/ops/join.py:120-135 semantics)
@@ -1611,6 +1650,14 @@ object StorageOps {
         |FROM orders LEFT JOIN customer
         |  ON o_custkey = c_custkey AND c_nationkey % 5 <> 2
         |WHERE o_totalprice >= 30000""".stripMargin,
+    // final sources: facts = custkey % 7 <> 3, dims = nationkey % 5 <> 2
+    // (the starting two-thirds minus the delete, plus the re-insert)
+    "s_mv_join_full" ->
+      """SELECT COALESCE(o.o_custkey, c.c_custkey) AS custkey,
+        |  o.o_orderkey, o.o_totalprice, c.c_name, c.c_nationkey
+        |FROM (SELECT * FROM orders WHERE o_custkey % 7 <> 3) o
+        |FULL JOIN (SELECT * FROM customer WHERE c_nationkey % 5 <> 2) c
+        |  ON o.o_custkey = c.c_custkey""".stripMargin,
     "s_mv_pipeline" ->
       """SELECT doc_id, lang,
         |  len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))

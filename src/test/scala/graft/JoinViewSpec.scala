@@ -671,4 +671,202 @@ class JoinViewSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.catalog.gjv.location")
     }
   }
+
+  /** Full-outer truth: both sides' unmatched rows null-extended. */
+  private def expectedFull(l: SpaceDataset, r: SpaceDataset): DataFrame =
+    l.readAll().join(r.readAll(), Seq("okey"), "full_outer")
+      .select("okey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "o_custkey", "o_totalprice")
+
+  private def createFullView(l: SpaceDataset, r: SpaceDataset): JoinView =
+    JoinView.create(spark, freshLoc("jviewf"), l, r, Seq("okey"),
+      Seq("l_linenumber", "l_quantity", "l_extendedprice"),
+      Seq("o_custkey", "o_totalprice"), joinType = JoinView.FullOuter)
+
+  test("full outer: lifecycle across both match boundaries; coalesced twin") {
+    // BOTH sides partial: a third of the dims are missing (unmatched
+    // lefts) AND the dim covers keys past the fact range (unmatched
+    // rights) — both unmatched tables are non-empty from the build
+    val l = leftTable(900L)
+    val o = orders.filter(col("o_orderkey") <= 1200L && col("o_orderkey") % 3 =!= 1)
+      .selectExpr("o_orderkey AS okey", "o_custkey", "o_totalprice")
+    val r = SpaceDataset.create(spark, freshLoc("jvrf"), o.schema, Seq("okey"))
+    r.append(o)
+    val jv = createFullView(l, r)
+    val twin = createFullView(l, r)
+    assert(JoinPlan.fromJson(jv.plan.json) == jv.plan)
+    assert(jv.plan.joinType == JoinView.FullOuter &&
+      jv.plan.unmatchedLocation.isDefined && jv.plan.unmatchedRightLocation.isDefined)
+
+    assert(jv.refresh() >= 1 && twin.refresh() >= 1)
+    assertSame(jv.read(), expectedFull(l, r))
+    assert(jv.read().filter(col("o_custkey").isNull).count() > 0,
+      "missing dims must null-extend the right fields")
+    assert(jv.read().filter(col("l_linenumber").isNull).count() > 0,
+      "dim keys past the fact range must null-extend the left fields")
+    assert(jv.refresh() == 0)
+
+    // boundary moves in BOTH directions: dim deletes orphan facts, dim
+    // re-inserts re-partner them; fact deletes orphan dims into the
+    // unmatched-right table, fact appends pull them back out. The dim
+    // delete is merge-on-read (full-value CDC under vectors).
+    r.delete(col("okey") % 4 === 2, dvMaxFraction = Some(1.0))
+    r.insert(orders.filter(col("o_orderkey") <= 1200L && col("o_orderkey") % 3 === 1)
+      .selectExpr("o_orderkey AS okey", "o_custkey", "o_totalprice"))
+    l.delete(col("okey") % 5 === 3)
+    l.append(lineitem.filter(col("l_orderkey") > 900L && col("l_orderkey") <= 1100L)
+      .selectExpr("l_orderkey AS okey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .dropDuplicates("okey", "l_linenumber"))
+    assert(jv.refresh() > 0)
+    assertSame(jv.read(), expectedFull(l, r))
+    // coalesced twin: same final state through one commit per (table, side)
+    assert(twin.refresh(None, coalesce = true) > 0)
+    assertSame(twin.read(), expectedFull(l, r))
+
+    // each unmatched table holds EXACTLY its side's live anti-join
+    val umL = jv.unmatchedDataset.get.readAll()
+    val umLExp = l.readAll().join(r.readAll(), Seq("okey"), "left_anti")
+      .select("okey", "l_linenumber", "l_quantity", "l_extendedprice")
+    assert(umL.exceptAll(umLExp).isEmpty && umLExp.exceptAll(umL).isEmpty,
+      "unmatched-left state diverged from live-anti-join truth")
+    val umR = jv.unmatchedRightDataset.get.readAll()
+    val umRExp = r.readAll().join(l.readAll(), Seq("okey"), "left_anti")
+      .select("okey", "o_custkey", "o_totalprice")
+    assert(umR.exceptAll(umRExp).isEmpty && umRExp.exceptAll(umR).isEmpty,
+      "unmatched-right state diverged from live-anti-join truth")
+
+    // reload from the persisted plan; expired fact history rebuilds all
+    // three state tables and incremental maintenance resumes
+    val re = JoinView.load(spark, jv.dataset.location)
+    assert(re.plan == jv.plan && re.refresh() == 0)
+    l.delete(col("okey") % 11 === 7)
+    assert(l.expireSnapshots(olderThanMs = 0L, keepLast = 1).nonEmpty)
+    assert(re.refresh() > 0)
+    assertSame(re.read(), expectedFull(l, r))
+    r.delete(col("okey") % 9 === 4)
+    assert(re.refresh() > 0)
+    assertSame(re.read(), expectedFull(l, r))
+  }
+
+  test("chaining onto an outer view's bare state table is refused at create") {
+    val l = leftTable(500L)
+    val o = orders.filter(col("o_orderkey") <= 500L && col("o_orderkey") % 2 === 0)
+      .selectExpr("o_orderkey AS okey", "o_custkey", "o_totalprice")
+    val r = SpaceDataset.create(spark, freshLoc("jvrc"), o.schema, Seq("okey"))
+    r.append(o)
+    val jv = createOuterView(l, r)
+    jv.refresh()
+    val state = SpaceDataset.load(spark, jv.dataset.location)
+
+    // aggregate view over the outer STATE would silently see only
+    // matched rows — typed refusal names the unmatched twin + .view
+    val e = intercept[IllegalArgumentException](AggregateView.create(
+      spark, freshLoc("chain"), state, Seq("okey"),
+      Seq(AggSpec.sum("l_quantity", "q"))))
+    assert(e.getMessage.contains("__unmatched") && e.getMessage.contains(".view"),
+      s"refusal must name the twin table and the .view surface: ${e.getMessage}")
+    // a join view over it is refused the same way
+    intercept[IllegalArgumentException](JoinView.create(
+      spark, freshLoc("chain"), state, r, Seq("okey"),
+      Seq("l_linenumber", "l_quantity", "l_extendedprice"), Seq("o_custkey")))
+    // row-wise MV over it too (the View.materialize path)
+    intercept[IllegalArgumentException](MaterializedView.create(
+      spark, freshLoc("chain"),
+      View.ofTable(state.location), Seq("okey", "l_linenumber")))
+
+    // explicit opt-in: the caller acknowledges matched-rows-only
+    spark.conf.set(ViewMaintenance.AllowOuterStateChainKey, "true")
+    try {
+      val av = AggregateView.create(spark, freshLoc("chainok"), state,
+        Seq("okey"), Seq(AggSpec.sum("l_quantity", "q")))
+      av.refresh()
+      assert(av.read().count() ==
+        l.readAll().join(r.readAll(), Seq("okey"), "inner")
+          .select("okey").distinct().count())
+    } finally spark.conf.unset(ViewMaintenance.AllowOuterStateChainKey)
+
+    // INNER view state keeps chaining freely (state IS the result)
+    val inner = createView(l, r)
+    inner.refresh()
+    val chained = AggregateView.create(spark, freshLoc("chaininner"),
+      SpaceDataset.load(spark, inner.dataset.location),
+      Seq("okey"), Seq(AggSpec.countAll("n")))
+    assert(chained.refresh() == 1)
+  }
+
+  test("deep backlog auto-coalesces under the default refresh call") {
+    spark.conf.set(ViewMaintenance.AutoCoalesceSnapshotsKey, "3")
+    try {
+      val l = leftTable(400L)
+      val r = rightTable(400L)
+      val jv = createView(l, r)
+      assert(jv.refresh() == 1)
+      // 4 data snapshots on the left — past the bound of 3
+      for (lo <- Seq(400L, 600L, 800L, 1000L)) {
+        l.append(lineitem.filter(col("l_orderkey") > lo && col("l_orderkey") <= lo + 200L)
+          .selectExpr("l_orderkey AS okey", "l_linenumber", "l_quantity", "l_extendedprice")
+          .dropDuplicates("okey", "l_linenumber"))
+      }
+      // DEFAULT call (no coalesce flag): one state commit, not four
+      val commits = jv.refresh()
+      assert(commits == 1, s"deep backlog must auto-coalesce to ONE commit, got $commits")
+      assert(jv.refreshedToSides.get._1 == l.storage.metadata.currentSnapshotId)
+      assertSame(jv.read(), expected(l, r))
+      // a shallow backlog below the bound keeps per-snapshot commits
+      l.delete(col("okey") % 7 === 1)
+      l.delete(col("okey") % 7 === 2)
+      assert(jv.refresh() == 2)
+      assertSame(jv.read(), expected(l, r))
+    } finally spark.conf.unset(ViewMaintenance.AutoCoalesceSnapshotsKey)
+  }
+
+  test("silent-tail watermark advance prevents expiry-forced rebuilds") {
+    spark.conf.set(ViewMaintenance.SilentTailMaxSnapshotsKey, "2")
+    try {
+      val l = leftTable(400L)
+      val r = rightTable(400L)
+      val jv = createView(l, r)
+      assert(jv.refresh() == 1)
+      // two CDC-silent left snapshots (zero-row appends commit without
+      // a changelog — same shape as compact/GC)
+      val before = l.storage.metadata.currentSnapshotId
+      l.append(lineitem.filter(col("l_orderkey") < 0)
+        .selectExpr("l_orderkey AS okey", "l_linenumber", "l_quantity", "l_extendedprice"))
+      l.append(lineitem.filter(col("l_orderkey") < 0)
+        .selectExpr("l_orderkey AS okey", "l_linenumber", "l_quantity", "l_extendedprice"))
+      assert(l.storage.metadata.currentSnapshotId > before, "silent commits must exist")
+      // the tail crossed the bound: ONE empty advance commit, watermark
+      // at the head even though no data changed
+      assert(jv.refresh() == 1)
+      assert(jv.refreshedToSides.get._1 == l.storage.metadata.currentSnapshotId)
+      val stateSnaps = jv.dataset.storage.metadata.currentSnapshotId
+      // the old (pre-silent-tail) snapshots can now expire without
+      // forcing a rebuild: the next refresh is a pure no-op
+      assert(l.expireSnapshots(olderThanMs = 0L, keepLast = 1).nonEmpty)
+      assert(jv.refresh() == 0, "advanced watermark must survive expiry with no rebuild")
+      assert(jv.dataset.storage.metadata.currentSnapshotId == stateSnaps)
+      assertSame(jv.read(), expected(l, r))
+    } finally spark.conf.unset(ViewMaintenance.SilentTailMaxSnapshotsKey)
+  }
+
+  test("failed outer create leaves no orphan unmatched table") {
+    val l = leftTable(300L)
+    val r = rightTable(300L)
+    // occupy the view location so the state-table create fails AFTER
+    // the unmatched table was written
+    val loc = freshLoc("jvorph")
+    SpaceDataset.create(spark, loc,
+      l.readAll().schema, Seq("okey", "l_linenumber"))
+    intercept[Exception](JoinView.create(spark, loc, l, r, Seq("okey"),
+      Seq("l_linenumber", "l_quantity", "l_extendedprice"),
+      Seq("o_custkey", "o_totalprice"), joinType = JoinView.LeftOuter))
+    assert(!Storage.exists(loc + "__unmatched",
+      spark.sparkContext.hadoopConfiguration),
+      "orphan unmatched table must be cleaned up on create failure")
+    // the location stays usable for an inner view named differently
+    val jv = JoinView.create(spark, loc + "_ok", l, r, Seq("okey"),
+      Seq("l_linenumber", "l_quantity", "l_extendedprice"),
+      Seq("o_custkey", "o_totalprice"), joinType = JoinView.LeftOuter)
+    assert(jv.refresh() >= 1)
+  }
 }
