@@ -83,21 +83,43 @@ final class GraftFileIndex(
   private val dirListCache =
     scala.collection.concurrent.TrieMap.empty[Path, Map[String, FileStatus]]
 
+  private val bytesIdx = mSchema.fieldIndex(ManifestIO.FileBytesCol)
+
+  /** Status SYNTHESIZED from the manifest row when it records the exact
+    * file length (`_FILE_BYTES`, every file indexed since the column
+    * exists): zero filesystem calls on the read path — at object-store
+    * scale a multi-million-file `data/` listing was pure planning tax
+    * the manifests already had the answer to (VERDICT r14 #4). Rows
+    * from older manifests (null length) fall back to [[statusOf]].
+    * Modification time is 0: graft table files are immutable and
+    * content-addressed by the snapshot, never freshness-checked. */
+  private def statusFor(r: Row): FileStatus = {
+    val rel = r.getString(fileIdx)
+    if (r.isNullAt(bytesIdx)) return statusOf(rel)
+    val p = new Path(storage.absolute(rel))
+    // makeQualified is client-side (fs URI + cwd) — no RPC
+    val q = p.getFileSystem(conf).makeQualified(p)
+    new FileStatus(r.getLong(bytesIdx), false, 1, GraftFileIndex.DefaultBlockSize, 0L, q)
+  }
+
   /** One `listStatus` per distinct data directory (native files share
     * `<root>/data/`), per-file lookup only for stragglers (external
-    * zero-copy files outside listed dirs). */
+    * zero-copy files outside listed dirs). Legacy fallback — see
+    * [[statusFor]]. */
   private def statusOf(rel: String): FileStatus = {
     val p = new Path(storage.absolute(rel))
     val dir = p.getParent
     val fs = dir.getFileSystem(conf)
-    val listed = dirListCache.getOrElseUpdate(dir,
+    val listed = dirListCache.getOrElseUpdate(dir, {
+      GraftFileIndex.dirListings.incrementAndGet()
       try fs.listStatus(dir).map(s => s.getPath.toString -> s).toMap
-      catch { case _: java.io.IOException => Map.empty })
+      catch { case _: java.io.IOException => Map.empty }
+    })
     listed.getOrElse(fs.makeQualified(p).toString, fs.getFileStatus(p))
   }
 
   private lazy val allStatuses: Seq[FileStatus] =
-    rowsOf(manifests).map(r => statusOf(r.getString(fileIdx)))
+    rowsOf(manifests).map(statusFor)
 
   // ------------------------------------------------- FileIndex surface
 
@@ -154,8 +176,21 @@ final class GraftFileIndex(
     // path proved evidence-less.
     val bloomKept = BloomPruning.pruneFiles(spark, storage, dataFilters, bucketKept,
       evidenceOf(rows))
-    Seq(PartitionDirectory(InternalRow.empty, bloomKept.map(statusOf).toArray))
+    val rowByFile = rows.iterator.map(r => r.getString(fileIdx) -> r).toMap
+    Seq(PartitionDirectory(InternalRow.empty,
+      bloomKept.map(f => statusFor(rowByFile(f))).toArray))
   }
+}
+
+object GraftFileIndex {
+  /** HDFS-default block size for synthesized statuses (the value only
+    * feeds locality hints; split sizing uses `maxPartitionBytes`). */
+  private val DefaultBlockSize = 128L * 1024 * 1024
+
+  /** Observability: process-wide count of data-directory `listStatus`
+    * calls taken by the legacy status path — specs pin this FLAT for
+    * scans of natively-written tables (every status synthesized). */
+  private[graft] val dirListings = new java.util.concurrent.atomic.AtomicLong(0)
 }
 
 /** Builds the relation-backed DataFrame over a [[GraftFileIndex]]:

@@ -32,7 +32,13 @@ final case class IndexFileMeta(
     compressedBytes: Long,
     uncompressedBytes: Long,
     pkStats: Map[String, ColumnStats],
-    evidence: Map[String, Boolean] = Map.empty)
+    evidence: Map[String, Boolean] = Map.empty,
+    /** Exact on-disk file length — lets scan planning synthesize the
+      * `FileStatus` without any filesystem listing (None for manifests
+      * written before the column existed → planner falls back to
+      * `listStatus`). Distinct from [[compressedBytes]], which sums
+      * column-chunk sizes and excludes header/footer bytes. */
+    fileBytes: Option[Long] = None)
 
 /** Index/record manifest reading & writing. Manifests are Parquet tables,
   * one row per data file, with a `_STATS_f<fieldId> struct<_MIN,_MAX>`
@@ -48,6 +54,9 @@ object ManifestIO {
   val NumRowsCol = "_NUM_ROWS"
   val CompressedCol = "_INDEX_COMPRESSED_BYTES"
   val UncompressedCol = "_INDEX_UNCOMPRESSED_BYTES"
+  /** Exact on-disk length (nullable — null in manifests written before
+    * the column; see [[IndexFileMeta.fileBytes]]). */
+  val FileBytesCol = "_FILE_BYTES"
 
   def statsColName(fieldId: Int): String = s"_STATS_f$fieldId"
   def evidColName(fieldId: Int): String = s"_EVID_f$fieldId"
@@ -90,7 +99,8 @@ object ManifestIO {
       StructField(FileCol, StringType, nullable = false),
       StructField(NumRowsCol, LongType, nullable = false),
       StructField(CompressedCol, LongType, nullable = false),
-      StructField(UncompressedCol, LongType, nullable = false))
+      StructField(UncompressedCol, LongType, nullable = false),
+      StructField(FileBytesCol, LongType, nullable = true))
     val statsCols = primaryKeys.flatMap { pk =>
       fieldAtPath(tableSchema, pk).filter(f => statsEligible(f.dataType)).map(f =>
         StructField(statsColName(FieldIds.fieldId(f)),
@@ -119,7 +129,12 @@ object ManifestIO {
       conf: Configuration,
       primaryKeys: Seq[String],
       evidenceColumns: Seq[String] = Nil): IndexFileMeta = {
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(absPath), conf))
+    val inputFile = HadoopInputFile.fromPath(new Path(absPath), conf)
+    // the exact length is already in hand (fromPath stats the file) —
+    // recording it lets every future scan PLAN of this file synthesize
+    // its FileStatus with zero filesystem calls (VERDICT r14 #4)
+    val fileBytes = inputFile.getLength
+    val reader = ParquetFileReader.open(inputFile)
     try {
       val footer = reader.getFooter
       val blocks = footer.getBlocks.asScala.toSeq
@@ -155,7 +170,8 @@ object ManifestIO {
           }
         })
       }.toMap
-      IndexFileMeta(relPath, numRows, compressed, uncompressed, stats, evidence)
+      IndexFileMeta(relPath, numRows, compressed, uncompressed, stats, evidence,
+        fileBytes = Some(fileBytes))
     } finally reader.close()
   }
 
@@ -358,7 +374,7 @@ object ManifestIO {
           .map(ss => Row(decodeStat(ss.min, f.dataType), decodeStat(ss.max, f.dataType)))
           .orNull
       }
-      Row.fromSeq(Seq(m, s.map(_.numFiles).getOrElse(0L), 0L, 0L) ++ statsVals ++
+      Row.fromSeq(Seq(m, s.map(_.numFiles).getOrElse(0L), 0L, 0L, null) ++ statsVals ++
         Seq.fill(nEvid)(null))
     }
     (rows, schema)
@@ -402,8 +418,8 @@ object ManifestIO {
         m.pkStats.get(pk).map(s => Row(s.min, s.max)).orNull
       }
       val evidVals = evidFields.map(c => m.evidence.get(c).map(Boolean.box).orNull)
-      Row.fromSeq(Seq(m.file, m.numRows, m.compressedBytes, m.uncompressedBytes) ++
-        statsVals ++ evidVals)
+      Row.fromSeq(Seq(m.file, m.numRows, m.compressedBytes, m.uncompressedBytes,
+        m.fileBytes.map(Long.box).orNull) ++ statsVals ++ evidVals)
     }
     val rel = StoragePaths.newIndexManifestFile()
     DriverParquet.write(spark.sparkContext.hadoopConfiguration,

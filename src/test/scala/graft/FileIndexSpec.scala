@@ -84,4 +84,41 @@ class FileIndexSpec extends AnyFunSuite {
     assert(idx.sizeInBytes > fromFs / 4, s"estimate ${idx.sizeInBytes} vs fs $fromFs")
     assert(idx.inputFiles.length == 8)
   }
+
+  test("native scans synthesize statuses from manifests: zero dir listings") {
+    val orders = Tables.read(spark, sfDir, "orders")
+    val loc = Files.createTempDirectory("graft_fbytes_").toString + "/tbl"
+    val d = SpaceDataset.create(spark, loc, orders.schema, Seq("o_orderkey"))
+    d.append(orders.repartitionByRange(4, col("o_orderkey")))
+    d.delete(col("o_orderkey") % 9 === 5) // CoW rewrite carries rows over
+    val before = GraftFileIndex.dirListings.get()
+    // full scan, filtered scan, SQL scan — every FileStatus must come
+    // off the manifest's _FILE_BYTES, never a data-directory listing
+    assert(d.readAll().count() > 0)
+    assert(d.read(filter = Some(col("o_orderkey") < 100L)).count() > 0)
+    d.createOrReplaceTempView("fbytes_orders")
+    assert(spark.sql("SELECT count(*) FROM fbytes_orders WHERE o_orderkey < 500")
+      .collect()(0).getLong(0) > 0)
+    assert(GraftFileIndex.dirListings.get() == before,
+      "scan planning must not list data directories when _FILE_BYTES is recorded")
+    // and the synthesized lengths are EXACT: the carryover manifest
+    // preserved the column bit-for-bit (a wrong length breaks the
+    // parquet footer seek, so the reads above already prove it; pin
+    // the equality explicitly for one file anyway)
+    val snap = d.storage.snapshotOrFail(d.storage.metadata.currentSnapshotId)
+    val rows = ManifestIO.readIndexManifestRowsDriver(d.storage,
+      spark.sparkContext.hadoopConfiguration,
+      snap.manifestFiles.indexManifestFiles)
+    val schema = ManifestIO.manifestSchema(d.storage)
+    val fIdx = schema.fieldIndex(ManifestIO.FileCol)
+    val bIdx = schema.fieldIndex(ManifestIO.FileBytesCol)
+    rows.map(_._2).foreach { r =>
+      assert(!r.isNullAt(bIdx), "every natively-written file records _FILE_BYTES")
+      val p = new org.apache.hadoop.fs.Path(d.storage.absolute(r.getString(fIdx)))
+      val real = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).getLen
+      assert(r.getLong(bIdx) == real, s"${r.getString(fIdx)}: manifest says " +
+        s"${r.getLong(bIdx)} bytes, filesystem says $real")
+    }
+  }
 }
