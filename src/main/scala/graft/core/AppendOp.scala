@@ -85,6 +85,127 @@ object AppendOp {
     out.toSeq
   }
 
+  /** Align `df` to the table's physical index schema: schema order,
+    * field-id metadata re-attached so Spark embeds `parquet.field.id`
+    * in the written footers (schema-evolution-by-id). Type alignment:
+    * a column whose frame type differs from the table's UPCASTS in
+    * place (int frame into a widened bigint table — files then always
+    * match the declared schema); a frame WIDER than the table refuses
+    * loudly — writing it would commit files the declared schema cannot
+    * read back (the row-wise-MV-after-source-widen shape: widen the
+    * target table's column first, then retry). */
+  private[core] def alignToSchema(storage: Storage, df: DataFrame): DataFrame = {
+    val idSchema = ReadOp.physicalSchemaWithIds(storage.schema, storage.recordFields)
+    val inTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    // catalogString compare: metadata- and nullability-insensitive, so
+    // the type-matched fast path is exactly the old raw projection.
+    // Beyond Catalyst's canUpCast, a small-precision decimal widens
+    // losslessly into double (a double holds 15 significant digits
+    // exactly) — the shape SQL UPDATE literals arrive in (0.5 parses as
+    // decimal(1,1) against a double column).
+    def safeCast(from: org.apache.spark.sql.types.DataType,
+        to: org.apache.spark.sql.types.DataType): Boolean =
+      org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, to) ||
+        ((from, to) match {
+          case (d: org.apache.spark.sql.types.DecimalType,
+                org.apache.spark.sql.types.DoubleType) => d.precision <= 15
+          case _ => false
+        })
+    def typeAligned(f: org.apache.spark.sql.types.StructField): org.apache.spark.sql.Column = {
+      val cur = inTypes.getOrElse(f.name, throw new IllegalArgumentException(
+        s"append: missing column ${f.name}"))
+      val base =
+        if (cur.catalogString == f.dataType.catalogString)
+          org.apache.spark.sql.functions.col(f.name)
+        else if (safeCast(cur, f.dataType))
+          org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
+        else throw new IllegalArgumentException(
+          s"append: column ${f.name} arrives as ${cur.simpleString} but the " +
+            s"table stores ${f.dataType.simpleString}, and that is not a safe " +
+            "upcast — files written as-is could not be read back under the " +
+            "table schema. If a source column was type-widened, widen this " +
+            "table's column first (widenColumn), then retry")
+      base.as(f.name, f.metadata)
+    }
+    df.select(idSchema.fields.map(typeAligned).toIndexedSeq: _*)
+  }
+
+  /** Parquet writer for `frame` with the table's PK/bloom-column bloom
+    * filters attached (adaptive sizing; `spark.graft.pkBloomFilters`
+    * opts out) — shared by the append writer and the fused
+    * survivor+add writer. */
+  private def bloomWriter(
+      spark: SparkSession,
+      storage: Storage,
+      frame: DataFrame): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
+    val idSchema = ReadOp.physicalSchemaWithIds(storage.schema, storage.recordFields)
+    val bloomEnabled = spark.conf
+      .getOption("spark.graft.pkBloomFilters").forall { v =>
+        v.trim.toLowerCase match {
+          case "true" => true
+          case "false" => false
+          case other => throw new IllegalArgumentException(
+            s"spark.graft.pkBloomFilters must be true or false, got '$other'")
+        }
+      }
+    val bloomCols =
+      if (!bloomEnabled) Nil
+      else (storage.primaryKeys ++ storage.metadata.bloomColumns).distinct.filter(c =>
+        idSchema.fields.exists(f => f.name == c && ManifestIO.statsEligible(f.dataType)))
+    bloomCols.foldLeft(
+      frame.write.mode("overwrite")
+        .option("parquet.bloom.filter.adaptive.enabled", "true")
+        .option("parquet.bloom.filter.max.bytes", (128 * 1024).toString)) {
+      (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }
+  }
+
+  /** Footer-harvest + move of freshly written part files into their
+    * final `data/` homes: driver loop for a handful, one small Spark
+    * job past that (the driver loop is O(new files) and becomes the
+    * append bottleneck at thousands of task outputs). `assignments` =
+    * (src part path, final rel, final abs). */
+  private def harvestAndMove(
+      spark: SparkSession,
+      storage: Storage,
+      assignments: Seq[(String, String, String)]): Seq[IndexFileMeta] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val pks = storage.statsColumns
+    val evid = ManifestIO.evidenceColumns(storage)
+    if (assignments.size <= 8) {
+      val fs = new Path(storage.location).getFileSystem(conf)
+      assignments.map { case (src, rel, dstAbs) =>
+        val meta = ManifestIO.harvestFooter(src, rel, conf, pks, evid)
+        if (!fs.rename(new Path(src), new Path(dstAbs)))
+          throw new java.io.IOException(s"rename $src failed")
+        meta
+      }
+    } else {
+      // ship the SESSION's Hadoop conf: the table may sit on a
+      // filesystem configured via spark.hadoop.* (credentials, custom
+      // fs impl) that a default Configuration would not resolve
+      val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+      spark.sparkContext
+        .parallelize(assignments, math.min(assignments.size, 32))
+        .map { case (src, rel, dstAbs) =>
+          val c = serConf.value
+          val srcPath = new Path(src)
+          val dst = new Path(dstAbs)
+          val tfs = dst.getFileSystem(c)
+          if (tfs.exists(srcPath)) {
+            val meta = ManifestIO.harvestFooter(src, rel, c, pks, evid)
+            if (!tfs.rename(srcPath, dst))
+              throw new java.io.IOException(s"rename $src -> $dstAbs failed")
+            meta
+          } else if (tfs.exists(dst)) {
+            // task retry after a completed rename: harvest the moved file
+            ManifestIO.harvestFooter(dstAbs, rel, c, pks, evid)
+          } else throw new java.io.IOException(s"missing $src and $dstAbs")
+        }
+        .collect().toSeq
+    }
+  }
+
   /** Write `df` as new data files + one index manifest; returns the Patch
     * to commit. `df` must carry the table's index schema (record-field
     * columns already replaced by addresses when record fields exist). */
@@ -134,53 +255,13 @@ object AppendOp {
     // files whose directory names carry the ids
     val perColumn = numBuckets > 0 && bucketCounts.nonEmpty
     val wcb = storage.metadata.writeClusterBy
-    // align to schema order + re-attach field-id metadata so Spark embeds
-    // `parquet.field.id` in the written footers (schema-evolution-by-id).
-    // Type alignment: a column whose frame type differs from the table's
-    // UPCASTS in place (int frame into a widened bigint table — files
-    // then always match the declared schema); a frame WIDER than the
-    // table refuses loudly — writing it would commit files the declared
-    // schema cannot read back (the row-wise-MV-after-source-widen shape:
-    // widen the target table's column first, then retry).
-    //
+    // align to schema order + upcast frame types (see [[alignToSchema]]).
     // Alignment happens BEFORE bucketing: bucket ids hash the STORED
     // type (murmur3-of-long ≠ murmur3-of-int for the same value), so an
     // int frame appended to a widened-bigint bucket column must be cast
     // first or its files land under ids BucketPruning/SPJ would never
     // probe — a silent layout corruption instead of a wrong hash.
-    val idSchema = ReadOp.physicalSchemaWithIds(storage.schema, storage.recordFields)
-    val inTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
-    // catalogString compare: metadata- and nullability-insensitive, so
-    // the type-matched fast path is exactly the old raw projection.
-    // Beyond Catalyst's canUpCast, a small-precision decimal widens
-    // losslessly into double (a double holds 15 significant digits
-    // exactly) — the shape SQL UPDATE literals arrive in (0.5 parses as
-    // decimal(1,1) against a double column).
-    def safeCast(from: org.apache.spark.sql.types.DataType,
-        to: org.apache.spark.sql.types.DataType): Boolean =
-      org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, to) ||
-        ((from, to) match {
-          case (d: org.apache.spark.sql.types.DecimalType,
-                org.apache.spark.sql.types.DoubleType) => d.precision <= 15
-          case _ => false
-        })
-    def typeAligned(f: org.apache.spark.sql.types.StructField): org.apache.spark.sql.Column = {
-      val cur = inTypes.getOrElse(f.name, throw new IllegalArgumentException(
-        s"append: missing column ${f.name}"))
-      val base =
-        if (cur.catalogString == f.dataType.catalogString)
-          org.apache.spark.sql.functions.col(f.name)
-        else if (safeCast(cur, f.dataType))
-          org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
-        else throw new IllegalArgumentException(
-          s"append: column ${f.name} arrives as ${cur.simpleString} but the " +
-            s"table stores ${f.dataType.simpleString}, and that is not a safe " +
-            "upcast — files written as-is could not be read back under the " +
-            "table schema. If a source column was type-widened, widen this " +
-            "table's column first (widenColumn), then retry")
-      base.as(f.name, f.metadata)
-    }
-    val alignedDf = df.select(idSchema.fields.map(typeAligned).toIndexedSeq: _*)
+    val alignedDf = alignToSchema(storage, df)
     // the per-column layout keeps its (synthetic) bucket-id columns
     // through the repartition for the dynamic-partition write;
     // partitionBy excludes them from the written data files
@@ -222,26 +303,8 @@ object AppendOp {
     // automatically for pushed equality predicates.
     // `spark.graft.pkBloomFilters=false` opts a write-heavy pipeline out
     // (e.g. bulk ingest that will be compacted/clustered anyway)
-    val bloomEnabled = spark.conf
-      .getOption("spark.graft.pkBloomFilters").forall { v =>
-        v.trim.toLowerCase match {
-          case "true" => true
-          case "false" => false
-          case other => throw new IllegalArgumentException(
-            s"spark.graft.pkBloomFilters must be true or false, got '$other'")
-        }
-      }
-    val bloomCols =
-      if (!bloomEnabled) Nil
-      else (storage.primaryKeys ++ storage.metadata.bloomColumns).distinct.filter(c =>
-        idSchema.fields.exists(f => f.name == c && ManifestIO.statsEligible(f.dataType)))
     def writeOut(frame: DataFrame): Unit = {
-      val base = bloomCols.foldLeft(
-        frame.write.mode("overwrite")
-          .option("parquet.bloom.filter.adaptive.enabled", "true")
-          .option("parquet.bloom.filter.max.bytes", (128 * 1024).toString)) {
-        (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
-      }
+      val base = bloomWriter(spark, storage, frame)
       (if (perColumn) base.partitionBy(
         AppendOp.bucketDirNames(bucketCounts.size): _*)
        else base).parquet(tmpAbs)
@@ -296,39 +359,7 @@ object AppendOp {
         else StoragePaths.newIndexDataFile()
       (p.toString, rel, storage.absolute(rel))
     }.toSeq
-    val pks = storage.statsColumns
-    val evid = ManifestIO.evidenceColumns(storage)
-    val harvested = (if (assignments.size <= 8) {
-      assignments.map { case (src, rel, dstAbs) =>
-        val meta = ManifestIO.harvestFooter(src, rel, conf, pks, evid)
-        if (!fs.rename(new Path(src), new Path(dstAbs)))
-          throw new java.io.IOException(s"rename $src failed")
-        meta
-      }
-    } else {
-      // ship the SESSION's Hadoop conf: the table may sit on a
-      // filesystem configured via spark.hadoop.* (credentials, custom
-      // fs impl) that a default Configuration would not resolve
-      val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
-      spark.sparkContext
-        .parallelize(assignments, math.min(assignments.size, 32))
-        .map { case (src, rel, dstAbs) =>
-          val c = serConf.value
-          val srcPath = new Path(src)
-          val dst = new Path(dstAbs)
-          val tfs = dst.getFileSystem(c)
-          if (tfs.exists(srcPath)) {
-            val meta = ManifestIO.harvestFooter(src, rel, c, pks, evid)
-            if (!tfs.rename(srcPath, dst))
-              throw new java.io.IOException(s"rename $src -> $dstAbs failed")
-            meta
-          } else if (tfs.exists(dst)) {
-            // task retry after a completed rename: harvest the moved file
-            ManifestIO.harvestFooter(dstAbs, rel, c, pks, evid)
-          } else throw new java.io.IOException(s"missing $src and $dstAbs")
-        }
-        .collect().toSeq
-    })
+    val harvested = harvestAndMove(spark, storage, assignments)
     // a task whose partition lost every row still writes a 0-row parquet;
     // it never enters the manifest, so remove it rather than orphan it
     val (kept, empties) = harvested.partition(_.numRows > 0)
@@ -351,5 +382,69 @@ object AppendOp {
       statsDelta = stats,
       changeLog = Some(changeLog),
       manifestSummaries = Map(manifest -> ManifestIO.summarize(storage, metas))), metas)
+  }
+
+  /** Transient discriminator column of [[writeSplitFiles]] — a dynamic
+    * partition, so parquet drops it from the written data. */
+  private val KindCol = "__graft_kind"
+
+  /** FUSED carryover + append: land CoW `survivors` and fresh `adds`
+    * in ONE Spark write job but in SEPARATE files (dynamic partition on
+    * a transient kind column), so a view state commit's delete+append
+    * costs one write pass instead of two while the changelog still
+    * tells carryover rewrites (CDC-silent) from genuine ADDs (VERDICT
+    * r14 next #3).
+    *
+    * Plain layouts only — callers gate on no buckets / no
+    * write-cluster-by / no record fields (the append-side paths those
+    * need live in [[writeFilesWithMeta]] / RecordIO).
+    *
+    * Returns (patch, addMetas): the patch carries the manifest, stats
+    * and summaries for BOTH file groups but NO changelog — the caller
+    * owns it (deleted-row bitmaps plus `addMetas` as ADD bitmaps). */
+  private[core] def writeSplitFiles(
+      spark: SparkSession,
+      storage: Storage,
+      survivors: DataFrame,
+      adds: DataFrame): (Patch, Seq[IndexFileMeta]) = {
+    import org.apache.spark.sql.functions.lit
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmpRel = s"${StoragePaths.DataDir}/tmp_append_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val tmpAbs = storage.absolute(tmpRel)
+    val union = alignToSchema(storage, survivors).withColumn(KindCol, lit(0))
+      .unionByName(alignToSchema(storage, adds).withColumn(KindCol, lit(1)))
+    bloomWriter(spark, storage, union).partitionBy(KindCol).parquet(tmpAbs)
+
+    val fs = new Path(tmpAbs).getFileSystem(conf)
+    val parts = Array.newBuilder[(Path, Boolean)] // (part file, isAdd)
+    val it = fs.listFiles(new Path(tmpAbs), true)
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName.startsWith("part-"))
+        parts += p -> (p.getParent.getName == s"$KindCol=1")
+    }
+    val assignments = parts.result().sortBy(_._1.toString).map { case (p, isAdd) =>
+      val rel = StoragePaths.newIndexDataFile()
+      ((p.toString, rel, storage.absolute(rel)), isAdd)
+    }.toSeq
+    val harvested = harvestAndMove(spark, storage, assignments.map(_._1))
+      .zip(assignments.map(_._2))
+    // 0-row task outputs never enter the manifest
+    val (kept, empties) = harvested.partition(_._1.numRows > 0)
+    empties.foreach { case (m, _) => fs.delete(new Path(storage.absolute(m.file)), false) }
+    fs.delete(new Path(tmpAbs), true)
+    if (kept.isEmpty) return (Patch(), Nil)
+
+    val metas = kept.map(_._1).sortBy(_.file)
+    val addMetas = kept.collect { case (m, true) => m }.sortBy(_.file)
+    val manifest = ManifestIO.writeIndexManifest(spark, storage, metas)
+    (Patch(
+      addedIndexManifests = List(manifest),
+      statsDelta = StorageStatistics(
+        numRows = metas.map(_.numRows).sum,
+        indexCompressedBytes = metas.map(_.compressedBytes).sum,
+        indexUncompressedBytes = metas.map(_.uncompressedBytes).sum),
+      manifestSummaries = Map(manifest -> ManifestIO.summarize(storage, metas))),
+      addMetas)
   }
 }

@@ -66,7 +66,12 @@ object DmlOps {
       storage: Storage,
       snapshotId: Long,
       keys: DataFrame,
-      keyCols: Seq[String]): Option[Patch] = {
+      keyCols: Seq[String],
+      /** [[deleteByKeysAndAppend]]'s fusion hook: rows appended INSIDE
+        * the delete's write pass (plain layouts; None = classic). When
+        * the sweep short-circuits (empty table / zero matches) the
+        * adds are NOT written and the caller appends them itself. */
+      extraAdds: Option[DataFrame] = None): Option[Patch] = {
     // an empty table can't match any key: skip the key-range job entirely
     // (first upsert into a fresh table — e.g. a streaming sink's batch 0)
     val manifests = storage.snapshotOrFail(snapshotId).manifestFiles.indexManifestFiles
@@ -96,7 +101,35 @@ object DmlOps {
     deleteCore(spark, storage, snapshotId,
       candidates = candidates,
       markMatched = df => df.join(k, keyCols, "left_semi"),
-      keepSurvivors = df => df.join(k, keyCols, "left_anti"))
+      keepSurvivors = df => df.join(k, keyCols, "left_anti"),
+      extraAdds = extraAdds)
+  }
+
+  /** A view state commit's delete+append as ONE maintenance call: the
+    * key sweep's CoW survivor rewrite and the replacement rows land in
+    * a single write pass (separate files via [[AppendOp
+    * .writeSplitFiles]], so the changelog still tells carryover from
+    * ADDs) — the two-pass commit was every refresh's residual cost
+    * (VERDICT r14 next #3). Falls back to the classic two calls when
+    * the layout needs the full append path (record fields, buckets,
+    * write-cluster-by) or when the sweep matches nothing. Returns the
+    * patches to merge into one commit. */
+  def deleteByKeysAndAppend(
+      spark: SparkSession,
+      storage: Storage,
+      snapshotId: Long,
+      keys: DataFrame,
+      keyCols: Seq[String],
+      adds: DataFrame): Seq[Patch] = {
+    val fusible = storage.recordFields.isEmpty &&
+      storage.metadata.numBuckets == 0 && storage.metadata.writeClusterBy.isEmpty
+    if (!fusible)
+      return deleteByKeysOn(spark, storage, snapshotId, keys, keyCols).toSeq :+
+        RecordIO.writeWithRecords(spark, storage, adds)
+    deleteByKeysOn(spark, storage, snapshotId, keys, keyCols, Some(adds)) match {
+      case Some(p) => Seq(p) // adds written inside the fused pass
+      case None => Seq(RecordIO.writeWithRecords(spark, storage, adds))
+    }
   }
 
   /** Below this many FILES in a snapshot, metadata passes (candidate
@@ -223,7 +256,8 @@ object DmlOps {
       candidates: Seq[String],
       markMatched: DataFrame => DataFrame,
       keepSurvivors: DataFrame => DataFrame,
-      dvFracOverride: Option[Double] = None): Option[Patch] = {
+      dvFracOverride: Option[Double] = None,
+      extraAdds: Option[DataFrame] = None): Option[Patch] = {
     if (candidates.isEmpty) return None
     val physical = ReadOp.physicalSchema(storage.schema, storage.recordFields)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -302,18 +336,40 @@ object DmlOps {
     // delete.py:103). An existing vector on a rewritten file FOLDS in:
     // the survivor scan masks its dead rows, the entry retires, and the
     // fold compensates the stats (those rows were already subtracted).
-    val (appendPatch, co, dvRemoved, foldComp) =
-      if (cowFiles.isEmpty)
-        (Patch(), CarryoverResult(Nil, Nil, StorageStatistics(), Map.empty),
-          Nil, StorageStatistics())
+    val emptyCo = CarryoverResult(Nil, Nil, StorageStatistics(), Map.empty)
+    val (appendPatch, addBitmaps, co, dvRemoved, foldComp) =
+      if (cowFiles.isEmpty) extraAdds match {
+        case Some(adds) =>
+          // pure-MoR sweep (no survivor rewrite to fuse into): the adds
+          // still ride THIS commit — one plain write, bitmaps collected
+          // for the merged changelog below
+          val ar = AppendOp.writeFilesWithMeta(spark, storage, adds)
+          (ar.patch, ar.files.map(m =>
+            RowBitmap(m.file, allRows = true, numRows = m.numRows)).toList,
+            emptyCo, Nil, StorageStatistics())
+        case None =>
+          (Patch(), Nil, emptyCo, Nil, StorageStatistics())
+      }
       else {
         val affectedDF = spark.read.schema(physical)
           .parquet(cowFiles.toSeq.map(storage.absolute): _*)
         val (maskedDF, removedDvs, comp) = DeleteVectorOps.foldIntoScan(
           spark, storage, snapshotId, cowFiles, affectedDF)
         val survivors = keepSurvivors(maskedDF)
-        val ap = AppendOp.writeFiles(spark, storage, survivors)
-        (ap, manifestCarryover(spark, storage, snapshotId, cowFiles), removedDvs, comp)
+        val carry = manifestCarryover(spark, storage, snapshotId, cowFiles)
+        extraAdds match {
+          case Some(adds) =>
+            // FUSED: survivors and adds in one write pass, separate
+            // files — the add files become ADD bitmaps, the survivor
+            // files stay CDC-silent carryover (deleteByKeysAndAppend)
+            val (p, addMetas) = AppendOp.writeSplitFiles(spark, storage, survivors, adds)
+            (p, addMetas.map(m =>
+              RowBitmap(m.file, allRows = true, numRows = m.numRows)).toList,
+              carry, removedDvs, comp)
+          case None =>
+            val ap = AppendOp.writeFiles(spark, storage, survivors)
+            (ap, Nil, carry, removedDvs, comp)
+        }
       }
 
     // physical row counts for allRows detection: the carryover pass
@@ -330,7 +386,7 @@ object DmlOps {
         val all = fileRows.get(file).contains(n)
         RowBitmap(file, allRows = all, numRows = n,
           bitmapB64 = if (all) None else Some(bitmapToB64(bm)))
-    })
+    }, addedRows = addBitmaps)
 
     Some(Patch(
       addedIndexManifests = appendPatch.addedIndexManifests ++ co.carryoverManifests,

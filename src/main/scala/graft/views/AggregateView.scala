@@ -608,9 +608,10 @@ final class AggregateView(val spark: SparkSession, val dataset: SpaceDataset)
       val newRows = recomputed.foldLeft(arithmetic)(_.unionByName(_))
       val affectedKeys = annotated.select(gCols: _*)
 
-      val patches =
-        DmlOps.deleteByKeys(spark, dataset.storage, pinned, affectedKeys).toSeq ++
-          Seq(RecordIO.writeWithRecords(spark, dataset.storage, newRows))
+      // fused delete+append: the affected-group sweep's survivors and
+      // the merged state rows land in ONE write pass (VERDICT r14 #3)
+      val patches = DmlOps.deleteByKeysAndAppend(spark, dataset.storage, pinned,
+        affectedKeys, dataset.storage.primaryKeys, newRows)
       Patch.merge(patches).getOrElse(Patch())
     } finally {
       annotated.unpersist()

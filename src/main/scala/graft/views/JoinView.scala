@@ -430,25 +430,36 @@ final class JoinView(val spark: SparkSession, val dataset: SpaceDataset)
         applied = false
         (None, ())
       } else {
-        val patches = batches.flatMap { b =>
-          b.changeType match {
-            case ChangeType.Delete =>
-              // sweep by the SOURCE's PK columns — part of the state PK
-              // by construction, so exactly this source row's derived
-              // join rows disappear (PKs-only delete rows suffice)
-              DmlOps.deleteByKeysOn(spark, dataset.storage, pinned, b.data, srcPks)
-            case ChangeType.Add =>
-              // broadcast only under the configured row bound; above it
-              // the join is left to AQE (still delta ⋈ big-side, just
-              // shuffled) — correctness is hint-independent
-              val delta = ViewMaintenance.maybeBroadcast(
-                spark, sideProjection(b.data, sideFields), addRows)
-              val joined =
-                if (deltaIsLeft) delta.join(other, plan.keys, "inner")
-                else other.join(delta, plan.keys, "inner")
-              val out = joined.select(
-                (plan.keys ++ plan.leftFields ++ plan.rightFields).map(col): _*)
-              Some(RecordIO.writeWithRecords(spark, dataset.storage, out))
+        // ADD batch → join rows to append: broadcast only under the
+        // configured row bound; above it the join is left to AQE
+        // (still delta ⋈ big-side, just shuffled) — correctness is
+        // hint-independent
+        def joinRows(b: ChangeBatch): DataFrame = {
+          val delta = ViewMaintenance.maybeBroadcast(
+            spark, sideProjection(b.data, sideFields), addRows)
+          val joined =
+            if (deltaIsLeft) delta.join(other, plan.keys, "inner")
+            else other.join(delta, plan.keys, "inner")
+          joined.select((plan.keys ++ plan.leftFields ++ plan.rightFields).map(col): _*)
+        }
+        val dels = batches.filter(_.changeType == ChangeType.Delete)
+        val adds = batches.filter(_.changeType == ChangeType.Add)
+        val patches = (dels, adds) match {
+          // the per-snapshot shape: fused delete+append — the sweep by
+          // the SOURCE's PK columns (part of the state PK by
+          // construction, so exactly this source row's derived join
+          // rows disappear) and the delta-join append land in ONE
+          // write pass (VERDICT r14 #3)
+          case (Seq(d), Seq(a)) =>
+            DmlOps.deleteByKeysAndAppend(spark, dataset.storage, pinned,
+              d.data, srcPks, joinRows(a))
+          case _ => batches.flatMap { b =>
+            b.changeType match {
+              case ChangeType.Delete =>
+                DmlOps.deleteByKeysOn(spark, dataset.storage, pinned, b.data, srcPks)
+              case ChangeType.Add =>
+                Some(RecordIO.writeWithRecords(spark, dataset.storage, joinRows(b)))
+            }
           }
         }
         val merged = Patch.merge(patches).getOrElse(Patch())
@@ -504,9 +515,9 @@ final class JoinView(val spark: SparkSession, val dataset: SpaceDataset)
             else other.join(delta, plan.keys, "inner")
           val out = joined.select(
             (plan.keys ++ plan.leftFields ++ plan.rightFields).map(col): _*)
-          val patches =
-            DmlOps.deleteByKeysOn(spark, dataset.storage, pinned, touched, srcPks).toSeq ++
-              Seq(RecordIO.writeWithRecords(spark, dataset.storage, out))
+          // fused delete+append: one write pass per coalesced commit
+          val patches = DmlOps.deleteByKeysAndAppend(spark, dataset.storage,
+            pinned, touched, srcPks, out)
           applied = true
           (Some(Patch.merge(patches).getOrElse(Patch())
             .copy(sourceSnapshotIds = Map(side -> t))), ())
@@ -773,9 +784,9 @@ final class JoinView(val spark: SparkSession, val dataset: SpaceDataset)
             .join(ViewMaintenance.maybeBroadcast(spark, touched, estRows),
               ownPks, "left_semi")
           val adds = u.ownProjection(live).join(otherKeysAtW, plan.keys, "left_anti")
-          val patches =
-            DmlOps.deleteByKeysOn(spark, u.um.storage, pinned, touched, ownPks).toSeq ++
-              Seq(RecordIO.writeWithRecords(spark, u.um.storage, adds))
+          // fused delete+append: one write pass per coalesced commit
+          val patches = DmlOps.deleteByKeysAndAppend(spark, u.um.storage,
+            pinned, touched, ownPks, adds)
           applied = true
           (Some(Patch.merge(patches).getOrElse(Patch())
             .copy(sourceSnapshotIds = Map(u.ownSide -> t))), ())
@@ -821,9 +832,11 @@ final class JoinView(val spark: SparkSession, val dataset: SpaceDataset)
             .select(ownPks.map(col): _*)
           val cands = ownAtT.join(deadAffected, plan.keys, "left_semi")
             .join(umPinned.select(ownPks.map(col): _*), ownPks, "left_anti")
-          val patches =
-            DmlOps.deleteByKeysOn(spark, u.um.storage, pinned, matched, ownPks).toSeq ++
-              Seq(RecordIO.writeWithRecords(spark, u.um.storage, cands))
+          // fused: the re-matched sweep and the newly-dead entrants
+          // share one write pass (disjoint keys — a key cannot be both
+          // live and dead at the window target)
+          val patches = DmlOps.deleteByKeysAndAppend(spark, u.um.storage,
+            pinned, matched, ownPks, cands)
           applied = true
           (Some(Patch.merge(patches).getOrElse(Patch())
             .copy(sourceSnapshotIds = Map(u.otherSide -> t))), ())

@@ -104,24 +104,37 @@ final class MaterializedView(val spark: SparkSession, val dataset: SpaceDataset)
           applied = false
           (None, ())
         } else {
-          val patches = batches.flatMap { b =>
-            b.changeType match {
-              case ChangeType.Delete =>
-                // delete by the SOURCE-pk columns that survived the
-                // transform (they do by contract). For row-wise views
-                // these are exactly the MV's own PKs; for EXPAND
-                // transforms (one source row → N view rows, e.g. a
-                // postings index) the MV PK is a superset and the
-                // source key must sweep every derived row.
-                val keyCols = b.data.columns.toSeq
-                  .filter(dataset.storage.schema.fieldNames.contains)
-                require(keyCols.nonEmpty,
-                  s"MV refresh: no source key column of (${b.data.columns.mkString(", ")}) " +
-                    s"survives the transform — cannot apply source deletes")
-                DmlOps.deleteByKeysOn(spark, dataset.storage, pinned, b.data, keyCols)
-              case ChangeType.Add =>
-                val transformed = plan.processSource(spark, b.data)
-                Some(RecordIO.writeWithRecords(spark, dataset.storage, transformed))
+          // delete by the SOURCE-pk columns that survived the
+          // transform (they do by contract). For row-wise views
+          // these are exactly the MV's own PKs; for EXPAND
+          // transforms (one source row → N view rows, e.g. a
+          // postings index) the MV PK is a superset and the
+          // source key must sweep every derived row.
+          def delKeyCols(b: ChangeBatch): Seq[String] = {
+            val keyCols = b.data.columns.toSeq
+              .filter(dataset.storage.schema.fieldNames.contains)
+            require(keyCols.nonEmpty,
+              s"MV refresh: no source key column of (${b.data.columns.mkString(", ")}) " +
+                s"survives the transform — cannot apply source deletes")
+            keyCols
+          }
+          val dels = batches.filter(_.changeType == ChangeType.Delete)
+          val adds = batches.filter(_.changeType == ChangeType.Add)
+          val patches = (dels, adds) match {
+            // the per-snapshot shape (≤1 DELETE + ≤1 ADD batch): fused
+            // delete+append — one write pass per state commit (r14 #3)
+            case (Seq(d), Seq(a)) =>
+              DmlOps.deleteByKeysAndAppend(spark, dataset.storage, pinned,
+                d.data, delKeyCols(d), plan.processSource(spark, a.data))
+            case _ => batches.flatMap { b =>
+              b.changeType match {
+                case ChangeType.Delete =>
+                  DmlOps.deleteByKeysOn(spark, dataset.storage, pinned, b.data,
+                    delKeyCols(b))
+                case ChangeType.Add =>
+                  val transformed = plan.processSource(spark, b.data)
+                  Some(RecordIO.writeWithRecords(spark, dataset.storage, transformed))
+              }
             }
           }
           val merged = Patch.merge(patches)
@@ -203,10 +216,10 @@ final class MaterializedView(val spark: SparkSession, val dataset: SpaceDataset)
           val live = source.read(version = Some(target.toString))
             .join(ViewMaintenance.maybeBroadcast(spark, touched, estRows),
               keyCols, "left_semi")
-          val patches =
-            DmlOps.deleteByKeysOn(spark, dataset.storage, pinned, touched, keyCols).toSeq ++
-              Seq(RecordIO.writeWithRecords(spark, dataset.storage,
-                plan.processSource(spark, live)))
+          // fused delete+append: one write pass for the touched-key
+          // sweep's survivors and the re-derived rows (VERDICT r14 #3)
+          val patches = DmlOps.deleteByKeysAndAppend(spark, dataset.storage,
+            pinned, touched, keyCols, plan.processSource(spark, live))
           applied = true
           (Some(Patch.merge(patches).getOrElse(Patch())
             .copy(sourceSnapshotId = Some(target))), ())
