@@ -693,9 +693,10 @@ object DmlOps {
     val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       failOnInternalDupes(pinned, storage.primaryKeys)
-      val deletePatch = deleteByKeys(spark, storage, snapshotId, pinned)
-      val appendPatch = RecordIO.writeWithRecords(spark, storage, pinned)
-      Patch.merge(deletePatch.toSeq :+ appendPatch).get
+      // fused: the matched-key CoW sweep and the incoming rows land in
+      // one write pass (plain layouts; see deleteByKeysAndAppend)
+      Patch.merge(deleteByKeysAndAppend(spark, storage, snapshotId,
+        pinned, storage.primaryKeys, pinned)).get
     } finally { pinned.unpersist(); () }
   }
 
@@ -808,17 +809,21 @@ object DmlOps {
         toDelete.map(_.select(pks.map(col): _*)).toSeq ++
           nmbsDelVictims.map(_.select(pks.map(col): _*)).toSeq ++
           nmbsUpdVictims.map(_.select(pks.map(col): _*)).toSeq
-      val deletePatch = deleteKeyFrames.reduceOption(_.unionByName(_))
-        .flatMap(k => deleteByKeys(spark, storage, snapshotId, k))
+      val deleteKeys = deleteKeyFrames.reduceOption(_.unionByName(_))
 
       val toAppend =
         (if (matchedUpdate) Seq(matched.filter(!coalesce(delCond, lit(false)))) else Nil) ++
           (if (insertNew) Seq(src.join(targetKeys, pks, "left_anti")) else Nil) ++
           nmbsUpdatedRows.toSeq
-      val appendPatch = toAppend.reduceOption(_.unionByName(_))
-        .filter(!_.isEmpty)
-        .map(RecordIO.writeWithRecords(spark, storage, _))
-      Patch.merge(deletePatch.toSeq ++ appendPatch.toSeq)
+      val appendRows = toAppend.reduceOption(_.unionByName(_)).filter(!_.isEmpty)
+      // fused: the one CoW pass and the one append share a write job
+      (deleteKeys, appendRows) match {
+        case (Some(k), Some(a)) =>
+          Patch.merge(deleteByKeysAndAppend(spark, storage, snapshotId, k, pks, a))
+        case (Some(k), None) => deleteByKeys(spark, storage, snapshotId, k)
+        case (None, Some(a)) => Some(RecordIO.writeWithRecords(spark, storage, a))
+        case (None, None) => None
+      }
     } finally {
       src.unpersist()
       ()
