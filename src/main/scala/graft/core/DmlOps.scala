@@ -42,12 +42,18 @@ object DmlOps {
     * shared session conf — a concurrent job planning in the same
     * session never observes it). */
   def delete(spark: SparkSession, storage: Storage, snapshotId: Long, cond: Column,
-      dvMaxFraction: Option[Double] = None): Option[Patch] =
+      dvMaxFraction: Option[Double] = None,
+      /** UPDATE's fusion hook (see [[deleteByKeysOn]]'s same param):
+        * rewritten rows appended inside the delete's write pass. Not
+        * written when nothing matched (an UPDATE matching zero rows is
+        * a no-op and produces zero rewritten rows anyway). */
+      extraAdds: Option[DataFrame] = None): Option[Patch] =
     deleteCore(spark, storage, snapshotId,
       candidates = ReadOp.plan(spark, storage, snapshotId, Some(cond)).files,
       markMatched = df => df.filter(cond),
       keepSurvivors = df => df.filter(!coalesce(cond, lit(false))),
-      dvFracOverride = dvMaxFraction)
+      dvFracOverride = dvMaxFraction,
+      extraAdds = extraAdds)
 
   /** CoW delete of rows whose primary key appears in `keys`. */
   def deleteByKeys(spark: SparkSession, storage: Storage, snapshotId: Long, keys: DataFrame): Option[Patch] =

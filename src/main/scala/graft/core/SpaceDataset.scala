@@ -359,31 +359,38 @@ final class SpaceDataset(val spark: SparkSession, val storage: Storage) {
         s"conflicting assignments: $b is a member of assigned column $a")
     storage.commitTransaction(branch, ConflictPolicy.Rewrite) { pinned =>
       val physCond = toPhysicalCol(cond)
-      DmlOps.delete(spark, storage, pinned, physCond, dvMaxFraction) match {
-        case None => None // nothing matched: no-op, returns the current head
+      // updated rows, built from the same pinned snapshot (CoW: the
+      // delete rewrites files, it never mutates the pinned inputs)
+      val matched = read(filter = Some(cond), version = Some(pinned.toString))
+      // SQL UPDATE semantics: every RHS sees the PRE-update row.
+      // Stage all RHS values as temp columns first, then apply —
+      // a sequential withColumn would let later assignments read
+      // earlier ones' results (SET a = b, b = a would not swap).
+      val tmp = ordered.zipWithIndex.map {
+        case ((k, v), i) => (k, v, s"__graft_set_$i")
+      }
+      val staged = tmp.foldLeft(matched) {
+        case (df, (_, v, t)) => df.withColumn(t, v)
+      }
+      val applied = tmp.foldLeft(staged) {
+        case (df, (k, _, t)) => assignPath(k) match {
+          case Seq(top) => df.withColumn(top, col(t))
+          case parts => df.withColumn(parts.head,
+            col(s"`${parts.head}`").withField(parts.tail.mkString("."), col(t)))
+        }
+      }
+      val updated = toPhysicalDf(applied.drop(tmp.map(_._3): _*))
+      val fusible = storage.recordFields.isEmpty &&
+        storage.metadata.numBuckets == 0 && storage.metadata.writeClusterBy.isEmpty
+      if (fusible)
+        // fused: the CoW sweep and the rewritten rows share one write
+        // pass (None = nothing matched: no-op, returns the current head
+        // — zero matches also means zero rewritten rows)
+        DmlOps.delete(spark, storage, pinned, physCond, dvMaxFraction, Some(updated))
+      else DmlOps.delete(spark, storage, pinned, physCond, dvMaxFraction) match {
+        case None => None
         case Some(delPatch) =>
-          // updated rows, built from the same pinned snapshot (CoW: the
-          // delete rewrites files, it never mutates the pinned inputs)
-          val matched = read(filter = Some(cond), version = Some(pinned.toString))
-          // SQL UPDATE semantics: every RHS sees the PRE-update row.
-          // Stage all RHS values as temp columns first, then apply —
-          // a sequential withColumn would let later assignments read
-          // earlier ones' results (SET a = b, b = a would not swap).
-          val tmp = ordered.zipWithIndex.map {
-            case ((k, v), i) => (k, v, s"__graft_set_$i")
-          }
-          val staged = tmp.foldLeft(matched) {
-            case (df, (_, v, t)) => df.withColumn(t, v)
-          }
-          val applied = tmp.foldLeft(staged) {
-            case (df, (k, _, t)) => assignPath(k) match {
-              case Seq(top) => df.withColumn(top, col(t))
-              case parts => df.withColumn(parts.head,
-                col(s"`${parts.head}`").withField(parts.tail.mkString("."), col(t)))
-            }
-          }
-          val updated = applied.drop(tmp.map(_._3): _*)
-          val addPatch = RecordIO.writeWithRecords(spark, storage, toPhysicalDf(updated))
+          val addPatch = RecordIO.writeWithRecords(spark, storage, updated)
           Patch.merge(Seq(delPatch, addPatch))
       }
     }

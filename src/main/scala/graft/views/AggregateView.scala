@@ -86,7 +86,11 @@ trait Refreshable {
     * and N scans of the joined/recomputed side. Default `false` keeps
     * the reference contract of one state commit per source snapshot
     * (runners.py:204-215), which downstream chained views observe as
-    * finer-grained CDC. */
+    * finer-grained CDC — EXCEPT that a backlog deeper than
+    * `spark.graft.mv.autoCoalesceSnapshots` (default 8) coalesces on
+    * its own: past that depth the per-snapshot cost is pathological
+    * and chained views see the window as one coarser commit (set the
+    * conf to 0 to force per-snapshot regardless of depth). */
   def refresh(targetVersion: Option[String], coalesce: Boolean): Int
   def refreshedTo: Option[Long]
 }
