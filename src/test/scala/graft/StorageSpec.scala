@@ -141,6 +141,48 @@ class StorageSpec extends AnyFunSuite {
     assert(cl.addedRows.isEmpty)
   }
 
+  test("fused upsert/update: one write pass, one data manifest, exact CDC") {
+    val loc = freshLoc()
+    val ds = SpaceDataset.create(spark, loc, orders.schema, Seq("o_orderkey"))
+    ds.append(orders.repartitionByRange(4, col("o_orderkey")))
+    def manifests: Set[String] = ds.storage
+      .snapshotOrFail(ds.storage.metadata.currentSnapshotId)
+      .manifestFiles.indexManifestFiles.toSet
+
+    // UPSERT: the matched-key CoW sweep and the incoming rows land in
+    // ONE write job — the commit adds exactly ONE data manifest beyond
+    // the untouched-survivor carryover (two-pass minted two)
+    val before = manifests
+    val incoming = orders.filter(col("o_orderkey") < 500L)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    ds.upsert(incoming)
+    val added = manifests -- before
+    assert(added.size <= 2, // fused manifest + at most one carryover
+      s"fused upsert must mint at most carryover + ONE data manifest, got ${added.size}")
+    // the UPDATE encoding survives fusion: DELETE then ADD of the keys,
+    // one snapshot, adds disjoint from the swept originals
+    val cl = ds.storage.changeLog(ds.storage.metadata.currentSnapshotId).get
+    assert(cl.deletedRows.nonEmpty && cl.addedRows.nonEmpty)
+    assert(cl.addedRows.map(_.file).toSet
+      .intersect(cl.deletedRows.map(_.file).toSet).isEmpty,
+      "fused adds must land in files separate from the swept originals")
+    assert(cl.addedRows.forall(_.allRows),
+      "every fused add file is all-adds (survivors live in their own files)")
+    assert(cl.addedRows.map(_.numRows).sum == incoming.count())
+    assert(ds.readAll().count() == orders.count())
+
+    // UPDATE: same fused shape through the condition-delete path
+    val before2 = manifests
+    ds.update(col("o_orderkey") % 11 === 3, Map("o_totalprice" -> lit(1.0)))
+    assert((manifests -- before2).size <= 2,
+      "fused update must mint at most carryover + ONE data manifest")
+    val cl2 = ds.storage.changeLog(ds.storage.metadata.currentSnapshotId).get
+    assert(cl2.deletedRows.map(_.numRows).sum == cl2.addedRows.map(_.numRows).sum,
+      "UPDATE deletes and re-adds exactly the matched rows")
+    assert(ds.readAll().filter(col("o_orderkey") % 11 === 3 &&
+      col("o_totalprice") =!= 1.0).count() == 0)
+  }
+
   test("delete bitmaps are built executor-side: no row-position collect in the plan") {
     // VERDICT r1 scale-killer fix: the aggregate that produces per-file
     // deletion bitmaps must fold positions into RoaringBitmaps inside the
