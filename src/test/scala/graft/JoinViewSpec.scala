@@ -520,9 +520,17 @@ class JoinViewSpec extends AnyFunSuite {
     ads.append(a0)
     val bds = SpaceDataset.create(spark, freshLoc("jvfb"), b0.schema, Seq("bid"))
     bds.append(b0)
+    // THREE views over the same mutating sources — every join type's
+    // maintenance algebra fuzzed against its own from-scratch truth,
+    // including the auto-coalesce path (multi-snapshot windows cross
+    // the default bound naturally) and random explicit coalescing
     val jv = JoinView.create(spark, freshLoc("jvfv"), ads, bds,
       Seq("k"), Seq("id", "v"), Seq("bid", "w"))
-    jv.refresh()
+    val jvL = JoinView.create(spark, freshLoc("jvfvl"), ads, bds,
+      Seq("k"), Seq("id", "v"), Seq("bid", "w"), joinType = JoinView.LeftOuter)
+    val jvF = JoinView.create(spark, freshLoc("jvfvf"), ads, bds,
+      Seq("k"), Seq("id", "v"), Seq("bid", "w"), joinType = JoinView.FullOuter)
+    jv.refresh(); jvL.refresh(); jvF.refresh()
     var nextId = 301L
     var nextBid = 61L
     for (round <- 1 to 12) {
@@ -562,12 +570,14 @@ class JoinViewSpec extends AnyFunSuite {
       }
       // refresh every other round: multi-snapshot windows on both sides
       if (round % 2 == 0) {
-        jv.refresh()
-        val exp = ads.readAll().join(bds.readAll(), Seq("k"), "inner")
-          .select("k", "id", "v", "bid", "w")
-        val got = jv.read().select("k", "id", "v", "bid", "w")
-        assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty,
-          s"fuzz divergence at round $round")
+        for ((view, jt) <- Seq(jv -> "inner", jvL -> "left_outer", jvF -> "full_outer")) {
+          view.refresh(None, coalesce = rnd.nextBoolean())
+          val exp = ads.readAll().join(bds.readAll(), Seq("k"), jt)
+            .select("k", "id", "v", "bid", "w")
+          val got = view.read().select("k", "id", "v", "bid", "w")
+          assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty,
+            s"fuzz divergence ($jt) at round $round")
+        }
       }
     }
   }
