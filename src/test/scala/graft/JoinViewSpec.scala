@@ -676,6 +676,32 @@ class JoinViewSpec extends AnyFunSuite {
       assert(spark.sql(
         "SELECT count(*) FROM gjv.jvo.view WHERE o_totalprice IS NULL")
         .collect()(0).getLong(0) > 0)
+
+      // FULL OUTER through SQL: both sides' unmatched rows null-extend.
+      // Half the right side was deleted above (unmatched lefts), and
+      // the left side is then thinned so order-less rights exist too.
+      lds.delete(col("okey") % 3 === 1)
+      spark.sql(
+        "CALL gjv.system.create_join_view(left => 'l', right => 'r', " +
+          "view => 'jvf', keys => 'okey', " +
+          "left_fields => 'l_linenumber,l_quantity', " +
+          "right_fields => 'o_totalprice', join_type => 'full_outer')")
+      assert(spark.sql("CALL gjv.system.refresh_mv(table => 'jvf')")
+        .collect()(0).getInt(0) >= 1)
+      val full = spark.sql("SELECT * FROM gjv.jvf.view")
+      val expFull = lds.readAll().join(rds.readAll(), Seq("okey"), "full_outer")
+        .select("okey", "l_linenumber", "l_quantity", "o_totalprice")
+      assert(full.count() == expFull.count())
+      assert(full.exceptAll(expFull).isEmpty && expFull.exceptAll(full).isEmpty)
+      assert(spark.sql(
+        "SELECT count(*) FROM gjv.jvf.view WHERE l_quantity IS NULL")
+        .collect()(0).getLong(0) > 0, "order-less rights must null-extend")
+      // the chaining refusal also guards the SQL create path
+      val err = intercept[Exception](spark.sql(
+        "CALL gjv.system.create_agg_view(table => 'jvf', view => 'chainf', " +
+          "group_by => 'okey', aggs => 'count_all::n')"))
+      assert(err.getMessage.contains("__unmatched"),
+        s"SQL chaining over outer state must refuse: ${err.getMessage}")
     } finally {
       spark.conf.unset("spark.sql.catalog.gjv")
       spark.conf.unset("spark.sql.catalog.gjv.location")
