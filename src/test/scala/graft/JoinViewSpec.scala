@@ -782,6 +782,17 @@ class JoinViewSpec extends AnyFunSuite {
     r.delete(col("okey") % 9 === 4)
     assert(re.refresh() > 0)
     assertSame(re.read(), expectedFull(l, r))
+    // RIGHT-side expiry rebuilds too (the mirror of the left case —
+    // the unmatched-right walk loses its own-side history)
+    r.insert(orders.filter(col("o_orderkey") > 1200L && col("o_orderkey") <= 1400L)
+      .selectExpr("o_orderkey AS okey", "o_custkey", "o_totalprice"))
+    assert(r.expireSnapshots(olderThanMs = 0L, keepLast = 1).nonEmpty)
+    assert(re.refresh() > 0)
+    assertSame(re.read(), expectedFull(l, r))
+    // and incremental maintenance resumes on all three tables after
+    l.delete(col("okey") % 13 === 2)
+    assert(re.refresh() > 0)
+    assertSame(re.read(), expectedFull(l, r))
   }
 
   test("chaining onto an outer view's bare state table is refused at create") {
