@@ -64,13 +64,15 @@ final class DirCatalog(val spark: SparkSession, val root: String) {
     require(!exists(name), s"dataset $name already exists")
     // outer views derive companion unmatched-state table names — a
     // catalog dataset already sitting on one would collide (ADVICE r14)
-    if (joinType != graft.views.JoinView.Inner)
+    if (joinType == graft.views.JoinView.LeftOuter ||
+        joinType == graft.views.JoinView.FullOuter)
       require(!exists(name + "__unmatched"),
         s"dataset ${name}__unmatched already exists — an outer join view " +
           s"named $name stores its unmatched rows there")
-    if (joinType == graft.views.JoinView.FullOuter)
+    if (joinType == graft.views.JoinView.FullOuter ||
+        joinType == graft.views.JoinView.RightOuter)
       require(!exists(name + "__unmatched_right"),
-        s"dataset ${name}__unmatched_right already exists — a full-outer " +
+        s"dataset ${name}__unmatched_right already exists — an outer " +
           s"join view named $name stores its unmatched right rows there")
     graft.views.JoinView.create(spark, location(name), left, right,
       keys, leftFields, rightFields, joinType)

@@ -1122,6 +1122,41 @@ object StorageOps {
       jv.read()
     }),
 
+    // RIGHT-OUTER incrementally-maintained join view, first-class
+    // (VERDICT r15 nit — previously "swap the sides" guidance): the
+    // full-outer machinery minus the unmatched-LEFT table — the inner
+    // state plus ONE unmatched-right table (PK = dim PK) carrying the
+    // order-less dims. DML moves dims across the boundary both ways:
+    // the key-based fact delete orphans dims, late facts re-partner
+    // them, the dim delete leaves both tables. Oracle = DuckDB RIGHT
+    // JOIN over the final source states.
+    "s_mv_join_right" -> ((s, d) => {
+      import graft.views._
+      val o = t(s, d, "orders")
+        .selectExpr("o_custkey AS custkey", "o_orderkey", "o_totalprice")
+      val c = t(s, d, "customer")
+        .selectExpr("c_custkey AS custkey", "c_name", "c_nationkey")
+      val l = SpaceDataset.create(s, fresh("jvgl"), o.schema, Seq("o_orderkey"))
+      l.append(o.filter(col("o_orderkey") % 3 =!= 0))
+      val r = SpaceDataset.create(s, fresh("jvgr"), c.schema, Seq("custkey"))
+      r.append(c)
+      val jv = JoinView.create(s, fresh("jviewg"), l, r, Seq("custkey"),
+        Seq("o_orderkey", "o_totalprice"), Seq("c_name", "c_nationkey"),
+        joinType = JoinView.RightOuter)
+      jv.refresh()
+      l.append(o.filter(col("o_orderkey") % 3 === 0)) // late facts re-partner dims
+      // key-based fact delete: custkeys losing ALL their orders orphan
+      // their dims into the unmatched-right table
+      l.delete(col("custkey") % 7 === 3)
+      r.delete(col("c_nationkey") % 5 === 2) // dim delete leaves both tables
+      val commits = jv.refresh()
+      require(commits > 0, "right-outer refresh must commit")
+      require(jv.refresh() == 0, "watermarks must no-op a second refresh")
+      require(jv.read().filter(col("o_orderkey").isNull).count() > 0,
+        "order-less dims must surface as null-extended rows")
+      jv.read()
+    }),
+
     // join view over two record-field tables: per-side field selection,
     // addresses (not payloads) cross the key join, payloads stitched
     // back after (views.py:183-224 + ray/ops/join.py:120-135 semantics)
@@ -1657,6 +1692,14 @@ object StorageOps {
         |  o.o_orderkey, o.o_totalprice, c.c_name, c.c_nationkey
         |FROM (SELECT * FROM orders WHERE o_custkey % 7 <> 3) o
         |FULL JOIN (SELECT * FROM customer WHERE c_nationkey % 5 <> 2) c
+        |  ON o.o_custkey = c.c_custkey""".stripMargin,
+    // final sources: facts = custkey % 7 <> 3 (late appends restored the
+    // %3 split), dims = nationkey % 5 <> 2; right join keeps every dim
+    "s_mv_join_right" ->
+      """SELECT c.c_custkey AS custkey,
+        |  o.o_orderkey, o.o_totalprice, c.c_name, c.c_nationkey
+        |FROM (SELECT * FROM orders WHERE o_custkey % 7 <> 3) o
+        |RIGHT JOIN (SELECT * FROM customer WHERE c_nationkey % 5 <> 2) c
         |  ON o.o_custkey = c.c_custkey""".stripMargin,
     "s_mv_pipeline" ->
       """SELECT doc_id, lang,

@@ -65,11 +65,20 @@ object ViewMaintenance {
   val DefaultSilentTailMaxSnapshots = 32L
 
   /** Coalesce decision for one refresh pass: the caller's explicit flag
-    * OR a backlog deeper than the auto-coalesce bound. */
+    * OR a backlog deeper than the auto-coalesce bound. The auto path is
+    * LOGGED (ADVICE r15): it changes the default one-state-commit-per-
+    * source-snapshot contract, and a chained view's operator seeing one
+    * coarse CDC commit where they expected N deserves an attributable
+    * line in the maintainer's log. */
   def shouldCoalesce(spark: SparkSession, requested: Boolean, pendingDataSnapshots: Int): Boolean =
     requested || {
       val bound = longConf(spark, AutoCoalesceSnapshotsKey, DefaultAutoCoalesceSnapshots)
-      bound > 0 && pendingDataSnapshots >= bound
+      val auto = bound > 0 && pendingDataSnapshots >= bound
+      if (auto) log.info(
+        s"auto-coalescing a $pendingDataSnapshots-snapshot backlog into one " +
+          s"state commit ($AutoCoalesceSnapshotsKey=$bound; chained views see " +
+          "one coarser CDC commit for this window)")
+      auto
     }
 
   /** Trailing CDC-silent snapshot count of one walk (every snapshot

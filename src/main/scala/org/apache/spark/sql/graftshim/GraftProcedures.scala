@@ -282,8 +282,8 @@ object GraftProcedures {
             .comment("comma-separated right output columns (non-key)").build(),
           ProcedureParameter.in("join_type", StringType)
             .defaultValue("'inner'")
-            .comment("'inner', 'left_outer' or 'full_outer' (outer " +
-              "maintains unmatched-side table(s); reads null-extend)").build()),
+            .comment("'inner', 'left_outer', 'right_outer' or 'full_outer' " +
+              "(outer maintains unmatched-side table(s); reads null-extend)").build()),
         StructType(Seq(
           StructField("view_location", StringType, nullable = false)))) {
         override def run(input: InternalRow): Seq[InternalRow] = {

@@ -360,6 +360,153 @@ class JoinViewSpec extends AnyFunSuite {
     assertSame(jv.read(), expectedOuter(l, r))
   }
 
+  test("right outer: first-class — only the unmatched-RIGHT table, lifecycle converges") {
+    // partial fact side: a third of the orders have no lineitems, so
+    // unmatched dims exist from the initial build
+    val li = lineitem.filter(col("l_orderkey") <= 900L && col("l_orderkey") % 3 =!= 1)
+      .selectExpr("l_orderkey AS okey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .dropDuplicates("okey", "l_linenumber")
+    val l = SpaceDataset.create(spark, freshLoc("jvgl"), li.schema,
+      Seq("okey", "l_linenumber"))
+    l.append(li)
+    val r = rightTable(900L)
+    val jv = JoinView.create(spark, freshLoc("jviewg"), l, r, Seq("okey"),
+      Seq("l_linenumber", "l_quantity", "l_extendedprice"),
+      Seq("o_custkey", "o_totalprice"), joinType = JoinView.RightOuter)
+    // right-outer plan: NO unmatched-left table, one unmatched-right
+    assert(JoinPlan.fromJson(jv.plan.json) == jv.plan)
+    assert(jv.plan.joinType == JoinView.RightOuter &&
+      jv.plan.unmatchedLocation.isEmpty && jv.plan.unmatchedRightLocation.isDefined)
+
+    def expectedRight(): DataFrame =
+      l.readAll().join(r.readAll(), Seq("okey"), "right_outer")
+        .select("okey", "l_linenumber", "l_quantity", "l_extendedprice",
+          "o_custkey", "o_totalprice")
+    assert(jv.refresh() >= 1)
+    assertSame(jv.read(), expectedRight())
+    assert(jv.read().filter(col("l_linenumber").isNull).count() > 0,
+      "lineitem-less orders must null-extend")
+    assert(jv.refresh() == 0)
+
+    // fact delete ORPHANS dims; late facts RE-PARTNER them; dim DML
+    // flows through both tables
+    l.delete(col("okey") % 4 === 2)
+    l.append(lineitem.filter(col("l_orderkey") <= 900L && col("l_orderkey") % 3 === 1)
+      .selectExpr("l_orderkey AS okey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .dropDuplicates("okey", "l_linenumber"))
+    r.delete(col("okey") % 5 === 3, dvMaxFraction = Some(1.0))
+    assert(jv.refresh() > 0)
+    assertSame(jv.read(), expectedRight())
+
+    // the unmatched-right table holds EXACTLY live(R) anti live(L)
+    val um = jv.unmatchedRightDataset.get.readAll()
+    val umExp = r.readAll().join(l.readAll(), Seq("okey"), "left_anti")
+      .select("okey", "o_custkey", "o_totalprice")
+    assert(um.exceptAll(umExp).isEmpty && umExp.exceptAll(um).isEmpty,
+      "unmatched-right state diverged from live-anti-join truth")
+
+    // reload from the persisted plan: the right-outer view resumes
+    val re = JoinView.load(spark, jv.dataset.location)
+    assert(re.plan == jv.plan && re.refresh() == 0)
+    assertSame(re.read(), expectedRight())
+  }
+
+  test("consistent cut: read() pins companions at the inner head's recorded ids") {
+    // a companion head that advanced past the inner table's recorded
+    // pin (the mid-refresh / crashed-refresh window) must be INVISIBLE
+    // to readers — read() resolves the unmatched table at the pinned
+    // snapshot, not its live head (VERDICT r15 #1)
+    val l = leftTable(600L)
+    val o = orders.filter(col("o_orderkey") <= 600L && col("o_orderkey") % 2 === 0)
+      .selectExpr("o_orderkey AS okey", "o_custkey", "o_totalprice")
+    val r = SpaceDataset.create(spark, freshLoc("jvro"), o.schema, Seq("okey"))
+    r.append(o)
+    val jv = createOuterView(l, r)
+    assert(jv.refresh() >= 1)
+    // the inner head records a pin for the companion
+    val wm = jv.dataset.storage.metadata.mvSourceSnapshotIds
+    assert(wm.contains(JoinView.UmPin), "inner commits must record the companion pin")
+    assert(wm(JoinView.UmPin) ==
+      jv.unmatchedDataset.get.storage.metadata.currentSnapshotId)
+    val before = jv.read().collect().toSet
+
+    // companion advances WITHOUT an inner pin update — simulated torn
+    // window: a reader must still see the old cut
+    val um = SpaceDataset.load(spark, jv.plan.unmatchedLocation.get)
+    um.append(um.readAll().limit(1).withColumn("okey", lit(999999L)))
+    val reloaded = JoinView.load(spark, jv.dataset.location)
+    assert(reloaded.read().collect().toSet == before,
+      "a companion head past the recorded pin must not leak into read()")
+    assert(reloaded.read().filter(col("okey") === 999999L).isEmpty)
+  }
+
+  test("consistent cut: a concurrent reader never sees a torn match transition") {
+    import spark.implicits._
+    // dims keyed BY the join key (at most one match per key), so any
+    // key observed BOTH matched and null-extended — or any fact id
+    // observed twice — is a torn cut, impossible under pinned reads
+    val facts = (1L to 240L).map(i => (i, "k" + (i % 60), i * 1.0)).toDF("id", "k", "v")
+    val dims = (0 until 40).map(i => ("k" + i, i * 10.0)).toDF("k", "w")
+    val fds = SpaceDataset.create(spark, freshLoc("ccf"), facts.schema, Seq("id"))
+    fds.append(facts)
+    val dds = SpaceDataset.create(spark, freshLoc("ccd"), dims.schema, Seq("k"))
+    dds.append(dims)
+    val jv = JoinView.create(spark, freshLoc("ccv"), fds, dds,
+      Seq("k"), Seq("id", "v"), Seq("w"), joinType = JoinView.FullOuter)
+    jv.refresh()
+
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val refresherErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val refresher = new Thread(() => {
+      try {
+        var round = 0
+        while (!stop.get() && round < 8) {
+          // push keys across the match boundary both ways each round
+          dds.delete(col("k").isin((0 until 40 by 3).map(i => "k" + ((i + round) % 40)): _*))
+          dds.insert((0 until 40 by 3).map(i => ("k" + ((i + round) % 40), i * 10.0 + round))
+            .toDF("k", "w"))
+          fds.delete(col("id") % 7 === (round % 7).toLong)
+          fds.insert((1L to 240L).filter(_ % 7 == round % 7)
+            .map(i => (i, "k" + (i % 60), i * 1.0 + round)).toDF("id", "k", "v"))
+          jv.refresh()
+          round += 1
+        }
+      } catch { case t: Throwable => refresherErr.set(t) }
+      finally stop.set(true)
+    })
+    refresher.start()
+    try {
+      var reads = 0
+      while (!stop.get() && reads < 60) {
+        val cut = JoinView.load(spark, jv.dataset.location).read()
+          .select(col("k"), col("id"), col("w")).collect()
+        // tear #1: a fact id appearing twice (matched + null-extended)
+        val idCounts = cut.filter(_.get(1) != null).groupBy(_.getLong(1))
+          .view.mapValues(_.length)
+        assert(!idCounts.exists(_._2 > 1),
+          s"torn read: fact ids duplicated: ${idCounts.filter(_._2 > 1).take(3)}")
+        // tear #2: a dim key both matched and null-extended (dim PK =
+        // join key, so a key is matched xor unmatched at any version)
+        val byKey = cut.filter(_.get(2) != null).groupBy(_.getString(0))
+        val torn = byKey.filter { case (_, rows) =>
+          rows.exists(_.get(1) == null) && rows.exists(_.get(1) != null)
+        }
+        assert(torn.isEmpty,
+          s"torn read: dim keys both matched and unmatched: ${torn.keys.take(3)}")
+        reads += 1
+      }
+    } finally {
+      stop.set(true)
+      refresher.join(120000)
+    }
+    assert(refresherErr.get() == null, s"refresher failed: ${refresherErr.get()}")
+    // converged: the final cut equals the from-scratch full-outer truth
+    val exp = fds.readAll().join(dds.readAll(), Seq("k"), "full_outer")
+      .select("k", "id", "v", "w")
+    val got = JoinView.load(spark, jv.dataset.location).read().select("k", "id", "v", "w")
+    assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty)
+  }
+
   test("coalesced refresh: one commit per side, equals the per-snapshot twin") {
     val l = leftTable(700L)
     val r = rightTable(700L)
@@ -520,7 +667,7 @@ class JoinViewSpec extends AnyFunSuite {
     ads.append(a0)
     val bds = SpaceDataset.create(spark, freshLoc("jvfb"), b0.schema, Seq("bid"))
     bds.append(b0)
-    // THREE views over the same mutating sources — every join type's
+    // FOUR views over the same mutating sources — every join type's
     // maintenance algebra fuzzed against its own from-scratch truth,
     // including the auto-coalesce path (multi-snapshot windows cross
     // the default bound naturally) and random explicit coalescing
@@ -528,9 +675,11 @@ class JoinViewSpec extends AnyFunSuite {
       Seq("k"), Seq("id", "v"), Seq("bid", "w"))
     val jvL = JoinView.create(spark, freshLoc("jvfvl"), ads, bds,
       Seq("k"), Seq("id", "v"), Seq("bid", "w"), joinType = JoinView.LeftOuter)
+    val jvR = JoinView.create(spark, freshLoc("jvfvr"), ads, bds,
+      Seq("k"), Seq("id", "v"), Seq("bid", "w"), joinType = JoinView.RightOuter)
     val jvF = JoinView.create(spark, freshLoc("jvfvf"), ads, bds,
       Seq("k"), Seq("id", "v"), Seq("bid", "w"), joinType = JoinView.FullOuter)
-    jv.refresh(); jvL.refresh(); jvF.refresh()
+    jv.refresh(); jvL.refresh(); jvR.refresh(); jvF.refresh()
     var nextId = 301L
     var nextBid = 61L
     for (round <- 1 to 12) {
@@ -570,7 +719,8 @@ class JoinViewSpec extends AnyFunSuite {
       }
       // refresh every other round: multi-snapshot windows on both sides
       if (round % 2 == 0) {
-        for ((view, jt) <- Seq(jv -> "inner", jvL -> "left_outer", jvF -> "full_outer")) {
+        for ((view, jt) <- Seq(jv -> "inner", jvL -> "left_outer",
+            jvR -> "right_outer", jvF -> "full_outer")) {
           view.refresh(None, coalesce = rnd.nextBoolean())
           val exp = ads.readAll().join(bds.readAll(), Seq("k"), jt)
             .select("k", "id", "v", "bid", "w")
