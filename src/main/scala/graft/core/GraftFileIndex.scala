@@ -84,6 +84,7 @@ final class GraftFileIndex(
     scala.collection.concurrent.TrieMap.empty[Path, Map[String, FileStatus]]
 
   private val bytesIdx = mSchema.fieldIndex(ManifestIO.FileBytesCol)
+  private val mtimeIdx = mSchema.fieldIndex(ManifestIO.FileMtimeCol)
 
   /** Status SYNTHESIZED from the manifest row when it records the exact
     * file length (`_FILE_BYTES`, every file indexed since the column
@@ -91,15 +92,19 @@ final class GraftFileIndex(
     * scale a multi-million-file `data/` listing was pure planning tax
     * the manifests already had the answer to (VERDICT r14 #4). Rows
     * from older manifests (null length) fall back to [[statusOf]].
-    * Modification time is 0: graft table files are immutable and
-    * content-addressed by the snapshot, never freshness-checked. */
+    * Modification time comes from `_FILE_MTIME` (same harvest stat), so
+    * `_metadata.file_modification_time` stays truthful (ADVICE r15);
+    * rows between the two columns' introductions report 0 until a
+    * `rewrite_manifests` pack backfills them. */
   private def statusFor(r: Row): FileStatus = {
     val rel = r.getString(fileIdx)
     if (r.isNullAt(bytesIdx)) return statusOf(rel)
     val p = new Path(storage.absolute(rel))
     // makeQualified is client-side (fs URI + cwd) — no RPC
     val q = p.getFileSystem(conf).makeQualified(p)
-    new FileStatus(r.getLong(bytesIdx), false, 1, GraftFileIndex.DefaultBlockSize, 0L, q)
+    val mtime = if (r.isNullAt(mtimeIdx)) 0L else r.getLong(mtimeIdx)
+    new FileStatus(r.getLong(bytesIdx), false, 1,
+      GraftFileIndex.DefaultBlockSize, mtime, q)
   }
 
   /** One `listStatus` per distinct data directory (native files share

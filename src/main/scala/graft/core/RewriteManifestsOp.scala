@@ -106,6 +106,7 @@ object RewriteManifestsOp {
         // driver path: one sorted collect, chunked into target-size
         // manifests — no Spark write job for the common small history
         val rows = mdf.orderBy(sortCol, col(ManifestIO.FileCol)).collect().toSeq
+          .map(backfillStatus(mdf.schema, storage.location, conf))
         rows.grouped(targetFilesPerManifest.toInt).map { chunk =>
           val rel = StoragePaths.newIndexManifestFile()
           DriverParquet.write(conf, storage.absolute(rel), mdf.schema, chunk)
@@ -114,9 +115,17 @@ object RewriteManifestsOp {
       } else {
         // distributed path: one range-partitioned write, each task's
         // part file becomes one manifest (same shape as the carryover
-        // writer — driver work is O(part files))
-        DmlOps.writeCarryoverDistributed(spark, storage,
-          mdf.repartitionByRange(parts, sortCol).sortWithinPartitions(sortCol))
+        // writer — driver work is O(part files)); the backfill rides
+        // the tasks, one stat per LEGACY row, spread across executors
+        val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+        val mschema = mdf.schema
+        val root = storage.location
+        val filled = mdf.repartitionByRange(parts, sortCol)
+          .sortWithinPartitions(sortCol)
+          .mapPartitions(it =>
+            it.map(backfillStatus(mschema, root, serConf.value)))(
+            org.apache.spark.sql.Encoders.row(mschema))
+        DmlOps.writeCarryoverDistributed(spark, storage, filled.toDF())
       }
 
     val outFiles = written.map(_._2.numFiles).sum
@@ -164,5 +173,30 @@ object RewriteManifestsOp {
       manifestSummaries = written.toMap)
     Some((patch,
       RewriteManifestsResult(small.size, written.size, totalFiles, recSkipped)))
+  }
+
+  /** Fill a legacy manifest row's null `_FILE_BYTES`/`_FILE_MTIME`
+    * while the pack is rewriting it anyway — one `getFileStatus` per
+    * LEGACY row, after which every scan of the packed table synthesizes
+    * its `FileStatus`es and the per-directory `listStatus` fallback is
+    * never paid again (VERDICT r15 #3). Rows already carrying both
+    * values pass through untouched. */
+  private def backfillStatus(
+      schema: org.apache.spark.sql.types.StructType,
+      root: String,
+      conf: org.apache.hadoop.conf.Configuration)(
+      r: org.apache.spark.sql.Row): org.apache.spark.sql.Row = {
+    val bi = schema.fieldIndex(ManifestIO.FileBytesCol)
+    val mi = schema.fieldIndex(ManifestIO.FileMtimeCol)
+    if (!r.isNullAt(bi) && !r.isNullAt(mi)) return r
+    val rel = r.getString(schema.fieldIndex(ManifestIO.FileCol))
+    val p0 = new org.apache.hadoop.fs.Path(rel)
+    val p = if (p0.isAbsolute || rel.contains("://")) p0
+      else new org.apache.hadoop.fs.Path(root, rel)
+    val st = p.getFileSystem(conf).getFileStatus(p)
+    val vals = r.toSeq.toArray
+    vals(bi) = st.getLen
+    vals(mi) = st.getModificationTime
+    org.apache.spark.sql.Row.fromSeq(vals.toIndexedSeq)
   }
 }

@@ -121,4 +121,81 @@ class FileIndexSpec extends AnyFunSuite {
         s"${r.getLong(bIdx)} bytes, filesystem says $real")
     }
   }
+
+  test("synthesized statuses carry the real mtime (metadata column stays truthful)") {
+    val orders = Tables.read(spark, sfDir, "orders")
+    val loc = Files.createTempDirectory("graft_fmtime_").toString + "/tbl"
+    val d = SpaceDataset.create(spark, loc, orders.schema, Seq("o_orderkey"))
+    d.append(orders.limit(500))
+    val before = GraftFileIndex.dirListings.get()
+    // the statuses every scan (and `_metadata.file_modification_time`)
+    // consumes must carry the file's real mtime, not epoch-1970
+    // (ADVICE r15) — and still without any directory listing
+    val idx = new GraftFileIndex(spark, d.storage, d.storage.metadata.currentSnapshotId)
+    val mts = idx.listFiles(Nil, Nil).flatMap(_.files).map(_.getModificationTime)
+    assert(mts.nonEmpty && mts.forall(_ > 1000000000000L), // > 2001-09-09
+      s"synthesized mtime must be the harvest-time stat, got ${mts.toSeq.take(5)}")
+    assert(GraftFileIndex.dirListings.get() == before)
+  }
+
+  test("rewrite_manifests backfills legacy rows: listStatus fallback ends at the pack") {
+    val orders = Tables.read(spark, sfDir, "orders")
+    val loc = Files.createTempDirectory("graft_fback_").toString + "/tbl"
+    val d = SpaceDataset.create(spark, loc, orders.schema, Seq("o_orderkey"))
+    // several under-filled manifests so the pack has work to do
+    (0 until 3).foreach(i =>
+      d.append(orders.filter(col("o_orderkey") % 3 === i.toLong)))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val schema = ManifestIO.manifestSchema(d.storage)
+    val bIdx = schema.fieldIndex(ManifestIO.FileBytesCol)
+    val mIdx = schema.fieldIndex(ManifestIO.FileMtimeCol)
+
+    // forge the LEGACY shape: rewrite every manifest with bytes/mtime
+    // nulled, swapped in via one manifest-only commit
+    val snap0 = d.storage.snapshotOrFail(d.storage.metadata.currentSnapshotId)
+    val olds = snap0.manifestFiles.indexManifestFiles
+    val replaced = olds.map { m =>
+      val rows = ManifestIO.readIndexManifestRowsDriver(d.storage, conf, Seq(m))
+        .map(_._2).map { r =>
+          val vals = r.toSeq.toArray
+          vals(bIdx) = null
+          vals(mIdx) = null
+          org.apache.spark.sql.Row.fromSeq(vals.toIndexedSeq)
+        }
+      val rel = graft.format.StoragePaths.newIndexManifestFile()
+      DriverParquet.write(conf, d.storage.absolute(rel), schema, rows)
+      rel -> ManifestIO.summarizeRows(d.storage, schema, rows)
+    }
+    d.storage.transaction() { _ =>
+      (Some(graft.format.Patch(
+        addedIndexManifests = replaced.map(_._1),
+        removedIndexManifests = olds,
+        manifestSummaries = replaced.toMap)), ())
+    }
+    // legacy shape confirmed: a scan falls back to directory listing
+    val preList = GraftFileIndex.dirListings.get()
+    assert(d.readAll().count() > 0)
+    assert(GraftFileIndex.dirListings.get() > preList,
+      "nulled _FILE_BYTES must hit the listStatus fallback")
+
+    // the pack backfills: one getFileStatus per legacy row, then scans
+    // synthesize statuses forever
+    assert(d.rewriteManifests(targetFilesPerManifest = 100000L).isDefined)
+    val snap1 = d.storage.snapshotOrFail(d.storage.metadata.currentSnapshotId)
+    val packed = ManifestIO.readIndexManifestRowsDriver(d.storage, conf,
+      snap1.manifestFiles.indexManifestFiles).map(_._2)
+    packed.foreach { r =>
+      assert(!r.isNullAt(bIdx) && !r.isNullAt(mIdx),
+        "the pack must backfill _FILE_BYTES and _FILE_MTIME")
+      val p = new org.apache.hadoop.fs.Path(
+        d.storage.absolute(r.getString(schema.fieldIndex(ManifestIO.FileCol))))
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      assert(r.getLong(bIdx) == st.getLen && r.getLong(mIdx) == st.getModificationTime)
+    }
+    val postList = GraftFileIndex.dirListings.get()
+    assert(d.readAll().count() > 0)
+    assert(d.read(filter = Some(col("o_orderkey") < 100L)).count() > 0)
+    assert(GraftFileIndex.dirListings.get() == postList,
+      "after the backfilling pack, scans must never list data directories")
+  }
 }
