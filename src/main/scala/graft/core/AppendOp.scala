@@ -316,10 +316,8 @@ object AppendOp {
       // SESSION-SCOPED via a cloned session — a set/restore on the
       // shared conf would leak the 8 MB advisory to any job planning
       // concurrently in this session during the write window.
-      val advisory = spark.conf.getOption("spark.graft.writeCluster.advisoryBytes")
-        .getOrElse((8L * 1024 * 1024).toString)
       org.apache.spark.sql.graftshim.ScopedConf.withScopedConf(aligned,
-        Seq("spark.sql.adaptive.advisoryPartitionSizeInBytes" -> advisory))(writeOut)
+        clusterAdvisoryConfs(spark))(writeOut)
     } else writeOut(aligned)
 
     val fs = new Path(tmpAbs).getFileSystem(conf)
@@ -388,6 +386,23 @@ object AppendOp {
     * partition, so parquet drops it from the written data. */
   private val KindCol = "__graft_kind"
 
+  /** Scoped-conf set for a write-clustered shuffle: the reduced AQE
+    * advisory (`spark.graft.writeCluster.advisoryBytes`, default 8 MB —
+    * several tight-range files per tier beat one 64 MB-coalesced file)
+    * plus a matching coalesce floor when the advisory is set BELOW
+    * AQE's default 1 MB `minPartitionSize` (otherwise the floor wins
+    * and a small tier still folds into one file). At the default
+    * advisory the floor stays at Spark's default — no behavior
+    * change. */
+  private def clusterAdvisoryConfs(
+      spark: SparkSession): Seq[(String, String)] = {
+    val advisory = spark.conf.getOption("spark.graft.writeCluster.advisoryBytes")
+      .getOrElse((8L * 1024 * 1024).toString)
+    val floor = math.min(advisory.toLong, 1L * 1024 * 1024).toString
+    Seq("spark.sql.adaptive.advisoryPartitionSizeInBytes" -> advisory,
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> floor)
+  }
+
   /** FUSED carryover + append: land CoW `survivors` and fresh `adds`
     * in ONE Spark write job but in SEPARATE files (dynamic partition on
     * a transient kind column), so a view state commit's delete+append
@@ -395,9 +410,18 @@ object AppendOp {
     * tells carryover rewrites (CDC-silent) from genuine ADDs (VERDICT
     * r14 next #3).
     *
-    * Plain layouts only — callers gate on no buckets / no
-    * write-cluster-by / no record fields (the append-side paths those
-    * need live in [[writeFilesWithMeta]] / RecordIO).
+    * Plain AND write-clustered layouts (VERDICT r15 #2 — the engine's
+    * flagship MVs are write-clustered: the text-index postings table,
+    * the streaming band index). A clustered table's union range-
+    * partitions and sorts on (kind, clusterColumns): the dynamic
+    * partition keeps the files kind-pure, the leading kind keeps tasks
+    * kind-contiguous, and within each kind the files come out range-
+    * disjoint and sorted — the same tight-stats tier shape the append
+    * path produces, for BOTH groups (survivors regain tier shape too,
+    * strictly better than the classic unclustered carryover). Bucketed
+    * and record-field layouts still take the two-pass fallback — their
+    * file naming / payload plumbing lives in [[writeFilesWithMeta]] /
+    * RecordIO.
     *
     * Returns (patch, addMetas): the patch carries the manifest, stats
     * and summaries for BOTH file groups but NO changelog — the caller
@@ -407,13 +431,23 @@ object AppendOp {
       storage: Storage,
       survivors: DataFrame,
       adds: DataFrame): (Patch, Seq[IndexFileMeta]) = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{col, lit}
     val conf = spark.sparkContext.hadoopConfiguration
     val tmpRel = s"${StoragePaths.DataDir}/tmp_append_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val tmpAbs = storage.absolute(tmpRel)
     val union = alignToSchema(storage, survivors).withColumn(KindCol, lit(0))
       .unionByName(alignToSchema(storage, adds).withColumn(KindCol, lit(1)))
-    bloomWriter(spark, storage, union).partitionBy(KindCol).parquet(tmpAbs)
+    val wcb = storage.metadata.writeClusterBy
+    if (wcb.nonEmpty && storage.metadata.numBuckets == 0) {
+      val cols = (KindCol +: wcb).map(col)
+      val shaped = union.repartitionByRange(cols: _*).sortWithinPartitions(cols: _*)
+      // same reduced AQE advisory as the clustered append path: several
+      // tight-range files per tier beat one 64 MB-coalesced file
+      org.apache.spark.sql.graftshim.ScopedConf.withScopedConf(shaped,
+        clusterAdvisoryConfs(spark))(f =>
+        bloomWriter(spark, storage, f).partitionBy(KindCol).parquet(tmpAbs))
+    } else
+      bloomWriter(spark, storage, union).partitionBy(KindCol).parquet(tmpAbs)
 
     val fs = new Path(tmpAbs).getFileSystem(conf)
     val parts = Array.newBuilder[(Path, Boolean)] // (part file, isAdd)

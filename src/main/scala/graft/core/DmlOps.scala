@@ -116,10 +116,11 @@ object DmlOps {
     * a single write pass (separate files via [[AppendOp
     * .writeSplitFiles]], so the changelog still tells carryover from
     * ADDs) — the two-pass commit was every refresh's residual cost
-    * (VERDICT r14 next #3). Falls back to the classic two calls when
-    * the layout needs the full append path (record fields, buckets,
-    * write-cluster-by) or when the sweep matches nothing. Returns the
-    * patches to merge into one commit. */
+    * (VERDICT r14 next #3). Write-clustered tables fuse too — the
+    * split write range-sorts both groups into tier shape (VERDICT r15
+    * #2). Falls back to the classic two calls when the layout needs
+    * the full append path (record fields, buckets) or when the sweep
+    * matches nothing. Returns the patches to merge into one commit. */
   def deleteByKeysAndAppend(
       spark: SparkSession,
       storage: Storage,
@@ -127,8 +128,7 @@ object DmlOps {
       keys: DataFrame,
       keyCols: Seq[String],
       adds: DataFrame): Seq[Patch] = {
-    val fusible = storage.recordFields.isEmpty &&
-      storage.metadata.numBuckets == 0 && storage.metadata.writeClusterBy.isEmpty
+    val fusible = storage.recordFields.isEmpty && storage.metadata.numBuckets == 0
     if (!fusible)
       return deleteByKeysOn(spark, storage, snapshotId, keys, keyCols).toSeq :+
         RecordIO.writeWithRecords(spark, storage, adds)
@@ -347,9 +347,11 @@ object DmlOps {
       if (cowFiles.isEmpty) extraAdds match {
         case Some(adds) =>
           // pure-MoR sweep (no survivor rewrite to fuse into): the adds
-          // still ride THIS commit — one plain write, bitmaps collected
-          // for the merged changelog below
-          val ar = AppendOp.writeFilesWithMeta(spark, storage, adds)
+          // still ride THIS commit — one write (cluster-shaped when the
+          // table declares write_cluster_by), bitmaps collected for the
+          // merged changelog below
+          val ar = AppendOp.writeFilesWithMeta(spark, storage, adds,
+            writeClustered = true)
           (ar.patch, ar.files.map(m =>
             RowBitmap(m.file, allRows = true, numRows = m.numRows)).toList,
             emptyCo, Nil, StorageStatistics())

@@ -95,6 +95,74 @@ class WriteClusterSpec extends AnyFunSuite {
     assert(kept <= 2, s"top-range read kept $kept files after repair")
   }
 
+  test("fused upsert on a write-clustered table: one data manifest, tier-shaped groups") {
+    // VERDICT r15 #2: the one-pass delete+append used to skip
+    // write-clustered layouts — exactly the layouts the flagship MVs
+    // use. The fused write must keep the manifest economy (at most
+    // carryover + ONE data manifest) AND land both file groups as
+    // range-disjoint sorted tiers.
+    val orders = Tables.read(spark, sfDir, "orders")
+    val ds = SpaceDataset.create(spark, freshLoc(), orders.schema, Seq("o_orderkey"),
+      statsFields = Seq("o_totalprice"), writeClusterBy = Seq("o_totalprice"))
+    ds.append(orders.repartition(4))
+    def manifests: Set[String] = ds.storage
+      .snapshotOrFail(ds.storage.metadata.currentSnapshotId)
+      .manifestFiles.indexManifestFiles.toSet
+    val before = manifests
+
+    // tiny advisory (keyed into the scoped-conf clone) → several range
+    // partitions per group, so the disjointness claim is non-vacuous
+    spark.conf.set("spark.graft.writeCluster.advisoryBytes", "4096")
+    val incoming = orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    try ds.upsert(incoming)
+    finally spark.conf.unset("spark.graft.writeCluster.advisoryBytes")
+
+    val added = manifests -- before
+    assert(added.size <= 2,
+      s"write-clustered upsert must fuse: at most carryover + ONE data " +
+        s"manifest, got ${added.size}")
+    val cl = ds.storage.changeLog(ds.storage.metadata.currentSnapshotId).get
+    assert(cl.addedRows.nonEmpty && cl.addedRows.forall(_.allRows),
+      "fused adds land in their own all-adds files")
+    assert(cl.addedRows.map(_.file).toSet
+      .intersect(cl.deletedRows.map(_.file).toSet).isEmpty)
+
+    // content exact
+    val exp = orders.withColumn("o_totalprice",
+      when(col("o_orderkey") % 3 === 0, col("o_totalprice") * 2)
+        .otherwise(col("o_totalprice")))
+    assert(ds.readAll().exceptAll(exp).isEmpty && exp.exceptAll(ds.readAll()).isEmpty)
+
+    // tier shape: within EACH group (adds vs survivors) the files'
+    // o_totalprice ranges are pairwise disjoint — the same sorted-tier
+    // contract the clustered append path gives
+    val schema = ManifestIO.manifestSchema(ds.storage)
+    val f = ManifestIO.fieldAtPath(ds.storage.schema, "o_totalprice").get
+    val statsCol = ManifestIO.statsColName(graft.format.FieldIds.fieldId(f))
+    val rows = ManifestIO.readIndexManifestRowsDriver(ds.storage,
+      spark.sparkContext.hadoopConfiguration, added.toSeq).map(_._2)
+    val fIdx = schema.fieldIndex(ManifestIO.FileCol)
+    val sIdx = schema.fieldIndex(statsCol)
+    val addFiles = cl.addedRows.map(_.file).toSet
+    val newFiles = rows.filter(r => !r.isNullAt(sIdx))
+      .map(r => (r.getString(fIdx),
+        r.getStruct(sIdx).getDouble(0), r.getStruct(sIdx).getDouble(1)))
+    def disjoint(group: Seq[(String, Double, Double)]): Unit = {
+      val sorted = group.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Seq((fa, _, maxA), (fb, minB, _)) =>
+          assert(maxA <= minB, s"overlapping tier files: $fa [..$maxA] vs $fb [$minB..]")
+        case _ =>
+      }
+    }
+    val (addGroup, survGroup) = newFiles.partition(t => addFiles.contains(t._1))
+    assert(addGroup.size >= 2 || survGroup.size >= 2,
+      "advisory too coarse: need multiple files in a group to test disjointness")
+    disjoint(addGroup)
+    disjoint(survGroup)
+  }
+
   test("compact is TIER-AWARE: small tiers merge into one SORTED tier, point reads stay pruned") {
     // pre-fix behavior: compact's shuffle-free coalesce interleaved the
     // sorted tiers, silently un-sorting every compacted range — one
