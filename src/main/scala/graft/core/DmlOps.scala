@@ -77,7 +77,11 @@ object DmlOps {
         * the delete's write pass (plain layouts; None = classic). When
         * the sweep short-circuits (empty table / zero matches) the
         * adds are NOT written and the caller appends them itself. */
-      extraAdds: Option[DataFrame] = None): Option[Patch] = {
+      extraAdds: Option[DataFrame] = None,
+      /** Per-call merge-on-read threshold (see [[delete]]'s same
+        * param) — view maintenance passes its state-sweep fraction so
+        * refresh sweeps take vectors instead of CoW rewrites. */
+      dvFracOverride: Option[Double] = None): Option[Patch] = {
     // an empty table can't match any key: skip the key-range job entirely
     // (first upsert into a fresh table — e.g. a streaming sink's batch 0)
     val manifests = storage.snapshotOrFail(snapshotId).manifestFiles.indexManifestFiles
@@ -108,6 +112,7 @@ object DmlOps {
       candidates = candidates,
       markMatched = df => df.join(k, keyCols, "left_semi"),
       keepSurvivors = df => df.join(k, keyCols, "left_anti"),
+      dvFracOverride = dvFracOverride,
       extraAdds = extraAdds)
   }
 
@@ -127,12 +132,19 @@ object DmlOps {
       snapshotId: Long,
       keys: DataFrame,
       keyCols: Seq[String],
-      adds: DataFrame): Seq[Patch] = {
+      adds: DataFrame,
+      /** Per-call merge-on-read threshold for the sweep leg (see
+        * [[delete]]): a view refresh passes its state-sweep fraction,
+        * so steady-state maintenance soft-deletes instead of CoW-
+        * rewriting every touched state file. */
+      dvFracOverride: Option[Double] = None): Seq[Patch] = {
     val fusible = storage.recordFields.isEmpty && storage.metadata.numBuckets == 0
     if (!fusible)
-      return deleteByKeysOn(spark, storage, snapshotId, keys, keyCols).toSeq :+
+      return deleteByKeysOn(spark, storage, snapshotId, keys, keyCols,
+        dvFracOverride = dvFracOverride).toSeq :+
         RecordIO.writeWithRecords(spark, storage, adds)
-    deleteByKeysOn(spark, storage, snapshotId, keys, keyCols, Some(adds)) match {
+    deleteByKeysOn(spark, storage, snapshotId, keys, keyCols, Some(adds),
+      dvFracOverride = dvFracOverride) match {
       case Some(p) => Seq(p) // adds written inside the fused pass
       case None => Seq(RecordIO.writeWithRecords(spark, storage, adds))
     }

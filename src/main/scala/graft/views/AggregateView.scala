@@ -615,7 +615,8 @@ final class AggregateView(val spark: SparkSession, val dataset: SpaceDataset)
       // fused delete+append: the affected-group sweep's survivors and
       // the merged state rows land in ONE write pass (VERDICT r14 #3)
       val patches = DmlOps.deleteByKeysAndAppend(spark, dataset.storage, pinned,
-        affectedKeys, dataset.storage.primaryKeys, newRows)
+        affectedKeys, dataset.storage.primaryKeys, newRows,
+        dvFracOverride = ViewMaintenance.stateDvFraction(spark))
       Patch.merge(patches).getOrElse(Patch())
     } finally {
       annotated.unpersist()

@@ -671,11 +671,13 @@ final class JoinView(val spark: SparkSession, val dataset: SpaceDataset)
           // write pass (VERDICT r14 #3)
           case (Seq(d), Seq(a)) =>
             DmlOps.deleteByKeysAndAppend(spark, dataset.storage, pinned,
-              d.data, srcPks, joinRows(a))
+              d.data, srcPks, joinRows(a),
+              dvFracOverride = ViewMaintenance.stateDvFraction(spark))
           case _ => batches.flatMap { b =>
             b.changeType match {
               case ChangeType.Delete =>
-                DmlOps.deleteByKeysOn(spark, dataset.storage, pinned, b.data, srcPks)
+                DmlOps.deleteByKeysOn(spark, dataset.storage, pinned, b.data, srcPks,
+                  dvFracOverride = ViewMaintenance.stateDvFraction(spark))
               case ChangeType.Add =>
                 Some(RecordIO.writeWithRecords(spark, dataset.storage, joinRows(b)))
             }
@@ -736,7 +738,8 @@ final class JoinView(val spark: SparkSession, val dataset: SpaceDataset)
             (plan.keys ++ plan.leftFields ++ plan.rightFields).map(col): _*)
           // fused delete+append: one write pass per coalesced commit
           val patches = DmlOps.deleteByKeysAndAppend(spark, dataset.storage,
-            pinned, touched, srcPks, out)
+            pinned, touched, srcPks, out,
+            dvFracOverride = ViewMaintenance.stateDvFraction(spark))
           applied = true
           (Some(Patch.merge(patches).getOrElse(Patch())
             .copy(sourceSnapshotIds = Map(side -> t) ++ companionIds())), ())
@@ -871,11 +874,13 @@ final class JoinView(val spark: SparkSession, val dataset: SpaceDataset)
           // one write pass (VERDICT r14 #3)
           case (Seq(d), Seq(a)) =>
             DmlOps.deleteByKeysAndAppend(spark, u.um.storage, pinned,
-              d.data, ownPks, umAdds(a))
+              d.data, ownPks, umAdds(a),
+              dvFracOverride = ViewMaintenance.stateDvFraction(spark))
           case _ => batches.flatMap { b =>
             b.changeType match {
               case ChangeType.Delete =>
-                DmlOps.deleteByKeysOn(spark, u.um.storage, pinned, b.data, ownPks)
+                DmlOps.deleteByKeysOn(spark, u.um.storage, pinned, b.data, ownPks,
+                  dvFracOverride = ViewMaintenance.stateDvFraction(spark))
               case ChangeType.Add =>
                 Some(RecordIO.writeWithRecords(spark, u.um.storage, umAdds(b)))
             }
@@ -936,13 +941,15 @@ final class JoinView(val spark: SparkSession, val dataset: SpaceDataset)
           // delete+add of DIFFERENT keys)
           case (Seq(d), Seq(a)) =>
             DmlOps.deleteByKeysAndAppend(spark, u.um.storage, pinned,
-              leavers(a), ownPks, entrants(d))
+              leavers(a), ownPks, entrants(d),
+              dvFracOverride = ViewMaintenance.stateDvFraction(spark))
           case _ => batches.flatMap { b =>
             b.changeType match {
               case ChangeType.Delete =>
                 Some(RecordIO.writeWithRecords(spark, u.um.storage, entrants(b)))
               case ChangeType.Add =>
-                DmlOps.deleteByKeysOn(spark, u.um.storage, pinned, leavers(b), ownPks)
+                DmlOps.deleteByKeysOn(spark, u.um.storage, pinned, leavers(b), ownPks,
+                  dvFracOverride = ViewMaintenance.stateDvFraction(spark))
             }
           }
         }
@@ -984,7 +991,8 @@ final class JoinView(val spark: SparkSession, val dataset: SpaceDataset)
           val adds = u.ownProjection(live).join(otherKeysAtW, plan.keys, "left_anti")
           // fused delete+append: one write pass per coalesced commit
           val patches = DmlOps.deleteByKeysAndAppend(spark, u.um.storage,
-            pinned, touched, ownPks, adds)
+            pinned, touched, ownPks, adds,
+            dvFracOverride = ViewMaintenance.stateDvFraction(spark))
           applied = true
           (Some(Patch.merge(patches).getOrElse(Patch())
             .copy(sourceSnapshotIds = Map(u.ownSide -> t))), ())
@@ -1034,7 +1042,8 @@ final class JoinView(val spark: SparkSession, val dataset: SpaceDataset)
           // share one write pass (disjoint keys — a key cannot be both
           // live and dead at the window target)
           val patches = DmlOps.deleteByKeysAndAppend(spark, u.um.storage,
-            pinned, matched, ownPks, cands)
+            pinned, matched, ownPks, cands,
+            dvFracOverride = ViewMaintenance.stateDvFraction(spark))
           applied = true
           (Some(Patch.merge(patches).getOrElse(Patch())
             .copy(sourceSnapshotIds = Map(u.otherSide -> t))), ())

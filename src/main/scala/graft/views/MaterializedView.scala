@@ -125,12 +125,14 @@ final class MaterializedView(val spark: SparkSession, val dataset: SpaceDataset)
             // delete+append — one write pass per state commit (r14 #3)
             case (Seq(d), Seq(a)) =>
               DmlOps.deleteByKeysAndAppend(spark, dataset.storage, pinned,
-                d.data, delKeyCols(d), plan.processSource(spark, a.data))
+                d.data, delKeyCols(d), plan.processSource(spark, a.data),
+                dvFracOverride = ViewMaintenance.stateDvFraction(spark))
             case _ => batches.flatMap { b =>
               b.changeType match {
                 case ChangeType.Delete =>
                   DmlOps.deleteByKeysOn(spark, dataset.storage, pinned, b.data,
-                    delKeyCols(b))
+                    delKeyCols(b),
+                    dvFracOverride = ViewMaintenance.stateDvFraction(spark))
                 case ChangeType.Add =>
                   val transformed = plan.processSource(spark, b.data)
                   Some(RecordIO.writeWithRecords(spark, dataset.storage, transformed))
@@ -219,7 +221,8 @@ final class MaterializedView(val spark: SparkSession, val dataset: SpaceDataset)
           // fused delete+append: one write pass for the touched-key
           // sweep's survivors and the re-derived rows (VERDICT r14 #3)
           val patches = DmlOps.deleteByKeysAndAppend(spark, dataset.storage,
-            pinned, touched, keyCols, plan.processSource(spark, live))
+            pinned, touched, keyCols, plan.processSource(spark, live),
+            dvFracOverride = ViewMaintenance.stateDvFraction(spark))
           applied = true
           (Some(Patch.merge(patches).getOrElse(Patch())
             .copy(sourceSnapshotId = Some(target))), ())

@@ -93,6 +93,25 @@ object ViewMaintenance {
     tail >= bound
   }
 
+  /** Merge-on-read threshold for VIEW STATE sweeps (VERDICT r15 #3):
+    * every refresh's key sweep used to CoW-rewrite each touched state
+    * file even when only a sliver of its rows died. Routing the sweep
+    * through delete vectors makes steady-state maintenance soft-delete
+    * instead — a file flips to CoW (folding its vector) only when its
+    * CUMULATIVE dead fraction crosses this bound, and the state
+    * table's own auto-compaction ([[maybeCompactState]]) folds the
+    * debt during its bin-pack, so read debt stays bounded without an
+    * operator in the loop. `0` restores pure-CoW sweeps. Applies ONLY
+    * to view maintenance — user DML keeps the session-level
+    * `spark.graft.delete.dvMaxFraction` contract. */
+  val StateDvMaxFractionKey = "spark.graft.mv.stateDvMaxFraction"
+  val DefaultStateDvMaxFraction = 0.25
+
+  /** The per-call `dvFracOverride` every view state sweep passes. */
+  def stateDvFraction(spark: SparkSession): Option[Double] =
+    Some(graft.core.Confs.fractionConf(
+      spark, StateDvMaxFractionKey, DefaultStateDvMaxFraction))
+
   /** Opt-in for creating a chained view over an OUTER join view's bare
     * STATE table (matched rows only — see [[requireChainableSource]]). */
   val AllowOuterStateChainKey = "spark.graft.mv.allowOuterStateChain"

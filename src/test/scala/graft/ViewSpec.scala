@@ -165,6 +165,51 @@ class ViewSpec extends AnyFunSuite {
     assert(mv2.refresh() == 0)
   }
 
+  test("state sweeps take delete VECTORS: a small source delete rewrites no state file") {
+    // VERDICT r15 #3: a refresh's key sweep used to CoW-rewrite every
+    // touched state file. Under the default stateDvMaxFraction a small
+    // delete must soft-delete instead: the state commit removes NO
+    // index manifests and the state table carries a vector; readers
+    // mask it; pure-CoW returns with the conf at 0.
+    val src = sourceTable()
+    val v = View.ofDataset(src)
+      .selectExprs("o_orderkey", "o_custkey", "o_totalprice")
+    val mv = v.materialize(spark, freshLoc("mvdv"), Seq("o_orderkey"))
+    val st = mv.dataset.storage
+
+    src.delete(col("o_orderkey") % 50 === 7) // ~2% of keys: far under the bound
+    assert(mv.refresh() == 1)
+    val snap = st.snapshotOrFail(st.metadata.currentSnapshotId)
+    val removed = {
+      val parent = st.snapshotOrFail(snap.parentSnapshotId.get)
+      parent.manifestFiles.indexManifestFiles.toSet --
+        snap.manifestFiles.indexManifestFiles.toSet
+    }
+    assert(removed.isEmpty,
+      s"a sliver-delete sweep must not CoW-rewrite state files, removed $removed")
+    assert(st.deleteVectors(st.metadata.currentSnapshotId).nonEmpty,
+      "the sweep must have recorded delete vectors on the state table")
+    // masked read stays exact
+    val exp = v.toDF(spark)
+    val got = mv.dataset.readAll()
+    assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty)
+
+    // conf at 0 restores pure-CoW sweeps
+    spark.conf.set(graft.views.ViewMaintenance.StateDvMaxFractionKey, "0")
+    try {
+      src.delete(col("o_orderkey") % 50 === 9)
+      assert(mv.refresh() == 1)
+      val snap2 = st.snapshotOrFail(st.metadata.currentSnapshotId)
+      val parent2 = st.snapshotOrFail(snap2.parentSnapshotId.get)
+      assert((parent2.manifestFiles.indexManifestFiles.toSet --
+        snap2.manifestFiles.indexManifestFiles.toSet).nonEmpty,
+        "with the fraction at 0 the sweep must CoW-rewrite")
+    } finally spark.conf.unset(graft.views.ViewMaintenance.StateDvMaxFractionKey)
+    val got2 = mv.dataset.readAll()
+    val exp2 = v.toDF(spark)
+    assert(got2.exceptAll(exp2).isEmpty && exp2.exceptAll(got2).isEmpty)
+  }
+
   test("coalesced refresh: one commit, state identical to per-snapshot application") {
     val src = sourceTable()
     val v = View.ofDataset(src)
