@@ -411,6 +411,47 @@ class JoinViewSpec extends AnyFunSuite {
     assertSame(re.read(), expectedRight())
   }
 
+  test("typed state-schema derivation equals the analyzed-join inference, all types") {
+    import org.apache.spark.sql.types._
+    // mixed nullabilities + field metadata on both sides
+    val md = new MetadataBuilder().putString("note", "x").build()
+    val ls = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("k2", StringType, nullable = true),
+      StructField("a", StringType, nullable = true, md),
+      StructField("b", DoubleType, nullable = false)))
+    val rs = StructType(Seq(
+      StructField("k", LongType, nullable = true),
+      StructField("k2", StringType, nullable = false),
+      StructField("c", IntegerType, nullable = false),
+      StructField("d", TimestampType, nullable = true)))
+    val l = SpaceDataset.create(spark, freshLoc("sdl"), ls, Seq("k"))
+    val r = SpaceDataset.create(spark, freshLoc("sdr"), rs, Seq("k"))
+    val keys = Seq("k", "k2")
+    val lf = Seq("a", "b")
+    val rf = Seq("c", "d")
+    for (jt <- Seq(JoinView.Inner, JoinView.LeftOuter,
+        JoinView.RightOuter, JoinView.FullOuter)) {
+      // the OLD inference: analyze an actual inner join, then null-
+      // extend the absent side (exactly what create() used to run)
+      val schema0 = l.readAll().select((keys ++ lf).map(col): _*)
+        .join(r.readAll().select((keys ++ rf).map(col): _*), keys, "inner")
+        .select((keys ++ lf ++ rf).map(col): _*).schema
+      val nullableSide: Set[String] = jt match {
+        case JoinView.LeftOuter => rf.toSet
+        case JoinView.RightOuter => lf.toSet
+        case JoinView.FullOuter => (lf ++ rf).toSet
+        case _ => Set.empty
+      }
+      val analyzed = StructType(schema0.fields.map(f =>
+        if (nullableSide.contains(f.name)) f.copy(nullable = true) else f))
+      val derived = JoinView.deriveStateSchema(
+        l.storage.logicalSchema, r.storage.logicalSchema, keys, lf, rf, jt)
+      assert(derived == analyzed,
+        s"$jt: derived $derived != analyzed $analyzed")
+    }
+  }
+
   test("consistent cut: read() pins companions at the inner head's recorded ids") {
     // a companion head that advanced past the inner table's recorded
     // pin (the mid-refresh / crashed-refresh window) must be INVISIBLE
