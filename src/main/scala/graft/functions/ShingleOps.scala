@@ -92,6 +92,61 @@ object ShingleOps {
       if (uniq == nShingles) hashes else java.util.Arrays.copyOf(hashes, uniq))
   }
 
+  /** Whitespace tokens of `text` as an array of strings — the native
+    * kernel behind [[graft.functions.TextFunctions.tokens]]. Semantics
+    * are EXACTLY `filter(split(text, "\\s+"), _ != "")` (Java regex
+    * `\s` = ASCII 9–13 and space): non-empty maximal runs of
+    * non-whitespace bytes, in order. The HOF form evaluates through
+    * interpreted `StringSplit`/`ArrayFilter` (higher-order lambdas
+    * never codegen) with a regex compile per batch — this is one
+    * static call in generated code and one pass over the bytes. Byte
+    * slicing is UTF-8-safe: ASCII whitespace bytes never occur inside
+    * multi-byte sequences. Each token COPIES its bytes ([[UTF8String
+    * .fromBytes]]) — a zero-copy view over the parquet page buffer
+    * would alias memory the scanner recycles. */
+  def tokenize(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    var nTokens = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && isSpace(bytes(i))) i += 1
+      if (i < len) { nTokens += 1; while (i < len && !isSpace(bytes(i))) i += 1 }
+    }
+    if (nTokens == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val toks = new Array[Any](nTokens)
+    var t = 0
+    i = 0
+    while (i < len) {
+      while (i < len && isSpace(bytes(i))) i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && !isSpace(bytes(i))) i += 1
+        toks(t) = UTF8String.fromBytes(bytes, start, i - start)
+        t += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(toks)
+  }
+
+  /** Token COUNT of `text` without materializing the token array —
+    * `size(tokens(text))` is the hot shape of the BM25/posting
+    * pipelines (document length), and the count needs no allocation
+    * at all. */
+  def tokenCount(text: UTF8String): Int = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    var n = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && isSpace(bytes(i))) i += 1
+      if (i < len) { n += 1; while (i < len && !isSpace(bytes(i))) i += 1 }
+    }
+    n
+  }
+
   /** splitmix64 finalizer (public-domain constants) — the per-seed mix
     * for minhash signatures. */
   private def mix(h: Long, seed: Long): Long = {

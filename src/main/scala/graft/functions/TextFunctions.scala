@@ -17,10 +17,18 @@ object TextFunctions {
 
   /** Whitespace tokens with empties removed (split of a trailing-space
     * string yields a tail ""). */
+  /** Whitespace tokens, native kernel (one static call in codegen).
+    * Output is identical to `filter(split(c, "\\s+"), _ != "")` — the
+    * previous HOF form, whose ArrayFilter lambda never codegens and
+    * whose StringSplit re-runs a regex per row (guide: eliminate
+    * non-codegen expressions from the hot path). */
   def tokens(c: Column): Column =
-    filter(split(c, "\\s+"), t => t =!= lit(""))
+    org.apache.spark.sql.graftshim.TokenizeExpr(c)
 
-  def tokenCount(c: Column): Column = size(tokens(c))
+  /** Token count without materializing the array (`size(tokens(c))`
+    * semantics, incl. NULL → NULL). */
+  def tokenCount(c: Column): Column =
+    org.apache.spark.sql.graftshim.TokenCountExpr(c)
 
   def distinctTokenRatio(c: Column): Column =
     bound(tokens(c)) { ts =>

@@ -116,7 +116,7 @@ object Semantics {
   }
 
   /** Fixed query set for the multi-query oracle (id → terms). */
-  private val QuerySet: Seq[(Int, Seq[String])] = Seq(
+  private[graft] val QuerySet: Seq[(Int, Seq[String])] = Seq(
     0 -> Seq("vector", "merge", "window"),
     1 -> Seq("hash", "scan"),
     2 -> Seq("customer"))

@@ -3,7 +3,7 @@ package org.apache.spark.sql.graftshim
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, IntegerType, LongType, StringType}
 
 /** Native word-shingle hashing: text → sorted distinct xxhash64 of the
   * word n-gram shingles (kernel: [[graft.functions.ShingleOps]]). One
@@ -37,6 +37,64 @@ case class WordShingleHashesExpr(child: Expression, n: Int)
 object WordShingleHashesExpr {
   def apply(c: Column, n: Int): Column =
     ColumnExpr.column(WordShingleHashesExpr(ColumnExpr.expression(c), n))
+}
+
+/** Native whitespace tokenizer: text → array of non-empty tokens
+  * (kernel: [[graft.functions.ShingleOps.tokenize]]). Replaces the
+  * `filter(split(c, "\\s+"), _ != "")` HOF tree, whose `ArrayFilter`
+  * lambda NEVER whole-stage-codegens — every BM25/posting/quality
+  * pipeline was paying interpreted `StringSplit.nullSafeEval` (regex)
+  * plus per-row lambda dispatch on its hottest path. Same output for
+  * every input (Java `\s` byte class), so oracles are unaffected. */
+case class TokenizeExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_tokenize"
+
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.ShingleOps.tokenize(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.tokenize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenizeExpr =
+    copy(child = newChild)
+}
+
+object TokenizeExpr {
+  def apply(c: Column): Column =
+    ColumnExpr.column(TokenizeExpr(ColumnExpr.expression(c)))
+}
+
+/** Native token count: `size(tokens(text))` without materializing the
+  * token array (kernel: [[graft.functions.ShingleOps.tokenCount]]) —
+  * document length is computed alongside tokenization in every BM25 /
+  * posting-list pipeline. NULL text → NULL, matching non-legacy
+  * `size(null)`. */
+case class TokenCountExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_token_count"
+
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.ShingleOps.tokenCount(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.tokenCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCountExpr =
+    copy(child = newChild)
+}
+
+object TokenCountExpr {
+  def apply(c: Column): Column =
+    ColumnExpr.column(TokenCountExpr(ColumnExpr.expression(c)))
 }
 
 /** Native MinHash signature over pre-hashed shingles: per seed, min of
