@@ -361,7 +361,9 @@ object Dedup {
   private def sigFrame(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int, shingleSize: Int): DataFrame = {
     val shingleExpr = TF.wordShingleHashes(col(textCol), shingleSize)
-    val p = df.select(
+    // fanOut: the shingle+minhash kernel is per-row CPU; a one-split
+    // scan of a small dense corpus would run it on one core
+    val p = SkewUtils.fanOut(df).select(
       col(idCol).as("id"),
       shingleExpr.as("shingles"),
       TF.minhashSignature(shingleExpr, numHashes).as("sig"))
@@ -392,7 +394,7 @@ object Dedup {
     // pairs whose 4+ differing bits spread across all chunks
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming $maxHamming exceeds the 4-chunk pigeonhole bound (3)")
-    val sketched = df.select(col(idCol).as("id"),
+    val sketched = SkewUtils.fanOut(df).select(col(idCol).as("id"),
       TF.simhash64(TF.tokens(col(textCol))).as("sim"))
 
     val chunked = sketched.select(col("id"), col("sim"),
@@ -565,7 +567,8 @@ object Dedup {
       n: Int = 2,
       threshold: Double = 0.5,
       salts: Int = 8): DataFrame = {
-    val grams = df.select(col(blockCol).as("block"), col(idCol).as("id"),
+    val grams = SkewUtils.fanOut(df)
+      .select(col(blockCol).as("block"), col(idCol).as("id"),
       TF.wordShingleHashes(col(textCol), n).as("grams"))
       .withColumn("sz", size(col("grams")))
 

@@ -11,6 +11,22 @@ import org.apache.spark.sql.functions._
   * hot key's rows spread over `salts` tasks instead of one straggler. */
 object SkewUtils {
 
+  /** Spread a CPU-heavy kernel's input over the cluster when the scan
+    * produced fewer partitions than cores (guide §2.5 "input skew":
+    * per-row compute — tokenize/shingle/cosine — decouples cost from
+    * bytes, so a byte-sized split of a small-but-dense corpus leaves
+    * all but one core idle; a single parquet row group is not
+    * splittable at all). Round-robin repartition to the cluster's
+    * default parallelism — deterministic (sort-before-repartition is
+    * on by default), and a no-op at scale: any corpus big enough to
+    * matter already scans as ≥ defaultParallelism splits, so the
+    * branch never fires and no payload shuffle is added. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= math.min(p, 8)) df
+    else df.repartition(p)
+  }
+
   def saltedJoin(
       big: DataFrame,
       small: DataFrame,
