@@ -318,6 +318,16 @@ object AppendOp {
       // concurrently in this session during the write window.
       org.apache.spark.sql.graftshim.ScopedConf.withScopedConf(aligned,
         clusterAdvisoryConfs(spark))(writeOut)
+    } else if (AppendOp.shuffleFree(aligned)) {
+      // a shuffle-free write plan (scan/broadcast-join/union inputs —
+      // every delta-sized MV state commit and plain append lands here)
+      // gives AQE nothing to size: output files = input partitions
+      // either way, but AQE still materializes each broadcast build as
+      // its own sequential job with a replan loop around the write.
+      // Scoped off (same clone mechanism); any plan with a shuffle
+      // keeps AQE for partition coalescing / skew handling.
+      org.apache.spark.sql.graftshim.ScopedConf.withScopedConf(aligned,
+        AppendOp.NoAqeConfs)(writeOut)
     } else writeOut(aligned)
 
     val fs = new Path(tmpAbs).getFileSystem(conf)
@@ -386,6 +396,23 @@ object AppendOp {
     * partition, so parquet drops it from the written data. */
   private val KindCol = "__graft_kind"
 
+  /** Scoped override for shuffle-free write plans (see the writeOut
+    * call sites): AQE has nothing to size there but still runs each
+    * broadcast build as its own job with a replan loop. */
+  private val NoAqeConfs = Seq("spark.sql.adaptive.enabled" -> "false")
+
+  /** True when `df`'s STATIC physical plan contains no shuffle
+    * exchange — the honest gate for dropping AQE around a write: with
+    * no shuffle to coalesce or skew-split, AQE cannot change the
+    * output layout, only add per-stage scheduling. The probe plans the
+    * query once on the original session (mirrors what the scoped clone
+    * will replan); tens of ms against the stage-jobs it saves. */
+  private def shuffleFree(df: DataFrame): Boolean =
+    !df.queryExecution.sparkPlan.exists {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => true
+      case _ => false
+    }
+
   /** Scoped-conf set for a write-clustered shuffle: the reduced AQE
     * advisory (`spark.graft.writeCluster.advisoryBytes`, default 8 MB —
     * several tight-range files per tier beat one 64 MB-coalesced file)
@@ -446,7 +473,14 @@ object AppendOp {
       org.apache.spark.sql.graftshim.ScopedConf.withScopedConf(shaped,
         clusterAdvisoryConfs(spark))(f =>
         bloomWriter(spark, storage, f).partitionBy(KindCol).parquet(tmpAbs))
-    } else
+    } else if (shuffleFree(union))
+      // same shuffle-free gate as the plain append write: the fused
+      // survivor∪adds plan is scan + broadcast-join + union on every
+      // delta-sized state commit — AQE only adds stage jobs there
+      org.apache.spark.sql.graftshim.ScopedConf.withScopedConf(union,
+        NoAqeConfs)(f =>
+        bloomWriter(spark, storage, f).partitionBy(KindCol).parquet(tmpAbs))
+    else
       bloomWriter(spark, storage, union).partitionBy(KindCol).parquet(tmpAbs)
 
     val fs = new Path(tmpAbs).getFileSystem(conf)
