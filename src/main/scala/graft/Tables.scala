@@ -13,6 +13,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def read(spark: SparkSession, sfDir: String, table: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$table.parquet")
+  /** Inferred schema per path. `spark.read.parquet` re-reads footers to
+    * infer the schema on EVERY call, and the storage-op gate queries
+    * read the same immutable testdata files dozens of times per query
+    * (s_rewrite_manifests alone calls this ~21×; profiled at ~90 ms of
+    * driver time per call). Caching the SCHEMA — never data or results
+    * — makes repeat reads plan-only. Testdata files are immutable for
+    * a harness run, which is this reader's documented scope. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def read(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    val path = s"$sfDir/$table.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 }

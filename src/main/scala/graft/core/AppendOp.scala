@@ -155,7 +155,17 @@ object AppendOp {
     bloomCols.foldLeft(
       frame.write.mode("overwrite")
         .option("parquet.bloom.filter.adaptive.enabled", "true")
-        .option("parquet.bloom.filter.max.bytes", (128 * 1024).toString)) {
+        .option("parquet.bloom.filter.max.bytes", (128 * 1024).toString)
+        // Every engine write lands in a UUID-named tmp dir whose part
+        // files the footer harvest immediately renames into data/ and
+        // whose directory is then deleted — the engine's manifest IS
+        // the commit marker. The Hadoop committer's _SUCCESS file and
+        // v1's second rename pass (task dir → job dir → output) are
+        // driver-side filesystem round-trips per commit that nothing
+        // ever observes; committer v2 renames task outputs straight
+        // into the (private, single-writer) tmp dir at task commit.
+        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+        .option("mapreduce.fileoutputcommitter.algorithm.version", "2")) {
       (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
     }
   }

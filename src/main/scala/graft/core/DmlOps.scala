@@ -629,7 +629,12 @@ object DmlOps {
     val tmpRel = s"${StoragePaths.MetadataDir}/tmp_carry_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val tmpAbs = storage.absolute(tmpRel)
-    carryover.write.mode("overwrite").parquet(tmpAbs)
+    carryover.write.mode("overwrite")
+      // tmp-dir write consumed and deleted by this call: no _SUCCESS,
+      // single-pass committer (see AppendOp.bloomWriter)
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .parquet(tmpAbs)
     val fs = new Path(tmpAbs).getFileSystem(conf)
     val parts = fs.listStatus(new Path(tmpAbs)).map(_.getPath)
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)

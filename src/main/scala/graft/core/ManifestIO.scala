@@ -570,7 +570,12 @@ object ManifestIO {
   def writeSingleParquet(spark: SparkSession, storage: Storage, df: DataFrame, rel: String): Unit = {
     val tmpRel = s"${StoragePaths.MetadataDir}/tmp_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val tmpAbs = storage.absolute(tmpRel)
-    df.coalesce(1).write.mode("overwrite").parquet(tmpAbs)
+    df.coalesce(1).write.mode("overwrite")
+      // tmp-dir write consumed and deleted by this call: no _SUCCESS,
+      // single-pass committer (see AppendOp.bloomWriter)
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .parquet(tmpAbs)
     val fs = new Path(tmpAbs).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val part = fs.listStatus(new Path(tmpAbs))
       .map(_.getPath).find(_.getName.startsWith("part-"))
